@@ -1,0 +1,97 @@
+"""Text-analysis primitives for the large-scale training-data pipeline.
+
+All JVM-side column expressions (whole-stage codegen, no Python crossing):
+language-ID (stopword-hit heuristic), quality scoring (length / punctuation /
+stopword ratios), token counting (whitespace + BPE-ish regex), and document
+fingerprinting. Each has a DuckDB-expressible oracle in __spark_entry__.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# per-language stopword markers for the n-gram/stopword heuristic language ID.
+# Word-bounded; chosen to be discriminative between the corpus languages.
+LANG_STOPWORDS = {
+    "en": ["the", "and", "of", "to", "is", "with", "that"],
+    "fr": ["le", "la", "les", "des", "est", "une", "dans"],
+    "es": ["el", "los", "las", "una", "por", "que", "para"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "mit"],
+}
+
+
+def _lang_hits(col: Column, lang: str) -> Column:
+    pattern = r"\b(" + "|".join(LANG_STOPWORDS[lang]) + r")\b"
+    return F.regexp_count(F.lower(col), F.lit(pattern))
+
+
+def lang_id_cols(col: Column) -> dict[str, Column]:
+    """Stopword-hit counts per language + argmax prediction."""
+    hits = {lang: _lang_hits(col, lang) for lang in LANG_STOPWORDS}
+    # deterministic argmax: ties broken by fixed language order via greatest+when chain
+    best = None
+    pred = F.lit("unknown")
+    for lang in LANG_STOPWORDS:  # insertion order is the tiebreak order
+        h = hits[lang]
+        if best is None:
+            best, pred = h, F.when(h > 0, F.lit(lang)).otherwise(F.lit("unknown"))
+        else:
+            pred = F.when(h > best, F.lit(lang)).otherwise(pred)
+            best = F.greatest(best, h)
+    return {**{f"hits_{k}": v for k, v in hits.items()}, "lang_pred": pred}
+
+
+def token_count_col(col: Column) -> Column:
+    """Whitespace token count; 0 for empty/blank text."""
+    trimmed = F.trim(F.coalesce(col, F.lit("")))
+    return F.when(F.length(trimmed) == 0, F.lit(0)).otherwise(
+        F.size(F.split(trimmed, r"\s+"))
+    )
+
+
+def bpe_ish_token_count_col(col: Column) -> Column:
+    """BPE-ish subword proxy: count of word/number/punctuation chunks.
+
+    Pattern: runs of letters, runs of digits, or single non-space symbols —
+    the classic pre-tokenizer split used before byte-pair merging.
+    """
+    return F.regexp_count(
+        F.coalesce(col, F.lit("")), F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]")
+    )
+
+
+def quality_score_cols(col: Column) -> dict[str, Column]:
+    """Length / punctuation-ratio / stopword-ratio quality features + score.
+
+    score = clamp01(len/500)*0.4 + (1-punct_ratio)*0.3 + min(stop_ratio*5,1)*0.3
+    — rounded to 4 places for cross-engine comparability.
+    """
+    text = F.coalesce(col, F.lit(""))
+    n_chars = F.length(text)
+    n_punct = F.regexp_count(text, F.lit(r"[^\w\s]"))
+    n_tokens = token_count_col(text)
+    n_stop = _lang_hits(text, "en")
+    punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0))
+    stop_ratio = F.when(n_tokens > 0, n_stop / n_tokens).otherwise(F.lit(0.0))
+    score = (
+        F.least(n_chars / F.lit(500.0), F.lit(1.0)) * 0.4
+        + (F.lit(1.0) - punct_ratio) * 0.3
+        + F.least(stop_ratio * 5.0, F.lit(1.0)) * 0.3
+    )
+    return {
+        "n_chars": n_chars,
+        "punct_ratio": F.round(punct_ratio, 4),
+        "stop_ratio": F.round(stop_ratio, 4),
+        "quality_score": F.round(score, 4),
+    }
+
+
+def fingerprint_col(col: Column) -> Column:
+    """Deterministic document fingerprint over whitespace-normalized text.
+
+    md5 of the normalized text — stable across engines (DuckDB oracle uses
+    the same md5), used for exact-dup detection and lineage.
+    """
+    normalized = F.trim(F.regexp_replace(F.lower(F.coalesce(col, F.lit(""))), r"\s+", " "))
+    return F.md5(normalized)

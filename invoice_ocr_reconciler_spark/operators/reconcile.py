@@ -1,0 +1,398 @@
+"""Reconciliation: blocked fuzzy vendor join + greedy 1:1 assignment.
+
+Reimplements the reference's reconcile() semantics (reference:
+backend/reconciliationEngine.js:37-213) as a Spark-first pipeline:
+
+1. duplicate window    — first occurrence of lower(trim(invoice_number)) wins,
+                         later ones flagged 'duplicate' (ref :43-51); reference
+                         order = input array order, ours = url (stable, documented);
+2. key normalization   — pure column expressions (ref :15-23);
+3. blocked similarity join — block key = first token of the normalized vendor;
+                         ledger side broadcast when small (the Fuse index build
+                         at ref :53-67 becomes a broadcast dim), shuffled
+                         sort-merge on block key otherwise — the north_rule's
+                         "blocked sort-merge join on normalized keys";
+4. JVM-side scoring    — Levenshtein ratio + token-set (Dice) similarity,
+                         vendor_score = 1 - max(lev_ratio, token_dice); the
+                         amount-tolerance predicate abs(a-b)/max(a,b) <= 1%
+                         (ref :25-35); combined = 0.6*vendor + 0.4*amount
+                         (ref :113-138). All whole-stage-codegen expressions —
+                         no Python in the pair-scoring hot path;
+5. top-10 candidates   — window rank per invoice (ref :113);
+6. greedy 1:1          — applyInPandas per block; a ledger record belongs to
+                         exactly one block (its own first token), so per-block
+                         greedy is globally exact — no cross-block contention
+                         by construction;
+7. missing / anti join — ledger records never matched (ref :199);
+8. summary             — conditional aggregation (ref :201-210).
+
+Scorer note (documented deviation): the reference scores vendors with
+Fuse.js's bitap algorithm; per the project north_star the target scorer is
+Levenshtein / token-set-ratio, which is what we implement (threshold 0.4 and
+the <0.3 match cut preserved). Golden tests pin OUR scorer.
+
+Scale note: the greedy group per block saturates once every ledger record in
+the block is claimed; the pandas kernel switches to a vectorized fill for the
+remaining invoices, so per-block cost is O(head pairs) + O(tail rows). Block
+cardinality on the ledger side is bounded by the dimension table; hot-host
+skew on the invoice side is handled upstream by salted repartitioning
+(sources/pages.py) and AQE skew-join splitting.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from invoice_ocr_reconciler_spark.functions.normalize import (
+    normalize_amount_col,
+    normalize_vendor_col,
+    vendor_block_key,
+)
+
+VENDOR_THRESHOLD = 0.4  # ref: fuseOptions.threshold (:56)
+MATCH_VENDOR_SCORE = 0.3  # ref: vendorScore < 0.3 (:160)
+AMOUNT_TOLERANCE = 0.01  # ref: amountMatch threshold (:25)
+TOP_K_CANDIDATES = 10  # ref: vendorMatches.slice(0, 10) (:113)
+TOP_K_SUGGESTIONS = 3  # ref: .slice(0, 3) (:93,148,189)
+
+SUGGESTION_SCHEMA = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("record_id", T.StringType()),
+            T.StructField("reason", T.StringType()),
+            T.StructField("confidence", T.IntegerType()),
+        ]
+    )
+)
+
+RESULT_SCHEMA = T.StructType(
+    [
+        T.StructField("invoice_url", T.StringType(), False),
+        T.StructField("record_id", T.StringType()),
+        T.StructField("match_status", T.StringType()),
+        T.StructField("discrepancy", T.DoubleType()),
+        T.StructField("flag_reason", T.StringType()),
+        T.StructField("confidence_score", T.IntegerType()),
+        T.StructField("suggestions", SUGGESTION_SCHEMA),
+    ]
+)
+
+
+def _vendor_score_cols(inv_norm, rec_norm):
+    """vendor_score = 1 - max(levenshtein_ratio, token_set_dice); 0 = identical."""
+    lev = F.levenshtein(inv_norm, rec_norm)
+    max_len = F.greatest(F.length(inv_norm), F.length(rec_norm), F.lit(1))
+    lev_ratio = F.lit(1.0) - lev / max_len
+    toks_a = F.array_distinct(F.split(inv_norm, " "))
+    toks_b = F.array_distinct(F.split(rec_norm, " "))
+    inter = F.size(F.array_intersect(toks_a, toks_b))
+    denom = F.size(toks_a) + F.size(toks_b)
+    dice = F.when(denom > 0, 2.0 * inter / denom).otherwise(F.lit(0.0))
+    return F.lit(1.0) - F.greatest(lev_ratio, dice)
+
+
+def with_duplicate_flags(invoices: DataFrame) -> DataFrame:
+    """First occurrence of the normalized invoice number wins (ref :43-51).
+
+    Stable order = url (reference: array input order — documented deviation).
+    Empty keys never count as duplicates (ref: `else if (key)` guard).
+    """
+    key = F.lower(F.trim(F.coalesce(F.col("invoice_number"), F.lit(""))))
+    w = Window.partitionBy(key).orderBy("url")
+    return invoices.withColumn(
+        "is_duplicate",
+        (F.length(key) > 0) & (F.row_number().over(w) > 1),
+    )
+
+
+def candidate_pairs(
+    invoices: DataFrame, ledger: DataFrame, broadcast_ledger: bool = True
+) -> DataFrame:
+    """Blocked similarity join + JVM-side scoring; <= 10 candidates/invoice."""
+    inv = (
+        invoices.withColumn("inv_norm", normalize_vendor_col(F.col("vendor_name")))
+        .withColumn("block_key", vendor_block_key(F.col("inv_norm")))
+        .withColumn("inv_amount", normalize_amount_col(F.col("total_amount")))
+        .select(
+            "url",
+            F.col("invoice_number").alias("inv_invoice_number"),
+            F.col("vendor_name").alias("inv_vendor_name"),
+            "inv_norm",
+            "block_key",
+            "inv_amount",
+        )
+    )
+    led = (
+        ledger.withColumn("rec_norm", normalize_vendor_col(F.col("vendor_name")))
+        .withColumn("block_key", vendor_block_key(F.col("rec_norm")))
+        .withColumn("rec_amount", normalize_amount_col(F.col("expected_amount")))
+        .select("record_id", "rec_norm", "block_key", "rec_amount")
+    )
+    if broadcast_ledger:
+        led = F.broadcast(led)
+
+    pairs = inv.join(led, "block_key")
+    pairs = pairs.withColumn("vendor_score", _vendor_score_cols(F.col("inv_norm"), F.col("rec_norm")))
+    pairs = pairs.filter(F.col("vendor_score") <= VENDOR_THRESHOLD)
+
+    # amount tolerance (ref :25-35); percent_diff is the JS Math.round int
+    diff = F.abs(F.col("inv_amount") - F.col("rec_amount"))
+    bigger = F.greatest(F.col("inv_amount"), F.col("rec_amount"))
+    pct_raw = F.when(bigger == 0, F.lit(None)).otherwise(diff / bigger)
+    pairs = (
+        pairs.withColumn("discrepancy", F.when(bigger == 0, F.lit(0.0)).otherwise(diff))
+        .withColumn("amount_match", F.when(bigger == 0, F.lit(True)).otherwise(pct_raw <= AMOUNT_TOLERANCE))
+        .withColumn("percent_diff", F.coalesce(F.round(pct_raw * 100).cast("int"), F.lit(0)))
+    )
+    # combined score + candidate confidence (ref :120-129);
+    # JS `amountResult.percentDiff ? percentDiff/100 : 0` uses the ROUNDED int
+    amount_score = F.col("percent_diff") / 100.0
+    pairs = pairs.withColumn(
+        "combined_score", F.col("vendor_score") * 0.6 + amount_score * 0.4
+    ).withColumn(
+        "confidence", F.round((1 - F.col("combined_score")) * 100).cast("int")
+    )
+
+    # top-10 fuzzy candidates per invoice, Fuse-order = ascending vendor score
+    w = Window.partitionBy("url").orderBy("vendor_score", "record_id")
+    return pairs.withColumn("cand_rank", F.row_number().over(w)).filter(
+        F.col("cand_rank") <= TOP_K_CANDIDATES
+    )
+
+
+def _greedy_assign(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Exact greedy 1:1 assignment within one block (ref :69-196).
+
+    Invoices in stable url order; per invoice the unused candidate with the
+    lowest (combined_score, vendor_score, record_id) wins — reproducing the
+    reference's strict-< scan over ascending-fuzzy-score candidates.
+    """
+    pdf = pdf.sort_values(
+        ["url", "combined_score", "vendor_score", "record_id"], kind="mergesort"
+    )
+    used: set = set()
+    n_records = pdf["record_id"].nunique()
+    out = []
+    saturated_urls: list = []
+    for url, g in pdf.groupby("url", sort=True):
+        if len(used) >= n_records:
+            saturated_urls.append((url, g))
+            continue
+        rows = g.to_dict("records")
+        best = next((r for r in rows if r["record_id"] not in used), None)
+        if best is None:
+            saturated_urls.append((url, g))
+            continue
+        used.add(best["record_id"])
+        if best["amount_match"] and best["vendor_score"] < MATCH_VENDOR_SCORE:
+            out.append(
+                {
+                    "invoice_url": url,
+                    "record_id": best["record_id"],
+                    "match_status": "matched",
+                    "discrepancy": best["discrepancy"],
+                    "flag_reason": None,
+                    "confidence_score": max(int(best["confidence"]), 70),
+                    "suggestions": [],
+                }
+            )
+        else:
+            reasons = []
+            if not best["amount_match"]:
+                reasons.append(
+                    f"Amount mismatch: Invoice ${best['inv_amount']:.2f} vs "
+                    f"Expected ${best['rec_amount']:.2f} "
+                    f"({best['percent_diff']}% difference)"
+                )
+            if best["vendor_score"] >= MATCH_VENDOR_SCORE:
+                v_conf = round((1 - best["vendor_score"]) * 100)
+                reasons.append(f"Vendor name fuzzy match confidence: {v_conf}%")
+            # alternative suggestions: other candidates in fuzzy-score order
+            alts = sorted(
+                (r for r in rows if r["record_id"] != best["record_id"]),
+                key=lambda r: (r["vendor_score"], r["record_id"]),
+            )[:TOP_K_SUGGESTIONS]
+            out.append(
+                {
+                    "invoice_url": url,
+                    "record_id": best["record_id"],
+                    "match_status": "mismatch",
+                    "discrepancy": best["discrepancy"],
+                    "flag_reason": "; ".join(reasons),
+                    "confidence_score": int(best["confidence"]),
+                    "suggestions": [
+                        {
+                            "record_id": r["record_id"],
+                            "reason": f"Alternative fuzzy match ({int(r['confidence'])}% confidence)",
+                            "confidence": int(r["confidence"]),
+                        }
+                        for r in alts
+                    ],
+                }
+            )
+
+    # vectorized tail: every ledger record in the block is used (or no unused
+    # candidate) -> 'missing / all used' rows (ref :140-155)
+    for url, g in saturated_urls:
+        g = g.sort_values(["vendor_score", "record_id"], kind="mergesort")
+        top = g.head(TOP_K_SUGGESTIONS)
+        out.append(
+            {
+                "invoice_url": url,
+                "record_id": None,
+                "match_status": "missing",
+                "discrepancy": float(g["inv_amount"].iloc[0]),
+                "flag_reason": "All potential matching records already used. "
+                f"Vendor: {g['inv_vendor_name'].iloc[0]}",
+                "confidence_score": 0,
+                "suggestions": [
+                    {
+                        "record_id": r.record_id,
+                        "reason": f"Fuzzy vendor match ({int(r.confidence)}%) - "
+                        "Already linked to another invoice",
+                        "confidence": int(r.confidence),
+                    }
+                    for r in top.itertuples()
+                ],
+            }
+        )
+    cols = [f.name for f in RESULT_SCHEMA.fields]
+    return pd.DataFrame(out, columns=cols)
+
+
+def reconcile(
+    invoices: DataFrame,
+    ledger: DataFrame,
+    broadcast_ledger: bool = True,
+    with_amount_suggestions: bool = True,
+) -> dict[str, DataFrame]:
+    """Full reconcile stage -> {'results', 'missing_records', 'summary'}.
+
+    ``invoices`` needs (url, invoice_number, vendor_name, total_amount);
+    ``ledger`` needs (record_id, vendor_name, expected_amount).
+    """
+    inv_flagged = with_duplicate_flags(invoices)
+    dup = inv_flagged.filter(F.col("is_duplicate"))
+    live = inv_flagged.filter(~F.col("is_duplicate"))
+
+    dup_results = dup.select(
+        F.col("url").alias("invoice_url"),
+        F.lit(None).cast("string").alias("record_id"),
+        F.lit("duplicate").alias("match_status"),
+        F.lit(0.0).alias("discrepancy"),
+        F.concat(F.lit("Duplicate invoice number: "), F.col("invoice_number")).alias(
+            "flag_reason"
+        ),
+        F.lit(100).alias("confidence_score"),
+        F.lit(None).cast(SUGGESTION_SCHEMA).alias("suggestions"),
+    )
+
+    cands = candidate_pairs(live, ledger, broadcast_ledger=broadcast_ledger)
+    assigned = cands.groupBy("block_key").applyInPandas(
+        _greedy_assign, schema=RESULT_SCHEMA
+    )
+
+    # invoices with zero fuzzy candidates -> 'missing' (ref :89-104)
+    no_cand = live.join(
+        cands.select("url").distinct(), "url", "left_anti"
+    ).select(
+        F.col("url").alias("invoice_url"),
+        F.col("vendor_name"),
+        normalize_amount_col(F.col("total_amount")).alias("inv_amount"),
+    )
+    missing_results = no_cand.select(
+        F.col("invoice_url"),
+        F.lit(None).cast("string").alias("record_id"),
+        F.lit("missing").alias("match_status"),
+        F.col("inv_amount").alias("discrepancy"),
+        F.concat(
+            F.lit("No matching vendor found in payment register for: "),
+            F.coalesce(F.col("vendor_name"), F.lit("")),
+        ).alias("flag_reason"),
+        F.lit(0).alias("confidence_score"),
+        F.lit(None).cast(SUGGESTION_SCHEMA).alias("suggestions"),
+    )
+
+    results = assigned.unionByName(missing_results).unionByName(dup_results)
+
+    # amount-only suggestions for vendor-miss invoices (ref :91-94) against
+    # records unused after assignment; theta join, ledger side broadcast
+    if with_amount_suggestions:
+        used_ids = assigned.filter(F.col("record_id").isNotNull()).select("record_id")
+        unused = ledger.join(used_ids, "record_id", "left_anti").select(
+            F.col("record_id").alias("s_record_id"),
+            normalize_amount_col(F.col("expected_amount")).alias("s_amount"),
+        )
+        diff = F.abs(F.col("inv_amount") - F.col("s_amount"))
+        bigger = F.greatest(F.col("inv_amount"), F.col("s_amount"))
+        amount_ok = F.when(bigger == 0, F.lit(True)).otherwise(
+            diff / bigger <= AMOUNT_TOLERANCE
+        )
+        sug = (
+            no_cand.join(F.broadcast(unused), amount_ok, "inner")
+            .withColumn(
+                "s_rank",
+                F.row_number().over(
+                    Window.partitionBy("invoice_url").orderBy("s_record_id")
+                ),
+            )
+            .filter(F.col("s_rank") <= TOP_K_SUGGESTIONS)
+            .groupBy("invoice_url")
+            .agg(
+                F.collect_list(
+                    F.struct(
+                        F.col("s_record_id").alias("record_id"),
+                        F.lit("Matching amount").alias("reason"),
+                        F.lit(50).alias("confidence"),
+                    )
+                ).alias("amount_suggestions")
+            )
+        )
+        results = (
+            results.join(sug, "invoice_url", "left")
+            .withColumn(
+                "suggestions",
+                F.when(
+                    (F.col("match_status") == "missing")
+                    & F.col("record_id").isNull()
+                    & F.col("amount_suggestions").isNotNull()
+                    & F.col("flag_reason").startswith("No matching vendor"),
+                    F.col("amount_suggestions"),
+                ).otherwise(F.col("suggestions")),
+            )
+            .drop("amount_suggestions")
+        )
+
+    matched_ids = results.filter(F.col("record_id").isNotNull()).select("record_id")
+    missing_records = ledger.join(matched_ids, "record_id", "left_anti")
+
+    # summary (ref :201-210): one conditional-agg job per side
+    res_agg = results.agg(
+        F.count("*").alias("total_invoices"),
+        F.sum(F.when(F.col("match_status") == "matched", 1).otherwise(0)).alias("matched"),
+        F.sum(F.when(F.col("match_status") == "mismatch", 1).otherwise(0)).alias("mismatched"),
+        F.sum(F.when(F.col("match_status") == "missing", 1).otherwise(0)).alias("missing_invoices"),
+        F.sum(F.when(F.col("match_status") == "duplicate", 1).otherwise(0)).alias("duplicate"),
+    )
+    inv_agg = invoices.agg(
+        F.round(F.sum(normalize_amount_col(F.col("total_amount"))), 2).alias(
+            "total_amount_invoiced"
+        )
+    )
+    led_agg = ledger.agg(
+        F.count("*").alias("total_records"),
+        F.round(F.sum(normalize_amount_col(F.col("expected_amount"))), 2).alias(
+            "total_amount_expected"
+        ),
+    )
+    missing_agg = missing_records.agg(F.count("*").alias("missing_records"))
+    summary = res_agg.crossJoin(inv_agg).crossJoin(led_agg).crossJoin(missing_agg)
+
+    return {
+        "results": results,
+        "missing_records": missing_records,
+        "summary": summary,
+    }

@@ -1,0 +1,73 @@
+"""SparkSession factory tuned for the extraction+reconciliation workload.
+
+Local-mode sandbox today; the same configs scale to a multi-executor cluster
+(the knobs that matter at 100 TB — AQE, Arrow batch caps, shuffle sizing —
+are identical; only master/memory change under spark-submit).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Arrow record-batch cap: html payloads are large (tens of KB each), so bound
+# the rows per Arrow batch to keep executor + Python-worker memory flat.
+ARROW_MAX_RECORDS_PER_BATCH = 2048
+
+
+def get_spark(
+    app_name: str = "invoice_ocr_reconciler_spark",
+    cores: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession.
+
+    ``cores`` defaults to $SPARK_GRAFT_CPUS or all local cores. Shuffle
+    partitions scale with cores (2x) instead of the 200 default — at cluster
+    scale this is set to ~2-3x total executor cores by the submitter.
+    """
+    if cores is None:
+        cores = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    if shuffle_partitions is None:
+        shuffle_partitions = max(2 * cores, 8)
+
+    builder = (
+        SparkSession.builder.master(f"local[{cores}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config(
+            "spark.sql.execution.arrow.maxRecordsPerBatch",
+            str(ARROW_MAX_RECORDS_PER_BATCH),
+        )
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    # Iceberg is the production catalog (hash-bucketed tables, snapshot
+    # commits). The runtime jar is not shipped in this sandbox, so the gate
+    # stays off unless the submitter provides it via --packages.
+    if os.environ.get("SPARK_GRAFT_ICEBERG_JAR"):
+        builder = (
+            builder.config("spark.jars", os.environ["SPARK_GRAFT_ICEBERG_JAR"])
+            .config(
+                "spark.sql.catalog.local", "org.apache.iceberg.spark.SparkCatalog"
+            )
+            .config("spark.sql.catalog.local.type", "hadoop")
+            .config(
+                "spark.sql.catalog.local.warehouse",
+                os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/iceberg_warehouse"),
+            )
+        )
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
