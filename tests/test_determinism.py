@@ -1,0 +1,40 @@
+"""Determinism across parallelism (SURVEY.md §5.2-5, north_rule contract):
+same input at different partition counts + shuffle partitions -> identical
+per-url extracted bytes and identical reconciliation output."""
+
+from pyspark.sql import functions as F
+
+from invoice_ocr_reconciler_spark import datagen
+from invoice_ocr_reconciler_spark.pipeline import run_pipeline
+
+N = 150
+
+
+def _signature(out):
+    texts = {
+        r["url"]: r["extracted_text"]
+        for r in out["invoices"].select("url", "extracted_text").collect()
+    }
+    results = sorted(
+        map(
+            tuple,
+            out["results"]
+            .select("invoice_url", "record_id", "match_status", "discrepancy",
+                    "confidence_score")
+            .collect(),
+        )
+    )
+    return texts, results
+
+
+def test_identical_output_across_partitioning(spark):
+    out_a = run_pipeline(
+        datagen.pages_df(spark, N, partitions=2), datagen.ledger_df(spark, 25, N)
+    )
+    out_b = run_pipeline(
+        datagen.pages_df(spark, N, partitions=13), datagen.ledger_df(spark, 25, N)
+    )
+    texts_a, results_a = _signature(out_a)
+    texts_b, results_b = _signature(out_b)
+    assert texts_a == texts_b  # byte-identical per url
+    assert results_a == results_b
