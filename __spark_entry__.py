@@ -1,10 +1,14 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)``   — flagship extract+reconcile pipeline on sf0.001.
+``queries()``      — one entry per implemented operator (SURVEY.md §2 +
+                     training-data ops), each (spark, sf_dir) -> DataFrame.
+``oracle_sql()``   — DuckDB-runnable equivalents; omitted for genuinely
+                     non-SQL ops (extraction UDFs, MinHash/SimHash/LSH,
+                     greedy assignment) which get rows-only checks.
+
+Column names/types are aligned between both sides (the driver hashes values
+after sorting columns by name); money aggregates are rounded on both sides.
 """
 
 from __future__ import annotations
@@ -12,27 +16,460 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+SF0001 = "/root/testdata/sf0.001"
+
+
+def _pages_and_ledger(spark: SparkSession, sf_dir: str):
+    from invoice_ocr_reconciler_spark import datagen
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_docs = docs.count()
+    pages = datagen.pages_from_documents(docs)
+    ledger = datagen.ledger_df(spark, max(30, n_docs // 8), n_docs)
+    return pages, ledger
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: pages (from sf0.001 documents) -> extract -> parse ->
+    blocked fuzzy reconcile; returns the reconciliation results frame."""
+    from invoice_ocr_reconciler_spark.pipeline import run_pipeline
+
+    pages, ledger = _pages_and_ledger(spark, SF0001)
+    out = run_pipeline(pages, ledger)
+    res = out["results"]
+    return res.select(
+        "invoice_url",
+        "record_id",
+        "match_status",
+        F.round("discrepancy", 4).alias("discrepancy"),
+        "flag_reason",
+        "confidence_score",
+    )
+
+
+# ---------------------------------------------------------------------------
+# pipeline queries (non-SQL-expressible unless noted)
+# ---------------------------------------------------------------------------
+
+def q_extract_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2: full extraction stage; rows-only check (UDF semantics)."""
+    from invoice_ocr_reconciler_spark import datagen
+    from invoice_ocr_reconciler_spark.extraction.udfs import extract_pages
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ex = extract_pages(datagen.pages_from_documents(docs))
+    return ex.select("url", "n_blocks", "n_chars", F.md5("extracted_text").alias("text_md5"))
+
+
+def q_extract_identity_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extraction oracle subset: kinds 6/8 wrap the raw document text as the
+    single main-content block, so extracted_text must equal documents.text
+    byte-for-byte (boilerplate nav/sidebar/footer stripped around it)."""
+    from invoice_ocr_reconciler_spark import datagen
+    from invoice_ocr_reconciler_spark.extraction.udfs import extract_pages
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("doc_id") % 10 == 6
+    )
+    ex = extract_pages(datagen.pages_from_documents(docs))
+    return ex.select(
+        F.regexp_extract("url", r"/doc/0*(\d+)\.html", 1).cast("bigint").alias("doc_id"),
+        F.col("extracted_text"),
+    )
+
+
+def q_parse_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1-P12 regex cascades; rows-only (Python re semantics)."""
+    from invoice_ocr_reconciler_spark import datagen
+    from invoice_ocr_reconciler_spark.pipeline import extract_and_parse
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    inv = extract_and_parse(datagen.pages_from_documents(docs))
+    return inv.select(
+        "url", "invoice_number", "vendor_name", "invoice_date", "due_date",
+        "subtotal", "tax", "total_amount", "currency", "confidence",
+        F.size("line_items").alias("n_items"),
+    )
+
+
+def q_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2 full reconcile; rows-only (greedy 1:1 is order-sequential)."""
+    from invoice_ocr_reconciler_spark.pipeline import run_pipeline
+
+    pages, ledger = _pages_and_ledger(spark, sf_dir)
+    res = run_pipeline(pages, ledger)["results"]
+    return res.select(
+        "invoice_url", "record_id", "match_status",
+        F.round("discrepancy", 4).alias("discrepancy"), "confidence_score",
+    )
+
+
+def q_reconcile_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 summary counters; rows-only."""
+    from invoice_ocr_reconciler_spark.pipeline import run_pipeline
+
+    pages, ledger = _pages_and_ledger(spark, sf_dir)
+    return run_pipeline(pages, ledger)["summary"]
+
+
+# --- training-data ops over documents/embeddings ---
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from invoice_ocr_reconciler_spark.operators.dedup import exact_duplicates
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return exact_duplicates(docs).select(
+        "doc_id", "fingerprint", "dup_rank", "group_size", "is_duplicate"
+    )
+
+
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs; rows-only (sketch semantics)."""
+    from invoice_ocr_reconciler_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return minhash_lsh_pairs(docs, threshold=0.5)
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs; rows-only."""
+    from invoice_ocr_reconciler_spark.operators.dedup import simhash_near_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return simhash_near_pairs(docs, max_hamming=8)
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard over LSH candidates; rows-only."""
+    from invoice_ocr_reconciler_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        ngram_jaccard_verify,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    cands = minhash_lsh_pairs(docs, threshold=0.3)
+    return ngram_jaccard_verify(cands.select("doc_a", "doc_b"), docs, threshold=0.3)
+
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from invoice_ocr_reconciler_spark.functions.text import (
+        bpe_ish_token_count_col,
+        token_count_col,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        "doc_id",
+        token_count_col(F.col("text")).alias("n_tokens"),
+        bpe_ish_token_count_col(F.col("text")).alias("n_subwords"),
+    )
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from invoice_ocr_reconciler_spark.functions.text import quality_score_cols
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    cols = quality_score_cols(F.col("text"))
+    return docs.select(
+        "doc_id",
+        cols["n_chars"].alias("n_chars"),
+        cols["punct_ratio"].alias("punct_ratio"),
+        cols["stop_ratio"].alias("stop_ratio"),
+        cols["quality_score"].alias("quality_score"),
+    )
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from invoice_ocr_reconciler_spark.functions.text import lang_id_cols
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    cols = lang_id_cols(F.col("text"))
+    return docs.select(
+        "doc_id",
+        cols["hits_en"].cast("int").alias("hits_en"),
+        cols["hits_fr"].cast("int").alias("hits_fr"),
+        cols["hits_es"].cast("int").alias("hits_es"),
+        cols["hits_de"].cast("int").alias("hits_de"),
+        cols["lang_pred"].alias("lang_pred"),
+    )
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from invoice_ocr_reconciler_spark.functions.text import fingerprint_col
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select("doc_id", fingerprint_col(F.col("text")).alias("fingerprint"))
+
+
+def q_ann_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from invoice_ocr_reconciler_spark.operators.similarity import brute_force_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries_df = emb.filter(F.col("vec_id") < 10)
+    return brute_force_topk(emb, queries_df, k=5).withColumnRenamed("rank", "nb_rank")
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN; rows-only (recall < 1 by design)."""
+    from invoice_ocr_reconciler_spark.operators.similarity import lsh_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries_df = emb.filter(F.col("vec_id") < 10)
+    return lsh_topk(emb, queries_df, k=5).withColumnRenamed("rank", "nb_rank")
+
+
+def q_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs; rows-only."""
+    from invoice_ocr_reconciler_spark.operators.similarity import embedding_cosine_dedup
+
+    # this corpus has no true near-dups (max pairwise cosine ~0.47), so the
+    # demo threshold is set low enough to exercise the pair path end-to-end
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return embedding_cosine_dedup(emb, threshold=0.35)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from invoice_ocr_reconciler_spark.plans import relational as R
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # pipeline (UDF) operators
+        "extract_pages": q_extract_pages,
+        "extract_identity_docs": q_extract_identity_docs,
+        "parse_fields": q_parse_fields,
+        "reconcile": q_reconcile,
+        "reconcile_summary": q_reconcile_summary,
+        # relational surface (SURVEY.md §2) — DuckDB-checked
+        "stats_overview": R.stats_overview,
+        "monthly_agg": R.monthly_agg,
+        "pagination": R.pagination,
+        "status_filter": R.status_filter,
+        "search_like": R.search_like,
+        "key_lookup": R.key_lookup,
+        "topk_per_group": R.topk_per_group,
+        "recent_topn": R.recent_topn,
+        "anti_join_missing": R.anti_join_missing,
+        "left_join_enrich": R.left_join_enrich,
+        "inner_join_agg": R.inner_join_agg,
+        "amount_tolerance_join": R.amount_tolerance_join,
+        "normalize_names": R.normalize_names,
+        "fuzzy_block_join": R.fuzzy_block_join,
+        "events_json": R.events_json,
+        "dates_scalars": R.dates_scalars,
+        "explode_lineitems": R.explode_lineitems,
+        # training-data ops
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash": q_dedup_minhash,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "token_count": q_token_count,
+        "quality_score": q_quality_score,
+        "lang_id": q_lang_id,
+        "fingerprint": q_fingerprint,
+        "ann_brute_force": q_ann_brute_force,
+        "ann_lsh": q_ann_lsh,
+        "embedding_dedup": q_embedding_dedup,
+    }
+
+
+_FP_SQL = "md5(trim(regexp_replace(lower(coalesce(text, '')), '\\s+', ' ', 'g')))"
+_STOP_EN = r"\b(the|and|of|to|is|with|that)\b"
+_HITS = {
+    "en": r"\b(the|and|of|to|is|with|that)\b",
+    "fr": r"\b(le|la|les|des|est|une|dans)\b",
+    "es": r"\b(el|los|las|una|por|que|para)\b",
+    "de": r"\b(der|die|das|und|ist|nicht|mit)\b",
+}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    hits = {
+        k: f"CAST(len(regexp_extract_all(lower(coalesce(text,'')), '{v}')) AS INT)"
+        for k, v in _HITS.items()
+    }
+    return {
+        "extract_identity_docs": """
+            SELECT doc_id, text AS extracted_text
+            FROM documents WHERE doc_id % 10 = 6
+        """,
+        "stats_overview": """
+            SELECT count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS total_amount,
+                   CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
+                   CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_finished,
+                   CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_pending,
+                   round(avg(o_totalprice), 2) AS avg_amount
+            FROM orders
+        """,
+        "monthly_agg": """
+            WITH m AS (
+                SELECT strftime(o_orderdate, '%Y-%m') AS month,
+                       count(*) AS n,
+                       round(sum(o_totalprice), 2) AS total
+                FROM orders GROUP BY 1 ORDER BY month DESC LIMIT 6
+            ) SELECT * FROM m ORDER BY month
+        """,
+        "pagination": """
+            SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+            FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 20 OFFSET 10
+        """,
+        "status_filter": """
+            SELECT o_orderkey, o_orderstatus, o_totalprice
+            FROM orders WHERE o_orderstatus IN ('O', 'P')
+        """,
+        "search_like": """
+            SELECT c_custkey, c_name, c_mktsegment FROM customer
+            WHERE c_name LIKE '%0001%' OR c_mktsegment LIKE '%AUTO%'
+        """,
+        "key_lookup": """
+            SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+            FROM orders WHERE o_orderkey IN (1, 7, 32, 4096)
+        """,
+        "topk_per_group": """
+            SELECT o_orderpriority, o_orderkey, o_totalprice, rnk FROM (
+                SELECT o_orderpriority, o_orderkey, o_totalprice,
+                       CAST(row_number() OVER (
+                           PARTITION BY o_orderpriority
+                           ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rnk
+                FROM orders) WHERE rnk <= 10
+        """,
+        "recent_topn": """
+            SELECT o_orderkey, o_orderdate, o_totalprice
+            FROM orders ORDER BY o_orderdate DESC, o_orderkey LIMIT 20
+        """,
+        "anti_join_missing": """
+            SELECT p_partkey, p_name FROM part
+            WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+        """,
+        "left_join_enrich": """
+            SELECT o_orderkey, o_totalprice, c_name, c_mktsegment
+            FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+        """,
+        "inner_join_agg": """
+            SELECT n_name, count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            WHERE o_orderstatus <> 'O'
+            GROUP BY n_name
+        """,
+        "amount_tolerance_join": """
+            WITH li AS (
+                SELECT l_orderkey,
+                       floor(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                                      * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))))
+                                  AS DOUBLE) * 100 + 0.5) / 100 AS li_total
+                FROM lineitem GROUP BY l_orderkey
+            )
+            SELECT o_orderkey, o_totalprice, li_total,
+                   floor(abs(o_totalprice - li_total) * 100 + 0.5) / 100 AS discrepancy,
+                   CASE WHEN greatest(o_totalprice, li_total) = 0 THEN TRUE
+                        ELSE abs(o_totalprice - li_total) / greatest(o_totalprice, li_total) <= 0.01
+                   END AS within_tolerance
+            FROM orders JOIN li ON o_orderkey = l_orderkey
+        """,
+        "normalize_names": r"""
+            SELECT s_suppkey, s_name,
+                   trim(regexp_replace(regexp_replace(regexp_replace(
+                        lower(coalesce(s_name, '')),
+                        '\b(ltd|limited|inc|incorporated|llc|corp|corporation|co|company|pvt|private)\b\.?', '', 'g'),
+                        '[^a-z0-9\s]', '', 'g'),
+                        '\s+', ' ', 'g')) AS s_norm
+            FROM supplier
+        """,
+        "fuzzy_block_join": """
+            WITH p AS (SELECT p_partkey, p_size, lower(p_name) AS p_norm,
+                              split_part(lower(p_name), ' ', 1) AS blk
+                       FROM part)
+            SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+                   CAST(levenshtein(a.p_norm, b.p_norm) AS INT) AS lev
+            FROM p a JOIN p b ON a.blk = b.blk AND a.p_size = b.p_size
+                              AND a.p_partkey < b.p_partkey
+            WHERE levenshtein(a.p_norm, b.p_norm) <= 10
+        """,
+        "events_json": """
+            SELECT event_type, count(*) AS n,
+                   CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+                   round(avg(value), 4) AS avg_value
+            FROM events GROUP BY event_type
+        """,
+        "dates_scalars": """
+            SELECT o_orderkey,
+                   strftime(o_orderdate, '%Y-%m') AS month,
+                   substr(o_orderpriority, 1, 1) AS prio_code,
+                   'ORD-' || CAST(o_orderkey AS VARCHAR) AS tag,
+                   round(abs(o_totalprice - 1000.0), 2) AS abs_diff,
+                   greatest(o_totalprice, 50000.0) AS floored,
+                   upper(trim(o_orderstatus)) AS status_uc
+            FROM orders
+        """,
+        "explode_lineitems": """
+            SELECT l_orderkey, CAST(l_linenumber AS INT) AS line,
+                   l_quantity AS qty, round(l_extendedprice, 2) AS price
+            FROM lineitem
+        """,
+        "dedup_exact": f"""
+            SELECT doc_id, {_FP_SQL} AS fingerprint,
+                   CAST(row_number() OVER (PARTITION BY {_FP_SQL} ORDER BY doc_id) AS INT) AS dup_rank,
+                   count(*) OVER (PARTITION BY {_FP_SQL}) AS group_size,
+                   row_number() OVER (PARTITION BY {_FP_SQL} ORDER BY doc_id) > 1 AS is_duplicate
+            FROM documents
+        """,
+        "token_count": r"""
+            SELECT doc_id,
+                   CASE WHEN length(trim(coalesce(text, ''))) = 0 THEN 0
+                        ELSE CAST(len(regexp_split_to_array(trim(coalesce(text, '')), '\s+')) AS INT)
+                   END AS n_tokens,
+                   CAST(len(regexp_extract_all(coalesce(text, ''), '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INT) AS n_subwords
+            FROM documents
+        """,
+        "quality_score": r"""
+            WITH f AS (
+                SELECT doc_id,
+                       CAST(length(coalesce(text, '')) AS INT) AS n_chars,
+                       len(regexp_extract_all(coalesce(text, ''), '[^\w\s]')) AS n_punct,
+                       CASE WHEN length(trim(coalesce(text, ''))) = 0 THEN 0
+                            ELSE len(regexp_split_to_array(trim(coalesce(text, '')), '\s+'))
+                       END AS n_tokens,
+                       len(regexp_extract_all(lower(coalesce(text, '')), '\b(the|and|of|to|is|with|that)\b')) AS n_stop
+                FROM documents)
+            SELECT doc_id, n_chars,
+                   floor((CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0 END) * 10000.0 + 0.5) / 10000.0 AS punct_ratio,
+                   floor((CASE WHEN n_tokens > 0 THEN n_stop / n_tokens ELSE 0 END) * 10000.0 + 0.5) / 10000.0 AS stop_ratio,
+                   floor((least(n_chars / 500.0, 1.0) * 0.4
+                          + (1.0 - CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0 END) * 0.3
+                          + least(CASE WHEN n_tokens > 0 THEN n_stop / n_tokens ELSE 0 END * 5.0, 1.0) * 0.3)
+                         * 10000.0 + 0.5) / 10000.0 AS quality_score
+            FROM f
+        """,
+        "lang_id": f"""
+            SELECT doc_id,
+                   {hits['en']} AS hits_en,
+                   {hits['fr']} AS hits_fr,
+                   {hits['es']} AS hits_es,
+                   {hits['de']} AS hits_de,
+                   CASE WHEN {hits['de']} > greatest({hits['en']}, {hits['fr']}, {hits['es']}) THEN 'de'
+                        WHEN {hits['es']} > greatest({hits['en']}, {hits['fr']}) THEN 'es'
+                        WHEN {hits['fr']} > {hits['en']} THEN 'fr'
+                        WHEN {hits['en']} > 0 THEN 'en'
+                        ELSE 'unknown'
+                   END AS lang_pred
+            FROM documents
+        """,
+        "fingerprint": f"SELECT doc_id, {_FP_SQL} AS fingerprint FROM documents",
+        "ann_brute_force": """
+            WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+                       FROM embeddings WHERE vec_id < 10),
+                 c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+                       FROM embeddings),
+                 s AS (SELECT query_id, neighbor_id,
+                              round(list_cosine_similarity(qv, cv), 6) AS cosine
+                       FROM q, c WHERE neighbor_id <> query_id),
+                 r AS (SELECT query_id, neighbor_id, cosine,
+                              CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS INT) AS nb_rank
+                       FROM s)
+            SELECT query_id, neighbor_id, cosine, nb_rank FROM r WHERE nb_rank <= 5
+        """,
+    }

@@ -264,6 +264,38 @@ def pages_df(spark: SparkSession, n: int, partitions: int | None = None) -> Data
     )
 
 
+def pages_from_documents(docs: DataFrame) -> DataFrame:
+    """Wrap the driver-provided ``documents`` table into pages rows.
+
+    Pure per-row: doc_id drives the same kind layout as ``make_page`` so the
+    ledger generator's invoice alignment holds; kinds 6 and 8 carry the real
+    document text as the main-content block (those rows are the
+    extraction-identity oracle subset: extracted_text == text for them).
+    """
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, text in zip(pdf["doc_id"], pdf["text"]):
+                i = int(i)
+                if i % 10 in (6, 8):
+                    rows.append(
+                        {
+                            "url": url_for(i),
+                            "warc_ts": BASE_TS
+                            + dt.timedelta(seconds=int(_h(f"ts:{i}") % 31_536_000)),
+                            "html": _html_page(i, text or ""),
+                            "text": "",
+                            "lang": LANGS[_h(f"lang:{i}") % len(LANGS)],
+                        }
+                    )
+                else:
+                    rows.append(make_page(i))
+            yield pd.DataFrame(rows, columns=[f.name for f in PAGES_SCHEMA.fields])
+
+    return docs.select("doc_id", "text").mapInPandas(gen, schema=PAGES_SCHEMA)
+
+
 # --- ledger dimension (analog of payment_records, backend/db.js:125-135) ---
 
 LEDGER_SCHEMA = T.StructType(

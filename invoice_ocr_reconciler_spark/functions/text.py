@@ -61,11 +61,17 @@ def bpe_ish_token_count_col(col: Column) -> Column:
     )
 
 
+def _round4(x: Column) -> Column:
+    """Tie-free 4-place rounding: floor(x*1e4 + 0.5)/1e4 — pure double ops,
+    bit-identical across engines (ROUND() tie-breaking is not)."""
+    return F.floor(x * 10000.0 + 0.5) / 10000.0
+
+
 def quality_score_cols(col: Column) -> dict[str, Column]:
     """Length / punctuation-ratio / stopword-ratio quality features + score.
 
     score = clamp01(len/500)*0.4 + (1-punct_ratio)*0.3 + min(stop_ratio*5,1)*0.3
-    — rounded to 4 places for cross-engine comparability.
+    — floor-rounded to 4 places for cross-engine comparability.
     """
     text = F.coalesce(col, F.lit(""))
     n_chars = F.length(text)
@@ -81,9 +87,9 @@ def quality_score_cols(col: Column) -> dict[str, Column]:
     )
     return {
         "n_chars": n_chars,
-        "punct_ratio": F.round(punct_ratio, 4),
-        "stop_ratio": F.round(stop_ratio, 4),
-        "quality_score": F.round(score, 4),
+        "punct_ratio": _round4(punct_ratio),
+        "stop_ratio": _round4(stop_ratio),
+        "quality_score": _round4(score),
     }
 
 

@@ -1,0 +1,293 @@
+"""Deduplication operators for the training-data pipeline.
+
+- exact:          md5-fingerprint groupBy (JVM-side, shuffle on fingerprint)
+- MinHash + LSH:  shingle -> 64-hash signature (vectorized numpy in a pandas
+                  UDF) -> banded bucket join -> signature-similarity verify
+- SimHash:        64-bit simhash + 16-bit chunk blocking for near-dup pairs
+- n-gram Jaccard: exact Jaccard verification over candidate pairs
+
+Scale notes: signatures are O(1) per doc and embarrassingly parallel; the
+only shuffles are the band-bucket exchange (16 rows/doc) and the candidate
+self-join. Buckets are capped (HOT_BUCKET_CAP) so a degenerate bucket (e.g.
+boilerplate-identical shingle sets across millions of docs) cannot produce a
+quadratic pair explosion — overflow buckets are dropped and logged rather
+than joined, the standard web-dedup guard.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from invoice_ocr_reconciler_spark.functions.text import fingerprint_col
+
+N_HASHES = 64
+N_BANDS = 16  # r = 4 rows/band -> s-curve threshold ~ (1/16)^(1/4) ≈ 0.5
+HOT_BUCKET_CAP = 64
+_MERSENNE = (1 << 61) - 1
+
+
+def exact_duplicates(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup: one row per doc with fingerprint, group size, keeper flag.
+
+    First occurrence (min id) wins — mirrors the reference's first-wins
+    duplicate rule (backend/reconciliationEngine.js:43-51) applied to text.
+    """
+    fp = fingerprint_col(F.col(text_col))
+    w = Window.partitionBy("fingerprint").orderBy(id_col)
+    return (
+        docs.select(F.col(id_col), fp.alias("fingerprint"))
+        .withColumn("dup_rank", F.row_number().over(w))
+        .withColumn("group_size", F.count("*").over(Window.partitionBy("fingerprint")))
+        .withColumn("is_duplicate", F.col("dup_rank") > 1)
+    )
+
+
+def _hash_params(seed: str, n: int) -> tuple[np.ndarray, np.ndarray]:
+    """Deterministic (a, b) coefficient vectors derived from md5, not RNG."""
+    a = np.array(
+        [int.from_bytes(hashlib.md5(f"{seed}:a:{i}".encode()).digest()[:8], "big") % _MERSENNE or 1
+         for i in range(n)], dtype=np.uint64)
+    b = np.array(
+        [int.from_bytes(hashlib.md5(f"{seed}:b:{i}".encode()).digest()[:8], "big") % _MERSENNE
+         for i in range(n)], dtype=np.uint64)
+    return a, b
+
+
+_MH_A, _MH_B = _hash_params("minhash-v1", N_HASHES)
+
+
+def _shingle_hashes(text: str, k: int = 3) -> np.ndarray:
+    """Word k-gram shingles -> stable 64-bit hashes."""
+    toks = text.lower().split()
+    if len(toks) < k:
+        grams = [" ".join(toks)] if toks else [""]
+    else:
+        grams = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+    return np.unique(
+        np.array(
+            [int.from_bytes(hashlib.md5(g.encode()).digest()[:8], "big") for g in grams],
+            dtype=np.uint64,
+        )
+    )
+
+
+def _minhash_signature(text: str) -> list[int]:
+    h = _shingle_hashes(text)
+    # (a*x + b) mod p, min over shingles, per hash function — fully vectorized
+    vals = (np.multiply.outer(_MH_A, h, dtype=np.uint64) + _MH_B[:, None]) % _MERSENNE
+    return [int(v) for v in vals.min(axis=1)]
+
+
+MINHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("signature", T.ArrayType(T.LongType()), False),
+    ]
+)
+
+
+def minhash_signatures(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "signature": [_minhash_signature(t or "") for t in pdf[text_col]],
+                }
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(gen, schema=MINHASH_SCHEMA)
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Near-duplicate candidate pairs via banded MinHash-LSH + signature verify.
+
+    Returns (doc_a, doc_b, est_jaccard) with doc_a < doc_b and estimated
+    Jaccard (fraction of agreeing minhashes) >= threshold.
+    """
+    sig = minhash_signatures(docs, text_col, id_col)
+    r = N_HASHES // N_BANDS
+    bands = sig.select(
+        "doc_id",
+        "signature",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(N_BANDS - 1)),
+                lambda b: F.xxhash64(
+                    F.concat_ws("-", F.slice("signature", b * r + 1, r)), b
+                ),
+            )
+        ).alias("band", "bucket"),
+    )
+    # cap degenerate buckets to keep the self-join linear-ish
+    bucket_sizes = bands.groupBy("band", "bucket").count()
+    bands = bands.join(
+        bucket_sizes.filter(F.col("count") <= HOT_BUCKET_CAP).select("band", "bucket"),
+        ["band", "bucket"],
+    )
+    left = bands.select(
+        F.col("band"), F.col("bucket"),
+        F.col("doc_id").alias("doc_a"), F.col("signature").alias("sig_a"),
+    )
+    right = bands.select(
+        F.col("band"), F.col("bucket"),
+        F.col("doc_id").alias("doc_b"), F.col("signature").alias("sig_b"),
+    )
+    pairs = (
+        left.join(right, ["band", "bucket"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sig_a", "sig_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+                lambda m: m,
+            )
+        )
+        / F.lit(N_HASHES)
+    )
+    return (
+        pairs.withColumn("est_jaccard", F.round(est, 4))
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("doc_a", "doc_b", "est_jaccard")
+    )
+
+
+# --- SimHash ---
+
+_SH_BITS = 64
+
+
+def _simhash(text: str) -> int:
+    toks = (text or "").lower().split()
+    if not toks:
+        return 0
+    hashes = np.array(
+        [int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "big") for t in toks],
+        dtype=np.uint64,
+    )
+    bits = ((hashes[:, None] >> np.arange(_SH_BITS, dtype=np.uint64)) & 1).astype(np.int64)
+    vote = bits.sum(axis=0) * 2 - len(toks)  # +1 for set bits, -1 for unset
+    out = 0
+    for i in range(_SH_BITS):
+        if vote[i] > 0:
+            out |= 1 << i
+    return out - (1 << 63)  # store as signed int64
+
+
+SIMHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("simhash", T.LongType(), False),
+    ]
+)
+
+
+def simhash_signatures(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "simhash": [_simhash(t) for t in pdf[text_col]],
+                }
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(gen, schema=SIMHASH_SCHEMA)
+
+
+def simhash_near_pairs(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                       max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash: block on 16-bit chunks (pigeonhole: any pair
+    within hamming distance 3 shares at least one of 4 chunks), verify exact
+    hamming distance with bit_count (JVM-side)."""
+    sig = simhash_signatures(docs, text_col, id_col)
+    chunks = sig.select(
+        "doc_id", "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("simhash"), c * 16).bitwiseAND(F.lit(0xFFFF))
+                    for c in range(4)
+                ]
+            )
+        ).alias("chunk_pos", "chunk_val"),
+    )
+    left = chunks.select("chunk_pos", "chunk_val",
+                         F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"))
+    right = chunks.select("chunk_pos", "chunk_val",
+                          F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"))
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        left.join(right, ["chunk_pos", "chunk_val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+        .withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+# --- exact n-gram Jaccard verification ---
+
+NGRAM_PAIR_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_a", T.LongType(), False),
+        T.StructField("doc_b", T.LongType(), False),
+        T.StructField("jaccard", T.DoubleType(), False),
+    ]
+)
+
+
+def ngram_jaccard_verify(candidates: DataFrame, docs: DataFrame,
+                         text_col: str = "text", id_col: str = "doc_id",
+                         k: int = 3, threshold: float = 0.5) -> DataFrame:
+    """Exact word-k-gram Jaccard over (doc_a, doc_b) candidate pairs.
+
+    Texts are joined in (broadcast when small; shuffle join at scale), then
+    Jaccard computed vectorized per Arrow batch.
+    """
+    texts = docs.select(F.col(id_col).alias("jid"), F.col(text_col).alias("jtext"))
+    joined = (
+        candidates.join(texts.withColumnRenamed("jid", "doc_a")
+                        .withColumnRenamed("jtext", "text_a"), "doc_a")
+        .join(texts.withColumnRenamed("jid", "doc_b")
+              .withColumnRenamed("jtext", "text_b"), "doc_b")
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def jac(a: str, b: str) -> float:
+            sa = set(map(int, _shingle_hashes(a or "", k)))
+            sb = set(map(int, _shingle_hashes(b or "", k)))
+            if not sa and not sb:
+                return 1.0
+            return len(sa & sb) / len(sa | sb)
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_a": pdf["doc_a"].astype("int64"),
+                    "doc_b": pdf["doc_b"].astype("int64"),
+                    "jaccard": [round(jac(a, b), 4) for a, b in zip(pdf["text_a"], pdf["text_b"])],
+                }
+            )
+
+    return (
+        joined.select("doc_a", "doc_b", "text_a", "text_b")
+        .mapInPandas(gen, schema=NGRAM_PAIR_SCHEMA)
+        .filter(F.col("jaccard") >= threshold)
+    )

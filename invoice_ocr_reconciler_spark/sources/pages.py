@@ -1,0 +1,75 @@
+"""Pages-table storage: explicit hash partitioning on url + skew salting.
+
+The north_rule requires explicit hash partitioning on ``url`` and salting of
+skewed hosts. Production target is Iceberg ``PARTITIONED BY (bucket(N, url))``
+with snapshot-commit writes (the Iceberg catalog gate lives in session.py);
+in the sandbox (no Iceberg jar) the same layout is realized as Parquet under
+``url_bucket=K/`` directories — identical pruning + co-location semantics,
+different metadata layer. Cited mapping: SURVEY.md §1.3, §4.3.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+DEFAULT_BUCKETS = 64
+
+
+def url_bucket_col(n_buckets: int = DEFAULT_BUCKETS):
+    """Deterministic hash bucket of url (xxhash64, sign-folded)."""
+    return F.pmod(F.xxhash64(F.col("url")), F.lit(n_buckets)).cast("int")
+
+
+def host_col():
+    return F.regexp_extract(F.col("url"), r"^https?://([^/]+)/", 1)
+
+
+def detect_hot_hosts(pages: DataFrame, top_n: int = 8, min_share: float = 0.01) -> list[str]:
+    """Frequency-sketch pass for skew: hosts above min_share of the corpus.
+
+    One cheap aggregation over the url column only (column-pruned scan)."""
+    total = pages.count()
+    if total == 0:
+        return []
+    hot = (
+        pages.select(host_col().alias("host"))
+        .groupBy("host")
+        .count()
+        .filter(F.col("count") >= total * min_share)
+        .orderBy(F.col("count").desc())
+        .limit(top_n)
+        .collect()
+    )
+    return [r["host"] for r in hot]
+
+
+def salt_hot_hosts(pages: DataFrame, hot_hosts: list[str], salt_buckets: int = 16) -> DataFrame:
+    """Deterministic salt column: hot hosts spread over ``salt_buckets``
+    sub-keys, cold hosts keep salt 0. Salt is a pure function of url
+    (xxhash64) so reruns checkpoint-match (SURVEY.md §4.3-2)."""
+    host = host_col()
+    is_hot = host.isin(hot_hosts) if hot_hosts else F.lit(False)
+    salt = F.when(is_hot, F.pmod(F.xxhash64(F.col("url"), F.lit(1)), F.lit(salt_buckets))).otherwise(
+        F.lit(0)
+    )
+    return pages.withColumn("host", host).withColumn("salt", salt.cast("int"))
+
+
+def write_pages_bucketed(
+    pages: DataFrame, path: str, n_buckets: int = DEFAULT_BUCKETS, mode: str = "overwrite"
+) -> None:
+    """Write hash-partitioned on url: url_bucket=K directories, one sorted
+    file per bucket partition (min/max url file skipping downstream)."""
+    (
+        pages.withColumn("url_bucket", url_bucket_col(n_buckets))
+        .repartition(n_buckets, "url_bucket")
+        .sortWithinPartitions("url")
+        .write.partitionBy("url_bucket")
+        .mode(mode)
+        .parquet(path)
+    )
+
+
+def read_pages(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)

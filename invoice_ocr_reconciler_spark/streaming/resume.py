@@ -1,0 +1,123 @@
+"""Batch-incremental checkpointing: per-partition completion manifest with
+lineage + rows/bytes metrics, and resumable reruns (SURVEY.md §4.3-4).
+
+The reference has no streaming (SURVEY.md §2.9); its transactional persist
+(backend/server.js:531-550) maps to atomic per-bucket commits here. The unit
+of work is a url hash bucket (sources/pages.py): a rerun anti-joins the input
+bucket list against the manifest and recomputes ONLY incomplete buckets —
+"resumable from checkpoint" per the north_rule. On Iceberg the same manifest
+rides on snapshot ids; in the sandbox it is a JSON-file-per-bucket directory
+with atomic rename commits.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import time
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_BUCKET_RE = re.compile(r"url_bucket=(\d+)$")
+
+
+class CheckpointManifest:
+    """One JSON file per completed bucket; commit = write-tmp + atomic rename."""
+
+    def __init__(self, manifest_dir: str):
+        self.dir = manifest_dir
+        os.makedirs(manifest_dir, exist_ok=True)
+
+    def completed_buckets(self) -> set[int]:
+        out = set()
+        for name in os.listdir(self.dir):
+            m = re.match(r"bucket-(\d+)\.json$", name)
+            if m:
+                out.add(int(m.group(1)))
+        return out
+
+    def entry(self, bucket: int) -> dict | None:
+        path = os.path.join(self.dir, f"bucket-{bucket}.json")
+        if not os.path.exists(path):
+            return None
+        with open(path) as fh:
+            return json.load(fh)
+
+    def record(self, bucket: int, metrics: dict) -> None:
+        path = os.path.join(self.dir, f"bucket-{bucket}.json")
+        tmp = path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump({"bucket": bucket, **metrics}, fh, sort_keys=True)
+        os.replace(tmp, path)  # atomic commit
+
+    def all_metrics(self) -> list[dict]:
+        return [self.entry(b) for b in sorted(self.completed_buckets())]
+
+
+def _discover_buckets(input_path: str) -> list[int]:
+    out = []
+    for name in os.listdir(input_path):
+        m = _BUCKET_RE.search(name)
+        if m and os.path.isdir(os.path.join(input_path, name)):
+            out.append(int(m.group(1)))
+    return sorted(out)
+
+
+def _dir_bytes(path: str) -> int:
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        total += sum(os.path.getsize(os.path.join(root, f)) for f in files)
+    return total
+
+
+def run_resumable(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    manifest: CheckpointManifest,
+    transform: Callable[[DataFrame], DataFrame],
+    fail_after: int | None = None,
+) -> dict:
+    """Process each incomplete url bucket through ``transform`` and commit.
+
+    ``fail_after`` (tests only) aborts after N buckets to simulate a
+    mid-job kill; the following run resumes from the manifest.
+    Returns {'processed': [...], 'skipped': [...]}.
+    """
+    all_buckets = _discover_buckets(input_path)
+    done = manifest.completed_buckets()
+    todo = [b for b in all_buckets if b not in done]
+    processed = []
+    for n, bucket in enumerate(todo):
+        if fail_after is not None and n >= fail_after:
+            break
+        t0 = time.monotonic()
+        src = f"{input_path}/url_bucket={bucket}"
+        dst = f"{output_path}/url_bucket={bucket}"
+        df = spark.read.parquet(src)
+        transform(df).write.mode("overwrite").parquet(dst)
+        # lineage/metrics from the committed output (metadata-cheap scans)
+        out_df = spark.read.parquet(dst)
+        stats = out_df.agg(
+            F.count("*").alias("rows"),
+            F.min("url").alias("min_url"),
+            F.max("url").alias("max_url"),
+        ).collect()[0]
+        prior = manifest.entry(bucket)
+        manifest.record(
+            bucket,
+            {
+                "rows": stats["rows"],
+                "bytes": _dir_bytes(dst),
+                "wall_ms": int((time.monotonic() - t0) * 1000),
+                "min_url": stats["min_url"],
+                "max_url": stats["max_url"],
+                "attempt": (prior or {}).get("attempt", 0) + 1,
+                "input_path": src,
+            },
+        )
+        processed.append(bucket)
+    return {"processed": processed, "skipped": sorted(done)}

@@ -1,0 +1,103 @@
+"""Local replica of the driver's correctness gate: run every queries() entry
+on Spark and its oracle_sql() on DuckDB over the same sf dir; compare
+row-count, column names, and order-insensitive values.
+
+Usage: python tools/check_oracles.py [sf_dir] [only_query ...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+import pandas as pd
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = df[c].astype("datetime64[us]").astype(str)
+        elif df[c].dtype == object:
+            df[c] = df[c].astype(str)
+        elif pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].astype("float64")
+        elif pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("int64")
+        elif pd.api.types.is_bool_dtype(df[c]):
+            df[c] = df[c].astype(bool)
+    return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as entrymod
+    from invoice_ocr_reconciler_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="check-oracles",
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    n_pass = n_fail = n_rows_only = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+        except Exception as exc:  # noqa: BLE001
+            print(f"FAIL  {name}: Spark error: {exc}")
+            n_fail += 1
+            continue
+        if name not in oracles:
+            print(f"ROWS  {name}: {len(sdf)} rows (rows-only check)")
+            n_rows_only += 1
+            continue
+        try:
+            odf = con.execute(oracles[name]).fetchdf()
+        except Exception as exc:  # noqa: BLE001
+            print(f"FAIL  {name}: DuckDB error: {exc}")
+            n_fail += 1
+            continue
+        if len(sdf) != len(odf):
+            print(f"FAIL  {name}: row count {len(sdf)} vs {len(odf)}")
+            n_fail += 1
+            continue
+        if sorted(sdf.columns) != sorted(odf.columns):
+            print(f"FAIL  {name}: columns {sorted(sdf.columns)} vs {sorted(odf.columns)}")
+            n_fail += 1
+            continue
+        a, b = normalize(sdf), normalize(odf)
+        if a.equals(b):
+            print(f"PASS  {name}: {len(sdf)} rows")
+            n_pass += 1
+        else:
+            neq = (a != b) & ~(a.isna() & b.isna())
+            bad_cols = [c for c in a.columns if neq[c].any()]
+            print(f"FAIL  {name}: value mismatch in {bad_cols}")
+            for c in bad_cols[:2]:
+                idx = neq[c].idxmax()
+                print(f"      {c}[{idx}]: spark={a[c][idx]!r} oracle={b[c][idx]!r}")
+            n_fail += 1
+    print(f"\n{n_pass} pass, {n_fail} fail, {n_rows_only} rows-only")
+    spark.stop()
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
