@@ -1,0 +1,84 @@
+"""Benchmark runner (driver contract): one JSON line on stdout.
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
+on local[$SPARK_GRAFT_CPUS]. The flagship metric is the full extract+reconcile
+pipeline over pages derived from the documents table; per-query wall times are
+reported under "queries".
+
+Scaling evidence (BASELINE.md protocol): run this twice,
+SPARK_GRAFT_CPUS=8 then =32, via tools/run_scaling.py -> BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cores = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+    import __spark_entry__ as entrymod
+    from invoice_ocr_reconciler_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="bench",
+        cores=cores,
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+
+    qs = entrymod.queries()
+    headline = [
+        "reconcile",            # full pipeline: extract -> parse -> reconcile
+        "extract_pages",        # extraction stage alone
+        "dedup_exact",
+        "dedup_minhash",
+        "token_count",
+        "quality_score",
+        "lang_id",
+        "ann_brute_force",
+        "stats_overview",
+        "monthly_agg",
+        "topk_per_group",
+        "amount_tolerance_join",
+        "fuzzy_block_join",
+    ]
+
+    timings: dict[str, float] = {}
+    n_docs = None
+    for name in headline:
+        t0 = time.monotonic()
+        df = qs[name](spark, sf_dir)
+        n = df.count()  # materialize the full plan
+        timings[name] = round(time.monotonic() - t0, 3)
+        if name == "extract_pages":
+            n_docs = n
+
+    total = round(sum(timings.values()), 3)
+    pipeline_docs_per_sec = (
+        round(n_docs / timings["reconcile"], 1) if n_docs and timings["reconcile"] else None
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_dir,
+                "cores": cores,
+                "n_docs": n_docs,
+                "extract_reconcile_docs_per_sec": pipeline_docs_per_sec,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -32,15 +32,19 @@ BASE_TS = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
 HOT_HOSTS = ["portal.megacorp-billing.example", "docs.archive-crawl.example"]
 COLD_HOSTS = [f"site-{i:03d}.example" for i in range(50)]
 
-# ~2,000 synthetic vendors (25 first tokens x 20 lines x 4 legal suffixes).
-# First tokens are the fuzzy-join block keys, so the pool exercises both
-# within-block fuzzy discrimination and cross-block partitioning.
-_V_FIRST = [
+# ~16,000 synthetic vendors (200 first tokens x 20 lines x 4 legal suffixes).
+# First tokens are the fuzzy-join block keys: 200 distinct blocks keep the
+# blocked join + per-block greedy well above executor-count parallelism
+# (web-scale vendor diversity is far higher still), while same-first-token
+# vendors exercise within-block fuzzy discrimination.
+_V_BASES = [
     "Acme", "Globex", "Initech", "Umbrella", "Stark", "Wayne", "Cyberdyne",
     "Tyrell", "Wonka", "Oscorp", "Hooli", "Vandelay", "Dunder", "Sterling",
     "Bluth", "Gekko", "Prestige", "Soylent", "Aperture", "Monarch", "Zenith",
     "Quantum", "Pinnacle", "Vertex", "Meridian",
 ]
+_V_REGIONS = ["", "North", "East", "South", "West", "Global", "Pacific", "Atlas"]
+_V_FIRST = [f"{b}{r}" for b in _V_BASES for r in _V_REGIONS]  # 200 first tokens
 _V_SECOND = [
     "Industries", "Systems", "Holdings", "Logistics", "Dynamics", "Partners",
     "Labs", "Ventures", "Solutions", "Consulting", "Manufacturing", "Trading",

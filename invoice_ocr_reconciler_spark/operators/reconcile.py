@@ -45,6 +45,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from pyspark.storagelevel import StorageLevel
 
 from invoice_ocr_reconciler_spark.functions.normalize import (
     normalize_amount_col,
@@ -169,6 +170,10 @@ def _greedy_assign(pdf: pd.DataFrame) -> pd.DataFrame:
     Invoices in stable url order; per invoice the unused candidate with the
     lowest (combined_score, vendor_score, record_id) wins — reproducing the
     reference's strict-< scan over ascending-fuzzy-score candidates.
+
+    Single sorted pass over tuples; once every record in the block is used
+    the remaining invoices short-circuit to the vectorized 'all used' path
+    (per-block cost O(head pairs) + O(tail rows)).
     """
     pdf = pdf.sort_values(
         ["url", "combined_score", "vendor_score", "record_id"], kind="mergesort"
@@ -235,30 +240,36 @@ def _greedy_assign(pdf: pd.DataFrame) -> pd.DataFrame:
             )
 
     # vectorized tail: every ledger record in the block is used (or no unused
-    # candidate) -> 'missing / all used' rows (ref :140-155)
-    for url, g in saturated_urls:
-        g = g.sort_values(["vendor_score", "record_id"], kind="mergesort")
-        top = g.head(TOP_K_SUGGESTIONS)
-        out.append(
-            {
-                "invoice_url": url,
-                "record_id": None,
-                "match_status": "missing",
-                "discrepancy": float(g["inv_amount"].iloc[0]),
-                "flag_reason": "All potential matching records already used. "
-                f"Vendor: {g['inv_vendor_name'].iloc[0]}",
-                "confidence_score": 0,
-                "suggestions": [
-                    {
-                        "record_id": r.record_id,
-                        "reason": f"Fuzzy vendor match ({int(r.confidence)}%) - "
-                        "Already linked to another invoice",
-                        "confidence": int(r.confidence),
-                    }
-                    for r in top.itertuples()
-                ],
-            }
-        )
+    # candidate) -> 'missing / all used' rows (ref :140-155). One pandas sort
+    # + groupby-head over the whole tail instead of per-url python loops.
+    if saturated_urls:
+        tail = pd.concat([g for _url, g in saturated_urls])
+        tail = tail.sort_values(["url", "vendor_score", "record_id"], kind="mergesort")
+        top3 = tail.groupby("url", sort=True).head(TOP_K_SUGGESTIONS)
+        sugg_by_url: dict = {}
+        for r in top3.itertuples():
+            sugg_by_url.setdefault(r.url, []).append(
+                {
+                    "record_id": r.record_id,
+                    "reason": f"Fuzzy vendor match ({int(r.confidence)}%) - "
+                    "Already linked to another invoice",
+                    "confidence": int(r.confidence),
+                }
+            )
+        firsts = tail.drop_duplicates(subset=["url"], keep="first")
+        for r in firsts.itertuples():
+            out.append(
+                {
+                    "invoice_url": r.url,
+                    "record_id": None,
+                    "match_status": "missing",
+                    "discrepancy": float(r.inv_amount),
+                    "flag_reason": "All potential matching records already used. "
+                    f"Vendor: {r.inv_vendor_name}",
+                    "confidence_score": 0,
+                    "suggestions": sugg_by_url.get(r.url, []),
+                }
+            )
     cols = [f.name for f in RESULT_SCHEMA.fields]
     return pd.DataFrame(out, columns=cols)
 
@@ -274,7 +285,18 @@ def reconcile(
     ``invoices`` needs (url, invoice_number, vendor_name, total_amount);
     ``ledger`` needs (record_id, vendor_name, expected_amount).
     """
-    inv_flagged = with_duplicate_flags(invoices)
+    # column-prune FIRST: everything downstream shuffles these rows several
+    # times (duplicate window, candidate join, top-k window); dragging the
+    # extracted_text / line_items payload through those shuffles is the #1
+    # scale killer. Reconciliation needs exactly four columns.
+    invoices_slim = invoices.select(
+        "url", "invoice_number", "vendor_name", "total_amount"
+    )
+    # the results frame unions three branches that all derive from the input;
+    # without a persist each branch would recompute the upstream DAG (incl.
+    # the extraction UDF) — the batch analog of the reference persisting OCR
+    # output before reconciling (backend/server.js:298-315 then :516-529)
+    inv_flagged = with_duplicate_flags(invoices_slim).persist(StorageLevel.MEMORY_AND_DISK)
     dup = inv_flagged.filter(F.col("is_duplicate"))
     live = inv_flagged.filter(~F.col("is_duplicate"))
 
@@ -291,8 +313,11 @@ def reconcile(
     )
 
     cands = candidate_pairs(live, ledger, broadcast_ledger=broadcast_ledger)
-    assigned = cands.groupBy("block_key").applyInPandas(
-        _greedy_assign, schema=RESULT_SCHEMA
+    # reused by: results union, used-record anti join, matched-record anti join
+    assigned = (
+        cands.groupBy("block_key")
+        .applyInPandas(_greedy_assign, schema=RESULT_SCHEMA)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
 
     # invoices with zero fuzzy candidates -> 'missing' (ref :89-104)
@@ -366,6 +391,7 @@ def reconcile(
             .drop("amount_suggestions")
         )
 
+    results = results.persist(StorageLevel.MEMORY_AND_DISK)
     matched_ids = results.filter(F.col("record_id").isNotNull()).select("record_id")
     missing_records = ledger.join(matched_ids, "record_id", "left_anti")
 

@@ -1,0 +1,165 @@
+"""Operator tests: dedup family, similarity search, multimodal plumbing,
+register sources, resumable checkpoint."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog near the river bank today"),
+        (1, "the quick brown fox jumps over the lazy dog near the river bank today"),  # exact dup of 0
+        (2, "the quick brown fox jumps over the lazy dog near the river bank yesterday"),  # near dup
+        (3, "completely different text about spark query engines and shuffles"),
+        (4, ""),
+        (5, "der hund und die katze sind nicht mit der maus"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_duplicates(docs):
+    from invoice_ocr_reconciler_spark.operators.dedup import exact_duplicates
+
+    out = {r["doc_id"]: r.asDict() for r in exact_duplicates(docs).collect()}
+    assert out[0]["is_duplicate"] is False and out[0]["group_size"] == 2
+    assert out[1]["is_duplicate"] is True and out[1]["dup_rank"] == 2
+    assert out[2]["is_duplicate"] is False  # near dup, not exact
+    assert out[0]["fingerprint"] == out[1]["fingerprint"] != out[2]["fingerprint"]
+
+
+def test_minhash_lsh_finds_near_dups(docs):
+    from invoice_ocr_reconciler_spark.operators.dedup import minhash_lsh_pairs
+
+    pairs = {(r["doc_a"], r["doc_b"]): r["est_jaccard"] for r in
+             minhash_lsh_pairs(docs, threshold=0.5).collect()}
+    assert pairs[(0, 1)] == 1.0  # identical docs -> identical signatures
+    assert (0, 2) in pairs and pairs[(0, 2)] >= 0.5  # near dup caught
+    assert (0, 3) not in pairs  # unrelated not caught
+
+
+def test_simhash_near_pairs(docs):
+    from invoice_ocr_reconciler_spark.operators.dedup import simhash_near_pairs
+
+    pairs = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in
+             simhash_near_pairs(docs, max_hamming=10).collect()}
+    assert pairs[(0, 1)] == 0
+    assert (0, 2) in pairs and pairs[(0, 2)] <= 10
+
+
+def test_ngram_jaccard_verify(docs, spark):
+    from invoice_ocr_reconciler_spark.operators.dedup import ngram_jaccard_verify
+
+    cands = spark.createDataFrame([(0, 1), (0, 2), (0, 3)], "doc_a long, doc_b long")
+    out = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in
+           ngram_jaccard_verify(cands, docs, threshold=0.0).collect()}
+    assert out[(0, 1)] == 1.0
+    assert 0.0 < out[(0, 2)] < 1.0
+    assert out[(0, 3)] == 0.0
+
+
+def test_brute_force_topk_self_similarity(spark):
+    from invoice_ocr_reconciler_spark.operators.similarity import brute_force_topk
+
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),   # close to 0
+        (2, [0.0, 1.0, 0.0]),   # orthogonal to 0
+        (3, [-1.0, 0.0, 0.0]),  # opposite of 0
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = brute_force_topk(df, df.filter("vec_id = 0"), k=3).collect()
+    order = [r["neighbor_id"] for r in sorted(out, key=lambda r: r["rank"])]
+    assert order == [1, 2, 3]  # by descending cosine
+    assert [r["query_id"] for r in out] == [0, 0, 0]
+
+
+def test_lsh_topk_subset_of_exact(spark):
+    from invoice_ocr_reconciler_spark.operators.similarity import lsh_topk
+
+    rows = [(i, [float((i * 7 + d * 3) % 13 - 6) for d in range(8)]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = lsh_topk(df, df.filter("vec_id < 3"), k=5).collect()
+    # sane shape: ranks start at 1, no self pairs, cosine within [-1, 1]
+    assert all(1 <= r["nb_rank"] if "nb_rank" in r.asDict() else r["rank"] for r in out)
+    assert all(r["neighbor_id"] != r["query_id"] for r in out)
+    assert all(-1.0001 <= r["cosine"] <= 1.0001 for r in out)
+
+
+def test_multimodal_image_features(spark):
+    from invoice_ocr_reconciler_spark.operators.multimodal import (
+        image_features,
+        phash_near_dup_pairs,
+        sample_video_frames,
+    )
+
+    rows = [
+        ("m1", "image", b"\x89PNG-fake-payload-1", {"src": "a"}),
+        ("m2", "image", b"\x89PNG-fake-payload-1", {"src": "b"}),  # same bytes
+        ("m3", "image", b"\x89PNG-other-payload", {}),
+        ("v1", "video", b"0123456789abcdef" * 8, {}),
+    ]
+    media = spark.createDataFrame(
+        rows, "media_id string, kind string, payload binary, meta map<string,string>"
+    )
+    feats = image_features(media, fake=True)
+    got = {r["media_id"]: r for r in feats.collect()}
+    assert set(got) == {"m1", "m2", "m3"}  # video row filtered out
+    assert got["m1"]["phash"] == got["m2"]["phash"] != got["m3"]["phash"]
+    assert len(got["m1"]["feature"]) == 8
+
+    dups = phash_near_dup_pairs(feats, max_hamming=0).collect()
+    assert [(r["media_a"], r["media_b"]) for r in dups] == [("m1", "m2")]
+
+    frames = sample_video_frames(media, n_frames=4, fake=True).collect()
+    assert len(frames) == 4 and all(r["media_id"] == "v1" for r in frames)
+
+
+def test_multimodal_real_decode_is_stubbed(spark):
+    from invoice_ocr_reconciler_spark.operators.multimodal import _get_decoder
+
+    with pytest.raises(NotImplementedError):
+        _get_decoder(fake=False)
+
+
+def test_register_csv_alias_coalesce(spark, tmp_path):
+    from invoice_ocr_reconciler_spark.sources.registers import read_register_csv
+
+    p = tmp_path / "reg.csv"
+    p.write_text(
+        'Vendor,Amount,Due,Invoice No\n"Acme Corp","$1,234.56",01/02/2024,A-1\n'
+    )
+    row = read_register_csv(spark, str(p)).collect()[0]
+    assert row["vendor_name"] == "Acme Corp"
+    assert row["expected_amount"] == 1234.56
+    assert row["reference_number"] == "A-1"
+    assert row["status"] == "unpaid"
+    assert row["record_id"].startswith("R-")
+
+
+def test_resumable_checkpoint(spark, tmp_path):
+    from invoice_ocr_reconciler_spark import datagen
+    from invoice_ocr_reconciler_spark.extraction.udfs import extract_pages
+    from invoice_ocr_reconciler_spark.sources.pages import write_pages_bucketed
+    from invoice_ocr_reconciler_spark.streaming.resume import (
+        CheckpointManifest,
+        run_resumable,
+    )
+
+    pages_path = str(tmp_path / "pages")
+    out_path = str(tmp_path / "out")
+    write_pages_bucketed(datagen.pages_df(spark, 120), pages_path, n_buckets=4)
+    manifest = CheckpointManifest(str(tmp_path / "manifest"))
+
+    r1 = run_resumable(spark, pages_path, out_path, manifest, extract_pages, fail_after=2)
+    assert len(r1["processed"]) == 2
+    r2 = run_resumable(spark, pages_path, out_path, manifest, extract_pages)
+    assert len(r2["processed"]) == 2 and len(r2["skipped"]) == 2
+    metrics = manifest.all_metrics()
+    assert sum(m["rows"] for m in metrics) == 120
+    assert all(m["bytes"] > 0 and m["min_url"] <= m["max_url"] for m in metrics)
+    # resumed run is a no-op
+    r3 = run_resumable(spark, pages_path, out_path, manifest, extract_pages)
+    assert r3["processed"] == []
