@@ -230,6 +230,62 @@ def q_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_cosine_dedup(emb, threshold=0.35)
 
 
+def q_register_csv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3: CSV register ingest with alias coalescing; rows-only (input is a
+    deterministically generated CSV, not one of the oracle views)."""
+    import os
+    import tempfile
+
+    from invoice_ocr_reconciler_spark import datagen
+    from invoice_ocr_reconciler_spark.sources.registers import read_register_csv
+
+    path = os.path.join(tempfile.gettempdir(), "spark_graft_register.csv")
+    pdf = datagen.ledger_pdf(200, 5000).rename(
+        columns={"vendor_name": "Vendor", "expected_amount": "Amount", "due_date": "Due"}
+    )
+    pdf.to_csv(path, index=False)
+    return read_register_csv(spark, path).orderBy("record_id")
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing over binary payloads derived from documents;
+    rows-only (decode is the deterministic fake)."""
+    from invoice_ocr_reconciler_spark.operators.multimodal import image_features
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    media = docs.select(
+        F.concat(F.lit("doc-"), F.col("doc_id").cast("string")).alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.create_map(F.lit("src"), F.col("source")).alias("meta"),
+    )
+    return image_features(media, fake=True)
+
+
+def q_salted_host_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew handling (SURVEY §4.3-2): hot-host detection + deterministic
+    salting; returns per-(host, salt) counts; rows-only (xxhash64 salt)."""
+    from invoice_ocr_reconciler_spark import datagen
+    from invoice_ocr_reconciler_spark.sources.pages import (
+        detect_hot_hosts,
+        salt_hot_hosts,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pages = datagen.pages_from_documents(docs).select("url")
+    hot = detect_hot_hosts(pages)
+    salted = salt_hot_hosts(pages, hot)
+    return salted.groupBy("host", "salt").count().orderBy("host", "salt")
+
+
+def q_paged_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 (backend/server.js:368): COUNT(*) under the page query's WHERE."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return orders.filter(F.col("o_orderstatus").isin("O", "P")).agg(
+        F.count("*").alias("total")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from invoice_ocr_reconciler_spark.plans import relational as R
 
@@ -270,6 +326,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_brute_force": q_ann_brute_force,
         "ann_lsh": q_ann_lsh,
         "embedding_dedup": q_embedding_dedup,
+        # sources / scale mechanics / misc
+        "register_csv_scan": q_register_csv_scan,
+        "multimodal_features": q_multimodal_features,
+        "salted_host_partitions": q_salted_host_partitions,
+        "paged_count": q_paged_count,
     }
 
 
@@ -458,6 +519,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "fingerprint": f"SELECT doc_id, {_FP_SQL} AS fingerprint FROM documents",
+        "paged_count": "SELECT count(*) AS total FROM orders WHERE o_orderstatus IN ('O', 'P')",
         "ann_brute_force": """
             WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
                        FROM embeddings WHERE vec_id < 10),

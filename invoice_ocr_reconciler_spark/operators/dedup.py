@@ -17,6 +17,7 @@ than joined, the standard web-dedup guard.
 from __future__ import annotations
 
 import hashlib
+import zlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -30,7 +31,6 @@ from invoice_ocr_reconciler_spark.functions.text import fingerprint_col
 N_HASHES = 64
 N_BANDS = 16  # r = 4 rows/band -> s-curve threshold ~ (1/16)^(1/4) ≈ 0.5
 HOT_BUCKET_CAP = 64
-_MERSENNE = (1 << 61) - 1
 
 
 def exact_duplicates(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -49,40 +49,58 @@ def exact_duplicates(docs: DataFrame, text_col: str = "text", id_col: str = "doc
     )
 
 
-def _hash_params(seed: str, n: int) -> tuple[np.ndarray, np.ndarray]:
-    """Deterministic (a, b) coefficient vectors derived from md5, not RNG."""
-    a = np.array(
-        [int.from_bytes(hashlib.md5(f"{seed}:a:{i}".encode()).digest()[:8], "big") % _MERSENNE or 1
-         for i in range(n)], dtype=np.uint64)
-    b = np.array(
-        [int.from_bytes(hashlib.md5(f"{seed}:b:{i}".encode()).digest()[:8], "big") % _MERSENNE
-         for i in range(n)], dtype=np.uint64)
-    return a, b
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer: deterministic 64-bit avalanche."""
+    x = x + np.uint64(0x9E3779B97F4A7C15)
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return x ^ (x >> np.uint64(31))
 
 
-_MH_A, _MH_B = _hash_params("minhash-v1", N_HASHES)
+# 64 deterministic seeds (md5-derived constants, no RNG object)
+_MH_SEEDS = np.array(
+    [
+        int.from_bytes(hashlib.md5(f"minhash-v2:{i}".encode()).digest()[:8], "big")
+        for i in range(N_HASHES)
+    ],
+    dtype=np.uint64,
+)
+
+_GRAM_MULT = np.array([0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9],
+                      dtype=np.uint64)
 
 
 def _shingle_hashes(text: str, k: int = 3) -> np.ndarray:
-    """Word k-gram shingles -> stable 64-bit hashes."""
+    """Word k-gram shingles -> stable 64-bit hashes (vectorized).
+
+    Tokens hash via crc32 (C speed) then splitmix64 for 64-bit spread; a
+    k-gram hash is the XOR of position-scaled token hashes — the whole
+    gram array is produced with numpy slicing, no per-gram Python loop.
+    """
     toks = text.lower().split()
-    if len(toks) < k:
-        grams = [" ".join(toks)] if toks else [""]
-    else:
-        grams = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
-    return np.unique(
-        np.array(
-            [int.from_bytes(hashlib.md5(g.encode()).digest()[:8], "big") for g in grams],
-            dtype=np.uint64,
-        )
+    if not toks:
+        return np.array([np.uint64(0)], dtype=np.uint64)
+    th = _splitmix64(
+        np.array([zlib.crc32(t.encode("utf-8")) for t in toks], dtype=np.uint64)
     )
+    if len(th) < k:
+        g = np.uint64(0)
+        for i in range(len(th)):
+            g = g ^ (th[i] * _GRAM_MULT[i % k])
+        return np.array([g], dtype=np.uint64)
+    n_grams = len(th) - k + 1
+    g = th[0:n_grams] * _GRAM_MULT[0]
+    for i in range(1, k):
+        g = g ^ (th[i : n_grams + i] * _GRAM_MULT[i % 3])
+    return np.unique(g)
 
 
 def _minhash_signature(text: str) -> list[int]:
     h = _shingle_hashes(text)
-    # (a*x + b) mod p, min over shingles, per hash function — fully vectorized
-    vals = (np.multiply.outer(_MH_A, h, dtype=np.uint64) + _MH_B[:, None]) % _MERSENNE
-    return [int(v) for v in vals.min(axis=1)]
+    # min over shingles of splitmix64(gram ^ seed_i), per hash function —
+    # one vectorized (64 x n_grams) pass
+    vals = _splitmix64(np.bitwise_xor.outer(_MH_SEEDS, h))
+    return [int(v) for v in vals.min(axis=1).astype(np.int64)]
 
 
 MINHASH_SCHEMA = T.StructType(
@@ -176,11 +194,10 @@ def _simhash(text: str) -> int:
     toks = (text or "").lower().split()
     if not toks:
         return 0
-    hashes = np.array(
-        [int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "big") for t in toks],
-        dtype=np.uint64,
+    hashes = _splitmix64(
+        np.array([zlib.crc32(t.encode("utf-8")) for t in toks], dtype=np.uint64)
     )
-    bits = ((hashes[:, None] >> np.arange(_SH_BITS, dtype=np.uint64)) & 1).astype(np.int64)
+    bits = ((hashes[:, None] >> np.arange(_SH_BITS, dtype=np.uint64)) & np.uint64(1)).astype(np.int64)
     vote = bits.sum(axis=0) * 2 - len(toks)  # +1 for set bits, -1 for unset
     out = 0
     for i in range(_SH_BITS):

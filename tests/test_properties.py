@@ -1,0 +1,97 @@
+"""Property tests (SURVEY.md §5.2-4) over the pure-Python kernels — fast,
+no Spark session needed (the Spark column expressions mirror these and are
+pinned by the oracle + idempotence tests)."""
+
+import math
+import re
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from invoice_ocr_reconciler_spark.functions.parse_fields import (
+    parse_amount,
+    parse_invoice_text,
+)
+from invoice_ocr_reconciler_spark.operators.dedup import (
+    _minhash_signature,
+    _shingle_hashes,
+    _simhash,
+)
+
+# Python mirror of normalize_vendor_col (functions/normalize.py) used for the
+# idempotence property; cross-checked against Spark in test_reconcile.py
+_SUF = r"\b(ltd|limited|inc|incorporated|llc|corp|corporation|co|company|pvt|private)\b\.?"
+
+
+def _norm(name: str) -> str:
+    c = (name or "").lower()
+    c = re.sub(_SUF, "", c)
+    c = re.sub(r"[^a-z0-9\s]", "", c)
+    c = re.sub(r"\s+", " ", c)
+    return c.strip()
+
+
+@given(st.text(max_size=80))
+@settings(max_examples=300, deadline=None)
+def test_normalize_idempotent(s):
+    assert _norm(_norm(s)) == _norm(s)
+
+
+@given(st.text(max_size=60))
+@settings(max_examples=300, deadline=None)
+def test_parse_amount_total(s):
+    """parse_amount never raises and returns a finite float or None."""
+    v = parse_amount(s)
+    assert v is None or (isinstance(v, float) and math.isfinite(v))
+
+
+@given(st.text(max_size=200))
+@settings(max_examples=200, deadline=None)
+def test_parse_invoice_total_function(s):
+    """The parser is total: any text yields a complete struct with the
+    falsy-coalesce invariants (ref backend/invoiceParser.js:116-127)."""
+    out = parse_invoice_text(s, url="https://x/y")
+    assert out["invoice_number"]  # never empty (fallback)
+    assert out["vendor_name"]
+    assert out["subtotal"] is not None and out["tax"] is not None
+    assert out["total_amount"] is not None
+    assert out["confidence"] in (0, 25, 50, 75, 100)
+    assert out["currency"] == out["currency"].upper()
+
+
+@given(st.floats(min_value=0, max_value=1e9, allow_nan=False),
+       st.floats(min_value=0, max_value=1e9, allow_nan=False))
+@settings(max_examples=300, deadline=None)
+def test_amount_tolerance_symmetric(a, b):
+    """abs/max tolerance predicate is symmetric (ref :25-35)."""
+    def match(x, y):
+        bigger = max(x, y)
+        return True if bigger == 0 else abs(x - y) / bigger <= 0.01
+
+    assert match(a, b) == match(b, a)
+
+
+@given(st.text(max_size=300))
+@settings(max_examples=100, deadline=None)
+def test_minhash_deterministic_and_matches_self(s):
+    sig1 = _minhash_signature(s)
+    sig2 = _minhash_signature(s)
+    assert sig1 == sig2 and len(sig1) == 64
+
+
+@given(st.text(max_size=300))
+@settings(max_examples=100, deadline=None)
+def test_simhash_deterministic_int64(s):
+    h = _simhash(s)
+    assert h == _simhash(s)
+    assert -(1 << 63) <= h < (1 << 63)
+
+
+@given(st.lists(st.sampled_from("abc defg hi jklm nop".split()), max_size=30))
+@settings(max_examples=200, deadline=None)
+def test_shingles_permutation_sensitivity(tokens):
+    """Shingle sets are a pure function of the token sequence."""
+    text = " ".join(tokens)
+    a = _shingle_hashes(text)
+    b = _shingle_hashes(text)
+    assert (a == b).all()
