@@ -21,13 +21,24 @@ from pyspark.sql import functions as F
 SF0001 = "/root/testdata/sf0.001"
 
 
+_LEDGER_CACHE: dict[str, object] = {}
+
+
 def _pages_and_ledger(spark: SparkSession, sf_dir: str):
     from invoice_ocr_reconciler_spark import datagen
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    n_docs = docs.count()
+    # row count from parquet footers driver-side — avoids a Spark job just to
+    # size the ledger dimension
+    import duckdb
+
+    n_docs = duckdb.sql(
+        f"SELECT count(*) FROM '{sf_dir}/documents.parquet'"
+    ).fetchone()[0]
     pages = datagen.pages_from_documents(docs)
-    ledger = datagen.ledger_df(spark, max(30, n_docs // 8), n_docs)
+    if sf_dir not in _LEDGER_CACHE:
+        _LEDGER_CACHE[sf_dir] = datagen.ledger_pdf(max(30, n_docs // 8), n_docs)
+    ledger = spark.createDataFrame(_LEDGER_CACHE[sf_dir], schema=datagen.LEDGER_SCHEMA)
     return pages, ledger
 
 

@@ -149,12 +149,13 @@ def minhash_lsh_pairs(
             )
         ).alias("band", "bucket"),
     )
-    # cap degenerate buckets to keep the self-join linear-ish
-    bucket_sizes = bands.groupBy("band", "bucket").count()
-    bands = bands.join(
-        bucket_sizes.filter(F.col("count") <= HOT_BUCKET_CAP).select("band", "bucket"),
-        ["band", "bucket"],
-    )
+    # cap degenerate buckets to keep the self-join linear-ish; a window count
+    # over (band, bucket) shares its exchange with the join below (one
+    # shuffle), unlike a groupBy+join-back (two)
+    bucket_size = F.count("*").over(Window.partitionBy("band", "bucket"))
+    bands = bands.withColumn("bucket_size", bucket_size).filter(
+        F.col("bucket_size") <= HOT_BUCKET_CAP
+    ).drop("bucket_size")
     left = bands.select(
         F.col("band"), F.col("bucket"),
         F.col("doc_id").alias("doc_a"), F.col("signature").alias("sig_a"),

@@ -163,3 +163,35 @@ def test_resumable_checkpoint(spark, tmp_path):
     # resumed run is a no-op
     r3 = run_resumable(spark, pages_path, out_path, manifest, extract_pages)
     assert r3["processed"] == []
+
+
+def test_streaming_ingest_available_now(spark, tmp_path):
+    """Structured Streaming drain: same extraction, Spark-managed checkpoint;
+    new files after a restart are processed exactly once."""
+    import pandas as pd
+
+    from invoice_ocr_reconciler_spark import datagen
+    from invoice_ocr_reconciler_spark.streaming.ingest import start_extract_stream
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drop(start, n, name):
+        pdf = datagen.pages_pdf(n, start=start)
+        spark.createDataFrame(pdf, schema=datagen.PAGES_SCHEMA).coalesce(1) \
+            .write.mode("overwrite").parquet(str(landing / name))
+
+    drop(0, 40, "batch1")
+    q = start_extract_stream(spark, str(landing) + "/*", out, ckpt)
+    q.awaitTermination()
+    n1 = spark.read.parquet(out).count()
+    assert n1 == 40
+
+    drop(40, 25, "batch2")
+    q2 = start_extract_stream(spark, str(landing) + "/*", out, ckpt)
+    q2.awaitTermination()
+    got = spark.read.parquet(out)
+    assert got.count() == 65  # exactly-once: batch1 not reprocessed
+    assert got.select("url").distinct().count() == 65
