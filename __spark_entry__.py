@@ -325,6 +325,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json": R.events_json,
         "dates_scalars": R.dates_scalars,
         "explode_lineitems": R.explode_lineitems,
+        "skew_salted_agg": R.skew_salted_agg,
+        "rollup_counts": R.rollup_counts,
+        "pivot_status_by_month": R.pivot_status_by_month,
         # training-data ops
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
@@ -480,6 +483,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_orderkey, CAST(l_linenumber AS INT) AS line,
                    l_quantity AS qty, round(l_extendedprice, 2) AS price
             FROM lineitem
+        """,
+        "skew_salted_agg": """
+            SELECT l_suppkey, sum(l_quantity) AS sum_qty, count(*) AS n_items
+            FROM lineitem GROUP BY l_suppkey
+        """,
+        "rollup_counts": """
+            SELECT o_orderstatus, o_orderpriority, count(*) AS n
+            FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        """,
+        "pivot_status_by_month": """
+            SELECT strftime(o_orderdate, '%Y-%m') AS month,
+                   CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS "O",
+                   CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS "F",
+                   CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS "P"
+            FROM orders GROUP BY 1
         """,
         "dedup_exact": f"""
             SELECT doc_id, {_FP_SQL} AS fingerprint,

@@ -213,7 +213,8 @@ def _greedy_assign(pdf: pd.DataFrame) -> pd.DataFrame:
                     f"({best['percent_diff']}% difference)"
                 )
             if best["vendor_score"] >= MATCH_VENDOR_SCORE:
-                v_conf = round((1 - best["vendor_score"]) * 100)
+                # JS Math.round = floor(x+0.5); Python round() is banker's
+                v_conf = int((1 - best["vendor_score"]) * 100 + 0.5)
                 reasons.append(f"Vendor name fuzzy match confidence: {v_conf}%")
             # alternative suggestions: other candidates in fuzzy-score order
             alts = sorted(

@@ -234,6 +234,41 @@ def dates_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit skew-salted two-phase aggregation (SURVEY.md §4.3-2).
+
+    Phase 1 aggregates on (key, salt) — hot keys spread over 16 reducers —
+    phase 2 merges partials. Exact for algebraic aggregates, so the DuckDB
+    oracle is the plain GROUP BY."""
+    li = load(spark, sf_dir, "lineitem")
+    salted = li.withColumn("salt", F.pmod(F.xxhash64("l_orderkey"), F.lit(16)))
+    partial = salted.groupBy("l_suppkey", "salt").agg(
+        F.sum("l_quantity").alias("q"), F.count("*").alias("n")
+    )
+    return partial.groupBy("l_suppkey").agg(
+        F.sum("q").alias("sum_qty"), F.sum("n").alias("n_items")
+    )
+
+
+def rollup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping-sets breadth beyond the reference: ROLLUP(status, priority)."""
+    orders = load(spark, sf_dir, "orders")
+    return orders.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n")
+    )
+
+
+def pivot_status_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot breadth: per-month counts by order status (fixed value list)."""
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("month"))
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .count()
+        .na.fill(0, ["O", "F", "P"])
+    )
+
+
 def explode_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.8 array band: per-order array build then explode (the line_items
     ArrayType(Struct) pattern, backend/server.js:318-324)."""
