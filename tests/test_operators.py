@@ -195,3 +195,24 @@ def test_streaming_ingest_available_now(spark, tmp_path):
     got = spark.read.parquet(out)
     assert got.count() == 65  # exactly-once: batch1 not reprocessed
     assert got.select("url").distinct().count() == 65
+
+
+def test_report_csv_sink(spark, tmp_path):
+    """S6 (backend/server.js:577-602): LEFT JOIN report projection -> CSV."""
+    import glob
+
+    from invoice_ocr_reconciler_spark import datagen
+    from invoice_ocr_reconciler_spark.pipeline import run_pipeline
+    from invoice_ocr_reconciler_spark.sources.reports import write_report_csv
+
+    out = run_pipeline(datagen.pages_df(spark, 60), datagen.ledger_df(spark, 12, 60))
+    path = str(tmp_path / "report")
+    write_report_csv(out["results"], out["invoices"], path)
+    files = glob.glob(path + "/part-*.csv")
+    assert len(files) == 1
+    back = spark.read.option("header", True).csv(path)
+    assert back.count() == 60
+    assert back.columns == [
+        "invoice_number", "vendor_name", "total_amount", "match_status",
+        "discrepancy", "flag_reason", "confidence_score", "invoice_url",
+    ]
