@@ -38,8 +38,11 @@ PATTERNS = {
         re.compile(r"#\s*([A-Z0-9\-]{4,20})", re.I),
     ],
     "vendor_name": [  # backend/invoiceParser.js:14-17
+        # hardening deviation: the reference's unbounded lazy capture ("+?")
+        # scans to end-of-text on adversarial pages (O(n) per label hit);
+        # vendor names are short, so the capture is bounded at 200 chars
         re.compile(
-            r"(?:from|bill\s*from|billed\s*by|company)[:\s]+([A-Za-z0-9\s&.,'-]+?)(?:\n|ltd|inc|llc|corp)",
+            r"(?:from|bill\s*from|billed\s*by|company)[:\s]+([A-Za-z0-9\s&.,'-]{1,200}?)(?:\n|ltd|inc|llc|corp)",
             re.I,
         ),
         re.compile(
@@ -52,9 +55,14 @@ PATTERNS = {
             r"(?:invoice\s*date|date\s*of\s*issue|issued?)[:\s]*(\d{1,2}[\/\-\.]\d{1,2}[\/\-\.]\d{2,4})",
             re.I,
         ),
-        re.compile(r"(?:invoice\s*date|date)[:\s]*([A-Za-z]+\s+\d{1,2},?\s+\d{4})", re.I),
+        re.compile(
+            r"(?:invoice\s*date|date)[:\s]*([A-Za-z]{1,20}\s+\d{1,2},?\s+\d{4})", re.I
+        ),
         re.compile(r"(\d{1,2}[\/\-\.]\d{1,2}[\/\-\.]\d{4})"),
-        re.compile(r"([A-Za-z]+ \d{1,2},? \d{4})"),
+        # hardening deviation: the reference's bare '[A-Za-z]+ \d...' is
+        # quadratic on long letter runs (1 MB single-line page -> hang);
+        # month names are <= 20 letters, so the run is bounded
+        re.compile(r"([A-Za-z]{1,20} \d{1,2},? \d{4})"),
     ],
     "due_date": [  # backend/invoiceParser.js:26-29
         re.compile(
@@ -62,7 +70,7 @@ PATTERNS = {
             re.I,
         ),
         re.compile(
-            r"(?:due\s*date|payment\s*due|pay\s*by)[:\s]*([A-Za-z]+\s+\d{1,2},?\s+\d{4})",
+            r"(?:due\s*date|payment\s*due|pay\s*by)[:\s]*([A-Za-z]{1,20}\s+\d{1,2},?\s+\d{4})",
             re.I,
         ),
     ],
@@ -152,9 +160,14 @@ def _fallback_invoice_number(url: str) -> str:
     return "INV-" + hashlib.md5(url.encode("utf-8")).hexdigest()[:12].upper()
 
 
+# invoice fields appear in the head of a document; capping the regex input
+# bounds worst-case scan cost per doc (executor-protection at 10^12 docs)
+PARSE_MAX_CHARS = 500_000
+
+
 def parse_invoice_text(raw_text: str | None, url: str = "") -> dict:
     """One document -> structured fields (reference: backend/invoiceParser.js:88-128)."""
-    text = raw_text or ""
+    text = (raw_text or "")[:PARSE_MAX_CHARS]
 
     invoice_number = extract_field(text, PATTERNS["invoice_number"])
     vendor_name = extract_field(text, PATTERNS["vendor_name"])

@@ -72,3 +72,29 @@ def test_pdf_text_show_ops_in_order():
 def test_purity_repeated_calls_identical():
     html = _page("<div><p>Determinism check content block, repeated.</p></div>").encode()
     assert extract_payload(html) == extract_payload(html)
+
+
+def test_adversarial_inputs_bounded_time():
+    """Web-scale executor protection: pathological pages must parse in
+    bounded time (the reference's unbounded quantifiers hang on these)."""
+    import time
+
+    from invoice_ocr_reconciler_spark.functions.parse_fields import parse_invoice_text
+
+    bombs = [
+        b"<html><body><p>" + b"A" * 1_000_000 + b"</p></body></html>",
+        b"<html><body><p>" + b"a " * 200_000 + b"</p></body></html>",
+        b"<html><body><p>From: " + b"b,&.'- " * 50_000 + b"</p></body></html>",
+        b"<html><body><p>" + b"# " * 100_000 + b"</p></body></html>",
+        b"<html><body><p>" + b"Z" * 400_000 + b" 12, 2024</p></body></html>",
+    ]
+    for payload in bombs:
+        t0 = time.monotonic()
+        parse_invoice_text(extract_payload(payload), "https://x/y")
+        assert time.monotonic() - t0 < 5.0
+
+
+def test_bounded_monthname_date_still_matches():
+    from invoice_ocr_reconciler_spark.functions.parse_fields import parse_invoice_text
+
+    assert parse_invoice_text("shipped September 10, 2024")["invoice_date"] == "September 10, 2024"
