@@ -13,7 +13,12 @@ after sorting columns by name); money aggregates are rounded on both sides.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
+
+# make the package importable regardless of the caller's cwd
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -82,7 +87,7 @@ def q_extract_identity_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from invoice_ocr_reconciler_spark.extraction.udfs import extract_pages
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
-        F.col("doc_id") % 10 == 6
+        (F.col("doc_id") % 10 == 6) | (F.col("doc_id") % 10 == 8)
     )
     ex = extract_pages(datagen.pages_from_documents(docs))
     return ex.select(
@@ -366,7 +371,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "extract_identity_docs": """
             SELECT doc_id, text AS extracted_text
-            FROM documents WHERE doc_id % 10 = 6
+            FROM documents WHERE doc_id % 10 IN (6, 8)
         """,
         "stats_overview": """
             SELECT count(*) AS n_orders,

@@ -60,8 +60,10 @@ _TAG_RE = re.compile(r"<[^>]+>")
 _CTRL_WS_RE = re.compile(r"[\t\r\f\v]")
 _WIDE_GAP_RE = re.compile(r" {3,}")
 
-# PDF text-show operators over the synthetic layout payloads
+# PDF text-show operators: '(s) Tj' and '[(s1) kern (s2)] TJ' arrays
 _PDF_TJ_RE = re.compile(rb"\(((?:[^()\\]|\\.)*)\)\s*Tj")
+_PDF_TJ_ARRAY_RE = re.compile(rb"\[((?:[^\[\]\\]|\\.)*)\]\s*TJ")
+_PDF_STR_RE = re.compile(rb"\(((?:[^()\\]|\\.)*)\)")
 
 
 def _visible_text(fragment: str) -> str:
@@ -126,9 +128,19 @@ def _pdf_unescape(raw: bytes) -> str:
 
 
 def extract_pdf_text(payload: bytes) -> str:
-    """Text of a PDF-like payload: '(...) Tj' show-ops in stream order."""
-    lines = [_pdf_unescape(m.group(1)) for m in _PDF_TJ_RE.finditer(payload)]
-    return "\n".join(lines)
+    """Text of a PDF-like payload in stream order.
+
+    Handles both show-op forms: '(s) Tj' single strings and
+    '[(s1) -250 (s2)] TJ' kerned arrays (array elements join into one line).
+    """
+    pieces: list[tuple[int, str]] = []
+    for m in _PDF_TJ_RE.finditer(payload):
+        pieces.append((m.start(), _pdf_unescape(m.group(1))))
+    for m in _PDF_TJ_ARRAY_RE.finditer(payload):
+        parts = [_pdf_unescape(s.group(1)) for s in _PDF_STR_RE.finditer(m.group(1))]
+        pieces.append((m.start(), "".join(parts)))
+    pieces.sort(key=lambda t: t[0])
+    return "\n".join(text for _pos, text in pieces)
 
 
 def extract_payload(payload: bytes | None) -> str:

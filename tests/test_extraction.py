@@ -98,3 +98,8 @@ def test_bounded_monthname_date_still_matches():
     from invoice_ocr_reconciler_spark.functions.parse_fields import parse_invoice_text
 
     assert parse_invoice_text("shipped September 10, 2024")["invoice_date"] == "September 10, 2024"
+
+
+def test_pdf_tj_array_ops():
+    pdf = b"%PDF-1.4\nstream\nBT\n(Line one) Tj\n[(Kerned ) -250 (pieces)] TJ\n(Line three) Tj\nET"
+    assert extract_pdf_text(pdf) == "Line one\nKerned pieces\nLine three"
