@@ -41,6 +41,8 @@ skew on the invoice side is handled upstream by salted repartitioning
 
 from __future__ import annotations
 
+import math
+
 import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -82,15 +84,21 @@ RESULT_SCHEMA = T.StructType(
 )
 
 
-def _vendor_score_cols(inv_norm, rec_norm):
-    """vendor_score = 1 - max(levenshtein_ratio, token_set_dice); 0 = identical."""
-    lev = F.levenshtein(inv_norm, rec_norm)
-    max_len = F.greatest(F.length(inv_norm), F.length(rec_norm), F.lit(1))
-    lev_ratio = F.lit(1.0) - lev / max_len
-    toks_a = F.array_distinct(F.split(inv_norm, " "))
-    toks_b = F.array_distinct(F.split(rec_norm, " "))
-    inter = F.size(F.array_intersect(toks_a, toks_b))
-    denom = F.size(toks_a) + F.size(toks_b)
+def _vendor_score_col(inv_norm, rec_norm, inv_toks, rec_toks, inv_len, rec_len):
+    """vendor_score = 1 - max(levenshtein_ratio, token_set_dice); 0 = identical.
+
+    Hot-path discipline: token arrays/lengths are precomputed per SIDE before
+    the join (not per pair), and Levenshtein — the expensive O(n*m) term — is
+    gated behind a free length-difference prefilter: |la-lb| > 0.4*max means
+    lev >= |la-lb| so lev_ratio < 0.6 can never clear the 0.4 threshold.
+    """
+    max_len = F.greatest(inv_len, rec_len, F.lit(1))
+    lev_possible = F.abs(inv_len - rec_len) <= 0.4 * max_len
+    lev_ratio = F.when(
+        lev_possible, F.lit(1.0) - F.levenshtein(inv_norm, rec_norm) / max_len
+    ).otherwise(F.lit(0.0))
+    inter = F.size(F.array_intersect(inv_toks, rec_toks))
+    denom = F.size(inv_toks) + F.size(rec_toks)
     dice = F.when(denom > 0, 2.0 * inter / denom).otherwise(F.lit(0.0))
     return F.lit(1.0) - F.greatest(lev_ratio, dice)
 
@@ -122,6 +130,8 @@ def candidate_pairs(
             F.col("invoice_number").alias("inv_invoice_number"),
             F.col("vendor_name").alias("inv_vendor_name"),
             "inv_norm",
+            F.array_distinct(F.split("inv_norm", " ")).alias("inv_toks"),
+            F.length("inv_norm").alias("inv_len"),
             "block_key",
             "inv_amount",
         )
@@ -130,14 +140,30 @@ def candidate_pairs(
         ledger.withColumn("rec_norm", normalize_vendor_col(F.col("vendor_name")))
         .withColumn("block_key", vendor_block_key(F.col("rec_norm")))
         .withColumn("rec_amount", normalize_amount_col(F.col("expected_amount")))
-        .select("record_id", "rec_norm", "block_key", "rec_amount")
+        .select(
+            "record_id",
+            "rec_norm",
+            F.array_distinct(F.split("rec_norm", " ")).alias("rec_toks"),
+            F.length("rec_norm").alias("rec_len"),
+            "block_key",
+            "rec_amount",
+        )
     )
     if broadcast_ledger:
         led = F.broadcast(led)
 
     pairs = inv.join(led, "block_key")
-    pairs = pairs.withColumn("vendor_score", _vendor_score_cols(F.col("inv_norm"), F.col("rec_norm")))
-    pairs = pairs.filter(F.col("vendor_score") <= VENDOR_THRESHOLD)
+    pairs = pairs.withColumn(
+        "vendor_score",
+        _vendor_score_col(
+            F.col("inv_norm"), F.col("rec_norm"),
+            F.col("inv_toks"), F.col("rec_toks"),
+            F.col("inv_len"), F.col("rec_len"),
+        ),
+    )
+    pairs = pairs.filter(F.col("vendor_score") <= VENDOR_THRESHOLD).drop(
+        "inv_toks", "rec_toks", "inv_len", "rec_len"
+    )
 
     # amount tolerance (ref :25-35); percent_diff is the JS Math.round int
     diff = F.abs(F.col("inv_amount") - F.col("rec_amount"))
@@ -156,12 +182,10 @@ def candidate_pairs(
     ).withColumn(
         "confidence", F.round((1 - F.col("combined_score")) * 100).cast("int")
     )
-
-    # top-10 fuzzy candidates per invoice, Fuse-order = ascending vendor score
-    w = Window.partitionBy("url").orderBy("vendor_score", "record_id")
-    return pairs.withColumn("cand_rank", F.row_number().over(w)).filter(
-        F.col("cand_rank") <= TOP_K_CANDIDATES
-    )
+    # NOTE: the reference's top-10 candidate cap (ref :113) is applied inside
+    # the greedy kernel (per-url head after the block exchange) — same
+    # semantics, one fewer full shuffle (no per-url window pass here)
+    return pairs
 
 
 def _greedy_assign(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -175,6 +199,13 @@ def _greedy_assign(pdf: pd.DataFrame) -> pd.DataFrame:
     the remaining invoices short-circuit to the vectorized 'all used' path
     (per-block cost O(head pairs) + O(tail rows)).
     """
+    # top-10 fuzzy candidates per invoice, Fuse-order = ascending vendor
+    # score (ref :113) — applied here instead of a dedicated window shuffle
+    pdf = (
+        pdf.sort_values(["url", "vendor_score", "record_id"], kind="mergesort")
+        .groupby("url", sort=False)
+        .head(TOP_K_CANDIDATES)
+    )
     pdf = pdf.sort_values(
         ["url", "combined_score", "vendor_score", "record_id"], kind="mergesort"
     )
@@ -345,12 +376,34 @@ def reconcile(
     results = assigned.unionByName(missing_results).unionByName(dup_results)
 
     # amount-only suggestions for vendor-miss invoices (ref :91-94) against
-    # records unused after assignment; theta join, ledger side broadcast
+    # records unused after assignment. NOT a nested-loop theta join — both
+    # sides grow with the corpus, so BNLJ goes quadratic. Amounts are banded
+    # on a log_{1.01} grid: any pair within the 1% tolerance lands within
+    # +-2 bands, so exploding the (small) unused side over its neighbor
+    # bands turns this into a hash equi-join + exact residual filter.
     if with_amount_suggestions:
         used_ids = assigned.filter(F.col("record_id").isNotNull()).select("record_id")
-        unused = ledger.join(used_ids, "record_id", "left_anti").select(
-            F.col("record_id").alias("s_record_id"),
-            normalize_amount_col(F.col("expected_amount")).alias("s_amount"),
+        band_width = math.log(1.01)
+        unused = (
+            ledger.join(used_ids, "record_id", "left_anti")
+            .select(
+                F.col("record_id").alias("s_record_id"),
+                normalize_amount_col(F.col("expected_amount")).alias("s_amount"),
+            )
+            .withColumn(
+                "amount_band",
+                F.explode(
+                    F.array(
+                        *[
+                            (F.floor(F.log1p("s_amount") / band_width) + d).cast("long")
+                            for d in (-2, -1, 0, 1, 2)
+                        ]
+                    )
+                ),
+            )
+        )
+        no_cand_banded = no_cand.withColumn(
+            "amount_band", F.floor(F.log1p("inv_amount") / band_width).cast("long")
         )
         diff = F.abs(F.col("inv_amount") - F.col("s_amount"))
         bigger = F.greatest(F.col("inv_amount"), F.col("s_amount"))
@@ -358,7 +411,9 @@ def reconcile(
             diff / bigger <= AMOUNT_TOLERANCE
         )
         sug = (
-            no_cand.join(F.broadcast(unused), amount_ok, "inner")
+            no_cand_banded.join(F.broadcast(unused), "amount_band")
+            .filter(amount_ok)
+            .dropDuplicates(["invoice_url", "s_record_id"])
             .withColumn(
                 "s_rank",
                 F.row_number().over(

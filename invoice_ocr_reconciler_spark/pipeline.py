@@ -7,15 +7,47 @@ E1 ingest/extract (backend/server.js:285-344), E2 reconcile
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
+import pandas as pd
 from pyspark.sql import DataFrame
 
 from invoice_ocr_reconciler_spark.extraction.udfs import extract_pages
-from invoice_ocr_reconciler_spark.functions.parse_fields import parse_invoice_fields
+from invoice_ocr_reconciler_spark.functions.parse_fields import (
+    FIELDS_SCHEMA,
+    parse_invoice_fields,
+)
 from invoice_ocr_reconciler_spark.operators.reconcile import reconcile
 
 
-def extract_and_parse(pages: DataFrame) -> DataFrame:
-    """pages -> structured invoice rows (E1). One Arrow round-trip per stage."""
+def _extract_parse_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    # one Python crossing for both stages: the two-stage path ships the full
+    # extracted text JVM->Python->JVM->Python; fused, the text never leaves
+    # the worker between extraction and field parsing. Same pure functions,
+    # byte-identical output (pinned by tests).
+    from invoice_ocr_reconciler_spark.extraction.html_extract import extract_payload
+    from invoice_ocr_reconciler_spark.functions.parse_fields import parse_invoice_text
+
+    cols = [f.name for f in FIELDS_SCHEMA.fields]
+    for pdf in batches:
+        rows = []
+        for url, payload in zip(pdf["url"], pdf["html"]):
+            text = extract_payload(payload)
+            rows.append({"url": url, "extracted_text": text, **parse_invoice_text(text, url)})
+        yield pd.DataFrame(rows, columns=cols)
+
+
+def extract_and_parse(pages: DataFrame, fused: bool = True) -> DataFrame:
+    """pages -> structured invoice rows (E1).
+
+    ``fused=True`` (default) runs extraction + field parsing in a single
+    Arrow crossing; ``fused=False`` composes the standalone operators
+    (two crossings) — kept for operator-level testing and reuse.
+    """
+    if fused:
+        return pages.select("url", "html").mapInPandas(
+            _extract_parse_batches, schema=FIELDS_SCHEMA
+        )
     extracted = extract_pages(pages)
     return parse_invoice_fields(extracted)
 
