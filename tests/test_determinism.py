@@ -38,3 +38,25 @@ def test_identical_output_across_partitioning(spark):
     texts_b, results_b = _signature(out_b)
     assert texts_a == texts_b  # byte-identical per url
     assert results_a == results_b
+
+
+def test_fused_paths_byte_identical(spark):
+    """mapInArrow fused == mapInPandas fused == two-stage composition."""
+    from invoice_ocr_reconciler_spark.pipeline import (
+        _extract_parse_batches,
+        extract_and_parse,
+    )
+    from invoice_ocr_reconciler_spark.functions.parse_fields import FIELDS_SCHEMA
+
+    pages = datagen.pages_df(spark, 200)
+    arrow = sorted(map(str, extract_and_parse(pages, fused=True).collect()))
+    pandas_fused = sorted(
+        map(
+            str,
+            pages.select("url", "html")
+            .mapInPandas(_extract_parse_batches, schema=FIELDS_SCHEMA)
+            .collect(),
+        )
+    )
+    two_stage = sorted(map(str, extract_and_parse(pages, fused=False).collect()))
+    assert arrow == pandas_fused == two_stage
