@@ -297,7 +297,17 @@ def pages_from_documents(docs: DataFrame) -> DataFrame:
                     rows.append(make_page(i))
             yield pd.DataFrame(rows, columns=[f.name for f in PAGES_SCHEMA.fields])
 
-    return docs.select("doc_id", "text").mapInPandas(gen, schema=PAGES_SCHEMA)
+    # The driver's documents.parquet is a single small file -> ONE scan
+    # partition, which would serialize the whole (CPU-bound) extraction
+    # stage behind it. The projected columns are tiny (html is synthesized
+    # AFTER the exchange), so fanning out to the session's parallelism is a
+    # ~free shuffle that unlocks every core. Real page tables (many files,
+    # hash-bucketed) never hit this path.
+    slim = docs.select("doc_id", "text")
+    target = max(docs.sparkSession.sparkContext.defaultParallelism, 4)
+    if slim.rdd.getNumPartitions() < target:
+        slim = slim.repartition(target)
+    return slim.mapInPandas(gen, schema=PAGES_SCHEMA)
 
 
 # --- ledger dimension (analog of payment_records, backend/db.js:125-135) ---

@@ -306,6 +306,26 @@ def _greedy_assign(pdf: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame(out, columns=cols)
 
 
+def _greedy_assign_partition(batches):
+    """mapInPandas wrapper: greedy over every block in one partition.
+
+    Upstream ``repartition(block_key)`` co-locates each block; the pandas
+    groupby here replaces one applyInPandas invocation (and its Arrow
+    round-trip) per block with one per partition. Output is identical —
+    `_greedy_assign` sees exactly the same per-block frames.
+    """
+    cols = [f.name for f in RESULT_SCHEMA.fields]
+    frames = list(batches)
+    pdf = pd.concat(frames, ignore_index=True) if frames else pd.DataFrame(columns=cols)
+    if len(pdf):
+        yield pd.concat(
+            [_greedy_assign(g) for _k, g in pdf.groupby("block_key", sort=False)],
+            ignore_index=True,
+        )
+    else:
+        yield pd.DataFrame(columns=cols)
+
+
 def reconcile(
     invoices: DataFrame,
     ledger: DataFrame,
@@ -345,16 +365,22 @@ def reconcile(
     )
 
     cands = candidate_pairs(live, ledger, broadcast_ledger=broadcast_ledger)
-    # reused by: results union, used-record anti join, matched-record anti join
+    # reused by: results union, used-record anti join, matched-record anti join.
+    # One exchange on block_key, then ONE Python crossing per partition (the
+    # in-partition groupby replaces a per-block applyInPandas call — hundreds
+    # of tiny Arrow round-trips collapse into ~#partitions).
     assigned = (
-        cands.groupBy("block_key")
-        .applyInPandas(_greedy_assign, schema=RESULT_SCHEMA)
+        cands.repartition("block_key")
+        .mapInPandas(_greedy_assign_partition, schema=RESULT_SCHEMA)
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
 
-    # invoices with zero fuzzy candidates -> 'missing' (ref :89-104)
+    # invoices with zero fuzzy candidates -> 'missing' (ref :89-104).
+    # Anti join against the (persisted) greedy output — it emits exactly one
+    # row per url that had any candidate — instead of recomputing the scored
+    # candidate join a second time.
     no_cand = live.join(
-        cands.select("url").distinct(), "url", "left_anti"
+        assigned.select(F.col("invoice_url").alias("url")), "url", "left_anti"
     ).select(
         F.col("url").alias("invoice_url"),
         F.col("vendor_name"),
@@ -459,7 +485,10 @@ def reconcile(
         F.sum(F.when(F.col("match_status") == "missing", 1).otherwise(0)).alias("missing_invoices"),
         F.sum(F.when(F.col("match_status") == "duplicate", 1).otherwise(0)).alias("duplicate"),
     )
-    inv_agg = invoices.agg(
+    # sum over ALL invoices (duplicates included) from the persisted slim
+    # frame — using the raw `invoices` here would re-run the upstream
+    # extraction UDF just to add four doubles per row
+    inv_agg = inv_flagged.agg(
         F.round(F.sum(normalize_amount_col(F.col("total_amount"))), 2).alias(
             "total_amount_invoiced"
         )
