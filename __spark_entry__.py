@@ -169,6 +169,22 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_verify(cands.select("doc_a", "doc_b"), docs, threshold=0.3)
 
 
+def q_ngram_jaccard_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard kernel over a deterministic candidate set
+    (all pairs among doc_id < 80) — DuckDB-checked: the oracle rebuilds the
+    shingle sets as gram STRINGS, which matches the engine's 64-bit-hashed
+    sets exactly absent hash collisions. The LSH-fed pipeline composition of
+    the same kernel is dedup_ngram_jaccard (rows-only: minhash candidates)."""
+    from invoice_ocr_reconciler_spark.operators.dedup import ngram_jaccard_verify
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sub = docs.filter(F.col("doc_id") < 80)
+    a = sub.select(F.col("doc_id").alias("doc_a"))
+    b = sub.select(F.col("doc_id").alias("doc_b"))
+    cands = a.crossJoin(b).filter(F.col("doc_a") < F.col("doc_b"))
+    return ngram_jaccard_verify(cands, sub, threshold=0.0)
+
+
 def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     from invoice_ocr_reconciler_spark.functions.text import (
         bpe_ish_token_count_col,
@@ -237,35 +253,49 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs; rows-only."""
+    """Embedding-cosine near-dup pairs, exact pairwise mode (DuckDB-checked);
+    the LSH-bucketed scale path of the same operator is ann_lsh/rows-only."""
     from invoice_ocr_reconciler_spark.operators.similarity import embedding_cosine_dedup
 
     # this corpus has no true near-dups (max pairwise cosine ~0.47), so the
     # demo threshold is set low enough to exercise the pair path end-to-end
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return embedding_cosine_dedup(emb, threshold=0.35)
+    return embedding_cosine_dedup(emb, threshold=0.35, exact=True)
 
 
-def q_register_csv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S3: CSV register ingest with alias coalescing; rows-only (input is a
-    deterministically generated CSV, not one of the oracle views)."""
+_REGISTER_CSV_PATH = "/tmp/spark_graft_register.csv"
+
+
+def _ensure_register_csv() -> str:
+    """Deterministic CSV fixture with aliased headers (Vendor/Amount/Due);
+    written by both the Spark query and oracle_sql() so whichever side the
+    driver runs first finds it."""
     import os
-    import tempfile
 
     from invoice_ocr_reconciler_spark import datagen
-    from invoice_ocr_reconciler_spark.sources.registers import read_register_csv
 
-    path = os.path.join(tempfile.gettempdir(), "spark_graft_register.csv")
     pdf = datagen.ledger_pdf(200, 5000).rename(
         columns={"vendor_name": "Vendor", "expected_amount": "Amount", "due_date": "Due"}
     )
-    pdf.to_csv(path, index=False)
+    pdf.to_csv(_REGISTER_CSV_PATH, index=False)
+    return _REGISTER_CSV_PATH
+
+
+def q_register_csv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 (backend/server.js:136-159): CSV register ingest — alias coalesce,
+    [$,] strip + parseFloat, default status, deterministic content-hash ids.
+    DuckDB-checked via read_csv over the same fixture."""
+    from invoice_ocr_reconciler_spark.sources.registers import read_register_csv
+
+    path = _ensure_register_csv()
     return read_register_csv(spark, path).orderBy("record_id")
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plumbing over binary payloads derived from documents;
-    rows-only (decode is the deterministic fake)."""
+    """Multimodal plumbing over binary payloads derived from documents.
+    The deterministic fake decoder derives dims/phash from md5(payload), so
+    the distributed path IS DuckDB-checkable (the float feature vector stays
+    unit-tested instead — float32 repr doesn't round-trip across engines)."""
     from invoice_ocr_reconciler_spark.operators.multimodal import image_features
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -275,12 +305,16 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.encode("text", "utf-8").alias("payload"),
         F.create_map(F.lit("src"), F.col("source")).alias("meta"),
     )
-    return image_features(media, fake=True)
+    return image_features(media, fake=True).select(
+        "media_id", "width", "height", "n_bytes", "phash"
+    )
 
 
 def q_salted_host_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew handling (SURVEY §4.3-2): hot-host detection + deterministic
-    salting; returns per-(host, salt) counts; rows-only (xxhash64 salt)."""
+    salting. DuckDB-checked invariant per host: url count preserved, hot
+    hosts (>=1% share, top-8, count-desc/host-asc) get spread over salt
+    buckets (is_salted), cold hosts keep salt 0 exactly."""
     from invoice_ocr_reconciler_spark import datagen
     from invoice_ocr_reconciler_spark.sources.pages import (
         detect_hot_hosts,
@@ -291,7 +325,14 @@ def q_salted_host_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     pages = datagen.pages_from_documents(docs).select("url")
     hot = detect_hot_hosts(pages)
     salted = salt_hot_hosts(pages, hot)
-    return salted.groupBy("host", "salt").count().orderBy("host", "salt")
+    return (
+        salted.groupBy("host")
+        .agg(
+            F.count("*").alias("n_urls"),
+            (F.max("salt") > 0).alias("is_salted"),
+        )
+        .orderBy("host")
+    )
 
 
 def q_paged_count(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -338,6 +379,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "ngram_jaccard_exact": q_ngram_jaccard_exact,
         "token_count": q_token_count,
         "quality_score": q_quality_score,
         "lang_id": q_lang_id,
@@ -364,6 +406,9 @@ _HITS = {
 
 
 def oracle_sql() -> dict[str, str]:
+    # the register_csv_scan oracle reads a generated CSV fixture; write it
+    # here too so the oracle works regardless of which side runs first
+    _ensure_register_csv()
     hits = {
         k: f"CAST(len(regexp_extract_all(lower(coalesce(text,'')), '{v}')) AS INT)"
         for k, v in _HITS.items()
@@ -419,8 +464,10 @@ def oracle_sql() -> dict[str, str]:
             FROM orders ORDER BY o_orderdate DESC, o_orderkey LIMIT 20
         """,
         "anti_join_missing": """
-            SELECT p_partkey, p_name FROM part
-            WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+            SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                              WHERE l.l_orderkey = o.o_orderkey
+                                AND l.l_returnflag = 'R')
         """,
         "left_join_enrich": """
             SELECT o_orderkey, o_totalprice, c_name, c_mktsegment
@@ -567,5 +614,98 @@ def oracle_sql() -> dict[str, str]:
                                    ORDER BY cosine DESC, neighbor_id) AS INT) AS nb_rank
                        FROM s)
             SELECT query_id, neighbor_id, cosine, nb_rank FROM r WHERE nb_rank <= 5
+        """,
+        # gram-string reconstruction of operators/dedup.py:_shingle_hashes:
+        # tokens = lower().split(); <3 tokens collapse to one joined gram
+        # (mirrors the short-text branch); else distinct 3-gram strings
+        "ngram_jaccard_exact": r"""
+            WITH d AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(coalesce(text, '')), '\s+'),
+                                   t -> t <> '') AS toks
+                FROM documents WHERE doc_id < 80),
+            g AS (
+                SELECT doc_id,
+                       CASE WHEN len(toks) = 0 THEN ['']
+                            WHEN len(toks) < 3 THEN [array_to_string(toks, chr(1))]
+                            ELSE list_distinct(list_transform(range(1, len(toks) - 1),
+                                   i -> toks[i] || chr(1) || toks[i+1] || chr(1) || toks[i+2]))
+                       END AS grams
+                FROM d)
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                         / (len(a.grams) + len(b.grams)
+                            - len(list_intersect(a.grams, b.grams))), 4) AS jaccard
+            FROM g a JOIN g b ON a.doc_id < b.doc_id
+        """,
+        "embedding_dedup": """
+            WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings)
+            SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+                   round(list_cosine_similarity(a.vec, b.vec), 6) AS cosine
+            FROM v a JOIN v b ON a.vec_id < b.vec_id
+            WHERE round(list_cosine_similarity(a.vec, b.vec), 6) >= 0.35
+        """,
+        # the fake decoder derives everything from md5(payload) (operators/
+        # multimodal.py:_FakeDecoder) — reproduced here byte-for-byte: b0/b1
+        # of the digest -> dims, bytes 8..16 -> signed big-endian phash
+        "multimodal_features": """
+            WITH d AS (
+                SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS media_id,
+                       md5(coalesce(text, '')) AS dig,
+                       CAST(octet_length(encode(coalesce(text, ''))) AS INT) AS n_bytes
+                FROM documents)
+            SELECT media_id,
+                   CAST(64 + ('0x' || substr(dig, 1, 2))::INT % 192 AS INT) AS width,
+                   CAST(64 + ('0x' || substr(dig, 3, 2))::INT % 192 AS INT) AS height,
+                   n_bytes,
+                   CAST(CASE WHEN ('0x' || substr(dig, 17, 16))::UBIGINT
+                                  >= 9223372036854775808::HUGEINT
+                             THEN ('0x' || substr(dig, 17, 16))::UBIGINT::HUGEINT
+                                  - 18446744073709551616::HUGEINT
+                             ELSE ('0x' || substr(dig, 17, 16))::UBIGINT::HUGEINT
+                        END AS BIGINT) AS phash
+            FROM d
+        """,
+        # datagen's host_for(i) (md5-derived Zipf head) replayed in SQL; hot
+        # rule mirrors sources/pages.py:detect_hot_hosts (>=1% share, top 8,
+        # count-desc/host-asc). is_salted: hot hosts spread over salt buckets
+        # (max(salt)>0), cold hosts keep salt identically 0.
+        "salted_host_partitions": """
+            WITH h AS (
+                SELECT doc_id,
+                       ('0x' || substr(md5('host:' || CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT
+                           % 100 AS r,
+                       ('0x' || substr(md5('coldhost:' || CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT
+                           % 50 AS c
+                FROM documents),
+            hosts AS (
+                SELECT CASE WHEN r < 35 THEN
+                            CASE WHEN r % 2 = 0 THEN 'portal.megacorp-billing.example'
+                                 ELSE 'docs.archive-crawl.example' END
+                       ELSE printf('site-%03d.example', CAST(c AS INT)) END AS host
+                FROM h),
+            agg AS (SELECT host, count(*) AS n_urls FROM hosts GROUP BY host),
+            hot AS (SELECT host FROM agg
+                    WHERE n_urls >= (SELECT sum(n_urls) FROM agg) * 0.01
+                    ORDER BY n_urls DESC, host LIMIT 8)
+            SELECT host, n_urls, host IN (SELECT host FROM hot) AS is_salted
+            FROM agg ORDER BY host
+        """,
+        "register_csv_scan": f"""
+            WITH raw AS (SELECT * FROM read_csv('{_REGISTER_CSV_PATH}',
+                                                header=true, all_varchar=true)),
+            norm AS (
+                SELECT Vendor AS vendor_name,
+                       coalesce(TRY_CAST(regexp_replace(Amount, '[$,]', '', 'g')
+                                         AS DOUBLE), 0.0) AS expected_amount,
+                       Due AS due_date,
+                       reference_number,
+                       coalesce(status, 'unpaid') AS status
+                FROM raw)
+            SELECT 'R-' || substr(md5(concat_ws('|', vendor_name,
+                       CAST(expected_amount AS VARCHAR), due_date,
+                       reference_number)), 1, 12) AS record_id,
+                   vendor_name, expected_amount, due_date, reference_number, status
+            FROM norm ORDER BY record_id
         """,
     }

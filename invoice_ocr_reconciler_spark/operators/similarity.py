@@ -162,8 +162,24 @@ def embedding_cosine_dedup(
     threshold: float = 0.995,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    exact: bool = False,
 ) -> DataFrame:
-    """Embedding near-dup pairs: LSH bucket self-join + cosine >= threshold."""
+    """Embedding near-dup pairs: LSH bucket self-join + cosine >= threshold.
+
+    ``exact=True`` scores every (a < b) pair — O(n^2), the oracle-verifiable
+    correctness baseline (same role brute_force_topk plays for ANN); the
+    default LSH-bucketed path is the 100 TB scale path (recall < 1 by
+    construction, single probe)."""
+    if exact:
+        left = vectors.select(F.col(id_col).alias("doc_a"), F.col(vec_col).alias("va"))
+        right = vectors.select(F.col(id_col).alias("doc_b"), F.col(vec_col).alias("vb"))
+        return (
+            left.crossJoin(F.broadcast(right))
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .withColumn("cosine", F.round(cosine_sim(F.col("va"), F.col("vb")), 6))
+            .filter(F.col("cosine") >= threshold)
+            .select("doc_a", "doc_b", "cosine")
+        )
     b = lsh_buckets(vectors, id_col, vec_col)
     v = vectors.select(F.col(id_col), F.col(vec_col)).join(b, id_col)
     left = v.select(F.col("bucket"), F.col(id_col).alias("doc_a"), F.col(vec_col).alias("va"))

@@ -105,13 +105,14 @@ def recent_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def anti_join_missing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J5 (backend/reconciliationEngine.js:199): dimension rows with no fact
-    — parts never ordered (non-empty at every sf)."""
-    part = load(spark, sf_dir, "part")
-    lineitem = load(spark, sf_dir, "lineitem")
-    return part.join(lineitem, part.p_partkey == lineitem.l_partkey, "left_anti").select(
-        "p_partkey", "p_name"
-    )
+    """J5 (backend/reconciliationEngine.js:199): rows with no matching fact —
+    orders that have no returned ('R') lineitem (non-trivially non-empty at
+    the driver's sf, unlike parts-never-ordered which is empty there)."""
+    orders = load(spark, sf_dir, "orders")
+    lineitem = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return orders.join(
+        lineitem, orders.o_orderkey == lineitem.l_orderkey, "left_anti"
+    ).select("o_orderkey", "o_orderstatus", "o_totalprice")
 
 
 def left_join_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -37,7 +37,9 @@ def detect_hot_hosts(pages: DataFrame, top_n: int = 8, min_share: float = 0.01) 
         .groupBy("host")
         .count()
         .filter(F.col("count") >= total * min_share)
-        .orderBy(F.col("count").desc())
+        # host asc tiebreak: equal-count hosts otherwise make the top-N cut
+        # nondeterministic, which would break checkpoint-rerun salt parity
+        .orderBy(F.col("count").desc(), F.col("host"))
         .limit(top_n)
         .collect()
     )
