@@ -149,40 +149,34 @@ def minhash_lsh_pairs(
             )
         ).alias("band", "bucket"),
     )
-    # cap degenerate buckets to keep the self-join linear-ish; a window count
-    # over (band, bucket) shares its exchange with the join below (one
-    # shuffle), unlike a groupBy+join-back (two)
-    bucket_size = F.count("*").over(Window.partitionBy("band", "bucket"))
-    bands = bands.withColumn("bucket_size", bucket_size).filter(
-        F.col("bucket_size") <= HOT_BUCKET_CAP
-    ).drop("bucket_size")
-    left = bands.select(
-        F.col("band"), F.col("bucket"),
-        F.col("doc_id").alias("doc_a"), F.col("signature").alias("sig_a"),
+    # One exchange on (band, bucket), then pairs are generated INSIDE each
+    # bucket group with whole-stage-codegen array expressions: members sorted
+    # by doc_id (so doc_a < doc_b by construction), capped (degenerate hot
+    # buckets dropped, keeping pair fan-out quadratic only in the cap), and
+    # the agreement estimate computed inline so only passing (a, b, est)
+    # triples — 24 bytes, not two 512-byte signatures — reach the dedup
+    # exchange. The previous self-join shape computed the signature UDF twice
+    # (no exchange reuse once AQE broadcasts one side) and shuffled full
+    # signatures three times.
+    grouped = (
+        bands.groupBy("band", "bucket")
+        .agg(F.array_sort(F.collect_list(F.struct("doc_id", "signature"))).alias("members"))
+        .filter((F.size("members") >= 2) & (F.size("members") <= HOT_BUCKET_CAP))
     )
-    right = bands.select(
-        F.col("band"), F.col("bucket"),
-        F.col("doc_id").alias("doc_b"), F.col("signature").alias("sig_b"),
-    )
-    pairs = (
-        left.join(right, ["band", "bucket"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "sig_a", "sig_b")
-        .dropDuplicates(["doc_a", "doc_b"])
-    )
-    est = (
-        F.size(
-            F.filter(
-                F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
-                lambda m: m,
-            )
-        )
-        / F.lit(N_HASHES)
-    )
+    pairs_expr = f"""
+        filter(
+          flatten(transform(members, (m, i) ->
+            transform(slice(members, i + 2, size(members) - i - 1), o ->
+              struct(m.doc_id AS doc_a, o.doc_id AS doc_b,
+                     round(size(filter(zip_with(m.signature, o.signature,
+                                                (x, y) -> x = y), z -> z))
+                           / CAST({N_HASHES} AS DOUBLE), 4) AS est_jaccard)))),
+          p -> p.est_jaccard >= CAST({threshold!r} AS DOUBLE))
+    """
     return (
-        pairs.withColumn("est_jaccard", F.round(est, 4))
-        .filter(F.col("est_jaccard") >= threshold)
-        .select("doc_a", "doc_b", "est_jaccard")
+        grouped.select(F.explode(F.expr(pairs_expr)).alias("p"))
+        .select("p.doc_a", "p.doc_b", "p.est_jaccard")
+        .dropDuplicates(["doc_a", "doc_b"])
     )
 
 
