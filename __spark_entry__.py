@@ -252,6 +252,16 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(emb, queries_df, k=5).withColumnRenamed("rank", "nb_rank")
 
 
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-partitioned ANN (coarse quantize -> probe n nearest cells ->
+    exact re-rank); rows-only (recall < 1 by design, like ann_lsh)."""
+    from invoice_ocr_reconciler_spark.operators.similarity import ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries_df = emb.filter(F.col("vec_id") < 10)
+    return ivf_topk(emb, queries_df, k=5).withColumnRenamed("rank", "nb_rank")
+
+
 def q_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs, exact pairwise mode (DuckDB-checked);
     the LSH-bucketed scale path of the same operator is ann_lsh/rows-only."""
@@ -386,6 +396,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "ann_brute_force": q_ann_brute_force,
         "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
         "embedding_dedup": q_embedding_dedup,
         # sources / scale mechanics / misc
         "register_csv_scan": q_register_csv_scan,

@@ -5,8 +5,12 @@
   the correctness baseline;
 - LSH-bucketed ANN (random hyperplanes): deterministic signature via a
   pandas UDF + numpy, bucket join, exact cosine re-rank within buckets —
-  the 100 TB scale path (touches only colliding buckets instead of the
-  full corpus per query).
+  a 100 TB scale path (touches only colliding buckets instead of the
+  full corpus per query);
+- IVF ANN: deterministic driver-side spherical k-means coarse quantizer,
+  distributed cell assignment, n_probe nearest cells probed per query with
+  exact re-rank — the other standard scale path (recall tunable via
+  n_probe, cells align with a hash-partitioned layout).
 """
 
 from __future__ import annotations
@@ -191,4 +195,148 @@ def embedding_cosine_dedup(
         .filter(F.col("cosine") >= threshold)
         .select("doc_a", "doc_b", "cosine")
         .dropDuplicates(["doc_a", "doc_b"])
+    )
+
+
+# --- IVF (inverted-file) ANN ---
+
+IVF_ASSIGN_SCHEMA = T.StructType(
+    [
+        T.StructField("vec_id", T.LongType(), False),
+        T.StructField("centroid_id", T.IntegerType(), False),
+    ]
+)
+
+
+def fit_ivf_centroids(
+    vectors: DataFrame,
+    n_centroids: int = 16,
+    n_iter: int = 10,
+    sample_cap: int = 4096,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Deterministic spherical k-means coarse quantizer, fit driver-side.
+
+    The training sample is the `sample_cap` smallest ids (stable across
+    partitioning, unlike .sample()); init = the first n_centroids sample
+    vectors; assignment ties break toward the lower centroid index and an
+    emptied centroid keeps its previous position — every step is
+    deterministic, so reruns reproduce identical cells (the checkpoint
+    contract). At 10^12 rows this driver-side fit is the standard IVF shape:
+    the quantizer trains on a tiny sample, only assignment is distributed.
+    """
+    rows = (
+        vectors.select(id_col, vec_col)
+        .orderBy(id_col)
+        .limit(sample_cap)
+        .collect()
+    )
+    mat = np.array([np.asarray(r[vec_col], dtype=np.float64) for r in rows])
+    mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    k = min(n_centroids, len(mat))
+    cent = mat[:k].copy()
+    for _ in range(n_iter):
+        sims = mat @ cent.T  # cosine on the unit sphere
+        assign = np.argmax(sims, axis=1)  # argmax ties -> lowest index
+        for c in range(k):
+            members = mat[assign == c]
+            if len(members):
+                m = members.sum(axis=0)
+                cent[c] = m / max(np.linalg.norm(m), 1e-12)
+    return cent
+
+
+def _nearest_centroids(mat: np.ndarray, cent: np.ndarray, n: int) -> np.ndarray:
+    norms = np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    sims = (mat / norms) @ cent.T
+    # stable top-n by (-sim, index): lowest index wins ties, like np.argmax
+    order = np.argsort(-sims, axis=1, kind="stable")
+    return order[:, :n]
+
+
+def ivf_assign(
+    vectors: DataFrame,
+    centroids: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, centroid_id): nearest-cell assignment, vectorized per batch."""
+    cent = centroids.copy()
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            near = _nearest_centroids(mat, cent, 1)[:, 0].astype("int32")
+            yield pd.DataFrame(
+                {"vec_id": pdf[id_col].astype("int64"), "centroid_id": near}
+            )
+
+    return vectors.select(id_col, vec_col).mapInPandas(gen, schema=IVF_ASSIGN_SCHEMA)
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN: coarse-quantize the corpus into cells, probe the n_probe
+    nearest cells per query, exact cosine re-rank inside probed cells.
+
+    The second scale path next to lsh_topk: per query it touches
+    ~n_probe/n_centroids of the corpus; the cell exchange replaces the
+    all-pairs crossJoin. Recall < 1 by construction (cell boundaries).
+    """
+    cent = fit_ivf_centroids(corpus, n_centroids=n_centroids,
+                             id_col=id_col, vec_col=vec_col)
+
+    assigned = corpus.select(F.col(id_col), F.col(vec_col)).join(
+        ivf_assign(corpus, cent, id_col, vec_col), id_col
+    )
+
+    def probes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n = min(n_probe, len(cent))
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            near = _nearest_centroids(mat, cent, n)
+            ids = pdf[id_col].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(ids.to_numpy(), n),
+                    "centroid_id": near.reshape(-1).astype("int32"),
+                }
+            )
+
+    probe_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType(), False),
+            T.StructField("centroid_id", T.IntegerType(), False),
+        ]
+    )
+    q_probes = queries.select(id_col, vec_col).mapInPandas(probes, schema=probe_schema)
+    q_vecs = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    q_side = F.broadcast(q_probes.join(q_vecs, "query_id"))
+
+    scored = (
+        assigned.join(q_side, "centroid_id")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .withColumn("cosine", F.round(cosine_sim(F.col("q_vec"), F.col(vec_col)), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", F.col(id_col).alias("neighbor_id"), "cosine", "rank"
+        )
     )

@@ -216,3 +216,38 @@ def test_report_csv_sink(spark, tmp_path):
         "invoice_number", "vendor_name", "total_amount", "match_status",
         "discrepancy", "flag_reason", "confidence_score", "invoice_url",
     ]
+
+
+def test_ivf_topk_recall_and_determinism(spark):
+    from invoice_ocr_reconciler_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+    )
+
+    rows = [(i, [float((i * 7 + d * 3) % 13 - 6) for d in range(8)]) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = df.filter("vec_id < 5")
+    exact = {(r["query_id"], r["neighbor_id"]) for r in brute_force_topk(df, q, k=3).collect()}
+    ivf = ivf_topk(df, q, k=3, n_centroids=8, n_probe=4).collect()
+    got = {(r["query_id"], r["neighbor_id"]) for r in ivf}
+    # shape: no self pairs, ranks from 1, bounded cosine
+    assert all(r["neighbor_id"] != r["query_id"] for r in ivf)
+    assert all(-1.0001 <= r["cosine"] <= 1.0001 for r in ivf)
+    # probing half the cells must recover most exact neighbors on this corpus
+    assert len(got & exact) / len(exact) >= 0.6
+    # deterministic across runs (fixed init, stable tie-breaks)
+    again = {(r["query_id"], r["neighbor_id"]) for r in
+             ivf_topk(df, q, k=3, n_centroids=8, n_probe=4).collect()}
+    assert got == again
+
+
+def test_ivf_centroids_deterministic(spark):
+    import numpy as np
+
+    from invoice_ocr_reconciler_spark.operators.similarity import fit_ivf_centroids
+
+    rows = [(i, [float((i * 5 + d) % 11 - 5) for d in range(6)]) for i in range(50)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    c1 = fit_ivf_centroids(df, n_centroids=4)
+    c2 = fit_ivf_centroids(df.repartition(7), n_centroids=4)
+    assert np.array_equal(c1, c2)  # stable across input partitioning
