@@ -478,26 +478,33 @@ def reconcile(
     missing_records = ledger.join(matched_ids, "record_id", "left_anti")
 
     # summary (ref :201-210): one conditional-agg job per side
+    # coalesce: SQL SUM over zero rows is NULL, but the reference's counters
+    # start at 0 (ref :201-210) — an empty invoice set must report 0s
+    def _n(status: str):
+        return F.coalesce(
+            F.sum(F.when(F.col("match_status") == status, 1).otherwise(0)), F.lit(0)
+        )
+
     res_agg = results.agg(
         F.count("*").alias("total_invoices"),
-        F.sum(F.when(F.col("match_status") == "matched", 1).otherwise(0)).alias("matched"),
-        F.sum(F.when(F.col("match_status") == "mismatch", 1).otherwise(0)).alias("mismatched"),
-        F.sum(F.when(F.col("match_status") == "missing", 1).otherwise(0)).alias("missing_invoices"),
-        F.sum(F.when(F.col("match_status") == "duplicate", 1).otherwise(0)).alias("duplicate"),
+        _n("matched").alias("matched"),
+        _n("mismatch").alias("mismatched"),
+        _n("missing").alias("missing_invoices"),
+        _n("duplicate").alias("duplicate"),
     )
     # sum over ALL invoices (duplicates included) from the persisted slim
     # frame — using the raw `invoices` here would re-run the upstream
     # extraction UDF just to add four doubles per row
     inv_agg = inv_flagged.agg(
-        F.round(F.sum(normalize_amount_col(F.col("total_amount"))), 2).alias(
-            "total_amount_invoiced"
-        )
+        F.coalesce(
+            F.round(F.sum(normalize_amount_col(F.col("total_amount"))), 2), F.lit(0.0)
+        ).alias("total_amount_invoiced")
     )
     led_agg = ledger.agg(
         F.count("*").alias("total_records"),
-        F.round(F.sum(normalize_amount_col(F.col("expected_amount"))), 2).alias(
-            "total_amount_expected"
-        ),
+        F.coalesce(
+            F.round(F.sum(normalize_amount_col(F.col("expected_amount"))), 2), F.lit(0.0)
+        ).alias("total_amount_expected"),
     )
     missing_agg = missing_records.agg(F.count("*").alias("missing_records"))
     summary = res_agg.crossJoin(inv_agg).crossJoin(led_agg).crossJoin(missing_agg)

@@ -178,3 +178,22 @@ def test_amount_tolerance_symmetry(spark):
     m = F.when(bigger == 0, F.lit(True)).otherwise(diff / bigger <= AMOUNT_TOLERANCE)
     got = [r[0] for r in df.select(m).collect()]
     assert got == [True, True, True, False, False]
+
+
+def test_reconcile_empty_invoices(spark):
+    """Degenerate input: zero invoices -> zero results, every ledger record
+    missing, summary all-zero counters (exercises the empty-partition branch
+    of the mapInPandas greedy wrapper)."""
+    from invoice_ocr_reconciler_spark import datagen
+    from invoice_ocr_reconciler_spark.operators.reconcile import reconcile
+
+    empty = spark.createDataFrame(
+        [], "url string, invoice_number string, vendor_name string, total_amount double"
+    )
+    ledger = datagen.ledger_df(spark, 12, 100)
+    out = reconcile(empty, ledger)
+    assert out["results"].count() == 0
+    assert out["missing_records"].count() == 12
+    s = out["summary"].collect()[0]
+    assert s["total_invoices"] == 0 and s["matched"] == 0
+    assert s["missing_records"] == 12
