@@ -57,7 +57,9 @@ _BLOCK_SPLIT_RE = re.compile(
 
 _ANCHOR_RE = re.compile(r"<a\b[^>]*>(.*?)</a\s*>", re.IGNORECASE | re.DOTALL)
 _TAG_RE = re.compile(r"<[^>]+>")
-_CTRL_WS_RE = re.compile(r"[\t\r\f\v]")
+# [\t\r\f\v] -> ' ' as a C-speed translate table (byte-identical to the
+# former per-char regex sub; each class char maps to one space)
+_CTRL_WS_TABLE = str.maketrans({"\t": " ", "\r": " ", "\f": " ", "\v": " "})
 _WIDE_GAP_RE = re.compile(r" {3,}")
 
 # PDF text-show operators: '(s) Tj' and '[(s1) kern (s2)] TJ' arrays
@@ -75,10 +77,14 @@ def _visible_text(fragment: str) -> str:
     """
     txt = _TAG_RE.sub("", fragment)
     txt = _html.unescape(txt)
-    txt = _CTRL_WS_RE.sub(" ", txt)
+    txt = txt.translate(_CTRL_WS_TABLE)
     lines = []
     for ln in txt.split("\n"):
-        ln = _WIDE_GAP_RE.sub("  ", ln).strip()
+        # substring gate: ' {3,}' can only match where three literal spaces
+        # occur, and the C-level check is far cheaper than the regex scan
+        if "   " in ln:
+            ln = _WIDE_GAP_RE.sub("  ", ln)
+        ln = ln.strip()
         if ln:
             lines.append(ln)
     return "\n".join(lines)
@@ -100,6 +106,13 @@ def extract_main_text(html_text: str) -> str:
 
     kept: list[str] = []
     for raw_block in _BLOCK_SPLIT_RE.split(doc):
+        # every _visible_text transform is non-lengthening (tag strip, entity
+        # decode, whitespace collapse, trim), so a fragment shorter than the
+        # block minimum can never survive the length filter — skip the regex
+        # work entirely. Most split fragments are the empty/near-empty gaps
+        # between adjacent container tags.
+        if len(raw_block) < MIN_BLOCK_CHARS:
+            continue
         text = _visible_text(raw_block)
         if len(text) < MIN_BLOCK_CHARS:
             continue

@@ -20,7 +20,15 @@ from invoice_ocr_reconciler_spark.functions.parse_fields import (
 from invoice_ocr_reconciler_spark.operators.reconcile import reconcile
 
 
-def _extract_parse_rows(urls, htmls) -> list[dict]:
+def _fields_schema(include_text: bool):
+    if include_text:
+        return FIELDS_SCHEMA
+    import pyspark.sql.types as T
+
+    return T.StructType([f for f in FIELDS_SCHEMA.fields if f.name != "extracted_text"])
+
+
+def _extract_parse_rows(urls, htmls, include_text: bool) -> list[dict]:
     # one Python crossing for both stages: the two-stage path ships the full
     # extracted text JVM->Python->JVM->Python; fused, the text never leaves
     # the worker between extraction and field parsing. Same pure functions,
@@ -31,52 +39,76 @@ def _extract_parse_rows(urls, htmls) -> list[dict]:
     rows = []
     for url, payload in zip(urls, htmls):
         text = extract_payload(payload)
-        rows.append({"url": url, "extracted_text": text, **parse_invoice_text(text, url)})
+        row = {"url": url, **parse_invoice_text(text, url)}
+        if include_text:
+            row["extracted_text"] = text
+        rows.append(row)
     return rows
 
 
-def _extract_parse_arrow(batches):
-    # Arrow-native batches skip the pandas construction on both sides
-    # (~15% over mapInPandas on the dominant stage; byte-equal, tested)
-    import pyarrow as pa
-    from pyspark.sql.pandas.types import to_arrow_type
+def _make_extract_parse_arrow(include_text: bool):
+    def gen(batches):
+        # Arrow-native batches skip the pandas construction on both sides
+        # (~15% over mapInPandas on the dominant stage; byte-equal, tested)
+        import pyarrow as pa
+        from pyspark.sql.pandas.types import to_arrow_type
 
-    atype = to_arrow_type(FIELDS_SCHEMA)
-    names = [f.name for f in FIELDS_SCHEMA.fields]
-    for batch in batches:
-        rows = _extract_parse_rows(
-            batch.column("url").to_pylist(), batch.column("html").to_pylist()
-        )
-        yield pa.RecordBatch.from_arrays(
-            [pa.array([r[n] for r in rows], type=atype.field(n).type) for n in names],
-            names=names,
-        )
+        schema = _fields_schema(include_text)
+        atype = to_arrow_type(schema)
+        names = [f.name for f in schema.fields]
+        for batch in batches:
+            rows = _extract_parse_rows(
+                batch.column("url").to_pylist(),
+                batch.column("html").to_pylist(),
+                include_text,
+            )
+            yield pa.RecordBatch.from_arrays(
+                [pa.array([r[n] for r in rows], type=atype.field(n).type) for n in names],
+                names=names,
+            )
 
-
-def _extract_parse_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    cols = [f.name for f in FIELDS_SCHEMA.fields]
-    for pdf in batches:
-        yield pd.DataFrame(
-            _extract_parse_rows(pdf["url"], pdf["html"]), columns=cols
-        )
+    return gen
 
 
-def extract_and_parse(pages: DataFrame, fused: bool = True) -> DataFrame:
+def _make_extract_parse_batches(include_text: bool):
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in _fields_schema(include_text).fields]
+        for pdf in batches:
+            yield pd.DataFrame(
+                _extract_parse_rows(pdf["url"], pdf["html"], include_text),
+                columns=cols,
+            )
+
+    return gen
+
+
+def extract_and_parse(
+    pages: DataFrame, fused: bool = True, include_text: bool = True
+) -> DataFrame:
     """pages -> structured invoice rows (E1).
 
     ``fused=True`` (default) runs extraction + field parsing in a single
     Arrow-native crossing (mapInArrow); ``fused=False`` composes the
     standalone operators (two crossings) — kept for operator-level testing
     and reuse. All three paths are byte-identical (tested).
+
+    ``include_text=False`` drops ``extracted_text`` from the OUTPUT schema —
+    a mapInArrow/mapInPandas node is opaque to Catalyst, so column pruning
+    cannot remove it downstream; when the consumer is reconciliation-only
+    (needs four small fields) this skips serializing kilobytes of text per
+    row across the Arrow channel. The extracted-table write path (jobs/,
+    byte-identity contract) keeps the default.
     """
     if fused:
         pruned = pages.select("url", "html")
+        schema = _fields_schema(include_text)
         try:
-            return pruned.mapInArrow(_extract_parse_arrow, schema=FIELDS_SCHEMA)
+            return pruned.mapInArrow(_make_extract_parse_arrow(include_text), schema=schema)
         except Exception:  # pandas fallback if the arrow path is unavailable
-            return pruned.mapInPandas(_extract_parse_batches, schema=FIELDS_SCHEMA)
+            return pruned.mapInPandas(_make_extract_parse_batches(include_text), schema=schema)
     extracted = extract_pages(pages)
-    return parse_invoice_fields(extracted)
+    out = parse_invoice_fields(extracted)
+    return out if include_text else out.drop("extracted_text")
 
 
 def run_pipeline(
@@ -84,10 +116,16 @@ def run_pipeline(
     ledger: DataFrame,
     broadcast_ledger: bool = True,
     with_amount_suggestions: bool = True,
+    include_text: bool = False,
 ) -> dict[str, DataFrame]:
     """Full extract+reconcile; returns results/missing_records/summary plus
-    the intermediate ``invoices`` frame for inspection."""
-    invoices = extract_and_parse(pages)
+    the intermediate ``invoices`` frame for inspection.
+
+    ``include_text`` defaults False: reconciliation consumes four small
+    fields, so the flagship path never ships the extracted text across the
+    Arrow channel (see extract_and_parse). Pass True to keep
+    ``invoices.extracted_text`` for inspection/persistence."""
+    invoices = extract_and_parse(pages, include_text=include_text)
     out = reconcile(
         invoices,
         ledger,

@@ -29,10 +29,12 @@ def _signature(out):
 
 def test_identical_output_across_partitioning(spark):
     out_a = run_pipeline(
-        datagen.pages_df(spark, N, partitions=2), datagen.ledger_df(spark, 25, N)
+        datagen.pages_df(spark, N, partitions=2), datagen.ledger_df(spark, 25, N),
+        include_text=True,
     )
     out_b = run_pipeline(
-        datagen.pages_df(spark, N, partitions=13), datagen.ledger_df(spark, 25, N)
+        datagen.pages_df(spark, N, partitions=13), datagen.ledger_df(spark, 25, N),
+        include_text=True,
     )
     texts_a, results_a = _signature(out_a)
     texts_b, results_b = _signature(out_b)
@@ -43,7 +45,7 @@ def test_identical_output_across_partitioning(spark):
 def test_fused_paths_byte_identical(spark):
     """mapInArrow fused == mapInPandas fused == two-stage composition."""
     from invoice_ocr_reconciler_spark.pipeline import (
-        _extract_parse_batches,
+        _make_extract_parse_batches,
         extract_and_parse,
     )
     from invoice_ocr_reconciler_spark.functions.parse_fields import FIELDS_SCHEMA
@@ -54,9 +56,15 @@ def test_fused_paths_byte_identical(spark):
         map(
             str,
             pages.select("url", "html")
-            .mapInPandas(_extract_parse_batches, schema=FIELDS_SCHEMA)
+            .mapInPandas(_make_extract_parse_batches(True), schema=FIELDS_SCHEMA)
             .collect(),
         )
     )
     two_stage = sorted(map(str, extract_and_parse(pages, fused=False).collect()))
     assert arrow == pandas_fused == two_stage
+    # text-free output == text-bearing output minus the text column
+    slim = sorted(map(str, extract_and_parse(pages, include_text=False).collect()))
+    slim_ref = sorted(
+        map(str, extract_and_parse(pages, fused=True).drop("extracted_text").collect())
+    )
+    assert slim == slim_ref
