@@ -251,3 +251,98 @@ def test_ivf_centroids_deterministic(spark):
     c1 = fit_ivf_centroids(df, n_centroids=4)
     c2 = fit_ivf_centroids(df.repartition(7), n_centroids=4)
     assert np.array_equal(c1, c2)  # stable across input partitioning
+
+
+def test_stateful_dedup_stream_across_restarts(spark, tmp_path):
+    """Cross-batch, cross-RESTART streaming dedup: state persists in the
+    stream checkpoint, so a fingerprint emitted in drain 1 is suppressed in
+    drain 2 even though the query was restarted in between."""
+    from invoice_ocr_reconciler_spark import datagen
+    from invoice_ocr_reconciler_spark.streaming.stateful import dedup_stream
+
+    landing = str(tmp_path / "landing")
+    out_dir = str(tmp_path / "out")
+
+    def drain():
+        # durable sink: memory sink cannot recover from a checkpoint, and
+        # the restart IS the point of this test
+        stream = spark.readStream.schema(datagen.PAGES_SCHEMA).parquet(landing)
+        q = (
+            dedup_stream(stream)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return {r["fingerprint"]: r["url"] for r in spark.read.parquet(out_dir).collect()}
+
+    def pages_with_text(n):
+        # synthetic pages carry their content in html; populate the text
+        # column (the dedup key source) from it so fingerprints are per-doc
+        return datagen.pages_df(spark, n).withColumn(
+            "text", F.decode(F.col("html"), "UTF-8")
+        )
+
+    def expected_fingerprints():
+        from invoice_ocr_reconciler_spark.functions.text import fingerprint_col
+
+        return {
+            r["fp"]
+            for r in spark.read.parquet(landing)
+            .select(fingerprint_col(F.col("text")).alias("fp"))
+            .distinct()
+            .collect()
+        }
+
+    # batch 1: docs 0..19 (datagen plants intra-batch exact dups on purpose)
+    pages_with_text(20).write.mode("overwrite").parquet(landing)
+    seen1 = drain()
+    assert set(seen1) == expected_fingerprints()
+
+    # batch 2: SAME 20 docs again (pure re-sends) + 10 new
+    pages_with_text(30).write.mode("append").parquet(landing)
+    all_seen = drain()
+    # every batch-1 fingerprint appears exactly once (suppressed on re-send);
+    # the second drain added only genuinely new fingerprints
+    assert set(seen1) <= set(all_seen)
+    new = {k: v for k, v in all_seen.items() if k not in seen1}
+    assert len(new) > 0
+    assert set(all_seen) == expected_fingerprints()
+    # and batch-1 winners kept their original url (state preserved the winner)
+    assert all(all_seen[k] == v for k, v in seen1.items())
+
+
+def test_host_window_counts_watermark(spark, tmp_path):
+    from invoice_ocr_reconciler_spark import datagen
+    from invoice_ocr_reconciler_spark.streaming.stateful import host_window_counts
+
+    landing = str(tmp_path / "landing")
+    datagen.pages_df(spark, 200).write.mode("overwrite").parquet(landing)
+    stream = spark.readStream.schema(datagen.PAGES_SCHEMA).parquet(landing)
+    q = (
+        host_window_counts(stream)
+        .writeStream.format("memory")
+        .queryName("host_counts")
+        .option("checkpointLocation", str(tmp_path / "ckpt_w"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM host_counts").collect()
+    # append mode only FINALIZES windows behind the watermark; totals over
+    # emitted windows must match a batch group-by restricted to those windows
+    batch = (
+        spark.read.parquet(landing)
+        .select(F.regexp_extract("url", r"^https?://([^/]+)/", 1).alias("host"), "warc_ts")
+    )
+    for r in rows[:20]:
+        n = batch.filter(
+            (F.col("host") == r["host"])
+            & (F.col("warc_ts") >= r["window_start"])
+            & (F.col("warc_ts") < r["window_end"])
+        ).count()
+        assert n == r["n_pages"]
