@@ -33,7 +33,32 @@ def _norm(name: str) -> str:
 
 @given(st.text(max_size=80))
 @settings(max_examples=300, deadline=None)
-def test_normalize_idempotent(s):
+def test_normalize_stabilizes(s):
+    """The reference's normalize is deliberately NOT idempotent: the legal-
+    suffix strip runs BEFORE the punctuation strip (ref
+    backend/reconciliationEngine.js:19-21), so removing punctuation can
+    expose a fresh suffix token that only a second pass would strip —
+    hypothesis found 'C\\x1bO' -> 'co' -> ''. We mirror the reference's
+    single-pass order exactly; the true invariant is stabilization after
+    the second application (a clean-alphabet input can never grow new
+    suffix tokens)."""
+    once = _norm(s)
+    twice = _norm(once)
+    assert _norm(twice) == twice
+
+
+@given(
+    st.text(
+        alphabet=st.sampled_from(" abcdefghijklmnopqrstuvwxyz0123456789XYZQW"),
+        max_size=80,
+    )
+)
+@settings(max_examples=300, deadline=None)
+def test_normalize_idempotent_on_clean_text(s):
+    """On ascii-alphanumeric input the punctuation strip is a no-op, so no
+    fresh suffix tokens can be exposed and one normalize pass IS idempotent.
+    (A unicode letter INSIDE a word breaks this too: 'cÉo' is one word to
+    the suffix regex but the punctuation strip exposes 'co'.)"""
     assert _norm(_norm(s)) == _norm(s)
 
 
