@@ -80,20 +80,27 @@ def run_resumable(
     manifest: CheckpointManifest,
     transform: Callable[[DataFrame], DataFrame],
     fail_after: int | None = None,
+    max_concurrent: int | None = None,
 ) -> dict:
     """Process each incomplete url bucket through ``transform`` and commit.
 
-    ``fail_after`` (tests only) aborts after N buckets to simulate a
-    mid-job kill; the following run resumes from the manifest.
+    Buckets are dispatched as CONCURRENT Spark jobs (driver-side thread
+    pool; the scheduler interleaves their tasks) — a bucket is one commit
+    unit, not one unit of cluster occupancy, so a bucket whose tasks can't
+    fill the executors doesn't serialize the whole backfill. Each bucket
+    still commits its manifest entry atomically and independently, so a
+    kill leaves exactly the completed buckets durable.
+
+    ``fail_after`` (tests only) stops dispatching after N buckets to
+    simulate a mid-job kill (runs sequentially for determinism); the
+    following run resumes from the manifest.
     Returns {'processed': [...], 'skipped': [...]}.
     """
     all_buckets = _discover_buckets(input_path)
     done = manifest.completed_buckets()
     todo = [b for b in all_buckets if b not in done]
-    processed = []
-    for n, bucket in enumerate(todo):
-        if fail_after is not None and n >= fail_after:
-            break
+
+    def _one(bucket: int) -> int:
         t0 = time.monotonic()
         src = f"{input_path}/url_bucket={bucket}"
         dst = f"{output_path}/url_bucket={bucket}"
@@ -119,5 +126,19 @@ def run_resumable(
                 "input_path": src,
             },
         )
-        processed.append(bucket)
+        return bucket
+
+    processed = []
+    if fail_after is not None:
+        for n, bucket in enumerate(todo):
+            if n >= fail_after:
+                break
+            processed.append(_one(bucket))
+    else:
+        from concurrent.futures import ThreadPoolExecutor
+
+        if max_concurrent is None:
+            max_concurrent = max(2, spark.sparkContext.defaultParallelism // 2)
+        with ThreadPoolExecutor(max_workers=max_concurrent) as pool:
+            processed = list(pool.map(_one, todo))
     return {"processed": processed, "skipped": sorted(done)}
