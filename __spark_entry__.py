@@ -320,6 +320,21 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-kind multimodal plumbing (md5-derived fake decode, SQL-replayed
+    like the image path)."""
+    from invoice_ocr_reconciler_spark.operators.multimodal import audio_features
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    media = docs.select(
+        F.concat(F.lit("doc-"), F.col("doc_id").cast("string")).alias("media_id"),
+        F.lit("audio").alias("kind"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.create_map(F.lit("src"), F.col("source")).alias("meta"),
+    )
+    return audio_features(media, fake=True)
+
+
 def q_salted_host_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew handling (SURVEY §4.3-2): hot-host detection + deterministic
     salting. DuckDB-checked invariant per host: url count preserved, hot
@@ -401,6 +416,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # sources / scale mechanics / misc
         "register_csv_scan": q_register_csv_scan,
         "multimodal_features": q_multimodal_features,
+        "multimodal_audio": q_multimodal_audio,
         "salted_host_partitions": q_salted_host_partitions,
         "paged_count": q_paged_count,
     }
@@ -675,6 +691,22 @@ def oracle_sql() -> dict[str, str]:
                                   - 18446744073709551616::HUGEINT
                              ELSE ('0x' || substr(dig, 17, 16))::UBIGINT::HUGEINT
                         END AS BIGINT) AS phash
+            FROM d
+        """,
+        "multimodal_audio": """
+            WITH d AS (
+                SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS media_id,
+                       md5(coalesce(text, '')) AS dig,
+                       CAST(octet_length(encode(coalesce(text, ''))) AS INT) AS n_bytes
+                FROM documents)
+            SELECT media_id,
+                   CAST(CASE ('0x' || substr(dig, 5, 2))::INT % 5
+                            WHEN 0 THEN 8000 WHEN 1 THEN 16000 WHEN 2 THEN 22050
+                            WHEN 3 THEN 44100 ELSE 48000 END AS INT) AS sample_rate,
+                   CAST(1 + ('0x' || substr(dig, 7, 2))::INT % 2 AS INT) AS n_channels,
+                   CAST(500 + ('0x' || substr(dig, 9, 4))::INT % 600000 AS INT) AS duration_ms,
+                   CAST(('0x' || substr(dig, 13, 2))::INT % 101 AS INT) AS loudness,
+                   n_bytes
             FROM d
         """,
         # datagen's host_for(i) (md5-derived Zipf head) replayed in SQL; hot

@@ -154,3 +154,46 @@ def phash_near_dup_pairs(features: DataFrame, max_hamming: int = 6) -> DataFrame
         .filter(F.col("hamming") <= max_hamming)
         .select("media_a", "media_b", "hamming")
     )
+
+
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType(), False),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("n_channels", T.IntegerType(), True),
+        T.StructField("duration_ms", T.IntegerType(), True),
+        T.StructField("loudness", T.IntegerType(), True),
+        T.StructField("n_bytes", T.IntegerType(), True),
+    ]
+)
+
+_SAMPLE_RATES = [8000, 16000, 22050, 44100, 48000]
+
+
+def audio_features(media: DataFrame, fake: bool = True) -> DataFrame:
+    """binary audio payload -> (rate, channels, duration, loudness proxy).
+
+    Same plumbing contract as image_features: real codec stubbed (no
+    ffmpeg/audio libs in the sandbox), deterministic md5-derived fake keeps
+    the distributed path exercisable and oracle-checkable end to end."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        _get_decoder(fake)  # raises unless the fake decoder is allowed
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                h = hashlib.md5(payload or b"").digest()
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "sample_rate": _SAMPLE_RATES[h[2] % 5],
+                        "n_channels": 1 + (h[3] % 2),
+                        "duration_ms": 500 + (int.from_bytes(h[4:6], "big") % 600000),
+                        "loudness": h[6] % 101,
+                        "n_bytes": len(payload or b""),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in AUDIO_FEATURES_SCHEMA.fields])
+
+    pruned = media.filter(F.col("kind") == "audio").select("media_id", "payload")
+    return pruned.mapInPandas(gen, schema=AUDIO_FEATURES_SCHEMA)

@@ -346,3 +346,24 @@ def test_host_window_counts_watermark(spark, tmp_path):
             & (F.col("warc_ts") < r["window_end"])
         ).count()
         assert n == r["n_pages"]
+
+
+def test_multimodal_audio_features(spark):
+    import hashlib
+
+    from invoice_ocr_reconciler_spark.operators.multimodal import audio_features
+
+    rows = [
+        ("a1", "audio", b"RIFF-fake-wav-1", {"src": "x"}),
+        ("a2", "audio", b"", None),
+        ("v1", "video", b"not-audio", None),  # filtered out
+    ]
+    df = spark.createDataFrame(
+        rows, "media_id string, kind string, payload binary, meta map<string,string>"
+    )
+    out = {r["media_id"]: r for r in audio_features(df, fake=True).collect()}
+    assert set(out) == {"a1", "a2"}
+    h = hashlib.md5(b"RIFF-fake-wav-1").digest()
+    assert out["a1"]["sample_rate"] == [8000, 16000, 22050, 44100, 48000][h[2] % 5]
+    assert out["a1"]["duration_ms"] == 500 + (int.from_bytes(h[4:6], "big") % 600000)
+    assert out["a2"]["n_bytes"] == 0
