@@ -197,3 +197,25 @@ def test_reconcile_empty_invoices(spark):
     s = out["summary"].collect()[0]
     assert s["total_invoices"] == 0 and s["matched"] == 0
     assert s["missing_records"] == 12
+
+
+def test_broadcast_and_smj_paths_identical(spark):
+    """candidate generation has two physical paths (array-blocked broadcast
+    vs exploded sort-merge with the kernel-side cap); reconcile output must
+    be identical row-for-row across them."""
+    from invoice_ocr_reconciler_spark import datagen
+    from invoice_ocr_reconciler_spark.operators.reconcile import reconcile
+    from invoice_ocr_reconciler_spark.pipeline import extract_and_parse
+
+    inv = extract_and_parse(datagen.pages_df(spark, 400), include_text=False)
+    ledger = datagen.ledger_df(spark, 50, 400)
+
+    def rows(broadcast):
+        out = reconcile(inv, ledger, broadcast_ledger=broadcast)
+        return sorted(
+            map(str, out["results"].select(
+                "invoice_url", "record_id", "match_status", "discrepancy",
+                "flag_reason", "confidence_score", "suggestions").collect())
+        )
+
+    assert rows(True) == rows(False)
