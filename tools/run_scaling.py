@@ -153,7 +153,15 @@ def main() -> None:
                "scaling_efficiency": round(eff, 3)}
     print(json.dumps(results))
 
-    with open(os.path.join(OUT, "BASELINE.md"), "w") as fh:
+    # preserve hand-written analysis sections below the marker on rewrite
+    out_path = os.path.join(OUT, "BASELINE.md")
+    manual = ""
+    marker = "<!-- MANUAL SECTIONS BELOW: preserved on regeneration -->"
+    if os.path.exists(out_path):
+        prev = open(out_path).read()
+        if marker in prev:
+            manual = prev.split(marker, 1)[1]
+    with open(out_path, "w") as fh:
         fh.write(f"""# BENCH/BASELINE — measured results
 
 ## Scaling efficiency (north_rule: >= 0.8 from N to 4N)
@@ -201,9 +209,10 @@ Measurement notes:
 ## Per-round bench
 
 `python bench.py` prints the driver-contract JSON line (headline query wall
-times at $SPARK_GRAFT_SF_DIR). The flagship metric is
+times at $SPARK_GRAFT_SF_DIR plus the 200k-page flagship leg). The flagship metric is
 `extract_reconcile_docs_per_sec`.
-""")
+
+{marker}{manual}""")
     print(f"wrote {OUT}/BASELINE.md")
 
 
