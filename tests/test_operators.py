@@ -367,3 +367,33 @@ def test_multimodal_audio_features(spark):
     assert out["a1"]["sample_rate"] == [8000, 16000, 22050, 44100, 48000][h[2] % 5]
     assert out["a1"]["duration_ms"] == 500 + (int.from_bytes(h[4:6], "big") % 600000)
     assert out["a2"]["n_bytes"] == 0
+
+
+def test_report_sinks(spark, tmp_path):
+    """S7 analog: driver text render and the distributed text sink emit
+    byte-identical report bodies; summary block mirrors the reference's
+    counters (backend/server.js:629-637)."""
+    from invoice_ocr_reconciler_spark import datagen
+    from invoice_ocr_reconciler_spark.functions.report import (
+        text_report,
+        write_text_report,
+    )
+    from invoice_ocr_reconciler_spark.pipeline import run_pipeline
+
+    out = run_pipeline(datagen.pages_df(spark, 300), datagen.ledger_df(spark, 40, 300))
+    inv = out["invoices"]
+    rep = text_report(out["results"], inv, out["summary"])
+    assert rep.splitlines()[0] == "Invoice Reconciliation Report"
+    assert "Total Invoices: 300" in rep
+    assert "[MATCHED]" in rep and "[DUPLICATE]" in rep
+    # distributed sink: same body lines in the same order
+    path = str(tmp_path / "report_txt")
+    write_text_report(out["results"], inv, path)
+    import glob
+
+    parts = sorted(glob.glob(f"{path}/part-*"))
+    dist_lines = []
+    for p in parts:
+        dist_lines.extend(open(p, encoding="utf-8").read().splitlines())
+    body = rep.split("Reconciliation Results\n", 1)[1].splitlines()
+    assert dist_lines == body
