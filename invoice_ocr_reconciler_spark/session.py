@@ -33,6 +33,19 @@ def get_spark(
     if shuffle_partitions is None:
         shuffle_partitions = max(2 * cores, 8)
 
+    # Python WORKERS do not inherit the driver's sys.path — a caller that
+    # imported this package via sys.path manipulation from another cwd would
+    # die with ModuleNotFoundError inside UDF unpickling. Export the repo
+    # root on PYTHONPATH BEFORE the JVM (and its worker daemon) launches so
+    # forked workers resolve the package regardless of cwd. On a real
+    # cluster --py-files ships the zip instead (Makefile `package`).
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if repo_root not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            repo_root + (os.pathsep + existing if existing else "")
+        )
+
     builder = (
         SparkSession.builder.master(f"local[{cores}]")
         .appName(app_name)
