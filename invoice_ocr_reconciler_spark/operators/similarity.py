@@ -126,22 +126,67 @@ def lsh_buckets(vectors: DataFrame, id_col: str = "vec_id", vec_col: str = "embe
     return vectors.select(id_col, vec_col).mapInPandas(gen, schema=LSH_SCHEMA)
 
 
+def lsh_probe_buckets(
+    vectors: DataFrame,
+    n_flip: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, bucket) with MULTI-PROBE expansion: besides the exact
+    bucket, probe the buckets reached by flipping each of the ``n_flip``
+    LOWEST-MARGIN hyperplane bits (the planes the vector sits closest to —
+    exactly the bits most likely to differ for a true near neighbor).
+    1 + n_flip rows per vector; n_flip=0 degenerates to lsh_buckets."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        planes = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            if planes is None:
+                planes = _planes(mat.shape[1])
+            proj = mat @ planes.T
+            base = ((proj > 0) * (1 << np.arange(N_PLANES))).sum(axis=1).astype("int64")
+            ids = pdf[id_col].astype("int64").to_numpy()
+            out_ids = [ids]
+            out_buckets = [base]
+            if n_flip > 0:
+                # per row, indices of the n_flip smallest |projection|s
+                order = np.argsort(np.abs(proj), axis=1, kind="stable")[:, :n_flip]
+                for j in range(order.shape[1]):
+                    out_ids.append(ids)
+                    out_buckets.append(base ^ (1 << order[:, j]))
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.concatenate(out_ids),
+                    "bucket": np.concatenate(out_buckets).astype("int32"),
+                }
+            )
+
+    return vectors.select(id_col, vec_col).mapInPandas(gen, schema=LSH_SCHEMA)
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_probe_bits: int = 0,
 ) -> DataFrame:
     """ANN top-k: join on LSH bucket, exact cosine re-rank within bucket.
 
-    Recall < 1 by construction (single probe); the bucket join replaces the
-    full cross product — at 10^12 vectors each query touches ~1/2^16 of the
-    corpus. Multi-probe (flipping low-margin bits) is the standard recall
-    knob; not needed for the sandbox scale.
-    """
+    Recall < 1 by construction; the bucket join replaces the full cross
+    product — at 10^12 vectors each query touches ~1/2^16 of the corpus.
+    ``n_probe_bits`` > 0 enables multi-probe on the QUERY side (each query
+    additionally probes the buckets across its n lowest-margin hyperplanes),
+    trading a linear factor of candidates for recall — the standard knob;
+    the corpus-side index is untouched."""
     cb = lsh_buckets(corpus, id_col, vec_col).withColumnRenamed("vec_id", "neighbor_id")
-    qb = lsh_buckets(queries, id_col, vec_col).withColumnRenamed("vec_id", "query_id")
+    qb = lsh_probe_buckets(queries, n_probe_bits, id_col, vec_col).withColumnRenamed(
+        "vec_id", "query_id"
+    )
     c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")).join(
         cb, "neighbor_id"
     )
@@ -151,7 +196,13 @@ def lsh_topk(
     scored = (
         c.join(F.broadcast(q), "bucket")
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cosine", F.round(cosine_sim(F.col("q_vec"), F.col("c_vec")), 6))
+    )
+    if n_probe_bits > 0:
+        # a pair can collide in several probed buckets; dedup BEFORE scoring
+        # so each pair pays one cosine and one window slot
+        scored = scored.dropDuplicates(["query_id", "neighbor_id"])
+    scored = scored.withColumn(
+        "cosine", F.round(cosine_sim(F.col("q_vec"), F.col("c_vec")), 6)
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return (

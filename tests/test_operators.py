@@ -397,3 +397,29 @@ def test_report_sinks(spark, tmp_path):
         dist_lines.extend(open(p, encoding="utf-8").read().splitlines())
     body = rep.split("Reconciliation Results\n", 1)[1].splitlines()
     assert dist_lines == body
+
+
+def test_lsh_multiprobe_recall(spark):
+    """Multi-probe (flipping lowest-margin bits) must be a superset path:
+    every single-probe hit survives, and recall vs brute force does not
+    decrease (strictly improves on this fixture)."""
+    from invoice_ocr_reconciler_spark.operators.similarity import (
+        brute_force_topk,
+        lsh_topk,
+    )
+
+    rows = [(i, [float((i * 7 + d * 3) % 13 - 6) for d in range(8)]) for i in range(80)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = df.filter("vec_id < 8")
+    exact = {(r["query_id"], r["neighbor_id"]) for r in brute_force_topk(df, q, k=5).collect()}
+    single = {(r["query_id"], r["neighbor_id"]) for r in lsh_topk(df, q, k=5).collect()}
+    multi = {(r["query_id"], r["neighbor_id"]) for r in
+             lsh_topk(df, q, k=5, n_probe_bits=3).collect()}
+    r_single = len(single & exact) / len(exact)
+    r_multi = len(multi & exact) / len(exact)
+    assert r_multi >= r_single
+    assert r_multi > 0.5
+    # deterministic across runs
+    again = {(r["query_id"], r["neighbor_id"]) for r in
+             lsh_topk(df, q, k=5, n_probe_bits=3).collect()}
+    assert multi == again
