@@ -279,15 +279,31 @@ _REGISTER_CSV_PATH = "/tmp/spark_graft_register.csv"
 def _ensure_register_csv() -> str:
     """Deterministic CSV fixture with aliased headers (Vendor/Amount/Due);
     written by both the Spark query and oracle_sql() so whichever side the
-    driver runs first finds it."""
+    driver runs first finds it. Written to a unique temp file in the same
+    directory and os.replace()d into place — a concurrent reader (or a
+    second driver) always sees either the old or the complete new content,
+    never a truncated file (the content is deterministic, so either is
+    correct)."""
     import os
+    import tempfile
 
     from invoice_ocr_reconciler_spark import datagen
 
     pdf = datagen.ledger_pdf(200, 5000).rename(
         columns={"vendor_name": "Vendor", "expected_amount": "Amount", "due_date": "Due"}
     )
-    pdf.to_csv(_REGISTER_CSV_PATH, index=False)
+    fd, tmp = tempfile.mkstemp(
+        prefix=".spark_graft_register.", suffix=".csv",
+        dir=os.path.dirname(_REGISTER_CSV_PATH),
+    )
+    try:
+        with os.fdopen(fd, "w") as fh:
+            pdf.to_csv(fh, index=False)
+        os.replace(tmp, _REGISTER_CSV_PATH)
+    except BaseException:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+        raise
     return _REGISTER_CSV_PATH
 
 

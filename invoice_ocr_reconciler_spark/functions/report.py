@@ -40,13 +40,23 @@ def enrich_results(results: DataFrame, invoices: DataFrame) -> DataFrame:
     )
 
 
+def _money(x) -> str:
+    """HALF_UP 2-decimal render of a double, matching Spark's format_number
+    (Java DecimalFormat rounds the double's shortest decimal repr HALF_UP;
+    Python f'{x:.2f}' is round-half-even and disagrees on ties like 8.125 —
+    Decimal(str(x)) reproduces the shortest-repr + HALF_UP pipeline)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return str(Decimal(str(float(x))).quantize(Decimal("0.01"), rounding=ROUND_HALF_UP))
+
+
 def _result_line(r) -> str:
     vendor = r["vendor_name"] or "Unknown"
     invno = r["invoice_number"] or "N/A"
     total = r["total_amount"] or 0
     lines = [
         f"[{(r['match_status'] or '').upper()}] {vendor} — "
-        f"Invoice #{invno} — ${total:.2f}"
+        f"Invoice #{invno} — ${_money(total)}"
     ]
     if r["flag_reason"]:
         lines.append(f"  ⚠ {r['flag_reason']}")

@@ -31,6 +31,10 @@ from invoice_ocr_reconciler_spark.functions.text import fingerprint_col
 N_HASHES = 64
 N_BANDS = 16  # r = 4 rows/band -> s-curve threshold ~ (1/16)^(1/4) ≈ 0.5
 HOT_BUCKET_CAP = 64
+# SimHash chunk groups see 4 rows/doc (vs 16 band rows for MinHash) but a
+# degenerate chunk value (empty/boilerplate docs all hashing to 0) would
+# otherwise self-join quadratically — same guard, same drop-and-log contract.
+HOT_CHUNK_CAP = 64
 
 
 def exact_duplicates(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -84,9 +88,9 @@ def _shingle_hashes(text: str, k: int = 3) -> np.ndarray:
         np.array([zlib.crc32(t.encode("utf-8")) for t in toks], dtype=np.uint64)
     )
     if len(th) < k:
-        g = np.uint64(0)
-        for i in range(len(th)):
-            g = g ^ (th[i] * _GRAM_MULT[i % k])
+        # array-width multiply wraps silently (numpy only warns on SCALAR
+        # uint64 overflow); i % k == i here since len(th) < k <= 3
+        g = np.bitwise_xor.reduce(th * _GRAM_MULT[: len(th)])
         return np.array([g], dtype=np.uint64)
     n_grams = len(th) - k + 1
     g = th[0:n_grams] * _GRAM_MULT[0]
@@ -226,7 +230,17 @@ def simhash_near_pairs(docs: DataFrame, text_col: str = "text", id_col: str = "d
                        max_hamming: int = 3) -> DataFrame:
     """Near-dup pairs by SimHash: block on 16-bit chunks (pigeonhole: any pair
     within hamming distance 3 shares at least one of 4 chunks), verify exact
-    hamming distance with bit_count (JVM-side)."""
+    hamming distance with bit_count (JVM-side).
+
+    Same degenerate-bucket guard as MinHash: one exchange on
+    (chunk_pos, chunk_val), members collected into a sorted array per chunk
+    group, pair generation + the hamming verify run inside codegen array
+    expressions, and groups above HOT_CHUNK_CAP are dropped instead of
+    joined. Empty/boilerplate-identical docs all share simhash 0 — without
+    the cap that one chunk value self-joins O(n^2) at web scale (the round-1
+    scale defect); with it the pair fan-out is quadratic only in the cap.
+    Exact duplicates dropped this way are exact_duplicates()' job, not ours.
+    """
     sig = simhash_signatures(docs, text_col, id_col)
     chunks = sig.select(
         "doc_id", "simhash",
@@ -239,18 +253,25 @@ def simhash_near_pairs(docs: DataFrame, text_col: str = "text", id_col: str = "d
             )
         ).alias("chunk_pos", "chunk_val"),
     )
-    left = chunks.select("chunk_pos", "chunk_val",
-                         F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"))
-    right = chunks.select("chunk_pos", "chunk_val",
-                          F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"))
-    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    grouped = (
+        chunks.groupBy("chunk_pos", "chunk_val")
+        .agg(F.array_sort(F.collect_list(F.struct("doc_id", "simhash"))).alias("members"))
+        .filter((F.size("members") >= 2) & (F.size("members") <= HOT_CHUNK_CAP))
+    )
+    # members sorted by doc_id -> doc_a < doc_b by construction; only passing
+    # (a, b, hamming) triples reach the dedup exchange
+    pairs_expr = f"""
+        filter(
+          flatten(transform(members, (m, i) ->
+            transform(slice(members, i + 2, size(members) - i - 1), o ->
+              struct(m.doc_id AS doc_a, o.doc_id AS doc_b,
+                     bit_count(m.simhash ^ o.simhash) AS hamming)))),
+          p -> p.hamming <= {int(max_hamming)})
+    """
     return (
-        left.join(right, ["chunk_pos", "chunk_val"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
+        grouped.select(F.explode(F.expr(pairs_expr)).alias("p"))
+        .select("p.doc_a", "p.doc_b", F.col("p.hamming").cast("int").alias("hamming"))
         .dropDuplicates(["doc_a", "doc_b"])
-        .withColumn("hamming", hamming)
-        .filter(F.col("hamming") <= max_hamming)
-        .select("doc_a", "doc_b", "hamming")
     )
 
 

@@ -200,7 +200,13 @@ def candidate_pairs(
         )
     else:
         # shuffled sort-merge path for a ledger too big to broadcast: full
-        # exploded pairs; the top-10 cut then happens in the greedy kernel
+        # exploded pairs, then the reference's top-10 cut (ref :113) applied
+        # JVM-SIDE (window per url, same (vendor_score, record_id) order the
+        # greedy kernel uses) BEFORE the Python crossing. Without this cut
+        # the whole exploded pair stream of a partition (34M rows pre-cut at
+        # 1.2M docs) would materialize in one Python worker — the exact
+        # scale this path exists for. The kernel's own head(10) remains as a
+        # no-op safety net, so both paths feed it identical frames.
         pairs = inv.join(led, "block_key")
         pairs = pairs.withColumn(
             "vendor_score",
@@ -210,8 +216,13 @@ def candidate_pairs(
                 F.col("inv_len"), F.col("rec_len"),
             ),
         )
-        pairs = pairs.filter(F.col("vendor_score") <= VENDOR_THRESHOLD).drop(
-            "inv_toks", "rec_toks", "inv_len", "rec_len"
+        w_cut = Window.partitionBy("url").orderBy("vendor_score", "record_id")
+        pairs = (
+            pairs.filter(F.col("vendor_score") <= VENDOR_THRESHOLD)
+            .drop("inv_toks", "rec_toks", "inv_len", "rec_len")
+            .withColumn("_cand_rk", F.row_number().over(w_cut))
+            .filter(F.col("_cand_rk") <= TOP_K_CANDIDATES)
+            .drop("_cand_rk")
         )
 
     # amount tolerance (ref :25-35); percent_diff is the JS Math.round int
@@ -231,9 +242,10 @@ def candidate_pairs(
     ).withColumn(
         "confidence", F.round((1 - F.col("combined_score")) * 100).cast("int")
     )
-    # NOTE: the reference's top-10 candidate cap (ref :113) is applied inside
-    # the greedy kernel (per-url head after the block exchange) — same
-    # semantics, one fewer full shuffle (no per-url window pass here)
+    # NOTE: the reference's top-10 candidate cap (ref :113) is applied
+    # JVM-side on BOTH paths before the greedy kernel (array slice on the
+    # broadcast path, per-url window on the SMJ path); the kernel's head(10)
+    # is a semantic no-op that keeps the two paths provably aligned.
     return pairs
 
 
@@ -249,8 +261,8 @@ def _greedy_assign(pdf: pd.DataFrame) -> pd.DataFrame:
     (per-block cost O(head pairs) + O(tail rows)).
     """
     # top-10 fuzzy candidates per invoice, Fuse-order = ascending vendor
-    # score (ref :113) — a no-op for the broadcast path (already cut
-    # JVM-side) but required for the SMJ path's full pair stream
+    # score (ref :113) — a semantic no-op on both paths (each is already
+    # cut JVM-side), kept as the alignment safety net
     pdf = (
         pdf.sort_values(["url", "vendor_score", "record_id"], kind="mergesort")
         .groupby("url", sort=False)

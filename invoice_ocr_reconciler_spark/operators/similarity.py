@@ -87,7 +87,7 @@ def brute_force_topk(
 N_PLANES = 8  # 256 buckets; raise with corpus size (multi-probe is the recall knob)
 
 
-def _planes(dim: int, seed: str = "ann-lsh-v1") -> np.ndarray:
+def _planes(dim: int, seed: str = "ann-lsh-v1", n_planes: int = N_PLANES) -> np.ndarray:
     """Deterministic hyperplanes: md5-derived uniform values, no RNG object."""
     raw = np.array(
         [
@@ -95,7 +95,7 @@ def _planes(dim: int, seed: str = "ann-lsh-v1") -> np.ndarray:
                 int.from_bytes(hashlib.md5(f"{seed}:{p}:{d}".encode()).digest()[:4], "big")
                 for d in range(dim)
             ]
-            for p in range(N_PLANES)
+            for p in range(n_planes)
         ],
         dtype=np.float64,
     )
@@ -212,19 +212,123 @@ def lsh_topk(
     )
 
 
+def recall_vs_truth(approx: DataFrame, truth: DataFrame, label: str) -> DataFrame:
+    """One-row frame (method, recall): |approx ∩ truth| / |truth| over
+    (query_id, neighbor_id) pairs — turns 'recall < 1 by design' into a
+    measured, regression-guarded number for the ANN scale paths."""
+    pairs = ["query_id", "neighbor_id"]
+    hits = (
+        truth.select(*pairs)
+        .join(approx.select(*pairs), pairs, "left_semi")
+        .agg(F.count("*").alias("hits"))
+    )
+    tot = truth.agg(F.count("*").alias("total"))
+    return hits.crossJoin(tot).select(
+        F.lit(label).alias("method"),
+        F.round(F.col("hits") / F.greatest(F.col("total"), F.lit(1)), 4).alias("recall"),
+    )
+
+
+# --- banded hyperplane LSH for embedding near-dup (the 100 TB path) ---
+
+EMB_DEDUP_BANDS = 8  # candidate iff ANY band's full signature agrees
+EMB_TARGET_BUCKET_ROWS = 128  # sizes planes_per_band from the corpus count
+EMB_HOT_BUCKET_CAP = 128  # degenerate-bucket guard (drop, never self-join)
+
+EMB_BAND_SCHEMA = T.StructType(
+    [
+        T.StructField("vec_id", T.LongType(), False),
+        T.StructField("band", T.IntegerType(), False),
+        T.StructField("bucket", T.LongType(), False),
+    ]
+)
+
+
+def emb_planes_per_band(n_vectors: int, target_rows: int = EMB_TARGET_BUCKET_ROWS) -> int:
+    """Planes per band scaled so the EXPECTED bucket holds ~target_rows:
+    2^p buckets per band with p = ceil(log2(n / target)), floor 8. At 10^9
+    vectors p = 23 — the within-bucket work stays O(n * target) instead of
+    the fixed-256-bucket O(n^2/256) of the round-1 single-probe path."""
+    import math
+
+    if n_vectors <= 0:
+        return 8
+    return max(8, int(math.ceil(math.log2(max(n_vectors / target_rows, 2.0)))))
+
+
+def _banded_emb_buckets(
+    vectors: DataFrame,
+    n_bands: int,
+    planes_per_band: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """(vec_id, band, bucket): one matmul per Arrow batch over all bands'
+    planes (deterministic md5-derived hyperplanes, seed keyed by band)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        planes = None
+        weights = (1 << np.arange(planes_per_band)).astype(np.int64)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            if planes is None:
+                planes = np.concatenate(
+                    [
+                        _planes(mat.shape[1], seed=f"emb-dedup-v1:{b}",
+                                n_planes=planes_per_band)
+                        for b in range(n_bands)
+                    ]
+                )  # (n_bands * p, dim)
+            signs = (mat @ planes.T) > 0  # (n, n_bands * p)
+            signs = signs.reshape(len(mat), n_bands, planes_per_band)
+            buckets = (signs * weights).sum(axis=2).astype("int64")  # (n, n_bands)
+            ids = pdf[id_col].astype("int64").to_numpy()
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(ids, n_bands),
+                    "band": np.tile(np.arange(n_bands, dtype="int32"), len(mat)),
+                    "bucket": buckets.reshape(-1),
+                }
+            )
+
+    return vectors.select(id_col, vec_col).mapInPandas(gen, schema=EMB_BAND_SCHEMA)
+
+
 def embedding_cosine_dedup(
     vectors: DataFrame,
     threshold: float = 0.995,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     exact: bool = False,
+    n_bands: int = EMB_DEDUP_BANDS,
+    planes_per_band: int | None = None,
+    n_vectors: int | None = None,
+    bucket_cap: int = EMB_HOT_BUCKET_CAP,
 ) -> DataFrame:
-    """Embedding near-dup pairs: LSH bucket self-join + cosine >= threshold.
+    """Embedding near-dup pairs (doc_a < doc_b, cosine >= threshold).
 
     ``exact=True`` scores every (a < b) pair — O(n^2), the oracle-verifiable
-    correctness baseline (same role brute_force_topk plays for ANN); the
-    default LSH-bucketed path is the 100 TB scale path (recall < 1 by
-    construction, single probe)."""
+    correctness baseline (same role brute_force_topk plays for ANN).
+
+    The default path is banded hyperplane LSH, the 100 TB shape:
+    - ``planes_per_band`` SCALES WITH THE CORPUS (emb_planes_per_band; one
+      column-pruned count job when ``n_vectors`` isn't supplied) so expected
+      bucket size stays ~EMB_TARGET_BUCKET_ROWS regardless of corpus size;
+    - candidate pairs are generated INSIDE each (band, bucket) group from a
+      sorted id array with codegen expressions — groups above ``bucket_cap``
+      (degenerate: e.g. zero vectors all landing in one bucket) are dropped,
+      never self-joined, so fan-out is quadratic only in the cap;
+    - only surviving (doc_a, doc_b) id pairs are joined back to vectors for
+      the exact cosine verify (ids through the exchanges, not embeddings).
+
+    Recall: a true pair at cosine c collides per plane w.p. 1 - arccos(c)/pi
+    (~0.968 at c=0.995); with p=23 planes/band and 8 bands the any-band
+    collision probability is ~0.92 — tunable via n_bands (recall) and
+    threshold-vs-planes (candidate volume). Recall < 1 by construction,
+    like every LSH path here.
+    """
     if exact:
         left = vectors.select(F.col(id_col).alias("doc_a"), F.col(vec_col).alias("va"))
         right = vectors.select(F.col(id_col).alias("doc_b"), F.col(vec_col).alias("vb"))
@@ -235,17 +339,34 @@ def embedding_cosine_dedup(
             .filter(F.col("cosine") >= threshold)
             .select("doc_a", "doc_b", "cosine")
         )
-    b = lsh_buckets(vectors, id_col, vec_col)
-    v = vectors.select(F.col(id_col), F.col(vec_col)).join(b, id_col)
-    left = v.select(F.col("bucket"), F.col(id_col).alias("doc_a"), F.col(vec_col).alias("va"))
-    right = v.select(F.col("bucket"), F.col(id_col).alias("doc_b"), F.col(vec_col).alias("vb"))
+    if planes_per_band is None:
+        if n_vectors is None:
+            n_vectors = vectors.count()
+        planes_per_band = emb_planes_per_band(n_vectors)
+    sig = _banded_emb_buckets(vectors, n_bands, planes_per_band, id_col, vec_col)
+    grouped = (
+        sig.groupBy("band", "bucket")
+        .agg(F.array_sort(F.collect_list("vec_id")).alias("members"))
+        .filter((F.size("members") >= 2) & (F.size("members") <= bucket_cap))
+    )
+    pairs_expr = """
+        flatten(transform(members, (m, i) ->
+          transform(slice(members, i + 2, size(members) - i - 1), o ->
+            struct(m AS doc_a, o AS doc_b))))
+    """
+    cand = (
+        grouped.select(F.explode(F.expr(pairs_expr)).alias("p"))
+        .select("p.doc_a", "p.doc_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    va = vectors.select(F.col(id_col).alias("doc_a"), F.col(vec_col).alias("va"))
+    vb = vectors.select(F.col(id_col).alias("doc_b"), F.col(vec_col).alias("vb"))
     return (
-        left.join(right, "bucket")
-        .filter(F.col("doc_a") < F.col("doc_b"))
+        cand.join(va, "doc_a")
+        .join(vb, "doc_b")
         .withColumn("cosine", F.round(cosine_sim(F.col("va"), F.col("vb")), 6))
         .filter(F.col("cosine") >= threshold)
         .select("doc_a", "doc_b", "cosine")
-        .dropDuplicates(["doc_a", "doc_b"])
     )
 
 
@@ -276,10 +397,25 @@ def fit_ivf_centroids(
     deterministic, so reruns reproduce identical cells (the checkpoint
     contract). At 10^12 rows this driver-side fit is the standard IVF shape:
     the quantizer trains on a tiny sample, only assignment is distributed.
+
+    Sampling: a deterministic xxhash64(id) filter keeps ~3x sample_cap rows
+    (unbiased — the round-1 smallest-ids sample was biased and needed a full
+    corpus sort), then a top-K by hash (distributed TakeOrdered over the
+    filtered sliver, not a global sort) pins the exact sample. An empty
+    corpus returns an empty (0, 0) centroid array instead of crashing.
     """
+    n = vectors.count()
+    if n == 0:
+        return np.zeros((0, 0), dtype=np.float64)
+    # keep-probability 3x the cap: Chernoff makes < sample_cap survivors
+    # vanishingly unlikely for n >> cap; for n <= 3*cap the filter keeps all
+    mod = 1_000_000
+    keep = min(mod, int(mod * min(1.0, 3.0 * sample_cap / n)) + 1)
+    h = F.pmod(F.xxhash64(F.col(id_col)), F.lit(mod))
     rows = (
         vectors.select(id_col, vec_col)
-        .orderBy(id_col)
+        .filter(h < keep)
+        .orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
         .limit(sample_cap)
         .collect()
     )
@@ -354,7 +490,7 @@ def ivf_topk(
     def probes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         n = min(n_probe, len(cent))
         for pdf in batches:
-            if len(pdf) == 0:
+            if len(pdf) == 0 or n == 0:  # n == 0: empty corpus -> no cells
                 continue
             mat = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
             near = _nearest_centroids(mat, cent, n)

@@ -10,7 +10,7 @@ different metadata layer. Cited mapping: SURVEY.md §1.3, §4.3.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 DEFAULT_BUCKETS = 64
@@ -28,15 +28,20 @@ def host_col():
 def detect_hot_hosts(pages: DataFrame, top_n: int = 8, min_share: float = 0.01) -> list[str]:
     """Frequency-sketch pass for skew: hosts above min_share of the corpus.
 
-    One cheap aggregation over the url column only (column-pruned scan)."""
-    total = pages.count()
-    if total == 0:
-        return []
+    ONE job / one column-pruned scan of url: the corpus total is folded into
+    the same aggregation as a window over the grouped counts (the round-1
+    shape ran pages.count() first — a second full scan per pipeline run).
+    The window's single-partition input is the per-HOST count frame, already
+    collapsed by the partial+final agg, not the page rows; the subsequent
+    orderBy().limit() is a distributed TakeOrdered over <= 1/min_share
+    qualifying rows, not a full sort."""
+    w_all = Window.partitionBy()
     hot = (
         pages.select(host_col().alias("host"))
         .groupBy("host")
         .count()
-        .filter(F.col("count") >= total * min_share)
+        .withColumn("total", F.sum("count").over(w_all))
+        .filter(F.col("count") >= F.col("total") * min_share)
         # host asc tiebreak: equal-count hosts otherwise make the top-N cut
         # nondeterministic, which would break checkpoint-rerun salt parity
         .orderBy(F.col("count").desc(), F.col("host"))

@@ -24,6 +24,23 @@ from pyspark.sql import functions as F
 _BUCKET_RE = re.compile(r"url_bucket=(\d+)$")
 
 
+class BucketRunError(RuntimeError):
+    """One or more buckets failed; committed work is NOT lost.
+
+    .processed — buckets that committed (and are in the manifest) this run;
+    .failed    — [(bucket, error-str)] for buckets that raised.
+    """
+
+    def __init__(self, processed: list[int], failed: list[tuple[int, str]]):
+        self.processed = processed
+        self.failed = failed
+        names = ", ".join(f"{b}: {e}" for b, e in failed)
+        super().__init__(
+            f"{len(failed)} bucket(s) failed ({names}); "
+            f"{len(processed)} committed and resumable from the manifest"
+        )
+
+
 class CheckpointManifest:
     """One JSON file per completed bucket; commit = write-tmp + atomic rename."""
 
@@ -78,9 +95,10 @@ def run_resumable(
     input_path: str,
     output_path: str,
     manifest: CheckpointManifest,
-    transform: Callable[[DataFrame], DataFrame],
+    transform: Callable[[DataFrame], DataFrame] | None,
     fail_after: int | None = None,
     max_concurrent: int | None = None,
+    transform_factory: Callable[[int], Callable[[DataFrame], DataFrame]] | None = None,
 ) -> dict:
     """Process each incomplete url bucket through ``transform`` and commit.
 
@@ -94,8 +112,16 @@ def run_resumable(
     ``fail_after`` (tests only) stops dispatching after N buckets to
     simulate a mid-job kill (runs sequentially for determinism); the
     following run resumes from the manifest.
-    Returns {'processed': [...], 'skipped': [...]}.
+    Returns {'processed': [...], 'skipped': [...], 'failed': [...]}.
+
+    Failure contract: every bucket is attempted; failures never discard the
+    list of buckets that DID commit. If any bucket fails, a BucketRunError
+    is raised carrying .processed (committed this run) and .failed
+    ([(bucket, error-str)]) — the manifest already holds the committed
+    entries, so the next run resumes exactly the failed/unattempted set.
     """
+    if (transform is None) == (transform_factory is None):
+        raise ValueError("pass exactly one of transform / transform_factory")
     all_buckets = _discover_buckets(input_path)
     done = manifest.completed_buckets()
     todo = [b for b in all_buckets if b not in done]
@@ -105,7 +131,10 @@ def run_resumable(
         src = f"{input_path}/url_bucket={bucket}"
         dst = f"{output_path}/url_bucket={bucket}"
         df = spark.read.parquet(src)
-        transform(df).write.mode("overwrite").parquet(dst)
+        # transform_factory: bucket-aware transforms (e.g. a MERGE that
+        # routes its updates frame to this bucket's key slice)
+        tf = transform_factory(bucket) if transform_factory is not None else transform
+        tf(df).write.mode("overwrite").parquet(dst)
         # lineage/metrics from the committed output (metadata-cheap scans)
         out_df = spark.read.parquet(dst)
         stats = out_df.agg(
@@ -129,16 +158,25 @@ def run_resumable(
         return bucket
 
     processed = []
+    failed: list[tuple[int, str]] = []
     if fail_after is not None:
         for n, bucket in enumerate(todo):
             if n >= fail_after:
                 break
             processed.append(_one(bucket))
     else:
-        from concurrent.futures import ThreadPoolExecutor
+        from concurrent.futures import ThreadPoolExecutor, as_completed
 
         if max_concurrent is None:
             max_concurrent = max(2, spark.sparkContext.defaultParallelism // 2)
         with ThreadPoolExecutor(max_workers=max_concurrent) as pool:
-            processed = list(pool.map(_one, todo))
-    return {"processed": processed, "skipped": sorted(done)}
+            futures = {pool.submit(_one, b): b for b in todo}
+            for fut in as_completed(futures):
+                bucket = futures[fut]
+                try:
+                    processed.append(fut.result())
+                except Exception as exc:  # noqa: BLE001 — per-bucket isolation
+                    failed.append((bucket, str(exc)))
+        if failed:
+            raise BucketRunError(sorted(processed), sorted(failed))
+    return {"processed": sorted(processed), "skipped": sorted(done), "failed": failed}
