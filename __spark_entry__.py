@@ -376,6 +376,243 @@ def q_salted_host_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- mutation operators (operators/mutate.py; reference server.js:397-550) ---
+
+
+def _orders3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+
+
+def q_upsert_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE/upsert (manual-update analog, backend/server.js:397-427):
+    every 7th order gets its status + amount overwritten, and a disjoint
+    synthetic key-set is inserted — full-outer MERGE, DuckDB-replayed.
+    total arithmetic is +1000.0 (exact in double on both engines; no
+    rounding-mode hazard)."""
+    from invoice_ocr_reconciler_spark.operators.mutate import upsert
+
+    orders = _orders3(spark, sf_dir)
+    upd_existing = orders.filter(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey",
+        F.lit("X").alias("o_orderstatus"),
+        (F.col("o_totalprice") + 1000.0).alias("o_totalprice"),
+    )
+    upd_new = orders.filter(F.col("o_orderkey") % 9973 == 0).select(
+        (F.col("o_orderkey") + 100000000).alias("o_orderkey"),
+        F.lit("N").alias("o_orderstatus"),
+        F.lit(1.0).alias("o_totalprice"),
+    )
+    return upsert(
+        orders,
+        upd_existing.unionByName(upd_new),
+        key="o_orderkey",
+        update_cols=["o_orderstatus", "o_totalprice"],
+    )
+
+
+def q_delete_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELETE (backend/server.js:436-445): anti join against a key-set."""
+    from invoice_ocr_reconciler_spark.operators.mutate import delete_rows
+
+    orders = _orders3(spark, sf_dir)
+    deletes = orders.filter(F.col("o_orderkey") % 13 == 0).select("o_orderkey")
+    return delete_rows(orders, deletes, key="o_orderkey")
+
+
+def _tolerance_results(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-expressible reconcile-results proxy for the mutation oracles:
+    match_status from the J2 amount-tolerance predicate (same li_total
+    decimal discipline as plans/relational.py:amount_tolerance_join)."""
+    orders = _orders3(spark, sf_dir)
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    line_rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1).cast("decimal(4,2)") - F.col("l_discount").cast("decimal(4,2)")
+    )
+    li = lineitem.groupBy("l_orderkey").agg(
+        (F.floor(F.sum(line_rev).cast("double") * 100 + 0.5) / 100).alias("li_total")
+    )
+    j = orders.join(li, orders.o_orderkey == li.l_orderkey)
+    diff = F.abs(F.col("o_totalprice") - F.col("li_total"))
+    bigger = F.greatest(F.col("o_totalprice"), F.col("li_total"))
+    within = F.when(bigger == 0, F.lit(True)).otherwise(diff / bigger <= 0.01)
+    return j.select(
+        F.col("o_orderkey").alias("invoice_key"),
+        F.when(within, F.lit("matched")).otherwise(F.lit("mismatch")).alias(
+            "match_status"
+        ),
+        (F.floor(diff * 100 + 0.5) / 100).alias("discrepancy"),
+    )
+
+
+def q_status_writeback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2 status write-back (backend/server.js:539): UPDATE target SET
+    status = result.match_status per result row; rows without a result keep
+    their status. UPDATE-only MERGE -> broadcastable left join."""
+    from invoice_ocr_reconciler_spark.operators.mutate import status_writeback
+
+    orders = _orders3(spark, sf_dir)
+    results = _tolerance_results(spark, sf_dir)
+    return status_writeback(
+        orders,
+        results,
+        status_col="o_orderstatus",
+        inv_key="o_orderkey",
+        res_key="invoice_key",
+    )
+
+
+def q_manual_link(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manual reconciliation link (backend/server.js:471-505): upsert the
+    result row to matched / 'Manually reconciled' / confidence 100 — update
+    when a result exists, insert when it doesn't (negative keys here)."""
+    from invoice_ocr_reconciler_spark.operators.mutate import manual_link
+
+    base = _tolerance_results(spark, sf_dir).select(
+        "invoice_key",
+        F.concat(F.lit("R-"), F.col("invoice_key").cast("string")).alias("record_id"),
+        "match_status",
+        "discrepancy",
+        F.when(F.col("match_status") == "mismatch", F.lit("Amount mismatch")).alias(
+            "flag_reason"
+        ),
+        F.when(F.col("match_status") == "matched", F.lit(90))
+        .otherwise(F.lit(40))
+        .alias("confidence_score"),
+    )
+    links_upd = base.filter(F.col("invoice_key") % 101 == 0).select(
+        "invoice_key",
+        F.concat(F.lit("MANUAL-"), F.col("invoice_key").cast("string")).alias(
+            "record_id"
+        ),
+    )
+    links_new = base.filter(F.col("invoice_key") % 503 == 0).select(
+        (-F.col("invoice_key")).alias("invoice_key"),
+        F.concat(F.lit("MANUAL-NEW-"), F.col("invoice_key").cast("string")).alias(
+            "record_id"
+        ),
+    )
+    return manual_link(
+        base, links_upd.unionByName(links_new), res_key="invoice_key"
+    )
+
+
+def q_parse_fields_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1/P7/P8/P9 kernel subset with a value-hash oracle: both engines
+    deterministically build invoice-formatted text from doc_id (5 format
+    variants exercising cascade order, comma amounts, % tax prefixes,
+    currency codes AND symbols), Spark runs the REAL regex cascade kernel
+    (functions/parse_fields.py PATTERNS / parse_amount), DuckDB replays the
+    cascades with regexp_extract."""
+    from invoice_ocr_reconciler_spark.functions.parse_fields import (
+        parse_scalar_fields,
+    )
+
+    d = F.col("doc_id")
+    amt_main = F.format_string(
+        "%d,%03d.%02d",
+        (d % 9 + 1).cast("int"),
+        ((d * 37) % 1000).cast("int"),
+        ((d * 7) % 100).cast("int"),
+    )
+    amt_tax = F.format_string(
+        "%d.%02d", (d % 90 + 1).cast("int"), ((d * 13) % 100).cast("int")
+    )
+    ds = d.cast("string")
+    text = (
+        F.when(
+            d % 5 == 0,
+            F.concat(
+                F.lit("Invoice #INV-"), ds, F.lit("\nGrand Total: $"), amt_main,
+                F.lit("\nTax: 5% $"), amt_tax,
+            ),
+        )
+        .when(
+            d % 5 == 1,
+            F.concat(
+                F.lit("INV "), (d * 3).cast("string"), F.lit("\nAmount Due: "),
+                amt_main, F.lit(" USD\nVAT: "), amt_tax,
+            ),
+        )
+        .when(
+            d % 5 == 2,
+            F.concat(F.lit("Bill No: "), ds, F.lit("-X\nTotal: EUR "), amt_main),
+        )
+        .when(d % 5 == 3, F.concat(F.lit("Ref # REF-"), ds, F.lit("\n€ only today")))
+        .otherwise(
+            F.concat(
+                F.lit("TOTAL DUE: "), amt_main, F.lit("\nGST: "), amt_tax,
+                F.lit("\n₹ price"),
+            )
+        )
+    )
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", text.alias("extracted_text")
+    )
+    return parse_scalar_fields(docs)
+
+
+def q_reconcile_summary_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 summary invariants, SQL-checkable: total_invoices == corpus docs
+    (every page yields exactly one result row), the four statuses partition
+    the results (balance 0), and the ledger dimension has its constructed
+    size — value-hashed against DuckDB instead of rows-only."""
+    from invoice_ocr_reconciler_spark.pipeline import run_pipeline
+
+    pages, ledger = _pages_and_ledger(spark, sf_dir)
+    s = run_pipeline(pages, ledger)["summary"]
+    return s.select(
+        F.col("total_invoices"),
+        (
+            F.col("matched")
+            + F.col("mismatched")
+            + F.col("missing_invoices")
+            + F.col("duplicate")
+            - F.col("total_invoices")
+        ).alias("status_balance"),
+        F.col("total_records"),
+    )
+
+
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured recall@5 of the ANN scale paths vs the exact baseline —
+    turns 'recall < 1 by design' into a regression-guarded number
+    (rows-only: the truth set itself comes from the Spark baseline)."""
+    from invoice_ocr_reconciler_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+        lsh_topk,
+        recall_vs_truth,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries_df = emb.filter(F.col("vec_id") < 10)
+    truth = brute_force_topk(emb, queries_df, k=5).persist()
+    out = (
+        recall_vs_truth(lsh_topk(emb, queries_df, k=5), truth, "lsh_probe0")
+        .unionByName(
+            recall_vs_truth(
+                lsh_topk(emb, queries_df, k=5, n_probe_bits=2), truth, "lsh_probe2"
+            )
+        )
+        .unionByName(
+            recall_vs_truth(
+                lsh_topk(emb, queries_df, k=5, n_probe_bits=4), truth, "lsh_probe4"
+            )
+        )
+        .unionByName(
+            recall_vs_truth(ivf_topk(emb, queries_df, k=5), truth, "ivf_probe4")
+        )
+        .unionByName(
+            recall_vs_truth(
+                ivf_topk(emb, queries_df, k=5, n_probe=8), truth, "ivf_probe8"
+            )
+        )
+    )
+    return out.orderBy("method")
+
+
 def q_paged_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A5 (backend/server.js:368): COUNT(*) under the page query's WHERE."""
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
@@ -429,6 +666,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
         "embedding_dedup": q_embedding_dedup,
+        # mutation operators (MERGE/upsert, delete, write-back, manual link)
+        "upsert_table": q_upsert_table,
+        "delete_rows": q_delete_rows,
+        "status_writeback": q_status_writeback,
+        "manual_link": q_manual_link,
+        # tightened oracles + recall reporting
+        "parse_fields_subset": q_parse_fields_subset,
+        "reconcile_summary_invariants": q_reconcile_summary_invariants,
+        "ann_recall": q_ann_recall,
         # sources / scale mechanics / misc
         "register_csv_scan": q_register_csv_scan,
         "multimodal_features": q_multimodal_features,
@@ -644,6 +890,167 @@ def oracle_sql() -> dict[str, str]:
         """,
         "fingerprint": f"SELECT doc_id, {_FP_SQL} AS fingerprint FROM documents",
         "paged_count": "SELECT count(*) AS total FROM orders WHERE o_orderstatus IN ('O', 'P')",
+        # MERGE/upsert replay: matched -> update values win, unmatched target
+        # kept, unmatched update inserted (operators/mutate.py:upsert)
+        "upsert_table": """
+            WITH t AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+            u AS (
+                SELECT o_orderkey, 'X' AS u_status, o_totalprice + 1000.0 AS u_price
+                FROM orders WHERE o_orderkey % 7 = 0
+                UNION ALL
+                SELECT o_orderkey + 100000000, 'N', 1.0
+                FROM orders WHERE o_orderkey % 9973 = 0
+            )
+            SELECT coalesce(t.o_orderkey, u.o_orderkey) AS o_orderkey,
+                   CASE WHEN u.o_orderkey IS NOT NULL THEN u.u_status
+                        ELSE t.o_orderstatus END AS o_orderstatus,
+                   CASE WHEN u.o_orderkey IS NOT NULL THEN u.u_price
+                        ELSE t.o_totalprice END AS o_totalprice
+            FROM t FULL OUTER JOIN u ON t.o_orderkey = u.o_orderkey
+        """,
+        "delete_rows": """
+            SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+            WHERE o_orderkey % 13 <> 0
+        """,
+        "status_writeback": """
+            WITH li AS (
+                SELECT l_orderkey,
+                       floor(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                                      * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))))
+                                  AS DOUBLE) * 100 + 0.5) / 100 AS li_total
+                FROM lineitem GROUP BY l_orderkey
+            ),
+            res AS (
+                SELECT o_orderkey AS invoice_key,
+                       CASE WHEN greatest(o_totalprice, li_total) = 0 THEN 'matched'
+                            WHEN abs(o_totalprice - li_total)
+                                 / greatest(o_totalprice, li_total) <= 0.01 THEN 'matched'
+                            ELSE 'mismatch' END AS match_status
+                FROM orders JOIN li ON o_orderkey = l_orderkey
+            )
+            SELECT o.o_orderkey,
+                   coalesce(r.match_status, o.o_orderstatus) AS o_orderstatus,
+                   o.o_totalprice
+            FROM orders o LEFT JOIN res r ON o.o_orderkey = r.invoice_key
+        """,
+        "manual_link": """
+            WITH li AS (
+                SELECT l_orderkey,
+                       floor(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                                      * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))))
+                                  AS DOUBLE) * 100 + 0.5) / 100 AS li_total
+                FROM lineitem GROUP BY l_orderkey
+            ),
+            base AS (
+                SELECT o_orderkey AS invoice_key,
+                       'R-' || CAST(o_orderkey AS VARCHAR) AS record_id,
+                       CASE WHEN greatest(o_totalprice, li_total) = 0 THEN 'matched'
+                            WHEN abs(o_totalprice - li_total)
+                                 / greatest(o_totalprice, li_total) <= 0.01 THEN 'matched'
+                            ELSE 'mismatch' END AS match_status,
+                       floor(abs(o_totalprice - li_total) * 100 + 0.5) / 100 AS discrepancy
+                FROM orders JOIN li ON o_orderkey = l_orderkey
+            ),
+            base2 AS (
+                SELECT invoice_key, record_id, match_status, discrepancy,
+                       CASE WHEN match_status = 'mismatch'
+                            THEN 'Amount mismatch' END AS flag_reason,
+                       CAST(CASE WHEN match_status = 'matched' THEN 90 ELSE 40 END
+                            AS INT) AS confidence_score
+                FROM base
+            ),
+            links AS (
+                SELECT invoice_key,
+                       'MANUAL-' || CAST(invoice_key AS VARCHAR) AS record_id
+                FROM base2 WHERE invoice_key % 101 = 0
+                UNION ALL
+                SELECT -invoice_key,
+                       'MANUAL-NEW-' || CAST(invoice_key AS VARCHAR)
+                FROM base2 WHERE invoice_key % 503 = 0
+            )
+            SELECT coalesce(b.invoice_key, l.invoice_key) AS invoice_key,
+                   CASE WHEN l.invoice_key IS NOT NULL THEN l.record_id
+                        ELSE b.record_id END AS record_id,
+                   CASE WHEN l.invoice_key IS NOT NULL THEN 'matched'
+                        ELSE b.match_status END AS match_status,
+                   CASE WHEN l.invoice_key IS NOT NULL THEN 0.0
+                        ELSE b.discrepancy END AS discrepancy,
+                   CASE WHEN l.invoice_key IS NOT NULL THEN 'Manually reconciled'
+                        ELSE b.flag_reason END AS flag_reason,
+                   CASE WHEN l.invoice_key IS NOT NULL THEN CAST(100 AS INT)
+                        ELSE b.confidence_score END AS confidence_score
+            FROM base2 b FULL OUTER JOIN links l ON b.invoice_key = l.invoice_key
+        """,
+        # parse-kernel replay: the same deterministic 5-variant invoice text
+        # built from doc_id, the P1/P7/tax/P8 cascades as regexp_extract
+        # CASEs, P9 parseFloat-prefix as a prefix regexp + TRY_CAST
+        "parse_fields_subset": r"""
+            WITH b AS (
+                SELECT doc_id,
+                       printf('%d,%03d.%02d', CAST(doc_id % 9 + 1 AS INT),
+                              CAST((doc_id * 37) % 1000 AS INT),
+                              CAST((doc_id * 7) % 100 AS INT)) AS amt_main,
+                       printf('%d.%02d', CAST(doc_id % 90 + 1 AS INT),
+                              CAST((doc_id * 13) % 100 AS INT)) AS amt_tax
+                FROM documents),
+            t AS (
+                SELECT doc_id, CASE CAST(doc_id % 5 AS INT)
+                    WHEN 0 THEN 'Invoice #INV-' || doc_id || chr(10) ||
+                                'Grand Total: $' || amt_main || chr(10) ||
+                                'Tax: 5% $' || amt_tax
+                    WHEN 1 THEN 'INV ' || (doc_id * 3) || chr(10) ||
+                                'Amount Due: ' || amt_main || ' USD' || chr(10) ||
+                                'VAT: ' || amt_tax
+                    WHEN 2 THEN 'Bill No: ' || doc_id || '-X' || chr(10) ||
+                                'Total: EUR ' || amt_main
+                    WHEN 3 THEN 'Ref # REF-' || doc_id || chr(10) || '€ only today'
+                    ELSE 'TOTAL DUE: ' || amt_main || chr(10) ||
+                         'GST: ' || amt_tax || chr(10) || '₹ price'
+                END AS text FROM b),
+            caps AS (
+                SELECT doc_id,
+                    regexp_extract(text, '(?i)invoice\s*(?:#|no\.?|number|num\.?)[:\s]*([A-Z0-9\-/]+)', 1) AS i1,
+                    regexp_extract(text, '(?i)inv\s*[#:]?\s*([A-Z0-9\-/]+)', 1) AS i2,
+                    regexp_extract(text, '(?i)bill\s*(?:#|no\.?)[:\s]*([A-Z0-9\-/]+)', 1) AS i3,
+                    regexp_extract(text, '(?i)#\s*([A-Z0-9\-]{4,20})', 1) AS i4,
+                    regexp_extract(text, '(?i)(?:total\s*(?:amount\s*)?due|grand\s*total|amount\s*due|total)[:\s]*\$?\s*([\d,]+\.?\d{0,2})', 1) AS t1,
+                    regexp_extract(text, '(?i)total[:\s]*(?:USD|EUR|GBP|INR)?\s*([\d,]+\.?\d{0,2})', 1) AS t2,
+                    regexp_extract(text, '(?i)(?:tax|vat|gst|hst)[:\s]*(?:\d+%\s*)?\$?\s*([\d,]+\.?\d{0,2})', 1) AS x1,
+                    regexp_extract(text, '(?i)(?:sales\s*tax|service\s*tax)[:\s]*\$?\s*([\d,]+\.?\d{0,2})', 1) AS x2,
+                    regexp_extract(text, '(?i)\b(USD|EUR|GBP|INR|CAD|AUD|JPY|CNY|CHF|SGD)\b', 1) AS cu1,
+                    regexp_extract(text, '(\$|€|£|₹|¥)', 1) AS cu2
+                FROM t)
+            SELECT doc_id,
+                   nullif(CASE WHEN i1 <> '' THEN i1 WHEN i2 <> '' THEN i2
+                               WHEN i3 <> '' THEN i3 WHEN i4 <> '' THEN i4
+                               ELSE '' END, '') AS invoice_number_raw,
+                   TRY_CAST(regexp_extract(
+                       replace(nullif(CASE WHEN t1 <> '' THEN t1
+                                           WHEN t2 <> '' THEN t2
+                                           ELSE '' END, ''), ',', ''),
+                       '^[+-]?(?:[0-9]+\.?[0-9]*|\.[0-9]+)(?:[eE][+-]?[0-9]+)?')
+                       AS DOUBLE) AS total_parsed,
+                   TRY_CAST(regexp_extract(
+                       replace(nullif(CASE WHEN x1 <> '' THEN x1
+                                           WHEN x2 <> '' THEN x2
+                                           ELSE '' END, ''), ',', ''),
+                       '^[+-]?(?:[0-9]+\.?[0-9]*|\.[0-9]+)(?:[eE][+-]?[0-9]+)?')
+                       AS DOUBLE) AS tax_parsed,
+                   CASE WHEN cu1 <> '' THEN upper(cu1)
+                        WHEN cu2 = '$' THEN 'USD' WHEN cu2 = '€' THEN 'EUR'
+                        WHEN cu2 = '£' THEN 'GBP' WHEN cu2 = '₹' THEN 'INR'
+                        WHEN cu2 = '¥' THEN 'JPY'
+                        ELSE 'USD' END AS currency
+            FROM caps
+        """,
+        # summary invariants: results partition into the 4 statuses, one row
+        # per corpus doc; ledger size is its constructed max(30, n//8)
+        "reconcile_summary_invariants": """
+            SELECT count(*) AS total_invoices,
+                   CAST(0 AS BIGINT) AS status_balance,
+                   greatest(30, count(*) // 8) AS total_records
+            FROM documents
+        """,
         "ann_brute_force": """
             WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
                        FROM embeddings WHERE vec_id < 10),

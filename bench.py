@@ -47,6 +47,8 @@ def main() -> None:
         "dedup_exact",
         "dedup_minhash",
         "ann_brute_force",
+        "upsert_table",         # MERGE/upsert over the orders table
+        "status_writeback",     # E2 write-back (UPDATE-only MERGE)
         "extract_pages",        # extraction stage alone
         "reconcile",            # full pipeline: extract -> parse -> reconcile
     ]
@@ -60,6 +62,16 @@ def main() -> None:
         timings[name] = round(time.monotonic() - t0, 3)
         if name == "extract_pages":
             n_docs = n
+
+    # measured ANN recall@5 (values, not wall time): regression guard for
+    # the LSH/IVF scale paths vs the exact baseline
+    try:
+        recall = {
+            r["method"]: r["recall"]
+            for r in qs["ann_recall"](spark, sf_dir).collect()
+        }
+    except Exception as exc:
+        recall = {"error": str(exc)[:120]}
 
     total = round(sum(timings.values()), 3)
     pipeline_docs_per_sec = (
@@ -111,6 +123,7 @@ def main() -> None:
                 "cores": cores,
                 "n_docs": n_docs,
                 "extract_reconcile_docs_per_sec": pipeline_docs_per_sec,
+                "ann_recall_at_5": recall,
                 "flagship_200k": flagship,
             }
         )

@@ -246,6 +246,55 @@ def _parse_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         )
 
 
+SCALAR_SUBSET_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("invoice_number_raw", T.StringType()),
+        T.StructField("total_parsed", T.DoubleType()),
+        T.StructField("tax_parsed", T.DoubleType()),
+        T.StructField("currency", T.StringType()),
+    ]
+)
+
+
+def parse_scalar_fields(
+    frame: DataFrame, id_col: str = "doc_id", text_col: str = "extracted_text"
+) -> DataFrame:
+    """Oracle-checkable scalar kernel subset (P1 invoice-number cascade, P7
+    total cascade, tax cascade + P9 parseFloat-prefix amount parse, P8
+    currency resolution) — the SAME code paths parse_invoice_fields runs
+    (PATTERNS / extract_field / parse_amount / CURRENCY_SYMBOLS), minus the
+    fallback/coalescing layers, so each raw capture gets a value-hash check
+    against a DuckDB regexp replay instead of only goldens."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for i, t in zip(pdf[id_col], pdf[text_col]):
+                text = (t or "")[:PARSE_MAX_CHARS]
+                cur = extract_field(text, PATTERNS["currency"])
+                out.append(
+                    {
+                        "doc_id": int(i),
+                        "invoice_number_raw": extract_field(
+                            text, PATTERNS["invoice_number"]
+                        ),
+                        "total_parsed": parse_amount(
+                            extract_field(text, PATTERNS["total"])
+                        ),
+                        "tax_parsed": parse_amount(extract_field(text, PATTERNS["tax"])),
+                        "currency": CURRENCY_SYMBOLS.get(cur, cur.upper())
+                        if cur
+                        else "USD",
+                    }
+                )
+            yield pd.DataFrame(
+                out, columns=[f.name for f in SCALAR_SUBSET_SCHEMA.fields]
+            )
+
+    return frame.select(id_col, text_col).mapInPandas(gen, schema=SCALAR_SUBSET_SCHEMA)
+
+
 def parse_invoice_fields(extracted: DataFrame) -> DataFrame:
     """extracted(url, extracted_text, ...) -> one struct row per document.
 

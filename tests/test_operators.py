@@ -423,3 +423,14 @@ def test_lsh_multiprobe_recall(spark):
     again = {(r["query_id"], r["neighbor_id"]) for r in
              lsh_topk(df, q, k=5, n_probe_bits=3).collect()}
     assert multi == again
+
+
+def test_money_render_half_up_ties():
+    """Driver-side render must agree with format_number (HALF_UP) on ties
+    like 8.125 where Python's f-string (half-even) would print 8.12."""
+    from invoice_ocr_reconciler_spark.functions.report import _money
+
+    assert _money(8.125) == "8.13"
+    assert _money(2.675) == "2.68"
+    assert _money(0) == "0.00"
+    assert _money(1e6) == "1000000.00"

@@ -1,0 +1,131 @@
+"""Degenerate-input scale guards: the pair generators must stay BOUNDED on
+adversarial corpora (thousands of identical docs/vectors — the web-scale
+boilerplate case). Round-1 verdict: simhash and embedding-LSH dedup were the
+two remaining O(n^2) paths; these tests pin the caps that fixed them.
+"""
+
+import hashlib
+
+import numpy as np
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+N_COPIES = 5000  # uncapped would be ~12.5M pairs from one degenerate group
+
+
+@pytest.fixture(scope="module")
+def degenerate_docs(spark):
+    rows = [Row(doc_id=i, text="identical boilerplate page " * 10) for i in range(N_COPIES)]
+    rows += [Row(doc_id=N_COPIES + i, text=f"unique document number {i} about topic {i*7}")
+             for i in range(20)]
+    return spark.createDataFrame(rows)
+
+
+def test_simhash_degenerate_corpus_bounded(degenerate_docs):
+    from invoice_ocr_reconciler_spark.operators.dedup import (
+        HOT_CHUNK_CAP,
+        simhash_near_pairs,
+    )
+
+    pairs = simhash_near_pairs(degenerate_docs, max_hamming=3).count()
+    # every chunk group of the 5k identical docs exceeds HOT_CHUNK_CAP and is
+    # dropped; the bound is quadratic in the cap times the 4 chunks, NOT in n
+    assert pairs <= 4 * HOT_CHUNK_CAP * (HOT_CHUNK_CAP - 1) // 2
+    assert pairs < 50_000  # sanity: nowhere near the 12.5M uncapped blowup
+
+
+def test_minhash_degenerate_corpus_bounded(degenerate_docs):
+    from invoice_ocr_reconciler_spark.operators.dedup import (
+        HOT_BUCKET_CAP,
+        N_BANDS,
+        minhash_lsh_pairs,
+    )
+
+    pairs = minhash_lsh_pairs(degenerate_docs, threshold=0.5).count()
+    assert pairs <= N_BANDS * HOT_BUCKET_CAP * (HOT_BUCKET_CAP - 1) // 2
+
+
+def _vec(seed: str, dim: int = 16) -> list[float]:
+    h = hashlib.md5(seed.encode()).digest()
+    rng = np.frombuffer(h * (dim // 4), dtype=np.uint32).astype(np.float64)
+    return [float(x) for x in rng / 2**31 - 1.0]
+
+
+def test_embedding_dedup_degenerate_corpus_bounded(spark):
+    from invoice_ocr_reconciler_spark.operators.similarity import (
+        EMB_HOT_BUCKET_CAP,
+        embedding_cosine_dedup,
+    )
+
+    same = _vec("the-one-vector")
+    df = spark.createDataFrame(
+        [Row(vec_id=i, embedding=same) for i in range(N_COPIES)]
+    )
+    n_bands = 8
+    pairs = embedding_cosine_dedup(df, threshold=0.9, n_bands=n_bands).count()
+    # identical vectors share every band bucket -> every group is degenerate
+    # and capped; bound is bands * cap-quadratic, independent of n
+    assert pairs <= n_bands * EMB_HOT_BUCKET_CAP * (EMB_HOT_BUCKET_CAP - 1) // 2
+
+
+def test_embedding_dedup_still_finds_near_dups(spark):
+    from invoice_ocr_reconciler_spark.operators.similarity import (
+        embedding_cosine_dedup,
+    )
+
+    base = [Row(vec_id=i, embedding=_vec(f"v{i}")) for i in range(50)]
+    near = np.array(_vec("v7"))
+    near = near + 1e-3 * np.array(_vec("noise"))
+    rows = base + [Row(vec_id=999, embedding=[float(x) for x in near])]
+    df = spark.createDataFrame(rows)
+    got = {(r["doc_a"], r["doc_b"]): r["cosine"]
+           for r in embedding_cosine_dedup(df, threshold=0.99).collect()}
+    assert (7, 999) in got
+    assert got[(7, 999)] > 0.999
+
+
+def test_embedding_dedup_lsh_vs_exact_consistency(spark):
+    """LSH-path pairs are a SUBSET of exact pairs with identical cosines
+    (the banding can only lose candidates, never invent or rescore them)."""
+    from invoice_ocr_reconciler_spark.operators.similarity import (
+        embedding_cosine_dedup,
+    )
+
+    rows = [Row(vec_id=i, embedding=_vec(f"w{i % 30}")) for i in range(60)]
+    df = spark.createDataFrame(rows)
+    exact = {(r["doc_a"], r["doc_b"]): r["cosine"]
+             for r in embedding_cosine_dedup(df, threshold=0.5, exact=True).collect()}
+    lsh = {(r["doc_a"], r["doc_b"]): r["cosine"]
+           for r in embedding_cosine_dedup(df, threshold=0.5).collect()}
+    assert set(lsh) <= set(exact)
+    assert all(exact[k] == v for k, v in lsh.items())
+    # duplicated seeds (i % 30) give exact duplicates -> must be found
+    assert len(lsh) > 0
+
+
+def test_emb_planes_scale_with_corpus():
+    from invoice_ocr_reconciler_spark.operators.similarity import (
+        emb_planes_per_band,
+    )
+
+    assert emb_planes_per_band(0) == 8
+    assert emb_planes_per_band(10_000) == 8
+    assert emb_planes_per_band(10**9) == 23
+    assert emb_planes_per_band(10**12) == 33
+    # monotone: more corpus never means fewer buckets
+    vals = [emb_planes_per_band(10**k) for k in range(3, 13)]
+    assert vals == sorted(vals)
+
+
+def test_simhash_still_finds_near_dups(spark):
+    from invoice_ocr_reconciler_spark.operators.dedup import simhash_near_pairs
+
+    text = " ".join(f"token{i}" for i in range(200))
+    near = " ".join(f"token{i}" for i in range(199)) + " tokenX"
+    rows = [Row(doc_id=1, text=text), Row(doc_id=2, text=near)] + [
+        Row(doc_id=10 + i, text=f"completely different {i} " * 20) for i in range(10)
+    ]
+    got = {(r["doc_a"], r["doc_b"]) for r in
+           simhash_near_pairs(spark.createDataFrame(rows), max_hamming=10).collect()}
+    assert (1, 2) in got
