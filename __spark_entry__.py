@@ -602,6 +602,18 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         .unionByName(
+            recall_vs_truth(
+                lsh_topk(emb, queries_df, k=5, n_tables=4), truth, "lsh_tables4"
+            )
+        )
+        .unionByName(
+            recall_vs_truth(
+                lsh_topk(emb, queries_df, k=5, n_tables=8, n_probe_bits=2),
+                truth,
+                "lsh_tables8_probe2",
+            )
+        )
+        .unionByName(
             recall_vs_truth(ivf_topk(emb, queries_df, k=5), truth, "ivf_probe4")
         )
         .unionByName(

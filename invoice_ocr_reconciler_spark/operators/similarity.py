@@ -105,25 +105,27 @@ def _planes(dim: int, seed: str = "ann-lsh-v1", n_planes: int = N_PLANES) -> np.
 LSH_SCHEMA = T.StructType(
     [
         T.StructField("vec_id", T.LongType(), False),
+        T.StructField("tbl", T.IntegerType(), False),
         T.StructField("bucket", T.IntegerType(), False),
     ]
 )
 
 
-def lsh_buckets(vectors: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        planes = None
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            mat = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
-            if planes is None:
-                planes = _planes(mat.shape[1])
-            signs = (mat @ planes.T) > 0
-            buckets = (signs * (1 << np.arange(N_PLANES))).sum(axis=1).astype("int32")
-            yield pd.DataFrame({"vec_id": pdf[id_col].astype("int64"), "bucket": buckets})
+def _table_seed(t: int) -> str:
+    # table 0 keeps the original seed so single-table results are stable
+    return "ann-lsh-v1" if t == 0 else f"ann-lsh-v1:t{t}"
 
-    return vectors.select(id_col, vec_col).mapInPandas(gen, schema=LSH_SCHEMA)
+
+def lsh_buckets(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_tables: int = 1,
+) -> DataFrame:
+    """(vec_id, tbl, bucket): exact LSH bucket per hash table (independent
+    deterministic hyperplane sets per table — the classic L-tables recall
+    lever: a true neighbor is found if ANY table colocates the pair)."""
+    return lsh_probe_buckets(vectors, 0, id_col, vec_col, n_tables)
 
 
 def lsh_probe_buckets(
@@ -131,12 +133,13 @@ def lsh_probe_buckets(
     n_flip: int = 0,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_tables: int = 1,
 ) -> DataFrame:
-    """(vec_id, bucket) with MULTI-PROBE expansion: besides the exact
-    bucket, probe the buckets reached by flipping each of the ``n_flip``
-    LOWEST-MARGIN hyperplane bits (the planes the vector sits closest to —
-    exactly the bits most likely to differ for a true near neighbor).
-    1 + n_flip rows per vector; n_flip=0 degenerates to lsh_buckets."""
+    """(vec_id, tbl, bucket) with MULTI-PROBE expansion per table: besides
+    the exact bucket, probe the buckets reached by flipping each of the
+    ``n_flip`` LOWEST-MARGIN hyperplane bits (the planes the vector sits
+    closest to — exactly the bits most likely to differ for a true near
+    neighbor). (1 + n_flip) * n_tables rows per vector."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         planes = None
@@ -145,21 +148,30 @@ def lsh_probe_buckets(
                 continue
             mat = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
             if planes is None:
-                planes = _planes(mat.shape[1])
-            proj = mat @ planes.T
-            base = ((proj > 0) * (1 << np.arange(N_PLANES))).sum(axis=1).astype("int64")
+                planes = [
+                    _planes(mat.shape[1], seed=_table_seed(t)) for t in range(n_tables)
+                ]
             ids = pdf[id_col].astype("int64").to_numpy()
-            out_ids = [ids]
-            out_buckets = [base]
-            if n_flip > 0:
-                # per row, indices of the n_flip smallest |projection|s
-                order = np.argsort(np.abs(proj), axis=1, kind="stable")[:, :n_flip]
-                for j in range(order.shape[1]):
-                    out_ids.append(ids)
-                    out_buckets.append(base ^ (1 << order[:, j]))
+            out_ids, out_tbl, out_buckets = [], [], []
+            for t, pl in enumerate(planes):
+                proj = mat @ pl.T
+                base = ((proj > 0) * (1 << np.arange(N_PLANES))).sum(axis=1).astype(
+                    "int64"
+                )
+                out_ids.append(ids)
+                out_tbl.append(np.full(len(ids), t, dtype="int32"))
+                out_buckets.append(base)
+                if n_flip > 0:
+                    # per row, indices of the n_flip smallest |projection|s
+                    order = np.argsort(np.abs(proj), axis=1, kind="stable")[:, :n_flip]
+                    for j in range(order.shape[1]):
+                        out_ids.append(ids)
+                        out_tbl.append(np.full(len(ids), t, dtype="int32"))
+                        out_buckets.append(base ^ (1 << order[:, j]))
             yield pd.DataFrame(
                 {
                     "vec_id": np.concatenate(out_ids),
+                    "tbl": np.concatenate(out_tbl),
                     "bucket": np.concatenate(out_buckets).astype("int32"),
                 }
             )
@@ -174,19 +186,26 @@ def lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_probe_bits: int = 0,
+    n_tables: int = 1,
 ) -> DataFrame:
-    """ANN top-k: join on LSH bucket, exact cosine re-rank within bucket.
+    """ANN top-k: join on (table, LSH bucket), exact cosine re-rank within
+    the colliding buckets.
 
     Recall < 1 by construction; the bucket join replaces the full cross
-    product — at 10^12 vectors each query touches ~1/2^16 of the corpus.
-    ``n_probe_bits`` > 0 enables multi-probe on the QUERY side (each query
-    additionally probes the buckets across its n lowest-margin hyperplanes),
-    trading a linear factor of candidates for recall — the standard knob;
-    the corpus-side index is untouched."""
-    cb = lsh_buckets(corpus, id_col, vec_col).withColumnRenamed("vec_id", "neighbor_id")
-    qb = lsh_probe_buckets(queries, n_probe_bits, id_col, vec_col).withColumnRenamed(
-        "vec_id", "query_id"
+    product — at 10^12 vectors each query touches ~n_tables/2^16 of the
+    corpus. Two orthogonal recall levers, both measured by ann_recall:
+    - ``n_probe_bits``: multi-probe on the QUERY side (each query also
+      probes across its n lowest-margin hyperplanes) — more candidates per
+      table at zero index cost;
+    - ``n_tables``: L independent hyperplane sets; a true neighbor is found
+      if ANY table colocates the pair (1-(1-p^b)^L vs p^b) — the classic
+      LSH lever, at the cost of L index rows per corpus vector."""
+    cb = lsh_buckets(corpus, id_col, vec_col, n_tables).withColumnRenamed(
+        "vec_id", "neighbor_id"
     )
+    qb = lsh_probe_buckets(
+        queries, n_probe_bits, id_col, vec_col, n_tables
+    ).withColumnRenamed("vec_id", "query_id")
     c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")).join(
         cb, "neighbor_id"
     )
@@ -194,12 +213,12 @@ def lsh_topk(
         qb, "query_id"
     )
     scored = (
-        c.join(F.broadcast(q), "bucket")
+        c.join(F.broadcast(q), ["tbl", "bucket"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
     )
-    if n_probe_bits > 0:
-        # a pair can collide in several probed buckets; dedup BEFORE scoring
-        # so each pair pays one cosine and one window slot
+    if n_probe_bits > 0 or n_tables > 1:
+        # a pair can collide in several probed buckets/tables; dedup BEFORE
+        # scoring so each pair pays one cosine and one window slot
         scored = scored.dropDuplicates(["query_id", "neighbor_id"])
     scored = scored.withColumn(
         "cosine", F.round(cosine_sim(F.col("q_vec"), F.col("c_vec")), 6)

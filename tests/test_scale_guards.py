@@ -129,3 +129,19 @@ def test_simhash_still_finds_near_dups(spark):
     got = {(r["doc_a"], r["doc_b"]) for r in
            simhash_near_pairs(spark.createDataFrame(rows), max_hamming=10).collect()}
     assert (1, 2) in got
+
+
+def test_lsh_multitable_recall_superset(spark):
+    """Table 0 keeps the single-table seed, so L-tables candidates are a
+    superset of single-table candidates; recall is monotone in n_tables."""
+    from invoice_ocr_reconciler_spark.operators.similarity import lsh_topk
+
+    rows = [Row(vec_id=i, embedding=_vec(f"m{i}", 32)) for i in range(200)]
+    df = spark.createDataFrame(rows)
+    q = df.filter("vec_id < 5")
+    single = {(r["query_id"], r["neighbor_id"], r["rank"])
+              for r in lsh_topk(df, q, k=3).collect()}
+    multi_pairs = {(r["query_id"], r["neighbor_id"])
+                   for r in lsh_topk(df, q, k=200, n_tables=4).collect()}
+    # every single-table candidate appears in the multi-table candidate set
+    assert {(a, b) for a, b, _ in single} <= multi_pairs
