@@ -625,6 +625,28 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("method")
 
 
+def q_curation_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation pipeline, SQL-expressible subset (annotate -> exact-dedup
+    first-wins -> quality/lang filter): the per-doc survivors with their
+    audit columns, DuckDB-replayed from the same fingerprint/quality/lang
+    formulas. The full pipeline incl. MinHash near-dup is curation_pipeline."""
+    from invoice_ocr_reconciler_spark.operators.curation import curate_documents
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = curate_documents(docs, min_quality=0.55, langs=("en",), with_near_dup=False)
+    return out["curated"]
+
+
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full curation run (exact dedup + quality/lang + MinHash near-dup);
+    returns the one-row audit stats (rows-only: sketch semantics)."""
+    from invoice_ocr_reconciler_spark.operators.curation import curate_documents
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = curate_documents(docs, min_quality=0.55, langs=("en",))
+    return out["stats"]
+
+
 def q_paged_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A5 (backend/server.js:368): COUNT(*) under the page query's WHERE."""
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
@@ -687,6 +709,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parse_fields_subset": q_parse_fields_subset,
         "reconcile_summary_invariants": q_reconcile_summary_invariants,
         "ann_recall": q_ann_recall,
+        # composed training-data curation
+        "curation_filter": q_curation_filter,
+        "curation_pipeline": q_curation_pipeline,
         # sources / scale mechanics / misc
         "register_csv_scan": q_register_csv_scan,
         "multimodal_features": q_multimodal_features,
@@ -1054,6 +1079,40 @@ def oracle_sql() -> dict[str, str]:
                         WHEN cu2 = '¥' THEN 'JPY'
                         ELSE 'USD' END AS currency
             FROM caps
+        """,
+        # curation survivors: fingerprint window first-wins + quality/lang
+        # cut, reusing the exact formulas of the dedup_exact/quality_score/
+        # lang_id oracles
+        "curation_filter": f"""
+            WITH f AS (
+                SELECT doc_id, {_FP_SQL} AS fingerprint,
+                       CAST(length(coalesce(text, '')) AS INT) AS n_chars,
+                       len(regexp_extract_all(coalesce(text, ''), '[^\\w\\s]')) AS n_punct,
+                       CASE WHEN length(trim(coalesce(text, ''))) = 0 THEN 0
+                            ELSE len(regexp_split_to_array(trim(coalesce(text, '')), '\\s+'))
+                       END AS n_tokens,
+                       len(regexp_extract_all(lower(coalesce(text, '')), '{_STOP_EN}')) AS n_stop,
+                       {hits['en']} AS h_en, {hits['fr']} AS h_fr,
+                       {hits['es']} AS h_es, {hits['de']} AS h_de
+                FROM documents),
+            a AS (
+                SELECT doc_id, fingerprint, n_tokens,
+                       CAST(row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) AS INT) AS dup_rank,
+                       floor((least(n_chars / 500.0, 1.0) * 0.4
+                              + (1.0 - CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0 END) * 0.3
+                              + least(CASE WHEN n_tokens > 0 THEN n_stop / n_tokens ELSE 0 END * 5.0, 1.0) * 0.3)
+                             * 10000.0 + 0.5) / 10000.0 AS quality_score,
+                       CASE WHEN h_de > greatest(h_en, h_fr, h_es) THEN 'de'
+                            WHEN h_es > greatest(h_en, h_fr) THEN 'es'
+                            WHEN h_fr > h_en THEN 'fr'
+                            WHEN h_en > 0 THEN 'en'
+                            ELSE 'unknown'
+                       END AS lang_pred
+                FROM f)
+            SELECT doc_id, fingerprint, quality_score, lang_pred,
+                   CAST(n_tokens AS INT) AS n_tokens
+            FROM a
+            WHERE dup_rank = 1 AND quality_score >= 0.55 AND lang_pred = 'en'
         """,
         # summary invariants: results partition into the 4 statuses, one row
         # per corpus doc; ledger size is its constructed max(30, n//8)

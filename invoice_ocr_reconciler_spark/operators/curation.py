@@ -1,0 +1,123 @@
+"""Training-data curation pipeline: the composition a 100 TB pretraining
+corpus actually runs — annotate -> exact-dedup -> quality/language filter ->
+near-dup drop -> curated table + audit stats.
+
+All annotation and filtering stages are pure codegen column expressions
+(functions/text.py); the only Python crossing is the MinHash signature pass
+of the optional near-dup stage (operators/dedup.py, banded + hot-bucket
+capped). Stage order matters at scale: exact dedup and the quality/lang cut
+run FIRST so the (expensive) near-dup signatures are computed only for
+survivors.
+
+The SQL-expressible subset (annotate + exact-dedup + filter) is
+DuckDB-oracled via the `curation_filter` queries() entry; the full pipeline
+(+ near-dup) is `curation_pipeline` (rows-only: MinHash sketch semantics).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from invoice_ocr_reconciler_spark.functions.text import (
+    fingerprint_col,
+    lang_id_cols,
+    quality_score_cols,
+    token_count_col,
+)
+
+
+def annotate_documents(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """One codegen pass adding fingerprint, dup rank (first-wins on doc_id),
+    quality score, language prediction, and token count."""
+    q = quality_score_cols(F.col(text_col))
+    lang = lang_id_cols(F.col(text_col))
+    w = Window.partitionBy("fingerprint").orderBy("doc_id")
+    return (
+        docs.withColumn("fingerprint", fingerprint_col(F.col(text_col)))
+        .withColumn("quality_score", q["quality_score"])
+        .withColumn("lang_pred", lang["lang_pred"])
+        .withColumn("n_tokens", token_count_col(F.col(text_col)))
+        .withColumn("dup_rank", F.row_number().over(w))
+    )
+
+
+def curate_documents(
+    docs: DataFrame,
+    min_quality: float = 0.55,
+    langs: tuple[str, ...] = ("en",),
+    near_dup_threshold: float = 0.7,
+    with_near_dup: bool = True,
+    text_col: str = "text",
+) -> dict[str, DataFrame]:
+    """-> {'curated', 'stats'}.
+
+    Keep rules, in order (each survivor set feeds the next stage):
+    1. exact duplicates: first occurrence (min doc_id) wins;
+    2. quality_score >= min_quality AND lang_pred in langs;
+    3. near-duplicates (MinHash est_jaccard >= threshold): the LOWER doc_id
+       of each candidate pair survives — the standard keep-first web-dedup
+       rule. (doc_b is dropped whenever it pairs with ANY lower id, even if
+       that id was itself dropped — deliberate: transitive near-dup chains
+       collapse to their minimum representative without an iterative
+       connected-components pass, the scalable approximation.)
+
+    'stats' is one row of audit counters (input / kept / dropped per stage)
+    — the batch analog of per-run lineage metrics.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    # persist: the annotated frame feeds the stage counters, the filter
+    # chain, and (via survivors) the near-dup signature pass — without it
+    # each action re-runs the annotation scan
+    ann = annotate_documents(docs, text_col).persist(StorageLevel.MEMORY_AND_DISK)
+    keep = (F.col("dup_rank") == 1) & (
+        (F.col("quality_score") >= min_quality) & F.col("lang_pred").isin(*langs)
+    )
+    # ONE conditional agg for every pre-near-dup counter (no per-stage
+    # count() jobs — the same discipline as the reconcile summary)
+    base = ann.agg(
+        F.count("*").alias("n_input"),
+        F.coalesce(F.sum((F.col("dup_rank") > 1).cast("long")), F.lit(0)).alias(
+            "n_exact_dup"
+        ),
+        F.coalesce(
+            F.sum(((F.col("dup_rank") == 1) & ~keep).cast("long")), F.lit(0)
+        ).alias("n_filtered_out"),
+    ).collect()[0]
+    filtered = ann.filter(keep)
+
+    if with_near_dup:
+        from invoice_ocr_reconciler_spark.operators.dedup import minhash_lsh_pairs
+
+        pairs = minhash_lsh_pairs(
+            filtered, text_col=text_col, threshold=near_dup_threshold
+        )
+        drop = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+        curated = filtered.join(drop, "doc_id", "left_anti")
+    else:
+        curated = filtered
+
+    curated = curated.select(
+        "doc_id", "fingerprint", "quality_score", "lang_pred", "n_tokens"
+    )
+    cur = curated.agg(
+        F.count("*").alias("n"),
+        F.coalesce(F.sum("n_tokens"), F.lit(0)).alias("t"),
+    ).collect()[0]
+    n_kept_pre_neardup = base["n_input"] - base["n_exact_dup"] - base["n_filtered_out"]
+    stats = curated.sparkSession.createDataFrame(
+        [
+            (
+                base["n_input"],
+                base["n_exact_dup"],
+                base["n_filtered_out"],
+                n_kept_pre_neardup - cur["n"],
+                cur["n"],
+                int(cur["t"]),
+            )
+        ],
+        "n_input bigint, n_exact_dup bigint, n_filtered_out bigint, "
+        "n_near_dup bigint, n_curated bigint, curated_tokens bigint",
+    )
+    return {"curated": curated, "stats": stats}

@@ -1,0 +1,59 @@
+"""Cluster job entrypoint: spark-submit --py-files dist/invoice_ocr_reconciler_spark.zip \
+    jobs/run_curation.py --docs <parquet> --out <path> [--min-quality 0.55]
+    [--langs en,fr] [--near-dup-threshold 0.7] [--no-near-dup]
+
+Training-data curation over a documents table (doc_id, text, ...):
+annotate -> exact-dedup (first wins) -> quality/language filter -> MinHash
+near-dup drop; writes the curated table plus a one-row audit-stats JSON —
+the per-run lineage record (input / dropped-per-stage / kept / tokens).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+# `python jobs/run_curation.py` puts jobs/ (not the repo root) on sys.path;
+# under spark-submit --py-files the zip provides the package instead
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--docs", required=True, help="documents parquet path")
+    ap.add_argument("--out", required=True, help="output root")
+    ap.add_argument("--min-quality", type=float, default=0.55)
+    ap.add_argument("--langs", default="en", help="comma-separated lang_pred keep-list")
+    ap.add_argument("--near-dup-threshold", type=float, default=0.7)
+    ap.add_argument("--no-near-dup", action="store_true")
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    if spark is None:
+        from invoice_ocr_reconciler_spark.session import get_spark
+
+        spark = get_spark(app_name="curation")
+
+    from invoice_ocr_reconciler_spark.operators.curation import curate_documents
+
+    docs = spark.read.parquet(args.docs)
+    out = curate_documents(
+        docs,
+        min_quality=args.min_quality,
+        langs=tuple(args.langs.split(",")),
+        near_dup_threshold=args.near_dup_threshold,
+        with_near_dup=not args.no_near_dup,
+    )
+    out["curated"].write.mode("overwrite").parquet(f"{args.out}/curated")
+    stats = out["stats"].collect()[0].asDict()
+    with open(f"{args.out.rstrip('/')}_stats.json", "w") as fh:
+        json.dump(stats, fh, sort_keys=True)
+    print(json.dumps(stats, sort_keys=True))
+
+
+if __name__ == "__main__":
+    main()

@@ -10,6 +10,12 @@ from spark-submit; locally it falls back to the session factory.
 from __future__ import annotations
 
 import argparse
+import os
+import sys
+
+# `python jobs/run_extract_reconcile.py` puts jobs/ (not the repo root) on
+# sys.path; under spark-submit --py-files the zip provides the package
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> None:

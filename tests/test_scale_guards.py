@@ -145,3 +145,43 @@ def test_lsh_multitable_recall_superset(spark):
                    for r in lsh_topk(df, q, k=200, n_tables=4).collect()}
     # every single-table candidate appears in the multi-table candidate set
     assert {(a, b) for a, b, _ in single} <= multi_pairs
+
+
+def test_curation_pipeline_stats_consistent(spark):
+    """Stage counters must reconcile: input = exact_dup + filtered_out +
+    near_dup + curated; near-dups of a kept doc are dropped; the curated
+    set never contains an exact duplicate."""
+    from invoice_ocr_reconciler_spark.operators.curation import curate_documents
+
+    good = ("the data and table with that is of value to all " * 30).strip()
+    rows = (
+        [Row(doc_id=i, text=good + f" unique tail {i} {i*3}") for i in range(20)]
+        + [Row(doc_id=100, text=good), Row(doc_id=101, text=good)]  # exact dups
+        + [Row(doc_id=200, text="short")]  # low quality
+        + [Row(doc_id=300, text="le la les des est une dans " * 40)]  # french
+    )
+    out = curate_documents(spark.createDataFrame(rows), min_quality=0.5)
+    s = out["stats"].collect()[0]
+    assert (
+        s["n_exact_dup"] + s["n_filtered_out"] + s["n_near_dup"] + s["n_curated"]
+        == s["n_input"]
+    )
+    assert s["n_input"] == len(rows)
+    assert s["n_exact_dup"] == 1  # 101 dropped, 100 survives stage 1
+    curated = {r["doc_id"] for r in out["curated"].collect()}
+    assert 101 not in curated
+    assert 200 not in curated and 300 not in curated
+    # the 20 near-identical docs (shared 300-word prefix) collapse heavily
+    assert s["n_near_dup"] > 0
+    assert s["curated_tokens"] > 0
+
+
+def test_curation_no_near_dup_mode(spark):
+    from invoice_ocr_reconciler_spark.operators.curation import curate_documents
+
+    rows = [Row(doc_id=i, text=f"the value {i} and the table of data {i}") for i in range(10)]
+    out = curate_documents(spark.createDataFrame(rows), min_quality=0.0,
+                           with_near_dup=False)
+    s = out["stats"].collect()[0]
+    assert s["n_near_dup"] == 0
+    assert s["n_curated"] == out["curated"].count()
