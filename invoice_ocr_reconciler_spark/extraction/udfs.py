@@ -55,7 +55,9 @@ def extract_pages(pages: DataFrame) -> DataFrame:
     boundary — never ship ``text`` (the hint column) or other metadata
     through Arrow when only (url, warc_ts, html, lang) are consumed.
     """
-    pruned = pages.select("url", "warc_ts", "html", "lang")
+    from invoice_ocr_reconciler_spark.util import with_scan_parallelism
+
+    pruned = with_scan_parallelism(pages.select("url", "warc_ts", "html", "lang"))
     return pruned.mapInPandas(_extract_batches, schema=EXTRACTED_SCHEMA)
 
 

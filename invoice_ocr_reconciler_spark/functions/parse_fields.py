@@ -292,7 +292,11 @@ def parse_scalar_fields(
                 out, columns=[f.name for f in SCALAR_SUBSET_SCHEMA.fields]
             )
 
-    return frame.select(id_col, text_col).mapInPandas(gen, schema=SCALAR_SUBSET_SCHEMA)
+    from invoice_ocr_reconciler_spark.util import with_scan_parallelism
+
+    return with_scan_parallelism(frame.select(id_col, text_col)).mapInPandas(
+        gen, schema=SCALAR_SUBSET_SCHEMA
+    )
 
 
 def parse_invoice_fields(extracted: DataFrame) -> DataFrame:
@@ -301,6 +305,8 @@ def parse_invoice_fields(extracted: DataFrame) -> DataFrame:
     Vectorized over Arrow batches; all P1-P12 cascades in one Python pass
     (one JVM<->Python crossing per batch, not per field).
     """
-    return extracted.select("url", "extracted_text").mapInPandas(
+    from invoice_ocr_reconciler_spark.util import with_scan_parallelism
+
+    return with_scan_parallelism(extracted.select("url", "extracted_text")).mapInPandas(
         _parse_batches, schema=FIELDS_SCHEMA
     )

@@ -107,6 +107,10 @@ def _minhash_signature(text: str) -> list[int]:
     return [int(v) for v in vals.min(axis=1).astype(np.int64)]
 
 
+from invoice_ocr_reconciler_spark.util import (  # noqa: E402 — after constants
+    with_scan_parallelism as _with_scan_parallelism,
+)
+
 MINHASH_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType(), False),
@@ -125,7 +129,9 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text", id_col: str = "d
                 }
             )
 
-    return docs.select(id_col, text_col).mapInPandas(gen, schema=MINHASH_SCHEMA)
+    return _with_scan_parallelism(docs.select(id_col, text_col)).mapInPandas(
+        gen, schema=MINHASH_SCHEMA
+    )
 
 
 def minhash_lsh_pairs(
@@ -223,7 +229,9 @@ def simhash_signatures(docs: DataFrame, text_col: str = "text", id_col: str = "d
                 }
             )
 
-    return docs.select(id_col, text_col).mapInPandas(gen, schema=SIMHASH_SCHEMA)
+    return _with_scan_parallelism(docs.select(id_col, text_col)).mapInPandas(
+        gen, schema=SIMHASH_SCHEMA
+    )
 
 
 def simhash_near_pairs(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",

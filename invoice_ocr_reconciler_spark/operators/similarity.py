@@ -24,6 +24,8 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from invoice_ocr_reconciler_spark.util import with_scan_parallelism
+
 
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -64,8 +66,8 @@ def brute_force_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
     )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    c = with_scan_parallelism(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
     )
     scored = (
         c.crossJoin(F.broadcast(q))
@@ -176,7 +178,9 @@ def lsh_probe_buckets(
                 }
             )
 
-    return vectors.select(id_col, vec_col).mapInPandas(gen, schema=LSH_SCHEMA)
+    return with_scan_parallelism(vectors.select(id_col, vec_col)).mapInPandas(
+        gen, schema=LSH_SCHEMA
+    )
 
 
 def lsh_topk(
@@ -312,7 +316,9 @@ def _banded_emb_buckets(
                 }
             )
 
-    return vectors.select(id_col, vec_col).mapInPandas(gen, schema=EMB_BAND_SCHEMA)
+    return with_scan_parallelism(vectors.select(id_col, vec_col)).mapInPandas(
+        gen, schema=EMB_BAND_SCHEMA
+    )
 
 
 def embedding_cosine_dedup(
@@ -480,7 +486,9 @@ def ivf_assign(
                 {"vec_id": pdf[id_col].astype("int64"), "centroid_id": near}
             )
 
-    return vectors.select(id_col, vec_col).mapInPandas(gen, schema=IVF_ASSIGN_SCHEMA)
+    return with_scan_parallelism(vectors.select(id_col, vec_col)).mapInPandas(
+        gen, schema=IVF_ASSIGN_SCHEMA
+    )
 
 
 def ivf_topk(

@@ -100,7 +100,9 @@ def extract_and_parse(
     byte-identity contract) keeps the default.
     """
     if fused:
-        pruned = pages.select("url", "html")
+        from invoice_ocr_reconciler_spark.util import with_scan_parallelism
+
+        pruned = with_scan_parallelism(pages.select("url", "html"))
         schema = _fields_schema(include_text)
         try:
             return pruned.mapInArrow(_make_extract_parse_arrow(include_text), schema=schema)
