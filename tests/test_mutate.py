@@ -201,3 +201,36 @@ def test_run_resumable_requires_exactly_one_transform(spark, tmp_path):
     manifest = CheckpointManifest(os.path.join(str(tmp_path), "m"))
     with pytest.raises(ValueError):
         run_resumable(spark, str(tmp_path), str(tmp_path), manifest, transform=None)
+
+
+def test_upsert_idempotent(spark, target):
+    """MERGE with the same updates twice == once (UPDATE is idempotent;
+    the inserted row is matched-and-overwritten on the second pass)."""
+    updates = spark.createDataFrame(
+        [Row(url="u2", status="mismatch", amount=99.0),
+         Row(url="u9", status="new", amount=1.0)]
+    )
+    once = upsert(target, updates, key="url")
+    twice = upsert(once, updates, key="url")
+    assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
+
+
+def test_upsert_then_delete_restores_target(spark, target):
+    """Deleting exactly the inserted keys after an insert-only MERGE returns
+    the original table (update_cols=[] touches no existing values)."""
+    inserts = spark.createDataFrame([Row(url="zz1", status="s", amount=5.0)])
+    merged = upsert(target, inserts, key="url",
+                    update_cols=["status", "amount"])
+    restored = delete_rows(merged, inserts.select("url"), key="url")
+    assert sorted(map(tuple, restored.collect())) == sorted(
+        map(tuple, target.collect())
+    )
+
+
+def test_status_writeback_idempotent(spark, target):
+    results = spark.createDataFrame(
+        [Row(invoice_url="u1", match_status="matched")]
+    )
+    once = status_writeback(target, results)
+    twice = status_writeback(once, results)
+    assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
