@@ -43,6 +43,7 @@ def upsert(
     key: str | list[str] = "url",
     update_cols: list[str] | None = None,
     insert_missing: bool = True,
+    validate_unique: bool = False,
 ) -> DataFrame:
     """MERGE INTO target USING updates ON key — as a declarative join.
 
@@ -53,12 +54,32 @@ def upsert(
     WHEN NOT MATCHED (``insert_missing``): the update row is inserted;
     target columns it lacks become null. Output schema == target schema.
 
+    Like SQL MERGE, ``updates`` must be key-unique: a duplicated key would
+    fan out the matched target row (SQL MERGE raises "cannot update the
+    same row twice"). ``validate_unique=True`` enforces this with one cheap
+    agg over the (small) updates side and raises ValueError — spend it when
+    the updates frame comes from an untrusted producer.
+
     Plan shape: ``insert_missing=True`` needs a full-outer join (shuffle on
     key, AQE-skew-splittable); ``insert_missing=False`` degrades to a LEFT
     join, which Catalyst broadcasts when updates are small — the cheap path
     for UPDATE-only flows like the status write-back.
     """
     keys = _keys(key)
+    if validate_unique:
+        dup = (
+            updates.groupBy(*keys)
+            .count()
+            .filter(F.col("count") > 1)
+            .limit(5)
+            .collect()
+        )
+        if dup:
+            samples = [tuple(r[k] for k in keys) for r in dup]
+            raise ValueError(
+                f"updates frame has duplicate merge keys (sample: {samples}); "
+                "MERGE requires key-unique updates"
+            )
     tcols = target.columns
     if update_cols is None:
         update_cols = [c for c in updates.columns if c not in keys and c in tcols]

@@ -234,3 +234,35 @@ def test_status_writeback_idempotent(spark, target):
     once = status_writeback(target, results)
     twice = status_writeback(once, results)
     assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
+
+
+def test_upsert_validate_unique_rejects_dup_keys(spark, target):
+    updates = spark.createDataFrame(
+        [Row(url="u1", status="a", amount=1.0), Row(url="u1", status="b", amount=2.0)]
+    )
+    with pytest.raises(ValueError, match="duplicate merge keys"):
+        upsert(target, updates, key="url", validate_unique=True)
+    # without validation the caller gets MERGE-style fan-out (documented)
+    assert upsert(target, updates, key="url").count() == 4
+
+
+def test_pipeline_status_writeback_integration(spark):
+    """The reference's E2 flow end-to-end (server.js:516-550): extract ->
+    reconcile -> UPDATE invoices SET status = match_status per result row.
+    Every invoice gets a status from the result set (results are one row
+    per url), and status counts equal the reconcile summary's."""
+    from invoice_ocr_reconciler_spark import datagen
+    from invoice_ocr_reconciler_spark.pipeline import run_pipeline
+
+    pages = datagen.pages_df(spark, 200)
+    ledger = datagen.ledger_df(spark, 30, 200)
+    out = run_pipeline(pages, ledger, include_text=False)
+    invoices = out["invoices"].withColumn("status", F.lit("pending"))
+    written = status_writeback(invoices, out["results"])
+    assert written.count() == 200
+    by_status = {r["status"]: r["count"]
+                 for r in written.groupBy("status").count().collect()}
+    assert "pending" not in by_status  # every url got a result row
+    res_status = {r["match_status"]: r["count"]
+                  for r in out["results"].groupBy("match_status").count().collect()}
+    assert by_status == res_status
