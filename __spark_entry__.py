@@ -832,9 +832,13 @@ def oracle_sql() -> dict[str, str]:
             FROM supplier
         """,
         "fuzzy_block_join": """
-            WITH p AS (SELECT p_partkey, p_size, lower(p_name) AS p_norm,
-                              split_part(lower(p_name), ' ', 1) AS blk
-                       FROM part)
+            WITH p0 AS (SELECT p_partkey, p_size, lower(p_name) AS p_norm,
+                               split_part(lower(p_name), ' ', 1) AS blk
+                        FROM part),
+            p AS (SELECT * FROM (
+                      SELECT p0.*, count(*) OVER (PARTITION BY blk, p_size) AS blk_n
+                      FROM p0)
+                  WHERE blk_n <= 256)
             SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
                    CAST(levenshtein(a.p_norm, b.p_norm) AS INT) AS lev
             FROM p a JOIN p b ON a.blk = b.blk AND a.p_size = b.p_size

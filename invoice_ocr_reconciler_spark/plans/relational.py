@@ -179,17 +179,30 @@ def normalize_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# the (first-token, size) block vocabulary is FIXED (~400 combinations), so
+# block membership grows LINEARLY with the table and the within-block
+# self-join quadratically — the same degenerate-group hazard as the dedup
+# sketches. Blocks above the cap are dropped, not joined (and the DuckDB
+# oracle replicates the cap), bounding pair fan-out at any scale.
+FUZZY_HOT_BLOCK_CAP = 256
+
+
 def fuzzy_block_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J1 skeleton with an oracle: block on (first token, p_size) of part
     names, score pairs with Levenshtein, keep close pairs. The same
     block->score->threshold shape as the reconciliation join, expressible in
-    both engines (levenshtein is built in to Spark AND DuckDB)."""
+    both engines (levenshtein is built in to Spark AND DuckDB). Hot blocks
+    above FUZZY_HOT_BLOCK_CAP are dropped on both sides (see above)."""
     part = load(spark, sf_dir, "part")
     p = part.select(
         "p_partkey",
         "p_size",
         F.lower(F.col("p_name")).alias("p_norm"),
     ).withColumn("blk", F.substring_index("p_norm", " ", 1))
+    w_blk = Window.partitionBy("blk", "p_size")
+    p = p.withColumn("_blk_n", F.count("*").over(w_blk)).filter(
+        F.col("_blk_n") <= FUZZY_HOT_BLOCK_CAP
+    )
     a = p.select(
         F.col("p_partkey").alias("key_a"), F.col("p_norm").alias("norm_a"), "blk", "p_size"
     )

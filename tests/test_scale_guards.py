@@ -185,3 +185,25 @@ def test_curation_no_near_dup_mode(spark):
     s = out["stats"].collect()[0]
     assert s["n_near_dup"] == 0
     assert s["n_curated"] == out["curated"].count()
+
+
+def test_fuzzy_block_join_hot_block_capped(spark, tmp_path):
+    """A block whose membership exceeds FUZZY_HOT_BLOCK_CAP is dropped, not
+    self-joined: the fixed (token, size) vocabulary means block size grows
+    linearly with the table, so the cap is what bounds pair fan-out."""
+    from invoice_ocr_reconciler_spark.plans.relational import (
+        FUZZY_HOT_BLOCK_CAP,
+        fuzzy_block_join,
+    )
+
+    hot = [Row(p_partkey=i, p_name="alpha common widget", p_size=1)
+           for i in range(FUZZY_HOT_BLOCK_CAP + 50)]
+    cold = [Row(p_partkey=1000 + i, p_name=f"beta item {i}", p_size=2)
+            for i in range(5)]
+    df = spark.createDataFrame(hot + cold)
+    sf_dir = str(tmp_path)
+    df.write.parquet(f"{sf_dir}/part.parquet")
+    pairs = fuzzy_block_join(spark, sf_dir).collect()
+    keys = {r["key_a"] for r in pairs} | {r["key_b"] for r in pairs}
+    assert all(k >= 1000 for k in keys)  # hot block contributed nothing
+    assert len(pairs) == 10  # C(5,2) cold pairs, all within lev<=10
