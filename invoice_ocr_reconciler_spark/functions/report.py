@@ -26,7 +26,14 @@ _STATUS_ORDER = ["matched", "mismatch", "missing", "duplicate"]
 
 def enrich_results(results: DataFrame, invoices: DataFrame) -> DataFrame:
     """J7: results x invoices LEFT JOIN projection used by both report sinks
-    (reference: backend/server.js:611-616)."""
+    (reference: backend/server.js:611-616).
+
+    NO broadcast hint: ``invoices`` is the FACT table — results and invoices
+    are both corpus-sized (one row per url), so the right plan at scale is a
+    shuffle join on invoice_url (co-located for free when both sides carry
+    the url-bucketed layout). AQE still broadcasts small sessions on its
+    own; a forced broadcast of a 10^12-row side would be fatal (round-2
+    self-review fix)."""
     inv = invoices.select(
         F.col("url").alias("invoice_url"),
         F.col("vendor_name"),
@@ -34,7 +41,7 @@ def enrich_results(results: DataFrame, invoices: DataFrame) -> DataFrame:
         F.col("total_amount"),
         F.col("invoice_date"),
     )
-    return results.join(F.broadcast(inv), "invoice_url", "left").select(
+    return results.join(inv, "invoice_url", "left").select(
         "invoice_url", "match_status", "flag_reason",
         "vendor_name", "invoice_number", "total_amount", "invoice_date",
     )

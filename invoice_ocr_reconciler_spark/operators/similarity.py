@@ -56,8 +56,12 @@ def brute_force_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    broadcast_queries: bool = True,
 ) -> DataFrame:
-    """Exact top-k cosine neighbors per query (query set broadcast).
+    """Exact top-k cosine neighbors per query (query set broadcast by
+    default — the standard shape for a small probe batch; pass
+    broadcast_queries=False for corpus-sized query sets, letting the
+    planner pick a shuffle join).
 
     Output: (query_id, neighbor_id, cosine, rank); self-pairs excluded.
     Rank orders by cosine rounded to 6 places with neighbor_id tiebreak so
@@ -70,7 +74,7 @@ def brute_force_topk(
         corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
     )
     scored = (
-        c.crossJoin(F.broadcast(q))
+        c.crossJoin(F.broadcast(q) if broadcast_queries else q)
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn("cosine", F.round(cosine_sim(F.col("q_vec"), F.col("c_vec")), 6))
     )
@@ -191,6 +195,7 @@ def lsh_topk(
     vec_col: str = "embedding",
     n_probe_bits: int = 0,
     n_tables: int = 1,
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """ANN top-k: join on (table, LSH bucket), exact cosine re-rank within
     the colliding buckets.
@@ -217,7 +222,7 @@ def lsh_topk(
         qb, "query_id"
     )
     scored = (
-        c.join(F.broadcast(q), ["tbl", "bucket"])
+        c.join(F.broadcast(q) if broadcast_queries else q, ["tbl", "bucket"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
     )
     if n_probe_bits > 0 or n_tables > 1:
@@ -499,6 +504,7 @@ def ivf_topk(
     n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """IVF ANN: coarse-quantize the corpus into cells, probe the n_probe
     nearest cells per query, exact cosine re-rank inside probed cells.
@@ -539,7 +545,9 @@ def ivf_topk(
     q_vecs = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
     )
-    q_side = F.broadcast(q_probes.join(q_vecs, "query_id"))
+    q_side = q_probes.join(q_vecs, "query_id")
+    if broadcast_queries:
+        q_side = F.broadcast(q_side)
 
     scored = (
         assigned.join(q_side, "centroid_id")
