@@ -46,6 +46,7 @@ def main() -> None:
         "lang_id",
         "dedup_exact",
         "dedup_minhash",
+        "curation_filter",   # composed annotate+dedup+filter (pure codegen)
         "ann_brute_force",
         "upsert_table",         # MERGE/upsert over the orders table
         "status_writeback",     # E2 write-back (UPDATE-only MERGE)

@@ -362,8 +362,11 @@ def embedding_cosine_dedup(
     if exact:
         left = vectors.select(F.col(id_col).alias("doc_a"), F.col(vec_col).alias("va"))
         right = vectors.select(F.col(id_col).alias("doc_b"), F.col(vec_col).alias("vb"))
+        # no broadcast hint: in exact mode BOTH sides are the corpus; the
+        # mode is a deliberately-quadratic oracle baseline, but a forced
+        # corpus broadcast would OOM before the quadratic even starts
         return (
-            left.crossJoin(F.broadcast(right))
+            left.crossJoin(right)
             .filter(F.col("doc_a") < F.col("doc_b"))
             .withColumn("cosine", F.round(cosine_sim(F.col("va"), F.col("vb")), 6))
             .filter(F.col("cosine") >= threshold)

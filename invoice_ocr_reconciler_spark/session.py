@@ -16,6 +16,26 @@ from pyspark.sql import SparkSession
 ARROW_MAX_RECORDS_PER_BATCH = 2048
 
 
+def iceberg_confs(env: dict) -> dict[str, str]:
+    """Iceberg catalog gate configs (empty when no jar is provided).
+
+    Split out so the gate's config assembly is unit-testable without a
+    second SparkSession (getOrCreate ignores configs once a session
+    exists); the jar itself is absent in the sandbox — see PLANS.md
+    'Iceberg runtime attempt'."""
+    jar = env.get("SPARK_GRAFT_ICEBERG_JAR")
+    if not jar:
+        return {}
+    return {
+        "spark.jars": jar,
+        "spark.sql.catalog.local": "org.apache.iceberg.spark.SparkCatalog",
+        "spark.sql.catalog.local.type": "hadoop",
+        "spark.sql.catalog.local.warehouse": env.get(
+            "SPARK_GRAFT_WAREHOUSE", "/tmp/iceberg_warehouse"
+        ),
+    }
+
+
 def get_spark(
     app_name: str = "invoice_ocr_reconciler_spark",
     cores: int | None = None,
@@ -66,18 +86,8 @@ def get_spark(
     # Iceberg is the production catalog (hash-bucketed tables, snapshot
     # commits). The runtime jar is not shipped in this sandbox, so the gate
     # stays off unless the submitter provides it via --packages.
-    if os.environ.get("SPARK_GRAFT_ICEBERG_JAR"):
-        builder = (
-            builder.config("spark.jars", os.environ["SPARK_GRAFT_ICEBERG_JAR"])
-            .config(
-                "spark.sql.catalog.local", "org.apache.iceberg.spark.SparkCatalog"
-            )
-            .config("spark.sql.catalog.local.type", "hadoop")
-            .config(
-                "spark.sql.catalog.local.warehouse",
-                os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/iceberg_warehouse"),
-            )
-        )
+    for k, v in iceberg_confs(os.environ).items():
+        builder = builder.config(k, v)
     if extra_conf:
         for k, v in extra_conf.items():
             builder = builder.config(k, v)

@@ -434,3 +434,18 @@ def test_money_render_half_up_ties():
     assert _money(2.675) == "2.68"
     assert _money(0) == "0.00"
     assert _money(1e6) == "1000000.00"
+
+
+def test_iceberg_gate_config_assembly():
+    """The catalog gate's configs are pinned here (the runtime jar is absent
+    in the sandbox — PLANS.md documents the attempt); a submitter providing
+    SPARK_GRAFT_ICEBERG_JAR gets the SparkCatalog + hadoop warehouse wiring."""
+    from invoice_ocr_reconciler_spark.session import iceberg_confs
+
+    assert iceberg_confs({}) == {}
+    got = iceberg_confs({"SPARK_GRAFT_ICEBERG_JAR": "/x/iceberg.jar",
+                         "SPARK_GRAFT_WAREHOUSE": "/wh"})
+    assert got["spark.jars"] == "/x/iceberg.jar"
+    assert got["spark.sql.catalog.local"] == "org.apache.iceberg.spark.SparkCatalog"
+    assert got["spark.sql.catalog.local.type"] == "hadoop"
+    assert got["spark.sql.catalog.local.warehouse"] == "/wh"
