@@ -351,6 +351,51 @@ def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_features(media, fake=True)
 
 
+def q_multimodal_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-dup pairs over binary media: payloads built in
+    groups of 10 consecutive doc_ids (identical payload -> identical
+    md5-derived phash -> hamming 0), chunk-blocked + capped exactly like
+    SimHash. DuckDB replays the group-pair structure (distinct md5s are
+    never within hamming 6 of each other, so blocking == exact here)."""
+    from invoice_ocr_reconciler_spark.operators.multimodal import (
+        image_features,
+        phash_near_dup_pairs,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    media = docs.select(
+        F.concat(F.lit("doc-"), F.col("doc_id").cast("string")).alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.encode(
+            F.concat(F.lit("payload-"), F.floor(F.col("doc_id") / 10).cast("string")),
+            "utf-8",
+        ).alias("payload"),
+        F.create_map(F.lit("src"), F.col("source")).alias("meta"),
+    )
+    feats = image_features(media, fake=True)
+    return phash_near_dup_pairs(feats, max_hamming=6)
+
+
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling plumbing (1 row -> n frame rows): deterministic
+    fake sampler slices the payload on a stride grid; frames are reported as
+    md5 hex (binary columns don't hash-compare across engines) and replayed
+    byte-exactly by DuckDB blob substring + md5."""
+    from invoice_ocr_reconciler_spark.operators.multimodal import sample_video_frames
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    media = docs.select(
+        F.concat(F.lit("doc-"), F.col("doc_id").cast("string")).alias("media_id"),
+        F.lit("video").alias("kind"),
+        F.encode(F.coalesce(F.col("text"), F.lit("")), "utf-8").alias("payload"),
+        F.create_map(F.lit("src"), F.col("source")).alias("meta"),
+    )
+    frames = sample_video_frames(media, n_frames=4, fake=True)
+    return frames.select(
+        "media_id", "frame_idx", F.hex("frame_bytes").alias("frame_hex")
+    )
+
+
 def q_salted_host_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew handling (SURVEY §4.3-2): hot-host detection + deterministic
     salting. DuckDB-checked invariant per host: url count preserved, hot
@@ -716,6 +761,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "register_csv_scan": q_register_csv_scan,
         "multimodal_features": q_multimodal_features,
         "multimodal_audio": q_multimodal_audio,
+        "multimodal_phash_pairs": q_multimodal_phash_pairs,
+        "multimodal_frames": q_multimodal_frames,
         "salted_host_partitions": q_salted_host_partitions,
         "paged_count": q_paged_count,
     }
@@ -1206,6 +1253,31 @@ def oracle_sql() -> dict[str, str]:
                    CAST(('0x' || substr(dig, 13, 2))::INT % 101 AS INT) AS loudness,
                    n_bytes
             FROM d
+        """,
+        # phash pairs: identical payloads within a group of 10 consecutive
+        # doc_ids -> identical md5-derived phash -> hamming 0; distinct md5s
+        # are never within hamming 6, so the group-pair replay is exact
+        "multimodal_phash_pairs": """
+            WITH m AS (
+                SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS media_id,
+                       CAST(doc_id // 10 AS BIGINT) AS grp
+                FROM documents)
+            SELECT a.media_id AS media_a, b.media_id AS media_b,
+                   CAST(0 AS INT) AS hamming
+            FROM m a JOIN m b ON a.grp = b.grp AND a.media_id < b.media_id
+        """,
+        "multimodal_frames": """
+            WITH d AS (
+                SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS media_id,
+                       encode(coalesce(text, '')) AS p
+                FROM documents)
+            -- this DuckDB build lacks BLOB substring; slicing the hex
+            -- rendering at doubled offsets is byte-exact for any payload
+            SELECT media_id, CAST(i AS INT) AS frame_idx,
+                   substring(hex(p),
+                       CAST(i * greatest(octet_length(p) // 4, 1) * 2 + 1 AS INT),
+                       32) AS frame_hex
+            FROM d, (VALUES (0), (1), (2), (3)) t(i)
         """,
         # datagen's host_for(i) (md5-derived Zipf head) replayed in SQL; hot
         # rule mirrors sources/pages.py:detect_hot_hosts (>=1% share, top 8,

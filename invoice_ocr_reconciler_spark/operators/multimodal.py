@@ -129,8 +129,15 @@ def sample_video_frames(media: DataFrame, n_frames: int = 4, fake: bool = True) 
     return pruned.mapInPandas(gen, schema=FRAME_SAMPLE_SCHEMA)
 
 
-def phash_near_dup_pairs(features: DataFrame, max_hamming: int = 6) -> DataFrame:
-    """Perceptual-hash near-dup pairs, same chunk-blocking as SimHash."""
+def phash_near_dup_pairs(
+    features: DataFrame, max_hamming: int = 6, chunk_cap: int = 64
+) -> DataFrame:
+    """Perceptual-hash near-dup pairs, same chunk-blocking + degenerate-group
+    guard as SimHash (operators/dedup.py:simhash_near_pairs): one exchange on
+    (chunk_pos, chunk_val), sorted members per group, pair gen + hamming
+    verify inside codegen array expressions, groups above ``chunk_cap``
+    dropped (e.g. every empty/placeholder image sharing one phash would
+    otherwise self-join O(n^2) at web scale)."""
     chunks = features.select(
         "media_id", "phash",
         F.posexplode(
@@ -142,17 +149,23 @@ def phash_near_dup_pairs(features: DataFrame, max_hamming: int = 6) -> DataFrame
             )
         ).alias("chunk_pos", "chunk_val"),
     )
-    left = chunks.select("chunk_pos", "chunk_val",
-                         F.col("media_id").alias("media_a"), F.col("phash").alias("ph_a"))
-    right = chunks.select("chunk_pos", "chunk_val",
-                          F.col("media_id").alias("media_b"), F.col("phash").alias("ph_b"))
+    grouped = (
+        chunks.groupBy("chunk_pos", "chunk_val")
+        .agg(F.array_sort(F.collect_list(F.struct("media_id", "phash"))).alias("members"))
+        .filter((F.size("members") >= 2) & (F.size("members") <= chunk_cap))
+    )
+    pairs_expr = f"""
+        filter(
+          flatten(transform(members, (m, i) ->
+            transform(slice(members, i + 2, size(members) - i - 1), o ->
+              struct(m.media_id AS media_a, o.media_id AS media_b,
+                     bit_count(m.phash ^ o.phash) AS hamming)))),
+          p -> p.hamming <= {int(max_hamming)})
+    """
     return (
-        left.join(right, ["chunk_pos", "chunk_val"])
-        .filter(F.col("media_a") < F.col("media_b"))
+        grouped.select(F.explode(F.expr(pairs_expr)).alias("p"))
+        .select("p.media_a", "p.media_b", F.col("p.hamming").cast("int").alias("hamming"))
         .dropDuplicates(["media_a", "media_b"])
-        .withColumn("hamming", F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b"))))
-        .filter(F.col("hamming") <= max_hamming)
-        .select("media_a", "media_b", "hamming")
     )
 
 

@@ -207,3 +207,34 @@ def test_fuzzy_block_join_hot_block_capped(spark, tmp_path):
     keys = {r["key_a"] for r in pairs} | {r["key_b"] for r in pairs}
     assert all(k >= 1000 for k in keys)  # hot block contributed nothing
     assert len(pairs) == 10  # C(5,2) cold pairs, all within lev<=10
+
+
+def test_phash_pairs_degenerate_corpus_bounded(spark):
+    """Every empty/placeholder image shares one phash; the capped chunk
+    groups bound pair fan-out exactly like SimHash."""
+    from invoice_ocr_reconciler_spark.operators.multimodal import (
+        image_features,
+        phash_near_dup_pairs,
+    )
+
+    rows = [(f"m{i:05d}", "image", b"same-bytes", {}) for i in range(2000)]
+    schema = "media_id string, kind string, payload binary, meta map<string,string>"
+    feats = image_features(spark.createDataFrame(rows, schema), fake=True)
+    cap = 64
+    pairs = phash_near_dup_pairs(feats, max_hamming=6, chunk_cap=cap).count()
+    assert pairs <= 4 * cap * (cap - 1) // 2  # NOT ~2M uncapped pairs
+
+
+def test_phash_pairs_finds_identical_payloads(spark):
+    from invoice_ocr_reconciler_spark.operators.multimodal import (
+        image_features,
+        phash_near_dup_pairs,
+    )
+
+    rows = [("a", "image", b"xyz", {}), ("b", "image", b"xyz", {}),
+            ("c", "image", b"other", {})]
+    schema = "media_id string, kind string, payload binary, meta map<string,string>"
+    feats = image_features(spark.createDataFrame(rows, schema), fake=True)
+    got = {(r["media_a"], r["media_b"]): r["hamming"]
+           for r in phash_near_dup_pairs(feats).collect()}
+    assert got == {("a", "b"): 0}
