@@ -466,7 +466,13 @@ def reconcile(
     # sides grow with the corpus, so BNLJ goes quadratic. Amounts are banded
     # on a log_{1.01} grid: any pair within the 1% tolerance lands within
     # +-2 bands, so exploding the (small) unused side over its neighbor
-    # bands turns this into a hash equi-join + exact residual filter.
+    # bands turns this into a broadcast equi-join. The per-band unused
+    # records collapse to ONE ARRAY ROW (same shape as the candidate join),
+    # and the exact tolerance filter, the record_id-ascending top-3 cut
+    # (ref :93) and the suggestion structs all run inside codegen array
+    # expressions — no pair-row explosion, no dedup/window/groupBy
+    # shuffles. (The previous exploded join materialized ~10M intermediate
+    # rows through 3 shuffles at 200k docs — over half the pipeline wall.)
     if with_amount_suggestions:
         used_ids = assigned.filter(F.col("record_id").isNotNull()).select("record_id")
         band_width = math.log(1.01)
@@ -488,35 +494,36 @@ def reconcile(
                 ),
             )
         )
+        # a record appears ONCE per band group, so the per-row array join
+        # yields each candidate at most once — no dedup pass needed
+        band_arrays = F.broadcast(
+            unused.groupBy("amount_band").agg(
+                F.array_sort(
+                    F.collect_list(F.struct("s_record_id", "s_amount"))
+                ).alias("band_cands")
+            )
+        )
         no_cand_banded = no_cand.withColumn(
             "amount_band", F.floor(F.log1p("inv_amount") / band_width).cast("long")
         )
-        diff = F.abs(F.col("inv_amount") - F.col("s_amount"))
-        bigger = F.greatest(F.col("inv_amount"), F.col("s_amount"))
-        amount_ok = F.when(bigger == 0, F.lit(True)).otherwise(
-            diff / bigger <= AMOUNT_TOLERANCE
-        )
+        tol = f"CAST({AMOUNT_TOLERANCE!r} AS DOUBLE)"
+        top_expr = f"""
+            transform(
+              slice(
+                filter(band_cands, c ->
+                  CASE WHEN greatest(inv_amount, c.s_amount) = 0D THEN true
+                       ELSE abs(inv_amount - c.s_amount)
+                            / greatest(inv_amount, c.s_amount) <= {tol} END),
+                1, {TOP_K_SUGGESTIONS}),
+              c -> struct(c.s_record_id AS record_id,
+                          'Matching amount' AS reason,
+                          50 AS confidence))
+        """
         sug = (
-            no_cand_banded.join(F.broadcast(unused), "amount_band")
-            .filter(amount_ok)
-            .dropDuplicates(["invoice_url", "s_record_id"])
-            .withColumn(
-                "s_rank",
-                F.row_number().over(
-                    Window.partitionBy("invoice_url").orderBy("s_record_id")
-                ),
-            )
-            .filter(F.col("s_rank") <= TOP_K_SUGGESTIONS)
-            .groupBy("invoice_url")
-            .agg(
-                F.collect_list(
-                    F.struct(
-                        F.col("s_record_id").alias("record_id"),
-                        F.lit("Matching amount").alias("reason"),
-                        F.lit(50).alias("confidence"),
-                    )
-                ).alias("amount_suggestions")
-            )
+            no_cand_banded.join(band_arrays, "amount_band")
+            .withColumn("amount_suggestions", F.expr(top_expr))
+            .filter(F.size("amount_suggestions") > 0)
+            .select("invoice_url", "amount_suggestions")
         )
         results = (
             results.join(sug, "invoice_url", "left")
