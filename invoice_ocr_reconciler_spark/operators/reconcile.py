@@ -425,6 +425,15 @@ def reconcile(
     )
 
     cands = candidate_pairs(live, ledger, broadcast_ledger=broadcast_ledger)
+    # prune to exactly what the greedy kernel reads BEFORE the exchange —
+    # the normalized-name columns (inv_norm / SMJ-path rec_norm) are scoring
+    # intermediates and must not ride the 10-rows-per-url shuffle + Arrow
+    # crossing as dead weight
+    cands = cands.select(
+        "url", "block_key", "inv_vendor_name", "inv_amount", "vendor_score",
+        "record_id", "rec_amount", "discrepancy", "amount_match",
+        "percent_diff", "combined_score", "confidence",
+    )
     # reused by: results union, used-record anti join, matched-record anti join.
     # One exchange on block_key, then ONE Python crossing per partition (the
     # in-partition groupby replaces a per-block applyInPandas call — hundreds
