@@ -1187,6 +1187,42 @@ def oracle_sql() -> dict[str, str]:
                        FROM s)
             SELECT query_id, neighbor_id, cosine, nb_rank FROM r WHERE nb_rank <= 5
         """,
+        # FULL replay of the single-table LSH ANN: the md5-derived
+        # hyperplanes (operators/similarity.py:_planes) rebuilt in SQL
+        # (verified bit-exact), bucket = sum of sign bits, bucket join +
+        # exact cosine re-rank — the sketch itself is deterministic, so
+        # even this "recall < 1" path gets a value-hash check
+        "ann_lsh": """
+            WITH planes AS (
+                SELECT p, d,
+                       ('0x' || substr(md5('ann-lsh-v1:' || p || ':' || d), 1, 8))::UBIGINT
+                           / 2147483648.0 - 1.0 AS w
+                FROM range(8) t1(p), range(64) t2(d)),
+            vec AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            proj AS (
+                SELECT vec_id, p, sum(v[CAST(d AS INT) + 1] * w) AS dot
+                FROM vec, planes GROUP BY vec_id, p),
+            buckets AS (
+                SELECT vec_id,
+                       sum(CASE WHEN dot > 0 THEN (1::BIGINT << CAST(p AS INT))
+                                ELSE 0 END) AS bucket
+                FROM proj GROUP BY vec_id),
+            cb AS (SELECT b.vec_id AS neighbor_id, b.bucket, v.v AS cv
+                   FROM buckets b JOIN vec v ON b.vec_id = v.vec_id),
+            qb AS (SELECT b.vec_id AS query_id, b.bucket, v.v AS qv
+                   FROM buckets b JOIN vec v ON b.vec_id = v.vec_id
+                   WHERE b.vec_id < 10),
+            scored AS (
+                SELECT q.query_id, c.neighbor_id,
+                       round(list_cosine_similarity(q.qv, c.cv), 6) AS cosine
+                FROM qb q JOIN cb c ON q.bucket = c.bucket
+                WHERE c.neighbor_id <> q.query_id),
+            r AS (SELECT query_id, neighbor_id, cosine,
+                         CAST(row_number() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, neighbor_id) AS INT) AS nb_rank
+                  FROM scored)
+            SELECT query_id, neighbor_id, cosine, nb_rank FROM r WHERE nb_rank <= 5
+        """,
         # gram-string reconstruction of operators/dedup.py:_shingle_hashes:
         # tokens = lower().split(); <3 tokens collapse to one joined gram
         # (mirrors the short-text branch); else distinct 3-gram strings
