@@ -210,6 +210,16 @@ def write_back_bucketed(
     if n_buckets is None:
         found = _discover_buckets(input_path)
         n_buckets = (max(found) + 1) if found else 1
+        # a SPARSE layout (some url_bucket=K dirs empty/absent) makes the
+        # max+1 inference wrong: updates routed with the inferred modulus
+        # would land in different buckets than the layout hash placed their
+        # keys. Refuse to guess — the writer knows its bucket count.
+        if found and set(found) != set(range(n_buckets)):
+            missing = sorted(set(range(n_buckets)) - set(found))
+            raise ValueError(
+                f"bucket dirs are sparse (missing {missing[:8]}...); pass "
+                "n_buckets explicitly to match the table's layout hash"
+            )
     bucket_of = F.pmod(F.xxhash64(F.col(key)), F.lit(n_buckets)).cast("int")
 
     def factory(bucket: int):

@@ -266,3 +266,25 @@ def test_pipeline_status_writeback_integration(spark):
     res_status = {r["match_status"]: r["count"]
                   for r in out["results"].groupBy("match_status").count().collect()}
     assert by_status == res_status
+
+
+def test_write_back_bucketed_sparse_layout_rejected(spark, tmp_path):
+    """max+1 inference on a sparse bucket layout would mis-route updates;
+    the operator refuses to guess."""
+    from invoice_ocr_reconciler_spark.streaming.resume import CheckpointManifest
+
+    tmp = str(tmp_path)
+    in_path = os.path.join(tmp, "t")
+    rows = [Row(url=f"u{i}", status="pending") for i in range(10)]
+    df = spark.createDataFrame(rows).withColumn("url_bucket", F.lit(5))
+    df.write.partitionBy("url_bucket").parquet(in_path)  # only bucket 5
+    updates = spark.createDataFrame([Row(url="u1", status="x")])
+    manifest = CheckpointManifest(os.path.join(tmp, "m"))
+    with pytest.raises(ValueError, match="sparse"):
+        write_back_bucketed(spark, in_path, os.path.join(tmp, "o"),
+                            manifest, updates, key="url", update_cols=["status"])
+    # explicit n_buckets is accepted
+    r = write_back_bucketed(spark, in_path, os.path.join(tmp, "o"),
+                            manifest, updates, key="url",
+                            update_cols=["status"], n_buckets=6)
+    assert r["processed"] == [5]
