@@ -68,3 +68,47 @@ def test_fused_paths_byte_identical(spark):
         map(str, extract_and_parse(pages, fused=True).drop("extracted_text").collect())
     )
     assert slim == slim_ref
+
+
+def test_curation_identical_across_partitioning(spark):
+    """Curation (incl. the MinHash near-dup stage) is partition-invariant:
+    same curated id set and stage counters at different partition counts."""
+    from pyspark.sql import Row
+
+    from invoice_ocr_reconciler_spark.operators.curation import curate_documents
+
+    rows = [
+        Row(doc_id=i,
+            text=("the data and value of table " * 12) + f" tail {i % 17} {i % 5}")
+        for i in range(120)
+    ]
+
+    def run(parts):
+        df = spark.createDataFrame(rows).repartition(parts)
+        out = curate_documents(df, min_quality=0.4)
+        ids = sorted(r["doc_id"] for r in out["curated"].collect())
+        stats = out["stats"].collect()[0].asDict()
+        return ids, stats
+
+    ids_a, stats_a = run(2)
+    ids_b, stats_b = run(11)
+    assert ids_a == ids_b
+    assert stats_a == stats_b
+
+
+def test_mutation_identical_across_partitioning(spark):
+    """MERGE output is partition-invariant (full-outer join + projection)."""
+    from pyspark.sql import Row
+
+    from invoice_ocr_reconciler_spark.operators.mutate import upsert
+
+    target = [Row(url=f"u{i}", status="pending", amount=float(i)) for i in range(200)]
+    updates = [Row(url=f"u{i}", status="matched", amount=float(i) + 0.5)
+               for i in range(0, 300, 3)]
+
+    def run(parts):
+        t = spark.createDataFrame(target).repartition(parts)
+        u = spark.createDataFrame(updates).repartition(max(parts - 1, 1))
+        return sorted(map(tuple, upsert(t, u, key="url").collect()))
+
+    assert run(2) == run(13)
