@@ -449,3 +449,32 @@ def test_iceberg_gate_config_assembly():
     assert got["spark.sql.catalog.local"] == "org.apache.iceberg.spark.SparkCatalog"
     assert got["spark.sql.catalog.local.type"] == "hadoop"
     assert got["spark.sql.catalog.local.warehouse"] == "/wh"
+
+
+def test_detect_hot_hosts_single_job(spark):
+    """VERDICT round-1 item 7 done-criterion: hot-host detection folds the
+    corpus total into the grouped-count aggregation — exactly ONE Spark job
+    (round 1 ran pages.count() first: two full scans per pipeline run)."""
+    from pyspark.sql import Row
+
+    from invoice_ocr_reconciler_spark.sources.pages import detect_hot_hosts
+
+    rows = [Row(url=f"https://hot.example/doc/{i}") for i in range(300)] + [
+        Row(url=f"https://site-{i:03d}.example/doc/{i}") for i in range(100)
+    ]
+    pages = spark.createDataFrame(rows)
+    pages.count()  # materialize inputs outside the measured group
+    sc = spark.sparkContext
+    # AQE materializes each query stage as its own job, so job count only
+    # equals ACTION count with AQE off; the claim under test is one action
+    # (one scan of pages), not one AQE stage
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    sc.setJobGroup("hot-hosts-single-job", "one-job assertion")
+    try:
+        hot = detect_hot_hosts(pages)
+    finally:
+        sc.setJobGroup(None, None)
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    job_ids = sc.statusTracker().getJobIdsForGroup("hot-hosts-single-job")
+    assert len(job_ids) == 1, f"expected 1 job, saw {len(job_ids)}"
+    assert hot == ["hot.example"]
