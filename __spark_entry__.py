@@ -317,6 +317,94 @@ def q_register_csv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_register_csv(spark, path).orderBy("record_id")
 
 
+_REGISTER_JSON_PATH = "/tmp/spark_graft_register.json"
+_BINFILES_DIR = "/tmp/spark_graft_binfiles"
+
+
+def _ensure_register_json() -> str:
+    """JSON register fixture exercising the LOWER-precedence aliases
+    (company/total/date/ref vs the CSV fixture's Vendor/Amount/Due) and the
+    [$,]-strip on string amounts; atomic tmp+replace write like the CSV."""
+    import json
+    import os
+    import tempfile
+
+    from invoice_ocr_reconciler_spark import datagen
+
+    pdf = datagen.ledger_pdf(150, 4000)
+    rows = [
+        {
+            "company": r.vendor_name,
+            "total": f"${r.expected_amount:,.2f}",
+            "date": r.due_date,
+            "ref": r.reference_number,
+        }
+        for r in pdf.itertuples(index=False)
+    ]
+    fd, tmp = tempfile.mkstemp(
+        prefix=".spark_graft_register.", suffix=".json",
+        dir=os.path.dirname(_REGISTER_JSON_PATH),
+    )
+    try:
+        with os.fdopen(fd, "w") as fh:
+            json.dump(rows, fh, sort_keys=True)
+        os.replace(tmp, _REGISTER_JSON_PATH)
+    except BaseException:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+        raise
+    return _REGISTER_JSON_PATH
+
+
+def _ensure_binary_files() -> str:
+    """Deterministic .bin files for the binaryFile source (S1's file-upload
+    analog): content derived from md5 chains, varying lengths. Writes are
+    per-file atomic; contents are deterministic so concurrent writers race
+    benignly."""
+    import hashlib
+    import os
+    import tempfile
+
+    os.makedirs(_BINFILES_DIR, exist_ok=True)
+    for i in range(40):
+        final = os.path.join(_BINFILES_DIR, f"file-{i:03d}.bin")
+        h = hashlib.md5(f"binfile:{i}".encode()).digest()
+        content = (h * (3 + i % 7))[: 16 + (i * 13) % 96]
+        fd, tmp = tempfile.mkstemp(prefix=".bin.", dir=_BINFILES_DIR)
+        try:
+            with os.fdopen(fd, "wb") as fh:
+                fh.write(content)
+            os.replace(tmp, final)
+        except BaseException:
+            if os.path.exists(tmp):
+                os.unlink(tmp)
+            raise
+    return _BINFILES_DIR
+
+
+def q_register_json_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 (backend/server.js:458-463): JSON register ingest through the same
+    normalization as CSV (alias coalesce via company/total/date/ref, [$,]
+    strip, default status, content-hash ids); DuckDB read_json replay."""
+    from invoice_ocr_reconciler_spark.sources.registers import read_register_json
+
+    path = _ensure_register_json()
+    return read_register_json(spark, path).orderBy("record_id")
+
+
+def q_binary_file_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 file-upload analog: spark.read.format('binaryFile') over a
+    directory of deterministic .bin files -> (name, length, content hex);
+    DuckDB replays via read_blob."""
+    path = _ensure_binary_files()
+    df = spark.read.format("binaryFile").load(path)
+    return df.select(
+        F.regexp_extract(F.col("path"), r"([^/]+)\.bin$", 1).alias("name"),
+        F.col("length"),
+        F.hex("content").alias("content_hex"),
+    )
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing over binary payloads derived from documents.
     The deterministic fake decoder derives dims/phash from md5(payload), so
@@ -759,6 +847,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_pipeline": q_curation_pipeline,
         # sources / scale mechanics / misc
         "register_csv_scan": q_register_csv_scan,
+        "register_json_scan": q_register_json_scan,
+        "binary_file_scan": q_binary_file_scan,
         "multimodal_features": q_multimodal_features,
         "multimodal_audio": q_multimodal_audio,
         "multimodal_phash_pairs": q_multimodal_phash_pairs,
@@ -779,9 +869,11 @@ _HITS = {
 
 
 def oracle_sql() -> dict[str, str]:
-    # the register_csv_scan oracle reads a generated CSV fixture; write it
+    # the register/binary-file oracles read generated fixtures; write them
     # here too so the oracle works regardless of which side runs first
     _ensure_register_csv()
+    _ensure_register_json()
+    _ensure_binary_files()
     hits = {
         k: f"CAST(len(regexp_extract_all(lower(coalesce(text,'')), '{v}')) AS INT)"
         for k, v in _HITS.items()
@@ -1356,5 +1448,27 @@ def oracle_sql() -> dict[str, str]:
                        reference_number)), 1, 12) AS record_id,
                    vendor_name, expected_amount, due_date, reference_number, status
             FROM norm ORDER BY record_id
+        """,
+        "register_json_scan": f"""
+            WITH raw AS (SELECT * FROM read_json_auto('{_REGISTER_JSON_PATH}')),
+            norm AS (
+                SELECT company AS vendor_name,
+                       coalesce(TRY_CAST(regexp_replace(total, '[$,]', '', 'g')
+                                         AS DOUBLE), 0.0) AS expected_amount,
+                       "date" AS due_date,
+                       ref AS reference_number,
+                       'unpaid' AS status
+                FROM raw)
+            SELECT 'R-' || substr(md5(concat_ws('|', vendor_name,
+                       CAST(expected_amount AS VARCHAR), due_date,
+                       reference_number)), 1, 12) AS record_id,
+                   vendor_name, expected_amount, due_date, reference_number, status
+            FROM norm ORDER BY record_id
+        """,
+        "binary_file_scan": f"""
+            SELECT regexp_extract(filename, '([^/]+)\\.bin$', 1) AS name,
+                   CAST(size AS BIGINT) AS length,
+                   hex(content) AS content_hex
+            FROM read_blob('{_BINFILES_DIR}/*.bin')
         """,
     }
