@@ -50,3 +50,61 @@ def start_extract_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def start_writeback_stream(
+    spark: SparkSession,
+    results_landing_path: str,
+    results_schema,
+    table_path: str,
+    output_path: str,
+    checkpoint_path: str,
+    status_col: str = "status",
+    inv_key: str = "url",
+    res_key: str = "invoice_url",
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming status write-back: drain arriving reconciliation results
+    and MERGE each micro-batch's statuses into the invoices table — the
+    continuous analog of the reference's per-result UPDATE loop
+    (backend/server.js:531-550) built from the same batch operator
+    (operators/mutate.py:status_writeback) via foreachBatch.
+
+    Each micro-batch rewrites ``output_path`` from the CURRENT table state
+    (read fresh every batch so consecutive batches compound) — exactly-once
+    per batch rides on Spark's streaming checkpoint (batch id replay is
+    idempotent: the write-back of the same results is a no-op overwrite).
+    On Iceberg, foreachBatch would issue MERGE INTO snapshot commits; here
+    the parquet stand-in swaps output atomically per batch.
+    """
+    import os
+    import shutil
+
+    from invoice_ocr_reconciler_spark.operators.mutate import status_writeback
+
+    def apply_batch(results_batch: DataFrame, batch_id: int) -> None:
+        if not results_batch.take(1):
+            return
+        src = output_path if os.path.isdir(output_path) else table_path
+        current = spark.read.parquet(src)
+        updated = status_writeback(
+            current, results_batch, status_col=status_col,
+            inv_key=inv_key, res_key=res_key,
+        )
+        tmp = f"{output_path}__batch{batch_id}"
+        updated.write.mode("overwrite").parquet(tmp)
+        if os.path.isdir(output_path):
+            shutil.rmtree(output_path)
+        os.replace(tmp, output_path)
+
+    stream = (
+        spark.readStream.schema(results_schema)
+        .option("maxFilesPerTrigger", 64)
+        .json(results_landing_path)
+    )
+    writer = stream.writeStream.foreachBatch(apply_batch).option(
+        "checkpointLocation", checkpoint_path
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

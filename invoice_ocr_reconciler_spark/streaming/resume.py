@@ -74,6 +74,26 @@ class CheckpointManifest:
         return [self.entry(b) for b in sorted(self.completed_buckets())]
 
 
+def manifest_df(spark: SparkSession, manifest_dir: str) -> DataFrame:
+    """Checkpoint manifest as a queryable DataFrame — the analog of the
+    reference's reconciliation_sessions listing (`GET /api/reconciliations`,
+    backend/server.js:566-574: run-level counters, recency-ordered). One
+    row per committed bucket with rows/bytes/wall/lineage/attempt; order
+    and limit with plain DataFrame ops (e.g. .orderBy(F.desc('wall_ms'))).
+    """
+    path = os.path.join(manifest_dir, "bucket-*.json")
+    return spark.read.json(path).select(
+        F.col("bucket").cast("int"),
+        F.col("rows").cast("bigint"),
+        F.col("bytes").cast("bigint"),
+        F.col("wall_ms").cast("bigint"),
+        "min_url",
+        "max_url",
+        F.col("attempt").cast("int"),
+        "input_path",
+    )
+
+
 def _discover_buckets(input_path: str) -> list[int]:
     out = []
     for name in os.listdir(input_path):

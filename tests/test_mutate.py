@@ -288,3 +288,70 @@ def test_write_back_bucketed_sparse_layout_rejected(spark, tmp_path):
                             manifest, updates, key="url",
                             update_cols=["status"], n_buckets=6)
     assert r["processed"] == [5]
+
+
+def test_manifest_df_lists_sessions(spark, tmp_path):
+    """reconciliation_sessions analog (server.js:566-574): the checkpoint
+    manifest is queryable as a DataFrame with run-level counters."""
+    from invoice_ocr_reconciler_spark.streaming.resume import (
+        CheckpointManifest,
+        manifest_df,
+    )
+
+    tmp = str(tmp_path)
+    in_path = _mk_bucketed_table(spark, tmp)
+    manifest = CheckpointManifest(os.path.join(tmp, "m"))
+    updates = spark.createDataFrame([Row(url="https://h.example/doc/1",
+                                         status="matched")])
+    write_back_bucketed(spark, in_path, os.path.join(tmp, "o"), manifest,
+                        updates, key="url", update_cols=["status"])
+    df = manifest_df(spark, manifest.dir)
+    rows = {r["bucket"]: r for r in df.collect()}
+    assert set(rows) == manifest.completed_buckets()
+    assert all(r["rows"] > 0 and r["bytes"] > 0 and r["attempt"] == 1
+               for r in rows.values())
+    assert all(r["min_url"] <= r["max_url"] for r in rows.values())
+    # recency-style listing: order + limit are plain DataFrame ops
+    top = df.orderBy(F.desc("wall_ms")).limit(2).collect()
+    assert len(top) == 2
+
+
+def test_streaming_writeback_compounds_across_batches(spark, tmp_path):
+    """foreachBatch MERGE write-back: each drained batch of reconciliation
+    results updates the invoices table from its CURRENT state, and a second
+    drain (same checkpoint) compounds on the first — the streaming analog of
+    the reference's per-result UPDATE loop."""
+    import json as _json
+
+    from invoice_ocr_reconciler_spark.streaming.ingest import start_writeback_stream
+
+    tmp = str(tmp_path)
+    table = os.path.join(tmp, "table")
+    landing = os.path.join(tmp, "landing")
+    out = os.path.join(tmp, "out")
+    ckpt = os.path.join(tmp, "ckpt")
+    os.makedirs(landing)
+
+    spark.createDataFrame(
+        [Row(url=f"u{i}", status="pending", amount=float(i)) for i in range(20)]
+    ).write.parquet(table)
+    schema = "invoice_url string, match_status string"
+
+    with open(os.path.join(landing, "r1.json"), "w") as fh:
+        for i in range(5):
+            fh.write(_json.dumps({"invoice_url": f"u{i}", "match_status": "matched"}) + "\n")
+    q = start_writeback_stream(spark, landing, schema, table, out, ckpt)
+    q.awaitTermination(120)
+    got = {r["url"]: r["status"] for r in spark.read.parquet(out).collect()}
+    assert sum(1 for s in got.values() if s == "matched") == 5
+    assert sum(1 for s in got.values() if s == "pending") == 15
+
+    with open(os.path.join(landing, "r2.json"), "w") as fh:
+        for i in range(5, 8):
+            fh.write(_json.dumps({"invoice_url": f"u{i}", "match_status": "mismatch"}) + "\n")
+    q2 = start_writeback_stream(spark, landing, schema, table, out, ckpt)
+    q2.awaitTermination(120)
+    got = {r["url"]: r["status"] for r in spark.read.parquet(out).collect()}
+    assert sum(1 for s in got.values() if s == "matched") == 5  # batch 1 kept
+    assert sum(1 for s in got.values() if s == "mismatch") == 3
+    assert sum(1 for s in got.values() if s == "pending") == 12
