@@ -113,6 +113,34 @@ def main() -> None:
         }
     except Exception as exc:  # the headline numbers still stand alone
         flagship = {"error": str(exc)[:200]}
+
+    # training-data curation at scale: annotate + exact-dedup + quality/lang
+    # filter + MinHash near-dup over a 200k-doc corpus with planted exact
+    # and near duplicates (datagen.documents_df)
+    try:
+        from invoice_ocr_reconciler_spark.operators.curation import curate_documents
+
+        n_docs_big = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "200000"))
+        docs_path = f"/tmp/spark_graft_bench_docs_{n_docs_big}"
+        if not os.path.isdir(docs_path):
+            datagen.documents_df(spark, n_docs_big).write.mode("overwrite").parquet(
+                docs_path
+            )
+        docs_big = spark.read.parquet(docs_path)
+        curate_documents(docs_big.limit(2000), min_quality=0.4)  # warm pass
+        t0 = time.monotonic()
+        stats = curate_documents(docs_big, min_quality=0.4)["stats"].collect()[0]
+        wall = time.monotonic() - t0
+        curation = {
+            "n_docs": stats["n_input"],
+            "wall_sec": round(wall, 2),
+            "docs_per_sec": round(stats["n_input"] / wall, 1),
+            "n_exact_dup": stats["n_exact_dup"],
+            "n_near_dup": stats["n_near_dup"],
+            "n_curated": stats["n_curated"],
+        }
+    except Exception as exc:
+        curation = {"error": str(exc)[:200]}
     print(
         json.dumps(
             {
@@ -126,6 +154,7 @@ def main() -> None:
                 "extract_reconcile_docs_per_sec": pipeline_docs_per_sec,
                 "ann_recall_at_5": recall,
                 "flagship_200k": flagship,
+                "curation_200k": curation,
             }
         )
     )

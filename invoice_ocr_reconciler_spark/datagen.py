@@ -180,6 +180,57 @@ def _article_body(i: int) -> str:
     )
 
 
+def make_document_text(i: int) -> str:
+    """Deterministic web-text document with the dup structure curation needs
+    (non-recursive — base bodies are referenced directly):
+    - every doc with i % 29 == 7 carries doc 7's body verbatim: ONE large
+      boilerplate class of exact duplicates (n/29 members — the unbounded
+      group the exact-dedup window must handle);
+    - every doc with i % 13 == 5 (i >= 13) is a NEAR duplicate of its
+      neighbor i-1 (same body, an appended footnote — MinHash-close,
+      fingerprint-distinct)."""
+    # the per-doc ref token keeps PLAIN docs fingerprint-distinct (the
+    # sentence pool is small, so bare bodies would collide accidentally);
+    # exact duplicates are exactly the planted boilerplate class
+    if i % 29 == 7:
+        return _article_body(7) + " ref-7"
+    if i >= 13 and i % 13 == 5:
+        return _article_body(i - 1) + f" ref-{i - 1} appended footnote {i % 3}"
+    return _article_body(i) + f" ref-{i}"
+
+
+def documents_df(spark: SparkSession, n: int, partitions: int | None = None) -> DataFrame:
+    """Distributed deterministic documents table (doc_id, text, lang,
+    source, n_chars) — the large-scale stand-in for the driver's
+    documents.parquet, used by the curation bench leg."""
+    if partitions is None:
+        partitions = max(spark.sparkContext.defaultParallelism, 4)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                text = make_document_text(i)
+                rows.append(
+                    {
+                        "doc_id": i,
+                        "text": text,
+                        "lang": LANGS[_h(f"lang:{i}") % len(LANGS)],
+                        "source": f"synthetic/{i % 10}",
+                        "n_chars": len(text),
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+            )
+
+    schema = (
+        "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    )
+    return spark.range(0, n, numPartitions=partitions).mapInPandas(gen, schema=schema)
+
+
 def _html_page(i: int, body_text: str) -> bytes:
     paragraphs = "".join(f"<p>{ln}</p>" if ln else "<br/>" for ln in body_text.split("\n"))
     page = (

@@ -238,3 +238,29 @@ def test_phash_pairs_finds_identical_payloads(spark):
     got = {(r["media_a"], r["media_b"]): r["hamming"]
            for r in phash_near_dup_pairs(feats).collect()}
     assert got == {("a", "b"): 0}
+
+
+def test_documents_df_dup_structure(spark):
+    """The large-corpus generator plants exact (i%29==7 copies i-29) and
+    near (i%13==5 extends i-13) duplicates, deterministically."""
+    from invoice_ocr_reconciler_spark import datagen
+
+    df = datagen.documents_df(spark, 120)
+    rows = {r["doc_id"]: r["text"] for r in df.collect()}
+    assert len(rows) == 120
+    assert rows[36] == rows[7]  # 36 % 29 == 7 -> boilerplate class of doc 7
+    assert rows[65] == rows[7]
+    # 18 % 13 == 5 -> near dup of neighbor 17: same body + footnote
+    assert rows[18].startswith(rows[17])
+    assert rows[18] != rows[17] and "appended footnote" in rows[18]
+    # deterministic across partitionings
+    again = {r["doc_id"]: r["text"]
+             for r in datagen.documents_df(spark, 120, partitions=7).collect()}
+    assert again == rows
+    # curation actually drops the planted dups
+    from invoice_ocr_reconciler_spark.operators.curation import curate_documents
+
+    stats = curate_documents(df, min_quality=0.0, langs=("en", "unknown"),
+                             near_dup_threshold=0.5)["stats"].collect()[0]
+    assert stats["n_exact_dup"] > 0
+    assert stats["n_near_dup"] > 0
