@@ -149,10 +149,10 @@ def phash_near_dup_pairs(
             )
         ).alias("chunk_pos", "chunk_val"),
     )
-    grouped = (
-        chunks.groupBy("chunk_pos", "chunk_val")
-        .agg(F.array_sort(F.collect_list(F.struct("media_id", "phash"))).alias("members"))
-        .filter((F.size("members") >= 2) & (F.size("members") <= chunk_cap))
+    from invoice_ocr_reconciler_spark.operators.dedup import capped_member_groups
+
+    grouped = capped_member_groups(
+        chunks, ["chunk_pos", "chunk_val"], F.struct("media_id", "phash"), chunk_cap
     )
     pairs_expr = f"""
         filter(

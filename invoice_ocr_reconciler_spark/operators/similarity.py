@@ -376,12 +376,10 @@ def embedding_cosine_dedup(
         if n_vectors is None:
             n_vectors = vectors.count()
         planes_per_band = emb_planes_per_band(n_vectors)
+    from invoice_ocr_reconciler_spark.operators.dedup import capped_member_groups
+
     sig = _banded_emb_buckets(vectors, n_bands, planes_per_band, id_col, vec_col)
-    grouped = (
-        sig.groupBy("band", "bucket")
-        .agg(F.array_sort(F.collect_list("vec_id")).alias("members"))
-        .filter((F.size("members") >= 2) & (F.size("members") <= bucket_cap))
-    )
+    grouped = capped_member_groups(sig, ["band", "bucket"], F.col("vec_id"), bucket_cap)
     pairs_expr = """
         flatten(transform(members, (m, i) ->
           transform(slice(members, i + 2, size(members) - i - 1), o ->
