@@ -159,52 +159,83 @@ def minhash_lsh_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     threshold: float = 0.7,
+    ship_signatures: bool = True,
 ) -> DataFrame:
     """Near-duplicate candidate pairs via banded MinHash-LSH + signature verify.
 
     Returns (doc_a, doc_b, est_jaccard) with doc_a < doc_b and estimated
-    Jaccard (fraction of agreeing minhashes) >= threshold.
+    Jaccard (fraction of agreeing minhashes) >= threshold. Two physically
+    different plans, identical results (equivalence-tested):
+
+    - ``ship_signatures=True`` (default): band rows carry the signature, so
+      ONE signature pass feeds everything and the estimate is computed
+      inside the capped bucket groups — the CPU-lean shape (fastest on a
+      single host / fast local shuffle; measured best at 200k docs);
+    - ``ship_signatures=False``: the band exchange carries 24-byte
+      (doc_id, band, bucket) triples instead of 16 signature copies per doc
+      (~1.6 GB saved per 200k docs); pairs dedup ACROSS bands first, then
+      join the signatures back and pay the estimate once per DISTINCT pair.
+      The signature lineage is recomputed for the join sides (~80us/doc) —
+      the NETWORK-lean shape for clusters where shuffle bytes, not CPU, are
+      the constraint.
     """
     sig = minhash_signatures(docs, text_col, id_col)
     r = N_HASHES // N_BANDS
-    bands = sig.select(
-        "doc_id",
-        "signature",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(N_BANDS - 1)),
-                lambda b: F.xxhash64(
-                    F.concat_ws("-", F.slice("signature", b * r + 1, r)), b
-                ),
-            )
-        ).alias("band", "bucket"),
-    )
-    # One exchange on (band, bucket), then pairs are generated INSIDE each
-    # bucket group with whole-stage-codegen array expressions: members sorted
-    # by doc_id (so doc_a < doc_b by construction), capped (degenerate hot
-    # buckets dropped, keeping pair fan-out quadratic only in the cap), and
-    # the agreement estimate computed inline so only passing (a, b, est)
-    # triples — 24 bytes, not two 512-byte signatures — reach the dedup
-    # exchange. The previous self-join shape computed the signature UDF twice
-    # (no exchange reuse once AQE broadcasts one side) and shuffled full
-    # signatures three times.
-    grouped = capped_member_groups(
-        bands, ["band", "bucket"], F.struct("doc_id", "signature"), HOT_BUCKET_CAP
-    )
-    pairs_expr = f"""
-        filter(
-          flatten(transform(members, (m, i) ->
-            transform(slice(members, i + 2, size(members) - i - 1), o ->
-              struct(m.doc_id AS doc_a, o.doc_id AS doc_b,
-                     round(size(filter(zip_with(m.signature, o.signature,
-                                                (x, y) -> x = y), z -> z))
-                           / CAST({N_HASHES} AS DOUBLE), 4) AS est_jaccard)))),
-          p -> p.est_jaccard >= CAST({threshold!r} AS DOUBLE))
+    band_ids = F.posexplode(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(N_BANDS - 1)),
+            lambda b: F.xxhash64(
+                F.concat_ws("-", F.slice("signature", b * r + 1, r)), b
+            ),
+        )
+    ).alias("band", "bucket")
+
+    if ship_signatures:
+        bands = sig.select("doc_id", "signature", band_ids)
+        grouped = capped_member_groups(
+            bands, ["band", "bucket"], F.struct("doc_id", "signature"), HOT_BUCKET_CAP
+        )
+        pairs_expr = f"""
+            filter(
+              flatten(transform(members, (m, i) ->
+                transform(slice(members, i + 2, size(members) - i - 1), o ->
+                  struct(m.doc_id AS doc_a, o.doc_id AS doc_b,
+                         round(size(filter(zip_with(m.signature, o.signature,
+                                                    (x, y) -> x = y), z -> z))
+                               / CAST({N_HASHES} AS DOUBLE), 4) AS est_jaccard)))),
+              p -> p.est_jaccard >= CAST({threshold!r} AS DOUBLE))
+        """
+        return (
+            grouped.select(F.explode(F.expr(pairs_expr)).alias("p"))
+            .select("p.doc_a", "p.doc_b", "p.est_jaccard")
+            .dropDuplicates(["doc_a", "doc_b"])
+        )
+
+    bands = sig.select("doc_id", band_ids)
+    grouped = capped_member_groups(bands, ["band", "bucket"], F.col("doc_id"), HOT_BUCKET_CAP)
+    pairs_expr = """
+        flatten(transform(members, (m, i) ->
+          transform(slice(members, i + 2, size(members) - i - 1), o ->
+            struct(m AS doc_a, o AS doc_b))))
     """
-    return (
+    cand = (
         grouped.select(F.explode(F.expr(pairs_expr)).alias("p"))
-        .select("p.doc_a", "p.doc_b", "p.est_jaccard")
+        .select("p.doc_a", "p.doc_b")
         .dropDuplicates(["doc_a", "doc_b"])
+    )
+    sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("signature").alias("sig_a"))
+    sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("signature").alias("sig_b"))
+    est = F.round(
+        F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda z: z))
+        / F.lit(float(N_HASHES)),
+        4,
+    )
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("est_jaccard", est)
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("doc_a", "doc_b", "est_jaccard")
     )
 
 

@@ -264,3 +264,18 @@ def test_documents_df_dup_structure(spark):
                              near_dup_threshold=0.5)["stats"].collect()[0]
     assert stats["n_exact_dup"] > 0
     assert stats["n_near_dup"] > 0
+
+
+def test_minhash_two_plans_equivalent(spark):
+    """ship_signatures=True (CPU-lean) and False (network-lean) are
+    physically different plans with identical results."""
+    from invoice_ocr_reconciler_spark.operators.dedup import minhash_lsh_pairs
+
+    rows = [Row(doc_id=i, text=" ".join(f"w{j}" for j in range(i % 7, i % 7 + 40)))
+            for i in range(80)]
+    df = spark.createDataFrame(rows)
+    a = sorted(map(tuple, minhash_lsh_pairs(df, threshold=0.5).collect()))
+    b = sorted(map(tuple,
+                   minhash_lsh_pairs(df, threshold=0.5,
+                                     ship_signatures=False).collect()))
+    assert a == b and len(a) > 0
