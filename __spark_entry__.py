@@ -788,6 +788,122 @@ def q_paged_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- round-2 additions: clustering, events, webtext curation metrics ---
+
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact connected components (large-star/small-star) over the
+    deterministic n-gram-Jaccard pair set (all docs, j >= 0.3); the
+    DuckDB oracle computes the same closure with a recursive CTE."""
+    from invoice_ocr_reconciler_spark.operators.cluster import connected_components
+    from invoice_ocr_reconciler_spark.operators.dedup import ngram_jaccard_verify
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sub = docs
+    a = sub.select(F.col("doc_id").alias("doc_a"))
+    b = sub.select(F.col("doc_id").alias("doc_b"))
+    cands = a.crossJoin(b).filter(F.col("doc_a") < F.col("doc_b"))
+    pairs = ngram_jaccard_verify(cands, sub, threshold=0.3)
+    return connected_components(pairs)
+
+
+def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-survivor cut: every doc labeled with its near-dup component
+    (singletons included); cluster min survives."""
+    from invoice_ocr_reconciler_spark.operators.cluster import canonical_docs
+    from invoice_ocr_reconciler_spark.operators.dedup import ngram_jaccard_verify
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sub = docs
+    a = sub.select(F.col("doc_id").alias("doc_a"))
+    b = sub.select(F.col("doc_id").alias("doc_b"))
+    cands = a.crossJoin(b).filter(F.col("doc_a") < F.col("doc_b"))
+    pairs = ngram_jaccard_verify(cands, sub, threshold=0.3)
+    return canonical_docs(sub, pairs).select("doc_id", "component", "is_canonical")
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from invoice_ocr_reconciler_spark.operators.events import sessionize
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return sessionize(ev, gap_minutes=30).select(
+        "event_id", "user_id", "session_seq", "session_id"
+    )
+
+
+def q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from invoice_ocr_reconciler_spark.operators.events import session_stats
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return session_stats(ev, gap_minutes=30)
+
+
+def q_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each click gets the latest view (ts <= click.ts) of the
+    same user — DuckDB replays it with a native ASOF LEFT JOIN."""
+    from invoice_ocr_reconciler_spark.operators.events import asof_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    clicks = ev.filter(F.col("event_type") == "click")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    return asof_join(clicks, views, right_cols=("event_id", "value")).select(
+        "event_id", "user_id", "ts", "asof_event_id", "asof_value", "asof_ts"
+    )
+
+
+def q_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from invoice_ocr_reconciler_spark.functions.text import repetition_cols
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    cols = repetition_cols(F.col("text"))
+    return docs.select(
+        "doc_id",
+        cols["top_2gram_count"].alias("top_2gram_count"),
+        cols["top_2gram_frac"].alias("top_2gram_frac"),
+        cols["dup_5gram_frac"].alias("dup_5gram_frac"),
+    )
+
+
+def _pii_augmented_text() -> "F.Column":
+    """Deterministic PII injection (the synthetic corpus has none): both the
+    Spark query and the DuckDB oracle append the same email/IP/phone derived
+    from doc_id, so the redaction parity check is end-to-end byte-exact."""
+    return F.concat(
+        F.coalesce(F.col("text"), F.lit("")),
+        F.lit(" contact user"), F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com from 10."),
+        (F.col("doc_id") % 200).cast("string"),
+        F.lit(".3.7 or +1 (555) 010-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+
+
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from invoice_ocr_reconciler_spark.functions.pii import (
+        pii_count_cols,
+        redact_pii_col,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    aug = _pii_augmented_text()
+    c = pii_count_cols(aug)
+    return docs.select(
+        "doc_id",
+        c["n_emails"].alias("n_emails"),
+        c["n_ips"].alias("n_ips"),
+        c["n_phones"].alias("n_phones"),
+        redact_pii_col(aug).alias("redacted"),
+    )
+
+
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from invoice_ocr_reconciler_spark.operators.tfidf import tfidf_top_terms
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return tfidf_top_terms(docs, k=5)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from invoice_ocr_reconciler_spark.plans import relational as R
 
@@ -855,6 +971,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_frames": q_multimodal_frames,
         "salted_host_partitions": q_salted_host_partitions,
         "paged_count": q_paged_count,
+        # clustering / events / webtext curation metrics
+        "dedup_components": q_dedup_components,
+        "dedup_canonical": q_dedup_canonical,
+        "sessionize": q_sessionize,
+        "session_stats": q_session_stats,
+        "asof_enrich": q_asof_enrich,
+        "repetition_metrics": q_repetition_metrics,
+        "pii_redact": q_pii_redact,
+        "tfidf_top_terms": q_tfidf_top_terms,
     }
 
 
@@ -1470,5 +1595,190 @@ def oracle_sql() -> dict[str, str]:
                    CAST(size AS BIGINT) AS length,
                    hex(content) AS content_hex
             FROM read_blob('{_BINFILES_DIR}/*.bin')
+        """,
+        # exact transitive closure of the n-gram-Jaccard pair set via a
+        # recursive CTE — the SQL ground truth for large-star/small-star
+        "dedup_components": r"""
+            WITH RECURSIVE d AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(coalesce(text, '')), '\s+'),
+                                   t -> t <> '') AS toks
+                FROM documents),
+            g AS (
+                SELECT doc_id,
+                       CASE WHEN len(toks) = 0 THEN ['']
+                            WHEN len(toks) < 3 THEN [array_to_string(toks, chr(1))]
+                            ELSE list_distinct(list_transform(range(1, len(toks) - 1),
+                                   i -> toks[i] || chr(1) || toks[i+1] || chr(1) || toks[i+2]))
+                       END AS grams
+                FROM d),
+            pr AS (
+                SELECT a.doc_id AS u, b.doc_id AS v
+                FROM g a JOIN g b ON a.doc_id < b.doc_id
+                WHERE round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                            / (len(a.grams) + len(b.grams)
+                               - len(list_intersect(a.grams, b.grams))), 4) >= 0.3),
+            e AS (SELECT u, v FROM pr UNION SELECT v, u FROM pr),
+            nodes AS (SELECT DISTINCT u FROM e),
+            reach(u, v) AS (
+                SELECT u, u FROM nodes
+                UNION
+                SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u)
+            SELECT u AS doc_id, min(v) AS component FROM reach GROUP BY u
+        """,
+        "dedup_canonical": r"""
+            WITH RECURSIVE d AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(coalesce(text, '')), '\s+'),
+                                   t -> t <> '') AS toks
+                FROM documents),
+            g AS (
+                SELECT doc_id,
+                       CASE WHEN len(toks) = 0 THEN ['']
+                            WHEN len(toks) < 3 THEN [array_to_string(toks, chr(1))]
+                            ELSE list_distinct(list_transform(range(1, len(toks) - 1),
+                                   i -> toks[i] || chr(1) || toks[i+1] || chr(1) || toks[i+2]))
+                       END AS grams
+                FROM d),
+            pr AS (
+                SELECT a.doc_id AS u, b.doc_id AS v
+                FROM g a JOIN g b ON a.doc_id < b.doc_id
+                WHERE round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                            / (len(a.grams) + len(b.grams)
+                               - len(list_intersect(a.grams, b.grams))), 4) >= 0.3),
+            e AS (SELECT u, v FROM pr UNION SELECT v, u FROM pr),
+            nodes AS (SELECT DISTINCT u FROM e),
+            reach(u, v) AS (
+                SELECT u, u FROM nodes
+                UNION
+                SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u),
+            comp AS (SELECT u AS doc_id, min(v) AS component FROM reach GROUP BY u)
+            SELECT d.doc_id,
+                   coalesce(c.component, d.doc_id) AS component,
+                   coalesce(c.component, d.doc_id) = d.doc_id AS is_canonical
+            FROM d LEFT JOIN comp c USING (doc_id)
+        """,
+        "sessionize": """
+            WITH l AS (
+                SELECT event_id, user_id, ts,
+                       lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts
+                FROM events),
+            n AS (
+                SELECT event_id, user_id, ts,
+                       CASE WHEN pts IS NULL
+                                 OR epoch_us(ts) - epoch_us(pts) > 1800000000
+                            THEN 1 ELSE 0 END AS is_new
+                FROM l)
+            SELECT event_id, user_id,
+                   CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq,
+                   CAST(user_id AS VARCHAR) || '-' ||
+                   CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                          ROWS UNBOUNDED PRECEDING) AS VARCHAR) AS session_id
+            FROM n
+        """,
+        "session_stats": """
+            WITH l AS (
+                SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts
+                FROM events),
+            n AS (
+                SELECT *, CASE WHEN pts IS NULL
+                                    OR epoch_us(ts) - epoch_us(pts) > 1800000000
+                               THEN 1 ELSE 0 END AS is_new
+                FROM l),
+            q AS (
+                SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+                FROM n)
+            SELECT user_id, session_seq,
+                   CAST(user_id AS VARCHAR) || '-' || CAST(session_seq AS VARCHAR) AS session_id,
+                   min(ts) AS session_start,
+                   max(ts) AS session_end,
+                   (epoch_us(max(ts)) - epoch_us(min(ts))) / 1000000.0 AS duration_sec,
+                   count(*) AS n_events,
+                   round(sum(value), 2) AS value_sum
+            FROM q GROUP BY user_id, session_seq
+        """,
+        "asof_enrich": """
+            WITH c AS (SELECT * FROM events WHERE event_type = 'click'),
+            v AS (SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'view')
+            SELECT c.event_id, c.user_id, c.ts,
+                   v.event_id AS asof_event_id, v.value AS asof_value, v.ts AS asof_ts
+            FROM c ASOF LEFT JOIN v ON c.user_id = v.user_id AND c.ts >= v.ts
+        """,
+        "repetition_metrics": r"""
+            WITH d AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(trim(coalesce(text, ''))), '\s+'),
+                                   t -> t <> '') AS toks
+                FROM documents),
+            g AS (
+                SELECT doc_id,
+                       CASE WHEN len(toks) >= 2
+                            THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+                            ELSE [] END AS g2,
+                       CASE WHEN len(toks) >= 5
+                            THEN list_transform(range(1, len(toks) - 3),
+                                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                                        || ' ' || toks[i+3] || ' ' || toks[i+4])
+                            ELSE [] END AS g5
+                FROM d),
+            ex AS (SELECT doc_id, unnest(g2) AS gram FROM g),
+            cnt AS (SELECT doc_id, gram, count(*) AS c FROM ex GROUP BY 1, 2),
+            mx AS (SELECT doc_id, max(c) AS mc FROM cnt GROUP BY 1)
+            SELECT g.doc_id,
+                   CAST(coalesce(mx.mc, 0) AS INT) AS top_2gram_count,
+                   CASE WHEN len(g.g2) > 0
+                        THEN floor(CAST(coalesce(mx.mc, 0) AS DOUBLE) / len(g.g2) * 10000 + 0.5) / 10000
+                        ELSE 0.0 END AS top_2gram_frac,
+                   CASE WHEN len(g.g5) > 0
+                        THEN floor((1.0 - CAST(len(list_distinct(g.g5)) AS DOUBLE) / len(g.g5)) * 10000 + 0.5) / 10000
+                        ELSE 0.0 END AS dup_5gram_frac
+            FROM g LEFT JOIN mx ON g.doc_id = mx.doc_id
+        """,
+        # same deterministic PII injection as the Spark side (_pii_augmented_text)
+        "pii_redact": r"""
+            WITH d AS (
+                SELECT doc_id,
+                       coalesce(text, '') || ' contact user' || CAST(doc_id AS VARCHAR)
+                         || '@mail.example.com from 10.' || CAST(doc_id % 200 AS VARCHAR)
+                         || '.3.7 or +1 (555) 010-'
+                         || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+                FROM documents),
+            r AS (
+                SELECT doc_id, t,
+                       regexp_replace(
+                           regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                           '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g') AS t2
+                FROM d)
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_emails,
+                   CAST(len(regexp_extract_all(t, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS INT) AS n_ips,
+                   CAST(len(regexp_extract_all(t2, '\+[0-9][0-9 ().-]{6,}[0-9]')) AS INT) AS n_phones,
+                   regexp_replace(t2, '\+[0-9][0-9 ().-]{6,}[0-9]', '<PHONE>', 'g') AS redacted
+            FROM r
+        """,
+        # idf rounded to 6 and score to 4 BEFORE ranking on both sides:
+        # cross-engine ln() agrees to <= 1 ulp, rounding makes order identical
+        "tfidf_top_terms": r"""
+            WITH d AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(trim(coalesce(text, ''))), '\s+'),
+                                   t -> t <> '') AS toks
+                FROM documents),
+            n AS (SELECT count(*) AS n_docs FROM d),
+            t AS (SELECT doc_id, unnest(toks) AS term FROM d),
+            tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+            dfr AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+            s AS (
+                SELECT tf.doc_id, tf.term, tf.tf, dfr.df,
+                       floor(tf.tf * (floor(ln(CAST(n.n_docs AS DOUBLE) / dfr.df) * 1e6 + 0.5) / 1e6)
+                             * 1e4 + 0.5) / 1e4 AS score
+                FROM tf JOIN dfr USING (term) CROSS JOIN n)
+            SELECT doc_id, term, tf, df, score,
+                   CAST(row_number() OVER (PARTITION BY doc_id
+                                           ORDER BY score DESC, term) AS INT) AS term_rank
+            FROM s
+            QUALIFY term_rank <= 5
         """,
     }

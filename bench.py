@@ -47,6 +47,10 @@ def main() -> None:
         "dedup_exact",
         "dedup_minhash",
         "curation_filter",   # composed annotate+dedup+filter (pure codegen)
+        "sessionize",        # single-exchange gap sessionization
+        "asof_enrich",       # union-and-carry as-of join (no range explosion)
+        "repetition_metrics",  # Gopher-style repetition cut (pure codegen)
+        "tfidf_top_terms",   # two-agg TF-IDF + broadcast-vocab top-k
         "ann_brute_force",
         "upsert_table",         # MERGE/upsert over the orders table
         "status_writeback",     # E2 write-back (UPDATE-only MERGE)

@@ -93,6 +93,69 @@ def quality_score_cols(col: Column) -> dict[str, Column]:
     }
 
 
+def _word_ngrams(toks: Column, n: int) -> Column:
+    """Array of word n-grams (space-joined) from a token array; [] if the
+    doc has fewer than n tokens. Pure codegen: slice + transform + element
+    lookups, no Python crossing."""
+    sz = F.size(toks)
+    head = F.slice(toks, 1, F.greatest(sz - (n - 1), F.lit(0)))
+    gram = lambda x, i: F.concat_ws(
+        " ", x, *[F.element_at(toks, i + F.lit(j + 1)) for j in range(1, n)]
+    )
+    return F.transform(head, gram)
+
+
+def repetition_cols(col: Column) -> dict[str, Column]:
+    """Gopher-style repetition metrics, all JVM-side column expressions:
+
+    - top_2gram_count / top_2gram_frac: occurrences of the most frequent
+      word 2-gram and its fraction of all 2-grams (array_sort + a single
+      aggregate() scan counting the longest equal-adjacent run — no
+      explode, no shuffle);
+    - dup_5gram_frac: fraction of word 5-grams that are repeats of an
+      earlier 5-gram (1 - distinct/total).
+
+    High values mark boilerplate / spam / generated text; the standard
+    cut before near-dup sketching in a pretraining curation pipeline.
+    """
+    trimmed = F.trim(F.coalesce(col, F.lit("")))
+    toks = F.filter(F.split(F.lower(trimmed), r"\s+"), lambda t: t != "")
+    g2 = _word_ngrams(toks, 2)
+    g5 = _word_ngrams(toks, 5)
+    n2 = F.size(g2)
+    n5 = F.size(g5)
+    # longest run of equal adjacent elements in the sorted gram array ==
+    # max frequency of any gram. acc = (prev, run, best)
+    run = F.aggregate(
+        F.array_sort(g2),
+        F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+    top2 = F.when(n2 > 0, run).otherwise(F.lit(0))
+    return {
+        "top_2gram_count": top2,
+        "top_2gram_frac": _round4(
+            F.when(n2 > 0, top2.cast("double") / n2).otherwise(F.lit(0.0))
+        ),
+        "dup_5gram_frac": _round4(
+            F.when(
+                n5 > 0,
+                1.0 - F.size(F.array_distinct(g5)).cast("double") / n5,
+            ).otherwise(F.lit(0.0))
+        ),
+    }
+
+
 def fingerprint_col(col: Column) -> Column:
     """Deterministic document fingerprint over whitespace-normalized text.
 

@@ -1,0 +1,154 @@
+"""Connected components over near-duplicate pair sets + canonical-doc cut.
+
+Pairwise near-dup detection (MinHash / SimHash / n-gram Jaccard in
+operators/dedup.py) yields an EDGE LIST; real web-scale dedup needs the
+transitive closure of those edges — one cluster per group of mutually-similar
+documents, keep one representative per cluster. The keep-lowest-paired-id
+shortcut in operators/curation.py is the cheap approximation; this module is
+the exact version.
+
+Algorithm: alternating large-star / small-star (Kiveris et al., "Connected
+Components in MapReduce and Beyond", SoCC 2014) — converges in O(log n)
+rounds on any graph, vs O(diameter) for naive label propagation. Each round
+is a bounded number of shuffles (one groupBy + one join per star op) over the
+edge list only; node labels never leave the JVM. Lineage is truncated every
+round (localCheckpoint) so the plan does not grow with iterations — the
+standard guard for iterative DataFrame algorithms. At 10^12 docs the edge
+list after LSH banding is orders of magnitude smaller than the corpus, so
+every shuffle here is on the small derived table, never the documents.
+
+Convergence is detected with an order-independent edge-set signature
+(count + sum of per-edge xxhash64) — one cheap agg per round instead of a
+full subtract().
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# O(log n) expected; the signature fixpoint test stops earlier on real data.
+MAX_CC_ROUNDS = 25
+
+
+def _symmetric(edges: DataFrame) -> DataFrame:
+    rev = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    return edges.union(rev).filter(F.col("src") != F.col("dst")).distinct()
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Connect every strictly-larger neighbor of u to min(N(u) + {u}).
+
+    The paper's map phase emits each edge in BOTH directions so the reduce
+    sees the full neighborhood — star outputs are oriented (bigger ->
+    smaller), so without the re-symmetrize every round after the first
+    would see only half of each neighborhood.
+    """
+    sym = _symmetric(edges)
+    m = sym.groupBy("src").agg(F.min("dst").alias("_mn"))
+    m = m.select("src", F.least(F.col("_mn"), F.col("src")).alias("m"))
+    return (
+        sym.join(m, "src")
+        .filter(F.col("dst") > F.col("src"))
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Connect every smaller-or-equal neighbor of u (and u itself) to the min.
+
+    The paper's map phase orients each edge (max -> min); large-star output
+    is already oriented that way (src = v > u >= m = dst), so orienting
+    reduces to a no-op filter kept for self-containedness.
+    """
+    le = edges.select(
+        F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
+    )
+    m = le.groupBy("src").agg(F.min("dst").alias("m"))
+    moved = le.join(m, "src").select(
+        F.col("dst").alias("src"), F.col("m").alias("dst")
+    )
+    self_edge = m.select("src", F.col("m").alias("dst"))
+    return (
+        moved.union(self_edge)
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def _signature(edges: DataFrame) -> tuple:
+    # bit_xor: order-independent and overflow-free under ANSI mode (edges
+    # are distinct, so xor cancellation of repeated rows cannot occur)
+    row = edges.agg(
+        F.count("*").alias("n"),
+        F.coalesce(F.bit_xor(F.xxhash64("src", "dst")), F.lit(0)).alias("h"),
+    ).collect()[0]
+    return (row["n"], row["h"])
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+    max_rounds: int = MAX_CC_ROUNDS,
+) -> DataFrame:
+    """-> (doc_id, component) for every node in `pairs`; component = min
+    reachable id. Exact transitive closure via large-star/small-star."""
+    edges = _symmetric(
+        pairs.select(
+            F.col(id_a).cast("long").alias("src"),
+            F.col(id_b).cast("long").alias("dst"),
+        )
+    )
+    nodes = edges.select("src").distinct()
+    edges = edges.localCheckpoint(eager=True)
+    prev = None
+    for _ in range(max_rounds):
+        edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        sig = _signature(edges)
+        if sig == prev:
+            break
+        prev = sig
+    # post-convergence the graph is a union of stars: every non-root points
+    # at its component min. Roots get their own id via the left join.
+    labels = edges.groupBy("src").agg(F.min("dst").alias("_c"))
+    return (
+        nodes.join(labels, "src", "left")
+        .select(
+            F.col("src").alias("doc_id"),
+            F.least(F.coalesce(F.col("_c"), F.col("src")), F.col("src")).alias(
+                "component"
+            ),
+        )
+    )
+
+
+def canonical_docs(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+) -> DataFrame:
+    """Annotate every doc with its near-dup component and canonical flag.
+
+    Docs in no pair are their own singleton component. The cluster min is
+    the canonical survivor (keep-first web-dedup rule, applied exactly
+    instead of per-pair). Join is on the component table — LSH-derived and
+    tiny relative to the corpus, so Spark broadcasts it at real scale.
+    """
+    comp = connected_components(pairs, id_a=id_a, id_b=id_b)
+    return docs.join(
+        comp.withColumnRenamed("doc_id", id_col), id_col, "left"
+    ).select(
+        docs["*"],
+        F.coalesce(F.col("component"), F.col(id_col).cast("long")).alias(
+            "component"
+        ),
+        (
+            F.coalesce(F.col("component"), F.col(id_col).cast("long"))
+            == F.col(id_col).cast("long")
+        ).alias("is_canonical"),
+    )

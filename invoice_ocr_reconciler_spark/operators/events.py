@@ -1,0 +1,160 @@
+"""Event-stream batch operators: gap sessionization and a scalable as-of join.
+
+Both are single-shuffle plans over the event key (user_id): sessionization is
+two stacked window functions over one sort, and the as-of join uses the
+union-and-carry-forward pattern — tag both sides, union, one window
+`last(ignorenulls)` — instead of a range join, so there is no pair explosion
+and no BroadcastNestedLoopJoin at any scale. Per-key skew is bounded by that
+key's own event count (the same bound a range join would hit, without the
+quadratic candidate set).
+
+The as-of semantics match DuckDB's ASOF LEFT JOIN (greatest right.ts <=
+left.ts per key), which is exactly how the `asof_enrich` oracle replays it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def sessionize(
+    events: DataFrame,
+    gap_minutes: float = 30.0,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+) -> DataFrame:
+    """Gap-based sessionization: a new session starts when the time since the
+    user's previous event exceeds `gap_minutes`.
+
+    Adds (session_seq, session_id). One shuffle on user_id; both windows
+    share the same partitioning + sort, so Catalyst plans a single exchange
+    and a single sort.
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, order_col)
+    gap_sec = float(gap_minutes) * 60.0
+    prev_ts = F.lag(ts_col).over(w)
+    # timestampdiff works for TIMESTAMP and TIMESTAMP_NTZ alike
+    is_new = F.when(
+        prev_ts.isNull()
+        | (
+            F.timestamp_diff("MICROSECOND", prev_ts, F.col(ts_col))
+            > int(gap_sec * 1_000_000)
+        ),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    seq = F.sum(is_new).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return events.withColumn("session_seq", seq).withColumn(
+        "session_id",
+        F.concat_ws("-", F.col(user_col).cast("string"), F.col("session_seq")),
+    )
+
+
+def session_stats(
+    events: DataFrame,
+    gap_minutes: float = 30.0,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-session rollup over sessionize(): bounds, duration, event count,
+    value sum. Reuses the sessionize shuffle — groupBy re-partitions on
+    (user, session_seq) which is a strict refinement of the window key."""
+    s = sessionize(events, gap_minutes, user_col=user_col, ts_col=ts_col)
+    return s.groupBy(user_col, "session_seq", "session_id").agg(
+        F.min(ts_col).alias("session_start"),
+        F.max(ts_col).alias("session_end"),
+        (
+            F.timestamp_diff("MICROSECOND", F.min(ts_col), F.max(ts_col))
+            / 1_000_000.0
+        ).alias("duration_sec"),
+        F.count("*").alias("n_events"),
+        F.round(F.sum(value_col), 2).alias("value_sum"),
+    )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    right_cols: tuple = ("event_id", "value"),
+    right_prefix: str = "asof_",
+    tolerance_sec: float | None = None,
+) -> DataFrame:
+    """As-of LEFT join: for each left row, the right row with the greatest
+    ts <= left.ts for the same key (DuckDB `ASOF LEFT JOIN` semantics).
+
+    Plan: tag sides, union on (key, ts), carry the right payload forward
+    with one `last(ignorenulls)` window — a single exchange + sort, linear
+    in |left| + |right|. Right-side ts ties are broken deterministically by
+    the order of `right_cols[0]` (highest wins), matching a pre-deduped
+    right side.
+
+    `tolerance_sec` optionally voids matches older than the window
+    (left.ts - right.ts > tolerance -> null payload), applied as a plain
+    post-filter column expression.
+    """
+    payload = list(right_cols)
+    rtypes = dict(right.dtypes)
+    ltypes = dict(left.dtypes)
+    lcols = list(left.columns)
+    # side marker orders right rows BEFORE a left row at the same (key, ts):
+    # the as-of predicate is inclusive (right.ts <= left.ts). Left columns
+    # ride the union as nulls on right rows — no join-back on a synthetic
+    # row id, so the whole operator is ONE exchange + sort.
+    r = right.select(
+        F.col(key_col).alias("_k"),
+        F.col(ts_col).alias("_ts"),
+        F.lit(0).alias("_side"),
+        *[F.lit(None).cast(ltypes[c]).alias(f"_l_{c}") for c in lcols],
+        *[F.col(c).alias(f"_r_{c}") for c in payload],
+    )
+    l = left.select(
+        F.col(key_col).alias("_k"),
+        F.col(ts_col).alias("_ts"),
+        F.lit(1).alias("_side"),
+        *[F.col(c).alias(f"_l_{c}") for c in lcols],
+        *[F.lit(None).cast(rtypes[c]).alias(f"_r_{c}") for c in payload],
+    )
+    # order within ties: right rows by ascending first payload col so the
+    # LAST carried value is the highest-ordered right row at that ts
+    order_tie = F.coalesce(
+        F.col(f"_r_{payload[0]}").cast("double"), F.lit(float("inf"))
+    )
+    w = (
+        Window.partitionBy("_k")
+        .orderBy("_ts", "_side", order_tie)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = (
+        l.unionByName(r)
+        .select(
+            "_side",
+            "_ts",
+            *[F.col(f"_l_{c}") for c in lcols],
+            *[
+                F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"_c_{c}")
+                for c in payload
+            ],
+            F.last(F.when(F.col("_side") == 0, F.col("_ts")), ignorenulls=True)
+            .over(w)
+            .alias("_c_ts"),
+        )
+        .filter(F.col("_side") == 1)
+    )
+    in_tol: Column = F.lit(True)
+    if tolerance_sec is not None:
+        tol_us = int(tolerance_sec * 1_000_000)
+        in_tol = F.timestamp_diff("MICROSECOND", F.col("_c_ts"), F.col("_ts")) <= tol_us
+    return carried.select(
+        *[F.col(f"_l_{c}").alias(c) for c in lcols],
+        *[
+            F.when(in_tol, F.col(f"_c_{c}")).alias(f"{right_prefix}{c}")
+            for c in payload
+        ],
+        F.when(in_tol, F.col("_c_ts")).alias(f"{right_prefix}{ts_col}"),
+    )

@@ -1,0 +1,61 @@
+"""Corpus TF-IDF and per-document top-k salient terms.
+
+The classic two-aggregation shape: explode tokens -> per-(doc, term) counts
+(one shuffle, map-side partial aggs) -> per-term document frequency (second
+shuffle, vocabulary-sized output) -> join tf x idf -> per-doc top-k window.
+
+Scale notes:
+- The document-frequency table is vocabulary-sized — tiny next to the
+  corpus — so `broadcast_vocab=True` (default) broadcasts it into the tf
+  join: no shuffle of the big side on the skewed `term` key, which is the
+  classic stopword hot-spot. Set it False for an unbounded vocabulary and
+  let AQE pick (its skew-join split handles the hot terms).
+- Scores are rounded (idf to 6 places, score to 4, tie-free floor rounding)
+  BEFORE the top-k ordering so ranking is bit-identical across engines —
+  ln() differs by <=1 ulp between libm implementations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _roundn(x, places: int):
+    scale = float(10**places)
+    return F.floor(x * scale + F.lit(0.5)) / scale
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_df: int = 1,
+    broadcast_vocab: bool = True,
+) -> DataFrame:
+    """-> (doc_id, term, tf, df, score, term_rank): the k highest tf*idf
+    terms per document; idf = ln(n_docs / df); ties broken by term asc."""
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))), r"\s+"),
+        lambda t: t != "",
+    )
+    terms = docs.select(F.col(id_col), F.explode(toks).alias("term"))
+    tf = terms.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    # tf already has one row per (doc, term): df = plain count per term
+    n_docs = docs.count()
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    if min_df > 1:
+        dfreq = dfreq.filter(F.col("df") >= min_df)
+    if broadcast_vocab:
+        dfreq = F.broadcast(dfreq)
+    idf = _roundn(F.log(F.lit(float(n_docs)) / F.col("df")), 6)
+    scored = tf.join(dfreq, "term").withColumn(
+        "score", _roundn(F.col("tf") * idf, 4)
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("score").desc(), F.col("term"))
+    return (
+        scored.withColumn("term_rank", F.row_number().over(w))
+        .filter(F.col("term_rank") <= k)
+        .select(id_col, "term", "tf", "df", "score", "term_rank")
+    )

@@ -1,0 +1,293 @@
+"""Round-2 operators: connected components, sessionization, as-of join,
+repetition metrics, PII redaction, TF-IDF."""
+
+import datetime as dt
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from invoice_ocr_reconciler_spark.operators.cluster import (
+    canonical_docs,
+    connected_components,
+)
+from invoice_ocr_reconciler_spark.operators.events import (
+    asof_join,
+    session_stats,
+    sessionize,
+)
+from invoice_ocr_reconciler_spark.operators.tfidf import tfidf_top_terms
+from invoice_ocr_reconciler_spark.functions.pii import (
+    pii_count_cols,
+    redact_pii_col,
+)
+from invoice_ocr_reconciler_spark.functions.text import repetition_cols
+
+
+def _union_find_components(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    from collections import defaultdict
+
+    clusters = defaultdict(set)
+    for x in parent:
+        clusters[find(x)].add(x)
+    return {x: min(clusters[find(x)]) for x in parent}
+
+
+class TestConnectedComponents:
+    def test_matches_union_find_on_random_graph(self, spark):
+        rng = random.Random(13)
+        edges = [
+            (rng.randrange(300), rng.randrange(300)) for _ in range(220)
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+        got = {
+            r["doc_id"]: r["component"]
+            for r in connected_components(pairs).collect()
+        }
+        assert got == _union_find_components(edges)
+
+    def test_long_path_converges(self, spark):
+        # a path is the worst case for naive min-label propagation
+        # (O(diameter) rounds); star alternation must still land on 0
+        path = [(i, i + 1) for i in range(150)]
+        pairs = spark.createDataFrame(path, "doc_a long, doc_b long")
+        got = connected_components(pairs).collect()
+        assert len(got) == 151
+        assert {r["component"] for r in got} == {0}
+
+    def test_empty_pairs(self, spark):
+        pairs = spark.createDataFrame([], "doc_a long, doc_b long")
+        assert connected_components(pairs).count() == 0
+
+    def test_canonical_docs_singletons_and_clusters(self, spark):
+        docs = spark.createDataFrame(
+            [(i, f"t{i}") for i in range(6)], "doc_id long, text string"
+        )
+        pairs = spark.createDataFrame(
+            [(0, 1), (1, 2), (4, 5)], "doc_a long, doc_b long"
+        )
+        rows = {
+            r["doc_id"]: (r["component"], r["is_canonical"])
+            for r in canonical_docs(docs, pairs).collect()
+        }
+        assert rows == {
+            0: (0, True),
+            1: (0, False),
+            2: (0, False),
+            3: (3, True),
+            4: (4, True),
+            5: (4, False),
+        }
+
+    def test_transitive_chain_differs_from_pairwise_shortcut(self, spark):
+        # chain 10-20, 20-30: pairwise lowest-id drop keeps 10 and drops
+        # 20/30; exact CC agrees here — but a chain (5,9),(9,3) must
+        # relabel 5 and 9 to 3, which pairwise keep-lower gets wrong for 5
+        pairs = spark.createDataFrame(
+            [(5, 9), (9, 3)], "doc_a long, doc_b long"
+        )
+        got = {
+            r["doc_id"]: r["component"]
+            for r in connected_components(pairs).collect()
+        }
+        assert got == {3: 3, 5: 3, 9: 3}
+
+
+TS0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        [
+            (i, TS0 + dt.timedelta(seconds=s), u, t, v)
+            for i, (s, u, t, v) in enumerate(rows)
+        ],
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, value double",
+    )
+
+
+class TestSessionize:
+    def test_gap_boundary_is_exclusive(self, spark):
+        # exactly 30 min apart -> SAME session (> gap starts a new one)
+        ev = _ev(
+            spark,
+            [
+                (0, 1, "view", 1.0),
+                (1800, 1, "view", 1.0),
+                (3601, 1, "view", 1.0),  # 1801s after prev -> new session
+                (0, 2, "view", 1.0),
+            ],
+        )
+        rows = {
+            r["event_id"]: (r["session_seq"], r["session_id"])
+            for r in sessionize(ev, gap_minutes=30).collect()
+        }
+        assert rows[0] == (1, "1-1")
+        assert rows[1] == (1, "1-1")
+        assert rows[2] == (2, "1-2")
+        assert rows[3] == (1, "2-1")
+
+    def test_session_stats_rollup(self, spark):
+        ev = _ev(
+            spark,
+            [
+                (0, 1, "view", 1.5),
+                (60, 1, "view", 2.5),
+                (7200, 1, "view", 4.0),
+            ],
+        )
+        stats = {
+            r["session_id"]: (r["n_events"], r["duration_sec"], r["value_sum"])
+            for r in session_stats(ev, gap_minutes=30).collect()
+        }
+        assert stats == {"1-1": (2, 60.0, 4.0), "1-2": (1, 0.0, 4.0)}
+
+    def test_partition_invariance(self, spark):
+        ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        a = sorted(
+            map(tuple, sessionize(ev).select("event_id", "session_id").collect())
+        )
+        b = sorted(
+            map(
+                tuple,
+                sessionize(ev.repartition(13))
+                .select("event_id", "session_id")
+                .collect(),
+            )
+        )
+        assert a == b
+
+
+class TestAsofJoin:
+    def test_inclusive_match_and_no_prior(self, spark):
+        left = _ev(spark, [(100, 1, "click", 0.0), (10, 2, "click", 0.0)])
+        right = _ev(
+            spark,
+            [
+                (100, 1, "view", 7.0),  # same ts: inclusive -> matches
+                (50, 1, "view", 5.0),
+                (99, 2, "view", 9.0),  # after left ts 10 -> no match
+            ],
+        ).select("user_id", "ts", "event_id", "value")
+        out = {
+            r["event_id"]: (r["asof_event_id"], r["asof_value"])
+            for r in asof_join(left, right, right_cols=("event_id", "value")).collect()
+        }
+        assert out[0] == (0, 7.0)
+        assert out[1] == (None, None)
+
+    def test_tolerance_voids_stale_match(self, spark):
+        left = _ev(spark, [(1000, 1, "click", 0.0)])
+        right = _ev(spark, [(10, 1, "view", 3.0)]).select(
+            "user_id", "ts", "event_id", "value"
+        )
+        with_tol = asof_join(
+            left, right, right_cols=("event_id", "value"), tolerance_sec=60.0
+        ).collect()[0]
+        assert with_tol["asof_event_id"] is None
+        no_tol = asof_join(left, right, right_cols=("event_id", "value")).collect()[0]
+        assert no_tol["asof_event_id"] == 0
+
+    def test_left_row_count_preserved(self, spark):
+        ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        clicks = ev.filter(F.col("event_type") == "click")
+        views = ev.filter(F.col("event_type") == "view").select(
+            "user_id", "ts", "event_id", "value"
+        )
+        out = asof_join(clicks, views, right_cols=("event_id", "value"))
+        assert out.count() == clicks.count()
+
+
+class TestRepetition:
+    def _metrics(self, spark, text):
+        df = spark.createDataFrame([(0, text)], "doc_id long, text string")
+        c = repetition_cols(F.col("text"))
+        return df.select(
+            c["top_2gram_count"].alias("c"),
+            c["top_2gram_frac"].alias("f2"),
+            c["dup_5gram_frac"].alias("f5"),
+        ).collect()[0]
+
+    def test_uniform_repeat(self, spark):
+        r = self._metrics(spark, "a a a a a a")
+        assert r["c"] == 5 and r["f2"] == 1.0 and r["f5"] == 0.5
+
+    def test_no_repeats(self, spark):
+        r = self._metrics(spark, "one two three four five six")
+        assert r["c"] == 1 and r["f5"] == 0.0
+
+    def test_short_and_empty(self, spark):
+        assert tuple(self._metrics(spark, "one")) == (0, 0.0, 0.0)
+        assert tuple(self._metrics(spark, "")) == (0, 0.0, 0.0)
+        assert tuple(self._metrics(spark, None)) == (0, 0.0, 0.0)
+
+
+class TestPII:
+    def test_counts_and_redaction(self, spark):
+        text = (
+            "mail a.b+c@x-y.example.org or root@10.1.2.3 "
+            "ip 192.168.0.1 phone +44 (20) 7946-0958 end"
+        )
+        df = spark.createDataFrame([(text,)], "text string")
+        c = pii_count_cols(F.col("text"))
+        row = df.select(
+            c["n_emails"].alias("e"),
+            c["n_ips"].alias("i"),
+            c["n_phones"].alias("p"),
+            redact_pii_col(F.col("text")).alias("r"),
+        ).collect()[0]
+        assert (row["e"], row["i"], row["p"]) == (1, 2, 1)
+        assert row["r"] == "mail <EMAIL> or root@<IP> ip <IP> phone <PHONE> end"
+
+    def test_clean_text_unchanged(self, spark):
+        df = spark.createDataFrame([("nothing to hide here",)], "text string")
+        row = df.select(redact_pii_col(F.col("text")).alias("r")).collect()[0]
+        assert row["r"] == "nothing to hide here"
+
+
+class TestTfidf:
+    def test_scores_and_ranks(self, spark):
+        docs = spark.createDataFrame(
+            [(0, "cat cat dog"), (1, "dog fish"), (2, "fish fish fish")],
+            "doc_id long, text string",
+        )
+        rows = {
+            (r["doc_id"], r["term"]): (r["tf"], r["df"], r["term_rank"])
+            for r in tfidf_top_terms(docs, k=2).collect()
+        }
+        # cat: df=1 idf=ln(3); dog: df=2; fish: df=2
+        assert rows[(0, "cat")] == (2, 1, 1)
+        assert rows[(0, "dog")] == (1, 2, 2)
+        assert rows[(2, "fish")][2] == 1
+        assert (1, "fish") in rows and (1, "dog") in rows
+
+    def test_min_df_filter(self, spark):
+        docs = spark.createDataFrame(
+            [(0, "rare shared"), (1, "shared")], "doc_id long, text string"
+        )
+        out = tfidf_top_terms(docs, k=5, min_df=2)
+        assert {r["term"] for r in out.collect()} == {"shared"}
+
+    def test_broadcast_off_same_result(self, spark):
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        ).limit(100)
+        a = sorted(map(tuple, tfidf_top_terms(docs, k=3).collect()))
+        b = sorted(
+            map(tuple, tfidf_top_terms(docs, k=3, broadcast_vocab=False).collect())
+        )
+        assert a == b
