@@ -48,6 +48,7 @@ def curate_documents(
     langs: tuple[str, ...] = ("en",),
     near_dup_threshold: float = 0.7,
     with_near_dup: bool = True,
+    near_dup_exact: bool = False,
     text_col: str = "text",
 ) -> dict[str, DataFrame]:
     """-> {'curated', 'stats'}.
@@ -55,12 +56,18 @@ def curate_documents(
     Keep rules, in order (each survivor set feeds the next stage):
     1. exact duplicates: first occurrence (min doc_id) wins;
     2. quality_score >= min_quality AND lang_pred in langs;
-    3. near-duplicates (MinHash est_jaccard >= threshold): the LOWER doc_id
-       of each candidate pair survives — the standard keep-first web-dedup
-       rule. (doc_b is dropped whenever it pairs with ANY lower id, even if
-       that id was itself dropped — deliberate: transitive near-dup chains
-       collapse to their minimum representative without an iterative
-       connected-components pass, the scalable approximation.)
+    3. near-duplicates (MinHash est_jaccard >= threshold):
+       - default (`near_dup_exact=False`): the LOWER doc_id of each
+         candidate pair survives. doc_b is dropped whenever it pairs with
+         ANY lower id, even if that id was itself dropped — deliberate:
+         transitive chains collapse to their minimum representative without
+         an iterative pass, the cheap approximation. It over-drops on
+         chains (for pairs (5,9),(9,3) it keeps {3,5}; one doc per cluster
+         would keep only {3}).
+       - `near_dup_exact=True`: exact connected components over the pair
+         graph (operators/cluster.py, large-star/small-star); exactly the
+         cluster-min survives. Costs O(log n) extra rounds over the
+         LSH-sized pair list — still tiny next to the corpus.
 
     'stats' is one row of audit counters (input / kept / dropped per stage)
     — the batch analog of per-run lineage metrics.
@@ -93,7 +100,17 @@ def curate_documents(
         pairs = minhash_lsh_pairs(
             filtered, text_col=text_col, threshold=near_dup_threshold
         )
-        drop = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+        if near_dup_exact:
+            from invoice_ocr_reconciler_spark.operators.cluster import (
+                connected_components,
+            )
+
+            comp = connected_components(pairs)
+            drop = comp.filter(F.col("component") != F.col("doc_id")).select(
+                "doc_id"
+            )
+        else:
+            drop = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
         curated = filtered.join(drop, "doc_id", "left_anti")
     else:
         curated = filtered

@@ -110,3 +110,41 @@ def host_window_counts(
             "n_pages",
         )
     )
+
+
+def user_session_windows(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Streaming gap sessions via Spark's native session_window: sessions
+    merge while events arrive within `gap`, close `gap` after the last event
+    once the watermark passes — the streaming analog of the batch
+    operators/events.py:sessionize.
+
+    Boundary note: session_window starts a NEW session when the inter-event
+    gap is exactly equal to `gap`, while the batch operator keeps it in the
+    same session (strict `>` test). With microsecond event times an exact
+    tie is a measure-zero case; the batch operator is authoritative.
+
+    State is one (user, open-session) range per key in the state store,
+    merged incrementally — no per-event state growth.
+    """
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap).alias("w"), user_col)
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(value_col), 2).alias("value_sum"),
+        )
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            F.col(user_col),
+            "n_events",
+            "value_sum",
+        )
+    )

@@ -291,3 +291,105 @@ class TestTfidf:
             map(tuple, tfidf_top_terms(docs, k=3, broadcast_vocab=False).collect())
         )
         assert a == b
+
+
+class TestCurationExactCC:
+    def _chain_docs(self, spark):
+        words = [f"w{i:03d}" for i in range(50)]
+        mk = lambda lo, hi: " ".join(words[lo:hi])
+        # 5~9 and 9~3 overlap heavily; 5~3 barely overlap -> a chain
+        rows = [
+            (3, mk(20, 50), "en", "s", 0),
+            (5, mk(0, 30), "en", "s", 0),
+            (9, mk(10, 40), "en", "s", 0),
+            (30, "the and of to is with that " * 40, "en", "s", 0),
+        ]
+        return spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        )
+
+    def test_exact_mode_keeps_one_per_cluster(self, spark):
+        from invoice_ocr_reconciler_spark.operators.curation import curate_documents
+        from invoice_ocr_reconciler_spark.operators.dedup import minhash_lsh_pairs
+
+        docs = self._chain_docs(spark)
+        pairs = {
+            (r["doc_a"], r["doc_b"])
+            for r in minhash_lsh_pairs(docs, threshold=0.3).collect()
+        }
+        # precondition: the corpus really is a chain in the pair graph
+        assert pairs == {(5, 9), (3, 9)}, pairs
+
+        kw = dict(min_quality=0.0, langs=("en", "unknown"), near_dup_threshold=0.3)
+        approx = curate_documents(docs, with_near_dup=True, **kw)
+        exact = curate_documents(
+            docs, with_near_dup=True, near_dup_exact=True, **kw
+        )
+        keep_approx = {r["doc_id"] for r in approx["curated"].collect()}
+        keep_exact = {r["doc_id"] for r in exact["curated"].collect()}
+        # approx drops only doc_b of each pair (9); exact keeps cluster min
+        assert keep_approx == {3, 5, 30}
+        assert keep_exact == {3, 30}
+        # stats counters still reconcile in exact mode
+        s = exact["stats"].collect()[0]
+        assert s["n_input"] == 4 and s["n_curated"] == 2
+        assert (
+            s["n_exact_dup"] + s["n_filtered_out"] + s["n_near_dup"]
+            + s["n_curated"] == s["n_input"]
+        )
+
+
+class TestStreamingSessionWindows:
+    def test_matches_batch_sessionize(self, spark, tmp_path):
+        from invoice_ocr_reconciler_spark.operators.events import session_stats
+        from invoice_ocr_reconciler_spark.streaming.stateful import (
+            user_session_windows,
+        )
+
+        from pyspark.sql import Window
+
+        landing = str(tmp_path / "ev_landing")
+        ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
+        # several micro-batches are needed for the watermark to advance and
+        # finalize sessions in append mode — but each batch must cover an
+        # INCREASING ts range (like a real time-ordered ingest): arbitrary
+        # file splits put events behind the watermark and they'd be dropped
+        sliced = ev.withColumn(
+            "slice", F.ntile(6).over(Window.orderBy("ts", "event_id"))
+        )
+        for i in range(1, 7):
+            sliced.filter(F.col("slice") == i).drop("slice").coalesce(
+                1
+            ).write.mode("append").parquet(landing)
+        stream = spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string"
+        ).option("maxFilesPerTrigger", 1).parquet(landing)
+        q = (
+            user_session_windows(stream, gap="30 minutes", watermark="1 minute")
+            .writeStream.format("memory")
+            .queryName("sess_win")
+            .option("checkpointLocation", str(tmp_path / "ckpt_sess"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        emitted = spark.sql("SELECT * FROM sess_win").collect()
+        assert len(emitted) > 0
+        batch = {
+            (r["user_id"], str(r["session_start"])): (
+                r["n_events"],
+                r["value_sum"],
+            )
+            for r in session_stats(
+                spark.read.parquet(landing), gap_minutes=30
+            ).collect()
+        }
+        # every finalized streaming session must exist in the batch result
+        # with identical start/count/sum (ends differ by +gap by design)
+        for r in emitted:
+            key = (r["user_id"], str(r["session_start"]))
+            assert key in batch, key
+            assert batch[key] == (r["n_events"], r["value_sum"]), key
