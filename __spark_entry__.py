@@ -904,6 +904,63 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_top_terms(docs, k=5)
 
 
+def q_monthly_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from invoice_ocr_reconciler_spark.plans.relational import monthly_percentiles
+
+    return monthly_percentiles(spark, sf_dir)
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic md5-bucket stratified sample (upsample low-resource
+    langs); DuckDB replays the identical hash-bucket decision."""
+    from invoice_ocr_reconciler_spark.operators.sampling import stratified_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = stratified_sample(
+        docs, rates={"en": 40, "fr": 80, "es": 80, "de": 80}, default_rate=10
+    )
+    return out.select("doc_id", "lang", "sample_bucket")
+
+
+def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from invoice_ocr_reconciler_spark.operators.similarity import label_centroids
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return label_centroids(emb)
+
+
+def q_crawl_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC snapshot diff between the corpus and a deterministically
+    perturbed re-crawl (removed: id%11==3; changed: id%7==2; added:
+    id%13==5 under shifted keys) — both sides rebuild the same snapshots."""
+    from invoice_ocr_reconciler_spark.functions.text import fingerprint_col
+    from invoice_ocr_reconciler_spark.operators.diff import snapshot_diff
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    old = docs.select(
+        F.col("doc_id").cast("string").alias("url"),
+        fingerprint_col(F.col("text")).alias("fingerprint"),
+    )
+    base_new = docs.filter(F.col("doc_id") % 11 != 3).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 2,
+            F.concat(F.coalesce(F.col("text"), F.lit("")), F.lit(" updated")),
+        )
+        .otherwise(F.coalesce(F.col("text"), F.lit("")))
+        .alias("text"),
+    )
+    added = docs.filter(F.col("doc_id") % 13 == 5).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.lit("new page "), F.col("doc_id").cast("string")).alias("text"),
+    )
+    new = base_new.unionByName(added).select(
+        F.col("doc_id").cast("string").alias("url"),
+        fingerprint_col(F.col("text")).alias("fingerprint"),
+    )
+    return snapshot_diff(old, new)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from invoice_ocr_reconciler_spark.plans import relational as R
 
@@ -980,6 +1037,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_metrics": q_repetition_metrics,
         "pii_redact": q_pii_redact,
         "tfidf_top_terms": q_tfidf_top_terms,
+        "monthly_percentiles": q_monthly_percentiles,
+        "stratified_sample": q_stratified_sample,
+        "label_centroids": q_label_centroids,
+        "crawl_diff": q_crawl_diff,
     }
 
 
@@ -1780,5 +1841,67 @@ def oracle_sql() -> dict[str, str]:
                                            ORDER BY score DESC, term) AS INT) AS term_rank
             FROM s
             QUALIFY term_rank <= 5
+        """,
+        "monthly_percentiles": """
+            SELECT strftime(o_orderdate, '%Y-%m') AS month,
+                   count(*) AS n,
+                   floor(quantile_cont(o_totalprice, 0.5) * 1e4 + 0.5) / 1e4 AS p50,
+                   floor(quantile_cont(o_totalprice, 0.9) * 1e4 + 0.5) / 1e4 AS p90,
+                   floor(quantile_cont(o_totalprice, 0.99) * 1e4 + 0.5) / 1e4 AS p99
+            FROM orders GROUP BY 1
+        """,
+        "stratified_sample": """
+            WITH b AS (
+                SELECT doc_id, lang,
+                       CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+                            % 100 AS BIGINT) AS sample_bucket
+                FROM documents)
+            SELECT doc_id, lang, sample_bucket FROM b
+            WHERE sample_bucket < CASE lang WHEN 'en' THEN 40 WHEN 'fr' THEN 80
+                                            WHEN 'es' THEN 80 WHEN 'de' THEN 80
+                                            ELSE 10 END
+        """,
+        "label_centroids": """
+            WITH ex AS (
+                SELECT label,
+                       CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS dim,
+                       unnest(embedding) AS v
+                FROM embeddings)
+            SELECT label, dim,
+                   floor(avg(v) * 1e6 + 0.5) / 1e6 AS centroid,
+                   count(*) AS n_vecs
+            FROM ex GROUP BY 1, 2
+        """,
+        "crawl_diff": r"""
+            WITH o AS (
+                SELECT CAST(doc_id AS VARCHAR) AS key,
+                       md5(trim(regexp_replace(lower(coalesce(text, '')), '\s+', ' ', 'g'))) AS old_fp
+                FROM documents),
+            nb AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 7 = 2 THEN coalesce(text, '') || ' updated'
+                            ELSE coalesce(text, '') END AS t
+                FROM documents WHERE doc_id % 11 <> 3
+                UNION ALL
+                SELECT doc_id + 1000000, 'new page ' || CAST(doc_id AS VARCHAR)
+                FROM documents WHERE doc_id % 13 = 5),
+            n AS (
+                SELECT CAST(doc_id AS VARCHAR) AS key,
+                       md5(trim(regexp_replace(lower(t), '\s+', ' ', 'g'))) AS new_fp
+                FROM nb),
+            j AS (
+                SELECT coalesce(o.key, n.key) AS key, old_fp, new_fp
+                FROM o FULL OUTER JOIN n ON o.key = n.key)
+            SELECT key,
+                   CASE WHEN old_fp IS NULL THEN 'added'
+                        WHEN new_fp IS NULL THEN 'removed'
+                        WHEN old_fp <> new_fp THEN 'changed'
+                        ELSE 'unchanged' END AS change,
+                   old_fp, new_fp
+            FROM j
+            WHERE (CASE WHEN old_fp IS NULL THEN 'added'
+                        WHEN new_fp IS NULL THEN 'removed'
+                        WHEN old_fp <> new_fp THEN 'changed'
+                        ELSE 'unchanged' END) <> 'unchanged'
         """,
     }

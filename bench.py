@@ -51,6 +51,7 @@ def main() -> None:
         "asof_enrich",       # union-and-carry as-of join (no range explosion)
         "repetition_metrics",  # Gopher-style repetition cut (pure codegen)
         "tfidf_top_terms",   # two-agg TF-IDF + broadcast-vocab top-k
+        "crawl_diff",        # CDC snapshot diff (full-outer fingerprint compare)
         "ann_brute_force",
         "upsert_table",         # MERGE/upsert over the orders table
         "status_writeback",     # E2 write-back (UPDATE-only MERGE)

@@ -563,3 +563,25 @@ def ivf_topk(
             "query_id", F.col(id_col).alias("neighbor_id"), "cosine", "rank"
         )
     )
+
+
+def label_centroids(
+    emb: DataFrame, label_col: str = "label", vec_col: str = "embedding"
+) -> DataFrame:
+    """Feature-wise centroid per label -> (label, dim, centroid, n_vecs).
+
+    posexplode + one grouped avg: the dimension index rides the group key,
+    so the shuffle carries (label, dim, partial sum/count) — fully map-side
+    combined, |labels| x |dims| result rows regardless of corpus size. The
+    exploded shape (no array re-assembly) keeps the whole plan in codegen
+    and is directly joinable for distance-to-centroid scoring.
+    Centroids floor-rounded to 6 places for cross-engine comparability.
+    """
+    ex = emb.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(vec_col).alias("dim", "val"),
+    )
+    return ex.groupBy("label", "dim").agg(
+        (F.floor(F.avg("val") * 1e6 + F.lit(0.5)) / 1e6).alias("centroid"),
+        F.count("*").alias("n_vecs"),
+    )

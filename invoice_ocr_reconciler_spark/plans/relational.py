@@ -305,3 +305,28 @@ def explode_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("it.qty").alias("qty"),
         F.col("it.price").alias("price"),
     )
+
+
+def monthly_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact grouped percentiles (median / p90 / p99) of order totals per
+    month — linear-interpolation `percentile`, the same definition DuckDB's
+    quantile_cont uses, floor-rounded to 4 places for cross-engine identity.
+
+    Scale note: exact percentiles sort each group; at 10^12 rows swap in
+    `approx_percentile` (t-digest sketch, mergeable map-side) — same plan
+    shape, bounded error, no per-group sort. The exact version stays as the
+    correctness oracle at test scale.
+    """
+    orders = load(spark, sf_dir, "orders")
+    r4 = lambda c: F.floor(c * 10000.0 + F.lit(0.5)) / 10000.0
+    return (
+        orders.groupBy(
+            F.date_format("o_orderdate", "yyyy-MM").alias("month")
+        )
+        .agg(
+            F.count("*").alias("n"),
+            r4(F.percentile("o_totalprice", 0.5)).alias("p50"),
+            r4(F.percentile("o_totalprice", 0.9)).alias("p90"),
+            r4(F.percentile("o_totalprice", 0.99)).alias("p99"),
+        )
+    )

@@ -393,3 +393,101 @@ class TestStreamingSessionWindows:
             key = (r["user_id"], str(r["session_start"]))
             assert key in batch, key
             assert batch[key] == (r["n_events"], r["value_sum"]), key
+
+
+class TestStratifiedSample:
+    def test_rates_and_determinism(self, spark):
+        from invoice_ocr_reconciler_spark.operators.sampling import (
+            stratified_sample,
+        )
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        out = stratified_sample(docs, rates={"en": 100, "fr": 0}, default_rate=50)
+        langs = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+        n_en = docs.filter(F.col("lang") == "en").count()
+        assert langs.get("en") == n_en      # rate 100 keeps every en doc
+        assert "fr" not in langs            # rate 0 drops all fr
+        # partitioning-invariant: identical kept set under a different layout
+        a = sorted(r["doc_id"] for r in out.collect())
+        b = sorted(
+            r["doc_id"]
+            for r in stratified_sample(
+                docs.repartition(17), rates={"en": 100, "fr": 0}, default_rate=50
+            ).collect()
+        )
+        assert a == b
+
+    def test_incremental_stability(self, spark):
+        # sampling half the corpus then the whole corpus must agree on the
+        # shared rows (hash decision is per-row, not per-dataset)
+        from invoice_ocr_reconciler_spark.operators.sampling import (
+            stratified_sample,
+        )
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        part = docs.filter(F.col("doc_id") < 250)
+        kw = dict(rates={"en": 30, "de": 70}, default_rate=20)
+        full = {
+            r["doc_id"]
+            for r in stratified_sample(docs, **kw).collect()
+        }
+        sub = {
+            r["doc_id"]
+            for r in stratified_sample(part, **kw).collect()
+        }
+        assert sub == {d for d in full if d < 250}
+
+
+class TestSnapshotDiff:
+    def test_all_change_kinds(self, spark):
+        from invoice_ocr_reconciler_spark.operators.diff import snapshot_diff
+
+        old = spark.createDataFrame(
+            [("a", "f1"), ("b", "f2"), ("c", "f3")], "url string, fingerprint string"
+        )
+        new = spark.createDataFrame(
+            [("a", "f1"), ("b", "fX"), ("d", "f4")], "url string, fingerprint string"
+        )
+        out = {r["key"]: r["change"] for r in snapshot_diff(old, new).collect()}
+        assert out == {"b": "changed", "c": "removed", "d": "added"}
+        full = {
+            r["key"]: r["change"]
+            for r in snapshot_diff(old, new, include_unchanged=True).collect()
+        }
+        assert full["a"] == "unchanged" and len(full) == 4
+
+
+class TestLabelCentroids:
+    def test_exact_means(self, spark):
+        from invoice_ocr_reconciler_spark.operators.similarity import (
+            label_centroids,
+        )
+
+        emb = spark.createDataFrame(
+            [
+                (0, [1.0, 2.0], 7),
+                (1, [3.0, 6.0], 7),
+                (2, [5.0, 5.0], 8),
+            ],
+            "vec_id long, embedding array<float>, label int",
+        )
+        rows = {
+            (r["label"], r["dim"]): (r["centroid"], r["n_vecs"])
+            for r in label_centroids(emb).collect()
+        }
+        assert rows == {
+            (7, 0): (2.0, 2),
+            (7, 1): (4.0, 2),
+            (8, 0): (5.0, 1),
+            (8, 1): (5.0, 1),
+        }
+
+
+class TestPercentile:
+    def test_linear_interpolation_semantics(self, spark):
+        df = spark.createDataFrame([(v,) for v in [1.0, 2.0, 3.0, 4.0]], "x double")
+        row = df.agg(
+            F.percentile("x", 0.5).alias("p50"),
+            F.percentile("x", 0.25).alias("p25"),
+        ).collect()[0]
+        assert row["p50"] == 2.5 and row["p25"] == 1.75
