@@ -929,14 +929,13 @@ def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_centroids(emb)
 
 
-def q_crawl_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CDC snapshot diff between the corpus and a deterministically
-    perturbed re-crawl (removed: id%11==3; changed: id%7==2; added:
-    id%13==5 under shifted keys) — both sides rebuild the same snapshots."""
+def _crawl_snapshots(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(old, new) fingerprinted snapshots; new is the deterministic re-crawl
+    perturbation (removed: id%11==3; changed: id%7==2; added: id%13==5
+    under shifted keys). Mirrored verbatim in the crawl_diff /
+    incremental_counts oracles."""
     from invoice_ocr_reconciler_spark.functions.text import fingerprint_col
-    from invoice_ocr_reconciler_spark.operators.diff import snapshot_diff
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     old = docs.select(
         F.col("doc_id").cast("string").alias("url"),
         fingerprint_col(F.col("text")).alias("fingerprint"),
@@ -958,7 +957,68 @@ def q_crawl_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").cast("string").alias("url"),
         fingerprint_col(F.col("text")).alias("fingerprint"),
     )
+    return old, new
+
+
+def q_crawl_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC snapshot diff between the corpus and a deterministically
+    perturbed re-crawl — both sides rebuild the same snapshots."""
+    from invoice_ocr_reconciler_spark.operators.diff import snapshot_diff
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    old, new = _crawl_snapshots(docs)
     return snapshot_diff(old, new)
+
+
+def q_incremental_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-view maintenance: per-shard counts updated from the
+    crawl diff ONLY (cost |delta|); the oracle recounts the new snapshot
+    directly — equality is the maintenance-correctness invariant."""
+    from invoice_ocr_reconciler_spark.operators.diff import (
+        apply_count_delta,
+        snapshot_diff,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    old, new = _crawl_snapshots(docs)
+    shard = lambda key: F.concat(
+        F.lit("shard-"), (key.cast("long") % 23).cast("string")
+    )
+    old_counts = old.groupBy(shard(F.col("url")).alias("key")).agg(
+        F.count("*").alias("n")
+    )
+    diff = snapshot_diff(old, new)
+    deltas = (
+        diff.withColumn(
+            "dn",
+            F.when(F.col("change") == "added", F.lit(1))
+            .when(F.col("change") == "removed", F.lit(-1))
+            .otherwise(F.lit(0)),
+        )
+        .groupBy(shard(F.col("key")).alias("key"))
+        .agg(F.sum("dn").alias("n"))
+    )
+    return apply_count_delta(old_counts, deltas)
+
+
+def q_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom pre-filter + exact semi join: lineitems of 'P' orders. Result
+    is exactly the plain semi join (the oracle); the Bloom pass exists to
+    cut the big-side shuffle and is unit-tested for pruning effect."""
+    from invoice_ocr_reconciler_spark.operators.bloom import bloom_semi_join
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+    keys = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .filter(F.col("o_orderstatus") == "P")
+        .select("o_orderkey")
+    )
+    return bloom_semi_join(
+        li, keys, big_key="l_orderkey", keys_key="o_orderkey",
+        m_bits=1 << 16, k=2,
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1041,6 +1101,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "label_centroids": q_label_centroids,
         "crawl_diff": q_crawl_diff,
+        "incremental_counts": q_incremental_counts,
+        "bloom_semi_join": q_bloom_semi_join,
     }
 
 
@@ -1903,5 +1965,22 @@ def oracle_sql() -> dict[str, str]:
                         WHEN new_fp IS NULL THEN 'removed'
                         WHEN old_fp <> new_fp THEN 'changed'
                         ELSE 'unchanged' END) <> 'unchanged'
+        """,
+        # maintenance invariant: counts updated from the delta must equal a
+        # direct recount of the perturbed snapshot
+        "incremental_counts": """
+            WITH nb AS (
+                SELECT doc_id FROM documents WHERE doc_id % 11 <> 3
+                UNION ALL
+                SELECT doc_id + 1000000 FROM documents WHERE doc_id % 13 = 5)
+            SELECT 'shard-' || CAST(doc_id % 23 AS VARCHAR) AS key,
+                   count(*) AS n
+            FROM nb GROUP BY 1
+        """,
+        "bloom_semi_join": """
+            SELECT l_orderkey, l_linenumber, l_quantity
+            FROM lineitem
+            WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                                 WHERE o_orderstatus = 'P')
         """,
     }

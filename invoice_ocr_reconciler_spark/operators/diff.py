@@ -42,3 +42,29 @@ def snapshot_diff(
     if not include_unchanged:
         j = j.filter(F.col("change") != "unchanged")
     return j.select("key", "change", "old_fp", "new_fp")
+
+
+def apply_count_delta(
+    old_counts: DataFrame,
+    deltas: DataFrame,
+    key_col: str = "key",
+    n_col: str = "n",
+) -> DataFrame:
+    """Incremental-view maintenance for grouped counts: merge a (key, dn)
+    delta frame into an existing (key, n) aggregate; zero-count keys drop
+    out. Equivalent to recomputing the aggregate over the new snapshot, at
+    the cost of |delta| instead of |corpus| — the point of keeping a diff.
+    """
+    o = old_counts.select(F.col(key_col).alias("_k"), F.col(n_col).alias("_n"))
+    d = deltas.select(F.col(key_col).alias("_k"), F.col(n_col).alias("_dn"))
+    return (
+        o.join(d, "_k", "full_outer")
+        .select(
+            F.col("_k").alias(key_col),
+            (
+                F.coalesce(F.col("_n"), F.lit(0))
+                + F.coalesce(F.col("_dn"), F.lit(0))
+            ).alias(n_col),
+        )
+        .filter(F.col(n_col) > 0)
+    )

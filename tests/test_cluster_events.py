@@ -491,3 +491,71 @@ class TestPercentile:
             F.percentile("x", 0.25).alias("p25"),
         ).collect()[0]
         assert row["p50"] == 2.5 and row["p25"] == 1.75
+
+
+class TestBloomSemiJoin:
+    def test_exactness_and_pruning(self, spark):
+        from invoice_ocr_reconciler_spark.operators.bloom import (
+            bloom_semi_join,
+            build_bloom_hex,
+            might_contain_col,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        li = spark.read.parquet(f"{sf}/lineitem.parquet").select(
+            "l_orderkey", "l_linenumber"
+        )
+        keys = (
+            spark.read.parquet(f"{sf}/orders.parquet")
+            .filter(F.col("o_orderstatus") == "P")
+            .select("o_orderkey")
+        )
+        got = sorted(
+            map(
+                tuple,
+                bloom_semi_join(
+                    li, keys, big_key="l_orderkey", keys_key="o_orderkey",
+                    m_bits=1 << 14,
+                ).collect(),
+            )
+        )
+        want = sorted(
+            map(
+                tuple,
+                li.join(
+                    keys.withColumnRenamed("o_orderkey", "l_orderkey"),
+                    "l_orderkey",
+                    "left_semi",
+                ).collect(),
+            )
+        )
+        assert got == want  # bloom never changes the result
+        # no false negatives: every true key passes the raw bloom probe
+        h = build_bloom_hex(keys, "o_orderkey", m_bits=1 << 14)
+        missed = (
+            keys.filter(
+                ~might_contain_col(F.col("o_orderkey"), h, m_bits=1 << 14)
+            ).count()
+        )
+        assert missed == 0
+        # and the probe actually prunes non-matching rows
+        kept = li.filter(
+            might_contain_col(F.col("l_orderkey"), h, m_bits=1 << 14)
+        ).count()
+        assert kept < li.count()
+
+
+class TestApplyCountDelta:
+    def test_merge_and_zero_drop(self, spark):
+        from invoice_ocr_reconciler_spark.operators.diff import apply_count_delta
+
+        old = spark.createDataFrame(
+            [("a", 3), ("b", 1), ("c", 2)], "key string, n long"
+        )
+        deltas = spark.createDataFrame(
+            [("a", 2), ("b", -1), ("d", 5)], "key string, n long"
+        )
+        got = {
+            r["key"]: r["n"] for r in apply_count_delta(old, deltas).collect()
+        }
+        assert got == {"a": 5, "c": 2, "d": 5}  # b hits zero and drops out
