@@ -904,6 +904,26 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_top_terms(docs, k=5)
 
 
+def q_curation_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation with the round-2 stages on (repetition cut + deterministic
+    stratified sampling; near-dup off so the whole chain is
+    SQL-expressible) — the DuckDB oracle replays annotate -> exact-dedup ->
+    quality/lang -> top-2-gram cut -> md5-bucket sampling end to end."""
+    from invoice_ocr_reconciler_spark.operators.curation import curate_documents
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = curate_documents(
+        docs,
+        min_quality=0.55,
+        langs=("en",),
+        with_near_dup=False,
+        max_top2gram_frac=0.08,
+        sample_rates={"en": 60},
+        sample_default_rate=0,
+    )
+    return out["curated"]
+
+
 def q_monthly_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from invoice_ocr_reconciler_spark.plans.relational import monthly_percentiles
 
@@ -1103,6 +1123,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_diff": q_crawl_diff,
         "incremental_counts": q_incremental_counts,
         "bloom_semi_join": q_bloom_semi_join,
+        "curation_extended": q_curation_extended,
     }
 
 
@@ -1504,6 +1525,68 @@ def oracle_sql() -> dict[str, str]:
                    CAST(n_tokens AS INT) AS n_tokens
             FROM a
             WHERE dup_rank = 1 AND quality_score >= 0.55 AND lang_pred = 'en'
+        """,
+        # curation_filter chain + top-2-gram repetition cut + md5-bucket
+        # stratified sampling (near-dup off): the full extended pipeline
+        "curation_extended": f"""
+            WITH f AS (
+                SELECT doc_id, {_FP_SQL} AS fingerprint,
+                       CAST(length(coalesce(text, '')) AS INT) AS n_chars,
+                       len(regexp_extract_all(coalesce(text, ''), '[^\\w\\s]')) AS n_punct,
+                       CASE WHEN length(trim(coalesce(text, ''))) = 0 THEN 0
+                            ELSE len(regexp_split_to_array(trim(coalesce(text, '')), '\\s+'))
+                       END AS n_tokens,
+                       len(regexp_extract_all(lower(coalesce(text, '')), '{_STOP_EN}')) AS n_stop,
+                       {hits['en']} AS h_en, {hits['fr']} AS h_fr,
+                       {hits['es']} AS h_es, {hits['de']} AS h_de
+                FROM documents),
+            a AS (
+                SELECT doc_id, fingerprint, n_tokens,
+                       CAST(row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) AS INT) AS dup_rank,
+                       floor((least(n_chars / 500.0, 1.0) * 0.4
+                              + (1.0 - CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0 END) * 0.3
+                              + least(CASE WHEN n_tokens > 0 THEN n_stop / n_tokens ELSE 0 END * 5.0, 1.0) * 0.3)
+                             * 10000.0 + 0.5) / 10000.0 AS quality_score,
+                       CASE WHEN h_de > greatest(h_en, h_fr, h_es) THEN 'de'
+                            WHEN h_es > greatest(h_en, h_fr) THEN 'es'
+                            WHEN h_fr > h_en THEN 'fr'
+                            WHEN h_en > 0 THEN 'en'
+                            ELSE 'unknown'
+                       END AS lang_pred
+                FROM f),
+            d2 AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(trim(coalesce(text, ''))), '\\s+'),
+                                   t -> t <> '') AS toks
+                FROM documents),
+            g AS (
+                SELECT doc_id,
+                       CASE WHEN len(toks) >= 2
+                            THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+                            ELSE [] END AS g2
+                FROM d2),
+            exg AS (SELECT doc_id, unnest(g2) AS gram FROM g),
+            cnt AS (SELECT doc_id, gram, count(*) AS c FROM exg GROUP BY 1, 2),
+            mx AS (SELECT doc_id, max(c) AS mc FROM cnt GROUP BY 1),
+            rep AS (
+                SELECT g.doc_id,
+                       CASE WHEN len(g.g2) > 0
+                            THEN floor(CAST(coalesce(mx.mc, 0) AS DOUBLE) / len(g.g2) * 10000 + 0.5) / 10000
+                            ELSE 0.0 END AS frac
+                FROM g LEFT JOIN mx ON g.doc_id = mx.doc_id),
+            sel AS (
+                SELECT a.doc_id, a.fingerprint, a.quality_score, a.lang_pred, a.n_tokens
+                FROM a JOIN rep ON a.doc_id = rep.doc_id
+                WHERE a.dup_rank = 1 AND a.quality_score >= 0.55
+                      AND a.lang_pred = 'en' AND rep.frac <= 0.08),
+            b AS (
+                SELECT *, CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+                               % 100 AS BIGINT) AS sample_bucket
+                FROM sel)
+            SELECT doc_id, fingerprint, quality_score, lang_pred,
+                   CAST(n_tokens AS INT) AS n_tokens, sample_bucket
+            FROM b
+            WHERE sample_bucket < CASE lang_pred WHEN 'en' THEN 60 ELSE 0 END
         """,
         # summary invariants: results partition into the 4 statuses, one row
         # per corpus doc; ledger size is its constructed max(30, n//8)

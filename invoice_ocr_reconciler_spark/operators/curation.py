@@ -50,13 +50,21 @@ def curate_documents(
     with_near_dup: bool = True,
     near_dup_exact: bool = False,
     text_col: str = "text",
+    max_top2gram_frac: float | None = None,
+    redact_pii: bool = False,
+    sample_rates: dict[str, int] | None = None,
+    sample_default_rate: int = 0,
 ) -> dict[str, DataFrame]:
     """-> {'curated', 'stats'}.
 
     Keep rules, in order (each survivor set feeds the next stage):
     1. exact duplicates: first occurrence (min doc_id) wins;
     2. quality_score >= min_quality AND lang_pred in langs;
-    3. near-duplicates (MinHash est_jaccard >= threshold):
+    3. repetition cut (optional, `max_top2gram_frac`): Gopher-style
+       boilerplate/spam filter — drop docs whose most frequent word 2-gram
+       exceeds the fraction (functions/text.py:repetition_cols; computed
+       only when the stage is on);
+    4. near-duplicates (MinHash est_jaccard >= threshold):
        - default (`near_dup_exact=False`): the LOWER doc_id of each
          candidate pair survives. doc_b is dropped whenever it pairs with
          ANY lower id, even if that id was itself dropped — deliberate:
@@ -68,29 +76,51 @@ def curate_documents(
          graph (operators/cluster.py, large-star/small-star); exactly the
          cluster-min survives. Costs O(log n) extra rounds over the
          LSH-sized pair list — still tiny next to the corpus.
+    5. stratified sampling (optional, `sample_rates` by lang_pred):
+       deterministic md5-bucket keep decision (operators/sampling.py) —
+       reproducible training-mix control as the LAST stage so rates apply
+       to the deduped, filtered corpus;
+    6. PII redaction (optional, `redact_pii`): curated rows gain
+       `redacted_text` + `n_pii` — computed only for survivors (the
+       expensive regex cascade never runs on dropped docs).
 
-    'stats' is one row of audit counters (input / kept / dropped per stage)
-    — the batch analog of per-run lineage metrics.
+    'stats' is one row of audit counters (input / kept / dropped per
+    stage; off stages report 0) — the batch analog of per-run lineage
+    metrics. The counters always satisfy
+    n_input = n_exact_dup + n_filtered_out + n_repetition_out
+              + n_near_dup + n_sampled_out + n_curated.
     """
     from pyspark.storagelevel import StorageLevel
 
     # persist: the annotated frame feeds the stage counters, the filter
     # chain, and (via survivors) the near-dup signature pass — without it
     # each action re-runs the annotation scan
-    ann = annotate_documents(docs, text_col).persist(StorageLevel.MEMORY_AND_DISK)
-    keep = (F.col("dup_rank") == 1) & (
-        (F.col("quality_score") >= min_quality) & F.col("lang_pred").isin(*langs)
+    ann = annotate_documents(docs, text_col)
+    qual_ok = (F.col("quality_score") >= min_quality) & F.col("lang_pred").isin(
+        *langs
     )
+    if max_top2gram_frac is not None:
+        from invoice_ocr_reconciler_spark.functions.text import repetition_cols
+
+        rep = repetition_cols(F.col(text_col))
+        ann = ann.withColumn("top_2gram_frac", rep["top_2gram_frac"])
+        rep_ok = F.col("top_2gram_frac") <= float(max_top2gram_frac)
+    else:
+        rep_ok = F.lit(True)
+    ann = ann.persist(StorageLevel.MEMORY_AND_DISK)
+    first = F.col("dup_rank") == 1
+    keep = first & qual_ok & rep_ok
     # ONE conditional agg for every pre-near-dup counter (no per-stage
     # count() jobs — the same discipline as the reconcile summary)
     base = ann.agg(
         F.count("*").alias("n_input"),
-        F.coalesce(F.sum((F.col("dup_rank") > 1).cast("long")), F.lit(0)).alias(
-            "n_exact_dup"
-        ),
+        F.coalesce(F.sum((~first).cast("long")), F.lit(0)).alias("n_exact_dup"),
         F.coalesce(
-            F.sum(((F.col("dup_rank") == 1) & ~keep).cast("long")), F.lit(0)
+            F.sum((first & ~qual_ok).cast("long")), F.lit(0)
         ).alias("n_filtered_out"),
+        F.coalesce(
+            F.sum((first & qual_ok & ~rep_ok).cast("long")), F.lit(0)
+        ).alias("n_repetition_out"),
     ).collect()[0]
     filtered = ann.filter(keep)
 
@@ -111,30 +141,80 @@ def curate_documents(
             )
         else:
             drop = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
-        curated = filtered.join(drop, "doc_id", "left_anti")
+        deduped = filtered.join(drop, "doc_id", "left_anti")
     else:
-        curated = filtered
+        deduped = filtered
 
-    curated = curated.select(
-        "doc_id", "fingerprint", "quality_score", "lang_pred", "n_tokens"
-    )
-    cur = curated.agg(
+    if sample_rates is not None:
+        from invoice_ocr_reconciler_spark.operators.sampling import (
+            stratified_sample,
+        )
+
+        curated = stratified_sample(
+            deduped,
+            rates=sample_rates,
+            default_rate=sample_default_rate,
+            strata_col="lang_pred",
+        )
+        out_cols = [
+            "doc_id", "fingerprint", "quality_score", "lang_pred",
+            "n_tokens", "sample_bucket",
+        ]
+    else:
+        curated = deduped
+        out_cols = ["doc_id", "fingerprint", "quality_score", "lang_pred", "n_tokens"]
+
+    if redact_pii:
+        from invoice_ocr_reconciler_spark.functions.pii import (
+            pii_count_cols,
+            redact_pii_col,
+        )
+
+        pii = pii_count_cols(F.col(text_col))
+        curated = curated.withColumn(
+            "redacted_text", redact_pii_col(F.col(text_col))
+        ).withColumn(
+            "n_pii", pii["n_emails"] + pii["n_ips"] + pii["n_phones"]
+        )
+        out_cols += ["redacted_text", "n_pii"]
+
+    curated = curated.select(*out_cols)
+    cur_aggs = [
         F.count("*").alias("n"),
         F.coalesce(F.sum("n_tokens"), F.lit(0)).alias("t"),
-    ).collect()[0]
-    n_kept_pre_neardup = base["n_input"] - base["n_exact_dup"] - base["n_filtered_out"]
+    ]
+    if sample_rates is not None:
+        # the pre-sampling survivor count, without an extra job: count the
+        # deduped frame in the same action via a cheap second agg
+        n_dedup = deduped.count()
+    cur = curated.agg(*cur_aggs).collect()[0]
+    n_kept_pre_neardup = (
+        base["n_input"]
+        - base["n_exact_dup"]
+        - base["n_filtered_out"]
+        - base["n_repetition_out"]
+    )
+    if sample_rates is not None:
+        n_near_dup = n_kept_pre_neardup - n_dedup
+        n_sampled_out = n_dedup - cur["n"]
+    else:
+        n_near_dup = n_kept_pre_neardup - cur["n"]
+        n_sampled_out = 0
     stats = curated.sparkSession.createDataFrame(
         [
             (
                 base["n_input"],
                 base["n_exact_dup"],
                 base["n_filtered_out"],
-                n_kept_pre_neardup - cur["n"],
+                base["n_repetition_out"],
+                n_near_dup,
+                n_sampled_out,
                 cur["n"],
                 int(cur["t"]),
             )
         ],
         "n_input bigint, n_exact_dup bigint, n_filtered_out bigint, "
-        "n_near_dup bigint, n_curated bigint, curated_tokens bigint",
+        "n_repetition_out bigint, n_near_dup bigint, n_sampled_out bigint, "
+        "n_curated bigint, curated_tokens bigint",
     )
     return {"curated": curated, "stats": stats}

@@ -559,3 +559,53 @@ class TestApplyCountDelta:
             r["key"]: r["n"] for r in apply_count_delta(old, deltas).collect()
         }
         assert got == {"a": 5, "c": 2, "d": 5}  # b hits zero and drops out
+
+
+class TestCurationExtendedStages:
+    def test_all_stage_counters_reconcile(self, spark):
+        from invoice_ocr_reconciler_spark.operators.curation import curate_documents
+
+        good = "the data and table with that is of value to all "
+        rows = (
+            [(i, good * 12 + f"tail {i} {i*7}") for i in range(24)]
+            + [(100, good * 12), (101, good * 12)]          # exact dups
+            + [(200, "short")]                               # low quality
+            + [(300, "the spam " * 120)]                     # en-looking repetition bomb
+        )
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        out = curate_documents(
+            docs,
+            min_quality=0.5,
+            with_near_dup=False,
+            max_top2gram_frac=0.2,
+            sample_rates={"en": 70},
+            redact_pii=True,
+        )
+        s = out["stats"].collect()[0]
+        assert (
+            s["n_exact_dup"] + s["n_filtered_out"] + s["n_repetition_out"]
+            + s["n_near_dup"] + s["n_sampled_out"] + s["n_curated"]
+            == s["n_input"]
+        )
+        # deterministic md5 buckets -> exact per-stage counts
+        assert s["n_exact_dup"] == 1        # doc 101
+        assert s["n_filtered_out"] == 1     # doc 200 (low quality)
+        assert s["n_repetition_out"] == 1   # doc 300 (top-2-gram 0.5)
+        assert s["n_sampled_out"] == 8 and s["n_curated"] == 17
+        curated = out["curated"].collect()
+        assert {300, 200, 101}.isdisjoint({r["doc_id"] for r in curated})
+        cols = set(out["curated"].columns)
+        assert {"sample_bucket", "redacted_text", "n_pii"} <= cols
+        assert all(r["n_pii"] == 0 for r in curated)  # corpus has no PII
+
+    def test_off_stages_report_zero(self, spark):
+        from invoice_ocr_reconciler_spark.operators.curation import curate_documents
+
+        docs = spark.createDataFrame(
+            [(i, f"the value {i} and the table of data") for i in range(8)],
+            "doc_id long, text string",
+        )
+        out = curate_documents(docs, min_quality=0.0, with_near_dup=False)
+        s = out["stats"].collect()[0]
+        assert s["n_repetition_out"] == 0 and s["n_sampled_out"] == 0
+        assert "sample_bucket" not in out["curated"].columns
