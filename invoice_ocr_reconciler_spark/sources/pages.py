@@ -80,3 +80,65 @@ def write_pages_bucketed(
 
 def read_pages(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
+
+
+def compact_pages_bucketed(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    n_buckets: int | None = None,
+) -> dict:
+    """Small-file compaction for the url_bucket=K layout.
+
+    Incremental ingest (streaming micro-batches, per-bucket resumable
+    appends) accumulates many small parquet files per bucket; at scale the
+    resulting task explosion + footer overhead dominates scan cost. This
+    rewrites the table so each bucket holds ceil(bucket_bytes /
+    target_file_bytes) url-sorted files, preserving the bucket layout
+    (url_bucket column and directory scheme) and every row byte-for-byte.
+
+    The rewrite lands in `<path>.compacting` and atomically swaps in via
+    rename (the parquet stand-in for Iceberg's rewrite_data_files +
+    snapshot commit; on object stores the swap is the catalog pointer
+    flip). Returns {files_before, files_after, rows}.
+    """
+    import glob
+    import os
+    import shutil
+
+    files_before = len(glob.glob(os.path.join(path, "url_bucket=*", "*.parquet")))
+    df = spark.read.parquet(path)  # url_bucket comes back as a partition col
+    if n_buckets is None:
+        n_buckets = (
+            df.agg(F.max("url_bucket").alias("m")).collect()[0]["m"] or 0
+        ) + 1
+    total_bytes = sum(
+        os.path.getsize(p)
+        for p in glob.glob(os.path.join(path, "url_bucket=*", "*.parquet"))
+    )
+    per_bucket_files = max(
+        1, int(-(-total_bytes // n_buckets // target_file_bytes))
+    )
+    tmp = path.rstrip("/") + ".compacting"
+    shutil.rmtree(tmp, ignore_errors=True)
+    # deterministic sub-file id INSIDE each bucket: repartitioning on the
+    # raw url would scatter a bucket across partitions and re-create one
+    # small file per (task, bucket) pair — the exact problem being fixed
+    sub = F.pmod(F.xxhash64(F.col("url")), F.lit(per_bucket_files))
+    (
+        df.withColumn("_sub", sub)
+        .repartition(n_buckets * per_bucket_files, "url_bucket", F.col("_sub"))
+        .sortWithinPartitions("url_bucket", "_sub", "url")
+        .drop("_sub")
+        .write.partitionBy("url_bucket")
+        .mode("overwrite")
+        .parquet(tmp)
+    )
+    rows = spark.read.parquet(tmp).count()
+    old = path.rstrip("/") + ".compacted-old"
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old, ignore_errors=True)
+    files_after = len(glob.glob(os.path.join(path, "url_bucket=*", "*.parquet")))
+    return {"files_before": files_before, "files_after": files_after, "rows": rows}

@@ -609,3 +609,46 @@ class TestCurationExtendedStages:
         s = out["stats"].collect()[0]
         assert s["n_repetition_out"] == 0 and s["n_sampled_out"] == 0
         assert "sample_bucket" not in out["curated"].columns
+
+
+class TestCompaction:
+    def test_compact_preserves_rows_and_layout(self, spark, tmp_path):
+        import glob
+
+        from invoice_ocr_reconciler_spark import datagen
+        from invoice_ocr_reconciler_spark.sources.pages import (
+            compact_pages_bucketed,
+            write_pages_bucketed,
+        )
+
+        path = str(tmp_path / "pages_frag")
+        # fragment: 4 incremental appends -> multiple small files per bucket
+        allp = datagen.pages_df(spark, 400)
+        for i in range(4):
+            write_pages_bucketed(
+                allp.filter(F.pmod(F.xxhash64("url", F.lit(99)), F.lit(4)) == i),
+                path,
+                n_buckets=8,
+                mode="append",
+            )
+        before = sorted(
+            r["url"] for r in spark.read.parquet(path).select("url").collect()
+        )
+        n_files_before = len(glob.glob(f"{path}/url_bucket=*/*.parquet"))
+        assert n_files_before >= 24  # genuinely fragmented
+
+        stats = compact_pages_bucketed(spark, path)
+        assert stats["rows"] == 400
+        assert stats["files_after"] < stats["files_before"]
+        assert stats["files_after"] <= 8  # one file per bucket at this size
+        after_df = spark.read.parquet(path)
+        after = sorted(r["url"] for r in after_df.select("url").collect())
+        assert after == before  # byte-for-byte row preservation (by key)
+        # bucket layout intact: partition column survives and prunes
+        assert "url_bucket" in after_df.columns
+        one = after_df.filter(F.col("url_bucket") == 3)
+        assert one.count() == sum(
+            1 for r in spark.createDataFrame([(u,) for u in before], "url string")
+            .withColumn("b", F.pmod(F.xxhash64("url"), F.lit(8)).cast("int"))
+            .filter(F.col("b") == 3).collect()
+        )
