@@ -184,8 +184,11 @@ def curate_documents(
         F.coalesce(F.sum("n_tokens"), F.lit(0)).alias("t"),
     ]
     if sample_rates is not None:
-        # the pre-sampling survivor count, without an extra job: count the
-        # deduped frame in the same action via a cheap second agg
+        # the sampled_out counter needs the pre-sampling survivor count;
+        # persist the deduped frame so the (expensive) near-dup stage runs
+        # once, not once per downstream action
+        if with_near_dup:
+            deduped = deduped.persist(StorageLevel.MEMORY_AND_DISK)
         n_dedup = deduped.count()
     cur = curated.agg(*cur_aggs).collect()[0]
     n_kept_pre_neardup = (

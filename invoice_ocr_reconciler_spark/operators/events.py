@@ -120,11 +120,12 @@ def asof_join(
         *[F.col(c).alias(f"_l_{c}") for c in lcols],
         *[F.lit(None).cast(rtypes[c]).alias(f"_r_{c}") for c in payload],
     )
-    # order within ties: right rows by ascending first payload col so the
-    # LAST carried value is the highest-ordered right row at that ts
-    order_tie = F.coalesce(
-        F.col(f"_r_{payload[0]}").cast("double"), F.lit(float("inf"))
-    )
+    # order within ties: right rows by ascending first payload col (native
+    # ordering, works for any orderable type) so the LAST carried value is
+    # the highest-ordered right row at that ts; left rows carry nulls there
+    # and sort last, after every same-ts right row, which is exactly the
+    # inclusive-match order the _side flag already enforces
+    order_tie = F.col(f"_r_{payload[0]}").asc_nulls_last()
     w = (
         Window.partitionBy("_k")
         .orderBy("_ts", "_side", order_tie)

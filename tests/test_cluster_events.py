@@ -652,3 +652,16 @@ class TestCompaction:
             .withColumn("b", F.pmod(F.xxhash64("url"), F.lit(8)).cast("int"))
             .filter(F.col("b") == 3).collect()
         )
+
+
+class TestAsofTies:
+    def test_duplicate_right_ts_highest_payload_wins(self, spark):
+        left = _ev(spark, [(100, 1, "click", 0.0)])
+        # two right rows at the SAME ts: event_id 1 (value 5) and 2 (value 9)
+        right = _ev(
+            spark,
+            [(50, 1, "view", 5.0), (50, 1, "view", 9.0)],
+        ).select("user_id", "ts", F.col("event_id") + 1, "value")
+        right = right.withColumnRenamed("(event_id + 1)", "event_id")
+        out = asof_join(left, right, right_cols=("event_id", "value")).collect()[0]
+        assert out["asof_event_id"] == 2 and out["asof_value"] == 9.0
