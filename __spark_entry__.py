@@ -904,6 +904,15 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_top_terms(docs, k=5)
 
 
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Search-index build: term -> df + capped ascending posting list (cap
+    50 exercises the hot-term bound at sf0.01 where df reaches ~500)."""
+    from invoice_ocr_reconciler_spark.operators.tfidf import inverted_index
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return inverted_index(docs, max_postings=50)
+
+
 def q_curation_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Curation with the round-2 stages on (repetition cut + deterministic
     stratified sampling; near-dup off so the whole chain is
@@ -1124,6 +1133,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_counts": q_incremental_counts,
         "bloom_semi_join": q_bloom_semi_join,
         "curation_extended": q_curation_extended,
+        "inverted_index": q_inverted_index,
     }
 
 
@@ -2065,5 +2075,22 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             WHERE l_orderkey IN (SELECT o_orderkey FROM orders
                                  WHERE o_orderstatus = 'P')
+        """,
+        "inverted_index": r"""
+            WITH d AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(trim(coalesce(text, ''))), '\s+'),
+                                   t -> t <> '') AS toks
+                FROM documents),
+            t AS (
+                SELECT DISTINCT doc_id, term
+                FROM (SELECT doc_id, unnest(toks) AS term FROM d)),
+            p AS (
+                SELECT term, count(*) AS df,
+                       list(doc_id ORDER BY doc_id) AS post
+                FROM t GROUP BY term)
+            SELECT term, df,
+                   array_to_string(list_slice(post, 1, 50), ',') AS postings
+            FROM p
         """,
     }

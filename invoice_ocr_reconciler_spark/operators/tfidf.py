@@ -59,3 +59,37 @@ def tfidf_top_terms(
         .filter(F.col("term_rank") <= k)
         .select(id_col, "term", "tf", "df", "score", "term_rank")
     )
+
+
+def inverted_index(
+    docs: DataFrame,
+    max_postings: int = 1000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Term -> (df, capped ascending posting list) — the batch build of a
+    search index.
+
+    Shape: explode -> per-(term, doc) distinct (map-side combine on the
+    pair key) -> one grouped collect per term. Postings are capped at
+    `max_postings` lowest doc ids (slice AFTER array_sort — deterministic),
+    so a stop-word's posting row is bounded; `df` still reports the true
+    document frequency. Serialized as a comma-joined string so the row is
+    engine-portable and safely hashable.
+    """
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))), r"\s+"),
+        lambda t: t != "",
+    )
+    pairs = (
+        docs.select(F.col(id_col), F.explode(toks).alias("term")).distinct()
+    )
+    capped = F.slice(
+        F.array_sort(F.collect_list(F.col(id_col))), 1, max_postings
+    )
+    return pairs.groupBy("term").agg(
+        F.count("*").alias("df"),
+        F.array_join(
+            F.transform(capped, lambda d: d.cast("string")), ","
+        ).alias("postings"),
+    )

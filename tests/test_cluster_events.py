@@ -665,3 +665,18 @@ class TestAsofTies:
         right = right.withColumnRenamed("(event_id + 1)", "event_id")
         out = asof_join(left, right, right_cols=("event_id", "value")).collect()[0]
         assert out["asof_event_id"] == 2 and out["asof_value"] == 9.0
+
+
+class TestInvertedIndex:
+    def test_postings_cap_and_df(self, spark):
+        from invoice_ocr_reconciler_spark.operators.tfidf import inverted_index
+
+        docs = spark.createDataFrame(
+            [(i, "common " + ("rare" if i == 7 else "word")) for i in range(9)],
+            "doc_id long, text string",
+        )
+        rows = {r["term"]: r for r in inverted_index(docs, max_postings=3).collect()}
+        assert rows["common"]["df"] == 9                  # true df uncapped
+        assert rows["common"]["postings"] == "0,1,2"      # capped ascending
+        assert rows["rare"]["df"] == 1 and rows["rare"]["postings"] == "7"
+        assert rows["word"]["df"] == 8
