@@ -41,17 +41,26 @@ def get_spark(
     cores: int | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    executors: int | None = None,
+    executor_mem_mb: int = 4096,
 ) -> SparkSession:
     """Build (or fetch) a SparkSession.
 
     ``cores`` defaults to $SPARK_GRAFT_CPUS or all local cores. Shuffle
     partitions scale with cores (2x) instead of the 200 default — at cluster
     scale this is set to ~2-3x total executor cores by the submitter.
+
+    ``executors``: when set, use ``local-cluster[executors, cores,
+    executor_mem_mb]`` — SEPARATE executor JVM processes (own GC, allocator,
+    Python worker pool) instead of threads in one JVM. This is the faithful
+    in-sandbox analog of an N-executor cluster and what the N-vs-4N scaling
+    evidence runs on; ``cores`` then means cores PER executor.
     """
     if cores is None:
         cores = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
     if shuffle_partitions is None:
-        shuffle_partitions = max(2 * cores, 8)
+        total = cores * (executors or 1)
+        shuffle_partitions = max(2 * total, 8)
 
     # Python WORKERS do not inherit the driver's sys.path — a caller that
     # imported this package via sys.path manipulation from another cwd would
@@ -66,8 +75,13 @@ def get_spark(
             repo_root + (os.pathsep + existing if existing else "")
         )
 
+    master = (
+        f"local-cluster[{executors},{cores},{executor_mem_mb}]"
+        if executors
+        else f"local[{cores}]"
+    )
     builder = (
-        SparkSession.builder.master(f"local[{cores}]")
+        SparkSession.builder.master(master)
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
@@ -88,6 +102,11 @@ def get_spark(
     # stays off unless the submitter provides it via --packages.
     for k, v in iceberg_confs(os.environ).items():
         builder = builder.config(k, v)
+    if executors:
+        # executor JVMs are separate processes: ship the repo on their
+        # PYTHONPATH too (local[] threads inherit the driver env; these
+        # don't). Real clusters use --py-files instead.
+        builder = builder.config("spark.executorEnv.PYTHONPATH", repo_root)
     if extra_conf:
         for k, v in extra_conf.items():
             builder = builder.config(k, v)

@@ -680,3 +680,41 @@ class TestInvertedIndex:
         assert rows["common"]["postings"] == "0,1,2"      # capped ascending
         assert rows["rare"]["df"] == 1 and rows["rare"]["postings"] == "7"
         assert rows["word"]["df"] == 8
+
+
+class TestLocalClusterExecutors:
+    def test_pipeline_parity_on_separate_executor_jvms(self):
+        """The full pipeline on local-cluster (2 executor PROCESSES, own
+        JVM + Python workers each) must produce the exact golden status
+        counts — the in-sandbox stand-in for multi-executor correctness.
+        Runs in a subprocess: the suite's session owns the in-process
+        master, and local-cluster needs its own."""
+        import json
+        import subprocess
+        import sys
+
+        code = """
+import json
+from invoice_ocr_reconciler_spark.session import get_spark
+from invoice_ocr_reconciler_spark import datagen
+from invoice_ocr_reconciler_spark.pipeline import run_pipeline
+spark = get_spark(app_name="lc-test", cores=2, executors=2,
+                  executor_mem_mb=2048, shuffle_partitions=8,
+                  extra_conf={"spark.ui.showConsoleProgress": "false"})
+out = run_pipeline(datagen.pages_df(spark, 500), datagen.ledger_df(spark, 60, 500))
+counts = {r["match_status"]: r["count"]
+          for r in out["results"].groupBy("match_status").count().collect()}
+print("RESULT:" + json.dumps(counts, sort_keys=True))
+spark.stop()
+"""
+        proc = subprocess.run(
+            [sys.executable, "-c", code],
+            capture_output=True, text=True, timeout=420,
+            cwd="/root/repo",
+        )
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        line = [l for l in proc.stdout.splitlines() if l.startswith("RESULT:")][0]
+        counts = json.loads(line[len("RESULT:"):])
+        assert counts == {
+            "duplicate": 49, "matched": 25, "mismatch": 29, "missing": 397,
+        }
