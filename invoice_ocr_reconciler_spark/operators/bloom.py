@@ -84,6 +84,11 @@ def bloom_semi_join(
     k=2. The bitset ships as a literal inside the task binary (m_bits/4
     hex chars; 2^18 bits = 64 KiB string).
     """
+    # the bitset ships as a plan literal: cap it well below codegen /
+    # task-binary limits (2^24 bits = 4 MiB hex). Bigger key sides should
+    # shrink m or fall back to a plain semi join.
+    if m_bits > 1 << 24:
+        raise ValueError("m_bits > 2^24: bitset literal too large to ship")
     kk = keys_key or big_key
     bloom_hex = build_bloom_hex(keys, kk, m_bits=m_bits, k=k)
     pruned = big.filter(

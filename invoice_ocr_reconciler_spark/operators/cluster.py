@@ -93,9 +93,22 @@ def connected_components(
     id_a: str = "doc_a",
     id_b: str = "doc_b",
     max_rounds: int = MAX_CC_ROUNDS,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """-> (doc_id, component) for every node in `pairs`; component = min
-    reachable id. Exact transitive closure via large-star/small-star."""
+    reachable id. Exact transitive closure via large-star/small-star.
+
+    `checkpoint_dir`: durable (HDFS/object-store) checkpoints for cluster
+    runs — a lost executor can otherwise force replaying every round,
+    because localCheckpoint storage dies with its executor. Local/test
+    runs default to localCheckpoint (no extra I/O).
+    """
+    spark = pairs.sparkSession
+    if checkpoint_dir:
+        spark.sparkContext.setCheckpointDir(checkpoint_dir)
+        _ckpt = lambda df: df.checkpoint(eager=True)
+    else:
+        _ckpt = lambda df: df.localCheckpoint(eager=True)
     edges = _symmetric(
         pairs.select(
             F.col(id_a).cast("long").alias("src"),
@@ -103,10 +116,10 @@ def connected_components(
         )
     )
     nodes = edges.select("src").distinct()
-    edges = edges.localCheckpoint(eager=True)
+    edges = _ckpt(edges)
     prev = None
     for _ in range(max_rounds):
-        edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        edges = _ckpt(_small_star(_large_star(edges)))
         sig = _signature(edges)
         if sig == prev:
             break

@@ -71,12 +71,18 @@ def inverted_index(
     search index.
 
     Shape: explode -> per-(term, doc) distinct (map-side combine on the
-    pair key) -> one grouped collect per term. Postings are capped at
-    `max_postings` lowest doc ids (slice AFTER array_sort — deterministic),
-    so a stop-word's posting row is bounded; `df` still reports the true
-    document frequency. Serialized as a comma-joined string so the row is
-    engine-portable and safely hashable.
+    pair key) -> rank-cap WINDOW -> one grouped collect per term. The cap
+    is applied BEFORE collect_list (row_number <= max_postings per term),
+    so a stop-word never materializes its full posting array just to be
+    sliced — the same bounded-degenerate-group discipline as the LSH pair
+    generators. The true document frequency is carried through the same
+    window partitioning (count over term), so df stays exact while the
+    posting row is bounded. Window + groupBy share the term partitioning:
+    one exchange for the whole cap+collect stage. Serialized comma-joined
+    so the row is engine-portable and safely hashable.
     """
+    from pyspark.sql import Window
+
     toks = F.filter(
         F.split(F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))), r"\s+"),
         lambda t: t != "",
@@ -84,12 +90,20 @@ def inverted_index(
     pairs = (
         docs.select(F.col(id_col), F.explode(toks).alias("term")).distinct()
     )
-    capped = F.slice(
-        F.array_sort(F.collect_list(F.col(id_col))), 1, max_postings
-    )
-    return pairs.groupBy("term").agg(
-        F.count("*").alias("df"),
+    w = Window.partitionBy("term")
+    ranked = pairs.select(
+        "term",
+        F.col(id_col),
+        F.count("*").over(w).alias("df"),
+        F.row_number().over(w.orderBy(id_col)).alias("_rn"),
+    ).filter(F.col("_rn") <= max_postings)
+    return ranked.groupBy("term").agg(
+        F.first("df").alias("df"),
         F.array_join(
-            F.transform(capped, lambda d: d.cast("string")), ","
+            F.transform(
+                F.array_sort(F.collect_list(F.col(id_col))),
+                lambda d: d.cast("string"),
+            ),
+            ",",
         ).alias("postings"),
     )

@@ -718,3 +718,38 @@ spark.stop()
         assert counts == {
             "duplicate": 49, "matched": 25, "mismatch": 29, "missing": 397,
         }
+
+
+class TestInvertedIndexBounded:
+    def test_hot_term_group_is_capped_before_collect(self, spark):
+        # a term in EVERY doc must still produce a bounded posting row
+        from invoice_ocr_reconciler_spark.operators.tfidf import inverted_index
+
+        docs = spark.createDataFrame(
+            [(i, f"everywhere unique{i}") for i in range(5000)],
+            "doc_id long, text string",
+        )
+        rows = {
+            r["term"]: r
+            for r in inverted_index(docs, max_postings=10)
+            .filter(F.col("term") == "everywhere")
+            .collect()
+        }
+        r = rows["everywhere"]
+        assert r["df"] == 5000
+        assert r["postings"] == ",".join(str(i) for i in range(10))
+
+
+class TestCCDurableCheckpoint:
+    def test_checkpoint_dir_path(self, spark, tmp_path):
+        from invoice_ocr_reconciler_spark.operators.cluster import (
+            connected_components,
+        )
+
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(30)], "doc_a long, doc_b long"
+        )
+        got = connected_components(
+            pairs, checkpoint_dir=str(tmp_path / "cc_ckpt")
+        ).collect()
+        assert {r["component"] for r in got} == {0} and len(got) == 31
