@@ -904,6 +904,32 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_top_terms(docs, k=5)
 
 
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-window chunking (window 40, stride 30 -> overlapping chunks);
+    DuckDB replays the slice arithmetic over the same token arrays."""
+    from invoice_ocr_reconciler_spark.operators.chunking import chunk_documents
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return chunk_documents(docs, window=40, stride=30)
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard-wise concat-and-cut packing layout (capacity 500, 8 shards by
+    doc_id%8 so the oracle can replay the shard hash)."""
+    from invoice_ocr_reconciler_spark.functions.text import token_count_col
+    from invoice_ocr_reconciler_spark.operators.chunking import pack_sequences
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    with_tokens = docs.select(
+        "doc_id", token_count_col(F.col("text")).alias("n_tokens")
+    )
+    return pack_sequences(
+        with_tokens,
+        capacity=500,
+        shard_col=(F.col("doc_id") % 8).cast("int"),
+    )
+
+
 def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Search-index build: term -> df + capped ascending posting list (cap
     50 exercises the hot-term bound at sf0.01 where df reaches ~500)."""
@@ -1134,6 +1160,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_semi_join": q_bloom_semi_join,
         "curation_extended": q_curation_extended,
         "inverted_index": q_inverted_index,
+        "chunk_documents": q_chunk_documents,
+        "pack_sequences": q_pack_sequences,
     }
 
 
@@ -2075,6 +2103,46 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             WHERE l_orderkey IN (SELECT o_orderkey FROM orders
                                  WHERE o_orderstatus = 'P')
+        """,
+        "chunk_documents": r"""
+            WITH d AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(trim(coalesce(text, ''))), '\s+'),
+                                   t -> t <> '') AS toks
+                FROM documents),
+            c AS (
+                SELECT doc_id, toks, len(toks) AS n,
+                       CASE WHEN len(toks) <= 0 THEN 0
+                            ELSE 1 + CAST(ceil(greatest(len(toks) - 40, 0) / 30.0) AS INT)
+                       END AS n_chunks
+                FROM d),
+            s AS (
+                SELECT doc_id, toks, n,
+                       CAST(unnest(range(0, n_chunks)) AS INT) AS chunk_id
+                FROM c WHERE n_chunks > 0)
+            SELECT doc_id, chunk_id,
+                   array_to_string(list_slice(toks, chunk_id * 30 + 1,
+                                              chunk_id * 30 + 40), ' ') AS chunk_text,
+                   CAST(least(40, n - chunk_id * 30) AS INT) AS chunk_tokens
+            FROM s
+        """,
+        "pack_sequences": r"""
+            WITH t AS (
+                SELECT doc_id,
+                       CASE WHEN length(trim(coalesce(text, ''))) = 0 THEN 0
+                            ELSE len(regexp_split_to_array(trim(coalesce(text, '')), '\s+'))
+                       END AS n_tokens,
+                       CAST(doc_id % 8 AS INT) AS shard
+                FROM documents),
+            c AS (
+                SELECT *, sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                              ROWS UNBOUNDED PRECEDING) AS cum
+                FROM t)
+            SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens, shard,
+                   CAST(cum - n_tokens AS BIGINT) AS start_offset,
+                   CAST(floor((cum - n_tokens) / 500.0) AS INT) AS seq_in_shard,
+                   floor((cum - 1) / 500.0) > floor((cum - n_tokens) / 500.0) AS spans_boundary
+            FROM c
         """,
         "inverted_index": r"""
             WITH d AS (

@@ -1,0 +1,108 @@
+"""Training-sequence preparation: token-window chunking and shard-wise
+sequence packing.
+
+Pretraining pipelines do two things to curated documents before batching:
+split long documents into overlapping token windows (chunking), and
+concatenate short ones into fixed-capacity sequences (packing, the
+concat-and-cut layout). Both here are pure DataFrame ops:
+
+- chunking is per-row codegen (split -> windowed slices -> explode): no
+  shuffle, embarrassingly parallel at any corpus size;
+- packing needs a running token offset, which is inherently sequential —
+  the scale answer is to pack WITHIN a shard (hash of doc id), one window
+  cumsum per shard: shards are independent, so parallelism = #shards and
+  the only state is a per-shard running sum. Global packing order is a
+  non-goal (training shuffles sequences anyway); determinism per shard is
+  the contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def chunk_documents(
+    docs: DataFrame,
+    window: int = 64,
+    stride: int = 48,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """One row per token window: (doc_id, chunk_id, chunk_text,
+    chunk_tokens). Windows start every `stride` tokens; the final window is
+    truncated, and a doc shorter than `window` yields exactly one chunk.
+    Empty docs yield none."""
+    if stride <= 0 or window <= 0:
+        raise ValueError("window and stride must be positive")
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))), r"\s+"),
+        lambda t: t != "",
+    )
+    base = docs.select(F.col(id_col), toks.alias("_toks"))
+    n = F.size("_toks")
+    # number of windows: 1 + ceil(max(n - window, 0) / stride)
+    n_chunks = F.when(n <= 0, F.lit(0)).otherwise(
+        F.lit(1) + F.ceil(F.greatest(n - window, F.lit(0)) / stride).cast("int")
+    )
+    starts = F.when(
+        n_chunks > 0, F.sequence(F.lit(0), (n_chunks - 1) * stride, F.lit(stride))
+    ).otherwise(F.array())
+    return (
+        base.select(
+            F.col(id_col),
+            F.col("_toks"),
+            F.posexplode(starts).alias("chunk_id", "_start"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("chunk_id"),
+            F.array_join(
+                F.slice(F.col("_toks"), F.col("_start") + 1, window), " "
+            ).alias("chunk_text"),
+            F.least(F.lit(window), F.size("_toks") - F.col("_start")).alias(
+                "chunk_tokens"
+            ),
+        )
+    )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    capacity: int = 2048,
+    n_shards: int = 64,
+    token_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    shard_col=None,
+) -> DataFrame:
+    """Concat-and-cut packing plan: assign each doc its byte-offset layout
+    inside fixed-capacity token sequences, independently per shard.
+
+    -> (doc_id, shard, seq_in_shard, start_offset, n_tokens,
+    spans_boundary): the doc's tokens occupy positions [start_offset,
+    start_offset + n_tokens) of the shard's concatenated token stream;
+    seq_in_shard = which capacity-window its FIRST token lands in;
+    spans_boundary marks docs cut across two sequences. One exchange on
+    shard; per-shard order (doc id asc) makes reruns byte-identical.
+    """
+    shard_expr = (
+        shard_col
+        if shard_col is not None
+        else F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_shards)).cast("int")
+    )
+    w = Window.partitionBy("shard").orderBy(id_col)
+    cum = F.sum(token_col).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        docs.select(F.col(id_col), F.col(token_col), shard_expr.alias("shard"))
+        .withColumn("start_offset", cum - F.col(token_col))
+        .withColumn(
+            "seq_in_shard", F.floor(F.col("start_offset") / capacity).cast("int")
+        )
+        .withColumn(
+            "spans_boundary",
+            F.floor((F.col("start_offset") + F.col(token_col) - 1) / capacity)
+            > F.col("seq_in_shard"),
+        )
+    )

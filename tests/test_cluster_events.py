@@ -753,3 +753,65 @@ class TestCCDurableCheckpoint:
             pairs, checkpoint_dir=str(tmp_path / "cc_ckpt")
         ).collect()
         assert {r["component"] for r in got} == {0} and len(got) == 31
+
+
+class TestChunkingPacking:
+    def test_chunk_windows_and_overlap(self, spark):
+        from invoice_ocr_reconciler_spark.operators.chunking import chunk_documents
+
+        text = " ".join(f"t{i}" for i in range(10))
+        docs = spark.createDataFrame(
+            [(0, text), (1, "a b"), (2, "")], "doc_id long, text string"
+        )
+        rows = sorted(
+            map(
+                tuple,
+                chunk_documents(docs, window=4, stride=3)
+                .select("doc_id", "chunk_id", "chunk_text", "chunk_tokens")
+                .collect(),
+            )
+        )
+        # doc 0: 10 tokens, window 4 stride 3 -> starts 0,3,6,9 (1+ceil(6/3)=3? no: 1+ceil(6/3)=3 -> starts 0,3,6); last covers t6..t9
+        doc0 = [r for r in rows if r[0] == 0]
+        assert [r[1] for r in doc0] == [0, 1, 2]
+        assert doc0[0][2] == "t0 t1 t2 t3" and doc0[0][3] == 4
+        assert doc0[2][2] == "t6 t7 t8 t9" and doc0[2][3] == 4
+        doc1 = [r for r in rows if r[0] == 1]
+        assert doc1 == [(1, 0, "a b", 2)]      # short doc -> one chunk
+        assert not [r for r in rows if r[0] == 2]  # empty doc -> none
+
+    def test_full_token_coverage(self, spark):
+        # every token of every doc appears in at least one chunk
+        from invoice_ocr_reconciler_spark.operators.chunking import chunk_documents
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        from invoice_ocr_reconciler_spark.functions.text import token_count_col
+
+        total = docs.select(F.sum(token_count_col(F.col("text")))).collect()[0][0]
+        covered = (
+            chunk_documents(docs, window=40, stride=40)  # disjoint windows
+            .agg(F.sum("chunk_tokens"))
+            .collect()[0][0]
+        )
+        assert covered == total
+
+    def test_pack_sequences_layout(self, spark):
+        from invoice_ocr_reconciler_spark.operators.chunking import pack_sequences
+
+        docs = spark.createDataFrame(
+            [(i, 60) for i in range(10)], "doc_id long, n_tokens int"
+        )
+        out = pack_sequences(
+            docs, capacity=100, shard_col=F.lit(0)
+        ).orderBy("doc_id").collect()
+        # concat-and-cut: doc0 [0,60) seq0; doc1 [60,120) spans; doc2 [120,180) seq1 ...
+        assert (out[0]["seq_in_shard"], out[0]["spans_boundary"]) == (0, False)
+        assert (out[1]["seq_in_shard"], out[1]["spans_boundary"]) == (0, True)
+        assert (out[2]["seq_in_shard"], out[2]["spans_boundary"]) == (1, False)
+        assert out[9]["start_offset"] == 540
+        # shard independence: different shard col -> same per-shard layout
+        two = pack_sequences(
+            docs, capacity=100, shard_col=(F.col("doc_id") % 2).cast("int")
+        ).orderBy("doc_id").collect()
+        assert two[0]["start_offset"] == 0 and two[1]["start_offset"] == 0
+        assert two[2]["start_offset"] == 60 and two[3]["start_offset"] == 60
