@@ -144,6 +144,17 @@ def main() -> None:
             "n_near_dup": stats["n_near_dup"],
             "n_curated": stats["n_curated"],
         }
+        # exact connected-components variant: evidences the iterative CC
+        # operator at the 200k scale (pair graph from the same LSH pass)
+        t0 = time.monotonic()
+        stats_cc = curate_documents(
+            docs_big, min_quality=0.4, near_dup_exact=True
+        )["stats"].collect()[0]
+        curation["exact_cc"] = {
+            "wall_sec": round(time.monotonic() - t0, 2),
+            "n_near_dup": stats_cc["n_near_dup"],
+            "n_curated": stats_cc["n_curated"],
+        }
     except Exception as exc:
         curation = {"error": str(exc)[:200]}
     print(
