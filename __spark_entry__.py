@@ -904,6 +904,38 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_top_terms(docs, k=5)
 
 
+def q_time_bucket_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style time-bucket rollup: 5-minute buckets per event
+    type (epoch arithmetic, engine-portable) with count / sum / mean."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    bucket_start = F.timestamp_seconds(
+        F.floor(F.unix_seconds(F.col("ts").cast("timestamp")) / 300) * 300
+    ).cast("timestamp_ntz")
+    return (
+        ev.groupBy(
+            bucket_start.alias("bucket_start"), F.col("event_type")
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("value_sum"),
+            (
+                F.floor(F.sum("value") / F.count("*") * 10000 + F.lit(0.5))
+                / 10000.0
+            ).alias("value_mean"),
+        )
+    )
+
+
+def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ sketch distinct counts per event type; rows-only (sketch
+    estimates differ across engines) — the error bound vs exact is pinned
+    by a unit test instead."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+    )
+
+
 def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-window chunking (window 40, stride 30 -> overlapping chunks);
     DuckDB replays the slice arithmetic over the same token arrays."""
@@ -1162,6 +1194,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inverted_index": q_inverted_index,
         "chunk_documents": q_chunk_documents,
         "pack_sequences": q_pack_sequences,
+        "time_bucket_rollup": q_time_bucket_rollup,
+        "approx_distinct_users": q_approx_distinct_users,
     }
 
 
@@ -2103,6 +2137,14 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             WHERE l_orderkey IN (SELECT o_orderkey FROM orders
                                  WHERE o_orderstatus = 'P')
+        """,
+        "time_bucket_rollup": """
+            SELECT CAST(to_timestamp(floor(epoch(ts) / 300) * 300) AS TIMESTAMP) AS bucket_start,
+                   event_type,
+                   count(*) AS n_events,
+                   round(sum(value), 2) AS value_sum,
+                   floor(sum(value) / count(*) * 10000 + 0.5) / 10000 AS value_mean
+            FROM events GROUP BY 1, 2
         """,
         "chunk_documents": r"""
             WITH d AS (

@@ -815,3 +815,24 @@ class TestChunkingPacking:
         ).orderBy("doc_id").collect()
         assert two[0]["start_offset"] == 0 and two[1]["start_offset"] == 0
         assert two[2]["start_offset"] == 60 and two[3]["start_offset"] == 60
+
+
+class TestApproxDistinct:
+    def test_error_bound_vs_exact(self, spark):
+        import __spark_entry__ as e
+
+        sf = "/root/testdata/sf0.01"
+        approx = {
+            r["event_type"]: r["approx_users"]
+            for r in e.q_approx_distinct_users(spark, sf).collect()
+        }
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        exact = {
+            r["event_type"]: r["n"]
+            for r in ev.groupBy("event_type")
+            .agg(F.countDistinct("user_id").alias("n"))
+            .collect()
+        }
+        assert set(approx) == set(exact)
+        for k, n in exact.items():
+            assert abs(approx[k] - n) <= max(2, 0.05 * n), (k, approx[k], n)
