@@ -59,6 +59,19 @@ def main() -> None:
         "reconcile",            # full pipeline: extract -> parse -> reconcile
     ]
 
+    # untimed session warmup (same steady-state methodology as the
+    # flagship legs): JVM codegen JIT, parquet footer reader init, and the
+    # Python worker fork pool all land outside the per-query clocks —
+    # without this the FIRST headline query absorbs ~5s of one-off session
+    # cost that a long-running production session never pays per query
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    spark.read.parquet(f"{sf_dir}/orders.parquet").limit(1).collect()
+    import pandas as _pd
+
+    spark.createDataFrame([(1,)], "x int").mapInPandas(
+        lambda it: it, schema="x int"
+    ).count()
+
     timings: dict[str, float] = {}
     n_docs = None
     for name in headline:
