@@ -836,3 +836,79 @@ class TestApproxDistinct:
         assert set(approx) == set(exact)
         for k, n in exact.items():
             assert abs(approx[k] - n) <= max(2, 0.05 * n), (k, approx[k], n)
+
+
+class TestDegenerateInputs:
+    """Every round-2 operator must handle empty inputs without crashing."""
+
+    def test_empty_events(self, spark):
+        from invoice_ocr_reconciler_spark.operators.events import (
+            asof_join,
+            session_stats,
+            sessionize,
+        )
+
+        ev = spark.createDataFrame(
+            [], "event_id long, ts timestamp_ntz, user_id long, "
+            "event_type string, value double",
+        )
+        assert sessionize(ev).count() == 0
+        assert session_stats(ev).count() == 0
+        right = ev.select("user_id", "ts", "event_id", "value")
+        assert asof_join(ev, right, right_cols=("event_id", "value")).count() == 0
+
+    def test_empty_docs(self, spark):
+        from invoice_ocr_reconciler_spark.operators.chunking import (
+            chunk_documents,
+            pack_sequences,
+        )
+        from invoice_ocr_reconciler_spark.operators.sampling import (
+            stratified_sample,
+        )
+        from invoice_ocr_reconciler_spark.operators.tfidf import (
+            inverted_index,
+            tfidf_top_terms,
+        )
+
+        docs = spark.createDataFrame([], "doc_id long, text string")
+        assert tfidf_top_terms(docs, k=3).count() == 0
+        assert inverted_index(docs).count() == 0
+        assert chunk_documents(docs).count() == 0
+        assert stratified_sample(docs, rates={"en": 50}, strata_col="text").count() == 0
+        with_tokens = spark.createDataFrame([], "doc_id long, n_tokens int")
+        assert pack_sequences(with_tokens).count() == 0
+
+    def test_empty_diff_and_counts(self, spark):
+        from invoice_ocr_reconciler_spark.operators.diff import (
+            apply_count_delta,
+            snapshot_diff,
+        )
+
+        empty = spark.createDataFrame([], "url string, fingerprint string")
+        some = spark.createDataFrame(
+            [("a", "f1")], "url string, fingerprint string"
+        )
+        assert snapshot_diff(empty, empty).count() == 0
+        d = {r["key"]: r["change"] for r in snapshot_diff(empty, some).collect()}
+        assert d == {"a": "added"}
+        ec = spark.createDataFrame([], "key string, n long")
+        assert apply_count_delta(ec, ec).count() == 0
+
+    def test_empty_bloom_keys(self, spark):
+        from invoice_ocr_reconciler_spark.operators.bloom import bloom_semi_join
+
+        big = spark.createDataFrame([(1, "x")], "k long, v string")
+        keys = spark.createDataFrame([], "k long")
+        assert bloom_semi_join(big, keys, big_key="k", m_bits=1 << 10).count() == 0
+
+    def test_empty_curation_extended(self, spark):
+        from invoice_ocr_reconciler_spark.operators.curation import curate_documents
+
+        docs = spark.createDataFrame([], "doc_id long, text string")
+        out = curate_documents(
+            docs, with_near_dup=False, max_top2gram_frac=0.2,
+            sample_rates={"en": 50}, redact_pii=True,
+        )
+        s = out["stats"].collect()[0]
+        assert s["n_input"] == 0 and s["n_curated"] == 0
+        assert out["curated"].count() == 0
