@@ -907,6 +907,8 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_time_bucket_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hypertable-style time-bucket rollup: 5-minute buckets per event
     type (epoch arithmetic, engine-portable) with count / sum / mean."""
+    from invoice_ocr_reconciler_spark.functions.text import roundn
+
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     bucket_start = F.timestamp_seconds(
         F.floor(F.unix_seconds(F.col("ts").cast("timestamp")) / 300) * 300
@@ -918,10 +920,7 @@ def q_time_bucket_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_events"),
             F.round(F.sum("value"), 2).alias("value_sum"),
-            (
-                F.floor(F.sum("value") / F.count("*") * 10000 + F.lit(0.5))
-                / 10000.0
-            ).alias("value_mean"),
+            roundn(F.sum("value") / F.count("*"), 4).alias("value_mean"),
         )
     )
 

@@ -66,8 +66,6 @@ def main() -> None:
     # cost that a long-running production session never pays per query
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     spark.read.parquet(f"{sf_dir}/orders.parquet").limit(1).collect()
-    import pandas as _pd
-
     spark.createDataFrame([(1,)], "x int").mapInPandas(
         lambda it: it, schema="x int"
     ).count()

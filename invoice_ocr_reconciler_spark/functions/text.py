@@ -61,10 +61,17 @@ def bpe_ish_token_count_col(col: Column) -> Column:
     )
 
 
+def roundn(x: Column, places: int) -> Column:
+    """Tie-free floor-half-up rounding: floor(x*10^p + 0.5)/10^p — pure
+    double ops, bit-identical across engines (ROUND() tie-breaking is not).
+    The single source of the cross-engine rounding contract every oracle
+    replays as floor(x * 1eP + 0.5) / 1eP."""
+    scale = float(10**places)
+    return F.floor(x * scale + F.lit(0.5)) / scale
+
+
 def _round4(x: Column) -> Column:
-    """Tie-free 4-place rounding: floor(x*1e4 + 0.5)/1e4 — pure double ops,
-    bit-identical across engines (ROUND() tie-breaking is not)."""
-    return F.floor(x * 10000.0 + 0.5) / 10000.0
+    return roundn(x, 4)
 
 
 def quality_score_cols(col: Column) -> dict[str, Column]:

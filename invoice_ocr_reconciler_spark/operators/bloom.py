@@ -31,15 +31,28 @@ _BYTE_MASKS = [1, 2, 4, 8, 16, 32, 64, 128]
 
 
 def _positions(col: Column, m_bits: int, k: int) -> list[Column]:
+    # hash the STRING form: xxhash64 hashes IntegerType and LongType
+    # differently, so an int big_key probing a bitset built from a long
+    # keys_key would never match — string-normalizing both sides makes the
+    # probe type-agnostic (and the exact semi join still enforces real
+    # equality semantics afterwards)
+    norm = col.cast("string")
     return [
-        F.pmod(F.xxhash64(col, F.lit(seed)), F.lit(m_bits)) for seed in range(k)
+        F.pmod(F.xxhash64(norm, F.lit(seed)), F.lit(m_bits)) for seed in range(k)
     ]
+
+
+def _norm_bits(m_bits: int) -> int:
+    """Round up to a whole number of bytes; positions range over the full
+    rounded size so build and probe must both use this."""
+    return (int(m_bits) + 7) // 8 * 8
 
 
 def build_bloom_hex(
     keys: DataFrame, key_col: str, m_bits: int = 1 << 18, k: int = 2
 ) -> str:
     """Bitset of the keys' hash positions, hex-encoded (2 chars/byte)."""
+    m_bits = _norm_bits(m_bits)
     pos_cols = _positions(F.col(key_col), m_bits, k)
     pos = (
         keys.select(F.explode(F.array(*pos_cols)).alias("p"))
@@ -57,6 +70,7 @@ def might_contain_col(col: Column, bloom_hex: str, m_bits: int, k: int = 2) -> C
     """All k bits set -> probable member. Pure codegen: per hash, pick the
     byte out of the hex literal with substr, decode with conv, AND with the
     bit mask from a literal array."""
+    m_bits = _norm_bits(m_bits)
     masks = F.array(*[F.lit(v) for v in _BYTE_MASKS])
     hex_lit = F.lit(bloom_hex)
     keep = F.lit(True)
@@ -89,6 +103,7 @@ def bloom_semi_join(
     # shrink m or fall back to a plain semi join.
     if m_bits > 1 << 24:
         raise ValueError("m_bits > 2^24: bitset literal too large to ship")
+    m_bits = _norm_bits(m_bits)
     kk = keys_key or big_key
     bloom_hex = build_bloom_hex(keys, kk, m_bits=m_bits, k=k)
     pruned = big.filter(

@@ -35,6 +35,10 @@ def chunk_documents(
     Empty docs yield none."""
     if stride <= 0 or window <= 0:
         raise ValueError("window and stride must be positive")
+    if stride > window:
+        # a stride beyond the window drops tokens AND the n_chunks formula
+        # would emit phantom empty chunks past the end of short docs
+        raise ValueError("stride must be <= window (gaps drop tokens)")
     toks = F.filter(
         F.split(F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))), r"\s+"),
         lambda t: t != "",

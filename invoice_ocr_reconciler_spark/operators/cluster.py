@@ -102,6 +102,11 @@ def connected_components(
     runs — a lost executor can otherwise force replaying every round,
     because localCheckpoint storage dies with its executor. Local/test
     runs default to localCheckpoint (no extra I/O).
+
+    Lifecycle: pass a per-run scratch directory and delete it after the
+    result is materialized — each round writes a checkpoint there (up to
+    max_rounds copies of the shrinking edge list) and Spark does not
+    garbage-collect them. Note setCheckpointDir is session-global.
     """
     spark = pairs.sparkSession
     if checkpoint_dir:

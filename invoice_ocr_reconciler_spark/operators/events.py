@@ -131,19 +131,33 @@ def asof_join(
         .orderBy("_ts", "_side", order_tie)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # carry the whole right row as ONE struct: per-column last(ignorenulls)
+    # would mix fields from DIFFERENT right rows whenever a payload column
+    # is null on the nearest row (a non-null value from an older row leaks
+    # forward for that column only). The struct is null exactly on left
+    # rows, so last(ignorenulls) lands on the true nearest right row —
+    # null payload fields and all.
+    r_struct = F.when(
+        F.col("_side") == 0,
+        F.struct(
+            *[F.col(f"_r_{c}").alias(c) for c in payload],
+            F.col("_ts").alias("__rts"),
+        ),
+    )
     carried = (
         l.unionByName(r)
         .select(
             "_side",
             "_ts",
             *[F.col(f"_l_{c}") for c in lcols],
-            *[
-                F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"_c_{c}")
-                for c in payload
-            ],
-            F.last(F.when(F.col("_side") == 0, F.col("_ts")), ignorenulls=True)
-            .over(w)
-            .alias("_c_ts"),
+            F.last(r_struct, ignorenulls=True).over(w).alias("_c"),
+        )
+        .select(
+            "_side",
+            "_ts",
+            *[F.col(f"_l_{c}") for c in lcols],
+            *[F.col("_c").getField(c).alias(f"_c_{c}") for c in payload],
+            F.col("_c").getField("__rts").alias("_c_ts"),
         )
         .filter(F.col("_side") == 1)
     )

@@ -581,7 +581,9 @@ def label_centroids(
         F.col(label_col).alias("label"),
         F.posexplode(vec_col).alias("dim", "val"),
     )
+    from invoice_ocr_reconciler_spark.functions.text import roundn
+
     return ex.groupBy("label", "dim").agg(
-        (F.floor(F.avg("val") * 1e6 + F.lit(0.5)) / 1e6).alias("centroid"),
+        roundn(F.avg("val"), 6).alias("centroid"),
         F.count("*").alias("n_vecs"),
     )

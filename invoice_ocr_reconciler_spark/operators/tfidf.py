@@ -20,10 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-
-def _roundn(x, places: int):
-    scale = float(10**places)
-    return F.floor(x * scale + F.lit(0.5)) / scale
+from invoice_ocr_reconciler_spark.functions.text import roundn as _roundn
 
 
 def tfidf_top_terms(

@@ -317,8 +317,10 @@ def monthly_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape, bounded error, no per-group sort. The exact version stays as the
     correctness oracle at test scale.
     """
+    from invoice_ocr_reconciler_spark.functions.text import roundn
+
     orders = load(spark, sf_dir, "orders")
-    r4 = lambda c: F.floor(c * 10000.0 + F.lit(0.5)) / 10000.0
+    r4 = lambda c: roundn(c, 4)
     return (
         orders.groupBy(
             F.date_format("o_orderdate", "yyyy-MM").alias("month")

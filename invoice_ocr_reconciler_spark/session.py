@@ -103,10 +103,13 @@ def get_spark(
     for k, v in iceberg_confs(os.environ).items():
         builder = builder.config(k, v)
     if executors:
-        # executor JVMs are separate processes: ship the repo on their
-        # PYTHONPATH too (local[] threads inherit the driver env; these
-        # don't). Real clusters use --py-files instead.
-        builder = builder.config("spark.executorEnv.PYTHONPATH", repo_root)
+        # executor JVMs are separate processes: ship the driver's FULL
+        # PYTHONPATH (repo root was prepended above; user entries like
+        # extra UDF libs must survive too — local[] threads inherit the
+        # env, these don't). Real clusters use --py-files instead.
+        builder = builder.config(
+            "spark.executorEnv.PYTHONPATH", os.environ["PYTHONPATH"]
+        )
     if extra_conf:
         for k, v in extra_conf.items():
             builder = builder.config(k, v)

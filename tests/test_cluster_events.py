@@ -912,3 +912,55 @@ class TestDegenerateInputs:
         s = out["stats"].collect()[0]
         assert s["n_input"] == 0 and s["n_curated"] == 0
         assert out["curated"].count() == 0
+
+
+class TestReviewRegressions:
+    def test_asof_null_payload_not_mixed(self, spark):
+        # nearest right row has a NULL value: the result must be THAT row's
+        # (event_id, NULL), never a value leaked from an older right row
+        left = _ev(spark, [(400, 1, "click", 0.0)])
+        right = spark.createDataFrame(
+            [
+                (1, TS0 + dt.timedelta(seconds=100), 10, 2.0),
+                (1, TS0 + dt.timedelta(seconds=300), 20, None),
+            ],
+            "user_id long, ts timestamp_ntz, event_id long, value double",
+        )
+        out = asof_join(left, right, right_cols=("event_id", "value")).collect()[0]
+        assert out["asof_event_id"] == 20
+        assert out["asof_value"] is None
+
+    def test_bloom_cross_type_keys(self, spark):
+        from invoice_ocr_reconciler_spark.operators.bloom import bloom_semi_join
+
+        big = spark.createDataFrame(
+            [(i, f"v{i}") for i in range(10)], "k int, v string"
+        )
+        keys = spark.createDataFrame([(3,), (7,)], "j long")
+        got = sorted(
+            r["k"]
+            for r in bloom_semi_join(
+                big, keys, big_key="k", keys_key="j", m_bits=1 << 10
+            ).collect()
+        )
+        assert got == [3, 7]
+
+    def test_bloom_odd_m_bits(self, spark):
+        from invoice_ocr_reconciler_spark.operators.bloom import (
+            build_bloom_hex,
+            might_contain_col,
+        )
+
+        keys = spark.createDataFrame([(i,) for i in range(431)], "k long")
+        h = build_bloom_hex(keys, "k", m_bits=4310)  # not a multiple of 8
+        missed = keys.filter(
+            ~might_contain_col(F.col("k"), h, m_bits=4310)
+        ).count()
+        assert missed == 0
+
+    def test_chunk_rejects_gappy_stride(self, spark):
+        from invoice_ocr_reconciler_spark.operators.chunking import chunk_documents
+
+        docs = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
+        with pytest.raises(ValueError):
+            chunk_documents(docs, window=5, stride=10)
