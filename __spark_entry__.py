@@ -904,6 +904,25 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_top_terms(docs, k=5)
 
 
+def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector int8 quantization codes + measured reconstruction error;
+    qvec serialized comma-joined for engine-portable comparison."""
+    from invoice_ocr_reconciler_spark.operators.similarity import (
+        quantize_embeddings_int8,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = quantize_embeddings_int8(emb)
+    return out.select(
+        "vec_id",
+        "scale",
+        F.array_join(
+            F.transform(F.col("qvec"), lambda x: x.cast("string")), ","
+        ).alias("qvec"),
+        "max_abs_err",
+    )
+
+
 def q_time_bucket_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hypertable-style time-bucket rollup: 5-minute buckets per event
     type (epoch arithmetic, engine-portable) with count / sum / mean."""
@@ -1195,6 +1214,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "time_bucket_rollup": q_time_bucket_rollup,
         "approx_distinct_users": q_approx_distinct_users,
+        "quantize_embeddings": q_quantize_embeddings,
     }
 
 
@@ -2136,6 +2156,30 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             WHERE l_orderkey IN (SELECT o_orderkey FROM orders
                                  WHERE o_orderstatus = 'P')
+        """,
+        "quantize_embeddings": """
+            WITH v AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+            s AS (
+                SELECT vec_id, vec,
+                       list_aggregate(list_transform(vec, x -> abs(x)), 'max') / 127.0 AS scale
+                FROM v),
+            q AS (
+                SELECT vec_id, vec, scale,
+                       CASE WHEN scale > 0
+                            THEN list_transform(vec, x -> CAST(floor(x / scale + 0.5) AS INT))
+                            ELSE list_transform(vec, x -> 0) END AS qv
+                FROM s)
+            SELECT vec_id,
+                   floor(scale * 1e8 + 0.5) / 1e8 AS scale,
+                   array_to_string(qv, ',') AS qvec,
+                   CASE WHEN scale > 0
+                        THEN floor(list_aggregate(
+                                 list_transform(range(1, len(vec) + 1),
+                                     i -> abs(vec[i] - qv[i] * scale)),
+                                 'max') * 1e6 + 0.5) / 1e6
+                        ELSE 0.0 END AS max_abs_err
+            FROM q
         """,
         "time_bucket_rollup": """
             SELECT CAST(to_timestamp(floor(epoch(ts) / 300) * 300) AS TIMESTAMP) AS bucket_start,

@@ -587,3 +587,41 @@ def label_centroids(
         roundn(F.avg("val"), 6).alias("centroid"),
         F.count("*").alias("n_vecs"),
     )
+
+
+def quantize_embeddings_int8(
+    emb: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """Per-vector symmetric int8 quantization: 4x storage cut for a
+    10^12-row vector corpus, with the scale kept per row for dequant.
+
+    q_i = round_half_up(v_i / scale), scale = max(|v|)/127 — all codegen
+    array expressions (aggregate for the max, transform for the quant), no
+    Python crossing. Returns (id, scale, qvec:array<int>, max_abs_err)
+    where max_abs_err = max_i |v_i - q_i * scale| is the per-row
+    reconstruction error (bounded by scale/2); emitting it makes the
+    compression loss measurable instead of assumed. Zero vectors get
+    scale 0 and an all-zero code.
+    """
+    from invoice_ocr_reconciler_spark.functions.text import roundn
+
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    amax = F.aggregate(
+        v, F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x))
+    )
+    scale = amax / F.lit(127.0)
+    # floor(x+0.5) half-up quantizer, matching the engines' shared rounding
+    q = F.when(scale > 0, F.transform(
+        v, lambda x: F.floor(x / scale + F.lit(0.5)).cast("int")
+    )).otherwise(F.transform(v, lambda x: F.lit(0)))
+    err = F.when(scale > 0, F.aggregate(
+        F.zip_with(v, q, lambda x, c: F.abs(x - c.cast("double") * scale)),
+        F.lit(0.0),
+        lambda acc, e: F.greatest(acc, e),
+    )).otherwise(F.lit(0.0))
+    return emb.select(
+        F.col(id_col),
+        roundn(scale, 8).alias("scale"),
+        q.alias("qvec"),
+        roundn(err, 6).alias("max_abs_err"),
+    )

@@ -964,3 +964,34 @@ class TestReviewRegressions:
         docs = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
         with pytest.raises(ValueError):
             chunk_documents(docs, window=5, stride=10)
+
+
+class TestQuantization:
+    def test_codes_bounded_and_error_within_half_scale(self, spark):
+        from invoice_ocr_reconciler_spark.operators.similarity import (
+            quantize_embeddings_int8,
+        )
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        out = quantize_embeddings_int8(emb)
+        row = out.agg(
+            F.max(F.array_max("qvec")).alias("hi"),
+            F.min(F.array_min("qvec")).alias("lo"),
+            F.max(F.col("max_abs_err") - F.col("scale") / 2).alias("excess"),
+        ).collect()[0]
+        assert row["hi"] <= 127 and row["lo"] >= -127
+        # per-element error bounded by scale/2 (+ rounding slack)
+        assert row["excess"] <= 1e-6
+
+    def test_zero_vector(self, spark):
+        from invoice_ocr_reconciler_spark.operators.similarity import (
+            quantize_embeddings_int8,
+        )
+
+        emb = spark.createDataFrame(
+            [(0, [0.0, 0.0, 0.0]), (1, [1.0, -2.0, 0.5])],
+            "vec_id long, embedding array<float>",
+        )
+        rows = {r["vec_id"]: r for r in quantize_embeddings_int8(emb).collect()}
+        assert rows[0]["scale"] == 0.0 and rows[0]["qvec"] == [0, 0, 0]
+        assert rows[1]["qvec"][1] == -127  # max-magnitude element hits the rail
