@@ -904,6 +904,26 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_top_terms(docs, k=5)
 
 
+def q_canonicalize_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization over deterministically-synthesized messy URLs
+    (mixed-case scheme/host, default port, duplicate slashes, tracking
+    params, fragment, trailing slash) — byte-exact DuckDB replay."""
+    from invoice_ocr_reconciler_spark.functions.urls import canonicalize_url_col
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    messy = F.concat(
+        F.lit("HTTP://Site-"), (F.col("doc_id") % 50).cast("string"),
+        F.lit(".Example.COM:80/Dir//Page-"), F.col("doc_id").cast("string"),
+        F.lit("/?utm_source=x&v="), (F.col("doc_id") % 7).cast("string"),
+        F.lit("#sec"),
+    )
+    return docs.select(
+        "doc_id",
+        messy.alias("raw_url"),
+        canonicalize_url_col(messy).alias("canonical_url"),
+    )
+
+
 def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-vector int8 quantization codes + measured reconstruction error;
     qvec serialized comma-joined for engine-portable comparison."""
@@ -1215,6 +1235,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_bucket_rollup": q_time_bucket_rollup,
         "approx_distinct_users": q_approx_distinct_users,
         "quantize_embeddings": q_quantize_embeddings,
+        "canonicalize_urls": q_canonicalize_urls,
     }
 
 
@@ -2156,6 +2177,57 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             WHERE l_orderkey IN (SELECT o_orderkey FROM orders
                                  WHERE o_orderstatus = 'P')
+        """,
+        # same canonicalization cascade as functions/urls.py, RE2 dialect
+        # (\1 backrefs instead of $1); the messy-URL synthesis matches the
+        # Spark side byte for byte
+        "canonicalize_urls": r"""
+            WITH m AS (
+                SELECT doc_id,
+                       'HTTP://Site-' || CAST(doc_id % 50 AS VARCHAR)
+                         || '.Example.COM:80/Dir//Page-' || CAST(doc_id AS VARCHAR)
+                         || '/?utm_source=x&v=' || CAST(doc_id % 7 AS VARCHAR)
+                         || '#sec' AS raw_url
+                FROM documents),
+            s1 AS (
+                SELECT doc_id, raw_url,
+                       lower(regexp_extract(raw_url, '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1))
+                         || substring(raw_url,
+                              length(regexp_extract(raw_url, '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1)) + 1) AS u
+                FROM m),
+            s2 AS (SELECT doc_id, raw_url, regexp_replace(u, '#.*$', '') AS u FROM s1),
+            s3 AS (
+                SELECT doc_id, raw_url,
+                       regexp_replace(
+                           regexp_replace(u, '^(http://[^/:?#]+):80([/?]|$)', '\1\2'),
+                           '^(https://[^/:?#]+):443([/?]|$)', '\1\2') AS u
+                FROM s2),
+            s4 AS (
+                SELECT doc_id, raw_url,
+                       regexp_replace(
+                         regexp_replace(
+                           regexp_replace(
+                             regexp_replace(u, '\?(utm_[a-z]+|gclid|fbclid)=[^&#]*&', '?', 'g'),
+                             '&(utm_[a-z]+|gclid|fbclid)=[^&#]*', '', 'g'),
+                           '\?(utm_[a-z]+|gclid|fbclid)=[^&#]*$', ''),
+                         '\?$', '') AS u
+                FROM s3),
+            s5 AS (
+                SELECT doc_id, raw_url,
+                       regexp_extract(u, '^([^?]*)', 1) AS pre,
+                       substring(u, length(regexp_extract(u, '^([^?]*)', 1)) + 1) AS query
+                FROM s4),
+            s6 AS (
+                SELECT doc_id, raw_url,
+                       regexp_extract(pre, '^([a-z][a-z0-9+.-]*://)', 1)
+                         || regexp_replace(
+                              substring(pre, length(regexp_extract(pre, '^([a-z][a-z0-9+.-]*://)', 1)) + 1),
+                              '//+', '/', 'g')
+                         || query AS u
+                FROM s5)
+            SELECT doc_id, raw_url,
+                   regexp_replace(u, '^([a-z][a-z0-9+.-]*://[^/?#]+(/[^?#]*[^/?#])?)/(\?|$)', '\1\3') AS canonical_url
+            FROM s6
         """,
         "quantize_embeddings": """
             WITH v AS (

@@ -995,3 +995,53 @@ class TestQuantization:
         rows = {r["vec_id"]: r for r in quantize_embeddings_int8(emb).collect()}
         assert rows[0]["scale"] == 0.0 and rows[0]["qvec"] == [0, 0, 0]
         assert rows[1]["qvec"][1] == -127  # max-magnitude element hits the rail
+
+
+class TestUrlCanonicalization:
+    def test_pinned_cases(self, spark):
+        from invoice_ocr_reconciler_spark.functions.urls import (
+            canonicalize_url_col,
+        )
+
+        cases = {
+            "HTTP://WWW.Example.COM:80/Path/To/Page?a=1#frag":
+                "http://www.example.com/Path/To/Page?a=1",
+            "https://h.example:443/a//b///c/": "https://h.example/a/b/c",
+            "http://h.example/a?utm_source=x&b=2&utm_medium=y":
+                "http://h.example/a?b=2",
+            "http://h.example/a?utm_source=x": "http://h.example/a",
+            "http://h.example/?gclid=123": "http://h.example",
+            "http://h.example/": "http://h.example",
+            "http://h.example": "http://h.example",
+            # '//' inside a query value must survive the path collapse
+            "http://h.example/a/?next=http://other//x":
+                "http://h.example/a?next=http://other//x",
+            # non-default port is kept
+            "http://h.example:8080/a/": "http://h.example:8080/a",
+        }
+        df = spark.createDataFrame(
+            [(i, k) for i, k in enumerate(cases)], "i int, url string"
+        )
+        got = {
+            r["i"]: r["c"]
+            for r in df.select(
+                "i", canonicalize_url_col(F.col("url")).alias("c")
+            ).collect()
+        }
+        for i, (raw, want) in enumerate(cases.items()):
+            assert got[i] == want, (raw, got[i], want)
+
+    def test_idempotent(self, spark):
+        from invoice_ocr_reconciler_spark.functions.urls import (
+            canonicalize_url_col,
+        )
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        messy = F.concat(
+            F.lit("HTTP://S"), (F.col("doc_id") % 9).cast("string"),
+            F.lit(".EX.com:80//p/"), F.col("doc_id").cast("string"),
+            F.lit("/?utm_source=z#f"),
+        )
+        once = canonicalize_url_col(messy)
+        twice = canonicalize_url_col(once)
+        assert docs.filter(once != twice).count() == 0
