@@ -904,6 +904,27 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_top_terms(docs, k=5)
 
 
+def q_dedup_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The assembled near-dup pipeline: MinHash-LSH candidates -> exact
+    n-gram-Jaccard verify -> connected components -> canonical survivor per
+    cluster. Rows-only (sketch candidates); the exact-pair variant of the
+    same composition is oracle-checked via dedup_canonical."""
+    from invoice_ocr_reconciler_spark.operators.cluster import canonical_docs
+    from invoice_ocr_reconciler_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        ngram_jaccard_verify,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    cands = minhash_lsh_pairs(docs, threshold=0.3)
+    verified = ngram_jaccard_verify(
+        cands.select("doc_a", "doc_b"), docs, threshold=0.5
+    )
+    return canonical_docs(docs, verified).select(
+        "doc_id", "component", "is_canonical"
+    )
+
+
 def q_canonicalize_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL canonicalization over deterministically-synthesized messy URLs
     (mixed-case scheme/host, default port, duplicate slashes, tracking
@@ -1236,6 +1257,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_distinct_users": q_approx_distinct_users,
         "quantize_embeddings": q_quantize_embeddings,
         "canonicalize_urls": q_canonicalize_urls,
+        "dedup_end_to_end": q_dedup_end_to_end,
     }
 
 

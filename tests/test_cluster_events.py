@@ -1045,3 +1045,58 @@ class TestUrlCanonicalization:
         once = canonicalize_url_col(messy)
         twice = canonicalize_url_col(once)
         assert docs.filter(once != twice).count() == 0
+
+
+class TestDedupEndToEnd:
+    def test_matches_exact_ground_truth(self, spark):
+        """The sketch-fed composition (LSH -> verify -> CC -> canonical)
+        must agree with brute-force exact pairs -> CC on a corpus whose
+        near-dups are well above the LSH threshold (no borderline pairs
+        the sketch could legitimately miss)."""
+        import __spark_entry__ as e
+        from invoice_ocr_reconciler_spark.operators.cluster import canonical_docs
+        from invoice_ocr_reconciler_spark.operators.dedup import (
+            ngram_jaccard_verify,
+        )
+
+        words = [f"w{i:03d}" for i in range(400)]
+        mk = lambda lo, hi: " ".join(words[lo:hi])
+        rows = [
+            # cluster A: three heavy-overlap docs (jaccard ~0.85+)
+            (0, mk(0, 100)), (1, mk(0, 100) + " xtail1"), (2, mk(0, 100) + " ytail2"),
+            # cluster B: a pair
+            (10, mk(200, 320)), (11, mk(200, 320) + " z1"),
+            # singletons
+            (20, mk(100, 160)), (21, mk(330, 400)),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+        # ground truth: exact jaccard over ALL pairs, threshold 0.5 -> CC
+        a = docs.select(F.col("doc_id").alias("doc_a"))
+        b = docs.select(F.col("doc_id").alias("doc_b"))
+        allpairs = a.crossJoin(b).filter(F.col("doc_a") < F.col("doc_b"))
+        exact_pairs = ngram_jaccard_verify(allpairs, docs, threshold=0.5)
+        want = {
+            (r["doc_id"], r["component"], r["is_canonical"])
+            for r in canonical_docs(docs, exact_pairs)
+            .select("doc_id", "component", "is_canonical")
+            .collect()
+        }
+
+        # sketch-fed composition (same shape as q_dedup_end_to_end)
+        from invoice_ocr_reconciler_spark.operators.dedup import minhash_lsh_pairs
+
+        cands = minhash_lsh_pairs(docs, threshold=0.3)
+        verified = ngram_jaccard_verify(
+            cands.select("doc_a", "doc_b"), docs, threshold=0.5
+        )
+        got = {
+            (r["doc_id"], r["component"], r["is_canonical"])
+            for r in canonical_docs(docs, verified)
+            .select("doc_id", "component", "is_canonical")
+            .collect()
+        }
+        assert got == want
+        assert (0, 0, True) in got and (1, 0, False) in got and (2, 0, False) in got
+        assert (10, 10, True) in got and (11, 10, False) in got
+        assert (20, 20, True) in got and (21, 21, True) in got
