@@ -70,13 +70,24 @@ def main() -> None:
         lambda it: it, schema="x int"
     ).count()
 
+    # best-of-2 per query, same rationale as the scaling legs: the sandbox
+    # host has throttle episodes that can inflate any single measurement
+    # 2-10x; a query cannot run faster than the hardware allows, so the min
+    # is the faithful steady-state number. Both reps execute the FULL plan.
     timings: dict[str, float] = {}
     n_docs = None
     for name in headline:
-        t0 = time.monotonic()
-        df = qs[name](spark, sf_dir)
-        n = df.count()  # materialize the full plan
-        timings[name] = round(time.monotonic() - t0, 3)
+        walls = []
+        for _rep in range(2):
+            # drop persisted frames from the previous rep: without this a
+            # second run of a multi-branch query (reconcile) reads its own
+            # cached intermediates and measures the cache, not the job
+            spark.catalog.clearCache()
+            t0 = time.monotonic()
+            df = qs[name](spark, sf_dir)
+            n = df.count()  # materialize the full plan
+            walls.append(time.monotonic() - t0)
+        timings[name] = round(min(walls), 3)
         if name == "extract_pages":
             n_docs = n
 
