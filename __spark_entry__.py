@@ -1068,6 +1068,82 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "lang", "sample_bucket")
 
 
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture sampling to target output shares (rates derived from
+    observed per-source counts, md5-bucket keep decision); includes a
+    saturating domain (rate caps at 1.0) and unlisted domains (rate 0)."""
+    from invoice_ocr_reconciler_spark.functions.text import roundn
+    from invoice_ocr_reconciler_spark.operators.sampling import mixture_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = mixture_sample(
+        docs,
+        weights={"src0": 0.02, "src1": 0.04, "src2": 0.08, "src3": 0.2},
+        total_fraction=0.5,
+    )
+    return out.select(
+        "doc_id",
+        "source",
+        "sample_bucket",
+        roundn(F.col("accept_rate"), 6).alias("accept_rate"),
+    )
+
+
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality rule features + pass flag — pure codegen column
+    expressions; DuckDB replays the identical rounded arithmetic."""
+    from invoice_ocr_reconciler_spark.functions.text import gopher_rules_cols
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    g = gopher_rules_cols(F.col("text"))
+    return docs.select("doc_id", *[v.alias(k) for k, v in g.items()])
+
+
+def _relined_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The synthetic corpus is single-line; re-line it deterministically
+    into 6-word lines (pure codegen) so line-level ops have real line
+    structure. The DuckDB oracles replay the identical re-lining."""
+    from invoice_ocr_reconciler_spark.functions.text import tokens_col
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = tokens_col(F.col("text"))
+    n_groups = F.ceil(F.size(toks) / F.lit(6.0)).cast("int")
+    relined = F.when(F.size(toks) == 0, F.lit("")).otherwise(
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(0), F.greatest(n_groups - 1, F.lit(0))),
+                lambda g: F.array_join(F.slice(toks, g * 6 + 1, 6), " "),
+            ),
+            "\n",
+        )
+    )
+    return docs.select("doc_id", relined.alias("text"))
+
+
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/RefinedWeb-style global line dedup: lines occurring in >=3
+    distinct docs are boilerplate, removed everywhere, text re-assembled
+    in order."""
+    from invoice_ocr_reconciler_spark.operators.dedup import line_dedup
+
+    return line_dedup(_relined_documents(spark, sf_dir), max_doc_freq=3)
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark n-gram decontamination: benchmark set derived
+    deterministically from the corpus (every 17th doc contributes tokens
+    5..14 as one eval item), flag docs sharing any 6-gram with it."""
+    from invoice_ocr_reconciler_spark.functions.text import tokens_col
+    from invoice_ocr_reconciler_spark.operators.decontam import decontaminate
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = tokens_col(F.col("text"))
+    bench = docs.filter(F.col("doc_id") % 17 == 0).select(
+        F.array_join(F.slice(toks, 5, 10), " ").alias("text")
+    )
+    return decontaminate(docs, bench, n=6)
+
+
 def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     from invoice_ocr_reconciler_spark.operators.similarity import label_centroids
 
@@ -1245,6 +1321,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": q_tfidf_top_terms,
         "monthly_percentiles": q_monthly_percentiles,
         "stratified_sample": q_stratified_sample,
+        "mixture_sample": q_mixture_sample,
+        "gopher_rules": q_gopher_rules,
+        "line_dedup": q_line_dedup,
+        "decontaminate": q_decontaminate,
         "label_centroids": q_label_centroids,
         "crawl_diff": q_crawl_diff,
         "incremental_counts": q_incremental_counts,
@@ -2139,6 +2219,165 @@ def oracle_sql() -> dict[str, str]:
             WHERE sample_bucket < CASE lang WHEN 'en' THEN 40 WHEN 'fr' THEN 80
                                             WHEN 'es' THEN 80 WHEN 'de' THEN 80
                                             ELSE 10 END
+        """,
+        # rates derived from observed counts: ((w * 0.5) * N) / n_d, the
+        # same double-op order as operators/sampling.py:mixture_sample;
+        # integer bucket bound floor(rate * 1e6) -> no float-boundary filter
+        "mixture_sample": """
+            WITH counts AS (
+                SELECT source, CAST(count(*) AS BIGINT) AS n_domain
+                FROM documents GROUP BY source),
+            tot AS (SELECT CAST(sum(n_domain) AS BIGINT) AS n_total FROM counts),
+            rates AS (
+                SELECT source, n_domain,
+                       least(1.0::DOUBLE,
+                             ((CASE source WHEN 'src0' THEN 0.02::DOUBLE
+                                           WHEN 'src1' THEN 0.04::DOUBLE
+                                           WHEN 'src2' THEN 0.08::DOUBLE
+                                           WHEN 'src3' THEN 0.2::DOUBLE
+                                           ELSE 0.0::DOUBLE END
+                               * 0.5::DOUBLE) * n_total) / n_domain) AS accept_rate
+                FROM counts, tot),
+            r2 AS (SELECT source, accept_rate,
+                          CAST(floor(accept_rate * 1000000) AS BIGINT) AS keep_below
+                   FROM rates),
+            b AS (SELECT doc_id, source,
+                         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+                              % 1000000 AS BIGINT) AS sample_bucket
+                  FROM documents)
+            SELECT b.doc_id, b.source, b.sample_bucket,
+                   floor(r2.accept_rate * 1e6 + 0.5) / 1e6 AS accept_rate
+            FROM b JOIN r2 USING (source)
+            WHERE b.sample_bucket < r2.keep_below
+        """,
+        # replays functions/text.py:gopher_rules_cols — shared lowercase
+        # whitespace tokenization, ratios floor-rounded to 4 places, the
+        # pass flag evaluated on the ROUNDED values
+        "gopher_rules": r"""
+            WITH t AS (
+                SELECT doc_id, coalesce(text, '') AS text,
+                       list_filter(string_split_regex(lower(trim(coalesce(text, ''))), '\s+'),
+                                   x -> x <> '') AS toks
+                FROM documents),
+            c AS (
+                SELECT doc_id,
+                       len(toks) AS n_words,
+                       CASE WHEN len(toks) > 0
+                            THEN floor(CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+                                       / len(toks) * 1e4 + 0.5) / 1e4
+                            ELSE 0.0 END AS mean_word_len,
+                       CASE WHEN len(toks) > 0
+                            THEN floor(CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)
+                                       / len(toks) * 1e4 + 0.5) / 1e4
+                            ELSE 0.0 END AS frac_alpha_words,
+                       CASE WHEN len(toks) > 0
+                            THEN floor(CAST(len(regexp_extract_all(text, '#|\.\.\.|…')) AS DOUBLE)
+                                       / len(toks) * 1e4 + 0.5) / 1e4
+                            ELSE 0.0 END AS symbol_word_ratio,
+                       list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)),
+                                   x -> x <> '') AS lines
+                FROM t),
+            c2 AS (
+                SELECT doc_id, n_words, mean_word_len, frac_alpha_words,
+                       symbol_word_ratio,
+                       CASE WHEN len(lines) > 0
+                            THEN floor(CAST(len(list_filter(lines, l -> regexp_matches(l, '^[-*•]'))) AS DOUBLE)
+                                       / len(lines) * 1e4 + 0.5) / 1e4
+                            ELSE 0.0 END AS bullet_line_frac,
+                       CASE WHEN len(lines) > 0
+                            THEN floor(CAST(len(list_filter(lines, l -> regexp_matches(l, '(\.\.\.|…)$'))) AS DOUBLE)
+                                       / len(lines) * 1e4 + 0.5) / 1e4
+                            ELSE 0.0 END AS ellipsis_line_frac
+                FROM c)
+            SELECT doc_id, CAST(n_words AS INT) AS n_words, mean_word_len,
+                   frac_alpha_words, symbol_word_ratio, bullet_line_frac,
+                   ellipsis_line_frac,
+                   CAST(n_words >= 50 AND n_words <= 100000
+                        AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+                        AND symbol_word_ratio < 0.1 AND frac_alpha_words >= 0.8
+                        AND bullet_line_frac < 0.9 AND ellipsis_line_frac < 0.3
+                        AS INT) AS gopher_pass
+            FROM c2
+        """,
+        # re-lining (6-word lines) + operators/dedup.py:line_dedup replay:
+        # line document-frequency >= 3 -> boilerplate, removed everywhere,
+        # survivors re-joined in original order
+        "line_dedup": r"""
+            WITH t AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(trim(coalesce(text, ''))), '\s+'),
+                                   x -> x <> '') AS toks
+                FROM documents),
+            m AS (
+                SELECT doc_id,
+                       CASE WHEN len(toks) = 0 THEN ''
+                            ELSE array_to_string(
+                                   list_transform(range(0, CAST(ceil(len(toks) / 6.0) AS INT)),
+                                     g -> array_to_string(
+                                            list_slice(toks, CAST(g * 6 + 1 AS INT),
+                                                       CAST(g * 6 + 6 AS INT)), ' ')),
+                                   chr(10))
+                       END AS text
+                FROM t),
+            l0 AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM m),
+            l1 AS (
+                SELECT doc_id,
+                       unnest(list_transform(range(1, len(ls) + 1),
+                                i -> {'pos': CAST(i AS INT),
+                                      'lkey': trim(ls[CAST(i AS INT)])})) AS s
+                FROM l0),
+            l AS (SELECT doc_id, s.pos AS pos, s.lkey AS line FROM l1
+                  WHERE s.lkey <> ''),
+            f AS (SELECT line, count(DISTINCT doc_id) AS line_df FROM l GROUP BY line),
+            j AS (SELECT l.doc_id, l.pos, l.line, (f.line_df >= 3) AS is_boiler
+                  FROM l JOIN f USING (line)),
+            agg AS (
+                SELECT doc_id,
+                       coalesce(string_agg(CASE WHEN NOT is_boiler THEN line END,
+                                           chr(10) ORDER BY pos), '') AS text_clean,
+                       CAST(sum(CASE WHEN is_boiler THEN 0 ELSE 1 END) AS BIGINT) AS n_lines_kept,
+                       CAST(sum(CASE WHEN is_boiler THEN 1 ELSE 0 END) AS BIGINT) AS n_lines_removed
+                FROM j GROUP BY doc_id)
+            SELECT d.doc_id, coalesce(a.text_clean, '') AS text_clean,
+                   coalesce(a.n_lines_kept, 0) AS n_lines_kept,
+                   coalesce(a.n_lines_removed, 0) AS n_lines_removed
+            FROM documents d LEFT JOIN agg a USING (doc_id)
+        """,
+        # operators/decontam.py replay: benchmark = tokens 5..14 of every
+        # 17th doc, one eval item each; distinct doc 6-grams semi-joined
+        # against the distinct benchmark 6-gram set
+        "decontaminate": r"""
+            WITH t AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(trim(coalesce(text, ''))), '\s+'),
+                                   x -> x <> '') AS toks
+                FROM documents),
+            bt AS (SELECT list_slice(toks, 5, 14) AS toks FROM t
+                   WHERE doc_id % 17 = 0),
+            bg AS (
+                SELECT DISTINCT gram FROM (
+                    SELECT unnest(CASE WHEN len(toks) < 6 THEN []::VARCHAR[]
+                                  ELSE list_distinct(list_transform(range(1, len(toks) - 4),
+                                         i -> array_to_string(
+                                                list_slice(toks, CAST(i AS INT),
+                                                           CAST(i + 5 AS INT)), ' ')))
+                                  END) AS gram
+                    FROM bt)),
+            dg AS (
+                SELECT doc_id,
+                       unnest(CASE WHEN len(toks) < 6 THEN []::VARCHAR[]
+                              ELSE list_distinct(list_transform(range(1, len(toks) - 4),
+                                     i -> array_to_string(
+                                            list_slice(toks, CAST(i AS INT),
+                                                       CAST(i + 5 AS INT)), ' ')))
+                              END) AS gram
+                FROM t),
+            hits AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hit_grams
+                     FROM dg JOIN bg USING (gram) GROUP BY doc_id)
+            SELECT d.doc_id,
+                   coalesce(h.n_hit_grams, 0) AS n_hit_grams,
+                   CAST(coalesce(h.n_hit_grams, 0) > 0 AS INT) AS contaminated
+            FROM documents d LEFT JOIN hits h USING (doc_id)
         """,
         "label_centroids": """
             WITH ex AS (

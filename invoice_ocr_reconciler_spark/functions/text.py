@@ -100,6 +100,14 @@ def quality_score_cols(col: Column) -> dict[str, Column]:
     }
 
 
+def tokens_col(col: Column) -> Column:
+    """Lowercased whitespace tokens, empties dropped — the one tokenization
+    every gram-based operator (repetition, decontamination, Gopher rules)
+    shares, so their oracles replay a single contract."""
+    trimmed = F.trim(F.coalesce(col, F.lit("")))
+    return F.filter(F.split(F.lower(trimmed), r"\s+"), lambda t: t != "")
+
+
 def _word_ngrams(toks: Column, n: int) -> Column:
     """Array of word n-grams (space-joined) from a token array; [] if the
     doc has fewer than n tokens. Pure codegen: slice + transform + element
@@ -125,8 +133,7 @@ def repetition_cols(col: Column) -> dict[str, Column]:
     High values mark boilerplate / spam / generated text; the standard
     cut before near-dup sketching in a pretraining curation pipeline.
     """
-    trimmed = F.trim(F.coalesce(col, F.lit("")))
-    toks = F.filter(F.split(F.lower(trimmed), r"\s+"), lambda t: t != "")
+    toks = tokens_col(col)
     g2 = _word_ngrams(toks, 2)
     g5 = _word_ngrams(toks, 5)
     n2 = F.size(g2)
@@ -160,6 +167,82 @@ def repetition_cols(col: Column) -> dict[str, Column]:
                 1.0 - F.size(F.array_distinct(g5)).cast("double") / n5,
             ).otherwise(F.lit(0.0))
         ),
+    }
+
+
+def gopher_rules_cols(col: Column) -> dict[str, Column]:
+    """Gopher-style document-quality rule features + combined pass flag,
+    all JVM-side column expressions (no Python crossing, no shuffle):
+
+    - n_words: whitespace token count;
+    - mean_word_len: mean token length (chars);
+    - frac_alpha_words: fraction of tokens containing >=1 [a-z] letter;
+    - symbol_word_ratio: (# of '#' + '...'/ellipsis occurrences) / n_words;
+    - bullet_line_frac / ellipsis_line_frac: fraction of non-blank lines
+      starting with a bullet ('-', '*', '•') resp. ending in an
+      ellipsis;
+    - gopher_pass: 1 iff every rule holds with the published thresholds
+      (50 <= n_words <= 100_000, 3 <= mean_word_len <= 10,
+      symbol_word_ratio < 0.1, frac_alpha_words >= 0.8,
+      bullet_line_frac < 0.9, ellipsis_line_frac < 0.3).
+
+    Ratios are floor-half-up rounded to 4 places (roundn) and the pass flag
+    is evaluated on the ROUNDED values, so the DuckDB oracle replays the
+    exact same arithmetic bit-for-bit. Tokens are the shared lowercase
+    whitespace tokenization (tokens_col) — a documented deviation from the
+    cased original; length-based rules are case-invariant anyway.
+    """
+    text = F.coalesce(col, F.lit(""))
+    toks = tokens_col(col)
+    n_words = F.size(toks)
+    total_len = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+    )
+    mean_word_len = _round4(
+        F.when(n_words > 0, total_len.cast("double") / n_words).otherwise(F.lit(0.0))
+    )
+    n_alpha = F.size(F.filter(toks, lambda t: t.rlike("[a-z]")))
+    frac_alpha = _round4(
+        F.when(n_words > 0, n_alpha.cast("double") / n_words).otherwise(F.lit(0.0))
+    )
+    n_symbols = F.regexp_count(text, F.lit(r"#|\.\.\.|…"))
+    symbol_ratio = _round4(
+        F.when(n_words > 0, n_symbols.cast("double") / n_words).otherwise(F.lit(0.0))
+    )
+    lines = F.filter(
+        F.transform(F.split(text, r"\n"), F.trim), lambda l: l != ""
+    )
+    n_lines = F.size(lines)
+    n_bullet = F.size(F.filter(lines, lambda l: l.rlike(r"^[-*•]")))
+    n_ellipsis_end = F.size(
+        F.filter(lines, lambda l: l.rlike(r"(\.\.\.|…)$"))
+    )
+    bullet_frac = _round4(
+        F.when(n_lines > 0, n_bullet.cast("double") / n_lines).otherwise(F.lit(0.0))
+    )
+    ellipsis_frac = _round4(
+        F.when(n_lines > 0, n_ellipsis_end.cast("double") / n_lines).otherwise(
+            F.lit(0.0)
+        )
+    )
+    gopher_pass = (
+        (n_words >= 50)
+        & (n_words <= 100_000)
+        & (mean_word_len >= 3.0)
+        & (mean_word_len <= 10.0)
+        & (symbol_ratio < 0.1)
+        & (frac_alpha >= 0.8)
+        & (bullet_frac < 0.9)
+        & (ellipsis_frac < 0.3)
+    )
+    return {
+        "n_words": n_words,
+        "mean_word_len": mean_word_len,
+        "frac_alpha_words": frac_alpha,
+        "symbol_word_ratio": symbol_ratio,
+        "bullet_line_frac": bullet_frac,
+        "ellipsis_line_frac": ellipsis_frac,
+        "gopher_pass": gopher_pass.cast("int"),
     }
 
 

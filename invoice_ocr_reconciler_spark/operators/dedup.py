@@ -379,3 +379,83 @@ def ngram_jaccard_verify(candidates: DataFrame, docs: DataFrame,
         .mapInPandas(gen, schema=NGRAM_PAIR_SCHEMA)
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def line_dedup(
+    docs: DataFrame,
+    max_doc_freq: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Global line-level deduplication (the C4 / RefinedWeb boilerplate
+    cut): any trimmed non-blank line that occurs in >= max_doc_freq
+    DISTINCT documents is boilerplate (nav bars, cookie banners, footers)
+    and is removed from EVERY document; the survivors are re-assembled in
+    original order.
+
+    Returns one row per input document:
+      (doc_id, text_clean, n_lines_kept, n_lines_removed)
+    where text_clean joins the kept trimmed lines with '\\n' ('' if none).
+
+    Plan shape (scales to a 10^12-row corpus):
+      1. posexplode lines — narrow, no shuffle;
+      2. line document-frequency: groupBy(line) with count(distinct doc)
+         (two-phase partial agg: the map-side partial collapses exactly the
+         hot boilerplate lines, so the exchange carries ~unique lines);
+      3. flag join back on the line key (AQE picks broadcast when the
+         boilerplate set is small, shuffle-hash otherwise — both fine: the
+         key is the line text, uniformly hashed);
+      4. ONE groupBy(doc) rebuilding the text with collect_list(struct(pos,
+         line)) + array_sort — null structs (removed lines) are skipped by
+         collect_list, so kept/removed counts fall out of the same pass;
+      5. left join to the input preserves documents with no surviving (or
+         no non-blank) lines.
+
+    No Python crossing anywhere — pure codegen + two agg exchanges + two
+    joins.
+    """
+    lines = (
+        docs.select(id_col, text_col)
+        .select(
+            F.col(id_col),
+            F.posexplode(F.split(F.coalesce(F.col(text_col), F.lit("")), r"\n")).alias(
+                "pos", "raw_line"
+            ),
+        )
+        .withColumn("line", F.trim(F.col("raw_line")))
+        .filter(F.col("line") != "")
+        .select(id_col, "pos", "line")
+    )
+    boiler = (
+        lines.groupBy("line")
+        .agg(F.count_distinct(F.col(id_col)).alias("line_df"))
+        .filter(F.col("line_df") >= int(max_doc_freq))
+        .withColumn("is_boiler", F.lit(True))
+        .select("line", "is_boiler")
+    )
+    flagged = lines.join(boiler, "line", "left").withColumn(
+        "is_boiler", F.coalesce(F.col("is_boiler"), F.lit(False))
+    )
+    kept_struct = F.when(
+        ~F.col("is_boiler"), F.struct(F.col("pos"), F.col("line"))
+    )  # NULL for boilerplate rows -> skipped by collect_list
+    rebuilt = flagged.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(kept_struct)), lambda s: s["line"]
+            ),
+            "\n",
+        ).alias("text_clean"),
+        F.sum((~F.col("is_boiler")).cast("long")).alias("n_lines_kept"),
+        F.sum(F.col("is_boiler").cast("long")).alias("n_lines_removed"),
+    )
+    return (
+        docs.select(id_col)
+        .join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("text_clean"), F.lit("")).alias("text_clean"),
+            F.coalesce(F.col("n_lines_kept"), F.lit(0)).alias("n_lines_kept"),
+            F.coalesce(F.col("n_lines_removed"), F.lit(0)).alias("n_lines_removed"),
+        )
+    )

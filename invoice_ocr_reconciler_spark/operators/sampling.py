@@ -50,3 +50,59 @@ def stratified_sample(
         docs.withColumn("sample_bucket", hash_bucket_col(F.col(id_col), n_buckets))
         .filter(F.col("sample_bucket") < rate)
     )
+
+
+def mixture_sample(
+    docs: DataFrame,
+    weights: dict[str, float],
+    total_fraction: float,
+    domain_col: str = "source",
+    id_col: str = "doc_id",
+    n_buckets: int = 1_000_000,
+) -> DataFrame:
+    """Deterministic domain-mixture sampling: downsample each domain so the
+    OUTPUT hits the target mixture `weights` (shares summing to <=1) at
+    overall size ~= total_fraction * |input|.
+
+    Unlike stratified_sample (fixed per-stratum KEEP rates), the rates here
+    are DERIVED from the observed domain counts: a domain with target share
+    w and n_d rows gets accept_rate = min(1, w * total_fraction * N / n_d)
+    — the standard training-mix reweighting (upsampling is out of scope:
+    rates cap at 1, so an under-represented domain saturates and the
+    realized mix is renormalized, which the caller can read off the
+    returned accept_rate column). Domains absent from `weights` get rate 0.
+
+    The keep decision is the same md5 hash-bucket as stratified_sample —
+    reproducible, partition/retry-invariant, incrementally stable. The
+    rate threshold is materialized as an INTEGER bucket bound
+    (floor(rate * n_buckets)) so the filter has no float-boundary
+    ambiguity across engines.
+
+    Plan shape: one partial-agg groupBy(domain) for counts (exchange
+    carries ~|domains| rows), a scalar total via a 1-row cross join, the
+    tiny rate table BROADCAST back onto the corpus, then a pure codegen
+    filter — the corpus itself never shuffles.
+    """
+    counts = docs.groupBy(domain_col).agg(F.count("*").alias("n_domain"))
+    total = counts.agg(F.sum("n_domain").alias("n_total"))
+    w: Column = F.lit(0.0)
+    for domain, share in sorted(weights.items()):
+        w = F.when(F.col(domain_col) == domain, F.lit(float(share))).otherwise(w)
+    rates = (
+        counts.crossJoin(F.broadcast(total))
+        .withColumn("target_n", w * float(total_fraction) * F.col("n_total"))
+        .withColumn(
+            "accept_rate",
+            F.least(F.lit(1.0), F.col("target_n") / F.col("n_domain")),
+        )
+        .withColumn(
+            "keep_below",
+            F.floor(F.col("accept_rate") * n_buckets).cast("long"),
+        )
+        .select(domain_col, "accept_rate", "keep_below")
+    )
+    return (
+        docs.join(F.broadcast(rates), domain_col)
+        .withColumn("sample_bucket", hash_bucket_col(F.col(id_col), n_buckets))
+        .filter(F.col("sample_bucket") < F.col("keep_below"))
+    )
