@@ -1,0 +1,186 @@
+"""Tests for the curation corpus operators added after round 1:
+line-level dedup, benchmark decontamination, Gopher quality rules, and
+domain-mixture sampling."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def lined_docs(spark):
+    boiler = "accept all cookies"
+    rows = [
+        (0, f"{boiler}\nunique alpha content zero\nmore unique zero"),
+        (1, f"{boiler}\nunique beta content one"),
+        (2, f"  {boiler}  \nunique gamma content two\n\n   "),  # trim + blanks
+        (3, "no boilerplate here at all"),
+        (4, ""),  # empty doc
+        (5, None),  # null text
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_line_dedup_removes_global_boilerplate(lined_docs):
+    from invoice_ocr_reconciler_spark.operators.dedup import line_dedup
+
+    out = {r["doc_id"]: r.asDict() for r in
+           line_dedup(lined_docs, max_doc_freq=3).collect()}
+    assert len(out) == 6  # every input doc survives, even empty/null
+    # the 3-doc boilerplate line is removed everywhere, order preserved
+    assert out[0]["text_clean"] == "unique alpha content zero\nmore unique zero"
+    assert out[0]["n_lines_kept"] == 2 and out[0]["n_lines_removed"] == 1
+    assert out[1]["text_clean"] == "unique beta content one"
+    # trimmed occurrence counts toward the same line key; blanks dropped
+    assert out[2]["text_clean"] == "unique gamma content two"
+    assert out[2]["n_lines_removed"] == 1
+    # doc without boilerplate is untouched
+    assert out[3]["text_clean"] == "no boilerplate here at all"
+    assert out[3]["n_lines_removed"] == 0
+    # empty/null docs: no lines, empty clean text
+    for i in (4, 5):
+        assert out[i]["text_clean"] == ""
+        assert out[i]["n_lines_kept"] == 0 and out[i]["n_lines_removed"] == 0
+
+
+def test_line_dedup_threshold_boundary(lined_docs):
+    from invoice_ocr_reconciler_spark.operators.dedup import line_dedup
+
+    # at max_doc_freq=4 the 3-doc line is NOT boilerplate
+    out = {r["doc_id"]: r.asDict() for r in
+           line_dedup(lined_docs, max_doc_freq=4).collect()}
+    assert out[1]["text_clean"] == "accept all cookies\nunique beta content one"
+    assert out[1]["n_lines_removed"] == 0
+
+
+def test_decontaminate_flags_ngram_overlap(spark):
+    from invoice_ocr_reconciler_spark.operators.decontam import decontaminate
+
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta epsilon zeta eta theta"),  # contains bench
+            (1, "prefix words alpha beta gamma delta epsilon zeta suffix"),  # hit
+            (2, "totally unrelated content with other words entirely here"),
+            (3, "alpha beta gamma delta epsilon"),  # only 5 tokens of the 6-gram
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [("alpha beta gamma delta epsilon zeta",)], "text string"
+    )
+    out = {r["doc_id"]: r.asDict() for r in
+           decontaminate(docs, bench, n=6).collect()}
+    assert out[0]["contaminated"] == 1 and out[0]["n_hit_grams"] == 1
+    assert out[1]["contaminated"] == 1
+    assert out[2]["contaminated"] == 0 and out[2]["n_hit_grams"] == 0
+    assert out[3]["contaminated"] == 0  # sub-n overlap is not a hit
+    assert out[4]["contaminated"] == 0
+    # shuffle-join fallback path gives identical results
+    out2 = {r["doc_id"]: r["contaminated"] for r in
+            decontaminate(docs, bench, n=6, broadcast_bench=False).collect()}
+    assert out2 == {k: v["contaminated"] for k, v in out.items()}
+
+
+def test_decontaminate_short_benchmark_contributes_nothing(spark):
+    from invoice_ocr_reconciler_spark.operators.decontam import decontaminate
+
+    docs = spark.createDataFrame(
+        [(0, "alpha beta gamma delta epsilon zeta")], "doc_id long, text string"
+    )
+    bench = spark.createDataFrame([("alpha beta",)], "text string")
+    out = decontaminate(docs, bench, n=6).collect()
+    assert out[0]["contaminated"] == 0
+
+
+def test_gopher_rules_features_and_pass(spark):
+    from invoice_ocr_reconciler_spark.functions.text import gopher_rules_cols
+
+    good = " ".join(["word"] * 60)  # 60 words, mean len 4, all alpha
+    short = "too short"
+    symbols = " ".join(["###"] * 60)  # no [a-z] and symbol-heavy
+    bullets = "\n".join(["- item one two three four five six seven eight nine"] * 6)
+    docs = spark.createDataFrame(
+        [(0, good), (1, short), (2, symbols), (3, bullets), (4, None)],
+        "doc_id long, text string",
+    )
+    g = gopher_rules_cols(F.col("text"))
+    out = {r["doc_id"]: r.asDict() for r in
+           docs.select("doc_id", *[v.alias(k) for k, v in g.items()]).collect()}
+    assert out[0]["n_words"] == 60
+    assert out[0]["mean_word_len"] == 4.0
+    assert out[0]["frac_alpha_words"] == 1.0
+    assert out[0]["gopher_pass"] == 1
+    assert out[1]["gopher_pass"] == 0  # n_words < 50
+    assert out[2]["frac_alpha_words"] == 0.0
+    assert out[2]["symbol_word_ratio"] == 3.0  # three '#' per token
+    assert out[2]["gopher_pass"] == 0
+    assert out[3]["bullet_line_frac"] == 1.0
+    assert out[3]["gopher_pass"] == 0  # bullet fraction rule
+    assert out[4]["n_words"] == 0 and out[4]["gopher_pass"] == 0
+
+
+def test_mixture_sample_hits_target_mix(spark):
+    from invoice_ocr_reconciler_spark.operators.sampling import mixture_sample
+
+    rows = [(i, "a" if i < 1000 else "b", "x") for i in range(2000)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = mixture_sample(
+        docs, weights={"a": 0.25, "b": 0.75}, total_fraction=0.4
+    )
+    got = {r["source"]: r["cnt"] for r in
+           out.groupBy("source").agg(F.count("*").alias("cnt")).collect()}
+    # targets: a = 0.25*0.4*2000 = 200 of 1000 (rate .2); b = 600 of 1000 (rate .6)
+    assert abs(got["a"] - 200) < 40  # md5 buckets are uniform, not exact
+    assert abs(got["b"] - 600) < 60
+    rates = {r["source"]: r["accept_rate"] for r in
+             out.select("source", "accept_rate").distinct().collect()}
+    assert abs(rates["a"] - 0.2) < 1e-9 and abs(rates["b"] - 0.6) < 1e-9
+
+
+def test_mixture_sample_saturation_and_unlisted(spark):
+    from invoice_ocr_reconciler_spark.operators.sampling import mixture_sample
+
+    rows = [(i, ["tiny", "big", "other"][min(i // 10, 2)], "x")
+            for i in range(1000)]  # tiny=10, big=10..., other=980
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = mixture_sample(
+        docs, weights={"tiny": 0.9, "big": 0.1}, total_fraction=0.5
+    ).cache()
+    by_src = {r["source"]: r["cnt"] for r in
+              out.groupBy("source").agg(F.count("*").alias("cnt")).collect()}
+    # tiny saturates: target 0.9*0.5*1000=450 >> 10 -> rate 1.0, all 10 kept
+    assert by_src.get("tiny") == 10
+    # unlisted domain dropped entirely
+    assert "other" not in by_src
+    rates = {r["source"]: r["accept_rate"] for r in
+             out.select("source", "accept_rate").distinct().collect()}
+    assert rates["tiny"] == 1.0
+    out.unpersist()
+
+
+def test_mixture_sample_partition_invariant(spark):
+    from invoice_ocr_reconciler_spark.operators.sampling import mixture_sample
+
+    rows = [(i, "a" if i % 3 else "b", "x") for i in range(500)]
+    docs1 = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    docs2 = docs1.repartition(17, "text")
+    kept1 = sorted(r["doc_id"] for r in mixture_sample(
+        docs1, weights={"a": 0.5, "b": 0.5}, total_fraction=0.3).collect())
+    kept2 = sorted(r["doc_id"] for r in mixture_sample(
+        docs2, weights={"a": 0.5, "b": 0.5}, total_fraction=0.3).collect())
+    assert kept1 == kept2 and len(kept1) > 0
+
+
+def test_line_dedup_degenerate_all_identical(spark):
+    """10k copies of one doc: boilerplate removal must stay linear — the
+    hot line collapses in the partial agg, output is one row per doc."""
+    from invoice_ocr_reconciler_spark.operators.dedup import line_dedup
+
+    docs = spark.range(10_000).select(
+        F.col("id").alias("doc_id"),
+        F.lit("same line everywhere\nsecond shared line").alias("text"),
+    )
+    out = line_dedup(docs, max_doc_freq=3)
+    assert out.count() == 10_000
+    row = out.filter(F.col("doc_id") == 0).collect()[0]
+    assert row["text_clean"] == "" and row["n_lines_removed"] == 2
