@@ -1144,6 +1144,48 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontaminate(docs, bench, n=6)
 
 
+def q_corpus_hygiene(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed hygiene pass, every stage SQL-oracled end-to-end:
+    line-level boilerplate removal -> Gopher rules on the CLEANED text ->
+    benchmark decontamination on the CLEANED text; kept = passes rules and
+    uncontaminated. Unlike curation_pipeline (MinHash stage, rows-only),
+    this composition has no sketch stage, so the whole chain gets a
+    value-hash check."""
+    from invoice_ocr_reconciler_spark.functions.text import (
+        gopher_rules_cols,
+        tokens_col,
+    )
+    from invoice_ocr_reconciler_spark.operators.decontam import decontaminate
+    from invoice_ocr_reconciler_spark.operators.dedup import line_dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    cleaned = line_dedup(_relined_documents(spark, sf_dir), max_doc_freq=3)
+    g = gopher_rules_cols(F.col("text_clean"))
+    rules = cleaned.select(
+        "doc_id",
+        "n_lines_removed",
+        g["n_words"].alias("n_words"),
+        g["gopher_pass"].alias("gopher_pass"),
+    )
+    toks = tokens_col(F.col("text"))
+    bench = docs.filter(F.col("doc_id") % 17 == 0).select(
+        F.array_join(F.slice(toks, 5, 10), " ").alias("text")
+    )
+    dec = decontaminate(
+        cleaned.select("doc_id", F.col("text_clean").alias("text")), bench, n=6
+    )
+    return rules.join(dec.select("doc_id", "contaminated"), "doc_id").select(
+        "doc_id",
+        "n_lines_removed",
+        "n_words",
+        "gopher_pass",
+        "contaminated",
+        ((F.col("gopher_pass") == 1) & (F.col("contaminated") == 0))
+        .cast("int")
+        .alias("kept"),
+    )
+
+
 def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     from invoice_ocr_reconciler_spark.operators.similarity import label_centroids
 
@@ -1325,6 +1367,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_rules": q_gopher_rules,
         "line_dedup": q_line_dedup,
         "decontaminate": q_decontaminate,
+        "corpus_hygiene": q_corpus_hygiene,
         "label_centroids": q_label_centroids,
         "crawl_diff": q_crawl_diff,
         "incremental_counts": q_incremental_counts,
@@ -2378,6 +2421,115 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(h.n_hit_grams, 0) AS n_hit_grams,
                    CAST(coalesce(h.n_hit_grams, 0) > 0 AS INT) AS contaminated
             FROM documents d LEFT JOIN hits h USING (doc_id)
+        """,
+        # the full hygiene composition replayed: re-line -> line dedup ->
+        # Gopher rules on the cleaned text -> decontamination on the
+        # cleaned text. CTEs are the verified pieces of the three
+        # single-stage oracles above, chained.
+        "corpus_hygiene": r"""
+            WITH t AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(trim(coalesce(text, ''))), '\s+'),
+                                   x -> x <> '') AS toks
+                FROM documents),
+            m AS (
+                SELECT doc_id,
+                       CASE WHEN len(toks) = 0 THEN ''
+                            ELSE array_to_string(
+                                   list_transform(range(0, CAST(ceil(len(toks) / 6.0) AS INT)),
+                                     g -> array_to_string(
+                                            list_slice(toks, CAST(g * 6 + 1 AS INT),
+                                                       CAST(g * 6 + 6 AS INT)), ' ')),
+                                   chr(10))
+                       END AS text
+                FROM t),
+            l0 AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM m),
+            l1 AS (
+                SELECT doc_id,
+                       unnest(list_transform(range(1, len(ls) + 1),
+                                i -> {'pos': CAST(i AS INT),
+                                      'lkey': trim(ls[CAST(i AS INT)])})) AS s
+                FROM l0),
+            l AS (SELECT doc_id, s.pos AS pos, s.lkey AS line FROM l1
+                  WHERE s.lkey <> ''),
+            f AS (SELECT line, count(DISTINCT doc_id) AS line_df FROM l GROUP BY line),
+            j AS (SELECT l.doc_id, l.pos, l.line, (f.line_df >= 3) AS is_boiler
+                  FROM l JOIN f USING (line)),
+            agg AS (
+                SELECT doc_id,
+                       coalesce(string_agg(CASE WHEN NOT is_boiler THEN line END,
+                                           chr(10) ORDER BY pos), '') AS text_clean,
+                       CAST(sum(CASE WHEN is_boiler THEN 1 ELSE 0 END) AS BIGINT) AS n_lines_removed
+                FROM j GROUP BY doc_id),
+            clean AS (
+                SELECT d.doc_id, coalesce(a.text_clean, '') AS text_clean,
+                       coalesce(a.n_lines_removed, 0) AS n_lines_removed
+                FROM documents d LEFT JOIN agg a USING (doc_id)),
+            ct AS (
+                SELECT doc_id, text_clean, n_lines_removed,
+                       list_filter(string_split_regex(lower(trim(text_clean)), '\s+'),
+                                   x -> x <> '') AS ctoks
+                FROM clean),
+            gr AS (
+                SELECT doc_id, n_lines_removed,
+                       len(ctoks) AS n_words, ctoks,
+                       CASE WHEN len(ctoks) > 0
+                            THEN floor(CAST(list_sum(list_transform(ctoks, x -> length(x))) AS DOUBLE)
+                                       / len(ctoks) * 1e4 + 0.5) / 1e4
+                            ELSE 0.0 END AS mean_word_len,
+                       CASE WHEN len(ctoks) > 0
+                            THEN floor(CAST(len(list_filter(ctoks, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)
+                                       / len(ctoks) * 1e4 + 0.5) / 1e4
+                            ELSE 0.0 END AS frac_alpha_words,
+                       CASE WHEN len(ctoks) > 0
+                            THEN floor(CAST(len(regexp_extract_all(text_clean, '#|\.\.\.|…')) AS DOUBLE)
+                                       / len(ctoks) * 1e4 + 0.5) / 1e4
+                            ELSE 0.0 END AS symbol_word_ratio,
+                       list_filter(list_transform(string_split(text_clean, chr(10)), x -> trim(x)),
+                                   x -> x <> '') AS clines
+                FROM ct),
+            gr2 AS (
+                SELECT doc_id, n_lines_removed, n_words, ctoks,
+                       CAST(n_words >= 50 AND n_words <= 100000
+                            AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+                            AND symbol_word_ratio < 0.1 AND frac_alpha_words >= 0.8
+                            AND (CASE WHEN len(clines) > 0
+                                 THEN floor(CAST(len(list_filter(clines, x -> regexp_matches(x, '^[-*•]'))) AS DOUBLE)
+                                            / len(clines) * 1e4 + 0.5) / 1e4
+                                 ELSE 0.0 END) < 0.9
+                            AND (CASE WHEN len(clines) > 0
+                                 THEN floor(CAST(len(list_filter(clines, x -> regexp_matches(x, '(\.\.\.|…)$'))) AS DOUBLE)
+                                            / len(clines) * 1e4 + 0.5) / 1e4
+                                 ELSE 0.0 END) < 0.3
+                            AS INT) AS gopher_pass
+                FROM gr),
+            bt AS (SELECT list_slice(toks, 5, 14) AS toks FROM t
+                   WHERE doc_id % 17 = 0),
+            bg AS (
+                SELECT DISTINCT gram FROM (
+                    SELECT unnest(CASE WHEN len(toks) < 6 THEN []::VARCHAR[]
+                                  ELSE list_distinct(list_transform(range(1, len(toks) - 4),
+                                         i -> array_to_string(
+                                                list_slice(toks, CAST(i AS INT),
+                                                           CAST(i + 5 AS INT)), ' ')))
+                                  END) AS gram
+                    FROM bt)),
+            dg AS (
+                SELECT doc_id,
+                       unnest(CASE WHEN len(ctoks) < 6 THEN []::VARCHAR[]
+                              ELSE list_distinct(list_transform(range(1, len(ctoks) - 4),
+                                     i -> array_to_string(
+                                            list_slice(ctoks, CAST(i AS INT),
+                                                       CAST(i + 5 AS INT)), ' ')))
+                              END) AS gram
+                FROM gr2),
+            hits AS (SELECT doc_id, count(*) AS n_hit FROM dg JOIN bg USING (gram)
+                     GROUP BY doc_id)
+            SELECT g.doc_id, g.n_lines_removed, CAST(g.n_words AS INT) AS n_words,
+                   g.gopher_pass,
+                   CAST(coalesce(h.n_hit, 0) > 0 AS INT) AS contaminated,
+                   CAST(g.gopher_pass = 1 AND coalesce(h.n_hit, 0) = 0 AS INT) AS kept
+            FROM gr2 g LEFT JOIN hits h USING (doc_id)
         """,
         "label_centroids": """
             WITH ex AS (

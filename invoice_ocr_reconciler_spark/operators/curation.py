@@ -54,6 +54,9 @@ def curate_documents(
     redact_pii: bool = False,
     sample_rates: dict[str, int] | None = None,
     sample_default_rate: int = 0,
+    gopher: bool = False,
+    benchmark: DataFrame | None = None,
+    decontam_n: int = 13,
 ) -> dict[str, DataFrame]:
     """-> {'curated', 'stats'}.
 
@@ -64,6 +67,13 @@ def curate_documents(
        boilerplate/spam filter — drop docs whose most frequent word 2-gram
        exceeds the fraction (functions/text.py:repetition_cols; computed
        only when the stage is on);
+    3b. Gopher rule filter (optional, `gopher=True`): drop docs failing
+       functions/text.py:gopher_rules_cols' combined pass flag — pure
+       codegen, computed only when on;
+    3c. benchmark decontamination (optional, `benchmark` frame): drop docs
+       sharing any `decontam_n`-gram with the benchmark set
+       (operators/decontam.py; the small contaminated-id set joins back on
+       doc_id — AQE broadcasts it);
     4. near-duplicates (MinHash est_jaccard >= threshold):
        - default (`near_dup_exact=False`): the LOWER doc_id of each
          candidate pair survives. doc_b is dropped whenever it pairs with
@@ -88,6 +98,7 @@ def curate_documents(
     stage; off stages report 0) — the batch analog of per-run lineage
     metrics. The counters always satisfy
     n_input = n_exact_dup + n_filtered_out + n_repetition_out
+              + n_gopher_out + n_contaminated
               + n_near_dup + n_sampled_out + n_curated.
     """
     from pyspark.storagelevel import StorageLevel
@@ -107,9 +118,32 @@ def curate_documents(
         rep_ok = F.col("top_2gram_frac") <= float(max_top2gram_frac)
     else:
         rep_ok = F.lit(True)
+    if gopher:
+        from invoice_ocr_reconciler_spark.functions.text import gopher_rules_cols
+
+        ann = ann.withColumn(
+            "gopher_pass", gopher_rules_cols(F.col(text_col))["gopher_pass"]
+        )
+        gopher_ok = F.col("gopher_pass") == 1
+    else:
+        gopher_ok = F.lit(True)
+    if benchmark is not None:
+        from invoice_ocr_reconciler_spark.operators.decontam import decontaminate
+
+        contam_ids = (
+            decontaminate(ann, benchmark, n=decontam_n, text_col=text_col)
+            .filter(F.col("contaminated") == 1)
+            .select("doc_id", F.lit(True).alias("is_contam"))
+        )
+        ann = ann.join(contam_ids, "doc_id", "left").withColumn(
+            "is_contam", F.coalesce(F.col("is_contam"), F.lit(False))
+        )
+        contam_ok = ~F.col("is_contam")
+    else:
+        contam_ok = F.lit(True)
     ann = ann.persist(StorageLevel.MEMORY_AND_DISK)
     first = F.col("dup_rank") == 1
-    keep = first & qual_ok & rep_ok
+    keep = first & qual_ok & rep_ok & gopher_ok & contam_ok
     # ONE conditional agg for every pre-near-dup counter (no per-stage
     # count() jobs — the same discipline as the reconcile summary)
     base = ann.agg(
@@ -121,6 +155,15 @@ def curate_documents(
         F.coalesce(
             F.sum((first & qual_ok & ~rep_ok).cast("long")), F.lit(0)
         ).alias("n_repetition_out"),
+        F.coalesce(
+            F.sum((first & qual_ok & rep_ok & ~gopher_ok).cast("long")), F.lit(0)
+        ).alias("n_gopher_out"),
+        F.coalesce(
+            F.sum(
+                (first & qual_ok & rep_ok & gopher_ok & ~contam_ok).cast("long")
+            ),
+            F.lit(0),
+        ).alias("n_contaminated"),
     ).collect()[0]
     filtered = ann.filter(keep)
 
@@ -196,6 +239,8 @@ def curate_documents(
         - base["n_exact_dup"]
         - base["n_filtered_out"]
         - base["n_repetition_out"]
+        - base["n_gopher_out"]
+        - base["n_contaminated"]
     )
     if sample_rates is not None:
         n_near_dup = n_kept_pre_neardup - n_dedup
@@ -210,6 +255,8 @@ def curate_documents(
                 base["n_exact_dup"],
                 base["n_filtered_out"],
                 base["n_repetition_out"],
+                base["n_gopher_out"],
+                base["n_contaminated"],
                 n_near_dup,
                 n_sampled_out,
                 cur["n"],
@@ -217,7 +264,8 @@ def curate_documents(
             )
         ],
         "n_input bigint, n_exact_dup bigint, n_filtered_out bigint, "
-        "n_repetition_out bigint, n_near_dup bigint, n_sampled_out bigint, "
+        "n_repetition_out bigint, n_gopher_out bigint, n_contaminated bigint, "
+        "n_near_dup bigint, n_sampled_out bigint, "
         "n_curated bigint, curated_tokens bigint",
     )
     return {"curated": curated, "stats": stats}

@@ -2,11 +2,13 @@
     jobs/run_curation.py --docs <parquet> --out <path> [--min-quality 0.55]
     [--langs en,fr] [--near-dup-threshold 0.7] [--no-near-dup]
     [--exact-components] [--max-top2gram-frac 0.2] [--redact-pii]
-    [--sample-rates en=60,fr=100]
+    [--sample-rates en=60,fr=100] [--gopher] [--benchmark <parquet>]
+    [--decontam-n 13]
 
 Training-data curation over a documents table (doc_id, text, ...):
 annotate -> exact-dedup (first wins) -> quality/language filter ->
-optional repetition cut -> MinHash near-dup drop (pairwise-approx or exact
+optional repetition cut -> optional Gopher rule filter -> optional
+benchmark decontamination -> MinHash near-dup drop (pairwise-approx or exact
 connected components) -> optional deterministic stratified sampling ->
 optional PII redaction; writes the curated table plus a one-row
 audit-stats JSON — the per-run lineage record (input / dropped-per-stage /
@@ -41,6 +43,11 @@ def main() -> None:
     ap.add_argument("--sample-rates", default=None,
                     help="per-lang keep rates out of 100, e.g. en=60,fr=100")
     ap.add_argument("--sample-default-rate", type=int, default=0)
+    ap.add_argument("--gopher", action="store_true",
+                    help="drop docs failing the Gopher quality rules")
+    ap.add_argument("--benchmark", default=None,
+                    help="benchmark parquet (text column) for n-gram decontamination")
+    ap.add_argument("--decontam-n", type=int, default=13)
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -71,6 +78,9 @@ def main() -> None:
         redact_pii=args.redact_pii,
         sample_rates=rates,
         sample_default_rate=args.sample_default_rate,
+        gopher=args.gopher,
+        benchmark=(spark.read.parquet(args.benchmark) if args.benchmark else None),
+        decontam_n=args.decontam_n,
     )
     out["curated"].write.mode("overwrite").parquet(f"{args.out}/curated")
     stats = out["stats"].collect()[0].asDict()

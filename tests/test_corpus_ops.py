@@ -184,3 +184,56 @@ def test_line_dedup_degenerate_all_identical(spark):
     assert out.count() == 10_000
     row = out.filter(F.col("doc_id") == 0).collect()[0]
     assert row["text_clean"] == "" and row["n_lines_removed"] == 2
+
+
+def test_curation_gopher_and_decontam_stages(spark):
+    from invoice_ocr_reconciler_spark.operators.curation import curate_documents
+
+    long_good = " ".join(
+        "the quick brown fox with that zeta%d word and more of the text is with"
+        % i for i in range(5)
+    )  # 65 words, passes gopher + quality
+    rows = [
+        (i, long_good.replace("zeta0", f"uniq{i}")) for i in range(6)
+    ] + [
+        (100, "the short text"),  # fails gopher (n_words < 50), passes quality? no—also low quality
+        (101, " ".join(["the data is with that of to"] * 10)),  # 70 words, repetitive but gopher-ok
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    bench = spark.createDataFrame(
+        [("brown fox with that uniq3 word",)], "text string"  # 1 gram, only doc 3
+    )
+    out = curate_documents(
+        docs,
+        min_quality=0.0,
+        langs=("en",),
+        with_near_dup=False,
+        gopher=True,
+        benchmark=bench,
+        decontam_n=6,
+    )
+    s = out["stats"].collect()[0]
+    assert (
+        s["n_exact_dup"] + s["n_filtered_out"] + s["n_repetition_out"]
+        + s["n_gopher_out"] + s["n_contaminated"]
+        + s["n_near_dup"] + s["n_sampled_out"] + s["n_curated"]
+        == s["n_input"] == 8
+    )
+    kept = {r["doc_id"] for r in out["curated"].collect()}
+    assert 100 not in kept          # gopher cut
+    assert 3 not in kept            # decontaminated (uniq3 6-gram hit)
+    assert s["n_contaminated"] == 1
+    assert s["n_gopher_out"] >= 1
+    assert {0, 1, 2, 4, 5}.issubset(kept)
+
+
+def test_curation_new_stages_off_report_zero(spark):
+    from invoice_ocr_reconciler_spark.operators.curation import curate_documents
+
+    docs = spark.createDataFrame(
+        [(i, f"the value {i} and the table of data") for i in range(5)],
+        "doc_id long, text string",
+    )
+    out = curate_documents(docs, min_quality=0.0, with_near_dup=False)
+    s = out["stats"].collect()[0]
+    assert s["n_gopher_out"] == 0 and s["n_contaminated"] == 0
