@@ -1285,6 +1285,32 @@ def q_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style quality scoring: add-k bigram LM self-trained on the
+    documents table, every document scored with avg log-prob + perplexity
+    (operators/lm_score.py — the transparent KenLM stand-in)."""
+    from invoice_ocr_reconciler_spark.operators.lm_score import (
+        lm_perplexity,
+        train_bigram_lm,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return lm_perplexity(docs, train_bigram_lm(docs), k=0.5)
+
+
+def q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR hashed-n-gram importance weights (operators/importance.py):
+    target distribution = the corpus's English documents, raw = the whole
+    corpus; every doc scored with its log importance weight."""
+    from invoice_ocr_reconciler_spark.operators.importance import (
+        dsir_log_weights,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    target = docs.filter(F.col("lang") == "en")
+    return dsir_log_weights(docs, target, k=0.5)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from invoice_ocr_reconciler_spark.plans import relational as R
 
@@ -1381,6 +1407,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantize_embeddings": q_quantize_embeddings,
         "canonicalize_urls": q_canonicalize_urls,
         "dedup_end_to_end": q_dedup_end_to_end,
+        # model-based data selection (CCNet perplexity / DSIR weights)
+        "lm_perplexity": q_lm_perplexity,
+        "dsir_importance": q_dsir_importance,
     }
 
 
@@ -2389,6 +2418,85 @@ def oracle_sql() -> dict[str, str]:
         # operators/decontam.py replay: benchmark = tokens 5..14 of every
         # 17th doc, one eval item each; distinct doc 6-grams semi-joined
         # against the distinct benchmark 6-gram set
+        # the bigram LM replayed end-to-end: same tokenizer, same counts,
+        # same add-k arithmetic, ln on the 1e-8 grid before summation
+        "lm_perplexity": r"""
+            WITH d AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(trim(coalesce(text, ''))), '\s+'),
+                                   t -> t <> '') AS toks
+                FROM documents),
+            u AS (SELECT unnest(toks) AS w1 FROM d),
+            c1 AS (SELECT w1, count(*) AS c1 FROM u GROUP BY 1),
+            v AS (SELECT count(*) AS vocab_size FROM c1),
+            bg AS (
+                SELECT doc_id,
+                       unnest(CASE WHEN len(toks) < 2 THEN []::VARCHAR[]
+                              ELSE list_transform(range(1, len(toks)),
+                                     i -> toks[CAST(i AS INT)] || ' ' ||
+                                          toks[CAST(i + 1 AS INT)]) END) AS gram
+                FROM d),
+            c2 AS (SELECT gram, count(*) AS c2 FROM bg GROUP BY 1),
+            scored AS (
+                SELECT bg.doc_id,
+                       floor(ln((coalesce(c2.c2, 0) + 0.5)
+                                / (coalesce(c1.c1, 0) + 0.5 * v.vocab_size))
+                             * 1e8 + 0.5) / 1e8 AS logp
+                FROM bg LEFT JOIN c2 USING (gram)
+                LEFT JOIN c1 ON c1.w1 = split_part(bg.gram, ' ', 1)
+                CROSS JOIN v),
+            per AS (SELECT doc_id, count(*) AS n_bigrams, sum(logp) AS s
+                    FROM scored GROUP BY 1)
+            SELECT d.doc_id,
+                   coalesce(per.n_bigrams, 0) AS n_bigrams,
+                   floor(per.s / per.n_bigrams * 1e6 + 0.5) / 1e6 AS avg_logp,
+                   floor(exp(-(floor(per.s / per.n_bigrams * 1e6 + 0.5) / 1e6))
+                         * 1e4 + 0.5) / 1e4 AS ppl
+            FROM d LEFT JOIN per USING (doc_id)
+        """,
+        # DSIR replay: unigram+bigram grams, md5-prefix bucket hash (the
+        # stratified_sample idiom), both smoothed fits, per-bucket
+        # log-ratio, per-doc sum — every constant matches importance.py
+        "dsir_importance": r"""
+            WITH d AS (
+                SELECT doc_id, lang,
+                       list_filter(string_split_regex(lower(trim(coalesce(text, ''))), '\s+'),
+                                   t -> t <> '') AS toks
+                FROM documents),
+            g AS (
+                SELECT doc_id, lang,
+                       unnest(toks || CASE WHEN len(toks) < 2 THEN []::VARCHAR[]
+                              ELSE list_transform(range(1, len(toks)),
+                                     i -> toks[CAST(i AS INT)] || ' ' ||
+                                          toks[CAST(i + 1 AS INT)]) END) AS gram
+                FROM d),
+            gb AS (SELECT doc_id, lang,
+                          CAST(('0x' || substr(md5(gram), 1, 8))::UBIGINT
+                               % 4096 AS BIGINT) AS bucket
+                   FROM g),
+            tc AS (SELECT bucket, count(*) AS c FROM gb WHERE lang = 'en'
+                   GROUP BY 1),
+            rc AS (SELECT bucket, count(*) AS c FROM gb GROUP BY 1),
+            nt AS (SELECT sum(c) AS n FROM tc),
+            nr AS (SELECT sum(c) AS n FROM rc),
+            lam AS (
+                SELECT rc.bucket,
+                       coalesce(
+                           floor(ln((tc.c + 0.5) / (nt.n + 0.5 * 4096))
+                                 * 1e8 + 0.5) / 1e8,
+                           floor(ln(0.5 / (nt.n + 0.5 * 4096))
+                                 * 1e8 + 0.5) / 1e8)
+                       - floor(ln((rc.c + 0.5) / (nr.n + 0.5 * 4096))
+                               * 1e8 + 0.5) / 1e8 AS lam
+                FROM rc LEFT JOIN tc USING (bucket)
+                CROSS JOIN nt CROSS JOIN nr),
+            per AS (SELECT doc_id, count(*) AS n_grams, sum(lam) AS s
+                    FROM gb JOIN lam USING (bucket) GROUP BY 1)
+            SELECT d.doc_id,
+                   coalesce(per.n_grams, 0) AS n_grams,
+                   floor(per.s * 1e6 + 0.5) / 1e6 AS log_weight
+            FROM d LEFT JOIN per USING (doc_id)
+        """,
         "decontaminate": r"""
             WITH t AS (
                 SELECT doc_id,
