@@ -1311,6 +1311,32 @@ def q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsir_log_weights(docs, target, k=0.5)
 
 
+def q_url_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suffix-matched domain blocklist over the synthetic crawl's URLs
+    (functions/urls.py:blocklist_filter): one entry bans a parent domain
+    (blocking its portal. subdomain via suffix expansion), one an exact
+    cold host. Reported per host so the DuckDB oracle replays the host
+    derivation the salted-host query already pins."""
+    from invoice_ocr_reconciler_spark import datagen
+    from invoice_ocr_reconciler_spark.functions.urls import blocklist_filter
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pages = datagen.pages_from_documents(docs).select("url")
+    blocklist = spark.createDataFrame(
+        [("megacorp-billing.example",), ("site-007.example",)], "domain string"
+    )
+    flagged = blocklist_filter(pages, blocklist)
+    return (
+        flagged.groupBy("host")
+        .agg(
+            F.count("*").alias("n_urls"),
+            F.max("blocked").alias("blocked"),
+            F.max("blocked_domain").alias("blocked_domain"),
+        )
+        .orderBy("host")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from invoice_ocr_reconciler_spark.plans import relational as R
 
@@ -1410,6 +1436,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # model-based data selection (CCNet perplexity / DSIR weights)
         "lm_perplexity": q_lm_perplexity,
         "dsir_importance": q_dsir_importance,
+        "url_blocklist": q_url_blocklist,
     }
 
 
@@ -2698,6 +2725,37 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             WHERE l_orderkey IN (SELECT o_orderkey FROM orders
                                  WHERE o_orderstatus = 'P')
+        """,
+        # suffix-matched domain blocklist: host derivation replays datagen's
+        # host_for(i) exactly as salted_host_partitions does; a host is
+        # blocked when it equals a blocklist entry or ends with '.'||entry,
+        # blocked_domain = smallest matching entry (matches array_min on the
+        # Spark side)
+        "url_blocklist": """
+            WITH h AS (
+                SELECT doc_id,
+                       ('0x' || substr(md5('host:' || CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT
+                           % 100 AS r,
+                       ('0x' || substr(md5('coldhost:' || CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT
+                           % 50 AS c
+                FROM documents),
+            hosts AS (
+                SELECT CASE WHEN r < 35 THEN
+                            CASE WHEN r % 2 = 0 THEN 'portal.megacorp-billing.example'
+                                 ELSE 'docs.archive-crawl.example' END
+                       ELSE printf('site-%03d.example', CAST(c AS INT)) END AS host
+                FROM h),
+            bl(domain) AS (VALUES ('megacorp-billing.example'), ('site-007.example')),
+            agg AS (SELECT host, count(*) AS n_urls FROM hosts GROUP BY host),
+            m AS (SELECT a.host, min(b.domain) AS blocked_domain
+                  FROM agg a LEFT JOIN bl b
+                    ON a.host = b.domain OR a.host LIKE '%.' || b.domain
+                  GROUP BY a.host)
+            SELECT a.host, a.n_urls,
+                   CAST(CASE WHEN m.blocked_domain IS NOT NULL THEN 1 ELSE 0 END
+                        AS INT) AS blocked,
+                   m.blocked_domain
+            FROM agg a JOIN m ON a.host = m.host ORDER BY a.host
         """,
         # same canonicalization cascade as functions/urls.py, RE2 dialect
         # (\1 backrefs instead of $1); the messy-URL synthesis matches the

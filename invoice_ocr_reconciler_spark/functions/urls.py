@@ -56,3 +56,64 @@ def canonicalize_url_col(col: Column) -> Column:
         u, r"^([a-z][a-z0-9+.-]*://[^/?#]+(/[^?#]*[^/?#])?)/(\?|$)", r"$1$3"
     )
     return u
+
+
+def host_of_url_col(col: Column) -> Column:
+    """Lowercased authority of a URL ('' if the URL has no http(s)
+    scheme+host prefix). Kept in sync with sources/pages.host_col — the
+    hot-host and blocklist passes must agree on what a host is."""
+    return F.lower(F.regexp_extract(col, r"^https?://([^/?#]+)", 1))
+
+
+def domain_suffixes_col(host: Column) -> Column:
+    """Every dot-suffix of a hostname: a.b.c -> [a.b.c, b.c, c].
+
+    Pure codegen (split + sequence + slice); the standard expansion for
+    suffix-matched domain blocklists (UT1/RefinedWeb-style lists ban
+    registered domains, which must also block their subdomains). The bare
+    TLD is included: a blocklist that lists a TLD means to ban it.
+    """
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    return F.transform(
+        F.sequence(F.lit(1), n), lambda i: F.array_join(F.slice(labels, i, n), ".")
+    )
+
+
+def blocklist_filter(
+    df, blocklist, url_col: str = "url", domain_col: str = "domain"
+):
+    """Flag rows whose URL host (or any parent domain) is blocklisted.
+
+    Adds three columns: host, blocked (int 0/1), blocked_domain (the
+    lexicographically smallest matching blocklist entry — deterministic
+    when several suffixes match; NULL when clean). Rows are never dropped:
+    callers filter on `blocked` (audit trails want the flag, not a cut).
+
+    Plan shape at 10^12-document scale: the blocklist collapses to ONE
+    collect_set array row and is BROADCAST; per-row matching is a codegen
+    array_intersect over the host's <= ~6 dot-suffixes — the corpus never
+    shuffles and nothing explodes. A UT1-scale list (~4M domains, ~100 MB)
+    still fits a broadcast; beyond that, switch to exploding the suffixes
+    into a broadcast-hash semi join (same semantics, one partial-agg
+    groupBy over hit rows only).
+    """
+    from pyspark.sql import DataFrame  # local: keep module import surface small
+
+    assert isinstance(df, DataFrame) and isinstance(blocklist, DataFrame)
+    bl = F.broadcast(
+        blocklist.agg(
+            F.collect_set(F.lower(F.col(domain_col))).alias("_bl_domains")
+        )
+    )
+    host = host_of_url_col(F.col(url_col))
+    hits = F.array_intersect(domain_suffixes_col(host), F.col("_bl_domains"))
+    return (
+        df.crossJoin(bl)
+        .withColumn("host", host)
+        .withColumn("blocked_domain", F.array_min(hits))
+        .withColumn(
+            "blocked", F.col("blocked_domain").isNotNull().cast("int")
+        )
+        .drop("_bl_domains")
+    )

@@ -1047,6 +1047,68 @@ class TestUrlCanonicalization:
         assert docs.filter(once != twice).count() == 0
 
 
+class TestUrlBlocklist:
+    def test_suffix_expansion(self, spark):
+        from invoice_ocr_reconciler_spark.functions.urls import (
+            domain_suffixes_col,
+        )
+
+        df = spark.createDataFrame([("a.b.c",), ("solo",)], "h string")
+        got = {
+            r["h"]: r["s"]
+            for r in df.select(
+                "h", domain_suffixes_col(F.col("h")).alias("s")
+            ).collect()
+        }
+        assert got["a.b.c"] == ["a.b.c", "b.c", "c"]
+        assert got["solo"] == ["solo"]
+
+    def test_flags_and_match_choice(self, spark):
+        from invoice_ocr_reconciler_spark.functions.urls import blocklist_filter
+
+        pages = spark.createDataFrame(
+            [
+                ("https://portal.bad.example/x",),   # subdomain of entry
+                ("https://bad.example/y",),          # exact entry
+                ("https://good.example/z",),         # clean
+                ("https://deep.a.bad.example/w",),   # 2-level subdomain
+                ("not-a-url",),                      # host '' -> clean
+            ],
+            "url string",
+        )
+        bl = spark.createDataFrame(
+            [("bad.example",), ("a.bad.example",)], "domain string"
+        )
+        rows = {r["url"]: r for r in blocklist_filter(pages, bl).collect()}
+        assert rows["https://portal.bad.example/x"]["blocked"] == 1
+        assert (
+            rows["https://portal.bad.example/x"]["blocked_domain"]
+            == "bad.example"
+        )
+        assert rows["https://bad.example/y"]["blocked"] == 1
+        assert rows["https://good.example/z"]["blocked"] == 0
+        assert rows["https://good.example/z"]["blocked_domain"] is None
+        # both entries match; array_min picks the lexicographically smallest
+        assert (
+            rows["https://deep.a.bad.example/w"]["blocked_domain"]
+            == "a.bad.example"
+        )
+        assert rows["not-a-url"]["blocked"] == 0
+        # no rows dropped: flag-don't-filter contract
+        assert len(rows) == 5
+
+    def test_empty_blocklist_and_empty_corpus(self, spark):
+        from invoice_ocr_reconciler_spark.functions.urls import blocklist_filter
+
+        pages = spark.createDataFrame([("https://h.example/a",)], "url string")
+        empty_bl = spark.createDataFrame([], "domain string")
+        out = blocklist_filter(pages, empty_bl).collect()
+        assert len(out) == 1 and out[0]["blocked"] == 0
+        empty_pages = spark.createDataFrame([], "url string")
+        bl = spark.createDataFrame([("h.example",)], "domain string")
+        assert blocklist_filter(empty_pages, bl).count() == 0
+
+
 class TestDedupEndToEnd:
     def test_matches_exact_ground_truth(self, spark):
         """The sketch-fed composition (LSH -> verify -> CC -> canonical)
