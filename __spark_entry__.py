@@ -1337,6 +1337,86 @@ def q_url_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_interval_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval join of events against 30 synthetic incident
+    windows that OVERLAP (spacing 5h, durations 1h..8h) — the case as-of
+    join can't express and a naive theta join would BNLJ. Bucket-expansion
+    interval_join (operators/events.py), then per-window rollup keeping
+    empty windows."""
+    from invoice_ocr_reconciler_spark.functions.text import roundn
+    from invoice_ocr_reconciler_spark.operators.events import interval_join
+
+    us = 1_000_000
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    pts = ev.select(
+        "event_id",
+        "value",
+        F.timestamp_diff(
+            "MICROSECOND",
+            F.to_timestamp(F.lit("2024-01-01 00:00:00")),
+            F.col("ts"),
+        ).alias("ep"),
+    )
+    wins = spark.range(30).select(
+        F.col("id").alias("window_id"),
+        (F.col("id") * (18000 * us)).alias("lo"),
+        (
+            (F.col("id") * 18000 + 3600 + (F.col("id") % 5) * 5400) * us
+        ).alias("hi"),
+    )
+    j = interval_join(pts, wins, "ep", bucket_width=3600 * us)
+    agg = j.groupBy("window_id").agg(
+        F.count("*").alias("n"), roundn(F.sum("value"), 2).alias("vs")
+    )
+    return (
+        wins.join(agg, "window_id", "left")
+        .select(
+            "window_id",
+            "lo",
+            "hi",
+            F.coalesce(F.col("n"), F.lit(0)).alias("n_events"),
+            F.coalesce(F.col("vs"), F.lit(0.0)).alias("value_sum"),
+        )
+        .orderBy("window_id")
+    )
+
+
+def _link_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic synthetic link graph over doc ids: 80% of docs emit
+    two modular outlinks (i -> (7i+1)%N, (13i+2)%N), every i%10==3 doc
+    also links the hub node 0; docs with i%5==0 emit nothing (dangling
+    unless linked to). Replayable verbatim in SQL."""
+    import duckdb
+
+    n = duckdb.sql(
+        f"SELECT count(*) FROM '{sf_dir}/documents.parquet'"
+    ).fetchone()[0]
+    ids = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    i = F.col("doc_id")
+    base = ids.filter(i % 5 != 0)
+    e1 = base.select(i.alias("src"), ((i * 7 + 1) % n).alias("dst"))
+    e2 = base.select(i.alias("src"), ((i * 13 + 2) % n).alias("dst"))
+    e3 = ids.filter(i % 10 == 3).select(
+        i.alias("src"), F.lit(0).cast("long").alias("dst")
+    )
+    return e1.union(e2).union(e3)
+
+
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-iteration PageRank with exact dangling-mass folding over the
+    synthetic link graph (operators/graph.py); top 30 nodes by rank.
+    The DuckDB oracle unrolls the 3 iterations as CTEs on the same
+    1e-12/1e-9 rounding grids."""
+    from invoice_ocr_reconciler_spark.operators.graph import pagerank
+
+    edges = _link_edges(spark, sf_dir)
+    return (
+        pagerank(edges, n_iter=3)
+        .orderBy(F.col("rank").desc(), "node")
+        .limit(30)
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from invoice_ocr_reconciler_spark.plans import relational as R
 
@@ -1437,6 +1517,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_perplexity": q_lm_perplexity,
         "dsir_importance": q_dsir_importance,
         "url_blocklist": q_url_blocklist,
+        "interval_agg": q_interval_agg,
+        "pagerank": q_pagerank,
     }
 
 
@@ -1448,6 +1530,51 @@ _HITS = {
     "es": r"\b(el|los|las|una|por|que|para)\b",
     "de": r"\b(der|die|das|und|ist|nicht|mit)\b",
 }
+
+
+def _pagerank_oracle(n_iter: int = 3) -> str:
+    """Unroll operators/graph.py:pagerank as CTEs: same edge synthesis,
+    same 1e-12 contribution / 1e-9 rank grids, same exact dangling fold.
+    CASTs keep every literal in DOUBLE so (1.0-0.85) matches IEEE Python,
+    not DuckDB DECIMAL."""
+    it = []
+    for j in range(1, n_iter + 1):
+        i = j - 1
+        it.append(f"""
+            d{j} AS (SELECT coalesce(sum(CASE WHEN deg IS NULL THEN rank END),
+                                     CAST(0.0 AS DOUBLE)) AS dm FROM r{i}),
+            c{j} AS (SELECT e.dst AS node,
+                            sum(floor(r.rank / r.deg * 1e12 + 0.5) / 1e12) AS sum_c
+                     FROM edges e JOIN r{i} r ON e.src = r.node
+                     WHERE r.deg IS NOT NULL GROUP BY e.dst),
+            r{j} AS (SELECT b.node, b.deg,
+                            floor((((CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n)
+                                   + CAST(0.85 AS DOUBLE)
+                                     * (coalesce(c.sum_c, CAST(0.0 AS DOUBLE))
+                                        + (SELECT dm FROM d{j}) / nn.n))
+                                  * 1e9 + 0.5) / 1e9 AS rank
+                     FROM base b LEFT JOIN c{j} c ON b.node = c.node, nn)""")
+    return f"""
+        WITH ids AS (SELECT doc_id FROM documents),
+        nd AS (SELECT count(*) AS nd FROM documents),
+        edges AS (
+            SELECT doc_id AS src, (doc_id * 7 + 1) % (SELECT nd FROM nd) AS dst
+            FROM ids WHERE doc_id % 5 <> 0
+            UNION ALL
+            SELECT doc_id, (doc_id * 13 + 2) % (SELECT nd FROM nd)
+            FROM ids WHERE doc_id % 5 <> 0
+            UNION ALL
+            SELECT doc_id, CAST(0 AS BIGINT) FROM ids WHERE doc_id % 10 = 3),
+        nodes AS (SELECT DISTINCT src AS node FROM edges
+                  UNION SELECT DISTINCT dst FROM edges),
+        deg AS (SELECT src AS node, count(*) AS deg FROM edges GROUP BY src),
+        base AS (SELECT n.node, d.deg FROM nodes n
+                 LEFT JOIN deg d ON n.node = d.node),
+        nn AS (SELECT count(*) AS n FROM nodes),
+        r0 AS (SELECT b.node, b.deg, CAST(1.0 AS DOUBLE) / nn.n AS rank
+               FROM base b, nn),{','.join(it)}
+        SELECT node, rank FROM r{n_iter} ORDER BY rank DESC, node LIMIT 30
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2725,6 +2852,31 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             WHERE l_orderkey IN (SELECT o_orderkey FROM orders
                                  WHERE o_orderstatus = 'P')
+        """,
+        "pagerank": _pagerank_oracle(3),
+        # overlapping-interval join replayed as a plain BETWEEN theta join
+        # (DuckDB's optimizer handles the small dim; Spark gets the bucket
+        # expansion). Epochs in exact integer micros on both engines.
+        "interval_agg": """
+            WITH e AS (
+                SELECT event_id, value,
+                       epoch_us(ts) - epoch_us(TIMESTAMP '2024-01-01 00:00:00') AS ep
+                FROM events),
+            w AS (
+                SELECT CAST(range AS BIGINT) AS window_id,
+                       range * 18000 * 1000000 AS lo,
+                       (range * 18000 + 3600 + (range % 5) * 5400) * 1000000 AS hi
+                FROM range(30)),
+            j AS (SELECT w.window_id, e.value
+                  FROM w JOIN e ON e.ep BETWEEN w.lo AND w.hi),
+            a AS (SELECT window_id, count(*) AS n,
+                         floor(sum(value) * 100 + 0.5) / 100 AS vs
+                  FROM j GROUP BY window_id)
+            SELECT w.window_id, w.lo, w.hi,
+                   coalesce(a.n, 0) AS n_events,
+                   coalesce(a.vs, 0.0) AS value_sum
+            FROM w LEFT JOIN a ON w.window_id = a.window_id
+            ORDER BY w.window_id
         """,
         # suffix-matched domain blocklist: host derivation replays datagen's
         # host_for(i) exactly as salted_host_partitions does; a host is

@@ -1,0 +1,106 @@
+"""Link-graph PageRank as an iterative DataFrame program.
+
+A Common-Crawl-scale corpus is also a web graph; centrality over the link
+structure is the classic quality/selection signal (the original
+Brin & Page 1998 formulation, and the CommonCrawl host-level rank datasets).
+This is the power-iteration PageRank expressed entirely in DataFrame ops —
+the reference pattern from Spark's own examples, hardened for scale:
+
+  - each iteration is ONE join (edges x ranks, equi-join on src) + ONE
+    partial-agg groupBy(dst); only (node, double) pairs ride the shuffles,
+    never payloads. Pre-partitioning `edges` by src lets every iteration
+    reuse one exchange on the big side.
+  - DANGLING nodes (no outlinks) are handled exactly: their rank mass is
+    folded back uniformly each iteration via a 1-row aggregate broadcast —
+    no driver collect, no lost mass; sum(rank) stays 1 every iteration
+    (pinned by tests).
+  - lineage is truncated every iteration (localCheckpoint, same guard as
+    operators/cluster.py) so the plan does not grow with n_iter.
+  - determinism across engines/partitionings: per-edge contributions ride
+    a 1e-12 grid and each iteration's rank a 1e-9 grid (the tfidf/lm_score
+    rounding contract), so a k-iteration run is value-replayable in DuckDB
+    as k unrolled CTEs.
+
+rank_i(v) = (1-d)/N + d * ( sum_{u->v} rank_{i-1}(u)/deg(u)
+                            + dangling_mass_{i-1}/N )
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from invoice_ocr_reconciler_spark.functions.text import roundn
+
+DAMPING = 0.85
+
+
+def pagerank(
+    edges: DataFrame,
+    n_iter: int = 5,
+    damping: float = DAMPING,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    truncate_lineage: bool = True,
+) -> DataFrame:
+    """(node, rank) after `n_iter` power iterations over a directed edge
+    list. Duplicate edges count double (weighted by multiplicity) —
+    callers wanting simple-graph semantics distinct() first. Nodes are
+    everything appearing as src or dst; empty edge list -> empty result.
+    """
+    src, dst = F.col(src_col), F.col(dst_col)
+    nodes = (
+        edges.select(src.alias("node"))
+        .union(edges.select(dst.alias("node")))
+        .distinct()
+    )
+    deg = edges.groupBy(src.alias("node")).agg(F.count("*").alias("deg"))
+    # one tiny scalar the whole computation is parameterized by; computing
+    # it driver-side is one count job, not a per-row collect
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("rank", F.lit(0.0))
+    out_nodes = nodes.join(deg, "node", "left")  # deg NULL = dangling
+    if truncate_lineage:
+        out_nodes = out_nodes.localCheckpoint(eager=True)
+    ranks = out_nodes.select("node", "deg", F.lit(1.0 / n).alias("rank"))
+    for _ in range(int(n_iter)):
+        # dangling mass: 1-row agg, broadcast back — exact mass conservation
+        dang = F.broadcast(
+            ranks.agg(
+                F.coalesce(
+                    F.sum(F.when(F.col("deg").isNull(), F.col("rank"))),
+                    F.lit(0.0),
+                ).alias("dm")
+            )
+        )
+        contribs = (
+            edges.select(src.alias("node"), dst.alias("_dst"))
+            .join(ranks.filter(F.col("deg").isNotNull()), "node")
+            .select(
+                F.col("_dst").alias("node"),
+                roundn(F.col("rank") / F.col("deg"), 12).alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("sum_c"))
+        )
+        ranks = (
+            out_nodes.join(contribs, "node", "left")
+            .crossJoin(dang)
+            .select(
+                "node",
+                "deg",
+                roundn(
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("sum_c"), F.lit(0.0))
+                        + F.col("dm") / n
+                    ),
+                    9,
+                ).alias("rank"),
+            )
+        )
+        if truncate_lineage:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks.select("node", "rank")

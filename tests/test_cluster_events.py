@@ -120,6 +120,63 @@ def _ev(spark, rows):
     )
 
 
+class TestPageRank:
+    def _np_pagerank(self, edges, n_iter=5, d=0.85):
+        import numpy as np
+
+        nodes = sorted({u for e in edges for u in e})
+        idx = {v: k for k, v in enumerate(nodes)}
+        n = len(nodes)
+        deg = {}
+        for s, _ in edges:
+            deg[s] = deg.get(s, 0) + 1
+        r = np.full(n, 1.0 / n)
+        for _ in range(n_iter):
+            dm = sum(r[idx[v]] for v in nodes if v not in deg)
+            nxt = np.full(n, (1.0 - d) / n + d * dm / n)
+            for s, t in edges:
+                nxt[idx[t]] += d * r[idx[s]] / deg[s]
+            r = nxt
+        return {v: r[idx[v]] for v in nodes}
+
+    def test_matches_numpy_reference(self, spark):
+        from invoice_ocr_reconciler_spark.operators.graph import pagerank
+
+        # hub (everyone -> 0), a chain, a dangling node (0 has no outlinks)
+        edges = [(1, 0), (2, 0), (3, 0), (1, 2), (2, 3), (3, 4), (4, 1)]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = {r["node"]: r["rank"] for r in pagerank(df, n_iter=5).collect()}
+        ref = self._np_pagerank(edges, n_iter=5)
+        assert set(got) == set(ref)
+        for v in ref:
+            assert abs(got[v] - ref[v]) < 1e-6, (v, got[v], ref[v])
+        # hub collects the most rank
+        assert max(got, key=got.get) == 0
+
+    def test_mass_conserved_with_dangling(self, spark):
+        from invoice_ocr_reconciler_spark.operators.graph import pagerank
+
+        # node 9 is dangling; without the fold sum(rank) would decay
+        edges = [(1, 9), (2, 9), (3, 9), (1, 2), (2, 3), (3, 1)]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        total = (
+            pagerank(df, n_iter=8).agg(F.sum("rank").alias("s")).collect()[0]["s"]
+        )
+        assert abs(total - 1.0) < 1e-6
+
+    def test_empty_and_partitioning_invariance(self, spark):
+        from invoice_ocr_reconciler_spark.operators.graph import pagerank
+
+        empty = spark.createDataFrame([], "src long, dst long")
+        assert pagerank(empty, n_iter=2).count() == 0
+        edges = [(i, (i * 3 + 1) % 17) for i in range(17) if i % 4 != 0]
+        df1 = spark.createDataFrame(edges, "src long, dst long").repartition(1)
+        df7 = spark.createDataFrame(edges, "src long, dst long").repartition(7)
+        a = sorted(map(tuple, pagerank(df1, n_iter=3).collect()))
+        b = sorted(map(tuple, pagerank(df7, n_iter=3).collect()))
+        assert a == b  # exact: the rounding grids make sums order-safe
+
+
 class TestSessionize:
     def test_gap_boundary_is_exclusive(self, spark):
         # exactly 30 min apart -> SAME session (> gap starts a new one)
@@ -210,6 +267,86 @@ class TestAsofJoin:
         )
         out = asof_join(clicks, views, right_cols=("event_id", "value"))
         assert out.count() == clicks.count()
+
+
+class TestIntervalJoin:
+    def _frames(self, spark):
+        pts = spark.createDataFrame(
+            [(1, 0), (2, 50), (3, 100), (4, 150), (5, 999)], "pid long, p long"
+        )
+        # [40,110] and [100,200] overlap at 100..110; [300,250] is invalid
+        iv = spark.createDataFrame(
+            [(10, 40, 110), (20, 100, 200), (30, 300, 250)],
+            "wid long, lo long, hi long",
+        )
+        return pts, iv
+
+    def test_overlap_boundaries_and_invalid(self, spark):
+        from invoice_ocr_reconciler_spark.operators.events import interval_join
+
+        pts, iv = self._frames(spark)
+        got = sorted(
+            (r["pid"], r["wid"])
+            for r in interval_join(pts, iv, "p", bucket_width=64).collect()
+        )
+        # p=50 -> w10 only; p=100 -> BOTH (overlap); p=150 -> w20;
+        # boundary hi=200 would be inclusive; invalid lo>hi matches nothing
+        assert got == [(2, 10), (3, 10), (3, 20), (4, 20)]
+
+    def test_boundary_inclusive_both_ends(self, spark):
+        from invoice_ocr_reconciler_spark.operators.events import interval_join
+
+        pts = spark.createDataFrame([(1, 40), (2, 110)], "pid long, p long")
+        iv = spark.createDataFrame([(9, 40, 110)], "wid long, lo long, hi long")
+        assert interval_join(pts, iv, "p", bucket_width=7).count() == 2
+
+    def test_broadcast_shuffle_parity(self, spark):
+        from invoice_ocr_reconciler_spark.operators.events import interval_join
+
+        pts, iv = self._frames(spark)
+        a = sorted(
+            (r["pid"], r["wid"])
+            for r in interval_join(
+                pts, iv, "p", bucket_width=32, broadcast_intervals=True
+            ).collect()
+        )
+        b = sorted(
+            (r["pid"], r["wid"])
+            for r in interval_join(
+                pts, iv, "p", bucket_width=32, broadcast_intervals=False
+            ).collect()
+        )
+        assert a == b and a
+
+    def test_bucket_width_invariance(self, spark):
+        from invoice_ocr_reconciler_spark.operators.events import interval_join
+
+        pts, iv = self._frames(spark)
+        outs = [
+            sorted(
+                (r["pid"], r["wid"])
+                for r in interval_join(pts, iv, "p", bucket_width=w).collect()
+            )
+            for w in (1, 13, 64, 10_000)
+        ]
+        assert all(o == outs[0] for o in outs[1:])
+
+    def test_empty_sides(self, spark):
+        from invoice_ocr_reconciler_spark.operators.events import interval_join
+
+        pts, iv = self._frames(spark)
+        no_pts = spark.createDataFrame([], "pid long, p long")
+        no_iv = spark.createDataFrame([], "wid long, lo long, hi long")
+        assert interval_join(no_pts, iv, "p").count() == 0
+        assert interval_join(pts, no_iv, "p").count() == 0
+
+    def test_column_collision_asserted(self, spark):
+        from invoice_ocr_reconciler_spark.operators.events import interval_join
+
+        pts, _ = self._frames(spark)
+        iv = spark.createDataFrame([(1, 0, 1)], "pid long, lo long, hi long")
+        with pytest.raises(AssertionError):
+            interval_join(pts, iv, "p")
 
 
 class TestRepetition:
