@@ -1089,6 +1089,29 @@ def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Efraimidis-Spirakis weighted sample without replacement (priority
+    ln(u)/w from md5(doc_id), w = n_chars); DuckDB replays the identical
+    hash->uniform->priority arithmetic on the 1e-8 grid."""
+    from invoice_ocr_reconciler_spark.operators.sampling import weighted_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = weighted_sample(
+        docs.select("doc_id", "lang", "n_chars"), 50, "n_chars"
+    )
+    return out.select("doc_id", "lang", "ln_priority")
+
+
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch heavy hitters over the source column (bounded
+    depth*width cell table, md5-sampled candidate enumeration); DuckDB
+    replays the full sketch -> estimate -> top-k pipeline value-exactly."""
+    from invoice_ocr_reconciler_spark.operators.sketch import heavy_hitters
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return heavy_hitters(docs, "source", "doc_id", k=10, sample_pct=20)
+
+
 def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style quality rule features + pass flag — pure codegen column
     expressions; DuckDB replays the identical rounded arithmetic."""
@@ -1519,6 +1542,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_blocklist": q_url_blocklist,
         "interval_agg": q_interval_agg,
         "pagerank": q_pagerank,
+        "weighted_sample": q_weighted_sample,
+        "heavy_hitters": q_heavy_hitters,
     }
 
 
@@ -2475,6 +2500,45 @@ def oracle_sql() -> dict[str, str]:
                    floor(r2.accept_rate * 1e6 + 0.5) / 1e6 AS accept_rate
             FROM b JOIN r2 USING (source)
             WHERE b.sample_bucket < r2.keep_below
+        """,
+        # Efraimidis-Spirakis replay: u = (md5-prefix + 0.5) / 2^32,
+        # priority floor((ln(u)/w) * 1e8 + 0.5)/1e8 — same op order as
+        # operators/sampling.py:weighted_sample; top-k by (priority desc, id)
+        "weighted_sample": """
+            WITH p AS (
+                SELECT doc_id, lang,
+                       floor(ln(((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT)::DOUBLE + 0.5)
+                                / 4294967296.0)
+                             / CAST(n_chars AS DOUBLE) * 1e8 + 0.5) / 1e8 AS ln_priority
+                FROM documents
+                WHERE n_chars IS NOT NULL AND n_chars > 0)
+            SELECT doc_id, lang, ln_priority FROM p
+            ORDER BY ln_priority DESC, doc_id LIMIT 50
+        """,
+        # full count-min replay (operators/sketch.py): depth=4 md5 hash
+        # family with 'cm<d>:' domain separation, width-1024 cells,
+        # md5-bucket candidate sample, min-over-cells estimate, top-10
+        "heavy_hitters": """
+            WITH depths AS (SELECT unnest(range(4)) AS d),
+            sketch AS (
+                SELECT d, CAST(('0x' || substr(md5('cm' || CAST(d AS VARCHAR) || ':' || source), 1, 8))::UBIGINT
+                              % 1024 AS BIGINT) AS b,
+                       count(*) AS cnt
+                FROM documents, depths GROUP BY 1, 2),
+            cand AS (
+                SELECT DISTINCT source FROM documents
+                WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+                           % 100 AS BIGINT) < 20),
+            cells AS (
+                SELECT source, d,
+                       CAST(('0x' || substr(md5('cm' || CAST(d AS VARCHAR) || ':' || source), 1, 8))::UBIGINT
+                            % 1024 AS BIGINT) AS b
+                FROM cand, depths),
+            est AS (
+                SELECT cells.source, min(sketch.cnt) AS cm_count
+                FROM cells JOIN sketch USING (d, b) GROUP BY 1)
+            SELECT source, cm_count FROM est
+            ORDER BY cm_count DESC, source LIMIT 10
         """,
         # replays functions/text.py:gopher_rules_cols — shared lowercase
         # whitespace tokenization, ratios floor-rounded to 4 places, the

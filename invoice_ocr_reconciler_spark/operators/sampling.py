@@ -106,3 +106,41 @@ def mixture_sample(
         .withColumn("sample_bucket", hash_bucket_col(F.col(id_col), n_buckets))
         .filter(F.col("sample_bucket") < F.col("keep_below"))
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement: top-k rows by
+    priority u^(1/w) (Efraimidis & Spirakis 2006, "Weighted random sampling
+    with a reservoir" — the one-pass WRS scheme), with the uniform u derived
+    from md5(id) instead of an RNG, so the draw inherits every
+    hash-decision property above: reproducible, partitioning/retry
+    invariant, engine-replayable.
+
+    Ranks by ln(u)/w (monotone in u^(1/w), avoids pow's cross-libm
+    drift) on the 1e-8 grid; ties broken by id. Rows with w <= 0 or NULL
+    are excluded (zero-weight rows must never win).
+
+    Scale shape: orderBy+limit(k) compiles to TakeOrderedAndProject —
+    per-partition top-k then a k-row merge on one reducer; nothing but
+    k rows crosses. Adds one md5 + one ln per row.
+    """
+    from invoice_ocr_reconciler_spark.functions.text import roundn
+
+    u = (
+        F.conv(
+            F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
+        ).cast("double")
+        + 0.5
+    ) / 4294967296.0
+    w = F.col(weight_col).cast("double")
+    return (
+        df.filter(w.isNotNull() & (w > 0))
+        .withColumn("ln_priority", roundn(F.log(u) / w, 8))
+        .orderBy(F.col("ln_priority").desc(), F.col(id_col))
+        .limit(int(k))
+    )

@@ -1,0 +1,123 @@
+"""Tests for weighted sampling (Efraimidis-Spirakis via md5) and the
+count-min sketch heavy-hitter operator."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from invoice_ocr_reconciler_spark.operators.sampling import weighted_sample
+from invoice_ocr_reconciler_spark.operators.sketch import (
+    cm_estimate,
+    count_min_table,
+    heavy_hitters,
+)
+
+
+# ---------------------------------------------------------------- weighted
+
+
+@pytest.fixture(scope="module")
+def weighted_rows(spark):
+    # 10 heavy rows (w=1000) among 190 light (w=1), plus excluded rows
+    rows = [(i, 1000.0 if i < 10 else 1.0) for i in range(200)]
+    rows += [(900, 0.0), (901, -3.0), (902, None)]
+    return spark.createDataFrame(rows, "doc_id long, w double")
+
+
+def test_weighted_sample_prefers_heavy_rows(weighted_rows):
+    out = weighted_sample(weighted_rows, 20, "w").collect()
+    assert len(out) == 20
+    ids = {r["doc_id"] for r in out}
+    # non-positive / null weights can never win
+    assert ids.isdisjoint({900, 901, 902})
+    # with 1000:1 odds, (nearly) all 10 heavy rows make the top-20
+    assert sum(1 for i in ids if i < 10) >= 8
+
+
+def test_weighted_sample_partition_invariant(weighted_rows):
+    a = sorted(r["doc_id"] for r in weighted_sample(weighted_rows, 20, "w").collect())
+    b = sorted(
+        r["doc_id"]
+        for r in weighted_sample(weighted_rows.repartition(7), 20, "w").collect()
+    )
+    assert a == b
+
+
+def test_weighted_sample_k_exceeds_positive_rows(spark):
+    df = spark.createDataFrame(
+        [(1, 2.0), (2, 0.0), (3, None), (4, 5.0)], "doc_id long, w double"
+    )
+    out = weighted_sample(df, 10, "w").collect()
+    assert sorted(r["doc_id"] for r in out) == [1, 4]
+
+
+def test_weighted_sample_empty(spark):
+    df = spark.createDataFrame([], "doc_id long, w double")
+    assert weighted_sample(df, 5, "w").count() == 0
+
+
+def test_weighted_sample_equal_weights_is_uniform_hash_draw(spark):
+    # with all weights equal, the draw reduces to ordering by md5(id):
+    # the same ids win for any constant weight value
+    df1 = spark.createDataFrame([(i, 1.0) for i in range(100)], "doc_id long, w double")
+    df7 = spark.createDataFrame([(i, 7.0) for i in range(100)], "doc_id long, w double")
+    a = sorted(r["doc_id"] for r in weighted_sample(df1, 10, "w").collect())
+    b = sorted(r["doc_id"] for r in weighted_sample(df7, 10, "w").collect())
+    assert a == b
+
+
+# ---------------------------------------------------------------- count-min
+
+
+@pytest.fixture(scope="module")
+def keyed_rows(spark):
+    # 7 keys x 100 rows each
+    rows = [(i, f"k{i % 7}") for i in range(700)]
+    return spark.createDataFrame(rows, "doc_id long, key string")
+
+
+def test_cm_table_bounded_and_total_preserved(keyed_rows):
+    sk = count_min_table(keyed_rows, "key")
+    n_cells = sk.count()
+    assert n_cells <= 4 * 1024
+    # every row contributes exactly once per depth row
+    per_depth = {r["d"]: r["s"] for r in
+                 sk.groupBy("d").agg(F.sum("cnt").alias("s")).collect()}
+    assert per_depth == {0: 700, 1: 700, 2: 700, 3: 700}
+
+
+def test_cm_estimate_never_underestimates(spark, keyed_rows):
+    sk = count_min_table(keyed_rows, "key")
+    cand = spark.createDataFrame([(f"k{i}",) for i in range(7)], "key string")
+    est = {r["key"]: r["cm_count"] for r in
+           cm_estimate(cand, sk, "key").collect()}
+    assert set(est) == {f"k{i}" for i in range(7)}
+    for k in est:
+        assert est[k] >= 100  # true count; CM can only overestimate
+
+
+def test_cm_sketch_is_mergeable(spark, keyed_rows):
+    # sketch(half1) + sketch(half2), merged cell-wise, == sketch(full)
+    h1 = keyed_rows.filter(F.col("doc_id") < 350)
+    h2 = keyed_rows.filter(F.col("doc_id") >= 350)
+    merged = (
+        count_min_table(h1, "key").unionByName(count_min_table(h2, "key"))
+        .groupBy("d", "b").agg(F.sum("cnt").alias("cnt"))
+    )
+    full = count_min_table(keyed_rows, "key")
+    sym_diff = merged.exceptAll(full).unionByName(full.exceptAll(merged))
+    assert sym_diff.count() == 0
+
+
+def test_heavy_hitters_finds_the_hot_key(spark):
+    rows = [(i, "hot") for i in range(500)]
+    rows += [(1000 + i, f"cold{i}") for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id long, key string")
+    out = heavy_hitters(df, "key", "doc_id", k=3, sample_pct=50)
+    got = out.collect()
+    assert got[0]["key"] == "hot"
+    assert got[0]["cm_count"] >= 500
+
+
+def test_heavy_hitters_empty(spark):
+    df = spark.createDataFrame([], "doc_id long, key string")
+    assert heavy_hitters(df, "key", "doc_id", k=3).count() == 0
