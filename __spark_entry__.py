@@ -2564,7 +2564,7 @@ def oracle_sql() -> dict[str, str]:
                             THEN floor(CAST(len(regexp_extract_all(text, '#|\.\.\.|…')) AS DOUBLE)
                                        / len(toks) * 1e4 + 0.5) / 1e4
                             ELSE 0.0 END AS symbol_word_ratio,
-                       list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)),
+                       list_filter(list_transform(string_split_regex(text, '\r?\n'), x -> trim(x)),
                                    x -> x <> '') AS lines
                 FROM t),
             c2 AS (
@@ -2609,7 +2609,7 @@ def oracle_sql() -> dict[str, str]:
                                    chr(10))
                        END AS text
                 FROM t),
-            l0 AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM m),
+            l0 AS (SELECT doc_id, string_split_regex(text, '\r?\n') AS ls FROM m),
             l1 AS (
                 SELECT doc_id,
                        unnest(list_transform(range(1, len(ls) + 1),
@@ -2769,7 +2769,7 @@ def oracle_sql() -> dict[str, str]:
                                    chr(10))
                        END AS text
                 FROM t),
-            l0 AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM m),
+            l0 AS (SELECT doc_id, string_split_regex(text, '\r?\n') AS ls FROM m),
             l1 AS (
                 SELECT doc_id,
                        unnest(list_transform(range(1, len(ls) + 1),
@@ -2811,7 +2811,7 @@ def oracle_sql() -> dict[str, str]:
                             THEN floor(CAST(len(regexp_extract_all(text_clean, '#|\.\.\.|…')) AS DOUBLE)
                                        / len(ctoks) * 1e4 + 0.5) / 1e4
                             ELSE 0.0 END AS symbol_word_ratio,
-                       list_filter(list_transform(string_split(text_clean, chr(10)), x -> trim(x)),
+                       list_filter(list_transform(string_split_regex(text_clean, '\r?\n'), x -> trim(x)),
                                    x -> x <> '') AS clines
                 FROM ct),
             gr2 AS (
@@ -2997,16 +2997,24 @@ def oracle_sql() -> dict[str, str]:
                            regexp_replace(u, '^(http://[^/:?#]+):80([/?]|$)', '\1\2'),
                            '^(https://[^/:?#]+):443([/?]|$)', '\1\2') AS u
                 FROM s2),
+            s4a AS (
+                SELECT doc_id, raw_url, u,
+                       regexp_extract(u, '^([^?]*)', 1) AS pre_q
+                FROM s3),
+            s4b AS (
+                SELECT doc_id, raw_url, u, pre_q,
+                       list_filter(
+                           string_split(substring(u, length(pre_q) + 2), '&'),
+                           t -> t <> ''
+                                AND NOT regexp_matches(t, '^(utm_[a-z]+|gclid|fbclid)=')
+                       ) AS kept
+                FROM s4a),
             s4 AS (
                 SELECT doc_id, raw_url,
-                       regexp_replace(
-                         regexp_replace(
-                           regexp_replace(
-                             regexp_replace(u, '\?(utm_[a-z]+|gclid|fbclid)=[^&#]*&', '?', 'g'),
-                             '&(utm_[a-z]+|gclid|fbclid)=[^&#]*', '', 'g'),
-                           '\?(utm_[a-z]+|gclid|fbclid)=[^&#]*$', ''),
-                         '\?$', '') AS u
-                FROM s3),
+                       CASE WHEN length(u) = length(pre_q) THEN u
+                            WHEN len(kept) = 0 THEN pre_q
+                            ELSE pre_q || '?' || array_to_string(kept, '&') END AS u
+                FROM s4b),
             s5 AS (
                 SELECT doc_id, raw_url,
                        regexp_extract(u, '^([^?]*)', 1) AS pre,

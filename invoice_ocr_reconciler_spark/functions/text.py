@@ -209,13 +209,17 @@ def gopher_rules_cols(col: Column) -> dict[str, Column]:
     symbol_ratio = _round4(
         F.when(n_words > 0, n_symbols.cast("double") / n_words).otherwise(F.lit(0.0))
     )
+    # \r?\n split keeps CRLF text from leaving '\r' on every line; the
+    # ellipsis anchor is \z (true end-of-string) because Java's '$' also
+    # matches BEFORE a final line terminator while the oracle's RE2 '$'
+    # does not — \z/$ is the cross-engine-identical pair.
     lines = F.filter(
-        F.transform(F.split(text, r"\n"), F.trim), lambda l: l != ""
+        F.transform(F.split(text, r"\r?\n"), F.trim), lambda l: l != ""
     )
     n_lines = F.size(lines)
     n_bullet = F.size(F.filter(lines, lambda l: l.rlike(r"^[-*•]")))
     n_ellipsis_end = F.size(
-        F.filter(lines, lambda l: l.rlike(r"(\.\.\.|…)$"))
+        F.filter(lines, lambda l: l.rlike("(\\.\\.\\.|…)\\z"))
     )
     bullet_frac = _round4(
         F.when(n_lines > 0, n_bullet.cast("double") / n_lines).otherwise(F.lit(0.0))

@@ -10,10 +10,18 @@ the DuckDB oracle (RE2) replays them verbatim:
    significant on most servers);
 2. strip the fragment (`#...` never reaches the server);
 3. strip default ports (`:80` for http, `:443` for https);
-4. drop tracking query params (utm_*, gclid, fbclid), then a now-empty
-   query string entirely;
+4. drop tracking query params (utm_*, gclid, fbclid): the query is split
+   off, tokenized on '&', tracking/empty tokens filtered out, and the
+   remainder rejoined — a now-empty query loses its '?'. (Token-wise
+   filtering, not iterated regex substitution: a single-pass replace
+   misses the second of two ADJACENT tracking params, e.g. the ubiquitous
+   `?utm_source=x&utm_medium=y&id=1`.);
 5. collapse duplicate slashes in the PATH only (query preserved);
-6. strip one trailing slash from a non-root path.
+6. strip one trailing slash: a non-root path loses its trailing '/', and
+   the bare root path too ('http://a.com/' -> 'http://a.com') — the
+   host-only form is the canonical KEY here; both spellings of the root
+   collapse to one dedup key (a deliberate key-normalization choice, not
+   RFC 3986 path normalization, which would keep '/').
 
 Deliberately NOT done: query-param reordering (changes semantics on some
 endpoints and needs a full parse) and percent-decoding (lossy). Both are
@@ -25,7 +33,7 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-_TRACKING = r"(utm_[a-z]+|gclid|fbclid)=[^&#]*"
+_TRACKING_TOKEN = r"^(utm_[a-z]+|gclid|fbclid)="
 _BIG = 2_000_000_000
 
 
@@ -39,11 +47,19 @@ def canonicalize_url_col(col: Column) -> Column:
     # 3. default ports
     u = F.regexp_replace(u, r"^(http://[^/:?#]+):80([/?]|$)", r"$1$2")
     u = F.regexp_replace(u, r"^(https://[^/:?#]+):443([/?]|$)", r"$1$2")
-    # 4. tracking params in any position, then a dangling '?' or '&'
-    u = F.regexp_replace(u, r"\?" + _TRACKING + r"&", "?")
-    u = F.regexp_replace(u, r"&" + _TRACKING, "")
-    u = F.regexp_replace(u, r"\?" + _TRACKING + r"$", "")
-    u = F.regexp_replace(u, r"\?$", "")
+    # 4. tracking params: split the query off, filter its '&'-tokens
+    #    (handles ANY run of adjacent tracking params — iterated regex
+    #    substitution does not), rejoin; empty query loses the '?'
+    pre_q = F.regexp_extract(u, r"^([^?]*)", 1)
+    q_tokens = F.split(F.substring(u, F.length(pre_q) + 2, _BIG), "&")
+    kept = F.filter(
+        q_tokens, lambda t: (t != "") & ~t.rlike(_TRACKING_TOKEN)
+    )
+    u = F.when(F.length(u) == F.length(pre_q), u).otherwise(
+        F.when(F.size(kept) == 0, pre_q).otherwise(
+            F.concat(pre_q, F.lit("?"), F.array_join(kept, "&"))
+        )
+    )
     # 5. duplicate slashes in the path only: split off scheme and query
     #    first (a '//' inside ?next=http://... must survive)
     pre = F.regexp_extract(u, r"^([^?]*)", 1)
@@ -60,9 +76,13 @@ def canonicalize_url_col(col: Column) -> Column:
 
 def host_of_url_col(col: Column) -> Column:
     """Lowercased authority of a URL ('' if the URL has no http(s)
-    scheme+host prefix). Kept in sync with sources/pages.host_col — the
-    hot-host and blocklist passes must agree on what a host is."""
-    return F.lower(F.regexp_extract(col, r"^https?://([^/?#]+)", 1))
+    scheme+host prefix). The scheme matches case-insensitively — blocklists
+    run on RAW crawl URLs (before canonicalization), where 'HTTPS://...'
+    must not bypass the filter. Deliberately laxer than
+    sources/pages.host_col (which requires a trailing '/' on its synthetic
+    url format): this is the raw-URL-robust derivation; run blocklisting
+    through THIS one."""
+    return F.lower(F.regexp_extract(col, r"^(?i)https?://([^/?#]+)", 1))
 
 
 def domain_suffixes_col(host: Column) -> Column:

@@ -130,8 +130,16 @@ def curate_documents(
     if benchmark is not None:
         from invoice_ocr_reconciler_spark.operators.decontam import decontaminate
 
+        # gram-explode only the docs that survived stages 1-3: the
+        # n-gram expansion is the most expensive per-row blowup in the
+        # pipeline, and the contamination counter/keep flag only reads
+        # the flag conjoined with the earlier stages, so flags for
+        # already-cut docs are never observed (left join -> False).
+        survivors = ann.filter(
+            (F.col("dup_rank") == 1) & qual_ok & rep_ok & gopher_ok
+        )
         contam_ids = (
-            decontaminate(ann, benchmark, n=decontam_n, text_col=text_col)
+            decontaminate(survivors, benchmark, n=decontam_n, text_col=text_col)
             .filter(F.col("contaminated") == 1)
             .select("doc_id", F.lit(True).alias("is_contam"))
         )

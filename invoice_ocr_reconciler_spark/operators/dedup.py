@@ -418,9 +418,9 @@ def line_dedup(
         docs.select(id_col, text_col)
         .select(
             F.col(id_col),
-            F.posexplode(F.split(F.coalesce(F.col(text_col), F.lit("")), r"\n")).alias(
-                "pos", "raw_line"
-            ),
+            F.posexplode(
+                F.split(F.coalesce(F.col(text_col), F.lit("")), r"\r?\n")
+            ).alias("pos", "raw_line"),
         )
         .withColumn("line", F.trim(F.col("raw_line")))
         .filter(F.col("line") != "")

@@ -56,11 +56,12 @@ def _doc_grams(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 
 def _bucket(gram) -> F.Column:
-    """md5-prefix hash bucket — replayed in DuckDB as
+    """md5-prefix hash bucket — the repo's single hash-decision idiom
+    (operators/sampling.py:hash_bucket_col), replayed in DuckDB as
     ('0x' || substr(md5(gram), 1, 8))::UBIGINT % B."""
-    return (
-        F.conv(F.substring(F.md5(gram), 1, 8), 16, 10).cast("long") % N_BUCKETS
-    )
+    from invoice_ocr_reconciler_spark.operators.sampling import hash_bucket_col
+
+    return hash_bucket_col(gram, N_BUCKETS)
 
 
 def _bucket_log_probs(

@@ -1155,6 +1155,17 @@ class TestUrlCanonicalization:
                 "http://h.example/a?next=http://other//x",
             # non-default port is kept
             "http://h.example:8080/a/": "http://h.example:8080/a",
+            # ADJACENT tracking params (the single-pass-replace trap):
+            # every one in the run must go
+            "http://h.example/p?utm_source=x&utm_medium=y&id=1":
+                "http://h.example/p?id=1",
+            "http://h.example/p?utm_source=a&utm_medium=b&utm_campaign=c"
+            "&utm_term=d&utm_content=e":
+                "http://h.example/p",
+            "http://h.example/p?a=1&utm_source=x&utm_medium=y&b=2":
+                "http://h.example/p?a=1&b=2",
+            # empty '&&' tokens are dropped with the tracking params
+            "http://h.example/p?utm_source=x&&b=2": "http://h.example/p?b=2",
         }
         df = spark.createDataFrame(
             [(i, k) for i, k in enumerate(cases)], "i int, url string"
@@ -1185,6 +1196,23 @@ class TestUrlCanonicalization:
 
 
 class TestUrlBlocklist:
+    def test_host_scheme_case_insensitive(self, spark):
+        # blocklists run on RAW crawl URLs: an uppercase scheme must not
+        # yield host '' (which would bypass the filter entirely)
+        from invoice_ocr_reconciler_spark.functions.urls import host_of_url_col
+
+        df = spark.createDataFrame(
+            [
+                ("HTTPS://Portal.Bad.example/x", "portal.bad.example"),
+                ("HtTp://H.Example", "h.example"),
+                ("ftp://h.example/x", ""),  # non-http scheme: no host
+                ("not a url", ""),
+            ],
+            "url string, want string",
+        )
+        bad = df.filter(host_of_url_col(F.col("url")) != F.col("want"))
+        assert bad.count() == 0
+
     def test_suffix_expansion(self, spark):
         from invoice_ocr_reconciler_spark.functions.urls import (
             domain_suffixes_col,

@@ -237,3 +237,41 @@ def test_curation_new_stages_off_report_zero(spark):
     out = curate_documents(docs, min_quality=0.0, with_near_dup=False)
     s = out["stats"].collect()[0]
     assert s["n_gopher_out"] == 0 and s["n_contaminated"] == 0
+
+
+def test_line_dedup_crlf_line_endings(spark):
+    from invoice_ocr_reconciler_spark.operators.dedup import line_dedup
+
+    # the same boilerplate under Unix and Windows endings must share one
+    # line key; blank CRLF lines must not count as content lines
+    rows = [
+        (0, "accept all cookies\nunique zero"),
+        (1, "accept all cookies\r\nunique one\r\n\r\n"),
+        (2, "accept all cookies\r\nunique two"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r.asDict() for r in
+           line_dedup(docs, max_doc_freq=3).collect()}
+    for i, uniq in ((0, "unique zero"), (1, "unique one"), (2, "unique two")):
+        assert out[i]["text_clean"] == uniq
+        assert out[i]["n_lines_removed"] == 1
+        assert out[i]["n_lines_kept"] == 1
+
+
+def test_gopher_line_rules_crlf(spark):
+    from invoice_ocr_reconciler_spark.functions.text import gopher_rules_cols
+
+    # CRLF text: the '\r' never reaches the line values, so the
+    # ellipsis-end rule fires identically to Unix endings (and identically
+    # to the RE2 oracle, whose '$' does not match before '\r')
+    unix = "to be continued...\nplain line"
+    crlf = "to be continued...\r\nplain line"
+    docs = spark.createDataFrame(
+        [(0, unix), (1, crlf), (2, "ends with ellipsis...")],
+        "doc_id long, text string",
+    )
+    g = gopher_rules_cols(F.col("text"))
+    out = {r["doc_id"]: r.asDict() for r in
+           docs.select("doc_id", *[v.alias(k) for k, v in g.items()]).collect()}
+    assert out[0]["ellipsis_line_frac"] == out[1]["ellipsis_line_frac"] == 0.5
+    assert out[2]["ellipsis_line_frac"] == 1.0
