@@ -1112,6 +1112,27 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return heavy_hitters(docs, "source", "doc_id", k=10, sample_pct=20)
 
 
+def q_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-span detection (operators/spans.py): content-keyed
+    1/4 sample of 8-token window fingerprints, per-doc duplicated-span
+    profile over the documents table. DuckDB replays the windowing, md5
+    selection, cross-doc counts, and the 1e-8 fraction grid exactly."""
+    from invoice_ocr_reconciler_spark.operators.spans import duplicated_spans
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return duplicated_spans(docs)
+
+
+def q_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle into 16 balanced export shards
+    (operators/chunking.py:shuffle_shards): md5 pseudo-random rank, hash
+    shard, in-shard position — the reproducible orderBy(rand()) analog."""
+    from invoice_ocr_reconciler_spark.operators.chunking import shuffle_shards
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return shuffle_shards(docs, n_shards=16)
+
+
 def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style quality rule features + pass flag — pure codegen column
     expressions; DuckDB replays the identical rounded arithmetic."""
@@ -1544,6 +1565,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": q_pagerank,
         "weighted_sample": q_weighted_sample,
         "heavy_hitters": q_heavy_hitters,
+        "duplicated_spans": q_duplicated_spans,
+        "shuffle_shards": q_shuffle_shards,
     }
 
 
@@ -2539,6 +2562,49 @@ def oracle_sql() -> dict[str, str]:
                 FROM cells JOIN sketch USING (d, b) GROUP BY 1)
             SELECT source, cm_count FROM est
             ORDER BY cm_count DESC, source LIMIT 10
+        """,
+        # replays operators/spans.py:duplicated_spans — shared lowercase
+        # whitespace tokenization, 8-token windows at EVERY start, 16-hex
+        # md5 fingerprints, content-keyed 0-mod-4 selection on the first
+        # 8 hex chars, per-doc distinct, cross-doc counts, 1e-8 frac grid
+        "duplicated_spans": r"""
+            WITH d AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(trim(coalesce(text, ''))), '\s+'),
+                                   t -> t <> '') AS toks
+                FROM documents),
+            w AS (
+                SELECT doc_id,
+                       substr(md5(array_to_string(list_slice(toks, s, s + 7), ' ')), 1, 16) AS fp
+                FROM d, LATERAL (SELECT unnest(range(1, len(toks) - 8 + 2)) AS s)
+                WHERE len(toks) >= 8),
+            sel AS (
+                SELECT DISTINCT doc_id, fp FROM w
+                WHERE ('0x' || substr(fp, 1, 8))::UBIGINT % 4 = 0),
+            c AS (SELECT fp, count(*) AS n_docs FROM sel GROUP BY fp)
+            SELECT doc_id, count(*) AS n_spans,
+                   CAST(sum(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
+                   floor(CAST(sum(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+                         / count(*) * 1e8 + 0.5) / 1e8 AS dup_span_frac
+            FROM sel JOIN c USING (fp)
+            GROUP BY doc_id
+        """,
+        # replays operators/chunking.py:shuffle_shards — md5('shuffle:'id)
+        # rank, first-8-hex shard mod 16, row_number per shard over
+        # (rank, id)
+        "shuffle_shards": """
+            WITH r AS (
+                SELECT doc_id,
+                       md5('shuffle:' || CAST(doc_id AS VARCHAR)) AS rank
+                FROM documents),
+            s AS (
+                SELECT doc_id,
+                       CAST(('0x' || substr(rank, 1, 8))::UBIGINT % 16 AS INT) AS shard,
+                       rank
+                FROM r)
+            SELECT doc_id, shard,
+                   CAST(row_number() OVER (PARTITION BY shard ORDER BY rank, doc_id) AS INT) AS pos
+            FROM s
         """,
         # replays functions/text.py:gopher_rules_cols — shared lowercase
         # whitespace tokenization, ratios floor-rounded to 4 places, the

@@ -71,6 +71,46 @@ def chunk_documents(
     )
 
 
+def shuffle_shards(
+    docs: DataFrame,
+    n_shards: int = 64,
+    id_col: str = "doc_id",
+    salt: str = "shuffle",
+) -> DataFrame:
+    """Deterministic global shuffle into balanced output shards — the
+    export layout step before packing/batching.
+
+    Training exports need documents in an order uncorrelated with crawl
+    order (domain runs, temporal runs), but `orderBy(rand())` is
+    nondeterministic across retries and a full global sort besides. Here
+    each document gets a pseudo-random rank = md5(salt ':' id) — a pure
+    function of the row key, so reruns, retries, and different
+    partitionings produce the SAME permutation — then:
+
+      shard = first-8-hex(rank) as int mod n_shards   (balanced i.i.d.)
+      pos   = row_number within shard, ordered by (rank, id)
+
+    One exchange (the shard window); no global sort — shards are
+    independent, so parallelism = n_shards and a writer can stream each
+    shard ordered by pos. Changing `salt` draws a fresh permutation
+    (epoch reshuffles). -> (id, shard, pos).
+    """
+    rank = F.md5(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string")))
+    shard = (
+        F.conv(F.substring(rank, 1, 8), 16, 10).cast("long") % n_shards
+    ).cast("int")
+    w = Window.partitionBy("shard").orderBy("shuffle_rank", id_col)
+    return (
+        docs.select(
+            F.col(id_col),
+            rank.alias("shuffle_rank"),
+            shard.alias("shard"),
+        )
+        .withColumn("pos", F.row_number().over(w))
+        .select(id_col, "shard", "pos")
+    )
+
+
 def pack_sequences(
     docs: DataFrame,
     capacity: int = 2048,

@@ -1,0 +1,152 @@
+"""Exact duplicated-span detection — substring-level dedup for corpora.
+
+Document-level dedup (exact fingerprint, MinHash, SimHash — operators/
+dedup.py) misses the dominant failure mode of web corpora: long VERBATIM
+passages (licenses, boilerplate, quoted articles) embedded inside
+otherwise-distinct documents. Lee et al. 2022 ("Deduplicating Training
+Data Makes Language Models Better") remove such spans with a suffix
+array; a distributed suffix array is not a Spark-shaped computation, so
+this operator uses the classic fingerprint-sampling equivalent
+(Manber 1994 / Broder 1997, the scheme winnowing refines): hash EVERY
+w-token window of every document and keep the windows whose fingerprint
+is 0 mod p — a CONTENT-keyed 1/p sample.
+
+Content-keyed selection is the load-bearing choice. A positional stride
+(every p-th window) samples each document on its own offset grid, so two
+documents sharing a long verbatim run select DIFFERENT windows of the run
+whenever their grids are out of phase — shared passages become invisible.
+Keying the choice on the window's own hash makes the selected set a pure
+function of the window TEXT: any run of >= w tokens shared by two
+documents yields the same candidate windows in both, and each survives
+selection in both or in neither. Expected recall for a shared run of L
+tokens is 1 - (1 - 1/p)^(L - w + 1) — p trades cost for span-length
+sensitivity, it never desynchronizes the two sides.
+
+Plan shape at 10^12 documents:
+  - fingerprinting is one codegen pass per row (sequence + transform +
+    filter inside the array — no Python, no shuffle): ~n_tokens md5 calls
+    per document, then ONLY the selected ~n_tokens/p fingerprints explode.
+  - the exchange carries (16-hex fp, doc_id) pairs — 24 bytes/row at
+    ~1/p of token count, the same order as the MinHash band exchange.
+  - per-fp doc counts are a partial-agg groupBy; the flag join back to
+    the span rows reuses the fp hash partitioning (no third exchange),
+    and the per-doc rollup is another partial agg.
+  - md5 (not xxhash) keeps the whole pipeline value-replayable in the
+    DuckDB oracle; at production scale swap _SPAN_HEX for a 64-bit
+    rolling hash and the plan is unchanged.
+
+Reference scope note: the reference app has no corpus operators at all
+(SURVEY.md §2.12 — training-data extension, beyond
+/root/reference/backend). Cited papers are public (PAPERS.md).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from invoice_ocr_reconciler_spark.functions.text import roundn, tokens_col
+
+WINDOW = 8  # tokens per span fingerprint
+SELECT_MOD = 4  # keep fingerprints == 0 mod p: expected 1/p of windows
+_FP_HEX = 16  # fingerprint width kept for the exchange (64 bits)
+
+
+def _selected_span_fps(text: Column, window: int, select_mod: int) -> Column:
+    """Array of selected 16-hex window fingerprints for one document.
+
+    All (size - window + 1) windows are hashed; a window survives iff the
+    first 8 hex chars of its md5, as an integer, are 0 mod select_mod —
+    the content-keyed choice shared by every document. Documents shorter
+    than `window` yield an empty array (no span is defined on them).
+    """
+    toks = tokens_col(text)
+    sz = F.size(toks)
+    starts = F.when(
+        sz >= window, F.sequence(F.lit(1), sz - window + 1)
+    ).otherwise(F.array().cast("array<int>"))
+    fps = F.transform(
+        starts,
+        lambda s: F.substring(
+            F.md5(F.concat_ws(" ", F.slice(toks, s, window))), 1, _FP_HEX
+        ),
+    )
+    return F.filter(
+        fps,
+        lambda fp: F.conv(F.substring(fp, 1, 8), 16, 10).cast("long")
+        % select_mod
+        == 0,
+    )
+
+
+def span_fingerprints(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = WINDOW,
+    select_mod: int = SELECT_MOD,
+) -> DataFrame:
+    """(id, fp): each document's DISTINCT selected span fingerprints.
+
+    Distinct-per-document (one exchange, partial-agg'd) so that a passage
+    repeated INSIDE one document does not count as cross-document
+    duplication downstream.
+    """
+    return (
+        docs.select(
+            F.col(id_col),
+            F.explode(
+                _selected_span_fps(F.col(text_col), window, select_mod)
+            ).alias("fp"),
+        )
+        .distinct()
+    )
+
+
+def duplicated_spans(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = WINDOW,
+    select_mod: int = SELECT_MOD,
+    min_docs: int = 2,
+    persist_spans: bool = False,
+) -> DataFrame:
+    """Per-document duplicated-span profile.
+
+    Returns (id, n_spans, n_dup_spans, dup_span_frac): of the document's
+    distinct selected span fingerprints, how many appear in >= min_docs
+    documents, and the fraction (1e-8 grid). Documents with zero selected
+    spans (shorter than `window`, or no fingerprint survived selection)
+    are absent — they carry no span evidence either way. Callers cut on
+    dup_span_frac to drop boilerplate-heavy documents, or join
+    span_fingerprints back to locate the shared passages.
+
+    The span frame feeds both the per-fp counts and the flag join, so
+    Catalyst plans the fingerprint pass twice. That is the intended
+    default at corpus scale: recomputing one codegen scan is CPU-linear,
+    while materializing ~n_tokens/p 24-byte rows (persist) is a
+    corpus-sized storage bill. `persist_spans=True` flips the tradeoff
+    for corpora that fit executor storage. The counts side stays a
+    partial-agg groupBy + join (NOT a count window over fp): a
+    boilerplate span shared by 10^8 documents is a single window
+    partition — one task — whereas the groupBy combines it map-side.
+    """
+    spans = span_fingerprints(docs, text_col, id_col, window, select_mod)
+    if persist_spans:
+        spans = spans.persist()
+    counts = spans.groupBy("fp").agg(F.count("*").alias("n_docs"))
+    return (
+        spans.join(counts, "fp")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.sum((F.col("n_docs") >= min_docs).cast("long")).alias(
+                "n_dup_spans"
+            ),
+        )
+        .withColumn(
+            "dup_span_frac",
+            roundn(F.col("n_dup_spans") / F.col("n_spans"), 8),
+        )
+    )
