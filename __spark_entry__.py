@@ -1133,6 +1133,20 @@ def q_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shuffle_shards(docs, n_shards=16)
 
 
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup cluster-then-prune semantic dedup (operators/similarity.py:
+    semantic_dedup): k-means cells -> within-cell threshold graph -> exact
+    connected components -> farthest-from-centroid survivor per group.
+    Rows-only (the k-means fit is not SQL-replayable); survivor-rule and
+    chain-grouping semantics are pinned by tests/test_semantic_dedup.py.
+    eps matches q_embedding_dedup's demo threshold (this corpus's max
+    pairwise cosine is ~0.47, so a production eps finds nothing)."""
+    from invoice_ocr_reconciler_spark.operators.similarity import semantic_dedup
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return semantic_dedup(emb, eps=0.65, n_centroids=8)
+
+
 def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style quality rule features + pass flag — pure codegen column
     expressions; DuckDB replays the identical rounded arithmetic."""
@@ -1567,6 +1581,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_hitters": q_heavy_hitters,
         "duplicated_spans": q_duplicated_spans,
         "shuffle_shards": q_shuffle_shards,
+        "semantic_dedup": q_semantic_dedup,
     }
 
 

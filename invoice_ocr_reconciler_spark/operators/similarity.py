@@ -625,3 +625,124 @@ def quantize_embeddings_int8(
         q.alias("qvec"),
         roundn(err, 6).alias("max_abs_err"),
     )
+
+
+def semantic_dedup(
+    vectors: DataFrame,
+    eps: float = 0.05,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cluster_cap: int = 4096,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic dedup via cluster-then-prune.
+
+    Near-duplicate PAIRS (embedding_cosine_dedup) answer "which pairs are
+    close"; SemDeDup answers "which documents to KEEP when semantically
+    redundant groups are larger than pairs". The public recipe: k-means
+    the embeddings, compare pairs only WITHIN a cluster, threshold at
+    cosine >= 1 - eps, and keep one representative per duplicate group —
+    the member FARTHEST from its cluster centroid (the paper's rule:
+    prefer the least prototypical exemplar), ties toward the lower id.
+
+    Composition of existing pieces, each already scale-audited:
+      - coarse quantizer: fit_ivf_centroids (driver-side fit on a
+        deterministic hash sample — the standard IVF shape) + distributed
+        ivf_assign; n_centroids is the knob that bounds within-cluster
+        work to O(n^2 / k) — scale it with the corpus as SemDeDup does
+        (~100k clusters at 10^9 docs).
+      - within-cluster pairs: capped_member_groups on centroid_id (the
+        window count and groupBy share one exchange; clusters above
+        cluster_cap are dropped, never self-joined) + codegen pair
+        expansion, exact cosine verify on joined-back vectors.
+      - duplicate groups: exact connected components over the threshold
+        graph (large-star/small-star), NOT per-doc max-sim thresholding —
+        a doc chained to a group through one neighbor lands in the group.
+      - survivor rule: min (cent_sim, id) per component — "farthest from
+        centroid" on the deterministic rounding grid.
+
+    Returns (id, centroid_id, cent_sim, component, is_kept): every input
+    row, singletons kept with component = own id. Correctness gate:
+    rows-only (the k-means fit is not SQL-replayable) — pinned instead by
+    units: planted duplicate groups, survivor-rule identity, partition
+    invariance, empty corpus.
+    """
+    cent = fit_ivf_centroids(
+        vectors, n_centroids=n_centroids, id_col=id_col, vec_col=vec_col
+    )
+    if cent.size == 0:
+        return vectors.sparkSession.createDataFrame(
+            [],
+            f"{id_col} long, centroid_id int, cent_sim double, "
+            f"component long, is_kept boolean",
+        )
+    assign = ivf_assign(vectors, cent, id_col=id_col, vec_col=vec_col)
+    if id_col != "vec_id":
+        assign = assign.withColumnRenamed("vec_id", id_col)
+
+    # per-doc similarity to its own centroid (the survivor-rule key),
+    # computed in the same vectorized pass shape as ivf_assign
+    cent_rows = [
+        (int(i), [float(x) for x in cent[i]]) for i in range(len(cent))
+    ]
+    cent_df = vectors.sparkSession.createDataFrame(
+        cent_rows, "centroid_id int, cvec array<double>"
+    )
+    va = vectors.select(F.col(id_col), F.col(vec_col).alias("v"))
+    scored = (
+        assign.join(va, id_col)
+        .join(F.broadcast(cent_df), "centroid_id")
+        .select(
+            F.col(id_col),
+            "centroid_id",
+            F.round(cosine_sim(F.col("v"), F.col("cvec")), 6).alias("cent_sim"),
+        )
+    )
+
+    # within-cluster candidate pairs -> exact cosine -> threshold graph
+    from invoice_ocr_reconciler_spark.operators.cluster import (
+        connected_components,
+    )
+    from invoice_ocr_reconciler_spark.operators.dedup import (
+        capped_member_groups,
+    )
+
+    grouped = capped_member_groups(
+        assign.select("centroid_id", F.col(id_col)),
+        ["centroid_id"],
+        F.col(id_col),
+        cluster_cap,
+    )
+    pairs_expr = """
+        flatten(transform(members, (m, i) ->
+          transform(slice(members, i + 2, size(members) - i - 1), o ->
+            struct(m AS doc_a, o AS doc_b))))
+    """
+    cand = (
+        grouped.select(F.explode(F.expr(pairs_expr)).alias("p"))
+        .select("p.doc_a", "p.doc_b")
+    )
+    la = vectors.select(F.col(id_col).alias("doc_a"), F.col(vec_col).alias("va"))
+    lb = vectors.select(F.col(id_col).alias("doc_b"), F.col(vec_col).alias("vb"))
+    edges = (
+        cand.join(la, "doc_a")
+        .join(lb, "doc_b")
+        .filter(
+            F.round(cosine_sim(F.col("va"), F.col("vb")), 6)
+            >= F.lit(1.0 - eps)
+        )
+        .select("doc_a", "doc_b")
+    )
+    comp = connected_components(edges, checkpoint_dir=checkpoint_dir)
+
+    # survivor per component: min (cent_sim, id) = farthest-from-centroid
+    out = scored.join(
+        comp.withColumnRenamed("doc_id", id_col), id_col, "left"
+    ).withColumn("component", F.coalesce("component", F.col(id_col)))
+    w = Window.partitionBy("component").orderBy(
+        F.col("cent_sim").asc(), F.col(id_col).asc()
+    )
+    return out.withColumn(
+        "is_kept", F.row_number().over(w) == 1
+    ).select(id_col, "centroid_id", "cent_sim", "component", "is_kept")
