@@ -1133,6 +1133,17 @@ def q_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shuffle_shards(docs, n_shards=16)
 
 
+def q_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling over orders (operators/profile.py): one aggregate
+    job -> per-column non-null/null/distinct counts and min/max rendered
+    on the shared cross-engine string contract (fractionals via the 1e-6
+    grid + DECIMAL(38,6)). DuckDB replays each column as a UNION ALL arm."""
+    from invoice_ocr_reconciler_spark.operators.profile import column_profile
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return column_profile(orders)
+
+
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup cluster-then-prune semantic dedup (operators/similarity.py:
     semantic_dedup): k-means cells -> within-cell threshold graph -> exact
@@ -1582,6 +1593,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "duplicated_spans": q_duplicated_spans,
         "shuffle_shards": q_shuffle_shards,
         "semantic_dedup": q_semantic_dedup,
+        "column_profile": q_column_profile,
     }
 
 
@@ -2620,6 +2632,48 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, shard,
                    CAST(row_number() OVER (PARTITION BY shard ORDER BY rank, doc_id) AS INT) AS pos
             FROM s
+        """,
+        # replays operators/profile.py:column_profile over orders — one
+        # UNION ALL arm per column; fractional min/max rendered through
+        # the 1e-6 grid + DECIMAL(38,6) cast, everything else cast direct
+        "column_profile": """
+            SELECT 'o_orderkey' AS "column", count(o_orderkey) AS n_nonnull,
+                   CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+                   count(DISTINCT o_orderkey) AS n_distinct,
+                   CAST(min(o_orderkey) AS VARCHAR) AS min_value,
+                   CAST(max(o_orderkey) AS VARCHAR) AS max_value
+            FROM orders
+            UNION ALL
+            SELECT 'o_custkey', count(o_custkey),
+                   CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                   count(DISTINCT o_custkey),
+                   CAST(min(o_custkey) AS VARCHAR), CAST(max(o_custkey) AS VARCHAR)
+            FROM orders
+            UNION ALL
+            SELECT 'o_orderstatus', count(o_orderstatus),
+                   CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                   count(DISTINCT o_orderstatus),
+                   CAST(min(o_orderstatus) AS VARCHAR), CAST(max(o_orderstatus) AS VARCHAR)
+            FROM orders
+            UNION ALL
+            SELECT 'o_totalprice', count(o_totalprice),
+                   CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                   count(DISTINCT o_totalprice),
+                   CAST(CAST(floor(min(o_totalprice) * 1e6 + 0.5) / 1e6 AS DECIMAL(38,6)) AS VARCHAR),
+                   CAST(CAST(floor(max(o_totalprice) * 1e6 + 0.5) / 1e6 AS DECIMAL(38,6)) AS VARCHAR)
+            FROM orders
+            UNION ALL
+            SELECT 'o_orderdate', count(o_orderdate),
+                   CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                   count(DISTINCT o_orderdate),
+                   CAST(min(o_orderdate) AS VARCHAR), CAST(max(o_orderdate) AS VARCHAR)
+            FROM orders
+            UNION ALL
+            SELECT 'o_orderpriority', count(o_orderpriority),
+                   CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                   count(DISTINCT o_orderpriority),
+                   CAST(min(o_orderpriority) AS VARCHAR), CAST(max(o_orderpriority) AS VARCHAR)
+            FROM orders
         """,
         # replays functions/text.py:gopher_rules_cols — shared lowercase
         # whitespace tokenization, ratios floor-rounded to 4 places, the
