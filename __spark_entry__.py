@@ -1133,6 +1133,24 @@ def q_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shuffle_shards(docs, n_shards=16)
 
 
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MinHash dedup (operators/dedup.py:minhash_incremental):
+    the first half of the documents table plays the standing corpus (only
+    its SIGNATURE index is touched), the second half is the new batch;
+    returns per-batch-doc verdicts. Rows-only (sketch semantics, like
+    dedup_minhash); pinned by tests/test_incremental_dedup.py."""
+    from invoice_ocr_reconciler_spark.operators.dedup import (
+        minhash_incremental,
+        minhash_signatures,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    half = docs.agg(F.expr("percentile(doc_id, 0.5)")).collect()[0][0]
+    index_sig = minhash_signatures(docs.filter(F.col("doc_id") <= half))
+    batch = docs.filter(F.col("doc_id") > half)
+    return minhash_incremental(batch, index_sig)["verdicts"]
+
+
 def q_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Column profiling over orders (operators/profile.py): one aggregate
     job -> per-column non-null/null/distinct counts and min/max rendered
@@ -1594,6 +1612,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shuffle_shards": q_shuffle_shards,
         "semantic_dedup": q_semantic_dedup,
         "column_profile": q_column_profile,
+        "dedup_incremental": q_dedup_incremental,
     }
 
 

@@ -160,8 +160,14 @@ def minhash_lsh_pairs(
     id_col: str = "doc_id",
     threshold: float = 0.7,
     ship_signatures: bool = True,
+    sig: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate candidate pairs via banded MinHash-LSH + signature verify.
+
+    ``sig``: inject a precomputed (doc_id, signature) frame (the
+    minhash_signatures layout) to skip the signature pass — the
+    incremental path reuses one batch signature job across the
+    batch-internal and batch-vs-index legs.
 
     Returns (doc_a, doc_b, est_jaccard) with doc_a < doc_b and estimated
     Jaccard (fraction of agreeing minhashes) >= threshold. Two physically
@@ -179,7 +185,8 @@ def minhash_lsh_pairs(
       the NETWORK-lean shape for clusters where shuffle bytes, not CPU, are
       the constraint.
     """
-    sig = minhash_signatures(docs, text_col, id_col)
+    if sig is None:
+        sig = minhash_signatures(docs, text_col, id_col)
     r = N_HASHES // N_BANDS
     band_ids = F.posexplode(
         F.transform(
@@ -459,3 +466,132 @@ def line_dedup(
             F.coalesce(F.col("n_lines_removed"), F.lit(0)).alias("n_lines_removed"),
         )
     )
+
+
+def _band_rows(sig: DataFrame) -> DataFrame:
+    """(doc_id, signature, band, bucket) from a (doc_id, signature) frame —
+    the same banded layout minhash_lsh_pairs builds internally."""
+    r = N_HASHES // N_BANDS
+    band_ids = F.posexplode(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(N_BANDS - 1)),
+            lambda b: F.xxhash64(
+                F.concat_ws("-", F.slice("signature", b * r + 1, r)), b
+            ),
+        )
+    ).alias("band", "bucket")
+    return sig.select("doc_id", "signature", band_ids)
+
+
+def minhash_incremental(
+    new_docs: DataFrame,
+    index_sig: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.7,
+    bucket_cap: int = HOT_BUCKET_CAP,
+    checkpoint_dir: str | None = None,
+) -> dict:
+    """Dedup a NEW crawl batch against a standing corpus using only the
+    corpus's persisted MinHash index — the daily-ingest shape at 100 TB.
+
+    Recomputing near-dup over corpus+batch costs a full-corpus signature
+    pass per ingest; the right plan touches the corpus TEXT zero times:
+    ``index_sig`` is the stored (doc_id, signature) table
+    (minhash_signatures output, appended run over run), the batch gets ONE
+    signature pass, and both legs — batch-vs-index and batch-internal —
+    band those signatures. The index side ships 24-byte (band, bucket)
+    keys + signatures through one equi-join keyed on (band, bucket);
+    degenerate buckets are capped PER SIDE (a boilerplate bucket with >cap
+    index members is dropped, same contract as HOT_BUCKET_CAP) so a hot
+    bucket never drives a quadratic join.
+
+    Verdict semantics (exact, via connected components over the
+    batch-internal pairs): a batch doc is kept iff
+      - it matches no index doc, and
+      - its batch component contains NO index-matched member ("anchored"
+        components already exist in the corpus — admitting the unmatched
+        tail would re-ingest the cluster), and
+      - it is the component minimum (the repo's canonical-survivor rule);
+    singletons keep themselves.
+
+    Returns {"signatures", "index_pairs", "new_pairs", "verdicts"}:
+    signatures is the batch frame to APPEND to the index after the run;
+    index_pairs = (doc_id, index_id, est_jaccard); new_pairs =
+    (doc_a, doc_b, est_jaccard); verdicts = (doc_id, dup_of_index,
+    in_anchored_cluster, is_kept) — one row per batch doc.
+    """
+    from invoice_ocr_reconciler_spark.operators.cluster import (
+        connected_components,
+    )
+
+    new_sig = minhash_signatures(new_docs, text_col, id_col)
+    new_pairs = minhash_lsh_pairs(
+        new_docs, text_col, id_col, threshold=threshold, sig=new_sig
+    )
+
+    nb = _band_rows(new_sig)
+    ib = _band_rows(index_sig).select(
+        F.col("doc_id").alias("index_id"),
+        F.col("signature").alias("sig_i"),
+        "band",
+        "bucket",
+    )
+    # per-side degenerate-bucket caps share the join's (band, bucket)
+    # partitioning — the window adds no extra exchange
+    wn = Window.partitionBy("band", "bucket")
+    nb = nb.withColumn("_n", F.count("*").over(wn)).filter(
+        F.col("_n") <= bucket_cap
+    )
+    ib = ib.withColumn("_n", F.count("*").over(wn)).filter(
+        F.col("_n") <= bucket_cap
+    )
+    est = F.round(
+        F.size(
+            F.filter(
+                F.zip_with("signature", "sig_i", lambda x, y: x == y),
+                lambda z: z,
+            )
+        )
+        / F.lit(float(N_HASHES)),
+        4,
+    )
+    index_pairs = (
+        nb.join(ib, ["band", "bucket"])
+        .select("doc_id", "index_id", est.alias("est_jaccard"))
+        .filter(F.col("est_jaccard") >= threshold)
+        .dropDuplicates(["doc_id", "index_id"])
+    )
+
+    idx_matched = index_pairs.select("doc_id").distinct().withColumn(
+        "dup_of_index", F.lit(True)
+    )
+    comp = connected_components(new_pairs, checkpoint_dir=checkpoint_dir)
+    anchored = (
+        comp.join(idx_matched.select("doc_id"), "doc_id")
+        .select("component")
+        .distinct()
+        .withColumn("_anchored", F.lit(True))
+    )
+    verdicts = (
+        new_docs.select(F.col(id_col).alias("doc_id"))
+        .join(idx_matched, "doc_id", "left")
+        .join(comp, "doc_id", "left")
+        .join(F.broadcast(anchored), "component", "left")
+        .select(
+            "doc_id",
+            F.coalesce("dup_of_index", F.lit(False)).alias("dup_of_index"),
+            F.coalesce("_anchored", F.lit(False)).alias("in_anchored_cluster"),
+            (
+                ~F.coalesce("dup_of_index", F.lit(False))
+                & ~F.coalesce("_anchored", F.lit(False))
+                & (F.coalesce("component", F.col("doc_id")) == F.col("doc_id"))
+            ).alias("is_kept"),
+        )
+    )
+    return {
+        "signatures": new_sig,
+        "index_pairs": index_pairs,
+        "new_pairs": new_pairs,
+        "verdicts": verdicts,
+    }
