@@ -1145,9 +1145,11 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    half = docs.agg(F.expr("percentile(doc_id, 0.5)")).collect()[0][0]
-    index_sig = minhash_signatures(docs.filter(F.col("doc_id") <= half))
-    batch = docs.filter(F.col("doc_id") > half)
+    # even/odd id split: no job at build time, no single-task exact
+    # percentile buffer — corpus half and batch half interleave the
+    # planted duplicate pairs so both legs light up
+    index_sig = minhash_signatures(docs.filter(F.pmod("doc_id", F.lit(2)) == 0))
+    batch = docs.filter(F.pmod("doc_id", F.lit(2)) == 1)
     return minhash_incremental(batch, index_sig)["verdicts"]
 
 

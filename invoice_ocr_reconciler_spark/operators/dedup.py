@@ -154,6 +154,33 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text", id_col: str = "d
     )
 
 
+def _band_rows(sig: DataFrame) -> DataFrame:
+    """(doc_id, signature, band, bucket) from a (doc_id, signature) frame —
+    the banded LSH layout. The single definition of the band hash: every
+    consumer (batch-internal pairs, incremental index join) bands through
+    here, so the hash family cannot drift between legs."""
+    r = N_HASHES // N_BANDS
+    band_ids = F.posexplode(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(N_BANDS - 1)),
+            lambda b: F.xxhash64(
+                F.concat_ws("-", F.slice("signature", b * r + 1, r)), b
+            ),
+        )
+    ).alias("band", "bucket")
+    return sig.select("doc_id", "signature", band_ids)
+
+
+def _sig_agreement(a, b) -> F.Column:
+    """Estimated Jaccard = fraction of agreeing minhash positions (1e-4
+    grid) — the one estimate every join-shaped verify leg shares."""
+    return F.round(
+        F.size(F.filter(F.zip_with(a, b, lambda x, y: x == y), lambda z: z))
+        / F.lit(float(N_HASHES)),
+        4,
+    )
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     text_col: str = "text",
@@ -161,6 +188,7 @@ def minhash_lsh_pairs(
     threshold: float = 0.7,
     ship_signatures: bool = True,
     sig: DataFrame | None = None,
+    bucket_cap: int = HOT_BUCKET_CAP,
 ) -> DataFrame:
     """Near-duplicate candidate pairs via banded MinHash-LSH + signature verify.
 
@@ -187,20 +215,11 @@ def minhash_lsh_pairs(
     """
     if sig is None:
         sig = minhash_signatures(docs, text_col, id_col)
-    r = N_HASHES // N_BANDS
-    band_ids = F.posexplode(
-        F.transform(
-            F.sequence(F.lit(0), F.lit(N_BANDS - 1)),
-            lambda b: F.xxhash64(
-                F.concat_ws("-", F.slice("signature", b * r + 1, r)), b
-            ),
-        )
-    ).alias("band", "bucket")
 
     if ship_signatures:
-        bands = sig.select("doc_id", "signature", band_ids)
+        bands = _band_rows(sig)
         grouped = capped_member_groups(
-            bands, ["band", "bucket"], F.struct("doc_id", "signature"), HOT_BUCKET_CAP
+            bands, ["band", "bucket"], F.struct("doc_id", "signature"), bucket_cap
         )
         pairs_expr = f"""
             filter(
@@ -218,8 +237,8 @@ def minhash_lsh_pairs(
             .dropDuplicates(["doc_a", "doc_b"])
         )
 
-    bands = sig.select("doc_id", band_ids)
-    grouped = capped_member_groups(bands, ["band", "bucket"], F.col("doc_id"), HOT_BUCKET_CAP)
+    bands = _band_rows(sig).select("doc_id", "band", "bucket")
+    grouped = capped_member_groups(bands, ["band", "bucket"], F.col("doc_id"), bucket_cap)
     pairs_expr = """
         flatten(transform(members, (m, i) ->
           transform(slice(members, i + 2, size(members) - i - 1), o ->
@@ -232,11 +251,7 @@ def minhash_lsh_pairs(
     )
     sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("signature").alias("sig_a"))
     sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("signature").alias("sig_b"))
-    est = F.round(
-        F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda z: z))
-        / F.lit(float(N_HASHES)),
-        4,
-    )
+    est = _sig_agreement("sig_a", "sig_b")
     return (
         cand.join(sa, "doc_a")
         .join(sb, "doc_b")
@@ -468,21 +483,6 @@ def line_dedup(
     )
 
 
-def _band_rows(sig: DataFrame) -> DataFrame:
-    """(doc_id, signature, band, bucket) from a (doc_id, signature) frame —
-    the same banded layout minhash_lsh_pairs builds internally."""
-    r = N_HASHES // N_BANDS
-    band_ids = F.posexplode(
-        F.transform(
-            F.sequence(F.lit(0), F.lit(N_BANDS - 1)),
-            lambda b: F.xxhash64(
-                F.concat_ws("-", F.slice("signature", b * r + 1, r)), b
-            ),
-        )
-    ).alias("band", "bucket")
-    return sig.select("doc_id", "signature", band_ids)
-
-
 def minhash_incremental(
     new_docs: DataFrame,
     index_sig: DataFrame,
@@ -516,18 +516,31 @@ def minhash_incremental(
     singletons keep themselves.
 
     Returns {"signatures", "index_pairs", "new_pairs", "verdicts"}:
-    signatures is the batch frame to APPEND to the index after the run;
-    index_pairs = (doc_id, index_id, est_jaccard); new_pairs =
-    (doc_a, doc_b, est_jaccard); verdicts = (doc_id, dup_of_index,
-    in_anchored_cluster, is_kept) — one row per batch doc.
+    ``signatures`` holds the KEPT batch docs' signatures — the frame to
+    append to the index after the run. Appending every batch signature
+    (dropped duplicates included) would grow hot content's (band, bucket)
+    entries by one per run until they breach bucket_cap, after which the
+    per-side cap silently BLINDS the index join to exactly the
+    most-duplicated content; kept-only appends keep each content cluster
+    at one index entry forever. index_pairs = (doc_id, index_id,
+    est_jaccard); new_pairs = (doc_a, doc_b, est_jaccard); verdicts =
+    (doc_id, dup_of_index, in_anchored_cluster, is_kept) — one row per
+    batch doc. new_sig and index_pairs are persisted internally (each
+    feeds 2+ downstream branches — without the persist the batch
+    signature UDF pass and the full-index band scan replay per consumer).
     """
     from invoice_ocr_reconciler_spark.operators.cluster import (
         connected_components,
     )
 
-    new_sig = minhash_signatures(new_docs, text_col, id_col)
+    new_sig = minhash_signatures(new_docs, text_col, id_col).persist()
     new_pairs = minhash_lsh_pairs(
-        new_docs, text_col, id_col, threshold=threshold, sig=new_sig
+        new_docs,
+        text_col,
+        id_col,
+        threshold=threshold,
+        sig=new_sig,
+        bucket_cap=bucket_cap,
     )
 
     nb = _band_rows(new_sig)
@@ -546,21 +559,16 @@ def minhash_incremental(
     ib = ib.withColumn("_n", F.count("*").over(wn)).filter(
         F.col("_n") <= bucket_cap
     )
-    est = F.round(
-        F.size(
-            F.filter(
-                F.zip_with("signature", "sig_i", lambda x, y: x == y),
-                lambda z: z,
-            )
-        )
-        / F.lit(float(N_HASHES)),
-        4,
-    )
     index_pairs = (
         nb.join(ib, ["band", "bucket"])
-        .select("doc_id", "index_id", est.alias("est_jaccard"))
+        .select(
+            "doc_id",
+            "index_id",
+            _sig_agreement("signature", "sig_i").alias("est_jaccard"),
+        )
         .filter(F.col("est_jaccard") >= threshold)
         .dropDuplicates(["doc_id", "index_id"])
+        .persist()
     )
 
     idx_matched = index_pairs.select("doc_id").distinct().withColumn(
@@ -589,8 +597,11 @@ def minhash_incremental(
             ).alias("is_kept"),
         )
     )
+    kept_sig = new_sig.join(
+        verdicts.filter(F.col("is_kept")).select("doc_id"), "doc_id"
+    )
     return {
-        "signatures": new_sig,
+        "signatures": kept_sig,
         "index_pairs": index_pairs,
         "new_pairs": new_pairs,
         "verdicts": verdicts,

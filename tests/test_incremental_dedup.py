@@ -68,14 +68,17 @@ def test_verdicts(setup):
     assert v[105]["in_anchored_cluster"] and not v[105]["is_kept"]
 
 
-def test_signatures_appendable(setup):
+def test_signatures_appendable_kept_only(setup):
     from invoice_ocr_reconciler_spark.operators.dedup import minhash_incremental
 
     index_sig, batch = setup
     out = minhash_incremental(batch, index_sig)
     assert out["signatures"].schema == index_sig.schema
+    # only KEPT docs' signatures append (101, 103): dropped duplicates must
+    # not grow hot buckets toward the cap run over run
+    assert {r["doc_id"] for r in out["signatures"].collect()} == {101, 103}
     grown = index_sig.unionByName(out["signatures"])
-    assert grown.count() == 8
+    assert grown.count() == 4
 
 
 def test_two_run_equivalence_with_batch_recompute(setup, spark):
@@ -93,7 +96,8 @@ def test_two_run_equivalence_with_batch_recompute(setup, spark):
     )
     out2 = minhash_incremental(batch2, grown)
     pairs = {(r["doc_id"], r["index_id"]) for r in out2["index_pairs"].collect()}
-    assert (200, 101) in pairs and (200, 102) in pairs
+    # 101 was kept (and indexed); 102 was dropped and must NOT be indexed
+    assert (200, 101) in pairs and (200, 102) not in pairs
     v = {r["doc_id"]: r.asDict() for r in out2["verdicts"].collect()}
     assert not v[200]["is_kept"]
 
