@@ -3150,8 +3150,8 @@ def oracle_sql() -> dict[str, str]:
             s3 AS (
                 SELECT doc_id, raw_url,
                        regexp_replace(
-                           regexp_replace(u, '^(http://[^/:?#]+):80([/?]|$)', '\1\2'),
-                           '^(https://[^/:?#]+):443([/?]|$)', '\1\2') AS u
+                           regexp_replace(u, '^(http://[^/?#]*?):80([/?]|$)', '\1\2'),
+                           '^(https://[^/?#]*?):443([/?]|$)', '\1\2') AS u
                 FROM s2),
             s4a AS (
                 SELECT doc_id, raw_url, u,
@@ -3162,7 +3162,7 @@ def oracle_sql() -> dict[str, str]:
                        list_filter(
                            string_split(substring(u, length(pre_q) + 2), '&'),
                            t -> t <> ''
-                                AND NOT regexp_matches(t, '^(utm_[a-z]+|gclid|fbclid)=')
+                                AND NOT regexp_matches(t, '(?i)^(utm_[a-z]+|gclid|fbclid)=')
                        ) AS kept
                 FROM s4a),
             s4 AS (
@@ -3178,9 +3178,9 @@ def oracle_sql() -> dict[str, str]:
                 FROM s4),
             s6 AS (
                 SELECT doc_id, raw_url,
-                       regexp_extract(pre, '^([a-z][a-z0-9+.-]*://)', 1)
+                       regexp_extract(pre, '^([a-z][a-z0-9+.-]*://|//)', 1)
                          || regexp_replace(
-                              substring(pre, length(regexp_extract(pre, '^([a-z][a-z0-9+.-]*://)', 1)) + 1),
+                              substring(pre, length(regexp_extract(pre, '^([a-z][a-z0-9+.-]*://|//)', 1)) + 1),
                               '//+', '/', 'g')
                          || query AS u
                 FROM s5)

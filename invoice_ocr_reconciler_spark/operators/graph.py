@@ -16,10 +16,14 @@ the reference pattern from Spark's own examples, hardened for scale:
     (pinned by tests).
   - lineage is truncated every iteration (localCheckpoint, same guard as
     operators/cluster.py) so the plan does not grow with n_iter.
-  - determinism across engines/partitionings: per-edge contributions ride
-    a 1e-12 grid and each iteration's rank a 1e-9 grid (the tfidf/lm_score
-    rounding contract), so a k-iteration run is value-replayable in DuckDB
-    as k unrolled CTEs.
+  - determinism across engines/partitionings: per-edge contributions and
+    each iteration's rank ride rounding grids (the tfidf/lm_score
+    contract), so a k-iteration run is value-replayable in DuckDB as k
+    unrolled CTEs. The grids SCALE WITH N: ranks live at the 1/N scale,
+    so a fixed 1e-9 grid would floor every rank of a >2e9-node graph to
+    exactly 0 in iteration one (all mass destroyed) — the places are
+    ceil(log10(N)) + 6 (floor 9, so small graphs keep the 1e-9/1e-12
+    oracle contract), keeping ~6 significant digits below 1/N at any N.
 
 rank_i(v) = (1-d)/N + d * ( sum_{u->v} rank_{i-1}(u)/deg(u)
                             + dangling_mass_{i-1}/N )
@@ -27,12 +31,23 @@ rank_i(v) = (1-d)/N + d * ( sum_{u->v} rank_{i-1}(u)/deg(u)
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from invoice_ocr_reconciler_spark.functions.text import roundn
 
 DAMPING = 0.85
+
+
+def rank_places(n_nodes: int) -> int:
+    """Rounding-grid places for an N-node graph: ceil(log10(N)) + 6,
+    floor 9. Ranks live at the 1/N scale; the grid must sit well below it
+    or iteration one floors every rank to 0 (grid 1e-9 kills any graph
+    past ~2e9 nodes). Floor 9 pins the small-graph DuckDB oracle contract
+    (1e-9 rank / 1e-12 contribution grids)."""
+    return max(9, int(math.ceil(math.log10(max(n_nodes, 1)))) + 6)
 
 
 def pagerank(
@@ -60,6 +75,8 @@ def pagerank(
     n = nodes.count()
     if n == 0:
         return nodes.withColumn("rank", F.lit(0.0))
+    places = rank_places(n)
+    contrib_places = places + 3
     out_nodes = nodes.join(deg, "node", "left")  # deg NULL = dangling
     if truncate_lineage:
         out_nodes = out_nodes.localCheckpoint(eager=True)
@@ -79,7 +96,7 @@ def pagerank(
             .join(ranks.filter(F.col("deg").isNotNull()), "node")
             .select(
                 F.col("_dst").alias("node"),
-                roundn(F.col("rank") / F.col("deg"), 12).alias("c"),
+                roundn(F.col("rank") / F.col("deg"), contrib_places).alias("c"),
             )
             .groupBy("node")
             .agg(F.sum("c").alias("sum_c"))
@@ -97,7 +114,7 @@ def pagerank(
                         F.coalesce(F.col("sum_c"), F.lit(0.0))
                         + F.col("dm") / n
                     ),
-                    9,
+                    places,
                 ).alias("rank"),
             )
         )

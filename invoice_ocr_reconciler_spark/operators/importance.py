@@ -112,9 +112,24 @@ def dsir_log_weights(
     unigram+bigram occurrence count; log_weight the summed per-gram
     log-ratio (1e-6 grid). Documents with no grams (empty text) get
     n_grams = 0 and log_weight NULL.
+
+    Raises ValueError when the TARGET corpus contributes zero grams (empty
+    frame / all-empty text): a gramless target fits no distribution, every
+    lambda would be NULL, and dsir_select over all-NULL weights would
+    "select" the first n docs by id — a deterministic-looking but
+    meaningless cut. A misconfigured target path must fail loudly, not
+    pick arbitrary data. (The check is one row off a tiny pre-aggregated
+    frame — train-time cost, not per-doc.)
     """
+    # persisted: the emptiness probe below and the lambda join both read it
+    t_probs = _bucket_log_probs(target, text_col, id_col, k, "t").persist()
+    if t_probs.limit(1).count() == 0:
+        raise ValueError(
+            "DSIR target corpus has no grams (empty frame or all-empty "
+            "text) — cannot fit the target distribution"
+        )
     lam = (
-        _bucket_log_probs(target, text_col, id_col, k, "t")
+        t_probs
         .join(
             _bucket_log_probs(raw, text_col, id_col, k, "r"),
             "bucket",

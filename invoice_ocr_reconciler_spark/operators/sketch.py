@@ -70,16 +70,21 @@ def cm_estimate(
     width: int = WIDTH,
 ) -> DataFrame:
     """(key, cm_count) for each candidate key: min over the key's depth
-    cells. The sketch (<= depth*width rows) is broadcast; keys observed in
-    the sketched data always have all depth cells present."""
+    cells. The sketch (<= depth*width rows) is broadcast.
+
+    LEFT join + coalesce-to-0: the docstring invites feeding a known key
+    list, and a fed key whose cells are all empty must report cm_count=0
+    (its true count), not vanish — and a key with only SOME cells present
+    must min over the zero cells too, not just the survivors (an inner
+    join would inflate its estimate)."""
     cand = candidates.select(
         F.col(key_col),
         F.explode(_cells(F.col(key_col), depth, width)).alias("x"),
     ).select(key_col, "x.d", "x.b")
     return (
-        cand.join(F.broadcast(sketch), ["d", "b"])
+        cand.join(F.broadcast(sketch), ["d", "b"], "left")
         .groupBy(key_col)
-        .agg(F.min("cnt").alias("cm_count"))
+        .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("cm_count"))
     )
 
 

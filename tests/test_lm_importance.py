@@ -174,6 +174,14 @@ def test_dsir_degenerate_inputs(spark, dsir_frames):
     empty = spark.createDataFrame([], "doc_id long, text string")
     # empty raw corpus -> empty result, no crash
     assert dsir_log_weights(empty, target).count() == 0
-    # empty target corpus -> every raw doc row survives (NULL weights)
-    out = dsir_log_weights(raw, empty).collect()
-    assert len(out) == 4
+    # gramless target -> loud failure, not silently-NULL weights (which
+    # would make dsir_select pick the first n docs by id)
+    import pytest
+
+    with pytest.raises(ValueError, match="target corpus has no grams"):
+        dsir_log_weights(raw, empty)
+    blank_target = spark.createDataFrame(
+        [(0, ""), (1, None)], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="target corpus has no grams"):
+        dsir_log_weights(raw, blank_target)

@@ -95,6 +95,20 @@ def test_cm_estimate_never_underestimates(spark, keyed_rows):
         assert est[k] >= 100  # true count; CM can only overestimate
 
 
+def test_cm_estimate_fed_absent_key_reports_zero(spark, keyed_rows):
+    # the docstring invites feeding a known key list: keys never observed
+    # must report cm_count=0, not vanish from the output
+    sk = count_min_table(keyed_rows, "key")
+    cand = spark.createDataFrame(
+        [("k0",), ("never-seen-a",), ("never-seen-b",)], "key string"
+    )
+    est = {r["key"]: r["cm_count"] for r in
+           cm_estimate(cand, sk, "key").collect()}
+    assert set(est) == {"k0", "never-seen-a", "never-seen-b"}
+    assert est["never-seen-a"] == 0 and est["never-seen-b"] == 0
+    assert est["k0"] >= 100
+
+
 def test_cm_sketch_is_mergeable(spark, keyed_rows):
     # sketch(half1) + sketch(half2), merged cell-wise, == sketch(full)
     h1 = keyed_rows.filter(F.col("doc_id") < 350)
