@@ -1099,7 +1099,7 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = weighted_sample(
         docs.select("doc_id", "lang", "n_chars"), 50, "n_chars"
     )
-    return out.select("doc_id", "lang", "ln_priority")
+    return out.select("doc_id", "lang", "priority_key")
 
 
 def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2573,18 +2573,19 @@ def oracle_sql() -> dict[str, str]:
             WHERE b.sample_bucket < r2.keep_below
         """,
         # Efraimidis-Spirakis replay: u = (md5-prefix + 0.5) / 2^32,
-        # priority floor((ln(u)/w) * 1e8 + 0.5)/1e8 — same op order as
-        # operators/sampling.py:weighted_sample; top-k by (priority desc, id)
+        # LOG-LOG priority floor((ln(-ln u) - ln w) * 1e12 + 0.5)/1e12 —
+        # same op order as operators/sampling.py:weighted_sample; top-k
+        # ascending (monotone in u^(1/w) descending), ties by id
         "weighted_sample": """
             WITH p AS (
                 SELECT doc_id, lang,
-                       floor(ln(((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT)::DOUBLE + 0.5)
-                                / 4294967296.0)
-                             / CAST(n_chars AS DOUBLE) * 1e8 + 0.5) / 1e8 AS ln_priority
+                       floor((ln(-ln(((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT)::DOUBLE + 0.5)
+                                     / 4294967296.0))
+                              - ln(CAST(n_chars AS DOUBLE))) * 1e12 + 0.5) / 1e12 AS priority_key
                 FROM documents
                 WHERE n_chars IS NOT NULL AND n_chars > 0)
-            SELECT doc_id, lang, ln_priority FROM p
-            ORDER BY ln_priority DESC, doc_id LIMIT 50
+            SELECT doc_id, lang, priority_key FROM p
+            ORDER BY priority_key ASC, doc_id LIMIT 50
         """,
         # full count-min replay (operators/sketch.py): depth=4 md5 hash
         # family with 'cm<d>:' domain separation, width-1024 cells,

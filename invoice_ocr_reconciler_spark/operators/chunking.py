@@ -18,7 +18,7 @@ concat-and-cut layout). Both here are pure DataFrame ops:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -39,11 +39,11 @@ def chunk_documents(
         # a stride beyond the window drops tokens AND the n_chunks formula
         # would emit phantom empty chunks past the end of short docs
         raise ValueError("stride must be <= window (gaps drop tokens)")
-    toks = F.filter(
-        F.split(F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))), r"\s+"),
-        lambda t: t != "",
-    )
-    base = docs.select(F.col(id_col), toks.alias("_toks"))
+    from invoice_ocr_reconciler_spark.functions.text import tokens_col
+
+    # the shared tokenization contract: chunk boundaries and chunk_tokens
+    # must agree with token_count_col-based n_tokens (pack_sequences input)
+    base = docs.select(F.col(id_col), tokens_col(F.col(text_col)).alias("_toks"))
     n = F.size("_toks")
     # number of windows: 1 + ceil(max(n - window, 0) / stride)
     n_chunks = F.when(n <= 0, F.lit(0)).otherwise(
@@ -117,7 +117,7 @@ def pack_sequences(
     n_shards: int = 64,
     token_col: str = "n_tokens",
     id_col: str = "doc_id",
-    shard_col=None,
+    shard_col: str | Column | None = None,
 ) -> DataFrame:
     """Concat-and-cut packing plan: assign each doc its byte-offset layout
     inside fixed-capacity token sequences, independently per shard.
@@ -129,11 +129,14 @@ def pack_sequences(
     spans_boundary marks docs cut across two sequences. One exchange on
     shard; per-shard order (doc id asc) makes reruns byte-identical.
     """
-    shard_expr = (
-        shard_col
-        if shard_col is not None
-        else F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_shards)).cast("int")
-    )
+    # shard_col follows the module's *_col convention (a column NAME);
+    # a Column object is accepted too for derived shard expressions
+    if shard_col is None:
+        shard_expr = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_shards)).cast("int")
+    elif isinstance(shard_col, str):
+        shard_expr = F.col(shard_col)
+    else:
+        shard_expr = shard_col
     w = Window.partitionBy("shard").orderBy(id_col)
     cum = F.sum(token_col).over(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)

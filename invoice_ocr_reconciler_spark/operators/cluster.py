@@ -109,26 +109,55 @@ def connected_components(
     garbage-collect them. Note setCheckpointDir is session-global.
     """
     spark = pairs.sparkSession
+    # ids ride the rounds as longs (8-byte shuffle rows). A silent cast of
+    # a non-numeric id type would turn every edge into NULL<->NULL, drop
+    # them all in _symmetric's src != dst filter, and "succeed" with an
+    # empty result — fail loudly instead.
+    from pyspark.sql import types as T
+
+    for side in (id_a, id_b):
+        dt = pairs.schema[side].dataType
+        if not isinstance(
+            dt, (T.LongType, T.IntegerType, T.ShortType, T.ByteType)
+        ):
+            raise TypeError(
+                f"connected_components needs integral ids; column "
+                f"{side!r} is {dt.simpleString()} — map ids to longs "
+                f"(e.g. xxhash64) before clustering"
+            )
     if checkpoint_dir:
         spark.sparkContext.setCheckpointDir(checkpoint_dir)
         _ckpt = lambda df: df.checkpoint(eager=True)
     else:
         _ckpt = lambda df: df.localCheckpoint(eager=True)
-    edges = _symmetric(
-        pairs.select(
-            F.col(id_a).cast("long").alias("src"),
-            F.col(id_b).cast("long").alias("dst"),
+    edges = _ckpt(
+        _symmetric(
+            pairs.select(
+                F.col(id_a).cast("long").alias("src"),
+                F.col(id_b).cast("long").alias("dst"),
+            )
         )
     )
+    # derived AFTER the checkpoint so the final labeling join reads the
+    # materialized round-0 edges instead of replaying scan+union+distinct
     nodes = edges.select("src").distinct()
-    edges = _ckpt(edges)
     prev = None
+    converged = False
     for _ in range(max_rounds):
         edges = _ckpt(_small_star(_large_star(edges)))
         sig = _signature(edges)
         if sig == prev:
+            converged = True
             break
         prev = sig
+    if not converged:
+        # the final labeling assumes a converged star graph; labeling an
+        # unconverged one silently splits true clusters across components
+        raise RuntimeError(
+            f"connected_components did not converge within {max_rounds} "
+            f"rounds — raise max_rounds (star contraction needs "
+            f"O(log n) rounds)"
+        )
     # post-convergence the graph is a union of stars: every non-root points
     # at its component min. Roots get their own id via the left join.
     labels = edges.groupBy("src").agg(F.min("dst").alias("_c"))

@@ -130,6 +130,11 @@ def curate_documents(
     if benchmark is not None:
         from invoice_ocr_reconciler_spark.operators.decontam import decontaminate
 
+        # persist BEFORE fanning out: survivors and both decontaminate
+        # scans would otherwise each replay the full annotation lineage
+        # (fingerprint md5, quality/lang exprs, the dup_rank window
+        # exchange) — three annotation passes in one job at corpus scale
+        ann = ann.persist(StorageLevel.MEMORY_AND_DISK)
         # gram-explode only the docs that survived stages 1-3: the
         # n-gram expansion is the most expensive per-row blowup in the
         # pipeline, and the contamination counter/keep flag only reads

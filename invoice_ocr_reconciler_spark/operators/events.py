@@ -122,10 +122,14 @@ def asof_join(
     )
     # order within ties: right rows by ascending first payload col (native
     # ordering, works for any orderable type) so the LAST carried value is
-    # the highest-ordered right row at that ts; left rows carry nulls there
-    # and sort last, after every same-ts right row, which is exactly the
-    # inclusive-match order the _side flag already enforces
-    order_tie = F.col(f"_r_{payload[0]}").asc_nulls_last()
+    # the highest-ordered right row at that ts. nulls_FIRST is the
+    # load-bearing half: with nulls_last a right row whose payload[0] is
+    # NULL would sort after every non-null same-ts row and win the carry —
+    # "highest wins" must mean highest NON-NULL, and among several
+    # all-null-key rows the window order (hence the carried row) would be
+    # nondeterministic besides. Left rows are unaffected either way: the
+    # _side flag already orders them after every same-ts right row.
+    order_tie = F.col(f"_r_{payload[0]}").asc_nulls_first()
     w = (
         Window.partitionBy("_k")
         .orderBy("_ts", "_side", order_tie)

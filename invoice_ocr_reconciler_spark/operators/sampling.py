@@ -121,13 +121,23 @@ def weighted_sample(
     hash-decision property above: reproducible, partitioning/retry
     invariant, engine-replayable.
 
-    Ranks by ln(u)/w (monotone in u^(1/w), avoids pow's cross-libm
-    drift) on the 1e-8 grid; ties broken by id. Rows with w <= 0 or NULL
-    are excluded (zero-weight rows must never win).
+    Ranks in LOG-LOG space: priority_key = ln(-ln u) - ln w, ascending
+    (monotone in u^(1/w) descending; two ln's avoid pow's cross-libm
+    drift). The log-log form is the numerically load-bearing choice: the
+    naive ln(u)/w key lives at the -1/w scale, so for large weights
+    (w ~ 1e5 token counts) a fixed rounding grid floors a whole band of
+    high-u rows to exactly 0.0 and the "weighted random" draw degenerates
+    into lowest-id selection among them. ln(-ln u) spreads u's resolution
+    uniformly (range ~[-22.9, 3.2] for a 32-bit u) at ANY weight, so the
+    1e-12 grid (safely above cross-libm ln drift ~1e-15, far below any
+    real priority gap) never merges materially different draws. Ties
+    break by id. Rows with w <= 0 or NULL are excluded (zero-weight rows
+    must never win). u = (md5-prefix + 0.5)/2^32 is strictly inside
+    (0, 1), so both logs are finite.
 
     Scale shape: orderBy+limit(k) compiles to TakeOrderedAndProject —
     per-partition top-k then a k-row merge on one reducer; nothing but
-    k rows crosses. Adds one md5 + one ln per row.
+    k rows crosses. Adds one md5 + two ln per row.
     """
     from invoice_ocr_reconciler_spark.functions.text import roundn
 
@@ -140,7 +150,7 @@ def weighted_sample(
     w = F.col(weight_col).cast("double")
     return (
         df.filter(w.isNotNull() & (w > 0))
-        .withColumn("ln_priority", roundn(F.log(u) / w, 8))
-        .orderBy(F.col("ln_priority").desc(), F.col(id_col))
+        .withColumn("priority_key", roundn(F.log(-F.log(u)) - F.log(w), 12))
+        .orderBy(F.col("priority_key").asc(), F.col(id_col))
         .limit(int(k))
     )

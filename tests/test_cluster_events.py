@@ -73,6 +73,27 @@ class TestConnectedComponents:
         pairs = spark.createDataFrame([], "doc_a long, doc_b long")
         assert connected_components(pairs).count() == 0
 
+    def test_string_ids_rejected_loudly(self, spark):
+        # a silent cast('long') of string ids yields NULL<->NULL edges,
+        # drops them all, and "succeeds" with an empty clustering
+        import pytest
+
+        pairs = spark.createDataFrame(
+            [("doc-001", "doc-002")], "doc_a string, doc_b string"
+        )
+        with pytest.raises(TypeError, match="integral ids"):
+            connected_components(pairs)
+
+    def test_non_convergence_raises(self, spark):
+        # labeling an unconverged graph silently splits true clusters —
+        # it must raise instead
+        import pytest
+
+        path = [(i, i + 1) for i in range(150)]
+        pairs = spark.createDataFrame(path, "doc_a long, doc_b long")
+        with pytest.raises(RuntimeError, match="did not converge"):
+            connected_components(pairs, max_rounds=1)
+
     def test_canonical_docs_singletons_and_clusters(self, spark):
         docs = spark.createDataFrame(
             [(i, f"t{i}") for i in range(6)], "doc_id long, text string"
@@ -260,6 +281,22 @@ class TestAsofJoin:
         }
         assert out[0] == (0, 7.0)
         assert out[1] == (None, None)
+
+    def test_same_ts_null_payload_key_loses_tie(self, spark):
+        # regression: with asc_nulls_last a right row whose tie-key
+        # (payload[0]) is NULL sorted after every non-null same-ts row and
+        # won the carry; highest NON-NULL must win
+        left = _ev(spark, [(10, 1, "click", 1.0)])
+        ts = TS0 + dt.timedelta(seconds=10)
+        right = spark.createDataFrame(
+            [
+                (1, ts, None, 2.0),  # NULL event_id, same ts
+                (1, ts, 7, 1.0),  # non-null: must be carried
+            ],
+            "user_id long, ts timestamp_ntz, event_id long, value double",
+        )
+        out = asof_join(left, right, right_cols=("event_id", "value")).collect()[0]
+        assert out["asof_event_id"] == 7 and out["asof_value"] == 1.0
 
     def test_tolerance_voids_stale_match(self, spark):
         left = _ev(spark, [(1000, 1, "click", 0.0)])
@@ -966,6 +1003,14 @@ class TestChunkingPacking:
         ).orderBy("doc_id").collect()
         assert two[0]["start_offset"] == 0 and two[1]["start_offset"] == 0
         assert two[2]["start_offset"] == 60 and two[3]["start_offset"] == 60
+        # shard_col as a column NAME (the module's *_col convention)
+        named = pack_sequences(
+            docs.withColumn("shard_id", (F.col("doc_id") % 2).cast("int")),
+            capacity=100, shard_col="shard_id",
+        ).orderBy("doc_id").collect()
+        assert [r["start_offset"] for r in named] == [
+            r["start_offset"] for r in two
+        ]
 
 
 class TestApproxDistinct:

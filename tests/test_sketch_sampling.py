@@ -55,6 +55,24 @@ def test_weighted_sample_empty(spark):
     assert weighted_sample(df, 5, "w").count() == 0
 
 
+def test_weighted_sample_large_weights_not_id_biased(spark):
+    # regression: the old ln(u)/w key lived at the -1/w scale, so with
+    # w ~ 1e6 a band of high-u rows rounded to exactly 0.0 and the draw
+    # degenerated into lowest-id selection. The log-log key must pick the
+    # same ids as the exact float computation, not the first k ids.
+    import hashlib
+    import math
+
+    n, k, w = 200, 10, 1_000_000.0
+    df = spark.createDataFrame([(i, w) for i in range(n)], "doc_id long, w double")
+    got = sorted(r["doc_id"] for r in weighted_sample(df, k, "w").collect())
+    def u_of(i):
+        return (int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) + 0.5) / 2**32
+    want = sorted(sorted(range(n), key=lambda i: math.log(-math.log(u_of(i))))[:k])
+    assert got == want
+    assert got != list(range(k))  # not the first-k-ids degeneracy
+
+
 def test_weighted_sample_equal_weights_is_uniform_hash_draw(spark):
     # with all weights equal, the draw reduces to ordering by md5(id):
     # the same ids win for any constant weight value
