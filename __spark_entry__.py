@@ -2489,16 +2489,18 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents),
             r AS (
                 SELECT doc_id, t,
-                       regexp_replace(
-                           regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-                           '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g') AS t2
-                FROM d)
+                       regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1
+                FROM d),
+            r2 AS (
+                SELECT doc_id, t, t1,
+                       regexp_replace(t1, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g') AS t2
+                FROM r)
             SELECT doc_id,
                    CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_emails,
-                   CAST(len(regexp_extract_all(t, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS INT) AS n_ips,
+                   CAST(len(regexp_extract_all(t1, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS INT) AS n_ips,
                    CAST(len(regexp_extract_all(t2, '\+[0-9][0-9 ().-]{6,}[0-9]')) AS INT) AS n_phones,
                    regexp_replace(t2, '\+[0-9][0-9 ().-]{6,}[0-9]', '<PHONE>', 'g') AS redacted
-            FROM r
+            FROM r2
         """,
         # idf rounded to 6 and score to 4 BEFORE ranking on both sides:
         # cross-engine ln() agrees to <= 1 ulp, rounding makes order identical

@@ -30,15 +30,19 @@ PHONE_TOKEN = "<PHONE>"
 
 
 def pii_count_cols(col: Column) -> dict[str, Column]:
-    """Match counts per category, on the RAW text (pre-redaction)."""
+    """Match counts per category, each counted on the SAME progressively-
+    redacted text the redaction pass sees — counts and <TOKEN> occurrences
+    in redacted_text must agree. Counting n_ips on the raw text would
+    count an IPv4 inside an email domain ('admin@192.168.0.1.example.com')
+    that redaction never tokenizes (the email consumed it first) — a
+    phantom unredacted IP in any audit."""
     text = F.coalesce(col, F.lit(""))
+    after_email = F.regexp_replace(text, EMAIL_RE, EMAIL_TOKEN)
     return {
         "n_emails": F.regexp_count(text, F.lit(EMAIL_RE)),
-        "n_ips": F.regexp_count(text, F.lit(IPV4_RE)),
+        "n_ips": F.regexp_count(after_email, F.lit(IPV4_RE)),
         "n_phones": F.regexp_count(
-            F.regexp_replace(
-                F.regexp_replace(text, EMAIL_RE, EMAIL_TOKEN), IPV4_RE, IP_TOKEN
-            ),
+            F.regexp_replace(after_email, IPV4_RE, IP_TOKEN),
             F.lit(PHONE_RE),
         ),
     }

@@ -23,7 +23,9 @@ LANG_STOPWORDS = {
 
 def _lang_hits(col: Column, lang: str) -> Column:
     pattern = r"\b(" + "|".join(LANG_STOPWORDS[lang]) + r")\b"
-    return F.regexp_count(F.lower(col), F.lit(pattern))
+    # coalesce like every sibling: NULL text must count 0 hits, not emit
+    # NULL hit columns that downstream aggregates silently exclude
+    return F.regexp_count(F.lower(F.coalesce(col, F.lit(""))), F.lit(pattern))
 
 
 def lang_id_cols(col: Column) -> dict[str, Column]:

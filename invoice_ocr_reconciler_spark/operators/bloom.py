@@ -105,9 +105,40 @@ def bloom_semi_join(
         raise ValueError("m_bits > 2^24: bitset literal too large to ship")
     m_bits = _norm_bits(m_bits)
     kk = keys_key or big_key
-    bloom_hex = build_bloom_hex(keys, kk, m_bits=m_bits, k=k)
+    # build and probe must hash the SAME normalized form of equal keys.
+    # The string cast alone covers same-type and integral-vs-integral, but
+    # int 5 stringifies '5' while double 5.0 stringifies '5.0' — a
+    # cross-family pair the exact semi join WOULD match (Catalyst coerces
+    # both to double) gets silently pre-filtered out. Normalize through
+    # the join's own coercion: both numeric -> double when families mix;
+    # refuse un-coercible mixes rather than drop rows.
+    bt = dict(big.dtypes)[big_key]
+    kt = dict(keys.dtypes)[kk]
+    integral = {"tinyint", "smallint", "int", "bigint"}
+    fractional = {"float", "double"}
+    numeric = integral | fractional
+
+    def _norm_col(c: Column, own: str, other: str) -> Column:
+        if own == other or (own in integral and other in integral):
+            return c
+        if own in numeric and other in numeric:
+            return c.cast("double")  # same lossy map on BOTH sides
+        raise TypeError(
+            f"bloom_semi_join key types {own!r} vs {other!r} do not "
+            f"string-normalize to one hash form — cast the sides to a "
+            f"common type first"
+        )
+
+    bloom_hex = build_bloom_hex(
+        keys.select(_norm_col(F.col(kk), kt, bt).alias(kk)),
+        kk,
+        m_bits=m_bits,
+        k=k,
+    )
     pruned = big.filter(
-        might_contain_col(F.col(big_key), bloom_hex, m_bits=m_bits, k=k)
+        might_contain_col(
+            _norm_col(F.col(big_key), bt, kt), bloom_hex, m_bits=m_bits, k=k
+        )
     )
     return pruned.join(
         keys.select(F.col(kk).alias(big_key)).distinct(),

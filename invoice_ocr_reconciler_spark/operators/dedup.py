@@ -131,6 +131,20 @@ def capped_member_groups(
         .agg(F.array_sort(F.collect_list(payload)).alias("members"))
     )
 
+def pair_expansion_expr(a_alias: str = "doc_a", b_alias: str = "doc_b") -> str:
+    """SQL snippet generating all ordered pairs (m_i, m_j), i < j, from a
+    sorted `members` array — the one definition of the subtle 1-based
+    i+2 / size-i-1 slice arithmetic every capped-group pair generator
+    shares (minhash network-lean, embedding dedup, semantic dedup,
+    phash). The ship_signatures MinHash branch keeps its own struct
+    variant (it also computes the estimate inside the expression)."""
+    return f"""
+        flatten(transform(members, (m, i) ->
+          transform(slice(members, i + 2, size(members) - i - 1), o ->
+            struct(m AS {a_alias}, o AS {b_alias}))))
+    """
+
+
 MINHASH_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType(), False),
@@ -239,11 +253,7 @@ def minhash_lsh_pairs(
 
     bands = _band_rows(sig).select("doc_id", "band", "bucket")
     grouped = capped_member_groups(bands, ["band", "bucket"], F.col("doc_id"), bucket_cap)
-    pairs_expr = """
-        flatten(transform(members, (m, i) ->
-          transform(slice(members, i + 2, size(members) - i - 1), o ->
-            struct(m AS doc_a, o AS doc_b))))
-    """
+    pairs_expr = pair_expansion_expr()
     cand = (
         grouped.select(F.explode(F.expr(pairs_expr)).alias("p"))
         .select("p.doc_a", "p.doc_b")

@@ -26,16 +26,34 @@ def snapshot_diff(
     include_unchanged: bool = False,
 ) -> DataFrame:
     """-> (key, change, old_fp, new_fp); change in
-    {'added','removed','changed'} (+ 'unchanged' when requested)."""
-    o = old.select(F.col(key_col).alias("key"), F.col(fp_col).alias("old_fp"))
-    n = new.select(F.col(key_col).alias("key"), F.col(fp_col).alias("new_fp"))
+    {'added','removed','changed'} (+ 'unchanged' when requested).
+
+    Presence rides explicit per-side flags, NOT fingerprint nullness: the
+    fingerprint column is caller-supplied ("any stable digest"), so a row
+    PRESENT with a NULL fingerprint must not read as absent — that would
+    misclassify it added/removed and make an incremental consumer delete
+    a live document. NULL-fp vs NULL-fp compares as unchanged (both
+    absent of evidence), NULL vs non-NULL as changed.
+    """
+    o = old.select(
+        F.col(key_col).alias("key"),
+        F.col(fp_col).alias("old_fp"),
+        F.lit(True).alias("_in_old"),
+    )
+    n = new.select(
+        F.col(key_col).alias("key"),
+        F.col(fp_col).alias("new_fp"),
+        F.lit(True).alias("_in_new"),
+    )
+    # null-safe inequality: NULL<=>NULL is unchanged, NULL<=>value changed
+    fp_differs = ~F.col("old_fp").eqNullSafe(F.col("new_fp"))
     j = o.join(n, "key", "full_outer").select(
         "key",
         "old_fp",
         "new_fp",
-        F.when(F.col("old_fp").isNull(), F.lit("added"))
-        .when(F.col("new_fp").isNull(), F.lit("removed"))
-        .when(F.col("old_fp") != F.col("new_fp"), F.lit("changed"))
+        F.when(F.col("_in_old").isNull(), F.lit("added"))
+        .when(F.col("_in_new").isNull(), F.lit("removed"))
+        .when(fp_differs, F.lit("changed"))
         .otherwise(F.lit("unchanged"))
         .alias("change"),
     )
@@ -49,22 +67,36 @@ def apply_count_delta(
     deltas: DataFrame,
     key_col: str = "key",
     n_col: str = "n",
+    check_nonnegative: bool = False,
 ) -> DataFrame:
     """Incremental-view maintenance for grouped counts: merge a (key, dn)
     delta frame into an existing (key, n) aggregate; zero-count keys drop
     out. Equivalent to recomputing the aggregate over the new snapshot, at
     the cost of |delta| instead of |corpus| — the point of keeping a diff.
+
+    A NEGATIVE merged count is never produced by a consistent delta (a
+    full recompute cannot go below zero) — it means a removal delta was
+    double-applied or the standing aggregate is stale. The `n > 0` filter
+    would silently swallow it like an ordinary zero-drop;
+    ``check_nonnegative=True`` runs one extra tiny aggregate over the
+    merged frame and raises instead (off by default: it costs a job, and
+    exactly-once delta application is usually enforced upstream by the
+    checkpoint manifest).
     """
     o = old_counts.select(F.col(key_col).alias("_k"), F.col(n_col).alias("_n"))
     d = deltas.select(F.col(key_col).alias("_k"), F.col(n_col).alias("_dn"))
-    return (
-        o.join(d, "_k", "full_outer")
-        .select(
-            F.col("_k").alias(key_col),
-            (
-                F.coalesce(F.col("_n"), F.lit(0))
-                + F.coalesce(F.col("_dn"), F.lit(0))
-            ).alias(n_col),
-        )
-        .filter(F.col(n_col) > 0)
+    merged = o.join(d, "_k", "full_outer").select(
+        F.col("_k").alias(key_col),
+        (
+            F.coalesce(F.col("_n"), F.lit(0))
+            + F.coalesce(F.col("_dn"), F.lit(0))
+        ).alias(n_col),
     )
+    if check_nonnegative:
+        n_neg = merged.filter(F.col(n_col) < 0).limit(1).count()
+        if n_neg:
+            raise ValueError(
+                "apply_count_delta produced a negative count — a removal "
+                "delta was applied twice or old_counts is stale"
+            )
+    return merged.filter(F.col(n_col) > 0)

@@ -86,6 +86,15 @@ def upsert(
     missing = [c for c in update_cols if c not in updates.columns]
     if missing:
         raise ValueError(f"updates frame lacks update_cols {missing}")
+    # mirror check on the target: the projection below iterates
+    # target.columns, so an update_col absent from the target would be
+    # silently DROPPED — a MERGE that "succeeded" but lost a field
+    not_in_target = [c for c in update_cols if c not in tcols]
+    if not_in_target:
+        raise ValueError(
+            f"target frame lacks update_cols {not_in_target} — the update "
+            "values would be silently discarded"
+        )
     u = updates.select(
         *[F.col(k) for k in keys],
         *[F.col(c).alias(f"_u_{c}") for c in update_cols],
@@ -127,12 +136,23 @@ def status_writeback(
 
     UPDATE-only MERGE -> left join (broadcast-eligible): the results frame
     (one row per reconciled url) is typically far smaller than the corpus.
+
+    validate_unique is ON: this is the durable write-back path, and a
+    results frame with two rows for one url (a reconcile run concatenated
+    with a manual_link output, a replayed batch) would silently fan the
+    invoice row out and corrupt the table's row count at the next bucket
+    commit. The uniqueness probe is one cheap agg over the small side.
     """
     upd = results.select(
         F.col(res_key).alias(inv_key), F.col("match_status").alias(status_col)
     )
     return upsert(
-        invoices, upd, key=inv_key, update_cols=[status_col], insert_missing=False
+        invoices,
+        upd,
+        key=inv_key,
+        update_cols=[status_col],
+        insert_missing=False,
+        validate_unique=True,
     )
 
 

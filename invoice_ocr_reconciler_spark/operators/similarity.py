@@ -215,20 +215,28 @@ def lsh_topk(
     qb = lsh_probe_buckets(
         queries, n_probe_bits, id_col, vec_col, n_tables
     ).withColumnRenamed("vec_id", "query_id")
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")).join(
-        cb, "neighbor_id"
-    )
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")).join(
-        qb, "query_id"
-    )
-    scored = (
-        c.join(F.broadcast(q) if broadcast_queries else q, ["tbl", "bucket"])
+    # ids-only through the bucket join and the collision dedup — attaching
+    # the embeddings first would ship every candidate's full float arrays
+    # through the dropDuplicates exchange (the same ids-not-vectors rule
+    # embedding_cosine_dedup follows)
+    cand = (
+        cb.join(F.broadcast(qb) if broadcast_queries else qb, ["tbl", "bucket"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
     )
     if n_probe_bits > 0 or n_tables > 1:
         # a pair can collide in several probed buckets/tables; dedup BEFORE
         # scoring so each pair pays one cosine and one window slot
-        scored = scored.dropDuplicates(["query_id", "neighbor_id"])
+        cand = cand.dropDuplicates(["query_id", "neighbor_id"])
+    c_vecs = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    q_vecs = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    scored = cand.join(
+        F.broadcast(q_vecs) if broadcast_queries else q_vecs, "query_id"
+    ).join(c_vecs, "neighbor_id")
     scored = scored.withColumn(
         "cosine", F.round(cosine_sim(F.col("q_vec"), F.col("c_vec")), 6)
     )
@@ -376,15 +384,14 @@ def embedding_cosine_dedup(
         if n_vectors is None:
             n_vectors = vectors.count()
         planes_per_band = emb_planes_per_band(n_vectors)
-    from invoice_ocr_reconciler_spark.operators.dedup import capped_member_groups
+    from invoice_ocr_reconciler_spark.operators.dedup import (
+        capped_member_groups,
+        pair_expansion_expr,
+    )
 
     sig = _banded_emb_buckets(vectors, n_bands, planes_per_band, id_col, vec_col)
     grouped = capped_member_groups(sig, ["band", "bucket"], F.col("vec_id"), bucket_cap)
-    pairs_expr = """
-        flatten(transform(members, (m, i) ->
-          transform(slice(members, i + 2, size(members) - i - 1), o ->
-            struct(m AS doc_a, o AS doc_b))))
-    """
+    pairs_expr = pair_expansion_expr()
     cand = (
         grouped.select(F.explode(F.expr(pairs_expr)).alias("p"))
         .select("p.doc_a", "p.doc_b")
@@ -492,8 +499,12 @@ def ivf_assign(
                 {"vec_id": pdf[id_col].astype("int64"), "centroid_id": near}
             )
 
-    return with_scan_parallelism(vectors.select(id_col, vec_col)).mapInPandas(
-        gen, schema=IVF_ASSIGN_SCHEMA
+    # the Arrow schema is fixed ('vec_id'); rename to the caller's id_col
+    # so joins on id_col work for any id name (no-op when id_col='vec_id')
+    return (
+        with_scan_parallelism(vectors.select(id_col, vec_col))
+        .mapInPandas(gen, schema=IVF_ASSIGN_SCHEMA)
+        .withColumnRenamed("vec_id", id_col)
     )
 
 
@@ -678,8 +689,6 @@ def semantic_dedup(
             f"component long, is_kept boolean",
         )
     assign = ivf_assign(vectors, cent, id_col=id_col, vec_col=vec_col)
-    if id_col != "vec_id":
-        assign = assign.withColumnRenamed("vec_id", id_col)
 
     # per-doc similarity to its own centroid (the survivor-rule key),
     # computed in the same vectorized pass shape as ivf_assign
@@ -706,6 +715,7 @@ def semantic_dedup(
     )
     from invoice_ocr_reconciler_spark.operators.dedup import (
         capped_member_groups,
+        pair_expansion_expr,
     )
 
     grouped = capped_member_groups(
@@ -714,11 +724,7 @@ def semantic_dedup(
         F.col(id_col),
         cluster_cap,
     )
-    pairs_expr = """
-        flatten(transform(members, (m, i) ->
-          transform(slice(members, i + 2, size(members) - i - 1), o ->
-            struct(m AS doc_a, o AS doc_b))))
-    """
+    pairs_expr = pair_expansion_expr()
     cand = (
         grouped.select(F.explode(F.expr(pairs_expr)).alias("p"))
         .select("p.doc_a", "p.doc_b")

@@ -446,6 +446,37 @@ class TestPII:
         row = df.select(redact_pii_col(F.col("text")).alias("r")).collect()[0]
         assert row["r"] == "nothing to hide here"
 
+    def test_ip_inside_email_domain_not_double_counted(self, spark):
+        # regression: n_ips counted on the RAW text saw the IPv4 inside an
+        # email domain that redaction never tokenizes (the email consumed
+        # it) — counts and redacted output must agree
+        df = spark.createDataFrame(
+            [("reach admin@192.168.0.1.example.com today",)], "text string"
+        )
+        c = pii_count_cols(F.col("text"))
+        row = df.select(
+            c["n_emails"].alias("e"), c["n_ips"].alias("i"),
+            redact_pii_col(F.col("text")).alias("r"),
+        ).collect()[0]
+        assert (row["e"], row["i"]) == (1, 0)
+        assert row["r"] == "reach <EMAIL> today"
+        assert "<IP>" not in row["r"]
+
+    def test_null_text_counts_zero(self, spark):
+        from invoice_ocr_reconciler_spark.functions.text import lang_id_cols
+
+        df = spark.createDataFrame([(None,)], "text string")
+        c = pii_count_cols(F.col("text"))
+        lang = lang_id_cols(F.col("text"))
+        row = df.select(
+            c["n_emails"].alias("e"),
+            lang["hits_en"].alias("h"),
+            lang["lang_pred"].alias("p"),
+        ).collect()[0]
+        assert row["e"] == 0
+        assert row["h"] == 0  # was NULL pre-fix: aggregates dropped the row
+        assert row["p"] == "unknown"
+
 
 class TestTfidf:
     def test_scores_and_ranks(self, spark):
@@ -1140,6 +1171,63 @@ class TestReviewRegressions:
             ).collect()
         )
         assert got == [3, 7]
+
+    def test_bloom_int_vs_double_keys_match_semi_join(self, spark):
+        # regression: int 5 stringifies '5', double 5.0 stringifies '5.0';
+        # the pre-filter must normalize through the join's own coercion or
+        # it drops rows the exact semi join WOULD match
+        from invoice_ocr_reconciler_spark.operators.bloom import bloom_semi_join
+
+        big = spark.createDataFrame(
+            [(float(i), f"v{i}") for i in range(10)], "k double, v string"
+        )
+        keys = spark.createDataFrame([(3,), (7,)], "j int")
+        got = sorted(
+            r["k"]
+            for r in bloom_semi_join(
+                big, keys, big_key="k", keys_key="j", m_bits=1 << 10
+            ).collect()
+        )
+        assert got == [3.0, 7.0]
+        # un-coercible mixes fail loudly instead of silently dropping rows
+        import pytest
+
+        skeys = spark.createDataFrame([("3",)], "j string")
+        with pytest.raises(TypeError, match="do not string-normalize"):
+            bloom_semi_join(big, skeys, big_key="k", keys_key="j")
+
+    def test_snapshot_diff_null_fingerprint_is_presence(self, spark):
+        # regression: presence was inferred from fp nullness, so a row
+        # PRESENT with a NULL fingerprint read as absent
+        from invoice_ocr_reconciler_spark.operators.diff import snapshot_diff
+
+        old = spark.createDataFrame(
+            [("u1", None), ("u2", "a"), ("u3", None)], "url string, fingerprint string"
+        )
+        new = spark.createDataFrame(
+            [("u1", "x"), ("u2", None), ("u3", None), ("u4", "b")],
+            "url string, fingerprint string",
+        )
+        got = {r["key"]: r["change"]
+               for r in snapshot_diff(old, new, include_unchanged=True).collect()}
+        assert got == {
+            "u1": "changed",    # NULL -> value (was: 'added')
+            "u2": "changed",    # value -> NULL (was: 'removed')
+            "u3": "unchanged",  # NULL on both sides
+            "u4": "added",      # genuinely absent from old
+        }
+
+    def test_count_delta_negative_check(self, spark):
+        from invoice_ocr_reconciler_spark.operators.diff import apply_count_delta
+
+        old = spark.createDataFrame([("k", 5)], "key string, n int")
+        twice = spark.createDataFrame([("k", -7)], "key string, n int")
+        # default: indistinguishable from a zero-drop (documented)
+        assert apply_count_delta(old, twice).count() == 0
+        import pytest
+
+        with pytest.raises(ValueError, match="negative count"):
+            apply_count_delta(old, twice, check_nonnegative=True)
 
     def test_bloom_odd_m_bits(self, spark):
         from invoice_ocr_reconciler_spark.operators.bloom import (

@@ -72,6 +72,27 @@ def test_upsert_missing_update_col_raises(spark, target):
         upsert(target, updates, key="url", update_cols=["status", "amount"])
 
 
+def test_upsert_update_col_missing_from_target_raises(spark, target):
+    # regression: the projection iterates target.columns, so an update_col
+    # absent from the target was silently DROPPED — a MERGE that
+    # "succeeded" but lost the field
+    updates = spark.createDataFrame([Row(url="u1", status="x", flag="f")])
+    with pytest.raises(ValueError, match="flag.*silently discarded"):
+        upsert(target, updates, key="url", update_cols=["status", "flag"])
+
+
+def test_status_writeback_duplicate_results_raise(spark, target):
+    from invoice_ocr_reconciler_spark.operators.mutate import status_writeback
+
+    results = spark.createDataFrame(
+        [Row(invoice_url="u1", match_status="matched"),
+         Row(invoice_url="u1", match_status="mismatch")]
+    )
+    # the durable write-back path must not fan the invoice row out
+    with pytest.raises(ValueError, match="duplicate merge keys"):
+        status_writeback(target, results).collect()
+
+
 def test_delete_rows(spark, target):
     deletes = spark.createDataFrame([Row(url="u1"), Row(url="u9")])
     left = sorted(r["url"] for r in delete_rows(target, deletes, key="url").collect())

@@ -241,6 +241,20 @@ def test_ivf_topk_recall_and_determinism(spark):
     assert got == again
 
 
+def test_ivf_topk_custom_id_col(spark):
+    # regression: ivf_assign's Arrow schema hardcodes 'vec_id'; ivf_topk
+    # joined on id_col without renaming and crashed for any other name
+    from invoice_ocr_reconciler_spark.operators.similarity import ivf_topk
+
+    rows = [(i, [float((i * 7 + d * 3) % 13 - 6) for d in range(8)]) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, embedding array<float>")
+    out = ivf_topk(df, df.filter("doc_id < 3"), k=2,
+                   n_centroids=4, n_probe=2, id_col="doc_id")
+    rowsc = out.collect()
+    assert len(rowsc) > 0
+    assert all(r["neighbor_id"] != r["query_id"] for r in rowsc)
+
+
 def test_ivf_centroids_deterministic(spark):
     import numpy as np
 
