@@ -52,6 +52,9 @@ def main() -> None:
         "repetition_metrics",  # Gopher-style repetition cut (pure codegen)
         "tfidf_top_terms",   # two-agg TF-IDF + broadcast-vocab top-k
         "crawl_diff",        # CDC snapshot diff (full-outer fingerprint compare)
+        "duplicated_spans",  # substring-level dedup (content-keyed windows)
+        "shuffle_shards",    # deterministic global shuffle (one exchange)
+        "semantic_dedup",    # SemDeDup cluster-then-prune over embeddings
         "ann_brute_force",
         "upsert_table",         # MERGE/upsert over the orders table
         "status_writeback",     # E2 write-back (UPDATE-only MERGE)

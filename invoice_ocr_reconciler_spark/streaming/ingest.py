@@ -76,6 +76,11 @@ def start_writeback_stream(
     idempotent: the write-back of the same results is a no-op overwrite).
     On Iceberg, foreachBatch would issue MERGE INTO snapshot commits; here
     the parquet stand-in swaps output atomically per batch.
+
+    A micro-batch carrying TWO results for one url fails the batch (the
+    underlying MERGE enforces key-unique updates) instead of fanning the
+    invoice row out — producers must emit one result per url per batch;
+    across batches later updates compound normally.
     """
     import os
     import shutil
