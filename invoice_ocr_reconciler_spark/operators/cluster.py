@@ -127,24 +127,36 @@ def connected_components(
             )
     if checkpoint_dir:
         spark.sparkContext.setCheckpointDir(checkpoint_dir)
-        _ckpt = lambda df: df.checkpoint(eager=True)
+        _ckpt = lambda df, eager: df.checkpoint(eager=eager)
     else:
-        _ckpt = lambda df: df.localCheckpoint(eager=True)
+        _ckpt = lambda df, eager: df.localCheckpoint(eager=eager)
     edges = _ckpt(
         _symmetric(
             pairs.select(
                 F.col(id_a).cast("long").alias("src"),
                 F.col(id_b).cast("long").alias("dst"),
             )
-        )
+        ),
+        True,
     )
     # derived AFTER the checkpoint so the final labeling join reads the
     # materialized round-0 edges instead of replaying scan+union+distinct
     nodes = edges.select("src").distinct()
+    # Star contraction never empties a >=2-node component (the star edges
+    # persist), so an empty round-0 edge set means the input had no edges
+    # at all — skip the whole loop. Well-thresholded near-dup graphs are
+    # often empty, and each round below costs real scheduling even on
+    # nothing.
+    if edges.isEmpty():
+        return nodes.select(
+            F.col("src").alias("doc_id"), F.col("src").alias("component")
+        )
     prev = None
     converged = False
     for _ in range(max_rounds):
-        edges = _ckpt(_small_star(_large_star(edges)))
+        # non-eager: the signature agg is the action that materializes the
+        # checkpoint, so each round costs ONE job, not checkpoint+agg
+        edges = _ckpt(_small_star(_large_star(edges)), False)
         sig = _signature(edges)
         if sig == prev:
             converged = True
