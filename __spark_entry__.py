@@ -788,6 +788,20 @@ def q_paged_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-free co-located join (sources/bucketed.py): both sides
+    written as same-key catalog-bucketed tables, then SMJ + bucket-key
+    rollup with ZERO shuffle exchanges (plan pinned by tests/test_plans.py
+    TestBucketedTables; unbucketed control shows 2). The 100 TB story: the
+    fact-fact shuffle is paid once at write time, every later join/agg on
+    the bucket key rides the stored layout."""
+    from invoice_ocr_reconciler_spark.sources.bucketed import (
+        bucketed_join_rollup,
+    )
+
+    return bucketed_join_rollup(spark, sf_dir)
+
+
 # --- round-2 additions: clustering, events, webtext curation metrics ---
 
 def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1573,6 +1587,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_frames": q_multimodal_frames,
         "salted_host_partitions": q_salted_host_partitions,
         "paged_count": q_paged_count,
+        "bucketed_join": q_bucketed_join,
         # clustering / events / webtext curation metrics
         "dedup_components": q_dedup_components,
         "dedup_canonical": q_dedup_canonical,
@@ -1875,6 +1890,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         "fingerprint": f"SELECT doc_id, {_FP_SQL} AS fingerprint FROM documents",
         "paged_count": "SELECT count(*) AS total FROM orders WHERE o_orderstatus IN ('O', 'P')",
+        "bucketed_join": """
+            SELECT o_custkey AS custkey, c_name,
+                   count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS total_spent
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY o_custkey, c_name
+        """,
         # MERGE/upsert replay: matched -> update values win, unmatched target
         # kept, unmatched update inserted (operators/mutate.py:upsert)
         "upsert_table": """
