@@ -788,6 +788,54 @@ def q_paged_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout metadata (sources/zorder.py): per-Morton-chunk row
+    counts and min/max bounds of BOTH clustering columns (price, order
+    epoch) — the data-skipping stats a lakehouse format stores per file.
+    Pure codegen keying; oracle replays bucket+interleave+chunk bit-exactly
+    in SQL. Pruning evidence (z-order prunes a price-only box a date-sorted
+    layout cannot) is pinned in tests/test_zorder.py."""
+    from invoice_ocr_reconciler_spark.sources.zorder import zorder_chunk_stats
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").withColumn(
+        "_ep", F.unix_timestamp(F.col("o_orderdate")).cast("double")
+    )
+    return zorder_chunk_stats(orders, F.col("o_totalprice"), F.col("_ep"))
+
+
+def _zorder_oracle_sql() -> str:
+    """DuckDB replay of sources/zorder.py: uniform 256-cell bucket per
+    dim, 8-bit Morton interleave, chunk = top 6 bits."""
+    terms = []
+    for k in range(8):
+        terms.append(f"(((bx >> {k}) & 1) << {2 * k})")
+        terms.append(f"(((by >> {k}) & 1) << {2 * k + 1})")
+    z = " | ".join(terms)
+    return f"""
+        WITH b AS (
+            SELECT min(o_totalprice) AS mnx, max(o_totalprice) AS mxx,
+                   min(epoch(o_orderdate)) AS mny,
+                   max(epoch(o_orderdate)) AS mxy
+            FROM orders
+        ), k AS (
+            SELECT o_totalprice AS x, epoch(o_orderdate) AS y,
+                CASE WHEN mxx > mnx THEN LEAST(255, CAST(FLOOR(
+                    (o_totalprice - mnx) / (mxx - mnx) * 256) AS BIGINT))
+                    ELSE 0 END AS bx,
+                CASE WHEN mxy > mny THEN LEAST(255, CAST(FLOOR(
+                    (epoch(o_orderdate) - mny) / (mxy - mny) * 256) AS BIGINT))
+                    ELSE 0 END AS by
+            FROM orders CROSS JOIN b
+        ), z AS (
+            SELECT x, y, ({z}) AS zkey FROM k
+        )
+        SELECT CAST(zkey >> 10 AS INT) AS chunk, count(*) AS n_rows,
+               round(min(x), 6) AS min_x, round(max(x), 6) AS max_x,
+               round(min(y), 6) AS min_y, round(max(y), 6) AS max_y
+        FROM z GROUP BY chunk
+    """
+
+
 def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shuffle-free co-located join (sources/bucketed.py): both sides
     written as same-key catalog-bucketed tables, then SMJ + bucket-key
@@ -1588,6 +1636,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_host_partitions": q_salted_host_partitions,
         "paged_count": q_paged_count,
         "bucketed_join": q_bucketed_join,
+        "zorder_stats": q_zorder_stats,
         # clustering / events / webtext curation metrics
         "dedup_components": q_dedup_components,
         "dedup_canonical": q_dedup_canonical,
@@ -1890,6 +1939,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "fingerprint": f"SELECT doc_id, {_FP_SQL} AS fingerprint FROM documents",
         "paged_count": "SELECT count(*) AS total FROM orders WHERE o_orderstatus IN ('O', 'P')",
+        "zorder_stats": _zorder_oracle_sql(),
         "bucketed_join": """
             SELECT o_custkey AS custkey, c_name,
                    count(*) AS n_orders,
