@@ -105,6 +105,18 @@ def main() -> None:
         recall = {"error": str(exc)[:120]}
 
     total = round(sum(timings.values()), 3)
+    # like-for-like cross-round comparison: the round-1 headline covered
+    # exactly these 13 queries; later rounds add queries (growing `value`
+    # by coverage, not regression), so report the r1 subset's sum too
+    R1_SUBSET = [
+        "amount_tolerance_join", "ann_brute_force", "dedup_exact",
+        "dedup_minhash", "extract_pages", "fuzzy_block_join", "lang_id",
+        "monthly_agg", "quality_score", "reconcile", "stats_overview",
+        "token_count", "topk_per_group",
+    ]
+    r1_subset_wall = round(
+        sum(timings[q] for q in R1_SUBSET if q in timings), 3
+    )
     pipeline_docs_per_sec = (
         round(n_docs / timings["reconcile"], 1) if n_docs and timings["reconcile"] else None
     )
@@ -188,6 +200,7 @@ def main() -> None:
                 "metric": "headline_queries_total_wall",
                 "value": total,
                 "unit": "sec",
+                "r1_subset_wall": r1_subset_wall,
                 "queries": timings,
                 "sf": sf_dir,
                 "cores": cores,
