@@ -788,6 +788,43 @@ def q_paged_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_host_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key quota cap (operators/sampling.py:per_key_quota): at most 5
+    docs per source, best-n_chars-first — the anti-spam per-domain cap of
+    web-corpus builds. Two-phase salted top-K (hot keys never become one
+    giant window task); oracle is the plain one-window QUALIFY replay."""
+    from invoice_ocr_reconciler_spark.operators.sampling import per_key_quota
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source", "n_chars"
+    )
+    return per_key_quota(docs, 5, "source", [F.col("n_chars").desc()])
+
+
+def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget quality cut (operators/sampling.py:token_budget_select):
+    keep the best-quality documents while the running token total (score
+    DESC, id ASC order) stays within budget — the FineWeb-style "top N
+    tokens" selection. Implementation prefix-scans per-score-cell token
+    sums and runs the exact cumsum window only in the boundary cell; the
+    oracle replays the semantics as ONE global window cumsum."""
+    from invoice_ocr_reconciler_spark.functions.text import (
+        quality_score_cols,
+        token_count_col,
+    )
+    from invoice_ocr_reconciler_spark.operators.sampling import (
+        token_budget_select,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    scored = docs.select(
+        "doc_id",
+        quality_score_cols(F.col("text"))["quality_score"].alias("score"),
+        token_count_col(F.col("text")).alias("n_tokens"),
+    )
+    return token_budget_select(scored, budget=15000)
+
+
 def q_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order layout metadata (sources/zorder.py): per-Morton-chunk row
     counts and min/max bounds of BOTH clustering columns (price, order
@@ -1637,6 +1674,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "paged_count": q_paged_count,
         "bucketed_join": q_bucketed_join,
         "zorder_stats": q_zorder_stats,
+        "host_quota": q_host_quota,
+        "token_budget": q_token_budget,
         # clustering / events / webtext curation metrics
         "dedup_components": q_dedup_components,
         "dedup_canonical": q_dedup_canonical,
@@ -1940,6 +1979,42 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint": f"SELECT doc_id, {_FP_SQL} AS fingerprint FROM documents",
         "paged_count": "SELECT count(*) AS total FROM orders WHERE o_orderstatus IN ('O', 'P')",
         "zorder_stats": _zorder_oracle_sql(),
+        "host_quota": """
+            SELECT doc_id, source, n_chars, rank FROM (
+                SELECT doc_id, source, n_chars,
+                       row_number() OVER (
+                           PARTITION BY source
+                           ORDER BY n_chars DESC, doc_id
+                       ) AS rank
+                FROM documents
+            ) WHERE rank <= 5
+        """,
+        "token_budget": r"""
+            WITH f AS (
+                SELECT doc_id,
+                       CAST(length(coalesce(text, '')) AS INT) AS nc,
+                       len(regexp_extract_all(coalesce(text, ''), '[^\w\s]')) AS n_punct,
+                       CASE WHEN length(trim(coalesce(text, ''))) = 0 THEN 0
+                            ELSE len(regexp_split_to_array(trim(coalesce(text, '')), '\s+'))
+                       END AS n_tokens,
+                       len(regexp_extract_all(lower(coalesce(text, '')), '\b(the|and|of|to|is|with|that)\b')) AS n_stop
+                FROM documents),
+            s AS (
+                SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+                       floor((least(nc / 500.0, 1.0) * 0.4
+                              + (1.0 - CASE WHEN nc > 0 THEN n_punct / nc ELSE 0 END) * 0.3
+                              + least(CASE WHEN n_tokens > 0 THEN n_stop / n_tokens ELSE 0 END * 5.0, 1.0) * 0.3)
+                             * 10000.0 + 0.5) / 10000.0 AS score
+                FROM f),
+            r AS (
+                SELECT doc_id, score, n_tokens,
+                       sum(n_tokens) OVER (
+                           ORDER BY score DESC, doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                       ) AS cum
+                FROM s)
+            SELECT doc_id, score, n_tokens FROM r WHERE cum <= 15000
+        """,
         "bucketed_join": """
             SELECT o_custkey AS custkey, c_name,
                    count(*) AS n_orders,

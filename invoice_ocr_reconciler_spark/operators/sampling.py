@@ -15,7 +15,7 @@ n_buckets)) is kept iff b < rate[stratum].
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -153,4 +153,126 @@ def weighted_sample(
         .withColumn("priority_key", roundn(F.log(-F.log(u)) - F.log(w), 12))
         .orderBy(F.col("priority_key").asc(), F.col(id_col))
         .limit(int(k))
+    )
+
+
+def per_key_quota(
+    docs: DataFrame,
+    quota: int,
+    key_col: str,
+    order_cols: list,
+    id_col: str = "doc_id",
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Keep at most `quota` rows per key (anti-spam / per-domain caps in
+    web-corpus builds), chosen by `order_cols` then `id_col` — fully
+    deterministic.
+
+    Two-phase salted top-K so a hot key never becomes one giant window
+    task: phase 1 ranks within (key, salt(id)) and keeps <= quota per
+    salted group (each of a hot key's rows sorts only its 1/salt_buckets
+    slice); phase 2 ranks the <= salt_buckets*quota survivors per key.
+    Exact: every global top-quota row is inside its own salted group's
+    top-quota, so phase 1 never discards a final survivor. Adds a `rank`
+    column (1-based within key).
+    """
+    order = [*order_cols, F.col(id_col).asc()]
+    salt = F.pmod(F.xxhash64(F.col(id_col)), F.lit(salt_buckets))
+    w1 = Window.partitionBy(F.col(key_col), salt).orderBy(*order)
+    w2 = Window.partitionBy(key_col).orderBy(*order)
+    return (
+        docs.withColumn("_r1", F.row_number().over(w1))
+        .filter(F.col("_r1") <= quota)
+        .drop("_r1")
+        .withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= quota)
+    )
+
+
+def token_budget_select(
+    docs: DataFrame,
+    budget: int,
+    score_col: str = "score",
+    token_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    n_cells: int = 1024,
+) -> DataFrame:
+    """Highest-quality documents under a total token budget (the
+    FineWeb-style "take the best N tokens" cut): keep a document iff the
+    running token sum over (score DESC, id ASC) order, INCLUDING its own
+    tokens, stays <= budget. A prefix rule, not a knapsack — a document
+    that overflows the budget is dropped and nothing later back-fills,
+    which is what makes the cut order-deterministic and SQL-replayable
+    (one window cumsum).
+
+    The naive form is a GLOBAL ordered cumsum — a single-partition window.
+    Scale shape here: bucket scores into `n_cells` uniform cells (one tiny
+    bounds agg), aggregate tokens per cell (one partial-agg'd groupBy of
+    n_cells rows), prefix-scan the n_cells sums on the driver to find the
+    boundary cell, then run the exact cumsum window ONLY inside that one
+    cell (~1/n_cells of the corpus; n_cells scales with corpus size).
+    Cells partition by score value, so between-cell order is consistent
+    with score DESC and equal scores always share a cell — the result is
+    IDENTICAL to the global window, cell math notwithstanding.
+
+    Degenerate case: all scores equal -> one cell -> the boundary window
+    covers the whole corpus (document the knob: raise n_cells or pre-salt
+    such corpora; a constant score carries no selection signal anyway).
+    Returns kept rows: (id, score, n_tokens).
+    """
+    sel = docs.select(
+        F.col(id_col),
+        F.col(score_col).cast("double").alias("_score"),
+        F.col(token_col).cast("long").alias("_tok"),
+    )
+    bounds = sel.agg(
+        F.min("_score").alias("mn"), F.max("_score").alias("mx")
+    ).collect()[0]
+    spark = docs.sparkSession
+    empty = spark.createDataFrame(
+        [], f"{id_col} long, {score_col} double, {token_col} long"
+    )
+    if bounds["mn"] is None:
+        return empty
+    mn, mx = float(bounds["mn"]), float(bounds["mx"])
+    span = mx - mn
+    if span > 0:
+        cell = F.least(
+            F.lit(n_cells - 1),
+            F.floor((F.col("_score") - F.lit(mn)) / F.lit(span) * n_cells),
+        ).cast("int")
+    else:
+        cell = F.lit(0)
+    celled = sel.withColumn("_cell", cell)
+    sums = {
+        r["_cell"]: r["t"]
+        for r in celled.groupBy("_cell").agg(F.sum("_tok").alias("t")).collect()
+    }
+    cum = 0
+    boundary = None
+    kept_cells = []
+    for c in sorted(sums, reverse=True):  # high cell = high score
+        if cum + sums[c] <= budget:
+            kept_cells.append(c)
+            cum += sums[c]
+        else:
+            boundary = c
+            break
+    out = celled.filter(F.col("_cell").isin(kept_cells) if kept_cells else F.lit(False))
+    if boundary is not None:
+        w = Window.partitionBy("_cell").orderBy(
+            F.col("_score").desc(), F.col(id_col).asc()
+        )
+        frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        edge = (
+            celled.filter(F.col("_cell") == boundary)
+            .withColumn("_cum", F.sum("_tok").over(frame))
+            .filter(F.col("_cum") <= budget - cum)
+            .drop("_cum")
+        )
+        out = out.unionByName(edge)
+    return out.select(
+        F.col(id_col),
+        F.col("_score").alias(score_col),
+        F.col("_tok").alias(token_col),
     )

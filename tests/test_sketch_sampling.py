@@ -153,3 +153,114 @@ def test_heavy_hitters_finds_the_hot_key(spark):
 def test_heavy_hitters_empty(spark):
     df = spark.createDataFrame([], "doc_id long, key string")
     assert heavy_hitters(df, "key", "doc_id", k=3).count() == 0
+
+
+class TestPerKeyQuota:
+    def _docs(self, spark):
+        return spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+    def test_matches_single_window_reference(self, spark):
+        from pyspark.sql import Window
+
+        from invoice_ocr_reconciler_spark.operators.sampling import per_key_quota
+
+        docs = self._docs(spark)
+        got = sorted(
+            (r["source"], r["doc_id"], r["rank"])
+            for r in per_key_quota(
+                docs, 5, "source", [F.col("n_chars").desc()]
+            ).select("source", "doc_id", "rank").collect()
+        )
+        w = Window.partitionBy("source").orderBy(
+            F.col("n_chars").desc(), F.col("doc_id").asc()
+        )
+        want = sorted(
+            (r["source"], r["doc_id"], r["rank"])
+            for r in docs.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 5)
+            .select("source", "doc_id", "rank")
+            .collect()
+        )
+        assert got == want and len(got) > 0
+
+    def test_hot_key_capped_and_partition_invariant(self, spark):
+        from invoice_ocr_reconciler_spark.operators.sampling import per_key_quota
+
+        # one key holding every row: phase 1 must keep it bounded
+        hot = spark.createDataFrame(
+            [(i, "k", float(i % 97)) for i in range(5000)],
+            "doc_id long, source string, n_chars double",
+        )
+        a = per_key_quota(hot.repartition(3), 7, "source", [F.col("n_chars").desc()])
+        b = per_key_quota(hot.repartition(17), 7, "source", [F.col("n_chars").desc()])
+        ra = sorted(r["doc_id"] for r in a.collect())
+        rb = sorted(r["doc_id"] for r in b.collect())
+        assert ra == rb and len(ra) == 7
+
+    def test_empty(self, spark):
+        from invoice_ocr_reconciler_spark.operators.sampling import per_key_quota
+
+        docs = self._docs(spark).filter(F.lit(False))
+        assert per_key_quota(docs, 5, "source", [F.col("n_chars").desc()]).count() == 0
+
+
+class TestTokenBudgetSelect:
+    def _scored(self, spark):
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        return docs.select(
+            "doc_id",
+            F.col("n_chars").cast("double").alias("score"),
+            (F.col("n_chars") / 4).cast("long").alias("n_tokens"),
+        )
+
+    def _reference(self, scored, budget):
+        from pyspark.sql import Window
+
+        w = Window.orderBy(
+            F.col("score").desc(), F.col("doc_id").asc()
+        ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        return sorted(
+            r["doc_id"]
+            for r in scored.withColumn("cum", F.sum("n_tokens").over(w))
+            .filter(F.col("cum") <= budget)
+            .collect()
+        )
+
+    def test_matches_global_window_at_many_budgets(self, spark):
+        from invoice_ocr_reconciler_spark.operators.sampling import (
+            token_budget_select,
+        )
+
+        scored = self._scored(spark)
+        for budget in (0, 1, 1000, 12345, 10**9):
+            got = sorted(
+                r["doc_id"] for r in token_budget_select(scored, budget).collect()
+            )
+            assert got == self._reference(scored, budget), budget
+
+    def test_constant_score_degenerate_cell(self, spark):
+        from invoice_ocr_reconciler_spark.operators.sampling import (
+            token_budget_select,
+        )
+
+        scored = self._scored(spark).withColumn("score", F.lit(1.0))
+        got = sorted(
+            r["doc_id"] for r in token_budget_select(scored, 5000).collect()
+        )
+        assert got == self._reference(scored, 5000)
+
+    def test_empty_and_prefix_not_knapsack(self, spark):
+        from invoice_ocr_reconciler_spark.operators.sampling import (
+            token_budget_select,
+        )
+
+        empty = self._scored(spark).filter(F.lit(False))
+        assert token_budget_select(empty, 100).count() == 0
+        # budget 10: first doc (score 9) costs 8, second (score 5) costs 8
+        # and overflows; the third (score 1, 1 token) is NOT back-filled
+        rows = spark.createDataFrame(
+            [(1, 9.0, 8), (2, 5.0, 8), (3, 1.0, 1)],
+            "doc_id long, score double, n_tokens long",
+        )
+        got = sorted(r["doc_id"] for r in token_budget_select(rows, 10).collect())
+        assert got == [1]
