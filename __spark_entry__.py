@@ -1305,7 +1305,7 @@ def _relined_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             "\n",
         )
     )
-    return docs.select("doc_id", relined.alias("text"))
+    return docs.select("doc_id", "source", relined.alias("text"))
 
 
 def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1315,6 +1315,17 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from invoice_ocr_reconciler_spark.operators.dedup import line_dedup
 
     return line_dedup(_relined_documents(spark, sf_dir), max_doc_freq=3)
+
+
+def q_line_dedup_scoped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-site (RefinedWeb-form) line dedup: boilerplate frequency counts
+    only within documents of the same source, so cross-site common phrases
+    survive while each site's template lines are cut."""
+    from invoice_ocr_reconciler_spark.operators.dedup import line_dedup
+
+    return line_dedup(
+        _relined_documents(spark, sf_dir), max_doc_freq=3, scope_col="source"
+    )
 
 
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1690,6 +1701,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_sample": q_mixture_sample,
         "gopher_rules": q_gopher_rules,
         "line_dedup": q_line_dedup,
+        "line_dedup_scoped": q_line_dedup_scoped,
         "decontaminate": q_decontaminate,
         "corpus_hygiene": q_corpus_hygiene,
         "label_centroids": q_label_centroids,
@@ -2927,6 +2939,47 @@ def oracle_sql() -> dict[str, str]:
             f AS (SELECT line, count(DISTINCT doc_id) AS line_df FROM l GROUP BY line),
             j AS (SELECT l.doc_id, l.pos, l.line, (f.line_df >= 3) AS is_boiler
                   FROM l JOIN f USING (line)),
+            agg AS (
+                SELECT doc_id,
+                       coalesce(string_agg(CASE WHEN NOT is_boiler THEN line END,
+                                           chr(10) ORDER BY pos), '') AS text_clean,
+                       CAST(sum(CASE WHEN is_boiler THEN 0 ELSE 1 END) AS BIGINT) AS n_lines_kept,
+                       CAST(sum(CASE WHEN is_boiler THEN 1 ELSE 0 END) AS BIGINT) AS n_lines_removed
+                FROM j GROUP BY doc_id)
+            SELECT d.doc_id, coalesce(a.text_clean, '') AS text_clean,
+                   coalesce(a.n_lines_kept, 0) AS n_lines_kept,
+                   coalesce(a.n_lines_removed, 0) AS n_lines_removed
+            FROM documents d LEFT JOIN agg a USING (doc_id)
+        """,
+        "line_dedup_scoped": r"""
+            WITH t AS (
+                SELECT doc_id, source,
+                       list_filter(string_split_regex(lower(trim(coalesce(text, ''))), '\s+'),
+                                   x -> x <> '') AS toks
+                FROM documents),
+            m AS (
+                SELECT doc_id, source,
+                       CASE WHEN len(toks) = 0 THEN ''
+                            ELSE array_to_string(
+                                   list_transform(range(0, CAST(ceil(len(toks) / 6.0) AS INT)),
+                                     g -> array_to_string(
+                                            list_slice(toks, CAST(g * 6 + 1 AS INT),
+                                                       CAST(g * 6 + 6 AS INT)), ' ')),
+                                   chr(10))
+                       END AS text
+                FROM t),
+            l0 AS (SELECT doc_id, source, string_split_regex(text, '\r?\n') AS ls FROM m),
+            l1 AS (
+                SELECT doc_id, source,
+                       unnest(list_transform(range(1, len(ls) + 1),
+                                i -> {'pos': CAST(i AS INT),
+                                      'lkey': trim(ls[CAST(i AS INT)])})) AS s
+                FROM l0),
+            l AS (SELECT doc_id, source, s.pos AS pos, s.lkey AS line FROM l1
+                  WHERE s.lkey <> ''),
+            f AS (SELECT source, line, count(DISTINCT doc_id) AS line_df FROM l GROUP BY source, line),
+            j AS (SELECT l.doc_id, l.pos, l.line, (f.line_df >= 3) AS is_boiler
+                  FROM l JOIN f USING (source, line)),
             agg AS (
                 SELECT doc_id,
                        coalesce(string_agg(CASE WHEN NOT is_boiler THEN line END,

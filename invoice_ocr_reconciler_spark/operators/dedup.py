@@ -418,12 +418,21 @@ def line_dedup(
     max_doc_freq: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    scope_col: str | None = None,
 ) -> DataFrame:
     """Global line-level deduplication (the C4 / RefinedWeb boilerplate
     cut): any trimmed non-blank line that occurs in >= max_doc_freq
     DISTINCT documents is boilerplate (nav bars, cookie banners, footers)
     and is removed from EVERY document; the survivors are re-assembled in
     original order.
+
+    ``scope_col`` (e.g. the host/source column) switches the frequency
+    scope: a line counts as boilerplate only within documents sharing the
+    scope value — the RefinedWeb per-site form, which protects a phrase
+    that is legitimately common ACROSS sites (quotes, idioms) while still
+    cutting each site's own template lines. Scoped mode also sharpens the
+    plan at web scale: the boilerplate key becomes (scope, line), so the
+    flag join's hash key can never concentrate on one globally-hot line.
 
     Returns one row per input document:
       (doc_id, text_clean, n_lines_kept, n_lines_removed)
@@ -446,26 +455,28 @@ def line_dedup(
     No Python crossing anywhere — pure codegen + two agg exchanges + two
     joins.
     """
+    scope = [scope_col] if scope_col else []
     lines = (
-        docs.select(id_col, text_col)
+        docs.select(id_col, text_col, *scope)
         .select(
             F.col(id_col),
+            *[F.col(s) for s in scope],
             F.posexplode(
                 F.split(F.coalesce(F.col(text_col), F.lit("")), r"\r?\n")
             ).alias("pos", "raw_line"),
         )
         .withColumn("line", F.trim(F.col("raw_line")))
         .filter(F.col("line") != "")
-        .select(id_col, "pos", "line")
+        .select(id_col, *scope, "pos", "line")
     )
     boiler = (
-        lines.groupBy("line")
+        lines.groupBy(*scope, "line")
         .agg(F.count_distinct(F.col(id_col)).alias("line_df"))
         .filter(F.col("line_df") >= int(max_doc_freq))
         .withColumn("is_boiler", F.lit(True))
-        .select("line", "is_boiler")
+        .select(*scope, "line", "is_boiler")
     )
-    flagged = lines.join(boiler, "line", "left").withColumn(
+    flagged = lines.join(boiler, [*scope, "line"], "left").withColumn(
         "is_boiler", F.coalesce(F.col("is_boiler"), F.lit(False))
     )
     kept_struct = F.when(

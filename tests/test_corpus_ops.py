@@ -52,6 +52,33 @@ def test_line_dedup_threshold_boundary(lined_docs):
     assert out[1]["n_lines_removed"] == 0
 
 
+def test_line_dedup_scoped_protects_cross_site_lines(spark):
+    from invoice_ocr_reconciler_spark.operators.dedup import line_dedup
+
+    # "common phrase" appears once on each of 3 SITES: global dedup at
+    # max_doc_freq=3 removes it, per-site dedup keeps it; site-a's own
+    # template line (3 docs, same site) is cut by BOTH
+    rows = [
+        (0, "a", "site template line\ncommon phrase\nalpha body"),
+        (1, "a", "site template line\nbeta body"),
+        (2, "a", "site template line\ngamma body"),
+        (3, "b", "common phrase\ndelta body"),
+        (4, "c", "common phrase\nepsilon body"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    g = {r["doc_id"]: r["text_clean"]
+         for r in line_dedup(docs, max_doc_freq=3).collect()}
+    s_ = {r["doc_id"]: r["text_clean"]
+          for r in line_dedup(docs, max_doc_freq=3, scope_col="source").collect()}
+    # both cut site-a's template
+    assert "site template line" not in g[0] and "site template line" not in s_[0]
+    # global cuts the cross-site phrase; scoped keeps it
+    assert "common phrase" not in g[0] and "common phrase" not in g[3]
+    assert s_[0] == "common phrase\nalpha body"
+    assert s_[3] == "common phrase\ndelta body"
+    assert s_[4] == "common phrase\nepsilon body"
+
+
 def test_decontaminate_flags_ngram_overlap(spark):
     from invoice_ocr_reconciler_spark.operators.decontam import decontaminate
 
