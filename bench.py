@@ -146,12 +146,20 @@ def main() -> None:
         ledger_big = spark.read.parquet(ledger_path)
         # steady-state: tiny warm pass (codegen JIT, python worker forks)
         run_pipeline(pages_big.limit(1000), ledger_big)["results"].count()
-        t0 = time.monotonic()
-        nbig = run_pipeline(pages_big, ledger_big)["results"].count()
+        # best-of-2 with a cache clear per rep, same methodology as the
+        # headline queries: run_pipeline persists intermediates, so without
+        # the clear a second rep measures the cache; and a single rep is
+        # exposed to host throttle episodes
+        fw = []
+        for _rep in range(2):
+            spark.catalog.clearCache()
+            t0 = time.monotonic()
+            nbig = run_pipeline(pages_big, ledger_big)["results"].count()
+            fw.append(time.monotonic() - t0)
         flagship = {
             "n_pages": nbig,
-            "wall_sec": round(time.monotonic() - t0, 2),
-            "docs_per_sec": round(nbig / (time.monotonic() - t0), 1),
+            "wall_sec": round(min(fw), 2),
+            "docs_per_sec": round(nbig / min(fw), 1),
         }
     except Exception as exc:  # the headline numbers still stand alone
         flagship = {"error": str(exc)[:200]}
@@ -170,6 +178,8 @@ def main() -> None:
             )
         docs_big = spark.read.parquet(docs_path)
         curate_documents(docs_big.limit(2000), min_quality=0.4)  # warm pass
+        # drop the flagship leg's persisted frames before the timed run
+        spark.catalog.clearCache()
         t0 = time.monotonic()
         stats = curate_documents(docs_big, min_quality=0.4)["stats"].collect()[0]
         wall = time.monotonic() - t0
@@ -183,6 +193,7 @@ def main() -> None:
         }
         # exact connected-components variant: evidences the iterative CC
         # operator at the 200k scale (pair graph from the same LSH pass)
+        spark.catalog.clearCache()
         t0 = time.monotonic()
         stats_cc = curate_documents(
             docs_big, min_quality=0.4, near_dup_exact=True
