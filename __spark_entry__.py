@@ -262,6 +262,20 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, queries_df, k=5).withColumnRenamed("rank", "nb_rank")
 
 
+def q_ann_ivf_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN over int8-quantized codes + exact float re-rank
+    (operators/similarity.py:ivf_sq8_topk): the memory-bound variant —
+    probed-cell scans carry 1-byte codes instead of 8-byte floats, scale
+    cancels in cosine, the top rerank_factor*k re-rank exact. Rows-only
+    (k-means fit not SQL-replayable, like ann_ivf); recall parity with
+    ivf_topk pinned in tests."""
+    from invoice_ocr_reconciler_spark.operators.similarity import ivf_sq8_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries_df = emb.filter(F.col("vec_id") < 10)
+    return ivf_sq8_topk(emb, queries_df, k=5).withColumnRenamed("rank", "nb_rank")
+
+
 def q_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs, exact pairwise mode (DuckDB-checked);
     the LSH-bucketed scale path of the same operator is ann_lsh/rows-only."""
@@ -714,6 +728,7 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     (rows-only: the truth set itself comes from the Spark baseline)."""
     from invoice_ocr_reconciler_spark.operators.similarity import (
         brute_force_topk,
+        ivf_sq8_topk,
         ivf_topk,
         lsh_topk,
         recall_vs_truth,
@@ -752,6 +767,13 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(
             recall_vs_truth(
                 ivf_topk(emb, queries_df, k=5, n_probe=8), truth, "ivf_probe8"
+            )
+        )
+        .unionByName(
+            recall_vs_truth(
+                ivf_sq8_topk(emb, queries_df, k=5, n_probe=8),
+                truth,
+                "ivf_sq8_probe8",
             )
         )
     )
@@ -1660,6 +1682,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_brute_force": q_ann_brute_force,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
+        "ann_ivf_sq8": q_ann_ivf_sq8,
         "embedding_dedup": q_embedding_dedup,
         # mutation operators (MERGE/upsert, delete, write-back, manual link)
         "upsert_table": q_upsert_table,

@@ -576,6 +576,98 @@ def ivf_topk(
     )
 
 
+def ivf_sq8_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    rerank_factor: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    broadcast_queries: bool = True,
+) -> DataFrame:
+    """IVF ANN over int8-quantized codes with exact float re-rank — the
+    memory-bound variant of ivf_topk for 10^9+-vector corpora.
+
+    ivf_topk's probed-cell scan carries the full float vectors (8 bytes/dim)
+    through the cell join; here the scan side carries the SQ8 codes from
+    quantize_embeddings_int8 (1 byte/dim, 4-8x smaller rows through the
+    exchange and executor cache). The per-row symmetric scale CANCELS in
+    cosine (cos(s*q, x) = cos(q, x) for s > 0), so the approximate score is
+    one codegen zip_with dot over the int codes — no dequantization pass.
+    Quantization can perturb NEAR-TIED candidates, so the top
+    rerank_factor*k by approximate cosine join their float vectors back
+    (candidate ids only through that exchange) for an exact re-rank; the
+    final top-k therefore differs from ivf_topk only where SQ8 error
+    exceeds the true score gap beyond the re-rank horizon.
+
+    Same cell structure and recall knobs as ivf_topk (n_centroids,
+    n_probe); rerank_factor trades one small join against SQ8 ranking
+    error. Returns (query_id, neighbor_id, cosine, rank) with EXACT
+    cosines, like every other ANN here.
+    """
+    cent = fit_ivf_centroids(
+        corpus, n_centroids=n_centroids, id_col=id_col, vec_col=vec_col
+    )
+    codes = quantize_embeddings_int8(corpus, vec_col=vec_col, id_col=id_col)
+    assigned = codes.select(F.col(id_col), "qvec").join(
+        ivf_assign(corpus, cent, id_col, vec_col), id_col
+    )
+
+    def probes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n = min(n_probe, len(cent))
+        for pdf in batches:
+            if len(pdf) == 0 or n == 0:
+                continue
+            mat = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            near = _nearest_centroids(mat, cent, n)
+            ids = pdf[id_col].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(ids.to_numpy(), n),
+                    "centroid_id": near.reshape(-1).astype("int32"),
+                }
+            )
+
+    probe_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType(), False),
+            T.StructField("centroid_id", T.IntegerType(), False),
+        ]
+    )
+    q_probes = queries.select(id_col, vec_col).mapInPandas(probes, schema=probe_schema)
+    q_vecs = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    q_side = q_probes.join(q_vecs, "query_id")
+    if broadcast_queries:
+        q_side = F.broadcast(q_side)
+
+    qd = F.transform(F.col("qvec"), lambda x: x.cast("double"))
+    approx = cosine_sim(F.col("q_vec"), qd)  # scale cancels in cosine
+    cand_w = Window.partitionBy("query_id").orderBy(
+        F.col("approx").desc(), F.col(id_col)
+    )
+    cands = (
+        assigned.join(q_side, "centroid_id")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .withColumn("approx", approx)
+        .withColumn("_cr", F.row_number().over(cand_w))
+        .filter(F.col("_cr") <= rerank_factor * k)
+        .select("query_id", "q_vec", F.col(id_col))
+    )
+    vecs = corpus.select(F.col(id_col), F.col(vec_col).alias("_fv"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col(id_col))
+    return (
+        cands.join(vecs, id_col)
+        .withColumn("cosine", F.round(cosine_sim(F.col("q_vec"), F.col("_fv")), 6))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col(id_col).alias("neighbor_id"), "cosine", "rank")
+    )
+
+
 def label_centroids(
     emb: DataFrame, label_col: str = "label", vec_col: str = "embedding"
 ) -> DataFrame:

@@ -241,6 +241,50 @@ def test_ivf_topk_recall_and_determinism(spark):
     assert got == again
 
 
+def test_ivf_sq8_matches_float_ivf_after_rerank(spark):
+    from invoice_ocr_reconciler_spark.operators.similarity import (
+        ivf_sq8_topk,
+        ivf_topk,
+    )
+
+    rows = [(i, [float((i * 7 + d * 3) % 13 - 6) for d in range(8)]) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = df.filter("vec_id < 5")
+    f = {(r["query_id"], r["neighbor_id"]) for r in
+         ivf_topk(df, q, k=3, n_centroids=8, n_probe=4).collect()}
+    s8 = ivf_sq8_topk(df, q, k=3, n_centroids=8, n_probe=4).collect()
+    g = {(r["query_id"], r["neighbor_id"]) for r in s8}
+    # the exact re-rank recovers SQ8 error: the neighbor sets coincide with
+    # the float IVF path (same cells, same probes, same final exact scores)
+    assert g == f
+    # exact cosines reported, not the quantized approximation
+    assert all(-1.0001 <= r["cosine"] <= 1.0001 for r in s8)
+    assert all(r["neighbor_id"] != r["query_id"] for r in s8)
+    # partition invariance (the determinism contract)
+    a = sorted(map(tuple, ivf_sq8_topk(df.repartition(2), q, k=3,
+                                       n_centroids=8, n_probe=4).collect()))
+    b = sorted(map(tuple, ivf_sq8_topk(df.repartition(7), q, k=3,
+                                       n_centroids=8, n_probe=4).collect()))
+    assert a == b
+
+
+def test_ivf_sq8_empty_corpus_and_zero_vectors(spark):
+    from invoice_ocr_reconciler_spark.operators.similarity import ivf_sq8_topk
+
+    rows = [(i, [float((i * 7 + d * 3) % 13 - 6) for d in range(8)]) for i in range(20)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = df.filter("vec_id < 2")
+    assert ivf_sq8_topk(df.filter("vec_id < 0"), q, k=3).count() == 0
+    # a zero vector in the corpus (scale 0, all-zero code) must not crash
+    import pyspark.sql.functions as F
+
+    withz = df.union(
+        spark.createDataFrame([(999, [0.0] * 8)], "vec_id long, embedding array<float>")
+    )
+    out = ivf_sq8_topk(withz, q, k=3, n_centroids=4, n_probe=4).collect()
+    assert len(out) > 0
+
+
 def test_ivf_topk_custom_id_col(spark):
     # regression: ivf_assign's Arrow schema hardcodes 'vec_id'; ivf_topk
     # joined on id_col without renaming and crashed for any other name
