@@ -1244,6 +1244,20 @@ def q_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicated_spans(docs)
 
 
+def q_remove_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-span REMOVAL (operators/spans.py:remove_duplicated_spans):
+    the ExactSubstr cut — every token covered by a cross-document duplicated
+    selected window is dropped and the raw-case survivors re-joined with
+    single spaces. DuckDB replays windowing, md5 selection, dup counts,
+    position coverage, and the string rebuild exactly."""
+    from invoice_ocr_reconciler_spark.operators.spans import (
+        remove_duplicated_spans,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return remove_duplicated_spans(docs)
+
+
 def q_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic global shuffle into 16 balanced export shards
     (operators/chunking.py:shuffle_shards): md5 pseudo-random rank, hash
@@ -1749,6 +1763,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": q_weighted_sample,
         "heavy_hitters": q_heavy_hitters,
         "duplicated_spans": q_duplicated_spans,
+        "remove_spans": q_remove_spans,
         "shuffle_shards": q_shuffle_shards,
         "semantic_dedup": q_semantic_dedup,
         "column_profile": q_column_profile,
@@ -2821,6 +2836,48 @@ def oracle_sql() -> dict[str, str]:
                          / count(*) * 1e8 + 0.5) / 1e8 AS dup_span_frac
             FROM sel JOIN c USING (fp)
             GROUP BY doc_id
+        """,
+        # replays operators/spans.py:remove_duplicated_spans — same window/
+        # selection machinery as duplicated_spans, plus span POSITIONS, a
+        # coverage set (8 token slots per dup window), and the raw-case
+        # token rebuild via string_agg ORDER BY position
+        "remove_spans": r"""
+            WITH d AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(trim(coalesce(text, '')), '\s+'),
+                                   t -> t <> '') AS rtoks,
+                       list_filter(string_split_regex(lower(trim(coalesce(text, ''))), '\s+'),
+                                   t -> t <> '') AS toks
+                FROM documents),
+            w AS (
+                SELECT doc_id, s,
+                       substr(md5(array_to_string(list_slice(toks, s, s + 7), ' ')), 1, 16) AS fp
+                FROM d, LATERAL (SELECT unnest(range(1, len(toks) - 8 + 2)) AS s)
+                WHERE len(toks) >= 8),
+            sel AS (
+                SELECT doc_id, s, fp FROM w
+                WHERE ('0x' || substr(fp, 1, 8))::UBIGINT % 4 = 0),
+            dup AS (
+                SELECT fp FROM (SELECT DISTINCT doc_id, fp FROM sel)
+                GROUP BY fp HAVING count(*) >= 2),
+            cov AS (
+                SELECT DISTINCT sel.doc_id, p.pos
+                FROM sel JOIN dup USING (fp),
+                     LATERAL (SELECT unnest(range(sel.s, sel.s + 8)) AS pos) p),
+            tokpos AS (
+                SELECT doc_id, pos, rtoks[pos] AS tok
+                FROM d, LATERAL (SELECT unnest(range(1, len(rtoks) + 1)) AS pos)),
+            kept AS (
+                SELECT t.doc_id, t.pos, t.tok
+                FROM tokpos t
+                WHERE NOT EXISTS (SELECT 1 FROM cov c
+                                  WHERE c.doc_id = t.doc_id AND c.pos = t.pos))
+            SELECT d.doc_id,
+                   coalesce(string_agg(k.tok, ' ' ORDER BY k.pos), '') AS text_clean,
+                   CAST(len(d.rtoks) AS BIGINT) AS n_tokens,
+                   CAST(len(d.rtoks) - count(k.tok) AS BIGINT) AS n_removed_tokens
+            FROM d LEFT JOIN kept k USING (doc_id)
+            GROUP BY d.doc_id, len(d.rtoks)
         """,
         # replays operators/chunking.py:shuffle_shards — md5('shuffle:'id)
         # rank, first-8-hex shard mod 16, row_number per shard over

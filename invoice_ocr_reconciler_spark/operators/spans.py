@@ -103,6 +103,130 @@ def span_fingerprints(
     )
 
 
+def _selected_spans(text: Column, window: int, select_mod: int) -> Column:
+    """Array of (s, fp) structs — the selected windows of one document WITH
+    their 1-based start positions: the positional twin of
+    _selected_span_fps (same windows, same content-keyed survival rule),
+    for operators that must LOCATE spans rather than just count them. One
+    md5 per window: the fingerprint is computed once inside the struct and
+    the selection filter reads it back."""
+    toks = tokens_col(text)
+    sz = F.size(toks)
+    starts = F.when(
+        sz >= window, F.sequence(F.lit(1), sz - window + 1)
+    ).otherwise(F.array().cast("array<int>"))
+    withfp = F.transform(
+        starts,
+        lambda s: F.struct(
+            s.alias("s"),
+            F.substring(
+                F.md5(F.concat_ws(" ", F.slice(toks, s, window))), 1, _FP_HEX
+            ).alias("fp"),
+        ),
+    )
+    return F.filter(
+        withfp,
+        lambda p: F.conv(F.substring(p["fp"], 1, 8), 16, 10).cast("long")
+        % select_mod
+        == 0,
+    )
+
+
+def remove_duplicated_spans(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = WINDOW,
+    select_mod: int = SELECT_MOD,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Cut cross-document duplicated spans OUT of the text (the removal
+    step of Lee et al. 2022's ExactSubstr dedup, over the same sampled
+    fingerprints duplicated_spans counts).
+
+    A token is removed iff it is covered by at least one SELECTED window
+    whose fingerprint appears in >= min_docs documents; the surviving
+    tokens are re-joined with single spaces (dedup corpora run on
+    whitespace-normalized text — original inter-token whitespace is not
+    preserved, original token CASE is: fingerprints hash the lowercased
+    tokens, the rebuilt text keeps the raw ones, and the two tokenizations
+    align position-for-position because lower() never changes whitespace).
+    Documents with no duplicated span pass through with text_clean = the
+    normalized original.
+
+    Returns (id, text_clean, n_tokens, n_removed_tokens) for EVERY input
+    document.
+
+    Plan shape: the (fp, doc) exchange and the per-fp doc counts are the
+    same two partial-agg'd shuffles as duplicated_spans; the dup-start
+    lists come back as ONE array row per document (collect_list over the
+    join, bounded by ~n_tokens/p starts/doc), broadcast-joined or
+    hash-joined back to the corpus, and the cut itself is a codegen
+    filter over positions x dup-starts (worst case O(n_tokens * n_dup/p)
+    per doc — the dup list is the 1/p sample, never the full window set).
+    The corpus text crosses one exchange at most (the final join is on
+    id; with the bucketed pages layout it co-locates).
+    """
+    # (id, start, fp) for every selected window — positions kept, unlike
+    # span_fingerprints' distinct (fp, id) projection; the struct array is
+    # built (and each window hashed) once per document, so nothing bigger
+    # than a 24-byte pair rides the explode
+    span_pos = docs.select(
+        F.col(id_col),
+        F.explode(
+            _selected_spans(F.col(text_col), window, select_mod)
+        ).alias("sp"),
+    ).select(
+        F.col(id_col),
+        F.col("sp.s").alias("start"),
+        F.col("sp.fp").alias("fp"),
+    )
+    counts = (
+        span_pos.select("fp", F.col(id_col)).distinct()
+        .groupBy("fp")
+        .agg(F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+    )
+    dup_starts = (
+        span_pos.join(counts, "fp")
+        .groupBy(id_col)
+        .agg(F.collect_set("start").alias("dup_starts"))
+    )
+    raw_toks = F.filter(
+        F.split(F.trim(F.coalesce(F.col("_text"), F.lit(""))), r"\s+"),
+        lambda t: t != "",
+    )
+    joined = docs.select(F.col(id_col), F.col(text_col).alias("_text")).join(
+        dup_starts, id_col, "left"
+    )
+    ds = F.coalesce(F.col("dup_starts"), F.array().cast("array<int>"))
+    toks = raw_toks
+    # guard: sequence(1, 0) is DESCENDING in Spark, so an empty token
+    # array must short-circuit instead of zip-padding a phantom element
+    pairs = F.when(
+        F.size(toks) > 0,
+        F.zip_with(
+            toks,
+            F.sequence(F.lit(1), F.size(toks)),
+            lambda t, i: F.struct(t.alias("t"), i.alias("i")),
+        ),
+    ).otherwise(F.array().cast("array<struct<t:string,i:int>>"))
+    kept = F.filter(
+        pairs,
+        lambda p: ~F.exists(
+            ds, lambda s: (s <= p["i"]) & (p["i"] < s + window)
+        ),
+    )
+    return joined.select(
+        F.col(id_col),
+        F.concat_ws(" ", F.transform(kept, lambda p: p["t"])).alias(
+            "text_clean"
+        ),
+        F.size(toks).cast("long").alias("n_tokens"),
+        (F.size(toks) - F.size(kept)).cast("long").alias("n_removed_tokens"),
+    )
+
+
 def duplicated_spans(
     docs: DataFrame,
     text_col: str = "text",
