@@ -1258,6 +1258,20 @@ def q_remove_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return remove_duplicated_spans(docs)
 
 
+def q_extract_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlink extraction (functions/urls.py:extract_links): pure-codegen
+    href harvest + resolution over the synthesized pages table. The DuckDB
+    oracle never parses html — it PREDICTS the links analytically from the
+    datagen layout (kind grid, md5 host/edge derivations, the 30-link
+    nav/sidebar/footer boilerplate), so the check is end-to-end: real
+    bytes parsed on the Spark side, closed-form expectation on the other."""
+    from invoice_ocr_reconciler_spark import datagen
+    from invoice_ocr_reconciler_spark.functions.urls import extract_links
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return extract_links(datagen.pages_from_documents(docs))
+
+
 def q_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic global shuffle into 16 balanced export shards
     (operators/chunking.py:shuffle_shards): md5 pseudo-random rank, hash
@@ -1764,6 +1778,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_hitters": q_heavy_hitters,
         "duplicated_spans": q_duplicated_spans,
         "remove_spans": q_remove_spans,
+        "extract_links": q_extract_links,
         "shuffle_shards": q_shuffle_shards,
         "semantic_dedup": q_semantic_dedup,
         "column_profile": q_column_profile,
@@ -2878,6 +2893,40 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(d.rtoks) - count(k.tok) AS BIGINT) AS n_removed_tokens
             FROM d LEFT JOIN kept k USING (doc_id)
             GROUP BY d.doc_id, len(d.rtoks)
+        """,
+        # predicts functions/urls.py:extract_links output from the datagen
+        # layout: kind = doc_id % 10 (only 7 = PDF has no links; kinds 6/8
+        # come from pages_from_documents, which always wraps the document
+        # text in the full boilerplate), md5 host derivation, and the
+        # fixed 30-link order nav /s/0-7, sidebar /r/0-11, footer /f/0-9 —
+        # all root-relative, resolved to scheme://host
+        "extract_links": """
+            WITH k AS (
+                SELECT doc_id,
+                       doc_id % 10 AS kind,
+                       ('0x' || substr(md5('host:' || CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT % 100 AS r,
+                       ('0x' || substr(md5('coldhost:' || CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT % 50 AS c
+                FROM documents),
+            h AS (
+                SELECT doc_id, kind,
+                       CASE WHEN r < 35 THEN
+                            CASE WHEN r % 2 = 0 THEN 'portal.megacorp-billing.example'
+                                 ELSE 'docs.archive-crawl.example' END
+                       ELSE printf('site-%03d.example', CAST(c AS INT)) END AS host
+                FROM k),
+            pages AS (
+                SELECT printf('https://%s/doc/%012d.html', host, doc_id) AS url,
+                       'https://' || host AS base
+                FROM h
+                WHERE kind <> 7),
+            links AS (
+                SELECT i, CASE WHEN i < 8 THEN '/s/' || i
+                               WHEN i < 20 THEN '/r/' || (i - 8)
+                               ELSE '/f/' || (i - 20) END AS rel
+                FROM (SELECT unnest(range(0, 30)) AS i))
+            SELECT p.url, p.base || l.rel AS link,
+                   CAST(l.i + 1 AS INT) AS link_pos
+            FROM pages p CROSS JOIN links l
         """,
         # replays operators/chunking.py:shuffle_shards — md5('shuffle:'id)
         # rank, first-8-hex shard mod 16, row_number per shard over

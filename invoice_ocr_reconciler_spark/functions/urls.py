@@ -113,6 +113,75 @@ def domain_suffixes_col(host: Column) -> Column:
     )
 
 
+def extract_links(
+    pages, html_col: str = "html", url_col: str = "url"
+):
+    """Outlink extraction: (url, link, link_pos) — one row per hyperlink of
+    every page, targets resolved against the page URL. The link-graph
+    builder (PageRank, host out-degree, anchor harvesting) starts here.
+
+    Pure codegen, no Python crossing: view the payload as UTF-8 via a
+    binary->string CAST — the LENIENT decode (malformed bytes become
+    U+FFFD; `decode(_, 'UTF-8')` raises MALFORMED_CHARACTER_CODING under
+    ANSI mode, and one junk payload must never fail a 10^12-row scan) —
+    then regexp_extract_all the href values in document order, posexplode,
+    and resolve:
+
+      - absolute http(s) targets pass through;
+      - protocol-relative '//host/..' gets the page's scheme;
+      - root-relative '/..' gets the page's scheme://host;
+      - other relative paths resolve against the page URL's directory;
+      - fragment-only / javascript: / mailto: / empty targets are dropped
+        (they never reach a crawler frontier).
+
+    link_pos is the 1-based position among the page's hrefs BEFORE the
+    drop filter, so a kept link's position is stable under frontier-policy
+    changes. Non-HTML payloads (PDF bytes) decode to text with no hrefs
+    and contribute nothing.
+
+    Scale shape: one scan -> one codegen projection -> explode; ~30-100
+    links/page is the fan-out, and nothing but (url, link) pairs leave the
+    stage. No shuffle at all until the caller aggregates.
+    """
+    from pyspark.sql import DataFrame
+
+    assert isinstance(pages, DataFrame)
+    hrefs = F.regexp_extract_all(
+        F.col(html_col).cast("string"), F.lit(r'href="([^"]*)"'), 1
+    )
+    ex = pages.select(
+        F.col(url_col).alias("url"),
+        F.posexplode(hrefs).alias("_p0", "_raw"),
+    )
+    raw = F.col("_raw")
+    scheme = F.lower(F.regexp_extract(F.col("url"), r"^(?i)(https?):", 1))
+    base = F.concat(
+        scheme,
+        F.lit("://"),
+        F.regexp_extract(F.col("url"), r"^(?i)https?://([^/?#]+)", 1),
+    )
+    # page directory: scheme://host/path/up/to/last/slash (query dropped)
+    dir_ = F.regexp_extract(F.col("url"), r"^([^?#]*/)", 1)
+    resolved = (
+        F.when(raw.rlike(r"^(?i)https?://"), raw)
+        .when(raw.startswith("//"), F.concat(scheme, F.lit(":"), raw))
+        .when(raw.startswith("/"), F.concat(base, raw))
+        .when(
+            (raw == "") | raw.rlike(r"^(?i)(#|javascript:|mailto:)"),
+            F.lit(None).cast("string"),
+        )
+        .otherwise(F.concat(dir_, raw))
+    )
+    return (
+        ex.select(
+            "url",
+            resolved.alias("link"),
+            (F.col("_p0") + 1).cast("int").alias("link_pos"),
+        )
+        .filter(F.col("link").isNotNull())
+    )
+
+
 def blocklist_filter(
     df, blocklist, url_col: str = "url", domain_col: str = "domain"
 ):

@@ -1436,6 +1436,62 @@ class TestUrlBlocklist:
         assert blocklist_filter(empty_pages, bl).count() == 0
 
 
+class TestExtractLinks:
+    def _links(self, spark, html: bytes, url="https://h.example/dir/page.html"):
+        from invoice_ocr_reconciler_spark.functions.urls import extract_links
+
+        pages = spark.createDataFrame(
+            [(url, html)], "url string, html binary"
+        )
+        return [
+            (r["link"], r["link_pos"])
+            for r in extract_links(pages).orderBy("link_pos").collect()
+        ]
+
+    def test_resolution_branches(self, spark):
+        html = (
+            b'<a href="https://abs.example/x">a</a>'
+            b'<a href="//proto.example/y">p</a>'
+            b'<a href="/root/z">r</a>'
+            b'<a href="sibling.html">s</a>'
+            b'<a href="#frag">f</a>'
+            b'<a href="javascript:void(0)">j</a>'
+            b'<a href="mailto:a@b.c">m</a>'
+            b'<a href="">e</a>'
+            b'<a href="HTTP://UP.example/q">u</a>'
+        )
+        got = self._links(spark, html)
+        # positions are pre-filter: dropped targets leave gaps
+        assert got == [
+            ("https://abs.example/x", 1),
+            ("https://proto.example/y", 2),
+            ("https://h.example/root/z", 3),
+            ("https://h.example/dir/sibling.html", 4),
+            ("HTTP://UP.example/q", 9),
+        ]
+
+    def test_http_page_keeps_its_scheme(self, spark):
+        got = self._links(
+            spark,
+            b'<a href="//p.example/y">p</a><a href="/z">r</a>',
+            url="http://plain.example/a.html",
+        )
+        assert got == [
+            ("http://p.example/y", 1),
+            ("http://plain.example/z", 2),
+        ]
+
+    def test_binary_junk_and_linkless_pages_yield_nothing(self, spark):
+        assert self._links(spark, b"\xff\xfe\x00garbage \x80 bytes") == []
+        assert self._links(spark, b"<html><body>no links</body></html>") == []
+
+    def test_empty_frame(self, spark):
+        from invoice_ocr_reconciler_spark.functions.urls import extract_links
+
+        empty = spark.createDataFrame([], "url string, html binary")
+        assert extract_links(empty).count() == 0
+
+
 class TestDedupEndToEnd:
     def test_matches_exact_ground_truth(self, spark):
         """The sketch-fed composition (LSH -> verify -> CC -> canonical)
