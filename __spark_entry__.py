@@ -1258,6 +1258,21 @@ def q_remove_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return remove_duplicated_spans(docs)
 
 
+_LEXICON = ["merge", "window", "dup", "stream"]
+
+
+def q_wordlist_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style lexicon tagging (functions/text.py:wordlist_flags): per-doc
+    occurrence counts / ratio / first hit of a fixed 4-word flag list over
+    the documents table. DuckDB replays tokenization, membership, the
+    1e-8 ratio grid, and first-in-document-order exactly."""
+    from invoice_ocr_reconciler_spark.functions.text import wordlist_flags
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    lexicon = spark.createDataFrame([(w,) for w in _LEXICON], "word string")
+    return wordlist_flags(docs, lexicon)
+
+
 def q_extract_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Outlink extraction (functions/urls.py:extract_links): pure-codegen
     href harvest + resolution over the synthesized pages table. The DuckDB
@@ -1779,6 +1794,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "duplicated_spans": q_duplicated_spans,
         "remove_spans": q_remove_spans,
         "extract_links": q_extract_links,
+        "wordlist_flags": q_wordlist_flags,
         "shuffle_shards": q_shuffle_shards,
         "semantic_dedup": q_semantic_dedup,
         "column_profile": q_column_profile,
@@ -2893,6 +2909,29 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(d.rtoks) - count(k.tok) AS BIGINT) AS n_removed_tokens
             FROM d LEFT JOIN kept k USING (doc_id)
             GROUP BY d.doc_id, len(d.rtoks)
+        """,
+        # replays functions/text.py:wordlist_flags — shared lowercase
+        # whitespace tokenization, occurrence (not distinct) counting,
+        # 1e-8 ratio grid, first flagged token in document order
+        "wordlist_flags": r"""
+            WITH d AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(trim(coalesce(text, ''))), '\s+'),
+                                   t -> t <> '') AS toks
+                FROM documents),
+            f AS (
+                SELECT doc_id, toks,
+                       list_filter(toks,
+                                   t -> list_contains(['merge', 'window', 'dup', 'stream'], t)) AS hits
+                FROM d)
+            SELECT doc_id,
+                   CAST(len(toks) AS BIGINT) AS n_tokens,
+                   CAST(len(hits) AS BIGINT) AS n_flagged,
+                   CASE WHEN len(toks) > 0
+                        THEN floor(CAST(len(hits) AS DOUBLE) / len(toks) * 1e8 + 0.5) / 1e8
+                        ELSE 0.0 END AS flagged_ratio,
+                   CASE WHEN len(hits) > 0 THEN hits[1] END AS first_flagged
+            FROM f
         """,
         # predicts functions/urls.py:extract_links output from the datagen
         # layout: kind = doc_id % 10 (only 7 = PDF has no links; kinds 6/8

@@ -252,6 +252,59 @@ def gopher_rules_cols(col: Column) -> dict[str, Column]:
     }
 
 
+def wordlist_flags(
+    docs,
+    lexicon,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    word_col: str = "word",
+):
+    """C4-style lexicon tagging: per-document counts of tokens that appear
+    in a flag list (C4's 'bad words' cut drops any page with one hit;
+    RefinedWeb-style pipelines cut on the RATIO — both read off this).
+
+    Returns (id, n_tokens, n_flagged, flagged_ratio, first_flagged):
+    occurrence count (not distinct-word count), the 1e-8-grid ratio
+    (0.0 for empty docs — no evidence, not a hit), and the first flagged
+    token in document order (NULL when clean) for audit samples. Rows are
+    never dropped; callers filter (same audit-trail contract as
+    blocklist_filter).
+
+    Plan shape: the lexicon (a DataFrame, however it was loaded) collapses
+    to ONE lowercased collect_set array row, broadcast onto the corpus;
+    the tag itself is a codegen F.filter over the token array — zero
+    shuffles on the corpus and no Python. Membership is a linear array
+    scan per token: right for the 10^2-10^4-entry lists these cuts use;
+    a 10^6-entry lexicon should explode tokens into a broadcast-hash
+    semi join instead (same semantics, one partial-agg groupBy back).
+    """
+    from pyspark.sql import DataFrame
+
+    assert isinstance(docs, DataFrame) and isinstance(lexicon, DataFrame)
+    lex = F.broadcast(
+        lexicon.agg(
+            F.collect_set(F.lower(F.col(word_col))).alias("_lex_words")
+        )
+    )
+    toks = tokens_col(F.col(text_col))
+    hits = F.filter(toks, lambda t: F.array_contains(F.col("_lex_words"), t))
+    n_tok = F.size(toks)
+    n_hit = F.size(hits)
+    return (
+        docs.crossJoin(lex)
+        .select(
+            F.col(id_col),
+            n_tok.cast("long").alias("n_tokens"),
+            n_hit.cast("long").alias("n_flagged"),
+            F.when(n_tok > 0, roundn(n_hit / n_tok, 8))
+            .otherwise(F.lit(0.0))
+            .alias("flagged_ratio"),
+            # try_: ANSI element_at throws on a clean doc's empty hit list
+            F.try_element_at(hits, F.lit(1)).alias("first_flagged"),
+        )
+    )
+
+
 def fingerprint_col(col: Column) -> Column:
     """Deterministic document fingerprint over whitespace-normalized text.
 

@@ -302,3 +302,42 @@ def test_gopher_line_rules_crlf(spark):
            docs.select("doc_id", *[v.alias(k) for k, v in g.items()]).collect()}
     assert out[0]["ellipsis_line_frac"] == out[1]["ellipsis_line_frac"] == 0.5
     assert out[2]["ellipsis_line_frac"] == 1.0
+
+
+def test_wordlist_flags_counts_and_audit(spark):
+    from invoice_ocr_reconciler_spark.functions.text import wordlist_flags
+
+    docs = spark.createDataFrame(
+        [
+            (0, "Bad word BAD again bad end"),   # case-insensitive, 3 hits
+            (1, "totally clean text here"),
+            (2, ""),
+            (3, None),
+            (4, "bad"),
+        ],
+        "doc_id long, text string",
+    )
+    lex = spark.createDataFrame([("BAD",), ("evil",)], "word string")
+    out = {r["doc_id"]: r.asDict() for r in wordlist_flags(docs, lex).collect()}
+    # occurrences, not distinct words; rows never dropped
+    assert sorted(out) == [0, 1, 2, 3, 4]
+    assert out[0]["n_flagged"] == 3 and out[0]["n_tokens"] == 6
+    assert out[0]["flagged_ratio"] == 0.5
+    assert out[0]["first_flagged"] == "bad"
+    assert out[1]["n_flagged"] == 0 and out[1]["first_flagged"] is None
+    for i in (2, 3):  # empty/null docs: ratio 0.0, never null
+        assert out[i] == {"doc_id": i, "n_tokens": 0, "n_flagged": 0,
+                          "flagged_ratio": 0.0, "first_flagged": None}
+    assert out[4]["flagged_ratio"] == 1.0
+
+
+def test_wordlist_flags_empty_lexicon_and_corpus(spark):
+    from invoice_ocr_reconciler_spark.functions.text import wordlist_flags
+
+    docs = spark.createDataFrame([(0, "some text")], "doc_id long, text string")
+    empty_lex = spark.createDataFrame([], "word string")
+    out = wordlist_flags(docs, empty_lex).collect()
+    assert len(out) == 1 and out[0]["n_flagged"] == 0
+    empty_docs = spark.createDataFrame([], "doc_id long, text string")
+    lex = spark.createDataFrame([("bad",)], "word string")
+    assert wordlist_flags(empty_docs, lex).count() == 0
