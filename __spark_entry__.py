@@ -1273,6 +1273,22 @@ def q_wordlist_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wordlist_flags(docs, lexicon)
 
 
+def q_calibrate_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain score calibration (operators/sampling.py:
+    calibrate_scores, zscore): n_chars standardized within each source so
+    a global cut stops favoring long-document domains. One |groups|-row
+    stats exchange broadcast back — the corpus never shuffles. DuckDB
+    replays mean/stddev_pop and the 1e-6 grid."""
+    from invoice_ocr_reconciler_spark.operators.sampling import (
+        calibrate_scores,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return calibrate_scores(docs, "n_chars", "source").select(
+        "doc_id", "source", "n_chars", "calibrated"
+    )
+
+
 def q_extract_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Outlink extraction (functions/urls.py:extract_links): pure-codegen
     href harvest + resolution over the synthesized pages table. The DuckDB
@@ -1795,6 +1811,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "remove_spans": q_remove_spans,
         "extract_links": q_extract_links,
         "wordlist_flags": q_wordlist_flags,
+        "calibrate_scores": q_calibrate_scores,
         "shuffle_shards": q_shuffle_shards,
         "semantic_dedup": q_semantic_dedup,
         "column_profile": q_column_profile,
@@ -2909,6 +2926,19 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(d.rtoks) - count(k.tok) AS BIGINT) AS n_removed_tokens
             FROM d LEFT JOIN kept k USING (doc_id)
             GROUP BY d.doc_id, len(d.rtoks)
+        """,
+        # replays operators/sampling.py:calibrate_scores (zscore): per-
+        # source mean/stddev_pop, (x-m)/sd on the 1e-6 grid, constant
+        # group -> 0.0
+        "calibrate_scores": """
+            WITH s AS (
+                SELECT source, avg(n_chars) AS m, stddev_pop(n_chars) AS sd
+                FROM documents GROUP BY source)
+            SELECT d.doc_id, d.source, d.n_chars,
+                   CASE WHEN s.sd > 0
+                        THEN floor((d.n_chars - s.m) / s.sd * 1e6 + 0.5) / 1e6
+                        ELSE 0.0 END AS calibrated
+            FROM documents d JOIN s USING (source)
         """,
         # replays functions/text.py:wordlist_flags — shared lowercase
         # whitespace tokenization, occurrence (not distinct) counting,

@@ -189,6 +189,69 @@ def per_key_quota(
     )
 
 
+def calibrate_scores(
+    df: DataFrame,
+    score_col: str,
+    group_col: str,
+    method: str = "zscore",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-group score calibration before a GLOBAL selection cut.
+
+    Quality classifiers are miscalibrated across domains/languages: a raw
+    0.7 from a news site and a 0.7 from a forum are not the same
+    evidence, so a single global threshold over raw scores silently skews
+    the mix toward whichever group's scorer runs hot. Calibrating within
+    the group first (then cutting globally on the calibrated score) is
+    the standard fix. Two methods:
+
+      - 'zscore': (x - mean_g) / stddev_pop_g, on the 1e-6 grid; a
+        constant-score group (stddev 0) maps to 0.0 — no within-group
+        signal is exactly "average", never a division blowup. NULL scores
+        pass through as NULL (no evidence is not average evidence).
+      - 'pct_rank': percent_rank() within the group ordered by score —
+        rank-based, outlier-immune; ties share a rank (no id tiebreak:
+        equal scores must calibrate equally), single-row groups get 0.0.
+
+    Returns the input columns + `calibrated`.
+
+    Plan shape at 10^12 rows: zscore is ONE partial-agg'd groupBy
+    (|groups| rows through the exchange) broadcast back onto the corpus —
+    the corpus itself never shuffles. pct_rank is one hash exchange +
+    sort on the group key (a true rank needs the group co-located);
+    prefer zscore when the group count is small and the corpus is huge.
+    Both are pure codegen after the stats.
+    """
+    from invoice_ocr_reconciler_spark.functions.text import roundn
+
+    x = F.col(score_col).cast("double")
+    if method == "zscore":
+        stats = df.groupBy(group_col).agg(
+            F.avg(x).alias("_mean"),
+            F.stddev_pop(x).alias("_std"),
+        )
+        out = df.join(F.broadcast(stats), group_col)
+        cal = F.when(
+            x.isNull(), F.lit(None).cast("double")
+        ).when(
+            F.col("_std") > 0, roundn((x - F.col("_mean")) / F.col("_std"), 6)
+        ).otherwise(F.lit(0.0))
+        return out.withColumn("calibrated", cal).drop("_mean", "_std")
+    if method == "pct_rank":
+        # null rows are EXCLUDED from the rank frame (they would otherwise
+        # occupy rank positions and shift every real score) and unioned
+        # back with a NULL calibration
+        nn = df.filter(x.isNotNull())
+        nulls = df.filter(x.isNull()).withColumn(
+            "calibrated", F.lit(None).cast("double")
+        )
+        w = Window.partitionBy(group_col).orderBy(x.asc())
+        return nn.withColumn(
+            "calibrated", roundn(F.percent_rank().over(w), 6)
+        ).unionByName(nulls)
+    raise ValueError(f"unknown calibration method {method!r}")
+
+
 def token_budget_select(
     docs: DataFrame,
     budget: int,

@@ -341,3 +341,48 @@ def test_wordlist_flags_empty_lexicon_and_corpus(spark):
     empty_docs = spark.createDataFrame([], "doc_id long, text string")
     lex = spark.createDataFrame([("bad",)], "word string")
     assert wordlist_flags(empty_docs, lex).count() == 0
+
+
+def test_calibrate_scores_zscore(spark):
+    from invoice_ocr_reconciler_spark.operators.sampling import calibrate_scores
+
+    rows = [
+        (0, "a", 10.0), (1, "a", 20.0), (2, "a", 30.0),   # mean 20, std ~8.165
+        (3, "b", 5.0), (4, "b", 5.0),                     # constant group
+        (5, "c", None),                                   # null score
+        (6, "c", 7.0),                                    # singleton real score
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, score double")
+    out = {r["doc_id"]: r["calibrated"]
+           for r in calibrate_scores(docs, "score", "source").collect()}
+    assert out[1] == 0.0 and out[0] == -out[2] < 0
+    assert abs(out[2] - 1.224745) < 1e-6
+    assert out[3] == out[4] == 0.0          # stddev 0 -> no signal -> 0.0
+    assert out[5] is None                   # null passes through
+    assert out[6] == 0.0                    # group c stats exclude the null
+
+def test_calibrate_scores_pct_rank(spark):
+    from invoice_ocr_reconciler_spark.operators.sampling import calibrate_scores
+
+    rows = [
+        (0, "a", 10.0), (1, "a", 20.0), (2, "a", 20.0), (3, "a", 40.0),
+        (4, "b", 3.0),                                    # singleton -> 0.0
+        (5, "a", None),                                   # excluded from ranks
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, score double")
+    out = {r["doc_id"]: r["calibrated"]
+           for r in calibrate_scores(docs, "score", "source",
+                                     method="pct_rank").collect()}
+    # 4 ranked rows in group a: the null must NOT shift these
+    assert out[0] == 0.0 and out[3] == 1.0
+    assert out[1] == out[2] == pytest.approx(1 / 3, abs=1e-6)  # ties share
+    assert out[4] == 0.0 and out[5] is None
+
+
+def test_calibrate_scores_bad_method(spark):
+    from invoice_ocr_reconciler_spark.operators.sampling import calibrate_scores
+
+    docs = spark.createDataFrame([(0, "a", 1.0)],
+                                 "doc_id long, source string, score double")
+    with pytest.raises(ValueError):
+        calibrate_scores(docs, "score", "source", method="nope")
