@@ -1273,6 +1273,17 @@ def q_wordlist_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wordlist_flags(docs, lexicon)
 
 
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-20 retrieval (operators/tfidf.py:bm25_search) for a 3-term
+    query over the documents table — query-vocabulary filter BEFORE the
+    explode, Lucene idf, all-1e-6 determinism grids. DuckDB replays the
+    whole scoring pipeline value-exactly."""
+    from invoice_ocr_reconciler_spark.operators.tfidf import bm25_search
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return bm25_search(docs, ["merge", "stream", "window"], k=20)
+
+
 def q_calibrate_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-domain score calibration (operators/sampling.py:
     calibrate_scores, zscore): n_chars standardized within each source so
@@ -1812,6 +1823,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_links": q_extract_links,
         "wordlist_flags": q_wordlist_flags,
         "calibrate_scores": q_calibrate_scores,
+        "bm25_search": q_bm25_search,
         "shuffle_shards": q_shuffle_shards,
         "semantic_dedup": q_semantic_dedup,
         "column_profile": q_column_profile,
@@ -2926,6 +2938,53 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(d.rtoks) - count(k.tok) AS BIGINT) AS n_removed_tokens
             FROM d LEFT JOIN kept k USING (doc_id)
             GROUP BY d.doc_id, len(d.rtoks)
+        """,
+        # replays operators/tfidf.py:bm25_search — query-vocab token
+        # filter, per-(doc,term) tf, Lucene idf on the 1e-6 grid, k1=1.2
+        # b=0.75 contributions on 1e-6, summed score re-rounded on the SAME
+        # 1e-6 grid (a coarser grid ties at half-steps), top-20 by
+        # (score desc, id)
+        "bm25_search": r"""
+            WITH d AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(trim(coalesce(text, ''))), '\s+'),
+                                   t -> t <> '') AS toks
+                FROM documents),
+            base AS (
+                SELECT doc_id, len(toks) AS dl,
+                       list_filter(toks,
+                                   t -> list_contains(['merge', 'stream', 'window'], t)) AS qt
+                FROM d),
+            sc AS (
+                SELECT count(*) AS n_docs,
+                       floor(avg(dl) * 1e6 + 0.5) / 1e6 AS avgdl
+                FROM base),
+            m AS (
+                SELECT doc_id, dl, unnest(qt) AS term FROM base
+                WHERE len(qt) > 0),
+            tf AS (
+                SELECT doc_id, term, count(*) AS tf, min(dl) AS dl
+                FROM m GROUP BY doc_id, term),
+            dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+            c AS (
+                SELECT tf.doc_id,
+                       floor(ln(1 + (sc.n_docs - dfq.df + 0.5) / (dfq.df + 0.5))
+                             * 1e6 + 0.5) / 1e6 AS idf,
+                       tf.tf, tf.dl, sc.avgdl
+                FROM tf JOIN dfq USING (term) CROSS JOIN sc),
+            contrib AS (
+                SELECT doc_id,
+                       floor(idf * tf * 2.2
+                             / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+                             * 1e6 + 0.5) / 1e6 AS cv
+                FROM c),
+            s AS (
+                SELECT doc_id, CAST(count(*) AS INT) AS n_matched,
+                       floor(sum(cv) * 1e6 + 0.5) / 1e6 AS score
+                FROM contrib GROUP BY doc_id)
+            SELECT doc_id, n_matched, score,
+                   CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank
+            FROM s ORDER BY score DESC, doc_id LIMIT 20
         """,
         # replays operators/sampling.py:calibrate_scores (zscore): per-
         # source mean/stddev_pop, (x-m)/sd on the 1e-6 grid, constant

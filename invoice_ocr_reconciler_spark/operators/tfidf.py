@@ -58,6 +58,100 @@ def tfidf_top_terms(
     )
 
 
+def bm25_search(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k documents for a bag-of-terms query under BM25 (Robertson/
+    Sparck Jones; the Lucene idf variant ln(1 + (N - df + .5)/(df + .5)),
+    which never goes negative on stopword-frequent terms).
+
+    -> (doc_id, n_matched, score, rank): rank 1..k by (score desc, id asc).
+
+    Scale shape: the token array is filtered to the query vocabulary in
+    codegen BEFORE the explode, so the (doc, term) stream entering the tf
+    aggregation is query-sized, not corpus-token-sized — a 3-term query
+    over 10^12 documents explodes only the matching occurrences. Doc
+    length rides that same projection (one scan). Corpus scalars (N,
+    avgdl over ALL documents, matched or not) come from one tiny agg
+    broadcast back; per-term df is an agg over the matched pairs only.
+    The final top-k is orderBy+limit — TakeOrderedAndProject, k rows to
+    one reducer.
+
+    Determinism contract: avgdl, idf, each term's contribution AND the
+    summed score all ride the 1e-6 grid BEFORE ranking, so ordering is
+    bit-identical across engines (ln differs by <= 1 ulp between libms).
+    The score grid deliberately matches the contribution grid: a sum of
+    1e-6 multiples re-rounded on a COARSER grid (say 1e-4) sits exactly
+    on half-steps, where cross-engine fp noise flips the digit. Ties
+    break by id.
+    """
+    q = sorted({t.lower() for t in query_terms})
+    if not q:
+        return docs.sparkSession.createDataFrame(
+            [], f"{id_col} long, n_matched int, score double, rank int"
+        )
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))), r"\s+"),
+        lambda t: t != "",
+    )
+    qlit = F.array(*[F.lit(t) for t in q])
+    base = docs.select(
+        F.col(id_col),
+        F.size(toks).alias("_dl"),
+        F.filter(toks, lambda t: F.array_contains(qlit, t)).alias("_qtoks"),
+    )
+    scalars = F.broadcast(
+        base.agg(
+            F.count("*").alias("_n_docs"),
+            _roundn(F.avg("_dl"), 6).alias("_avgdl"),
+        )
+    )
+    matches = base.filter(F.size("_qtoks") > 0).select(
+        F.col(id_col), "_dl", F.explode("_qtoks").alias("term")
+    )
+    tf = matches.groupBy(F.col(id_col), F.col("term")).agg(
+        F.count("*").alias("_tf"), F.first("_dl").alias("_dl")
+    )
+    dfreq = F.broadcast(tf.groupBy("term").agg(F.count("*").alias("_df")))
+    joined = tf.join(dfreq, "term").crossJoin(scalars)
+    idf = _roundn(
+        F.log(
+            F.lit(1.0)
+            + (F.col("_n_docs") - F.col("_df") + 0.5) / (F.col("_df") + 0.5)
+        ),
+        6,
+    )
+    denom = F.col("_tf") + k1 * (
+        1.0 - b + b * F.col("_dl") / F.col("_avgdl")
+    )
+    contrib = _roundn(idf * F.col("_tf") * (k1 + 1.0) / denom, 6)
+    scored = (
+        joined.withColumn("_c", contrib)
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("int").alias("n_matched"),
+            _roundn(F.sum("_c"), 6).alias("score"),
+        )
+    )
+    w_top = scored.orderBy(F.col("score").desc(), F.col(id_col)).limit(int(k))
+    return w_top.select(
+        id_col,
+        "n_matched",
+        "score",
+        F.row_number()
+        .over(
+            Window.orderBy(F.col("score").desc(), F.col(id_col))
+        )
+        .alias("rank"),
+    )
+
+
 def inverted_index(
     docs: DataFrame,
     max_postings: int = 1000,

@@ -512,6 +512,62 @@ class TestTfidf:
         assert a == b
 
 
+class TestBM25:
+    def test_ranking_and_length_normalization(self, spark):
+        from invoice_ocr_reconciler_spark.operators.tfidf import bm25_search
+
+        filler = " ".join(f"pad{i}" for i in range(40))
+        docs = spark.createDataFrame(
+            [
+                (0, "cat dog"),                 # both terms, short
+                (1, "cat " + filler),           # one term, long
+                (2, "cat cat cat"),             # high tf, short
+                (3, "unrelated words only"),
+                (4, None),
+            ],
+            "doc_id long, text string",
+        )
+        rows = {r["doc_id"]: r.asDict()
+                for r in bm25_search(docs, ["CAT", "dog"], k=10).collect()}
+        # only matching docs are returned, query casing is normalized
+        assert sorted(rows) == [0, 1, 2]
+        assert rows[0]["n_matched"] == 2 and rows[1]["n_matched"] == 1
+        # doc 0 matches both terms: beats any single-term doc here
+        assert rows[0]["rank"] == 1
+        # same term set, shorter doc wins (length normalization):
+        assert rows[2]["score"] > rows[1]["score"]
+        ranks = sorted((r["rank"], i) for i, r in rows.items())
+        assert [i for _, i in ranks] == sorted(
+            rows, key=lambda i: (-rows[i]["score"], i)
+        )
+
+    def test_k_cut_ties_and_empty_query(self, spark):
+        from invoice_ocr_reconciler_spark.operators.tfidf import bm25_search
+
+        docs = spark.createDataFrame(
+            [(i, "same text here") for i in range(5)],
+            "doc_id long, text string",
+        )
+        out = bm25_search(docs, ["same"], k=3).collect()
+        # identical docs tie on score: id ascending breaks, k cuts
+        assert [(r["doc_id"], r["rank"]) for r in
+                sorted(out, key=lambda r: r["rank"])] == [(0, 1), (1, 2), (2, 3)]
+        assert bm25_search(docs, [], k=3).count() == 0
+        assert bm25_search(docs, ["absent"], k=3).count() == 0
+
+    def test_partition_invariant(self, spark):
+        from invoice_ocr_reconciler_spark.operators.tfidf import bm25_search
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        ).limit(200)
+        a = sorted(map(tuple, bm25_search(docs, ["merge", "scan"], k=15).collect()))
+        b = sorted(map(tuple,
+                       bm25_search(docs.repartition(9), ["merge", "scan"],
+                                   k=15).collect()))
+        assert a == b
+
+
 class TestCurationExactCC:
     def _chain_docs(self, spark):
         words = [f"w{i:03d}" for i in range(50)]
