@@ -1273,6 +1273,19 @@ def q_wordlist_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wordlist_flags(docs, lexicon)
 
 
+def q_latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-crawl collapse (operators/diff.py:latest_snapshot): newest row
+    per key, equal timestamps broken by event_id desc — one exchange +
+    one row_number window, played on the events table (user_id as the
+    re-crawled key). DuckDB replays the window exactly."""
+    from invoice_ocr_reconciler_spark.operators.diff import latest_snapshot
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return latest_snapshot(
+        ev, key_col="user_id", ts_col="ts", tiebreak_col="event_id"
+    ).select("user_id", "event_id", "ts", "event_type")
+
+
 def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 top-20 retrieval (operators/tfidf.py:bm25_search) for a 3-term
     query over the documents table — query-vocabulary filter BEFORE the
@@ -1824,6 +1837,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wordlist_flags": q_wordlist_flags,
         "calibrate_scores": q_calibrate_scores,
         "bm25_search": q_bm25_search,
+        "latest_snapshot": q_latest_snapshot,
         "shuffle_shards": q_shuffle_shards,
         "semantic_dedup": q_semantic_dedup,
         "column_profile": q_column_profile,
@@ -2938,6 +2952,17 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(d.rtoks) - count(k.tok) AS BIGINT) AS n_removed_tokens
             FROM d LEFT JOIN kept k USING (doc_id)
             GROUP BY d.doc_id, len(d.rtoks)
+        """,
+        # replays operators/diff.py:latest_snapshot — newest ts per key,
+        # event_id desc tiebreak, exactly one survivor per key
+        "latest_snapshot": """
+            SELECT user_id, event_id, ts, event_type FROM (
+                SELECT user_id, event_id, ts, event_type,
+                       row_number() OVER (
+                           PARTITION BY user_id
+                           ORDER BY ts DESC NULLS LAST, event_id DESC
+                       ) AS rn
+                FROM events) WHERE rn = 1
         """,
         # replays operators/tfidf.py:bm25_search — query-vocab token
         # filter, per-(doc,term) tf, Lucene idf on the 1e-6 grid, k1=1.2

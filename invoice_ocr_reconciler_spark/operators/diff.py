@@ -14,7 +14,7 @@ layout), the join is co-located — no shuffle at all.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -60,6 +60,52 @@ def snapshot_diff(
     if not include_unchanged:
         j = j.filter(F.col("change") != "unchanged")
     return j.select("key", "change", "old_fp", "new_fp")
+
+
+def latest_snapshot(
+    snapshots: DataFrame,
+    key_col: str = "url",
+    ts_col: str = "warc_ts",
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Collapse a multi-crawl table to the NEWEST row per key — the
+    re-crawl dedup every Common-Crawl-style corpus applies before
+    content processing (a url fetched in March and again in May must
+    contribute one document, the May one).
+
+    Deterministic: newest ts wins; equal timestamps break by
+    ``tiebreak_col`` DESC (highest wins — e.g. a fetch sequence number)
+    when given, else by the smallest remaining ambiguity the frame
+    offers: the row whose fingerprint of all non-key columns sorts LAST
+    is NOT well-defined across engines, so without a tiebreak column
+    equal-ts duplicates raise instead of silently picking one.
+
+    One hash exchange on the key + one row_number window — the same
+    single-exchange shape as dedup_exact; at 10^12 rows with the
+    url-bucketed layout the exchange co-locates.
+    """
+    order = [F.col(ts_col).desc_nulls_last()]
+    if tiebreak_col is not None:
+        order.append(F.col(tiebreak_col).desc())
+    w = Window.partitionBy(key_col).orderBy(*order)
+    ranked = snapshots.withColumn("_sn_rn", F.row_number().over(w))
+    if tiebreak_col is None:
+        # equal (key, ts) pairs are genuinely ambiguous: surface them
+        # instead of letting partition order pick the survivor
+        amb = (
+            ranked.groupBy(key_col, ts_col)
+            .agg(F.count("*").alias("_n"))
+            .filter((F.col("_n") > 1) & F.col(ts_col).isNotNull())
+            .limit(3)
+            .collect()
+        )
+        if amb:
+            ks = [(r[key_col], str(r[ts_col])) for r in amb]
+            raise ValueError(
+                f"equal-timestamp duplicates for keys {ks}; pass "
+                "tiebreak_col to make the survivor deterministic"
+            )
+    return ranked.filter(F.col("_sn_rn") == 1).drop("_sn_rn")
 
 
 def apply_count_delta(

@@ -386,3 +386,47 @@ def test_calibrate_scores_bad_method(spark):
                                  "doc_id long, source string, score double")
     with pytest.raises(ValueError):
         calibrate_scores(docs, "score", "source", method="nope")
+
+
+def test_latest_snapshot_newest_wins_and_ambiguity_guard(spark):
+    import datetime as dt
+
+    from invoice_ocr_reconciler_spark.operators.diff import latest_snapshot
+
+    t = lambda d: dt.datetime(2026, 3, d)
+    rows = [
+        ("u1", t(1), 1, "a"), ("u1", t(5), 2, "b"),   # newest wins
+        ("u2", t(3), 3, "c"),
+        ("u3", None, 4, "d"), ("u3", t(2), 5, "e"),   # null ts loses
+        ("u4", t(7), 6, "f"), ("u4", t(7), 7, "g"),   # tie -> tiebreak desc
+    ]
+    snaps = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, seq long, payload string"
+    )
+    out = {r["url"]: r for r in
+           latest_snapshot(snaps, tiebreak_col="seq").collect()}
+    assert len(out) == 4
+    assert out["u1"]["payload"] == "b"
+    assert out["u3"]["payload"] == "e"
+    assert out["u4"]["payload"] == "g"      # highest seq wins the tie
+    # without a tiebreak column, equal-ts duplicates must raise
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="equal-timestamp"):
+        latest_snapshot(snaps).collect()
+    # but a frame with NO ties passes without one
+    clean = snaps.filter("url <> 'u4'")
+    assert latest_snapshot(clean).count() == 3
+
+
+def test_latest_snapshot_partition_invariant_and_empty(spark):
+    from invoice_ocr_reconciler_spark.operators.diff import latest_snapshot
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    a = sorted(map(tuple, latest_snapshot(
+        ev, key_col="user_id", ts_col="ts", tiebreak_col="event_id").collect()))
+    b = sorted(map(tuple, latest_snapshot(
+        ev.repartition(7), key_col="user_id", ts_col="ts",
+        tiebreak_col="event_id").collect()))
+    assert a == b and len(a) > 0
+    empty = spark.createDataFrame([], "url string, warc_ts timestamp")
+    assert latest_snapshot(empty).count() == 0
