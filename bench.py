@@ -55,6 +55,12 @@ def main() -> None:
         "duplicated_spans",  # substring-level dedup (content-keyed windows)
         "shuffle_shards",    # deterministic global shuffle (one exchange)
         "semantic_dedup",    # SemDeDup cluster-then-prune over embeddings
+        "remove_spans",      # ExactSubstr cut (span removal + text rebuild)
+        "extract_links",     # codegen outlink harvest + URL resolution
+        "wordlist_flags",    # C4-style broadcast lexicon tagging
+        "calibrate_scores",  # per-domain zscore calibration (broadcast stats)
+        "bm25_search",       # BM25 top-k (pre-explode query-vocab filter)
+        "latest_snapshot",   # re-crawl collapse (one exchange + window)
         "ann_brute_force",
         "upsert_table",         # MERGE/upsert over the orders table
         "status_writeback",     # E2 write-back (UPDATE-only MERGE)
