@@ -1273,6 +1273,22 @@ def q_wordlist_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wordlist_flags(docs, lexicon)
 
 
+def q_host_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted host graph from page outlinks (operators/graph.py:
+    host_link_graph over functions/urls.py:extract_links). The synthetic
+    boilerplate links are all root-relative (intra-host navigation), so
+    the query keeps self-loops (drop_self=False) to have edges to verify;
+    the DuckDB oracle predicts per-host page counts x 30 in closed form.
+    Cross-host edge handling is unit-pinned instead."""
+    from invoice_ocr_reconciler_spark import datagen
+    from invoice_ocr_reconciler_spark.functions.urls import extract_links
+    from invoice_ocr_reconciler_spark.operators.graph import host_link_graph
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    links = extract_links(datagen.pages_from_documents(docs))
+    return host_link_graph(links, drop_self=False)
+
+
 def q_latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Re-crawl collapse (operators/diff.py:latest_snapshot): newest row
     per key, equal timestamps broken by event_id desc — one exchange +
@@ -1838,6 +1854,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "calibrate_scores": q_calibrate_scores,
         "bm25_search": q_bm25_search,
         "latest_snapshot": q_latest_snapshot,
+        "host_link_graph": q_host_link_graph,
         "shuffle_shards": q_shuffle_shards,
         "semantic_dedup": q_semantic_dedup,
         "column_profile": q_column_profile,
@@ -2952,6 +2969,27 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(d.rtoks) - count(k.tok) AS BIGINT) AS n_removed_tokens
             FROM d LEFT JOIN kept k USING (doc_id)
             GROUP BY d.doc_id, len(d.rtoks)
+        """,
+        # predicts operators/graph.py:host_link_graph over the synthetic
+        # pages: every html page contributes 30 root-relative links to its
+        # own host, so each host is one self-edge weighted 30x its html
+        # page count (PDF kind 7 contributes nothing)
+        "host_link_graph": """
+            WITH k AS (
+                SELECT doc_id,
+                       ('0x' || substr(md5('host:' || CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT % 100 AS r,
+                       ('0x' || substr(md5('coldhost:' || CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT % 50 AS c
+                FROM documents
+                WHERE doc_id % 10 <> 7),
+            h AS (
+                SELECT CASE WHEN r < 35 THEN
+                            CASE WHEN r % 2 = 0 THEN 'portal.megacorp-billing.example'
+                                 ELSE 'docs.archive-crawl.example' END
+                       ELSE printf('site-%03d.example', CAST(c AS INT)) END AS host
+                FROM k)
+            SELECT host AS src_host, host AS dst_host,
+                   count(*) * 30 AS n_links
+            FROM h GROUP BY host
         """,
         # replays operators/diff.py:latest_snapshot — newest ts per key,
         # event_id desc tiebreak, exactly one survivor per key

@@ -41,6 +41,43 @@ from invoice_ocr_reconciler_spark.functions.text import roundn
 DAMPING = 0.85
 
 
+def host_link_graph(
+    links: DataFrame,
+    url_col: str = "url",
+    link_col: str = "link",
+    drop_self: bool = True,
+) -> DataFrame:
+    """Collapse page-level outlinks (functions/urls.py:extract_links
+    output) to the weighted host graph: (src_host, dst_host, n_links).
+
+    The standard web-graph reduction — host-level PageRank (the public
+    Common Crawl rank datasets) runs on exactly this table, and it is
+    orders of magnitude smaller than the page-level edge list. Host
+    parsing is the blocklist-hardened derivation (host_of_url_col);
+    rows whose either side yields no host (non-http targets) are dropped,
+    and intra-host navigation (self-loops) is cut by default — it
+    dominates raw link counts while carrying no cross-site endorsement
+    signal (keep it for site-structure analyses via drop_self=False).
+
+    One partial-agg'd groupBy: the exchange carries (src, dst, partial
+    count) triples at host-pair cardinality, never page rows. Feed the
+    result straight to pagerank(src_col='src_host', dst_col='dst_host')
+    — duplicate-edge weighting is exactly the n_links multiplicity.
+    """
+    from invoice_ocr_reconciler_spark.functions.urls import host_of_url_col
+
+    src = host_of_url_col(F.col(url_col))
+    dst = host_of_url_col(F.col(link_col))
+    edges = links.select(
+        src.alias("src_host"), dst.alias("dst_host")
+    ).filter((F.col("src_host") != "") & (F.col("dst_host") != ""))
+    if drop_self:
+        edges = edges.filter(F.col("src_host") != F.col("dst_host"))
+    return edges.groupBy("src_host", "dst_host").agg(
+        F.count("*").alias("n_links")
+    )
+
+
 def rank_places(n_nodes: int) -> int:
     """Rounding-grid places for an N-node graph: ceil(log10(N)) + 6,
     floor 9. Ranks live at the 1/N scale; the grid must sit well below it

@@ -512,6 +512,52 @@ class TestTfidf:
         assert a == b
 
 
+class TestHostLinkGraph:
+    def test_reduction_self_loops_and_hostless(self, spark):
+        from invoice_ocr_reconciler_spark.operators.graph import host_link_graph
+
+        links = spark.createDataFrame(
+            [
+                ("https://a.example/p1", "https://b.example/x"),
+                ("https://a.example/p1", "https://b.example/y"),
+                ("https://a.example/p2", "https://B.example:443/z"),  # case+port
+                ("https://a.example/p2", "https://a.example/self"),   # self loop
+                ("https://b.example/q", "https://a.example/w"),
+                ("https://a.example/p3", "ftp://c.example/nope"),     # hostless
+            ],
+            "url string, link string",
+        )
+        got = {(r["src_host"], r["dst_host"]): r["n_links"]
+               for r in host_link_graph(links).collect()}
+        assert got == {("a.example", "b.example"): 3,
+                       ("b.example", "a.example"): 1}
+        with_self = {(r["src_host"], r["dst_host"]): r["n_links"]
+                     for r in host_link_graph(links, drop_self=False).collect()}
+        assert with_self[("a.example", "a.example")] == 1
+
+    def test_crawl_to_rank_composition(self, spark):
+        """extract_links -> host_link_graph -> pagerank runs end to end on
+        real synthesized html bytes and conserves rank mass."""
+        from invoice_ocr_reconciler_spark import datagen
+        from invoice_ocr_reconciler_spark.functions.urls import extract_links
+        from invoice_ocr_reconciler_spark.operators.graph import (
+            host_link_graph,
+            pagerank,
+        )
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        ).limit(120)
+        edges = host_link_graph(
+            extract_links(datagen.pages_from_documents(docs)), drop_self=False
+        )
+        ranks = pagerank(edges, n_iter=3,
+                         src_col="src_host", dst_col="dst_host")
+        rows = ranks.collect()
+        assert len(rows) > 0
+        assert abs(sum(r["rank"] for r in rows) - 1.0) < 1e-6
+
+
 class TestBM25:
     def test_ranking_and_length_normalization(self, spark):
         from invoice_ocr_reconciler_spark.operators.tfidf import bm25_search
