@@ -1273,6 +1273,18 @@ def q_wordlist_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wordlist_flags(docs, lexicon)
 
 
+def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass corpus health report (operators/profile.py:corpus_report):
+    volume, emptiness, exact-dup rate, quality and language mix from one
+    aggregate over one scan. DuckDB replays every text-derived input
+    (fingerprint md5, token count, 1e-4-grid quality score, lang-ID vote)
+    and the 1e-6 report grids."""
+    from invoice_ocr_reconciler_spark.operators.profile import corpus_report
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return corpus_report(docs)
+
+
 def q_host_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted host graph from page outlinks (operators/graph.py:
     host_link_graph over functions/urls.py:extract_links). The synthetic
@@ -1855,6 +1867,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_search": q_bm25_search,
         "latest_snapshot": q_latest_snapshot,
         "host_link_graph": q_host_link_graph,
+        "corpus_report": q_corpus_report,
         "shuffle_shards": q_shuffle_shards,
         "semantic_dedup": q_semantic_dedup,
         "column_profile": q_column_profile,
@@ -2969,6 +2982,43 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(d.rtoks) - count(k.tok) AS BIGINT) AS n_removed_tokens
             FROM d LEFT JOIN kept k USING (doc_id)
             GROUP BY d.doc_id, len(d.rtoks)
+        """,
+        # replays operators/profile.py:corpus_report — fingerprint md5,
+        # ws token count, 1e-4-grid quality score, lang-ID argmax vote,
+        # then the one-row aggregate on 1e-6 report grids
+        "corpus_report": r"""
+            WITH b AS (
+                SELECT md5(trim(regexp_replace(lower(coalesce(text, '')), '\s+', ' ', 'g'))) AS fp,
+                       CASE WHEN length(trim(coalesce(text, ''))) = 0 THEN 0
+                            ELSE len(regexp_split_to_array(trim(coalesce(text, '')), '\s+'))
+                       END AS tok,
+                       floor((least(length(coalesce(text, '')) / 500.0, 1.0) * 0.4
+                              + (1.0 - CASE WHEN length(coalesce(text, '')) > 0
+                                            THEN len(regexp_extract_all(coalesce(text, ''), '[^\w\s]')) / length(coalesce(text, ''))
+                                            ELSE 0 END) * 0.3
+                              + least(CASE WHEN (CASE WHEN length(trim(coalesce(text, ''))) = 0 THEN 0
+                                                      ELSE len(regexp_split_to_array(trim(coalesce(text, '')), '\s+')) END) > 0
+                                           THEN len(regexp_extract_all(lower(coalesce(text, '')), '\b(the|and|of|to|is|with|that)\b'))
+                                                / (CASE WHEN length(trim(coalesce(text, ''))) = 0 THEN 0
+                                                        ELSE len(regexp_split_to_array(trim(coalesce(text, '')), '\s+')) END)
+                                           ELSE 0 END * 5.0, 1.0) * 0.3)
+                             * 10000.0 + 0.5) / 10000.0 AS q,
+                       CASE WHEN len(regexp_extract_all(lower(coalesce(text,'')), '\b(der|die|das|und|ist|nicht|mit)\b')) > greatest(len(regexp_extract_all(lower(coalesce(text,'')), '\b(the|and|of|to|is|with|that)\b')), len(regexp_extract_all(lower(coalesce(text,'')), '\b(le|la|les|des|est|une|dans)\b')), len(regexp_extract_all(lower(coalesce(text,'')), '\b(el|los|las|una|por|que|para)\b'))) THEN 'de'
+                            WHEN len(regexp_extract_all(lower(coalesce(text,'')), '\b(el|los|las|una|por|que|para)\b')) > greatest(len(regexp_extract_all(lower(coalesce(text,'')), '\b(the|and|of|to|is|with|that)\b')), len(regexp_extract_all(lower(coalesce(text,'')), '\b(le|la|les|des|est|une|dans)\b'))) THEN 'es'
+                            WHEN len(regexp_extract_all(lower(coalesce(text,'')), '\b(le|la|les|des|est|une|dans)\b')) > len(regexp_extract_all(lower(coalesce(text,'')), '\b(the|and|of|to|is|with|that)\b')) THEN 'fr'
+                            WHEN len(regexp_extract_all(lower(coalesce(text,'')), '\b(the|and|of|to|is|with|that)\b')) > 0 THEN 'en'
+                            ELSE 'unknown'
+                       END AS lang
+                FROM documents)
+            SELECT count(*) AS n_docs,
+                   CAST(sum(CASE WHEN tok = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_empty,
+                   CAST(sum(tok) AS BIGINT) AS total_tokens,
+                   floor(avg(tok) * 1e6 + 0.5) / 1e6 AS mean_tokens,
+                   count(DISTINCT fp) AS uniq_fingerprints,
+                   floor((1.0 - CAST(count(DISTINCT fp) AS DOUBLE) / count(*)) * 1e6 + 0.5) / 1e6 AS exact_dup_rate,
+                   floor(avg(q) * 1e6 + 0.5) / 1e6 AS mean_quality,
+                   floor(CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS DOUBLE) / count(*) * 1e6 + 0.5) / 1e6 AS lang_share
+            FROM b
         """,
         # predicts operators/graph.py:host_link_graph over the synthetic
         # pages: every html page contributes 30 root-relative links to its

@@ -41,6 +41,60 @@ def _render(col: Column, dtype: T.DataType) -> Column:
     return col.cast("string")
 
 
+def corpus_report(
+    docs: DataFrame,
+    text_col: str = "text",
+    lang_of_interest: str = "en",
+) -> DataFrame:
+    """One-row corpus health report — the dashboard a 100 TB ingest run
+    prints before anything expensive: volume, emptiness, exact-dup rate,
+    quality and language mix, all from ONE aggregate over ONE scan.
+
+    -> (n_docs, n_empty, total_tokens, mean_tokens, uniq_fingerprints,
+        exact_dup_rate, mean_quality, lang_share): every text-derived
+    input (fingerprint, token count, quality score, language prediction)
+    is a codegen expression feeding parallel aggregates, so the whole
+    report is one job with map-side partials — no per-metric count()
+    storm. The distinct-fingerprint count is the one expand+shuffle
+    (exact, matching dedup_exact's notion of duplication); fractions ride
+    the 1e-6 grid. Empty docs (zero tokens) still fingerprint and count —
+    they ARE corpus health signal.
+    """
+    from invoice_ocr_reconciler_spark.functions.text import (
+        fingerprint_col,
+        lang_id_cols,
+        quality_score_cols,
+        token_count_col,
+    )
+
+    t = F.col(text_col)
+    base = docs.select(
+        fingerprint_col(t).alias("_fp"),
+        token_count_col(t).alias("_tok"),
+        quality_score_cols(t)["quality_score"].alias("_q"),
+        lang_id_cols(t)["lang_pred"].alias("_lang"),
+    )
+    n = F.count("*")
+    uniq = F.count_distinct(F.col("_fp"))
+    return base.agg(
+        n.alias("n_docs"),
+        F.coalesce(F.sum((F.col("_tok") == 0).cast("long")), F.lit(0)).alias(
+            "n_empty"
+        ),
+        F.coalesce(F.sum("_tok"), F.lit(0)).alias("total_tokens"),
+        F.when(n > 0, roundn(F.avg("_tok"), 6)).alias("mean_tokens"),
+        uniq.alias("uniq_fingerprints"),
+        F.when(n > 0, roundn(1.0 - uniq / n, 6)).alias("exact_dup_rate"),
+        F.when(n > 0, roundn(F.avg("_q"), 6)).alias("mean_quality"),
+        F.when(
+            n > 0,
+            roundn(
+                F.sum((F.col("_lang") == lang_of_interest).cast("long")) / n, 6
+            ),
+        ).alias("lang_share"),
+    )
+
+
 def column_profile(
     df: DataFrame,
     cols: list[str] | None = None,

@@ -430,3 +430,34 @@ def test_latest_snapshot_partition_invariant_and_empty(spark):
     assert a == b and len(a) > 0
     empty = spark.createDataFrame([], "url string, warc_ts timestamp")
     assert latest_snapshot(empty).count() == 0
+
+
+def test_corpus_report_one_row_metrics(spark):
+    from invoice_ocr_reconciler_spark.operators.profile import corpus_report
+
+    docs = spark.createDataFrame(
+        [
+            (0, "the cat and the dog is here with that thing"),
+            (1, "the cat and the dog is here with that thing"),  # exact dup
+            (2, ""),
+            (3, None),
+            (4, "le chat est dans la maison des amis une fois"),
+        ],
+        "doc_id long, text string",
+    )
+    r = corpus_report(docs).collect()[0].asDict()
+    assert r["n_docs"] == 5 and r["n_empty"] == 2
+    # 3 distinct fingerprints: the dup pair, the ''/None pair, the fr doc
+    assert r["uniq_fingerprints"] == 3
+    assert r["exact_dup_rate"] == pytest.approx(1 - 3 / 5, abs=1e-6)
+    assert r["total_tokens"] == 10 + 10 + 10
+    assert r["lang_share"] == pytest.approx(2 / 5, abs=1e-6)  # en docs 0,1
+
+
+def test_corpus_report_empty_frame(spark):
+    from invoice_ocr_reconciler_spark.operators.profile import corpus_report
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    r = corpus_report(empty).collect()[0].asDict()
+    assert r["n_docs"] == 0 and r["total_tokens"] == 0
+    assert r["mean_tokens"] is None and r["exact_dup_rate"] is None
