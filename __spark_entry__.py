@@ -1273,6 +1273,18 @@ def q_wordlist_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wordlist_flags(docs, lexicon)
 
 
+def q_extract_anchors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-text harvest (functions/urls.py:extract_anchors): per
+    hyperlink the resolved target plus its visible text, from real
+    synthesized bytes; the DuckDB oracle predicts the (link, anchor)
+    pairs analytically from the boilerplate layout."""
+    from invoice_ocr_reconciler_spark import datagen
+    from invoice_ocr_reconciler_spark.functions.urls import extract_anchors
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return extract_anchors(datagen.pages_from_documents(docs))
+
+
 def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-pass corpus health report (operators/profile.py:corpus_report):
     volume, emptiness, exact-dup rate, quality and language mix from one
@@ -1868,6 +1880,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "latest_snapshot": q_latest_snapshot,
         "host_link_graph": q_host_link_graph,
         "corpus_report": q_corpus_report,
+        "extract_anchors": q_extract_anchors,
         "shuffle_shards": q_shuffle_shards,
         "semantic_dedup": q_semantic_dedup,
         "column_profile": q_column_profile,
@@ -2982,6 +2995,37 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(d.rtoks) - count(k.tok) AS BIGINT) AS n_removed_tokens
             FROM d LEFT JOIN kept k USING (doc_id)
             GROUP BY d.doc_id, len(d.rtoks)
+        """,
+        # predicts functions/urls.py:extract_anchors — the extract_links
+        # closed form plus each boilerplate link's anchor text
+        "extract_anchors": """
+            WITH k AS (
+                SELECT doc_id,
+                       ('0x' || substr(md5('host:' || CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT % 100 AS r,
+                       ('0x' || substr(md5('coldhost:' || CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT % 50 AS c
+                FROM documents
+                WHERE doc_id % 10 <> 7),
+            h AS (
+                SELECT doc_id,
+                       CASE WHEN r < 35 THEN
+                            CASE WHEN r % 2 = 0 THEN 'portal.megacorp-billing.example'
+                                 ELSE 'docs.archive-crawl.example' END
+                       ELSE printf('site-%03d.example', CAST(c AS INT)) END AS host
+                FROM k),
+            pages AS (
+                SELECT printf('https://%s/doc/%012d.html', host, doc_id) AS url,
+                       'https://' || host AS base
+                FROM h),
+            links AS (
+                SELECT CASE WHEN i < 8 THEN '/s/' || i
+                            WHEN i < 20 THEN '/r/' || (i - 8)
+                            ELSE '/f/' || (i - 20) END AS rel,
+                       CASE WHEN i < 8 THEN 'section ' || i || ' link text here'
+                            WHEN i < 20 THEN 'related article link number ' || (i - 8)
+                            ELSE 'footer link ' || (i - 20) END AS anchor
+                FROM (SELECT unnest(range(0, 30)) AS i))
+            SELECT p.url, p.base || l.rel AS link, l.anchor
+            FROM pages p CROSS JOIN links l
         """,
         # replays operators/profile.py:corpus_report — fingerprint md5,
         # ws token count, 1e-4-grid quality score, lang-ID argmax vote,

@@ -182,6 +182,72 @@ def extract_links(
     )
 
 
+def extract_anchors(
+    pages, html_col: str = "html", url_col: str = "url"
+):
+    """Anchor-text harvest: (url, link, anchor) — the visible text of each
+    hyperlink, paired with its resolved target. Anchor text is the classic
+    external relevance signal (it describes the TARGET page better than
+    the target's own boilerplate); aggregated per target it yields
+    link-derived titles/keywords for ranking and corpus labeling.
+
+    Same zero-shuffle codegen shape as extract_links: lenient
+    binary->string cast, regexp_extract_all over ``<a ... href="...">``
+    opening tags plus their LEADING TEXT RUN in document order, then
+    per-element href/text extraction and URL resolution inside an array
+    transform. "Leading text run" is the deliberate simplification: RE2
+    (shared by Spark's codegen regex and the DuckDB oracle) has no
+    lookaround, so matching a full ``</a>``-balanced element with nested
+    markup is not expressible — an anchor like ``<a ...>best <b>site</b>
+    </a>`` yields anchor 'best'. Anchor text is whitespace-normalized;
+    anchors whose target is dropped by the frontier rules
+    (fragment/javascript/mailto/empty) are dropped with it.
+    """
+    from pyspark.sql import DataFrame
+
+    assert isinstance(pages, DataFrame)
+    html = F.col(html_col).cast("string")
+    elems = F.regexp_extract_all(
+        html, F.lit(r'(<a\s[^>]*href="[^"]*"[^>]*>[^<]*)'), 1
+    )
+    pairs = F.transform(
+        elems,
+        lambda e: F.struct(
+            F.regexp_extract(e, r'href="([^"]*)"', 1).alias("raw"),
+            F.trim(
+                F.regexp_replace(
+                    F.regexp_extract(e, r">([^<]*)$", 1), r"\s+", " "
+                )
+            ).alias("anchor"),
+        ),
+    )
+    ex = pages.select(
+        F.col(url_col).alias("url"), F.explode(pairs).alias("_p")
+    ).select("url", F.col("_p.raw").alias("_raw"), F.col("_p.anchor").alias("anchor"))
+    raw = F.col("_raw")
+    scheme = F.lower(F.regexp_extract(F.col("url"), r"^(?i)(https?):", 1))
+    base = F.concat(
+        scheme,
+        F.lit("://"),
+        F.regexp_extract(F.col("url"), r"^(?i)https?://([^/?#]+)", 1),
+    )
+    dir_ = F.regexp_extract(F.col("url"), r"^([^?#]*/)", 1)
+    resolved = (
+        F.when(raw.rlike(r"^(?i)https?://"), raw)
+        .when(raw.startswith("//"), F.concat(scheme, F.lit(":"), raw))
+        .when(raw.startswith("/"), F.concat(base, raw))
+        .when(
+            (raw == "") | raw.rlike(r"^(?i)(#|javascript:|mailto:)"),
+            F.lit(None).cast("string"),
+        )
+        .otherwise(F.concat(dir_, raw))
+    )
+    return (
+        ex.select("url", resolved.alias("link"), "anchor")
+        .filter(F.col("link").isNotNull())
+    )
+
+
 def blocklist_filter(
     df, blocklist, url_col: str = "url", domain_col: str = "domain"
 ):

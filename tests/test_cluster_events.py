@@ -512,6 +512,41 @@ class TestTfidf:
         assert a == b
 
 
+class TestExtractAnchors:
+    def test_anchor_text_and_resolution(self, spark):
+        from invoice_ocr_reconciler_spark.functions.urls import extract_anchors
+
+        html = (
+            b'<a href="/x">  spaced   anchor </a>'
+            b'<a class="z" href="https://b.example/y">plain</a>'
+            b'<a href="/nested">best <b>site</b></a>'
+            b'<a href="#frag">dropped with target</a>'
+            b'<a href="/empty"></a>'
+        )
+        pages = spark.createDataFrame(
+            [("https://h.example/p.html", html)], "url string, html binary"
+        )
+        got = {r["link"]: r["anchor"] for r in extract_anchors(pages).collect()}
+        assert got == {
+            "https://h.example/x": "spaced anchor",
+            "https://b.example/y": "plain",
+            # leading text run only: RE2 can't balance nested </a> markup
+            "https://h.example/nested": "best",
+            "https://h.example/empty": "",
+        }
+
+    def test_anchor_junk_and_empty(self, spark):
+        from invoice_ocr_reconciler_spark.functions.urls import extract_anchors
+
+        pages = spark.createDataFrame(
+            [("https://h.example/p", b"\xff\xfeno anchors <p>here</p>")],
+            "url string, html binary",
+        )
+        assert extract_anchors(pages).count() == 0
+        empty = spark.createDataFrame([], "url string, html binary")
+        assert extract_anchors(empty).count() == 0
+
+
 class TestHostLinkGraph:
     def test_reduction_self_loops_and_hostless(self, spark):
         from invoice_ocr_reconciler_spark.operators.graph import host_link_graph
