@@ -209,6 +209,10 @@ def calibrate_scores(
         constant-score group (stddev 0) maps to 0.0 — no within-group
         signal is exactly "average", never a division blowup. NULL scores
         pass through as NULL (no evidence is not average evidence).
+        A NULL group is a group of its own (null-safe stats join): rows
+        with no domain must not vanish from the output — both methods
+        agree on this (the rank window already treats NULL as one
+        partition).
       - 'pct_rank': percent_rank() within the group ordered by score —
         rank-based, outlier-immune; ties share a rank (no id tiebreak:
         equal scores must calibrate equally), single-row groups get 0.0.
@@ -226,11 +230,18 @@ def calibrate_scores(
 
     x = F.col(score_col).cast("double")
     if method == "zscore":
-        stats = df.groupBy(group_col).agg(
+        stats = df.groupBy(F.col(group_col).alias("_g")).agg(
             F.avg(x).alias("_mean"),
             F.stddev_pop(x).alias("_std"),
         )
-        out = df.join(F.broadcast(stats), group_col)
+        # eqNullSafe, not an equi-join: a NULL group key must match its own
+        # stats row — a plain join on group_col silently DROPPED every
+        # NULL-group document (and disagreed with pct_rank, whose window
+        # keeps NULL as a partition)
+        out = df.join(
+            F.broadcast(stats),
+            F.col(group_col).eqNullSafe(F.col("_g")),
+        ).drop("_g")
         cal = F.when(
             x.isNull(), F.lit(None).cast("double")
         ).when(

@@ -379,6 +379,27 @@ def test_calibrate_scores_pct_rank(spark):
     assert out[4] == 0.0 and out[5] is None
 
 
+def test_calibrate_scores_null_group_survives(spark):
+    # a NULL group key is a group of its own in BOTH methods — the zscore
+    # stats join must be null-safe, not an equi-join that drops the rows
+    from invoice_ocr_reconciler_spark.operators.sampling import calibrate_scores
+
+    rows = [
+        (0, "a", 10.0), (1, "a", 30.0),
+        (2, None, 4.0), (3, None, 8.0),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, score double")
+    z = {r["doc_id"]: r["calibrated"]
+         for r in calibrate_scores(docs, "score", "source").collect()}
+    assert set(z) == {0, 1, 2, 3}                  # no silent row loss
+    assert z[2] == -1.0 and z[3] == 1.0            # NULL group standardized
+    p = {r["doc_id"]: r["calibrated"]
+         for r in calibrate_scores(docs, "score", "source",
+                                   method="pct_rank").collect()}
+    assert set(p) == {0, 1, 2, 3}
+    assert p[2] == 0.0 and p[3] == 1.0
+
+
 def test_calibrate_scores_bad_method(spark):
     from invoice_ocr_reconciler_spark.operators.sampling import calibrate_scores
 
