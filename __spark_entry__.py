@@ -1313,6 +1313,39 @@ def q_host_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return host_link_graph(links, drop_self=False)
 
 
+def q_crawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frontier derivation (operators/graph.py:crawl_frontier): distinct
+    link targets not yet crawled, with referrer evidence. Crawled set =
+    the page urls plus every '/s/N' section target (simulating sections
+    already fetched), so the anti join genuinely removes 8 of each host's
+    30 boilerplate targets; the DuckDB oracle predicts the surviving 22
+    per host in closed form (n_referrers = the host's page count)."""
+    from invoice_ocr_reconciler_spark import datagen
+    from invoice_ocr_reconciler_spark.functions.urls import extract_links
+    from invoice_ocr_reconciler_spark.operators.graph import crawl_frontier
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pages = datagen.pages_from_documents(docs)
+    links = extract_links(pages)
+    crawled = pages.select("url").unionByName(
+        links.filter(F.col("link").rlike(r"/s/\d+$"))
+        .select(F.col("link").alias("url"))
+    )
+    return crawl_frontier(links, crawled)
+
+
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE vocabulary induction (operators/bpe.py:bpe_learn): 8 merge
+    rounds over the documents word-frequency table. Iterative argmax +
+    fold is not SQL-expressible — rows-only; the correctness pin is
+    tests/test_bpe.py's pure-Python reference parity (same contract as
+    the MinHash/SimHash sketches)."""
+    from invoice_ocr_reconciler_spark.operators.bpe import bpe_learn
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return bpe_learn(docs, n_merges=8, vocab_cap=2000)
+
+
 def q_latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Re-crawl collapse (operators/diff.py:latest_snapshot): newest row
     per key, equal timestamps broken by event_id desc — one exchange +
@@ -1885,6 +1918,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": q_semantic_dedup,
         "column_profile": q_column_profile,
         "dedup_incremental": q_dedup_incremental,
+        "crawl_frontier": q_crawl_frontier,
+        "bpe_merges": q_bpe_merges,
     }
 
 
@@ -3212,6 +3247,39 @@ def oracle_sql() -> dict[str, str]:
             SELECT p.url, p.base || l.rel AS link,
                    CAST(l.i + 1 AS INT) AS link_pos
             FROM pages p CROSS JOIN links l
+        """,
+        # replays operators/graph.py:crawl_frontier over the closed-form
+        # link prediction (extract_links oracle): per host, the 30
+        # boilerplate targets minus the 8 '/s/N' sections marked crawled
+        # (page urls themselves never appear as targets); n_referrers =
+        # the host's page count, all referrers share the host
+        "crawl_frontier": """
+            WITH k AS (
+                SELECT doc_id,
+                       doc_id % 10 AS kind,
+                       ('0x' || substr(md5('host:' || CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT % 100 AS r,
+                       ('0x' || substr(md5('coldhost:' || CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT % 50 AS c
+                FROM documents),
+            h AS (
+                SELECT doc_id, kind,
+                       CASE WHEN r < 35 THEN
+                            CASE WHEN r % 2 = 0 THEN 'portal.megacorp-billing.example'
+                                 ELSE 'docs.archive-crawl.example' END
+                       ELSE printf('site-%03d.example', CAST(c AS INT)) END AS host
+                FROM k),
+            ph AS (
+                SELECT host, COUNT(*) AS n_pages
+                FROM h WHERE kind <> 7
+                GROUP BY host),
+            links AS (
+                SELECT i, CASE WHEN i < 20 THEN '/r/' || (i - 8)
+                               ELSE '/f/' || (i - 20) END AS rel
+                FROM (SELECT unnest(range(8, 30)) AS i))
+            SELECT 'https://' || ph.host || l.rel AS link,
+                   ph.host AS host,
+                   ph.n_pages AS n_referrers,
+                   CAST(1 AS BIGINT) AS n_referrer_hosts
+            FROM ph CROSS JOIN links l
         """,
         # replays operators/chunking.py:shuffle_shards — md5('shuffle:'id)
         # rank, first-8-hex shard mod 16, row_number per shard over

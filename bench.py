@@ -61,6 +61,8 @@ def main() -> None:
         "calibrate_scores",  # per-domain zscore calibration (broadcast stats)
         "bm25_search",       # BM25 top-k (pre-explode query-vocab filter)
         "latest_snapshot",   # re-crawl collapse (one exchange + window)
+        "crawl_frontier",    # frontier anti join (target-sized agg first)
+        "bpe_merges",        # BPE vocab induction (8 vocab-sized rounds)
         "ann_brute_force",
         "upsert_table",         # MERGE/upsert over the orders table
         "status_writeback",     # E2 write-back (UPDATE-only MERGE)

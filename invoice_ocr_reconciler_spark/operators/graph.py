@@ -78,6 +78,58 @@ def host_link_graph(
     )
 
 
+def crawl_frontier(
+    links: DataFrame,
+    crawled: DataFrame,
+    link_col: str = "link",
+    url_col: str = "url",
+) -> DataFrame:
+    """Frontier derivation — the crawl-loop closure over extract_links:
+    which discovered targets has the crawl NOT fetched yet, and how much
+    evidence points at each?
+
+    -> (link, host, n_referrers, n_referrer_hosts): every DISTINCT link
+    target absent from ``crawled``'s url set, with its referrer page count
+    and distinct referring-host count (the standard frontier-priority
+    signals: a target cited by many hosts outranks one cited by one host
+    many times). ``links`` is (url, link) pairs (extract_links output);
+    ``crawled`` is any frame whose url_col holds fetched urls. Targets are
+    compared verbatim — canonicalize BOTH sides first
+    (functions/urls.py:canonicalize_url_col) or mirrors leak through.
+
+    Plan shape at 10^12 pages: the referrer aggregation collapses the edge
+    list to target cardinality FIRST (one partial-agg'd exchange carrying
+    (link, partial count, partial host-set) — the distinct-host count is
+    exact over the <= ~referrer-count host values per target); the
+    left_anti against the crawled keys then joins target-sized against
+    corpus-sized on the url key, co-located on the url-bucketed layout.
+    No explode, no window, nothing corpus-sized through Python.
+    """
+    from invoice_ocr_reconciler_spark.functions.urls import host_of_url_col
+
+    agg = (
+        links.select(
+            F.col(link_col).alias("link"),
+            host_of_url_col(F.col(url_col)).alias("_src_host"),
+        )
+        .groupBy("link")
+        .agg(
+            F.count("*").alias("n_referrers"),
+            F.count_distinct(F.col("_src_host")).alias("n_referrer_hosts"),
+        )
+    )
+    crawled_keys = crawled.select(F.col(url_col).alias("link"))
+    return (
+        agg.join(crawled_keys, "link", "left_anti")
+        .select(
+            "link",
+            host_of_url_col(F.col("link")).alias("host"),
+            "n_referrers",
+            "n_referrer_hosts",
+        )
+    )
+
+
 def rank_places(n_nodes: int) -> int:
     """Rounding-grid places for an N-node graph: ceil(log10(N)) + 6,
     floor 9. Ranks live at the 1/N scale; the grid must sit well below it

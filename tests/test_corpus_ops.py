@@ -482,3 +482,36 @@ def test_corpus_report_empty_frame(spark):
     r = corpus_report(empty).collect()[0].asDict()
     assert r["n_docs"] == 0 and r["total_tokens"] == 0
     assert r["mean_tokens"] is None and r["exact_dup_rate"] is None
+
+
+def test_crawl_frontier(spark):
+    from invoice_ocr_reconciler_spark.operators.graph import crawl_frontier
+
+    links = spark.createDataFrame(
+        [
+            ("https://a.example/p1", "https://b.example/x"),
+            ("https://a.example/p2", "https://b.example/x"),
+            ("https://c.example/p1", "https://b.example/x"),
+            ("https://a.example/p1", "https://a.example/p2"),  # already crawled
+            ("https://a.example/p1", "https://d.example/new"),
+        ],
+        "url string, link string",
+    )
+    crawled = spark.createDataFrame(
+        [("https://a.example/p1",), ("https://a.example/p2",)], "url string"
+    )
+    out = {r["link"]: r for r in crawl_frontier(links, crawled).collect()}
+    assert set(out) == {"https://b.example/x", "https://d.example/new"}
+    b = out["https://b.example/x"]
+    assert b["n_referrers"] == 3            # three referring pages
+    assert b["n_referrer_hosts"] == 2       # a.example + c.example
+    assert b["host"] == "b.example"
+    assert out["https://d.example/new"]["n_referrers"] == 1
+
+
+def test_crawl_frontier_empty(spark):
+    from invoice_ocr_reconciler_spark.operators.graph import crawl_frontier
+
+    links = spark.createDataFrame([], "url string, link string")
+    crawled = spark.createDataFrame([("https://a.example/p1",)], "url string")
+    assert crawl_frontier(links, crawled).count() == 0
