@@ -1334,6 +1334,28 @@ def q_crawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return crawl_frontier(links, crawled)
 
 
+def q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode hygiene (functions/text.py:nfc_normalize_text): NFC
+    composition (pandas Series.str.normalize inside mapInPandas — the one
+    Python crossing) + codegen control/zero-width/NBSP/CRLF cleanup, over
+    deterministically-synthesized messy text (decomposed accent, NBSP,
+    ZWSP, soft hyphen, CRLF-vs-LF, BEL). DuckDB replays with
+    nfc_normalize() + the same RE2-safe regexp chain — byte-exact."""
+    from invoice_ocr_reconciler_spark.functions.text import nfc_normalize_text
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    messy = F.concat(
+        F.lit("Cafe\u0301 n\u00A0"),  # decomposed e+acute, NBSP
+        (F.col("doc_id") % 10).cast("string"),
+        F.lit("\u200B tail\u00AD"),  # zero-width space, soft hyphen
+        F.when(F.col("doc_id") % 2 == 0, F.lit("\r\n")).otherwise(F.lit("\n")),
+        F.lit("end\x07"),  # BEL control
+    )
+    return nfc_normalize_text(
+        docs.select("doc_id", messy.alias("text"))
+    ).select("doc_id", "text_norm")
+
+
 def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE vocabulary induction (operators/bpe.py:bpe_learn): 8 merge
     rounds over the documents word-frequency table. Iterative argmax +
@@ -1920,6 +1942,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental": q_dedup_incremental,
         "crawl_frontier": q_crawl_frontier,
         "bpe_merges": q_bpe_merges,
+        "normalize_text": q_normalize_text,
     }
 
 
@@ -3247,6 +3270,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT p.url, p.base || l.rel AS link,
                    CAST(l.i + 1 AS INT) AS link_pos
             FROM pages p CROSS JOIN links l
+        """,
+        # replays functions/text.py:nfc_normalize_text — NFC composition
+        # (DuckDB nfc_normalize == Python unicodedata NFC, both
+        # Unicode-conformant) then the verbatim clean_text_col regexp
+        # chain: CRLF/CR -> LF, the shared RE2/Java strip class, NBSP ->
+        # space
+        "normalize_text": """
+            WITH m AS (
+                SELECT doc_id,
+                       'Cafe' || chr(769) || ' n' || chr(160)
+                         || CAST(doc_id % 10 AS VARCHAR)
+                         || chr(8203) || ' tail' || chr(173)
+                         || CASE WHEN doc_id % 2 = 0 THEN chr(13) || chr(10)
+                                 ELSE chr(10) END
+                         || 'end' || chr(7) AS text
+                FROM documents)
+            SELECT doc_id,
+                   regexp_replace(
+                       regexp_replace(
+                           regexp_replace(nfc_normalize(text),
+                                          '\\r\\n?', chr(10), 'g'),
+                           '[\\x00-\\x08\\x0B-\\x1F\\x7F\\x{200B}-\\x{200D}\\x{FEFF}\\x{00AD}]',
+                           '', 'g'),
+                       chr(160), ' ', 'g') AS text_norm
+            FROM m
         """,
         # replays operators/graph.py:crawl_frontier over the closed-form
         # link prediction (extract_links oracle): per host, the 30

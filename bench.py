@@ -63,6 +63,7 @@ def main() -> None:
         "latest_snapshot",   # re-crawl collapse (one exchange + window)
         "crawl_frontier",    # frontier anti join (target-sized agg first)
         "bpe_merges",        # BPE vocab induction (8 vocab-sized rounds)
+        "normalize_text",    # NFC + codegen hygiene (one Arrow crossing)
         "ann_brute_force",
         "upsert_table",         # MERGE/upsert over the orders table
         "status_writeback",     # E2 write-back (UPDATE-only MERGE)

@@ -305,6 +305,71 @@ def wordlist_flags(
     )
 
 
+# one char class shared verbatim by Java regex and RE2 (the \x{...} form
+# parses in both): C0 controls except \t\n, DEL, zero-width chars + BOM,
+# soft hyphen — the invisible junk OCR/boilerplate text carries
+_STRIP_CLASS = r"[\x00-\x08\x0B-\x1F\x7F\x{200B}-\x{200D}\x{FEFF}\x{00AD}]"
+
+
+def clean_text_col(col: Column) -> Column:
+    """Codegen unicode hygiene (the CCNet/OSCAR-style first pass, minus
+    NFC which needs Python — see nfc_normalize_text): CRLF/CR -> LF,
+    strip C0 controls (keeping tab/newline), DEL, zero-width chars, BOM,
+    and soft hyphens, NBSP -> space. Pure regexp_replace chain — no
+    shuffle, no Python; every pattern is RE2-safe so the DuckDB oracle
+    replays it verbatim."""
+    u = F.coalesce(col, F.lit(""))
+    u = F.regexp_replace(u, "\r\n?", "\n")
+    u = F.regexp_replace(u, _STRIP_CLASS, "")
+    return F.regexp_replace(u, "\u00A0", " ")
+
+
+def nfc_normalize_text(
+    docs,
+    text_col: str = "text",
+    out_col: str = "text_norm",
+    clean: bool = True,
+):
+    """Unicode NFC normalization (+ clean_text_col hygiene) — the
+    canonical-composition pass every multilingual corpus runs before
+    tokenization/dedup: 'e'+COMBINING ACUTE and precomposed 'é' must
+    fingerprint identically or every accent-bearing near-dup is missed.
+
+    NFC has no JVM-side builtin, so it is the one Python crossing:
+    pandas' vectorized Series.str.normalize('NFC') inside mapInPandas
+    (Arrow-batched; per-executor it is a C-level loop, not row-at-a-time
+    Python UDF dispatch). NFC runs FIRST, the codegen cleanup after —
+    removing zero-width joiners before composition could compose
+    sequences the author deliberately separated. ASCII-only corpora are
+    NFC fixpoints; the crossing still costs one Arrow round-trip, so
+    callers with guaranteed-ASCII text should use clean_text_col alone.
+
+    Scale shape: one mapInPandas projection over (everything, text) —
+    no shuffle; place it before the first fingerprint/tokenize stage.
+    """
+    import pandas as pd  # noqa: F401 (mapInPandas contract)
+
+    from pyspark.sql import DataFrame
+
+    assert isinstance(docs, DataFrame)
+    fields = docs.schema.fields
+    if out_col not in [f.name for f in fields]:
+        docs = docs.withColumn(out_col, F.col(text_col))
+        fields = docs.schema.fields
+    schema = docs.schema
+
+    def norm(batches):
+        for pdf in batches:
+            # .str.normalize propagates NaN/None — null text stays null
+            pdf[out_col] = pdf[out_col].str.normalize("NFC")
+            yield pdf
+
+    out = docs.mapInPandas(norm, schema=schema)
+    if clean:
+        out = out.withColumn(out_col, clean_text_col(F.col(out_col)))
+    return out
+
+
 def fingerprint_col(col: Column) -> Column:
     """Deterministic document fingerprint over whitespace-normalized text.
 

@@ -515,3 +515,37 @@ def test_crawl_frontier_empty(spark):
     links = spark.createDataFrame([], "url string, link string")
     crawled = spark.createDataFrame([("https://a.example/p1",)], "url string")
     assert crawl_frontier(links, crawled).count() == 0
+
+
+def test_nfc_normalize_text(spark):
+    from invoice_ocr_reconciler_spark.functions.text import nfc_normalize_text
+
+    rows = [
+        (0, "Café"),                      # decomposed -> precomposed
+        (1, "a b​c­d\x07e"),     # nbsp/zwsp/shy/control
+        (2, "x\r\ny\rz"),                       # CRLF / CR -> LF
+        (3, None),
+        (4, "plain"),
+        (5, "tab\tkeeps\nnewline"),             # \t and \n survive
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["text_norm"]
+           for r in nfc_normalize_text(docs).collect()}
+    assert out[0] == "Café"
+    assert out[1] == "a bcde"
+    assert out[2] == "x\ny\nz"
+    assert out[3] == ""                 # clean pass coalesces null -> ''
+    assert out[4] == "plain"
+    assert out[5] == "tab\tkeeps\nnewline"
+
+
+def test_nfc_normalize_no_clean_keeps_null(spark):
+    from invoice_ocr_reconciler_spark.functions.text import nfc_normalize_text
+
+    docs = spark.createDataFrame(
+        [(0, None), (1, "Café\x07")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r["text_norm"]
+           for r in nfc_normalize_text(docs, clean=False).collect()}
+    assert out[0] is None               # NFC alone propagates null
+    assert out[1] == "Café\x07"    # control char untouched without clean
