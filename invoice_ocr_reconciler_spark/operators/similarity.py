@@ -818,27 +818,45 @@ def semantic_dedup(
         pair_expansion_expr,
     )
 
-    grouped = capped_member_groups(
-        assign.select("centroid_id", F.col(id_col)),
-        ["centroid_id"],
-        F.col(id_col),
-        cluster_cap,
+    # members carry (id, UNIT vector) INTO the group collect: the pair
+    # explode, the cosine, and the threshold all run in one pipeline with
+    # zero joins (the previous shape exploded bare id pairs and joined
+    # vectors back through two shuffles, and the CC checkpoint
+    # re-materialized that expensive plan). Normalizing PER MEMBER is the
+    # load-bearing half: higher-order array functions are interpreted, not
+    # codegen'd, and cosine_sim's expression tree evaluates ~5 array
+    # aggregates per PAIR (norms duplicated through the zero guard) —
+    # measured 6-10s for 250k pairs at dim 64. Unit vectors pay 2 passes
+    # per member (n rows) and leave 2 per pair (zip_with + sum); a zero
+    # vector stays all-zero, so its dot is 0 — exactly cosine_sim's
+    # zero-denominator contract. _nrm is a bound column, not an inline
+    # subtree: an inline norm would re-aggregate once per element inside
+    # the transform. Group rows stay bounded: cluster_cap x (8B + dim*8B).
+    unit = assign.join(va, id_col).withColumn(
+        "_nrm",
+        F.sqrt(F.aggregate("v", F.lit(0.0), lambda acc, x: acc + x * x)),
+    ).select(
+        "centroid_id",
+        F.struct(
+            F.col(id_col).alias("id"),
+            F.when(
+                F.col("_nrm") > 0,
+                F.transform("v", lambda x: x / F.col("_nrm")),
+            ).otherwise(F.col("v")).alias("v"),
+        ).alias("m"),
     )
+    grouped = capped_member_groups(unit, ["centroid_id"], F.col("m"), cluster_cap)
     pairs_expr = pair_expansion_expr()
-    cand = (
-        grouped.select(F.explode(F.expr(pairs_expr)).alias("p"))
-        .select("p.doc_a", "p.doc_b")
-    )
-    la = vectors.select(F.col(id_col).alias("doc_a"), F.col(vec_col).alias("va"))
-    lb = vectors.select(F.col(id_col).alias("doc_b"), F.col(vec_col).alias("vb"))
     edges = (
-        cand.join(la, "doc_a")
-        .join(lb, "doc_b")
+        grouped.select(F.explode(F.expr(pairs_expr)).alias("p"))
         .filter(
-            F.round(cosine_sim(F.col("va"), F.col("vb")), 6)
+            F.round(_dot(F.col("p.doc_a.v"), F.col("p.doc_b.v")), 6)
             >= F.lit(1.0 - eps)
         )
-        .select("doc_a", "doc_b")
+        .select(
+            F.col("p.doc_a.id").alias("doc_a"),
+            F.col("p.doc_b.id").alias("doc_b"),
+        )
     )
     comp = connected_components(edges, checkpoint_dir=checkpoint_dir)
 

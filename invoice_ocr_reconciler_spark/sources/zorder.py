@@ -37,12 +37,19 @@ BITS = 8  # cells per dimension = 2^BITS
 
 def _bucket(v: Column, mn: Column, mx: Column, bits: int) -> Column:
     """Uniform cell index 0..2^bits-1 of v between [mn, mx]; a constant
-    column (mx == mn) lands every row in cell 0."""
+    column (mx == mn) lands every row in cell 0. NULL values land in cell
+    0 too (min/max aggs ignore them, so they have no position on the
+    axis): a NULL zkey would otherwise drop the row into a nondeterminism
+    bucket (Hive default partition) outside every chunk's stats."""
     n = 1 << bits
     span = mx - mn
     raw = F.floor((v - mn) / span * n)
+    # the NULL guard must come FIRST: least(n-1, NULL) is n-1 (least skips
+    # NULLs), which silently dropped NULL rows into the TOP cell
     return (
-        F.when(span > 0, F.least(F.lit(n - 1), raw)).otherwise(F.lit(0))
+        F.when(v.isNull(), F.lit(0))
+        .when(span > 0, F.least(F.lit(n - 1), raw))
+        .otherwise(F.lit(0))
     ).cast("long")
 
 

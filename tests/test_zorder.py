@@ -143,3 +143,19 @@ class TestZorderWrite:
             F.shiftright(F.col("zkey"), 16 - 4).cast("int") != F.col("chunk")
         ).count()
         assert bad == 0
+
+
+def test_zorder_null_values_land_in_cell_zero(spark):
+    from pyspark.sql import functions as F
+
+    from invoice_ocr_reconciler_spark.sources.zorder import zorder_key
+
+    rows = [(0, 1.0, 10.0), (1, None, 20.0), (2, 5.0, None), (3, None, None),
+            (4, 9.0, 30.0)]
+    df = spark.createDataFrame(rows, "id long, x double, y double")
+    out = {r["id"]: r["zkey"] for r in
+           zorder_key(df, F.col("x"), F.col("y")).collect()}
+    # every row gets a NON-NULL key (NULL axis values -> cell 0), so no row
+    # can fall outside the chunk layout / stats
+    assert all(v is not None for v in out.values())
+    assert out[3] == 0  # both axes null -> origin cell
