@@ -1368,6 +1368,30 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_learn(docs, n_merges=8, vocab_cap=2000)
 
 
+def q_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus build (operators/build.py:build_corpus): URL
+    canonicalize + re-crawl collapse -> extraction -> NFC hygiene ->
+    curation (exact dedup, quality/lang cut, MinHash near-dup) ->
+    deterministic shuffle shards + health report. Rows-only (the MinHash
+    stage is sketch-semantics); stage-counter reconciliation, blocklist/
+    collapse behavior, and cross-parallelism determinism are pinned by
+    tests/test_build.py."""
+    from invoice_ocr_reconciler_spark import datagen
+    from invoice_ocr_reconciler_spark.operators.build import build_corpus
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = build_corpus(
+        datagen.pages_from_documents(docs),
+        min_quality=0.0,
+        langs=("en", "fr", "es", "de", "unknown"),
+        n_shards=8,
+    )
+    return out["docs"].select(
+        "doc_id", "url", "lang_pred", "quality_score", "n_tokens",
+        "shard", "pos",
+    )
+
+
 def q_latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Re-crawl collapse (operators/diff.py:latest_snapshot): newest row
     per key, equal timestamps broken by event_id desc — one exchange +
@@ -1943,6 +1967,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_frontier": q_crawl_frontier,
         "bpe_merges": q_bpe_merges,
         "normalize_text": q_normalize_text,
+        "corpus_build": q_corpus_build,
     }
 
 

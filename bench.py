@@ -64,6 +64,7 @@ def main() -> None:
         "crawl_frontier",    # frontier anti join (target-sized agg first)
         "bpe_merges",        # BPE vocab induction (8 vocab-sized rounds)
         "normalize_text",    # NFC + codegen hygiene (one Arrow crossing)
+        "corpus_build",      # end-to-end build: collapse->extract->curate->shards
         "ann_brute_force",
         "upsert_table",         # MERGE/upsert over the orders table
         "status_writeback",     # E2 write-back (UPDATE-only MERGE)

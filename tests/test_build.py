@@ -1,0 +1,95 @@
+"""End-to-end corpus build (operators/build.py): stage reconciliation,
+blocklist/collapse behavior, export layout, determinism."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from invoice_ocr_reconciler_spark import datagen
+from invoice_ocr_reconciler_spark.operators.build import build_corpus
+
+
+@pytest.fixture(scope="module")
+def built(spark):
+    pages = datagen.pages_df(spark, 300)
+    # re-crawl: 20 urls fetched AGAIN a day later -> collapse must keep
+    # exactly one row per url (the newer fetch)
+    recrawl = pages.limit(20).withColumn(
+        "warc_ts", F.col("warc_ts") + F.expr("INTERVAL 1 DAY")
+    )
+    blocklist = spark.createDataFrame(
+        [("portal.megacorp-billing.example",)], "domain string"
+    )
+    out = build_corpus(
+        pages.unionByName(recrawl),
+        blocklist=blocklist,
+        min_quality=0.0,
+        langs=("en", "fr", "es", "de", "unknown"),
+        n_shards=8,
+    )
+    return out["docs"].collect(), out["stats"].collect()[0].asDict()
+
+
+def test_build_counters_reconcile(built):
+    docs, s = built
+    assert s["n_pages_in"] == 320
+    assert s["n_collapsed"] == 20          # the re-crawled urls collapse
+    assert s["n_blocked"] > 0              # the hot host is blocklisted
+    total = (
+        s["n_collapsed"] + s["n_blocked"] + s["n_exact_dup"]
+        + s["n_filtered_out"] + s["n_repetition_out"] + s["n_gopher_out"]
+        + s["n_contaminated"] + s["n_near_dup"] + s["n_budget_out"]
+        + s["n_final"]
+    )
+    assert total == s["n_pages_in"]
+    assert s["n_final"] == len(docs) > 0
+
+
+def test_build_export_layout(built):
+    docs, s = built
+    assert set(docs[0].asDict()) == {
+        "doc_id", "url", "text", "quality_score", "lang_pred",
+        "n_tokens", "shard", "pos",
+    }
+    shards = {r["shard"] for r in docs}
+    assert shards <= set(range(8))
+    # pos is 1..n contiguous within each shard
+    for sh in shards:
+        ps = sorted(r["pos"] for r in docs if r["shard"] == sh)
+        assert ps == list(range(1, len(ps) + 1))
+    # no blocked host survived
+    assert not any("portal.megacorp-billing" in r["url"] for r in docs)
+
+
+def test_build_token_budget_and_no_near_dup(spark):
+    pages = datagen.pages_df(spark, 120)
+    out = build_corpus(
+        pages,
+        min_quality=0.0,
+        langs=("en", "fr", "es", "de", "unknown"),
+        with_near_dup=False,
+        token_budget=500,
+        n_shards=4,
+    )
+    s = out["stats"].collect()[0].asDict()
+    assert s["n_near_dup"] == 0
+    assert s["n_budget_out"] > 0           # the budget genuinely cuts
+    assert s["final_tokens"] <= 500
+    docs = out["docs"]
+    assert docs.count() == s["n_final"]
+
+
+def test_build_deterministic_across_parallelism(spark):
+    pages = datagen.pages_df(spark, 80)
+    a = build_corpus(
+        pages.repartition(1), min_quality=0.0,
+        langs=("en", "fr", "es", "de", "unknown"), n_shards=4,
+    )["docs"]
+    b = build_corpus(
+        pages.repartition(8), min_quality=0.0,
+        langs=("en", "fr", "es", "de", "unknown"), n_shards=4,
+    )["docs"]
+    ra = sorted(tuple(r) for r in a.collect())
+    rb = sorted(tuple(r) for r in b.collect())
+    assert ra == rb
