@@ -1368,6 +1368,28 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_learn(docs, n_merges=8, vocab_cap=2000)
 
 
+def q_fetch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Politeness fetch schedule over the frontier (operators/graph.py:
+    fetch_schedule): one fetch per host per wave, priority-ordered,
+    10-per-host quota. DuckDB replays the frontier prediction + the same
+    row_number window."""
+    from invoice_ocr_reconciler_spark import datagen
+    from invoice_ocr_reconciler_spark.functions.urls import extract_links
+    from invoice_ocr_reconciler_spark.operators.graph import (
+        crawl_frontier,
+        fetch_schedule,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pages = datagen.pages_from_documents(docs)
+    links = extract_links(pages)
+    crawled = pages.select("url").unionByName(
+        links.filter(F.col("link").rlike(r"/s/\d+$"))
+        .select(F.col("link").alias("url"))
+    )
+    return fetch_schedule(crawl_frontier(links, crawled), max_per_host=10)
+
+
 def q_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end corpus build (operators/build.py:build_corpus): URL
     canonicalize + re-crawl collapse -> extraction -> NFC hygiene ->
@@ -1968,6 +1990,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merges": q_bpe_merges,
         "normalize_text": q_normalize_text,
         "corpus_build": q_corpus_build,
+        "fetch_schedule": q_fetch_schedule,
     }
 
 
@@ -3353,6 +3376,45 @@ def oracle_sql() -> dict[str, str]:
                    ph.n_pages AS n_referrers,
                    CAST(1 AS BIGINT) AS n_referrer_hosts
             FROM ph CROSS JOIN links l
+        """,
+        # replays operators/graph.py:fetch_schedule over the frontier
+        # prediction: row_number per host ordered by (n_referrers desc,
+        # link asc), quota 10
+        "fetch_schedule": """
+            WITH k AS (
+                SELECT doc_id,
+                       doc_id % 10 AS kind,
+                       ('0x' || substr(md5('host:' || CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT % 100 AS r,
+                       ('0x' || substr(md5('coldhost:' || CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT % 50 AS c
+                FROM documents),
+            h AS (
+                SELECT doc_id, kind,
+                       CASE WHEN r < 35 THEN
+                            CASE WHEN r % 2 = 0 THEN 'portal.megacorp-billing.example'
+                                 ELSE 'docs.archive-crawl.example' END
+                       ELSE printf('site-%03d.example', CAST(c AS INT)) END AS host
+                FROM k),
+            ph AS (
+                SELECT host, COUNT(*) AS n_pages
+                FROM h WHERE kind <> 7
+                GROUP BY host),
+            links AS (
+                SELECT i, CASE WHEN i < 20 THEN '/r/' || (i - 8)
+                               ELSE '/f/' || (i - 20) END AS rel
+                FROM (SELECT unnest(range(8, 30)) AS i)),
+            frontier AS (
+                SELECT 'https://' || ph.host || l.rel AS link,
+                       ph.host AS host,
+                       ph.n_pages AS n_referrers,
+                       CAST(1 AS BIGINT) AS n_referrer_hosts
+                FROM ph CROSS JOIN links l),
+            sched AS (
+                SELECT *, CAST(row_number() OVER (
+                         PARTITION BY host
+                         ORDER BY n_referrers DESC, link) AS INT) AS wave
+                FROM frontier)
+            SELECT link, host, n_referrers, n_referrer_hosts, wave
+            FROM sched WHERE wave <= 10
         """,
         # replays operators/chunking.py:shuffle_shards — md5('shuffle:'id)
         # rank, first-8-hex shard mod 16, row_number per shard over

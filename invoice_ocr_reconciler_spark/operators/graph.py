@@ -33,7 +33,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from invoice_ocr_reconciler_spark.functions.text import roundn
@@ -128,6 +128,38 @@ def crawl_frontier(
             "n_referrer_hosts",
         )
     )
+
+
+def fetch_schedule(
+    frontier: DataFrame,
+    max_per_host: int | None = None,
+    link_col: str = "link",
+    host_col: str = "host",
+    priority_col: str = "n_referrers",
+) -> DataFrame:
+    """Politeness scheduling over a frontier (crawl_frontier output): one
+    fetch per host per WAVE, higher-priority targets first.
+
+    -> frontier columns + wave (1-based): a crawler that processes waves
+    in order fetches each host at most once per wave — the per-host rate
+    limit every polite crawler enforces — while hosts proceed in parallel.
+    Within a host the order is (priority desc, link asc): deterministic,
+    evidence-weighted. ``max_per_host`` caps a host's total scheduled
+    fetches (quota), dropping its lowest-priority tail.
+
+    One hash exchange on host + one row_number window — dedup_exact's
+    shape; a hot host is one window partition but emits at most
+    max_per_host rows, and the wave assignment needs no global
+    coordination (wave = the within-host rank, so the schedule is a pure
+    function of the frontier — retry/partitioning-invariant).
+    """
+    w = Window.partitionBy(host_col).orderBy(
+        F.col(priority_col).desc(), F.col(link_col)
+    )
+    out = frontier.withColumn("wave", F.row_number().over(w))
+    if max_per_host is not None:
+        out = out.filter(F.col("wave") <= int(max_per_host))
+    return out
 
 
 def rank_places(n_nodes: int) -> int:

@@ -549,3 +549,26 @@ def test_nfc_normalize_no_clean_keeps_null(spark):
            for r in nfc_normalize_text(docs, clean=False).collect()}
     assert out[0] is None               # NFC alone propagates null
     assert out[1] == "Café\x07"    # control char untouched without clean
+
+
+def test_fetch_schedule(spark):
+    from invoice_ocr_reconciler_spark.operators.graph import fetch_schedule
+
+    rows = [
+        ("https://a.example/1", "a.example", 5, 1),
+        ("https://a.example/2", "a.example", 9, 1),
+        ("https://a.example/3", "a.example", 9, 2),   # ties: link asc
+        ("https://b.example/x", "b.example", 1, 1),
+    ]
+    frontier = spark.createDataFrame(
+        rows, "link string, host string, n_referrers long, n_referrer_hosts long"
+    )
+    out = {r["link"]: r["wave"] for r in fetch_schedule(frontier).collect()}
+    # a.example: priority 9 first (tie by link), then 5; b independent
+    assert out["https://a.example/2"] == 1
+    assert out["https://a.example/3"] == 2
+    assert out["https://a.example/1"] == 3
+    assert out["https://b.example/x"] == 1
+    capped = fetch_schedule(frontier, max_per_host=2).collect()
+    assert len(capped) == 3
+    assert all(r["wave"] <= 2 for r in capped)
