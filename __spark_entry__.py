@@ -1390,6 +1390,84 @@ def q_fetch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fetch_schedule(crawl_frontier(links, crawled), max_per_host=10)
 
 
+_ROBOTS_PATHS = [
+    "/",
+    "/docs/a.pdf",
+    "/docs/a.pdfx",
+    "/nobots/x",
+    "/private/x.html",
+    "/privateer",
+    "/tmp",
+    "/tmp/public/a",
+]
+
+
+def q_robots_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robots Exclusion Protocol politeness (operators/robots.py): per-host
+    robots.txt bodies are SYNTHESIZED deterministically from an md5 hash of
+    the datagen host set (group precedence, wildcards, anchors, empty
+    Disallow, comments, mixed-case keys all exercised), parsed with the
+    real RFC 9309 parser (agent 'graftbot'), and applied to a fixed path
+    grid. The DuckDB oracle does NOT re-parse: it computes the expected
+    allow/deny/matched-rule/crawl-delay straight from the synthesis rule,
+    so any parser/matcher deviation breaks the value hash end to end."""
+    from invoice_ocr_reconciler_spark.operators.robots import (
+        parse_robots,
+        robots_filter,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # datagen host_for(doc_id) replayed in codegen (same derivation the
+    # salted_host_partitions oracle uses)
+    u64 = lambda s: F.conv(  # noqa: E731 — md5 -> uint64, engine-portable
+        F.substring(F.md5(s), 1, 16), 16, 10
+    ).cast("decimal(20,0)")
+    i = F.col("doc_id").cast("string")
+    r = u64(F.concat(F.lit("host:"), i)) % 100
+    c = (u64(F.concat(F.lit("coldhost:"), i)) % 50).cast("int")
+    host = F.when(
+        r < 35,
+        F.when(r % 2 == 0, F.lit("portal.megacorp-billing.example")).otherwise(
+            F.lit("docs.archive-crawl.example")
+        ),
+    ).otherwise(F.format_string("site-%03d.example", c))
+    hosts = docs.select(host.alias("host")).distinct()
+
+    r2 = u64(F.concat(F.lit("robots:"), F.col("host"))) % 1000
+    line = lambda m, s: F.when(r2 % m == 0, F.lit(s))  # noqa: E731
+    robots = hosts.select(
+        "host",
+        F.concat_ws(
+            "\n",
+            F.concat(F.lit("# synthetic robots for "), F.col("host")),
+            line(11, "User-agent: special-bot\nDisallow: /"),
+            F.lit("User-Agent: *"),
+            line(3, "Disallow: /private/"),
+            line(5, "disallow: /tmp\nAllow: /tmp/public/"),
+            F.when(
+                r2 % 7 == 0,
+                F.concat(
+                    F.lit("Crawl-delay: "), (r2 % 9 + 1).cast("int").cast("string")
+                ),
+            ),
+            line(4, "Disallow: /*.pdf$"),
+            line(13, "Disallow:"),
+            line(2, "User-agent: graftbot\nDisallow: /nobots/"),
+        ).alias("robots_txt"),
+    )
+    rules = parse_robots(robots, agent="graftbot")
+    frontier = hosts.select(
+        "host", F.explode(F.array(*[F.lit(p) for p in _ROBOTS_PATHS])).alias("path")
+    ).select(
+        "host", "path", F.concat(F.lit("https://"), "host", "path").alias("link")
+    )
+    return (
+        robots_filter(frontier, rules, keep_denied=True)
+        .select("host", "path", "allowed", "matched_path", "crawl_delay")
+        .orderBy("host", "path")
+    )
+
+
 def q_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end corpus build (operators/build.py:build_corpus): URL
     canonicalize + re-crawl collapse -> extraction -> NFC hygiene ->
@@ -1991,6 +2069,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normalize_text": q_normalize_text,
         "corpus_build": q_corpus_build,
         "fetch_schedule": q_fetch_schedule,
+        "robots_rules": q_robots_rules,
     }
 
 
@@ -3415,6 +3494,58 @@ def oracle_sql() -> dict[str, str]:
                 FROM frontier)
             SELECT link, host, n_referrers, n_referrer_hosts, wave
             FROM sched WHERE wave <= 10
+        """,
+        # GROUND-TRUTH robots replay: does NOT re-parse robots.txt — it
+        # computes expected allow/deny/matched-rule/crawl-delay directly
+        # from the deterministic synthesis rule (md5 'robots:'||host mod
+        # 1000), so q_robots_rules' parser+matcher are value-checked end
+        # to end. r2%2=0 hosts have a named 'graftbot' group, which per
+        # RFC 9309 precedence makes the '*' group (and its crawl-delay)
+        # inapplicable; otherwise the '*' rules apply with longest-match /
+        # allow-wins. '/docs/a.pdfx' probes the $ anchor, '/privateer' the
+        # prefix boundary, '/tmp/public/a' the allow-wins tiebreak.
+        "robots_rules": """
+            WITH k AS (
+                SELECT doc_id,
+                       ('0x' || substr(md5('host:' || CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT % 100 AS r,
+                       ('0x' || substr(md5('coldhost:' || CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT % 50 AS c
+                FROM documents),
+            hosts AS (
+                SELECT DISTINCT
+                       CASE WHEN r < 35 THEN
+                            CASE WHEN r % 2 = 0 THEN 'portal.megacorp-billing.example'
+                                 ELSE 'docs.archive-crawl.example' END
+                       ELSE printf('site-%03d.example', CAST(c AS INT)) END AS host
+                FROM k),
+            hr AS (
+                SELECT host,
+                       ('0x' || substr(md5('robots:' || host), 1, 16))::UBIGINT % 1000 AS r2
+                FROM hosts),
+            paths AS (
+                SELECT * FROM (VALUES ('/'), ('/docs/a.pdf'), ('/docs/a.pdfx'),
+                    ('/nobots/x'), ('/private/x.html'), ('/privateer'),
+                    ('/tmp'), ('/tmp/public/a')) t(path)),
+            x AS (SELECT host, r2, path FROM hr CROSS JOIN paths)
+            SELECT host, path,
+                   CASE WHEN r2 % 2 = 0 THEN path <> '/nobots/x'
+                        ELSE CASE path
+                             WHEN '/private/x.html' THEN NOT r2 % 3 = 0
+                             WHEN '/tmp' THEN NOT r2 % 5 = 0
+                             WHEN '/docs/a.pdf' THEN NOT r2 % 4 = 0
+                             ELSE TRUE END
+                   END AS allowed,
+                   CASE WHEN r2 % 2 = 0 THEN
+                            CASE WHEN path = '/nobots/x' THEN '/nobots/' END
+                        ELSE CASE
+                             WHEN path = '/private/x.html' AND r2 % 3 = 0 THEN '/private/'
+                             WHEN path = '/tmp' AND r2 % 5 = 0 THEN '/tmp'
+                             WHEN path = '/tmp/public/a' AND r2 % 5 = 0 THEN '/tmp/public/'
+                             WHEN path = '/docs/a.pdf' AND r2 % 4 = 0 THEN '/*.pdf$'
+                             END
+                   END AS matched_path,
+                   CASE WHEN r2 % 2 <> 0 AND r2 % 7 = 0
+                        THEN CAST(r2 % 9 + 1 AS DOUBLE) END AS crawl_delay
+            FROM x ORDER BY host, path
         """,
         # replays operators/chunking.py:shuffle_shards — md5('shuffle:'id)
         # rank, first-8-hex shard mod 16, row_number per shard over

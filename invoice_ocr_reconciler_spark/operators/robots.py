@@ -1,0 +1,228 @@
+"""robots.txt politeness rules as DataFrame operators (RFC 9309).
+
+The crawl tier's missing-piece next to crawl_frontier/fetch_schedule
+(operators/graph.py): which frontier targets is the crawler ALLOWED to
+fetch, and at what per-host delay? The reference pipeline fetches invoice
+pages it is handed (no crawler, so no direct reference analog); this is
+the standard Robots Exclusion Protocol semantics every polite web-scale
+crawler applies between frontier derivation and scheduling.
+
+Semantics implemented (RFC 9309 + the de-facto Google extensions):
+
+  - line grammar: ``key: value``, ``#`` comments stripped, keys matched
+    case-insensitively, blank/unknown lines skipped (Sitemap etc.).
+  - groups: one or more consecutive ``User-agent`` lines followed by
+    rule lines form a group; rules before any User-agent line are
+    ignored.
+  - group selection: groups naming the crawler's token (case-insensitive
+    exact match) take precedence; only if NO group names it do the ``*``
+    groups apply. All selected groups' rules merge.
+  - rule matching: a rule path matches a URL path by prefix; ``*`` is a
+    wildcard, a terminal ``$`` anchors the end. Longest (most-specific)
+    match wins; at equal specificity ``Allow`` wins. No matching rule =>
+    allowed. An empty ``Disallow:`` is a no-op (allow all).
+  - ``Crawl-delay`` (non-RFC but ubiquitous): per selected group; the
+    minimum across selected groups is reported.
+
+Scale shape: parse_robots is per-host-local (posexplode of a bounded
+robots file + windows partitioned by host — one exchange at HOST
+cardinality, ~10^7 rows for the whole web, never corpus-sized);
+``rules_cap`` bounds adversarial megabyte robots files the same way
+HOT_BUCKET_CAP bounds degenerate dedup buckets. robots_filter collapses
+the rules to ONE sorted array row per host and broadcast-joins it to the
+frontier: the corpus-sized side sees a map-side join plus a per-row
+array scan — no shuffle, no explode, no Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from invoice_ocr_reconciler_spark.functions.urls import host_of_url_col
+
+# An adversarial/broken robots.txt can hold millions of rules; past this
+# cap the tail is dropped (rules are order-capped, so the file's leading
+# rules — the ones human-authored files put first — survive).
+ROBOTS_RULES_CAP = 512
+
+_KEYS = ("user-agent", "allow", "disallow", "crawl-delay")
+
+
+def parse_robots(
+    robots: DataFrame,
+    host_col: str = "host",
+    text_col: str = "robots_txt",
+    agent: str = "*",
+    rules_cap: int = ROBOTS_RULES_CAP,
+) -> DataFrame:
+    """Parse per-host robots.txt bodies into the rule rows that apply to
+    ``agent``.
+
+    -> (host, pos, rule in ('allow','disallow','crawl-delay'), path,
+        spec_len, anchored, wild, rx, crawl_delay)
+
+    ``path`` is the verbatim rule value; ``rx`` is a precompiled regex
+    (NULL for plain-prefix rules) so the apply step never rebuilds
+    patterns per frontier row; ``spec_len`` is the specificity used for
+    longest-match. crawl-delay rows carry path='' and the parsed delay.
+    Everything is codegen column expressions — no Python crossing.
+    """
+    host = F.col(host_col)
+    lines = robots.select(
+        host.alias("host"),
+        F.posexplode(F.split(F.col(text_col), r"\r?\n")).alias("pos", "raw"),
+    )
+    line = F.trim(F.regexp_replace(F.col("raw"), r"#.*$", ""))
+    key = F.lower(F.trim(F.regexp_extract(line, r"^([^:]+):", 1)))
+    val = F.trim(F.regexp_extract(line, r"^[^:]+:(.*)$", 1))
+    parsed = (
+        lines.select("host", "pos", key.alias("key"), val.alias("val"))
+        .filter(F.col("key").isin(*_KEYS))
+    )
+
+    w_host = Window.partitionBy("host").orderBy("pos")
+    is_ua = F.col("key") == "user-agent"
+    run_start = is_ua & ~F.coalesce(F.lag(is_ua).over(w_host), F.lit(False))
+    grouped = parsed.withColumn(
+        "group_id",
+        F.sum(run_start.cast("int")).over(
+            w_host.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+
+    ua_tok = F.when(is_ua, F.lower(F.col("val")))
+    named = (ua_tok == agent.lower()).cast("int")
+    star = (ua_tok == "*").cast("int")
+    w_grp = Window.partitionBy("host", "group_id")
+    w_all = Window.partitionBy("host")
+    flagged = (
+        grouped.withColumn(
+            "grp_named", F.max(F.coalesce(named, F.lit(0))).over(w_grp)
+        )
+        .withColumn("grp_star", F.max(F.coalesce(star, F.lit(0))).over(w_grp))
+        .withColumn("host_named", F.max(F.coalesce(named, F.lit(0))).over(w_all))
+    )
+    selected = (F.col("group_id") > 0) & (
+        (F.col("grp_named") == 1)
+        | ((F.col("host_named") == 0) & (F.col("grp_star") == 1))
+    )
+    rules = flagged.filter(selected & ~is_ua)
+
+    is_delay = F.col("key") == "crawl-delay"
+    # empty Allow/Disallow values are explicit no-ops per RFC 9309
+    rules = rules.filter(is_delay | (F.col("val") != ""))
+    rules = rules.withColumn(
+        "_rn", F.row_number().over(Window.partitionBy("host").orderBy("pos"))
+    ).filter(F.col("_rn") <= int(rules_cap))
+
+    anchored = (~is_delay) & F.col("val").endswith("$")
+    base = F.when(
+        anchored, F.expr("substring(val, 1, length(val) - 1)")
+    ).otherwise(F.col("val"))
+    wild = (~is_delay) & base.contains("*")
+    # regex-escape the literal portion, then '*' -> '.*'; anchor start
+    esc = F.regexp_replace(base, r"([.^$+?(){}\[\]\\|])", r"\\$1")
+    rx = F.when(
+        wild,
+        F.concat(
+            F.lit("^"),
+            F.regexp_replace(esc, r"\*", ".*"),
+            F.when(anchored, F.lit("$")).otherwise(F.lit("")),
+        ),
+    )
+    return rules.select(
+        "host",
+        "pos",
+        F.when(is_delay, F.lit("crawl-delay")).otherwise(F.col("key")).alias("rule"),
+        F.when(is_delay, F.lit("")).otherwise(F.col("val")).alias("path"),
+        F.when(is_delay, F.lit(0)).otherwise(F.length(base)).alias("spec_len"),
+        F.coalesce(anchored, F.lit(False)).alias("anchored"),
+        F.coalesce(wild, F.lit(False)).alias("wild"),
+        F.when(~is_delay, base).alias("base"),
+        rx.alias("rx"),
+        F.when(is_delay, F.expr("try_cast(val AS DOUBLE)")).alias("crawl_delay"),
+    )
+
+
+def url_path_col(url) -> "F.Column":
+    """Path+query of a URL ('' fragment cut, '/' when absent) — the
+    string robots rules match against."""
+    p = F.regexp_extract(url, r"^(?i)https?://[^/?#]+([^#]*)", 1)
+    return F.when(p == "", F.lit("/")).otherwise(p)
+
+
+def robots_filter(
+    frontier: DataFrame,
+    rules: DataFrame,
+    url_col: str = "link",
+    keep_denied: bool = False,
+) -> DataFrame:
+    """Apply parse_robots output to a frontier: + (allowed, matched_path,
+    crawl_delay).
+
+    The rules frame is collapsed to one row per host holding the rule
+    array pre-sorted by (specificity desc, allow-before-disallow, file
+    order) and BROADCAST — the frontier side is a map-side join plus a
+    per-row scan of a <=rules_cap array: zero exchanges on the
+    corpus-sized side. Matching picks the array's first hit, which by
+    the sort order IS the RFC winner (longest match, Allow on ties).
+    keep_denied=True annotates instead of filtering.
+    """
+    path_rules = rules.filter(F.col("rule") != "crawl-delay")
+    arr = (
+        path_rules.withColumnRenamed("host", "_arr_host")
+        .groupBy("_arr_host")
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        (-F.col("spec_len")).alias("neg_len"),
+                        F.col("rule").alias("rule"),  # 'allow' < 'disallow'
+                        F.col("pos").alias("pos"),
+                        F.col("path").alias("path"),
+                        F.col("base").alias("base"),
+                        F.col("anchored").alias("anchored"),
+                        F.col("wild").alias("wild"),
+                        F.col("rx").alias("rx"),
+                    )
+                )
+            ).alias("rules")
+        )
+    )
+    delays = (
+        rules.filter(F.col("rule") == "crawl-delay")
+        .withColumnRenamed("host", "_dly_host")
+        .groupBy("_dly_host")
+        .agg(F.min("crawl_delay").alias("crawl_delay"))
+    )
+
+    url = F.col(url_col)
+    annotated = (
+        frontier.withColumn("_rf_host", host_of_url_col(url))
+        .withColumn("_rf_path", url_path_col(url))
+        .join(
+            F.broadcast(arr), F.col("_rf_host") == F.col("_arr_host"), "left"
+        )
+        .join(
+            F.broadcast(delays), F.col("_rf_host") == F.col("_dly_host"), "left"
+        )
+    )
+    p = F.col("_rf_path")
+    match = F.try_element_at(
+        F.filter(
+            F.coalesce(F.col("rules"), F.array()),
+            lambda x: F.when(x["wild"], F.regexp_like(p, x["rx"])).otherwise(
+                F.when(x["anchored"], p == x["base"]).otherwise(
+                    F.startswith(p, x["base"])
+                )
+            ),
+        ),
+        F.lit(1),
+    )
+    out = annotated.withColumn(
+        "allowed", match.isNull() | (match["rule"] == "allow")
+    ).withColumn("matched_path", match["path"])
+    if not keep_denied:
+        out = out.filter(F.col("allowed"))
+    return out.drop("rules", "_rf_host", "_rf_path", "_arr_host", "_dly_host")

@@ -1,0 +1,145 @@
+"""RFC 9309 robots.txt parser + filter semantics (operators/robots.py)."""
+
+from pyspark.sql import functions as F
+
+from invoice_ocr_reconciler_spark.operators.robots import (
+    parse_robots,
+    robots_filter,
+)
+
+
+def _robots(spark, *pairs):
+    return spark.createDataFrame(
+        list(pairs), "host string, robots_txt string"
+    )
+
+
+def _apply(spark, rules, links):
+    fr = spark.createDataFrame([(u,) for u in links], "link string")
+    rows = (
+        robots_filter(fr, rules, keep_denied=True)
+        .orderBy("link")
+        .collect()
+    )
+    return {r["link"]: r for r in rows}
+
+
+class TestParseRobots:
+    def test_consecutive_ua_lines_share_rules(self, spark):
+        txt = "User-agent: abot\nUser-agent: bbot\nDisallow: /x/"
+        for agent in ("abot", "bbot"):
+            got = parse_robots(_robots(spark, ("h", txt)), agent=agent).collect()
+            assert [(r["rule"], r["path"]) for r in got] == [("disallow", "/x/")]
+
+    def test_rules_before_any_group_ignored(self, spark):
+        txt = "Disallow: /orphan/\nUser-agent: *\nDisallow: /x/"
+        got = parse_robots(_robots(spark, ("h", txt))).collect()
+        assert [r["path"] for r in got] == ["/x/"]
+
+    def test_named_group_precedence_over_star(self, spark):
+        txt = "User-agent: *\nDisallow: /a/\nCrawl-delay: 9\n\nUser-agent: GraftBot\nDisallow: /b/"
+        got = parse_robots(_robots(spark, ("h", txt)), agent="graftbot").collect()
+        assert [(r["rule"], r["path"]) for r in got] == [("disallow", "/b/")]
+
+    def test_star_fallback_when_agent_unnamed(self, spark):
+        txt = "User-agent: other\nDisallow: /o/\n\nUser-agent: *\nDisallow: /s/"
+        got = parse_robots(_robots(spark, ("h", txt)), agent="graftbot").collect()
+        assert [r["path"] for r in got] == ["/s/"]
+
+    def test_comments_blanks_unknown_keys_skipped(self, spark):
+        txt = "# hi\nUser-agent: * # star\n\nSitemap: https://h/s.xml\nDisallow: /x/ # tail\nHost: h"
+        got = parse_robots(_robots(spark, ("h", txt))).collect()
+        assert [r["path"] for r in got] == ["/x/"]
+
+    def test_empty_disallow_is_noop_and_bad_delay_null(self, spark):
+        txt = "User-agent: *\nDisallow:\nCrawl-delay: soon"
+        got = parse_robots(_robots(spark, ("h", txt))).collect()
+        assert len(got) == 1
+        assert got[0]["rule"] == "crawl-delay"
+        assert got[0]["crawl_delay"] is None
+
+    def test_rules_cap_keeps_leading_rules(self, spark):
+        txt = "User-agent: *\n" + "\n".join(
+            f"Disallow: /p{i}/" for i in range(10)
+        )
+        got = parse_robots(_robots(spark, ("h", txt)), rules_cap=3).collect()
+        assert [r["path"] for r in got] == ["/p0/", "/p1/", "/p2/"]
+
+    def test_wildcard_and_anchor_compile(self, spark):
+        txt = "User-agent: *\nDisallow: /a/*/b$\nDisallow: /c.d/"
+        got = {r["path"]: r for r in parse_robots(_robots(spark, ("h", txt))).collect()}
+        assert got["/a/*/b$"]["wild"] and got["/a/*/b$"]["anchored"]
+        assert got["/a/*/b$"]["rx"] == "^/a/.*/b$"
+        assert not got["/c.d/"]["wild"] and got["/c.d/"]["rx"] is None
+
+
+class TestRobotsFilter:
+    def test_longest_match_allow_wins_and_defaults(self, spark):
+        txt = (
+            "User-agent: *\nDisallow: /tmp\nAllow: /tmp/public/\n"
+            "Disallow: /*.pdf$\nCrawl-delay: 2"
+        )
+        rules = parse_robots(_robots(spark, ("h.example", txt)))
+        got = _apply(
+            spark,
+            rules,
+            [
+                "https://h.example/tmp",
+                "https://h.example/tmp/public/a",
+                "https://h.example/x.pdf",
+                "https://h.example/x.pdfz",
+                "https://h.example/free",
+                "https://other.example/tmp",
+            ],
+        )
+        assert not got["https://h.example/tmp"]["allowed"]
+        assert got["https://h.example/tmp/public/a"]["allowed"]
+        assert got["https://h.example/tmp/public/a"]["matched_path"] == "/tmp/public/"
+        assert not got["https://h.example/x.pdf"]["allowed"]
+        assert got["https://h.example/x.pdfz"]["allowed"]  # $ anchor
+        assert got["https://h.example/free"]["allowed"]
+        assert got["https://h.example/free"]["crawl_delay"] == 2.0
+        # unknown host: allowed, no delay
+        assert got["https://other.example/tmp"]["allowed"]
+        assert got["https://other.example/tmp"]["crawl_delay"] is None
+
+    def test_allow_wins_exact_tie(self, spark):
+        txt = "User-agent: *\nDisallow: /p/\nAllow: /p/"
+        rules = parse_robots(_robots(spark, ("h.example", txt)))
+        got = _apply(spark, rules, ["https://h.example/p/x"])
+        assert got["https://h.example/p/x"]["allowed"]
+
+    def test_keep_denied_false_filters(self, spark):
+        txt = "User-agent: *\nDisallow: /no/"
+        rules = parse_robots(_robots(spark, ("h.example", txt)))
+        fr = spark.createDataFrame(
+            [("https://h.example/no/1",), ("https://h.example/yes",)],
+            "link string",
+        )
+        got = robots_filter(fr, rules).select("link").collect()
+        assert [r["link"] for r in got] == ["https://h.example/yes"]
+
+    def test_query_string_matched_and_root_path(self, spark):
+        txt = "User-agent: *\nDisallow: /search?q="
+        rules = parse_robots(_robots(spark, ("h.example", txt)))
+        got = _apply(
+            spark,
+            rules,
+            ["https://h.example/search?q=x", "https://h.example", "https://h.example/search"],
+        )
+        assert not got["https://h.example/search?q=x"]["allowed"]
+        assert got["https://h.example"]["allowed"]
+        assert got["https://h.example/search"]["allowed"]
+
+    def test_no_python_udfs_in_plan(self, spark):
+        txt = "User-agent: *\nDisallow: /x/"
+        rules = parse_robots(_robots(spark, ("h.example", txt)))
+        fr = spark.createDataFrame([("https://h.example/x/1",)], "link string")
+        plan = (
+            robots_filter(fr, rules, keep_denied=True)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+        assert "BroadcastHashJoin" in plan
