@@ -419,6 +419,66 @@ def q_binary_file_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC segment splitting (sources/warc.py): per doc_id a synthetic
+    3-record WARC segment (warcinfo + response-with-HTTP-envelope +
+    request, mixed-case header names, every 17th file torn mid-record) is
+    BUILT in codegen and walked by the real cursor parser. Bodies are
+    md5-derived and fixed-length, so the DuckDB oracle computes every
+    record row (type, uri, lengths, status, payload md5, malformed
+    marker) directly from the synthesis rule — parser deviations break
+    the value hash."""
+    from invoice_ocr_reconciler_spark.sources.warc import parse_warc_records
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    i = F.col("doc_id").cast("string")
+    uri = F.concat(F.lit("https://w.example/doc/"), i)
+    html = F.concat(
+        F.lit("<html><body>"),
+        F.md5(F.concat(F.lit("warc:"), i)),
+        F.lit("</body></html>"),
+    )  # 12 + 32 + 14 = 58 bytes
+    http_env = "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"  # 44
+    req_body = "GET / HTTP/1.1\r\nHost: w.example"  # 31
+    content = F.concat(
+        F.lit(
+            "WARC/1.0\r\nWARC-Type: warcinfo\r\nContent-Length: 23\r\n\r\n"
+            "software: graft-crawler\r\n\r\n"
+        ),
+        F.lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: "),
+        uri,
+        F.lit(
+            "\r\nWARC-Date: 2026-01-01T00:00:00Z\r\nContent-Length: 102\r\n\r\n"
+            + http_env
+        ),
+        html,
+        F.lit("\r\n\r\n"),
+        F.lit("WARC/1.0\r\nwarc-type: request\r\nWARC-Target-URI: "),
+        uri,
+        F.lit("\r\nContent-Length: 31\r\n\r\n" + req_body + "\r\n\r\n"),
+        F.when(
+            F.col("doc_id") % 17 == 0,
+            F.lit("WARC/1.0\r\nContent-Length: 999999\r\n\r\nxx"),
+        ).otherwise(F.lit("")),
+    )
+    segments = docs.select(
+        F.concat(F.lit("seg-"), i).alias("source"),
+        content.cast("binary").alias("content"),
+    )
+    recs = parse_warc_records(segments, source_col="source")
+    return recs.select(
+        "source",
+        "record_idx",
+        "warc_type",
+        "target_uri",
+        "warc_date",
+        "content_length",
+        "http_status",
+        F.md5("payload").alias("payload_md5"),
+        "n_malformed",
+    ).orderBy("source", "record_idx")
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing over binary payloads derived from documents.
     The deterministic fake decoder derives dims/phash from md5(payload), so
@@ -2002,6 +2062,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "register_csv_scan": q_register_csv_scan,
         "register_json_scan": q_register_json_scan,
         "binary_file_scan": q_binary_file_scan,
+        "warc_ingest": q_warc_ingest,
         "multimodal_features": q_multimodal_features,
         "multimodal_audio": q_multimodal_audio,
         "multimodal_phash_pairs": q_multimodal_phash_pairs,
@@ -2836,6 +2897,44 @@ def oracle_sql() -> dict[str, str]:
                    CAST(size AS BIGINT) AS length,
                    hex(content) AS content_hex
             FROM read_blob('{_BINFILES_DIR}/*.bin')
+        """,
+        # GROUND-TRUTH WARC replay: does NOT re-split the container — it
+        # computes every expected record row straight from q_warc_ingest's
+        # synthesis rule (fixed-length md5 bodies, constant envelopes), so
+        # the cursor walker's header parsing, Content-Length arithmetic,
+        # HTTP-envelope strip, and torn-tail handling are all value-checked
+        "warc_ingest": """
+            WITH base AS (
+                SELECT doc_id,
+                       'seg-' || CAST(doc_id AS VARCHAR) AS source,
+                       'https://w.example/doc/' || CAST(doc_id AS VARCHAR) AS uri,
+                       md5('warc:' || CAST(doc_id AS VARCHAR)) AS h
+                FROM documents),
+            recs AS (
+                SELECT source, 0 AS record_idx, 'warcinfo' AS warc_type,
+                       CAST(NULL AS VARCHAR) AS target_uri,
+                       CAST(NULL AS VARCHAR) AS warc_date,
+                       CAST(23 AS BIGINT) AS content_length,
+                       CAST(NULL AS INT) AS http_status,
+                       md5('software: graft-crawler') AS payload_md5,
+                       0 AS n_malformed
+                FROM base
+                UNION ALL
+                SELECT source, 1, 'response', uri, '2026-01-01T00:00:00Z',
+                       CAST(102 AS BIGINT), 200,
+                       md5('<html><body>' || h || '</body></html>'), 0
+                FROM base
+                UNION ALL
+                SELECT source, 2, 'request', uri, NULL, CAST(31 AS BIGINT),
+                       NULL,
+                       md5('GET / HTTP/1.1' || chr(13) || chr(10)
+                           || 'Host: w.example'), 0
+                FROM base
+                UNION ALL
+                SELECT source, -1, '', NULL, NULL, CAST(0 AS BIGINT), NULL,
+                       md5(''), 1
+                FROM base WHERE doc_id % 17 = 0)
+            SELECT * FROM recs ORDER BY source, record_idx
         """,
         # exact transitive closure of the n-gram-Jaccard pair set via a
         # recursive CTE — the SQL ground truth for large-star/small-star

@@ -62,6 +62,7 @@ def main() -> None:
         "bm25_search",       # BM25 top-k (pre-explode query-vocab filter)
         "latest_snapshot",   # re-crawl collapse (one exchange + window)
         "crawl_frontier",    # frontier anti join (target-sized agg first)
+        "robots_rules",      # RFC 9309 parse + broadcast longest-match filter
         "bpe_merges",        # BPE vocab induction (8 vocab-sized rounds)
         "normalize_text",    # NFC + codegen hygiene (one Arrow crossing)
         "corpus_build",      # end-to-end build: collapse->extract->curate->shards
