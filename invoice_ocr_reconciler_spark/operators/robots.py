@@ -46,7 +46,7 @@ from invoice_ocr_reconciler_spark.functions.urls import host_of_url_col
 # rules — the ones human-authored files put first — survive).
 ROBOTS_RULES_CAP = 512
 
-_KEYS = ("user-agent", "allow", "disallow", "crawl-delay")
+_KEYS = ("user-agent", "allow", "disallow", "crawl-delay", "sitemap")
 
 
 def parse_robots(
@@ -107,20 +107,24 @@ def parse_robots(
         (F.col("grp_named") == 1)
         | ((F.col("host_named") == 0) & (F.col("grp_star") == 1))
     )
-    rules = flagged.filter(selected & ~is_ua)
+    # Sitemap lines are group-INDEPENDENT per RFC 9309 §2.3 (they may sit
+    # outside any group and apply regardless of agent selection)
+    is_map = F.col("key") == "sitemap"
+    rules = flagged.filter((selected & ~is_ua) | is_map)
 
     is_delay = F.col("key") == "crawl-delay"
-    # empty Allow/Disallow values are explicit no-ops per RFC 9309
+    # empty Allow/Disallow/Sitemap values are explicit no-ops per RFC 9309
     rules = rules.filter(is_delay | (F.col("val") != ""))
     rules = rules.withColumn(
         "_rn", F.row_number().over(Window.partitionBy("host").orderBy("pos"))
     ).filter(F.col("_rn") <= int(rules_cap))
 
-    anchored = (~is_delay) & F.col("val").endswith("$")
+    is_rule = ~is_delay & ~is_map
+    anchored = is_rule & F.col("val").endswith("$")
     base = F.when(
         anchored, F.expr("substring(val, 1, length(val) - 1)")
     ).otherwise(F.col("val"))
-    wild = (~is_delay) & base.contains("*")
+    wild = is_rule & base.contains("*")
     # regex-escape the literal portion, then '*' -> '.*'; anchor start
     esc = F.regexp_replace(base, r"([.^$+?(){}\[\]\\|])", r"\\$1")
     rx = F.when(
@@ -134,12 +138,12 @@ def parse_robots(
     return rules.select(
         "host",
         "pos",
-        F.when(is_delay, F.lit("crawl-delay")).otherwise(F.col("key")).alias("rule"),
+        F.col("key").alias("rule"),
         F.when(is_delay, F.lit("")).otherwise(F.col("val")).alias("path"),
-        F.when(is_delay, F.lit(0)).otherwise(F.length(base)).alias("spec_len"),
+        F.when(is_rule, F.length(base)).otherwise(F.lit(0)).alias("spec_len"),
         F.coalesce(anchored, F.lit(False)).alias("anchored"),
         F.coalesce(wild, F.lit(False)).alias("wild"),
-        F.when(~is_delay, base).alias("base"),
+        F.when(is_rule, base).alias("base"),
         rx.alias("rx"),
         F.when(is_delay, F.expr("try_cast(val AS DOUBLE)")).alias("crawl_delay"),
     )
@@ -169,7 +173,7 @@ def robots_filter(
     the sort order IS the RFC winner (longest match, Allow on ties).
     keep_denied=True annotates instead of filtering.
     """
-    path_rules = rules.filter(F.col("rule") != "crawl-delay")
+    path_rules = rules.filter(F.col("rule").isin("allow", "disallow"))
     arr = (
         path_rules.withColumnRenamed("host", "_arr_host")
         .groupBy("_arr_host")

@@ -47,9 +47,24 @@ class TestParseRobots:
         assert [r["path"] for r in got] == ["/s/"]
 
     def test_comments_blanks_unknown_keys_skipped(self, spark):
-        txt = "# hi\nUser-agent: * # star\n\nSitemap: https://h/s.xml\nDisallow: /x/ # tail\nHost: h"
+        txt = "# hi\nUser-agent: * # star\n\nDisallow: /x/ # tail\nHost: h"
         got = parse_robots(_robots(spark, ("h", txt))).collect()
         assert [r["path"] for r in got] == ["/x/"]
+
+    def test_sitemap_lines_group_independent(self, spark):
+        # before any group, and inside a non-matching group: both surface
+        txt = (
+            "Sitemap: https://h/s1.xml\nUser-agent: other\nDisallow: /o/\n"
+            "Sitemap: https://h/s2.xml\nUser-agent: *\nDisallow: /x/"
+        )
+        got = parse_robots(_robots(spark, ("h", txt)), agent="graftbot").collect()
+        by_rule = {}
+        for r in got:
+            by_rule.setdefault(r["rule"], []).append(r["path"])
+        assert sorted(by_rule["sitemap"]) == [
+            "https://h/s1.xml", "https://h/s2.xml"
+        ]
+        assert by_rule["disallow"] == ["/x/"]  # group selection unaffected
 
     def test_empty_disallow_is_noop_and_bad_delay_null(self, spark):
         txt = "User-agent: *\nDisallow:\nCrawl-delay: soon"
