@@ -479,6 +479,117 @@ def q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("source", "record_idx")
 
 
+def _meta_variant_html(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, v, html): md5-variant-driven synthetic pages exercising
+    quote styles, attribute orders, unquoted values, mixed case, entities,
+    and absent elements — the ground-truth basis for the html_metadata /
+    html_tables oracles."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    i = F.col("doc_id").cast("string")
+    v = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("meta:"), i)), 1, 16), 16, 10)
+        .cast("decimal(20,0)") % 1000
+    )
+    html = F.concat(
+        F.when(v % 2 == 0, F.lit('<html lang="en"><head>')).otherwise(
+            F.lit("<html lang=fr><head>")
+        ),
+        F.when(v % 7 == 0, F.lit("")).otherwise(
+            F.concat(F.lit("<title> Doc "), i, F.lit(" &amp;  Co </title>"))
+        ),
+        F.when(
+            v % 2 == 0,
+            F.concat(F.lit('<meta name="description" content="D '), i, F.lit('">')),
+        ).otherwise(
+            F.concat(F.lit("<meta content='D "), i, F.lit("' name=description>"))
+        ),
+        F.when(v % 2 == 0, F.lit("<meta charset=UTF-8>")).otherwise(
+            F.lit(
+                '<meta http-equiv="Content-Type"'
+                ' content="text/html; charset=iso-8859-1">'
+            )
+        ),
+        F.when(v % 5 == 0, F.lit("")).otherwise(
+            F.when(
+                v % 3 == 0,
+                F.concat(
+                    F.lit("<link rel='canonical' href='https://c.example/d/"),
+                    i,
+                    F.lit("'>"),
+                ),
+            ).otherwise(
+                F.concat(
+                    F.lit('<link href="https://c.example/d/'),
+                    i,
+                    F.lit('" rel="canonical">'),
+                )
+            )
+        ),
+        F.when(
+            v % 3 == 0,
+            F.concat(F.lit('<meta property="og:title" content="OG '), i, F.lit('">')),
+        ).otherwise(F.lit("")),
+        F.when(
+            v % 4 == 0, F.lit('<meta name="robots" content="noindex, nofollow">')
+        ).when(v % 4 == 1, F.lit('<meta name=robots content=NOFOLLOW>')).otherwise(
+            F.lit("")
+        ),
+        F.when(
+            v % 11 == 0, F.concat(F.lit("<base href=/b/"), i, F.lit("/>"))
+        ).otherwise(F.lit("")),
+        F.lit("</head><body><table><tr><th>Item</th><th> Amount </th></tr>"),
+        F.concat(
+            F.lit("<tr><td><b>item-"), i, F.lit("</b> &amp; kit</td><td>"),
+            i, F.lit(".50</td></tr>"),
+        ),
+        F.lit("<tr><td>fee</td><td>0.25</td></tr></table>"),
+        F.when(
+            v % 6 == 0,
+            F.concat(F.lit("<table><tr><td>x"), i, F.lit("</td></tr></table>")),
+        ).otherwise(F.lit("")),
+        F.lit("</body></html>"),
+    )
+    return docs.select("doc_id", html.alias("html"))
+
+
+def q_html_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Head-metadata harvest (functions/html_meta.py:extract_metadata):
+    title/description/canonical/charset/og:title/robots-flags/base/lang
+    over md5-variant synthetic pages (quote styles, attribute order,
+    unquoted values, http-equiv fallback, entities, absences). Pure
+    codegen — the DuckDB oracle computes every expected value from the
+    variant rule, so each extraction regex is value-checked."""
+    from invoice_ocr_reconciler_spark.functions.html_meta import extract_metadata
+
+    pages = _meta_variant_html(spark, sf_dir)
+    return (
+        extract_metadata(pages)
+        .select(
+            "doc_id", "title", "description", "canonical", "charset",
+            "og_title", "noindex", "nofollow", "base_href", "html_lang",
+        )
+        .orderBy("doc_id")
+    )
+
+
+def q_html_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML table lifting (functions/html_meta.py:extract_tables): one row
+    per <tr> with tag-stripped entity-decoded cells, header detection,
+    multi-table pages — ground-truth DuckDB oracle from the same variant
+    rule."""
+    from invoice_ocr_reconciler_spark.functions.html_meta import extract_tables
+
+    pages = _meta_variant_html(spark, sf_dir)
+    return (
+        extract_tables(pages, keep_cols=("doc_id",))
+        .select(
+            "doc_id", "table_idx", "row_idx", "is_header",
+            F.array_join("cells", "|").alias("cells_joined"),
+        )
+        .orderBy("doc_id", "table_idx", "row_idx")
+    )
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing over binary payloads derived from documents.
     The deterministic fake decoder derives dims/phash from md5(payload), so
@@ -2063,6 +2174,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "register_json_scan": q_register_json_scan,
         "binary_file_scan": q_binary_file_scan,
         "warc_ingest": q_warc_ingest,
+        "html_metadata": q_html_metadata,
+        "html_tables": q_html_tables,
         "multimodal_features": q_multimodal_features,
         "multimodal_audio": q_multimodal_audio,
         "multimodal_phash_pairs": q_multimodal_phash_pairs,
@@ -2935,6 +3048,52 @@ def oracle_sql() -> dict[str, str]:
                        md5(''), 1
                 FROM base WHERE doc_id % 17 = 0)
             SELECT * FROM recs ORDER BY source, record_idx
+        """,
+        # GROUND-TRUTH metadata replay from the md5 variant rule (no HTML
+        # re-parse): title entity-decode+collapse, attr-order/quote-style
+        # robustness, charset http-equiv fallback, robots flags, unquoted
+        # base href — every extraction regex is value-checked
+        "html_metadata": """
+            WITH v AS (
+                SELECT doc_id,
+                       ('0x' || substr(md5('meta:' || CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT % 1000 AS v
+                FROM documents)
+            SELECT doc_id,
+                   CASE WHEN v % 7 = 0 THEN NULL
+                        ELSE 'Doc ' || CAST(doc_id AS VARCHAR) || ' & Co' END AS title,
+                   'D ' || CAST(doc_id AS VARCHAR) AS description,
+                   CASE WHEN v % 5 = 0 THEN NULL
+                        ELSE 'https://c.example/d/' || CAST(doc_id AS VARCHAR) END AS canonical,
+                   CASE WHEN v % 2 = 0 THEN 'utf-8' ELSE 'iso-8859-1' END AS charset,
+                   CASE WHEN v % 3 = 0 THEN 'OG ' || CAST(doc_id AS VARCHAR) END AS og_title,
+                   v % 4 = 0 AS noindex,
+                   v % 4 = 0 OR v % 4 = 1 AS nofollow,
+                   CASE WHEN v % 11 = 0 THEN '/b/' || CAST(doc_id AS VARCHAR) || '/' END AS base_href,
+                   CASE WHEN v % 2 = 0 THEN 'en' ELSE 'fr' END AS html_lang
+            FROM v ORDER BY doc_id
+        """,
+        # GROUND-TRUTH table replay: header row + 2 data rows per doc
+        # (entity + nested-tag cell), second table on v%6=0
+        "html_tables": """
+            WITH v AS (
+                SELECT doc_id,
+                       ('0x' || substr(md5('meta:' || CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT % 1000 AS v
+                FROM documents),
+            rows_ AS (
+                SELECT doc_id, 0 AS table_idx, 0 AS row_idx, TRUE AS is_header,
+                       'Item|Amount' AS cells_joined FROM v
+                UNION ALL
+                SELECT doc_id, 0, 1, FALSE,
+                       'item-' || CAST(doc_id AS VARCHAR) || ' & kit|'
+                           || CAST(doc_id AS VARCHAR) || '.50' FROM v
+                UNION ALL
+                SELECT doc_id, 0, 2, FALSE, 'fee|0.25' FROM v
+                UNION ALL
+                SELECT doc_id, 1, 0, FALSE, 'x' || CAST(doc_id AS VARCHAR)
+                FROM v WHERE v % 6 = 0)
+            SELECT doc_id, CAST(table_idx AS INT) AS table_idx,
+                   CAST(row_idx AS INT) AS row_idx, is_header, cells_joined
+            FROM rows_ ORDER BY doc_id, table_idx, row_idx
         """,
         # exact transitive closure of the n-gram-Jaccard pair set via a
         # recursive CTE — the SQL ground truth for large-star/small-star

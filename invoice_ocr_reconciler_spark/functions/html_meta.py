@@ -1,0 +1,164 @@
+"""HTML head-metadata + table extraction as pure codegen column exprs.
+
+Structured complements to the mapInPandas main-content extractor
+(extraction/html_extract.py): head metadata drives crawl/curation
+decisions the text alone can't — ``canonical`` feeds URL dedup
+(functions/urls.py:canonicalize_url_col collapses mirrors; the page's own
+canonical link collapses share-URL duplicates), ``noindex/nofollow``
+gate what a polite corpus may keep, ``charset``/``lang`` feed decode and
+language routing — and ``extract_tables`` lifts the reference's
+line-item idea (tabular invoice data inside documents) to arbitrary
+HTML tables, the classic structured-data harvest over a web corpus.
+
+Everything here stays inside whole-stage codegen: regexp_extract_all
+over the raw html (one JVM pass per pattern), array filter/transform for
+attribute-order-robust tag selection, no Python crossing. The parse is
+the standard regex fast path with documented limits: attribute values
+quoted with ' or " (or unquoted single tokens), entity decoding covers
+the named basics (&amp; &lt; &gt; &quot; &#39; &apos; &nbsp;), and a
+table nested inside a cell is swallowed into that cell's text (regex
+table lifting — the usual trade for never shipping a DOM parser across
+the corpus; route pathological pages to the Python extractor instead).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def decode_entities_col(col: Column) -> Column:
+    """Named-basic HTML entity decode. &amp; decodes LAST so '&amp;lt;'
+    yields the literal '&lt;' (single-pass semantics, no double decode)."""
+    c = col
+    for ent, rep in (
+        ("&lt;", "<"),
+        ("&gt;", ">"),
+        ("&quot;", '"'),
+        ("&#39;", "'"),
+        ("&apos;", "'"),
+        ("&nbsp;", " "),
+        ("&amp;", "&"),
+    ):
+        c = F.replace(c, F.lit(ent), F.lit(rep))
+    return c
+
+
+def strip_tags_col(col: Column) -> Column:
+    """Tags -> space, whitespace collapsed, entities decoded — the cell/
+    title text cleaner."""
+    no_tags = F.regexp_replace(col, r"<[^>]*>", " ")
+    return F.trim(F.regexp_replace(decode_entities_col(no_tags), r"\s+", " "))
+
+
+def _attr(tag: Column, name: str) -> Column:
+    """Value of attribute ``name`` in one tag string: "v", 'v', or an
+    unquoted token; NULL if absent or empty."""
+    dq = F.regexp_extract(tag, rf"(?i)\b{name}\s*=\s*\"([^\"]*)\"", 1)
+    sq = F.regexp_extract(tag, rf"(?i)\b{name}\s*=\s*'([^']*)'", 1)
+    # unquoted values: HTML5 permits '/' inside them ('href=/a/>' is the
+    # value '/a/'); they end only at whitespace, quotes, or '>'
+    uq = F.regexp_extract(tag, rf"(?i)\b{name}\s*=\s*([^\s\"'>]+)", 1)
+    return F.nullif(F.coalesce(F.nullif(dq, F.lit("")), F.nullif(sq, F.lit("")), uq), F.lit(""))
+
+
+def _first_tag_where(tags: Column, attr: str, value: str) -> Column:
+    """First tag in the array whose ``attr`` equals ``value``
+    (case-insensitive, quote-style-agnostic)."""
+    pat = rf"(?i)\b{attr}\s*=\s*[\"']?{value}\b"
+    return F.try_element_at(
+        F.filter(tags, lambda t: F.regexp_like(t, F.lit(pat))), F.lit(1)
+    )
+
+
+def metadata_cols(html: Column) -> dict[str, Column]:
+    """The head-metadata column map; apply via ``extract_metadata``."""
+    metas = F.regexp_extract_all(html, F.lit(r"(?i)<meta\b[^>]*>"), 0)
+    links = F.regexp_extract_all(html, F.lit(r"(?i)<link\b[^>]*>"), 0)
+
+    title_raw = F.regexp_extract(html, r"(?is)<title[^>]*>(.*?)</title>", 1)
+    desc_tag = _first_tag_where(metas, "name", "description")
+    og_tag = _first_tag_where(metas, "property", "og:title")
+    robots_tag = _first_tag_where(metas, "name", "robots")
+    canonical_tag = _first_tag_where(links, "rel", "canonical")
+    base_tag = F.regexp_extract(html, r"(?i)(<base\b[^>]*>)", 1)
+    html_tag = F.regexp_extract(html, r"(?i)(<html\b[^>]*>)", 1)
+
+    # <meta charset=X> wins; else the http-equiv content-type's charset=
+    charset_direct = F.regexp_extract(
+        html, r"(?i)<meta\s+charset\s*=\s*[\"']?([A-Za-z0-9_.:-]+)", 1
+    )
+    ct_tag = _first_tag_where(metas, "http-equiv", "content-type")
+    charset_equiv = F.regexp_extract(
+        F.coalesce(_attr(ct_tag, "content"), F.lit("")),
+        r"(?i)charset\s*=\s*([A-Za-z0-9_.:-]+)",
+        1,
+    )
+    robots_content = F.lower(F.coalesce(_attr(robots_tag, "content"), F.lit("")))
+
+    return {
+        "title": F.nullif(strip_tags_col(title_raw), F.lit("")),
+        "description": _attr(desc_tag, "content"),
+        "canonical": _attr(canonical_tag, "href"),
+        "charset": F.lower(
+            F.coalesce(
+                F.nullif(charset_direct, F.lit("")), F.nullif(charset_equiv, F.lit(""))
+            )
+        ),
+        "og_title": _attr(og_tag, "content"),
+        "noindex": robots_content.contains("noindex"),
+        "nofollow": robots_content.contains("nofollow"),
+        "base_href": _attr(base_tag, "href"),
+        "html_lang": _attr(html_tag, "lang"),
+    }
+
+
+def extract_metadata(
+    df: DataFrame, html_col: str = "html", prefix: str = ""
+) -> DataFrame:
+    """+ (title, description, canonical, charset, og_title, noindex,
+    nofollow, base_href, html_lang) — one codegen pass, no shuffle.
+
+    ``html_col`` may be string or binary (cast to string — the charset
+    column is extracted BEFORE any transcode decision, which is its
+    point). NULL where a page lacks the element."""
+    html = F.col(html_col).cast("string")
+    out = df
+    for name, col in metadata_cols(html).items():
+        out = out.withColumn(prefix + name, col)
+    return out
+
+
+def extract_tables(
+    df: DataFrame,
+    html_col: str = "html",
+    keep_cols: tuple[str, ...] = ("url",),
+) -> DataFrame:
+    """One row per <tr> across all <table>s: (keep_cols..., table_idx,
+    row_idx, is_header, cells array<string>).
+
+    Shape: two posexplodes (tables, then rows) over codegen
+    regexp_extract_all — fan-out is the page's own table volume, no
+    shuffle, no Python. Cells are <td>/<th> bodies tag-stripped and
+    entity-decoded; is_header marks rows containing any <th>. A nested
+    table's markup collapses into the enclosing cell's text (documented
+    regex-lift limit)."""
+    html = F.col(html_col).cast("string")
+    tables = F.regexp_extract_all(html, F.lit(r"(?is)<table\b.*?</table>"), 0)
+    t = df.select(
+        *keep_cols, F.posexplode(tables).alias("table_idx", "_tbl")
+    )
+    rows = F.regexp_extract_all(F.col("_tbl"), F.lit(r"(?is)<tr\b.*?</tr>"), 0)
+    r = t.select(
+        *keep_cols, "table_idx", F.posexplode(rows).alias("row_idx", "_row")
+    )
+    cells_raw = F.regexp_extract_all(
+        F.col("_row"), F.lit(r"(?is)<t[dh]\b[^>]*>(.*?)</t[dh]>"), 1
+    )
+    return r.select(
+        *keep_cols,
+        "table_idx",
+        "row_idx",
+        F.regexp_like(F.col("_row"), F.lit(r"(?i)<th\b")).alias("is_header"),
+        F.transform(cells_raw, strip_tags_col).alias("cells"),
+    )

@@ -1,0 +1,105 @@
+"""HTML head-metadata + table extraction (functions/html_meta.py)."""
+
+from pyspark.sql import functions as F
+
+from invoice_ocr_reconciler_spark.functions.html_meta import (
+    decode_entities_col,
+    extract_metadata,
+    extract_tables,
+    strip_tags_col,
+)
+
+_HTML = """<html lang="en-US"><head>
+<title> Doc 1 &amp;  Co </title>
+<meta content='D one' name=description>
+<meta charset=UTF-8>
+<link href="https://c.example/d/1" rel='canonical'>
+<meta property="og:title" content="OG 1">
+<meta name="robots" content="NOINDEX, nofollow">
+<base href=/root/>
+</head><body>
+<table class=x><tr><th>Item</th><th> Amount </th></tr>
+<tr><td><b>widget</b> &amp; sons</td><td>12.50</td></tr></table>
+<p>no tables here</p>
+<table><tr><td>solo</td></tr></table>
+</body></html>"""
+
+_HTML2 = (
+    '<html><head><meta http-equiv="Content-Type" '
+    'content="text/html; charset=iso-8859-1"></head><body>b</body></html>'
+)
+
+
+def _df(spark):
+    return spark.createDataFrame(
+        [("u1", _HTML), ("u2", _HTML2)], "url string, html string"
+    )
+
+
+class TestMetadata:
+    def test_full_page(self, spark):
+        got = {r["url"]: r for r in extract_metadata(_df(spark)).collect()}
+        r = got["u1"]
+        assert r["title"] == "Doc 1 & Co"  # entities + whitespace collapse
+        assert r["description"] == "D one"  # single quotes, name last
+        assert r["canonical"] == "https://c.example/d/1"
+        assert r["charset"] == "utf-8"
+        assert r["og_title"] == "OG 1"
+        assert r["noindex"] and r["nofollow"]  # case-insensitive flags
+        assert r["base_href"] == "/root/"  # unquoted value keeps '/'
+        assert r["html_lang"] == "en-US"
+
+    def test_absent_elements_null_and_equiv_charset(self, spark):
+        r = {x["url"]: x for x in extract_metadata(_df(spark)).collect()}["u2"]
+        assert r["title"] is None and r["description"] is None
+        assert r["canonical"] is None and r["og_title"] is None
+        assert not r["noindex"] and not r["nofollow"]
+        assert r["charset"] == "iso-8859-1"  # http-equiv fallback
+
+    def test_binary_html_column(self, spark):
+        df = spark.createDataFrame(
+            [("u", _HTML.encode())], "url string, html binary"
+        )
+        r = extract_metadata(df).collect()[0]
+        assert r["title"] == "Doc 1 & Co"
+
+    def test_amp_decodes_last(self, spark):
+        df = spark.createDataFrame([("&amp;lt; &lt;",)], "t string")
+        got = df.select(decode_entities_col(F.col("t")).alias("d")).collect()
+        assert got[0]["d"] == "&lt; <"
+
+    def test_strip_tags(self, spark):
+        df = spark.createDataFrame([("<p>a  <b>b</b>\nc</p>",)], "t string")
+        got = df.select(strip_tags_col(F.col("t")).alias("s")).collect()
+        assert got[0]["s"] == "a b c"
+
+
+class TestTables:
+    def test_rows_cells_headers(self, spark):
+        got = extract_tables(_df(spark)).orderBy(
+            "url", "table_idx", "row_idx"
+        ).collect()
+        rows = [(r["url"], r["table_idx"], r["row_idx"], r["is_header"], r["cells"])
+                for r in got]
+        assert rows == [
+            ("u1", 0, 0, True, ["Item", "Amount"]),
+            ("u1", 0, 1, False, ["widget & sons", "12.50"]),
+            ("u1", 1, 0, False, ["solo"]),
+        ]
+
+    def test_tableless_page_emits_nothing(self, spark):
+        df = spark.createDataFrame([("u", "<html><p>x</p></html>")],
+                                   "url string, html string")
+        assert extract_tables(df).count() == 0
+
+    def test_pure_codegen_no_python(self, spark):
+        plan = (
+            extract_metadata(_df(spark))
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "EvalPython" not in plan
+        plan2 = (
+            extract_tables(_df(spark))
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "EvalPython" not in plan2 and "Exchange" not in plan2
