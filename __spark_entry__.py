@@ -1992,6 +1992,26 @@ def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lm_perplexity(docs, train_bigram_lm(docs), k=0.5)
 
 
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-3/LLaMA-style supervised quality filter (operators/
+    classifier.py): multinomial Naive Bayes trained on English documents
+    as the trusted class vs the rest as the crawl class, every document
+    scored with its log-likelihood ratio + sigmoid probability. Training
+    is pure counting (vocab-sized exchanges), scoring one broadcast join
+    — DuckDB replays train AND score end to end."""
+    from invoice_ocr_reconciler_spark.operators.classifier import (
+        nb_classify,
+        train_nb_classifier,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    lang = F.coalesce(F.col("lang"), F.lit(""))
+    model = train_nb_classifier(
+        docs.filter(lang == "en"), docs.filter(lang != "en")
+    )
+    return nb_classify(docs, model).orderBy("doc_id")
+
+
 def q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR hashed-n-gram importance weights (operators/importance.py):
     target distribution = the corpus's English documents, raw = the whole
@@ -2218,6 +2238,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_end_to_end": q_dedup_end_to_end,
         # model-based data selection (CCNet perplexity / DSIR weights)
         "lm_perplexity": q_lm_perplexity,
+        "quality_classifier": q_quality_classifier,
         "dsir_importance": q_dsir_importance,
         "url_blocklist": q_url_blocklist,
         "interval_agg": q_interval_agg,
@@ -4036,6 +4057,46 @@ def oracle_sql() -> dict[str, str]:
                    floor(exp(-(floor(per.s / per.n_bigrams * 1e6 + 0.5) / 1e6))
                          * 1e4 + 0.5) / 1e4 AS ppl
             FROM d LEFT JOIN per USING (doc_id)
+        """,
+        # NB classifier replay: shared tokenizer, per-class counts,
+        # full-outer vocab merge, add-0.5 llr weights on the 1e-8 grid,
+        # unseen-token default + doc-count prior scalars, per-doc sum on
+        # 1e-6, sigmoid on 1e-4 — every constant matches classifier.py
+        "quality_classifier": r"""
+            WITH d AS (
+                SELECT doc_id, coalesce(lang, '') AS lang,
+                       list_filter(string_split_regex(lower(trim(coalesce(text, ''))), '\s+'),
+                                   t -> t <> '') AS toks
+                FROM documents),
+            t AS (SELECT doc_id, lang, unnest(toks) AS w FROM d),
+            cp AS (SELECT w, count(*) AS c_pos FROM t WHERE lang = 'en' GROUP BY 1),
+            cn AS (SELECT w, count(*) AS c_neg FROM t WHERE lang <> 'en' GROUP BY 1),
+            m AS (SELECT w, coalesce(c_pos, 0) AS c_pos, coalesce(c_neg, 0) AS c_neg
+                  FROM cp FULL JOIN cn USING (w)),
+            tot AS (SELECT sum(c_pos) AS n_pos, sum(c_neg) AS n_neg,
+                           count(*) AS v FROM m),
+            nd AS (SELECT count(*) FILTER (WHERE lang = 'en') AS dp,
+                          count(*) FILTER (WHERE lang <> 'en') AS dn FROM d),
+            w8 AS (SELECT w,
+                          floor((ln((c_pos + 0.5) / (n_pos + 0.5 * v))
+                                 - ln((c_neg + 0.5) / (n_neg + 0.5 * v)))
+                                * 1e8 + 0.5) / 1e8 AS llr
+                   FROM m CROSS JOIN tot),
+            sc AS (SELECT floor((ln(0.5 / (n_pos + 0.5 * v))
+                                 - ln(0.5 / (n_neg + 0.5 * v))) * 1e8 + 0.5) / 1e8 AS dflt,
+                          floor((ln(dp) - ln(dn)) * 1e8 + 0.5) / 1e8 AS prior
+                   FROM tot CROSS JOIN nd),
+            per AS (SELECT doc_id, count(*) AS n_tokens,
+                           sum(coalesce(w8.llr, sc.dflt)) AS s
+                    FROM t LEFT JOIN w8 USING (w) CROSS JOIN sc GROUP BY 1)
+            SELECT d.doc_id,
+                   coalesce(per.n_tokens, 0) AS n_tokens,
+                   floor((sc.prior + coalesce(per.s, 0)) * 1e6 + 0.5) / 1e6 AS llr,
+                   floor(1.0 / (1.0 + exp(-(floor((sc.prior + coalesce(per.s, 0))
+                                                  * 1e6 + 0.5) / 1e6)))
+                         * 1e4 + 0.5) / 1e4 AS prob
+            FROM d LEFT JOIN per USING (doc_id) CROSS JOIN sc
+            ORDER BY doc_id
         """,
         # DSIR replay: unigram+bigram grams, md5-prefix bucket hash (the
         # stratified_sample idiom), both smoothed fits, per-bucket

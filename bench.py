@@ -63,6 +63,9 @@ def main() -> None:
         "latest_snapshot",   # re-crawl collapse (one exchange + window)
         "crawl_frontier",    # frontier anti join (target-sized agg first)
         "robots_rules",      # RFC 9309 parse + broadcast longest-match filter
+        "warc_ingest",       # WARC cursor walk (Arrow-batched mapInPandas)
+        "html_metadata",     # head-metadata harvest (pure codegen)
+        "quality_classifier",  # NB quality filter (train + broadcast score)
         "bpe_merges",        # BPE vocab induction (8 vocab-sized rounds)
         "normalize_text",    # NFC + codegen hygiene (one Arrow crossing)
         "corpus_build",      # end-to-end build: collapse->extract->curate->shards
