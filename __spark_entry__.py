@@ -2012,6 +2012,18 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nb_classify(docs, model).orderBy("doc_id")
 
 
+def q_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/RefinedWeb 'too compressible' quality signal (functions/
+    text.py:compression_ratio): zlib level-6 ratio per document over a
+    column-pruned (id, text) Arrow crossing. Rows-only by design — the
+    DEFLATE bit stream has no DuckDB analog; value behavior (repetitive <
+    prose, empty NULL, partition invariance) is pinned by pytest."""
+    from invoice_ocr_reconciler_spark.functions.text import compression_ratio
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return compression_ratio(docs).orderBy("doc_id")
+
+
 def q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR hashed-n-gram importance weights (operators/importance.py):
     target distribution = the corpus's English documents, raw = the whole
@@ -2239,6 +2251,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # model-based data selection (CCNet perplexity / DSIR weights)
         "lm_perplexity": q_lm_perplexity,
         "quality_classifier": q_quality_classifier,
+        "compression_ratio": q_compression_ratio,
         "dsir_importance": q_dsir_importance,
         "url_blocklist": q_url_blocklist,
         "interval_agg": q_interval_agg,

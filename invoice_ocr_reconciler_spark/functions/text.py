@@ -378,3 +378,70 @@ def fingerprint_col(col: Column) -> Column:
     """
     normalized = F.trim(F.regexp_replace(F.lower(F.coalesce(col, F.lit(""))), r"\s+", " "))
     return F.md5(normalized)
+
+
+def compression_ratio(
+    docs,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    level: int = 6,
+):
+    """zlib compression ratio per document — the Gopher/RefinedWeb
+    "too compressible" quality signal the n-gram repetition metrics
+    (repetition_cols) approximate: boilerplate, keyword stuffing, and
+    generated spam compress far below natural prose. Returns
+    (id_col, n_bytes, n_compressed, compression_ratio) with ratio =
+    n_compressed / n_bytes rounded to 1e-6 (NULL for empty/NULL text —
+    no bytes is not the same as incompressible).
+
+    The DEFLATE bit stream has no SQL analog, so this is an honest
+    Python crossing: zlib.compress is a C call, batched through Arrow in
+    mapInPandas over a COLUMN-PRUNED (id, text) projection — no shuffle,
+    no full-row payloads through Python; thresholds are applied by the
+    caller JVM-side on the returned metrics. Determinism: zlib output
+    depends only on (input bytes, level) for a given zlib build, and the
+    ratio is partition-invariant (pinned by tests); level is pinned to
+    the zlib default 6 rather than the library default to keep goldens
+    stable across Python builds.
+    """
+    import zlib
+
+    from pyspark.sql import DataFrame
+
+    assert isinstance(docs, DataFrame)
+    pruned = docs.select(id_col, text_col)
+    schema = (
+        f"{id_col} {dict((f.name, f.dataType.simpleString()) for f in pruned.schema.fields)[id_col]}, "
+        "n_bytes bigint, n_compressed bigint, compression_ratio double"
+    )
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            texts = pdf[text_col]
+            n_bytes, n_comp, ratio = [], [], []
+            for t in texts:
+                if t is None or t == "":
+                    n_bytes.append(0)
+                    n_comp.append(0)
+                    ratio.append(None)
+                    continue
+                raw = t.encode("utf-8")
+                comp = zlib.compress(raw, level)
+                n_bytes.append(len(raw))
+                n_comp.append(len(comp))
+                # mirrors roundn's floor(x*1e6+0.5)/1e6 grid
+                ratio.append(
+                    int(len(comp) / len(raw) * 1e6 + 0.5) / 1e6
+                )
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "n_bytes": n_bytes,
+                    "n_compressed": n_comp,
+                    "compression_ratio": ratio,
+                }
+            )
+
+    return pruned.mapInPandas(gen, schema=schema)

@@ -572,3 +572,48 @@ def test_fetch_schedule(spark):
     capped = fetch_schedule(frontier, max_per_host=2).collect()
     assert len(capped) == 3
     assert all(r["wave"] <= 2 for r in capped)
+
+
+class TestCompressionRatio:
+    def _df(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    def test_repetitive_compresses_below_prose(self, spark):
+        from invoice_ocr_reconciler_spark.functions.text import (
+            compression_ratio,
+        )
+
+        prose = (
+            "The quarterly reconciliation surfaced three mismatched "
+            "ledger entries across unrelated vendors, each traced to a "
+            "distinct currency rounding convention."
+        )
+        got = {
+            r["doc_id"]: r
+            for r in compression_ratio(
+                self._df(spark, [(1, "spam " * 40), (2, prose)])
+            ).collect()
+        }
+        assert got[1]["compression_ratio"] < got[2]["compression_ratio"]
+        assert got[2]["n_bytes"] == len(prose.encode())
+        assert 0 < got[1]["compression_ratio"] < 1
+
+    def test_empty_and_null_yield_null_ratio(self, spark):
+        from invoice_ocr_reconciler_spark.functions.text import (
+            compression_ratio,
+        )
+
+        got = compression_ratio(self._df(spark, [(1, ""), (2, None)])).collect()
+        assert all(r["compression_ratio"] is None and r["n_bytes"] == 0 for r in got)
+
+    def test_partition_invariant(self, spark):
+        from invoice_ocr_reconciler_spark.functions.text import (
+            compression_ratio,
+        )
+
+        df = self._df(
+            spark, [(i, f"doc {i} " + "tok " * (i % 9)) for i in range(40)]
+        )
+        a = sorted(map(tuple, compression_ratio(df.repartition(1)).collect()))
+        b = sorted(map(tuple, compression_ratio(df.repartition(11)).collect()))
+        assert a == b
