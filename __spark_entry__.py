@@ -1561,6 +1561,58 @@ def q_fetch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fetch_schedule(crawl_frontier(links, crawled), max_per_host=10)
 
 
+def q_polite_fetch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full polite-crawl loop composed end to end: extract_links ->
+    crawl_frontier -> parse_robots + robots_filter (md5-synthesized
+    per-host rules that actually bite on the frontier's /r/N and /f/N
+    paths: a '/r/' prefix disallow and an anchored '/*3$' wildcard) ->
+    fetch_schedule waves over the ALLOWED survivors. DuckDB replays the
+    frontier prediction, the ground-truth robots decision, and the wave
+    window over the filtered set — one oracle across three operators'
+    composition."""
+    from invoice_ocr_reconciler_spark import datagen
+    from invoice_ocr_reconciler_spark.functions.urls import extract_links
+    from invoice_ocr_reconciler_spark.operators.graph import (
+        crawl_frontier,
+        fetch_schedule,
+    )
+    from invoice_ocr_reconciler_spark.operators.robots import (
+        parse_robots,
+        robots_filter,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pages = datagen.pages_from_documents(docs)
+    links = extract_links(pages)
+    crawled = pages.select("url").unionByName(
+        links.filter(F.col("link").rlike(r"/s/\d+$"))
+        .select(F.col("link").alias("url"))
+    )
+    frontier = crawl_frontier(links, crawled)
+
+    hosts = frontier.select("host").distinct()
+    r2 = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("robots2:"), F.col("host"))), 1, 16),
+            16,
+            10,
+        ).cast("decimal(20,0)") % 1000
+    )
+    robots = hosts.select(
+        "host",
+        F.concat_ws(
+            "\n",
+            F.lit("User-agent: *"),
+            F.when(r2 % 3 == 0, F.lit("Disallow: /r/")),
+            F.when(r2 % 2 == 0, F.lit("Disallow: /*3$")),
+        ).alias("robots_txt"),
+    )
+    allowed = robots_filter(frontier, parse_robots(robots)).drop(
+        "allowed", "matched_path", "crawl_delay"
+    )
+    return fetch_schedule(allowed, max_per_host=10).orderBy("host", "wave")
+
+
 _ROBOTS_PATHS = [
     "/",
     "/docs/a.pdf",
@@ -2278,6 +2330,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_build": q_corpus_build,
         "fetch_schedule": q_fetch_schedule,
         "robots_rules": q_robots_rules,
+        "polite_fetch_schedule": q_polite_fetch_schedule,
     }
 
 
@@ -3786,6 +3839,56 @@ def oracle_sql() -> dict[str, str]:
                 FROM frontier)
             SELECT link, host, n_referrers, n_referrer_hosts, wave
             FROM sched WHERE wave <= 10
+        """,
+        # polite-crawl composition: the fetch_schedule frontier prediction,
+        # the GROUND-TRUTH robots decision (rules synthesized from
+        # md5('robots2:'||host): '/r/' prefix disallow on r2%3=0, anchored
+        # '/*3$' wildcard on r2%2=0), and the wave window recomputed over
+        # the allowed survivors
+        "polite_fetch_schedule": """
+            WITH k AS (
+                SELECT doc_id,
+                       doc_id % 10 AS kind,
+                       ('0x' || substr(md5('host:' || CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT % 100 AS r,
+                       ('0x' || substr(md5('coldhost:' || CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT % 50 AS c
+                FROM documents),
+            h AS (
+                SELECT doc_id, kind,
+                       CASE WHEN r < 35 THEN
+                            CASE WHEN r % 2 = 0 THEN 'portal.megacorp-billing.example'
+                                 ELSE 'docs.archive-crawl.example' END
+                       ELSE printf('site-%03d.example', CAST(c AS INT)) END AS host
+                FROM k),
+            ph AS (
+                SELECT host, COUNT(*) AS n_pages
+                FROM h WHERE kind <> 7
+                GROUP BY host),
+            links AS (
+                SELECT i, CASE WHEN i < 20 THEN '/r/' || (i - 8)
+                               ELSE '/f/' || (i - 20) END AS rel
+                FROM (SELECT unnest(range(8, 30)) AS i)),
+            frontier AS (
+                SELECT 'https://' || ph.host || l.rel AS link,
+                       ph.host AS host, l.rel AS rel,
+                       ph.n_pages AS n_referrers,
+                       CAST(1 AS BIGINT) AS n_referrer_hosts
+                FROM ph CROSS JOIN links l),
+            hr AS (
+                SELECT host,
+                       ('0x' || substr(md5('robots2:' || host), 1, 16))::UBIGINT % 1000 AS r2
+                FROM (SELECT DISTINCT host FROM frontier)),
+            allowed AS (
+                SELECT f.link, f.host, f.n_referrers, f.n_referrer_hosts
+                FROM frontier f JOIN hr USING (host)
+                WHERE NOT ((hr.r2 % 3 = 0 AND starts_with(f.rel, '/r/'))
+                           OR (hr.r2 % 2 = 0 AND f.rel LIKE '%3'))),
+            sched AS (
+                SELECT *, CAST(row_number() OVER (
+                         PARTITION BY host
+                         ORDER BY n_referrers DESC, link) AS INT) AS wave
+                FROM allowed)
+            SELECT link, host, n_referrers, n_referrer_hosts, wave
+            FROM sched WHERE wave <= 10 ORDER BY host, wave
         """,
         # GROUND-TRUTH robots replay: does NOT re-parse robots.txt — it
         # computes expected allow/deny/matched-rule/crawl-delay directly
