@@ -161,17 +161,25 @@ def robots_filter(
     rules: DataFrame,
     url_col: str = "link",
     keep_denied: bool = False,
+    broadcast_rules: bool = True,
 ) -> DataFrame:
     """Apply parse_robots output to a frontier: + (allowed, matched_path,
     crawl_delay).
 
     The rules frame is collapsed to one row per host holding the rule
     array pre-sorted by (specificity desc, allow-before-disallow, file
-    order) and BROADCAST — the frontier side is a map-side join plus a
-    per-row scan of a <=rules_cap array: zero exchanges on the
-    corpus-sized side. Matching picks the array's first hit, which by
+    order) and (by default) BROADCAST — the frontier side is a map-side
+    join plus a per-row scan of a <=rules_cap array: zero exchanges on
+    the corpus-sized side. Matching picks the array's first hit, which by
     the sort order IS the RFC winner (longest match, Allow on ties).
     keep_denied=True annotates instead of filtering.
+
+    ``broadcast_rules``: the collapsed frame is HOST-cardinality; for a
+    crawl restricted to thousands-to-millions of hosts it broadcasts in
+    megabytes, but a full-web rules table (10^8+ hosts x capped arrays)
+    exceeds broadcast limits — pass False to degrade both joins to
+    shuffle hash joins on host (the frontier is already skew-managed per
+    host downstream, so the host key is safe to exchange on).
     """
     path_rules = rules.filter(F.col("rule").isin("allow", "disallow"))
     arr = (
@@ -201,16 +209,15 @@ def robots_filter(
         .agg(F.min("crawl_delay").alias("crawl_delay"))
     )
 
+    if broadcast_rules:
+        arr, delays = F.broadcast(arr), F.broadcast(delays)
+
     url = F.col(url_col)
     annotated = (
         frontier.withColumn("_rf_host", host_of_url_col(url))
         .withColumn("_rf_path", url_path_col(url))
-        .join(
-            F.broadcast(arr), F.col("_rf_host") == F.col("_arr_host"), "left"
-        )
-        .join(
-            F.broadcast(delays), F.col("_rf_host") == F.col("_dly_host"), "left"
-        )
+        .join(arr, F.col("_rf_host") == F.col("_arr_host"), "left")
+        .join(delays, F.col("_rf_host") == F.col("_dly_host"), "left")
     )
     p = F.col("_rf_path")
     match = F.try_element_at(

@@ -158,3 +158,18 @@ class TestRobotsFilter:
         )
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
         assert "BroadcastHashJoin" in plan
+
+    def test_shuffle_fallback_same_results(self, spark):
+        txt = "User-agent: *\nDisallow: /no/\nCrawl-delay: 2"
+        rules = parse_robots(_robots(spark, ("h.example", txt)))
+        fr = spark.createDataFrame(
+            [("https://h.example/no/1",), ("https://h.example/yes",)],
+            "link string",
+        )
+        a = robots_filter(fr, rules, keep_denied=True).orderBy("link").collect()
+        b = (
+            robots_filter(fr, rules, keep_denied=True, broadcast_rules=False)
+            .orderBy("link")
+            .collect()
+        )
+        assert [tuple(r) for r in a] == [tuple(r) for r in b]
