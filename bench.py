@@ -66,6 +66,8 @@ def main() -> None:
         "warc_ingest",       # WARC cursor walk (Arrow-batched mapInPandas)
         "html_metadata",     # head-metadata harvest (pure codegen)
         "quality_classifier",  # NB quality filter (train + broadcast score)
+        "compression_ratio",   # zlib quality signal (pruned Arrow crossing)
+        "polite_fetch_schedule",  # frontier -> robots -> waves composition
         "bpe_merges",        # BPE vocab induction (8 vocab-sized rounds)
         "normalize_text",    # NFC + codegen hygiene (one Arrow crossing)
         "corpus_build",      # end-to-end build: collapse->extract->curate->shards

@@ -120,3 +120,25 @@ class TestSparkSurface:
         assert len("GET / HTTP/1.1\r\nHost: w.example") == 31
         assert len("software: graft-crawler") == 23
         assert 44 + 12 + 32 + 14 == 102  # envelope + md5-html body
+
+
+class TestWalkerProperties:
+    def test_build_walk_round_trip(self):
+        # driver-side property: arbitrary binary bodies (including fake
+        # 'WARC/' magic and CRLFs inside) round-trip exactly through the
+        # cursor walker — no Spark needed, the walker is pure
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        body = st.binary(max_size=200)
+        types = st.sampled_from(["response", "resource", "metadata"])
+
+        @settings(max_examples=150, deadline=None)
+        @given(st.lists(st.tuples(types, body), min_size=0, max_size=6))
+        def prop(records):
+            blob = b"".join(_rec(t, b) for t, b in records)
+            got = list(_walk_records("s", blob))
+            assert [(r["warc_type"], r["body"]) for r in got] == records
+            assert [r["record_idx"] for r in got] == list(range(len(records)))
+
+        prop()
