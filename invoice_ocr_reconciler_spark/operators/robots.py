@@ -10,7 +10,10 @@ crawler applies between frontier derivation and scheduling.
 Semantics implemented (RFC 9309 + the de-facto Google extensions):
 
   - line grammar: ``key: value``, ``#`` comments stripped, keys matched
-    case-insensitively, blank/unknown lines skipped (Sitemap etc.).
+    case-insensitively, blank/unknown lines skipped.
+  - ``Sitemap`` lines are group-independent (RFC 9309 §2.3) and surface
+    as ``rule='sitemap'`` rows regardless of agent selection — the crawl
+    seeding signal.
   - groups: one or more consecutive ``User-agent`` lines followed by
     rule lines form a group; rules before any User-agent line are
     ignored.
@@ -59,8 +62,8 @@ def parse_robots(
     """Parse per-host robots.txt bodies into the rule rows that apply to
     ``agent``.
 
-    -> (host, pos, rule in ('allow','disallow','crawl-delay'), path,
-        spec_len, anchored, wild, rx, crawl_delay)
+    -> (host, pos, rule in ('allow','disallow','crawl-delay','sitemap'),
+        path, spec_len, anchored, wild, rx, crawl_delay)
 
     ``path`` is the verbatim rule value; ``rx`` is a precompiled regex
     (NULL for plain-prefix rules) so the apply step never rebuilds
