@@ -419,17 +419,12 @@ def q_binary_file_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """WARC segment splitting (sources/warc.py): per doc_id a synthetic
-    3-record WARC segment (warcinfo + response-with-HTTP-envelope +
-    request, mixed-case header names, every 17th file torn mid-record) is
-    BUILT in codegen and walked by the real cursor parser. Bodies are
-    md5-derived and fixed-length, so the DuckDB oracle computes every
-    record row (type, uri, lengths, status, payload md5, malformed
-    marker) directly from the synthesis rule — parser deviations break
-    the value hash."""
-    from invoice_ocr_reconciler_spark.sources.warc import parse_warc_records
-
+def _warc_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source, content): per doc_id a synthetic 3-record WARC segment
+    (warcinfo + response-with-HTTP-envelope + request, mixed-case header
+    names, every 17th file torn mid-record), built entirely in codegen
+    with md5-derived fixed-length bodies so oracles can compute ground
+    truth from the synthesis rule."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     i = F.col("doc_id").cast("string")
     uri = F.concat(F.lit("https://w.example/doc/"), i)
@@ -461,11 +456,21 @@ def q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("WARC/1.0\r\nContent-Length: 999999\r\n\r\nxx"),
         ).otherwise(F.lit("")),
     )
-    segments = docs.select(
+    return docs.select(
         F.concat(F.lit("seg-"), i).alias("source"),
         content.cast("binary").alias("content"),
     )
-    recs = parse_warc_records(segments, source_col="source")
+
+
+def q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC segment splitting (sources/warc.py) over the codegen-built
+    3-record segments (_warc_segments). The DuckDB oracle computes every
+    record row (type, uri, lengths, status, payload md5, malformed
+    marker) directly from the synthesis rule — parser deviations break
+    the value hash."""
+    from invoice_ocr_reconciler_spark.sources.warc import parse_warc_records
+
+    recs = parse_warc_records(_warc_segments(spark, sf_dir), source_col="source")
     return recs.select(
         "source",
         "record_idx",
@@ -477,6 +482,35 @@ def q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5("payload").alias("payload_md5"),
         "n_malformed",
     ).orderBy("source", "record_idx")
+
+
+def q_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Common-Crawl ingestion path end to end: WARC segments ->
+    response records (HTTP envelope stripped in-walker) -> pages frame ->
+    the flagship extraction UDF (extraction/udfs.py:extract_pages). The
+    synthetic response body is '<html><body>md5</body></html>', whose
+    main-content extraction is exactly the md5 string — so the DuckDB
+    oracle value-checks the WHOLE chain (record split + envelope strip +
+    boilerplate extraction) per url."""
+    from invoice_ocr_reconciler_spark.extraction.udfs import extract_pages
+    from invoice_ocr_reconciler_spark.sources.warc import parse_warc_records
+
+    recs = parse_warc_records(
+        _warc_segments(spark, sf_dir),
+        source_col="source",
+        record_types=("response",),
+    ).filter(F.col("record_idx") >= 0)
+    pages = recs.select(
+        F.col("target_uri").alias("url"),
+        F.to_timestamp(F.col("warc_date"), "yyyy-MM-dd'T'HH:mm:ssX").alias(
+            "warc_ts"
+        ),
+        F.col("payload").alias("html"),
+        F.lit(None).cast("string").alias("lang"),
+    )
+    return extract_pages(pages).select(
+        "url", "extracted_text", "n_blocks", "n_chars"
+    ).orderBy("url")
 
 
 def _meta_variant_html(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2258,6 +2292,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "register_json_scan": q_register_json_scan,
         "binary_file_scan": q_binary_file_scan,
         "warc_ingest": q_warc_ingest,
+        "warc_extract": q_warc_extract,
         "html_metadata": q_html_metadata,
         "html_tables": q_html_tables,
         "multimodal_features": q_multimodal_features,
@@ -3135,6 +3170,17 @@ def oracle_sql() -> dict[str, str]:
                        md5(''), 1
                 FROM base WHERE doc_id % 17 = 0)
             SELECT * FROM recs ORDER BY source, record_idx
+        """,
+        # WARC -> pages -> extraction composition: the response body is
+        # '<html><body>'||md5||'</body></html>', whose main-content
+        # extraction is exactly the md5 hex — one value check across
+        # record split, HTTP-envelope strip, and boilerplate extraction
+        "warc_extract": """
+            SELECT 'https://w.example/doc/' || CAST(doc_id AS VARCHAR) AS url,
+                   md5('warc:' || CAST(doc_id AS VARCHAR)) AS extracted_text,
+                   CAST(1 AS INT) AS n_blocks,
+                   CAST(32 AS INT) AS n_chars
+            FROM documents ORDER BY url
         """,
         # GROUND-TRUTH metadata replay from the md5 variant rule (no HTML
         # re-parse): title entity-decode+collapse, attr-order/quote-style
