@@ -1725,6 +1725,61 @@ def q_robots_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sitemap_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap XML parsing (operators/robots.py:parse_sitemaps): per host
+    an md5-variant body — a sitemapindex (v%4=0) or a urlset with an
+    entity-escaped loc, whitespace padding, optional lastmod/priority,
+    and a loc-less violation entry — parsed by the real operator; the
+    DuckDB oracle computes the expected seed rows from the variant rule."""
+    from invoice_ocr_reconciler_spark.operators.robots import parse_sitemaps
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    i = F.col("doc_id").cast("string")
+    u64 = lambda s: F.conv(  # noqa: E731
+        F.substring(F.md5(s), 1, 16), 16, 10
+    ).cast("decimal(20,0)")
+    r = u64(F.concat(F.lit("host:"), i)) % 100
+    c = (u64(F.concat(F.lit("coldhost:"), i)) % 50).cast("int")
+    host = F.when(
+        r < 35,
+        F.when(r % 2 == 0, F.lit("portal.megacorp-billing.example")).otherwise(
+            F.lit("docs.archive-crawl.example")
+        ),
+    ).otherwise(F.format_string("site-%03d.example", c))
+    hosts = docs.select(host.alias("host")).distinct()
+
+    v3 = u64(F.concat(F.lit("sitemap:"), F.col("host"))) % 1000
+    h = F.col("host")
+    urlset = F.concat(
+        F.lit('<?xml version="1.0"?><urlset><url><loc>https://'),
+        h,
+        F.lit("/p?x=1&amp;y=2</loc><lastmod>2026-01-0"),
+        (v3 % 9 + 1).cast("int").cast("string"),
+        F.lit("</lastmod><priority>0."),
+        (v3 % 10).cast("int").cast("string"),
+        F.lit("</priority></url><url><loc> https://"),
+        h,
+        F.lit("/q </loc></url>"),
+        F.when(
+            v3 % 3 == 0, F.lit("<url><lastmod>2026-01-15</lastmod></url>")
+        ).otherwise(F.lit("")),
+        F.lit("</urlset>"),
+    )
+    index = F.concat(
+        F.lit("<sitemapindex><sitemap><loc>https://"),
+        h,
+        F.lit("/s-a.xml</loc><lastmod>2026-02-01</lastmod></sitemap>"),
+        F.lit("<sitemap><loc>https://"),
+        h,
+        F.lit("/s-b.xml</loc></sitemap></sitemapindex>"),
+    )
+    sitemaps = hosts.select(
+        F.concat(F.lit("https://"), h, F.lit("/sitemap.xml")).alias("sitemap_url"),
+        F.when(v3 % 4 == 0, index).otherwise(urlset).alias("body"),
+    )
+    return parse_sitemaps(sitemaps).orderBy("source", "kind", "loc")
+
+
 def q_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end corpus build (operators/build.py:build_corpus): URL
     canonicalize + re-crawl collapse -> extraction -> NFC hygiene ->
@@ -2366,6 +2421,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fetch_schedule": q_fetch_schedule,
         "robots_rules": q_robots_rules,
         "polite_fetch_schedule": q_polite_fetch_schedule,
+        "sitemap_seeds": q_sitemap_seeds,
     }
 
 
@@ -3935,6 +3991,47 @@ def oracle_sql() -> dict[str, str]:
                 FROM allowed)
             SELECT link, host, n_referrers, n_referrer_hosts, wave
             FROM sched WHERE wave <= 10 ORDER BY host, wave
+        """,
+        # GROUND-TRUTH sitemap replay from the md5 variant rule: index
+        # hosts (v%4=0) yield their 2 nested-sitemap rows, urlset hosts
+        # their 2 url rows (entity-decoded loc, trimmed loc, optional
+        # lastmod digit + priority) with the loc-less violation dropped
+        "sitemap_seeds": """
+            WITH k AS (
+                SELECT doc_id,
+                       ('0x' || substr(md5('host:' || CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT % 100 AS r,
+                       ('0x' || substr(md5('coldhost:' || CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT % 50 AS c
+                FROM documents),
+            hosts AS (
+                SELECT DISTINCT
+                       CASE WHEN r < 35 THEN
+                            CASE WHEN r % 2 = 0 THEN 'portal.megacorp-billing.example'
+                                 ELSE 'docs.archive-crawl.example' END
+                       ELSE printf('site-%03d.example', CAST(c AS INT)) END AS host
+                FROM k),
+            hv AS (
+                SELECT host,
+                       'https://' || host || '/sitemap.xml' AS source,
+                       ('0x' || substr(md5('sitemap:' || host), 1, 16))::UBIGINT % 1000 AS v
+                FROM hosts),
+            rows_ AS (
+                SELECT source, 'index' AS kind,
+                       'https://' || host || '/s-a.xml' AS loc,
+                       '2026-02-01' AS lastmod, CAST(NULL AS DOUBLE) AS priority
+                FROM hv WHERE v % 4 = 0
+                UNION ALL
+                SELECT source, 'index', 'https://' || host || '/s-b.xml',
+                       NULL, NULL
+                FROM hv WHERE v % 4 = 0
+                UNION ALL
+                SELECT source, 'url', 'https://' || host || '/p?x=1&y=2',
+                       '2026-01-0' || CAST(v % 9 + 1 AS INT),
+                       ('0.' || CAST(v % 10 AS INT))::DOUBLE
+                FROM hv WHERE v % 4 <> 0
+                UNION ALL
+                SELECT source, 'url', 'https://' || host || '/q', NULL, NULL
+                FROM hv WHERE v % 4 <> 0)
+            SELECT * FROM rows_ ORDER BY source, kind, loc
         """,
         # GROUND-TRUTH robots replay: does NOT re-parse robots.txt — it
         # computes expected allow/deny/matched-rule/crawl-delay directly

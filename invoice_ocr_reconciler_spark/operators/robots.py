@@ -240,3 +240,74 @@ def robots_filter(
     if not keep_denied:
         out = out.filter(F.col("allowed"))
     return out.drop("rules", "_rf_host", "_rf_path", "_arr_host", "_dly_host")
+
+
+def parse_sitemaps(
+    sitemaps: DataFrame,
+    source_col: str = "sitemap_url",
+    text_col: str = "body",
+    urls_cap: int = 50_000,
+) -> DataFrame:
+    """Sitemap XML -> seed URLs: one row per <url> entry (or per nested
+    <sitemap> index entry) across all fetched sitemap bodies.
+
+    -> (source, kind in ('url','index'), loc, lastmod, priority)
+
+    The crawl-seeding closure over parse_robots' Sitemap directives:
+    fetch each advertised sitemap, run its body through this, feed 'url'
+    rows to the frontier and 'index' rows back to the fetch queue
+    (sitemap index files nest one level, per the sitemaps.org protocol).
+
+    Codegen shape: regexp_extract_all of the <url>/<sitemap> blocks
+    (``<url\b`` cannot match the <urlset> container), one posexplode
+    bounded by ``urls_cap`` per file — the protocol itself caps a sitemap
+    at 50,000 entries, so larger files are violations and get their tail
+    dropped (the rules_cap contract) — then per-block tag pulls. <loc>
+    values decode the named-basic entity set (sitemaps.org requires
+    entity-escaped URLs; &amp; is the common one). Entries without a
+    <loc> are protocol violations and are dropped. No Python, no shuffle.
+    """
+    from invoice_ocr_reconciler_spark.functions.html_meta import (
+        decode_entities_col,
+    )
+
+    body = F.col(text_col).cast("string")
+
+    def blocks(tag_name: str, kind: str):
+        arr = F.regexp_extract_all(
+            body, F.lit(rf"(?is)<{tag_name}\b[^>]*>(.*?)</{tag_name}>"), 1
+        )
+        return F.transform(
+            F.slice(arr, 1, int(urls_cap)),
+            lambda b: F.struct(F.lit(kind).alias("kind"), b.alias("blk")),
+        )
+
+    tagged = F.concat(blocks("url", "url"), blocks("sitemap", "index"))
+    exploded = sitemaps.select(
+        F.col(source_col).alias("source"), F.posexplode(tagged).alias("_i", "t")
+    )
+
+    def tag(name: str):
+        return F.nullif(
+            F.trim(
+                decode_entities_col(
+                    F.regexp_extract(
+                        F.col("t")["blk"], rf"(?is)<{name}[^>]*>(.*?)</{name}>", 1
+                    )
+                )
+            ),
+            F.lit(""),
+        )
+
+    return (
+        exploded.select(
+            "source",
+            F.col("t")["kind"].alias("kind"),
+            tag("loc").alias("loc"),
+            tag("lastmod").alias("lastmod"),
+            tag("priority").alias("_p"),
+        )
+        .withColumn("priority", F.expr("try_cast(_p AS DOUBLE)"))
+        .filter(F.col("loc").isNotNull())
+        .drop("_p")
+    )

@@ -173,3 +173,51 @@ class TestRobotsFilter:
             .collect()
         )
         assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+class TestParseSitemaps:
+    def test_urlset_index_entities_trim_violations(self, spark):
+        from invoice_ocr_reconciler_spark.operators.robots import (
+            parse_sitemaps,
+        )
+
+        sm = (
+            '<?xml version="1.0" encoding="UTF-8"?>'
+            '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+            "<url><loc>https://a.example/p?x=1&amp;y=2</loc>"
+            "<lastmod>2026-01-02</lastmod><priority>0.8</priority></url>"
+            "<url><loc> https://a.example/q </loc></url>"
+            "<url><lastmod>2026-01-03</lastmod></url></urlset>"
+        )
+        smi = (
+            "<sitemapindex><sitemap><loc>https://a.example/s1.xml</loc>"
+            "</sitemap><sitemap><loc>https://a.example/s2.xml</loc>"
+            "<lastmod>2026-02-01</lastmod></sitemap></sitemapindex>"
+        )
+        df = spark.createDataFrame(
+            [("https://a.example/sitemap.xml", sm),
+             ("https://a.example/sitemap_index.xml", smi)],
+            "sitemap_url string, body string",
+        )
+        got = [
+            (r["kind"], r["loc"], r["lastmod"], r["priority"])
+            for r in parse_sitemaps(df).orderBy("source", "loc").collect()
+        ]
+        assert got == [
+            ("url", "https://a.example/p?x=1&y=2", "2026-01-02", 0.8),
+            ("url", "https://a.example/q", None, None),
+            ("index", "https://a.example/s1.xml", None, None),
+            ("index", "https://a.example/s2.xml", "2026-02-01", None),
+        ]
+
+    def test_urls_cap_drops_tail(self, spark):
+        from invoice_ocr_reconciler_spark.operators.robots import (
+            parse_sitemaps,
+        )
+
+        body = "<urlset>" + "".join(
+            f"<url><loc>https://h/{i}</loc></url>" for i in range(10)
+        ) + "</urlset>"
+        df = spark.createDataFrame([("s", body)], "sitemap_url string, body string")
+        got = parse_sitemaps(df, urls_cap=4).collect()
+        assert [r["loc"] for r in got] == [f"https://h/{i}" for i in range(4)]
