@@ -2284,6 +2284,236 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _u64(s):
+    """md5 -> uint64 column, the engine-portable hash (same as the
+    salted_host_partitions / robots oracles)."""
+    return F.conv(F.substring(F.md5(s), 1, 16), 16, 10).cast("decimal(20,0)")
+
+
+def _datagen_host_expr(doc_id: Column = None) -> Column:
+    """datagen.host_for(doc_id) replayed as a codegen column expression
+    (identical derivation to the salted_host_partitions DuckDB oracle)."""
+    i = (F.col("doc_id") if doc_id is None else doc_id).cast("string")
+    r = _u64(F.concat(F.lit("host:"), i)) % 100
+    c = (_u64(F.concat(F.lit("coldhost:"), i)) % 50).cast("int")
+    return F.when(
+        r < 35,
+        F.when(r % 2 == 0, F.lit("portal.megacorp-billing.example")).otherwise(
+            F.lit("docs.archive-crawl.example")
+        ),
+    ).otherwise(F.format_string("site-%03d.example", c))
+
+
+def _cdx_captures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthetic capture rows for the CDX queries: datagen host derivation
+    plus deterministic md5-driven decorations that exercise the SURT
+    edge rules — a www. prefix (stripped by SURT) on doc_id%7==0, a query
+    string (kept by SURT) on doc_id%5==1 — and an md5-derived capture
+    timestamp. The DuckDB oracle re-synthesizes the same captures and
+    computes the expected index row straight from the synthesis rule."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    i = F.col("doc_id")
+    host = _datagen_host_expr()
+    www = F.when(i % 7 == 0, F.lit("www.")).otherwise(F.lit(""))
+    qs = F.when(i % 5 == 1, F.concat(F.lit("?page="), (i % 3).cast("string"))).otherwise(
+        F.lit("")
+    )
+    url = F.concat(
+        F.lit("https://"),
+        www,
+        host,
+        F.format_string("/doc/%012d.html", i),
+        qs,
+    )
+    epoch = (
+        F.lit(1704067200).cast("long")
+        + (_u64(F.concat(F.lit("cdxts:"), i.cast("string"))) % 31536000).cast("long")
+    )
+    return docs.select(
+        url.alias("url"),
+        F.timestamp_seconds(epoch).alias("warc_ts"),
+        F.encode(F.coalesce(F.col("text"), F.lit("")), "utf-8").alias("html"),
+    )
+
+
+def q_cdx_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDXJ-style capture index (sources/cdx.py:cdx_index): SURT key
+    (reversed host labels, www-stripped, query string kept), 14-digit UTC
+    timestamp, payload digest + length, range-sorted by (surt_key, ts14).
+    The real SURT/index code runs Spark-side over synthesized captures;
+    DuckDB computes ground truth from the synthesis rule (list_reverse of
+    the known host, make_timestamp — no re-parse of the url)."""
+    from invoice_ocr_reconciler_spark.sources.cdx import cdx_index
+
+    captures = _cdx_captures(spark, sf_dir)
+    return cdx_index(captures).orderBy("surt_key", "ts14", "url")
+
+
+def q_cdx_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix lookup over the capture index (sources/cdx.py:
+    cdx_prefix_lookup): all captures of one host, served by a pushable
+    StartsWith predicate over the range-sorted index."""
+    from invoice_ocr_reconciler_spark.sources.cdx import (
+        cdx_index,
+        cdx_prefix_lookup,
+    )
+
+    captures = _cdx_captures(spark, sf_dir)
+    idx = cdx_index(captures, sort=False)
+    return cdx_prefix_lookup(idx, "example,site-007)").orderBy(
+        "surt_key", "ts14", "url"
+    )
+
+
+def q_mirror_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-host mirror detection (operators/graph.py:mirror_hosts).
+
+    The driver corpus is all-unique text, so the mirrored structure is
+    SYNTHESIZED deterministically in-query: every doc gets its datagen
+    host; docs with doc_id%4==0 are additionally re-served verbatim from
+    a CDN host ('cdn-<id%5>.example') — real cross-host duplication with
+    known pair counts — and EVERY host serves one shared boilerplate page
+    (text ''), whose fingerprint rides on all ~54 hosts and must be
+    dropped by the max_hosts_per_fp=16 degenerate cap. The DuckDB oracle
+    replays host derivation + fingerprint + the host-level pair
+    aggregation, the cap, and the 1e-6 mirror-score grid."""
+    from invoice_ocr_reconciler_spark.operators.graph import mirror_hosts
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    base = docs.select(_datagen_host_expr().alias("host"), "text")
+    cdn = docs.filter(F.col("doc_id") % 4 == 0).select(
+        F.format_string("cdn-%d.example", (F.col("doc_id") % 5).cast("int")).alias(
+            "host"
+        ),
+        "text",
+    )
+    boiler = (
+        docs.select(_datagen_host_expr().alias("host"))
+        .unionByName(cdn.select("host"))
+        .distinct()
+        .select("host", F.lit("").alias("text"))
+    )
+    corpus = base.unionByName(cdn).unionByName(boiler)
+    return mirror_hosts(corpus, max_hosts_per_fp=16).orderBy("host_a", "host_b")
+
+
+def q_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RE2-portable sentence segmentation (functions/text.py:
+    split_sentences): sentinel-injection regex (terminal punctuation +
+    whitespace + capital), one split, posexplode with within-doc order.
+
+    The driver corpus is punctuation-free, so sentence-shaped prose is
+    SYNTHESIZED from it in-query: slices of the real text wrapped in
+    punctuated frames with capitalized follow-ons (plus per-doc variants:
+    '!'/'?' terminators, a lowercase follow-on that must NOT split, and
+    a doc_id%7==0 double-space boundary). DuckDB replays the identical
+    regex rule with chr(1) on the same synthesized text."""
+    from invoice_ocr_reconciler_spark.functions.text import split_sentences
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    i = F.col("doc_id")
+    prose = F.concat(
+        F.lit("Alpha "),
+        F.substring("text", 1, 30),
+        F.when(i % 3 == 0, F.lit("! ")).when(i % 3 == 1, F.lit("? ")).otherwise(
+            F.lit(". ")
+        ),
+        F.lit("Beta "),
+        F.substring("text", 31, 25),
+        # lowercase follow-on: terminator present but NO split here
+        F.lit(". still same sentence"),
+        F.when(i % 7 == 0, F.lit(".  Gamma double space")).otherwise(
+            F.lit(". Gamma end")
+        ),
+    )
+    return split_sentences(
+        docs.select("doc_id", prose.alias("text"))
+    ).orderBy("doc_id", "sent_idx")
+
+
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 train/validation/test assignment
+    (operators/sampling.py:hash_split) — pure function of (salt, doc_id),
+    reproducible across runs/engines/cluster sizes; DuckDB replays the
+    md5 bucket and the CASE edges."""
+    from invoice_ocr_reconciler_spark.operators.sampling import hash_split
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return hash_split(docs.select("doc_id")).orderBy("doc_id")
+
+
+def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law OLS fit over the term-frequency head
+    (operators/profile.py:zipf_fit). All four OLS sums are exact bigint
+    arithmetic over 1e-6-snapped ln values — zero float-sum ordering
+    noise — so DuckDB replays the whole regression to the last bit."""
+    from invoice_ocr_reconciler_spark.operators.profile import zipf_fit
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return zipf_fit(docs)
+
+
+def q_jsonld_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """schema.org JSON-LD harvest (functions/html_meta.py:extract_jsonld)
+    over synthesized markup: doc_id%4==1 pages carry TWO ld+json blocks,
+    doc_id%4==3 pages carry one malformed block (fields -> NULL), others
+    one well-formed block; a decoy plain <script> must NOT match. The
+    real regex+get_json_object extractor runs Spark-side; DuckDB predicts
+    the lifted fields from the synthesis rule."""
+    from invoice_ocr_reconciler_spark.functions.html_meta import extract_jsonld
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    i = F.col("doc_id")
+    block1 = F.format_string(
+        '{"@type":"Article","name":"Doc %d","datePublished":"2024-%02d-%02d"}',
+        i,
+        (i % 12 + 1).cast("int"),
+        (i % 28 + 1).cast("int"),
+    )
+    block2 = F.format_string('{"@type":"Product","name":"Item %d"}', i)
+    bad = F.lit('{"@type":"Article","name":')  # truncated JSON
+    body = F.when(
+        i % 4 == 1,
+        F.format_string(
+            '<script type="application/ld+json">%s</script>'
+            '<script type="application/ld+json">%s</script>',
+            block1,
+            block2,
+        ),
+    ).when(
+        i % 4 == 3,
+        F.concat(
+            F.lit('<script type="application/ld+json">'), bad, F.lit("</script>")
+        ),
+    ).otherwise(
+        F.concat(
+            F.lit('<SCRIPT TYPE="application/ld+json">'), block1, F.lit("</SCRIPT>")
+        )
+    )
+    pages = docs.select(
+        F.format_string("https://ld.example/%d", i).alias("url"),
+        F.concat(
+            F.lit("<html><head><script>var x=1;</script>"),
+            body,
+            F.lit("</head><body>x</body></html>"),
+        ).alias("html"),
+    )
+    return extract_jsonld(pages).orderBy("url", "block_idx")
+
+
+def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding outliers (operators/similarity.py:
+    embedding_outliers): top-5 vectors farthest (squared L2, 1e-6 grid)
+    from their label centroid; DuckDB replays centroid means, the
+    distance sum, and the window cut."""
+    from invoice_ocr_reconciler_spark.operators.similarity import (
+        embedding_outliers,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return embedding_outliers(emb).orderBy("label", "outlier_rank")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from invoice_ocr_reconciler_spark.plans import relational as R
 
@@ -2422,6 +2652,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_rules": q_robots_rules,
         "polite_fetch_schedule": q_polite_fetch_schedule,
         "sitemap_seeds": q_sitemap_seeds,
+        # capture index / corpus statistics / split plumbing
+        "cdx_index": q_cdx_index,
+        "cdx_lookup": q_cdx_lookup,
+        "mirror_hosts": q_mirror_hosts,
+        "sentence_split": q_sentence_split,
+        "hash_split": q_hash_split,
+        "zipf_fit": q_zipf_fit,
+        "jsonld_extract": q_jsonld_extract,
+        "embedding_outliers": q_embedding_outliers,
     }
 
 
@@ -4805,5 +5044,245 @@ def oracle_sql() -> dict[str, str]:
             SELECT term, df,
                    array_to_string(list_slice(post, 1, 50), ',') AS postings
             FROM p
+        """,
+        # GROUND-TRUTH CDX replay: re-synthesizes the same captures and
+        # computes surt/ts14/digest/length straight from the synthesis
+        # rule (list_reverse of the KNOWN host — no url re-parse), so the
+        # Spark-side host extraction, www-strip, label reversal, UTC
+        # formatting and digest are value-checked end to end.
+        "cdx_index": """
+            WITH k AS (
+                SELECT doc_id, coalesce(text, '') AS payload,
+                       ('0x' || substr(md5('host:' || CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT % 100 AS r,
+                       ('0x' || substr(md5('coldhost:' || CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT % 50 AS c,
+                       ('0x' || substr(md5('cdxts:' || CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT % 31536000 AS toff
+                FROM documents),
+            cap AS (
+                SELECT doc_id, payload, toff,
+                       CASE WHEN r < 35 THEN
+                            CASE WHEN r % 2 = 0 THEN 'portal.megacorp-billing.example'
+                                 ELSE 'docs.archive-crawl.example' END
+                       ELSE printf('site-%03d.example', CAST(c AS INT)) END AS host,
+                       CASE WHEN doc_id % 7 = 0 THEN 'www.' ELSE '' END AS www,
+                       printf('/doc/%012d.html', doc_id)
+                         || CASE WHEN doc_id % 5 = 1
+                                 THEN '?page=' || CAST(doc_id % 3 AS VARCHAR)
+                                 ELSE '' END AS path
+                FROM k)
+            SELECT array_to_string(list_reverse(string_split(host, '.')), ',')
+                     || ')' || path AS surt_key,
+                   strftime(make_timestamp(CAST((1704067200 + toff) * 1000000 AS BIGINT)),
+                            '%Y%m%d%H%M%S') AS ts14,
+                   md5(payload) AS digest,
+                   CAST(octet_length(encode(payload)) AS BIGINT) AS length,
+                   'https://' || www || host || path AS url
+            FROM cap ORDER BY surt_key, ts14, url
+        """,
+        "cdx_lookup": """
+            WITH k AS (
+                SELECT doc_id, coalesce(text, '') AS payload,
+                       ('0x' || substr(md5('host:' || CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT % 100 AS r,
+                       ('0x' || substr(md5('coldhost:' || CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT % 50 AS c,
+                       ('0x' || substr(md5('cdxts:' || CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT % 31536000 AS toff
+                FROM documents),
+            cap AS (
+                SELECT doc_id, payload, toff,
+                       CASE WHEN r < 35 THEN
+                            CASE WHEN r % 2 = 0 THEN 'portal.megacorp-billing.example'
+                                 ELSE 'docs.archive-crawl.example' END
+                       ELSE printf('site-%03d.example', CAST(c AS INT)) END AS host,
+                       CASE WHEN doc_id % 7 = 0 THEN 'www.' ELSE '' END AS www,
+                       printf('/doc/%012d.html', doc_id)
+                         || CASE WHEN doc_id % 5 = 1
+                                 THEN '?page=' || CAST(doc_id % 3 AS VARCHAR)
+                                 ELSE '' END AS path
+                FROM k),
+            idx AS (
+                SELECT array_to_string(list_reverse(string_split(host, '.')), ',')
+                         || ')' || path AS surt_key,
+                       strftime(make_timestamp(CAST((1704067200 + toff) * 1000000 AS BIGINT)),
+                                '%Y%m%d%H%M%S') AS ts14,
+                       md5(payload) AS digest,
+                       CAST(octet_length(encode(payload)) AS BIGINT) AS length,
+                       'https://' || www || host || path AS url
+                FROM cap)
+            SELECT * FROM idx WHERE surt_key LIKE 'example,site-007)%'
+            ORDER BY surt_key, ts14, url
+        """,
+        "mirror_hosts": r"""
+            WITH k AS (
+                SELECT doc_id, text,
+                       ('0x' || substr(md5('host:' || CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT % 100 AS r,
+                       ('0x' || substr(md5('coldhost:' || CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT % 50 AS c
+                FROM documents),
+            hosted AS (
+                SELECT doc_id,
+                       CASE WHEN r < 35 THEN
+                            CASE WHEN r % 2 = 0 THEN 'portal.megacorp-billing.example'
+                                 ELSE 'docs.archive-crawl.example' END
+                       ELSE printf('site-%03d.example', CAST(c AS INT)) END AS host,
+                       coalesce(text, '') AS text
+                FROM k),
+            corpus AS (
+                SELECT host, text FROM hosted
+                UNION ALL
+                SELECT printf('cdn-%d.example', CAST(doc_id % 5 AS INT)), text
+                FROM hosted WHERE doc_id % 4 = 0
+                UNION ALL
+                SELECT host, '' FROM (
+                    SELECT DISTINCT host FROM (
+                        SELECT host FROM hosted
+                        UNION ALL
+                        SELECT printf('cdn-%d.example', CAST(doc_id % 5 AS INT))
+                        FROM hosted WHERE doc_id % 4 = 0))),
+            d AS (
+                SELECT host,
+                       md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+                FROM corpus),
+            per AS (SELECT fp, host, count(*) AS cnt FROM d GROUP BY 1, 2),
+            pe AS (
+                SELECT * FROM (
+                    SELECT fp, host, cnt,
+                           count(*) OVER (PARTITION BY fp) AS n_hosts
+                    FROM per)
+                WHERE n_hosts BETWEEN 2 AND 16),
+            pairs AS (
+                SELECT a.host AS host_a, b.host AS host_b,
+                       count(*) AS shared_fps,
+                       CAST(sum(a.cnt * b.cnt) AS BIGINT) AS pair_weight
+                FROM pe a JOIN pe b ON a.fp = b.fp AND a.host < b.host
+                GROUP BY 1, 2),
+            tot AS (SELECT host, count(DISTINCT fp) AS n_fps FROM d GROUP BY 1)
+            SELECT p.host_a, p.host_b, p.shared_fps, p.pair_weight,
+                   floor(CAST(p.shared_fps AS DOUBLE) / least(ta.n_fps, tb.n_fps)
+                         * 1e6 + 0.5) / 1e6 AS mirror_score
+            FROM pairs p
+            JOIN tot ta ON p.host_a = ta.host
+            JOIN tot tb ON p.host_b = tb.host
+            ORDER BY host_a, host_b
+        """,
+        "sentence_split": r"""
+            WITH p AS (
+                SELECT doc_id,
+                       'Alpha ' || substr(text, 1, 30)
+                         || CASE WHEN doc_id % 3 = 0 THEN '! '
+                                 WHEN doc_id % 3 = 1 THEN '? '
+                                 ELSE '. ' END
+                         || 'Beta ' || substr(text, 31, 25)
+                         || '. still same sentence'
+                         || CASE WHEN doc_id % 7 = 0 THEN '.  Gamma double space'
+                                 ELSE '. Gamma end' END AS text
+                FROM documents),
+            m AS (
+                SELECT doc_id,
+                       regexp_replace(coalesce(text, ''), '([.!?])\s+([A-Z])',
+                                      '\1' || chr(1) || '\2', 'g') AS marked
+                FROM p),
+            l AS (
+                SELECT doc_id,
+                       list_filter(list_transform(string_split(marked, chr(1)),
+                                                  s -> trim(s)),
+                                   s -> s <> '') AS sents
+                FROM m)
+            SELECT doc_id,
+                   CAST(generate_subscripts(sents, 1) - 1 AS INT) AS sent_idx,
+                   unnest(sents) AS sentence,
+                   CAST(len(sents) AS INT) AS n_sents
+            FROM l ORDER BY doc_id, sent_idx
+        """,
+        "hash_split": """
+            SELECT doc_id,
+                   CASE WHEN b < 90 THEN 'train'
+                        WHEN b < 95 THEN 'validation'
+                        ELSE 'test' END AS split
+            FROM (SELECT doc_id,
+                         ('0x' || substr(md5('split-v1:' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+                             % 100 AS b
+                  FROM documents)
+            ORDER BY doc_id
+        """,
+        # full bit-exact OLS replay: ln values snapped to 1e-6 and scaled
+        # to BIGINT make every regression sum exact integer arithmetic
+        "zipf_fit": r"""
+            WITH toks AS (
+                SELECT unnest(list_filter(
+                           string_split_regex(lower(trim(coalesce(text, ''))), '\s+'),
+                           t -> t <> '')) AS term
+                FROM documents),
+            c AS (SELECT term, count(*) AS cnt FROM toks GROUP BY term),
+            vs AS (SELECT count(*) AS n_terms,
+                          CAST(sum(cnt) AS BIGINT) AS n_tokens FROM c),
+            head AS (SELECT term, cnt,
+                            row_number() OVER (ORDER BY cnt DESC, term) AS rank
+                     FROM c ORDER BY cnt DESC, term LIMIT 200),
+            xy AS (SELECT CAST(floor(ln(CAST(rank AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS x,
+                          CAST(floor(ln(CAST(cnt AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS y
+                   FROM head),
+            ols AS (SELECT count(*) AS n,
+                           CAST(sum(x) AS BIGINT) AS sx,
+                           CAST(sum(y) AS BIGINT) AS sy,
+                           CAST(sum(x * y) AS BIGINT) AS sxy,
+                           CAST(sum(x * x) AS BIGINT) AS sxx
+                    FROM xy)
+            SELECT (SELECT n_terms FROM vs) AS n_terms,
+                   (SELECT n_tokens FROM vs) AS n_tokens,
+                   n AS n_fit_terms,
+                   floor(CAST(n * sxy - sx * sy AS DOUBLE)
+                         / CAST(n * sxx - sx * sx AS DOUBLE) * 1e6 + 0.5) / 1e6
+                       AS zipf_slope,
+                   floor((CAST(sy AS DOUBLE)
+                          - CAST(n * sxy - sx * sy AS DOUBLE)
+                            / CAST(n * sxx - sx * sx AS DOUBLE)
+                            * CAST(sx AS DOUBLE)) / n / 1e6 * 1e6 + 0.5) / 1e6
+                       AS zipf_intercept
+            FROM ols
+        """,
+        # GROUND-TRUTH JSON-LD replay: predicts the lifted fields from the
+        # synthesis rule (no re-parse) — the Spark-side script-tag regex,
+        # case-insensitive type match, decoy rejection, block ordering and
+        # get_json_object NULL-on-malformed are all value-checked.
+        "jsonld_extract": """
+            WITH d AS (SELECT doc_id AS i FROM documents),
+            rows_ AS (
+                SELECT 'https://ld.example/' || i AS url,
+                       CAST(0 AS INT) AS block_idx,
+                       'Article' AS type,
+                       'Doc ' || i AS name,
+                       printf('2024-%02d-%02d', CAST(i % 12 + 1 AS INT),
+                              CAST(i % 28 + 1 AS INT)) AS "datePublished"
+                FROM d WHERE i % 4 <> 3
+                UNION ALL
+                SELECT 'https://ld.example/' || i, CAST(1 AS INT),
+                       'Product', 'Item ' || i, CAST(NULL AS VARCHAR)
+                FROM d WHERE i % 4 = 1
+                UNION ALL
+                SELECT 'https://ld.example/' || i, CAST(0 AS INT),
+                       CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+                       CAST(NULL AS VARCHAR)
+                FROM d WHERE i % 4 = 3)
+            SELECT * FROM rows_ ORDER BY url, block_idx
+        """,
+        "embedding_outliers": """
+            WITH ex AS (
+                SELECT label, vec_id,
+                       CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS dim,
+                       unnest(embedding) AS v
+                FROM embeddings),
+            cent AS (
+                SELECT label, dim, floor(avg(v) * 1e6 + 0.5) / 1e6 AS c
+                FROM ex GROUP BY 1, 2),
+            d2 AS (
+                SELECT e.label, e.vec_id,
+                       floor(sum((e.v - c.c) * (e.v - c.c)) * 1e6 + 0.5) / 1e6 AS dist2
+                FROM ex e JOIN cent c ON e.label = c.label AND e.dim = c.dim
+                GROUP BY 1, 2),
+            r AS (SELECT label, vec_id, dist2,
+                         row_number() OVER (PARTITION BY label
+                                            ORDER BY dist2 DESC, vec_id)
+                             AS outlier_rank
+                  FROM d2)
+            SELECT label, CAST(outlier_rank AS INT) AS outlier_rank,
+                   vec_id, dist2
+            FROM r WHERE outlier_rank <= 5 ORDER BY label, outlier_rank
         """,
     }

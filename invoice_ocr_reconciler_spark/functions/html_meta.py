@@ -162,3 +162,50 @@ def extract_tables(
         F.regexp_like(F.col("_row"), F.lit(r"(?i)<th\b")).alias("is_header"),
         F.transform(cells_raw, strip_tags_col).alias("cells"),
     )
+
+
+def extract_jsonld(
+    pages: DataFrame,
+    html_col: str = "html",
+    url_col: str = "url",
+    fields: tuple[str, ...] = ("@type", "name", "datePublished"),
+) -> DataFrame:
+    """Harvest schema.org JSON-LD blocks from page markup -> one row per
+    block with requested fields lifted to columns.
+
+    JSON-LD (`<script type="application/ld+json">`) is the richest
+    structured layer of the public web (articles, products, orgs —
+    Common Crawl ships it as a dedicated extract) and the natural
+    web-scale generalization of the reference's field extraction: typed
+    key/value facts per page instead of regex spans.
+
+    Plan: ONE regexp_extract_all lifts every ld+json script body
+    (case-insensitive, non-greedy to the matching close tag), posexplode
+    keeps block order, get_json_object pulls each requested field — all
+    whole-stage codegen, no Python, no shuffle. Malformed JSON yields
+    NULL fields (get_json_object semantics) rather than dropping the row,
+    so coverage metrics stay honest. A block holding a JSON *array* of
+    entities is kept as one row with NULL lifted fields (documented regex
+    trade-off; route those to a mapInPandas json.loads pass if they
+    matter — same split as extract_tables vs the DOM parser).
+    """
+    if isinstance(html_col, str):
+        html = F.col(html_col)
+    else:
+        html = html_col
+    html = html.cast("string")
+    blocks = F.expr(
+        f"regexp_extract_all(CAST({html_col} AS STRING), "
+        r"'(?is)<script[^>]*type\\s*=\\s*.application/ld\\+json.[^>]*>(.*?)</script>', 1)"
+    )
+    ex = pages.select(
+        F.col(url_col).alias("url"),
+        F.posexplode(blocks).alias("block_idx", "block"),
+    )
+    cols = [
+        F.get_json_object(F.col("block"), f"$['{f}']").alias(
+            f.lstrip("@").replace(":", "_")
+        )
+        for f in fields
+    ]
+    return ex.select("url", "block_idx", *cols)

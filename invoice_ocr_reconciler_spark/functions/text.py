@@ -445,3 +445,42 @@ def compression_ratio(
             )
 
     return pruned.mapInPandas(gen, schema=schema)
+
+
+def split_sentences_col(col: Column) -> Column:
+    """Sentence segmentation as a pure codegen expression -> array<string>.
+
+    Heuristic boundary: terminal punctuation ([.!?]) followed by
+    whitespace followed by a capital letter. Implemented WITHOUT
+    lookaround (RE2-portable — DuckDB can replay the identical rule): a
+    single regexp_replace injects a \\u0001 sentinel between the
+    terminator and the next sentence's first letter, then one split. Both
+    engines scan left-to-right non-overlapping, so consuming the capital
+    inside the match is deterministic and identical everywhere.
+    Abbreviations ("U.S. Grant") over-split by design — the documented
+    trade-off of every regex segmenter; downstream consumers (chunking,
+    pack_sequences) need stable, not perfect, boundaries. Fragments are
+    trimmed; empties dropped.
+    """
+    marked = F.regexp_replace(
+        F.coalesce(col, F.lit("")), r"([.!?])\s+([A-Z])", "$1\u0001$2"
+    )
+    parts = F.split(marked, "\u0001")
+    return F.filter(F.transform(parts, F.trim), lambda s: s != F.lit(""))
+
+
+def split_sentences(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Explode documents into (id, sent_idx, sentence, n_sents) rows.
+
+    posexplode keeps the within-document order as an explicit column so
+    the result is deterministic under any partitioning; the whole plan is
+    scan -> generate inside one codegen stage — no shuffle, no Python.
+    """
+    sents = split_sentences_col(F.col(text_col))
+    return docs.select(
+        F.col(id_col),
+        F.size(sents).alias("n_sents"),
+        F.posexplode(sents).alias("sent_idx", "sentence"),
+    ).select(id_col, "sent_idx", "sentence", "n_sents")

@@ -242,3 +242,97 @@ def pagerank(
         if truncate_lineage:
             ranks = ranks.localCheckpoint(eager=True)
     return ranks.select("node", "rank")
+
+
+def mirror_hosts(
+    docs: DataFrame,
+    host_col: str = "host",
+    text_col: str = "text",
+    max_hosts_per_fp: int = 64,
+    min_shared: int = 1,
+) -> DataFrame:
+    """Detect mirrored host pairs from cross-host exact-content duplication.
+
+    Mirrors (CDNs, scrapers, www/apex splits that survived URL
+    canonicalization) are the dominant source of whole-site duplication in
+    web crawls; host-pair evidence drives crawl-budget and dedup policy.
+    One row per unordered host pair (host_a < host_b) that shares at least
+    ``min_shared`` distinct content fingerprints:
+
+      shared_fps    distinct fingerprints present on both hosts
+      pair_weight   sum over shared fps of cnt_a * cnt_b (capture pairs)
+      mirror_score  shared_fps / min(|fps(a)|, |fps(b)|), 1e-6 grid —
+                    1.0 means the smaller host is fully contained
+
+    Scale shape (the part that survives 100x):
+      1. fingerprints collapse to (fp, host, cnt) FIRST — the self-join is
+         host-level, never capture-level, so a fingerprint carried by k
+         hosts costs k^2 rows no matter how many captures carry it;
+      2. fingerprints on more than ``max_hosts_per_fp`` hosts are dropped
+         before the join — universal boilerplate (empty pages, error
+         pages) carries no mirror signal but would otherwise quadratically
+         dominate; the same degenerate-bucket cap as dedup.HOT_BUCKET_CAP;
+      3. the (fp,host) agg, the host-count window, and the pair join all
+         hash on fp — one exchange feeds all three (AQE coalesces the
+         rest); per-host fp totals ride a second, host-keyed agg joined on
+         the (tiny relative to pairs) result.
+
+    Fingerprint = md5 of whitespace-collapsed lowercased text — identical
+    to operators/dedup.fingerprint_col so exact-dedup and mirror detection
+    share one pass in composed pipelines.
+    """
+    from pyspark.sql import Window
+
+    fp = F.md5(
+        F.trim(
+            F.regexp_replace(
+                F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\s+", " "
+            )
+        )
+    )
+    per = (
+        docs.select(fp.alias("fp"), F.col(host_col).alias("host"))
+        .groupBy("fp", "host")
+        .agg(F.count("*").alias("cnt"))
+    )
+    # host fan-out per fp via a window over the already-(fp)-partitioned
+    # frame: no second shuffle
+    per = per.withColumn(
+        "n_hosts", F.count("*").over(Window.partitionBy("fp"))
+    ).filter((F.col("n_hosts") >= 2) & (F.col("n_hosts") <= max_hosts_per_fp))
+
+    a = per.select("fp", F.col("host").alias("host_a"), F.col("cnt").alias("cnt_a"))
+    b = per.select("fp", F.col("host").alias("host_b"), F.col("cnt").alias("cnt_b"))
+    pairs = (
+        a.join(b, "fp")
+        .filter(F.col("host_a") < F.col("host_b"))
+        .groupBy("host_a", "host_b")
+        .agg(
+            F.count("*").alias("shared_fps"),
+            F.sum(F.col("cnt_a") * F.col("cnt_b")).alias("pair_weight"),
+        )
+        .filter(F.col("shared_fps") >= min_shared)
+    )
+
+    totals = (
+        docs.select(fp.alias("fp"), F.col(host_col).alias("host"))
+        .groupBy("host")
+        .agg(F.countDistinct("fp").alias("n_fps"))
+    )
+    from invoice_ocr_reconciler_spark.functions.text import roundn
+
+    return (
+        pairs.join(totals.withColumnRenamed("host", "host_a"), "host_a")
+        .withColumnRenamed("n_fps", "fps_a")
+        .join(totals.withColumnRenamed("host", "host_b"), "host_b")
+        .withColumnRenamed("n_fps", "fps_b")
+        .select(
+            "host_a",
+            "host_b",
+            "shared_fps",
+            "pair_weight",
+            roundn(
+                F.col("shared_fps") / F.least("fps_a", "fps_b"), 6
+            ).alias("mirror_score"),
+        )
+    )

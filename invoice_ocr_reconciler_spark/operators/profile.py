@@ -143,3 +143,74 @@ def column_profile(
         ]
     )
     return wide.select(F.explode(rows).alias("p")).select("p.*")
+
+
+def zipf_fit(
+    docs: DataFrame, text_col: str = "text", top_n: int = 200
+) -> DataFrame:
+    """Zipf's-law fit of the corpus term-frequency distribution.
+
+    Natural text follows freq(rank) ~ C / rank^s with s near 1; the fitted
+    slope is a cheap corpus-health signal (template/boilerplate-dominated
+    crawls flatten or steepen it, OCR noise fattens the tail). Returns ONE
+    row: n_terms (vocabulary size), n_tokens, slope and intercept of the
+    OLS fit of ln(freq) on ln(rank) over the ``top_n`` head terms.
+
+    Plan: explode -> grouped count (map-side combined, the tfidf shape) ->
+    global top_n (rank-desc window over ONE final partition of top_n*shards
+    candidates is avoided — a simple orderBy().limit() lets Spark's
+    TakeOrdered gather only top_n per partition) -> one scalar aggregate.
+
+    Cross-engine determinism: ln() values are snapped to a 1e-6 grid and
+    SCALED TO BIGINT, so every OLS sum (sum x, sum y, sum xy, sum x^2) is
+    exact 64-bit integer arithmetic — no float-sum ordering noise at all;
+    the final slope/intercept divide two bigints and round at 1e-6. Ranks
+    are tie-broken (count desc, term asc) so the head set is unique.
+    """
+    toks = F.explode(
+        F.filter(
+            F.split(
+                F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))), r"\s+"
+            ),
+            lambda t: t != F.lit(""),
+        )
+    ).alias("term")
+    counts = docs.select(toks).groupBy("term").agg(F.count("*").alias("cnt"))
+
+    vocab_stats = counts.agg(
+        F.count("*").alias("n_terms"), F.sum("cnt").alias("n_tokens")
+    )
+
+    head = counts.orderBy(F.col("cnt").desc(), F.col("term")).limit(top_n)
+    from pyspark.sql import Window
+
+    ranked = head.withColumn(
+        "rank",
+        F.row_number().over(Window.orderBy(F.col("cnt").desc(), F.col("term"))),
+    )
+    # ln snapped to 1e-6 and held as bigint: exact, order-independent sums
+    xi = F.floor(F.log(F.col("rank").cast("double")) * 1e6 + 0.5).cast("bigint")
+    yi = F.floor(F.log(F.col("cnt").cast("double")) * 1e6 + 0.5).cast("bigint")
+    ols = ranked.select(
+        xi.alias("x"), yi.alias("y")
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    n, sx, sy, sxy, sxx = (F.col(c) for c in ("n", "sx", "sy", "sxy", "sxx"))
+    slope_num = (n * sxy - sx * sy).cast("double")
+    slope_den = (n * sxx - sx * sx).cast("double")
+    slope = slope_num / slope_den
+    # intercept back on the natural-log scale: (sy - slope*sx) / n / 1e6
+    intercept = (sy.cast("double") - slope * sx.cast("double")) / n / 1e6
+    fit = ols.select(
+        n.alias("n_fit_terms"),
+        roundn(slope, 6).alias("zipf_slope"),
+        roundn(intercept, 6).alias("zipf_intercept"),
+    )
+    return vocab_stats.crossJoin(fit).select(
+        "n_terms", "n_tokens", "n_fit_terms", "zipf_slope", "zipf_intercept"
+    )

@@ -350,3 +350,41 @@ def token_budget_select(
         F.col("_score").alias(score_col),
         F.col("_tok").alias(token_col),
     )
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    weights: dict[str, int] | None = None,
+    salt: str = "split-v1",
+) -> DataFrame:
+    """Deterministic train/validation/test assignment by content-stable hash.
+
+    The standard training-data split at corpus scale: NO sampling state, NO
+    shuffle — each row's split is a pure function of (salt, id), so the
+    assignment is reproducible across runs, cluster sizes, and engines, and
+    re-running on a grown corpus never reassigns an existing id (the
+    property random splits lose). ``weights`` maps split name -> integer
+    percent (must sum to 100; insertion order defines the bucket layout, so
+    keep it fixed across runs — the salt, not the order, is the version
+    knob). Default 90/5/5.
+
+    Pure codegen: one md5 + conv + mod, then a chained CASE over cumulative
+    bucket edges. Adds a ``split`` column; drop or aggregate downstream.
+    """
+    if weights is None:
+        weights = {"train": 90, "validation": 5, "test": 5}
+    if sum(weights.values()) != 100:
+        raise ValueError(f"split weights must sum to 100, got {weights}")
+    bucket = hash_bucket_col(
+        F.concat(F.lit(salt + ":"), F.col(id_col).cast("string")), 100
+    )
+    edge = 0
+    expr = None
+    for name, w in weights.items():
+        edge += w
+        cond = bucket < edge
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(
+            cond, F.lit(name)
+        )
+    return df.withColumn("split", expr)

@@ -870,3 +870,56 @@ def semantic_dedup(
     return out.withColumn(
         "is_kept", F.row_number().over(w) == 1
     ).select(id_col, "centroid_id", "cent_sim", "component", "is_kept")
+
+
+def embedding_outliers(
+    emb: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    top_k: int = 5,
+) -> DataFrame:
+    """Per-label embedding outliers: the top_k vectors farthest (squared
+    L2) from their label centroid.
+
+    The standard contamination/mislabel sweep over an embedded corpus
+    (the SemDeDup/D4 companion move: centroids find *clusters*, outliers
+    find *junk*): encoder glitches, mislabeled documents, and off-topic
+    pages all land far from their class mean.
+
+    Plan: reuses label_centroids (posexplode + ONE grouped avg — partial
+    aggs, |labels| x |dims| rows) and joins it back on (label, dim); the
+    centroid side is tiny and broadcasts, so the big side never shuffles
+    for the join — only the final per-(label, id) distance agg exchanges,
+    carrying (label, id, partial sum) triples. Top-k per label is one
+    window over the |labels|-sized aggregate. Distances ride the 1e-6
+    grid AFTER the one distance sum (centroids are already grid-snapped),
+    the repo's cross-engine contract.
+    """
+    from pyspark.sql import Window
+
+    from invoice_ocr_reconciler_spark.functions.text import roundn
+
+    cent = label_centroids(emb, label_col=label_col, vec_col=vec_col)
+    ex = emb.select(
+        F.col(label_col).alias("label"),
+        F.col(id_col).alias("vec_id"),
+        F.posexplode(vec_col).alias("dim", "val"),
+    )
+    d2 = (
+        ex.join(F.broadcast(cent.select("label", "dim", "centroid")), ["label", "dim"])
+        .groupBy("label", "vec_id")
+        .agg(
+            F.sum(
+                (F.col("val") - F.col("centroid"))
+                * (F.col("val") - F.col("centroid"))
+            ).alias("_d2")
+        )
+        .select("label", "vec_id", roundn(F.col("_d2"), 6).alias("dist2"))
+    )
+    w = Window.partitionBy("label").orderBy(F.col("dist2").desc(), F.col("vec_id"))
+    return (
+        d2.withColumn("outlier_rank", F.row_number().over(w))
+        .filter(F.col("outlier_rank") <= top_k)
+        .select("label", "outlier_rank", "vec_id", "dist2")
+    )

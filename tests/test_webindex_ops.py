@@ -1,0 +1,300 @@
+"""CDX index, mirror detection, sentence split, hash split, zipf fit,
+JSON-LD harvest, embedding outliers."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------- CDX
+
+
+def _caps(spark):
+    import datetime as dt
+
+    rows = [
+        ("https://www.a.b.example/x/y.html?q=1", dt.datetime(2024, 3, 5, 12, 34, 56), b"payload-one"),
+        ("https://a.b.example/x/y.html", dt.datetime(2024, 3, 6, 0, 0, 1), b"payload-two"),
+        ("https://site-007.example/doc.html", dt.datetime(2024, 1, 1, 0, 0, 0), b"p3"),
+        ("https://Site-007.example", dt.datetime(2024, 1, 2, 0, 0, 0), b"p4"),
+    ]
+    return spark.createDataFrame(rows, "url string, warc_ts timestamp, html binary")
+
+
+def test_cdx_surt_key_rules(spark):
+    from invoice_ocr_reconciler_spark.sources.cdx import cdx_index
+
+    idx = cdx_index(_caps(spark), sort=False)
+    got = {r["url"]: r for r in idx.collect()}
+    # www stripped, labels reversed, query kept
+    assert got["https://www.a.b.example/x/y.html?q=1"]["surt_key"] == "example,b,a)/x/y.html?q=1"
+    assert got["https://a.b.example/x/y.html"]["surt_key"] == "example,b,a)/x/y.html"
+    # host lowercased, empty path -> '/'
+    assert got["https://Site-007.example"]["surt_key"] == "example,site-007)/"
+    # ts14 formatted in UTC
+    assert got["https://www.a.b.example/x/y.html?q=1"]["ts14"] == "20240305123456"
+    # digest/length from payload bytes
+    import hashlib
+
+    assert got["https://site-007.example/doc.html"]["digest"] == hashlib.md5(b"p3").hexdigest()
+    assert got["https://site-007.example/doc.html"]["length"] == 2
+
+
+def test_cdx_prefix_lookup_and_sort(spark):
+    from invoice_ocr_reconciler_spark.sources.cdx import cdx_index, cdx_prefix_lookup
+
+    idx = cdx_index(_caps(spark))
+    hit = cdx_prefix_lookup(idx, "example,site-007)").collect()
+    assert len(hit) == 2
+    # same-host captures are adjacent under the surt ordering
+    allrows = idx.orderBy("surt_key", "ts14").select("surt_key").collect()
+    keys = [r[0] for r in allrows]
+    assert keys == sorted(keys)
+
+
+def test_cdx_lookup_plan_pushes_startswith(spark):
+    from invoice_ocr_reconciler_spark.sources.cdx import cdx_index, cdx_prefix_lookup
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        cdx_index(_caps(spark)).write.mode("overwrite").parquet(f"{d}/idx")
+        plan = cdx_prefix_lookup(
+            spark.read.parquet(f"{d}/idx"), "example,b,a)"
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "StartsWith" in plan and "PushedFilters" in plan
+
+
+# ------------------------------------------------------- mirror hosts
+
+
+def test_mirror_hosts_pairs_and_cap(spark):
+    from invoice_ocr_reconciler_spark.operators.graph import mirror_hosts
+
+    rows = (
+        # a and b mirror two fingerprints; c shares one with a
+        [("a.example", "t1"), ("a.example", "t2"), ("a.example", "t3")]
+        + [("b.example", "t1"), ("b.example", "t2")]
+        + [("c.example", "t1")]
+        # boilerplate on every host incl. d: must be dropped by the cap
+        + [(h, "boiler") for h in ("a.example", "b.example", "c.example", "d.example")]
+    )
+    df = spark.createDataFrame(rows, "host string, text string")
+    got = {
+        (r["host_a"], r["host_b"]): r
+        for r in mirror_hosts(df, max_hosts_per_fp=3).collect()
+    }
+    # d.example only shares the capped boilerplate fp -> no pair rows
+    assert not any("d.example" in k for k in got)
+    ab = got[("a.example", "b.example")]
+    assert ab["shared_fps"] == 2 and ab["pair_weight"] == 2
+    # mirror_score = shared / min(total fps): b holds 3 fps (t1,t2,boiler)
+    assert ab["mirror_score"] == pytest.approx(2 / 3, abs=1e-6)
+    ac = got[("a.example", "c.example")]
+    assert ac["shared_fps"] == 1
+    # c holds 2 fps (t1, boiler) -> score 1/2
+    assert ac["mirror_score"] == pytest.approx(0.5, abs=1e-6)
+
+
+def test_mirror_hosts_capture_counts_weighting(spark):
+    from invoice_ocr_reconciler_spark.operators.graph import mirror_hosts
+
+    rows = [("a", "x"), ("a", "x"), ("a", "x"), ("b", "x")]
+    df = spark.createDataFrame(rows, "host string, text string")
+    [r] = mirror_hosts(df).collect()
+    assert r["pair_weight"] == 3  # 3 captures on a x 1 on b
+
+
+def test_mirror_hosts_degenerate_corpus_bounded(spark):
+    """10k copies of one doc across 100 hosts with the cap at 16: the
+    degenerate fingerprint exceeds the cap and produces ZERO pairs
+    instead of 100^2 — the scale guard."""
+    from invoice_ocr_reconciler_spark.operators.graph import mirror_hosts
+
+    df = spark.range(10_000).select(
+        F.format_string("h%d.example", (F.col("id") % 100).cast("int")).alias("host"),
+        F.lit("same text").alias("text"),
+    )
+    assert mirror_hosts(df, max_hosts_per_fp=16).count() == 0
+
+
+# ----------------------------------------------------- sentence split
+
+
+def test_split_sentences_rules(spark):
+    from invoice_ocr_reconciler_spark.functions.text import split_sentences
+
+    rows = [
+        (0, "One here. Two there! Three? Four"),
+        (1, "No boundary at all"),
+        (2, "lower case. not a boundary"),
+        (3, "Tight.NoSpace stays"),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = split_sentences(df).collect()
+    by_doc: dict[int, list] = {}
+    for r in got:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert [r["sentence"] for r in sorted(by_doc[0], key=lambda r: r["sent_idx"])] == [
+        "One here.",
+        "Two there!",
+        "Three?",
+        "Four",
+    ]
+    assert all(r["n_sents"] == 4 for r in by_doc[0])
+    assert len(by_doc[1]) == 1 and by_doc[1][0]["sentence"] == "No boundary at all"
+    # lowercase follow-on and missing whitespace are not boundaries
+    assert len(by_doc[2]) == 1
+    assert len(by_doc[3]) == 1
+    # empty text -> zero rows (posexplode of empty array)
+    assert 4 not in by_doc
+
+
+# --------------------------------------------------------- hash split
+
+
+def test_hash_split_deterministic_and_complete(spark):
+    from invoice_ocr_reconciler_spark.operators.sampling import hash_split
+
+    df = spark.range(2000).withColumnRenamed("id", "doc_id")
+    got = hash_split(df).groupBy("split").count().collect()
+    by = {r["split"]: r["count"] for r in got}
+    assert set(by) == {"train", "validation", "test"}
+    assert sum(by.values()) == 2000
+    # roughly 90/5/5 (md5 is uniform; generous tolerance)
+    assert 1700 < by["train"] < 1900
+    # stable across recomputation and independent of partitioning
+    again = {
+        r["split"]: r["count"]
+        for r in hash_split(df.repartition(7)).groupBy("split").count().collect()
+    }
+    assert again == by
+    # salt changes the assignment
+    other = hash_split(df, salt="split-v2").groupBy("split").count().collect()
+    assert {r["split"]: r["count"] for r in other} != by or True  # counts may tie
+    a = {r["doc_id"]: r["split"] for r in hash_split(df).collect()}
+    b = {r["doc_id"]: r["split"] for r in hash_split(df, salt="split-v2").collect()}
+    assert any(a[k] != b[k] for k in a)
+
+
+def test_hash_split_grow_stability(spark):
+    """Growing the corpus never reassigns an existing id."""
+    from invoice_ocr_reconciler_spark.operators.sampling import hash_split
+
+    small = {r["doc_id"]: r["split"] for r in hash_split(
+        spark.range(500).withColumnRenamed("id", "doc_id")).collect()}
+    big = {r["doc_id"]: r["split"] for r in hash_split(
+        spark.range(1500).withColumnRenamed("id", "doc_id")).collect()}
+    assert all(big[k] == v for k, v in small.items())
+
+
+def test_hash_split_rejects_bad_weights(spark):
+    from invoice_ocr_reconciler_spark.operators.sampling import hash_split
+
+    with pytest.raises(ValueError):
+        hash_split(spark.range(1), weights={"train": 50, "test": 40})
+
+
+# ------------------------------------------------------------ zipf
+
+
+def test_zipf_fit_matches_numpy(spark):
+    import numpy as np
+
+    from invoice_ocr_reconciler_spark.operators.profile import zipf_fit
+
+    # deterministic zipf-ish corpus: term k appears ~N/k times
+    words = []
+    for k in range(1, 40):
+        words += [f"w{k:02d}"] * (400 // k)
+    docs = spark.createDataFrame(
+        [(0, " ".join(words[:800])), (1, " ".join(words[800:]))],
+        "doc_id long, text string",
+    )
+    [row] = zipf_fit(docs, top_n=30).collect()
+    assert row["n_terms"] == 39
+    assert row["n_tokens"] == len(words)
+    # replicate the exact integer-scaled OLS in numpy
+    from collections import Counter
+
+    cnt = Counter(words)
+    head = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:30]
+    x = np.floor(np.log(np.arange(1, 31).astype(float)) * 1e6 + 0.5).astype(np.int64)
+    y = np.floor(np.log(np.array([c for _, c in head], dtype=float)) * 1e6 + 0.5).astype(np.int64)
+    n = 30
+    num = n * int((x * y).sum()) - int(x.sum()) * int(y.sum())
+    den = n * int((x * x).sum()) - int(x.sum()) ** 2
+    slope = num / den
+    assert row["zipf_slope"] == pytest.approx(slope, abs=2e-6)
+    assert -1.2 < row["zipf_slope"] < -0.8  # zipf-ish by construction
+
+
+# ----------------------------------------------------------- JSON-LD
+
+
+def test_extract_jsonld_blocks_and_fields(spark):
+    from invoice_ocr_reconciler_spark.functions.html_meta import extract_jsonld
+
+    pages = spark.createDataFrame(
+        [
+            (
+                "u1",
+                '<html><head><script>var x;</script>'
+                '<script type="application/ld+json">{"@type":"Article","name":"A1","datePublished":"2024-05-01"}</script>'
+                "<SCRIPT TYPE='application/ld+json'>{\"@type\":\"Product\",\"name\":\"P1\"}</SCRIPT>"
+                "</head></html>",
+            ),
+            ("u2", '<script type="application/ld+json">{bad json</script>'),
+            ("u3", "<p>no scripts</p>"),
+        ],
+        "url string, html string",
+    )
+    got = {(r["url"], r["block_idx"]): r for r in extract_jsonld(pages).collect()}
+    assert got[("u1", 0)]["type"] == "Article"
+    assert got[("u1", 0)]["datePublished"] == "2024-05-01"
+    assert got[("u1", 1)]["type"] == "Product"
+    assert got[("u1", 1)]["datePublished"] is None
+    # malformed json -> row kept, fields NULL
+    assert got[("u2", 0)]["type"] is None
+    # pages with no ld+json emit no rows
+    assert not any(k[0] == "u3" for k in got)
+
+
+# ------------------------------------------------- embedding outliers
+
+
+def test_embedding_outliers_finds_planted_outlier(spark):
+    from invoice_ocr_reconciler_spark.operators.similarity import embedding_outliers
+
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for vid in range(20):
+        rows.append((vid, [float(x) for x in rng.normal(0, 0.01, 8)], "lab"))
+    rows.append((99, [5.0] * 8, "lab"))  # planted far point
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label string")
+    got = embedding_outliers(emb, top_k=3).collect()
+    assert len(got) == 3
+    assert got[0]["outlier_rank"] == 1 or {r["outlier_rank"] for r in got} == {1, 2, 3}
+    top = [r for r in got if r["outlier_rank"] == 1][0]
+    assert top["vec_id"] == 99
+    assert top["dist2"] > 100
+
+
+def test_embedding_outliers_per_label_isolation(spark):
+    from invoice_ocr_reconciler_spark.operators.similarity import embedding_outliers
+
+    rows = [
+        (1, [0.0, 0.0], "a"),
+        (2, [1.0, 1.0], "a"),
+        (3, [0.0, 0.0], "b"),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label string")
+    got = embedding_outliers(emb, top_k=5).collect()
+    labels = {r["label"] for r in got}
+    assert labels == {"a", "b"}
+    # a singleton label sits exactly on its centroid
+    b = [r for r in got if r["label"] == "b"][0]
+    assert b["dist2"] == 0.0
