@@ -265,24 +265,23 @@ def mirror_hosts(
                     1.0 means the smaller host is fully contained
 
     Scale shape (the part that survives 100x):
-      1. fingerprints collapse to (fp, host, cnt) FIRST — the self-join is
-         host-level, never capture-level, so a fingerprint carried by k
-         hosts costs k^2 rows no matter how many captures carry it;
-      2. fingerprints on more than ``max_hosts_per_fp`` hosts are dropped
-         before the join — universal boilerplate (empty pages, error
-         pages) carries no mirror signal but would otherwise quadratically
-         dominate; the same degenerate-bucket cap as dedup.HOT_BUCKET_CAP;
-      3. the (fp,host) agg, the host-count window, and the pair join all
-         hash on fp — one exchange feeds all three (AQE coalesces the
-         rest); per-host fp totals ride a second, host-keyed agg joined on
-         the (tiny relative to pairs) result.
+      1. ONE corpus scan collapses captures to (fp, host, cnt); that slim
+         triple frame is persisted and feeds both the pair generator and
+         the per-host totals — the raw corpus is never read twice;
+      2. pair generation is the dedup.HOT_BUCKET_CAP group-to-array
+         pattern: collect the (host, cnt) members per fingerprint
+         (bounded by the cap), drop fingerprints on more than
+         ``max_hosts_per_fp`` hosts BEFORE any pairs exist — universal
+         boilerplate (empty pages, error pages) carries no mirror signal
+         but would otherwise quadratically dominate — and emit the i<j
+         pairs with codegen array exprs, no self-join;
+      3. members are sort_array'd, so host_a < host_b by construction and
+         the pair agg key is canonical.
 
     Fingerprint = md5 of whitespace-collapsed lowercased text — identical
-    to operators/dedup.fingerprint_col so exact-dedup and mirror detection
+    to operators/dedup's fingerprint so exact-dedup and mirror detection
     share one pass in composed pipelines.
     """
-    from pyspark.sql import Window
-
     fp = F.md5(
         F.trim(
             F.regexp_replace(
@@ -294,18 +293,24 @@ def mirror_hosts(
         docs.select(fp.alias("fp"), F.col(host_col).alias("host"))
         .groupBy("fp", "host")
         .agg(F.count("*").alias("cnt"))
+        .persist()
     )
-    # host fan-out per fp via a window over the already-(fp)-partitioned
-    # frame: no second shuffle
-    per = per.withColumn(
-        "n_hosts", F.count("*").over(Window.partitionBy("fp"))
-    ).filter((F.col("n_hosts") >= 2) & (F.col("n_hosts") <= max_hosts_per_fp))
-
-    a = per.select("fp", F.col("host").alias("host_a"), F.col("cnt").alias("cnt_a"))
-    b = per.select("fp", F.col("host").alias("host_b"), F.col("cnt").alias("cnt_b"))
+    grouped = (
+        per.groupBy("fp")
+        .agg(F.sort_array(F.collect_list(F.struct("host", "cnt"))).alias("members"))
+        .filter(
+            (F.size("members") >= 2) & (F.size("members") <= max_hosts_per_fp)
+        )
+    )
+    pair_expr = """
+        flatten(transform(members, (m, i) ->
+          transform(slice(members, i + 2, size(members) - i - 1), o ->
+            struct(m.host AS host_a, m.cnt AS cnt_a,
+                   o.host AS host_b, o.cnt AS cnt_b))))
+    """
     pairs = (
-        a.join(b, "fp")
-        .filter(F.col("host_a") < F.col("host_b"))
+        grouped.select(F.explode(F.expr(pair_expr)).alias("p"))
+        .select("p.*")
         .groupBy("host_a", "host_b")
         .agg(
             F.count("*").alias("shared_fps"),
@@ -314,17 +319,15 @@ def mirror_hosts(
         .filter(F.col("shared_fps") >= min_shared)
     )
 
-    totals = (
-        docs.select(fp.alias("fp"), F.col(host_col).alias("host"))
-        .groupBy("host")
-        .agg(F.countDistinct("fp").alias("n_fps"))
-    )
+    # per is already distinct on (fp, host): counting rows per host IS the
+    # distinct-fingerprint total, no second pass over the corpus
+    totals = per.groupBy("host").agg(F.count("*").alias("n_fps"))
     from invoice_ocr_reconciler_spark.functions.text import roundn
 
     return (
-        pairs.join(totals.withColumnRenamed("host", "host_a"), "host_a")
+        pairs.join(F.broadcast(totals.withColumnRenamed("host", "host_a")), "host_a")
         .withColumnRenamed("n_fps", "fps_a")
-        .join(totals.withColumnRenamed("host", "host_b"), "host_b")
+        .join(F.broadcast(totals.withColumnRenamed("host", "host_b")), "host_b")
         .withColumnRenamed("n_fps", "fps_b")
         .select(
             "host_a",
