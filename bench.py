@@ -71,6 +71,10 @@ def main() -> None:
         "bpe_merges",        # BPE vocab induction (8 vocab-sized rounds)
         "normalize_text",    # NFC + codegen hygiene (one Arrow crossing)
         "corpus_build",      # end-to-end build: collapse->extract->curate->shards
+        "cdx_index",         # SURT capture index (codegen + range sort)
+        "mirror_hosts",      # cross-host mirror pairs (capped group-to-array)
+        "sentence_split",    # sentinel-regex segmentation (pure codegen)
+        "zipf_fit",          # term-frequency OLS (bigint-exact sums)
         "ann_brute_force",
         "upsert_table",         # MERGE/upsert over the orders table
         "status_writeback",     # E2 write-back (UPDATE-only MERGE)
