@@ -2514,6 +2514,55 @@ def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_outliers(emb).orderBy("label", "outlier_rank")
 
 
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer application (operators/bpe.py:bpe_encode): learn 8 merges
+    on the corpus (the bpe_merges query's table), then encode the same
+    corpus with them — real token counts + the head of each token stream.
+    Rows-only (the learn stage is an iterative driver argmax);
+    correctness is pinned by the pure-Python parity tests."""
+    from invoice_ocr_reconciler_spark.operators.bpe import bpe_encode, bpe_learn
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    merges = bpe_learn(docs, n_merges=8)
+    enc = bpe_encode(docs, merges)
+    return enc.select(
+        "doc_id",
+        "n_tokens",
+        F.array_join(F.slice("tokens", 1, 12), " ").alias("tokens_head"),
+    ).orderBy("doc_id")
+
+
+def q_decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space benchmark decontamination (operators/decontam.py:
+    decontaminate_semantic): the benchmark set is the vec_id%23==5 slice
+    of the corpus itself, so those vectors MUST flag at sim 1.0 and their
+    planted near-duplicates flag with them; DuckDB replays the broadcast
+    cosine sweep (list_cosine_similarity, 1e-6 grid) and the per-vector
+    verdict aggregate."""
+    from invoice_ocr_reconciler_spark.operators.decontam import (
+        decontaminate_semantic,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    bench = emb.filter(F.col("vec_id") % 23 == 5)
+    return decontaminate_semantic(emb, bench, threshold=0.95).orderBy("vec_id")
+
+
+def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-iteration HITS hubs/authorities (operators/graph.py:hits) over
+    the synthetic link graph (pagerank's edge synthesis); top 30 by
+    authority. DuckDB unrolls both iterations as CTEs on the same
+    1e-12/1e-9 grids."""
+    from invoice_ocr_reconciler_spark.operators.graph import hits
+
+    edges = _link_edges(spark, sf_dir)
+    return (
+        hits(edges, n_iter=2)
+        .orderBy(F.col("authority").desc(), "node")
+        .limit(30)
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from invoice_ocr_reconciler_spark.plans import relational as R
 
@@ -2661,6 +2710,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zipf_fit": q_zipf_fit,
         "jsonld_extract": q_jsonld_extract,
         "embedding_outliers": q_embedding_outliers,
+        "bpe_encode": q_bpe_encode,
+        "decontaminate_semantic": q_decontaminate_semantic,
+        "hits": q_hits,
     }
 
 
@@ -2716,6 +2768,54 @@ def _pagerank_oracle(n_iter: int = 3) -> str:
         r0 AS (SELECT b.node, b.deg, CAST(1.0 AS DOUBLE) / nn.n AS rank
                FROM base b, nn),{','.join(it)}
         SELECT node, rank FROM r{n_iter} ORDER BY rank DESC, node LIMIT 30
+    """
+
+
+def _hits_oracle(n_iter: int = 2) -> str:
+    """Unroll operators/graph.py:hits as CTEs: same edge synthesis as the
+    pagerank oracle, same 1e-12 contribution / 1e-9 score grids, L1
+    normalization per half-iteration, left-join zero fill."""
+    it = []
+    prev_h = "h0"
+    for j in range(1, n_iter + 1):
+        it.append(f"""
+            ca{j} AS (SELECT e.dst AS node,
+                             sum(floor(h.score * 1e12 + 0.5) / 1e12) AS raw
+                      FROM edges e JOIN {prev_h} h ON e.src = h.node
+                      GROUP BY e.dst),
+            za{j} AS (SELECT sum(raw) AS z FROM ca{j}),
+            a{j} AS (SELECT n.node,
+                            floor(coalesce(c.raw, CAST(0.0 AS DOUBLE))
+                                  / (SELECT z FROM za{j}) * 1e9 + 0.5) / 1e9 AS score
+                     FROM nodes n LEFT JOIN ca{j} c ON n.node = c.node),
+            ch{j} AS (SELECT e.src AS node,
+                             sum(floor(a.score * 1e12 + 0.5) / 1e12) AS raw
+                      FROM edges e JOIN a{j} a ON e.dst = a.node
+                      GROUP BY e.src),
+            zh{j} AS (SELECT sum(raw) AS z FROM ch{j}),
+            h{j} AS (SELECT n.node,
+                            floor(coalesce(c.raw, CAST(0.0 AS DOUBLE))
+                                  / (SELECT z FROM zh{j}) * 1e9 + 0.5) / 1e9 AS score
+                     FROM nodes n LEFT JOIN ch{j} c ON n.node = c.node)""")
+        prev_h = f"h{j}"
+    return f"""
+        WITH ids AS (SELECT doc_id FROM documents),
+        nd AS (SELECT count(*) AS nd FROM documents),
+        edges AS (
+            SELECT doc_id AS src, (doc_id * 7 + 1) % (SELECT nd FROM nd) AS dst
+            FROM ids WHERE doc_id % 5 <> 0
+            UNION ALL
+            SELECT doc_id, (doc_id * 13 + 2) % (SELECT nd FROM nd)
+            FROM ids WHERE doc_id % 5 <> 0
+            UNION ALL
+            SELECT doc_id, CAST(0 AS BIGINT) FROM ids WHERE doc_id % 10 = 3),
+        nodes AS (SELECT DISTINCT src AS node FROM edges
+                  UNION SELECT DISTINCT dst FROM edges),
+        nn AS (SELECT count(*) AS n FROM nodes),
+        h0 AS (SELECT node, CAST(1.0 AS DOUBLE) / nn.n AS score FROM nodes, nn),{','.join(it)}
+        SELECT a.node, a.score AS authority, h.score AS hub
+        FROM a{n_iter} a JOIN h{n_iter} h ON a.node = h.node
+        ORDER BY authority DESC, a.node LIMIT 30
     """
 
 
@@ -5285,4 +5385,22 @@ def oracle_sql() -> dict[str, str]:
                    vec_id, dist2
             FROM r WHERE outlier_rank <= 5 ORDER BY label, outlier_rank
         """,
+        "decontaminate_semantic": """
+            WITH b AS (SELECT vec_id AS bid, CAST(embedding AS DOUBLE[]) AS bv
+                       FROM embeddings WHERE vec_id % 23 = 5),
+            c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv
+                  FROM embeddings),
+            p AS (SELECT c.vec_id,
+                         round(list_cosine_similarity(c.cv, b.bv), 6) AS s
+                  FROM c, b),
+            v AS (SELECT vec_id,
+                         CAST(sum(CASE WHEN s >= 0.95 THEN 1 ELSE 0 END) AS BIGINT)
+                             AS n_bench_hits,
+                         max(s) AS max_sim
+                  FROM p GROUP BY vec_id)
+            SELECT vec_id, n_bench_hits > 0 AS contaminated,
+                   n_bench_hits, max_sim
+            FROM v ORDER BY vec_id
+        """,
+        "hits": _hits_oracle(2),
     }

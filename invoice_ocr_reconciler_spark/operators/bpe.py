@@ -138,3 +138,102 @@ def bpe_learn(
         merges.append((rank, left, right, pc))
         syms = _apply_merge(syms, left, right).localCheckpoint(eager=True)
     return spark.createDataFrame(merges, MERGES_SCHEMA)
+
+
+ENCODE_SCHEMA = "doc_id bigint, tokens array<string>, n_tokens int"
+
+
+def _encode_word(word: str, ranks: dict, cache: dict) -> list:
+    """Greedy BPE application to one word: repeatedly merge the
+    lowest-rank adjacent pair, leftmost-first non-overlapping within a
+    pass — the exact application order of training's _apply_merge fold,
+    so encode(learn-corpus) reproduces the training segmentation."""
+    hit = cache.get(word)
+    if hit is not None:
+        return hit
+    syms = list(word) + [END_MARK]
+    while len(syms) > 1:
+        best_rank = None
+        best_pair = None
+        for i in range(len(syms) - 1):
+            r = ranks.get((syms[i], syms[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank = r
+                best_pair = (syms[i], syms[i + 1])
+        if best_pair is None:
+            break
+        left, right = best_pair
+        out = []
+        i = 0
+        n = len(syms)
+        while i < n:
+            if i < n - 1 and syms[i] == left and syms[i + 1] == right:
+                out.append(left + right)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    cache[word] = syms
+    return syms
+
+
+def bpe_encode(
+    docs: DataFrame,
+    merges: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Tokenize documents with a learned merge table
+    -> (doc_id, tokens, n_tokens).
+
+    The consumption half of BPE: bpe_learn runs once per tokenizer
+    version, encode runs over every corpus build (token budgeting,
+    pack_sequences, context-length stats all want REAL token counts, not
+    the whitespace proxy).
+
+    Scale shape: the merge table is vocab-sized (n_merges rows) — it
+    collects to the driver once and ships to executors as a broadcast
+    closure (the IVF-centroid pattern); the corpus crosses Arrow ONCE,
+    column-pruned to (id, text), and each batch memoizes encodings per
+    word TYPE, so the per-batch cost is ~unique-words x merge-depth,
+    not tokens x merge-depth (Zipf makes the type/token ratio tiny).
+    No shuffle anywhere — a pure map stage that fuses into the scan.
+
+    Tokenization is the shared functions/text.py:tokens_col contract
+    (lowercase, whitespace), applied in pandas — pinned equal by test.
+    """
+    rows = merges.select("merge_rank", "left", "right").collect()
+    ranks = {(r["left"], r["right"]): r["merge_rank"] for r in rows}
+    bc = docs.sparkSession.sparkContext.broadcast(ranks)
+
+    def gen(batches):
+        import re
+
+        import pandas as pd
+
+        # Java \s is ASCII-only ([ \t\n\x0B\f\r]); Python str.split()
+        # splits Unicode whitespace too — use the exact Java class so the
+        # pandas tokenization equals tokens_col byte for byte
+        ws = re.compile(r"[ \t\n\x0b\f\r]+")
+        rk = bc.value
+        cache: dict = {}
+        for pdf in batches:
+            toks_out = []
+            counts = []
+            for text in pdf[text_col]:
+                words = [w for w in ws.split(str(text or "").lower()) if w]
+                toks: list = []
+                for w in words:
+                    toks.extend(_encode_word(w, rk, cache))
+                toks_out.append(toks)
+                counts.append(len(toks))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "tokens": toks_out,
+                    "n_tokens": pd.Series(counts, dtype="int32"),
+                }
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(gen, schema=ENCODE_SCHEMA)

@@ -82,3 +82,64 @@ def decontaminate(
             .alias("contaminated"),
         )
     )
+
+
+def decontaminate_semantic(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bench_id_col: str = "vec_id",
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """Embedding-space benchmark decontamination: flag corpus vectors whose
+    cosine similarity to ANY benchmark vector reaches ``threshold``.
+
+    The semantic complement of n-gram `decontaminate` (paraphrased or
+    reformatted eval items share no 8-gram but sit next to the benchmark
+    in embedding space — contamination audits run exactly this pair).
+    Returns (id, contaminated, n_bench_hits, max_sim) — flag-don't-drop,
+    like the n-gram pass, so audits can count before cutting.
+
+    Scale shape: benchmarks are eval-set-sized (10^3-10^5), the corpus is
+    not — the benchmark side is column-pruned to (id, vec) and broadcast,
+    the corpus never shuffles: the join is map-side, the per-pair cosine
+    is the JVM zip_with/aggregate expression shared with
+    operators/similarity.cosine_sim, and the per-corpus-vector verdict
+    partial-aggregates on the corpus id. ``broadcast_benchmark=False``
+    degrades to a shuffle join for pathological benchmark sizes (the
+    decontaminate/wordlist_flags knob). For 10^9+ corpora compose with
+    the LSH/IVF routing in operators/similarity.py to prune candidate
+    pairs first; this operator is the exact verdict.
+
+    Determinism: sims ride the 1e-6 grid BEFORE the threshold compare
+    and the max aggregate (the ann_brute_force contract — fold order
+    over the array is fixed, so the rounded sim is partitioning- and
+    engine-stable).
+    """
+    from invoice_ocr_reconciler_spark.functions.text import roundn
+    from invoice_ocr_reconciler_spark.operators.similarity import cosine_sim
+
+    c = corpus.select(F.col(id_col).alias("_cid"), F.col(vec_col).alias("_cv"))
+    b = benchmark.select(
+        F.col(bench_id_col).alias("_bid"), F.col(vec_col).alias("_bv")
+    )
+    if broadcast_benchmark:
+        b = F.broadcast(b)
+    sim = roundn(cosine_sim(F.col("_cv"), F.col("_bv")), 6)
+    pairs = c.crossJoin(b).select(
+        "_cid",
+        (sim >= F.lit(threshold)).cast("int").alias("hit"),
+        sim.alias("s"),
+    )
+    return (
+        pairs.groupBy("_cid")
+        .agg(F.sum("hit").alias("n_hits"), F.max("s").alias("max_sim"))
+        .select(
+            F.col("_cid").alias(id_col),
+            (F.col("n_hits") > 0).alias("contaminated"),
+            F.col("n_hits").cast("bigint").alias("n_bench_hits"),
+            "max_sim",
+        )
+    )

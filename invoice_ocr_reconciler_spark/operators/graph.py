@@ -339,3 +339,97 @@ def mirror_hosts(
             ).alias("mirror_score"),
         )
     )
+
+
+def hits(
+    edges: DataFrame,
+    n_iter: int = 2,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    truncate_lineage: bool = True,
+) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg 1999) over the link graph
+    -> (node, authority, hub).
+
+    PageRank's companion centrality: authorities are pages many good hubs
+    point AT, hubs are pages that point at many good authorities — the
+    directory/listing-page signal crawl seeding wants and PageRank
+    blurs. L1-normalized variant (scores sum to 1 per side), the
+    standard choice for a data pipeline (no eigen-library, and the
+    normalizer is one scalar aggregate instead of an L2 sqrt).
+
+    Same distributed shape as pagerank: each half-iteration is ONE
+    equi-join (edges x scores) + ONE partial-agg groupBy + one 1-row
+    normalizer broadcast via crossJoin; only (node, double) pairs ride
+    the shuffles. Nodes with no in-edges hold authority 0 (no out-edges
+    -> hub 0) via the left join, so the node set never shrinks.
+    localCheckpoint truncates lineage per iteration.
+
+    Determinism contract (the pagerank grids): joined contributions ride
+    a grid 3 places below the score grid; score places follow
+    rank_places(N) (floor 9) — scores live at the 1/N scale, so a
+    fixed 1e-9 grid would zero every score of a >2e9-node graph.
+    Small graphs keep the 1e-12/1e-9 DuckDB-oracle contract.
+    """
+    src = F.col(src_col).alias("node")
+    dst = F.col(dst_col).alias("node")
+    nodes = (
+        edges.select(src).union(edges.select(dst)).distinct().persist()
+    )
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+
+    n = nodes.count()
+    if n == 0:
+        return nodes.select(
+            F.col("node"),
+            F.lit(0.0).alias("authority"),
+            F.lit(0.0).alias("hub"),
+        )
+    places = rank_places(n)
+    cp = places + 3
+    hub = nodes.select("node", F.lit(1.0 / n).alias("score"))
+    auth = None
+    for _ in range(n_iter):
+        # authority pass: sum of pointing hubs' scores
+        contrib = (
+            e.join(hub.withColumnRenamed("node", "src"), "src")
+            .select(F.col("dst").alias("node"), roundn(F.col("score"), cp).alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("raw"))
+        )
+        norm = contrib.agg(F.sum("raw").alias("z"))
+        auth = (
+            nodes.join(contrib, "node", "left")
+            .crossJoin(norm)
+            .select(
+                "node",
+                roundn(
+                    F.coalesce(F.col("raw"), F.lit(0.0)) / F.col("z"), places
+                ).alias("score"),
+            )
+        )
+        # hub pass: sum of pointed-at authorities
+        hcontrib = (
+            e.join(auth.withColumnRenamed("node", "dst"), "dst")
+            .select(F.col("src").alias("node"), roundn(F.col("score"), cp).alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("raw"))
+        )
+        hnorm = hcontrib.agg(F.sum("raw").alias("z"))
+        hub = (
+            nodes.join(hcontrib, "node", "left")
+            .crossJoin(hnorm)
+            .select(
+                "node",
+                roundn(
+                    F.coalesce(F.col("raw"), F.lit(0.0)) / F.col("z"), places
+                ).alias("score"),
+            )
+        )
+        if truncate_lineage:
+            auth = auth.localCheckpoint(eager=True)
+            hub = hub.localCheckpoint(eager=True)
+    return (
+        auth.withColumnRenamed("score", "authority")
+        .join(hub.withColumnRenamed("score", "hub"), "node")
+    )
