@@ -75,6 +75,8 @@ def main() -> None:
         "mirror_hosts",      # cross-host mirror pairs (capped group-to-array)
         "sentence_split",    # sentinel-regex segmentation (pure codegen)
         "zipf_fit",          # term-frequency OLS (bigint-exact sums)
+        "hits",              # 2-iter HITS (join+agg per half-pass)
+        "decontaminate_semantic",  # broadcast cosine benchmark sweep
         "ann_brute_force",
         "upsert_table",         # MERGE/upsert over the orders table
         "status_writeback",     # E2 write-back (UPDATE-only MERGE)
