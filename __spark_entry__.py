@@ -2563,6 +2563,57 @@ def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail split (operators/sampling.py:
+    bucket_by_score over lm_perplexity): per-LANGUAGE perplexity
+    terciles, lowest-ppl docs in 'head' — the selection table CCNet's
+    keep/resample/drop policy reads. DuckDB replays the full bigram-LM
+    perplexity AND the ntile window."""
+    from invoice_ocr_reconciler_spark.operators.lm_score import (
+        lm_perplexity,
+        train_bigram_lm,
+    )
+    from invoice_ocr_reconciler_spark.operators.sampling import bucket_by_score
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    scored = lm_perplexity(docs, train_bigram_lm(docs), k=0.5).select(
+        "doc_id", "ppl"
+    )
+    with_lang = scored.join(docs.select("doc_id", "lang"), "doc_id")
+    out = bucket_by_score(
+        with_lang, group_col="lang", score_col="ppl", id_col="doc_id"
+    )
+    return out.select("doc_id", "lang", "ppl", "bucket").orderBy("doc_id")
+
+
+def q_host_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host curation profile (operators/profile.py:host_profile):
+    dup pressure, token volume, quality mix per host from one scan +
+    one groupBy — the per-DOMAIN policy table. DuckDB replays host
+    derivation, fingerprints, token counts, the quality formula, and
+    the 1e-6 grids."""
+    from invoice_ocr_reconciler_spark.operators.profile import host_profile
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    with_host = docs.select(_datagen_host_expr().alias("host"), "text")
+    return host_profile(with_host).orderBy("host")
+
+
+def q_anchor_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-text index (operators/graph.py:anchor_text_index over
+    functions/urls.py:extract_anchors): per link target the harvested
+    anchor volume and the most frequent anchor (ties anchor-asc).
+    DuckDB predicts the anchors analytically (the extract_anchors
+    closed form) and replays the aggregation."""
+    from invoice_ocr_reconciler_spark import datagen
+    from invoice_ocr_reconciler_spark.functions.urls import extract_anchors
+    from invoice_ocr_reconciler_spark.operators.graph import anchor_text_index
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    anchors = extract_anchors(datagen.pages_from_documents(docs))
+    return anchor_text_index(anchors).orderBy("link")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from invoice_ocr_reconciler_spark.plans import relational as R
 
@@ -2713,6 +2764,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_encode": q_bpe_encode,
         "decontaminate_semantic": q_decontaminate_semantic,
         "hits": q_hits,
+        "ccnet_buckets": q_ccnet_buckets,
+        "host_profile": q_host_profile,
+        "anchor_index": q_anchor_index,
     }
 
 
@@ -5403,4 +5457,133 @@ def oracle_sql() -> dict[str, str]:
             FROM v ORDER BY vec_id
         """,
         "hits": _hits_oracle(2),
+        # full perplexity replay (the lm_perplexity oracle) + lang join +
+        # the identical ntile split — CCNet's head/middle/tail selection
+        "ccnet_buckets": r"""
+            WITH d AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(trim(coalesce(text, ''))), '\s+'),
+                                   t -> t <> '') AS toks
+                FROM documents),
+            u AS (SELECT unnest(toks) AS w1 FROM d),
+            c1 AS (SELECT w1, count(*) AS c1 FROM u GROUP BY 1),
+            v AS (SELECT count(*) AS vocab_size FROM c1),
+            bg AS (
+                SELECT doc_id,
+                       unnest(CASE WHEN len(toks) < 2 THEN []::VARCHAR[]
+                              ELSE list_transform(range(1, len(toks)),
+                                     i -> toks[CAST(i AS INT)] || ' ' ||
+                                          toks[CAST(i + 1 AS INT)]) END) AS gram
+                FROM d),
+            c2 AS (SELECT gram, count(*) AS c2 FROM bg GROUP BY 1),
+            scored AS (
+                SELECT bg.doc_id,
+                       floor(ln((coalesce(c2.c2, 0) + 0.5)
+                                / (coalesce(c1.c1, 0) + 0.5 * v.vocab_size))
+                             * 1e8 + 0.5) / 1e8 AS logp
+                FROM bg LEFT JOIN c2 USING (gram)
+                LEFT JOIN c1 ON c1.w1 = split_part(bg.gram, ' ', 1)
+                CROSS JOIN v),
+            per AS (SELECT doc_id, count(*) AS n_bigrams, sum(logp) AS s
+                    FROM scored GROUP BY 1),
+            ppl AS (
+                SELECT d.doc_id,
+                       floor(exp(-(floor(per.s / per.n_bigrams * 1e6 + 0.5) / 1e6))
+                             * 1e4 + 0.5) / 1e4 AS ppl
+                FROM d LEFT JOIN per USING (doc_id)),
+            withlang AS (
+                SELECT p.doc_id, doc.lang, p.ppl
+                FROM ppl p JOIN documents doc USING (doc_id)
+                WHERE p.ppl IS NOT NULL),
+            tiled AS (
+                SELECT doc_id, lang, ppl,
+                       ntile(3) OVER (PARTITION BY lang
+                                      ORDER BY ppl, doc_id) AS tile
+                FROM withlang)
+            SELECT doc_id, lang, ppl,
+                   CASE tile WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                        ELSE 'tail' END AS bucket
+            FROM tiled ORDER BY doc_id
+        """,
+        "host_profile": r"""
+            WITH k AS (
+                SELECT doc_id, coalesce(text, '') AS text,
+                       ('0x' || substr(md5('host:' || CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT % 100 AS r,
+                       ('0x' || substr(md5('coldhost:' || CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT % 50 AS c
+                FROM documents),
+            f AS (
+                SELECT CASE WHEN r < 35 THEN
+                            CASE WHEN r % 2 = 0 THEN 'portal.megacorp-billing.example'
+                                 ELSE 'docs.archive-crawl.example' END
+                       ELSE printf('site-%03d.example', CAST(c AS INT)) END AS host,
+                       md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+                       CASE WHEN length(trim(text)) = 0 THEN 0
+                            ELSE len(regexp_split_to_array(trim(text), '\s+'))
+                       END AS n_tokens,
+                       CAST(length(text) AS INT) AS n_chars,
+                       len(regexp_extract_all(text, '[^\w\s]')) AS n_punct,
+                       len(regexp_extract_all(lower(text), '\b(the|and|of|to|is|with|that)\b')) AS n_stop
+                FROM k),
+            q AS (
+                SELECT host, fp, n_tokens,
+                       floor((least(n_chars / 500.0, 1.0) * 0.4
+                              + (1.0 - CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0 END) * 0.3
+                              + least(CASE WHEN n_tokens > 0 THEN n_stop / n_tokens ELSE 0 END * 5.0, 1.0) * 0.3)
+                             * 10000.0 + 0.5) / 10000.0 AS quality
+                FROM f),
+            agg AS (
+                SELECT host, count(*) AS n_docs,
+                       count(DISTINCT fp) AS n_unique_fps,
+                       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+                       CAST(sum(CAST(floor(quality * 1e4 + 0.5) AS BIGINT)) AS BIGINT) AS qsum
+                FROM q GROUP BY host)
+            SELECT host, n_docs, n_unique_fps,
+                   floor((1.0 - CAST(n_unique_fps AS DOUBLE) / n_docs) * 1e6 + 0.5) / 1e6 AS dup_rate,
+                   total_tokens,
+                   floor(CAST(total_tokens AS DOUBLE) / n_docs * 1e6 + 0.5) / 1e6 AS mean_tokens,
+                   floor(CAST(qsum AS DOUBLE) / n_docs / 1e4 * 1e6 + 0.5) / 1e6 AS mean_quality
+            FROM agg ORDER BY host
+        """,
+        # the extract_anchors closed form + the index aggregation (window
+        # formulation of the min-struct top pick — same values)
+        "anchor_index": """
+            WITH k AS (
+                SELECT doc_id,
+                       ('0x' || substr(md5('host:' || CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT % 100 AS r,
+                       ('0x' || substr(md5('coldhost:' || CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT % 50 AS c
+                FROM documents
+                WHERE doc_id % 10 <> 7),
+            h AS (
+                SELECT doc_id,
+                       CASE WHEN r < 35 THEN
+                            CASE WHEN r % 2 = 0 THEN 'portal.megacorp-billing.example'
+                                 ELSE 'docs.archive-crawl.example' END
+                       ELSE printf('site-%03d.example', CAST(c AS INT)) END AS host
+                FROM k),
+            pages AS (
+                SELECT 'https://' || host AS base FROM h),
+            links AS (
+                SELECT CASE WHEN i < 8 THEN '/s/' || i
+                            WHEN i < 20 THEN '/r/' || (i - 8)
+                            ELSE '/f/' || (i - 20) END AS rel,
+                       CASE WHEN i < 8 THEN 'section ' || i || ' link text here'
+                            WHEN i < 20 THEN 'related article link number ' || (i - 8)
+                            ELSE 'footer link ' || (i - 20) END AS anchor
+                FROM (SELECT unnest(range(0, 30)) AS i)),
+            pairs AS (
+                SELECT p.base || l.rel AS link, l.anchor
+                FROM pages p CROSS JOIN links l),
+            per AS (SELECT link, anchor, count(*) AS cnt
+                    FROM pairs GROUP BY 1, 2),
+            ranked AS (
+                SELECT link, anchor, cnt,
+                       row_number() OVER (PARTITION BY link
+                                          ORDER BY cnt DESC, anchor) AS rn,
+                       CAST(sum(cnt) OVER (PARTITION BY link) AS BIGINT) AS n_anchors,
+                       count(*) OVER (PARTITION BY link) AS n_unique_anchors
+                FROM per)
+            SELECT link, n_anchors, n_unique_anchors,
+                   anchor AS top_anchor, cnt AS top_anchor_count
+            FROM ranked WHERE rn = 1 ORDER BY link
+        """,
     }

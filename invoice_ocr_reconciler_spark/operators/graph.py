@@ -433,3 +433,47 @@ def hits(
         auth.withColumnRenamed("score", "authority")
         .join(hub.withColumnRenamed("score", "hub"), "node")
     )
+
+
+def anchor_text_index(
+    anchors: DataFrame,
+    link_col: str = "link",
+    anchor_col: str = "anchor",
+) -> DataFrame:
+    """Aggregate harvested anchor text per link target — the classic
+    anchor-text relevance signal (what the WEB says a page is about,
+    independent of the page's own words; search and seed-selection both
+    read this table).
+
+    -> (link, n_anchors, n_unique_anchors, top_anchor, top_anchor_count)
+    with top = most frequent anchor, ties broken anchor-ascending.
+
+    Two chained partial-agg'd groupBys: (link, anchor) counts first —
+    the exchange carries pair-cardinality partials — then ONE
+    groupBy(link) where the top anchor is a min-of-struct((-cnt, anchor))
+    codegen aggregate, NOT a window: no second sort, no row_number, and
+    the struct min is partially aggregable map-side like the sums.
+    """
+    per = (
+        anchors.select(
+            F.col(link_col).alias("link"), F.col(anchor_col).alias("anchor")
+        )
+        .groupBy("link", "anchor")
+        .agg(F.count("*").alias("cnt"))
+    )
+    top = F.min(F.struct((-F.col("cnt")).alias("neg"), F.col("anchor")))
+    return (
+        per.groupBy("link")
+        .agg(
+            F.sum("cnt").alias("n_anchors"),
+            F.count("*").alias("n_unique_anchors"),
+            top.alias("_top"),
+        )
+        .select(
+            "link",
+            F.col("n_anchors").cast("bigint").alias("n_anchors"),
+            "n_unique_anchors",
+            F.col("_top.anchor").alias("top_anchor"),
+            (-F.col("_top.neg")).cast("bigint").alias("top_anchor_count"),
+        )
+    )

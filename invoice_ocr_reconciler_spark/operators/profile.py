@@ -214,3 +214,66 @@ def zipf_fit(
     return vocab_stats.crossJoin(fit).select(
         "n_terms", "n_tokens", "n_fit_terms", "zipf_slope", "zipf_intercept"
     )
+
+
+def host_profile(
+    docs: DataFrame,
+    host_col: str = "host",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-host curation profile — the table per-DOMAIN filtering policy
+    reads (RefinedWeb/C4 apply several cuts at domain granularity):
+
+      n_docs, n_unique_fps, dup_rate    exact-duplicate pressure
+      total_tokens, mean_tokens         volume / doc-length shape
+      mean_quality                      heuristic quality mix
+
+    ONE scan, ONE partial-agg'd groupBy(host): fingerprints, token counts
+    and the quality score are all codegen column exprs computed inside
+    the scan stage (corpus_report's ingredients at host granularity);
+    the exchange carries per-host partials only. Exact distinct
+    fingerprints per host ride a count_distinct expand — swap for an HLL
+    sketch (column_profile's approx mode) past ~10^10 rows per host.
+
+    Determinism: all three means divide exact INTEGER aggregates — the
+    quality score (a 1e-4-grid float) is scaled to bigint BEFORE the sum,
+    because averaging grid floats and re-rounding on a finer grid lands
+    exactly on half-steps (avg of k/1e4 values hits X.5e-6 whenever
+    100*sum mod n == n/2), where engine fp noise flips the digit. With
+    integer sums both engines divide the SAME numbers, so the pre-round
+    double is bit-identical. Grids: 1e-6 floor-half-up.
+    """
+    from invoice_ocr_reconciler_spark.functions.text import (
+        fingerprint_col,
+        quality_score_cols,
+        token_count_col,
+    )
+
+    q = quality_score_cols(F.col(text_col))["quality_score"]
+    base = docs.select(
+        F.col(host_col).alias("host"),
+        fingerprint_col(F.col(text_col)).alias("fp"),
+        token_count_col(F.col(text_col)).alias("n_tokens"),
+        # 1e-4-grid score -> exact bigint (q*1e4 is within 1e-9 of the
+        # integer, so +0.5/floor recovers it exactly in both engines)
+        F.floor(q * 1e4 + F.lit(0.5)).cast("long").alias("q4"),
+    )
+    agg = base.groupBy("host").agg(
+        F.count("*").alias("n_docs"),
+        F.count_distinct("fp").alias("n_unique_fps"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.sum("q4").alias("qsum"),
+    )
+    return agg.select(
+        "host",
+        "n_docs",
+        "n_unique_fps",
+        roundn(
+            F.lit(1.0) - F.col("n_unique_fps") / F.col("n_docs"), 6
+        ).alias("dup_rate"),
+        "total_tokens",
+        roundn(F.col("total_tokens") / F.col("n_docs"), 6).alias("mean_tokens"),
+        roundn(F.col("qsum") / F.col("n_docs") / F.lit(1e4), 6).alias(
+            "mean_quality"
+        ),
+    )

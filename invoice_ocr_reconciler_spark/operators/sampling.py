@@ -388,3 +388,45 @@ def hash_split(
             cond, F.lit(name)
         )
     return df.withColumn("split", expr)
+
+
+def bucket_by_score(
+    df: DataFrame,
+    group_col: str,
+    score_col: str,
+    id_col: str,
+    n_buckets: int = 3,
+    labels: tuple[str, ...] | None = ("head", "middle", "tail"),
+    ascending: bool = True,
+) -> DataFrame:
+    """Per-group equal-count score buckets — the CCNet head/middle/tail
+    split (Wenzek et al. 2020: per-LANGUAGE perplexity terciles drive
+    what gets kept/resampled/dropped).
+
+    ntile(n) over (group, score, id) — the id tiebreak makes the split a
+    pure function of the data, partitioning/rerun-invariant; ntile's
+    earlier-tiles-get-the-remainder division is identical in Spark and
+    DuckDB, so the assignment is oracle-replayable. Rows with NULL score
+    are dropped (unscorable docs — CCNet drops them too); ``ascending=
+    True`` puts the BEST (lowest-perplexity) docs in the first bucket.
+    One hash exchange on the group key; a group is a window partition,
+    so compose with per-group quota caps if one group dominates.
+    """
+    from pyspark.sql import Window
+
+    if labels is not None and len(labels) != n_buckets:
+        raise ValueError(f"need {n_buckets} labels, got {labels}")
+    order = F.col(score_col).asc() if ascending else F.col(score_col).desc()
+    w = Window.partitionBy(group_col).orderBy(order, F.col(id_col))
+    out = df.filter(F.col(score_col).isNotNull()).withColumn(
+        "tile", F.ntile(n_buckets).over(w)
+    )
+    if labels is None:
+        return out.withColumnRenamed("tile", "bucket")
+    expr = None
+    for i, name in enumerate(labels, start=1):
+        cond = F.col("tile") == i
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(
+            cond, F.lit(name)
+        )
+    return out.withColumn("bucket", expr).drop("tile")

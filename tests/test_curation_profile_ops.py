@@ -1,0 +1,133 @@
+"""bucket_by_score (CCNet split), host_profile, anchor_text_index."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------- bucket_by_score
+
+
+def test_bucket_by_score_ccnet_split(spark):
+    from invoice_ocr_reconciler_spark.operators.sampling import bucket_by_score
+
+    rows = [(i, "en", float(i)) for i in range(9)] + [
+        (100 + i, "fr", float(10 - i)) for i in range(4)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, ppl double")
+    got = {r["doc_id"]: r["bucket"] for r in bucket_by_score(
+        df, "lang", "ppl", "doc_id").collect()}
+    # en: 9 docs -> 3/3/3, lowest ppl in head
+    assert [got[i] for i in range(9)] == ["head"] * 3 + ["middle"] * 3 + ["tail"] * 3
+    # fr: 4 docs -> ntile gives 2/1/1; lowest ppl (doc 103, ppl=7) in head
+    assert got[103] == "head" and got[102] == "head"
+    assert got[101] == "middle" and got[100] == "tail"
+
+
+def test_bucket_by_score_drops_null_scores_and_validates(spark):
+    from invoice_ocr_reconciler_spark.operators.sampling import bucket_by_score
+
+    df = spark.createDataFrame(
+        [(1, "en", 1.0), (2, "en", None)], "doc_id long, lang string, ppl double"
+    )
+    got = bucket_by_score(df, "lang", "ppl", "doc_id").collect()
+    assert len(got) == 1 and got[0]["doc_id"] == 1
+    with pytest.raises(ValueError):
+        bucket_by_score(df, "lang", "ppl", "doc_id", n_buckets=2)
+
+
+def test_bucket_by_score_descending_and_numeric_labels(spark):
+    from invoice_ocr_reconciler_spark.operators.sampling import bucket_by_score
+
+    df = spark.createDataFrame(
+        [(i, "g", float(i)) for i in range(6)], "doc_id long, lang string, s double"
+    )
+    got = {r["doc_id"]: r["bucket"] for r in bucket_by_score(
+        df, "lang", "s", "doc_id", ascending=False, labels=None).collect()}
+    # descending: highest score in tile 1
+    assert got[5] == 1 and got[0] == 3
+
+
+# -------------------------------------------------------------- host_profile
+
+
+def test_host_profile_arithmetic(spark):
+    from invoice_ocr_reconciler_spark.operators.profile import host_profile
+
+    rows = [
+        ("a", "the cat sat"),     # 3 tokens
+        ("a", "the cat sat"),     # exact dup of the above
+        ("a", "something else entirely here"),  # 4 tokens
+        ("b", "one"),
+    ]
+    df = spark.createDataFrame(rows, "host string, text string")
+    got = {r["host"]: r for r in host_profile(df).collect()}
+    a = got["a"]
+    assert a["n_docs"] == 3 and a["n_unique_fps"] == 2
+    assert a["dup_rate"] == pytest.approx(1 / 3, abs=1e-6)
+    assert a["total_tokens"] == 10
+    assert a["mean_tokens"] == pytest.approx(10 / 3, abs=1e-6)
+    b = got["b"]
+    assert b["n_docs"] == 1 and b["dup_rate"] == 0.0 and b["total_tokens"] == 1
+    assert 0.0 <= a["mean_quality"] <= 1.0
+
+
+def test_host_profile_whitespace_insensitive_dups(spark):
+    from invoice_ocr_reconciler_spark.operators.profile import host_profile
+
+    df = spark.createDataFrame(
+        [("h", "Hello  World"), ("h", "hello world")], "host string, text string"
+    )
+    [r] = host_profile(df).collect()
+    assert r["n_unique_fps"] == 1 and r["dup_rate"] == pytest.approx(0.5, abs=1e-6)
+
+
+def test_host_profile_single_exchange_plan(spark):
+    from invoice_ocr_reconciler_spark.operators.profile import host_profile
+
+    df = spark.createDataFrame([("h", "x")], "host string, text string")
+    plan = host_profile(df)._jdf.queryExecution().executedPlan().toString()
+    # one aggregation exchange (count_distinct expands but does not add a
+    # second scan); no Python, no join
+    assert "BatchEvalPython" not in plan and "SortMergeJoin" not in plan
+
+
+# --------------------------------------------------------- anchor_text_index
+
+
+def test_anchor_text_index_top_and_counts(spark):
+    from invoice_ocr_reconciler_spark.operators.graph import anchor_text_index
+
+    rows = (
+        [("u1", "https://t/a", "click here")] * 3
+        + [("u2", "https://t/a", "the a page")] * 2
+        + [("u3", "https://t/a", "a page")] * 2  # tie with 'the a page'? no: 2 vs 2 -> tie
+        + [("u4", "https://t/b", "only anchor")]
+    )
+    df = spark.createDataFrame(rows, "url string, link string, anchor string")
+    got = {r["link"]: r for r in anchor_text_index(df).collect()}
+    a = got["https://t/a"]
+    assert a["n_anchors"] == 7 and a["n_unique_anchors"] == 3
+    assert a["top_anchor"] == "click here" and a["top_anchor_count"] == 3
+    b = got["https://t/b"]
+    assert b["n_anchors"] == 1 and b["top_anchor"] == "only anchor"
+
+
+def test_anchor_text_index_tie_breaks_ascending(spark):
+    from invoice_ocr_reconciler_spark.operators.graph import anchor_text_index
+
+    rows = [("u", "L", "zeta"), ("u", "L", "alpha")]
+    df = spark.createDataFrame(rows, "url string, link string, anchor string")
+    [r] = anchor_text_index(df).collect()
+    assert r["top_anchor"] == "alpha" and r["top_anchor_count"] == 1
+
+
+def test_anchor_text_index_no_window_in_plan(spark):
+    from invoice_ocr_reconciler_spark.operators.graph import anchor_text_index
+
+    df = spark.createDataFrame(
+        [("u", "L", "a")], "url string, link string, anchor string"
+    )
+    plan = anchor_text_index(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan  # min-of-struct, not row_number
