@@ -77,6 +77,9 @@ def main() -> None:
         "zipf_fit",          # term-frequency OLS (bigint-exact sums)
         "hits",              # 2-iter HITS (join+agg per half-pass)
         "decontaminate_semantic",  # broadcast cosine benchmark sweep
+        "ccnet_buckets",     # per-lang perplexity terciles (CCNet split)
+        "host_profile",      # per-domain curation stats (one groupBy)
+        "anchor_index",      # anchor aggregation (min-struct top pick)
         "ann_brute_force",
         "upsert_table",         # MERGE/upsert over the orders table
         "status_writeback",     # E2 write-back (UPDATE-only MERGE)
