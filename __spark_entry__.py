@@ -2379,6 +2379,14 @@ def q_mirror_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation, the cap, and the 1e-6 mirror-score grid."""
     from invoice_ocr_reconciler_spark.operators.graph import mirror_hosts
 
+    corpus = _mirror_corpus(spark, sf_dir)
+    return mirror_hosts(corpus, max_hosts_per_fp=16).orderBy("host_a", "host_b")
+
+
+def _mirror_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The synthesized mirrored corpus shared by the mirror_hosts and
+    mirror_clusters queries: datagen hosts + verbatim CDN re-serves of
+    doc_id%4==0 + one all-host boilerplate page (capped out of pairs)."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     base = docs.select(_datagen_host_expr().alias("host"), "text")
     cdn = docs.filter(F.col("doc_id") % 4 == 0).select(
@@ -2393,8 +2401,93 @@ def q_mirror_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .select("host", F.lit("").alias("text"))
     )
-    corpus = base.unionByName(cdn).unionByName(boiler)
-    return mirror_hosts(corpus, max_hosts_per_fp=16).orderBy("host_a", "host_b")
+    return base.unionByName(cdn).unionByName(boiler)
+
+
+def q_mirror_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive mirror clustering (operators/graph.py:mirror_clusters):
+    mirror-host pairs -> exact connected components over md5-derived
+    60-bit host ids -> (host, cluster_rep). DuckDB replays the pair
+    synthesis + a recursive-CTE closure + the min-id representative."""
+    from invoice_ocr_reconciler_spark.operators.graph import (
+        mirror_clusters,
+        mirror_hosts,
+    )
+
+    pairs = mirror_hosts(_mirror_corpus(spark, sf_dir), max_hosts_per_fp=16)
+    return mirror_clusters(pairs).orderBy("host")
+
+
+def q_minhash_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured MinHash-LSH quality (the dedup analog of ann_recall):
+    predicted near-dup pairs at threshold 0.5 vs EXACT word-3-gram
+    Jaccard ground truth over all pairs among doc_id < 200 -> one row of
+    (n_true, n_pred, n_hit, precision, recall). Rows-only (sketch), but
+    regression-guarded by value in the bench artifact."""
+    from invoice_ocr_reconciler_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        ngram_jaccard_verify,
+    )
+    from invoice_ocr_reconciler_spark.functions.text import roundn
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("doc_id") < 200
+    )
+    a = docs.select(F.col("doc_id").alias("doc_a"))
+    b = docs.select(F.col("doc_id").alias("doc_b"))
+    cands = a.crossJoin(b).filter(F.col("doc_a") < F.col("doc_b"))
+    truth = ngram_jaccard_verify(cands, docs, threshold=0.5).select(
+        "doc_a", "doc_b"
+    )
+    pred = minhash_lsh_pairs(docs, threshold=0.5).select("doc_a", "doc_b")
+    hit = pred.join(truth, ["doc_a", "doc_b"], "inner")
+    n_true = truth.count()
+    n_pred = pred.count()
+    n_hit = hit.count()
+    return spark.createDataFrame(
+        [(n_true, n_pred, n_hit)], "n_true long, n_pred long, n_hit long"
+    ).select(
+        "n_true",
+        "n_pred",
+        "n_hit",
+        roundn(
+            F.when(F.lit(n_pred) > 0, F.lit(n_hit) / F.lit(n_pred)).otherwise(
+                F.lit(1.0)
+            ),
+            6,
+        ).alias("precision"),
+        roundn(
+            F.when(F.lit(n_true) > 0, F.lit(n_hit) / F.lit(n_true)).otherwise(
+                F.lit(1.0)
+            ),
+            6,
+        ).alias("recall"),
+    )
+
+
+def q_cdx_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental index maintenance (sources/cdx.py:cdx_merge): the
+    existing index merged with a re-crawl of every doc_id%3==0 capture —
+    unchanged re-captures (identical full CDX identity) collapse,
+    doc_id%9==0 re-fetches landed one day later and stay as NEW
+    captures. DuckDB replays union + identity-distinct + ordering."""
+    from invoice_ocr_reconciler_spark.sources.cdx import cdx_index, cdx_merge
+
+    captures = _cdx_captures(spark, sf_dir)
+    existing = cdx_index(captures, sort=False)
+    fresh_caps = captures.withColumn(
+        "_i",
+        F.regexp_extract("url", r"/doc/(\d+)\.html", 1).cast("long"),
+    ).filter(F.col("_i") % 3 == 0)
+    fresh_caps = fresh_caps.withColumn(
+        "warc_ts",
+        F.when(
+            F.col("_i") % 9 == 0,
+            F.col("warc_ts") + F.expr("INTERVAL 1 DAY"),
+        ).otherwise(F.col("warc_ts")),
+    ).drop("_i")
+    fresh = cdx_index(fresh_caps, sort=False)
+    return cdx_merge(existing, fresh).orderBy("surt_key", "ts14", "url")
 
 
 def q_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2767,6 +2860,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ccnet_buckets": q_ccnet_buckets,
         "host_profile": q_host_profile,
         "anchor_index": q_anchor_index,
+        "mirror_clusters": q_mirror_clusters,
+        "minhash_quality": q_minhash_quality,
+        "cdx_merge": q_cdx_merge,
     }
 
 
@@ -5585,5 +5681,106 @@ def oracle_sql() -> dict[str, str]:
             SELECT link, n_anchors, n_unique_anchors,
                    anchor AS top_anchor, cnt AS top_anchor_count
             FROM ranked WHERE rn = 1 ORDER BY link
+        """,
+        # mirror pair synthesis + recursive transitive closure + min-id
+        # representative mapped back to a host name
+        "mirror_clusters": r"""
+            WITH RECURSIVE k AS (
+                SELECT doc_id, text,
+                       ('0x' || substr(md5('host:' || CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT % 100 AS r,
+                       ('0x' || substr(md5('coldhost:' || CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT % 50 AS c
+                FROM documents),
+            hosted AS (
+                SELECT doc_id,
+                       CASE WHEN r < 35 THEN
+                            CASE WHEN r % 2 = 0 THEN 'portal.megacorp-billing.example'
+                                 ELSE 'docs.archive-crawl.example' END
+                       ELSE printf('site-%03d.example', CAST(c AS INT)) END AS host,
+                       coalesce(text, '') AS text
+                FROM k),
+            corpus AS (
+                SELECT host, text FROM hosted
+                UNION ALL
+                SELECT printf('cdn-%d.example', CAST(doc_id % 5 AS INT)), text
+                FROM hosted WHERE doc_id % 4 = 0
+                UNION ALL
+                SELECT host, '' FROM (
+                    SELECT DISTINCT host FROM (
+                        SELECT host FROM hosted
+                        UNION ALL
+                        SELECT printf('cdn-%d.example', CAST(doc_id % 5 AS INT))
+                        FROM hosted WHERE doc_id % 4 = 0))),
+            d AS (
+                SELECT host,
+                       md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+                FROM corpus),
+            per AS (SELECT fp, host, count(*) AS cnt FROM d GROUP BY 1, 2),
+            pe AS (
+                SELECT * FROM (
+                    SELECT fp, host,
+                           count(*) OVER (PARTITION BY fp) AS n_hosts
+                    FROM per)
+                WHERE n_hosts BETWEEN 2 AND 16),
+            pairsq AS (
+                SELECT DISTINCT a.host AS host_a, b.host AS host_b
+                FROM pe a JOIN pe b ON a.fp = b.fp AND a.host < b.host),
+            hn AS (
+                SELECT host, ('0x' || substr(md5(host), 1, 15))::UBIGINT AS hid
+                FROM (SELECT host_a AS host FROM pairsq
+                      UNION SELECT host_b FROM pairsq)),
+            e AS (
+                SELECT a.hid AS u, b.hid AS v
+                FROM pairsq p
+                JOIN hn a ON p.host_a = a.host
+                JOIN hn b ON p.host_b = b.host),
+            e2 AS (SELECT u, v FROM e UNION SELECT v, u FROM e),
+            nodes AS (SELECT DISTINCT u FROM e2),
+            reach(u, v) AS (
+                SELECT u, u FROM nodes
+                UNION
+                SELECT r.u, e2.v FROM reach r JOIN e2 ON r.v = e2.u),
+            comp AS (SELECT u, min(v) AS component FROM reach GROUP BY u)
+            SELECT n.host, rn.host AS cluster_rep
+            FROM hn n JOIN comp c ON n.hid = c.u
+            JOIN hn rn ON rn.hid = c.component
+            ORDER BY n.host
+        """,
+        "cdx_merge": """
+            WITH k AS (
+                SELECT doc_id, coalesce(text, '') AS payload,
+                       ('0x' || substr(md5('host:' || CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT % 100 AS r,
+                       ('0x' || substr(md5('coldhost:' || CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT % 50 AS c,
+                       ('0x' || substr(md5('cdxts:' || CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT % 31536000 AS toff
+                FROM documents),
+            cap AS (
+                SELECT doc_id, payload, toff,
+                       CASE WHEN r < 35 THEN
+                            CASE WHEN r % 2 = 0 THEN 'portal.megacorp-billing.example'
+                                 ELSE 'docs.archive-crawl.example' END
+                       ELSE printf('site-%03d.example', CAST(c AS INT)) END AS host,
+                       CASE WHEN doc_id % 7 = 0 THEN 'www.' ELSE '' END AS www,
+                       printf('/doc/%012d.html', doc_id)
+                         || CASE WHEN doc_id % 5 = 1
+                                 THEN '?page=' || CAST(doc_id % 3 AS VARCHAR)
+                                 ELSE '' END AS path
+                FROM k),
+            uni AS (
+                SELECT doc_id, payload, toff, host, www, path FROM cap
+                UNION ALL
+                SELECT doc_id, payload,
+                       CASE WHEN doc_id % 9 = 0 THEN toff + 86400 ELSE toff END,
+                       host, www, path
+                FROM cap WHERE doc_id % 3 = 0),
+            idx AS (
+                SELECT DISTINCT
+                       array_to_string(list_reverse(string_split(host, '.')), ',')
+                         || ')' || path AS surt_key,
+                       strftime(make_timestamp(CAST((1704067200 + toff) * 1000000 AS BIGINT)),
+                                '%Y%m%d%H%M%S') AS ts14,
+                       md5(payload) AS digest,
+                       CAST(octet_length(encode(payload)) AS BIGINT) AS length,
+                       'https://' || www || host || path AS url
+                FROM uni)
+            SELECT * FROM idx ORDER BY surt_key, ts14, url
         """,
     }

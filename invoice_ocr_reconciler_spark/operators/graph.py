@@ -389,7 +389,7 @@ def hits(
     cp = places + 3
     hub = nodes.select("node", F.lit(1.0 / n).alias("score"))
     auth = None
-    for _ in range(n_iter):
+    for it in range(n_iter):
         # authority pass: sum of pointing hubs' scores
         contrib = (
             e.join(hub.withColumnRenamed("node", "src"), "src")
@@ -426,7 +426,9 @@ def hits(
                 ).alias("score"),
             )
         )
-        if truncate_lineage:
+        # the final iteration's frames are consumed exactly once by the
+        # output join — checkpointing them is pure overhead (2 extra jobs)
+        if truncate_lineage and it < n_iter - 1:
             auth = auth.localCheckpoint(eager=True)
             hub = hub.localCheckpoint(eager=True)
     return (
@@ -476,4 +478,52 @@ def anchor_text_index(
             F.col("_top.anchor").alias("top_anchor"),
             (-F.col("_top.neg")).cast("bigint").alias("top_anchor_count"),
         )
+    )
+
+
+def mirror_clusters(
+    pairs: DataFrame,
+    min_score: float = 0.0,
+) -> DataFrame:
+    """Group mirror-host pairs (mirror_hosts output) into transitive
+    clusters -> (host, cluster_rep).
+
+    A CDN serving N origin hosts makes the origins pairwise-connected
+    only THROUGH it — crawl policy wants the whole cluster (fetch one
+    member, skip the rest), which is the transitive closure, not the
+    pair list. Edges with mirror_score below ``min_score`` are cut
+    first (weak one-page overlaps shouldn't glue unrelated sites).
+
+    Shape: hosts map to stable 60-bit ids (md5-derived — portable, no
+    driver-side dictionary) and run through the exact large-star/
+    small-star connected_components; the representative is the member
+    host whose id is the component minimum, mapped back by ONE join at
+    host cardinality. Everything after mirror_hosts runs at host/pair
+    cardinality — corpus size never re-enters.
+    """
+    from invoice_ocr_reconciler_spark.operators.cluster import (
+        connected_components,
+    )
+
+    def hid(c: Column) -> Column:
+        return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+    e = pairs.filter(F.col("mirror_score") >= min_score)
+    edges = e.select(
+        hid(F.col("host_a")).alias("doc_a"), hid(F.col("host_b")).alias("doc_b")
+    )
+    names = (
+        e.select(F.col("host_a").alias("host"))
+        .unionByName(e.select(F.col("host_b").alias("host")))
+        .distinct()
+        .select("host", hid(F.col("host")).alias("host_id"))
+    )
+    cc = connected_components(edges, "doc_a", "doc_b")
+    reps = names.select(
+        F.col("host_id").alias("component"), F.col("host").alias("cluster_rep")
+    )
+    return (
+        names.join(cc, names.host_id == cc.doc_id)
+        .join(F.broadcast(reps), "component")
+        .select("host", "cluster_rep")
     )

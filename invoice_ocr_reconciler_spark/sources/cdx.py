@@ -87,3 +87,25 @@ def cdx_prefix_lookup(index: DataFrame, surt_prefix: str) -> DataFrame:
     subtree). `startswith` compiles to a StartsWith predicate that prunes
     range-sorted files by min/max stats; no shuffle."""
     return index.filter(F.col("surt_key").startswith(surt_prefix))
+
+
+def cdx_merge(existing: DataFrame, fresh: DataFrame) -> DataFrame:
+    """Merge a new crawl's capture index into an existing one — the
+    incremental maintenance step every monthly crawl runs.
+
+    Identical re-captures (same surt_key, ts14, digest, length, url —
+    the full CDX identity; re-fetching an unchanged page at the same
+    second) collapse to one row; a changed page at a new timestamp is a
+    NEW capture and both rows stay, which is what time-travel lookups
+    need. The distinct + range re-sort shuffle on (surt_key, ts14) —
+    exactly the layout both inputs already have, so AQE plans the merge
+    as a cheap co-ranged exchange; output files stay prefix-prunable.
+    """
+    cols = ["surt_key", "ts14", "digest", "length", "url"]
+    return (
+        existing.select(cols)
+        .unionByName(fresh.select(cols))
+        .distinct()
+        .repartitionByRange("surt_key", "ts14")
+        .sortWithinPartitions("surt_key", "ts14")
+    )
