@@ -80,6 +80,8 @@ def main() -> None:
         "ccnet_buckets",     # per-lang perplexity terciles (CCNet split)
         "host_profile",      # per-domain curation stats (one groupBy)
         "anchor_index",      # anchor aggregation (min-struct top pick)
+        "cdx_merge",         # incremental capture-index merge
+        "minhash_quality",   # measured LSH precision/recall guard
         "ann_brute_force",
         "upsert_table",         # MERGE/upsert over the orders table
         "status_writeback",     # E2 write-back (UPDATE-only MERGE)
