@@ -2707,6 +2707,31 @@ def q_anchor_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return anchor_text_index(anchors).orderBy("link")
 
 
+def q_vocab_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term-distribution drift between crawl snapshots (operators/
+    diff.py:vocab_drift): smoothed KL(new||old) + vocabulary movement,
+    over the same synthetic re-crawl rule crawl_diff uses (doc_id%7==2
+    edited, %11==3 dropped, %13==5 spawns a new page). Bit-exact across
+    engines: integer-ratio probabilities, 1e-6-snapped integer log
+    terms, DECIMAL/HUGEINT sums."""
+    from invoice_ocr_reconciler_spark.operators.diff import vocab_drift
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    i = F.col("doc_id")
+    edited = docs.filter(i % 11 != 3).select(
+        F.when(
+            i % 7 == 2, F.concat(F.coalesce("text", F.lit("")), F.lit(" updated"))
+        )
+        .otherwise(F.coalesce("text", F.lit("")))
+        .alias("text")
+    )
+    added = docs.filter(i % 13 == 5).select(
+        F.format_string("new page %d", i).alias("text")
+    )
+    new = edited.unionByName(added)
+    return vocab_drift(docs, new)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from invoice_ocr_reconciler_spark.plans import relational as R
 
@@ -2863,6 +2888,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mirror_clusters": q_mirror_clusters,
         "minhash_quality": q_minhash_quality,
         "cdx_merge": q_cdx_merge,
+        "vocab_drift": q_vocab_drift,
     }
 
 
@@ -5782,5 +5808,60 @@ def oracle_sql() -> dict[str, str]:
                        'https://' || www || host || path AS url
                 FROM uni)
             SELECT * FROM idx ORDER BY surt_key, ts14, url
+        """,
+        # bit-exact smoothed-KL replay: integer-ratio probabilities,
+        # 1e-6-snapped integer log terms, HUGEINT sums
+        "vocab_drift": r"""
+            WITH oldt AS (
+                SELECT unnest(list_filter(
+                           string_split_regex(lower(trim(coalesce(text, ''))), '\s+'),
+                           t -> t <> '')) AS term
+                FROM documents),
+            newsrc AS (
+                SELECT CASE WHEN doc_id % 7 = 2
+                            THEN coalesce(text, '') || ' updated'
+                            ELSE coalesce(text, '') END AS text
+                FROM documents WHERE doc_id % 11 <> 3
+                UNION ALL
+                SELECT 'new page ' || CAST(doc_id AS VARCHAR)
+                FROM documents WHERE doc_id % 13 = 5),
+            newt AS (
+                SELECT unnest(list_filter(
+                           string_split_regex(lower(trim(text)), '\s+'),
+                           t -> t <> '')) AS term
+                FROM newsrc),
+            co AS (SELECT term, count(*) AS c_old FROM oldt GROUP BY 1),
+            cn AS (SELECT term, count(*) AS c_new FROM newt GROUP BY 1),
+            ated AS (
+                SELECT coalesce(co.term, cn.term) AS term,
+                       coalesce(c_old, 0) AS c_old,
+                       coalesce(c_new, 0) AS c_new
+                FROM co FULL OUTER JOIN cn ON co.term = cn.term),
+            tot AS (
+                SELECT count(*) AS v,
+                       CAST(sum(c_old) AS BIGINT) AS n_old,
+                       CAST(sum(c_new) AS BIGINT) AS n_new,
+                       CAST(sum(CASE WHEN c_old > 0 THEN 1 ELSE 0 END) AS BIGINT) AS t_old,
+                       CAST(sum(CASE WHEN c_new > 0 THEN 1 ELSE 0 END) AS BIGINT) AS t_new,
+                       CAST(sum(CASE WHEN c_old > 0 AND c_new > 0 THEN 1 ELSE 0 END) AS BIGINT) AS t_shared
+                FROM ated),
+            lrs AS (
+                SELECT c_new,
+                       CAST(floor(ln(CAST(c_new * 2 + 1 AS DOUBLE)
+                                     / CAST(c_old * 2 + 1 AS DOUBLE)
+                                     * (CAST(t.n_old * 2 + t.v AS DOUBLE)
+                                        / CAST(t.n_new * 2 + t.v AS DOUBLE)))
+                                  * 1e6 + 0.5) AS BIGINT) AS lr
+                FROM ated, tot t),
+            kl AS (
+                SELECT CAST(sum(CAST(c_new * 2 + 1 AS HUGEINT) * lr) AS DOUBLE) AS klsum
+                FROM lrs)
+            SELECT t.t_old AS n_terms_old,
+                   t.t_new AS n_terms_new,
+                   t.t_shared AS n_terms_shared,
+                   floor(CAST(t.t_shared AS DOUBLE) / t.v * 1e6 + 0.5) / 1e6 AS vocab_jaccard,
+                   floor(kl.klsum
+                         / CAST(t.n_new * 2 + t.v AS DOUBLE) / 1e6 * 1e6 + 0.5) / 1e6 AS kl_drift
+            FROM tot t, kl
         """,
     }

@@ -146,3 +146,98 @@ def apply_count_delta(
                 "delta was applied twice or old_counts is stale"
             )
     return merged.filter(F.col(n_col) > 0)
+
+
+def vocab_drift(
+    old_docs: DataFrame,
+    new_docs: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Term-distribution drift between two corpus snapshots -> ONE row:
+
+      n_terms_old/new/shared, vocab_jaccard    vocabulary movement
+      kl_drift                                 KL(new || old), add-1/2
+                                               smoothed over the union
+                                               vocabulary, nats
+
+    The monitoring signal a continuously-trained model wants from each
+    crawl: topic/spam/language shifts move KL long before they move row
+    counts (crawl_diff sees churn; this sees what the churn SAYS).
+
+    Shape: each side is ONE explode + partial-agg'd term count (the
+    tfidf/zipf pass); the two vocab-cardinality tables full-outer join
+    on term; the KL is ONE scalar aggregate. Corpus rows never join.
+
+    Determinism (cross-engine, bit-exact): with a = 1/2 smoothing every
+    probability is a ratio of INTEGERS — p = (2c_new+1)/(2N_new+V),
+    q likewise — so the per-term log-ratio is ln of a double computed
+    from the same int64s in both engines (<= 1 ulp, snapped to 1e-6 and
+    SCALED TO INTEGER), and the KL sum is exact integer arithmetic in
+    DECIMAL(38,0) (HUGEINT in the oracle): per-term products reach
+    ~2N * 30e6 ~ 6e19, past int64 — the decimal lane is the overflow
+    guard at 10^12-token corpora, not a convenience. The one final
+    division chain divides int64-derived doubles; result on 1e-6.
+    """
+    from invoice_ocr_reconciler_spark.functions.text import roundn, tokens_col
+
+    def counts(df: DataFrame, name: str) -> DataFrame:
+        return (
+            df.select(F.explode(tokens_col(F.col(text_col))).alias("term"))
+            .groupBy("term")
+            .agg(F.count("*").alias(name))
+        )
+
+    co = counts(old_docs, "c_old")
+    cn = counts(new_docs, "c_new")
+    j = co.join(cn, "term", "full_outer").select(
+        "term",
+        F.coalesce("c_old", F.lit(0)).alias("c_old"),
+        F.coalesce("c_new", F.lit(0)).alias("c_new"),
+    )
+    tot = j.agg(
+        F.count("*").alias("v"),
+        F.sum("c_old").alias("n_old"),
+        F.sum("c_new").alias("n_new"),
+        F.sum((F.col("c_old") > 0).cast("int")).alias("t_old"),
+        F.sum((F.col("c_new") > 0).cast("int")).alias("t_new"),
+        F.sum(
+            ((F.col("c_old") > 0) & (F.col("c_new") > 0)).cast("int")
+        ).alias("t_shared"),
+    )
+    withtot = j.crossJoin(F.broadcast(tot))
+    # integer numerators/denominators of the smoothed probabilities
+    num = (F.col("c_new") * 2 + 1).cast("double")
+    den_ratio = (F.col("c_old") * 2 + 1).cast("double")
+    k_const = (F.col("n_old") * 2 + F.col("v")).cast("double") / (
+        F.col("n_new") * 2 + F.col("v")
+    ).cast("double")
+    # ln(p/q) snapped to 1e-6 and held as bigint
+    lr = F.floor(F.log(num / den_ratio * k_const) * 1e6 + F.lit(0.5)).cast(
+        "bigint"
+    )
+    contrib = (F.col("c_new") * 2 + 1).cast("decimal(38,0)") * lr.cast(
+        "decimal(38,0)"
+    )
+    agg = withtot.agg(
+        F.first("v").alias("v"),
+        F.first("n_old").alias("n_old"),
+        F.first("n_new").alias("n_new"),
+        F.first("t_old").alias("t_old"),
+        F.first("t_new").alias("t_new"),
+        F.first("t_shared").alias("t_shared"),
+        F.sum(contrib).alias("klsum"),
+    )
+    return agg.select(
+        F.col("t_old").cast("bigint").alias("n_terms_old"),
+        F.col("t_new").cast("bigint").alias("n_terms_new"),
+        F.col("t_shared").cast("bigint").alias("n_terms_shared"),
+        roundn(
+            F.col("t_shared").cast("double") / F.col("v"), 6
+        ).alias("vocab_jaccard"),
+        roundn(
+            F.col("klsum").cast("double")
+            / (F.col("n_new") * 2 + F.col("v")).cast("double")
+            / F.lit(1e6),
+            6,
+        ).alias("kl_drift"),
+    )

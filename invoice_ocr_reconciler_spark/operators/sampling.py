@@ -398,6 +398,8 @@ def bucket_by_score(
     n_buckets: int = 3,
     labels: tuple[str, ...] | None = ("head", "middle", "tail"),
     ascending: bool = True,
+    approx: bool = False,
+    rel_error: float = 0.001,
 ) -> DataFrame:
     """Per-group equal-count score buckets — the CCNet head/middle/tail
     split (Wenzek et al. 2020: per-LANGUAGE perplexity terciles drive
@@ -409,18 +411,49 @@ def bucket_by_score(
     DuckDB, so the assignment is oracle-replayable. Rows with NULL score
     are dropped (unscorable docs — CCNet drops them too); ``ascending=
     True`` puts the BEST (lowest-perplexity) docs in the first bucket.
-    One hash exchange on the group key; a group is a window partition,
-    so compose with per-group quota caps if one group dominates.
+    Two modes:
+    - exact (default): ntile window — one hash exchange on the group key.
+      A GROUP IS ONE WINDOW PARTITION: at web scale the dominant language
+      is most of the corpus, and sorting it inside a single partition is
+      the classic one-reducer bottleneck. Use exact mode for bounded
+      groups (domains, shards), not raw languages at 10^12 rows.
+    - approx=True (the 100 TB path): per-group approx_percentile computes
+      the n_buckets-1 cut scores (one partial-agg'd exchange at GROUP
+      cardinality, t-digest style sketch — no global sort anywhere), the
+      tiny threshold table broadcasts back, and bucket assignment is a
+      codegen comparison. Buckets are equal-count up to rel_error (and
+      score ties straddle a cut), which is exactly how CCNet shards it
+      in practice; rerun-deterministic (the sketch is deterministic for
+      a given dataset, and assignment is a pure comparison) but NOT
+      engine-replayable — exact mode keeps the DuckDB oracle.
     """
     from pyspark.sql import Window
 
     if labels is not None and len(labels) != n_buckets:
         raise ValueError(f"need {n_buckets} labels, got {labels}")
-    order = F.col(score_col).asc() if ascending else F.col(score_col).desc()
-    w = Window.partitionBy(group_col).orderBy(order, F.col(id_col))
-    out = df.filter(F.col(score_col).isNotNull()).withColumn(
-        "tile", F.ntile(n_buckets).over(w)
-    )
+    scored = df.filter(F.col(score_col).isNotNull())
+    if approx:
+        probs = [i / n_buckets for i in range(1, n_buckets)]
+        cuts = scored.groupBy(group_col).agg(
+            F.percentile_approx(
+                score_col, probs, int(1.0 / rel_error)
+            ).alias("_cuts")
+        )
+        j = scored.join(F.broadcast(cuts), group_col)
+        # tile = 1 + number of cuts the score has passed
+        passed = F.filter(
+            F.col("_cuts"),
+            (lambda c: F.col(score_col) > c)
+            if ascending
+            else (lambda c: F.col(score_col) < c),
+        )
+        out = j.withColumn("tile", (F.size(passed) + 1)).drop("_cuts")
+    else:
+        order = (
+            F.col(score_col).asc() if ascending else F.col(score_col).desc()
+        )
+        w = Window.partitionBy(group_col).orderBy(order, F.col(id_col))
+        out = scored.withColumn("tile", F.ntile(n_buckets).over(w))
     if labels is None:
         return out.withColumnRenamed("tile", "bucket")
     expr = None

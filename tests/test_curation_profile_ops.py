@@ -131,3 +131,112 @@ def test_anchor_text_index_no_window_in_plan(spark):
     )
     plan = anchor_text_index(df)._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan  # min-of-struct, not row_number
+
+
+def test_bucket_by_score_approx_mode(spark):
+    """The 100 TB path: approx cuts land every row in a bucket and the
+    bucket masses are near-equal; exact and approx agree away from the
+    cut points."""
+    from invoice_ocr_reconciler_spark.operators.sampling import bucket_by_score
+
+    rows = [(i, "en" if i % 4 else "fr", float(i)) for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, ppl double")
+    got = bucket_by_score(df, "lang", "ppl", "doc_id", approx=True).collect()
+    assert len(got) == 400  # every scored row assigned
+    by = {}
+    for r in got:
+        by.setdefault((r["lang"], r["bucket"]), []).append(r["ppl"])
+    # near-equal masses per language
+    en = [len(by[("en", b)]) for b in ("head", "middle", "tail")]
+    assert sum(en) == 300 and max(en) - min(en) <= 6
+    # ordering property: every head score <= every tail score within a lang
+    assert max(by[("en", "head")]) <= min(by[("en", "tail")])
+    assert max(by[("fr", "head")]) <= min(by[("fr", "tail")])
+
+
+def test_bucket_by_score_approx_no_window_in_plan(spark):
+    from invoice_ocr_reconciler_spark.operators.sampling import bucket_by_score
+
+    df = spark.createDataFrame(
+        [(1, "en", 1.0)], "doc_id long, lang string, ppl double"
+    )
+    plan = (
+        bucket_by_score(df, "lang", "ppl", "doc_id", approx=True)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Window" not in plan and "BroadcastExchange" in plan
+
+
+# ----------------------------------------------------------- vocab_drift
+
+
+def test_vocab_drift_identical_corpora(spark):
+    from invoice_ocr_reconciler_spark.operators.diff import vocab_drift
+
+    docs = spark.createDataFrame(
+        [(0, "alpha beta gamma"), (1, "alpha beta")], "doc_id long, text string"
+    )
+    [r] = vocab_drift(docs, docs).collect()
+    assert r["n_terms_old"] == r["n_terms_new"] == r["n_terms_shared"] == 3
+    assert r["vocab_jaccard"] == 1.0
+    assert abs(r["kl_drift"]) < 1e-6  # identical distributions
+
+
+def test_vocab_drift_detects_shift(spark):
+    from invoice_ocr_reconciler_spark.operators.diff import vocab_drift
+
+    old = spark.createDataFrame(
+        [(0, "alpha alpha alpha beta")], "doc_id long, text string"
+    )
+    new_small = spark.createDataFrame(
+        [(0, "alpha alpha beta beta")], "doc_id long, text string"
+    )
+    new_big = spark.createDataFrame(
+        [(0, "zeta zeta zeta zeta")], "doc_id long, text string"
+    )
+    [small] = vocab_drift(old, new_small).collect()
+    [big] = vocab_drift(old, new_big).collect()
+    assert big["kl_drift"] > small["kl_drift"] > 0
+    assert big["n_terms_shared"] == 0 and big["vocab_jaccard"] == 0.0
+
+
+def test_vocab_drift_kl_matches_closed_form(spark):
+    import math
+
+    from invoice_ocr_reconciler_spark.operators.diff import vocab_drift
+
+    old = spark.createDataFrame([(0, "a a b")], "doc_id long, text string")
+    new = spark.createDataFrame([(0, "a b b")], "doc_id long, text string")
+    [r] = vocab_drift(old, new).collect()
+    # replicate: V=2, N=3 both sides; p/q with add-1/2 over union vocab
+    v, n = 2, 3
+    kl = 0.0
+    for c_new, c_old in ((1, 2), (2, 1)):  # terms a, b
+        lr = math.floor(
+            math.log(
+                (c_new * 2 + 1) / (c_old * 2 + 1) * ((n * 2 + v) / (n * 2 + v))
+            )
+            * 1e6
+            + 0.5
+        )
+        kl += (c_new * 2 + 1) * lr
+    kl = kl / (n * 2 + v) / 1e6
+    assert r["kl_drift"] == pytest.approx(kl, abs=2e-6)
+
+
+def test_vocab_drift_partitioning_invariance(spark):
+    from invoice_ocr_reconciler_spark.operators.diff import vocab_drift
+
+    old = spark.createDataFrame(
+        [(i, f"w{i % 17} w{i % 5} common") for i in range(300)],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(i, f"w{i % 13} w{i % 7} common") for i in range(300)],
+        "doc_id long, text string",
+    )
+    a = vocab_drift(old, new).collect()
+    b = vocab_drift(old.repartition(11), new.repartition(7)).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
