@@ -2436,10 +2436,12 @@ def q_minhash_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = docs.select(F.col("doc_id").alias("doc_a"))
     b = docs.select(F.col("doc_id").alias("doc_b"))
     cands = a.crossJoin(b).filter(F.col("doc_a") < F.col("doc_b"))
-    truth = ngram_jaccard_verify(cands, docs, threshold=0.5).select(
-        "doc_a", "doc_b"
+    truth = (
+        ngram_jaccard_verify(cands, docs, threshold=0.5)
+        .select("doc_a", "doc_b")
+        .persist()
     )
-    pred = minhash_lsh_pairs(docs, threshold=0.5).select("doc_a", "doc_b")
+    pred = minhash_lsh_pairs(docs, threshold=0.5).select("doc_a", "doc_b").persist()
     hit = pred.join(truth, ["doc_a", "doc_b"], "inner")
     n_true = truth.count()
     n_pred = pred.count()
@@ -2732,6 +2734,20 @@ def q_vocab_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vocab_drift(docs, new)
 
 
+def q_url_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawler-trap detection (functions/urls.py:url_templates): per-host
+    path templates (digit runs -> N) with dominance shares; the CDX
+    capture synthesis yields two templates per host ('/doc/N.html' and
+    its '?page=N' variant), the dominant one flagging as a trap at the
+    lowered min-count. DuckDB replays template collapse + shares."""
+    from invoice_ocr_reconciler_spark.functions.urls import url_templates
+
+    captures = _cdx_captures(spark, sf_dir)
+    return url_templates(captures, trap_share=0.5, trap_min_urls=5).orderBy(
+        "host", "template"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from invoice_ocr_reconciler_spark.plans import relational as R
 
@@ -2889,6 +2905,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_quality": q_minhash_quality,
         "cdx_merge": q_cdx_merge,
         "vocab_drift": q_vocab_drift,
+        "url_templates": q_url_templates,
     }
 
 
@@ -5863,5 +5880,42 @@ def oracle_sql() -> dict[str, str]:
                    floor(kl.klsum
                          / CAST(t.n_new * 2 + t.v AS DOUBLE) / 1e6 * 1e6 + 0.5) / 1e6 AS kl_drift
             FROM tot t, kl
+        """,
+        # trap detection over the CDX capture synthesis: the page host
+        # KEEPS its www. prefix here (host_of_url_col is the raw-URL
+        # derivation; only SURT strips www), so www variants are separate
+        # hosts with their own template shares
+        "url_templates": """
+            WITH k AS (
+                SELECT doc_id,
+                       ('0x' || substr(md5('host:' || CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT % 100 AS r,
+                       ('0x' || substr(md5('coldhost:' || CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT % 50 AS c
+                FROM documents),
+            cap AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 7 = 0 THEN 'www.' ELSE '' END
+                         || CASE WHEN r < 35 THEN
+                                 CASE WHEN r % 2 = 0 THEN 'portal.megacorp-billing.example'
+                                      ELSE 'docs.archive-crawl.example' END
+                            ELSE printf('site-%03d.example', CAST(c AS INT)) END AS host,
+                       printf('/doc/%012d.html', doc_id)
+                         || CASE WHEN doc_id % 5 = 1
+                                 THEN '?page=' || CAST(doc_id % 3 AS VARCHAR)
+                                 ELSE '' END AS path
+                FROM k),
+            per AS (
+                SELECT host,
+                       regexp_replace(path, '[0-9]+', 'N', 'g') AS template,
+                       CAST(count(*) AS BIGINT) AS n_urls,
+                       count(DISTINCT path) AS n_paths
+                FROM cap GROUP BY 1, 2),
+            tot AS (SELECT host, sum(n_urls) AS host_urls FROM per GROUP BY 1)
+            SELECT p.host, p.template, p.n_urls, p.n_paths,
+                   floor(CAST(p.n_urls AS DOUBLE) / t.host_urls * 1e6 + 0.5) / 1e6
+                       AS template_share,
+                   (CAST(p.n_urls AS DOUBLE) / t.host_urls > 0.5
+                    AND p.n_urls >= 5) AS is_trap
+            FROM per p JOIN tot t USING (host)
+            ORDER BY p.host, p.template
         """,
     }

@@ -285,3 +285,63 @@ def blocklist_filter(
         )
         .drop("_bl_domains")
     )
+
+
+def url_templates(
+    pages: DataFrame,
+    url_col: str = "url",
+    trap_share: float = 0.5,
+    trap_min_urls: int = 100,
+) -> DataFrame:
+    """Mine per-host URL path templates — the crawler-trap detector.
+
+    Calendar pages, session-id paths, faceted-search explosions all look
+    like ONE path template instantiated millions of times; a crawler that
+    doesn't spot them spends its whole budget inside one site section.
+    Template = path+query with every digit run collapsed to 'N'
+    (/cal/2024/03/05 -> /cal/N/N/N), the standard first-order
+    canonicalization (documented limit: non-numeric ids — uuids, slugs —
+    need a second pass; they stay distinct here).
+
+    -> (host, template, n_urls, n_paths, template_share, is_trap) where
+    template_share = n_urls / host total (1e-6 grid) and is_trap flags
+    templates holding > ``trap_share`` of a host's URLs with at least
+    ``trap_min_urls`` captures — a dominating template on a big host.
+
+    Shape: ONE scan -> groupBy(host, template) with partial aggs; host
+    totals via a second agg at template cardinality, broadcast back.
+    Exact distinct paths per template ride a count_distinct expand —
+    the trap signal itself (n_urls, share) needs no distinct.
+    """
+    host = host_of_url_col(F.col(url_col))
+    path = F.regexp_replace(F.col(url_col), r"^(?i)https?://[^/?#]*", "")
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    template = F.regexp_replace(path, r"[0-9]+", "N")
+    per = (
+        pages.select(
+            host.alias("host"), path.alias("path"), template.alias("template")
+        )
+        .groupBy("host", "template")
+        .agg(
+            F.count("*").alias("n_urls"),
+            F.count_distinct("path").alias("n_paths"),
+        )
+    )
+    totals = per.groupBy("host").agg(F.sum("n_urls").alias("host_urls"))
+    from invoice_ocr_reconciler_spark.functions.text import roundn
+
+    share = F.col("n_urls").cast("double") / F.col("host_urls")
+    return (
+        per.join(F.broadcast(totals), "host")
+        .select(
+            "host",
+            "template",
+            F.col("n_urls").cast("bigint").alias("n_urls"),
+            "n_paths",
+            roundn(share, 6).alias("template_share"),
+            (
+                (share > F.lit(trap_share))
+                & (F.col("n_urls") >= F.lit(trap_min_urls))
+            ).alias("is_trap"),
+        )
+    )

@@ -383,3 +383,49 @@ def test_mirror_clusters_min_score_cuts_weak_edges(spark):
     strong = mirror_clusters(pairs, min_score=0.9).collect()
     hosts = {r["host"] for r in strong}
     assert hosts == {"a", "b"}  # c's weak edge cut
+
+
+def test_url_templates_trap_detection(spark):
+    from invoice_ocr_reconciler_spark.functions.urls import url_templates
+
+    rows = (
+        # calendar trap: 120 urls, one template
+        [(f"https://trap.example/cal/2024/{m:02d}/{d:02d}",) for m in range(1, 11) for d in range(1, 13)]
+        # healthy host: varied templates
+        + [("https://ok.example/about",), ("https://ok.example/contact",),
+           ("https://ok.example/post/77",)]
+    )
+    df = spark.createDataFrame(rows, "url string")
+    got = {(r["host"], r["template"]): r for r in url_templates(
+        df, trap_share=0.5, trap_min_urls=50).collect()}
+    trap = got[("trap.example", "/cal/N/N/N")]
+    assert trap["n_urls"] == 120 and trap["n_paths"] == 120
+    assert trap["template_share"] == 1.0 and trap["is_trap"]
+    assert not any(r["is_trap"] for (h, _), r in got.items() if h == "ok.example")
+    # digitless templates pass through unchanged
+    assert ("ok.example", "/about") in got
+    assert got[("ok.example", "/post/N")]["n_urls"] == 1
+
+
+def test_url_templates_min_count_guard(spark):
+    """A dominating template on a TINY host is not a trap — dominance
+    only matters with volume."""
+    from invoice_ocr_reconciler_spark.functions.urls import url_templates
+
+    df = spark.createDataFrame(
+        [("https://small.example/p/1",), ("https://small.example/p/2",)],
+        "url string",
+    )
+    [r] = url_templates(df, trap_share=0.5, trap_min_urls=100).collect()
+    assert r["template_share"] == 1.0 and not r["is_trap"]
+
+
+def test_url_templates_query_string_and_empty_path(spark):
+    from invoice_ocr_reconciler_spark.functions.urls import url_templates
+
+    df = spark.createDataFrame(
+        [("https://h.example/s?page=3&id=99",), ("https://h.example",)],
+        "url string",
+    )
+    got = {r["template"] for r in url_templates(df).collect()}
+    assert got == {"/s?page=N&id=N", "/"}
