@@ -981,6 +981,23 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "ivf_sq8_probe8",
             )
         )
+        # endpoint anchors: probing every cell must converge to the exact
+        # baseline (validates the routing machinery, not just the knob),
+        # and the widest LSH config bounds what multiprobe can buy here
+        .unionByName(
+            recall_vs_truth(
+                ivf_topk(emb, queries_df, k=5, n_probe=16),
+                truth,
+                "ivf_probe_all",
+            )
+        )
+        .unionByName(
+            recall_vs_truth(
+                lsh_topk(emb, queries_df, k=5, n_tables=8, n_probe_bits=4),
+                truth,
+                "lsh_tables8_probe4",
+            )
+        )
     )
     return out.orderBy("method")
 

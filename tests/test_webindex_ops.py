@@ -429,3 +429,43 @@ def test_url_templates_query_string_and_empty_path(spark):
     )
     got = {r["template"] for r in url_templates(df).collect()}
     assert got == {"/s?page=N&id=N", "/"}
+
+
+def test_run_crawl_index_job(spark, tmp_path, monkeypatch):
+    """End-to-end CLI job: pages parquet -> cdx/templates/profile/mirror
+    tables + reconciling stats.json (reuses the suite session via
+    get_spark's getOrCreate)."""
+    import json
+    import sys
+
+    from invoice_ocr_reconciler_spark import datagen
+
+    pages = f"{tmp_path}/pages"
+    datagen.pages_df(spark, 120).write.mode("overwrite").parquet(pages)
+    out = f"{tmp_path}/out"
+    monkeypatch.setattr(
+        sys,
+        "argv",
+        ["run_crawl_index.py", "--pages", pages, "--out", out,
+         "--trap-min-urls", "5"],
+    )
+    import jobs.run_crawl_index as job
+
+    job.main()
+    stats = json.loads(open(f"{out}/stats.json").read())
+    assert stats["cdx"] == 120
+    assert stats["host_profile"] > 0
+    assert stats["url_templates"] >= stats["host_profile"]  # >=1 per host
+    # the planted dup class spans hosts -> mirror evidence exists
+    assert stats["mirror_pairs"] > 0 and stats["mirror_clusters"] > 0
+    # incremental merge: re-index the same pages into the existing cdx
+    out2 = f"{tmp_path}/out2"
+    monkeypatch.setattr(
+        sys,
+        "argv",
+        ["run_crawl_index.py", "--pages", pages, "--out", out2,
+         "--merge-into", f"{out}/cdx", "--trap-min-urls", "5"],
+    )
+    job.main()
+    stats2 = json.loads(open(f"{out2}/stats.json").read())
+    assert stats2["cdx"] == 120  # identical re-captures collapse
