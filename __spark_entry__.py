@@ -2765,6 +2765,40 @@ def q_url_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_content_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Magic-byte content-type + BOM sniffing (sources/warc.py:
+    sniff_content_type_col): payloads synthesized in-query with planted
+    magics (pdf/zip/gzip/gif/png/jpeg/doctype/BOM-html/utf-16 BOM/plain,
+    plus doc_id%31==0 empties); the REAL sniffer runs over real bytes
+    Spark-side, DuckDB predicts (content_type, bom) from the rule."""
+    from invoice_ocr_reconciler_spark.sources.warc import sniff_content_type_col
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    i = F.col("doc_id")
+    body_hex = F.hex(F.encode(F.substring(F.coalesce("text", F.lit("")), 1, 40), "utf-8"))
+    magic = (
+        F.when(i % 10 == 0, F.lit("255044462D312E3420"))       # '%PDF-1.4 '
+        .when(i % 10 == 1, F.lit("504B0304"))
+        .when(i % 10 == 2, F.lit("1F8B08"))
+        .when(i % 10 == 3, F.lit("474946383961"))
+        .when(i % 10 == 4, F.lit("89504E470D0A1A0A"))
+        .when(i % 10 == 5, F.lit("FFD8FFE000104A46"))
+        .when(i % 10 == 6, F.hex(F.lit("<!DOCTYPE html><html>")))
+        .when(i % 10 == 7, F.concat(F.lit("EFBBBF2020"), F.hex(F.lit("<html>"))))
+        .when(i % 10 == 8, F.lit("FFFE"))
+        .otherwise(F.lit(""))
+    )
+    payload = F.when(i % 31 == 0, F.unhex(F.lit(""))).otherwise(
+        F.unhex(F.concat(magic, body_hex))
+    )
+    sniff = sniff_content_type_col(payload)
+    return docs.select(
+        "doc_id",
+        sniff["content_type"].alias("content_type"),
+        sniff["bom"].alias("bom"),
+    ).orderBy("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from invoice_ocr_reconciler_spark.plans import relational as R
 
@@ -2923,6 +2957,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdx_merge": q_cdx_merge,
         "vocab_drift": q_vocab_drift,
         "url_templates": q_url_templates,
+        "content_sniff": q_content_sniff,
     }
 
 
@@ -5934,5 +5969,25 @@ def oracle_sql() -> dict[str, str]:
                     AND p.n_urls >= 5) AS is_trap
             FROM per p JOIN tot t USING (host)
             ORDER BY p.host, p.template
+        """,
+        # GROUND-TRUTH sniff replay: predicts (content_type, bom) straight
+        # from the magic-planting rule — the hex chain, BOM strip, and
+        # doctype tolerance are all value-checked on the Spark side
+        "content_sniff": """
+            SELECT doc_id,
+                   CASE WHEN doc_id % 31 = 0 THEN 'empty'
+                        WHEN doc_id % 10 = 0 THEN 'pdf'
+                        WHEN doc_id % 10 = 1 THEN 'zip'
+                        WHEN doc_id % 10 = 2 THEN 'gzip'
+                        WHEN doc_id % 10 = 3 THEN 'gif'
+                        WHEN doc_id % 10 = 4 THEN 'png'
+                        WHEN doc_id % 10 = 5 THEN 'jpeg'
+                        WHEN doc_id % 10 IN (6, 7) THEN 'html'
+                        ELSE 'text' END AS content_type,
+                   CASE WHEN doc_id % 31 = 0 THEN ''
+                        WHEN doc_id % 10 = 7 THEN 'utf-8'
+                        WHEN doc_id % 10 = 8 THEN 'utf-16le'
+                        ELSE '' END AS bom
+            FROM documents ORDER BY doc_id
         """,
     }

@@ -84,6 +84,7 @@ def main() -> None:
         "minhash_quality",   # measured LSH precision/recall guard
         "vocab_drift",       # smoothed-KL snapshot drift (bigint-exact)
         "url_templates",     # crawler-trap template mining
+        "content_sniff",     # magic-byte type router (codegen)
         "ann_brute_force",
         "upsert_table",         # MERGE/upsert over the orders table
         "status_writeback",     # E2 write-back (UPDATE-only MERGE)

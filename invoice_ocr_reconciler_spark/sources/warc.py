@@ -184,3 +184,60 @@ def parse_warc_records(
 
     pruned = segments.select(source_col, content_col)
     return pruned.mapInPandas(gen, schema=RECORD_SCHEMA)
+
+
+def sniff_content_type_col(payload):
+    """Magic-byte content-type sniff as a pure codegen expression.
+
+    Crawl payloads lie about their Content-Type headers constantly; the
+    ingest router (html -> extractor, pdf -> layout parser, images ->
+    multimodal, archives -> skip) must trust the BYTES. One hex-prefix
+    comparison chain — no Python, no shuffle, fuses into the ingest scan:
+
+      %PDF            -> pdf          PK\\x03\\x04     -> zip
+      \\x1f\\x8b        -> gzip         GIF87a/GIF89a  -> gif
+      \\x89PNG         -> png          \\xff\\xd8\\xff    -> jpeg
+      RIFF....WEBP    -> webp         <!doctype/<html (case-insens,
+      leading whitespace/BOM tolerated) -> html;  else text/unknown
+
+    Returns a struct(content_type, bom) — bom is 'utf-8'/'utf-16le'/
+    'utf-16be'/'' from the byte-order-mark, which decode routing needs
+    BEFORE any charset meta tag can be read.
+    """
+    from pyspark.sql import functions as F
+
+    hx = F.upper(F.hex(F.substring(payload, 1, 16)))
+    # tolerate a BOM and leading whitespace/control bytes before the doctype
+    head = F.regexp_replace(
+        F.substring(payload, 1, 64).cast("string"),
+        "^[\ufeff\u0000-\u0020]+",
+        "",
+    )
+    ct = (
+        F.when(hx.startswith("255044462D"), F.lit("pdf"))          # %PDF-
+        .when(hx.startswith("504B0304"), F.lit("zip"))
+        .when(hx.startswith("1F8B"), F.lit("gzip"))
+        .when(hx.startswith("474946383761"), F.lit("gif"))         # GIF87a
+        .when(hx.startswith("474946383961"), F.lit("gif"))         # GIF89a
+        .when(hx.startswith("89504E47"), F.lit("png"))
+        .when(hx.startswith("FFD8FF"), F.lit("jpeg"))
+        .when(
+            hx.startswith("52494646")
+            & (F.substring(payload, 9, 4).cast("string") == "WEBP"),
+            F.lit("webp"),
+        )
+        .when(
+            F.lower(head).startswith("<!doctype")
+            | F.lower(head).startswith("<html"),
+            F.lit("html"),
+        )
+        .when(F.length(payload) == 0, F.lit("empty"))
+        .otherwise(F.lit("text"))
+    )
+    bom = (
+        F.when(hx.startswith("EFBBBF"), F.lit("utf-8"))
+        .when(hx.startswith("FFFE"), F.lit("utf-16le"))
+        .when(hx.startswith("FEFF"), F.lit("utf-16be"))
+        .otherwise(F.lit(""))
+    )
+    return F.struct(ct.alias("content_type"), bom.alias("bom"))

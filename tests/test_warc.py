@@ -142,3 +142,41 @@ class TestWalkerProperties:
             assert [r["record_idx"] for r in got] == list(range(len(records)))
 
         prop()
+
+
+def test_sniff_content_type_magics(spark):
+    from pyspark.sql import functions as F
+
+    from invoice_ocr_reconciler_spark.sources.warc import sniff_content_type_col
+
+    rows = [
+        (0, b"%PDF-1.7 stuff"),
+        (1, b"PK\x03\x04archive"),
+        (2, b"\x1f\x8b\x08gz"),
+        (3, b"GIF87aimg"),
+        (4, b"\x89PNG\r\n\x1a\nimg"),
+        (5, b"\xff\xd8\xff\xe0jfif"),
+        (6, b"RIFF\x00\x00\x00\x00WEBPVP8 "),
+        (7, b"  <!DOCTYPE HTML><html>"),
+        (8, b"\xef\xbb\xbf<html lang=en>"),
+        (9, b"\xff\xfep\x00l\x00"),
+        (10, b"just some text"),
+        (11, b""),
+        (12, b"RIFF\x00\x00\x00\x00WAVEfmt "),  # RIFF but not WEBP
+    ]
+    df = spark.createDataFrame(rows, "i int, payload binary")
+    out = df.select("i", sniff_content_type_col(F.col("payload")).alias("s"))
+    got = {r["i"]: (r["s"]["content_type"], r["s"]["bom"]) for r in out.collect()}
+    assert got[0] == ("pdf", "")
+    assert got[1] == ("zip", "")
+    assert got[2] == ("gzip", "")
+    assert got[3] == ("gif", "")
+    assert got[4] == ("png", "")
+    assert got[5] == ("jpeg", "")
+    assert got[6] == ("webp", "")
+    assert got[7] == ("html", "")       # leading whitespace tolerated
+    assert got[8] == ("html", "utf-8")  # BOM stripped before doctype check
+    assert got[9] == ("text", "utf-16le")
+    assert got[10] == ("text", "")
+    assert got[11] == ("empty", "")
+    assert got[12] == ("text", "")      # RIFF container that is not WEBP
