@@ -227,10 +227,13 @@ def vocab_drift(
         F.first("t_shared").alias("t_shared"),
         F.sum(contrib).alias("klsum"),
     )
+    # an empty union vocabulary leaves the scalar agg all-NULL (first()
+    # over zero rows); the counts are honestly 0 — the ratio columns stay
+    # NULL (0/0 has no value to report)
     return agg.select(
-        F.col("t_old").cast("bigint").alias("n_terms_old"),
-        F.col("t_new").cast("bigint").alias("n_terms_new"),
-        F.col("t_shared").cast("bigint").alias("n_terms_shared"),
+        F.coalesce(F.col("t_old"), F.lit(0)).cast("bigint").alias("n_terms_old"),
+        F.coalesce(F.col("t_new"), F.lit(0)).cast("bigint").alias("n_terms_new"),
+        F.coalesce(F.col("t_shared"), F.lit(0)).cast("bigint").alias("n_terms_shared"),
         roundn(
             F.col("t_shared").cast("double") / F.col("v"), 6
         ).alias("vocab_jaccard"),

@@ -240,3 +240,52 @@ def test_vocab_drift_partitioning_invariance(spark):
     a = vocab_drift(old, new).collect()
     b = vocab_drift(old.repartition(11), new.repartition(7)).collect()
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+# --------------------------------------------------------- empty inputs
+
+
+def test_zipf_fit_empty_corpus_stable_schema(spark):
+    from invoice_ocr_reconciler_spark.operators.profile import zipf_fit
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    [r] = zipf_fit(empty).collect()
+    assert r["n_terms"] == 0
+    # no head terms -> fit columns are NULL, never an exception
+    assert r["zipf_slope"] is None and r["zipf_intercept"] is None
+
+
+def test_vocab_drift_empty_sides(spark):
+    from invoice_ocr_reconciler_spark.operators.diff import vocab_drift
+
+    docs = spark.createDataFrame([(0, "alpha beta")], "doc_id long, text string")
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    # everything vanished: zero shared vocab, finite drift row
+    [r] = vocab_drift(docs, empty).collect()
+    assert r["n_terms_new"] == 0 and r["n_terms_shared"] == 0
+    assert r["vocab_jaccard"] == 0.0
+    # both empty: a single row with empty-vocab counts, no crash
+    [r2] = vocab_drift(empty, empty).collect()
+    assert r2["n_terms_old"] == 0 and r2["n_terms_new"] == 0
+
+
+def test_host_profile_empty(spark):
+    from invoice_ocr_reconciler_spark.operators.profile import host_profile
+
+    empty = spark.createDataFrame([], "host string, text string")
+    assert host_profile(empty).count() == 0
+
+
+def test_mirror_and_anchor_empty(spark):
+    from invoice_ocr_reconciler_spark.operators.graph import (
+        anchor_text_index,
+        mirror_clusters,
+        mirror_hosts,
+    )
+
+    empty = spark.createDataFrame([], "host string, text string")
+    pairs = mirror_hosts(empty)
+    assert pairs.count() == 0
+    assert mirror_clusters(pairs).count() == 0
+    ea = spark.createDataFrame([], "url string, link string, anchor string")
+    assert anchor_text_index(ea).count() == 0
