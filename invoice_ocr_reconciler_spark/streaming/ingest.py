@@ -113,3 +113,43 @@ def start_writeback_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def start_cdx_stream(
+    spark: SparkSession,
+    landing_path: str,
+    out_path: str,
+    checkpoint: str,
+    available_now: bool = True,
+):
+    """Continuous capture-index maintenance: drain arriving pages parquet
+    through the CDX projection into an append-only index directory.
+
+    The streaming complement of sources/cdx.cdx_merge: a monthly batch
+    merge re-sorts the world; this keeps a LIVE index current as crawl
+    segments land. The projection is the same pure-codegen cdx_index
+    column set (sort=False — per-microbatch range sorting would fight
+    the file source; compact with cdx_merge on a schedule, the classic
+    hot/cold index split). File-source + checkpoint gives exactly-once
+    appends across restarts; Trigger.AvailableNow drains the backlog
+    and stops, which is also how the test pins semantics.
+    """
+    from invoice_ocr_reconciler_spark.sources.cdx import cdx_index
+
+    stream = (
+        spark.readStream.schema(
+            "url string, warc_ts timestamp, html binary, text string, lang string"
+        )
+        .option("maxFilesPerTrigger", 64)
+        .parquet(landing_path)
+    )
+    idx = cdx_index(stream, sort=False)
+    writer = (
+        idx.writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

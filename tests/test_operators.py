@@ -536,3 +536,39 @@ def test_detect_hot_hosts_single_job(spark):
     job_ids = sc.statusTracker().getJobIdsForGroup("hot-hosts-single-job")
     assert len(job_ids) == 1, f"expected 1 job, saw {len(job_ids)}"
     assert hot == ["hot.example"]
+
+
+def test_streaming_cdx_available_now(spark, tmp_path):
+    """Live capture-index maintenance: segments drain into an append-only
+    CDX; restart with new segments appends exactly once; the hot index
+    compacts into a cold one via cdx_merge."""
+    from invoice_ocr_reconciler_spark import datagen
+    from invoice_ocr_reconciler_spark.sources.cdx import cdx_index, cdx_merge
+    from invoice_ocr_reconciler_spark.streaming.ingest import start_cdx_stream
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    out = str(tmp_path / "cdx_hot")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drop(start, n, name):
+        pdf = datagen.pages_pdf(n, start=start)
+        spark.createDataFrame(pdf, schema=datagen.PAGES_SCHEMA).coalesce(1) \
+            .write.mode("overwrite").parquet(str(landing / name))
+
+    drop(0, 30, "seg1")
+    start_cdx_stream(spark, str(landing) + "/*", out, ckpt).awaitTermination()
+    hot = spark.read.parquet(out)
+    assert hot.count() == 30
+    assert set(hot.columns) == {"surt_key", "ts14", "digest", "length", "url"}
+
+    drop(30, 20, "seg2")
+    start_cdx_stream(spark, str(landing) + "/*", out, ckpt).awaitTermination()
+    assert spark.read.parquet(out).count() == 50  # exactly-once append
+
+    # hot/cold compaction: streamed rows equal the batch build, and the
+    # merge of (cold=batch, hot=streamed) dedups to the same set
+    pages = spark.createDataFrame(datagen.pages_pdf(50), schema=datagen.PAGES_SCHEMA)
+    cold = cdx_index(pages, sort=False)
+    merged = cdx_merge(cold, spark.read.parquet(out))
+    assert merged.count() == 50
