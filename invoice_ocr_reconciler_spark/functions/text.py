@@ -466,7 +466,12 @@ def split_sentences_col(col: Column) -> Column:
         F.coalesce(col, F.lit("")), r"([.!?])\s+([A-Z])", "$1\u0001$2"
     )
     parts = F.split(marked, "\u0001")
-    return F.filter(F.transform(parts, F.trim), lambda s: s != F.lit(""))
+    # NB: F.transform(parts, F.trim) would bind trim's optional second
+    # parameter to the element INDEX (trim-charset '0','1',...) — a silent
+    # no-op; higher-order functions need the explicit single-arg lambda
+    return F.filter(
+        F.transform(parts, lambda s: F.trim(s)), lambda s: s != F.lit("")
+    )
 
 
 def split_sentences(

@@ -120,3 +120,18 @@ def test_shingles_permutation_sensitivity(tokens):
     a = _shingle_hashes(text)
     b = _shingle_hashes(text)
     assert (a == b).all()
+
+
+@given(st.text(alphabet=st.characters(min_codepoint=33, max_codepoint=126), max_size=24))
+@settings(max_examples=300, deadline=None)
+def test_bpe_encode_word_reconstructs(s):
+    """Any merge table: concatenated output symbols == word + </w>."""
+    from invoice_ocr_reconciler_spark.operators.bpe import _encode_word
+
+    ranks = {("a", "b"): 0, ("ab", "c"): 1, ("c", "</w>"): 2, ("a", "a"): 3}
+    out = _encode_word(s, ranks, {})
+    assert "".join(out) == s + "</w>"
+    # deterministic with and without a warm cache
+    cache: dict = {}
+    assert _encode_word(s, ranks, cache) == out
+    assert _encode_word(s, ranks, cache) == out

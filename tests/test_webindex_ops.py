@@ -469,3 +469,33 @@ def test_run_crawl_index_job(spark, tmp_path, monkeypatch):
     job.main()
     stats2 = json.loads(open(f"{out2}/stats.json").read())
     assert stats2["cdx"] == 120  # identical re-captures collapse
+
+
+def test_split_sentences_matches_python_re_on_fuzz(spark):
+    """One batched job: the Spark sentinel rule equals a Python re
+    reference over 400 seeded random ASCII strings (incl. punctuation
+    runs, boundary-adjacent capitals, whitespace varieties)."""
+    import random
+    import re
+
+    rng = random.Random(1234)
+    alphabet = "aA.bB! ?\t\nzZ .Q"
+    rows = [
+        (i, "".join(rng.choice(alphabet) for _ in range(rng.randrange(0, 60))))
+        for i in range(400)
+    ]
+
+    def py_split(text):
+        marked = re.sub(r"([.!?])\s+([A-Z])", "\\1\x01\\2", text)
+        return [p for p in (q.strip(" ") for q in marked.split("\x01")) if p]
+
+    from invoice_ocr_reconciler_spark.functions.text import split_sentences
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {}
+    for r in split_sentences(df).collect():
+        got.setdefault(r["doc_id"], []).append((r["sent_idx"], r["sentence"]))
+    for i, text in rows:
+        expect = py_split(text)
+        have = [s for _, s in sorted(got.get(i, []))]
+        assert have == expect, (i, text, have, expect)
