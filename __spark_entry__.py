@@ -2799,6 +2799,17 @@ def q_content_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_cdx_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Current-view collapse over the merged capture index (sources/
+    cdx.py:cdx_latest): newest capture per SURT key, digest-desc
+    tie-break — run on the cdx_merge output so day-shifted re-fetches
+    genuinely displace their originals. DuckDB replays the window."""
+    from invoice_ocr_reconciler_spark.sources.cdx import cdx_latest
+
+    merged = q_cdx_merge(spark, sf_dir)
+    return cdx_latest(merged).orderBy("surt_key", "ts14", "url")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from invoice_ocr_reconciler_spark.plans import relational as R
 
@@ -2958,6 +2969,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_drift": q_vocab_drift,
         "url_templates": q_url_templates,
         "content_sniff": q_content_sniff,
+        "cdx_latest": q_cdx_latest,
     }
 
 
@@ -5877,6 +5889,49 @@ def oracle_sql() -> dict[str, str]:
                        'https://' || www || host || path AS url
                 FROM uni)
             SELECT * FROM idx ORDER BY surt_key, ts14, url
+        """,
+        "cdx_latest": """
+            WITH k AS (
+                SELECT doc_id, coalesce(text, '') AS payload,
+                       ('0x' || substr(md5('host:' || CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT % 100 AS r,
+                       ('0x' || substr(md5('coldhost:' || CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT % 50 AS c,
+                       ('0x' || substr(md5('cdxts:' || CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT % 31536000 AS toff
+                FROM documents),
+            cap AS (
+                SELECT doc_id, payload, toff,
+                       CASE WHEN r < 35 THEN
+                            CASE WHEN r % 2 = 0 THEN 'portal.megacorp-billing.example'
+                                 ELSE 'docs.archive-crawl.example' END
+                       ELSE printf('site-%03d.example', CAST(c AS INT)) END AS host,
+                       CASE WHEN doc_id % 7 = 0 THEN 'www.' ELSE '' END AS www,
+                       printf('/doc/%012d.html', doc_id)
+                         || CASE WHEN doc_id % 5 = 1
+                                 THEN '?page=' || CAST(doc_id % 3 AS VARCHAR)
+                                 ELSE '' END AS path
+                FROM k),
+            uni AS (
+                SELECT doc_id, payload, toff, host, www, path FROM cap
+                UNION ALL
+                SELECT doc_id, payload,
+                       CASE WHEN doc_id % 9 = 0 THEN toff + 86400 ELSE toff END,
+                       host, www, path
+                FROM cap WHERE doc_id % 3 = 0),
+            idx AS (
+                SELECT DISTINCT
+                       array_to_string(list_reverse(string_split(host, '.')), ',')
+                         || ')' || path AS surt_key,
+                       strftime(make_timestamp(CAST((1704067200 + toff) * 1000000 AS BIGINT)),
+                                '%Y%m%d%H%M%S') AS ts14,
+                       md5(payload) AS digest,
+                       CAST(octet_length(encode(payload)) AS BIGINT) AS length,
+                       'https://' || www || host || path AS url
+                FROM uni),
+            ranked AS (
+                SELECT *, row_number() OVER (PARTITION BY surt_key
+                                             ORDER BY ts14 DESC, digest DESC) AS rn
+                FROM idx)
+            SELECT surt_key, ts14, digest, length, url
+            FROM ranked WHERE rn = 1 ORDER BY surt_key, ts14, url
         """,
         # bit-exact smoothed-KL replay: integer-ratio probabilities,
         # 1e-6-snapped integer log terms, HUGEINT sums

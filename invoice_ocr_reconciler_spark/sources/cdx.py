@@ -109,3 +109,27 @@ def cdx_merge(existing: DataFrame, fresh: DataFrame) -> DataFrame:
         .repartitionByRange("surt_key", "ts14")
         .sortWithinPartitions("surt_key", "ts14")
     )
+
+
+def cdx_latest(index: DataFrame) -> DataFrame:
+    """Newest capture per SURT key — the index-side re-crawl collapse
+    (operators/diff.latest_snapshot over page rows; this is the same cut
+    where only the INDEX exists, which is how wayback-style 'current
+    view' queries run).
+
+    One window keyed (surt_key) ordered (ts14 desc, digest desc): the
+    index is already range-partitioned by surt_key, so on a sorted
+    index read this plans as a partition-local sort, not a fresh hash
+    exchange of the corpus. digest desc tie-breaks equal-second
+    re-captures deterministically.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("surt_key").orderBy(
+        F.col("ts14").desc(), F.col("digest").desc()
+    )
+    return (
+        index.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )

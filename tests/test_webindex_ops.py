@@ -499,3 +499,30 @@ def test_split_sentences_matches_python_re_on_fuzz(spark):
         expect = py_split(text)
         have = [s for _, s in sorted(got.get(i, []))]
         assert have == expect, (i, text, have, expect)
+
+
+def test_cdx_latest_collapse(spark):
+    import datetime as dt
+
+    from invoice_ocr_reconciler_spark.sources.cdx import cdx_index, cdx_latest
+
+    rows = [
+        ("https://h.example/p", dt.datetime(2024, 1, 1), b"v1"),
+        ("https://h.example/p", dt.datetime(2024, 2, 1), b"v2"),
+        ("https://h.example/q", dt.datetime(2024, 1, 5), b"only"),
+        # equal-second re-captures: digest desc breaks the tie
+        ("https://h.example/r", dt.datetime(2024, 3, 1), b"aa"),
+        ("https://h.example/r", dt.datetime(2024, 3, 1), b"zz"),
+    ]
+    idx = cdx_index(
+        spark.createDataFrame(rows, "url string, warc_ts timestamp, html binary"),
+        sort=False,
+    )
+    got = {r["surt_key"]: r for r in cdx_latest(idx).collect()}
+    assert len(got) == 3
+    import hashlib
+
+    assert got["example,h)/p"]["ts14"] == "20240201000000"
+    assert got["example,h)/p"]["digest"] == hashlib.md5(b"v2").hexdigest()
+    tie = got["example,h)/r"]["digest"]
+    assert tie == max(hashlib.md5(b"aa").hexdigest(), hashlib.md5(b"zz").hexdigest())
