@@ -180,3 +180,17 @@ class TestBucketedTables:
             .collect()
         }
         assert got == want and len(got) > 0
+
+
+def test_plan_audit_no_python_in_codegen_queries(spark):
+    """Regression guard: every query documented as pure-codegen stays
+    Python-free (a bare-function higher-order binding or an accidental
+    UDF would show up here before it shows up in a profile)."""
+    from tools.plan_audit import PURE_CODEGEN_QUERIES, audit
+
+    rows, violations = audit("/root/testdata/sf0.001", PURE_CODEGEN_QUERIES)
+    assert violations == []
+    errs = [r for r in rows if "error" in r]
+    assert errs == []
+    # cartesian products never sneak in anywhere on this list
+    assert all(r["cartesian"] == 0 for r in rows)

@@ -1,0 +1,125 @@
+"""Automated plan audit: physical-plan hygiene metrics for every query.
+
+Usage: python tools/plan_audit.py [sf_dir] [query ...]
+
+For each `__spark_entry__.queries()` entry this builds the DataFrame
+(no execution beyond what query construction itself triggers — k-means
+fits, merge learning and other driver-side fits DO run) and reports:
+
+  exchanges        total Exchange operators (shuffles + broadcasts)
+  broadcasts       BroadcastExchange count (subset of exchanges)
+  python_nodes     BatchEvalPython / ArrowEvalPython / MapInPandas /
+                   FlatMapGroupsInPandas — the Python-crossing surface
+  bnlj             BroadcastNestedLoopJoin count (intentional only for
+                   broadcast-side sweeps like ANN/decontamination)
+  sort_merge_joins SortMergeJoin count
+  cartesian        CartesianProduct count (should stay 0)
+
+Prints one JSON line per query plus a summary; exits non-zero if any
+query in PURE_CODEGEN_QUERIES (ops documented as zero-Python) shows a
+Python node — the regression guard test_plan_audit wires into pytest.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# queries whose PLANS.md/COVERAGE.md notes promise "no Python crossing";
+# a Python node appearing in any of these is a regression
+PURE_CODEGEN_QUERIES = [
+    "stats_overview", "monthly_agg", "pagination", "status_filter",
+    "search_like", "key_lookup", "topk_per_group", "recent_topn",
+    "anti_join_missing", "left_join_enrich", "inner_join_agg",
+    "amount_tolerance_join", "normalize_names", "events_json",
+    "dates_scalars", "explode_lineitems", "skew_salted_agg",
+    "rollup_counts", "pivot_status_by_month", "token_count",
+    "quality_score", "lang_id", "fingerprint", "dedup_exact",
+    "html_metadata", "html_tables", "jsonld_extract",
+    "sentence_split", "hash_split",
+    "zipf_fit", "host_profile", "url_templates", "content_sniff",
+    "cdx_index", "cdx_lookup", "cdx_merge", "cdx_latest",
+    "mirror_hosts", "vocab_drift", "gopher_rules", "wordlist_flags",
+    "repetition_metrics", "sessionize", "session_stats",
+    "latest_snapshot", "sitemap_seeds",
+    "decontaminate_semantic", "embedding_outliers", "ccnet_buckets",
+    "canonicalize_urls",
+]
+# NOT listed although their OPERATORS are pure codegen: queries whose
+# INPUT synthesis is datagen.pages_from_documents (a mapInPandas page
+# generator) — the Python node belongs to the fixture, not the operator:
+# extract_links/extract_anchors/anchor_index/host_link_graph/
+# crawl_frontier/fetch_schedule/salted_host_partitions/url_blocklist.
+
+METRICS = {
+    "exchanges": "Exchange",
+    "broadcasts": "BroadcastExchange",
+    "sort_merge_joins": "SortMergeJoin",
+    "bnlj": "BroadcastNestedLoopJoin",
+    "cartesian": "CartesianProduct",
+}
+PYTHON_MARKERS = (
+    "BatchEvalPython",
+    "ArrowEvalPython",
+    "MapInPandas",
+    "FlatMapGroupsInPandas",
+    "PythonMapInArrow",
+)
+
+
+def audit(sf_dir: str, only: list[str] | None = None) -> tuple[list[dict], list[str]]:
+    import __spark_entry__ as entry
+    from invoice_ocr_reconciler_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="plan-audit",
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    qs = entry.queries()
+    names = only or sorted(qs)
+    rows: list[dict] = []
+    violations: list[str] = []
+    for name in names:
+        try:
+            df = qs[name](spark, sf_dir)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+        except Exception as exc:  # surface, don't abort the sweep
+            rows.append({"query": name, "error": str(exc)[:160]})
+            continue
+        row: dict = {"query": name}
+        for key, marker in METRICS.items():
+            row[key] = plan.count(marker)
+        row["python_nodes"] = sum(plan.count(m) for m in PYTHON_MARKERS)
+        rows.append(row)
+        if name in PURE_CODEGEN_QUERIES and row["python_nodes"] > 0:
+            violations.append(name)
+    return rows, violations
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    only = sys.argv[2:] or None
+    rows, violations = audit(sf_dir, only)
+    for row in rows:
+        print(json.dumps(row, sort_keys=True))
+    n_err = sum(1 for r in rows if "error" in r)
+    print(
+        json.dumps(
+            {
+                "summary": True,
+                "queries": len(rows),
+                "errors": n_err,
+                "codegen_violations": violations,
+            },
+            sort_keys=True,
+        )
+    )
+    if violations:
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()
