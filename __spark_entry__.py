@@ -2810,6 +2810,35 @@ def q_cdx_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cdx_latest(merged).orderBy("surt_key", "ts14", "url")
 
 
+def q_html_outline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heading-outline harvest (functions/html_meta.py:extract_outline)
+    over synthesized markup: every page has an entity-bearing h1,
+    doc%3==0 adds an attribute+nested-markup H2 (uppercase tag),
+    doc%4==1 adds an h3 and a DECOY h4 that must not match. DuckDB
+    predicts (pos, level, heading) from the synthesis rule."""
+    from invoice_ocr_reconciler_spark.functions.html_meta import extract_outline
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    i = F.col("doc_id")
+    h1 = F.format_string("<h1>Main &amp; Title %d</h1>", i)
+    h2 = F.when(
+        i % 3 == 0,
+        F.format_string('<H2 class="s">Sub <em>em</em> %d</H2>', i),
+    ).otherwise(F.lit(""))
+    h3 = F.when(
+        i % 4 == 1,
+        F.format_string("<h3>Deep %d</h3><h4>decoy</h4>", i),
+    ).otherwise(F.lit(""))
+    pages = docs.select(
+        F.format_string("https://o.example/%d", i).alias("url"),
+        F.concat(
+            F.lit("<html><body>"), h1, F.lit("<p>x</p>"), h2, h3,
+            F.lit("</body></html>"),
+        ).alias("html"),
+    )
+    return extract_outline(pages).orderBy("url", "pos")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from invoice_ocr_reconciler_spark.plans import relational as R
 
@@ -2970,6 +2999,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_templates": q_url_templates,
         "content_sniff": q_content_sniff,
         "cdx_latest": q_cdx_latest,
+        "html_outline": q_html_outline,
     }
 
 
@@ -5932,6 +5962,28 @@ def oracle_sql() -> dict[str, str]:
                 FROM idx)
             SELECT surt_key, ts14, digest, length, url
             FROM ranked WHERE rn = 1 ORDER BY surt_key, ts14, url
+        """,
+        # GROUND-TRUTH outline replay: (pos, level, heading) predicted
+        # from the synthesis rule — the backreferenced close tag, level
+        # cap (h4 decoy ignored), tag strip and entity decode are all
+        # value-checked on the Spark side
+        "html_outline": """
+            WITH d AS (SELECT doc_id AS i FROM documents),
+            rows_ AS (
+                SELECT 'https://o.example/' || i AS url, CAST(0 AS INT) AS pos,
+                       CAST(1 AS INT) AS level,
+                       'Main & Title ' || i AS heading
+                FROM d
+                UNION ALL
+                SELECT 'https://o.example/' || i, CAST(1 AS INT),
+                       CAST(2 AS INT), 'Sub em ' || i
+                FROM d WHERE i % 3 = 0
+                UNION ALL
+                SELECT 'https://o.example/' || i,
+                       CAST(CASE WHEN i % 3 = 0 THEN 2 ELSE 1 END AS INT),
+                       CAST(3 AS INT), 'Deep ' || i
+                FROM d WHERE i % 4 = 1)
+            SELECT * FROM rows_ ORDER BY url, pos
         """,
         # bit-exact smoothed-KL replay: integer-ratio probabilities,
         # 1e-6-snapped integer log terms, HUGEINT sums

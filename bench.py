@@ -85,6 +85,7 @@ def main() -> None:
         "vocab_drift",       # smoothed-KL snapshot drift (bigint-exact)
         "url_templates",     # crawler-trap template mining
         "content_sniff",     # magic-byte type router (codegen)
+        "html_outline",      # heading skeleton (codegen, backref close)
         "ann_brute_force",
         "upsert_table",         # MERGE/upsert over the orders table
         "status_writeback",     # E2 write-back (UPDATE-only MERGE)

@@ -209,3 +209,44 @@ def extract_jsonld(
         for f in fields
     ]
     return ex.select("url", "block_idx", *cols)
+
+
+def extract_outline(
+    pages: DataFrame,
+    html_col: str = "html",
+    url_col: str = "url",
+    max_level: int = 3,
+) -> DataFrame:
+    """Heading outline per page -> (url, pos, level, heading).
+
+    The h1-h{max_level} skeleton in document order — what section-aware
+    chunking wants (split training chunks at heading boundaries instead
+    of mid-section; pair with operators/chunking) and the cheapest
+    at-scale summary of what a page is ABOUT after the title.
+
+    One regexp_extract_all lifts whole heading elements (case-
+    insensitive, attribute-tolerant, non-greedy to the matching close
+    tag — a backreference pins </hN> to the opening level, so an h2
+    inside nonsense markup can't close an h1); per-element level and
+    tag-stripped entity-decoded text come from codegen array transforms;
+    posexplode keeps document order. Zero Python, zero exchanges.
+    """
+    html = F.col(html_col).cast("string")
+    tags = F.expr(
+        f"regexp_extract_all(CAST({html_col} AS STRING), "
+        rf"'(?is)<h([1-{max_level}])[^>]*>(.*?)</h\\1\\s*>', 0)"
+    )
+    ex = pages.select(
+        F.col(url_col).alias("url"),
+        F.posexplode(tags).alias("pos", "_tag"),
+    )
+    level = F.substring(F.col("_tag"), 3, 1).cast("int")
+    inner = F.regexp_replace(
+        F.col("_tag"), r"(?is)^<h[0-9][^>]*>|</h[0-9]\s*>$", ""
+    )
+    return ex.select(
+        "url",
+        "pos",
+        level.alias("level"),
+        strip_tags_col(inner).alias("heading"),
+    )

@@ -103,3 +103,44 @@ class TestTables:
             ._jdf.queryExecution().executedPlan().toString()
         )
         assert "EvalPython" not in plan2 and "Exchange" not in plan2
+
+
+def test_extract_outline_rules(spark):
+    from invoice_ocr_reconciler_spark.functions.html_meta import extract_outline
+
+    pages = spark.createDataFrame(
+        [
+            (
+                "u1",
+                "<html><h1 id=t>One &amp; Two</h1><p>x</p>"
+                "<H2>Upper <b>bold</b></H2>"
+                "<h3>Three</h3><h4>not lifted</h4>"
+                "<h2>Unclosed dangling"  # no close tag: not lifted
+                "</html>",
+            ),
+            ("u2", "<p>no headings</p>"),
+        ],
+        "url string, html string",
+    )
+    got = [
+        (r["pos"], r["level"], r["heading"])
+        for r in extract_outline(pages).filter("url = 'u1'").orderBy("pos").collect()
+    ]
+    assert got == [
+        (0, 1, "One & Two"),
+        (1, 2, "Upper bold"),
+        (2, 3, "Three"),
+    ]
+    assert extract_outline(pages).filter("url = 'u2'").count() == 0
+
+
+def test_extract_outline_backreference_pins_close(spark):
+    """</h2> cannot close an <h1>: the backreference forces matching
+    levels, so a malformed pair is skipped, not mis-lifted."""
+    from invoice_ocr_reconciler_spark.functions.html_meta import extract_outline
+
+    pages = spark.createDataFrame(
+        [("u", "<h1>bad</h2><h2>good</h2>")], "url string, html string"
+    )
+    got = [(r["level"], r["heading"]) for r in extract_outline(pages).collect()]
+    assert got == [(2, "good")]
