@@ -2436,16 +2436,16 @@ def q_mirror_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_minhash_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Measured MinHash-LSH quality (the dedup analog of ann_recall):
-    predicted near-dup pairs at threshold 0.5 vs EXACT word-3-gram
-    Jaccard ground truth over all pairs among doc_id < 200 -> one row of
-    (n_true, n_pred, n_hit, precision, recall). Rows-only (sketch), but
+    """Measured MinHash-LSH quality sweep (the dedup analog of
+    ann_recall): predicted near-dup pairs vs EXACT word-3-gram Jaccard
+    ground truth over all pairs among doc_id < 200, at thresholds
+    0.3/0.5/0.7 -> one (threshold, n_true, n_pred, n_hit, precision,
+    recall) row per operating point. Rows-only (sketch), but
     regression-guarded by value in the bench artifact."""
     from invoice_ocr_reconciler_spark.operators.dedup import (
         minhash_lsh_pairs,
         ngram_jaccard_verify,
     )
-    from invoice_ocr_reconciler_spark.functions.text import roundn
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
         F.col("doc_id") < 200
@@ -2453,35 +2453,38 @@ def q_minhash_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = docs.select(F.col("doc_id").alias("doc_a"))
     b = docs.select(F.col("doc_id").alias("doc_b"))
     cands = a.crossJoin(b).filter(F.col("doc_a") < F.col("doc_b"))
-    truth = (
-        ngram_jaccard_verify(cands, docs, threshold=0.5)
-        .select("doc_a", "doc_b")
+    # exact jaccard computed ONCE (threshold 0 keeps every pair + value)
+    exact = (
+        ngram_jaccard_verify(cands, docs, threshold=0.0)
+        .select("doc_a", "doc_b", "jaccard")
         .persist()
     )
-    pred = minhash_lsh_pairs(docs, threshold=0.5).select("doc_a", "doc_b").persist()
-    hit = pred.join(truth, ["doc_a", "doc_b"], "inner")
-    n_true = truth.count()
-    n_pred = pred.count()
-    n_hit = hit.count()
+    rows = []
+    for t in (0.3, 0.5, 0.7):
+        truth = exact.filter(F.col("jaccard") >= t).select("doc_a", "doc_b")
+        pred = (
+            minhash_lsh_pairs(docs, threshold=t)
+            .select("doc_a", "doc_b")
+            .persist()
+        )
+        n_true = truth.count()
+        n_pred = pred.count()
+        n_hit = pred.join(truth, ["doc_a", "doc_b"], "inner").count()
+        rows.append(
+            (
+                t,
+                n_true,
+                n_pred,
+                n_hit,
+                round(n_hit / n_pred, 6) if n_pred else 1.0,
+                round(n_hit / n_true, 6) if n_true else 1.0,
+            )
+        )
     return spark.createDataFrame(
-        [(n_true, n_pred, n_hit)], "n_true long, n_pred long, n_hit long"
-    ).select(
-        "n_true",
-        "n_pred",
-        "n_hit",
-        roundn(
-            F.when(F.lit(n_pred) > 0, F.lit(n_hit) / F.lit(n_pred)).otherwise(
-                F.lit(1.0)
-            ),
-            6,
-        ).alias("precision"),
-        roundn(
-            F.when(F.lit(n_true) > 0, F.lit(n_hit) / F.lit(n_true)).otherwise(
-                F.lit(1.0)
-            ),
-            6,
-        ).alias("recall"),
-    )
+        rows,
+        "threshold double, n_true long, n_pred long, n_hit long, "
+        "precision double, recall double",
+    ).orderBy("threshold")
 
 
 def q_cdx_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
