@@ -2842,6 +2842,100 @@ def q_html_outline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_outline(pages).orderBy("url", "pos")
 
 
+def q_resolve_redirects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redirect-chain resolution (operators/graph.py:resolve_redirects):
+    synthesized 3xx table — consecutive-id chains of 1-3 hops
+    ('/c/i' -> '/c/i+1' while i%4 != 0) plus a planted 2-cycle LOOP per
+    doc_id%50==0 that must cap at max_hops with terminal=false. DuckDB
+    replays the bounded unroll join-for-join."""
+    from invoice_ocr_reconciler_spark.operators.graph import resolve_redirects
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    i = F.col("doc_id")
+    u = lambda x: F.format_string("https://ex.example/c/%d", x)  # noqa: E731
+    chains = docs.filter(i % 4 != 0).select(
+        u(i).alias("url"), u(i + 1).alias("location")
+    )
+    la = F.format_string("https://loop.example/a/%d", i)
+    lb = F.format_string("https://loop.example/b/%d", i)
+    loops = (
+        docs.filter(i % 50 == 0)
+        .select(la.alias("url"), lb.alias("location"))
+        .unionByName(
+            docs.filter(i % 50 == 0).select(
+                lb.alias("url"), la.alias("location")
+            )
+        )
+    )
+    redirects = chains.unionByName(loops)
+    return resolve_redirects(redirects, max_hops=4).orderBy("url")
+
+
+def q_parse_feeds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RSS/Atom feed parsing (operators/robots.py:parse_feeds): per-host
+    feed bodies are SYNTHESIZED from an md5 rule (atom when v%3==0 else
+    rss; v%4+1 entries; v%5==0 adds a LINKLESS violation item that must
+    be dropped; titles carry &amp; entities); the real parser runs
+    Spark-side, DuckDB predicts the (link, title, published) rows."""
+    from invoice_ocr_reconciler_spark.operators.robots import parse_feeds
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    hosts = docs.select(_datagen_host_expr().alias("host")).distinct()
+    v = _u64(F.concat(F.lit("feed:"), F.col("host"))) % 1000
+    n = (v % 4 + 1).cast("int")
+    seq = F.sequence(F.lit(1), n)
+    rss_items = F.array_join(
+        F.transform(
+            seq,
+            lambda j: F.format_string(
+                "<item><title>Post &amp; %d</title>"
+                "<link>https://%s/post/%d</link>"
+                "<pubDate>0%d Jan 2026</pubDate></item>",
+                j,
+                F.col("host"),
+                j,
+                j,
+            ),
+        ),
+        "",
+    )
+    rss_body = F.concat(
+        F.lit("<rss><channel><title>chan</title><link>ignore-channel</link>"),
+        rss_items,
+        F.when(
+            v % 5 == 0, F.lit("<item><title>no link</title></item>")
+        ).otherwise(F.lit("")),
+        F.lit("</channel></rss>"),
+    )
+    atom_entries = F.array_join(
+        F.transform(
+            seq,
+            lambda j: F.format_string(
+                '<entry><title>Entry %d</title>'
+                '<link rel="alternate" href="https://%s/a/%d"/>'
+                "<updated>2026-01-0%d</updated></entry>",
+                j,
+                F.col("host"),
+                j,
+                j,
+            ),
+        ),
+        "",
+    )
+    atom_body = F.concat(
+        F.lit('<feed xmlns="http://www.w3.org/2005/Atom"><title>f</title>'),
+        atom_entries,
+        F.lit("</feed>"),
+    )
+    feeds = hosts.select(
+        F.concat(F.lit("https://"), F.col("host"), F.lit("/feed.xml")).alias(
+            "feed_url"
+        ),
+        F.when(v % 3 == 0, atom_body).otherwise(rss_body).alias("body"),
+    )
+    return parse_feeds(feeds).orderBy("source", "item_idx")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from invoice_ocr_reconciler_spark.plans import relational as R
 
@@ -3003,6 +3097,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "content_sniff": q_content_sniff,
         "cdx_latest": q_cdx_latest,
         "html_outline": q_html_outline,
+        "resolve_redirects": q_resolve_redirects,
+        "parse_feeds": q_parse_feeds,
     }
 
 
@@ -5987,6 +6083,88 @@ def oracle_sql() -> dict[str, str]:
                        CAST(3 AS INT), 'Deep ' || i
                 FROM d WHERE i % 4 = 1)
             SELECT * FROM rows_ ORDER BY url, pos
+        """,
+        # bounded-unroll redirect replay: the same 3 LEFT JOIN hops the
+        # operator plans, then the terminal semi-check
+        "resolve_redirects": """
+            WITH d AS (SELECT doc_id AS i FROM documents),
+            r AS (
+                SELECT 'https://ex.example/c/' || i AS k,
+                       'https://ex.example/c/' || (i + 1) AS v
+                FROM d WHERE i % 4 <> 0
+                UNION ALL
+                SELECT 'https://loop.example/a/' || i,
+                       'https://loop.example/b/' || i
+                FROM d WHERE i % 50 = 0
+                UNION ALL
+                SELECT 'https://loop.example/b/' || i,
+                       'https://loop.example/a/' || i
+                FROM d WHERE i % 50 = 0),
+            h1 AS (SELECT k AS url, v AS final_url, 1 AS n_hops, true AS live
+                   FROM r),
+            h2 AS (SELECT c.url,
+                          CASE WHEN c.live AND r.v IS NOT NULL THEN r.v
+                               ELSE c.final_url END AS final_url,
+                          CASE WHEN c.live AND r.v IS NOT NULL
+                               THEN c.n_hops + 1 ELSE c.n_hops END AS n_hops,
+                          (c.live AND r.v IS NOT NULL) AS live
+                   FROM h1 c LEFT JOIN r ON c.final_url = r.k),
+            h3 AS (SELECT c.url,
+                          CASE WHEN c.live AND r.v IS NOT NULL THEN r.v
+                               ELSE c.final_url END AS final_url,
+                          CASE WHEN c.live AND r.v IS NOT NULL
+                               THEN c.n_hops + 1 ELSE c.n_hops END AS n_hops,
+                          (c.live AND r.v IS NOT NULL) AS live
+                   FROM h2 c LEFT JOIN r ON c.final_url = r.k),
+            h4 AS (SELECT c.url,
+                          CASE WHEN c.live AND r.v IS NOT NULL THEN r.v
+                               ELSE c.final_url END AS final_url,
+                          CASE WHEN c.live AND r.v IS NOT NULL
+                               THEN c.n_hops + 1 ELSE c.n_hops END AS n_hops,
+                          (c.live AND r.v IS NOT NULL) AS live
+                   FROM h3 c LEFT JOIN r ON c.final_url = r.k),
+            srcs AS (SELECT DISTINCT k FROM r)
+            SELECT h.url, h.final_url, CAST(h.n_hops AS INT) AS n_hops,
+                   (s.k IS NULL) AS terminal
+            FROM h4 h LEFT JOIN srcs s ON h.final_url = s.k
+            ORDER BY h.url
+        """,
+        # GROUND-TRUTH feed replay: (kind, item_idx, link, title,
+        # published) predicted from the synthesis rule — block regex,
+        # attribute pull, entity decode and the linkless-item drop are
+        # all value-checked Spark-side
+        "parse_feeds": """
+            WITH k AS (
+                SELECT doc_id,
+                       ('0x' || substr(md5('host:' || CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT % 100 AS r,
+                       ('0x' || substr(md5('coldhost:' || CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT % 50 AS c
+                FROM documents),
+            hosts AS (
+                SELECT DISTINCT
+                       CASE WHEN r < 35 THEN
+                            CASE WHEN r % 2 = 0 THEN 'portal.megacorp-billing.example'
+                                 ELSE 'docs.archive-crawl.example' END
+                       ELSE printf('site-%03d.example', CAST(c AS INT)) END AS host
+                FROM k),
+            hv AS (
+                SELECT host,
+                       'https://' || host || '/feed.xml' AS source,
+                       ('0x' || substr(md5('feed:' || host), 1, 16))::UBIGINT % 1000 AS v
+                FROM hosts),
+            items AS (
+                SELECT source,
+                       CASE WHEN v % 3 = 0 THEN 'atom' ELSE 'rss' END AS kind,
+                       CAST(j - 1 AS INT) AS item_idx,
+                       CASE WHEN v % 3 = 0
+                            THEN 'https://' || host || '/a/' || j
+                            ELSE 'https://' || host || '/post/' || j END AS link,
+                       CASE WHEN v % 3 = 0 THEN 'Entry ' || j
+                            ELSE 'Post & ' || j END AS title,
+                       CASE WHEN v % 3 = 0 THEN '2026-01-0' || j
+                            ELSE '0' || j || ' Jan 2026' END AS published
+                FROM hv, unnest(range(1, CAST(v % 4 + 2 AS BIGINT))) AS t(j))
+            SELECT source, kind, item_idx, link, title, published
+            FROM items ORDER BY source, item_idx
         """,
         # bit-exact smoothed-KL replay: integer-ratio probabilities,
         # 1e-6-snapped integer log terms, HUGEINT sums

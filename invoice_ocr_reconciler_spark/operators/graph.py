@@ -527,3 +527,73 @@ def mirror_clusters(
         .join(F.broadcast(reps), "component")
         .select("host", "cluster_rep")
     )
+
+
+def resolve_redirects(
+    redirects: DataFrame,
+    max_hops: int = 4,
+    src_col: str = "url",
+    dst_col: str = "location",
+) -> DataFrame:
+    """Follow 3xx redirect chains to their terminal target
+    -> (url, final_url, n_hops, terminal).
+
+    Crawls record redirects as (url, location) pairs; dedup, canonical
+    URLs and the frontier all want the TERMINAL target (chains of 2-4
+    hops are routine; www->apex->https->cdn). Each hop is ONE equi-join
+    of the live chains against the redirect table — bounded unrolling,
+    so the plan is max_hops joins, not an unbounded fixpoint; a chain
+    still unresolved after ``max_hops`` (longer chain, or a redirect
+    LOOP — a,b pointing at each other never terminates) reports
+    ``terminal = false`` and the last url reached, which is exactly what
+    a crawler needs to drop it. The final terminal check is one
+    left-semi-shaped join against the redirect sources.
+
+    Scale: the redirect table is corpus-scale; every hop joins on the
+    url key, so on the url-bucketed layout all hops co-locate. Chains
+    collapse fast (most are 1 hop), and resolved rows stop joining —
+    hop k only re-joins rows that moved at hop k-1.
+    """
+    r = redirects.select(
+        F.col(src_col).alias("_k"), F.col(dst_col).alias("_v")
+    )
+    cur = redirects.select(
+        F.col(src_col).alias("url"),
+        F.col(dst_col).alias("final_url"),
+        F.lit(1).alias("n_hops"),
+        F.lit(True).alias("_live"),
+    )
+    for _ in range(max_hops - 1):
+        cur = (
+            cur.join(
+                r.withColumnRenamed("_k", "final_url"),
+                "final_url",
+                "left",
+            )
+            .select(
+                "url",
+                F.coalesce(
+                    F.when(F.col("_live"), F.col("_v")), F.col("final_url")
+                ).alias("final_url"),
+                F.when(
+                    F.col("_live") & F.col("_v").isNotNull(),
+                    F.col("n_hops") + 1,
+                )
+                .otherwise(F.col("n_hops"))
+                .alias("n_hops"),
+                (F.col("_live") & F.col("_v").isNotNull()).alias("_live"),
+            )
+        )
+    # terminal = the final url is not itself a redirect source
+    srcs = r.select(F.col("_k").alias("final_url")).distinct()
+    return (
+        cur.join(
+            srcs.withColumn("_is_src", F.lit(True)), "final_url", "left"
+        )
+        .select(
+            "url",
+            "final_url",
+            "n_hops",
+            F.coalesce(~F.col("_is_src"), F.lit(True)).alias("terminal"),
+        )
+    )

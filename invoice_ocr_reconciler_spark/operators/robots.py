@@ -311,3 +311,71 @@ def parse_sitemaps(
         .filter(F.col("loc").isNotNull())
         .drop("_p")
     )
+
+
+def parse_feeds(
+    feeds: DataFrame,
+    source_col: str = "feed_url",
+    text_col: str = "body",
+    items_cap: int = 10_000,
+) -> DataFrame:
+    """RSS 2.0 / Atom feed XML -> discovered entries: one row per
+    <item> (RSS) or <entry> (Atom) across all fetched feed bodies.
+
+    -> (source, kind in ('rss','atom'), item_idx, link, title, published)
+
+    The third crawl-seeding channel next to robots Sitemap directives and
+    sitemap files: feeds surface NEW urls hours before sitemaps regenerate,
+    so freshness-sensitive crawls poll them. Field mapping:
+      RSS:  <link>L</link>, <title>T</title>, <pubDate>D</pubDate>
+      Atom: <link href="L"/> (any attr order/quoting), <title>, <updated>
+
+    Codegen shape (the parse_sitemaps contract): regexp_extract_all of
+    item/entry blocks (``<item\\b``/``<entry\\b`` cannot match container
+    tags), per-feed cap (items_cap — feeds past it are violations, tail
+    dropped), posexplode with the within-feed index, per-block tag pulls
+    with named-basic entity decode. Entries without a link are dropped
+    (nothing to crawl). No Python, no shuffle.
+    """
+    from invoice_ocr_reconciler_spark.functions.html_meta import (
+        _attr,
+        decode_entities_col,
+    )
+
+    body = F.col(text_col).cast("string")
+
+    def blocks(tag_name: str, kind: str):
+        arr = F.regexp_extract_all(
+            body, F.lit(rf"(?is)<{tag_name}\b[^>]*>(.*?)</{tag_name}>"), 1
+        )
+        return F.transform(
+            F.slice(arr, 1, int(items_cap)),
+            lambda b: F.struct(F.lit(kind).alias("kind"), b.alias("blk")),
+        )
+
+    tagged = F.concat(blocks("item", "rss"), blocks("entry", "atom"))
+    ex = feeds.select(
+        F.col(source_col).alias("source"),
+        F.posexplode(tagged).alias("item_idx", "t"),
+    ).select("source", "item_idx", F.col("t.kind").alias("kind"), F.col("t.blk").alias("blk"))
+
+    blk = F.col("blk")
+    rss_link = F.regexp_extract(blk, r"(?is)<link[^>]*>(.*?)</link>", 1)
+    atom_link_tag = F.regexp_extract(blk, r"(?is)<link\b[^>]*/?>", 0)
+    link = F.when(F.col("kind") == "rss", rss_link).otherwise(
+        _attr(atom_link_tag, "href")
+    )
+    title = F.regexp_extract(blk, r"(?is)<title[^>]*>(.*?)</title>", 1)
+    published = F.when(
+        F.col("kind") == "rss",
+        F.regexp_extract(blk, r"(?is)<pubDate[^>]*>(.*?)</pubDate>", 1),
+    ).otherwise(F.regexp_extract(blk, r"(?is)<updated[^>]*>(.*?)</updated>", 1))
+    out = ex.select(
+        "source",
+        "kind",
+        "item_idx",
+        F.trim(decode_entities_col(link)).alias("link"),
+        F.trim(decode_entities_col(title)).alias("title"),
+        F.when(F.trim(published) != "", F.trim(published)).alias("published"),
+    )
+    return out.filter(F.col("link") != "")

@@ -258,3 +258,36 @@ def test_hits_partitioning_invariance(spark):
         spark.createDataFrame(edges, "src long, dst long").repartition(11),
         n_iter=2).collect()))
     assert a == b
+
+
+# ------------------------------------------------------ resolve_redirects
+
+
+def test_resolve_redirects_chains_and_loops(spark):
+    from invoice_ocr_reconciler_spark.operators.graph import resolve_redirects
+
+    rows = [
+        ("a", "b"), ("b", "c"), ("c", "d"),   # 3-hop chain a->d
+        ("x", "y"),                            # 1 hop
+        ("p", "q"), ("q", "p"),                # 2-cycle loop
+    ]
+    df = spark.createDataFrame(rows, "url string, location string")
+    got = {r["url"]: r for r in resolve_redirects(df, max_hops=4).collect()}
+    assert got["a"]["final_url"] == "d" and got["a"]["n_hops"] == 3
+    assert got["a"]["terminal"]
+    assert got["b"]["final_url"] == "d" and got["b"]["n_hops"] == 2
+    assert got["x"]["final_url"] == "y" and got["x"]["n_hops"] == 1
+    # loop: capped at max_hops, not terminal
+    assert not got["p"]["terminal"] and got["p"]["n_hops"] == 4
+    assert got["p"]["final_url"] in ("p", "q")
+
+
+def test_resolve_redirects_chain_longer_than_cap(spark):
+    from invoice_ocr_reconciler_spark.operators.graph import resolve_redirects
+
+    rows = [(str(i), str(i + 1)) for i in range(10)]
+    df = spark.createDataFrame(rows, "url string, location string")
+    got = {r["url"]: r for r in resolve_redirects(df, max_hops=3).collect()}
+    assert got["0"]["n_hops"] == 3 and got["0"]["final_url"] == "3"
+    assert not got["0"]["terminal"]  # '3' still redirects
+    assert got["8"]["final_url"] == "10" and got["8"]["terminal"]

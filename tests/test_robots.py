@@ -221,3 +221,55 @@ class TestParseSitemaps:
         df = spark.createDataFrame([("s", body)], "sitemap_url string, body string")
         got = parse_sitemaps(df, urls_cap=4).collect()
         assert [r["loc"] for r in got] == [f"https://h/{i}" for i in range(4)]
+
+
+def test_parse_feeds_rss_and_atom(spark):
+    from invoice_ocr_reconciler_spark.operators.robots import parse_feeds
+
+    rss = (
+        "<rss><channel><title>chan</title><link>https://h/chan</link>"
+        "<item><title>A &amp; B</title><link>https://h/p1</link>"
+        "<pubDate>01 Jan 2026</pubDate></item>"
+        "<item><title>two</title><link> https://h/p2 </link></item>"
+        "<item><title>linkless violation</title></item>"
+        "</channel></rss>"
+    )
+    atom = (
+        '<feed><title>f</title>'
+        '<entry><title>E1</title><link rel="alternate" href="https://a/e1"/>'
+        "<updated>2026-02-01</updated></entry>"
+        "<entry><title>E2</title><link href='https://a/e2'/></entry>"
+        "</feed>"
+    )
+    feeds = spark.createDataFrame(
+        [("https://h/feed", rss), ("https://a/feed", atom)],
+        "feed_url string, body string",
+    )
+    got = {(r["source"], r["item_idx"]): r for r in parse_feeds(feeds).collect()}
+    r0 = got[("https://h/feed", 0)]
+    assert r0["kind"] == "rss" and r0["link"] == "https://h/p1"
+    assert r0["title"] == "A & B" and r0["published"] == "01 Jan 2026"
+    r1 = got[("https://h/feed", 1)]
+    assert r1["link"] == "https://h/p2" and r1["published"] is None
+    # channel-level link never leaks in; the linkless item is dropped
+    assert ("https://h/feed", 2) not in got
+    a0 = got[("https://a/feed", 0)]
+    assert a0["kind"] == "atom" and a0["link"] == "https://a/e1"
+    assert a0["published"] == "2026-02-01"
+    assert got[("https://a/feed", 1)]["link"] == "https://a/e2"
+
+
+def test_parse_feeds_cap_and_empty(spark):
+    from invoice_ocr_reconciler_spark.operators.robots import parse_feeds
+
+    body = "<rss><channel>" + "".join(
+        f"<item><title>t{j}</title><link>https://h/{j}</link></item>"
+        for j in range(6)
+    ) + "</channel></rss>"
+    feeds = spark.createDataFrame(
+        [("f", body), ("empty", "<rss><channel></channel></rss>"), ("junk", "not xml")],
+        "feed_url string, body string",
+    )
+    got = parse_feeds(feeds, items_cap=4).collect()
+    assert len(got) == 4  # tail dropped by the cap
+    assert {r["source"] for r in got} == {"f"}
