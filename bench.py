@@ -86,6 +86,8 @@ def main() -> None:
         "url_templates",     # crawler-trap template mining
         "content_sniff",     # magic-byte type router (codegen)
         "html_outline",      # heading skeleton (codegen, backref close)
+        "resolve_redirects", # bounded-unroll 3xx chain resolution
+        "parse_feeds",       # RSS/Atom seeding (codegen blocks)
         "ann_brute_force",
         "upsert_table",         # MERGE/upsert over the orders table
         "status_writeback",     # E2 write-back (UPDATE-only MERGE)
