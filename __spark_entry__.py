@@ -2936,6 +2936,32 @@ def q_parse_feeds(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parse_feeds(feeds).orderBy("source", "item_idx")
 
 
+def q_revisit_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adaptive-revisit change-frequency estimation (sources/cdx.py:
+    revisit_stats): doc_id%3==0 urls get a second capture a day later —
+    CHANGED content (' v2' appended) when %9==0, byte-identical
+    otherwise — so the three evidence classes (volatile, static,
+    single-capture NULL) all appear. DuckDB predicts the per-key stats
+    from the rule."""
+    from invoice_ocr_reconciler_spark.sources.cdx import cdx_index, revisit_stats
+
+    captures = _cdx_captures(spark, sf_dir)
+    i = F.regexp_extract("url", r"/doc/(\d+)\.html", 1).cast("long")
+    second = (
+        captures.filter(i % 3 == 0)
+        .withColumn("warc_ts", F.col("warc_ts") + F.expr("INTERVAL 1 DAY"))
+        .withColumn(
+            "html",
+            F.when(
+                i % 9 == 0,
+                F.concat(F.col("html"), F.encode(F.lit(" v2"), "utf-8")),
+            ).otherwise(F.col("html")),
+        )
+    )
+    idx = cdx_index(captures.unionByName(second), sort=False)
+    return revisit_stats(idx).orderBy("surt_key")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from invoice_ocr_reconciler_spark.plans import relational as R
 
@@ -3099,6 +3125,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_outline": q_html_outline,
         "resolve_redirects": q_resolve_redirects,
         "parse_feeds": q_parse_feeds,
+        "revisit_stats": q_revisit_stats,
     }
 
 
@@ -6165,6 +6192,39 @@ def oracle_sql() -> dict[str, str]:
                 FROM hv, unnest(range(1, CAST(v % 4 + 2 AS BIGINT))) AS t(j))
             SELECT source, kind, item_idx, link, title, published
             FROM items ORDER BY source, item_idx
+        """,
+        # GROUND-TRUTH revisit replay: per-key capture/version counts and
+        # the newest (ts14, digest) predicted from the rule
+        "revisit_stats": """
+            WITH k AS (
+                SELECT doc_id, coalesce(text, '') AS payload,
+                       ('0x' || substr(md5('host:' || CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT % 100 AS r,
+                       ('0x' || substr(md5('coldhost:' || CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT % 50 AS c,
+                       ('0x' || substr(md5('cdxts:' || CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT % 31536000 AS toff
+                FROM documents),
+            cap AS (
+                SELECT doc_id, payload, toff,
+                       CASE WHEN r < 35 THEN
+                            CASE WHEN r % 2 = 0 THEN 'portal.megacorp-billing.example'
+                                 ELSE 'docs.archive-crawl.example' END
+                       ELSE printf('site-%03d.example', CAST(c AS INT)) END AS host,
+                       printf('/doc/%012d.html', doc_id)
+                         || CASE WHEN doc_id % 5 = 1
+                                 THEN '?page=' || CAST(doc_id % 3 AS VARCHAR)
+                                 ELSE '' END AS path
+                FROM k)
+            SELECT array_to_string(list_reverse(string_split(host, '.')), ',')
+                     || ')' || path AS surt_key,
+                   CAST(CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END AS BIGINT) AS n_captures,
+                   CAST(CASE WHEN doc_id % 9 = 0 THEN 2 ELSE 1 END AS BIGINT) AS n_versions,
+                   CAST(CASE WHEN doc_id % 3 <> 0 THEN NULL
+                             WHEN doc_id % 9 = 0 THEN 1.0 ELSE 0.0 END AS DOUBLE) AS change_rate,
+                   strftime(make_timestamp(CAST((1704067200 + toff
+                            + CASE WHEN doc_id % 3 = 0 THEN 86400 ELSE 0 END)
+                            * 1000000 AS BIGINT)), '%Y%m%d%H%M%S') AS last_ts14,
+                   CASE WHEN doc_id % 9 = 0 THEN md5(payload || ' v2')
+                        ELSE md5(payload) END AS last_digest
+            FROM cap ORDER BY surt_key
         """,
         # bit-exact smoothed-KL replay: integer-ratio probabilities,
         # 1e-6-snapped integer log terms, HUGEINT sums

@@ -88,6 +88,7 @@ def main() -> None:
         "html_outline",      # heading skeleton (codegen, backref close)
         "resolve_redirects", # bounded-unroll 3xx chain resolution
         "parse_feeds",       # RSS/Atom seeding (codegen blocks)
+        "revisit_stats",     # change-frequency recrawl policy
         "ann_brute_force",
         "upsert_table",         # MERGE/upsert over the orders table
         "status_writeback",     # E2 write-back (UPDATE-only MERGE)

@@ -133,3 +133,48 @@ def cdx_latest(index: DataFrame) -> DataFrame:
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
+
+
+def revisit_stats(index: DataFrame) -> DataFrame:
+    """Per-URL change-frequency estimate from capture history
+    -> (surt_key, n_captures, n_versions, change_rate, last_ts14,
+        last_digest).
+
+    The adaptive-revisit input (Cho & Garcia-Molina: re-fetch pages in
+    proportion to how often they actually change): a page captured 12
+    times with 12 digests is volatile (news index) and worth frequent
+    revisits; 12 captures with 1 digest is static and a waste of fetch
+    budget. change_rate = (n_versions - 1) / (n_captures - 1) — the
+    fraction of RE-fetches that observed a change — NULL for
+    single-capture keys (no evidence yet; schedule by host prior
+    instead).
+
+    ONE partial-agg'd groupBy(surt_key): count, exact distinct digests
+    (per-key capture counts are small — revisit history, not corpus
+    rows), and a max-of-struct((ts14, digest)) picks the newest capture
+    without a window. On the range-sorted index layout the groupBy is
+    partition-local.
+    """
+    from invoice_ocr_reconciler_spark.functions.text import roundn
+
+    last = F.max(F.struct(F.col("ts14"), F.col("digest")))
+    agg = index.groupBy("surt_key").agg(
+        F.count("*").alias("n_captures"),
+        F.count_distinct("digest").alias("n_versions"),
+        last.alias("_last"),
+    )
+    return agg.select(
+        "surt_key",
+        "n_captures",
+        "n_versions",
+        roundn(
+            F.when(
+                F.col("n_captures") >= 2,
+                (F.col("n_versions") - 1).cast("double")
+                / (F.col("n_captures") - 1),
+            ),
+            6,
+        ).alias("change_rate"),
+        F.col("_last.ts14").alias("last_ts14"),
+        F.col("_last.digest").alias("last_digest"),
+    )

@@ -526,3 +526,42 @@ def test_cdx_latest_collapse(spark):
     assert got["example,h)/p"]["digest"] == hashlib.md5(b"v2").hexdigest()
     tie = got["example,h)/r"]["digest"]
     assert tie == max(hashlib.md5(b"aa").hexdigest(), hashlib.md5(b"zz").hexdigest())
+
+
+def test_revisit_stats_classes(spark):
+    import datetime as dt
+
+    from invoice_ocr_reconciler_spark.sources.cdx import cdx_index, revisit_stats
+
+    rows = [
+        # volatile: 3 captures, 3 versions
+        ("https://v.example/p", dt.datetime(2024, 1, 1), b"v1"),
+        ("https://v.example/p", dt.datetime(2024, 2, 1), b"v2"),
+        ("https://v.example/p", dt.datetime(2024, 3, 1), b"v3"),
+        # static: 3 captures, 1 version
+        ("https://s.example/p", dt.datetime(2024, 1, 1), b"same"),
+        ("https://s.example/p", dt.datetime(2024, 2, 1), b"same"),
+        ("https://s.example/p", dt.datetime(2024, 3, 1), b"same"),
+        # half: 3 captures, 2 versions
+        ("https://h.example/p", dt.datetime(2024, 1, 1), b"a"),
+        ("https://h.example/p", dt.datetime(2024, 2, 1), b"a"),
+        ("https://h.example/p", dt.datetime(2024, 3, 1), b"b"),
+        # single capture: no evidence
+        ("https://one.example/p", dt.datetime(2024, 1, 1), b"x"),
+    ]
+    idx = cdx_index(
+        spark.createDataFrame(rows, "url string, warc_ts timestamp, html binary"),
+        sort=False,
+    )
+    got = {r["surt_key"]: r for r in revisit_stats(idx).collect()}
+    import hashlib
+
+    v = got["example,v)/p"]
+    assert (v["n_captures"], v["n_versions"], v["change_rate"]) == (3, 3, 1.0)
+    assert v["last_ts14"] == "20240301000000"
+    assert v["last_digest"] == hashlib.md5(b"v3").hexdigest()
+    s = got["example,s)/p"]
+    assert (s["n_captures"], s["n_versions"], s["change_rate"]) == (3, 1, 0.0)
+    h = got["example,h)/p"]
+    assert h["change_rate"] == pytest.approx(0.5, abs=1e-6)
+    assert got["example,one)/p"]["change_rate"] is None
