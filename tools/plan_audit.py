@@ -46,7 +46,8 @@ PURE_CODEGEN_QUERIES = [
     "repetition_metrics", "sessionize", "session_stats",
     "latest_snapshot", "sitemap_seeds",
     "decontaminate_semantic", "embedding_outliers", "ccnet_buckets",
-    "canonicalize_urls",
+    "canonicalize_urls", "html_outline", "parse_feeds",
+    "resolve_redirects", "revisit_stats",
 ]
 # NOT listed although their OPERATORS are pure codegen: queries whose
 # INPUT synthesis is datagen.pages_from_documents (a mapInPandas page
