@@ -2962,6 +2962,27 @@ def q_revisit_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return revisit_stats(idx).orderBy("surt_key")
 
 
+def q_seed_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-channel seed merge (operators/graph.py:merge_seed_channels):
+    sitemap locs + feed links + a synthetic directory listing that
+    overlaps the sitemaps' '/q' pages — overlapping seeds surface with
+    both provenance labels. DuckDB unions the channels' closed forms and
+    replays the provenance aggregation."""
+    from invoice_ocr_reconciler_spark.operators.graph import merge_seed_channels
+
+    sitemap_urls = q_sitemap_seeds(spark, sf_dir).filter(
+        F.col("kind") == "url"
+    ).select(F.col("loc").alias("url"))
+    feed_links = q_parse_feeds(spark, sf_dir).select(F.col("link").alias("url"))
+    directory = sitemap_urls.filter(F.col("url").endswith("/q"))
+    merged = merge_seed_channels(
+        {"sitemap": sitemap_urls, "feed": feed_links, "directory": directory}
+    )
+    return merged.select(
+        "url", F.array_join("sources", ",").alias("sources"), "n_channels"
+    ).orderBy("url")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from invoice_ocr_reconciler_spark.plans import relational as R
 
@@ -3126,6 +3147,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resolve_redirects": q_resolve_redirects,
         "parse_feeds": q_parse_feeds,
         "revisit_stats": q_revisit_stats,
+        "seed_discovery": q_seed_discovery,
     }
 
 
@@ -6337,5 +6359,46 @@ def oracle_sql() -> dict[str, str]:
                         WHEN doc_id % 10 = 8 THEN 'utf-16le'
                         ELSE '' END AS bom
             FROM documents ORDER BY doc_id
+        """,
+        "seed_discovery": """
+            WITH k AS (
+                SELECT doc_id,
+                       ('0x' || substr(md5('host:' || CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT % 100 AS r,
+                       ('0x' || substr(md5('coldhost:' || CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT % 50 AS c
+                FROM documents),
+            hosts AS (
+                SELECT DISTINCT
+                       CASE WHEN r < 35 THEN
+                            CASE WHEN r % 2 = 0 THEN 'portal.megacorp-billing.example'
+                                 ELSE 'docs.archive-crawl.example' END
+                       ELSE printf('site-%03d.example', CAST(c AS INT)) END AS host
+                FROM k),
+            sm AS (
+                SELECT host,
+                       ('0x' || substr(md5('sitemap:' || host), 1, 16))::UBIGINT % 1000 AS v
+                FROM hosts),
+            sitemap_urls AS (
+                SELECT 'https://' || host || '/p?x=1&y=2' AS url FROM sm WHERE v % 4 <> 0
+                UNION ALL
+                SELECT 'https://' || host || '/q' FROM sm WHERE v % 4 <> 0),
+            fv AS (
+                SELECT host,
+                       ('0x' || substr(md5('feed:' || host), 1, 16))::UBIGINT % 1000 AS v
+                FROM hosts),
+            feed_links AS (
+                SELECT CASE WHEN v % 3 = 0
+                            THEN 'https://' || host || '/a/' || j
+                            ELSE 'https://' || host || '/post/' || j END AS url
+                FROM fv, unnest(range(1, CAST(v % 4 + 2 AS BIGINT))) AS t(j)),
+            tagged AS (
+                SELECT url, 'sitemap' AS ch FROM sitemap_urls
+                UNION ALL
+                SELECT url, 'feed' FROM feed_links
+                UNION ALL
+                SELECT url, 'directory' FROM sitemap_urls WHERE url LIKE '%/q')
+            SELECT url,
+                   array_to_string(list_sort(list_distinct(list(ch))), ',') AS sources,
+                   CAST(len(list_distinct(list(ch))) AS INT) AS n_channels
+            FROM tagged GROUP BY url ORDER BY url
         """,
     }

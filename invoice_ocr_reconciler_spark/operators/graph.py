@@ -597,3 +597,32 @@ def resolve_redirects(
             F.coalesce(~F.col("_is_src"), F.lit(True)).alias("terminal"),
         )
     )
+
+
+def merge_seed_channels(channels: dict[str, DataFrame], url_col: str = "url") -> DataFrame:
+    """Union labeled seed-discovery channels (sitemaps, feeds, outlink
+    frontier, directories...) into one deduplicated seed table
+    -> (url, sources, n_channels).
+
+    Crawl seeding runs several discovery channels at once; the frontier
+    wants each url ONCE, with provenance (multi-channel seeds are
+    higher-confidence and often fresher). `sources` is the sorted
+    channel-name array, so the row is a pure function of the inputs.
+
+    One union (no shuffle) + one partial-agg'd groupBy(url) carrying
+    (url, channel-set) — collect_set stays bounded by the channel count,
+    not the seed count.
+    """
+    tagged = None
+    for name in sorted(channels):
+        df = channels[name].select(
+            F.col(url_col).alias("url"), F.lit(name).alias("_ch")
+        )
+        tagged = df if tagged is None else tagged.unionByName(df)
+    if tagged is None:
+        raise ValueError("need at least one channel")
+    return (
+        tagged.groupBy("url")
+        .agg(F.sort_array(F.collect_set("_ch")).alias("sources"))
+        .select("url", "sources", F.size("sources").alias("n_channels"))
+    )

@@ -291,3 +291,22 @@ def test_resolve_redirects_chain_longer_than_cap(spark):
     assert got["0"]["n_hops"] == 3 and got["0"]["final_url"] == "3"
     assert not got["0"]["terminal"]  # '3' still redirects
     assert got["8"]["final_url"] == "10" and got["8"]["terminal"]
+
+
+# ----------------------------------------------------- merge_seed_channels
+
+
+def test_merge_seed_channels_provenance(spark):
+    from invoice_ocr_reconciler_spark.operators.graph import merge_seed_channels
+
+    a = spark.createDataFrame([("u1",), ("u2",)], "url string")
+    b = spark.createDataFrame([("u2",), ("u3",), ("u3",)], "url string")
+    got = {r["url"]: r for r in merge_seed_channels({"feed": b, "sitemap": a}).collect()}
+    assert got["u1"]["sources"] == ["sitemap"] and got["u1"]["n_channels"] == 1
+    assert got["u2"]["sources"] == ["feed", "sitemap"] and got["u2"]["n_channels"] == 2
+    # duplicate rows within one channel collapse
+    assert got["u3"]["sources"] == ["feed"]
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        merge_seed_channels({})
