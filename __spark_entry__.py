@@ -2983,6 +2983,18 @@ def q_seed_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("url")
 
 
+def q_host_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host language routing (operators/profile.py:host_language_mix):
+    dominant language + share per datagen host from the documents lang
+    column; DuckDB replays the two-level aggregation and the max-struct
+    dominant pick (ties lang-desc)."""
+    from invoice_ocr_reconciler_spark.operators.profile import host_language_mix
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    with_host = docs.select(_datagen_host_expr().alias("host"), "lang")
+    return host_language_mix(with_host).orderBy("host")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from invoice_ocr_reconciler_spark.plans import relational as R
 
@@ -3148,6 +3160,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parse_feeds": q_parse_feeds,
         "revisit_stats": q_revisit_stats,
         "seed_discovery": q_seed_discovery,
+        "host_lang": q_host_lang,
     }
 
 
@@ -6400,5 +6413,31 @@ def oracle_sql() -> dict[str, str]:
                    array_to_string(list_sort(list_distinct(list(ch))), ',') AS sources,
                    CAST(len(list_distinct(list(ch))) AS INT) AS n_channels
             FROM tagged GROUP BY url ORDER BY url
+        """,
+        "host_lang": """
+            WITH k AS (
+                SELECT doc_id, coalesce(lang, '') AS lang,
+                       ('0x' || substr(md5('host:' || CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT % 100 AS r,
+                       ('0x' || substr(md5('coldhost:' || CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT % 50 AS c
+                FROM documents),
+            d AS (
+                SELECT CASE WHEN r < 35 THEN
+                            CASE WHEN r % 2 = 0 THEN 'portal.megacorp-billing.example'
+                                 ELSE 'docs.archive-crawl.example' END
+                       ELSE printf('site-%03d.example', CAST(c AS INT)) END AS host,
+                       lang
+                FROM k),
+            per AS (SELECT host, lang, count(*) AS cnt FROM d GROUP BY 1, 2),
+            ranked AS (
+                SELECT host, lang, cnt,
+                       row_number() OVER (PARTITION BY host
+                                          ORDER BY cnt DESC, lang DESC) AS rn,
+                       CAST(sum(cnt) OVER (PARTITION BY host) AS BIGINT) AS n_docs,
+                       count(*) OVER (PARTITION BY host) AS n_langs
+                FROM per)
+            SELECT host, n_docs, n_langs, lang AS top_lang,
+                   floor(CAST(cnt AS DOUBLE) / n_docs * 1e6 + 0.5) / 1e6
+                       AS top_lang_share
+            FROM ranked WHERE rn = 1 ORDER BY host
         """,
     }

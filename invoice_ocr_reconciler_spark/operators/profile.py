@@ -277,3 +277,53 @@ def host_profile(
             "mean_quality"
         ),
     )
+
+
+def host_language_mix(
+    docs: DataFrame,
+    host_col: str = "host",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Dominant language per host -> (host, n_docs, n_langs, top_lang,
+    top_lang_share).
+
+    The language-routing table: per-language pipelines (CCNet shards,
+    lang-specific quality models) want host-level routing because hosts
+    are overwhelmingly monolingual — a host whose top share is low is
+    itself a signal (scraped/mixed content).
+
+    Two chained partial-agg groupBys — (host, lang) counts, then ONE
+    groupBy(host) where the dominant language is a max-of-struct
+    ((cnt, lang)) codegen aggregate (anchor_text_index's shape: no
+    window, no second sort; ties break lang-DESC, documented — flip to
+    min-of-struct((-cnt, lang)) for asc ties where it matters).
+    Share rides the 1e-6 grid over exact integer counts.
+    """
+    from invoice_ocr_reconciler_spark.functions.text import roundn
+
+    per = (
+        docs.select(
+            F.col(host_col).alias("host"),
+            F.coalesce(F.col(lang_col), F.lit("")).alias("lang"),
+        )
+        .groupBy("host", "lang")
+        .agg(F.count("*").alias("cnt"))
+    )
+    top = F.max(F.struct(F.col("cnt"), F.col("lang")))
+    return (
+        per.groupBy("host")
+        .agg(
+            F.sum("cnt").alias("n_docs"),
+            F.count("*").alias("n_langs"),
+            top.alias("_top"),
+        )
+        .select(
+            "host",
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            "n_langs",
+            F.col("_top.lang").alias("top_lang"),
+            roundn(
+                F.col("_top.cnt").cast("double") / F.col("n_docs"), 6
+            ).alias("top_lang_share"),
+        )
+    )

@@ -289,3 +289,22 @@ def test_mirror_and_anchor_empty(spark):
     assert mirror_clusters(pairs).count() == 0
     ea = spark.createDataFrame([], "url string, link string, anchor string")
     assert anchor_text_index(ea).count() == 0
+
+
+def test_host_language_mix(spark):
+    from invoice_ocr_reconciler_spark.operators.profile import host_language_mix
+
+    rows = (
+        [("a", "en")] * 3 + [("a", "fr")] * 2
+        + [("b", "de")]
+        + [("c", "es")] * 2 + [("c", "zh")] * 2  # tie -> lang desc -> zh
+        + [("d", None)]
+    )
+    df = spark.createDataFrame(rows, "host string, lang string")
+    got = {r["host"]: r for r in host_language_mix(df).collect()}
+    a = got["a"]
+    assert (a["n_docs"], a["n_langs"], a["top_lang"]) == (5, 2, "en")
+    assert a["top_lang_share"] == pytest.approx(0.6, abs=1e-6)
+    assert got["b"]["top_lang_share"] == 1.0
+    assert got["c"]["top_lang"] == "zh"  # documented desc tie-break
+    assert got["d"]["top_lang"] == ""    # null lang folds to ''
