@@ -2995,6 +2995,229 @@ def q_host_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     return host_language_mix(with_host).orderBy("host")
 
 
+def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch/FK readability (functions/webquality.py:readability_cols).
+
+    Corpus text has no punctuation, so sentence structure is SYNTHESIZED:
+    doc_id%4+1 copies of a simple sentence + a corpus slice + one
+    polysyllabic sentence; doc_id%13==0 is EMPTY (NULL-score guard).
+    DuckDB computes the same vowel-group/sentence/word counts and the
+    same 4-grid formula from the same synthesized text."""
+    from invoice_ocr_reconciler_spark.functions.webquality import readability_cols
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    i = F.col("doc_id")
+    stext = F.when(i % 13 == 0, F.lit("")).otherwise(
+        F.concat(
+            F.repeat(F.lit("It is a simple day. "), (i % 4 + 1).cast("int")),
+            F.substring(F.coalesce("text", F.lit("")), 1, 80),
+            F.lit(". Extraordinarily complicated vocabulary follows naturally."),
+        )
+    )
+    cols = readability_cols(stext)
+    return docs.select(
+        "doc_id", *(cols[k].alias(k) for k in cols)
+    ).orderBy("doc_id")
+
+
+def q_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-vs-prose heuristic (functions/webquality.py:code_detect_cols):
+    doc_id%3==0 gets planted code (def/return/indent/symbols, repeated
+    doc_id%3+1... always 1 here, plus braces), %3==1 gets code-flavored
+    prose (keywords, no structure), else plain corpus prose. DuckDB
+    computes the same densities and score from the same text."""
+    from invoice_ocr_reconciler_spark.functions.webquality import code_detect_cols
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    i = F.col("doc_id")
+    nl = "\n"
+    code = F.concat(
+        F.repeat(
+            F.lit(f"def f(x):{nl}  return x + 1;{nl}"), (i % 2 + 1).cast("int")
+        ),
+        F.lit(f"while (a < b) {{{nl}\tb = a[0];{nl}}}"),
+    )
+    prose_kw = F.concat(
+        F.lit("the class will return for a while if "),
+        F.substring(F.coalesce("text", F.lit("")), 1, 120),
+    )
+    stext = (
+        F.when(i % 3 == 0, code)
+        .when(i % 3 == 1, prose_kw)
+        .otherwise(F.substring(F.coalesce("text", F.lit("")), 1, 120))
+    )
+    cols = code_detect_cols(stext)
+    return docs.select(
+        "doc_id", *(cols[k].alias(k) for k in cols)
+    ).orderBy("doc_id")
+
+
+def q_soft_404(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft-404 detection (functions/webquality.py:soft_404_cols):
+    doc_id%7==0 plants a 404 title + thin body, %7==1 a 'does not exist'
+    thin body under a clean title, %7==2 an error-themed title over a
+    LONG body (the false-positive-shaped case — still title-flagged by
+    design), else clean title + corpus body. DuckDB replays the signal
+    regexes and the 0.5/0.3/0.2 score from the same inputs."""
+    from invoice_ocr_reconciler_spark.functions.webquality import soft_404_cols
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    i = F.col("doc_id")
+    title = (
+        F.when(i % 7 == 0, F.lit("404 Not Found"))
+        .when(i % 7 == 2, F.lit("Error log analysis"))
+        .otherwise(F.format_string("Document %d", i))
+    )
+    body = (
+        F.when(i % 7 == 0, F.lit("the page you requested was not found"))
+        .when(i % 7 == 1, F.lit("this page does not exist anymore"))
+        .otherwise(
+            F.concat(
+                F.coalesce("text", F.lit("")), F.lit(" "),
+                F.coalesce("text", F.lit("")),
+            )
+        )
+    )
+    cols = soft_404_cols(title, body)
+    return docs.select(
+        "doc_id", *(cols[k].alias(k) for k in cols)
+    ).orderBy("doc_id")
+
+
+def q_mojibake_fix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mojibake detect+repair (functions/webquality.py:mojibake_cols):
+    doc_id%4==0 plants the classic artifacts (CafÃ©, â€œ, â€¦, Ã±),
+    %4==1 plants ALREADY-CLEAN accented text that must count 0 fixes,
+    else plain corpus text. DuckDB replays the alternation count and the
+    replace chain in the same order."""
+    from invoice_ocr_reconciler_spark.functions.webquality import mojibake_cols
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    i = F.col("doc_id")
+    base = F.substring(F.coalesce("text", F.lit("")), 1, 40)
+    stext = (
+        F.when(
+            i % 4 == 0,
+            F.concat(base, F.lit(" CafÃ© â€œquoteâ€¦ Ã±oÃ±o menÃ¼ â€™s")),
+        )
+        .when(i % 4 == 1, F.concat(base, F.lit(" Café “quote…” ñoño menü ’s")))
+        .otherwise(base)
+    )
+    cols = mojibake_cols(stext)
+    return docs.select(
+        "doc_id", *(cols[k].alias(k) for k in cols)
+    ).orderBy("doc_id")
+
+
+def q_pagination_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pagination-chain collapse (functions/urls.py:pagination_chains):
+    urls synthesized in four disjoint classes — unpaginated (dropped),
+    ?p=N, /page/N/ segment, ?page=N — over doc_id-derived hosts/slots so
+    chains genuinely collide across docs. DuckDB rebuilds the chain key
+    and page number from the synthesis rule and replays the groupBy."""
+    from invoice_ocr_reconciler_spark.functions.urls import pagination_chains
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    i = F.col("doc_id")
+    host = F.format_string("h%d.example", i % 5)
+    slot = i % 40
+    url = (
+        F.when(i % 11 == 0, F.format_string("https://%s/about-%d", host, slot))
+        .when(
+            i % 13 == 1,
+            F.format_string("https://%s/cat-%d?p=%d", host, slot, i % 7 + 1),
+        )
+        .when(
+            i % 3 == 0,
+            F.format_string("https://%s/list-%d/page/%d", host, slot, i % 7 + 1),
+        )
+        .otherwise(
+            F.format_string("https://%s/cat-%d?page=%d", host, slot, i % 7 + 1)
+        )
+    )
+    pages = docs.select(url.alias("url"))
+    return pagination_chains(pages).orderBy("chain_key")
+
+
+def q_bitext_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-slot bitext mining (operators/bitext.py:bitext_candidates):
+    urls synthesized in the two marker styles (/xx/ path segment for even
+    doc_ids, ?lang=xx query param for odd) over doc_id%25 slots, using
+    the documents table's OWN lang column; doc_id%17==0 plants an 'en'
+    marker regardless of lang — the mismatch rows the filter must drop.
+    DuckDB rebuilds the tagged rows from the rule and replays the
+    self-join + lang_a < lang_b pairing."""
+    from invoice_ocr_reconciler_spark.operators.bitext import bitext_candidates
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    i = F.col("doc_id")
+    marker = F.when(i % 17 == 0, F.lit("en")).otherwise(F.col("lang"))
+    url = F.when(
+        i % 2 == 0,
+        F.format_string("https://ml.example/%s/art-%d", marker, i % 25),
+    ).otherwise(
+        F.format_string("https://ml.example/a/art-%d?lang=%s", i % 25, marker)
+    )
+    pages = docs.select(url.alias("url"), "lang")
+    return bitext_candidates(pages).orderBy(
+        "slot", "lang_a", "url_a", "lang_b", "url_b"
+    )
+
+
+def q_wet_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WET conversion-record render (sources/warc.py:wet_export): pages
+    synthesized with md5-derived capture timestamps and corpus-slice
+    bodies (doc_id%31==0 EMPTY — zero-length record branch); the record
+    itself is md5-collapsed for the hash compare. DuckDB rebuilds every
+    header byte (strftime/md5/strlen + chr(13)chr(10) joins)."""
+    from invoice_ocr_reconciler_spark.sources.warc import wet_export
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    i = F.col("doc_id")
+    epoch = (
+        F.lit(1704067200).cast("long")
+        + (_u64(F.concat(F.lit("wet:"), i.cast("string"))) % 31536000).cast("long")
+    )
+    text = F.when(i % 31 == 0, F.lit("")).otherwise(
+        F.substring(F.coalesce("text", F.lit("")), 1, 100)
+    )
+    pages = docs.select(
+        F.format_string("https://w.example/%d", i).alias("url"),
+        F.timestamp_seconds(epoch).alias("warc_ts"),
+        text.alias("text"),
+    )
+    out = wet_export(pages)
+    return out.select(
+        "url",
+        "warc_date",
+        "digest",
+        "content_length",
+        F.md5(F.encode(F.col("record"), "utf-8")).alias("record_md5"),
+    ).orderBy("url")
+
+
+def q_snapshot_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capture-history retention (operators/diff.py:snapshot_retention):
+    ~10 captures per url (doc_id%50 slots) with md5-derived hour offsets
+    (collisions exercise the digest-desc tiebreak), keep=3. DuckDB
+    replays the row_number window and the keep/evict aggregation."""
+    from invoice_ocr_reconciler_spark.operators.diff import snapshot_retention
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    i = F.col("doc_id")
+    epoch = (
+        F.lit(1704067200).cast("long")
+        + (_u64(F.concat(F.lit("ret:"), i.cast("string"))) % 1000).cast("long")
+        * 3600
+    )
+    captures = docs.select(
+        F.format_string("https://r.example/d/%d", i % 50).alias("url"),
+        F.timestamp_seconds(epoch).alias("warc_ts"),
+        F.md5(F.concat(F.lit("d:"), i.cast("string"))).alias("digest"),
+    )
+    return snapshot_retention(captures, keep=3).orderBy("url")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from invoice_ocr_reconciler_spark.plans import relational as R
 
@@ -3161,6 +3384,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revisit_stats": q_revisit_stats,
         "seed_discovery": q_seed_discovery,
         "host_lang": q_host_lang,
+        # web-quality / export / retention band
+        "readability": q_readability,
+        "code_detect": q_code_detect,
+        "soft_404": q_soft_404,
+        "mojibake_fix": q_mojibake_fix,
+        "pagination_chains": q_pagination_chains,
+        "bitext_candidates": q_bitext_candidates,
+        "wet_export": q_wet_export,
+        "snapshot_retention": q_snapshot_retention,
     }
 
 
@@ -6439,5 +6671,265 @@ def oracle_sql() -> dict[str, str]:
                    floor(CAST(cnt AS DOUBLE) / n_docs * 1e6 + 0.5) / 1e6
                        AS top_lang_share
             FROM ranked WHERE rn = 1 ORDER BY host
+        """,
+        # readability: same synthesized text, same vowel-group/sentence/word
+        # counts, same 4-grid Flesch/FK arithmetic (all literals DOUBLE-cast
+        # so DuckDB doesn't run them in DECIMAL)
+        "readability": r"""
+            WITH s AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 13 = 0 THEN ''
+                            ELSE repeat('It is a simple day. ',
+                                        CAST(doc_id % 4 + 1 AS INT))
+                                 || substr(coalesce(text, ''), 1, 80)
+                                 || '. Extraordinarily complicated vocabulary follows naturally.'
+                       END AS t
+                FROM documents),
+            m AS (
+                SELECT doc_id,
+                       CASE WHEN length(trim(t)) = 0 THEN 0
+                            ELSE len(regexp_extract_all(trim(t), '\S+')) END AS w,
+                       greatest(len(regexp_extract_all(t, '[.!?]+')), 1) AS se,
+                       len(regexp_extract_all(lower(t), '[aeiouy]+')) AS sy
+                FROM s)
+            SELECT doc_id,
+                   CAST(w AS BIGINT) AS n_words,
+                   CAST(se AS BIGINT) AS n_sentences,
+                   CAST(sy AS BIGINT) AS n_syllables,
+                   CASE WHEN w = 0 THEN NULL
+                        ELSE floor((CAST(206.835 AS DOUBLE)
+                                    - CAST(1.015 AS DOUBLE) * (CAST(w AS DOUBLE) / se)
+                                    - CAST(84.6 AS DOUBLE) * (CAST(sy AS DOUBLE) / w))
+                                   * 1e4 + 0.5) / 1e4 END AS flesch_ease,
+                   CASE WHEN w = 0 THEN NULL
+                        ELSE floor((CAST(0.39 AS DOUBLE) * (CAST(w AS DOUBLE) / se)
+                                    + CAST(11.8 AS DOUBLE) * (CAST(sy AS DOUBLE) / w)
+                                    - CAST(15.59 AS DOUBLE))
+                                   * 1e4 + 0.5) / 1e4 END AS fk_grade
+            FROM m ORDER BY doc_id
+        """,
+        # code_detect: same planted code/prose text, same density ratios and
+        # 0.5/0.3/0.2 score; is_code compares the RAW (unrounded) score like
+        # the Spark side
+        "code_detect": r"""
+            WITH s AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 3 = 0 THEN
+                                repeat('def f(x):' || chr(10) || '  return x + 1;' || chr(10),
+                                       CAST(doc_id % 2 + 1 AS INT))
+                                || 'while (a < b) {' || chr(10) || chr(9)
+                                || 'b = a[0];' || chr(10) || '}'
+                            WHEN doc_id % 3 = 1 THEN
+                                'the class will return for a while if '
+                                || substr(coalesce(text, ''), 1, 120)
+                            ELSE substr(coalesce(text, ''), 1, 120) END AS t
+                FROM documents),
+            m AS (
+                SELECT doc_id, t,
+                       length(t) AS n_chars,
+                       len(regexp_extract_all(t, '[{}();=<>\[\]]')) AS n_sym,
+                       len(regexp_extract_all(lower(t),
+                           '\b(def|function|class|import|return|var|const|if|else|for|while)\b')) AS n_kw,
+                       len(regexp_extract_all(t, '\n(  |\t)')) AS n_indent,
+                       len(regexp_extract_all(t, '\n')) + 1 AS n_lines,
+                       CASE WHEN length(trim(t)) = 0 THEN 0
+                            ELSE len(regexp_extract_all(trim(t), '\S+')) END AS n_tok
+                FROM s),
+            r AS (
+                SELECT doc_id, n_sym, n_kw, n_indent,
+                       (least(CASE WHEN n_chars > 0
+                                   THEN CAST(n_sym AS DOUBLE) / n_chars
+                                   ELSE CAST(0.0 AS DOUBLE) END * CAST(10.0 AS DOUBLE),
+                              CAST(1.0 AS DOUBLE)) * CAST(0.5 AS DOUBLE))
+                       + (least(CAST(n_indent AS DOUBLE) / n_lines * CAST(2.0 AS DOUBLE),
+                                CAST(1.0 AS DOUBLE)) * CAST(0.3 AS DOUBLE))
+                       + (least(CASE WHEN n_tok > 0
+                                     THEN CAST(n_kw AS DOUBLE) / n_tok
+                                     ELSE CAST(0.0 AS DOUBLE) END * CAST(10.0 AS DOUBLE),
+                                CAST(1.0 AS DOUBLE)) * CAST(0.2 AS DOUBLE)) AS score
+                FROM m)
+            SELECT doc_id,
+                   CAST(n_sym AS INT) AS n_symbols,
+                   CAST(n_kw AS INT) AS n_keywords,
+                   CAST(n_indent AS INT) AS n_indented,
+                   floor(score * 1e4 + 0.5) / 1e4 AS code_score,
+                   score >= CAST(0.5 AS DOUBLE) AS is_code
+            FROM r ORDER BY doc_id
+        """,
+        # soft_404: same planted title/body classes, same signal regexes,
+        # raw-score flag threshold
+        "soft_404": r"""
+            WITH s AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 7 = 0 THEN '404 Not Found'
+                            WHEN doc_id % 7 = 2 THEN 'Error log analysis'
+                            ELSE printf('Document %d', doc_id) END AS title,
+                       CASE WHEN doc_id % 7 = 0 THEN 'the page you requested was not found'
+                            WHEN doc_id % 7 = 1 THEN 'this page does not exist anymore'
+                            ELSE coalesce(text, '') || ' ' || coalesce(text, '') END AS body
+                FROM documents),
+            m AS (
+                SELECT doc_id,
+                       CASE WHEN len(regexp_extract_all(lower(title),
+                            '(\b404\b|not found|page unavailable|error)')) > 0
+                            THEN 1 ELSE 0 END AS title_hit,
+                       CASE WHEN len(regexp_extract_all(lower(body),
+                            '(page not found|does not exist|no longer available|been removed|could not be found)')) > 0
+                            THEN 1 ELSE 0 END AS body_hit,
+                       CASE WHEN (CASE WHEN length(trim(body)) = 0 THEN 0
+                                       ELSE len(regexp_extract_all(trim(body), '\S+')) END) < 30
+                            THEN 1 ELSE 0 END AS thin
+                FROM s),
+            r AS (
+                SELECT doc_id, title_hit, body_hit, thin,
+                       title_hit * CAST(0.5 AS DOUBLE)
+                       + body_hit * CAST(0.3 AS DOUBLE)
+                       + thin * CAST(0.2 AS DOUBLE) AS score
+                FROM m)
+            SELECT doc_id,
+                   CAST(title_hit AS INT) AS title_hit,
+                   CAST(body_hit AS INT) AS body_hit,
+                   CAST(thin AS INT) AS thin,
+                   floor(score * 1e4 + 0.5) / 1e4 AS soft404_score,
+                   score >= CAST(0.5 AS DOUBLE) AS is_soft404
+            FROM r ORDER BY doc_id
+        """,
+        # mojibake_fix: same planted artifacts, same alternation count and
+        # replace chain in MOJIBAKE_MAP order (keep in sync with
+        # functions/webquality.py)
+        "mojibake_fix": r"""
+            WITH s AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 4 = 0 THEN
+                                substr(coalesce(text, ''), 1, 40)
+                                || ' CafÃ© â€œquoteâ€¦ Ã±oÃ±o menÃ¼ â€™s'
+                            WHEN doc_id % 4 = 1 THEN
+                                substr(coalesce(text, ''), 1, 40)
+                                || ' Café “quote…” ñoño menü ’s'
+                            ELSE substr(coalesce(text, ''), 1, 40) END AS t
+                FROM documents),
+            m AS (
+                SELECT doc_id, t,
+                       len(regexp_extract_all(t,
+                           '(â€™|â€œ|â€“|â€¦|Ã©|Ã¨|Ã¼|Ã¶|Ã±|Ã¡)')) AS n
+                FROM s)
+            SELECT doc_id,
+                   CAST(n AS INT) AS n_fixes,
+                   replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(
+                       t, 'â€™', '’'), 'â€œ', '“'), 'â€“', '–'), 'â€¦', '…'),
+                       'Ã©', 'é'), 'Ã¨', 'è'), 'Ã¼', 'ü'), 'Ã¶', 'ö'),
+                       'Ã±', 'ñ'), 'Ã¡', 'á') AS fixed_text,
+                   n > 0 AS is_mojibake
+            FROM m ORDER BY doc_id
+        """,
+        # pagination_chains: rebuild chain key + page number from the url
+        # synthesis rule, replay the groupBy
+        "pagination_chains": r"""
+            WITH u AS (
+                SELECT doc_id,
+                       printf('h%d.example', doc_id % 5) AS host,
+                       doc_id % 40 AS slot,
+                       doc_id % 7 + 1 AS pg
+                FROM documents),
+            t AS (
+                SELECT CASE
+                           WHEN doc_id % 11 = 0 THEN NULL
+                           WHEN doc_id % 13 = 1
+                               THEN printf('https://%s/cat-%d?p=*', host, slot)
+                           WHEN doc_id % 3 = 0
+                               THEN printf('https://%s/list-%d/page/*', host, slot)
+                           ELSE printf('https://%s/cat-%d?page=*', host, slot)
+                       END AS chain_key,
+                       CASE WHEN doc_id % 11 = 0 THEN NULL ELSE pg END AS page_num
+                FROM u)
+            SELECT chain_key,
+                   count(*) AS n_captures,
+                   CAST(count(DISTINCT page_num) AS BIGINT) AS n_pages,
+                   CAST(min(page_num) AS INT) AS min_page,
+                   CAST(max(page_num) AS INT) AS max_page
+            FROM t WHERE page_num IS NOT NULL
+            GROUP BY chain_key ORDER BY chain_key
+        """,
+        # bitext_candidates: rebuild the tagged (url, lang, slot) rows from
+        # the synthesis rule (marker-mismatch rows dropped), replay the
+        # self-join with lang_a < lang_b
+        "bitext_candidates": r"""
+            WITH tag AS (
+                SELECT doc_id, lang,
+                       CASE WHEN doc_id % 17 = 0 THEN 'en' ELSE lang END AS marker,
+                       doc_id % 25 AS slot_n,
+                       doc_id % 2 AS style
+                FROM documents),
+            tg AS (
+                SELECT CASE WHEN style = 0
+                            THEN printf('https://ml.example/%s/art-%d', marker, slot_n)
+                            ELSE printf('https://ml.example/a/art-%d?lang=%s', slot_n, marker)
+                       END AS url,
+                       lang,
+                       CASE WHEN style = 0
+                            THEN printf('https://ml.example/*/art-%d', slot_n)
+                            ELSE printf('https://ml.example/a/art-%d?lang=*', slot_n)
+                       END AS slot
+                FROM tag WHERE marker = lang)
+            SELECT a.slot AS slot,
+                   a.lang AS lang_a, a.url AS url_a,
+                   b.lang AS lang_b, b.url AS url_b
+            FROM tg a JOIN tg b ON a.slot = b.slot AND a.lang < b.lang
+            ORDER BY slot, lang_a, url_a, lang_b, url_b
+        """,
+        # wet_export: rebuild every header byte (strftime/md5/strlen,
+        # chr(13)||chr(10) line ends) and hash the record
+        "wet_export": r"""
+            WITH p AS (
+                SELECT doc_id,
+                       printf('https://w.example/%d', doc_id) AS url,
+                       1704067200
+                       + ('0x' || substr(md5('wet:' || CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT
+                         % 31536000 AS epoch,
+                       CASE WHEN doc_id % 31 = 0 THEN ''
+                            ELSE substr(coalesce(text, ''), 1, 100) END AS t
+                FROM documents),
+            r AS (
+                SELECT url,
+                       strftime(make_timestamp(CAST(epoch * 1000000 AS BIGINT)),
+                                '%Y-%m-%dT%H:%M:%SZ') AS warc_date,
+                       md5(t) AS digest,
+                       CAST(strlen(t) AS INT) AS content_length,
+                       t
+                FROM p)
+            SELECT url, warc_date, digest, content_length,
+                   md5('WARC/1.0' || chr(13) || chr(10)
+                       || 'WARC-Type: conversion' || chr(13) || chr(10)
+                       || 'WARC-Target-URI: ' || url || chr(13) || chr(10)
+                       || 'WARC-Date: ' || warc_date || chr(13) || chr(10)
+                       || 'WARC-Block-Digest: md5:' || digest || chr(13) || chr(10)
+                       || 'Content-Length: ' || CAST(content_length AS VARCHAR)
+                       || chr(13) || chr(10) || chr(13) || chr(10)
+                       || t || chr(13) || chr(10) || chr(13) || chr(10)) AS record_md5
+            FROM r ORDER BY url
+        """,
+        # snapshot_retention: same capture synthesis, same (ts DESC, digest
+        # DESC) window, same keep=3 split
+        "snapshot_retention": r"""
+            WITH c AS (
+                SELECT printf('https://r.example/d/%d', doc_id % 50) AS url,
+                       make_timestamp(CAST(
+                           (1704067200
+                            + ('0x' || substr(md5('ret:' || CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT
+                              % 1000 * 3600) * 1000000 AS BIGINT)) AS ts,
+                       md5('d:' || CAST(doc_id AS VARCHAR)) AS digest
+                FROM documents),
+            rk AS (
+                SELECT url, ts,
+                       row_number() OVER (PARTITION BY url
+                                          ORDER BY ts DESC, digest DESC) AS rn
+                FROM c)
+            SELECT url,
+                   count(*) AS n_captures,
+                   CAST(sum(CASE WHEN rn <= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+                   CAST(sum(CASE WHEN rn <= 3 THEN 0 ELSE 1 END) AS BIGINT) AS n_evicted,
+                   max(ts) AS newest_ts,
+                   min(CASE WHEN rn <= 3 THEN ts END) AS oldest_kept_ts
+            FROM rk GROUP BY url ORDER BY url
         """,
     }

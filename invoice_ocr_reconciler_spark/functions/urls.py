@@ -345,3 +345,53 @@ def url_templates(
             ).alias("is_trap"),
         )
     )
+
+
+def pagination_chains(pages: DataFrame, url_col: str = "url") -> DataFrame:
+    """Collapse paginated listing URLs into per-chain summaries.
+
+    Listing pages (?page=N, /page/N/, ?p=N) are near-identical shells
+    around rotating content; a corpus build wants ONE representative per
+    chain (usually page 1) plus the chain's extent for crawl planning.
+    A url joins a chain when it carries a recognizable page number; the
+    chain key is the url with that number replaced by '*' (so differently
+    -numbered siblings collide and nothing else does).
+
+    -> (chain_key, n_captures, n_pages, min_page, max_page) with
+    n_pages = distinct page numbers (re-crawls of the same page don't
+    inflate the extent). Non-paginated urls are dropped, not guessed at.
+
+    Shape: one scan -> regexp projection -> groupBy(chain_key) with
+    partial aggs; no joins, no UDF. All patterns are RE2-safe so the
+    DuckDB oracle replays the REAL extraction.
+    """
+    u = F.col(url_col)
+    # first match wins across the three recognizers, like the reference's
+    # extractField cascades (backend/invoiceParser.js:61-67)
+    qp_page = F.regexp_extract(u, r"[?&]page=([0-9]+)", 1)
+    seg_page = F.regexp_extract(u, r"/page/([0-9]+)", 1)
+    qp_p = F.regexp_extract(u, r"[?&]p=([0-9]+)", 1)
+    page_s = F.when(qp_page != "", qp_page).when(seg_page != "", seg_page).when(
+        qp_p != "", qp_p
+    )
+    # normalize ONLY the recognizer that matched: ?page= takes priority,
+    # then /page/N, then ?p= — mirrors the extraction priority above
+    key = (
+        F.when(
+            qp_page != "",
+            F.regexp_replace(u, r"([?&])page=[0-9]+", r"$1page=*"),
+        )
+        .when(seg_page != "", F.regexp_replace(u, r"/page/[0-9]+", "/page/*"))
+        .otherwise(F.regexp_replace(u, r"([?&])p=[0-9]+", r"$1p=*"))
+    )
+    return (
+        pages.select(page_s.cast("int").alias("page_num"), key.alias("chain_key"))
+        .filter(F.col("page_num").isNotNull())
+        .groupBy("chain_key")
+        .agg(
+            F.count("*").alias("n_captures"),
+            F.count_distinct("page_num").alias("n_pages"),
+            F.min("page_num").alias("min_page"),
+            F.max("page_num").alias("max_page"),
+        )
+    )

@@ -244,3 +244,45 @@ def vocab_drift(
             6,
         ).alias("kl_drift"),
     )
+
+
+def snapshot_retention(
+    captures: DataFrame,
+    keep: int = 3,
+    key_col: str = "url",
+    ts_col: str = "warc_ts",
+    digest_col: str = "digest",
+) -> DataFrame:
+    """Retention policy over the capture history: keep the newest `keep`
+    captures per url, summarize what that evicts.
+
+    A re-crawled corpus accretes snapshots without bound; storage policy
+    at 10^12 urls is "newest K per url" (the CDX store's pruning rule).
+    This computes, per url, the keep/evict split and the boundary
+    timestamps so the actual delete can run as a partition-local anti
+    filter against (url, ts) pairs older than `oldest_kept_ts`.
+
+    -> (url, n_captures, n_kept, n_evicted, newest_ts, oldest_kept_ts).
+    Ordering is (ts DESC, digest DESC) — digest breaks same-second
+    re-fetch ties deterministically, same convention as cdx_latest.
+
+    Shape: one window pass (single hash exchange on url) + partial-agg
+    groupBy on the SAME key — AQE reuses the partitioning, so one shuffle
+    total. No UDF; replayable in SQL by the oracle.
+    """
+    w = Window.partitionBy("url").orderBy(
+        F.col("ts").desc(), F.col("digest").desc()
+    )
+    ranked = captures.select(
+        F.col(key_col).alias("url"),
+        F.col(ts_col).alias("ts"),
+        F.col(digest_col).alias("digest"),
+    ).withColumn("rn", F.row_number().over(w))
+    kept = F.col("rn") <= F.lit(keep)
+    return ranked.groupBy("url").agg(
+        F.count("*").alias("n_captures"),
+        F.sum(kept.cast("int")).alias("n_kept"),
+        F.sum((~kept).cast("int")).alias("n_evicted"),
+        F.max("ts").alias("newest_ts"),
+        F.min(F.when(kept, F.col("ts"))).alias("oldest_kept_ts"),
+    )

@@ -241,3 +241,56 @@ def sniff_content_type_col(payload):
         .otherwise(F.lit(""))
     )
     return F.struct(ct.alias("content_type"), bom.alias("bom"))
+
+
+def wet_export(pages, url_col="url", ts_col="warc_ts", text_col="text"):
+    """Render WET-style conversion records from extracted pages.
+
+    The WET sibling of a WARC crawl is the standard interchange format for
+    extracted text (what downstream consumers of a Common-Crawl-style
+    corpus actually read); exporting it closes the loop opened by
+    parse_warc_records (ingest) above. One record per page:
+
+        WARC/1.0
+        WARC-Type: conversion
+        WARC-Target-URI: <url>
+        WARC-Date: <ISO-8601 UTC>
+        WARC-Block-Digest: md5:<hex md5 of the utf-8 text>
+        Content-Length: <utf-8 OCTET length of the text>
+        <blank line>
+        <text>
+
+    -> (url, warc_date, digest, content_length, record). Pure codegen
+    string/concat/hash expressions — no UDF, no shuffle; the sink is a
+    plain text write of `record` partitioned however the caller wants.
+    Digest is md5 (engine-portable) rather than the spec's sha1-b32:
+    documented deviation so the DuckDB oracle can replay records
+    byte-for-byte.
+    """
+    from pyspark.sql import functions as F
+
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    # session timeZone is UTC (session.py), so date_format renders UTC
+    warc_date = F.date_format(F.col(ts_col), "yyyy-MM-dd'T'HH:mm:ss'Z'")
+    digest = F.md5(F.encode(text, "utf-8"))
+    clen = F.octet_length(text)
+    record = F.concat(
+        F.lit("WARC/1.0\r\nWARC-Type: conversion\r\nWARC-Target-URI: "),
+        F.col(url_col),
+        F.lit("\r\nWARC-Date: "),
+        warc_date,
+        F.lit("\r\nWARC-Block-Digest: md5:"),
+        digest,
+        F.lit("\r\nContent-Length: "),
+        clen.cast("string"),
+        F.lit("\r\n\r\n"),
+        text,
+        F.lit("\r\n\r\n"),
+    )
+    return pages.select(
+        F.col(url_col).alias("url"),
+        warc_date.alias("warc_date"),
+        digest.alias("digest"),
+        clen.alias("content_length"),
+        record.alias("record"),
+    )

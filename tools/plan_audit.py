@@ -48,6 +48,9 @@ PURE_CODEGEN_QUERIES = [
     "decontaminate_semantic", "embedding_outliers", "ccnet_buckets",
     "canonicalize_urls", "html_outline", "parse_feeds",
     "resolve_redirects", "revisit_stats",
+    "readability", "code_detect", "soft_404", "mojibake_fix",
+    "pagination_chains", "bitext_candidates", "wet_export",
+    "snapshot_retention",
 ]
 # NOT listed although their OPERATORS are pure codegen: queries whose
 # INPUT synthesis is datagen.pages_from_documents (a mapInPandas page
