@@ -3218,6 +3218,156 @@ def q_snapshot_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snapshot_retention(captures, keep=3).orderBy("url")
 
 
+def _fs_fields():
+    """The published m/u priors for the FS linkage demo — one source of
+    truth for both the Spark plan and the DuckDB oracle (weights embed as
+    identical Python-float literals on both sides)."""
+    from invoice_ocr_reconciler_spark.operators.linkage import FieldSpec
+
+    return [
+        FieldSpec("name", 0.95, 0.001),
+        FieldSpec("segment", 0.9, 0.2),
+        FieldSpec("balband", 0.85, 0.02),
+        FieldSpec("refcode", 0.9, 0.0005),
+    ]
+
+
+def q_record_linkage_fs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi–Sunter probabilistic linkage (operators/linkage.py:
+    fs_linkage) — generalizes the reference's ad-hoc fuzzy reconciliation
+    scoring (/root/reference/backend/server.js:500-560) into per-field
+    log2(m/u) agreement weights with a match/possible/non-match decision.
+    B-side = deterministically perturbed customers (name tail swap on
+    id%5, segment swap on id%7, balance shift on id%3, NULLed refcode on
+    id%11) so agreement, disagreement, AND missing-data weight paths all
+    light up; blocked on nationkey. Pure codegen; DuckDB replays the
+    perturbation + identical weight literals."""
+    from invoice_ocr_reconciler_spark.operators.linkage import fs_linkage
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    k = F.col("c_custkey")
+    a = cust.select(
+        k.alias("id_a"),
+        F.col("c_nationkey").alias("block"),
+        F.col("c_name").alias("a_name"),
+        F.col("c_mktsegment").alias("a_segment"),
+        F.floor(F.col("c_acctbal") / 100).cast("bigint").alias("a_balband"),
+        F.substring("c_name", 15, 4).alias("a_refcode"),
+    )
+    bal_b = F.when(k % 3 == 0, F.col("c_acctbal") + 250.0).otherwise(
+        F.col("c_acctbal")
+    )
+    b = cust.select(
+        k.alias("id_b"),
+        F.col("c_nationkey").alias("block"),
+        F.when(
+            k % 5 == 0,
+            F.expr("substring(c_name, 1, length(c_name) - 1) || 'X'"),
+        )
+        .otherwise(F.col("c_name"))
+        .alias("b_name"),
+        F.when(k % 7 == 0, F.lit("OTHER"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("b_segment"),
+        F.floor(bal_b / 100).cast("bigint").alias("b_balband"),
+        F.when(k % 11 == 0, F.lit(None).cast("string"))
+        .otherwise(F.substring("c_name", 15, 4))
+        .alias("b_refcode"),
+    )
+    return fs_linkage(a, b, fields=_fs_fields(), lower=4.0, upper=12.0)
+
+
+def q_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking-scheme sweep (operators/linkage.py:blocking_metrics):
+    reduction ratio + pairs completeness for four candidate blocking
+    keys, computed from block-size products and truth-pair key equality —
+    no candidate pair ever materialized. B-side perturbs the FIRST name
+    char on id%5 so prefix-based schemes lose exactly that truth mass
+    while nation/suffix schemes keep completeness 1.0."""
+    from invoice_ocr_reconciler_spark.operators.linkage import blocking_metrics
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    k = F.col("c_custkey")
+    a = cust.select(
+        k.alias("rec_id"),
+        F.lit("a").alias("side"),
+        F.col("c_nationkey").alias("nation"),
+        F.col("c_name").alias("name"),
+    )
+    b = cust.select(
+        k.alias("rec_id"),
+        F.lit("b").alias("side"),
+        F.col("c_nationkey").alias("nation"),
+        F.when(k % 5 == 0, F.concat(F.lit("x"), F.expr("substring(c_name, 2)")))
+        .otherwise(F.col("c_name"))
+        .alias("name"),
+    )
+    records = a.unionByName(b)
+    truth = cust.select(k.alias("id_a"), k.alias("id_b"))
+    schemes = {
+        "nation": F.col("nation").cast("string"),
+        "prefix4": F.substring("name", 1, 4),
+        "suffix3": F.substring("name", 16, 3),
+        "nation_prefix1": F.concat_ws(
+            ":", F.col("nation").cast("string"), F.substring("name", 1, 1)
+        ),
+    }
+    return blocking_metrics(records, truth, schemes).orderBy("scheme")
+
+
+def q_k_anonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity release gate (operators/profile.py:k_anonymize_agg):
+    publish (status, priority, month) order stats only for groups of
+    >= 15; smaller groups collapse into one '*' bucket. Amounts ride
+    integer cents end-to-end so the suppressed total is exact in both
+    engines."""
+    from invoice_ocr_reconciler_spark.operators.profile import k_anonymize_agg
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    df = orders.select(
+        "o_orderstatus",
+        "o_orderpriority",
+        F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+        "o_totalprice",
+    )
+    return k_anonymize_agg(
+        df,
+        ["o_orderstatus", "o_orderpriority", "month"],
+        k=15,
+        amount_col="o_totalprice",
+    )
+
+
+def q_setjoin_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact set-similarity join via prefix filtering (operators/
+    setjoin.py:prefix_filtered_jaccard_join), tau = 7/10 over word
+    3-gram shingle sets (the corpus's small vocabulary saturates unigram
+    sets — background unigram Jaccard reaches 1.0). Near-dup pairs are
+    planted by unioning a variant corpus (every id%4 doc minus its last
+    two tokens, id+1000000); all threshold tests are integer arithmetic
+    so the DuckDB all-pairs oracle can never disagree on a borderline
+    pair."""
+    from invoice_ocr_reconciler_spark.operators.setjoin import (
+        prefix_filtered_jaccard_join,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sp = F.split(F.col("text"), " ")
+    var = docs.where(F.col("doc_id") % 4 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.array_join(
+            F.slice(
+                sp, 1, F.greatest(F.size(sp) - 2, F.lit(0)).cast("int")
+            ),
+            " ",
+        ).alias("text"),
+    )
+    all_docs = docs.select("doc_id", "text").unionByName(var)
+    return prefix_filtered_jaccard_join(
+        all_docs, tau_num=7, tau_den=10, gram_n=3
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from invoice_ocr_reconciler_spark.plans import relational as R
 
@@ -3393,6 +3543,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bitext_candidates": q_bitext_candidates,
         "wet_export": q_wet_export,
         "snapshot_retention": q_snapshot_retention,
+        # record-linkage band + exact set-similarity join + release gate
+        "record_linkage_fs": q_record_linkage_fs,
+        "blocking_quality": q_blocking_quality,
+        "k_anonymize": q_k_anonymize,
+        "setjoin_prefix": q_setjoin_prefix,
     }
 
 
@@ -3496,6 +3651,97 @@ def _hits_oracle(n_iter: int = 2) -> str:
         SELECT a.node, a.score AS authority, h.score AS hub
         FROM a{n_iter} a JOIN h{n_iter} h ON a.node = h.node
         ORDER BY authority DESC, a.node LIMIT 30
+    """
+
+
+def _fs_oracle_sql() -> str:
+    from invoice_ocr_reconciler_spark.operators.linkage import fs_weight_sql
+
+    ws = " + ".join(f"({fs_weight_sql(s)})" for s in _fs_fields())
+    return f"""
+        WITH a AS (
+            SELECT c_custkey AS id_a, c_nationkey AS block,
+                   c_name AS a_name, c_mktsegment AS a_segment,
+                   CAST(floor(c_acctbal / 100) AS BIGINT) AS a_balband,
+                   substr(c_name, 15, 4) AS a_refcode
+            FROM customer),
+        b AS (
+            SELECT c_custkey AS id_b, c_nationkey AS block,
+                   CASE WHEN c_custkey % 5 = 0
+                        THEN substr(c_name, 1, length(c_name) - 1) || 'X'
+                        ELSE c_name END AS b_name,
+                   CASE WHEN c_custkey % 7 = 0 THEN 'OTHER'
+                        ELSE c_mktsegment END AS b_segment,
+                   CAST(floor((CASE WHEN c_custkey % 3 = 0
+                                    THEN c_acctbal + 250.0
+                                    ELSE c_acctbal END) / 100) AS BIGINT) AS b_balband,
+                   CASE WHEN c_custkey % 11 = 0 THEN NULL
+                        ELSE substr(c_name, 15, 4) END AS b_refcode
+            FROM customer),
+        p AS (
+            SELECT id_a, id_b,
+                   floor(({ws}) * 1000000.0 + 0.5) / 1000000.0 AS score
+            FROM a JOIN b USING (block))
+        SELECT id_a, id_b, score,
+               CASE WHEN score >= 12.0 THEN 'match'
+                    WHEN score <= 4.0 THEN 'non_match'
+                    ELSE 'possible' END AS decision
+        FROM p WHERE score > 4.0
+    """
+
+
+def _blocking_oracle_sql() -> str:
+    # key expressions per scheme, as functions of (nation, name) column refs
+    def keys(nation: str, name: str) -> dict[str, str]:
+        return {
+            "nation": f"CAST({nation} AS VARCHAR)",
+            "prefix4": f"substr({name}, 1, 4)",
+            "suffix3": f"substr({name}, 16, 3)",
+            "nation_prefix1": (
+                f"CAST({nation} AS VARCHAR) || ':' || substr({name}, 1, 1)"
+            ),
+        }
+
+    ku = keys("nation", "name")
+    ka = keys("na", "nma")
+    kb = keys("nb", "nmb")
+    arms = []
+    for nm in ku:
+        arms.append(f"""
+            SELECT '{nm}' AS scheme, n_blocks, cand_pairs,
+                   reduction_ratio, pairs_completeness
+            FROM (
+                SELECT CAST(count(*) AS BIGINT) AS n_blocks,
+                       CAST(sum(n_a * n_b) AS BIGINT) AS cand_pairs,
+                       floor((1.0 - sum(n_a * n_b) / (sum(n_a) * sum(n_b)))
+                             * 1000000.0 + 0.5) / 1000000.0 AS reduction_ratio
+                FROM (SELECT {ku[nm]} AS k,
+                             sum(CASE WHEN side = 'a' THEN 1 ELSE 0 END) AS n_a,
+                             sum(CASE WHEN side = 'b' THEN 1 ELSE 0 END) AS n_b
+                      FROM u GROUP BY 1)),
+                 (SELECT floor(sum(CASE WHEN {ka[nm]} = {kb[nm]} THEN 1 ELSE 0 END)
+                               / CAST(count(*) AS DOUBLE)
+                               * 1000000.0 + 0.5) / 1000000.0 AS pairs_completeness
+                  FROM t)""")
+    body = "\nUNION ALL\n".join(arms)
+    return f"""
+        WITH a AS (
+            SELECT c_custkey AS rid, c_nationkey AS nation, c_name AS name
+            FROM customer),
+        b AS (
+            SELECT c_custkey AS rid, c_nationkey AS nation,
+                   CASE WHEN c_custkey % 5 = 0 THEN 'x' || substr(c_name, 2)
+                        ELSE c_name END AS name
+            FROM customer),
+        t AS (
+            SELECT a.rid, a.nation AS na, a.name AS nma,
+                   b.nation AS nb, b.name AS nmb
+            FROM a JOIN b ON a.rid = b.rid),
+        u AS (
+            SELECT nation, name, 'a' AS side FROM a
+            UNION ALL SELECT nation, name, 'b' FROM b)
+        {body}
+        ORDER BY scheme
     """
 
 
@@ -6931,5 +7177,68 @@ def oracle_sql() -> dict[str, str]:
                    max(ts) AS newest_ts,
                    min(CASE WHEN rn <= 3 THEN ts END) AS oldest_kept_ts
             FROM rk GROUP BY url ORDER BY url
+        """,
+        # record_linkage_fs: same perturbation CTEs; weight literals are
+        # the identical Python floats via repr(); same left-to-right sum,
+        # same 1e-6 grid, decision computed on the ROUNDED score
+        "record_linkage_fs": _fs_oracle_sql(),
+        # blocking_quality: per-scheme UNION ALL; candidate mass from
+        # block-size products, completeness from key equality on the
+        # identity truth pairs
+        "blocking_quality": _blocking_oracle_sql(),
+        "k_anonymize": """
+            WITH g AS (
+                SELECT o_orderstatus, o_orderpriority,
+                       strftime(o_orderdate, '%Y-%m') AS month,
+                       CAST(count(*) AS BIGINT) AS n,
+                       CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+                FROM orders GROUP BY 1, 2, 3)
+            SELECT o_orderstatus, o_orderpriority, month, n,
+                   CAST(cents AS DOUBLE) / 100.0 AS total
+            FROM g WHERE n >= 15
+            UNION ALL
+            SELECT '*', '*', '*', CAST(sum(n) AS BIGINT),
+                   CAST(CAST(sum(cents) AS BIGINT) AS DOUBLE) / 100.0
+            FROM g WHERE n < 15 HAVING count(*) > 0
+        """,
+        # setjoin_prefix: exact all-pairs ground truth (no prefix filter
+        # needed at oracle scale); every threshold test is integer
+        # arithmetic (5*inter >= 3*union) so borderline pairs agree
+        "setjoin_prefix": """
+            WITH sp AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+            var AS (
+                SELECT doc_id + 1000000 AS doc_id,
+                       array_to_string(list_slice(l, 1, greatest(len(l) - 2, 0)), ' ') AS text
+                FROM sp WHERE doc_id % 4 = 0),
+            alldocs AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL SELECT doc_id, text FROM var),
+            tk AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(
+                           lower(trim(coalesce(text, ''))), '\\s+'),
+                           t -> t <> '') AS toks
+                FROM alldocs),
+            tok AS (
+                SELECT doc_id,
+                       unnest(list_distinct(
+                           CASE WHEN len(toks) < 3 THEN []
+                                ELSE list_transform(range(1, len(toks) - 1),
+                                    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                           END)) AS tok
+                FROM tk),
+            sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM tok GROUP BY 1),
+            ins AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       CAST(count(*) AS BIGINT) AS inter
+                FROM tok a JOIN tok b ON a.tok = b.tok AND a.doc_id < b.doc_id
+                GROUP BY 1, 2)
+            SELECT id_a, id_b, inter,
+                   floor(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter)
+                         * 1000000.0 + 0.5) / 1000000.0 AS jaccard
+            FROM ins
+            JOIN sz sa ON ins.id_a = sa.doc_id
+            JOIN sz sb ON ins.id_b = sb.doc_id
+            WHERE 10 * inter >= 7 * (sa.sz + sb.sz - inter)
         """,
     }

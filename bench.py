@@ -90,6 +90,8 @@ def main() -> None:
         "parse_feeds",       # RSS/Atom seeding (codegen blocks)
         "revisit_stats",     # change-frequency recrawl policy
         "ann_brute_force",
+        "record_linkage_fs",    # Fellegi-Sunter blocked linkage (codegen)
+        "setjoin_prefix",       # exact Jaccard join via prefix filtering
         "upsert_table",         # MERGE/upsert over the orders table
         "status_writeback",     # E2 write-back (UPDATE-only MERGE)
         "extract_pages",        # extraction stage alone

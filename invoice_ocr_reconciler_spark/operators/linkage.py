@@ -1,0 +1,219 @@
+"""Probabilistic record linkage — the Fellegi–Sunter band.
+
+The reference's reconciliation (`/root/reference/backend/server.js:500-560`)
+scores extracted invoices against a ledger with ad-hoc fuzzy weights
+(vendor similarity + amount tolerance). This module generalizes that into
+the classical Fellegi–Sunter (1969) decision model every production
+record-linkage system uses: per-field agreement weights
+``w_agree = log2(m/u)`` / ``w_disagree = log2((1-m)/(1-u))`` summed into a
+match score, with a three-way decision (match / possible / non-match)
+against two thresholds. ``m`` = P(field agrees | true match), ``u`` =
+P(field agrees | non-match).
+
+Scale shape (10^12 rows):
+
+- **Blocked equi-join only.** Candidate pairs come from a shuffle
+  hash/sort-merge join on a caller-supplied block key — never a cross
+  product. Skewed blocks are the caller's contract (compose with the
+  repo's hot-key salting / capped blocking; see sources/pages.py).
+- **Weights are literals.** m/u are fitted offline (EM in production;
+  fixed published priors here, which keeps the whole score a codegen
+  column expression — no Python crossing, no UDF).
+- **Missing-data rule.** A NULL on either side contributes weight 0
+  (standard FS practice: absence is evidence of nothing).
+- ``blocking_metrics`` evaluates candidate-generation quality WITHOUT
+  materializing candidate pairs: candidate counts come from block-size
+  products (sum over blocks of n_a*n_b) and recall from whether a truth
+  pair's two block keys are equal — two aggregate jobs total regardless
+  of how many schemes are swept, which is what makes sweeping blocking
+  schemes feasible at corpus scale.
+
+Cross-engine contract: weights are Python-float literals embedded
+identically in the Spark plan and the DuckDB oracle; scores are summed in
+a fixed left-to-right chain and rounded on the 1e-6 grid (functions/
+text.py:roundn), so value hashes match bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from invoice_ocr_reconciler_spark.functions.text import roundn
+
+
+@dataclass(frozen=True)
+class FieldSpec:
+    """One compared field: columns ``a_<name>`` / ``b_<name>`` must exist
+    on the joined frame. m/u in (0,1), m > u."""
+
+    name: str
+    m: float
+    u: float
+
+    @property
+    def w_agree(self) -> float:
+        return math.log2(self.m / self.u)
+
+    @property
+    def w_disagree(self) -> float:
+        return math.log2((1.0 - self.m) / (1.0 - self.u))
+
+
+def _field_weight(spec: FieldSpec) -> Column:
+    a, b = F.col(f"a_{spec.name}"), F.col(f"b_{spec.name}")
+    return (
+        F.when(a.isNull() | b.isNull(), F.lit(0.0))
+        .when(a == b, F.lit(spec.w_agree))
+        .otherwise(F.lit(spec.w_disagree))
+    )
+
+
+def fs_linkage(
+    a: DataFrame,
+    b: DataFrame,
+    *,
+    fields: list[FieldSpec],
+    block_col: str = "block",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    lower: float,
+    upper: float,
+    keep_non_matches: bool = False,
+) -> DataFrame:
+    """Fellegi–Sunter linkage of ``a`` against ``b``.
+
+    ``a`` carries (id_a, block, a_<field>...), ``b`` carries
+    (id_b, block, b_<field>...). Returns (id_a, id_b, score, decision)
+    for every blocked pair, non-matches dropped unless
+    ``keep_non_matches`` (at corpus scale the non-match mass is ~all
+    pairs; dropping it pre-shuffle-out is the point).
+
+    -> one shuffle (the block equi-join); score + decision are pure
+    codegen; no Python crossing anywhere.
+    """
+    pairs = a.join(b, on=block_col)
+    score: Column | None = None
+    for spec in fields:
+        w = _field_weight(spec)
+        score = w if score is None else score + w
+    assert score is not None, "fs_linkage requires at least one field"
+    out = pairs.select(
+        id_a,
+        id_b,
+        roundn(score, 6).alias("score"),
+    ).withColumn(
+        "decision",
+        F.when(F.col("score") >= F.lit(upper), F.lit("match"))
+        .when(F.col("score") <= F.lit(lower), F.lit("non_match"))
+        .otherwise(F.lit("possible")),
+    )
+    if not keep_non_matches:
+        out = out.where(F.col("decision") != "non_match")
+    return out
+
+
+def fs_weight_sql(spec: FieldSpec) -> str:
+    """The DuckDB replay of one field's weight — identical literals,
+    identical CASE order, so the summed score is bit-equal."""
+    # explicit DOUBLE casts: DuckDB types bare numeric literals as DECIMAL,
+    # which would silently switch the score to decimal arithmetic
+    return (
+        f"CASE WHEN a_{spec.name} IS NULL OR b_{spec.name} IS NULL "
+        f"THEN CAST(0.0 AS DOUBLE) "
+        f"WHEN a_{spec.name} = b_{spec.name} "
+        f"THEN CAST({spec.w_agree!r} AS DOUBLE) "
+        f"ELSE CAST({spec.w_disagree!r} AS DOUBLE) END"
+    )
+
+
+def blocking_metrics(
+    records: DataFrame,
+    truth_pairs: DataFrame,
+    schemes: dict[str, Column],
+    *,
+    id_col: str = "rec_id",
+    side_col: str = "side",
+) -> DataFrame:
+    """Blocking-scheme sweep: reduction ratio + pairs completeness per
+    scheme, WITHOUT materializing a single candidate pair.
+
+    ``records`` = union of both linkage sides with ``side`` in ('a','b');
+    ``truth_pairs`` = (id_a, id_b) ground-truth matches; ``schemes`` maps
+    scheme name -> block-key Column over ``records``.
+
+    reduction_ratio   = 1 - sum_over_blocks(n_a*n_b) / (N_a*N_b)
+    pairs_completeness = |truth pairs whose two block keys are equal| / |truth|
+
+    Plan: ONE explode of the scheme array per record (rows x n_schemes),
+    one groupBy (scheme, key) for block sizes -> per-scheme candidate
+    mass as sum of products; truth coverage via two broadcast-sized joins
+    of truth against the exploded keys. Aggregate-only — candidate pairs
+    are never generated, which is the only way a blocking sweep is
+    runnable over 10^12 records.
+    """
+    keyed = records.select(
+        id_col,
+        side_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(name).alias("scheme"),
+                        key.cast("string").alias("bkey"),
+                    )
+                    for name, key in schemes.items()
+                ]
+            )
+        ).alias("sk"),
+    ).select(id_col, side_col, "sk.scheme", "sk.bkey")
+
+    sizes = keyed.groupBy("scheme", "bkey").agg(
+        F.sum(F.when(F.col(side_col) == "a", 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col(side_col) == "b", 1).otherwise(0)).alias("n_b"),
+    )
+    cand = sizes.groupBy("scheme").agg(
+        F.sum(F.col("n_a") * F.col("n_b")).alias("cand_pairs"),
+        F.sum("n_a").alias("total_a"),
+        F.sum("n_b").alias("total_b"),
+        F.count(F.lit(1)).alias("n_blocks"),
+    )
+
+    ka = keyed.where(F.col(side_col) == "a").select(
+        F.col(id_col).alias("id_a"), "scheme", F.col("bkey").alias("bkey_a")
+    )
+    kb = keyed.where(F.col(side_col) == "b").select(
+        F.col(id_col).alias("id_b"), "scheme", F.col("bkey").alias("bkey_b")
+    )
+    truth_n = truth_pairs.count()
+    covered = (
+        truth_pairs.join(ka, "id_a")
+        .join(kb, ["id_b", "scheme"])
+        .groupBy("scheme")
+        .agg(
+            F.sum(
+                F.when(F.col("bkey_a") == F.col("bkey_b"), 1).otherwise(0)
+            ).alias("covered")
+        )
+    )
+
+    return (
+        cand.join(covered, "scheme", "left")
+        .select(
+            "scheme",
+            "n_blocks",
+            "cand_pairs",
+            roundn(
+                F.lit(1.0)
+                - F.col("cand_pairs") / (F.col("total_a") * F.col("total_b")),
+                6,
+            ).alias("reduction_ratio"),
+            roundn(
+                F.coalesce(F.col("covered"), F.lit(0)) / F.lit(float(truth_n)),
+                6,
+            ).alias("pairs_completeness"),
+        )
+    )

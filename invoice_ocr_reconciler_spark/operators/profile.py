@@ -327,3 +327,48 @@ def host_language_mix(
             ).alias("top_lang_share"),
         )
     )
+
+
+def k_anonymize_agg(
+    df: DataFrame,
+    quasi_cols: list[str],
+    *,
+    k: int,
+    amount_col: str,
+) -> DataFrame:
+    """k-anonymity suppression guard for published aggregates: group by
+    the quasi-identifier columns, keep groups with >= k members verbatim,
+    and collapse every smaller group into ONE suppressed bucket whose
+    quasi values are '*' — so no published row describes fewer than k
+    individuals. This is the release gate a corpus-stats dashboard needs
+    before per-host / per-segment metrics leave the cluster.
+
+    Plan: one shuffle for the group-by (map-side partial aggs), then the
+    suppressed remainder — typically a tiny fraction — re-aggregates to a
+    single row (second exchange over only the small groups). Amounts are
+    carried as integer cents (floor(x*100+0.5) as BIGINT) through both
+    aggregations and divided once at render, so the suppressed bucket's
+    total is exact integer math — identical in any engine, immune to the
+    float re-rounding half-step trap.
+
+    -> (quasi..., n, total) with total on a fixed 2-dp render.
+    """
+    cents = F.floor(F.col(amount_col) * 100 + F.lit(0.5)).cast("bigint")
+    g = df.groupBy(*quasi_cols).agg(
+        F.count(F.lit(1)).alias("n"), F.sum(cents).alias("_cents")
+    )
+    kept = g.where(F.col("n") >= k)
+    suppressed = (
+        g.where(F.col("n") < k)
+        .groupBy()
+        .agg(F.sum("n").alias("n"), F.sum("_cents").alias("_cents"))
+        .where(F.col("n").isNotNull())
+        .select(
+            *[F.lit("*").alias(c) for c in quasi_cols], "n", "_cents"
+        )
+    )
+    return kept.unionByName(suppressed).select(
+        *quasi_cols,
+        F.col("n").cast("bigint").alias("n"),
+        (F.col("_cents").cast("double") / F.lit(100.0)).alias("total"),
+    )

@@ -1,0 +1,174 @@
+"""Exact set-similarity join with prefix filtering (PPJoin-style).
+
+Finds ALL pairs of documents whose token-set Jaccard similarity is
+>= tau — exactly, no sketch — using the prefix-filtering principle
+(Chaudhuri et al. SSJoin / Xiao et al. PPJoin): order every document's
+token set by one global ordering (rarest token first), keep only the
+first ``|s| - ceil(tau*|s|) + 1`` tokens as the *prefix*, and observe
+that two sets with Jaccard >= tau MUST share at least one prefix token.
+Candidate generation is then an equi-join on prefix tokens instead of an
+all-pairs cross product; an exact intersection verifies each candidate.
+
+This complements the repo's sketch band (dedup_minhash / dedup_simhash):
+those trade recall for speed; this is the exact-answer path whose cost is
+data-dependent but whose output is provably complete.
+
+Scale shape (10^12 docs):
+
+- Global token frequencies are ONE aggregate; the rarest-first ordering
+  makes prefixes land in the *smallest* postings lists, which is the
+  entire prefix-filtering bet.
+- The candidate join shuffles (token -> docs) postings; the length filter
+  ``den*|small| >= num*|big|`` is applied inside the join condition so
+  impossible pairs never leave the exchange.
+- Verification joins candidate ids back to the (deduplicated) token-set
+  arrays and intersects JVM-side (``array_intersect`` in codegen) — no
+  Python crossing anywhere in the operator.
+- tau is taken as an exact fraction (num/den); every threshold test is
+  integer arithmetic (``den*inter >= num*union``), so Spark and the
+  DuckDB oracle can never disagree on a borderline pair.
+
+Known degenerate case: a stop-token that appears in almost every prefix
+(possible when tau is low and documents are near-identical) fattens one
+postings list; ``hot_token_cap`` drops postings lists above the cap —
+OFF by default because it breaks exactness; the oracle-checked entry
+keeps it off, and the scale guard test pins what the cap does.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from invoice_ocr_reconciler_spark.functions.text import (
+    _word_ngrams,
+    roundn,
+    tokens_col,
+)
+
+
+def prefix_filtered_jaccard_join(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    tau_num: int = 3,
+    tau_den: int = 5,
+    gram_n: int = 1,
+    hot_token_cap: int | None = None,
+) -> DataFrame:
+    """All pairs (id_a < id_b) with set Jaccard >= tau_num/tau_den over
+    token sets (``gram_n=1``) or word n-gram shingle sets (``gram_n>=2``
+    — the right granularity when a small vocabulary saturates unigram
+    sets; docs with fewer than ``gram_n`` tokens drop out).
+
+    -> (id_a, id_b, inter, jaccard): ``inter`` the exact intersection
+    size, ``jaccard`` on the 1e-6 grid. Exact and complete (prefix
+    filtering admits no false negatives) unless ``hot_token_cap`` is set.
+    """
+    toks_arr = tokens_col(F.col(text_col))
+    elems = toks_arr if gram_n == 1 else _word_ngrams(toks_arr, gram_n)
+    sets = docs.select(
+        F.col(id_col).alias("sid"),
+        F.array_sort(F.array_distinct(elems)).alias("toks"),
+    ).where(F.size("toks") > 0)
+
+    toks = sets.select("sid", F.explode("toks").alias("tok"))
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("tf"))
+
+    # rarest-first global ordering, ties broken by the token itself
+    ordered = (
+        toks.join(freq, "tok")
+        .groupBy("sid")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("tf", "tok"))),
+                lambda s: s["tok"],
+            ).alias("ordered"),
+        )
+        .select(
+            "sid",
+            "ordered",
+            F.size("ordered").alias("sz"),
+        )
+    )
+
+    # prefix length p = sz - ceil(tau*sz) + 1, all-integer
+    ceil_tau_sz = F.floor(
+        (F.lit(tau_num) * F.col("sz") + F.lit(tau_den - 1)) / F.lit(tau_den)
+    ).cast("long")
+    prefixes = ordered.select(
+        "sid",
+        "sz",
+        F.explode(
+            F.slice(
+                "ordered", 1, (F.col("sz") - ceil_tau_sz + F.lit(1)).cast("int")
+            )
+        ).alias("ptok"),
+    )
+    if hot_token_cap is not None:
+        hot = (
+            prefixes.groupBy("ptok")
+            .agg(F.count(F.lit(1)).alias("pn"))
+            .where(F.col("pn") > hot_token_cap)
+            .select("ptok")
+        )
+        prefixes = prefixes.join(F.broadcast(hot), "ptok", "left_anti")
+
+    left = prefixes.select(
+        F.col("sid").alias("id_a"), F.col("sz").alias("sz_a"), "ptok"
+    )
+    right = prefixes.select(
+        F.col("sid").alias("id_b"),
+        F.col("sz").alias("sz_b"),
+        F.col("ptok").alias("ptok_b"),
+    )
+    cands = (
+        left.join(
+            right,
+            (F.col("ptok") == F.col("ptok_b"))
+            & (F.col("id_a") < F.col("id_b"))
+            # length filter: tau * max(sz) <= min(sz), as integers
+            & (
+                F.lit(tau_den) * F.least("sz_a", "sz_b")
+                >= F.lit(tau_num) * F.greatest("sz_a", "sz_b")
+            ),
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+    sets_a = sets.select(
+        F.col("sid").alias("id_a"),
+        F.col("toks").alias("toks_a"),
+        F.size("toks").alias("vsz_a"),
+    )
+    sets_b = sets.select(
+        F.col("sid").alias("id_b"),
+        F.col("toks").alias("toks_b"),
+        F.size("toks").alias("vsz_b"),
+    )
+    verified = (
+        cands.join(sets_a, "id_a")
+        .join(sets_b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("toks_a", "toks_b"))
+            .cast("long")
+            .alias("inter"),
+            (F.col("vsz_a") + F.col("vsz_b")).cast("long").alias("szsum"),
+        )
+        .withColumn("uni", F.col("szsum") - F.col("inter"))
+        .where(
+            F.lit(tau_den) * F.col("inter") >= F.lit(tau_num) * F.col("uni")
+        )
+    )
+    return verified.select(
+        "id_a",
+        "id_b",
+        "inter",
+        roundn(F.col("inter").cast("double") / F.col("uni"), 6).alias(
+            "jaccard"
+        ),
+    )

@@ -1,0 +1,231 @@
+"""Tests for the record-linkage band (operators/linkage.py), the
+k-anonymity release gate (operators/profile.py:k_anonymize_agg), and the
+prefix-filtered exact set-similarity join (operators/setjoin.py)."""
+
+import random
+
+from pyspark.sql import functions as F
+
+from invoice_ocr_reconciler_spark.operators.linkage import (
+    FieldSpec,
+    blocking_metrics,
+    fs_linkage,
+)
+from invoice_ocr_reconciler_spark.operators.profile import k_anonymize_agg
+from invoice_ocr_reconciler_spark.operators.setjoin import (
+    prefix_filtered_jaccard_join,
+)
+
+FIELDS = [
+    FieldSpec("name", 0.9, 0.01),
+    FieldSpec("city", 0.8, 0.1),
+]
+W_NAME_A, W_NAME_D = FIELDS[0].w_agree, FIELDS[0].w_disagree
+W_CITY_A, W_CITY_D = FIELDS[1].w_agree, FIELDS[1].w_disagree
+
+
+def _ab(spark, rows_a, rows_b):
+    a = spark.createDataFrame(rows_a, "id_a int, block int, a_name string, a_city string")
+    b = spark.createDataFrame(rows_b, "id_b int, block int, b_name string, b_city string")
+    return a, b
+
+
+class TestFsLinkage:
+    def test_decisions_and_weights(self, spark):
+        a, b = _ab(
+            spark,
+            [(1, 0, "ann", "rome"), (2, 0, "bob", "kiev"), (3, 1, "cyd", "oslo")],
+            [(10, 0, "ann", "rome"), (20, 0, "zed", "lima"), (30, 1, "cyd", None)],
+        )
+        out = fs_linkage(
+            a, b, fields=FIELDS, lower=0.0, upper=7.0, keep_non_matches=True
+        )
+        got = {(r.id_a, r.id_b): (r.score, r.decision) for r in out.collect()}
+        # block 0: 2x2 pairs; block 1: 1x1
+        assert len(got) == 5
+        full_agree = W_NAME_A + W_CITY_A
+        assert abs(got[(1, 10)][0] - full_agree) < 1e-5
+        assert got[(1, 10)][1] == "match"
+        # all-disagree pair
+        assert abs(got[(2, 20)][0] - (W_NAME_D + W_CITY_D)) < 1e-5
+        assert got[(2, 20)][1] == "non_match"
+        # NULL city contributes exactly 0 — name agreement only
+        assert abs(got[(3, 30)][0] - W_NAME_A) < 1e-5
+        assert got[(3, 30)][1] == "possible"
+
+    def test_non_matches_dropped_by_default(self, spark):
+        a, b = _ab(spark, [(1, 0, "ann", "rome")], [(20, 0, "zed", "lima")])
+        out = fs_linkage(a, b, fields=FIELDS, lower=0.0, upper=7.0)
+        assert out.count() == 0
+
+    def test_blocking_prevents_cross_block_pairs(self, spark):
+        a, b = _ab(spark, [(1, 0, "ann", "rome")], [(10, 1, "ann", "rome")])
+        out = fs_linkage(
+            a, b, fields=FIELDS, lower=-99.0, upper=6.0, keep_non_matches=True
+        )
+        assert out.count() == 0
+
+
+class TestBlockingMetrics:
+    def test_hand_computed(self, spark):
+        records = spark.createDataFrame(
+            [
+                (1, "a", "x"), (2, "a", "x"), (3, "a", "y"),
+                (1, "b", "x"), (2, "b", "y"), (3, "b", "y"),
+            ],
+            "rec_id int, side string, key string",
+        )
+        truth = spark.createDataFrame(
+            [(1, 1), (2, 2), (3, 3)], "id_a int, id_b int"
+        )
+        out = blocking_metrics(
+            records, truth, {"k1": F.col("key")}
+        ).collect()
+        assert len(out) == 1
+        r = out[0]
+        # blocks: x (n_a=2,n_b=1), y (n_a=1,n_b=2) -> cand = 2 + 2 = 4
+        assert r.n_blocks == 2 and r.cand_pairs == 4
+        assert abs(r.reduction_ratio - (1 - 4 / 9)) < 1e-5
+        # truth coverage: ids 1 (x=x) and 3 (y=y) covered, id 2 (x!=y) not
+        assert abs(r.pairs_completeness - 2 / 3) < 1e-5
+
+    def test_multi_scheme_single_pass(self, spark):
+        records = spark.createDataFrame(
+            [(1, "a", "x", "p"), (1, "b", "x", "q")],
+            "rec_id int, side string, k1 string, k2 string",
+        )
+        truth = spark.createDataFrame([(1, 1)], "id_a int, id_b int")
+        out = {
+            r.scheme: r
+            for r in blocking_metrics(
+                records, truth, {"s1": F.col("k1"), "s2": F.col("k2")}
+            ).collect()
+        }
+        assert out["s1"].pairs_completeness == 1.0
+        assert out["s2"].pairs_completeness == 0.0
+        # s2 keys differ -> records land in two blocks of (1,0)/(0,1) -> 0 cands
+        assert out["s2"].cand_pairs == 0 and out["s2"].reduction_ratio == 1.0
+
+
+class TestKAnonymize:
+    def test_small_groups_collapse(self, spark):
+        rows = [("A", 10.00)] * 5 + [("B", 20.00)] * 2 + [("C", 30.00)]
+        df = spark.createDataFrame(rows, "seg string, amt double")
+        out = {r.seg: r for r in
+               k_anonymize_agg(df, ["seg"], k=3, amount_col="amt").collect()}
+        assert set(out) == {"A", "*"}
+        assert out["A"].n == 5 and abs(out["A"].total - 50.0) < 1e-9
+        assert out["*"].n == 3 and abs(out["*"].total - 70.0) < 1e-9
+
+    def test_no_small_groups_no_star_row(self, spark):
+        df = spark.createDataFrame(
+            [("A", 1.0)] * 4, "seg string, amt double"
+        )
+        out = k_anonymize_agg(df, ["seg"], k=3, amount_col="amt").collect()
+        assert len(out) == 1 and out[0].seg == "A"
+
+    def test_all_small_single_row(self, spark):
+        df = spark.createDataFrame(
+            [("A", 1.5), ("B", 2.25)], "seg string, amt double"
+        )
+        out = k_anonymize_agg(df, ["seg"], k=3, amount_col="amt").collect()
+        assert len(out) == 1 and out[0].seg == "*"
+        assert out[0].n == 2 and abs(out[0].total - 3.75) < 1e-9
+
+
+def _brute_jaccard_pairs(docs, tau_num, tau_den, gram_n):
+    def grams(text):
+        toks = [t for t in text.lower().split() if t]
+        if gram_n == 1:
+            return set(toks)
+        return {
+            " ".join(toks[i : i + gram_n])
+            for i in range(len(toks) - gram_n + 1)
+        }
+
+    sets = {i: grams(t) for i, t in docs}
+    out = set()
+    ids = sorted(sets)
+    for ai in range(len(ids)):
+        for bi in range(ai + 1, len(ids)):
+            sa, sb = sets[ids[ai]], sets[ids[bi]]
+            if not sa or not sb:
+                continue
+            inter = len(sa & sb)
+            uni = len(sa) + len(sb) - inter
+            if tau_den * inter >= tau_num * uni:
+                out.add((ids[ai], ids[bi]))
+    return out
+
+
+class TestSetjoinPrefix:
+    def _docs(self):
+        rng = random.Random(42)
+        vocab = [f"w{i}" for i in range(40)]
+        docs = []
+        for i in range(60):
+            n = rng.randint(5, 25)
+            docs.append((i, " ".join(rng.choice(vocab) for _ in range(n))))
+        # planted near-dups: drop the last token
+        for i in range(0, 60, 6):
+            toks = docs[i][1].split()
+            docs.append((1000 + i, " ".join(toks[:-1])))
+        return docs
+
+    def test_matches_brute_force_unigram(self, spark):
+        docs = self._docs()
+        df = spark.createDataFrame(docs, "doc_id int, text string")
+        got = {
+            (r.id_a, r.id_b)
+            for r in prefix_filtered_jaccard_join(
+                df, tau_num=3, tau_den=5
+            ).collect()
+        }
+        assert got == _brute_jaccard_pairs(docs, 3, 5, 1)
+        assert got  # non-vacuous
+
+    def test_matches_brute_force_trigram(self, spark):
+        docs = self._docs()
+        df = spark.createDataFrame(docs, "doc_id int, text string")
+        got = {
+            (r.id_a, r.id_b)
+            for r in prefix_filtered_jaccard_join(
+                df, tau_num=7, tau_den=10, gram_n=3
+            ).collect()
+        }
+        assert got == _brute_jaccard_pairs(docs, 7, 10, 3)
+        assert got
+
+    def test_jaccard_values_exact(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a b c d e"), (2, "a b c d f"), (3, "x y z q r")],
+            "doc_id int, text string",
+        )
+        out = prefix_filtered_jaccard_join(df, tau_num=1, tau_den=2).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert (r.id_a, r.id_b, r.inter) == (1, 2, 4)
+        assert abs(r.jaccard - 4 / 6) < 1e-6
+
+    def test_hot_token_cap_bounds_candidates(self, spark):
+        # 80 identical docs: uncapped -> all pairs; capped -> pruned
+        df = spark.createDataFrame(
+            [(i, "a b c d e f g h i j") for i in range(80)],
+            "doc_id int, text string",
+        )
+        full = prefix_filtered_jaccard_join(df, tau_num=3, tau_den=5).count()
+        assert full == 80 * 79 // 2
+        capped = prefix_filtered_jaccard_join(
+            df, tau_num=3, tau_den=5, hot_token_cap=10
+        ).count()
+        assert capped == 0  # degenerate postings dropped, O(n^2) avoided
+
+    def test_empty_and_short_docs_drop_out(self, spark):
+        df = spark.createDataFrame(
+            [(1, ""), (2, "  "), (3, "a b"), (4, "a b")],
+            "doc_id int, text string",
+        )
+        out = prefix_filtered_jaccard_join(
+            df, tau_num=1, tau_den=2, gram_n=3
+        ).collect()
+        assert out == []  # all below gram_n tokens

@@ -51,6 +51,8 @@ PURE_CODEGEN_QUERIES = [
     "readability", "code_detect", "soft_404", "mojibake_fix",
     "pagination_chains", "bitext_candidates", "wet_export",
     "snapshot_retention",
+    "record_linkage_fs", "blocking_quality", "k_anonymize",
+    "setjoin_prefix",
 ]
 # NOT listed although their OPERATORS are pure codegen: queries whose
 # INPUT synthesis is datagen.pages_from_documents (a mapInPandas page
