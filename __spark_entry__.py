@@ -3368,6 +3368,38 @@ def q_setjoin_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional containment join (operators/setjoin.py:
+    containment_join) over word 3-gram shingle sets, tau = 9/10 — the
+    quote/syndication detector Jaccard can't see. Quotes are planted by
+    unioning tokens 3..12 of every id%5 doc as id+2000000 (their trigram
+    sets are true subsets, containment exactly 1.0); intersection counts
+    come straight from the postings-join groupBy, thresholds are integer
+    arithmetic, and the DuckDB oracle replays the identical algebra
+    all-pairs."""
+    from invoice_ocr_reconciler_spark.operators.setjoin import containment_join
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sp = F.split(F.col("text"), " ")
+    quotes = docs.where(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.array_join(F.slice(sp, 3, 10), " ").alias("text"),
+    )
+    all_docs = docs.select("doc_id", "text").unionByName(quotes)
+    return containment_join(all_docs, tau_num=9, tau_den=10, gram_n=3)
+
+
+def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 adjacent-bigram collocations by PMI lift (operators/
+    tfidf.py:collocations) — all-integer rational lift (no log, so no
+    libm ulp drift), min_count=3, deterministic (lift desc, bigram asc)
+    total order on the 1e-6 grid."""
+    from invoice_ocr_reconciler_spark.operators.tfidf import collocations
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return collocations(docs, min_count=3, k=100)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from invoice_ocr_reconciler_spark.plans import relational as R
 
@@ -3548,6 +3580,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "blocking_quality": q_blocking_quality,
         "k_anonymize": q_k_anonymize,
         "setjoin_prefix": q_setjoin_prefix,
+        "containment_pairs": q_containment_pairs,
+        "collocations": q_collocations,
     }
 
 
@@ -7240,5 +7274,74 @@ def oracle_sql() -> dict[str, str]:
             JOIN sz sa ON ins.id_a = sa.doc_id
             JOIN sz sb ON ins.id_b = sb.doc_id
             WHERE 10 * inter >= 7 * (sa.sz + sb.sz - inter)
+        """,
+        # containment_pairs: same trigram-set algebra, directional pairs,
+        # denominator = contained side's set size, integer threshold
+        "containment_pairs": """
+            WITH sp AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+            q AS (
+                SELECT doc_id + 2000000 AS doc_id,
+                       array_to_string(list_slice(l, 3, 12), ' ') AS text
+                FROM sp WHERE doc_id % 5 = 0),
+            alldocs AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL SELECT doc_id, text FROM q),
+            tk AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(
+                           lower(trim(coalesce(text, ''))), '\\s+'),
+                           t -> t <> '') AS toks
+                FROM alldocs),
+            tok AS (
+                SELECT doc_id,
+                       unnest(list_distinct(
+                           CASE WHEN len(toks) < 3 THEN []
+                                ELSE list_transform(range(1, len(toks) - 1),
+                                    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                           END)) AS tok
+                FROM tk),
+            sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM tok GROUP BY 1),
+            ins AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       CAST(count(*) AS BIGINT) AS inter
+                FROM tok a JOIN tok b ON a.tok = b.tok AND a.doc_id <> b.doc_id
+                GROUP BY 1, 2)
+            SELECT id_a, id_b, inter,
+                   floor(CAST(inter AS DOUBLE) / sa.sz
+                         * 1000000.0 + 0.5) / 1000000.0 AS containment
+            FROM ins JOIN sz sa ON ins.id_a = sa.doc_id
+            WHERE 10 * inter >= 9 * sa.sz
+        """,
+        # collocations: all-integer PMI lift, same (lift desc, bigram)
+        # total order, same top-100 cut
+        "collocations": """
+            WITH tk AS (
+                SELECT list_filter(string_split_regex(
+                           lower(trim(coalesce(text, ''))), '\\s+'),
+                           t -> t <> '') AS toks
+                FROM documents),
+            uni AS (SELECT unnest(toks) AS tok FROM tk),
+            uc AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM uni GROUP BY 1),
+            nu AS (SELECT CAST(count(*) AS BIGINT) AS n_uni FROM uni),
+            bgl AS (
+                SELECT CASE WHEN len(toks) < 2 THEN []
+                            ELSE list_transform(range(1, len(toks)),
+                                i -> [toks[i], toks[i+1]])
+                       END AS bgs
+                FROM tk),
+            bg AS (SELECT b[1] AS t1, b[2] AS t2
+                   FROM (SELECT unnest(bgs) AS b FROM bgl)),
+            bc AS (SELECT t1, t2, CAST(count(*) AS BIGINT) AS c_ab
+                   FROM bg GROUP BY 1, 2),
+            nb AS (SELECT CAST(count(*) AS BIGINT) AS n_bi FROM bg)
+            SELECT t1 || ' ' || t2 AS bigram, c_ab, ua.c AS c_a, ub.c AS c_b,
+                   floor((c_ab * n_uni * n_uni) / (n_bi * ua.c * ub.c)
+                         * 1000000.0 + 0.5) / 1000000.0 AS lift
+            FROM bc
+            JOIN uc ua ON bc.t1 = ua.tok
+            JOIN uc ub ON bc.t2 = ub.tok
+            CROSS JOIN nu CROSS JOIN nb
+            WHERE c_ab >= 3
+            ORDER BY lift DESC, bigram LIMIT 100
         """,
     }

@@ -172,3 +172,95 @@ def prefix_filtered_jaccard_join(
             "jaccard"
         ),
     )
+
+
+def containment_join(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    tau_num: int = 9,
+    tau_den: int = 10,
+    gram_n: int = 1,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Directional containment join: ordered pairs (id_a, id_b), a != b,
+    where ``|A ∩ B| / |A| >= tau`` over token/shingle sets — i.e. document
+    ``a`` is (near-)fully contained in ``b``. This is the quote /
+    syndication / boilerplate-wrapper detector: Jaccard misses a short
+    quote inside a long article (the union dwarfs the quote), containment
+    nails it.
+
+    Algorithm: postings equi-join on set elements; the per-pair match
+    count IS the exact intersection (each shared element contributes
+    exactly one joined row), so one groupBy yields ``inter`` with no
+    array materialization. The threshold test is integer arithmetic
+    (``tau_den * inter >= tau_num * |A|``).
+
+    Scale: postings lists on ubiquitous elements explode quadratically;
+    ``max_doc_freq`` drops elements present in more than that many docs
+    from the CANDIDATE stage (IDF-style stop-element cut), then an exact
+    ``array_intersect`` verify restores exact ``inter`` for surviving
+    candidates — recall is lost only for pairs sharing NOTHING rarer than
+    the cut, the standard production trade. Default None = fully exact.
+    """
+    toks_arr = tokens_col(F.col(text_col))
+    elems = toks_arr if gram_n == 1 else _word_ngrams(toks_arr, gram_n)
+    sets = docs.select(
+        F.col(id_col).alias("sid"),
+        F.array_sort(F.array_distinct(elems)).alias("toks"),
+    ).where(F.size("toks") > 0)
+    toks = sets.select(
+        "sid", F.size("toks").alias("sz"), F.explode("toks").alias("tok")
+    )
+    if max_doc_freq is not None:
+        rare = (
+            toks.groupBy("tok")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .where(F.col("df") <= max_doc_freq)
+            .select("tok")
+        )
+        cand_toks = toks.join(rare, "tok")
+    else:
+        cand_toks = toks
+    left = cand_toks.select(
+        F.col("sid").alias("id_a"), F.col("sz").alias("sz_a"), "tok"
+    )
+    right = cand_toks.select(
+        F.col("sid").alias("id_b"), F.col("tok").alias("tok_b")
+    )
+    pairs = (
+        left.join(
+            right,
+            (F.col("tok") == F.col("tok_b")) & (F.col("id_a") != F.col("id_b")),
+        )
+        .groupBy("id_a", "id_b", "sz_a")
+        .agg(F.count(F.lit(1)).cast("long").alias("inter"))
+    )
+    if max_doc_freq is not None:
+        # candidate inter undercounts (cut elements excluded) -> exact verify
+        sets_a = sets.select(F.col("sid").alias("id_a"), F.col("toks").alias("ta"))
+        sets_b = sets.select(F.col("sid").alias("id_b"), F.col("toks").alias("tb"))
+        pairs = (
+            pairs.drop("inter")
+            .join(sets_a, "id_a")
+            .join(sets_b, "id_b")
+            .withColumn(
+                "inter",
+                F.size(F.array_intersect("ta", "tb")).cast("long"),
+            )
+            .drop("ta", "tb")
+        )
+    return (
+        pairs.where(
+            F.lit(tau_den) * F.col("inter") >= F.lit(tau_num) * F.col("sz_a")
+        )
+        .select(
+            "id_a",
+            "id_b",
+            "inter",
+            roundn(
+                F.col("inter").cast("double") / F.col("sz_a"), 6
+            ).alias("containment"),
+        )
+    )

@@ -198,3 +198,74 @@ def inverted_index(
             ",",
         ).alias("postings"),
     )
+
+
+def collocations(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 3,
+    k: int = 100,
+) -> DataFrame:
+    """Top-k adjacent-bigram collocations by PMI lift — the phrase-mining
+    pass that seeds tokenizer vocabularies and multi-word expressions.
+
+    lift(a,b) = P(ab) / (P(a)·P(b)) computed as the all-integer rational
+    ``(c_ab · N_uni²) / (N_bi · c_a · c_b)`` — NO log() anywhere, because
+    libm ln() differs across engines by a ulp while 64-bit integer
+    products below 2^53 convert to double exactly; at true corpus scale
+    (counts beyond 2^53) switch to log-space and accept grid rounding.
+
+    Plan: one explode+groupBy for unigram counts, one for adjacent-bigram
+    counts (both with map-side partials); the two corpus totals ride a
+    broadcast crossJoin of 1-row aggregates; unigram counts join back to
+    bigrams twice (vocabulary-sized side — broadcastable). Final global
+    top-k is ONE sort of the ``c_ab >= min_count`` survivors on the
+    deterministic (lift desc, bigram asc) total order.
+    """
+    from invoice_ocr_reconciler_spark.functions.text import tokens_col
+
+    toks = docs.select(tokens_col(F.col(text_col)).alias("toks"))
+    uni = toks.select(F.explode("toks").alias("tok"))
+    uc = uni.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    n_uni = uni.groupBy().agg(F.count(F.lit(1)).cast("long").alias("n_uni"))
+
+    head = F.slice(F.col("toks"), 1, F.greatest(F.size("toks") - 1, F.lit(0)))
+    bg = toks.select(
+        F.explode(
+            F.transform(
+                head,
+                lambda x, i: F.struct(
+                    x.alias("t1"),
+                    F.element_at(F.col("toks"), i + F.lit(2)).alias("t2"),
+                ),
+            )
+        ).alias("b")
+    ).select("b.t1", "b.t2")
+    bc = bg.groupBy("t1", "t2").agg(
+        F.count(F.lit(1)).cast("long").alias("c_ab")
+    )
+    n_bi = bg.groupBy().agg(F.count(F.lit(1)).cast("long").alias("n_bi"))
+
+    ua = uc.select(F.col("tok").alias("t1"), F.col("c").alias("c_a"))
+    ub = uc.select(F.col("tok").alias("t2"), F.col("c").alias("c_b"))
+    out = (
+        bc.where(F.col("c_ab") >= min_count)
+        .join(F.broadcast(ua), "t1")
+        .join(F.broadcast(ub), "t2")
+        .crossJoin(F.broadcast(n_uni))
+        .crossJoin(F.broadcast(n_bi))
+        .select(
+            F.concat_ws(" ", "t1", "t2").alias("bigram"),
+            "c_ab",
+            "c_a",
+            "c_b",
+            _roundn(
+                (F.col("c_ab") * F.col("n_uni") * F.col("n_uni"))
+                / (F.col("n_bi") * F.col("c_a") * F.col("c_b")),
+                6,
+            ).alias("lift"),
+        )
+    )
+    return out.orderBy(F.col("lift").desc(), F.col("bigram")).limit(k)

@@ -229,3 +229,108 @@ class TestSetjoinPrefix:
             df, tau_num=1, tau_den=2, gram_n=3
         ).collect()
         assert out == []  # all below gram_n tokens
+
+
+class TestContainmentJoin:
+    def test_quote_detected_directionally(self, spark):
+        from invoice_ocr_reconciler_spark.operators.setjoin import (
+            containment_join,
+        )
+
+        df = spark.createDataFrame(
+            [
+                (1, "a b c d e f g h"),
+                (2, "c d e"),          # fully inside 1
+                (3, "x y z w"),        # unrelated
+            ],
+            "doc_id int, text string",
+        )
+        out = {
+            (r.id_a, r.id_b): (r.inter, r.containment)
+            for r in containment_join(df, tau_num=9, tau_den=10).collect()
+        }
+        assert (2, 1) in out and out[(2, 1)] == (3, 1.0)
+        assert (1, 2) not in out  # big doc not contained in its quote
+        assert all(a != b for a, b in out)
+
+    def test_matches_brute_force(self, spark):
+        from invoice_ocr_reconciler_spark.operators.setjoin import (
+            containment_join,
+        )
+
+        rng = random.Random(7)
+        vocab = [f"w{i}" for i in range(30)]
+        docs = [
+            (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(4, 20))))
+            for i in range(40)
+        ]
+        df = spark.createDataFrame(docs, "doc_id int, text string")
+        got = {
+            (r.id_a, r.id_b)
+            for r in containment_join(df, tau_num=4, tau_den=5).collect()
+        }
+        sets = {i: set(t.split()) for i, t in docs}
+        want = {
+            (a, b)
+            for a in sets
+            for b in sets
+            if a != b
+            and sets[a]
+            and 5 * len(sets[a] & sets[b]) >= 4 * len(sets[a])
+        }
+        assert got == want and got
+
+    def test_max_doc_freq_cut_keeps_exact_inter(self, spark):
+        from invoice_ocr_reconciler_spark.operators.setjoin import (
+            containment_join,
+        )
+
+        # 'common' appears in every doc; pair (1,2) also shares rare 'q'
+        df = spark.createDataFrame(
+            [(1, "common q"), (2, "common q r"), (3, "common s")],
+            "doc_id int, text string",
+        )
+        out = {
+            (r.id_a, r.id_b): r.inter
+            for r in containment_join(
+                df, tau_num=1, tau_den=2, max_doc_freq=2
+            ).collect()
+        }
+        # candidates only via 'q' (df=2), but inter verified EXACTLY (=2)
+        assert out[(1, 2)] == 2
+        # doc 3 shares only the cut stop-token -> pair missed (documented)
+        assert (3, 1) not in out and (3, 2) not in out
+
+
+class TestCollocations:
+    def test_lift_exact_and_ordering(self, spark):
+        from invoice_ocr_reconciler_spark.operators.tfidf import collocations
+
+        # 'new york' always adjacent (high lift); 'a b' adjacent sometimes
+        df = spark.createDataFrame(
+            [
+                (1, "new york a b c"),
+                (2, "new york c a b"),
+                (3, "new york b a c"),
+                (4, "a c b new york"),
+            ],
+            "doc_id int, text string",
+        )
+        out = collocations(df, min_count=3, k=10).collect()
+        assert out[0].bigram == "new york" and out[0].c_ab == 4
+        n_uni, n_bi = 20, 16
+        want_lift = (4 * n_uni * n_uni) / (n_bi * 4 * 4)
+        assert abs(out[0].lift - want_lift) < 1e-6
+        # every reported bigram meets min_count and rows are rank-ordered
+        assert all(r.c_ab >= 3 for r in out)
+        lifts = [r.lift for r in out]
+        assert lifts == sorted(lifts, reverse=True)
+
+    def test_min_count_filters(self, spark):
+        from invoice_ocr_reconciler_spark.operators.tfidf import collocations
+
+        df = spark.createDataFrame(
+            [(1, "p q"), (2, "p q"), (3, "r s")], "doc_id int, text string"
+        )
+        out = collocations(df, min_count=2, k=10).collect()
+        assert {r.bigram for r in out} == {"p q"}

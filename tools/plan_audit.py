@@ -52,7 +52,7 @@ PURE_CODEGEN_QUERIES = [
     "pagination_chains", "bitext_candidates", "wet_export",
     "snapshot_retention",
     "record_linkage_fs", "blocking_quality", "k_anonymize",
-    "setjoin_prefix",
+    "setjoin_prefix", "containment_pairs", "collocations",
 ]
 # NOT listed although their OPERATORS are pure codegen: queries whose
 # INPUT synthesis is datagen.pages_from_documents (a mapInPandas page
