@@ -3400,6 +3400,43 @@ def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return collocations(docs, min_count=3, k=100)
 
 
+def q_ai_optout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AI/TDM opt-out compliance filter (functions/html_meta.py:
+    ai_optout_cols): meta-robots tokens + X-Robots-Tag header + TDM
+    reservation -> train_ok release decision. Heads are synthesized from
+    doc_id rules (%7 noindex,nofollow meta; %11 noai meta — first tag
+    wins when both; %13 tdm-reservation; %17 header noai); the DuckDB
+    oracle replays the RULES (the regex parse itself is pinned by units
+    with quote/order/case variants)."""
+    from invoice_ocr_reconciler_spark.functions.html_meta import ai_optout_cols
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    i = F.col("doc_id")
+    m1 = F.when(
+        i % 7 == 0, F.lit('<meta name="robots" content="noindex, nofollow">')
+    ).otherwise(F.lit(""))
+    m2 = F.when(
+        i % 11 == 0, F.lit('<meta name="robots" content="noai">')
+    ).otherwise(F.lit(""))
+    m3 = F.when(
+        i % 13 == 0, F.lit('<meta name="tdm-reservation" content="1">')
+    ).otherwise(F.lit(""))
+    html = F.concat(
+        F.lit("<html><head>"),
+        m1,
+        m2,
+        m3,
+        F.lit("</head><body>"),
+        F.substring("text", 1, 40),
+        F.lit("</body></html>"),
+    )
+    xrobots = F.when(i % 17 == 0, F.lit("noai")).otherwise(
+        F.lit(None).cast("string")
+    )
+    cols = ai_optout_cols(html, xrobots)
+    return docs.select("doc_id", *[v.alias(k) for k, v in cols.items()])
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from invoice_ocr_reconciler_spark.plans import relational as R
 
@@ -3582,6 +3619,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "setjoin_prefix": q_setjoin_prefix,
         "containment_pairs": q_containment_pairs,
         "collocations": q_collocations,
+        "ai_optout": q_ai_optout,
     }
 
 
@@ -7343,5 +7381,32 @@ def oracle_sql() -> dict[str, str]:
             CROSS JOIN nu CROSS JOIN nb
             WHERE c_ab >= 3
             ORDER BY lift DESC, bigram LIMIT 100
+        """,
+        # ai_optout: rule replay (first meta-robots tag wins -> %7 takes
+        # precedence over %11); directive tests are substring checks over
+        # the comma-joined lowercased meta+header channel
+        "ai_optout": """
+            WITH d AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 7 = 0 THEN 'noindex, nofollow'
+                            WHEN doc_id % 11 = 0 THEN 'noai'
+                            ELSE '' END AS meta_c,
+                       CASE WHEN doc_id % 17 = 0 THEN 'noai' ELSE '' END AS hdr,
+                       doc_id % 13 = 0 AS tdm
+                FROM documents),
+            f AS (
+                SELECT doc_id,
+                       CASE WHEN hdr = '' THEN meta_c
+                            ELSE meta_c || ',' || hdr END AS dirs,
+                       tdm
+                FROM d)
+            SELECT doc_id,
+                   contains(dirs, 'noindex') AS noindex,
+                   contains(dirs, 'nofollow') AS nofollow,
+                   contains(dirs, 'noai') AS noai,
+                   contains(dirs, 'noimageai') AS noimageai,
+                   tdm AS tdm_reserved,
+                   NOT (contains(dirs, 'noai') OR tdm) AS train_ok
+            FROM f
         """,
     }

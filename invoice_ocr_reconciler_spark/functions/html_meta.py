@@ -250,3 +250,40 @@ def extract_outline(
         level.alias("level"),
         strip_tags_col(inner).alias("heading"),
     )
+
+
+def ai_optout_cols(html: Column, xrobots: Column) -> dict[str, Column]:
+    """Page-level opt-out directives a compliant training pipeline must
+    honor before a document may enter a corpus: ``<meta name="robots">``
+    tokens (noindex / nofollow / noai / noimageai), the ``X-Robots-Tag``
+    response header (same token vocabulary, header-delivered), and the
+    TDM Reservation Protocol meta (``tdm-reservation`` content "1").
+
+    ``train_ok`` is the release decision: False when noai is asserted in
+    either channel or the TDM reservation is set. ``noindex`` gates
+    search-index use separately (a page may be indexable but opted out
+    of training, and vice versa).
+
+    Pure codegen: the same one-pass meta-tag harvest as metadata_cols
+    (first matching tag wins, attribute-order/quote-style agnostic),
+    token tests as substring checks over the lowercased directive
+    string. No shuffle, no Python.
+    """
+    metas = F.regexp_extract_all(html, F.lit(r"(?i)<meta\b[^>]*>"), 0)
+    robots_tag = _first_tag_where(metas, "name", "robots")
+    tdm_tag = _first_tag_where(metas, "name", "tdm-reservation")
+    meta_directives = F.lower(F.coalesce(_attr(robots_tag, "content"), F.lit("")))
+    header_directives = F.lower(F.coalesce(xrobots, F.lit("")))
+    directives = F.concat_ws(",", meta_directives, header_directives)
+    tdm_reserved = (
+        F.coalesce(_attr(tdm_tag, "content"), F.lit("")) == F.lit("1")
+    )
+    noai = directives.contains("noai")
+    return {
+        "noindex": directives.contains("noindex"),
+        "nofollow": directives.contains("nofollow"),
+        "noai": noai,
+        "noimageai": directives.contains("noimageai"),
+        "tdm_reserved": tdm_reserved,
+        "train_ok": ~(noai | tdm_reserved),
+    }

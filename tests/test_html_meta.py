@@ -144,3 +144,52 @@ def test_extract_outline_backreference_pins_close(spark):
     )
     got = [(r["level"], r["heading"]) for r in extract_outline(pages).collect()]
     assert got == [(2, "good")]
+
+
+class TestAiOptout:
+    def _run(self, spark, html, xrobots=None):
+        from invoice_ocr_reconciler_spark.functions.html_meta import (
+            ai_optout_cols,
+        )
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame(
+            [(html, xrobots)], "html string, xrobots string"
+        )
+        cols = ai_optout_cols(F.col("html"), F.col("xrobots"))
+        return df.select(*[v.alias(k) for k, v in cols.items()]).collect()[0]
+
+    def test_meta_noai_blocks_training(self, spark):
+        r = self._run(spark, '<meta name="robots" content="noai">')
+        assert r.noai and not r.train_ok and not r.noindex
+
+    def test_attribute_order_and_quotes_and_case(self, spark):
+        # content BEFORE name, single quotes, uppercase tokens
+        r = self._run(spark, "<META CONTENT='NOINDEX,NOAI' NAME='robots'>")
+        assert r.noindex and r.noai and not r.train_ok
+
+    def test_header_channel_and_tdm(self, spark):
+        r = self._run(spark, "<html></html>", xrobots="noai")
+        assert r.noai and not r.train_ok
+        r2 = self._run(
+            spark, '<meta name="tdm-reservation" content="1">'
+        )
+        assert r2.tdm_reserved and not r2.train_ok and not r2.noai
+
+    def test_clean_page_train_ok(self, spark):
+        r = self._run(
+            spark, '<meta name="robots" content="index, follow">'
+        )
+        assert r.train_ok and not r.noindex and not r.noai
+
+    def test_noimageai_is_not_noai(self, spark):
+        r = self._run(spark, '<meta name="robots" content="noimageai">')
+        assert r.noimageai and not r.noai and r.train_ok
+
+    def test_first_robots_tag_wins(self, spark):
+        r = self._run(
+            spark,
+            '<meta name="robots" content="index">'
+            '<meta name="robots" content="noai">',
+        )
+        assert not r.noai and r.train_ok
