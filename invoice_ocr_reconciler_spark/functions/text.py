@@ -112,14 +112,23 @@ def tokens_col(col: Column) -> Column:
 
 def _word_ngrams(toks: Column, n: int) -> Column:
     """Array of word n-grams (space-joined) from a token array; [] if the
-    doc has fewer than n tokens. Pure codegen: slice + transform + element
-    lookups, no Python crossing."""
+    doc has fewer than n tokens. Pure codegen: n aligned slices folded
+    with zip_with — the input expression is evaluated O(n) times total,
+    NOT once per element (the earlier per-element ``element_at`` form
+    made Catalyst inline the whole upstream tokenization into every
+    element access: O(len²) expression re-evaluation per document, which
+    dominated wall time on gram-heavy operators)."""
+    if n == 1:
+        return toks
     sz = F.size(toks)
-    head = F.slice(toks, 1, F.greatest(sz - (n - 1), F.lit(0)))
-    gram = lambda x, i: F.concat_ws(
-        " ", x, *[F.element_at(toks, i + F.lit(j + 1)) for j in range(1, n)]
-    )
-    return F.transform(head, gram)
+    m = F.greatest(sz - (n - 1), F.lit(0))
+    out = F.slice(toks, 1, m)
+    for j in range(1, n):
+        nxt = F.slice(toks, 1 + j, m)
+        out = F.zip_with(
+            out, nxt, lambda a, b: F.concat(a, F.lit(" "), b)
+        )
+    return out
 
 
 def repetition_cols(col: Column) -> dict[str, Column]:
