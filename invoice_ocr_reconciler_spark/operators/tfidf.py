@@ -231,15 +231,17 @@ def collocations(
     uc = uni.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("c"))
     n_uni = uni.groupBy().agg(F.count(F.lit(1)).cast("long").alias("n_uni"))
 
-    head = F.slice(F.col("toks"), 1, F.greatest(F.size("toks") - 1, F.lit(0)))
+    # two aligned slices zipped — not per-element element_at, which would
+    # make Catalyst re-inline the whole tokenization per element
+    m = F.greatest(F.size("toks") - 1, F.lit(0))
+    head = F.slice(F.col("toks"), 1, m)
+    nxt = F.slice(F.col("toks"), 2, m)
     bg = toks.select(
         F.explode(
-            F.transform(
+            F.zip_with(
                 head,
-                lambda x, i: F.struct(
-                    x.alias("t1"),
-                    F.element_at(F.col("toks"), i + F.lit(2)).alias("t2"),
-                ),
+                nxt,
+                lambda a, b: F.struct(a.alias("t1"), b.alias("t2")),
             )
         ).alias("b")
     ).select("b.t1", "b.t2")
