@@ -52,15 +52,18 @@ SELECT_MOD = 4  # keep fingerprints == 0 mod p: expected 1/p of windows
 _FP_HEX = 16  # fingerprint width kept for the exchange (64 bits)
 
 
-def _selected_span_fps(text: Column, window: int, select_mod: int) -> Column:
-    """Array of selected 16-hex window fingerprints for one document.
+def _selected_span_fps(toks: Column, window: int, select_mod: int) -> Column:
+    """Array of selected 16-hex window fingerprints for one document,
+    from an ALREADY-MATERIALIZED token-array column (callers tokenize in
+    a prior projection: the transform lambda below slices ``toks`` per
+    window, and a captured raw-tokenization expression would be
+    re-evaluated per element — O(n_windows x tokenize) per document).
 
     All (size - window + 1) windows are hashed; a window survives iff the
     first 8 hex chars of its md5, as an integer, are 0 mod select_mod —
     the content-keyed choice shared by every document. Documents shorter
     than `window` yield an empty array (no span is defined on them).
     """
-    toks = tokens_col(text)
     sz = F.size(toks)
     starts = F.when(
         sz >= window, F.sequence(F.lit(1), sz - window + 1)
@@ -94,23 +97,26 @@ def span_fingerprints(
     """
     return (
         docs.select(
+            F.col(id_col), tokens_col(F.col(text_col)).alias("__toks")
+        )
+        .select(
             F.col(id_col),
             F.explode(
-                _selected_span_fps(F.col(text_col), window, select_mod)
+                _selected_span_fps(F.col("__toks"), window, select_mod)
             ).alias("fp"),
         )
         .distinct()
     )
 
 
-def _selected_spans(text: Column, window: int, select_mod: int) -> Column:
+def _selected_spans(toks: Column, window: int, select_mod: int) -> Column:
     """Array of (s, fp) structs — the selected windows of one document WITH
     their 1-based start positions: the positional twin of
-    _selected_span_fps (same windows, same content-keyed survival rule),
-    for operators that must LOCATE spans rather than just count them. One
-    md5 per window: the fingerprint is computed once inside the struct and
-    the selection filter reads it back."""
-    toks = tokens_col(text)
+    _selected_span_fps (same windows, same content-keyed survival rule;
+    same pre-materialized token-array contract), for operators that must
+    LOCATE spans rather than just count them. One md5 per window: the
+    fingerprint is computed once inside the struct and the selection
+    filter reads it back."""
     sz = F.size(toks)
     starts = F.when(
         sz >= window, F.sequence(F.lit(1), sz - window + 1)
@@ -172,9 +178,11 @@ def remove_duplicated_spans(
     # built (and each window hashed) once per document, so nothing bigger
     # than a 24-byte pair rides the explode
     span_pos = docs.select(
+        F.col(id_col), tokens_col(F.col(text_col)).alias("__toks")
+    ).select(
         F.col(id_col),
         F.explode(
-            _selected_spans(F.col(text_col), window, select_mod)
+            _selected_spans(F.col("__toks"), window, select_mod)
         ).alias("sp"),
     ).select(
         F.col(id_col),
