@@ -112,3 +112,42 @@ def test_mutation_identical_across_partitioning(spark):
         return sorted(map(tuple, upsert(t, u, key="url").collect()))
 
     assert run(2) == run(13)
+
+
+def test_linkage_band_identical_across_partitioning(spark):
+    """FS linkage, setjoin, containment, and collocations are pure
+    DataFrame algebra — identical sorted output regardless of input
+    partitioning / shuffle width."""
+    import random
+
+    from invoice_ocr_reconciler_spark.operators.linkage import (
+        FieldSpec,
+        fs_linkage,
+    )
+    from invoice_ocr_reconciler_spark.operators.setjoin import (
+        containment_join,
+        prefix_filtered_jaccard_join,
+    )
+    from invoice_ocr_reconciler_spark.operators.tfidf import collocations
+
+    rng = random.Random(3)
+    vocab = [f"w{i}" for i in range(25)]
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(6, 30))))
+        for i in range(120)
+    ]
+    fields = [FieldSpec("name", 0.9, 0.01)]
+    people = [(i, i % 7, f"p{i % 40}") for i in range(120)]
+
+    def run(parts):
+        d = spark.createDataFrame(docs, "doc_id int, text string").repartition(parts)
+        a = spark.createDataFrame(people, "id_a int, block int, a_name string").repartition(parts)
+        b = spark.createDataFrame(people, "id_b int, block int, b_name string").repartition(parts)
+        return (
+            sorted(map(tuple, fs_linkage(a, b, fields=fields, lower=-10.0, upper=5.0, keep_non_matches=True).collect())),
+            sorted(map(tuple, prefix_filtered_jaccard_join(d, tau_num=1, tau_den=2).collect())),
+            sorted(map(tuple, containment_join(d, tau_num=4, tau_den=5).collect())),
+            [tuple(r) for r in collocations(d, min_count=2, k=20).collect()],
+        )
+
+    assert run(2) == run(11)
