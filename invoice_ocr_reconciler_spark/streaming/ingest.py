@@ -153,3 +153,40 @@ def start_cdx_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def start_dedup_stream(
+    spark: SparkSession,
+    landing_path: str,
+    output_path: str,
+    checkpoint_path: str,
+    dedup_within: str = "1 hour",
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming exact URL dedup at the ingest edge: drop re-fetches of a
+    url that arrive within the watermark horizon, BEFORE the expensive
+    extraction stage runs on them.
+
+    Built on ``dropDuplicatesWithinWatermark`` (not plain
+    ``dropDuplicates``): the dedup state for a url is EVICTED once the
+    watermark passes ``warc_ts + dedup_within``, so state is bounded by
+    the re-fetch horizon instead of growing with the full crawl history —
+    the only shape that survives a 10^12-capture stream. Re-captures
+    farther apart than the horizon are intentionally kept (they are
+    legitimate revisits; cross-horizon collapse belongs to the batch CDX
+    `cdx_latest` view, and full-history custom state to
+    streaming/stateful.py's dedup_stream).
+    """
+    stream = read_pages_stream(spark, landing_path)
+    deduped = stream.withWatermark("warc_ts", dedup_within).dropDuplicatesWithinWatermark(
+        ["url"]
+    )
+    writer = (
+        deduped.writeStream.format("parquet")
+        .option("path", output_path)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -572,3 +572,36 @@ def test_streaming_cdx_available_now(spark, tmp_path):
     cold = cdx_index(pages, sort=False)
     merged = cdx_merge(cold, spark.read.parquet(out))
     assert merged.count() == 50
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """Ingest-edge streaming dedup: same-url re-fetches inside the horizon
+    are dropped with BOUNDED state; state for old urls is watermark-evicted."""
+    from pyspark.sql import functions as F
+
+    from invoice_ocr_reconciler_spark import datagen
+    from invoice_ocr_reconciler_spark.streaming.ingest import start_dedup_stream
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    out = str(tmp_path / "dout")
+    ckpt = str(tmp_path / "dckpt")
+
+    pdf = datagen.pages_pdf(30, start=0)
+    df = spark.createDataFrame(pdf, schema=datagen.PAGES_SCHEMA)
+    # duplicate every url once at the same timestamp (a same-horizon refetch)
+    dup = df.union(df)
+    dup.coalesce(1).write.mode("overwrite").parquet(str(landing / "b1"))
+
+    q = start_dedup_stream(spark, str(landing) + "/*", out, ckpt)
+    q.awaitTermination()
+    got = spark.read.parquet(out)
+    assert got.count() == 30  # one survivor per url
+    assert got.select("url").distinct().count() == 30
+
+    # a second drop of the SAME urls in a later micro-batch run: the
+    # checkpointed watermark state still holds within-horizon -> dropped
+    dup.coalesce(1).write.mode("overwrite").parquet(str(landing / "b2"))
+    q2 = start_dedup_stream(spark, str(landing) + "/*", out, ckpt)
+    q2.awaitTermination()
+    assert spark.read.parquet(out).count() == 30
