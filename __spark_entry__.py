@@ -3277,6 +3277,57 @@ def q_record_linkage_fs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fs_linkage(a, b, fields=_fs_fields(), lower=4.0, upper=12.0)
 
 
+def q_fs_em_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unsupervised EM fit of the FS m/u priors (operators/linkage.py:
+    fs_em_fit) over the same perturbed-customer block pairs as
+    record_linkage_fs — ONE groupBy collapses all candidate pairs to
+    <=3^k agreement patterns; EM runs driver-side on the integer counts.
+    Rows-only (iterative driver loop, not SQL-replayable); convergence
+    and determinism pinned by tests/test_linkage_setjoin.py."""
+    from invoice_ocr_reconciler_spark.operators.linkage import fs_em_fit
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    k = F.col("c_custkey")
+    a = cust.select(
+        k.alias("id_a"),
+        F.col("c_nationkey").alias("block"),
+        F.col("c_name").alias("a_name"),
+        F.col("c_mktsegment").alias("a_segment"),
+        F.substring("c_name", 15, 4).alias("a_refcode"),
+    )
+    b = cust.select(
+        k.alias("id_b"),
+        F.col("c_nationkey").alias("block"),
+        F.when(
+            k % 5 == 0,
+            F.expr("substring(c_name, 1, length(c_name) - 1) || 'X'"),
+        )
+        .otherwise(F.col("c_name"))
+        .alias("b_name"),
+        F.when(k % 7 == 0, F.lit("OTHER"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("b_segment"),
+        F.when(k % 11 == 0, F.lit(None).cast("string"))
+        .otherwise(F.substring("c_name", 15, 4))
+        .alias("b_refcode"),
+    )
+
+    def agree(f):
+        av, bv = F.col(f"a_{f}"), F.col(f"b_{f}")
+        return F.when(
+            av.isNull() | bv.isNull(), F.lit(None).cast("boolean")
+        ).otherwise(av == bv)
+
+    pairs = a.join(b, "block").select(
+        agree("name").alias("agree_name"),
+        agree("segment").alias("agree_segment"),
+        agree("refcode").alias("agree_refcode"),
+    )
+    return fs_em_fit(
+        pairs, ["agree_name", "agree_segment", "agree_refcode"]
+    ).orderBy("field")
+
+
 def q_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocking-scheme sweep (operators/linkage.py:blocking_metrics):
     reduction ratio + pairs completeness for four candidate blocking
@@ -3614,6 +3665,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_retention": q_snapshot_retention,
         # record-linkage band + exact set-similarity join + release gate
         "record_linkage_fs": q_record_linkage_fs,
+        "fs_em_weights": q_fs_em_weights,
         "blocking_quality": q_blocking_quality,
         "k_anonymize": q_k_anonymize,
         "setjoin_prefix": q_setjoin_prefix,

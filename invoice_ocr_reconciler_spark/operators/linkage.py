@@ -217,3 +217,100 @@ def blocking_metrics(
             ).alias("pairs_completeness"),
         )
     )
+
+
+def fs_em_fit(
+    pairs: DataFrame,
+    agree_cols: list[str],
+    *,
+    iters: int = 30,
+    init_p: float = 0.1,
+    init_m: float = 0.8,
+    init_u: float = 0.2,
+) -> DataFrame:
+    """Unsupervised m/u estimation for Fellegi–Sunter weights via EM over
+    the AGGREGATED agreement-pattern table (Winkler's classic recipe) —
+    the production path for the priors ``fs_linkage`` consumes.
+
+    ``pairs`` = blocked candidate pairs with one boolean agreement column
+    per field (NULL = comparison not possible; contributes nothing to
+    that field's likelihood or update). The corpus-scale trick is that EM
+    never touches pairs: ONE groupBy over the agreement columns collapses
+    10^12 candidate pairs to at most 3^k pattern rows, and the EM loop
+    runs driver-side on those integer counts — exact, deterministic at
+    any parallelism, and free (same counting-only shape as the NB
+    classifier's training).
+
+    Returns one row per field: (field, m, u, w_agree, w_disagree), plus
+    the fitted match prevalence under field '__p__' (m holds p, the other
+    columns NULL). Weights ride the 1e-6 grid. Conditional independence
+    between fields is assumed, as in the original model.
+    """
+    counts = [
+        (tuple(row[c] for c in agree_cols), row["n"])
+        for row in pairs.groupBy(*agree_cols)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    ]
+    counts.sort(key=lambda t: tuple(-1 if v is None else int(v) for v in t[0]))
+    k = len(agree_cols)
+    p = init_p
+    m = [init_m] * k
+    u = [init_u] * k
+    for _ in range(iters):
+        # E-step: posterior match probability per pattern
+        num_m_tot = 0.0
+        tot = 0.0
+        g_list = []
+        for gamma, n in counts:
+            lm = p
+            lu = 1.0 - p
+            for i, v in enumerate(gamma):
+                if v is None:
+                    continue
+                lm *= m[i] if v else (1.0 - m[i])
+                lu *= u[i] if v else (1.0 - u[i])
+            g = lm / (lm + lu) if (lm + lu) > 0 else 0.0
+            g_list.append(g)
+            num_m_tot += n * g
+            tot += n
+        p = num_m_tot / tot if tot else init_p
+        # M-step: per-field agreement rates among (non-null) comparisons
+        for i in range(k):
+            am = au = dm = du = 0.0
+            for (gamma, n), g in zip(counts, g_list):
+                v = gamma[i]
+                if v is None:
+                    continue
+                if v:
+                    am += n * g
+                    au += n * (1.0 - g)
+                dm += n * g
+                du += n * (1.0 - g)
+            # clamp away from {0,1} so weights stay finite (standard)
+            if dm > 0:
+                m[i] = min(max(am / dm, 1e-6), 1.0 - 1e-6)
+            if du > 0:
+                u[i] = min(max(au / du, 1e-6), 1.0 - 1e-6)
+
+    spark = pairs.sparkSession
+    rows = [
+        (
+            c,
+            float(m[i]),
+            float(u[i]),
+            float(math.log2(m[i] / u[i])),
+            float(math.log2((1.0 - m[i]) / (1.0 - u[i]))),
+        )
+        for i, c in enumerate(agree_cols)
+    ] + [("__p__", float(p), None, None, None)]
+    out = spark.createDataFrame(
+        rows, "field string, m double, u double, w_agree double, w_disagree double"
+    )
+    return out.select(
+        "field",
+        roundn(F.col("m"), 6).alias("m"),
+        roundn(F.col("u"), 6).alias("u"),
+        roundn(F.col("w_agree"), 6).alias("w_agree"),
+        roundn(F.col("w_disagree"), 6).alias("w_disagree"),
+    )

@@ -334,3 +334,67 @@ class TestCollocations:
         )
         out = collocations(df, min_count=2, k=10).collect()
         assert {r.bigram for r in out} == {"p q"}
+
+
+class TestFsEmFit:
+    def _pairs(self, spark):
+        # planted generative process, fed as exact pattern counts:
+        # 10% matches (name agrees 90%, city agrees 80%),
+        # 90% non-matches (name agrees 2%, city agrees 20%)
+        rows = []
+        for n, (a_name, a_city) in [
+            (72, (True, True)), (18, (True, False)),
+            (8, (False, True)), (2, (False, False)),
+        ]:
+            rows += [(a_name, a_city)] * n  # 100 matches
+        for n, (a_name, a_city) in [
+            (4, (True, True)), (14, (True, False)),
+            (176, (False, True)), (706, (False, False)),
+        ]:
+            rows += [(a_name, a_city)] * n  # 900 non-matches
+        return spark.createDataFrame(
+            rows, "agree_name boolean, agree_city boolean"
+        )
+
+    def test_recovers_planted_parameters(self, spark):
+        from invoice_ocr_reconciler_spark.operators.linkage import fs_em_fit
+
+        out = {
+            r.field: r
+            for r in fs_em_fit(
+                self._pairs(spark), ["agree_name", "agree_city"]
+            ).collect()
+        }
+        # match prevalence ~0.1, name separates hard (m>>u)
+        assert 0.03 < out["__p__"].m < 0.3
+        assert out["agree_name"].m > 0.7 and out["agree_name"].u < 0.1
+        assert out["agree_name"].w_agree > 2.0
+        assert out["agree_name"].w_disagree < -1.0
+        # weaker field still ordered correctly
+        assert out["agree_city"].m > out["agree_city"].u
+
+    def test_deterministic_across_runs_and_partitioning(self, spark):
+        from invoice_ocr_reconciler_spark.operators.linkage import fs_em_fit
+
+        a = fs_em_fit(
+            self._pairs(spark).repartition(2), ["agree_name", "agree_city"]
+        ).collect()
+        b = fs_em_fit(
+            self._pairs(spark).repartition(7), ["agree_name", "agree_city"]
+        ).collect()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+    def test_null_agreements_excluded_from_field(self, spark):
+        from invoice_ocr_reconciler_spark.operators.linkage import fs_em_fit
+
+        rows = [(True, None)] * 50 + [(False, None)] * 50
+        df = spark.createDataFrame(
+            rows, "agree_name boolean, agree_city boolean"
+        )
+        out = {
+            r.field: r
+            for r in fs_em_fit(df, ["agree_name", "agree_city"]).collect()
+        }
+        # city never observed -> stays at (clamped) init values
+        assert abs(out["agree_city"].m - 0.8) < 1e-6
+        assert abs(out["agree_city"].u - 0.2) < 1e-6
