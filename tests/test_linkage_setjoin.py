@@ -398,3 +398,76 @@ class TestFsEmFit:
         # city never observed -> stays at (clamped) init values
         assert abs(out["agree_city"].m - 0.8) < 1e-6
         assert abs(out["agree_city"].u - 0.2) < 1e-6
+
+
+class TestKAnonymizeInvariants:
+    def test_totals_preserved_under_suppression(self, spark):
+        """Suppression reshuffles rows but can't create or destroy mass:
+        published n sums to the input count and published totals sum to
+        the input's rounded-cents total, for any k."""
+        rng = random.Random(11)
+        rows = [
+            (f"g{rng.randint(0, 30)}", round(rng.uniform(-50, 500), 2))
+            for _ in range(800)
+        ]
+        df = spark.createDataFrame(rows, "seg string, amt double")
+        import math
+
+        want_cents = sum(math.floor(a * 100 + 0.5) for _, a in rows)
+        for k in (1, 5, 50, 10_000):
+            out = k_anonymize_agg(df, ["seg"], k=k, amount_col="amt").collect()
+            assert sum(r.n for r in out) == len(rows)
+            got_cents = round(sum(r.total for r in out) * 100)
+            assert got_cents == want_cents
+            assert all(r.n >= k or r.seg == "*" for r in out)
+
+
+def test_run_linkage_job(spark, tmp_path, monkeypatch):
+    """End-to-end CLI job: two parquet tables -> links parquet + stats
+    JSON; --fit-em path re-estimates m/u from the data first."""
+    import json
+    import sys
+
+    a = [(i, i % 5, f"n{i}", f"c{i % 9}") for i in range(200)]
+    # b: same people, name perturbed for id%4==0
+    b = [
+        (i, i % 5, (f"n{i}" if i % 4 else "zz"), f"c{i % 9}")
+        for i in range(200)
+    ]
+    pa, pb = f"{tmp_path}/a", f"{tmp_path}/b"
+    spark.createDataFrame(a, "pid int, blk int, name string, city string") \
+        .write.mode("overwrite").parquet(pa)
+    spark.createDataFrame(b, "pid int, blk int, name string, city string") \
+        .write.mode("overwrite").parquet(pb)
+    out = f"{tmp_path}/lnk"
+    monkeypatch.setattr(
+        sys,
+        "argv",
+        ["run_linkage.py", "--a", pa, "--b", pb, "--id-a", "pid",
+         "--id-b", "pid", "--block", "blk",
+         "--fields", "name:0.9:0.01,city:0.8:0.15",
+         "--lower", "0.0", "--upper", "5.0", "--out", out],
+    )
+    import jobs.run_linkage as job
+
+    job.main()
+    stats = json.loads(open(f"{out}/linkage_stats.json").read())
+    assert stats["n_a"] == 200 and stats["n_b"] == 200
+    assert stats["decisions"].get("match", 0) > 100  # unperturbed pairs
+    links = spark.read.parquet(f"{out}/links")
+    assert links.where("decision = 'non_match'").count() == 0
+
+    out2 = f"{tmp_path}/lnk_em"
+    monkeypatch.setattr(
+        sys,
+        "argv",
+        ["run_linkage.py", "--a", pa, "--b", pb, "--id-a", "pid",
+         "--id-b", "pid", "--block", "blk",
+         "--fields", "name:0.9:0.01,city:0.8:0.15",
+         "--lower", "0.0", "--upper", "5.0", "--out", out2, "--fit-em"],
+    )
+    job.main()
+    stats2 = json.loads(open(f"{out2}/linkage_stats.json").read())
+    assert stats2["fitted_by_em"]
+    name_field = next(f for f in stats2["fields"] if f["name"] == "name")
+    assert name_field["m"] > name_field["u"]
