@@ -3312,16 +3312,12 @@ def q_fs_em_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("b_refcode"),
     )
 
-    def agree(f):
-        av, bv = F.col(f"a_{f}"), F.col(f"b_{f}")
-        return F.when(
-            av.isNull() | bv.isNull(), F.lit(None).cast("boolean")
-        ).otherwise(av == bv)
+    from invoice_ocr_reconciler_spark.operators.linkage import agreement_col
 
     pairs = a.join(b, "block").select(
-        agree("name").alias("agree_name"),
-        agree("segment").alias("agree_segment"),
-        agree("refcode").alias("agree_refcode"),
+        agreement_col("name").alias("agree_name"),
+        agreement_col("segment").alias("agree_segment"),
+        agreement_col("refcode").alias("agree_refcode"),
     )
     return fs_em_fit(
         pairs, ["agree_name", "agree_segment", "agree_refcode"]
@@ -7323,7 +7319,8 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT '*', '*', '*', CAST(sum(n) AS BIGINT),
                    CAST(CAST(sum(cents) AS BIGINT) AS DOUBLE) / 100.0
-            FROM g WHERE n < 15 HAVING count(*) > 0
+            FROM g WHERE n < 15
+            HAVING CAST(sum(n) AS BIGINT) >= 15  -- the bucket meets k too
         """,
         # setjoin_prefix: exact all-pairs ground truth (no prefix filter
         # needed at oracle scale); every threshold test is integer

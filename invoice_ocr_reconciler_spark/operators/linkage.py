@@ -63,11 +63,23 @@ class FieldSpec:
         return math.log2((1.0 - self.m) / (1.0 - self.u))
 
 
+def agreement_col(name: str) -> Column:
+    """The ONE missing-data-aware field-agreement contract shared by
+    scoring (fs_linkage via _field_weight) and EM training (fs_em_fit
+    callers): NULL on either side -> NULL (field unobserved), else
+    equality. Train and score through this single definition or the two
+    silently diverge."""
+    a, b = F.col(f"a_{name}"), F.col(f"b_{name}")
+    return F.when(
+        a.isNull() | b.isNull(), F.lit(None).cast("boolean")
+    ).otherwise(a == b)
+
+
 def _field_weight(spec: FieldSpec) -> Column:
-    a, b = F.col(f"a_{spec.name}"), F.col(f"b_{spec.name}")
+    agree = agreement_col(spec.name)
     return (
-        F.when(a.isNull() | b.isNull(), F.lit(0.0))
-        .when(a == b, F.lit(spec.w_agree))
+        F.when(agree.isNull(), F.lit(0.0))
+        .when(agree, F.lit(spec.w_agree))
         .otherwise(F.lit(spec.w_disagree))
     )
 
@@ -170,16 +182,23 @@ def blocking_metrics(
             )
         ).alias("sk"),
     ).select(id_col, side_col, "sk.scheme", "sk.bkey")
-
+    # a NULL block key never joins in fs_linkage's equi-join, so the NULL
+    # group contributes NO candidate mass and is not a block — but its
+    # records still count in the totals (nulling records out IS reduction;
+    # the completeness side already treats NULL keys as uncovered because
+    # NULL == NULL is not true)
     sizes = keyed.groupBy("scheme", "bkey").agg(
         F.sum(F.when(F.col(side_col) == "a", 1).otherwise(0)).alias("n_a"),
         F.sum(F.when(F.col(side_col) == "b", 1).otherwise(0)).alias("n_b"),
     )
+    joinable = F.col("bkey").isNotNull()
     cand = sizes.groupBy("scheme").agg(
-        F.sum(F.col("n_a") * F.col("n_b")).alias("cand_pairs"),
+        F.sum(
+            F.when(joinable, F.col("n_a") * F.col("n_b")).otherwise(0)
+        ).alias("cand_pairs"),
         F.sum("n_a").alias("total_a"),
         F.sum("n_b").alias("total_b"),
-        F.count(F.lit(1)).alias("n_blocks"),
+        F.sum(F.when(joinable, 1).otherwise(0)).alias("n_blocks"),
     )
 
     ka = keyed.where(F.col(side_col) == "a").select(
@@ -188,7 +207,11 @@ def blocking_metrics(
     kb = keyed.where(F.col(side_col) == "b").select(
         F.col(id_col).alias("id_b"), "scheme", F.col("bkey").alias("bkey_b")
     )
-    truth_n = truth_pairs.count()
+    # truth total rides the lazy plan as a broadcast 1-row aggregate —
+    # no driver-side count() job at plan-construction time
+    truth_total = truth_pairs.groupBy().agg(
+        F.count(F.lit(1)).cast("double").alias("truth_n")
+    )
     covered = (
         truth_pairs.join(ka, "id_a")
         .join(kb, ["id_b", "scheme"])
@@ -202,6 +225,7 @@ def blocking_metrics(
 
     return (
         cand.join(covered, "scheme", "left")
+        .crossJoin(F.broadcast(truth_total))
         .select(
             "scheme",
             "n_blocks",
@@ -212,7 +236,7 @@ def blocking_metrics(
                 6,
             ).alias("reduction_ratio"),
             roundn(
-                F.coalesce(F.col("covered"), F.lit(0)) / F.lit(float(truth_n)),
+                F.coalesce(F.col("covered"), F.lit(0)) / F.col("truth_n"),
                 6,
             ).alias("pairs_completeness"),
         )
@@ -292,6 +316,16 @@ def fs_em_fit(
                 m[i] = min(max(am / dm, 1e-6), 1.0 - 1e-6)
             if du > 0:
                 u[i] = min(max(au / du, 1e-6), 1.0 - 1e-6)
+
+    # label-identifiability guard: the two latent classes are symmetric,
+    # so under match-heavy candidate sets (tight blocking, prevalence >
+    # 0.5) EM converges to the SWAPPED solution — m < u and every weight
+    # inverted, which would make fs_linkage drop true matches silently.
+    # The match class is by definition the minority/high-agreement one:
+    # relabel when p lands above 0.5.
+    if p > 0.5:
+        p = 1.0 - p
+        m, u = u, m
 
     spark = pairs.sparkSession
     rows = [

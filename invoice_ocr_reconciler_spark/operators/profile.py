@@ -340,8 +340,16 @@ def k_anonymize_agg(
     the quasi-identifier columns, keep groups with >= k members verbatim,
     and collapse every smaller group into ONE suppressed bucket whose
     quasi values are '*' — so no published row describes fewer than k
-    individuals. This is the release gate a corpus-stats dashboard needs
-    before per-host / per-segment metrics leave the cluster.
+    individuals. The '*' bucket itself is held to the same bar: if the
+    combined suppressed mass is still below k it is NOT published (total
+    suppression — the small remainder would otherwise leak a
+    sub-threshold aggregate). This is the release gate a corpus-stats
+    dashboard needs before per-host / per-segment metrics leave the
+    cluster.
+
+    Quasi columns are published as STRINGS (cast explicitly — the '*'
+    sentinel forces a string domain; an implicit union coercion would do
+    the same widening silently).
 
     Plan: one shuffle for the group-by (map-side partial aggs), then the
     suppressed remainder — typically a tiny fraction — re-aggregates to a
@@ -351,18 +359,24 @@ def k_anonymize_agg(
     total is exact integer math — identical in any engine, immune to the
     float re-rounding half-step trap.
 
-    -> (quasi..., n, total) with total on a fixed 2-dp render.
+    -> (quasi... string, n, total) with total on a fixed 2-dp render.
     """
     cents = F.floor(F.col(amount_col) * 100 + F.lit(0.5)).cast("bigint")
     g = df.groupBy(*quasi_cols).agg(
         F.count(F.lit(1)).alias("n"), F.sum(cents).alias("_cents")
     )
-    kept = g.where(F.col("n") >= k)
+    kept = g.where(F.col("n") >= k).select(
+        *[F.col(c).cast("string").alias(c) for c in quasi_cols],
+        "n",
+        "_cents",
+    )
     suppressed = (
         g.where(F.col("n") < k)
         .groupBy()
         .agg(F.sum("n").alias("n"), F.sum("_cents").alias("_cents"))
-        .where(F.col("n").isNotNull())
+        # the bucket must itself satisfy k-anonymity; and an empty input
+        # yields a null-n row that must not publish
+        .where(F.col("n").isNotNull() & (F.col("n") >= k))
         .select(
             *[F.lit("*").alias(c) for c in quasi_cols], "n", "_cents"
         )

@@ -75,14 +75,12 @@ def main() -> None:
     )
 
     if args.fit_em:
-        def agree(s):
-            av, bv = F.col(f"a_{s.name}"), F.col(f"b_{s.name}")
-            return F.when(
-                av.isNull() | bv.isNull(), F.lit(None).cast("boolean")
-            ).otherwise(av == bv)
+        from invoice_ocr_reconciler_spark.operators.linkage import (
+            agreement_col,
+        )
 
         pairs = a.join(b, "block").select(
-            *[agree(s).alias(f"agree_{s.name}") for s in fields]
+            *[agreement_col(s.name).alias(f"agree_{s.name}") for s in fields]
         )
         fitted = {
             r["field"]: r

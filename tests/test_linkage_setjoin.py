@@ -124,13 +124,27 @@ class TestKAnonymize:
         out = k_anonymize_agg(df, ["seg"], k=3, amount_col="amt").collect()
         assert len(out) == 1 and out[0].seg == "A"
 
-    def test_all_small_single_row(self, spark):
+    def test_star_bucket_meets_k_or_is_dropped(self, spark):
+        # suppressed mass 2 < k=3: publishing the '*' bucket would leak a
+        # sub-threshold aggregate -> nothing is published at all
         df = spark.createDataFrame(
             [("A", 1.5), ("B", 2.25)], "seg string, amt double"
         )
-        out = k_anonymize_agg(df, ["seg"], k=3, amount_col="amt").collect()
-        assert len(out) == 1 and out[0].seg == "*"
-        assert out[0].n == 2 and abs(out[0].total - 3.75) < 1e-9
+        assert k_anonymize_agg(df, ["seg"], k=3, amount_col="amt").count() == 0
+        # suppressed mass 3 >= k=3: bucket publishes
+        df2 = spark.createDataFrame(
+            [("A", 1.0), ("B", 2.0), ("C", 4.0)], "seg string, amt double"
+        )
+        out = k_anonymize_agg(df2, ["seg"], k=3, amount_col="amt").collect()
+        assert len(out) == 1 and out[0].seg == "*" and out[0].n == 3
+
+    def test_non_string_quasi_published_as_string(self, spark):
+        df = spark.createDataFrame(
+            [(7, 1.0)] * 4 + [(9, 2.0)], "grp int, amt double"
+        )
+        out = k_anonymize_agg(df, ["grp"], k=3, amount_col="amt")
+        assert dict(out.dtypes)["grp"] == "string"
+        assert {r.grp for r in out.collect()} == {"7"}  # 9's group dropped (<k)
 
 
 def _brute_jaccard_pairs(docs, tau_num, tau_den, gram_n):
@@ -414,12 +428,15 @@ class TestKAnonymizeInvariants:
         import math
 
         want_cents = sum(math.floor(a * 100 + 0.5) for _, a in rows)
-        for k in (1, 5, 50, 10_000):
+        for k in (1, 5, 50):
             out = k_anonymize_agg(df, ["seg"], k=k, amount_col="amt").collect()
             assert sum(r.n for r in out) == len(rows)
             got_cents = round(sum(r.total for r in out) * 100)
             assert got_cents == want_cents
-            assert all(r.n >= k or r.seg == "*" for r in out)
+            assert all(r.n >= k for r in out)  # the '*' bucket included
+        # k beyond the corpus: even the suppressed bucket is below k ->
+        # total suppression, nothing published
+        assert k_anonymize_agg(df, ["seg"], k=10_000, amount_col="amt").count() == 0
 
 
 def test_run_linkage_job(spark, tmp_path, monkeypatch):
@@ -471,3 +488,49 @@ def test_run_linkage_job(spark, tmp_path, monkeypatch):
     assert stats2["fitted_by_em"]
     name_field = next(f for f in stats2["fields"] if f["name"] == "name")
     assert name_field["m"] > name_field["u"]
+
+
+class TestReviewFixes:
+    def test_blocking_null_keys_add_no_candidate_mass(self, spark):
+        records = spark.createDataFrame(
+            [
+                (1, "a", "x"), (2, "a", None), (3, "a", None),
+                (1, "b", "x"), (2, "b", None), (3, "b", None),
+            ],
+            "rec_id int, side string, key string",
+        )
+        truth = spark.createDataFrame(
+            [(1, 1), (2, 2), (3, 3)], "id_a int, id_b int"
+        )
+        r = blocking_metrics(records, truth, {"k": F.col("key")}).collect()[0]
+        # the NULL group is not a block and contributes no candidates,
+        # but its records still count in the reduction denominator (3x3)
+        assert r.n_blocks == 1 and r.cand_pairs == 1
+        assert abs(r.reduction_ratio - (1 - 1 / 9)) < 1e-5
+        # NULL-keyed truth pairs are uncovered
+        assert abs(r.pairs_completeness - 1 / 3) < 1e-5
+
+    def test_em_label_swap_guard(self, spark):
+        from invoice_ocr_reconciler_spark.operators.linkage import fs_em_fit
+
+        # match-heavy candidate set (tight blocking): 90% matches that
+        # agree, 10% non-matches that don't — without the guard EM can
+        # land on the swapped labeling (p>0.5, m<u)
+        rows = [(True,)] * 900 + [(False,)] * 100
+        df = spark.createDataFrame(rows, "agree_name boolean")
+        out = {r.field: r for r in fs_em_fit(df, ["agree_name"]).collect()}
+        assert out["__p__"].m <= 0.5
+        assert out["agree_name"].m > out["agree_name"].u
+        assert out["agree_name"].w_agree > 0
+
+    def test_agreement_col_shared_contract(self, spark):
+        from invoice_ocr_reconciler_spark.operators.linkage import (
+            agreement_col,
+        )
+
+        df = spark.createDataFrame(
+            [("x", "x"), ("x", "y"), (None, "x"), ("x", None)],
+            "a_f string, b_f string",
+        )
+        got = [r[0] for r in df.select(agreement_col("f")).collect()]
+        assert got == [True, False, None, None]
