@@ -3484,6 +3484,34 @@ def q_ai_optout(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", *[v.alias(k) for k, v in cols.items()])
 
 
+def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid-retrieval reciprocal-rank fusion (operators/tfidf.py:
+    rrf_fuse): the oracle-checked BM25 lexical top-20 fused with the
+    exact embedding ANN top-20 for query vector 0; terms combine in a
+    fixed projection chain (never a float-sum aggregate), the fused order
+    is total, and the DuckDB oracle embeds both retrieval oracles
+    verbatim as CTEs."""
+    from invoice_ocr_reconciler_spark.operators.similarity import (
+        brute_force_topk,
+    )
+    from invoice_ocr_reconciler_spark.operators.tfidf import (
+        bm25_search,
+        rrf_fuse,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    # k values mirror the two embedded oracles exactly: bm25_search k=20,
+    # ann_brute_force k=5 (its oracle CTE is reused verbatim)
+    bm = bm25_search(docs, ["merge", "stream", "window"], k=20)
+    ann = brute_force_topk(
+        emb, emb.filter(F.col("vec_id") == 0), k=5
+    ).select(F.col("neighbor_id").alias("doc_id"), F.col("rank"))
+    return rrf_fuse(
+        {"bm25": bm.select("doc_id", "rank"), "ann": ann}, k=20
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from invoice_ocr_reconciler_spark.plans import relational as R
 
@@ -3668,6 +3696,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "containment_pairs": q_containment_pairs,
         "collocations": q_collocations,
         "ai_optout": q_ai_optout,
+        "rrf_fusion": q_rrf_fusion,
     }
 
 
@@ -3875,7 +3904,7 @@ def oracle_sql() -> dict[str, str]:
         k: f"CAST(len(regexp_extract_all(lower(coalesce(text,'')), '{v}')) AS INT)"
         for k, v in _HITS.items()
     }
-    return {
+    d = {
         "extract_identity_docs": """
             SELECT doc_id, text AS extracted_text
             FROM documents WHERE doc_id % 10 IN (6, 8)
@@ -7459,3 +7488,22 @@ def oracle_sql() -> dict[str, str]:
             FROM f
         """,
     }
+    # rrf_fusion composes the two retrieval oracles verbatim as CTEs so
+    # the fused ground truth can never drift from its inputs' ground truth
+    d["rrf_fusion"] = f"""
+        WITH bm AS ({d["bm25_search"]}),
+        ann AS ({d["ann_brute_force"]}),
+        annq AS (SELECT neighbor_id AS doc_id, nb_rank FROM ann WHERE query_id = 0),
+        f AS (
+            SELECT coalesce(bm.doc_id, annq.doc_id) AS doc_id,
+                   bm.rank AS rank_bm25,
+                   annq.nb_rank AS rank_ann,
+                   floor((coalesce(CAST(1.0 AS DOUBLE) / (60 + bm.rank), CAST(0.0 AS DOUBLE))
+                          + coalesce(CAST(1.0 AS DOUBLE) / (60 + annq.nb_rank), CAST(0.0 AS DOUBLE)))
+                         * 1000000.0 + 0.5) / 1000000.0 AS rrf_score
+            FROM bm FULL OUTER JOIN annq ON bm.doc_id = annq.doc_id)
+        SELECT doc_id, rank_bm25, rank_ann, rrf_score,
+               CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id) AS INT) AS fused_rank
+        FROM f QUALIFY fused_rank <= 20
+    """
+    return d

@@ -271,3 +271,52 @@ def collocations(
         )
     )
     return out.orderBy(F.col("lift").desc(), F.col("bigram")).limit(k)
+
+
+def rrf_fuse(
+    rankings: dict[str, DataFrame],
+    *,
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    k: int = 20,
+    c: int = 60,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) of named rankings —
+    the standard hybrid-retrieval combiner (e.g. BM25 lexical + embedding
+    ANN): score(d) = sum over rankings of 1/(c + rank_d), documents
+    absent from a ranking contribute 0.
+
+    Determinism contract: the per-ranking terms are combined in a FIXED
+    left-to-right projection chain over full-outer-joined rank columns —
+    NOT a groupBy sum, whose float addition order would depend on
+    partitioning. The fused order is total ((score desc, id)) and the
+    score rides the 1e-6 grid, so the cut is cross-engine stable.
+
+    Scale: inputs are already top-k' rankings, so the fusion frame is
+    bounded by sum of ranking sizes — the full-outer joins and the single
+    global window are deliberate small-data operations at the END of two
+    big retrieval pipelines, never over the corpus.
+    """
+    names = list(rankings)
+    out = None
+    for name in names:
+        r = rankings[name].select(
+            F.col(id_col), F.col(rank_col).alias(f"rank_{name}")
+        )
+        out = r if out is None else out.join(r, id_col, "full_outer")
+    score = None
+    for name in names:
+        t = F.coalesce(
+            F.lit(1.0) / (F.lit(c) + F.col(f"rank_{name}")), F.lit(0.0)
+        )
+        score = t if score is None else score + t
+    w = Window.orderBy(F.col("rrf_score").desc(), F.col(id_col))
+    return (
+        out.select(
+            id_col,
+            *[f"rank_{n}" for n in names],
+            _roundn(score, 6).alias("rrf_score"),
+        )
+        .withColumn("fused_rank", F.row_number().over(w))
+        .where(F.col("fused_rank") <= k)
+    )

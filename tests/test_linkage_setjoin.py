@@ -534,3 +534,38 @@ class TestReviewFixes:
         )
         got = [r[0] for r in df.select(agreement_col("f")).collect()]
         assert got == [True, False, None, None]
+
+
+class TestRrfFuse:
+    def test_hand_computed_fusion(self, spark):
+        from invoice_ocr_reconciler_spark.operators.tfidf import rrf_fuse
+
+        bm = spark.createDataFrame(
+            [(10, 1), (11, 2), (12, 3)], "doc_id int, rank int"
+        )
+        ann = spark.createDataFrame(
+            [(11, 1), (13, 2)], "doc_id int, rank int"
+        )
+        out = {
+            r.doc_id: r
+            for r in rrf_fuse({"bm25": bm, "ann": ann}, k=10).collect()
+        }
+        # doc 11 is in both lists -> highest fused score
+        assert abs(out[11].rrf_score - (1 / 62 + 1 / 61)) < 1e-6
+        assert out[11].fused_rank == 1
+        # single-list docs: score from one term only, other rank NULL
+        assert abs(out[10].rrf_score - 1 / 61) < 1e-6
+        assert out[10].rank_ann is None
+        assert abs(out[13].rrf_score - 1 / 62) < 1e-6
+        assert out[13].rank_bm25 is None
+        assert len(out) == 4
+
+    def test_k_cut_and_total_order(self, spark):
+        from invoice_ocr_reconciler_spark.operators.tfidf import rrf_fuse
+
+        bm = spark.createDataFrame(
+            [(i, i + 1) for i in range(30)], "doc_id int, rank int"
+        )
+        out = rrf_fuse({"bm25": bm}, k=7).collect()
+        assert [r.doc_id for r in out] == list(range(7))
+        assert [r.fused_rank for r in out] == list(range(1, 8))
