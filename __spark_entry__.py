@@ -3512,6 +3512,17 @@ def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kwic_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword-in-context highlighting (operators/tfidf.py:kwic_snippets)
+    for the bm25 demo query — first matching term in caller order, its
+    position, +-40-char context window; zero-exchange codegen. DuckDB
+    replays strpos/substr char-position semantics exactly."""
+    from invoice_ocr_reconciler_spark.operators.tfidf import kwic_snippets
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return kwic_snippets(docs, ["merge", "stream", "window"])
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from invoice_ocr_reconciler_spark.plans import relational as R
 
@@ -3697,6 +3708,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collocations": q_collocations,
         "ai_optout": q_ai_optout,
         "rrf_fusion": q_rrf_fusion,
+        "kwic_snippets": q_kwic_snippets,
     }
 
 
@@ -7488,6 +7500,29 @@ def oracle_sql() -> dict[str, str]:
             FROM f
         """,
     }
+    # kwic_snippets: first-term-in-order coalesce chain, strpos/substr
+    # char positions, same +-40 window arithmetic
+    d["kwic_snippets"] = """
+        WITH p AS (
+            SELECT doc_id, text,
+                   strpos(lower(coalesce(text, '')), 'merge') AS p1,
+                   strpos(lower(coalesce(text, '')), 'stream') AS p2,
+                   strpos(lower(coalesce(text, '')), 'window') AS p3
+            FROM documents),
+        c AS (
+            SELECT doc_id, text,
+                   CASE WHEN p1 > 0 THEN 'merge'
+                        WHEN p2 > 0 THEN 'stream'
+                        WHEN p3 > 0 THEN 'window' END AS term,
+                   CAST(CASE WHEN p1 > 0 THEN p1
+                             WHEN p2 > 0 THEN p2
+                             WHEN p3 > 0 THEN p3 ELSE 0 END AS INT) AS pos
+            FROM p)
+        SELECT doc_id, term, pos,
+               substr(coalesce(text, ''), greatest(pos - 40, 1),
+                      pos - greatest(pos - 40, 1) + length(term) + 40) AS snippet
+        FROM c WHERE term IS NOT NULL
+    """
     # rrf_fusion composes the two retrieval oracles verbatim as CTEs so
     # the fused ground truth can never drift from its inputs' ground truth
     d["rrf_fusion"] = f"""

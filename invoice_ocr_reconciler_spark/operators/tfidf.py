@@ -320,3 +320,55 @@ def rrf_fuse(
         .withColumn("fused_rank", F.row_number().over(w))
         .where(F.col("fused_rank") <= k)
     )
+
+
+def kwic_snippets(
+    docs: DataFrame,
+    query_terms: list[str],
+    *,
+    window_chars: int = 40,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keyword-in-context snippets — the search-result highlighter that
+    pairs with bm25_search/rrf_fuse: for every document containing at
+    least one query term, the FIRST matching term (in the caller's term
+    order), its 1-based character position, and a +-window_chars context
+    slice around the hit.
+
+    Pure codegen: one ``locate`` per term + a coalesce chain picks the
+    first present term, one ``substring`` cuts the window — a
+    zero-exchange scan stage you append to a retrieval join, never a
+    tokenization pass. ASCII/char-position semantics (both engines count
+    codepoints; byte-offset highlighting for multi-byte corpora belongs
+    to the renderer).
+    """
+    low = F.lower(F.coalesce(F.col(text_col), F.lit("")))
+    pos_cols = [
+        (t.lower(), F.locate(t.lower(), low)) for t in query_terms
+    ]
+    term = F.coalesce(
+        *[F.when(p > 0, F.lit(t)) for t, p in pos_cols],
+        F.lit(None).cast("string"),
+    )
+    pos = F.coalesce(
+        *[F.when(p > 0, p) for _, p in pos_cols], F.lit(0)
+    )
+    start = F.greatest(pos - F.lit(window_chars), F.lit(1))
+    length = (
+        pos
+        - start
+        + F.length(term)
+        + F.lit(window_chars)
+    ).cast("int")
+    return (
+        docs.select(
+            F.col(id_col),
+            term.alias("term"),
+            pos.cast("int").alias("pos"),
+            F.coalesce(F.col(text_col), F.lit(""))
+            .substr(start.cast("int"), length)
+            .alias("snippet"),
+        )
+        .where(F.col("term").isNotNull())
+    )

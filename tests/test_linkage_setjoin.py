@@ -569,3 +569,34 @@ class TestRrfFuse:
         out = rrf_fuse({"bm25": bm}, k=7).collect()
         assert [r.doc_id for r in out] == list(range(7))
         assert [r.fused_rank for r in out] == list(range(1, 8))
+
+
+class TestKwicSnippets:
+    def test_window_and_term_priority(self, spark):
+        from invoice_ocr_reconciler_spark.operators.tfidf import kwic_snippets
+
+        left = "x" * 50
+        df = spark.createDataFrame(
+            [
+                (1, f"{left}stream and window here"),
+                (2, "window only"),
+                (3, "nothing relevant"),
+                (4, "Stream CAPS"),
+            ],
+            "doc_id int, text string",
+        )
+        out = {
+            r.doc_id: r
+            for r in kwic_snippets(
+                df, ["merge", "stream", "window"], window_chars=10
+            ).collect()
+        }
+        assert set(out) == {1, 2, 4}
+        # doc 1: 'stream' precedes 'window' in term order AND text
+        assert out[1].term == "stream" and out[1].pos == 51
+        assert out[1].snippet == "x" * 10 + "stream" + " and windo"
+        # doc 2: window at pos 1, left clamp
+        assert out[2].term == "window" and out[2].pos == 1
+        assert out[2].snippet.startswith("window")
+        # case-insensitive locate, original-case snippet
+        assert out[4].term == "stream" and "Stream" in out[4].snippet
