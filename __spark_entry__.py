@@ -3512,6 +3512,40 @@ def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_registrable_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """eTLD+1 aggregation (functions/urls.py:registrable_domain_col):
+    hosts synthesized on three shapes (deep subdomain under a 2-label
+    public suffix; bare registrable; unlisted TLD hitting the '*'
+    prevailing rule) collapse to registrable domains; per-domain page and
+    distinct-host counts. DuckDB replays the longest-suffix-first
+    algorithm over the same 3-entry PSL."""
+    from invoice_ocr_reconciler_spark.functions.urls import (
+        registrable_domain_col,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    i = F.col("doc_id")
+    host = (
+        F.when(
+            i % 3 == 0,
+            F.format_string("sub%d.site%d.co.testtld", i % 5, i % 7),
+        )
+        .when(i % 3 == 1, F.format_string("site%d.testtld", i % 7))
+        .otherwise(
+            F.format_string("deep.sub%d.site%d.example", i % 5, i % 7)
+        )
+    )
+    psl = ["co.testtld", "testtld", "example"]
+    hosts = docs.select(
+        host.alias("host"),
+        registrable_domain_col(host, psl).alias("reg_domain"),
+    )
+    return hosts.groupBy("reg_domain").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pages"),
+        F.countDistinct("host").cast("bigint").alias("n_hosts"),
+    )
+
+
 def q_kwic_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keyword-in-context highlighting (operators/tfidf.py:kwic_snippets)
     for the bm25 demo query — first matching term in caller order, its
@@ -3709,6 +3743,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ai_optout": q_ai_optout,
         "rrf_fusion": q_rrf_fusion,
         "kwic_snippets": q_kwic_snippets,
+        "registrable_domains": q_registrable_domains,
     }
 
 
@@ -7500,6 +7535,42 @@ def oracle_sql() -> dict[str, str]:
             FROM f
         """,
     }
+    # registrable_domains: same host synthesis; longest-suffix-first via
+    # the suffix expansion filtered against the 3-entry PSL; '*' fallback
+    # = bare last label; host==suffix -> NULL registrable
+    d["registrable_domains"] = r"""
+        WITH h AS (
+            SELECT CASE WHEN doc_id % 3 = 0
+                        THEN printf('sub%d.site%d.co.testtld', doc_id % 5, doc_id % 7)
+                        WHEN doc_id % 3 = 1
+                        THEN printf('site%d.testtld', doc_id % 7)
+                        ELSE printf('deep.sub%d.site%d.example', doc_id % 5, doc_id % 7)
+                   END AS host
+            FROM documents),
+        s AS (
+            SELECT host, string_split(host, '.') AS labels,
+                   list_filter(
+                       list_transform(range(1, len(string_split(host, '.')) + 1),
+                           i -> array_to_string(list_slice(string_split(host, '.'),
+                                                           i, len(string_split(host, '.'))), '.')),
+                       x -> x IN ('co.testtld', 'testtld', 'example')) AS matched
+            FROM h),
+        r AS (
+            SELECT host,
+                   CASE WHEN len(labels) <= len(string_split(pub, '.')) THEN NULL
+                        ELSE array_to_string(
+                            list_slice(labels,
+                                       len(labels) - len(string_split(pub, '.')),
+                                       len(labels)), '.')
+                   END AS reg_domain
+            FROM (SELECT host, labels,
+                         coalesce(matched[1], labels[len(labels)]) AS pub
+                  FROM s))
+        SELECT reg_domain,
+               CAST(count(*) AS BIGINT) AS n_pages,
+               CAST(count(DISTINCT host) AS BIGINT) AS n_hosts
+        FROM r GROUP BY reg_domain
+    """
     # kwic_snippets: first-term-in-order coalesce chain, strpos/substr
     # char positions, same +-40 window arithmetic
     d["kwic_snippets"] = """

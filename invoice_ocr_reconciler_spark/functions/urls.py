@@ -395,3 +395,32 @@ def pagination_chains(pages: DataFrame, url_col: str = "url") -> DataFrame:
             F.max("page_num").alias("max_page"),
         )
     )
+
+
+def registrable_domain_col(host: Column, public_suffixes: list[str]) -> Column:
+    """eTLD+1 (the "registrable domain") of a hostname under a
+    public-suffix list: the longest listed suffix plus one label. Crawl
+    quotas, dedup scopes, and link-graph aggregation all operate at this
+    level — per-HOST grouping over-fragments (every subdomain its own
+    bucket), per-TLD under-fragments.
+
+    PSL semantics implemented: longest match wins; an unlisted TLD falls
+    back to the prevailing '*' rule (the bare last label is the suffix);
+    a host that IS a public suffix has no registrable domain -> NULL.
+
+    Pure codegen: the suffix expansion is domain_suffixes_col's
+    longest-first array, filtered against the suffix set (an array
+    literal here — the real ~9k-rule PSL rides a broadcast join on the
+    same expansion instead), first survivor = longest match.
+    """
+    sufs = domain_suffixes_col(host)  # longest -> shortest
+    psl_arr = F.array(*[F.lit(s) for s in sorted(public_suffixes)])
+    matched = F.filter(sufs, lambda s: F.array_contains(psl_arr, s))
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    last_label = F.array_join(F.slice(labels, n, 1), ".")
+    pub = F.coalesce(F.try_element_at(matched, F.lit(1)), last_label)
+    k = F.size(F.split(pub, r"\."))
+    return F.when(n <= k, F.lit(None).cast("string")).otherwise(
+        F.array_join(F.slice(labels, n - k, k + 1), ".")
+    )

@@ -565,3 +565,36 @@ def test_revisit_stats_classes(spark):
     h = got["example,h)/p"]
     assert h["change_rate"] == pytest.approx(0.5, abs=1e-6)
     assert got["example,one)/p"]["change_rate"] is None
+
+
+def test_registrable_domain_psl_semantics(spark):
+    from pyspark.sql import functions as F
+
+    from invoice_ocr_reconciler_spark.functions.urls import (
+        registrable_domain_col,
+    )
+
+    psl = ["co.uk", "uk", "com"]
+    df = spark.createDataFrame(
+        [
+            ("a.b.example.co.uk",),   # longest match co.uk -> example.co.uk
+            ("example.co.uk",),       # bare registrable under co.uk
+            ("co.uk",),               # IS a public suffix -> NULL
+            ("x.example.com",),       # com -> example.com
+            ("deep.site.weirdtld",),  # unlisted TLD: '*' rule -> site.weirdtld
+            ("weirdtld",),            # single unlisted label -> NULL
+        ],
+        "host string",
+    )
+    got = {
+        r.host: r.reg
+        for r in df.select(
+            "host", registrable_domain_col(F.col("host"), psl).alias("reg")
+        ).collect()
+    }
+    assert got["a.b.example.co.uk"] == "example.co.uk"
+    assert got["example.co.uk"] == "example.co.uk"
+    assert got["co.uk"] is None
+    assert got["x.example.com"] == "example.com"
+    assert got["deep.site.weirdtld"] == "site.weirdtld"
+    assert got["weirdtld"] is None

@@ -53,7 +53,7 @@ PURE_CODEGEN_QUERIES = [
     "snapshot_retention",
     "record_linkage_fs", "blocking_quality", "k_anonymize",
     "setjoin_prefix", "containment_pairs", "collocations",
-    "ai_optout", "rrf_fusion", "kwic_snippets",
+    "ai_optout", "rrf_fusion", "kwic_snippets", "registrable_domains",
 ]
 # NOT listed although their OPERATORS are pure codegen: queries whose
 # INPUT synthesis is datagen.pages_from_documents (a mapInPandas page
