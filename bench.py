@@ -92,6 +92,9 @@ def main() -> None:
         "ann_brute_force",
         "record_linkage_fs",    # Fellegi-Sunter blocked linkage (codegen)
         "setjoin_prefix",       # exact Jaccard join via prefix filtering
+        "containment_pairs",    # directional quote-detection join
+        "collocations",         # integer-exact PMI phrase mining
+        "rrf_fusion",           # hybrid BM25+ANN rank fusion
         "upsert_table",         # MERGE/upsert over the orders table
         "status_writeback",     # E2 write-back (UPDATE-only MERGE)
         "extract_pages",        # extraction stage alone
