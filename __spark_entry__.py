@@ -3546,6 +3546,26 @@ def q_registrable_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_link_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-graph reciprocity (operators/graph.py:link_reciprocity) over
+    a synthesized 7-host edge set (two doc_id-rule edge families so some
+    pairs reciprocate and some don't); DuckDB replays the distinct-pair /
+    reverse-join / degree algebra exactly."""
+    from invoice_ocr_reconciler_spark.operators.graph import link_reciprocity
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    i = F.col("doc_id")
+    src = F.concat(F.lit("h"), (i % 7).cast("string"))
+    dst = F.concat(
+        F.lit("h"),
+        F.when(i % 2 == 0, (i % 7 + 1) % 7)
+        .otherwise((i % 7 + 3) % 7)
+        .cast("string"),
+    )
+    edges = docs.select(src.alias("src_host"), dst.alias("dst_host"))
+    return link_reciprocity(edges).orderBy("host")
+
+
 def q_kwic_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keyword-in-context highlighting (operators/tfidf.py:kwic_snippets)
     for the bm25 demo query — first matching term in caller order, its
@@ -3744,6 +3764,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rrf_fusion": q_rrf_fusion,
         "kwic_snippets": q_kwic_snippets,
         "registrable_domains": q_registrable_domains,
+        "link_reciprocity": q_link_reciprocity,
     }
 
 
@@ -7535,6 +7556,39 @@ def oracle_sql() -> dict[str, str]:
             FROM f
         """,
     }
+    # link_reciprocity: same edge synthesis; distinct directed pairs,
+    # reverse LEFT JOIN, degree aggs, n_reciprocal/out_deg on the grid
+    d["link_reciprocity"] = """
+        WITH e AS (
+            SELECT DISTINCT
+                   'h' || CAST(doc_id % 7 AS VARCHAR) AS s,
+                   'h' || CAST(CASE WHEN doc_id % 2 = 0
+                                    THEN (doc_id % 7 + 1) % 7
+                                    ELSE (doc_id % 7 + 3) % 7 END AS VARCHAR) AS d
+            FROM documents),
+        p AS (SELECT s, d FROM e WHERE s <> d),
+        m AS (
+            SELECT a.s, a.d,
+                   CASE WHEN b.s IS NOT NULL THEN 1 ELSE 0 END AS rec
+            FROM p a LEFT JOIN p b ON a.s = b.d AND a.d = b.s),
+        outd AS (
+            SELECT s AS host, CAST(count(*) AS BIGINT) AS out_deg,
+                   CAST(sum(rec) AS BIGINT) AS n_reciprocal
+            FROM m GROUP BY 1),
+        ind AS (
+            SELECT d AS host, CAST(count(*) AS BIGINT) AS in_deg
+            FROM p GROUP BY 1)
+        SELECT coalesce(outd.host, ind.host) AS host,
+               CAST(coalesce(out_deg, 0) AS BIGINT) AS out_deg,
+               CAST(coalesce(in_deg, 0) AS BIGINT) AS in_deg,
+               CAST(coalesce(n_reciprocal, 0) AS BIGINT) AS n_reciprocal,
+               CASE WHEN coalesce(out_deg, 0) = 0 THEN CAST(0.0 AS DOUBLE)
+                    ELSE floor(coalesce(n_reciprocal, 0) / out_deg
+                               * 1000000.0 + 0.5) / 1000000.0
+               END AS reciprocity
+        FROM outd FULL OUTER JOIN ind ON outd.host = ind.host
+        ORDER BY host
+    """
     # registrable_domains: same host synthesis; longest-suffix-first via
     # the suffix expansion filtered against the 3-entry PSL; '*' fallback
     # = bare last label; host==suffix -> NULL registrable

@@ -626,3 +626,66 @@ def merge_seed_channels(channels: dict[str, DataFrame], url_col: str = "url") ->
         .agg(F.sort_array(F.collect_set("_ch")).alias("sources"))
         .select("url", "sources", F.size("sources").alias("n_channels"))
     )
+
+
+def link_reciprocity(
+    edges: DataFrame,
+    src_col: str = "src_host",
+    dst_col: str = "dst_host",
+) -> DataFrame:
+    """Per-host link reciprocity — the classic link-farm / spam-network
+    signal: organic sites have low-to-moderate reciprocity, while link
+    rings that exchange links pairwise score near 1.0.
+
+    -> (host, out_deg, in_deg, n_reciprocal, reciprocity): degrees over
+    DISTINCT directed host pairs (self-loops dropped), n_reciprocal = the
+    host's out-neighbors that link back, reciprocity = n_reciprocal /
+    out_deg on the 1e-6 grid (0.0 for pure sinks).
+
+    Plan: dedup to the directed pair set (one exchange), detect reverse
+    edges with a single self LEFT JOIN on the swapped key (host-graph
+    sized, tiny next to the page corpus), then two partial-agg'd degree
+    aggregations full-outer-merged — no pair materialization beyond the
+    host graph itself.
+    """
+    p = (
+        edges.select(
+            F.col(src_col).alias("s"), F.col(dst_col).alias("d")
+        )
+        .where(F.col(src_col) != F.col(dst_col))
+        .distinct()
+    )
+    rev = p.select(F.col("s").alias("rs"), F.col("d").alias("rd"))
+    marked = p.join(
+        rev, (F.col("s") == F.col("rd")) & (F.col("d") == F.col("rs")), "left"
+    ).select(
+        "s",
+        "d",
+        F.when(F.col("rs").isNotNull(), 1).otherwise(0).alias("rec"),
+    )
+    outd = marked.groupBy(F.col("s").alias("host")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("out_deg"),
+        F.sum("rec").cast("bigint").alias("n_reciprocal"),
+    )
+    ind = p.groupBy(F.col("d").alias("host")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("in_deg")
+    )
+    from invoice_ocr_reconciler_spark.functions.text import roundn
+
+    return (
+        outd.join(ind, "host", "full_outer")
+        .select(
+            "host",
+            F.coalesce("out_deg", F.lit(0)).cast("bigint").alias("out_deg"),
+            F.coalesce("in_deg", F.lit(0)).cast("bigint").alias("in_deg"),
+            F.coalesce("n_reciprocal", F.lit(0))
+            .cast("bigint")
+            .alias("n_reciprocal"),
+        )
+        .withColumn(
+            "reciprocity",
+            F.when(F.col("out_deg") == 0, F.lit(0.0)).otherwise(
+                roundn(F.col("n_reciprocal") / F.col("out_deg"), 6)
+            ),
+        )
+    )

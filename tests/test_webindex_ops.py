@@ -598,3 +598,26 @@ def test_registrable_domain_psl_semantics(spark):
     assert got["x.example.com"] == "example.com"
     assert got["deep.site.weirdtld"] == "site.weirdtld"
     assert got["weirdtld"] is None
+
+
+def test_link_reciprocity_hand_computed(spark):
+    from invoice_ocr_reconciler_spark.operators.graph import link_reciprocity
+
+    edges = spark.createDataFrame(
+        [
+            ("a", "b"), ("b", "a"),          # reciprocal pair
+            ("a", "c"),                       # one-way
+            ("c", "c"),                       # self-loop dropped
+            ("a", "b"),                       # duplicate edge collapsed
+            ("d", "a"),                       # one-way into a
+        ],
+        "src_host string, dst_host string",
+    )
+    out = {r.host: r for r in link_reciprocity(edges).collect()}
+    assert out["a"].out_deg == 2 and out["a"].n_reciprocal == 1
+    assert abs(out["a"].reciprocity - 0.5) < 1e-6
+    assert out["b"].out_deg == 1 and abs(out["b"].reciprocity - 1.0) < 1e-6
+    # pure sink: no out-edges after self-loop drop
+    assert out["c"].out_deg == 0 and out["c"].reciprocity == 0.0
+    assert out["c"].in_deg == 1
+    assert out["d"].in_deg == 0 and out["d"].out_deg == 1
