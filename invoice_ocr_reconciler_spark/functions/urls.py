@@ -411,14 +411,18 @@ def registrable_domain_col(host: Column, public_suffixes: list[str]) -> Column:
     Pure codegen: the suffix expansion is domain_suffixes_col's
     longest-first array, filtered against the suffix set (an array
     literal here — the real ~9k-rule PSL rides a broadcast join on the
-    same expansion instead), first survivor = longest match.
+    same expansion instead), first survivor = longest match. The host is
+    normalized first (lowercase, trailing root-dot stripped) — the PSL
+    algorithm presumes normalized hostnames and a case mismatch would
+    silently fall through to the '*' rule.
     """
-    sufs = domain_suffixes_col(host)  # longest -> shortest
-    psl_arr = F.array(*[F.lit(s) for s in sorted(public_suffixes)])
+    norm = F.lower(F.regexp_replace(host, r"\.$", ""))
+    sufs = domain_suffixes_col(norm)  # longest -> shortest
+    psl_arr = F.array(*[F.lit(s.lower()) for s in public_suffixes])
     matched = F.filter(sufs, lambda s: F.array_contains(psl_arr, s))
-    labels = F.split(host, r"\.")
+    labels = F.split(norm, r"\.")
     n = F.size(labels)
-    last_label = F.array_join(F.slice(labels, n, 1), ".")
+    last_label = F.try_element_at(labels, n)
     pub = F.coalesce(F.try_element_at(matched, F.lit(1)), last_label)
     k = F.size(F.split(pub, r"\."))
     return F.when(n <= k, F.lit(None).cast("string")).otherwise(

@@ -649,10 +649,8 @@ def link_reciprocity(
     host graph itself.
     """
     p = (
-        edges.select(
-            F.col(src_col).alias("s"), F.col(dst_col).alias("d")
-        )
-        .where(F.col(src_col) != F.col(dst_col))
+        edges.where(F.col(src_col) != F.col(dst_col))
+        .select(F.col(src_col).alias("s"), F.col(dst_col).alias("d"))
         .distinct()
     )
     rev = p.select(F.col("s").alias("rs"), F.col("d").alias("rd"))
@@ -670,8 +668,6 @@ def link_reciprocity(
     ind = p.groupBy(F.col("d").alias("host")).agg(
         F.count(F.lit(1)).cast("bigint").alias("in_deg")
     )
-    from invoice_ocr_reconciler_spark.functions.text import roundn
-
     return (
         outd.join(ind, "host", "full_outer")
         .select(

@@ -297,11 +297,16 @@ def rrf_fuse(
     global window are deliberate small-data operations at the END of two
     big retrieval pipelines, never over the corpus.
     """
+    if not rankings:
+        raise ValueError("rrf_fuse requires at least one ranking")
     names = list(rankings)
     out = None
     for name in names:
-        r = rankings[name].select(
-            F.col(id_col), F.col(rank_col).alias(f"rank_{name}")
+        # collapse duplicate ids to their BEST rank (a per-query top-k fed
+        # in unfiltered would otherwise fan out the join and emit several
+        # fused_rank rows for one document); min over ints is exact
+        r = rankings[name].groupBy(id_col).agg(
+            F.min(rank_col).alias(f"rank_{name}")
         )
         out = r if out is None else out.join(r, id_col, "full_outer")
     score = None
@@ -339,11 +344,17 @@ def kwic_snippets(
     Pure codegen: one ``locate`` per term + a coalesce chain picks the
     first present term, one ``substring`` cuts the window — a
     zero-exchange scan stage you append to a retrieval join, never a
-    tokenization pass. ASCII/char-position semantics (both engines count
-    codepoints; byte-offset highlighting for multi-byte corpora belongs
-    to the renderer).
+    tokenization pass. Char-position semantics (both engines count
+    codepoints; byte-offset highlighting belongs to the renderer).
+
+    Case handling: positions come from the LOWERCASED text; the snippet
+    is cut from the original text only when lowercasing is
+    length-preserving (it almost always is), and from the lowercased
+    text otherwise (e.g. U+0130 'İ' lowercases to TWO codepoints, which
+    would shift every position) — so pos and snippet always align.
     """
-    low = F.lower(F.coalesce(F.col(text_col), F.lit("")))
+    raw = F.coalesce(F.col(text_col), F.lit(""))
+    low = F.lower(raw)
     pos_cols = [
         (t.lower(), F.locate(t.lower(), low)) for t in query_terms
     ]
@@ -361,14 +372,13 @@ def kwic_snippets(
         + F.length(term)
         + F.lit(window_chars)
     ).cast("int")
+    snippet_src = F.when(F.length(low) == F.length(raw), raw).otherwise(low)
     return (
         docs.select(
             F.col(id_col),
             term.alias("term"),
             pos.cast("int").alias("pos"),
-            F.coalesce(F.col(text_col), F.lit(""))
-            .substr(start.cast("int"), length)
-            .alias("snippet"),
+            snippet_src.substr(start.cast("int"), length).alias("snippet"),
         )
         .where(F.col("term").isNotNull())
     )

@@ -600,3 +600,19 @@ class TestKwicSnippets:
         assert out[2].snippet.startswith("window")
         # case-insensitive locate, original-case snippet
         assert out[4].term == "stream" and "Stream" in out[4].snippet
+
+
+def test_rrf_fuse_collapses_duplicate_ids_and_rejects_empty(spark):
+    import pytest
+
+    from invoice_ocr_reconciler_spark.operators.tfidf import rrf_fuse
+
+    # multi-query ANN output: same doc under two ranks -> best rank wins
+    ann = spark.createDataFrame(
+        [(5, 3), (5, 1), (6, 2)], "doc_id int, rank int"
+    )
+    out = {r.doc_id: r for r in rrf_fuse({"ann": ann}, k=10).collect()}
+    assert len(out) == 2 and out[5].rank_ann == 1
+    assert out[5].fused_rank == 1 and out[6].fused_rank == 2
+    with pytest.raises(ValueError):
+        rrf_fuse({})

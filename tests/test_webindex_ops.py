@@ -583,6 +583,8 @@ def test_registrable_domain_psl_semantics(spark):
             ("x.example.com",),       # com -> example.com
             ("deep.site.weirdtld",),  # unlisted TLD: '*' rule -> site.weirdtld
             ("weirdtld",),            # single unlisted label -> NULL
+            ("Site.CO.UK",),          # case-normalized before matching
+            ("example.com.",),        # trailing root dot stripped
         ],
         "host string",
     )
@@ -598,6 +600,8 @@ def test_registrable_domain_psl_semantics(spark):
     assert got["x.example.com"] == "example.com"
     assert got["deep.site.weirdtld"] == "site.weirdtld"
     assert got["weirdtld"] is None
+    assert got["Site.CO.UK"] == "site.co.uk"
+    assert got["example.com."] == "example.com"
 
 
 def test_link_reciprocity_hand_computed(spark):
