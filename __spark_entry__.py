@@ -3546,6 +3546,29 @@ def q_registrable_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pool_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic chunk->document embedding mean-pool (operators/
+    similarity.py:pool_embeddings): vec_id%50 as the parent doc (~10
+    chunks/doc), components accumulated as exact grid integers so the
+    mean is bit-identical at any parallelism. Exploded to long form for
+    the value-hash (engine-portable scalars, no array serialization
+    question); DuckDB replays the identical integer algebra."""
+    from invoice_ocr_reconciler_spark.operators.similarity import (
+        pool_embeddings,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    chunks = emb.select(
+        (F.col("vec_id") % 50).alias("doc_id"), F.col("embedding")
+    )
+    out = pool_embeddings(chunks)
+    return out.select(
+        "doc_id",
+        "n_chunks",
+        F.posexplode("pooled").alias("pos", "mean"),
+    )
+
+
 def q_link_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Host-graph reciprocity (operators/graph.py:link_reciprocity) over
     a synthesized 7-host edge set (two doc_id-rule edge families so some
@@ -3765,6 +3788,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kwic_snippets": q_kwic_snippets,
         "registrable_domains": q_registrable_domains,
         "link_reciprocity": q_link_reciprocity,
+        "pool_embeddings": q_pool_embeddings,
     }
 
 
@@ -7556,6 +7580,26 @@ def oracle_sql() -> dict[str, str]:
             FROM f
         """,
     }
+    # pool_embeddings: identical integer-grid quantize -> exact BIGINT
+    # sums -> one division; pos is 0-based to match posexplode
+    d["pool_embeddings"] = """
+        WITH c AS (
+            SELECT vec_id % 50 AS doc_id, embedding
+            FROM embeddings),
+        n AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks
+              FROM c GROUP BY 1),
+        u AS (
+            SELECT doc_id, CAST(i - 1 AS INT) AS pos,
+                   CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000 + 0.5)
+                        AS BIGINT) AS q
+            FROM c, unnest(range(1, len(embedding) + 1)) AS t(i)),
+        s AS (SELECT doc_id, pos, CAST(sum(q) AS BIGINT) AS sq
+              FROM u GROUP BY 1, 2)
+        SELECT s.doc_id, n.n_chunks, s.pos,
+               CAST(sq AS DOUBLE)
+                   / (CAST(n_chunks AS DOUBLE) * CAST(1000000 AS DOUBLE)) AS mean
+        FROM s JOIN n ON s.doc_id = n.doc_id
+    """
     # link_reciprocity: same edge synthesis; distinct directed pairs,
     # reverse LEFT JOIN, degree aggs, n_reciprocal/out_deg on the grid
     d["link_reciprocity"] = """

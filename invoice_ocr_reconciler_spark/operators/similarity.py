@@ -923,3 +923,55 @@ def embedding_outliers(
         .filter(F.col("outlier_rank") <= top_k)
         .select("label", "outlier_rank", "vec_id", "dist2")
     )
+
+
+def pool_embeddings(
+    chunks: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    vec_col: str = "embedding",
+    grid: int = 1_000_000,
+) -> DataFrame:
+    """Mean-pool chunk embeddings into one document embedding — the
+    standard reduction when documents are embedded chunk-wise (long docs,
+    context-window limits) but dedup/ANN/clustering want one vector per
+    document.
+
+    Determinism contract: naive ``avg()`` over doubles is partition-order
+    dependent (float addition doesn't associate). Components are instead
+    quantized to an integer grid (``floor(v*grid + 0.5)`` as BIGINT),
+    summed EXACTLY (integer addition associates — any partitioning, any
+    order), and divided once at the end: bit-identical output at any
+    parallelism, same trick as the repo's money-cents aggregation.
+
+    Plan: posexplode to (doc, dim, q) -> ONE partial-agg'd groupBy
+    (doc, dim) -> per-doc re-assembly via sorted collect. Rows shuffled
+    are docs x dims integers — at 10^12 chunks the explode is the scan
+    and both aggs combine map-side.
+
+    -> (doc_id, n_chunks, pooled: array<double> on the 1/grid grid).
+    """
+    q = F.floor(F.col("v").cast("double") * grid + F.lit(0.5)).cast("bigint")
+    exploded = chunks.select(
+        F.col(id_col), F.posexplode(F.col(vec_col)).alias("pos", "v")
+    ).select(id_col, "pos", q.alias("q"))
+    n_chunks = chunks.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_chunks")
+    )
+    sums = exploded.groupBy(id_col, "pos").agg(F.sum("q").alias("sq"))
+    pooled = (
+        sums.join(n_chunks, id_col)
+        .withColumn(
+            "mean",
+            F.col("sq").cast("double")
+            / (F.col("n_chunks") * F.lit(float(grid))),
+        )
+        .groupBy(id_col, "n_chunks")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "mean"))),
+                lambda s: s["mean"],
+            ).alias("pooled")
+        )
+    )
+    return pooled

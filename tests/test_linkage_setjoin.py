@@ -616,3 +616,33 @@ def test_rrf_fuse_collapses_duplicate_ids_and_rejects_empty(spark):
     assert out[5].fused_rank == 1 and out[6].fused_rank == 2
     with pytest.raises(ValueError):
         rrf_fuse({})
+
+
+class TestPoolEmbeddings:
+    def test_mean_exact_and_partition_invariant(self, spark):
+        from invoice_ocr_reconciler_spark.operators.similarity import (
+            pool_embeddings,
+        )
+
+        rows = [
+            (1, [1.0, 2.0]),
+            (1, [3.0, 4.0]),
+            (1, [5.0, 0.5]),
+            (2, [0.25, -0.75]),
+        ]
+
+        def run(parts):
+            df = spark.createDataFrame(
+                rows, "doc_id int, embedding array<double>"
+            ).repartition(parts)
+            return {
+                r.doc_id: (r.n_chunks, r.pooled)
+                for r in pool_embeddings(df).collect()
+            }
+
+        a = run(1)
+        assert a[1][0] == 3 and a[1][1] == [3.0, 6.5 / 3 * 1.0]
+        # exact: (2.0+4.0+0.5)=6.5 -> 6500000/(3*1e6)
+        assert abs(a[1][1][1] - 6500000 / 3000000) < 1e-12
+        assert a[2] == (1, [0.25, -0.75])
+        assert run(5) == a  # bit-identical at any partitioning
