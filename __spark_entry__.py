@@ -3546,6 +3546,30 @@ def q_registrable_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_percolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standing-query percolation (operators/tfidf.py:percolate): ~16
+    boolean AND-queries registered from corpus tokens (query i = tokens
+    4/10[/16] of doc 31i, 1-based), matched via the inverted
+    term->query postings join — work scales with hits, not docs x
+    queries. DuckDB replays the query synthesis and the count-equality
+    AND."""
+    from invoice_ocr_reconciler_spark.operators.tfidf import percolate
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sp = F.split(F.col("text"), " ")
+    qsrc = docs.where((F.col("doc_id") % 31 == 0) & (F.size(sp) >= 16))
+    qid = (F.col("doc_id") / 31).cast("int")
+    base_terms = F.array(
+        F.element_at(sp, 4), F.element_at(sp, 10)
+    )
+    terms = F.when(
+        qid % 2 == 0,
+        F.concat(base_terms, F.array(F.element_at(sp, 16))),
+    ).otherwise(base_terms)
+    queries_df = qsrc.select(qid.alias("query_id"), terms.alias("terms"))
+    return percolate(docs, queries_df)
+
+
 def q_pool_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic chunk->document embedding mean-pool (operators/
     similarity.py:pool_embeddings): vec_id%50 as the parent doc (~10
@@ -3789,6 +3813,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "registrable_domains": q_registrable_domains,
         "link_reciprocity": q_link_reciprocity,
         "pool_embeddings": q_pool_embeddings,
+        "percolate": q_percolate,
     }
 
 
@@ -7580,6 +7605,33 @@ def oracle_sql() -> dict[str, str]:
             FROM f
         """,
     }
+    # percolate: same query synthesis (1-based token picks), same
+    # distinct-terms count-equality AND over the token/term join
+    d["percolate"] = r"""
+        WITH sp AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        q AS (
+            SELECT CAST(doc_id // 31 AS INT) AS query_id,
+                   CASE WHEN (doc_id // 31) % 2 = 0
+                        THEN [t[4], t[10], t[16]]
+                        ELSE [t[4], t[10]] END AS terms
+            FROM sp WHERE doc_id % 31 = 0 AND len(t) >= 16),
+        qt AS (
+            SELECT query_id,
+                   CAST(len(list_distinct(terms)) AS INT) AS n_terms,
+                   unnest(list_distinct(terms)) AS term
+            FROM q),
+        dt AS (
+            SELECT doc_id,
+                   unnest(list_distinct(list_filter(
+                       string_split_regex(lower(trim(coalesce(text, ''))), '\s+'),
+                       x -> x <> ''))) AS term
+            FROM documents)
+        SELECT dt.doc_id, qt.query_id,
+               CAST(first(qt.n_terms) AS INT) AS n_terms
+        FROM dt JOIN qt ON dt.term = qt.term
+        GROUP BY dt.doc_id, qt.query_id
+        HAVING count(*) = first(qt.n_terms)
+    """
     # pool_embeddings: identical integer-grid quantize -> exact BIGINT
     # sums -> one division; pos is 0-based to match posexplode
     d["pool_embeddings"] = """

@@ -382,3 +382,54 @@ def kwic_snippets(
         )
         .where(F.col("term").isNotNull())
     )
+
+
+def percolate(
+    docs: DataFrame,
+    queries_df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    terms_col: str = "terms",
+) -> DataFrame:
+    """Percolation / standing-query matching: route each document to
+    every registered boolean AND-query whose terms all appear in it —
+    topic targeting, alert routing, corpus slicing by keyword recipes.
+
+    -> (doc_id, query_id, n_terms) for each match.
+
+    Plan (the inverted shape, NOT doc x query): distinct doc tokens are
+    restricted in codegen to the union of all query vocabularies BEFORE
+    exploding (query vocab broadcast as an array literal-sized set), the
+    surviving (doc, term) stream joins the exploded query terms, and a
+    (doc, query) count equal to the query's term count is the AND. Work
+    scales with matching occurrences, not docs x queries — the crossJoin
+    variant dies at 10^6 standing queries; this one shuffles only hits.
+    """
+    from invoice_ocr_reconciler_spark.functions.text import tokens_col
+
+    qterms = queries_df.select(
+        F.col(query_id_col),
+        F.size(F.array_distinct(F.col(terms_col))).alias("_qn"),
+        F.explode(F.array_distinct(F.col(terms_col))).alias("term"),
+    )
+    vocab = F.broadcast(qterms.select("term").distinct())
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(tokens_col(F.col(text_col)))).alias(
+            "term"
+        ),
+    ).join(vocab, "term")
+    return (
+        toks.join(qterms, "term")
+        .groupBy(id_col, query_id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("_hits"),
+            F.first("_qn").alias("_qn"),
+        )
+        .where(F.col("_hits") == F.col("_qn"))
+        .select(
+            id_col, query_id_col, F.col("_qn").cast("int").alias("n_terms")
+        )
+    )

@@ -646,3 +646,37 @@ class TestPoolEmbeddings:
         assert abs(a[1][1][1] - 6500000 / 3000000) < 1e-12
         assert a[2] == (1, [0.25, -0.75])
         assert run(5) == a  # bit-identical at any partitioning
+
+
+class TestPercolate:
+    def test_and_semantics(self, spark):
+        from invoice_ocr_reconciler_spark.operators.tfidf import percolate
+
+        docs = spark.createDataFrame(
+            [
+                (1, "alpha beta gamma"),
+                (2, "alpha delta"),
+                (3, "beta Alpha extra"),  # case-insensitive doc tokens
+                (4, "unrelated words"),
+            ],
+            "doc_id int, text string",
+        )
+        queries = spark.createDataFrame(
+            [
+                (100, ["alpha", "beta"]),
+                (200, ["alpha"]),
+                (300, ["alpha", "alpha"]),  # duplicate terms collapse
+                (400, ["missing"]),
+            ],
+            "query_id int, terms array<string>",
+        )
+        got = {
+            (r.doc_id, r.query_id): r.n_terms
+            for r in percolate(docs, queries).collect()
+        }
+        assert set(got) == {
+            (1, 100), (1, 200), (1, 300),
+            (2, 200), (2, 300),
+            (3, 100), (3, 200), (3, 300),
+        }
+        assert got[(1, 100)] == 2 and got[(2, 300)] == 1
