@@ -63,6 +63,7 @@ def prefix_filtered_jaccard_join(
     tau_den: int = 5,
     gram_n: int = 1,
     hot_token_cap: int | None = None,
+    persist_sets: bool = False,
 ) -> DataFrame:
     """All pairs (id_a < id_b) with set Jaccard >= tau_num/tau_den over
     token sets (``gram_n=1``) or word n-gram shingle sets (``gram_n>=2``
@@ -72,6 +73,11 @@ def prefix_filtered_jaccard_join(
     -> (id_a, id_b, inter, jaccard): ``inter`` the exact intersection
     size, ``jaccard`` on the 1e-6 grid. Exact and complete (prefix
     filtering admits no false negatives) unless ``hot_token_cap`` is set.
+
+    The gram-set frame feeds the postings/ordering stage and both verify
+    joins; by default Catalyst recomputes it per consumer (CPU-linear
+    rescans vs a corpus-sized storage bill — duplicated_spans' trade);
+    ``persist_sets=True`` flips it for corpora that fit executor storage.
     """
     toks_arr = tokens_col(F.col(text_col))
     elems = toks_arr if gram_n == 1 else _word_ngrams(toks_arr, gram_n)
@@ -79,6 +85,8 @@ def prefix_filtered_jaccard_join(
         F.col(id_col).alias("sid"),
         F.array_sort(F.array_distinct(elems)).alias("toks"),
     ).where(F.size("toks") > 0)
+    if persist_sets:
+        sets = sets.persist()
 
     toks = sets.select("sid", F.explode("toks").alias("tok"))
     freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("tf"))
@@ -214,6 +222,7 @@ def containment_join(
     tau_den: int = 10,
     gram_n: int = 1,
     max_doc_freq: int | None = None,
+    persist_sets: bool = False,
 ) -> DataFrame:
     """Directional containment join: ordered pairs (id_a, id_b), a != b,
     where ``|A ∩ B| / |A| >= tau`` over token/shingle sets — i.e. document
@@ -234,6 +243,12 @@ def containment_join(
     ``array_intersect`` verify restores exact ``inter`` for surviving
     candidates — recall is lost only for pairs sharing NOTHING rarer than
     the cut, the standard production trade. Default None = fully exact.
+
+    The gram-set frame feeds the postings stage and (in cut mode) the
+    verify joins; by default Catalyst recomputes it per consumer —
+    CPU-linear rescans vs a corpus-sized storage bill, the same trade as
+    duplicated_spans. ``persist_sets=True`` flips it for corpora that fit
+    executor storage.
     """
     toks_arr = tokens_col(F.col(text_col))
     elems = toks_arr if gram_n == 1 else _word_ngrams(toks_arr, gram_n)
@@ -241,6 +256,8 @@ def containment_join(
         F.col(id_col).alias("sid"),
         F.array_sort(F.array_distinct(elems)).alias("toks"),
     ).where(F.size("toks") > 0)
+    if persist_sets:
+        sets = sets.persist()
     toks = sets.select(
         "sid", F.size("toks").alias("sz"), F.explode("toks").alias("tok")
     )
