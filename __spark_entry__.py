@@ -3546,6 +3546,32 @@ def q_registrable_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bm25f_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Field-weighted BM25F top-20 (operators/tfidf.py:bm25f_search):
+    title = first 6 tokens (weight 2.0, b 0.5), body = rest (weight 1.0,
+    b 0.75); same query and determinism grids as bm25_search. DuckDB
+    replays the field split, per-field normalization, cross-field
+    pseudo-frequency, and the single k1 saturation value-exactly."""
+    from invoice_ocr_reconciler_spark.operators.tfidf import bm25f_search
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sp = F.split(F.col("text"), " ")
+    fdocs = docs.select(
+        "doc_id",
+        F.array_join(F.slice(sp, 1, 6), " ").alias("title"),
+        F.array_join(
+            F.slice(sp, 7, F.greatest(F.size(sp) - 6, F.lit(0)).cast("int")),
+            " ",
+        ).alias("body"),
+    )
+    return bm25f_search(
+        fdocs,
+        ["merge", "stream", "window"],
+        {"title": (2.0, 0.5), "body": (1.0, 0.75)},
+        k=20,
+    )
+
+
 def q_percolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Standing-query percolation (operators/tfidf.py:percolate): ~16
     boolean AND-queries registered from corpus tokens (query i = tokens
@@ -3814,6 +3840,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_reciprocity": q_link_reciprocity,
         "pool_embeddings": q_pool_embeddings,
         "percolate": q_percolate,
+        "bm25f_search": q_bm25f_search,
     }
 
 
@@ -7605,6 +7632,69 @@ def oracle_sql() -> dict[str, str]:
             FROM f
         """,
     }
+    # bm25f_search: same field split, per-field B_f normalization,
+    # cross-field pseudo-frequency summed then re-rounded on the SAME
+    # grid, doc-level idf, single k1 saturation; DOUBLE casts on every
+    # bare literal that lacks a double operand context
+    d["bm25f_search"] = r"""
+        WITH tk AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(trim(coalesce(text, ''))), '\s+'),
+                               t -> t <> '') AS t
+            FROM documents),
+        base AS (
+            SELECT doc_id, 'title' AS field,
+                   list_slice(t, 1, least(6, len(t))) AS ft
+            FROM tk
+            UNION ALL
+            SELECT doc_id, 'body',
+                   CASE WHEN len(t) >= 7 THEN list_slice(t, 7, len(t))
+                        ELSE [] END
+            FROM tk),
+        b2 AS (
+            SELECT doc_id, field, len(ft) AS dl,
+                   list_filter(ft, x -> list_contains(['merge', 'stream', 'window'], x)) AS qt
+            FROM base),
+        av AS (SELECT field, floor(avg(dl) * 1e6 + 0.5) / 1e6 AS avgdl
+               FROM b2 GROUP BY field),
+        nd AS (SELECT count(*) AS n_docs FROM documents),
+        m AS (SELECT doc_id, field, dl, unnest(qt) AS term
+              FROM b2 WHERE len(qt) > 0),
+        tf AS (SELECT doc_id, field, term, count(*) AS tf, min(dl) AS dl
+               FROM m GROUP BY 1, 2, 3),
+        pt AS (
+            SELECT doc_id, term,
+                   floor((CASE WHEN field = 'title' THEN CAST(2.0 AS DOUBLE)
+                               ELSE CAST(1.0 AS DOUBLE) END) * tf
+                         / ((CAST(1.0 AS DOUBLE)
+                             - CASE WHEN field = 'title' THEN CAST(0.5 AS DOUBLE)
+                                    ELSE CAST(0.75 AS DOUBLE) END)
+                            + (CASE WHEN field = 'title' THEN CAST(0.5 AS DOUBLE)
+                                    ELSE CAST(0.75 AS DOUBLE) END)
+                              * dl / avgdl)
+                         * 1e6 + 0.5) / 1e6 AS p
+            FROM tf JOIN av USING (field)),
+        tw AS (SELECT doc_id, term, floor(sum(p) * 1e6 + 0.5) / 1e6 AS tfw
+               FROM pt GROUP BY 1, 2),
+        dfq AS (SELECT term, count(*) AS df FROM tw GROUP BY term),
+        c AS (
+            SELECT tw.doc_id,
+                   floor(ln(1 + (nd.n_docs - dfq.df + 0.5) / (dfq.df + 0.5))
+                         * 1e6 + 0.5) / 1e6 AS idf,
+                   tw.tfw
+            FROM tw JOIN dfq USING (term) CROSS JOIN nd),
+        contrib AS (
+            SELECT doc_id,
+                   floor(idf * tfw / (1.2 + tfw) * 1e6 + 0.5) / 1e6 AS cv
+            FROM c),
+        s AS (
+            SELECT doc_id, CAST(count(*) AS INT) AS n_matched,
+                   floor(sum(cv) * 1e6 + 0.5) / 1e6 AS score
+            FROM contrib GROUP BY doc_id)
+        SELECT doc_id, n_matched, score,
+               CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank
+        FROM s ORDER BY score DESC, doc_id LIMIT 20
+    """
     # percolate: same query synthesis (1-based token picks), same
     # distinct-terms count-equality AND over the token/term join
     d["percolate"] = r"""

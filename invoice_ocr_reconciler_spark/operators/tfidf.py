@@ -433,3 +433,111 @@ def percolate(
             id_col, query_id_col, F.col("_qn").cast("int").alias("n_terms")
         )
     )
+
+
+def bm25f_search(
+    docs: DataFrame,
+    query_terms: list[str],
+    fields: dict[str, tuple[float, float]],
+    k: int = 10,
+    k1: float = 1.2,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Field-weighted BM25F (Robertson/Zaragoza's simple variant): per
+    field f, a length-normalized weighted term frequency
+    ``w_f * tf_f / ((1-b_f) + b_f * len_f/avglen_f)`` sums across fields
+    into one pseudo-frequency, saturated ONCE by k1 — the principled way
+    to boost title/anchor hits without the score-addition pathologies of
+    running per-field BM25 and summing.
+
+    ``fields`` maps a text COLUMN on ``docs`` to its (weight, b); idf is
+    document-level (a doc matched in any field counts once toward df).
+
+    Same scale shape and determinism contract as bm25_search: query-vocab
+    filter before any explode (per field), per-field avgdl from one tiny
+    agg broadcast back, every intermediate on the 1e-6 grid before
+    ranking, ties by id.
+
+    -> (doc_id, n_matched, score, rank), rank 1..k.
+    """
+    q = sorted({t.lower() for t in query_terms})
+    if not q:
+        return docs.sparkSession.createDataFrame(
+            [], f"{id_col} long, n_matched int, score double, rank int"
+        )
+    from invoice_ocr_reconciler_spark.functions.text import tokens_col
+
+    qlit = F.array(*[F.lit(t) for t in q])
+    base = None
+    for fname in fields:
+        toks = tokens_col(F.col(fname))
+        part = docs.select(
+            F.col(id_col),
+            F.lit(fname).alias("field"),
+            F.size(toks).alias("dl"),
+            F.filter(toks, lambda t: F.array_contains(qlit, t)).alias("qt"),
+        )
+        base = part if base is None else base.unionByName(part)
+    avgdl = F.broadcast(
+        base.groupBy("field").agg(_roundn(F.avg("dl"), 6).alias("avgdl"))
+    )
+    scalars = F.broadcast(docs.groupBy().agg(F.count("*").alias("n_docs")))
+
+    m = base.filter(F.size("qt") > 0).select(
+        F.col(id_col), "field", "dl", F.explode("qt").alias("term")
+    )
+    tf = m.groupBy(F.col(id_col), F.col("field"), F.col("term")).agg(
+        F.count("*").alias("tf"), F.first("dl").alias("dl")
+    )
+    wcol = bcol = None
+    for fname, (w, b) in fields.items():
+        cond = F.col("field") == fname
+        wcol = (
+            F.when(cond, F.lit(w))
+            if wcol is None
+            else wcol.when(cond, F.lit(w))
+        )
+        bcol = (
+            F.when(cond, F.lit(b))
+            if bcol is None
+            else bcol.when(cond, F.lit(b))
+        )
+    part = _roundn(
+        wcol
+        * F.col("tf")
+        / ((F.lit(1.0) - bcol) + bcol * F.col("dl") / F.col("avgdl")),
+        6,
+    )
+    tfw = (
+        tf.join(avgdl, "field")
+        .select(F.col(id_col), F.col("term"), part.alias("p"))
+        .groupBy(id_col, "term")
+        .agg(_roundn(F.sum("p"), 6).alias("tfw"))
+    )
+    dfq = F.broadcast(tfw.groupBy("term").agg(F.count("*").alias("df")))
+    joined = tfw.join(dfq, "term").crossJoin(scalars)
+    idf = _roundn(
+        F.log(
+            F.lit(1.0)
+            + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+        ),
+        6,
+    )
+    contrib = _roundn(idf * F.col("tfw") / (F.lit(k1) + F.col("tfw")), 6)
+    scored = (
+        joined.withColumn("_c", contrib)
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("int").alias("n_matched"),
+            _roundn(F.sum("_c"), 6).alias("score"),
+        )
+    )
+    top = scored.orderBy(F.col("score").desc(), F.col(id_col)).limit(int(k))
+    return top.select(
+        id_col,
+        "n_matched",
+        "score",
+        F.row_number()
+        .over(Window.orderBy(F.col("score").desc(), F.col(id_col)))
+        .alias("rank"),
+    )

@@ -680,3 +680,41 @@ class TestPercolate:
             (3, 100), (3, 200), (3, 300),
         }
         assert got[(1, 100)] == 2 and got[(2, 300)] == 1
+
+
+class TestBm25f:
+    def test_title_hit_outranks_body_hit(self, spark):
+        from invoice_ocr_reconciler_spark.operators.tfidf import bm25f_search
+
+        docs = spark.createDataFrame(
+            [
+                (1, "target one", "filler words here pad pad"),
+                (2, "other words", "target filler here pad pad"),
+                (3, "other words", "filler words here pad pad"),
+            ],
+            "doc_id int, title string, body string",
+        )
+        out = bm25f_search(
+            docs,
+            ["target"],
+            {"title": (2.0, 0.5), "body": (1.0, 0.75)},
+            k=10,
+        ).collect()
+        ranks = {r.doc_id: r.rank for r in out}
+        assert set(ranks) == {1, 2}  # doc 3 never matches
+        assert ranks[1] == 1 and ranks[2] == 2  # title-weighted win
+        scores = {r.doc_id: r.score for r in out}
+        assert scores[1] > scores[2] > 0
+
+    def test_cross_field_df_counts_doc_once(self, spark):
+        from invoice_ocr_reconciler_spark.operators.tfidf import bm25f_search
+
+        # term in BOTH fields of one doc: df must be 1, not 2
+        docs = spark.createDataFrame(
+            [(1, "target a", "target b"), (2, "x y", "z w")],
+            "doc_id int, title string, body string",
+        )
+        out = bm25f_search(
+            docs, ["target"], {"title": (2.0, 0.5), "body": (1.0, 0.75)}
+        ).collect()
+        assert len(out) == 1 and out[0].doc_id == 1 and out[0].n_matched == 1

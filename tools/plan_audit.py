@@ -54,7 +54,7 @@ PURE_CODEGEN_QUERIES = [
     "record_linkage_fs", "blocking_quality", "k_anonymize",
     "setjoin_prefix", "containment_pairs", "collocations",
     "ai_optout", "rrf_fusion", "kwic_snippets", "registrable_domains",
-    "pool_embeddings", "percolate",
+    "pool_embeddings", "percolate", "bm25f_search",
     "link_reciprocity",
 ]
 # NOT listed although their OPERATORS are pure codegen: queries whose
