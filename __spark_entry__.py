@@ -3650,6 +3650,64 @@ def q_kwic_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kwic_snippets(docs, ["merge", "stream", "window"])
 
 
+def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-skew diagnostic (operators/skew.py:skew_report) for a
+    prospective groupBy/join key (lang, source) modelled into 8
+    partitions: per-partition row mass, key counts, heaviest key,
+    integer-ppm share and 2x-fair-share hot flag. Two partial-agg
+    groupBys (corpus -> keys -> partitions) + a 1-row totals broadcast.
+    DuckDB replays the md5 placement and every integer formula exactly
+    (top key via the zero-padded count||chr(30)||key max)."""
+    from invoice_ocr_reconciler_spark.operators.skew import skew_report
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return skew_report(
+        docs, ["lang", "source"], n_partitions=8, hot_factor=2
+    ).orderBy("partition")
+
+
+def q_align_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gale-Church sentence alignment (operators/align.py) over
+    synthesized bitext pairs: each document becomes an /en and a /fr
+    page of punctuated prose built from its own text (the
+    sentence_split synthesis pattern) with per-sentence length drift
+    between the sides, and doc_id%5==0 drops the fr side's last
+    sentence so unbalanced beads appear. Rows-only by design (dynamic
+    program — same contract as BPE/MinHash); the DP itself is pinned by
+    tests/test_align.py goldens."""
+    from invoice_ocr_reconciler_spark.operators.align import align_sentences
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    i = F.col("doc_id")
+    prose_a = F.concat(
+        F.lit("Alpha "),
+        F.substring("text", 1, 30),
+        F.lit(". Beta "),
+        F.substring("text", 31, 25),
+        F.lit(". Gamma "),
+        F.substring("text", 56, 20),
+        F.lit("."),
+    )
+    prose_b = F.concat(
+        F.lit("Alphe "),
+        F.substring("text", 1, 33),
+        F.lit(". Bete "),
+        F.substring("text", 31, 22),
+        F.when(
+            i % 5 == 0, F.lit(".")
+        ).otherwise(
+            F.concat(F.lit(". Gamme "), F.substring("text", 56, 21), F.lit("."))
+        ),
+    )
+    url_a = F.concat(F.lit("d/"), i.cast("string"), F.lit("/en"))
+    url_b = F.concat(F.lit("d/"), i.cast("string"), F.lit("/fr"))
+    corpus = docs.select(url_a.alias("url"), prose_a.alias("text")).unionByName(
+        docs.select(url_b.alias("url"), prose_b.alias("text"))
+    )
+    pairs = docs.select(url_a.alias("url_a"), url_b.alias("url_b"))
+    return align_sentences(pairs, corpus).orderBy("url_a", "bead")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from invoice_ocr_reconciler_spark.plans import relational as R
 
@@ -3841,6 +3899,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pool_embeddings": q_pool_embeddings,
         "percolate": q_percolate,
         "bm25f_search": q_bm25f_search,
+        # skew diagnostics + bitext sentence alignment
+        "skew_report": q_skew_report,
+        "align_sentences": q_align_sentences,
     }
 
 
@@ -7851,5 +7912,35 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, rank_bm25, rank_ann, rrf_score,
                CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id) AS INT) AS fused_rank
         FROM f QUALIFY fused_rank <= 20
+    """
+    # skew_report: md5 partition placement + all-integer report algebra
+    # replayed (ppm via // floor division, hot via products, top key via
+    # the zero-padded count||chr(30)||key lexicographic max)
+    d["skew_report"] = """
+        WITH k AS (
+            SELECT coalesce(CAST(lang AS VARCHAR), '') || chr(31)
+                   || coalesce(CAST(source AS VARCHAR), '') AS key,
+                   count(*) AS cnt
+            FROM documents GROUP BY 1),
+        t AS (
+            SELECT CAST(('0x' || substr(md5(key), 1, 8))::UBIGINT % 8 AS BIGINT)
+                       AS partition,
+                   cnt,
+                   lpad(CAST(cnt AS VARCHAR), 20, '0') || chr(30) || key AS ck
+            FROM k),
+        tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM k),
+        p AS (
+            SELECT partition,
+                   CAST(sum(cnt) AS BIGINT) AS n_rows,
+                   CAST(count(*) AS BIGINT) AS n_keys,
+                   CAST(max(cnt) AS BIGINT) AS max_key_rows,
+                   max(ck) AS mck
+            FROM t GROUP BY partition)
+        SELECT partition, n_rows, n_keys, max_key_rows,
+               substr(mck, 22) AS top_key,
+               CAST((n_rows * 1000000) // total AS BIGINT) AS share_ppm,
+               n_rows * 8 > 2 * total AS hot
+        FROM p CROSS JOIN tot
+        ORDER BY partition
     """
     return d
