@@ -3708,6 +3708,64 @@ def q_align_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return align_sentences(pairs, corpus).orderBy("url_a", "bead")
 
 
+def q_pca_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-integer PCA moment table (operators/pca.py:
+    covariance_stats): components quantized to the 1e4 grid, upper-
+    triangle products built as a codegen pair array, ONE partial-agg
+    pass — BIGINT rows bit-identical at any parallelism. DuckDB replays
+    the identical integer algebra (self-join formulation of the pair
+    explode)."""
+    from invoice_ocr_reconciler_spark.operators.pca import covariance_stats
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return covariance_stats(emb).orderBy("i", "j")
+
+
+def q_pca_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured neighbor recall@5 after PCA reduction (operators/pca.py):
+    one k=32 fit (eigenvectors nest, so k=8/16 models are slices of it),
+    brute-force top-5 in each reduced space vs the full-space truth, plus
+    the cumulative explained-variance ratio per k on the 1e-4 grid.
+    Rows-only: the fit is a driver-side eigendecomposition (IVF-centroid
+    contract) and the truth set comes from the Spark baseline.
+
+    Note the synthetic embeddings are near-ISOTROPIC (k=32 of 64 dims
+    explains only ~0.65 of variance), so recall here is a floor for the
+    technique, not a representative number — real text embeddings
+    concentrate variance and PCA keeps neighbors (pinned by the planted-
+    anisotropy unit test, tests/test_pca.py::test_reduced_space_...).
+    The value is regression-guarding the machinery, same as ann_recall."""
+    from invoice_ocr_reconciler_spark.operators.pca import pca_fit, pca_project
+    from invoice_ocr_reconciler_spark.operators.similarity import (
+        brute_force_topk,
+        recall_vs_truth,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    full_model = pca_fit(emb, k=32)
+    truth = brute_force_topk(emb, emb.filter(F.col("vec_id") < 10), k=5).persist()
+    out = None
+    for k in (8, 16, 32):
+        model = {
+            "components": full_model["components"][:k],
+            "explained": full_model["explained"][:k],
+            "mean": full_model["mean"],
+            "n": full_model["n"],
+        }
+        red = pca_project(emb, model).select(
+            "vec_id", F.col("reduced").alias("embedding")
+        )
+        approx = brute_force_topk(red, red.filter(F.col("vec_id") < 10), k=5)
+        leg = recall_vs_truth(approx, truth, f"pca_k{k}").withColumn(
+            "explained",
+            F.round(F.lit(float(sum(model["explained"]))), 4),
+        )
+        out = leg if out is None else out.unionByName(leg)
+    return out
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from invoice_ocr_reconciler_spark.plans import relational as R
 
@@ -3902,6 +3960,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # skew diagnostics + bitext sentence alignment
         "skew_report": q_skew_report,
         "align_sentences": q_align_sentences,
+        # PCA reduction for the embedding stack
+        "pca_covariance": q_pca_covariance,
+        "pca_recall": q_pca_recall,
     }
 
 
@@ -7942,5 +8003,31 @@ def oracle_sql() -> dict[str, str]:
                n_rows * 8 > 2 * total AS hot
         FROM p CROSS JOIN tot
         ORDER BY partition
+    """
+    # pca_covariance: the exact integer moment algebra replayed — the
+    # 1e4 quantization grid, upper-triangle products via a self-join on
+    # vec_id (DuckDB's formulation of the codegen pair array), first
+    # moments and the count as the same tagged union
+    d["pca_covariance"] = """
+        WITH u AS (
+            SELECT vec_id, CAST(i - 1 AS INT) AS i,
+                   CAST(floor(CAST(embedding[i] AS DOUBLE) * 10000 + 0.5)
+                        AS BIGINT) AS q
+            FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)),
+        second AS (
+            SELECT a.i AS i, b.i AS j, CAST(sum(a.q * b.q) AS BIGINT) AS s
+            FROM u a JOIN u b ON a.vec_id = b.vec_id AND a.i <= b.i
+            GROUP BY 1, 2),
+        firsts AS (
+            SELECT i, CAST(-1 AS INT) AS j, CAST(sum(q) AS BIGINT) AS s
+            FROM u GROUP BY 1),
+        cnt AS (
+            SELECT CAST(-1 AS INT) AS i, CAST(-1 AS INT) AS j,
+                   CAST(count(*) AS BIGINT) AS s
+            FROM embeddings)
+        SELECT i, j, s FROM second
+        UNION ALL SELECT i, j, s FROM firsts
+        UNION ALL SELECT i, j, s FROM cnt
+        ORDER BY i, j
     """
     return d
