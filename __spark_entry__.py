@@ -3766,6 +3766,23 @@ def q_pca_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_rp_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss random projection 64 -> 8 dims
+    (operators/pca.py:rp_project): md5-seeded +-1 sign matrix (a pure
+    function of the seed — rebuilt identically by the oracle), exact
+    bigint sign-folds per coordinate, ONE float scale + 1e-6 snap at the
+    end. Pure codegen, no fit pass. Long form for the value hash."""
+    from invoice_ocr_reconciler_spark.operators.pca import rp_project
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    out = rp_project(emb, dim=64, k=8)
+    return out.select(
+        "vec_id", F.posexplode("reduced").alias("pos", "val")
+    ).orderBy("vec_id", "pos")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from invoice_ocr_reconciler_spark.plans import relational as R
 
@@ -3960,9 +3977,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # skew diagnostics + bitext sentence alignment
         "skew_report": q_skew_report,
         "align_sentences": q_align_sentences,
-        # PCA reduction for the embedding stack
+        # PCA / random-projection reduction for the embedding stack
         "pca_covariance": q_pca_covariance,
         "pca_recall": q_pca_recall,
+        "rp_project": q_rp_project,
     }
 
 
@@ -8030,4 +8048,37 @@ def oracle_sql() -> dict[str, str]:
         UNION ALL SELECT i, j, s FROM cnt
         ORDER BY i, j
     """
+    d["rp_project"] = _rp_oracle()
     return d
+
+
+def _rp_oracle(dim: int = 64, k: int = 8, grid: int = 1_000_000) -> str:
+    """Rebuild rp_project's md5-seeded sign matrix with the SAME
+    rp_signs() call and embed it as list literals: each coordinate is the
+    identical exact bigint sign-fold, then the identical single float
+    scale + 1e-6 snap — any drift in the sign derivation, the fold, or
+    the rounding breaks the value hash."""
+    from invoice_ocr_reconciler_spark.operators.pca import rp_signs
+
+    inv = 1.0 / (grid * float(k) ** 0.5)
+    legs = []
+    for j, row in enumerate(rp_signs(dim, k)):
+        lits = "[" + ", ".join(str(s) for s in row) + "]"
+        legs.append(f"""
+            SELECT vec_id, CAST({j} AS INT) AS pos,
+                   floor(CAST(list_sum(list_transform(range(1, {dim + 1}),
+                             i -> qv[i] * ({lits})[i])) AS DOUBLE)
+                         * CAST({inv!r} AS DOUBLE) * 1000000 + 0.5) / 1000000
+                       AS val
+            FROM q""")
+    body = "\n            UNION ALL".join(legs)
+    return f"""
+        WITH q AS (
+            SELECT vec_id,
+                   list_transform(embedding,
+                       v -> CAST(floor(CAST(v AS DOUBLE) * {grid} + 0.5)
+                                 AS BIGINT)) AS qv
+            FROM embeddings)
+        {body}
+        ORDER BY vec_id, pos
+    """

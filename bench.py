@@ -95,6 +95,9 @@ def main() -> None:
         "containment_pairs",    # directional quote-detection join
         "collocations",         # integer-exact PMI phrase mining
         "rrf_fusion",           # hybrid BM25+ANN rank fusion
+        "skew_report",          # shuffle-skew diagnostic (key-cardinality aggs)
+        "align_sentences",      # Gale-Church bitext DP (one Arrow crossing)
+        "pca_covariance",       # exact-integer PCA moment pass (codegen)
         "upsert_table",         # MERGE/upsert over the orders table
         "status_writeback",     # E2 write-back (UPDATE-only MERGE)
         "extract_pages",        # extraction stage alone

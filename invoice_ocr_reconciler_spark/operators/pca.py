@@ -185,3 +185,77 @@ def pca_project(
         for comp in model["components"]
     ]
     return proj.withColumn(out_col, F.array(*coords)).drop("_c")
+
+
+# --- random projection: the d >= 256 regime where the PCA moment pass's
+# d^2 explode stops paying ---
+
+def rp_signs(dim: int, k: int, seed: str = "rp-v1") -> list[list[int]]:
+    """Deterministic +-1 sign matrix (k rows x dim cols), Achlioptas 2003
+    dense variant: sign bit = parity of the first hex nibble of
+    md5(seed:j:i). A pure function of (seed, j, i) — identical on every
+    worker, every run, every ENGINE (md5 is the repo's portable hash), so
+    the DuckDB oracle can rebuild the very same matrix."""
+    import hashlib
+
+    return [
+        [
+            1 if int(hashlib.md5(f"{seed}:{j}:{i}".encode()).hexdigest()[0], 16) % 2 == 0
+            else -1
+            for i in range(dim)
+        ]
+        for j in range(k)
+    ]
+
+
+def rp_project(
+    emb: DataFrame,
+    dim: int,
+    k: int,
+    seed: str = "rp-v1",
+    vec_col: str = "embedding",
+    out_col: str = "reduced",
+    grid: int = 1_000_000,
+    places: int = 6,
+) -> DataFrame:
+    """Johnson-Lindenstrauss random projection to k dims — pure codegen.
+
+    Unlike PCA this needs NO fit pass at all: the projection matrix is a
+    pure function of the seed, so the single corpus scan is the whole
+    job. Distances are preserved within (1 +- eps) for k = O(log n /
+    eps^2) (the JL lemma) regardless of d — the right tool when d^2
+    moments are too wide or when the corpus is too hot for even one
+    extra pass.
+
+    Determinism contract: components quantize to grid ints, each output
+    coordinate is an EXACT bigint sign-fold (zip_with + aggregate), and
+    the single float division by (grid * sqrt(k)) happens once at the
+    end, snapped to the 1e-places grid — bit-identical at any
+    parallelism and replayable in DuckDB with the same embedded sign
+    literals.
+    """
+    signs = rp_signs(dim, k, seed)
+    inv = 1.0 / (grid * float(k) ** 0.5)
+    q = F.transform(
+        F.col(vec_col),
+        lambda v: F.floor(v.cast("double") * grid + F.lit(0.5)).cast("bigint"),
+    )
+    # prior projection: fold lambdas must read a materialized column
+    proj = emb.select("*", q.alias("_q"))
+    coords = [
+        roundn(
+            F.aggregate(
+                F.zip_with(
+                    F.col("_q"),
+                    F.array(*[F.lit(s).cast("bigint") for s in row]),
+                    lambda x, s: x * s,
+                ),
+                F.lit(0).cast("bigint"),
+                lambda acc, x: acc + x,
+            ).cast("double")
+            * F.lit(inv),
+            places,
+        )
+        for row in signs
+    ]
+    return proj.withColumn(out_col, F.array(*coords)).drop("_q")

@@ -117,3 +117,59 @@ class TestProject:
 
         agree = sum(top1(mat, i) == top1(red, i) for i in range(40))
         assert agree >= 32
+
+
+class TestRandomProjection:
+    def test_signs_deterministic_and_engine_free(self, spark):
+        from invoice_ocr_reconciler_spark.operators.pca import rp_signs
+
+        a = rp_signs(8, 3)
+        assert a == rp_signs(8, 3)
+        assert a != rp_signs(8, 3, seed="rp-v2")
+        assert all(s in (1, -1) for row in a for s in row)
+        # roughly balanced at realistic width
+        flat = [s for row in rp_signs(64, 8) for s in row]
+        assert 0.35 < (flat.count(1) / len(flat)) < 0.65
+
+    def test_matches_numpy_and_pure_codegen(self, spark, cloud):
+        from invoice_ocr_reconciler_spark.operators.pca import rp_project, rp_signs
+
+        df, mat = cloud
+        out = rp_project(df, dim=6, k=4).orderBy("vec_id")
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Python" not in plan and "Arrow" not in plan
+        got = np.array([r.reduced for r in out.collect()])
+        signs = np.array(rp_signs(6, 4))
+        q = np.floor(mat * 1_000_000 + 0.5)
+        want = (q @ signs.T) * (1.0 / (1_000_000 * 4 ** 0.5))
+        want = np.floor(want * 1e6 + 0.5) / 1e6
+        assert np.allclose(got, want, atol=2e-6)
+
+    def test_jl_distance_preservation(self, spark, cloud):
+        # pairwise distance ratios concentrate around 1 in the projection
+        from invoice_ocr_reconciler_spark.operators.pca import rp_project
+
+        df, mat = cloud
+        red = np.array(
+            [r.reduced for r in rp_project(df, dim=6, k=6).orderBy("vec_id").collect()]
+        )
+        rng = np.random.default_rng(3)
+        idx = rng.integers(0, len(mat), size=(60, 2))
+        ratios = []
+        for a, b in idx:
+            if a == b:
+                continue
+            d_full = np.linalg.norm(mat[a] - mat[b])
+            d_red = np.linalg.norm(red[a] - red[b])
+            if d_full > 1e-9:
+                ratios.append(d_red / d_full)
+        ratios = np.array(ratios)
+        assert 0.5 < np.median(ratios) < 1.5
+
+    def test_partition_invariance(self, spark, cloud):
+        from invoice_ocr_reconciler_spark.operators.pca import rp_project
+
+        df, _ = cloud
+        one = rp_project(df.coalesce(1), dim=6, k=3).orderBy("vec_id").collect()
+        many = rp_project(df.repartition(11), dim=6, k=3).orderBy("vec_id").collect()
+        assert [r.reduced for r in one] == [r.reduced for r in many]
