@@ -3783,6 +3783,25 @@ def q_rp_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("vec_id", "pos")
 
 
+def q_margin_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-based bitext pair mining (operators/bitext.py:margin_mine,
+    Artetxe & Schwenk ratio margin): embeddings split even/odd vec_id
+    into the two "languages"; cosine, bidirectional row_number ranks,
+    EXACT integer-grid degree sums, and the margin quotient are all
+    replayed verbatim in DuckDB (pure IEEE ops on grid-identical
+    inputs, so the 1e-6 snap lands on the same double both sides)."""
+    from invoice_ocr_reconciler_spark.operators.bitext import margin_mine
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    a = emb.filter(F.col("vec_id") % 2 == 0).select(
+        F.col("vec_id").alias("id_a"), "embedding"
+    )
+    b = emb.filter(F.col("vec_id") % 2 == 1).select(
+        F.col("vec_id").alias("id_b"), "embedding"
+    )
+    return margin_mine(a, b, k=4)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from invoice_ocr_reconciler_spark.plans import relational as R
 
@@ -3981,6 +4000,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pca_covariance": q_pca_covariance,
         "pca_recall": q_pca_recall,
         "rp_project": q_rp_project,
+        "margin_mine": q_margin_mine,
     }
 
 
@@ -7555,6 +7575,38 @@ def oracle_sql() -> dict[str, str]:
                    b.lang AS lang_b, b.url AS url_b
             FROM tg a JOIN tg b ON a.slot = b.slot AND a.lang < b.lang
             ORDER BY slot, lang_a, url_a, lang_b, url_b
+        """,
+        # margin_mine: full replay — cosine on the 1e-6 grid, both
+        # row_number ranks, degree as EXACT bigint sums of grid cosines
+        # (no float group-sum order noise), margin quotient + 1e-6 snap.
+        "margin_mine": """
+            WITH a AS (SELECT vec_id AS id_a, CAST(embedding AS DOUBLE[]) AS va
+                       FROM embeddings WHERE vec_id % 2 = 0),
+                 b AS (SELECT vec_id AS id_b, CAST(embedding AS DOUBLE[]) AS vb
+                       FROM embeddings WHERE vec_id % 2 = 1),
+                 s AS (SELECT id_a, id_b,
+                              round(list_cosine_similarity(va, vb), 6) AS cosine
+                       FROM a, b),
+                 r AS (SELECT id_a, id_b, cosine,
+                              CAST(row_number() OVER (PARTITION BY id_a
+                                   ORDER BY cosine DESC, id_b) AS INT) AS rank_ab,
+                              CAST(row_number() OVER (PARTITION BY id_b
+                                   ORDER BY cosine DESC, id_a) AS INT) AS rank_ba,
+                              CAST(floor(cosine * 1000000.0 + 0.5) AS BIGINT) AS q
+                       FROM s),
+                 da AS (SELECT id_a,
+                               CAST(SUM(q) AS DOUBLE) / (COUNT(*) * 1000000.0) AS deg_a
+                        FROM r WHERE rank_ab <= 4 GROUP BY id_a),
+                 db AS (SELECT id_b,
+                               CAST(SUM(q) AS DOUBLE) / (COUNT(*) * 1000000.0) AS deg_b
+                        FROM r WHERE rank_ba <= 4 GROUP BY id_b)
+            SELECT r.id_a, r.id_b, r.cosine,
+                   floor((r.cosine / ((da.deg_a + db.deg_b) / 2.0))
+                         * 1000000.0 + 0.5) / 1000000.0 AS margin,
+                   r.rank_ab,
+                   r.rank_ba <= 4 AS mutual_nn
+            FROM r JOIN da USING (id_a) JOIN db USING (id_b)
+            WHERE r.rank_ab <= 4
         """,
         # wet_export: rebuild every header byte (strftime/md5/strlen,
         # chr(13)||chr(10) line ends) and hash the record

@@ -63,3 +63,98 @@ def bitext_candidates(
         "slot", F.col("lang").alias("lang_b"), F.col("url").alias("url_b")
     )
     return a.join(b, "slot").filter(F.col("lang_a") < F.col("lang_b"))
+
+
+def margin_mine(
+    emb_a: DataFrame,
+    emb_b: DataFrame,
+    k: int = 4,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    vec_col: str = "embedding",
+    min_margin: float | None = None,
+) -> DataFrame:
+    """Margin-based cross-lingual pair mining (Artetxe & Schwenk 2019,
+    the ratio-margin criterion LASER/CCMatrix pipelines score with).
+
+    Raw cosine is a bad pair score: "hub" vectors are close to
+    everything, so their pairs look good without being translations.
+    The margin renormalizes each pair by both endpoints' neighborhood
+    densities:
+
+        margin(x, y) = cos(x, y) / ((deg_a(x) + deg_b(y)) / 2)
+
+    where deg is the mean cosine to the k nearest cross-side neighbors.
+    A pair scores > 1 only when the two are closer to each other than to
+    their average neighborhood — the hub discount.
+
+    Shape: one cross-side scored join (broadcast the smaller side
+    upstream, or feed LSH/IVF candidate pairs instead of the full cross
+    product at 10^9+ — this operator only needs (id_a, id_b, cosine)
+    plus per-side ranks, not HOW candidates were found), two windows at
+    per-side cardinality, degree aggregates as EXACT integer sums of the
+    1e-6-grid cosines (float group sums are partition-order noise), one
+    margin projection. Emits forward candidates (y among x's top-k) with
+    mutual-NN flags; ``min_margin`` optionally applies the release cut.
+
+    -> (id_a, id_b, cosine, margin, rank_ab, mutual_nn)
+    """
+    from invoice_ocr_reconciler_spark.functions.text import roundn
+    from invoice_ocr_reconciler_spark.operators.similarity import cosine_sim
+    from pyspark.sql import Window
+
+    a = emb_a.select(F.col(id_a), F.col(vec_col).alias("_va"))
+    b = emb_b.select(F.col(id_b), F.col(vec_col).alias("_vb"))
+    scored = a.crossJoin(b).select(
+        id_a,
+        id_b,
+        F.round(cosine_sim(F.col("_va"), F.col("_vb")), 6).alias("cosine"),
+    )
+    w_a = Window.partitionBy(id_a).orderBy(F.col("cosine").desc(), F.col(id_b))
+    w_b = Window.partitionBy(id_b).orderBy(F.col("cosine").desc(), F.col(id_a))
+    ranked = scored.withColumn("rank_ab", F.row_number().over(w_a)).withColumn(
+        "rank_ba", F.row_number().over(w_b)
+    )
+    qcos = F.floor(F.col("cosine") * 1_000_000 + F.lit(0.5)).cast("bigint")
+    # exact-integer degree: sum of grid cosines / (count * grid)
+    deg_a = (
+        ranked.filter(F.col("rank_ab") <= k)
+        .select(id_a, qcos.alias("q"))
+        .groupBy(id_a)
+        .agg(
+            (
+                F.sum("q").cast("double")
+                / (F.count(F.lit(1)) * F.lit(1_000_000.0))
+            ).alias("deg_a")
+        )
+    )
+    deg_b = (
+        ranked.filter(F.col("rank_ba") <= k)
+        .select(id_b, qcos.alias("q"))
+        .groupBy(id_b)
+        .agg(
+            (
+                F.sum("q").cast("double")
+                / (F.count(F.lit(1)) * F.lit(1_000_000.0))
+            ).alias("deg_b")
+        )
+    )
+    out = (
+        ranked.filter(F.col("rank_ab") <= k)
+        .join(deg_a, id_a)
+        .join(deg_b, id_b)
+        .select(
+            id_a,
+            id_b,
+            "cosine",
+            roundn(
+                F.col("cosine") / ((F.col("deg_a") + F.col("deg_b")) / F.lit(2.0)),
+                6,
+            ).alias("margin"),
+            "rank_ab",
+            (F.col("rank_ba") <= k).alias("mutual_nn"),
+        )
+    )
+    if min_margin is not None:
+        out = out.filter(F.col("margin") >= min_margin)
+    return out

@@ -114,3 +114,67 @@ class TestOperator:
         assert [r.asDict() for r in one.orderBy(*key).collect()] == [
             r.asDict() for r in many.orderBy(*key).collect()
         ]
+
+
+class TestMarginMine:
+    @pytest.fixture(scope="class")
+    def sides(self, spark):
+        # planted translations: b-vectors are near-copies of their a
+        # partner; one hub b-vector is mildly close to EVERYTHING
+        import numpy as np
+
+        rng = np.random.default_rng(11)
+        base = rng.standard_normal((6, 8))
+        base /= np.linalg.norm(base, axis=1, keepdims=True)
+        a = spark.createDataFrame(
+            [(i, [float(x) for x in base[i]]) for i in range(6)],
+            "id_a int, embedding array<double>",
+        )
+        b_rows = []
+        for i in range(6):
+            v = base[i] + 0.05 * rng.standard_normal(8)
+            b_rows.append((i + 100, [float(x) for x in v]))
+        hub = base.mean(axis=0)  # cosine-close to everything
+        b_rows.append((999, [float(x) for x in hub]))
+        b = spark.createDataFrame(b_rows, "id_b int, embedding array<double>")
+        return a, b
+
+    def test_true_pairs_top_margin_and_mutual(self, spark, sides):
+        from invoice_ocr_reconciler_spark.operators.bitext import margin_mine
+
+        a, b = sides
+        out = margin_mine(a, b, k=3).collect()
+        best = {}
+        for r in out:
+            if r.id_a not in best or r.margin > best[r.id_a].margin:
+                best[r.id_a] = r
+        # every a-vector's best-margin partner is its planted translation
+        assert all(best[i].id_b == i + 100 for i in range(6))
+        assert all(best[i].mutual_nn for i in range(6))
+
+    def test_hub_discounted(self, spark, sides):
+        from invoice_ocr_reconciler_spark.operators.bitext import margin_mine
+
+        a, b = sides
+        out = margin_mine(a, b, k=3)
+        hub = out.filter(F.col("id_b") == 999).collect()
+        true = out.filter(F.col("id_b") != 999).filter(
+            F.col("id_b") == F.col("id_a") + 100
+        ).collect()
+        if hub:  # hub may not even make top-k everywhere
+            assert max(r.margin for r in hub) < min(r.margin for r in true)
+
+    def test_min_margin_cut_and_partition_invariance(self, spark, sides):
+        from invoice_ocr_reconciler_spark.operators.bitext import margin_mine
+
+        a, b = sides
+        cut = margin_mine(a, b, k=3, min_margin=1.0)
+        assert cut.filter(F.col("margin") < 1.0).count() == 0
+        key = ["id_a", "id_b"]
+        one = margin_mine(a.coalesce(1), b.coalesce(1), k=3).orderBy(*key).collect()
+        many = (
+            margin_mine(a.repartition(7), b.repartition(5), k=3)
+            .orderBy(*key)
+            .collect()
+        )
+        assert [r.asDict() for r in one] == [r.asDict() for r in many]
