@@ -3802,6 +3802,54 @@ def q_margin_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return margin_mine(a, b, k=4)
 
 
+def q_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe holdout split (operators/sampling.py:group_split):
+    near-dup components (n-gram Jaccard >= 0.3, transitive closure) are
+    the correlation unit — every member of a component hashes to the same
+    split; docs outside every cluster fall back to solo:<id>. DuckDB
+    replays the recursive-CTE closure + the md5 bucket CASE."""
+    from invoice_ocr_reconciler_spark.operators.cluster import connected_components
+    from invoice_ocr_reconciler_spark.operators.dedup import ngram_jaccard_verify
+    from invoice_ocr_reconciler_spark.operators.sampling import group_split
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a = docs.select(F.col("doc_id").alias("doc_a"))
+    b = docs.select(F.col("doc_id").alias("doc_b"))
+    pairs = ngram_jaccard_verify(
+        a.crossJoin(b).filter(F.col("doc_a") < F.col("doc_b")),
+        docs,
+        threshold=0.3,
+    )
+    comp = connected_components(pairs)
+    labeled = docs.select("doc_id").join(comp, "doc_id", "left")
+    return group_split(labeled, "component").orderBy("doc_id")
+
+
+def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-split contamination audit
+    (operators/sampling.py:split_leakage_audit): id-hash split + the
+    near-dup pair set -> every pair straddling the train/test fence.
+    Non-empty HERE by design (hash_split ignores correlation); the
+    group_split query is the fix. Full SQL replay."""
+    from invoice_ocr_reconciler_spark.operators.dedup import ngram_jaccard_verify
+    from invoice_ocr_reconciler_spark.operators.sampling import (
+        hash_split,
+        split_leakage_audit,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a = docs.select(F.col("doc_id").alias("doc_a"))
+    b = docs.select(F.col("doc_id").alias("doc_b"))
+    pairs = ngram_jaccard_verify(
+        a.crossJoin(b).filter(F.col("doc_a") < F.col("doc_b")),
+        docs,
+        threshold=0.3,
+    )
+    return split_leakage_audit(hash_split(docs.select("doc_id")), pairs).orderBy(
+        "doc_a", "doc_b"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from invoice_ocr_reconciler_spark.plans import relational as R
 
@@ -4001,6 +4049,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pca_recall": q_pca_recall,
         "rp_project": q_rp_project,
         "margin_mine": q_margin_mine,
+        # leakage-safe holdout split + contamination audit
+        "group_split": q_group_split,
+        "split_leakage": q_split_leakage,
     }
 
 
@@ -7607,6 +7658,90 @@ def oracle_sql() -> dict[str, str]:
                    r.rank_ba <= 4 AS mutual_nn
             FROM r JOIN da USING (id_a) JOIN db USING (id_b)
             WHERE r.rank_ab <= 4
+        """,
+        # group_split: the dedup_components closure + left join + the
+        # hash_split md5 CASE over the group key (solo:<id> fallback)
+        "group_split": r"""
+            WITH RECURSIVE d AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(coalesce(text, '')), '\s+'),
+                                   t -> t <> '') AS toks
+                FROM documents),
+            g AS (
+                SELECT doc_id,
+                       CASE WHEN len(toks) = 0 THEN ['']
+                            WHEN len(toks) < 3 THEN [array_to_string(toks, chr(1))]
+                            ELSE list_distinct(list_transform(range(1, len(toks) - 1),
+                                   i -> toks[i] || chr(1) || toks[i+1] || chr(1) || toks[i+2]))
+                       END AS grams
+                FROM d),
+            pr AS (
+                SELECT a.doc_id AS u, b.doc_id AS v
+                FROM g a JOIN g b ON a.doc_id < b.doc_id
+                WHERE round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                            / (len(a.grams) + len(b.grams)
+                               - len(list_intersect(a.grams, b.grams))), 4) >= 0.3),
+            e AS (SELECT u, v FROM pr UNION SELECT v, u FROM pr),
+            nodes AS (SELECT DISTINCT u FROM e),
+            reach(u, v) AS (
+                SELECT u, u FROM nodes
+                UNION
+                SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u),
+            comp AS (SELECT u AS doc_id, min(v) AS component FROM reach GROUP BY u),
+            lab AS (
+                SELECT d.doc_id, c.component,
+                       coalesce(CAST(c.component AS VARCHAR),
+                                'solo:' || CAST(d.doc_id AS VARCHAR)) AS gkey
+                FROM d LEFT JOIN comp c USING (doc_id)),
+            bk AS (
+                SELECT doc_id, component,
+                       ('0x' || substr(md5('split-v1:' || gkey), 1, 8))::UBIGINT
+                           % 100 AS b
+                FROM lab)
+            SELECT doc_id, component,
+                   CASE WHEN b < 90 THEN 'train'
+                        WHEN b < 95 THEN 'validation'
+                        ELSE 'test' END AS split
+            FROM bk
+            ORDER BY doc_id
+        """,
+        # split_leakage: id-hash split joined onto the near-dup pair set,
+        # keep pairs whose endpoints differ
+        "split_leakage": r"""
+            WITH d AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(coalesce(text, '')), '\s+'),
+                                   t -> t <> '') AS toks
+                FROM documents),
+            g AS (
+                SELECT doc_id,
+                       CASE WHEN len(toks) = 0 THEN ['']
+                            WHEN len(toks) < 3 THEN [array_to_string(toks, chr(1))]
+                            ELSE list_distinct(list_transform(range(1, len(toks) - 1),
+                                   i -> toks[i] || chr(1) || toks[i+1] || chr(1) || toks[i+2]))
+                       END AS grams
+                FROM d),
+            pr AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+                FROM g a JOIN g b ON a.doc_id < b.doc_id
+                WHERE round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                            / (len(a.grams) + len(b.grams)
+                               - len(list_intersect(a.grams, b.grams))), 4) >= 0.3),
+            sp AS (
+                SELECT doc_id,
+                       CASE WHEN b < 90 THEN 'train'
+                            WHEN b < 95 THEN 'validation'
+                            ELSE 'test' END AS split
+                FROM (SELECT doc_id,
+                             ('0x' || substr(md5('split-v1:' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+                                 % 100 AS b
+                      FROM documents))
+            SELECT pr.doc_a, pr.doc_b, sa.split AS split_a, sb.split AS split_b
+            FROM pr
+            JOIN sp sa ON pr.doc_a = sa.doc_id
+            JOIN sp sb ON pr.doc_b = sb.doc_id
+            WHERE sa.split <> sb.split
+            ORDER BY doc_a, doc_b
         """,
         # wet_export: rebuild every header byte (strftime/md5/strlen,
         # chr(13)||chr(10) line ends) and hash the record

@@ -379,6 +379,11 @@ def hash_split(
     bucket = hash_bucket_col(
         F.concat(F.lit(salt + ":"), F.col(id_col).cast("string")), 100
     )
+    return df.withColumn("split", _split_case(bucket, weights))
+
+
+def _split_case(bucket: Column, weights: dict[str, int]) -> Column:
+    """Chained CASE over cumulative integer bucket edges."""
     edge = 0
     expr = None
     for name, w in weights.items():
@@ -387,7 +392,78 @@ def hash_split(
         expr = F.when(cond, F.lit(name)) if expr is None else expr.when(
             cond, F.lit(name)
         )
-    return df.withColumn("split", expr)
+    return expr
+
+
+def group_split(
+    df: DataFrame,
+    group_col: str,
+    id_col: str = "doc_id",
+    weights: dict[str, int] | None = None,
+    salt: str = "split-v1",
+) -> DataFrame:
+    """Leakage-safe train/validation/test split: hash the GROUP key.
+
+    ``hash_split`` on raw document ids puts near-duplicates of the same
+    page on both sides of the train/test fence — the classic eval-set
+    contamination the dedup literature warns about. The fix is to split
+    on the correlation unit instead: a near-dup component id, a
+    registrable domain, a mirror cluster — every member of a group hashes
+    to the same bucket, so a group can never straddle splits.
+
+    NULL group (documents outside every cluster) falls back to the key
+    ``solo:<id>``: singletons still spread uniformly across splits, and
+    the prefix keeps them from colliding with any real group key.
+
+    Same scale shape as ``hash_split``: pure codegen (md5 + conv + CASE),
+    no shuffle, no state — reproducible across runs, engines, and
+    cluster sizes, and stable under corpus growth as long as the
+    clustering itself is (a doc whose component changes re-rolls).
+    """
+    if weights is None:
+        weights = {"train": 90, "validation": 5, "test": 5}
+    if sum(weights.values()) != 100:
+        raise ValueError(f"split weights must sum to 100, got {weights}")
+    key = F.coalesce(
+        F.col(group_col).cast("string"),
+        F.concat(F.lit("solo:"), F.col(id_col).cast("string")),
+    )
+    bucket = hash_bucket_col(F.concat(F.lit(salt + ":"), key), 100)
+    return df.withColumn("split", _split_case(bucket, weights))
+
+
+def split_leakage_audit(
+    assign: DataFrame,
+    pairs: DataFrame,
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+    id_col: str = "doc_id",
+    split_col: str = "split",
+) -> DataFrame:
+    """Cross-split contamination audit.
+
+    Joins a ``(id, split)`` assignment onto a near-dup pair set and keeps
+    the pairs whose endpoints landed in different splits — each surviving
+    row is a train/test leak (a test doc whose near-copy is trained on).
+    Run it against ``hash_split`` output to measure the leak;
+    ``group_split`` on the components makes it empty by construction.
+
+    Two shuffled equi-joins on the id columns (the assignment is
+    corpus-sized, so no broadcast); the pair set is the small side after
+    LSH banding. -> (doc_a, doc_b, split_a, split_b).
+    """
+    sa = assign.select(
+        F.col(id_col).alias(id_a), F.col(split_col).alias("split_a")
+    )
+    sb = assign.select(
+        F.col(id_col).alias(id_b), F.col(split_col).alias("split_b")
+    )
+    return (
+        pairs.select(id_a, id_b)
+        .join(sa, id_a)
+        .join(sb, id_b)
+        .filter(F.col("split_a") != F.col("split_b"))
+    )
 
 
 def bucket_by_score(

@@ -196,6 +196,74 @@ def test_hash_split_rejects_bad_weights(spark):
         hash_split(spark.range(1), weights={"train": 50, "test": 40})
 
 
+# --------------------------------------------- group split / leakage audit
+
+
+def test_group_split_never_straddles_groups(spark):
+    from invoice_ocr_reconciler_spark.operators.sampling import group_split
+
+    # 300 docs in 40 groups + 100 ungrouped (NULL component)
+    rows = [(i, i % 40) for i in range(300)] + [
+        (i, None) for i in range(300, 400)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, component long")
+    out = group_split(df, "component")
+    grouped = (
+        out.filter(F.col("component").isNotNull())
+        .groupBy("component")
+        .agg(F.countDistinct("split").alias("n"))
+        .collect()
+    )
+    assert all(r["n"] == 1 for r in grouped)
+    # singletons spread across all three splits (uniform solo fallback)
+    solo = {
+        r["split"]
+        for r in out.filter(F.col("component").isNull()).select("split").collect()
+    }
+    assert "train" in solo and len(solo) >= 2
+    # deterministic across partitioning
+    a = {r["doc_id"]: r["split"] for r in out.collect()}
+    b = {
+        r["doc_id"]: r["split"]
+        for r in group_split(df.repartition(7), "component").collect()
+    }
+    assert a == b
+
+
+def test_group_split_rejects_bad_weights(spark):
+    from invoice_ocr_reconciler_spark.operators.sampling import group_split
+
+    with pytest.raises(ValueError):
+        group_split(
+            spark.range(1).withColumn("g", F.lit(1)),
+            "g",
+            id_col="id",
+            weights={"train": 99},
+        )
+
+
+def test_split_leakage_audit_hash_leaks_group_doesnt(spark):
+    from invoice_ocr_reconciler_spark.operators.sampling import (
+        group_split,
+        hash_split,
+        split_leakage_audit,
+    )
+
+    # near-dup pairs: docs 2k and 2k+1 are copies of each other
+    docs = spark.createDataFrame(
+        [(i, i // 2) for i in range(400)], "doc_id long, component long"
+    )
+    pairs = spark.createDataFrame(
+        [(2 * k, 2 * k + 1) for k in range(200)], "doc_a long, doc_b long"
+    )
+    leaky = split_leakage_audit(hash_split(docs), pairs)
+    assert leaky.count() > 0  # id-hash split DOES leak pairs across splits
+    for r in leaky.limit(5).collect():
+        assert r["split_a"] != r["split_b"]
+    safe = split_leakage_audit(group_split(docs, "component"), pairs)
+    assert safe.count() == 0  # group split can't leak by construction
+
+
 # ------------------------------------------------------------ zipf
 
 
