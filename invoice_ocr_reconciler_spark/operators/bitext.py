@@ -99,9 +99,7 @@ def margin_mine(
 
     -> (id_a, id_b, cosine, margin, rank_ab, mutual_nn)
     """
-    from invoice_ocr_reconciler_spark.functions.text import roundn
     from invoice_ocr_reconciler_spark.operators.similarity import cosine_sim
-    from pyspark.sql import Window
 
     a = emb_a.select(F.col(id_a), F.col(vec_col).alias("_va"))
     b = emb_b.select(F.col(id_b), F.col(vec_col).alias("_vb"))
@@ -109,6 +107,40 @@ def margin_mine(
         id_a,
         id_b,
         F.round(cosine_sim(F.col("_va"), F.col("_vb")), 6).alias("cosine"),
+    )
+    return margin_from_scored(
+        scored, k=k, id_a=id_a, id_b=id_b, min_margin=min_margin
+    )
+
+
+def margin_from_scored(
+    scored: DataFrame,
+    k: int = 4,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    cosine_col: str = "cosine",
+    min_margin: float | None = None,
+) -> DataFrame:
+    """Margin scoring over PRE-SCORED candidate pairs — the 10^9 path.
+
+    ``margin_mine`` materializes the full cross product; at web scale the
+    candidate set comes from LSH/IVF retrieval instead (lsh_topk /
+    ivf_topk emit exactly the (query_id, neighbor_id, cosine) triples this
+    needs). Ranks and degrees are then computed over each endpoint's
+    RETRIEVED neighborhood — the standard practical margin (CCMatrix
+    scores over FAISS top-k, not the full matrix), identical to the exact
+    margin whenever retrieval recall covers the true top-k.
+
+    Same determinism contract as margin_mine: 1e-6-grid cosines, exact
+    bigint degree sums, grid-snapped margin. Shape: two windows + two
+    partial-agg groupBys at candidate-set cardinality (|pairs| ~ n*k',
+    never n^2), then two shuffled equi-joins back onto the pairs.
+    """
+    from invoice_ocr_reconciler_spark.functions.text import roundn
+    from pyspark.sql import Window
+
+    scored = scored.select(
+        id_a, id_b, F.col(cosine_col).alias("cosine")
     )
     w_a = Window.partitionBy(id_a).orderBy(F.col("cosine").desc(), F.col(id_b))
     w_b = Window.partitionBy(id_b).orderBy(F.col("cosine").desc(), F.col(id_a))

@@ -164,6 +164,58 @@ class TestMarginMine:
         if hub:  # hub may not even make top-k everywhere
             assert max(r.margin for r in hub) < min(r.margin for r in true)
 
+    def test_from_scored_matches_cross_product(self, spark, sides):
+        """Feeding the exact brute-force pair set reproduces margin_mine
+        bit-for-bit — the LSH/IVF candidate path's correctness anchor."""
+        from invoice_ocr_reconciler_spark.operators.bitext import (
+            margin_from_scored,
+            margin_mine,
+        )
+        from invoice_ocr_reconciler_spark.operators.similarity import cosine_sim
+
+        a, b = sides
+        scored = (
+            a.select(F.col("id_a"), F.col("embedding").alias("_va"))
+            .crossJoin(b.select(F.col("id_b"), F.col("embedding").alias("_vb")))
+            .select(
+                "id_a",
+                "id_b",
+                F.round(cosine_sim(F.col("_va"), F.col("_vb")), 6).alias("cosine"),
+            )
+        )
+        key = ["id_a", "id_b"]
+        assert [
+            r.asDict()
+            for r in margin_from_scored(scored, k=3).orderBy(*key).collect()
+        ] == [r.asDict() for r in margin_mine(a, b, k=3).orderBy(*key).collect()]
+
+    def test_from_scored_candidate_subset(self, spark, sides):
+        """A retrieval-truncated candidate set still ranks each planted
+        translation first within its neighborhood."""
+        from invoice_ocr_reconciler_spark.operators.bitext import (
+            margin_from_scored,
+            margin_mine,
+        )
+        from invoice_ocr_reconciler_spark.operators.similarity import cosine_sim
+
+        a, b = sides
+        scored = (
+            a.select(F.col("id_a"), F.col("embedding").alias("_va"))
+            .crossJoin(b.select(F.col("id_b"), F.col("embedding").alias("_vb")))
+            .select(
+                "id_a",
+                "id_b",
+                F.round(cosine_sim(F.col("_va"), F.col("_vb")), 6).alias("cosine"),
+            )
+            .filter(F.col("cosine") > 0)  # retrieval keeps plausible pairs only
+        )
+        out = margin_from_scored(scored, k=3).collect()
+        best = {}
+        for r in out:
+            if r.id_a not in best or r.margin > best[r.id_a].margin:
+                best[r.id_a] = r
+        assert all(best[i].id_b == i + 100 for i in best)
+
     def test_min_margin_cut_and_partition_invariance(self, spark, sides):
         from invoice_ocr_reconciler_spark.operators.bitext import margin_mine
 
