@@ -3850,6 +3850,32 @@ def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts + exact-fraction clustering coefficient
+    (operators/graph.py:triangle_count) over a synthesized ring+chord+hub
+    graph: (i, i+1 mod N) and (i, i+2 mod N) for every doc (one triangle
+    per consecutive id triple) plus hub edges (i, 0) for i%9==4 so a
+    skewed high-degree node exercises the degree-ordered orientation.
+    Coefficient stays an integer fraction coeff_num/coeff_den — nothing
+    float crosses the engine boundary. DuckDB replays canonicalize /
+    degree / orient / wedge / close verbatim."""
+    import duckdb
+
+    from invoice_ocr_reconciler_spark.operators.graph import triangle_count
+
+    n = duckdb.sql(
+        f"SELECT count(*) FROM '{sf_dir}/documents.parquet'"
+    ).fetchone()[0]
+    ids = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    i = F.col("doc_id")
+    f1 = ids.select(i.alias("src"), ((i + 1) % n).alias("dst"))
+    f2 = ids.select(i.alias("src"), ((i + 2) % n).alias("dst"))
+    f3 = ids.filter(i % 9 == 4).select(
+        i.alias("src"), F.lit(0).cast("long").alias("dst")
+    )
+    return triangle_count(f1.union(f2).union(f3)).orderBy("node")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from invoice_ocr_reconciler_spark.plans import relational as R
 
@@ -4038,6 +4064,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kwic_snippets": q_kwic_snippets,
         "registrable_domains": q_registrable_domains,
         "link_reciprocity": q_link_reciprocity,
+        "triangle_count": q_triangle_count,
         "pool_embeddings": q_pool_embeddings,
         "percolate": q_percolate,
         "bm25f_search": q_bm25f_search,
@@ -8101,6 +8128,55 @@ def oracle_sql() -> dict[str, str]:
                END AS reciprocity
         FROM outd FULL OUTER JOIN ind ON outd.host = ind.host
         ORDER BY host
+    """
+    # triangle_count: same ring+chord+hub synthesis; canonical distinct
+    # undirected edges, degree-ordered orientation, wedge join + closing
+    # edge, 3-way unpivot of triangle members; coefficient stays an
+    # integer fraction (coeff_num, coeff_den) so no float crosses engines
+    d["triangle_count"] = """
+        WITH nd AS (SELECT count(*) AS n FROM documents),
+        edges AS (
+            SELECT doc_id AS src, (doc_id + 1) % (SELECT n FROM nd) AS dst
+            FROM documents
+            UNION ALL
+            SELECT doc_id, (doc_id + 2) % (SELECT n FROM nd) FROM documents
+            UNION ALL
+            SELECT doc_id, CAST(0 AS BIGINT) FROM documents
+            WHERE doc_id % 9 = 4),
+        und AS (
+            SELECT DISTINCT least(src, dst) AS lo, greatest(src, dst) AS hi
+            FROM edges WHERE src <> dst),
+        deg AS (
+            SELECT node, CAST(count(*) AS BIGINT) AS degree
+            FROM (SELECT lo AS node FROM und
+                  UNION ALL SELECT hi FROM und)
+            GROUP BY node),
+        ori AS (
+            SELECT CASE WHEN dl.degree <= dh.degree THEN u.lo ELSE u.hi END AS u,
+                   CASE WHEN dl.degree <= dh.degree THEN u.hi ELSE u.lo END AS v,
+                   CASE WHEN dl.degree <= dh.degree
+                        THEN dh.degree ELSE dl.degree END AS dv
+            FROM und u
+            JOIN deg dl ON u.lo = dl.node
+            JOIN deg dh ON u.hi = dh.node),
+        tri AS (
+            SELECT o1.u AS u, o1.v AS v1, o2.v AS v2
+            FROM ori o1
+            JOIN ori o2 ON o1.u = o2.u
+                 AND (o1.dv < o2.dv OR (o1.dv = o2.dv AND o1.v < o2.v))
+            JOIN ori o3 ON o3.u = o1.v AND o3.v = o2.v),
+        per AS (
+            SELECT node, CAST(count(*) AS BIGINT) AS triangles
+            FROM (SELECT u AS node FROM tri
+                  UNION ALL SELECT v1 FROM tri
+                  UNION ALL SELECT v2 FROM tri)
+            GROUP BY node)
+        SELECT d.node, d.degree,
+               CAST(coalesce(p.triangles, 0) AS BIGINT) AS triangles,
+               CAST(2 * coalesce(p.triangles, 0) AS BIGINT) AS coeff_num,
+               CAST(d.degree * (d.degree - 1) AS BIGINT) AS coeff_den
+        FROM deg d LEFT JOIN per p ON d.node = p.node
+        ORDER BY d.node
     """
     # registrable_domains: same host synthesis; longest-suffix-first via
     # the suffix expansion filtered against the 3-entry PSL; '*' fallback

@@ -1682,3 +1682,76 @@ class TestDedupEndToEnd:
         assert (0, 0, True) in got and (1, 0, False) in got and (2, 0, False) in got
         assert (10, 10, True) in got and (11, 10, False) in got
         assert (20, 20, True) in got and (21, 21, True) in got
+
+
+# ---------------------------------------------------------------- triangles
+
+
+def _tri_map(rows):
+    return {r["node"]: (r["degree"], r["triangles"]) for r in rows}
+
+
+def test_triangle_count_k4(spark):
+    """K4: every node has degree 3 and sits in C(3,2)=3 triangles; the
+    coefficient fraction is 6/6 (a perfect community)."""
+    from invoice_ocr_reconciler_spark.operators.graph import triangle_count
+
+    edges = [
+        (a, b) for a in range(4) for b in range(4) if a != b
+    ]  # directed both ways + dupes exercise canonicalize/distinct
+    df = spark.createDataFrame(edges, "src long, dst long")
+    rows = triangle_count(df).collect()
+    assert _tri_map(rows) == {i: (3, 3) for i in range(4)}
+    for r in rows:
+        assert (r["coeff_num"], r["coeff_den"]) == (6, 6)
+
+
+def test_triangle_count_star_no_triangles(spark):
+    """A star has zero triangles; degree-1 leaves get coeff_den = 0
+    (undefined coefficient stays an explicit 0/0 fraction, no NaN)."""
+    from invoice_ocr_reconciler_spark.operators.graph import triangle_count
+
+    n = 200
+    df = spark.createDataFrame(
+        [(0, i) for i in range(1, n)], "src long, dst long"
+    )
+    rows = triangle_count(df).collect()
+    m = _tri_map(rows)
+    assert m[0] == (n - 1, 0)
+    assert all(m[i] == (1, 0) for i in range(1, n))
+    leaf = next(r for r in rows if r["node"] == 1)
+    assert (leaf["coeff_num"], leaf["coeff_den"]) == (0, 0)
+
+
+def test_triangle_orientation_bounds_hub_fanout(spark):
+    """The scale guard: after degree orientation every star edge points
+    INTO the hub, so the hub's oriented out-degree is 0 and the wedge
+    join generates zero pairs — a 10^8-follower node costs O(deg), not
+    O(deg^2). Checked directly on _oriented_edges."""
+    from invoice_ocr_reconciler_spark.operators.graph import _oriented_edges
+    from pyspark.sql import functions as F
+
+    n = 500
+    und = spark.createDataFrame(
+        [(0, i) for i in range(1, n)], "lo long, hi long"
+    )
+    deg = (
+        und.select(F.col("lo").alias("node"))
+        .unionAll(und.select(F.col("hi").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
+    )
+    out = _oriented_edges(und, deg)
+    fan = out.groupBy("u").count().agg(F.max("count")).first()[0]
+    assert fan == 1  # every leaf emits exactly one oriented edge; hub none
+    assert out.filter(F.col("u") == 0).count() == 0
+
+
+def test_triangle_count_self_loops_and_dupes_ignored(spark):
+    """Self-loops and duplicate/reverse edges must not inflate counts."""
+    from invoice_ocr_reconciler_spark.operators.graph import triangle_count
+
+    edges = [(1, 1), (1, 2), (2, 1), (2, 3), (3, 1), (1, 3), (3, 3)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    rows = triangle_count(df).collect()
+    assert _tri_map(rows) == {1: (2, 1), 2: (2, 1), 3: (2, 1)}
