@@ -243,6 +243,21 @@ def q_ann_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(emb, queries_df, k=5).withColumnRenamed("rank", "nb_rank")
 
 
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive hard-negative mining
+    (operators/similarity.py:hard_negatives): per anchor (vec_id < 10),
+    the 5 most-cosine-similar vectors with a DIFFERENT label, after the
+    false-negative ceiling cut (cosine < 0.99). DuckDB replays the
+    broadcast scoring, null-safe label exclusion, ceiling and window."""
+    from invoice_ocr_reconciler_spark.operators.similarity import (
+        hard_negatives,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    anchors = emb.filter(F.col("vec_id") < 10)
+    return hard_negatives(emb, anchors, k=5).orderBy("query_id", "rank")
+
+
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed ANN; rows-only (recall < 1 by design)."""
     from invoice_ocr_reconciler_spark.operators.similarity import lsh_topk
@@ -4065,6 +4080,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "registrable_domains": q_registrable_domains,
         "link_reciprocity": q_link_reciprocity,
         "triangle_count": q_triangle_count,
+        "hard_negatives": q_hard_negatives,
         "pool_embeddings": q_pool_embeddings,
         "percolate": q_percolate,
         "bm25f_search": q_bm25f_search,
@@ -4792,6 +4808,27 @@ def oracle_sql() -> dict[str, str]:
                                    ORDER BY cosine DESC, neighbor_id) AS INT) AS nb_rank
                        FROM s)
             SELECT query_id, neighbor_id, cosine, nb_rank FROM r WHERE nb_rank <= 5
+        """,
+        # hard_negatives: brute scoring replay + null-safe label
+        # inequality (IS DISTINCT FROM) + 0.99 false-negative ceiling
+        "hard_negatives": """
+            WITH q AS (SELECT vec_id AS query_id, label AS q_label,
+                              CAST(embedding AS DOUBLE[]) AS qv
+                       FROM embeddings WHERE vec_id < 10),
+                 c AS (SELECT vec_id AS neighbor_id, label AS neg_label,
+                              CAST(embedding AS DOUBLE[]) AS cv
+                       FROM embeddings),
+                 s AS (SELECT query_id, neighbor_id, neg_label,
+                              round(list_cosine_similarity(qv, cv), 6) AS cosine
+                       FROM q, c
+                       WHERE neighbor_id <> query_id
+                         AND neg_label IS DISTINCT FROM q_label),
+                 r AS (SELECT query_id, neighbor_id, neg_label, cosine,
+                              CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+                       FROM s WHERE cosine < CAST(0.99 AS DOUBLE))
+            SELECT query_id, neighbor_id, neg_label, cosine, rank
+            FROM r WHERE rank <= 5 ORDER BY query_id, rank
         """,
         # FULL replay of the single-table LSH ANN: the md5-derived
         # hyperplanes (operators/similarity.py:_planes) rebuilt in SQL

@@ -975,3 +975,80 @@ def pool_embeddings(
         )
     )
     return pooled
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    anchors: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    dup_ceiling: float = 0.99,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Mine hard negatives for contrastive training -> (query_id,
+    neighbor_id, neg_label, cosine, rank): per anchor, the k most-similar
+    vectors whose label DIFFERS from the anchor's (the near-miss
+    confusers that actually move a contrastive loss — random negatives
+    are trivially separable; see DPR, Karpukhin et al. 2020 §5.2).
+
+    Two false-positive guards that every production miner needs:
+      - same-label rows are excluded with a null-safe comparison (two
+        NULL labels count as "same class" — unlabeled data must not
+        leak in as negatives);
+      - cosine >= dup_ceiling rows are dropped: a near-duplicate of the
+        anchor with a different label is almost always a LABELING error,
+        and training on it as a negative poisons the encoder (the
+        standard false-negative ceiling trick).
+
+    Scale path: pass ``candidates`` — pre-scored (query_id, neighbor_id,
+    cosine) pairs from lsh_topk/ivf_topk — and the cross product never
+    materializes; labels join on at pair cardinality. Without it, the
+    anchor batch broadcasts against the corpus (the exact baseline, same
+    shape as brute_force_topk). The per-anchor cut is a bounded top-k
+    window either way.
+    """
+    labels = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(label_col).alias("neg_label")
+    )
+    a_labels = anchors.select(
+        F.col(id_col).alias("query_id"), F.col(label_col).alias("q_label")
+    )
+    if candidates is None:
+        q = anchors.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("q_vec"),
+            F.col(label_col).alias("q_label"),
+        )
+        c = with_scan_parallelism(
+            corpus.select(
+                F.col(id_col).alias("neighbor_id"),
+                F.col(vec_col).alias("c_vec"),
+                F.col(label_col).alias("neg_label"),
+            )
+        )
+        scored = (
+            c.crossJoin(F.broadcast(q))
+            .filter(F.col("neighbor_id") != F.col("query_id"))
+            .withColumn(
+                "cosine", F.round(cosine_sim(F.col("q_vec"), F.col("c_vec")), 6)
+            )
+        )
+    else:
+        scored = (
+            candidates.select("query_id", "neighbor_id", "cosine")
+            .join(labels, "neighbor_id")
+            .join(a_labels, "query_id")
+        )
+    negs = scored.filter(
+        ~F.col("neg_label").eqNullSafe(F.col("q_label"))
+    ).filter(F.col("cosine") < F.lit(float(dup_ceiling)))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        negs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "neg_label", "cosine", "rank")
+    )

@@ -605,3 +605,79 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     q2 = start_dedup_stream(spark, str(landing) + "/*", out, ckpt)
     q2.awaitTermination()
     assert spark.read.parquet(out).count() == 30
+
+
+# ------------------------------------------------------------ hard negatives
+
+
+def _hn_df(spark):
+    rows = [
+        # anchor: label A, unit-x
+        (0, [1.0, 0.0, 0.0], "A"),
+        # same-label near-twin: must be excluded (it's a positive)
+        (1, [0.99, 0.14, 0.0], "A"),
+        # different-label near-miss: the hard negative we want first
+        (2, [0.9, 0.43, 0.0], "B"),
+        # different-label exact duplicate: cosine 1.0 >= ceiling -> dropped
+        (3, [2.0, 0.0, 0.0], "B"),
+        # different-label, far: a soft negative, ranks after vec 2
+        (4, [0.0, 1.0, 0.0], "B"),
+        # unlabeled rows: NULL label
+        (5, [0.95, 0.31, 0.0], None),
+    ]
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label string"
+    )
+
+
+def test_hard_negatives_excludes_positives_and_dups(spark):
+    from invoice_ocr_reconciler_spark.operators.similarity import (
+        hard_negatives,
+    )
+    from pyspark.sql import functions as F
+
+    emb = _hn_df(spark)
+    out = hard_negatives(
+        emb, emb.filter(F.col("vec_id") == 0), k=5
+    ).collect()
+    got = [(r["neighbor_id"], r["rank"]) for r in out]
+    # vec1 (same label) and vec3 (>= ceiling) excluded; 5 (NULL label) is
+    # a valid negative for a labeled anchor and lands between 2 and 4
+    assert got == [(5, 1), (2, 2), (4, 3)]
+    assert all(r["query_id"] == 0 for r in out)
+
+
+def test_hard_negatives_null_anchor_label(spark):
+    """NULL-label anchor: NULL-label rows are 'same class' (excluded);
+    labeled rows qualify."""
+    from invoice_ocr_reconciler_spark.operators.similarity import (
+        hard_negatives,
+    )
+    from pyspark.sql import functions as F
+
+    emb = _hn_df(spark)
+    out = hard_negatives(
+        emb, emb.filter(F.col("vec_id") == 5), k=10
+    ).collect()
+    ids = {r["neighbor_id"] for r in out}
+    assert 5 not in ids and ids <= {0, 1, 2, 3, 4}
+    assert len(ids) > 0
+
+
+def test_hard_negatives_candidates_path_matches_brute(spark):
+    """Feeding pre-scored candidate pairs (the LSH/IVF scale path) must
+    reproduce the brute-force result when candidates cover the corpus."""
+    from invoice_ocr_reconciler_spark.operators.similarity import (
+        brute_force_topk,
+        hard_negatives,
+    )
+    from pyspark.sql import functions as F
+
+    emb = _hn_df(spark)
+    anchors = emb.filter(F.col("vec_id") == 0)
+    brute = hard_negatives(emb, anchors, k=3)
+    cands = brute_force_topk(emb, anchors, k=100)
+    via = hard_negatives(emb, anchors, k=3, candidates=cands)
+    key = lambda r: (r["query_id"], r["rank"])
+    assert sorted(map(tuple, brute.collect()), key=lambda t: (t[0], t[4])) == \
+        sorted(map(tuple, via.collect()), key=lambda t: (t[0], t[4]))
