@@ -3865,6 +3865,42 @@ def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _oov_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthetic tokenizer vocabulary: the corpus's distinct tokens minus
+    an md5 hash cut (u64('vocab:'||token) % 3 = 0 dropped, ~1/3 OOV) —
+    the tiny word-salad vocab saturates otherwise. DuckDB replays the
+    same cut."""
+    from invoice_ocr_reconciler_spark.functions.text import tokens_col
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = docs.select(F.explode(tokens_col(F.col("text"))).alias("token"))
+    return toks.distinct().filter(
+        _u64(F.concat(F.lit("vocab:"), F.col("token"))) % 3 != 0
+    )
+
+
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document tokenizer-vocabulary coverage
+    (operators/bpe.py:vocab_coverage) against the hash-cut synthetic
+    vocab; oov_rate on the 1e-6 grid."""
+    from invoice_ocr_reconciler_spark.operators.bpe import vocab_coverage
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return vocab_coverage(docs, _oov_vocab(spark, sf_dir)).orderBy("doc_id")
+
+
+def q_oov_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level top-20 out-of-vocabulary terms
+    (operators/bpe.py:oov_top_terms) — the merge candidates for the next
+    tokenizer build."""
+    from invoice_ocr_reconciler_spark.operators.bpe import oov_top_terms
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return oov_top_terms(docs, _oov_vocab(spark, sf_dir), k=20).orderBy(
+        "oov_rank"
+    )
+
+
 def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-node triangle counts + exact-fraction clustering coefficient
     (operators/graph.py:triangle_count) over a synthesized ring+chord+hub
@@ -4081,6 +4117,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_reciprocity": q_link_reciprocity,
         "triangle_count": q_triangle_count,
         "hard_negatives": q_hard_negatives,
+        "vocab_coverage": q_vocab_coverage,
+        "oov_top_terms": q_oov_top_terms,
         "pool_embeddings": q_pool_embeddings,
         "percolate": q_percolate,
         "bm25f_search": q_bm25f_search,
@@ -8165,6 +8203,55 @@ def oracle_sql() -> dict[str, str]:
                END AS reciprocity
         FROM outd FULL OUTER JOIN ind ON outd.host = ind.host
         ORDER BY host
+    """
+    # vocab_coverage / oov_top_terms: shared tokens_col replay + the
+    # md5 vocab hash cut; LEFT JOIN null-count vs anti-join top-k
+    _vocab_cte = r"""
+        d AS (SELECT doc_id,
+                     list_filter(string_split_regex(lower(trim(coalesce(text, ''))), '\s+'),
+                                 t -> t <> '') AS toks
+              FROM documents),
+        t AS (SELECT doc_id, unnest(toks) AS token FROM d),
+        v AS (SELECT DISTINCT token FROM t
+              WHERE ('0x' || substr(md5('vocab:' || token), 1, 16))::UBIGINT % 3 <> 0)
+    """
+    d["vocab_coverage"] = f"""
+        WITH {_vocab_cte},
+        per AS (
+            SELECT t.doc_id,
+                   CAST(count(*) AS BIGINT) AS n_tokens,
+                   CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_oov
+            FROM t LEFT JOIN v ON t.token = v.token
+            GROUP BY t.doc_id)
+        SELECT d.doc_id,
+               CAST(coalesce(per.n_tokens, 0) AS BIGINT) AS n_tokens,
+               CAST(coalesce(per.n_oov, 0) AS BIGINT) AS n_oov,
+               CASE WHEN coalesce(per.n_tokens, 0) = 0 THEN CAST(0.0 AS DOUBLE)
+                    ELSE floor(per.n_oov / per.n_tokens * 1000000.0 + 0.5)
+                         / 1000000.0
+               END AS oov_rate
+        FROM d LEFT JOIN per ON d.doc_id = per.doc_id
+        ORDER BY d.doc_id
+    """
+    d["oov_top_terms"] = f"""
+        WITH {_vocab_cte},
+        oov AS (
+            SELECT t.doc_id, t.token
+            FROM t LEFT JOIN v ON t.token = v.token
+            WHERE v.token IS NULL),
+        agg AS (
+            SELECT token,
+                   CAST(count(*) AS BIGINT) AS n_occurrences,
+                   CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+            FROM oov GROUP BY token),
+        top AS (
+            SELECT token, n_occurrences, n_docs,
+                   CAST(row_number() OVER (ORDER BY n_occurrences DESC, token)
+                        AS INT) AS oov_rank
+            FROM agg)
+        SELECT token, n_occurrences, n_docs, oov_rank
+        FROM top WHERE oov_rank <= 20 ORDER BY oov_rank
     """
     # triangle_count: same ring+chord+hub synthesis; canonical distinct
     # undirected edges, degree-ordered orientation, wedge join + closing

@@ -35,7 +35,7 @@ MinHash/SimHash sketches.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from invoice_ocr_reconciler_spark.functions.text import tokens_col
@@ -237,3 +237,108 @@ def bpe_encode(
             )
 
     return docs.select(id_col, text_col).mapInPandas(gen, schema=ENCODE_SCHEMA)
+
+
+def vocab_coverage(
+    docs: DataFrame,
+    vocab: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vocab_col: str = "token",
+) -> DataFrame:
+    """Per-document tokenizer-vocabulary coverage -> (doc_id, n_tokens,
+    n_oov, oov_rate): how much of each document a fixed vocabulary can
+    represent without falling back to unknowns.
+
+    The pre-training gate a tokenizer change always needs: a vocab fit
+    on one slice silently shreds out-of-distribution text into <unk>/
+    byte-fallback soup, and per-DOCUMENT rates localize the damage
+    (which sources, which languages) where a corpus-mean hides it.
+
+    Shape: one scan -> shared tokens_col explode -> LEFT join against the
+    (deduped, broadcast) vocabulary -> partial-agg groupBy(doc).
+    Token-cardinality rows carry only (doc_id, token); zero-token docs
+    are preserved by the final left join at corpus cardinality.
+    oov_rate rides the 1e-6 grid (roundn) so engines agree bitwise.
+    """
+    from invoice_ocr_reconciler_spark.functions.text import (
+        roundn,
+        tokens_col,
+    )
+
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens_col(F.col(text_col))).alias("token"),
+    )
+    v = vocab.select(F.col(vocab_col).alias("token")).distinct().withColumn(
+        "in_vocab", F.lit(1)
+    )
+    per = (
+        toks.join(F.broadcast(v), "token", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_oov"),
+        )
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_tokens", F.lit(0)).cast("bigint").alias("n_tokens"),
+            F.coalesce("n_oov", F.lit(0)).cast("bigint").alias("n_oov"),
+        )
+        .withColumn(
+            "oov_rate",
+            F.when(F.col("n_tokens") == 0, F.lit(0.0)).otherwise(
+                roundn(F.col("n_oov") / F.col("n_tokens"), 6)
+            ),
+        )
+    )
+
+
+def oov_top_terms(
+    docs: DataFrame,
+    vocab: DataFrame,
+    k: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vocab_col: str = "token",
+) -> DataFrame:
+    """Corpus-level top-k out-of-vocabulary terms -> (token, n_occurrences,
+    n_docs, oov_rank): WHAT the tokenizer is missing, ranked by damage.
+    The actionable half of vocab_coverage — these terms are the merge/
+    vocab-entry candidates for the next tokenizer build.
+
+    Anti-join against the broadcast vocab at token cardinality, then one
+    partial-agg'd groupBy(token); the global top-k is orderBy().limit(k)
+    — Spark plans it as TakeOrderedAndProject (per-partition heaps, no
+    single-partition window over the possibly-huge OOV-type set) — and
+    the rank window runs on the k survivors only.
+    """
+    from invoice_ocr_reconciler_spark.functions.text import tokens_col
+
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens_col(F.col(text_col))).alias("token"),
+    )
+    v = vocab.select(F.col(vocab_col).alias("token")).distinct()
+    top = (
+        toks.join(F.broadcast(v), "token", "left_anti")
+        .groupBy("token")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
+            F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+        )
+        .orderBy(F.col("n_occurrences").desc(), "token")
+        .limit(k)
+    )
+    return top.withColumn(
+        "oov_rank",
+        F.row_number()
+        .over(Window.orderBy(F.col("n_occurrences").desc(), F.col("token")))
+        .cast("int"),
+    )

@@ -123,3 +123,58 @@ def test_bpe_vocab_cap_is_deterministic(spark):
     got = bpe_learn(docs, n_merges=4, vocab_cap=2).collect()
     syms = {(r["left"], r["right"]) for r in got}
     assert all("z" not in a + b for a, b in syms)
+
+
+# -------------------------------------------------------- vocab coverage
+
+
+def test_vocab_coverage_counts_and_zero_token_docs(spark):
+    from invoice_ocr_reconciler_spark.operators.bpe import vocab_coverage
+
+    docs = spark.createDataFrame(
+        [
+            (0, "the cat sat on the mat"),
+            (1, "ZEBRA the Quux"),
+            (2, "   "),
+            (3, None),
+        ],
+        "doc_id long, text string",
+    )
+    vocab = spark.createDataFrame(
+        [("the",), ("cat",), ("sat",), ("on",), ("mat",), ("the",)],
+        "token string",
+    )
+    rows = {r["doc_id"]: r for r in vocab_coverage(docs, vocab).collect()}
+    assert (rows[0]["n_tokens"], rows[0]["n_oov"]) == (6, 0)
+    assert rows[0]["oov_rate"] == 0.0
+    # tokenization lowercases: 'ZEBRA'->zebra (oov), 'the' in-vocab,
+    # 'Quux'->quux (oov)
+    assert (rows[1]["n_tokens"], rows[1]["n_oov"]) == (3, 2)
+    assert rows[1]["oov_rate"] == 0.666667
+    # blank and NULL docs survive with zero counts, rate 0.0
+    for d in (2, 3):
+        assert (rows[d]["n_tokens"], rows[d]["n_oov"], rows[d]["oov_rate"]) == (
+            0,
+            0,
+            0.0,
+        )
+
+
+def test_oov_top_terms_rank_and_ties(spark):
+    from invoice_ocr_reconciler_spark.operators.bpe import oov_top_terms
+
+    docs = spark.createDataFrame(
+        [
+            (0, "aa bb bb cc"),
+            (1, "bb cc zz"),
+            (2, "aa aa aa keep"),
+        ],
+        "doc_id long, text string",
+    )
+    vocab = spark.createDataFrame([("keep",)], "token string")
+    rows = oov_top_terms(docs, vocab, k=2).orderBy("oov_rank").collect()
+    # aa x4 (docs 0,2) beats bb x3 (docs 0,1); cc x2 cut by k=2
+    assert [(r["token"], r["n_occurrences"], r["n_docs"], r["oov_rank"]) for r in rows] == [
+        ("aa", 4, 2, 1),
+        ("bb", 3, 2, 2),
+    ]
