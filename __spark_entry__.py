@@ -3927,6 +3927,35 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_count(f1.union(f2).union(f3)).orderBy("node")
 
 
+def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic synchronous label-propagation communities
+    (operators/graph.py:label_propagation, 3 rounds) over a synthesized
+    10-block ring graph with sparse inter-block bridges (i%25==0 ->
+    i+50): communities form inside blocks, bridges test that weak ties
+    don't merge them in 3 rounds. DuckDB unrolls the 3 rounds as CTEs
+    with the same min-label tie-break (row_number ORDER BY c DESC,
+    label)."""
+    import duckdb
+
+    from invoice_ocr_reconciler_spark.operators.graph import (
+        label_propagation,
+    )
+
+    n = duckdb.sql(
+        f"SELECT count(*) FROM '{sf_dir}/documents.parquet'"
+    ).fetchone()[0]
+    ids = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    i = F.col("doc_id")
+    ring = ids.select(
+        i.alias("src"),
+        ((i - i % 50) + ((i % 50 + 1) % 50)).alias("dst"),
+    )
+    bridge = ids.filter(i % 25 == 0).select(
+        i.alias("src"), ((i + 50) % n).alias("dst")
+    )
+    return label_propagation(ring.union(bridge), n_iter=3).orderBy("node")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from invoice_ocr_reconciler_spark.plans import relational as R
 
@@ -4119,6 +4148,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hard_negatives": q_hard_negatives,
         "vocab_coverage": q_vocab_coverage,
         "oov_top_terms": q_oov_top_terms,
+        "label_propagation": q_label_propagation,
         "pool_embeddings": q_pool_embeddings,
         "percolate": q_percolate,
         "bm25f_search": q_bm25f_search,
@@ -8203,6 +8233,37 @@ def oracle_sql() -> dict[str, str]:
                END AS reciprocity
         FROM outd FULL OUTER JOIN ind ON outd.host = ind.host
         ORDER BY host
+    """
+    # label_propagation: ring+bridge synthesis; 3 synchronous rounds
+    # unrolled, min-label tie-break via row_number(ORDER BY c DESC, label)
+    _lpa_iters = []
+    for _j in (1, 2, 3):
+        _i = _j - 1
+        _lpa_iters.append(f"""
+        c{_j} AS (SELECT a.u AS node, l.label, count(*) AS c
+                  FROM adj a JOIN l{_i} l ON a.v = l.node GROUP BY 1, 2),
+        l{_j} AS (SELECT node, label FROM (
+                     SELECT node, label,
+                            row_number() OVER (PARTITION BY node
+                                ORDER BY c DESC, label) AS rn
+                     FROM c{_j}) WHERE rn = 1)""")
+    d["label_propagation"] = f"""
+        WITH nd AS (SELECT count(*) AS n FROM documents),
+        e AS (
+            SELECT doc_id AS a,
+                   (doc_id - doc_id % 50) + ((doc_id % 50 + 1) % 50) AS b
+            FROM documents
+            UNION ALL
+            SELECT doc_id, (doc_id + 50) % (SELECT n FROM nd)
+            FROM documents WHERE doc_id % 25 = 0),
+        e2 AS (SELECT a, b FROM e WHERE a <> b),
+        adj AS (
+            SELECT DISTINCT u, v FROM (
+                SELECT a AS u, b AS v FROM e2
+                UNION ALL SELECT b, a FROM e2)),
+        l0 AS (SELECT DISTINCT u AS node, u AS label FROM adj),{','.join(_lpa_iters)}
+        SELECT node, CAST(label AS BIGINT) AS community
+        FROM l3 ORDER BY node
     """
     # vocab_coverage / oov_top_terms: shared tokens_col replay + the
     # md5 vocab hash cut; LEFT JOIN null-count vs anti-join top-k

@@ -791,3 +791,67 @@ def triangle_count(
         .cast("bigint")
         .alias("coeff_den"),
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    n_iter: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Synchronous label-propagation community detection (Raghavan et al.
+    2007, made DETERMINISTIC) -> (node, community) after ``n_iter``
+    rounds over the undirected view of the graph.
+
+    Communities are the denser-than-component structure: connected
+    components (operators/cluster.py) glue everything one bridge touches,
+    but a link farm weakly tied to a legitimate hub is a separate
+    COMMUNITY long before it is a separate component — this is the
+    spam-cluster / topic-cluster lens over the host graph.
+
+    Classic LPA is run-order-dependent; this variant is reproducible by
+    construction (the north-rule invariant — same result at any
+    parallelism): updates are synchronous (all nodes flip on the
+    previous round's labels), and the argmax over neighbor label counts
+    breaks ties by MINIMUM label via one exact min(struct(-count,
+    label)) aggregate — no float, no RNG, no visit order. A k-round run
+    therefore replays verbatim in SQL as k unrolled CTEs.
+
+    Per round: ONE equi-join (adjacency x labels, both node-cardinality
+    frames, only (node, label) rides the shuffle) + TWO stacked
+    partial-agg groupBys; lineage is truncated per round
+    (localCheckpoint, the pagerank guard) so the plan stays flat in
+    n_iter. Labels start as node ids — integers end to end.
+    """
+    e = edges.select(
+        F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b")
+    ).filter(
+        F.col("a").isNotNull() & F.col("b").isNotNull() & (F.col("a") != F.col("b"))
+    )
+    adj = (
+        e.select(F.col("a").alias("u"), F.col("b").alias("v"))
+        .unionAll(e.select(F.col("b").alias("u"), F.col("a").alias("v")))
+        .distinct()
+    )
+    labels = adj.select(F.col("u").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    for _ in range(n_iter):
+        cnt = (
+            adj.join(
+                labels.select(F.col("node").alias("v"), "label"), "v"
+            )
+            .groupBy("u", "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        labels = (
+            cnt.groupBy("u")
+            .agg(
+                F.min(
+                    F.struct((-F.col("c")).alias("nc"), F.col("label"))
+                ).alias("m")
+            )
+            .select(F.col("u").alias("node"), F.col("m.label").alias("label"))
+            .localCheckpoint(eager=False)
+        )
+    return labels.select("node", F.col("label").cast("long").alias("community"))

@@ -1755,3 +1755,62 @@ def test_triangle_count_self_loops_and_dupes_ignored(spark):
     df = spark.createDataFrame(edges, "src long, dst long")
     rows = triangle_count(df).collect()
     assert _tri_map(rows) == {1: (2, 1), 2: (2, 1), 3: (2, 1)}
+
+
+# ---------------------------------------------------------------- LPA
+
+
+def test_label_propagation_two_cliques_stay_separate(spark):
+    """Barbell: two K4s + one bridge edge. Communities converge to each
+    clique's min node id; the single weak tie must NOT merge them."""
+    from invoice_ocr_reconciler_spark.operators.graph import (
+        label_propagation,
+    )
+
+    k4a = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    k4b = [(a + 10, b + 10) for a, b in k4a]
+    edges = spark.createDataFrame(
+        k4a + k4b + [(3, 10)], "src long, dst long"
+    )
+    got = {
+        r["node"]: r["community"]
+        for r in label_propagation(edges, n_iter=3).collect()
+    }
+    assert {got[i] for i in range(4)} == {0}
+    assert {got[i + 10] for i in range(4)} == {10}
+
+
+def test_label_propagation_deterministic_across_partitioning(spark):
+    from invoice_ocr_reconciler_spark.operators.graph import (
+        label_propagation,
+    )
+
+    edges = spark.createDataFrame(
+        [(i, (i + 1) % 30) for i in range(30)]
+        + [(i, (i + 7) % 30) for i in range(0, 30, 3)],
+        "src long, dst long",
+    )
+    a = sorted(map(tuple, label_propagation(edges, n_iter=3).collect()))
+    b = sorted(
+        map(
+            tuple,
+            label_propagation(edges.repartition(13), n_iter=3).collect(),
+        )
+    )
+    assert a == b
+
+
+def test_label_propagation_direction_and_dupes_invariant(spark):
+    """LPA runs on the undirected view: reversed/duplicated edges give
+    the identical communities."""
+    from invoice_ocr_reconciler_spark.operators.graph import (
+        label_propagation,
+    )
+
+    fwd = [(0, 1), (1, 2), (2, 0), (5, 6)]
+    rev = [(b, a) for a, b in fwd] + fwd + fwd
+    da = spark.createDataFrame(fwd, "src long, dst long")
+    db = spark.createDataFrame(rev, "src long, dst long")
+    assert sorted(map(tuple, label_propagation(da, 2).collect())) == sorted(
+        map(tuple, label_propagation(db, 2).collect())
+    )
