@@ -3927,6 +3927,20 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_count(f1.union(f2).union(f3)).orderBy("node")
 
 
+def q_detect_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type hourly burst flags
+    (operators/events.py:detect_bursts): integer cross-multiplication
+    cnt*trailing > factor*base_sum against a 6-hour RANGE trailing base
+    (empty hours count as zeros). DuckDB replays bucket epoch arithmetic
+    and the RANGE frame verbatim."""
+    from invoice_ocr_reconciler_spark.operators.events import detect_bursts
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return detect_bursts(
+        ev, trailing=6, factor=2, min_base=3
+    ).orderBy("key", "bucket")
+
+
 def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic synchronous label-propagation communities
     (operators/graph.py:label_propagation, 3 rounds) over a synthesized
@@ -4149,6 +4163,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_coverage": q_vocab_coverage,
         "oov_top_terms": q_oov_top_terms,
         "label_propagation": q_label_propagation,
+        "detect_bursts": q_detect_bursts,
         "pool_embeddings": q_pool_embeddings,
         "percolate": q_percolate,
         "bm25f_search": q_bm25f_search,
@@ -8233,6 +8248,29 @@ def oracle_sql() -> dict[str, str]:
                END AS reciprocity
         FROM outd FULL OUTER JOIN ind ON outd.host = ind.host
         ORDER BY host
+    """
+    # detect_bursts: hourly buckets via epoch arithmetic; trailing base
+    # as a RANGE window (empty hours are zeros); integer comparison
+    d["detect_bursts"] = """
+        WITH per AS (
+            SELECT event_type AS key,
+                   CAST(floor(epoch(ts) / 3600) AS BIGINT) AS bucket,
+                   CAST(count(*) AS BIGINT) AS cnt
+            FROM events GROUP BY 1, 2),
+        b AS (
+            SELECT key, bucket, cnt,
+                   CAST(coalesce(sum(cnt) OVER (
+                       PARTITION BY key ORDER BY bucket
+                       RANGE BETWEEN 6 PRECEDING AND 1 PRECEDING), 0)
+                        AS BIGINT) AS base_sum,
+                   bucket - min(bucket) OVER (PARTITION BY key) AS age
+            FROM per)
+        SELECT key, bucket,
+               CAST(to_timestamp(bucket * 3600) AS TIMESTAMP) AS bucket_start,
+               cnt, base_sum,
+               (age >= 6 AND base_sum >= 3 AND cnt * 6 > 2 * base_sum)
+                   AS is_burst
+        FROM b ORDER BY key, bucket
     """
     # label_propagation: ring+bridge synthesis; 3 synchronous rounds
     # unrolled, min-label tie-break via row_number(ORDER BY c DESC, label)

@@ -240,3 +240,83 @@ def interval_join(
         .filter((p >= lo) & (p <= hi))
         .drop("_ij_bucket")
     )
+
+
+def detect_bursts(
+    events: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    bucket_secs: int = 3600,
+    trailing: int = 6,
+    factor: int = 3,
+    min_base: int = 1,
+    warmup: int | None = None,
+) -> DataFrame:
+    """Temporal burst detection -> (key, bucket, bucket_start, cnt,
+    base_sum, is_burst): per key and time bucket, flag buckets whose
+    event count exceeds ``factor`` x the trailing-window average.
+
+    The crawl/abuse anomaly lens: a host suddenly publishing 50x its
+    usual page volume, an error type spiking after a deploy, a submit
+    endpoint under bot fire. The comparison is the integer
+    cross-multiplication  cnt * trailing > factor * base_sum  — exact in
+    any engine, no float mean ever computed.
+
+    EMPTY buckets count: the trailing base is a RANGE window over the
+    integer bucket value (rangeBetween -trailing..-1), so a key silent
+    for 5 of the last 6 hours has those hours in the denominator as
+    zeros — a rows-based frame would silently shrink the base and
+    under-flag exactly the bursty keys. Two cold-start guards:
+    ``min_base`` (no flag until the base has that many events) and
+    ``warmup`` (no flag until the key is ``warmup`` buckets past its
+    FIRST bucket, default = trailing) — before-history hours are "no
+    data", not "zero traffic": a key ramping from nothing would
+    otherwise flag its second hour against a one-hour base.
+
+    One partial-agg'd groupBy(key, bucket) collapses events to
+    bucket cardinality BEFORE the window; the window partitions by key
+    (skew bound = a key's bucket count, i.e. time span / bucket_secs,
+    never its event count).
+    """
+    b = F.floor(
+        F.unix_seconds(F.col(ts_col).cast("timestamp")) / F.lit(int(bucket_secs))
+    ).cast("bigint")
+    per = (
+        events.select(F.col(key_col).alias("key"), b.alias("bucket"))
+        .groupBy("key", "bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    wu = int(trailing if warmup is None else warmup)
+    w = (
+        Window.partitionBy("key")
+        .orderBy("bucket")
+        .rangeBetween(-int(trailing), -1)
+    )
+    wfirst = (
+        Window.partitionBy("key")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    base = F.coalesce(F.sum("cnt").over(w), F.lit(0)).cast("bigint")
+    first = F.min("bucket").over(wfirst)
+    return per.select(
+        "key",
+        "bucket",
+        F.timestamp_seconds(F.col("bucket") * int(bucket_secs))
+        .cast("timestamp_ntz")
+        .alias("bucket_start"),
+        "cnt",
+        base.alias("base_sum"),
+        (F.col("bucket") - first).alias("_age"),
+    ).select(
+        "key",
+        "bucket",
+        "bucket_start",
+        "cnt",
+        "base_sum",
+        (
+            (F.col("_age") >= wu)
+            & (F.col("base_sum") >= int(min_base))
+            & (F.col("cnt") * int(trailing) > int(factor) * F.col("base_sum"))
+        ).alias("is_burst"),
+    )

@@ -1814,3 +1814,69 @@ def test_label_propagation_direction_and_dupes_invariant(spark):
     assert sorted(map(tuple, label_propagation(da, 2).collect())) == sorted(
         map(tuple, label_propagation(db, 2).collect())
     )
+
+
+# ---------------------------------------------------------------- bursts
+
+
+def _burst_events(spark, rows):
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(rows, "event_type string, epoch long")
+    return df.select(
+        "event_type", F.timestamp_seconds(F.col("epoch")).alias("ts")
+    )
+
+
+def test_detect_bursts_flags_spike_with_empty_hours_as_zeros(spark):
+    """Key quiet for hours, then a spike: the RANGE base counts the
+    silent hours as zeros, so the spike IS flagged (a rows frame would
+    average only the busy hours and miss it)."""
+    from invoice_ocr_reconciler_spark.operators.events import detect_bursts
+
+    h = 3600
+    rows = (
+        [("a", 0 * h + i) for i in range(6)]       # hour 0: 6 events
+        + [("a", 6 * h + i) for i in range(30)]    # hours 1-5 empty; hour 6 spike
+    )
+    out = {
+        r["bucket"]: r
+        for r in detect_bursts(
+            _burst_events(spark, rows), trailing=6, factor=3, min_base=1
+        ).collect()
+    }
+    spike = out[6]
+    assert (spike["cnt"], spike["base_sum"]) == (30, 6)
+    assert bool(spike["is_burst"])  # 30*6 > 3*6, past warmup
+    assert not bool(out[0]["is_burst"])  # cold start: base 0 < min_base
+
+
+def test_detect_bursts_steady_rate_not_flagged(spark):
+    from invoice_ocr_reconciler_spark.operators.events import detect_bursts
+
+    h = 3600
+    rows = [("s", hr * h + i) for hr in range(8) for i in range(10)]
+    out = detect_bursts(
+        _burst_events(spark, rows), trailing=6, factor=3, min_base=1
+    ).collect()
+    flagged = [r for r in out if r["is_burst"]]
+    assert flagged == []  # 10*6 = 60 <= 3*base for any base >= 20
+
+
+def test_detect_bursts_min_base_suppresses_cold_start(spark):
+    from invoice_ocr_reconciler_spark.operators.events import detect_bursts
+
+    h = 3600
+    rows = [("c", 0 * h)] + [("c", 1 * h + i) for i in range(100)]
+    out = {
+        r["bucket"]: r
+        for r in detect_bursts(
+            _burst_events(spark, rows),
+            trailing=6,
+            factor=3,
+            min_base=5,
+            warmup=0,  # isolate the min_base guard from the warmup guard
+        ).collect()
+    }
+    # hour 1 spikes 100x but base_sum=1 < min_base=5 -> suppressed
+    assert not bool(out[1]["is_burst"])
