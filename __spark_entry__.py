@@ -3927,6 +3927,30 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_count(f1.union(f2).union(f3)).orderBy("node")
 
 
+def q_script_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode script-composition profile
+    (functions/text.py:script_mix_cols) over the corpus with
+    deterministically injected multi-script tails (the parquet corpus is
+    all-ASCII; doc_id%4 picks a Han / Cyrillic / Arabic-digit / none
+    suffix — same literals replayed in the DuckDB oracle). Pure codegen:
+    five regexp_count passes, no explode."""
+    from invoice_ocr_reconciler_spark.functions.text import script_mix_cols
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    i = F.col("doc_id")
+    injected = F.concat(
+        F.coalesce(F.col("text"), F.lit("")),
+        F.when(i % 4 == 0, F.lit(" 数据 处理 数据"))
+        .when(i % 4 == 1, F.lit(" данные обработка"))
+        .when(i % 4 == 2, F.lit(" بيانات 42"))
+        .otherwise(F.lit("")),
+    )
+    cols = script_mix_cols(injected)
+    return docs.select(
+        "doc_id", *[v.alias(k) for k, v in cols.items()]
+    ).orderBy("doc_id")
+
+
 def q_detect_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event-type hourly burst flags
     (operators/events.py:detect_bursts): integer cross-multiplication
@@ -4164,6 +4188,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "oov_top_terms": q_oov_top_terms,
         "label_propagation": q_label_propagation,
         "detect_bursts": q_detect_bursts,
+        "script_mix": q_script_mix,
         "pool_embeddings": q_pool_embeddings,
         "percolate": q_percolate,
         "bm25f_search": q_bm25f_search,
@@ -8248,6 +8273,44 @@ def oracle_sql() -> dict[str, str]:
                END AS reciprocity
         FROM outd FULL OUTER JOIN ind ON outd.host = ind.host
         ORDER BY host
+    """
+    # script_mix: same injected multi-script tails; per-class
+    # codepoint-range counts via regexp_extract_all, alphabetical-first
+    # tie-break CASE chain, dominant fraction on the 1e-6 grid
+    d["script_mix"] = """
+        WITH t AS (
+            SELECT doc_id,
+                   coalesce(text, '') ||
+                   CASE WHEN doc_id % 4 = 0 THEN ' 数据 处理 数据'
+                        WHEN doc_id % 4 = 1 THEN ' данные обработка'
+                        WHEN doc_id % 4 = 2 THEN ' بيانات 42'
+                        ELSE '' END AS txt
+            FROM documents),
+        c AS (
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(txt, '[؀-ۿ]')) AS BIGINT) AS n_arabic,
+                   CAST(len(regexp_extract_all(txt, '[Ѐ-ӿ]')) AS BIGINT) AS n_cyrillic,
+                   CAST(len(regexp_extract_all(txt, '[0-9]')) AS BIGINT) AS n_digit,
+                   CAST(len(regexp_extract_all(txt, '[一-鿿]')) AS BIGINT) AS n_han,
+                   CAST(len(regexp_extract_all(txt, '[A-Za-z]')) AS BIGINT) AS n_latin
+            FROM t),
+        m AS (
+            SELECT *,
+                   n_arabic + n_cyrillic + n_digit + n_han + n_latin AS n_scripted,
+                   greatest(n_arabic, n_cyrillic, n_digit, n_han, n_latin) AS mx
+            FROM c)
+        SELECT doc_id, n_arabic, n_cyrillic, n_digit, n_han, n_latin,
+               n_scripted,
+               CASE WHEN mx = 0 THEN 'none'
+                    WHEN n_arabic = mx THEN 'arabic'
+                    WHEN n_cyrillic = mx THEN 'cyrillic'
+                    WHEN n_digit = mx THEN 'digit'
+                    WHEN n_han = mx THEN 'han'
+                    ELSE 'latin' END AS dominant_script,
+               CASE WHEN n_scripted = 0 THEN CAST(0.0 AS DOUBLE)
+                    ELSE floor(mx / n_scripted * 1000000.0 + 0.5) / 1000000.0
+               END AS dominant_frac
+        FROM m ORDER BY doc_id
     """
     # detect_bursts: hourly buckets via epoch arithmetic; trailing base
     # as a RANGE window (empty hours are zeros); integer comparison

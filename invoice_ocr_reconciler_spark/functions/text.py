@@ -498,3 +498,49 @@ def split_sentences(
         F.size(sents).alias("n_sents"),
         F.posexplode(sents).alias("sent_idx", "sentence"),
     ).select(id_col, "sent_idx", "sentence", "n_sents")
+
+
+# Unicode-RANGE character classes (not \p{Script} names) so the Java
+# (Spark) and RE2 (DuckDB oracle) engines count the exact same chars:
+# script-name classes drift with each engine's Unicode table; codepoint
+# ranges cannot.
+SCRIPT_RANGES = {
+    "arabic": "[؀-ۿ]",
+    "cyrillic": "[Ѐ-ӿ]",
+    "digit": "[0-9]",
+    "han": "[一-鿿]",
+    "latin": "[A-Za-z]",
+}
+
+
+def script_mix_cols(col: Column) -> dict[str, Column]:
+    """Per-document Unicode script composition -> counts per script
+    class, a dominant-script label, and its fraction (1e-6 grid).
+
+    The routing/hygiene signal langid alone misses: a "zh" page that is
+    80% Latin is template chrome around a stub; Cyrillic spans inside an
+    English page are the classic keyword-stuffing / homoglyph-spam tell
+    (mojibake_cols catches ENCODING damage; this catches genuine
+    mixed-script content). Pure codegen — five regexp_count passes over
+    the row, no explode, no shuffle, no Python.
+
+    dominant_script = the alphabetically-first class among those tied at
+    the max count ('none' when all are 0) — a total, engine-replayable
+    order.
+    """
+    t = F.coalesce(col, F.lit(""))
+    counts = {
+        name: F.regexp_count(t, F.lit(rng)).cast("bigint")
+        for name, rng in SCRIPT_RANGES.items()
+    }
+    total = sum(counts.values(), F.lit(0).cast("bigint"))
+    mx = F.greatest(*counts.values())
+    dominant = F.when(mx == 0, F.lit("none"))
+    for name in sorted(SCRIPT_RANGES):  # alphabetical tie-break
+        dominant = dominant.when(counts[name] == mx, F.lit(name))
+    frac = F.when(total == 0, F.lit(0.0)).otherwise(roundn(mx / total, 6))
+    out = {f"n_{k}": v for k, v in counts.items()}
+    out["n_scripted"] = total
+    out["dominant_script"] = dominant
+    out["dominant_frac"] = frac
+    return out

@@ -278,3 +278,42 @@ def test_snapshot_retention_split_and_tiebreak(spark):
     b = got["https://b/y"]
     assert (b["n_kept"], b["n_evicted"]) == (2, 0)
     assert b["oldest_kept_ts"] == t0
+
+
+# ------------------------------------------------------------- script mix
+
+
+def test_script_mix_counts_and_dominant(spark):
+    from invoice_ocr_reconciler_spark.functions.text import script_mix_cols
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [
+            (0, "hello 世界 world"),          # latin 10, han 2 -> latin
+            (1, "汉字文本流"),                 # han only
+            (2, "данные data"),               # cyrillic 6, latin 4
+            (3, "2024 بيانات"),               # digit 4, arabic 6 -> arabic
+            (4, ""),                          # empty -> none
+            (5, None),                        # null -> none
+            (6, "ab кг"),                     # tie latin 2 == cyrillic 2
+        ],
+        "doc_id long, text string",
+    )
+    cols = script_mix_cols(F.col("text"))
+    rows = {
+        r["doc_id"]: r
+        for r in docs.select(
+            "doc_id", *[v.alias(k) for k, v in cols.items()]
+        ).collect()
+    }
+    assert rows[0]["dominant_script"] == "latin"
+    assert (rows[0]["n_latin"], rows[0]["n_han"]) == (10, 2)
+    assert rows[1]["dominant_script"] == "han" and rows[1]["dominant_frac"] == 1.0
+    assert rows[2]["dominant_script"] == "cyrillic"
+    assert rows[3]["dominant_script"] == "arabic"
+    assert (rows[3]["n_digit"], rows[3]["n_arabic"]) == (4, 6)
+    for d in (4, 5):
+        assert rows[d]["dominant_script"] == "none"
+        assert rows[d]["dominant_frac"] == 0.0 and rows[d]["n_scripted"] == 0
+    # ties break alphabetically: cyrillic < latin
+    assert rows[6]["dominant_script"] == "cyrillic"

@@ -56,7 +56,7 @@ PURE_CODEGEN_QUERIES = [
     "ai_optout", "rrf_fusion", "kwic_snippets", "registrable_domains",
     "pool_embeddings", "percolate", "bm25f_search",
     "link_reciprocity", "skew_report", "pca_covariance", "rp_project",
-    "margin_mine",
+    "margin_mine", "script_mix",
 ]
 # NOT listed although their OPERATORS are pure codegen: queries whose
 # INPUT synthesis is datagen.pages_from_documents (a mapInPandas page
