@@ -3994,6 +3994,65 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_propagation(ring.union(bridge), n_iter=3).orderBy("node")
 
 
+def q_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core by iterative peeling (operators/graph.py:k_core, k=2,
+    4 rounds) over a synthesized K4-blocks-with-pendant-chains graph:
+    doc_id%8 in 1..3 wires a K4 clique inside each 8-id block (edges
+    (base+j, i) for j < i%8), %8 in 4..6 hangs a 3-node chain off the
+    block root (base-4, 4-5, 5-6), %8 == 7 is isolated. The chain peels
+    one node per round (6, then 5, then 4 — a real cascade, converged by
+    round 3; round 4 is the identity, proving fixpoint), leaving exactly
+    the K4 members at core_degree 3. DuckDB unrolls the same 4 rounds as
+    degree-filter CTEs."""
+    from invoice_ocr_reconciler_spark.operators.graph import k_core
+
+    ids = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    i = F.col("doc_id")
+    r = i % 8
+    base = i - r
+    clique = (
+        ids.filter(r.between(1, 3))
+        .select(
+            i.alias("dst"),
+            base.alias("base"),
+            F.explode(F.sequence(F.lit(0), (r - 1).cast("int"))).alias("j"),
+        )
+        .select((F.col("base") + F.col("j")).alias("src"), "dst")
+    )
+    chain = ids.filter(r.between(4, 6)).select(
+        F.when(r == 4, base).otherwise(i - 1).alias("src"), i.alias("dst")
+    )
+    return k_core(clique.union(chain), k=2, n_iter=4).orderBy("node")
+
+
+def q_link_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-neighbor link prediction (operators/graph.py:link_predict)
+    over the triangle_count ring+chord+hub graph: ring distance-3 pairs
+    share two neighbors, distance-4 pairs one; the hub (degree ~n/9)
+    exceeds max_degree=32 so it never generates wedges as a CENTER (the
+    scale guard under test) but still appears as an endpoint through its
+    low-degree neighbors. All scores are integers (cn, exact Jaccard
+    fraction via jacc_den, ppm-floored resource allocation) so DuckDB
+    replays every value bit-exactly."""
+    import duckdb
+
+    from invoice_ocr_reconciler_spark.operators.graph import link_predict
+
+    n = duckdb.sql(
+        f"SELECT count(*) FROM '{sf_dir}/documents.parquet'"
+    ).fetchone()[0]
+    ids = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    i = F.col("doc_id")
+    f1 = ids.select(i.alias("src"), ((i + 1) % n).alias("dst"))
+    f2 = ids.select(i.alias("src"), ((i + 2) % n).alias("dst"))
+    f3 = ids.filter(i % 9 == 4).select(
+        i.alias("src"), F.lit(0).cast("long").alias("dst")
+    )
+    return link_predict(
+        f1.union(f2).union(f3), max_degree=32, min_cn=1
+    ).orderBy("node_a", "node_b")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from invoice_ocr_reconciler_spark.plans import relational as R
 
@@ -4183,6 +4242,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "registrable_domains": q_registrable_domains,
         "link_reciprocity": q_link_reciprocity,
         "triangle_count": q_triangle_count,
+        "k_core": q_k_core,
+        "link_predict": q_link_predict,
         "hard_negatives": q_hard_negatives,
         "vocab_coverage": q_vocab_coverage,
         "oov_top_terms": q_oov_top_terms,
@@ -8365,6 +8426,77 @@ def oracle_sql() -> dict[str, str]:
         l0 AS (SELECT DISTINCT u AS node, u AS label FROM adj),{','.join(_lpa_iters)}
         SELECT node, CAST(label AS BIGINT) AS community
         FROM l3 ORDER BY node
+    """
+    # k_core: K4-blocks + pendant-chains synthesis; 4 peel rounds
+    # unrolled as degree-filter CTEs (fixpoint rounds are the identity,
+    # so the unroll matches the Spark loop exactly)
+    _kc_rounds = []
+    for _j in (1, 2, 3, 4):
+        _i = _j - 1
+        _kc_rounds.append(f"""
+        k{_j} AS (SELECT u FROM a{_i} GROUP BY u HAVING count(*) >= 2),
+        a{_j} AS (SELECT a.u, a.v FROM a{_i} a
+                  JOIN k{_j} x ON a.u = x.u
+                  JOIN k{_j} y ON a.v = y.u)""")
+    d["k_core"] = f"""
+        WITH e AS (
+            SELECT (doc_id - doc_id % 8) + j AS src, doc_id AS dst
+            FROM documents, unnest(range(0, 3)) AS t(j)
+            WHERE doc_id % 8 BETWEEN 1 AND 3 AND j < doc_id % 8
+            UNION ALL
+            SELECT CASE WHEN doc_id % 8 = 4 THEN doc_id - doc_id % 8
+                        ELSE doc_id - 1 END, doc_id
+            FROM documents WHERE doc_id % 8 IN (4, 5, 6)),
+        e2 AS (SELECT src AS a, dst AS b FROM e WHERE src <> dst),
+        a0 AS (
+            SELECT DISTINCT u, v FROM (
+                SELECT a AS u, b AS v FROM e2
+                UNION ALL SELECT b, a FROM e2)),{','.join(_kc_rounds)}
+        SELECT u AS node, CAST(count(*) AS BIGINT) AS core_degree
+        FROM a4 GROUP BY u ORDER BY node
+    """
+    # link_predict: ring+chord+hub synthesis (the triangle_count graph);
+    # wedge centers filtered to degree <= 32, pair agg, anti-join vs the
+    # edge set, integer cn/jaccard-fraction/ra_ppm replay
+    d["link_predict"] = """
+        WITH nd AS (SELECT count(*) AS n FROM documents),
+        edges AS (
+            SELECT doc_id AS src, (doc_id + 1) % (SELECT n FROM nd) AS dst
+            FROM documents
+            UNION ALL
+            SELECT doc_id, (doc_id + 2) % (SELECT n FROM nd) FROM documents
+            UNION ALL
+            SELECT doc_id, CAST(0 AS BIGINT) FROM documents
+            WHERE doc_id % 9 = 4),
+        und AS (
+            SELECT DISTINCT least(src, dst) AS lo, greatest(src, dst) AS hi
+            FROM edges WHERE src <> dst),
+        adj AS (SELECT lo AS z, hi AS x FROM und
+                UNION ALL SELECT hi, lo FROM und),
+        deg AS (SELECT z AS node, CAST(count(*) AS BIGINT) AS degree
+                FROM adj GROUP BY z),
+        wz AS (
+            SELECT a.z, a.x, d.degree AS dz
+            FROM adj a JOIN deg d ON a.z = d.node
+            WHERE d.degree <= 32),
+        pairs AS (
+            SELECT l.x AS node_a, r.x AS node_b,
+                   CAST(count(*) AS BIGINT) AS cn,
+                   CAST(sum(1000000 // l.dz) AS BIGINT) AS ra_ppm
+            FROM wz l JOIN wz r ON l.z = r.z AND l.x < r.x
+            GROUP BY 1, 2),
+        nonadj AS (
+            SELECT p.* FROM pairs p
+            LEFT JOIN und u ON p.node_a = u.lo AND p.node_b = u.hi
+            WHERE u.lo IS NULL AND p.cn >= 1)
+        SELECT n.node_a, n.node_b, n.cn,
+               da.degree AS deg_a, db.degree AS deg_b,
+               CAST(da.degree + db.degree - n.cn AS BIGINT) AS jacc_den,
+               n.ra_ppm
+        FROM nonadj n
+        JOIN deg da ON n.node_a = da.node
+        JOIN deg db ON n.node_b = db.node
+        ORDER BY n.node_a, n.node_b
     """
     # vocab_coverage / oov_top_terms: shared tokens_col replay + the
     # md5 vocab hash cut; LEFT JOIN null-count vs anti-join top-k

@@ -855,3 +855,145 @@ def label_propagation(
             .localCheckpoint(eager=False)
         )
     return labels.select("node", F.col("label").cast("long").alias("community"))
+
+
+def k_core(
+    edges: DataFrame,
+    k: int = 2,
+    n_iter: int = 8,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """k-core decomposition by iterative peeling -> (node, core_degree)
+    for every node surviving ``n_iter`` peel rounds; at fixpoint this is
+    the maximal subgraph in which every node has degree >= k.
+
+    The k-core is the dense-subgraph lens the other graph ops frame:
+    components glue everything a bridge touches, LPA needs round tuning,
+    but a 2-core already strips every tree/tendril hanging off the web
+    graph (most crawl-frontier noise), and a 3-core isolates link rings
+    tighter than reciprocity alone. Classic peel: repeatedly delete nodes
+    with degree < k; deletion cascades, so the loop runs a bounded
+    ``n_iter`` rounds. Peeling is MONOTONE and a fixpoint round is the
+    identity, so running extra rounds never changes a converged answer —
+    which is what makes the DuckDB oracle an exact replay: it unrolls the
+    same ``n_iter`` rounds as CTEs. Convergence within the bound is the
+    caller's contract (cascades longer than n_iter leave sub-k nodes in;
+    pathological chains need n_iter ~ chain length — raise it, rounds on
+    a converged graph are free apart from scheduling).
+
+    Plan shape, per round: ONE partial-agg degree groupBy at node
+    cardinality + TWO semi-joins filtering the adjacency on survivor
+    nodes (equi-joins on the node key; AQE broadcasts the survivor side
+    once peeling shrinks it). Only (node, node) longs ride any shuffle;
+    lineage is truncated per round (localCheckpoint, the pagerank/LPA
+    guard) so the plan stays flat in n_iter.
+    """
+    e = edges.select(
+        F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b")
+    ).filter(
+        F.col("a").isNotNull() & F.col("b").isNotNull() & (F.col("a") != F.col("b"))
+    )
+    adj = (
+        e.select(F.col("a").alias("u"), F.col("b").alias("v"))
+        .unionAll(e.select(F.col("b").alias("u"), F.col("a").alias("v")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(int(n_iter)):
+        deg = adj.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+        keep = deg.filter(F.col("d") >= int(k)).select("u")
+        adj = (
+            adj.join(keep, "u", "semi")
+            .join(keep.select(F.col("u").alias("v")), "v", "semi")
+            .localCheckpoint(eager=False)
+        )
+    return (
+        adj.groupBy(F.col("u").alias("node"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("core_degree"))
+    )
+
+
+def link_predict(
+    edges: DataFrame,
+    max_degree: int = 64,
+    min_cn: int = 1,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Common-neighbor link prediction over the undirected view of a link
+    graph -> (node_a, node_b, cn, deg_a, deg_b, jacc_den, ra_ppm) for
+    every NON-adjacent pair sharing >= ``min_cn`` common neighbors
+    (node_a < node_b).
+
+    The classic link-prediction triad (Liben-Nowell & Kleinberg 2003),
+    kept integer-exact so no float ever crosses an engine boundary:
+      cn        common-neighbor count;
+      jaccard   = cn / jacc_den with jacc_den = deg_a + deg_b - cn —
+                published as the exact fraction (triangle_count contract);
+      ra_ppm    resource-allocation index sum(1/deg(z)) over common
+                neighbors z, as sum(floor(1e6 / deg(z))) — ppm-floored
+                per neighbor so the sum is order-independent bigint math.
+
+    Scale guard: candidate pairs are generated as wedges THROUGH each
+    shared neighbor z, and a hub z of degree d contributes C(d,2) pairs —
+    one celebrity node on a web graph is 10^16 wedges. ``max_degree``
+    drops super-hub CENTERS from wedge generation (they still appear as
+    endpoints), the standard CN practice: a hub everyone links is no
+    evidence two of its 10^8 neighbors know each other. The documented
+    recall trade is explicit, not a silent cap — raise it for dense
+    curated graphs. Remaining plan: one degree agg, one wedge self-join
+    on z (fan-out bounded by max_degree^2 per center), one partial-agg
+    pair groupBy, one anti-join against the edge set, two degree joins.
+    """
+    e = edges.select(
+        F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b")
+    ).filter(
+        F.col("a").isNotNull() & F.col("b").isNotNull() & (F.col("a") != F.col("b"))
+    )
+    und = e.select(
+        F.least("a", "b").alias("lo"), F.greatest("a", "b").alias("hi")
+    ).distinct()
+    adj = und.select(F.col("lo").alias("z"), F.col("hi").alias("x")).unionAll(
+        und.select(F.col("hi").alias("z"), F.col("lo").alias("x"))
+    )
+    deg = adj.groupBy(F.col("z").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("degree")
+    )
+    centers = deg.filter(F.col("degree") <= int(max_degree)).select(
+        F.col("node").alias("z"), F.col("degree").alias("dz")
+    )
+    wz = adj.join(centers, "z")
+    l, r = wz.alias("l"), wz.alias("r")
+    pairs = l.join(
+        r,
+        (F.col("l.z") == F.col("r.z")) & (F.col("l.x") < F.col("r.x")),
+    ).select(
+        F.col("l.x").alias("node_a"),
+        F.col("r.x").alias("node_b"),
+        F.col("l.dz").alias("dz"),
+    )
+    scored = pairs.groupBy("node_a", "node_b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cn"),
+        F.sum(F.floor(F.lit(1_000_000) / F.col("dz")))
+        .cast("bigint")
+        .alias("ra_ppm"),
+    )
+    nonadj = scored.join(
+        und,
+        (F.col("node_a") == F.col("lo")) & (F.col("node_b") == F.col("hi")),
+        "left_anti",
+    ).filter(F.col("cn") >= int(min_cn))
+    da = deg.select(F.col("node").alias("node_a"), F.col("degree").alias("deg_a"))
+    db = deg.select(F.col("node").alias("node_b"), F.col("degree").alias("deg_b"))
+    return nonadj.join(da, "node_a").join(db, "node_b").select(
+        "node_a",
+        "node_b",
+        "cn",
+        "deg_a",
+        "deg_b",
+        (F.col("deg_a") + F.col("deg_b") - F.col("cn"))
+        .cast("bigint")
+        .alias("jacc_den"),
+        "ra_ppm",
+    )

@@ -1880,3 +1880,120 @@ def test_detect_bursts_min_base_suppresses_cold_start(spark):
     }
     # hour 1 spikes 100x but base_sum=1 < min_base=5 -> suppressed
     assert not bool(out[1]["is_burst"])
+
+
+# ---------------------------------------------------------------- k-core
+
+
+def test_k_core_peels_pendant_chain_cascade(spark):
+    """Triangle + 3-node pendant chain: the chain peels one node per
+    round (a real cascade), the triangle survives at core_degree 2."""
+    from invoice_ocr_reconciler_spark.operators.graph import k_core
+
+    edges = [(1, 2), (2, 3), (1, 3), (3, 10), (10, 11), (11, 12)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["core_degree"] for r in k_core(df, k=2, n_iter=4).collect()}
+    assert got == {1: 2, 2: 2, 3: 2}
+
+
+def test_k_core_fixpoint_extra_rounds_identity(spark):
+    """Rounds past convergence change nothing — the property that makes
+    the unrolled DuckDB oracle an exact replay."""
+    from invoice_ocr_reconciler_spark.operators.graph import k_core
+
+    edges = [(1, 2), (2, 3), (1, 3), (3, 10), (10, 11), (11, 12)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    a = sorted(map(tuple, k_core(df, k=2, n_iter=4).collect()))
+    b = sorted(map(tuple, k_core(df, k=2, n_iter=9).collect()))
+    assert a == b
+
+
+def test_k_core_k3_keeps_clique_drops_triangle(spark):
+    """k=3: the K4 survives (degree 3), a degree-2 triangle vanishes in
+    one round; an all-peeled graph returns an empty frame, not a crash."""
+    from invoice_ocr_reconciler_spark.operators.graph import k_core
+
+    k4 = [(i, j) for i in range(4) for j in range(i + 1, 4)]
+    tri = [(10, 11), (11, 12), (10, 12)]
+    df = spark.createDataFrame(k4 + tri, "src long, dst long")
+    got = {r["node"]: r["core_degree"] for r in k_core(df, k=3, n_iter=3).collect()}
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+    assert k_core(spark.createDataFrame(tri, "src long, dst long"), k=3, n_iter=2).count() == 0
+
+
+def test_k_core_direction_dupes_selfloops_invariant(spark):
+    """Reversed, duplicated, and self-loop edges never change the core."""
+    from invoice_ocr_reconciler_spark.operators.graph import k_core
+
+    clean = [(1, 2), (2, 3), (1, 3)]
+    noisy = clean + [(2, 1), (3, 2), (1, 1), (2, 3), (3, 1)]
+    a = sorted(map(tuple, k_core(spark.createDataFrame(clean, "src long, dst long"), k=2, n_iter=2).collect()))
+    b = sorted(map(tuple, k_core(spark.createDataFrame(noisy, "src long, dst long"), k=2, n_iter=2).collect()))
+    assert a == b == [(1, 2), (2, 2), (3, 2)]
+
+
+# ------------------------------------------------------ link prediction
+
+
+def test_link_predict_path_hand_computed(spark):
+    """Path 1-2-3: the single prediction is (1,3) through z=2 with
+    cn=1, jacc_den = 1+1-1 = 1, ra_ppm = floor(1e6/2)."""
+    from invoice_ocr_reconciler_spark.operators.graph import link_predict
+
+    df = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    rows = link_predict(df).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["node_a"], r["node_b"], r["cn"]) == (1, 3, 1)
+    assert (r["deg_a"], r["deg_b"], r["jacc_den"]) == (1, 1, 1)
+    assert r["ra_ppm"] == 500_000
+
+
+def test_link_predict_square_two_common_neighbors(spark):
+    """4-cycle: both diagonals are predicted with cn=2 and the exact
+    Jaccard fraction 2/2."""
+    from invoice_ocr_reconciler_spark.operators.graph import link_predict
+
+    df = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 1)], "src long, dst long"
+    )
+    got = {
+        (r["node_a"], r["node_b"]): (r["cn"], r["jacc_den"], r["ra_ppm"])
+        for r in link_predict(df).collect()
+    }
+    assert got == {(1, 3): (2, 2, 1_000_000), (2, 4): (2, 2, 1_000_000)}
+
+
+def test_link_predict_adjacent_pairs_never_predicted(spark):
+    """A triangle has no non-adjacent pairs — empty output."""
+    from invoice_ocr_reconciler_spark.operators.graph import link_predict
+
+    df = spark.createDataFrame([(1, 2), (2, 3), (1, 3)], "src long, dst long")
+    assert link_predict(df).count() == 0
+
+
+def test_link_predict_hub_center_cut(spark):
+    """Star with 10 leaves: at max_degree=64 every leaf pair is a
+    candidate (45 pairs, ra = floor(1e6/10)); at max_degree=5 the hub is
+    excluded as a wedge center and NOTHING is predicted — the documented
+    celebrity-node guard."""
+    from invoice_ocr_reconciler_spark.operators.graph import link_predict
+
+    star = [(0, i) for i in range(1, 11)]
+    df = spark.createDataFrame(star, "src long, dst long")
+    wide = link_predict(df, max_degree=64).collect()
+    assert len(wide) == 45
+    assert all(r["cn"] == 1 and r["ra_ppm"] == 100_000 for r in wide)
+    assert link_predict(df, max_degree=5).count() == 0
+
+
+def test_link_predict_min_cn_filter(spark):
+    """min_cn=2 keeps only the two-witness diagonal of a square plus
+    path; single-witness pairs drop."""
+    from invoice_ocr_reconciler_spark.operators.graph import link_predict
+
+    df = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 1), (3, 5)], "src long, dst long"
+    )
+    got = {(r["node_a"], r["node_b"]) for r in link_predict(df, min_cn=2).collect()}
+    assert got == {(1, 3), (2, 4)}
