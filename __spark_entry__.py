@@ -4053,6 +4053,34 @@ def q_link_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("node_a", "node_b")
 
 
+def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact consecutive-phrase retrieval
+    (operators/tfidf.py:phrase_search) for "merge stream" over the
+    corpus: positional postings filtered to the phrase vocabulary before
+    the explode, consecutiveness as equi-joins on (doc, pos - offset).
+    Integer positions/counts only; DuckDB replays the position index via
+    unnest(range) and the same offset joins."""
+    from invoice_ocr_reconciler_spark.operators.tfidf import phrase_search
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return phrase_search(docs, ["merge", "stream"]).orderBy("doc_id")
+
+
+def q_prf_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pseudo-relevance-feedback expansion
+    (operators/tfidf.py:prf_expand) for the bm25 query (merge, stream,
+    window): top-10 feedback docs -> expansion terms ranked by the
+    integer tf-over-df discount score_ppm. The DuckDB oracle embeds the
+    bm25_search oracle as a CTE (rank <= 10) so the feedback ground
+    truth can never drift from the retrieval ground truth."""
+    from invoice_ocr_reconciler_spark.operators.tfidf import prf_expand
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return prf_expand(
+        docs, ["merge", "stream", "window"], fb_k=10, n_expansion=10
+    ).orderBy("exp_rank")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from invoice_ocr_reconciler_spark.plans import relational as R
 
@@ -4244,6 +4272,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_count": q_triangle_count,
         "k_core": q_k_core,
         "link_predict": q_link_predict,
+        "phrase_search": q_phrase_search,
+        "prf_expand": q_prf_expand,
         "hard_negatives": q_hard_negatives,
         "vocab_coverage": q_vocab_coverage,
         "oov_top_terms": q_oov_top_terms,
@@ -8497,6 +8527,61 @@ def oracle_sql() -> dict[str, str]:
         JOIN deg da ON n.node_a = da.node
         JOIN deg db ON n.node_b = db.node
         ORDER BY n.node_a, n.node_b
+    """
+    # phrase_search: positional postings via unnest(range) over the
+    # shared tokens_col tokenization; consecutiveness as the same
+    # (doc, pos - offset) equi-joins
+    d["phrase_search"] = r"""
+        WITH dd AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(trim(coalesce(text, ''))), '\s+'),
+                               t -> t <> '') AS toks
+            FROM documents),
+        t AS (
+            SELECT doc_id, toks[i] AS term, CAST(i - 1 AS INT) AS pos
+            FROM dd, unnest(range(1, len(toks) + 1)) AS r(i)),
+        p0 AS (SELECT doc_id, pos AS p FROM t WHERE term = 'merge'),
+        p1 AS (SELECT doc_id, pos - 1 AS p FROM t WHERE term = 'stream'),
+        m AS (SELECT p0.doc_id, p0.p FROM p0 JOIN p1 USING (doc_id, p))
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matches,
+               CAST(min(p) AS INT) AS first_pos
+        FROM m GROUP BY doc_id ORDER BY doc_id
+    """
+    # prf_expand: feedback ids = the bm25_search oracle's top-10 (CTE
+    # composition, the rrf contract); fb tf/docs over exploded feedback
+    # tokens, corpus df over distinct (doc, term), integer ppm score
+    d["prf_expand"] = f"""
+        WITH bm AS ({d["bm25_search"]}),
+        fb AS (SELECT doc_id FROM bm WHERE rank <= 10),
+        dd AS (
+            SELECT d.doc_id,
+                   list_filter(string_split_regex(lower(trim(coalesce(d.text, ''))), '\\s+'),
+                               t -> t <> '') AS toks
+            FROM documents d),
+        ft AS (
+            SELECT dd.doc_id, unnest(dd.toks) AS term
+            FROM dd JOIN fb ON dd.doc_id = fb.doc_id),
+        fa AS (
+            SELECT term, CAST(count(*) AS BIGINT) AS fb_tf,
+                   CAST(count(DISTINCT doc_id) AS BIGINT) AS fb_docs
+            FROM ft GROUP BY term),
+        cdf AS (
+            SELECT term, CAST(count(*) AS BIGINT) AS df
+            FROM (SELECT DISTINCT doc_id, unnest(toks) AS term FROM dd)
+            GROUP BY term),
+        sc AS (
+            SELECT fa.term, fa.fb_tf, fa.fb_docs, cdf.df,
+                   CAST(fa.fb_tf * 1000000 // cdf.df AS BIGINT) AS score_ppm
+            FROM fa JOIN cdf ON fa.term = cdf.term
+            WHERE fa.term NOT IN ('merge', 'stream', 'window')),
+        rk AS (
+            SELECT term, fb_tf, fb_docs, df, score_ppm,
+                   CAST(row_number() OVER (
+                       ORDER BY score_ppm DESC, fb_tf DESC, term) AS INT)
+                       AS exp_rank
+            FROM sc)
+        SELECT term, fb_tf, fb_docs, df, score_ppm, exp_rank
+        FROM rk WHERE exp_rank <= 10 ORDER BY exp_rank
     """
     # vocab_coverage / oov_top_terms: shared tokens_col replay + the
     # md5 vocab hash cut; LEFT JOIN null-count vs anti-join top-k

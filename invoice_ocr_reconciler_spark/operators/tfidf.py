@@ -541,3 +541,133 @@ def bm25f_search(
         .over(Window.orderBy(F.col("score").desc(), F.col(id_col)))
         .alias("rank"),
     )
+
+
+def phrase_search(
+    docs: DataFrame,
+    phrase_terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact phrase match via positional postings -> (doc_id, n_matches,
+    first_pos): documents containing the terms CONSECUTIVELY in order
+    (token positions p, p+1, ..., p+n-1 under the shared tokens_col
+    contract), with occurrence count and the first match position.
+
+    This is the positional-index half of the IR stack bm25_search's
+    bag-of-terms scoring cannot express ("merge stream" as a unit, not
+    two independent terms) — the classic inverted-index-with-positions
+    plan (Manning/IR ch.2), shaped for Spark:
+
+      - positions are attached in ONE codegen projection
+        (transform(tokens, (t, i) -> struct)) and the array is filtered
+        to the PHRASE VOCABULARY before the explode — the (doc, term,
+        pos) stream entering any shuffle is phrase-hit-sized, not
+        corpus-token-sized (the bm25_search contract);
+      - consecutiveness is n-1 EQUI-joins on the composite key (doc,
+        normalized position): occurrence of term_k at pos q joins as
+        (doc, q - k), so every join key is (id, p) — no theta join, no
+        window; AQE broadcasts once the rarest term cuts the stream;
+      - duplicate terms in the phrase are handled by construction (each
+        offset joins its own filtered postings leg).
+
+    Determinism: counts and integer positions only — nothing float.
+    """
+    terms = [t.lower() for t in phrase_terms]
+    if not terms:
+        raise ValueError("phrase_search needs at least one term")
+    from invoice_ocr_reconciler_spark.functions.text import tokens_col
+
+    qlit = F.array(*[F.lit(t) for t in sorted(set(terms))])
+    tagged = F.filter(
+        F.transform(
+            tokens_col(F.col(text_col)),
+            lambda t, i: F.struct(t.alias("term"), i.alias("pos")),
+        ),
+        lambda s: F.array_contains(qlit, s["term"]),
+    )
+    postings = (
+        docs.select(F.col(id_col), F.explode(tagged).alias("s"))
+        .select(F.col(id_col), F.col("s.term").alias("term"), F.col("s.pos").alias("pos"))
+    )
+    cur = postings.filter(F.col("term") == terms[0]).select(
+        id_col, F.col("pos").alias("p")
+    )
+    for off, t in enumerate(terms[1:], start=1):
+        leg = postings.filter(F.col("term") == t).select(
+            id_col, (F.col("pos") - off).alias("p")
+        )
+        cur = cur.join(leg, [id_col, "p"])
+    return cur.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_matches"),
+        F.min("p").cast("int").alias("first_pos"),
+    )
+
+
+def prf_expand(
+    docs: DataFrame,
+    query_terms: list[str],
+    fb_k: int = 10,
+    n_expansion: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Pseudo-relevance-feedback query expansion (Rocchio/RM3 family) ->
+    (term, fb_tf, fb_docs, df, score_ppm, exp_rank): the ``n_expansion``
+    terms most characteristic of the bm25 top-``fb_k`` feedback set,
+    excluding the original query terms. Feeding them back is just
+    ``bm25_search(docs, query + expansion)`` — this operator produces
+    the expansion table (and its oracle composes the bm25 oracle as a
+    CTE, the rrf_fuse contract).
+
+    Term weight stays integer-exact: score_ppm = floor(fb_tf * 1e6 /
+    df) — feedback-set term frequency discounted by corpus document
+    frequency (the tf-idf shape without ln(), so no libm crosses an
+    engine boundary). Ties break (score_ppm desc, fb_tf desc, term).
+
+    Plan: the feedback id set is fb_k rows — broadcast semi-join onto
+    the corpus, explode ONLY those fb_k documents' tokens (feedback-
+    sized, not corpus-sized), one partial-agg groupBy(term). Corpus df
+    comes from the distinct (doc, term) agg — the tfidf_top_terms
+    vocabulary pass — joined vocabulary-sized onto feedback terms.
+    Final ranking is a window over <= |feedback vocabulary| rows.
+    """
+    q = sorted({t.lower() for t in query_terms})
+    fb = bm25_search(
+        docs, q, k=fb_k, text_col=text_col, id_col=id_col
+    ).select(id_col)
+    from invoice_ocr_reconciler_spark.functions.text import tokens_col
+
+    fb_terms = (
+        docs.join(F.broadcast(fb), id_col, "semi")
+        .select(F.col(id_col), F.explode(tokens_col(F.col(text_col))).alias("term"))
+    )
+    fb_agg = fb_terms.groupBy("term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("fb_tf"),
+        F.countDistinct(id_col).cast("bigint").alias("fb_docs"),
+    )
+    corpus_df = (
+        docs.select(F.col(id_col), F.explode(tokens_col(F.col(text_col))).alias("term"))
+        .distinct()
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    )
+    qlit = F.array(*[F.lit(t) for t in q])
+    scored = (
+        fb_agg.filter(~F.array_contains(qlit, F.col("term")))
+        .join(corpus_df, "term")
+        .withColumn(
+            "score_ppm",
+            F.floor(F.col("fb_tf") * F.lit(1_000_000) / F.col("df")).cast(
+                "bigint"
+            ),
+        )
+    )
+    w = Window.orderBy(
+        F.col("score_ppm").desc(), F.col("fb_tf").desc(), F.col("term")
+    )
+    return (
+        scored.withColumn("exp_rank", F.row_number().over(w))
+        .filter(F.col("exp_rank") <= int(n_expansion))
+        .select("term", "fb_tf", "fb_docs", "df", "score_ppm", "exp_rank")
+    )

@@ -1997,3 +1997,97 @@ def test_link_predict_min_cn_filter(spark):
     )
     got = {(r["node_a"], r["node_b"]) for r in link_predict(df, min_cn=2).collect()}
     assert got == {(1, 3), (2, 4)}
+
+
+# ------------------------------------------------------- phrase search
+
+
+def _psdocs(spark):
+    rows = [
+        (1, "alpha merge stream beta merge stream"),
+        (2, "merge alpha stream"),          # terms present, not consecutive
+        (3, "stream merge"),                # wrong order
+        (4, "MERGE   Stream tail"),          # case + multi-space
+        (5, None),
+        (6, "merge"),                        # prefix only
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_phrase_search_consecutive_in_order_only(spark):
+    from invoice_ocr_reconciler_spark.operators.tfidf import phrase_search
+
+    got = {
+        r["doc_id"]: (r["n_matches"], r["first_pos"])
+        for r in phrase_search(_psdocs(spark), ["merge", "stream"]).collect()
+    }
+    assert got == {1: (2, 1), 4: (1, 0)}
+
+
+def test_phrase_search_three_terms_and_duplicate_term(spark):
+    from invoice_ocr_reconciler_spark.operators.tfidf import phrase_search
+
+    rows = [
+        (1, "the data the end"),
+        (2, "the data data the"),
+        (3, "data the data"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_matches"], r["first_pos"])
+        for r in phrase_search(df, ["the", "data", "the"]).collect()
+    }
+    assert got == {1: (1, 0)}
+
+
+def test_phrase_search_single_term_counts_occurrences(spark):
+    from invoice_ocr_reconciler_spark.operators.tfidf import phrase_search
+
+    got = {
+        r["doc_id"]: (r["n_matches"], r["first_pos"])
+        for r in phrase_search(_psdocs(spark), ["merge"]).collect()
+    }
+    assert got[1] == (2, 1) and got[6] == (1, 0)
+
+
+def test_phrase_search_empty_phrase_raises(spark):
+    from invoice_ocr_reconciler_spark.operators.tfidf import phrase_search
+
+    with pytest.raises(ValueError):
+        phrase_search(_psdocs(spark), [])
+
+
+# ---------------------------------------------------------- PRF expand
+
+
+def test_prf_expand_ranks_feedback_terms_and_excludes_query(spark):
+    """Feedback set = bm25 top-k for 'query'; expansion ranks co-occurring
+    terms by tf/df ppm — 'rare' (df=2, both in feedback) beats 'common'
+    (df=4, diluted by non-feedback docs); query terms never appear."""
+    from invoice_ocr_reconciler_spark.operators.tfidf import prf_expand
+
+    rows = [
+        (1, "query rare common"),
+        (2, "query rare common"),
+        (3, "other common filler"),
+        (4, "other common filler"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = prf_expand(df, ["query"], fb_k=2, n_expansion=5).collect()
+    terms = [r["term"] for r in out]
+    assert "query" not in terms
+    byt = {r["term"]: r for r in out}
+    assert byt["rare"]["score_ppm"] == 1_000_000  # tf 2 / df 2
+    assert byt["common"]["score_ppm"] == 500_000  # tf 2 / df 4
+    assert terms[0] == "rare"
+    assert byt["rare"]["fb_docs"] == 2
+
+
+def test_prf_expand_n_expansion_cut_and_rank_ties(spark):
+    from invoice_ocr_reconciler_spark.operators.tfidf import prf_expand
+
+    rows = [(1, "q aa bb cc"), (2, "q aa bb cc")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = prf_expand(df, ["q"], fb_k=2, n_expansion=2).collect()
+    # identical scores -> tie broken by term asc, cut at 2
+    assert [r["term"] for r in sorted(out, key=lambda r: r["exp_rank"])] == ["aa", "bb"]
