@@ -4081,6 +4081,37 @@ def q_prf_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("exp_rank")
 
 
+def q_takedown_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Takedown propagation through the near-dup graph
+    (operators/cluster.py:takedown_closure): seeds = doc_id % 83 == 3,
+    pair set = the deterministic n-gram-Jaccard graph (j >= 0.3, the
+    dedup_components rule); every doc sharing a component with a seed is
+    flagged removed, singletons keep their own id. DuckDB replays the
+    closure with a recursive CTE + the same seed rule."""
+    from invoice_ocr_reconciler_spark.operators.cluster import takedown_closure
+    from invoice_ocr_reconciler_spark.operators.dedup import ngram_jaccard_verify
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a = docs.select(F.col("doc_id").alias("doc_a"))
+    b = docs.select(F.col("doc_id").alias("doc_b"))
+    cands = a.crossJoin(b).filter(F.col("doc_a") < F.col("doc_b"))
+    pairs = ngram_jaccard_verify(cands, docs, threshold=0.3)
+    seeds = docs.filter(F.col("doc_id") % 83 == 3).select("doc_id")
+    return takedown_closure(docs, pairs, seeds).orderBy("doc_id")
+
+
+def q_heaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary-growth curve + OLS fit
+    (operators/profile.py:heaps_fit): 8 halving doc-id prefixes, types
+    counted via each term's first-occurrence doc (no cumulative window),
+    ln on the 1e-6 bigint grid (the zipf_fit contract). DuckDB replays
+    checkpoints, conditional sums, and the OLS algebra verbatim."""
+    from invoice_ocr_reconciler_spark.operators.profile import heaps_fit
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return heaps_fit(docs).orderBy("ck")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from invoice_ocr_reconciler_spark.plans import relational as R
 
@@ -4274,6 +4305,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_predict": q_link_predict,
         "phrase_search": q_phrase_search,
         "prf_expand": q_prf_expand,
+        "takedown_closure": q_takedown_closure,
+        "heaps_fit": q_heaps_fit,
         "hard_negatives": q_hard_negatives,
         "vocab_coverage": q_vocab_coverage,
         "oov_top_terms": q_oov_top_terms,
@@ -8527,6 +8560,109 @@ def oracle_sql() -> dict[str, str]:
         JOIN deg da ON n.node_a = da.node
         JOIN deg db ON n.node_b = db.node
         ORDER BY n.node_a, n.node_b
+    """
+    # takedown_closure: the dedup_components recursive closure + the
+    # doc_id % 83 seed rule; per-component seed counts, full-corpus
+    # audit rows with singletons as their own components
+    d["takedown_closure"] = r"""
+        WITH RECURSIVE dt AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(coalesce(text, '')), '\s+'),
+                               t -> t <> '') AS toks
+            FROM documents),
+        g AS (
+            SELECT doc_id,
+                   CASE WHEN len(toks) = 0 THEN ['']
+                        WHEN len(toks) < 3 THEN [array_to_string(toks, chr(1))]
+                        ELSE list_distinct(list_transform(range(1, len(toks) - 1),
+                               i -> toks[i] || chr(1) || toks[i+1] || chr(1) || toks[i+2]))
+                   END AS grams
+            FROM dt),
+        pr AS (
+            SELECT a.doc_id AS u, b.doc_id AS v
+            FROM g a JOIN g b ON a.doc_id < b.doc_id
+            WHERE round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                        / (len(a.grams) + len(b.grams)
+                           - len(list_intersect(a.grams, b.grams))), 4) >= 0.3),
+        e AS (SELECT u, v FROM pr UNION SELECT v, u FROM pr),
+        nodes AS (SELECT DISTINCT u FROM e),
+        reach(u, v) AS (
+            SELECT u, u FROM nodes
+            UNION
+            SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u),
+        comp AS (SELECT u AS doc_id, min(v) AS component FROM reach GROUP BY u),
+        lab AS (
+            SELECT d2.doc_id, coalesce(c.component, d2.doc_id) AS component
+            FROM documents d2 LEFT JOIN comp c USING (doc_id)),
+        pc AS (
+            SELECT component, CAST(count(*) AS BIGINT) AS n_seeds
+            FROM lab WHERE doc_id % 83 = 3 GROUP BY component)
+        SELECT l.doc_id, l.component,
+               (l.doc_id % 83 = 3) AS is_seed,
+               CAST(coalesce(pc.n_seeds, 0) AS BIGINT) AS n_seeds,
+               coalesce(pc.n_seeds, 0) > 0 AS removed
+        FROM lab l LEFT JOIN pc USING (component)
+        ORDER BY l.doc_id
+    """
+    # heaps_fit: halving checkpoints via exact ceil-division, prefix
+    # token sums + first-occurrence type counts as conditional aggs,
+    # ln-on-1e-6-bigint-grid OLS (the zipf_fit replay contract)
+    d["heaps_fit"] = r"""
+        WITH nd AS (SELECT count(*) AS n FROM documents),
+        ckraw AS (
+            SELECT k, (n + (1 << (7 - k)) - 1) // (1 << (7 - k)) AS nk
+            FROM nd, unnest(range(0, 8)) AS t(k)),
+        cks AS (SELECT CAST(min(k) AS INT) AS ck, nk FROM ckraw GROUP BY nk),
+        dd AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(trim(coalesce(text, ''))), '\s+'),
+                               t -> t <> '') AS toks
+            FROM documents),
+        dl AS (SELECT doc_id, len(toks) AS dl FROM dd),
+        tok AS (
+            SELECT c.ck, c.nk,
+                   CAST(sum(CASE WHEN d.doc_id < c.nk THEN d.dl ELSE 0 END)
+                        AS BIGINT) AS n_tokens
+            FROM cks c CROSS JOIN dl d GROUP BY 1, 2),
+        fd AS (
+            SELECT term, min(doc_id) AS fd
+            FROM (SELECT doc_id, unnest(toks) AS term FROM dd)
+            GROUP BY term),
+        typ AS (
+            SELECT c.ck,
+                   CAST(sum(CASE WHEN f.fd < c.nk THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_types
+            FROM cks c CROSS JOIN fd f GROUP BY 1),
+        pts AS (
+            SELECT tok.ck, CAST(tok.nk AS BIGINT) AS n_prefix_docs,
+                   tok.n_tokens, typ.n_types
+            FROM tok JOIN typ USING (ck)
+            WHERE tok.n_tokens > 0 AND typ.n_types > 0),
+        xy AS (
+            SELECT CAST(floor(ln(CAST(n_tokens AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS x,
+                   CAST(floor(ln(CAST(n_types AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS y
+            FROM pts),
+        ols AS (
+            SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS sx,
+                   CAST(sum(y) AS BIGINT) AS sy,
+                   CAST(sum(x * y) AS BIGINT) AS sxy,
+                   CAST(sum(x * x) AS BIGINT) AS sxx
+            FROM xy),
+        fit AS (
+            SELECT CASE WHEN n * sxx - sx * sx <> 0 THEN
+                       floor(CAST(n * sxy - sx * sy AS DOUBLE)
+                             / CAST(n * sxx - sx * sx AS DOUBLE) * 1e6 + 0.5) / 1e6
+                   END AS heaps_beta,
+                   CASE WHEN n * sxx - sx * sx <> 0 THEN
+                       floor((CAST(sy AS DOUBLE)
+                              - CAST(n * sxy - sx * sy AS DOUBLE)
+                                / CAST(n * sxx - sx * sx AS DOUBLE)
+                                * CAST(sx AS DOUBLE)) / n / 1e6 * 1e6 + 0.5) / 1e6
+                   END AS heaps_lnk
+            FROM ols)
+        SELECT p.ck, p.n_prefix_docs, p.n_tokens, p.n_types,
+               f.heaps_beta, f.heaps_lnk
+        FROM pts p CROSS JOIN fit f ORDER BY p.ck
     """
     # phrase_search: positional postings via unnest(range) over the
     # shared tokens_col tokenization; consecutiveness as the same

@@ -211,3 +211,60 @@ def canonical_docs(
             == F.col(id_col).cast("long")
         ).alias("is_canonical"),
     )
+
+
+def takedown_closure(
+    docs: DataFrame,
+    pairs: DataFrame,
+    seeds: DataFrame,
+    id_col: str = "doc_id",
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+) -> DataFrame:
+    """Propagate a removal request set through the near-dup graph ->
+    (doc_id, component, is_seed, n_seeds, removed): every document
+    sharing a near-dup COMPONENT with a seeded doc is flagged for
+    removal, with the audit trail (which component, how many independent
+    requests hit it) a compliance reviewer needs.
+
+    This is the takedown/right-to-be-forgotten batch operator a
+    web-scale corpus requires: removing only the requested url leaves
+    its mirror copies, near-identical syndications, and re-crawls in the
+    training set — the request has to close over the duplicate relation
+    (the same closure group_split uses for leakage, reused here for
+    deletion). Non-seeded singleton docs keep component = own id and
+    removed = false, so the output is a full-corpus audit table; feed
+    `filter(removed)` to delete_rows for the actual mutation.
+
+    Plan: the component table is the post-LSH pair closure — tiny next
+    to the corpus — so both the seed labeling join and the corpus
+    annotation join broadcast at real scale. One groupBy(component) at
+    seed cardinality; the corpus itself is touched by exactly ONE left
+    join, no shuffle of payload columns beyond the id.
+    """
+    comp = connected_components(pairs, id_a=id_a, id_b=id_b)
+    ids = docs.select(F.col(id_col).cast("long").alias(id_col))
+    labeled = ids.join(
+        comp.withColumnRenamed("doc_id", id_col), id_col, "left"
+    ).select(
+        id_col,
+        F.coalesce(F.col("component"), F.col(id_col)).alias("component"),
+    )
+    seed_ids = seeds.select(
+        F.col(id_col).cast("long").alias(id_col)
+    ).distinct()
+    seeded = labeled.join(
+        seed_ids.withColumn("_seed", F.lit(1)), id_col, "left"
+    )
+    per_comp = (
+        seeded.filter(F.col("_seed").isNotNull())
+        .groupBy("component")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_seeds"))
+    )
+    return seeded.join(F.broadcast(per_comp), "component", "left").select(
+        id_col,
+        "component",
+        F.col("_seed").isNotNull().alias("is_seed"),
+        F.coalesce(F.col("n_seeds"), F.lit(0)).cast("bigint").alias("n_seeds"),
+        (F.coalesce(F.col("n_seeds"), F.lit(0)) > 0).alias("removed"),
+    )

@@ -386,3 +386,124 @@ def k_anonymize_agg(
         F.col("n").cast("bigint").alias("n"),
         (F.col("_cents").cast("double") / F.lit(100.0)).alias("total"),
     )
+
+
+def heaps_fit(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_checkpoints: int = 8,
+) -> DataFrame:
+    """Heaps'-law vocabulary-growth fit V(n) ~ K * n^beta over doc-id
+    order -> one row per log-spaced corpus prefix (ck, n_prefix_docs,
+    n_tokens, n_types) plus the OLS fit (heaps_beta, heaps_lnk) repeated
+    on every row.
+
+    Heaps' law is the companion corpus-health signal to zipf_fit: natural
+    text grows vocabulary as n^beta with beta ~ 0.4-0.6; a template-
+    dominated crawl saturates (beta -> 0), OCR/mojibake noise inflates it
+    (beta -> 1). The prefix curve itself (n_tokens vs n_types) is the
+    artifact reviewers plot; both are exact integers.
+
+    The distributed trick: V(n) needs a RUNNING distinct count, and a
+    global cumulative window is a single-partition sort at 10^12 docs.
+    Instead each term's FIRST occurrence doc (min doc_id per term — one
+    partial-agg'd exchange, vocabulary-sized output) makes V(n_k) a
+    plain conditional count: types with first_doc < n_k. Token prefix
+    sums are the same conditional-sum trick over per-doc lengths. So the
+    whole curve is TWO aggregations regardless of n_checkpoints — no
+    sort, no window, no driver loop.
+
+    Checkpoints are halving prefixes n_k = ceil(n_docs / 2^(K-1-k))
+    (exact integer arithmetic, duplicates collapsed keeping the smallest
+    ck), the geometric spacing a log-log fit needs. Fit determinism:
+    ln() snapped to the 1e-6 bigint grid, all OLS sums exact int64, the
+    zipf_fit contract. Prefixes with zero tokens/types are excluded from
+    output and fit (ln undefined); degenerate fits (< 2 distinct
+    checkpoints) return NULL beta.
+    """
+    from invoice_ocr_reconciler_spark.functions.text import tokens_col
+
+    n_docs = docs.count()
+    cks: dict[int, int] = {}
+    for k in range(int(n_checkpoints)):
+        d = 1 << (int(n_checkpoints) - 1 - k)
+        nk = (n_docs + d - 1) // d
+        if nk not in cks.values():
+            cks[k] = nk
+    base = docs.select(
+        F.col(id_col).cast("long").alias("_id"),
+        F.size(tokens_col(F.col(text_col))).alias("_dl"),
+    )
+    tok_row = base.agg(
+        *[
+            F.sum(F.when(F.col("_id") < nk, F.col("_dl")).otherwise(0))
+            .cast("bigint")
+            .alias(f"_tok{k}")
+            for k, nk in cks.items()
+        ]
+    )
+    first = (
+        docs.select(
+            F.col(id_col).cast("long").alias("_id"),
+            F.explode(tokens_col(F.col(text_col))).alias("term"),
+        )
+        .groupBy("term")
+        .agg(F.min("_id").alias("_fd"))
+    )
+    typ_row = first.agg(
+        *[
+            F.sum(F.when(F.col("_fd") < nk, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"_typ{k}")
+            for k, nk in cks.items()
+        ]
+    )
+    arr = F.array(
+        *[
+            F.struct(
+                F.lit(k).cast("int").alias("ck"),
+                F.lit(nk).cast("bigint").alias("n_prefix_docs"),
+                F.col(f"_tok{k}").alias("n_tokens"),
+                F.col(f"_typ{k}").alias("n_types"),
+            )
+            for k, nk in cks.items()
+        ]
+    )
+    pts = (
+        tok_row.crossJoin(typ_row)
+        .select(F.explode(arr).alias("s"))
+        .select("s.*")
+        .filter((F.col("n_tokens") > 0) & (F.col("n_types") > 0))
+    )
+    xi = F.floor(F.log(F.col("n_tokens").cast("double")) * 1e6 + 0.5).cast(
+        "bigint"
+    )
+    yi = F.floor(F.log(F.col("n_types").cast("double")) * 1e6 + 0.5).cast(
+        "bigint"
+    )
+    ols = pts.select(xi.alias("x"), yi.alias("y")).agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    n, sx, sy, sxy, sxx = (F.col(c) for c in ("n", "sx", "sy", "sxy", "sxx"))
+    den = (n * sxx - sx * sx).cast("double")
+    slope = F.when(
+        den != 0, (n * sxy - sx * sy).cast("double") / den
+    )
+    lnk = F.when(
+        den != 0,
+        (sy.cast("double") - (n * sxy - sx * sy).cast("double") / den * sx.cast("double"))
+        / n
+        / 1e6,
+    )
+    fit = ols.select(
+        roundn(slope, 6).alias("heaps_beta"),
+        roundn(lnk, 6).alias("heaps_lnk"),
+    )
+    return pts.crossJoin(F.broadcast(fit)).select(
+        "ck", "n_prefix_docs", "n_tokens", "n_types", "heaps_beta", "heaps_lnk"
+    )

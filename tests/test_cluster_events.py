@@ -2091,3 +2091,45 @@ def test_prf_expand_n_expansion_cut_and_rank_ties(spark):
     out = prf_expand(df, ["q"], fb_k=2, n_expansion=2).collect()
     # identical scores -> tie broken by term asc, cut at 2
     assert [r["term"] for r in sorted(out, key=lambda r: r["exp_rank"])] == ["aa", "bb"]
+
+
+# ------------------------------------------------------ takedown closure
+
+
+def _tc(spark, pairs, seeds, n=6):
+    from invoice_ocr_reconciler_spark.operators.cluster import takedown_closure
+
+    docs = spark.createDataFrame([(i,) for i in range(1, n + 1)], "doc_id long")
+    p = spark.createDataFrame(pairs or [(None, None)], "doc_a long, doc_b long")
+    if not pairs:
+        p = p.filter("doc_a IS NOT NULL")
+    s = spark.createDataFrame([(i,) for i in seeds] or [(None,)], "doc_id long")
+    if not seeds:
+        s = s.filter("doc_id IS NOT NULL")
+    return {r["doc_id"]: r for r in takedown_closure(docs, p, s).collect()}
+
+
+def test_takedown_closure_propagates_through_component(spark):
+    """Seeding doc 3 removes the whole 1-2-3 chain; the other component
+    and singletons survive."""
+    got = _tc(spark, [(1, 2), (2, 3), (4, 5)], [3])
+    assert [got[i]["removed"] for i in (1, 2, 3)] == [True, True, True]
+    assert [got[i]["removed"] for i in (4, 5, 6)] == [False, False, False]
+    assert got[1]["component"] == got[3]["component"] == 1
+    assert got[6]["component"] == 6  # singleton keeps own id
+    assert got[3]["is_seed"] and not got[1]["is_seed"]
+
+
+def test_takedown_closure_seed_counts_and_singleton_seed(spark):
+    """Two requests hitting one cluster count as n_seeds=2; a seeded
+    singleton removes only itself."""
+    got = _tc(spark, [(1, 2), (2, 3)], [1, 3, 6])
+    assert got[2]["n_seeds"] == 2 and got[2]["removed"]
+    assert got[6]["removed"] and got[6]["n_seeds"] == 1
+    assert not got[4]["removed"]
+
+
+def test_takedown_closure_empty_seeds_removes_nothing(spark):
+    got = _tc(spark, [(1, 2)], [])
+    assert not any(r["removed"] for r in got.values())
+    assert all(r["n_seeds"] == 0 for r in got.values())

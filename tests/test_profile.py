@@ -62,3 +62,55 @@ def test_profile_empty_frame(spark):
     assert set(out) == {"k", "v"}
     assert out["k"]["n_nonnull"] == 0 and out["k"]["n_null"] == 0
     assert out["k"]["n_distinct"] == 0 and out["k"]["min_value"] is None
+
+
+# ------------------------------------------------------------ Heaps fit
+
+
+def test_heaps_fit_linear_vocab_growth_beta_one(spark):
+    """One brand-new token per doc: V(n) = n exactly, so the log-log OLS
+    slope is exactly 1 and every checkpoint has n_tokens == n_types."""
+    from invoice_ocr_reconciler_spark.operators.profile import heaps_fit
+
+    docs = spark.createDataFrame(
+        [(i, f"t{i}") for i in range(64)], "doc_id long, text string"
+    )
+    rows = heaps_fit(docs, n_checkpoints=4).collect()
+    assert rows and all(r["n_tokens"] == r["n_types"] for r in rows)
+    assert all(r["heaps_beta"] == 1.0 for r in rows)
+    by_ck = {r["ck"]: r for r in rows}
+    assert by_ck[3]["n_prefix_docs"] == 64 and by_ck[3]["n_types"] == 64
+    assert by_ck[0]["n_prefix_docs"] == 8
+
+
+def test_heaps_fit_template_corpus_saturates_to_zero(spark):
+    """All docs identical: the vocabulary never grows past doc 0, so the
+    fitted beta is exactly 0 (y constant across checkpoints)."""
+    from invoice_ocr_reconciler_spark.operators.profile import heaps_fit
+
+    docs = spark.createDataFrame(
+        [(i, "same three tokens") for i in range(32)],
+        "doc_id long, text string",
+    )
+    rows = heaps_fit(docs, n_checkpoints=4).collect()
+    assert rows and all(r["heaps_beta"] == 0.0 for r in rows)
+    assert all(r["n_types"] == 3 for r in rows)
+
+
+def test_heaps_fit_partition_invariant(spark):
+    from invoice_ocr_reconciler_spark.operators.profile import heaps_fit
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i % 7} w{i % 13} common") for i in range(50)],
+        "doc_id long, text string",
+    )
+    a = sorted(map(tuple, heaps_fit(docs).collect()))
+    b = sorted(map(tuple, heaps_fit(docs.repartition(11)).collect()))
+    assert a == b
+
+
+def test_heaps_fit_empty_corpus_empty_output(spark):
+    from invoice_ocr_reconciler_spark.operators.profile import heaps_fit
+
+    docs = spark.createDataFrame([], "doc_id long, text string")
+    assert heaps_fit(docs).count() == 0
