@@ -4112,6 +4112,51 @@ def q_heaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return heaps_fit(docs).orderBy("ck")
 
 
+def q_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic DeepWalk corpus (operators/graph.py:random_walks,
+    4 steps, md5-seeded neighbor choice against the canonical row_number
+    ranking) over the ring+chord graph. DuckDB unrolls the 4 steps with
+    the identical hash/modulo/rank algebra — any drift in the neighbor
+    pick is a value-hash failure."""
+    import duckdb
+
+    from invoice_ocr_reconciler_spark.operators.graph import random_walks
+
+    n = duckdb.sql(
+        f"SELECT count(*) FROM '{sf_dir}/documents.parquet'"
+    ).fetchone()[0]
+    ids = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    i = F.col("doc_id")
+    f1 = ids.select(i.alias("src"), ((i + 1) % n).alias("dst"))
+    f2 = ids.select(i.alias("src"), ((i + 2) % n).alias("dst"))
+    return random_walks(f1.union(f2), walk_len=4, seed="rw").orderBy(
+        "start", "step"
+    )
+
+
+def q_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log2-bucketed degree distribution
+    (operators/graph.py:degree_histogram) over the ring+chord+hub graph
+    (the hub populates a tail bucket). Buckets via the binary-string
+    log2 (no floating log near power-of-2 boundaries); share in
+    floor-divided ppm."""
+    import duckdb
+
+    from invoice_ocr_reconciler_spark.operators.graph import degree_histogram
+
+    n = duckdb.sql(
+        f"SELECT count(*) FROM '{sf_dir}/documents.parquet'"
+    ).fetchone()[0]
+    ids = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    i = F.col("doc_id")
+    f1 = ids.select(i.alias("src"), ((i + 1) % n).alias("dst"))
+    f2 = ids.select(i.alias("src"), ((i + 2) % n).alias("dst"))
+    f3 = ids.filter(i % 9 == 4).select(
+        i.alias("src"), F.lit(0).cast("long").alias("dst")
+    )
+    return degree_histogram(f1.union(f2).union(f3)).orderBy("bucket")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from invoice_ocr_reconciler_spark.plans import relational as R
 
@@ -4307,6 +4352,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prf_expand": q_prf_expand,
         "takedown_closure": q_takedown_closure,
         "heaps_fit": q_heaps_fit,
+        "random_walks": q_random_walks,
+        "degree_histogram": q_degree_histogram,
         "hard_negatives": q_hard_negatives,
         "vocab_coverage": q_vocab_coverage,
         "oov_top_terms": q_oov_top_terms,
@@ -8560,6 +8607,79 @@ def oracle_sql() -> dict[str, str]:
         JOIN deg da ON n.node_a = da.node
         JOIN deg db ON n.node_b = db.node
         ORDER BY n.node_a, n.node_b
+    """
+    # random_walks: ring+chord synthesis; canonical neighbor ranking +
+    # md5 pick, 4 steps unrolled
+    _rw_steps = []
+    for _s in (1, 2, 3, 4):
+        _p = _s - 1
+        _rw_steps.append(f"""
+        s{_s} AS (
+            SELECT s.start, r.v AS cur
+            FROM s{_p} s
+            JOIN deg d ON s.cur = d.node
+            JOIN ranked r ON r.u = s.cur
+                 AND r.idx = CAST(('0x' || substr(md5('rw:' || s.start || ':{_s}'), 1, 8))::UBIGINT
+                                  % d.deg AS BIGINT))""")
+    d["random_walks"] = f"""
+        WITH nd AS (SELECT count(*) AS n FROM documents),
+        e AS (
+            SELECT doc_id AS a, (doc_id + 1) % (SELECT n FROM nd) AS b
+            FROM documents
+            UNION ALL
+            SELECT doc_id, (doc_id + 2) % (SELECT n FROM nd) FROM documents),
+        e2 AS (SELECT a, b FROM e WHERE a <> b),
+        adj AS (
+            SELECT DISTINCT u, v FROM (
+                SELECT a AS u, b AS v FROM e2
+                UNION ALL SELECT b, a FROM e2)),
+        ranked AS (
+            SELECT u, v,
+                   CAST(row_number() OVER (PARTITION BY u ORDER BY v) - 1
+                        AS BIGINT) AS idx
+            FROM adj),
+        deg AS (SELECT u AS node, CAST(count(*) AS BIGINT) AS deg
+                FROM adj GROUP BY u),
+        s0 AS (SELECT node AS start, node AS cur FROM deg),{','.join(_rw_steps)}
+        SELECT start, step, node FROM (
+            SELECT start, CAST(0 AS INT) AS step, cur AS node FROM s0
+            UNION ALL SELECT start, 1, cur FROM s1
+            UNION ALL SELECT start, 2, cur FROM s2
+            UNION ALL SELECT start, 3, cur FROM s3
+            UNION ALL SELECT start, 4, cur FROM s4)
+        ORDER BY start, step
+    """
+    # degree_histogram: binary-string log2 buckets + floor-div ppm over
+    # the ring+chord+hub degree table
+    d["degree_histogram"] = """
+        WITH nd AS (SELECT count(*) AS n FROM documents),
+        edges AS (
+            SELECT doc_id AS src, (doc_id + 1) % (SELECT n FROM nd) AS dst
+            FROM documents
+            UNION ALL
+            SELECT doc_id, (doc_id + 2) % (SELECT n FROM nd) FROM documents
+            UNION ALL
+            SELECT doc_id, CAST(0 AS BIGINT) FROM documents
+            WHERE doc_id % 9 = 4),
+        und AS (
+            SELECT DISTINCT least(src, dst) AS lo, greatest(src, dst) AS hi
+            FROM edges WHERE src <> dst),
+        deg AS (
+            SELECT node, CAST(count(*) AS BIGINT) AS degree
+            FROM (SELECT lo AS node FROM und UNION ALL SELECT hi FROM und)
+            GROUP BY node),
+        tot AS (SELECT CAST(count(*) AS BIGINT) AS total FROM deg),
+        b AS (
+            SELECT CAST(length(bin(degree)) - 1 AS INT) AS bucket, degree
+            FROM deg)
+        SELECT bucket,
+               CAST(1 << bucket AS BIGINT) AS lo_degree,
+               CAST(count(*) AS BIGINT) AS n_nodes,
+               CAST(min(degree) AS BIGINT) AS min_degree,
+               CAST(max(degree) AS BIGINT) AS max_degree,
+               CAST((count(*) * 1000000) // (SELECT total FROM tot) AS BIGINT)
+                   AS share_ppm
+        FROM b GROUP BY bucket ORDER BY bucket
     """
     # takedown_closure: the dedup_components recursive closure + the
     # doc_id % 83 seed rule; per-component seed counts, full-corpus

@@ -997,3 +997,153 @@ def link_predict(
         .alias("jacc_den"),
         "ra_ppm",
     )
+
+
+def random_walks(
+    edges: DataFrame,
+    walk_len: int = 4,
+    seed: str = "rw",
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """DeepWalk-style random-walk corpus over the undirected view of a
+    link graph -> (start, step, node): one walk of ``walk_len`` steps
+    from EVERY non-isolated node (step 0 = the start itself). The output
+    is the "sentence" table a skip-gram graph-embedding trainer consumes
+    (Perozzi et al., DeepWalk, KDD'14) — the graph analog of the
+    documents-to-token-windows pipeline the text side already has.
+
+    Determinism (the north-rule invariant — identical corpus at any
+    parallelism, and value-replayable in SQL): the "random" neighbor at
+    step s of the walk started at node w is chosen by a portable hash,
+      idx = int(md5(seed:start:step)[:8], 16) % degree(cur),
+    against a canonical neighbor ranking (row_number over (u) ordered by
+    v). No RNG state, no sampling — re-running any subset of walks gives
+    identical results, which is what makes incremental regeneration and
+    cross-engine oracle checks possible.
+
+    Plan shape: the ranked adjacency (u, v, idx) and the degree table
+    are built ONCE (one window exchange on u + one partial agg); each
+    step is then ONE equi-join on the walk frontier's (cur) for the
+    degree + ONE composite equi-join on (cur, idx) to pick the neighbor
+    — walk-frontier-sized shuffles, lineage truncated per step. The
+    per-node neighbor ranking sorts within u only; a celebrity hub makes
+    that one partition large — cap the graph's super-hubs upstream
+    (link_predict's max_degree rationale) if the host graph has 10^8-
+    degree nodes.
+    """
+    e = edges.select(
+        F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b")
+    ).filter(
+        F.col("a").isNotNull() & F.col("b").isNotNull() & (F.col("a") != F.col("b"))
+    )
+    adj = (
+        e.select(F.col("a").alias("u"), F.col("b").alias("v"))
+        .unionAll(e.select(F.col("b").alias("u"), F.col("a").alias("v")))
+        .distinct()
+    )
+    ranked = adj.withColumn(
+        "idx",
+        F.row_number().over(Window.partitionBy("u").orderBy("v")) - 1,
+    ).localCheckpoint(eager=False)
+    deg = ranked.groupBy(F.col("u").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("deg")
+    )
+    state = deg.select(
+        F.col("node").alias("start"), F.col("node").alias("cur")
+    )
+    out = [
+        state.select(
+            "start", F.lit(0).cast("int").alias("step"), F.col("cur").alias("node")
+        )
+    ]
+    for step in range(1, int(walk_len) + 1):
+        pick = (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            ":", F.lit(seed), F.col("start"), F.lit(step)
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % F.col("deg")
+        )
+        state = (
+            state.join(deg.withColumnRenamed("node", "cur"), "cur")
+            .withColumn("_pick", pick)
+            .join(
+                ranked,
+                (F.col("cur") == F.col("u")) & (F.col("_pick") == F.col("idx")),
+            )
+            .select("start", F.col("v").alias("cur"))
+            .localCheckpoint(eager=False)
+        )
+        out.append(
+            state.select(
+                "start",
+                F.lit(step).cast("int").alias("step"),
+                F.col("cur").alias("node"),
+            )
+        )
+    res = out[0]
+    for frame in out[1:]:
+        res = res.unionAll(frame)
+    return res
+
+
+def degree_histogram(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Log2-bucketed degree distribution of the undirected simple graph
+    -> (bucket, lo_degree, n_nodes, min_degree, max_degree, share_ppm):
+    bucket b holds degrees in [2^b, 2^(b+1)), the standard power-law
+    diagnostic view (web graphs are heavy-tailed; a missing tail bucket
+    after a crawl change is the cheapest regression signal).
+
+    Everything is exact integers: the bucket is length(bin(degree)) - 1
+    — the binary-representation log2, no floating ln() near power-of-2
+    boundaries where floor(log2()) flips across libms; share_ppm is a
+    floor division by the total node count. One degree agg + one
+    bucket agg, both partial-agg'd; the output is <= 64 rows.
+    """
+    e = edges.select(
+        F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b")
+    ).filter(
+        F.col("a").isNotNull() & F.col("b").isNotNull() & (F.col("a") != F.col("b"))
+    )
+    und = e.select(
+        F.least("a", "b").alias("lo"), F.greatest("a", "b").alias("hi")
+    ).distinct()
+    deg = (
+        und.select(F.col("lo").alias("node"))
+        .unionAll(und.select(F.col("hi").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
+    )
+    bucket = (F.length(F.conv(F.col("degree"), 10, 2)) - 1).cast("int")
+    per = (
+        deg.select("degree", bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+            F.min("degree").cast("bigint").alias("min_degree"),
+            F.max("degree").cast("bigint").alias("max_degree"),
+        )
+    )
+    total = F.broadcast(deg.agg(F.count(F.lit(1)).alias("_total")))
+    return per.crossJoin(total).select(
+        "bucket",
+        F.expr("shiftleft(1L, bucket)").cast("bigint").alias("lo_degree"),
+        "n_nodes",
+        "min_degree",
+        "max_degree",
+        F.expr("(n_nodes * 1000000L) div _total").alias("share_ppm"),
+    )

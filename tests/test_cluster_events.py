@@ -2133,3 +2133,92 @@ def test_takedown_closure_empty_seeds_removes_nothing(spark):
     got = _tc(spark, [(1, 2)], [])
     assert not any(r["removed"] for r in got.values())
     assert all(r["n_seeds"] == 0 for r in got.values())
+
+
+# ------------------------------------------------------- random walks
+
+
+def _rw_graph(spark):
+    edges = [(1, 2), (1, 3), (2, 3), (1, 4)]
+    return spark.createDataFrame(edges, "src long, dst long")
+
+
+def test_random_walks_steps_follow_edges(spark):
+    """Every walk starts at its node and every consecutive step is an
+    actual edge; every non-isolated node gets a full-length walk."""
+    from invoice_ocr_reconciler_spark.operators.graph import random_walks
+
+    rows = random_walks(_rw_graph(spark), walk_len=3).collect()
+    adj = {1: {2, 3, 4}, 2: {1, 3}, 3: {1, 2}, 4: {1}}
+    walks = {}
+    for r in rows:
+        walks.setdefault(r["start"], {})[r["step"]] = r["node"]
+    assert set(walks) == {1, 2, 3, 4}
+    for start, w in walks.items():
+        assert sorted(w) == [0, 1, 2, 3]
+        assert w[0] == start
+        for s in (1, 2, 3):
+            assert w[s] in adj[w[s - 1]]
+
+
+def test_random_walks_match_python_reference(spark):
+    """The md5 neighbor pick replays exactly against a pure-Python
+    reference (canonical v-ascending ranking, int(md5[:8],16) % deg)."""
+    import hashlib
+
+    from invoice_ocr_reconciler_spark.operators.graph import random_walks
+
+    adj = {1: [2, 3, 4], 2: [1, 3], 3: [1, 2], 4: [1]}
+
+    def ref_walk(start, walk_len):
+        cur, out = start, {0: start}
+        for step in range(1, walk_len + 1):
+            h = int(hashlib.md5(f"rw:{start}:{step}".encode()).hexdigest()[:8], 16)
+            cur = adj[cur][h % len(adj[cur])]
+            out[step] = cur
+        return out
+
+    rows = random_walks(_rw_graph(spark), walk_len=4, seed="rw").collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r["start"], {})[r["step"]] = r["node"]
+    assert got == {s: ref_walk(s, 4) for s in (1, 2, 3, 4)}
+
+
+def test_random_walks_partition_invariant(spark):
+    from invoice_ocr_reconciler_spark.operators.graph import random_walks
+
+    g = _rw_graph(spark)
+    a = sorted(map(tuple, random_walks(g, walk_len=3).collect()))
+    b = sorted(map(tuple, random_walks(g.repartition(7), walk_len=3).collect()))
+    assert a == b
+
+
+# --------------------------------------------------- degree histogram
+
+
+def test_degree_histogram_star_hand_computed(spark):
+    from invoice_ocr_reconciler_spark.operators.graph import degree_histogram
+
+    star = [(0, i) for i in range(1, 6)]
+    got = {
+        r["bucket"]: r
+        for r in degree_histogram(
+            spark.createDataFrame(star, "src long, dst long")
+        ).collect()
+    }
+    assert set(got) == {0, 2}
+    assert (got[0]["n_nodes"], got[0]["min_degree"], got[0]["max_degree"]) == (5, 1, 1)
+    assert (got[2]["n_nodes"], got[2]["min_degree"], got[2]["max_degree"]) == (1, 5, 5)
+    assert got[0]["lo_degree"] == 1 and got[2]["lo_degree"] == 4
+    assert got[0]["share_ppm"] == 833_333 and got[2]["share_ppm"] == 166_666
+
+
+def test_degree_histogram_dupes_selfloops_ignored(spark):
+    from invoice_ocr_reconciler_spark.operators.graph import degree_histogram
+
+    clean = [(1, 2), (2, 3)]
+    noisy = clean + [(2, 1), (1, 1), (1, 2)]
+    a = sorted(map(tuple, degree_histogram(spark.createDataFrame(clean, "src long, dst long")).collect()))
+    b = sorted(map(tuple, degree_histogram(spark.createDataFrame(noisy, "src long, dst long")).collect()))
+    assert a == b
