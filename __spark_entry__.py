@@ -4157,6 +4157,81 @@ def q_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return degree_histogram(f1.union(f2).union(f3)).orderBy("bucket")
 
 
+def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC top-k (operators/pq.py:pq_topk, m=4
+    subspaces x 16 codes): corpus crosses Python once to encode, the
+    O(corpus x queries) scoring stage is pure codegen table lookups over
+    m-int codes. Rows-only (k-means fit, the ann_ivf contract); encode
+    parity, ADC exactness, and planted-neighbor recall pinned in
+    tests/test_pq.py."""
+    from invoice_ocr_reconciler_spark.operators.pq import (
+        fit_pq_codebooks,
+        pq_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    books = fit_pq_codebooks(emb, m=4, k=16)
+    queries_df = emb.filter(F.col("vec_id") < 10)
+    return pq_topk(emb, queries_df, books, k=5).orderBy(
+        "query_id", "nb_rank"
+    )
+
+
+def q_image_caption_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAION-style image-text pair mining
+    (operators/captions.py:image_caption_pairs) over pages synthesized
+    from the documents table: every doc gets a main <img> whose alt is
+    'photo ' + the first 30 text chars; %3 adds a too-short decorative
+    alt (dropped), %4==1 a data: URI (dropped), %5==2 a protocol-
+    relative CDN image (kept). The DuckDB oracle predicts the kept pairs
+    and their pre-filter positions in closed form from the same rule —
+    real bytes parsed on the Spark side, analytic expectation on the
+    other (the extract_links contract)."""
+    from invoice_ocr_reconciler_spark.operators.captions import (
+        image_caption_pairs,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    i = F.col("doc_id")
+    url = F.concat(
+        F.lit("https://img"),
+        (i % 7).cast("string"),
+        F.lit(".example/g/p"),
+        i.cast("string"),
+        F.lit(".html"),
+    )
+    main_img = F.concat(
+        F.lit('<img src="/i/'),
+        i.cast("string"),
+        F.lit('.jpg" alt="photo '),
+        F.substring(F.coalesce(F.col("text"), F.lit("")), 1, 30),
+        F.lit('">'),
+    )
+    short_img = F.when(i % 3 == 0, F.lit('<img src="t/x.png" alt="x">')).otherwise(
+        F.lit("")
+    )
+    data_img = F.when(
+        i % 4 == 1,
+        F.lit('<img src="data:image/png;base64,AA" alt="inline image payload">'),
+    ).otherwise(F.lit(""))
+    cdn_img = F.when(
+        i % 5 == 2,
+        F.concat(
+            F.lit('<img src="//cdn'),
+            (i % 3).cast("string"),
+            F.lit('.example/c.gif" alt="cdn hosted thumbnail image">'),
+        ),
+    ).otherwise(F.lit(""))
+    pages = docs.select(
+        url.alias("url"),
+        F.concat(
+            F.lit("<html><body>"), main_img, short_img, data_img, cdn_img,
+            F.lit("</body></html>"),
+        ).alias("html"),
+    )
+    return image_caption_pairs(pages).orderBy("url", "img_pos")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from invoice_ocr_reconciler_spark.plans import relational as R
 
@@ -4354,6 +4429,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heaps_fit": q_heaps_fit,
         "random_walks": q_random_walks,
         "degree_histogram": q_degree_histogram,
+        "ann_pq": q_ann_pq,
+        "image_caption_pairs": q_image_caption_pairs,
         "hard_negatives": q_hard_negatives,
         "vocab_coverage": q_vocab_coverage,
         "oov_top_terms": q_oov_top_terms,
@@ -8607,6 +8684,39 @@ def oracle_sql() -> dict[str, str]:
         JOIN deg da ON n.node_a = da.node
         JOIN deg db ON n.node_b = db.node
         ORDER BY n.node_a, n.node_b
+    """
+    # image_caption_pairs: closed-form prediction of the kept <img>
+    # pairs from the synthesis rule — main alt (kept, pos 1), short alt
+    # (dropped), data: URI (dropped), protocol-relative CDN (kept, pos
+    # computed from which dropped tags precede it)
+    d["image_caption_pairs"] = r"""
+        WITH p AS (
+            SELECT doc_id,
+                   'https://img' || (doc_id % 7) || '.example/g/p'
+                       || doc_id || '.html' AS url,
+                   trim(regexp_replace(
+                       'photo ' || substr(coalesce(text, ''), 1, 30),
+                       '\s+', ' ')) AS main_cap
+            FROM documents),
+        main AS (
+            SELECT url,
+                   'https://img' || (doc_id % 7) || '.example/i/'
+                       || doc_id || '.jpg' AS img_url,
+                   main_cap AS caption,
+                   CAST(1 AS INT) AS img_pos
+            FROM p),
+        cdn AS (
+            SELECT url,
+                   'https://cdn' || (doc_id % 3) || '.example/c.gif' AS img_url,
+                   'cdn hosted thumbnail image' AS caption,
+                   CAST(2 + CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END
+                          + CASE WHEN doc_id % 4 = 1 THEN 1 ELSE 0 END
+                        AS INT) AS img_pos
+            FROM p WHERE doc_id % 5 = 2)
+        SELECT url, img_url, caption, img_pos FROM main
+        UNION ALL
+        SELECT url, img_url, caption, img_pos FROM cdn
+        ORDER BY url, img_pos
     """
     # random_walks: ring+chord synthesis; canonical neighbor ranking +
     # md5 pick, 4 steps unrolled

@@ -100,6 +100,12 @@ def main() -> None:
         "pca_covariance",       # exact-integer PCA moment pass (codegen)
         "upsert_table",         # MERGE/upsert over the orders table
         "status_writeback",     # E2 write-back (UPDATE-only MERGE)
+        "phrase_search",        # positional postings (pre-explode vocab cut)
+        "prf_expand",           # RM3-lite feedback expansion (bm25-composed)
+        "heaps_fit",            # vocab-growth curve (first-occurrence trick)
+        "k_core",               # iterative peel (semi-join rounds)
+        "link_predict",         # degree-capped wedge join (integer scores)
+        "random_walks",         # DeepWalk corpus (hash-pick steps)
         "extract_pages",        # extraction stage alone
         "reconcile",            # full pipeline: extract -> parse -> reconcile
     ]

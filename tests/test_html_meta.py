@@ -193,3 +193,57 @@ class TestAiOptout:
             '<meta name="robots" content="noai">',
         )
         assert not r.noai and r.train_ok
+
+
+# ------------------------------------------------- image-caption pairs
+
+
+def _cap_pages(spark):
+    rows = [
+        ("https://a.example/g/page.html",
+         b'<html><img src="/img/1.jpg" alt="a red bicycle on grass">'
+         b'<img src="th/2.png" alt="  spaced   caption  here ">'
+         b'<img alt="no src attr">'
+         b'<img src="https://cdn.example/3.webp" alt="x">'
+         b'<img src="data:image/png;base64,AAAA" alt="inline data uri">'
+         b'<img src="//cdn.example/4.gif" alt="protocol relative pic"></html>'),
+        ("https://b.example/", b"<html><p>no images</p></html>"),
+        ("https://c.example/x.html", None),
+    ]
+    return spark.createDataFrame(rows, "url string, html binary")
+
+
+def test_image_caption_pairs_resolution_and_filters(spark):
+    from invoice_ocr_reconciler_spark.operators.captions import (
+        image_caption_pairs,
+    )
+
+    got = {
+        r["img_pos"]: r
+        for r in image_caption_pairs(_cap_pages(spark)).collect()
+    }
+    # kept: 1 (root-relative), 2 (dir-relative, ws-normalized), 6 (proto-rel)
+    assert set(got) == {1, 2, 6}
+    assert got[1]["img_url"] == "https://a.example/img/1.jpg"
+    assert got[1]["caption"] == "a red bicycle on grass"
+    assert got[2]["img_url"] == "https://a.example/g/th/2.png"
+    assert got[2]["caption"] == "spaced caption here"
+    assert got[6]["img_url"] == "https://cdn.example/4.gif"
+    # dropped: no-src (3), short alt "x" (4), data: uri (5)
+
+
+def test_image_caption_pairs_attribute_order_and_lengths(spark):
+    from invoice_ocr_reconciler_spark.operators.captions import (
+        image_caption_pairs,
+    )
+
+    rows = [
+        ("https://a.example/p/",
+         b'<img alt="alt before source works" src="/a.jpg">'
+         b'<img src="/b.jpg" alt="' + b"y" * 600 + b'">'),
+    ]
+    df = spark.createDataFrame(rows, "url string, html binary")
+    out = image_caption_pairs(df).collect()
+    assert len(out) == 1
+    assert out[0]["caption"] == "alt before source works"
+    assert out[0]["img_pos"] == 1  # position among ALL imgs, pre-filter

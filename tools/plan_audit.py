@@ -57,6 +57,8 @@ PURE_CODEGEN_QUERIES = [
     "pool_embeddings", "percolate", "bm25f_search",
     "link_reciprocity", "skew_report", "pca_covariance", "rp_project",
     "margin_mine", "script_mix",
+    "k_core", "link_predict", "phrase_search", "prf_expand",
+    "takedown_closure", "heaps_fit", "random_walks", "degree_histogram",
 ]
 # NOT listed although their OPERATORS are pure codegen: queries whose
 # INPUT synthesis is datagen.pages_from_documents (a mapInPandas page
