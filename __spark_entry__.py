@@ -4232,6 +4232,80 @@ def q_image_caption_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_caption_pairs(pages).orderBy("url", "img_pos")
 
 
+def q_trust_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-iteration TrustRank (operators/graph.py:trust_rank — seeded
+    personalized PageRank, teleport + dangling mass to the doc_id%17==0
+    seed set) over the synthetic link graph; top 30 by trust. The DuckDB
+    oracle unrolls the iterations as CTEs on the same 1e-12/1e-9 grids
+    (the pagerank contract)."""
+    from invoice_ocr_reconciler_spark.operators.graph import trust_rank
+
+    edges = _link_edges(spark, sf_dir)
+    seeds = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("doc_id") % 17 == 0)
+        .select(F.col("doc_id").alias("node"))
+    )
+    return (
+        trust_rank(edges, seeds, n_iter=3)
+        .orderBy(F.col("trust").desc(), "node")
+        .limit(30)
+    )
+
+
+def q_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS seed-distance tiers (operators/graph.py:
+    bfs_distance, frontier semi-join rounds) from the doc_id%23==1 seed
+    set over the synthetic link graph, depth <= 6. Distances are exact
+    ints; the DuckDB oracle is a depth-bounded recursive CTE + min()."""
+    from invoice_ocr_reconciler_spark.operators.graph import bfs_distance
+
+    edges = _link_edges(spark, sf_dir)
+    seeds = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("doc_id") % 23 == 1)
+        .select(F.col("doc_id").alias("node"))
+    )
+    return bfs_distance(edges, seeds, max_depth=6).orderBy("node")
+
+
+def q_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GloVe windowed co-occurrence table (operators/tfidf.py:
+    cooccurrence, window 4, harmonic weights as exact lcm-scaled ints,
+    pure-codegen slice/zip_with pair generation) — top 100 pairs. The
+    DuckDB oracle replays it as a positional self-join with integer
+    12//d weights."""
+    from invoice_ocr_reconciler_spark.operators.tfidf import cooccurrence
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return cooccurrence(docs, window=4, k=100)
+
+
+def q_extraction_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extraction-QA harness (operators/extract_eval.py): token-multiset
+    P/R/F1 of a synthetically degraded extraction against gold text —
+    pred drops the last doc_id%3 tokens and doc_id%7==3 docs gain a
+    spurious leading token. All-integer pools, single exact divisions
+    (2I/(P+G) harmonic identity) — no rounding grids needed."""
+    from invoice_ocr_reconciler_spark.operators.extract_eval import extraction_f1
+    from invoice_ocr_reconciler_spark.functions.text import tokens_col
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = tokens_col(F.col("text"))
+    keep = F.greatest(F.size(toks) - (F.col("doc_id") % 3).cast("int"), F.lit(0))
+    sliced = F.slice(toks, 1, keep)
+    ptoks = F.when(
+        F.col("doc_id") % 7 == 3,
+        F.concat(F.array(F.lit("noise")), sliced),
+    ).otherwise(sliced)
+    pairs = docs.select(
+        "doc_id",
+        F.array_join(ptoks, " ").alias("pred_text"),
+        F.col("text").alias("gold_text"),
+    )
+    return extraction_f1(pairs).orderBy("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from invoice_ocr_reconciler_spark.plans import relational as R
 
@@ -4431,6 +4505,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "degree_histogram": q_degree_histogram,
         "ann_pq": q_ann_pq,
         "image_caption_pairs": q_image_caption_pairs,
+        "trust_rank": q_trust_rank,
+        "bfs_distance": q_bfs_distance,
+        "cooccurrence": q_cooccurrence,
+        "extraction_f1": q_extraction_f1,
         "hard_negatives": q_hard_negatives,
         "vocab_coverage": q_vocab_coverage,
         "oov_top_terms": q_oov_top_terms,
@@ -4506,6 +4584,58 @@ def _pagerank_oracle(n_iter: int = 3) -> str:
         r0 AS (SELECT b.node, b.deg, CAST(1.0 AS DOUBLE) / nn.n AS rank
                FROM base b, nn),{','.join(it)}
         SELECT node, rank FROM r{n_iter} ORDER BY rank DESC, node LIMIT 30
+    """
+
+
+def _trustrank_oracle(n_iter: int = 3) -> str:
+    """Unroll operators/graph.py:trust_rank as CTEs: same edge synthesis
+    as the pagerank oracle, doc_id%17==0 seeds intersected with the node
+    set, teleport 1/|S| to seeds only (dangling mass likewise), same
+    1e-12 contribution / 1e-9 rank grids."""
+    it = []
+    for j in range(1, n_iter + 1):
+        i = j - 1
+        it.append(f"""
+            d{j} AS (SELECT coalesce(sum(CASE WHEN deg IS NULL THEN rank END),
+                                     CAST(0.0 AS DOUBLE)) AS dm FROM r{i}),
+            c{j} AS (SELECT e.dst AS node,
+                            sum(floor(r.rank / r.deg * 1e12 + 0.5) / 1e12) AS sum_c
+                     FROM edges e JOIN r{i} r ON e.src = r.node
+                     WHERE r.deg IS NOT NULL GROUP BY e.dst),
+            r{j} AS (SELECT b.node, b.deg, b.tele,
+                            floor(((CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) * b.tele
+                                   + CAST(0.85 AS DOUBLE)
+                                     * (coalesce(c.sum_c, CAST(0.0 AS DOUBLE))
+                                        + (SELECT dm FROM d{j}) * b.tele))
+                                  * 1e9 + 0.5) / 1e9 AS rank
+                     FROM base b LEFT JOIN c{j} c ON b.node = c.node)""")
+    return f"""
+        WITH ids AS (SELECT doc_id FROM documents),
+        nd AS (SELECT count(*) AS nd FROM documents),
+        edges AS (
+            SELECT doc_id AS src, (doc_id * 7 + 1) % (SELECT nd FROM nd) AS dst
+            FROM ids WHERE doc_id % 5 <> 0
+            UNION ALL
+            SELECT doc_id, (doc_id * 13 + 2) % (SELECT nd FROM nd)
+            FROM ids WHERE doc_id % 5 <> 0
+            UNION ALL
+            SELECT doc_id, CAST(0 AS BIGINT) FROM ids WHERE doc_id % 10 = 3),
+        nodes AS (SELECT DISTINCT src AS node FROM edges
+                  UNION SELECT DISTINCT dst FROM edges),
+        deg AS (SELECT src AS node, count(*) AS deg FROM edges GROUP BY src),
+        seeds AS (SELECT n.node FROM nodes n
+                  JOIN ids s ON n.node = s.doc_id WHERE s.doc_id % 17 = 0),
+        ss AS (SELECT count(*) AS s FROM seeds),
+        base AS (SELECT n.node, d.deg,
+                        CASE WHEN sd.node IS NOT NULL
+                             THEN CAST(1.0 AS DOUBLE) / (SELECT s FROM ss)
+                             ELSE CAST(0.0 AS DOUBLE) END AS tele
+                 FROM nodes n
+                 LEFT JOIN deg d ON n.node = d.node
+                 LEFT JOIN seeds sd ON n.node = sd.node),
+        r0 AS (SELECT node, deg, tele, tele AS rank FROM base),{','.join(it)}
+        SELECT node, rank AS trust FROM r{n_iter}
+        ORDER BY trust DESC, node LIMIT 30
     """
 
 
@@ -6792,6 +6922,100 @@ def oracle_sql() -> dict[str, str]:
                                  WHERE o_orderstatus = 'P')
         """,
         "pagerank": _pagerank_oracle(3),
+        "trust_rank": _trustrank_oracle(3),
+        # multi-source BFS: depth-bounded recursive CTE; min(dist) over
+        # all <=6-hop walks = the level-synchronous first-discovery depth
+        "bfs_distance": """
+            WITH RECURSIVE nd AS (SELECT count(*) AS nd FROM documents),
+            edges AS (
+                SELECT doc_id AS src, (doc_id * 7 + 1) % (SELECT nd FROM nd) AS dst
+                FROM documents WHERE doc_id % 5 <> 0
+                UNION ALL
+                SELECT doc_id, (doc_id * 13 + 2) % (SELECT nd FROM nd)
+                FROM documents WHERE doc_id % 5 <> 0
+                UNION ALL
+                SELECT doc_id, CAST(0 AS BIGINT) FROM documents
+                WHERE doc_id % 10 = 3),
+            walk(node, dist) AS (
+                SELECT doc_id, 0 FROM documents WHERE doc_id % 23 = 1
+                UNION
+                SELECT e.dst, w.dist + 1
+                FROM walk w JOIN edges e ON e.src = w.node
+                WHERE w.dist < 6)
+            SELECT node, CAST(min(dist) AS INT) AS dist
+            FROM walk GROUP BY node ORDER BY node
+        """,
+        # GloVe windowed co-occurrence: positional self-join with exact
+        # integer 12//d harmonic weights (the Spark side generates pairs
+        # via slice/zip_with — same multiset by construction)
+        "cooccurrence": r"""
+            WITH t AS (SELECT doc_id,
+                              regexp_split_to_array(
+                                  lower(trim(coalesce(text, ''))), '\s+') AS toks
+                       FROM documents),
+            tok0 AS (SELECT doc_id, unnest(toks) AS w,
+                            generate_subscripts(toks, 1) AS pos FROM t),
+            tok AS (SELECT doc_id, w,
+                           row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS pos
+                    FROM tok0 WHERE w <> ''),
+            pairs AS (SELECT least(a.w, b.w) AS w1, greatest(a.w, b.w) AS w2,
+                             12 // (b.pos - a.pos) AS wt
+                      FROM tok a JOIN tok b
+                        ON a.doc_id = b.doc_id
+                       AND b.pos - a.pos BETWEEN 1 AND 4)
+            SELECT w1, w2, CAST(sum(wt) AS BIGINT) AS weight_lcm,
+                   CAST(count(*) AS BIGINT) AS n_pairs
+            FROM pairs GROUP BY w1, w2
+            ORDER BY weight_lcm DESC, w1, w2 LIMIT 100
+        """,
+        # extraction-QA: token-multiset P/R/F1 of the degraded pred
+        # (drop last doc_id%3 tokens, prepend 'noise' when doc_id%7==3)
+        # vs gold; all-integer pools, exact single divisions, no grids
+        "extraction_f1": r"""
+            WITH base AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(
+                           lower(trim(coalesce(text, ''))), '\s+'),
+                           x -> x <> '') AS toks
+                FROM documents),
+            sized AS (SELECT doc_id, toks,
+                             greatest(len(toks) - CAST(doc_id % 3 AS INT), 0) AS keep
+                      FROM base),
+            pred AS (SELECT doc_id,
+                            CASE WHEN doc_id % 7 = 3
+                                 THEN list_prepend('noise', toks[1:keep])
+                                 ELSE toks[1:keep] END AS ptoks,
+                            toks AS gtoks
+                     FROM sized),
+            pc AS (SELECT doc_id, w, count(*) AS cp
+                   FROM (SELECT doc_id, unnest(ptoks) AS w FROM pred)
+                   GROUP BY doc_id, w),
+            gc AS (SELECT doc_id, w, count(*) AS cg
+                   FROM (SELECT doc_id, unnest(gtoks) AS w FROM pred)
+                   GROUP BY doc_id, w),
+            j AS (SELECT coalesce(pc.doc_id, gc.doc_id) AS doc_id,
+                         coalesce(cp, 0) AS cp, coalesce(cg, 0) AS cg
+                  FROM pc FULL JOIN gc
+                    ON pc.doc_id = gc.doc_id AND pc.w = gc.w),
+            agg AS (SELECT doc_id,
+                           CAST(sum(cp) AS BIGINT) AS n_pred,
+                           CAST(sum(cg) AS BIGINT) AS n_gold,
+                           CAST(sum(least(cp, cg)) AS BIGINT) AS n_inter
+                    FROM j GROUP BY doc_id)
+            SELECT d.doc_id,
+                   coalesce(n_pred, 0) AS n_pred,
+                   coalesce(n_gold, 0) AS n_gold,
+                   coalesce(n_inter, 0) AS n_inter,
+                   CASE WHEN coalesce(n_pred, 0) > 0
+                        THEN CAST(n_inter AS DOUBLE) / n_pred END AS "precision",
+                   CASE WHEN coalesce(n_gold, 0) > 0
+                        THEN CAST(n_inter AS DOUBLE) / n_gold END AS recall,
+                   CASE WHEN coalesce(n_pred, 0) + coalesce(n_gold, 0) > 0
+                        THEN (CAST(2.0 AS DOUBLE) * n_inter)
+                             / (n_pred + n_gold) END AS f1
+            FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+            ORDER BY d.doc_id
+        """,
         # overlapping-interval join replayed as a plain BETWEEN theta join
         # (DuckDB's optimizer handles the small dim; Spark gets the bucket
         # expansion). Epochs in exact integer micros on both engines.

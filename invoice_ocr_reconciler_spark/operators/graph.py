@@ -1147,3 +1147,167 @@ def degree_histogram(
         "max_degree",
         F.expr("(n_nodes * 1000000L) div _total").alias("share_ppm"),
     )
+
+
+def trust_rank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    n_iter: int = 3,
+    damping: float = DAMPING,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    seed_col: str = "node",
+    truncate_lineage: bool = True,
+) -> DataFrame:
+    """Seeded (personalized) PageRank — TrustRank (Gyongyi, Garcia-Molina
+    & Pedersen, VLDB 2004): teleport mass goes ONLY to the trusted seed
+    set, so trust flows outward from curated seeds along links and link
+    farms unreachable from any seed converge to trust ~0. The curation
+    use is the paper's spam-mass heuristic: a host with high raw PageRank
+    but near-zero seeded trust earns its rank from spam neighborhoods —
+    demote or cut it.
+
+    Same numeric contract as `pagerank` (per-edge contributions on the
+    places+3 grid, ranks on the `rank_places(N)` grid, exact dangling
+    fold — dangling mass also teleports to the seeds), so a k-iteration
+    run replays in SQL as k unrolled CTEs:
+
+        trust_i(v) = (1-d)*t(v) + d*( sum_{u->v} trust_{i-1}(u)/deg(u)
+                                      + dangling_mass_{i-1} * t(v) )
+
+    with t(v) = 1/|S| for seeds, 0 otherwise. `seeds` is a 1-column
+    frame (`seed_col`); seeds outside the graph's node set are ignored
+    (trust is a property of graph nodes). Returns (node, trust); all
+    trust is 0 if no seed intersects the graph. Empty edges -> empty.
+    """
+    src, dst = F.col(src_col), F.col(dst_col)
+    nodes = (
+        edges.select(src.alias("node"))
+        .union(edges.select(dst.alias("node")))
+        .distinct()
+    )
+    deg = edges.groupBy(src.alias("node")).agg(F.count("*").alias("deg"))
+    seed_nodes = (
+        seeds.select(F.col(seed_col).alias("node")).distinct().join(nodes, "node")
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("trust", F.lit(0.0))
+    s = seed_nodes.count()
+    places = rank_places(n)
+    contrib_places = places + 3
+    tele = (
+        F.when(F.col("is_seed"), F.lit(1.0 / s) if s else F.lit(0.0))
+        .otherwise(F.lit(0.0))
+        .alias("tele")
+    )
+    out_nodes = (
+        nodes.join(deg, "node", "left")
+        .join(
+            F.broadcast(seed_nodes.withColumn("is_seed", F.lit(True))),
+            "node",
+            "left",
+        )
+        .select("node", "deg", tele)
+    )
+    if s == 0:
+        return out_nodes.select("node", F.lit(0.0).alias("trust"))
+    if truncate_lineage:
+        out_nodes = out_nodes.localCheckpoint(eager=True)
+    ranks = out_nodes.select("node", "deg", "tele", F.col("tele").alias("rank"))
+    for _ in range(int(n_iter)):
+        # dangling mass: 1-row agg broadcast back (exact conservation,
+        # the pagerank contract) — but redistributed over SEEDS, not /N
+        dang = F.broadcast(
+            ranks.agg(
+                F.coalesce(
+                    F.sum(F.when(F.col("deg").isNull(), F.col("rank"))),
+                    F.lit(0.0),
+                ).alias("dm")
+            )
+        )
+        contribs = (
+            edges.select(src.alias("node"), dst.alias("_dst"))
+            .join(ranks.filter(F.col("deg").isNotNull()), "node")
+            .select(
+                F.col("_dst").alias("node"),
+                roundn(F.col("rank") / F.col("deg"), contrib_places).alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("sum_c"))
+        )
+        ranks = (
+            out_nodes.join(contribs, "node", "left")
+            .crossJoin(dang)
+            .select(
+                "node",
+                "deg",
+                "tele",
+                roundn(
+                    F.lit(1.0 - damping) * F.col("tele")
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("sum_c"), F.lit(0.0))
+                        + F.col("dm") * F.col("tele")
+                    ),
+                    places,
+                ).alias("rank"),
+            )
+        )
+        if truncate_lineage:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks.select("node", F.col("rank").alias("trust"))
+
+
+def bfs_distance(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_depth: int = 6,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    source_col: str = "node",
+    truncate_lineage: bool = True,
+) -> DataFrame:
+    """Multi-source directed BFS: (node, dist) for every node reachable
+    from the source set within ``max_depth`` hops (sources at dist 0,
+    first-discovery = shortest since expansion is level-synchronous).
+    The crawl-curation use: hops-from-curated-seed-list as a quality
+    prior (seed-distance tiers), and the complement of the returned set =
+    islands no seed reaches (spam archipelagos, orphaned mirrors).
+
+    Plan shape at graph scale: each round joins only the CURRENT FRONTIER
+    (not the accumulated distance table) against the edge list, then
+    anti-joins the known set — per-round work is proportional to the
+    frontier's out-edges, the textbook level-synchronous BFS on a
+    shuffle engine (Pregel's default traversal, expressed relationally).
+    Early-exits when a frontier empties; lineage truncated per round so
+    the plan stays flat in max_depth. Distances are exact integers — no
+    grids needed; the SQL replay is a bounded recursive CTE + min().
+    """
+    known = (
+        sources.select(F.col(source_col).alias("node"))
+        .distinct()
+        .withColumn("dist", F.lit(0).cast("int"))
+    )
+    if truncate_lineage:
+        known = known.localCheckpoint(eager=True)
+    frontier = known
+    src, dst = F.col(src_col), F.col(dst_col)
+    for depth in range(1, int(max_depth) + 1):
+        nxt = (
+            edges.select(src.alias("node"), dst.alias("_dst"))
+            .join(frontier.select("node"), "node")
+            .select(F.col("_dst").alias("node"))
+            .distinct()
+            .join(known.select("node"), "node", "left_anti")
+            .withColumn("dist", F.lit(depth).cast("int"))
+        )
+        if truncate_lineage:
+            nxt = nxt.localCheckpoint(eager=True)
+        if nxt.isEmpty():
+            break
+        known = known.union(nxt)
+        if truncate_lineage:
+            known = known.localCheckpoint(eager=True)
+        frontier = nxt
+    return known

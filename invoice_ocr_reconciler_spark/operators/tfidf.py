@@ -17,10 +17,13 @@ Scale notes:
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from invoice_ocr_reconciler_spark.functions.text import roundn as _roundn
+from invoice_ocr_reconciler_spark.functions.text import tokens_col
 
 
 def tfidf_top_terms(
@@ -671,3 +674,71 @@ def prf_expand(
         .filter(F.col("exp_rank") <= int(n_expansion))
         .select("term", "fb_tf", "fb_docs", "df", "score_ppm", "exp_rank")
     )
+
+
+def cooccurrence(
+    docs: DataFrame,
+    window: int = 4,
+    k: int = 100,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Windowed token co-occurrence counts with harmonic distance
+    weighting — the GloVe corpus statistic (Pennington, Socher & Manning,
+    EMNLP 2014): every unordered token pair within ``window`` words
+    accumulates weight 1/d for positional distance d. The embedding-
+    training prep pass: this table IS GloVe's X matrix (and the PPMI
+    matrix's numerator for SVD-style embeddings).
+
+    Integer-exact cross-engine contract (the collocations precedent — no
+    float accumulation): weights are scaled by lcm(1..window), so 1/d
+    becomes the exact integer ``scale//d`` (window 4 -> 12/d in
+    {12,6,4,3}); `weight_lcm` sums those. Callers wanting the real
+    harmonic weight divide by `scale` at the end.
+
+    Plan shape at corpus scale: pair generation is PURE CODEGEN — for
+    each d the token array is zipped with its own d-shifted slice
+    (zip_with of two slices, the functions/text.py n-gram trick: O(n)
+    per doc, no per-element re-evaluation, no positional self-join and
+    its doc_id-skewed shuffle). The only exchange carries one row per
+    distinct pair per map partition (map-side partial aggs); hot
+    stopword pairs are absorbed by the combiners, not a skewed join.
+    Top-k ordering is (weight_lcm DESC, w1, w2) — a strict total order,
+    deterministic under any partitioning.
+    """
+    scale = math.lcm(*range(1, int(window) + 1))
+    toks_df = docs.select(
+        F.col(id_col), tokens_col(F.col(text_col)).alias("toks")
+    )
+    n = F.size("toks")
+    pair_t = "array<struct<w1:string,w2:string,wt:int>>"
+
+    def _pair_fn(wt: int):
+        # closure (not a default arg — pyspark binds lambda arity by
+        # signature, so a `_w=wt` third parameter breaks zip_with)
+        return lambda a, b: F.struct(
+            F.least(a, b).alias("w1"),
+            F.greatest(a, b).alias("w2"),
+            F.lit(wt).alias("wt"),
+        )
+
+    arrs = []
+    for d in range(1, int(window) + 1):
+        arrs.append(
+            F.when(
+                n > d,
+                F.zip_with(
+                    F.slice("toks", 1, n - F.lit(d)),
+                    F.slice("toks", F.lit(d + 1), n - F.lit(d)),
+                    _pair_fn(scale // d),
+                ),
+            ).otherwise(F.expr(f"CAST(array() AS {pair_t})"))
+        )
+    pairs = toks_df.select(
+        F.explode(F.flatten(F.array(*arrs))).alias("p")
+    ).select("p.w1", "p.w2", "p.wt")
+    out = pairs.groupBy("w1", "w2").agg(
+        F.sum("wt").cast("bigint").alias("weight_lcm"),
+        F.count("*").cast("bigint").alias("n_pairs"),
+    )
+    return out.orderBy(F.col("weight_lcm").desc(), "w1", "w2").limit(int(k))
