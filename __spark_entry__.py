@@ -4306,6 +4306,59 @@ def q_extraction_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extraction_f1(pairs).orderBy("doc_id")
 
 
+def q_c4_line_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 cleaning rules (operators/c4.py:c4_clean — Raffel et al. 2020
+    §2.2) over deterministically decorated re-lined pages: 6-token lines
+    get a (doc_id+g)%4 punctuation suffix (.,!,none,?), (d+g)%13==7
+    lines become a 2-word line, (d+g)%11==5 lines become a javascript
+    banner; doc_id%19==4 docs gain a `{` line, %23==6 a lorem-ipsum
+    line. Tokenization happens in a PRIOR projection (the HOF-capture
+    contract). The DuckDB oracle rebuilds the identical pages and
+    replays every line/page rule."""
+    from invoice_ocr_reconciler_spark.functions.text import tokens_col
+    from invoice_ocr_reconciler_spark.operators.c4 import c4_clean
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    base_df = docs.select(
+        "doc_id", tokens_col(F.col("text")).alias("toks")
+    )
+    d = F.col("doc_id")
+    toks = F.col("toks")
+    n_groups = F.ceil(F.size(toks) / F.lit(6.0)).cast("int")
+
+    def mk_line(g):
+        base = F.array_join(F.slice(toks, g * 6 + 1, 6), " ")
+        m = (d + g) % 4
+        suffix = (
+            F.when(m == 0, ".").when(m == 1, "!").when(m == 3, "?").otherwise("")
+        )
+        line = F.when(
+            (d + g) % 11 == 5,
+            F.lit("please enable javascript to view this content."),
+        ).otherwise(F.concat(base, suffix))
+        return F.when((d + g) % 13 == 7, F.lit("too short.")).otherwise(line)
+
+    body = F.when(F.size(toks) == 0, F.lit("")).otherwise(
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(0), F.greatest(n_groups - 1, F.lit(0))),
+                mk_line,
+            ),
+            "\n",
+        )
+    )
+    extra = F.concat(
+        F.when(
+            d % 19 == 4, F.lit("\nstray { token appears in this line.")
+        ).otherwise(F.lit("")),
+        F.when(
+            d % 23 == 6, F.lit("\nlorem ipsum dolor sit amet consectetur.")
+        ).otherwise(F.lit("")),
+    )
+    pages = base_df.select("doc_id", F.concat(body, extra).alias("text"))
+    return c4_clean(pages).orderBy("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from invoice_ocr_reconciler_spark.plans import relational as R
 
@@ -4509,6 +4562,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bfs_distance": q_bfs_distance,
         "cooccurrence": q_cooccurrence,
         "extraction_f1": q_extraction_f1,
+        "c4_line_filters": q_c4_line_filters,
         "hard_negatives": q_hard_negatives,
         "vocab_coverage": q_vocab_coverage,
         "oov_top_terms": q_oov_top_terms,
@@ -6967,6 +7021,77 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_pairs
             FROM pairs GROUP BY w1, w2
             ORDER BY weight_lcm DESC, w1, w2 LIMIT 100
+        """,
+        # C4 line/page cleaning: rebuild the decorated re-lined pages
+        # from token positions, then replay every rule (terminal punct,
+        # >=5 words, javascript line, brace/lorem/too-few page drops)
+        "c4_line_filters": r"""
+            WITH t AS (SELECT doc_id,
+                              list_filter(regexp_split_to_array(
+                                  lower(trim(coalesce(text, ''))), '\s+'),
+                                  x -> x <> '') AS toks
+                       FROM documents),
+            tok AS (SELECT doc_id, w,
+                           row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS pos
+                    FROM (SELECT doc_id, unnest(toks) AS w,
+                                 generate_subscripts(toks, 1) AS pos FROM t)),
+            grp AS (SELECT doc_id, CAST((pos - 1) // 6 AS BIGINT) AS g,
+                           string_agg(w, ' ' ORDER BY pos) AS base
+                    FROM tok GROUP BY doc_id, (pos - 1) // 6),
+            lines AS (SELECT doc_id, g,
+                             CASE WHEN (doc_id + g) % 13 = 7 THEN 'too short.'
+                                  WHEN (doc_id + g) % 11 = 5
+                                       THEN 'please enable javascript to view this content.'
+                                  ELSE base || CASE (doc_id + g) % 4
+                                               WHEN 0 THEN '.' WHEN 1 THEN '!'
+                                               WHEN 3 THEN '?' ELSE '' END
+                             END AS line
+                      FROM grp),
+            bodyagg AS (SELECT doc_id,
+                               string_agg(line, chr(10) ORDER BY g) AS body
+                        FROM lines GROUP BY doc_id),
+            pages AS (SELECT d.doc_id,
+                             coalesce(b.body, '')
+                             || CASE WHEN d.doc_id % 19 = 4
+                                     THEN chr(10) || 'stray { token appears in this line.'
+                                     ELSE '' END
+                             || CASE WHEN d.doc_id % 23 = 6
+                                     THEN chr(10) || 'lorem ipsum dolor sit amet consectetur.'
+                                     ELSE '' END AS text
+                      FROM documents d LEFT JOIN bodyagg b ON d.doc_id = b.doc_id),
+            pl AS (SELECT doc_id,
+                          trim(unnest(string_split(text, chr(10)))) AS line,
+                          generate_subscripts(string_split(text, chr(10)), 1) AS lpos
+                   FROM pages),
+            flags AS (SELECT doc_id, line, lpos,
+                             (len(list_filter(regexp_split_to_array(line, '\s+'),
+                                              x -> x <> '')) >= 5
+                              AND regexp_matches(line, '[.!?]["'']?$')
+                              AND NOT contains(lower(line), 'javascript')) AS keep,
+                             line <> '' AS nonempty
+                      FROM pl),
+            cnt AS (SELECT doc_id,
+                           CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS INT) AS n_kept,
+                           CAST(sum(CASE WHEN nonempty THEN 1 ELSE 0 END) AS INT) AS n_total,
+                           string_agg(CASE WHEN keep THEN line END,
+                                      chr(10) ORDER BY lpos) AS text_clean
+                    FROM flags GROUP BY doc_id),
+            res AS (SELECT p.doc_id,
+                           CASE WHEN contains(p.text, '{') THEN 'brace'
+                                WHEN contains(lower(p.text), 'lorem ipsum')
+                                     THEN 'lorem_ipsum'
+                                WHEN coalesce(c.n_kept, 0) < 3
+                                     THEN 'too_few_lines' END AS drop_reason,
+                           coalesce(c.n_kept, 0) AS n_kept,
+                           coalesce(c.n_total, 0) AS n_total,
+                           c.text_clean
+                    FROM pages p LEFT JOIN cnt c ON p.doc_id = c.doc_id)
+            SELECT doc_id, drop_reason IS NULL AS kept, drop_reason,
+                   n_kept AS n_lines_kept,
+                   (n_total - n_kept) AS n_lines_dropped,
+                   CASE WHEN drop_reason IS NULL
+                        THEN coalesce(text_clean, '') END AS text_clean
+            FROM res ORDER BY doc_id
         """,
         # extraction-QA: token-multiset P/R/F1 of the degraded pred
         # (drop last doc_id%3 tokens, prepend 'noise' when doc_id%7==3)

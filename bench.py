@@ -106,6 +106,10 @@ def main() -> None:
         "k_core",               # iterative peel (semi-join rounds)
         "link_predict",         # degree-capped wedge join (integer scores)
         "random_walks",         # DeepWalk corpus (hash-pick steps)
+        "trust_rank",           # seeded PageRank (spam-mass signal)
+        "cooccurrence",         # GloVe window counts (codegen zip_with)
+        "extraction_f1",        # extraction-QA multiset F1 (one shuffle)
+        "c4_line_filters",      # C4 cleaning rules (codegen projection)
         "extract_pages",        # extraction stage alone
         "reconcile",            # full pipeline: extract -> parse -> reconcile
     ]
