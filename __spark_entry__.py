@@ -4306,6 +4306,66 @@ def q_extraction_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extraction_f1(pairs).orderBy("doc_id")
 
 
+def q_hyperball(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperBall neighborhood-function sketch (operators/hyperball.py):
+    3 max-merge rounds of sparse md5-HLL registers over the synthetic
+    link graph; per-node register count, exact integer register sum and
+    raw ball estimate. The DuckDB oracle unrolls the 3 rounds with the
+    identical hash/bitlength/shift algebra — every column value-hashed."""
+    from invoice_ocr_reconciler_spark.operators.hyperball import hyperball
+
+    return hyperball(_link_edges(spark, sf_dir), n_iter=3).orderBy("node")
+
+
+def _hyperball_oracle(n_iter: int = 3) -> str:
+    """Unroll operators/hyperball.py:hyperball as CTEs: same edge
+    synthesis as the pagerank oracle, md5-HLL register init (idx = u60%16,
+    rank = 61 - bitlength(u60)), per-round max-merge, integer s_scaled."""
+    it = []
+    prev = "s0"
+    for j in range(1, n_iter + 1):
+        it.append(f"""
+            s{j} AS (SELECT node, reg_idx, max(reg_val) AS reg_val FROM (
+                        SELECT e.src AS node, s.reg_idx, s.reg_val
+                        FROM edges e JOIN {prev} s ON s.node = e.dst
+                        UNION ALL
+                        SELECT node, reg_idx, reg_val FROM {prev})
+                     GROUP BY node, reg_idx)""")
+        prev = f"s{j}"
+    u = "('0x' || substr(md5('{p}' || CAST(node AS VARCHAR)), 1, 15))::UBIGINT"
+    ui, ur = u.format(p="hbidx:"), u.format(p="hbrank:")
+    return f"""
+        WITH nd AS (SELECT count(*) AS nd FROM documents),
+        edges AS (
+            SELECT doc_id AS src, (doc_id * 7 + 1) % (SELECT nd FROM nd) AS dst
+            FROM documents WHERE doc_id % 5 <> 0
+            UNION ALL
+            SELECT doc_id, (doc_id * 13 + 2) % (SELECT nd FROM nd)
+            FROM documents WHERE doc_id % 5 <> 0
+            UNION ALL
+            SELECT doc_id, CAST(0 AS BIGINT) FROM documents
+            WHERE doc_id % 10 = 3),
+        nodes AS (SELECT DISTINCT src AS node FROM edges
+                  UNION SELECT DISTINCT dst FROM edges),
+        s0 AS (SELECT node,
+                      CAST({ui} % 16 AS INT) AS reg_idx,
+                      CAST(CASE WHEN {ur} = 0 THEN 61
+                                ELSE 61 - length(bin({ur})) END AS INT) AS reg_val
+               FROM nodes),{','.join(it)},
+        agg AS (SELECT node, CAST(count(*) AS INT) AS n_regs,
+                       CAST(sum(CAST(2 ** (30 - least(reg_val, 30)) AS BIGINT))
+                            AS BIGINT) AS s_present
+                FROM {prev} GROUP BY node)
+        SELECT node, n_regs,
+               CAST(16 - n_regs AS BIGINT) * 1073741824 + s_present AS s_scaled,
+               CAST(0.673 AS DOUBLE) * CAST(256.0 AS DOUBLE)
+                 * CAST(1073741824.0 AS DOUBLE)
+                 / (CAST(16 - n_regs AS BIGINT) * 1073741824 + s_present)
+                 AS ball_est
+        FROM agg ORDER BY node
+    """
+
+
 def q_c4_line_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4 cleaning rules (operators/c4.py:c4_clean — Raffel et al. 2020
     §2.2) over deterministically decorated re-lined pages: 6-token lines
@@ -4563,6 +4623,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cooccurrence": q_cooccurrence,
         "extraction_f1": q_extraction_f1,
         "c4_line_filters": q_c4_line_filters,
+        "hyperball": q_hyperball,
         "hard_negatives": q_hard_negatives,
         "vocab_coverage": q_vocab_coverage,
         "oov_top_terms": q_oov_top_terms,
@@ -6977,6 +7038,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pagerank": _pagerank_oracle(3),
         "trust_rank": _trustrank_oracle(3),
+        "hyperball": _hyperball_oracle(3),
         # multi-source BFS: depth-bounded recursive CTE; min(dist) over
         # all <=6-hop walks = the level-synchronous first-discovery depth
         "bfs_distance": """

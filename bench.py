@@ -110,6 +110,7 @@ def main() -> None:
         "cooccurrence",         # GloVe window counts (codegen zip_with)
         "extraction_f1",        # extraction-QA multiset F1 (one shuffle)
         "c4_line_filters",      # C4 cleaning rules (codegen projection)
+        "hyperball",            # HLL ball sketches (3 max-merge rounds)
         "extract_pages",        # extraction stage alone
         "reconcile",            # full pipeline: extract -> parse -> reconcile
     ]

@@ -1,0 +1,114 @@
+"""HyperBall: neighborhood-function estimation over the web graph.
+
+HyperANF / HyperBall (Boldi, Rosa & Vigna, WWW 2011; Boldi & Vigna,
+2013) — THE web-scale algorithm for ball sizes, effective diameter and
+centralities on graphs where exact per-node BFS is impossible: each node
+carries a HyperLogLog sketch of its out-ball; one synchronous round
+max-merges every node's sketch with its successors' sketches, so after t
+rounds the sketch estimates |{w : dist(v,w) <= t}|. Work per round is
+one edge-sized join + a partial-agg max — the same relational shape as
+`pagerank`, with registers instead of mass. (Exact distances from a
+small seed set are `bfs_distance`; this is the all-nodes estimate.)
+
+Engine-portable determinism (no RNG, no platform hash):
+  - the HLL hash is the repo's md5 convention: idx = u60 % m,
+    rank = leading-zeros-within-60-bits + 1 = 61 - bitlength(u60)
+    (u60 = first 15 md5 hex digits — fits BIGINT in both engines; the
+    0-probability u60 == 0 caps at rank 61);
+  - sketches are SPARSE (node, reg_idx, reg_val) rows — absent register
+    = 0, exactly the HLL zero register. Initial state is ONE row per
+    node; rows per node are bounded by m. Max-merge is a groupBy max,
+    which combines map-side — a hub's million in-neighbors collapse
+    inside the scan, never in one reducer row;
+  - the raw estimate alpha_m * m^2 / sum(2^-reg) is made cross-engine
+    exact by summing the registers as the INTEGER s_scaled =
+    (m - n_present) * 2^30 + sum(2^(30 - min(reg, 30))) (powers of two
+    are exact; the 30-cap only matters past 2^30-node balls, far above
+    the raw estimator's useful range) and dividing once at the end.
+
+Raw HLL estimator only (no small/large-range corrections): this is the
+sketch CONTRACT — unit tests pin determinism, monotone growth, and
+saturation, not absolute accuracy (HLL raw error is ~1.04/sqrt(m)).
+m = 16 keeps the oracle compact; production uses m = 2^10..2^14.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+M_REGS = 16
+ALPHA_16 = 0.673  # Flajolet et al. 2007 alpha_m for m=16
+
+
+def _u60(s):
+    """First 15 md5 hex digits -> 60-bit long (engine-portable hash)."""
+    return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+
+
+def hyperball(
+    edges: DataFrame,
+    n_iter: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    m: int = M_REGS,
+    alpha: float = ALPHA_16,
+    truncate_lineage: bool = True,
+) -> DataFrame:
+    """(node, n_regs, s_scaled, ball_est) after ``n_iter`` merge rounds:
+    ball_est estimates |{w : dist(node, w) <= n_iter}| along out-edges
+    (self included — every ball contains its center). Empty edges ->
+    empty result."""
+    src, dst = F.col(src_col), F.col(dst_col)
+    nodes = (
+        edges.select(src.alias("node"))
+        .union(edges.select(dst.alias("node")))
+        .distinct()
+    )
+    nstr = F.col("node").cast("string")
+    r = _u60(F.concat(F.lit("hbrank:"), nstr))
+    sketch = nodes.select(
+        "node",
+        (_u60(F.concat(F.lit("hbidx:"), nstr)) % m).cast("int").alias("reg_idx"),
+        F.when(r == 0, F.lit(61))
+        .otherwise(F.lit(61) - F.length(F.bin(r)))
+        .cast("int")
+        .alias("reg_val"),
+    )
+    if truncate_lineage:
+        sketch = sketch.localCheckpoint(eager=True)
+    nb_edges = edges.select(src.alias("node"), dst.alias("nb"))
+    for _ in range(int(n_iter)):
+        contrib = nb_edges.join(
+            sketch.select(
+                F.col("node").alias("nb"), "reg_idx", "reg_val"
+            ),
+            "nb",
+        ).select("node", "reg_idx", "reg_val")
+        sketch = (
+            contrib.unionByName(sketch)
+            .groupBy("node", "reg_idx")
+            .agg(F.max("reg_val").alias("reg_val"))
+        )
+        if truncate_lineage:
+            sketch = sketch.localCheckpoint(eager=True)
+    term = F.expr("shiftleft(1L, 30 - least(reg_val, 30))")
+    per_node = sketch.groupBy("node").agg(
+        F.count(F.lit(1)).cast("int").alias("n_regs"),
+        F.sum(term).cast("bigint").alias("s_present"),
+    )
+    s_scaled = (
+        (F.lit(m) - F.col("n_regs")).cast("bigint") * F.lit(1073741824)
+        + F.col("s_present")
+    )
+    return per_node.select(
+        "node",
+        "n_regs",
+        s_scaled.alias("s_scaled"),
+        (
+            F.lit(float(alpha))
+            * F.lit(float(m * m))
+            * F.lit(1073741824.0)
+            / s_scaled
+        ).alias("ball_est"),
+    )
