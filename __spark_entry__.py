@@ -7122,7 +7122,8 @@ def oracle_sql() -> dict[str, str]:
                                      ELSE '' END AS text
                       FROM documents d LEFT JOIN bodyagg b ON d.doc_id = b.doc_id),
             pl AS (SELECT doc_id,
-                          trim(unnest(string_split(text, chr(10)))) AS line,
+                          regexp_replace(unnest(string_split(text, chr(10))),
+                                         '^\s+|\s+$', '', 'g') AS line,
                           generate_subscripts(string_split(text, chr(10)), 1) AS lpos
                    FROM pages),
             flags AS (SELECT doc_id, line, lpos,

@@ -63,6 +63,14 @@ def bpe_ish_token_count_col(col: Column) -> Column:
     )
 
 
+def md5_u60(col: Column) -> Column:
+    """First 15 md5 hex digits -> 60-bit non-negative long: the shared
+    engine-portable hash for id/register/pick derivations that need more
+    than 32 bits but must fit BIGINT in both engines (DuckDB replay:
+    ``('0x' || substr(md5(x), 1, 15))::UBIGINT``)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
 def roundn(x: Column, places: int) -> Column:
     """Tie-free floor-half-up rounding: floor(x*10^p + 0.5)/10^p — pure
     double ops, bit-identical across engines (ROUND() tie-breaking is not).

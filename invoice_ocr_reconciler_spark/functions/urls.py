@@ -113,6 +113,19 @@ def domain_suffixes_col(host: Column) -> Column:
     )
 
 
+def page_dir_col(url: Column) -> Column:
+    """Directory base for resolving relative references against a page
+    url: scheme://host/…/ up to the LAST slash of the path, query/
+    fragment dropped. A pathless page url ('https://example.com', no
+    trailing slash) resolves to origin + '/' (the RFC 3986 §5.2.3 merge
+    rule for an empty base path) — a naive last-slash scan over the
+    whole url returns 'https://' there and re-hosts every relative
+    reference onto its own first path segment."""
+    d = F.regexp_extract(url, r"^(?i)(https?://[^/?#]+(?:/[^?#]*)?/)", 1)
+    origin = F.regexp_extract(url, r"^(?i)(https?://[^/?#]+)", 1)
+    return F.when(d != "", d).otherwise(F.concat(origin, F.lit("/")))
+
+
 def extract_links(
     pages, html_col: str = "html", url_col: str = "url"
 ):
@@ -160,8 +173,9 @@ def extract_links(
         F.lit("://"),
         F.regexp_extract(F.col("url"), r"^(?i)https?://([^/?#]+)", 1),
     )
-    # page directory: scheme://host/path/up/to/last/slash (query dropped)
-    dir_ = F.regexp_extract(F.col("url"), r"^([^?#]*/)", 1)
+    # page directory: scheme://host/path/up/to/last/slash (query dropped;
+    # pathless urls fall back to origin + '/', see page_dir_col)
+    dir_ = page_dir_col(F.col("url"))
     resolved = (
         F.when(raw.rlike(r"^(?i)https?://"), raw)
         .when(raw.startswith("//"), F.concat(scheme, F.lit(":"), raw))
@@ -231,7 +245,7 @@ def extract_anchors(
         F.lit("://"),
         F.regexp_extract(F.col("url"), r"^(?i)https?://([^/?#]+)", 1),
     )
-    dir_ = F.regexp_extract(F.col("url"), r"^([^?#]*/)", 1)
+    dir_ = page_dir_col(F.col("url"))
     resolved = (
         F.when(raw.rlike(r"^(?i)https?://"), raw)
         .when(raw.startswith("//"), F.concat(scheme, F.lit(":"), raw))

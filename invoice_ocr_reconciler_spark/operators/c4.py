@@ -55,7 +55,14 @@ def c4_clean(
 ) -> DataFrame:
     """Apply the C4 line + page rules; see module docstring."""
     raw = F.coalesce(F.col(text_col), F.lit(""))
-    trimmed = F.transform(F.split(raw, "\n"), lambda l: F.trim(l))
+    # full \s strip per line, NOT trim(): trim removes only ASCII spaces,
+    # so CRLF input would keep a trailing \r in every cleaned line and a
+    # trailing tab would wrongly fail the terminal-punctuation rule —
+    # the paper's reference implementation strip()s lines
+    trimmed = F.transform(
+        F.split(raw, "\n"),
+        lambda l: F.regexp_replace(l, r"^\s+|\s+$", ""),
+    )
 
     def _line_ok(l):
         words = F.size(F.filter(F.split(l, r"\s+"), lambda t: t != ""))

@@ -52,13 +52,18 @@ def image_caption_pairs(
     """
     html = F.col(html_col).cast("string")
     tags = F.regexp_extract_all(html, F.lit(r"(<img\s[^>]*>)"), 1)
+    # attribute names are boundary-anchored ((?:^|[^\w-])) so lazy-load
+    # markup's data-src / data-alt never shadows or substitutes for the
+    # real attribute (an unanchored src=" also matches INSIDE data-src=")
     parsed = F.transform(
         tags,
         lambda e: F.struct(
-            F.regexp_extract(e, r'src="([^"]*)"', 1).alias("raw"),
+            F.regexp_extract(e, r'(?:^|[^\w-])src="([^"]*)"', 1).alias("raw"),
             F.trim(
                 F.regexp_replace(
-                    F.regexp_extract(e, r'alt="([^"]*)"', 1), r"\s+", " "
+                    F.regexp_extract(e, r'(?:^|[^\w-])alt="([^"]*)"', 1),
+                    r"\s+",
+                    " ",
                 )
             ).alias("caption"),
         ),
@@ -79,7 +84,9 @@ def image_caption_pairs(
         F.lit("://"),
         F.regexp_extract(F.col("url"), r"^(?i)https?://([^/?#]+)", 1),
     )
-    dir_ = F.regexp_extract(F.col("url"), r"^([^?#]*/)", 1)
+    from invoice_ocr_reconciler_spark.functions.urls import page_dir_col
+
+    dir_ = page_dir_col(F.col("url"))
     resolved = (
         F.when(raw.rlike(r"^(?i)https?://"), raw)
         .when(raw.startswith("//"), F.concat(scheme, F.lit(":"), raw))

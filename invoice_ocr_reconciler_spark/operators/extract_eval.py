@@ -45,8 +45,12 @@ def extraction_f1(
     pred_col: str = "pred_text",
     gold_col: str = "gold_text",
 ) -> DataFrame:
-    """One row per input row: (id, n_pred, n_gold, n_inter, precision,
-    recall, f1). NULL metric where its denominator is 0."""
+    """One row per DISTINCT id: (id, n_pred, n_gold, n_inter, precision,
+    recall, f1). NULL metric where its denominator is 0. ``pairs`` is
+    expected keyed by `id_col`; if duplicate ids do arrive, their token
+    multisets pool into ONE output row for that id (never duplicated
+    spine rows carrying merged counts — that would double-count in the
+    summary rollup)."""
     idc = F.col(id_col)
     pred = pairs.select(
         idc, F.explode(tokens_col(F.col(pred_col))).alias("tok")
@@ -67,7 +71,7 @@ def extraction_f1(
         F.sum("cg").cast("bigint").alias("n_gold"),
         F.sum(F.least("cp", "cg")).cast("bigint").alias("n_inter"),
     )
-    spine = pairs.select(idc)
+    spine = pairs.select(idc).distinct()
     out = spine.join(per_doc, id_col, "left").select(
         idc,
         F.coalesce("n_pred", F.lit(0)).cast("bigint").alias("n_pred"),

@@ -505,8 +505,7 @@ def mirror_clusters(
         connected_components,
     )
 
-    def hid(c: Column) -> Column:
-        return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+    from invoice_ocr_reconciler_spark.functions.text import md5_u60 as hid
 
     e = pairs.filter(F.col("mirror_score") >= min_score)
     edges = e.select(

@@ -37,13 +37,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from invoice_ocr_reconciler_spark.functions.text import md5_u60 as _u60
+
 M_REGS = 16
 ALPHA_16 = 0.673  # Flajolet et al. 2007 alpha_m for m=16
-
-
-def _u60(s):
-    """First 15 md5 hex digits -> 60-bit long (engine-portable hash)."""
-    return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
 
 
 def hyperball(
@@ -52,13 +49,20 @@ def hyperball(
     src_col: str = "src",
     dst_col: str = "dst",
     m: int = M_REGS,
-    alpha: float = ALPHA_16,
+    alpha: float | None = None,
     truncate_lineage: bool = True,
 ) -> DataFrame:
     """(node, n_regs, s_scaled, ball_est) after ``n_iter`` merge rounds:
     ball_est estimates |{w : dist(node, w) <= n_iter}| along out-edges
     (self included — every ball contains its center). Empty edges ->
-    empty result."""
+    empty result. ``alpha=None`` derives the HLL bias constant from m
+    (Flajolet et al. 2007: 0.673/0.697/0.709 for m=16/32/64, else
+    0.7213/(1+1.079/m)) so overriding m alone never silently pairs a
+    big register file with the m=16 constant."""
+    if alpha is None:
+        alpha = {16: ALPHA_16, 32: 0.697, 64: 0.709}.get(
+            int(m), 0.7213 / (1 + 1.079 / int(m))
+        )
     src, dst = F.col(src_col), F.col(dst_col)
     nodes = (
         edges.select(src.alias("node"))

@@ -64,20 +64,13 @@ def fit_pq_codebooks(
     argmin ties to the lowest index, an emptied centroid keeps its
     previous position. Empty corpus -> (0, 0, 0) array.
     """
-    n = vectors.count()
-    if n == 0:
-        return np.zeros((0, 0, 0), dtype=np.float64)
-    mod = 1_000_000
-    keep = min(mod, int(mod * min(1.0, 3.0 * sample_cap / n)) + 1)
-    h = F.pmod(F.xxhash64(F.col(id_col)), F.lit(mod))
-    rows = (
-        vectors.select(id_col, vec_col)
-        .filter(h < keep)
-        .orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
-        .limit(sample_cap)
-        .collect()
+    from invoice_ocr_reconciler_spark.operators.similarity import (
+        deterministic_sample_matrix,
     )
-    mat = np.array([np.asarray(r[vec_col], dtype=np.float64) for r in rows])
+
+    mat = deterministic_sample_matrix(vectors, sample_cap, id_col, vec_col)
+    if mat.size == 0:
+        return np.zeros((0, 0, 0), dtype=np.float64)
     d = mat.shape[1]
     if d % m != 0:
         raise ValueError(f"dim {d} not divisible by m={m}")

@@ -418,6 +418,37 @@ IVF_ASSIGN_SCHEMA = T.StructType(
 )
 
 
+def deterministic_sample_matrix(
+    vectors: DataFrame,
+    sample_cap: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """THE shared driver-side fit sample (fit_ivf_centroids, pq codebook
+    fit): a deterministic xxhash64(id) keep-filter retains ~3x
+    sample_cap rows (unbiased — the round-1 smallest-ids sample was
+    biased and needed a full corpus sort; Chernoff makes < sample_cap
+    survivors vanishingly unlikely for n >> cap, and for n <= 3*cap the
+    filter keeps everything), then a top-K by (hash, id) — a distributed
+    TakeOrdered over the filtered sliver, not a global sort — pins the
+    exact sample. Returns a float64 matrix, shape (0, 0) on an empty
+    corpus. One count job + one TakeOrdered job."""
+    n = vectors.count()
+    if n == 0:
+        return np.zeros((0, 0), dtype=np.float64)
+    mod = 1_000_000
+    keep = min(mod, int(mod * min(1.0, 3.0 * sample_cap / n)) + 1)
+    h = F.pmod(F.xxhash64(F.col(id_col)), F.lit(mod))
+    rows = (
+        vectors.select(id_col, vec_col)
+        .filter(h < keep)
+        .orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
+        .limit(sample_cap)
+        .collect()
+    )
+    return np.array([np.asarray(r[vec_col], dtype=np.float64) for r in rows])
+
+
 def fit_ivf_centroids(
     vectors: DataFrame,
     n_centroids: int = 16,
@@ -442,22 +473,9 @@ def fit_ivf_centroids(
     filtered sliver, not a global sort) pins the exact sample. An empty
     corpus returns an empty (0, 0) centroid array instead of crashing.
     """
-    n = vectors.count()
-    if n == 0:
+    mat = deterministic_sample_matrix(vectors, sample_cap, id_col, vec_col)
+    if mat.size == 0:
         return np.zeros((0, 0), dtype=np.float64)
-    # keep-probability 3x the cap: Chernoff makes < sample_cap survivors
-    # vanishingly unlikely for n >> cap; for n <= 3*cap the filter keeps all
-    mod = 1_000_000
-    keep = min(mod, int(mod * min(1.0, 3.0 * sample_cap / n)) + 1)
-    h = F.pmod(F.xxhash64(F.col(id_col)), F.lit(mod))
-    rows = (
-        vectors.select(id_col, vec_col)
-        .filter(h < keep)
-        .orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
-        .limit(sample_cap)
-        .collect()
-    )
-    mat = np.array([np.asarray(r[vec_col], dtype=np.float64) for r in rows])
     mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
     k = min(n_centroids, len(mat))
     cent = mat[:k].copy()

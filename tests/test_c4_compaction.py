@@ -119,3 +119,77 @@ def test_compact_table_partitioned_untouched_dirs(spark, tmp_path):
     assert sorted(res["rewritten_dirs"]) == ["part=0", "part=1"]
     after = spark.read.parquet(p).orderBy("id").collect()
     assert before == after  # partition column survives the rewrite
+
+
+def test_c4_crlf_and_tab_whitespace(spark):
+    # CRLF endings and a trailing tab must be stripped like the paper's
+    # strip(), not survive trim()'s ASCII-space-only semantics
+    text = (
+        "a good line with five words.\r\n"
+        "another good line ends with tab here.\t\r\n"
+        "third fine line has enough words!\r"
+    )
+    r = c4_clean(_docs(spark, [(1, text)]), min_kept_lines=3).collect()[0]
+    assert r["kept"] and r["n_lines_kept"] == 3
+    assert "\r" not in r["text_clean"] and "\t" not in r["text_clean"]
+
+
+def test_compact_table_nested_dirs_are_left_alone(spark, tmp_path):
+    # a dir holding BOTH files and a data-bearing subdir must not be
+    # rewritten (partition discovery would suck the child into it)
+    p = str(tmp_path / "t5")
+    spark.range(50).repartition(4).write.mode("overwrite").parquet(p)
+    spark.range(50, 80).repartition(3).write.mode("overwrite").parquet(
+        p + "/child"
+    )
+    before_child = spark.read.parquet(p + "/child").orderBy("id").collect()
+    res = compact_table(spark, p, target_bytes=1 << 30)
+    assert "" in res["skipped_dirs"]  # root is non-leaf now
+    assert res["rewritten_dirs"] == ["child"]
+    assert spark.read.parquet(p + "/child").orderBy("id").collect() == before_child
+
+
+def test_compaction_ignores_spark_internal_dirs(spark, tmp_path):
+    p = str(tmp_path / "t6")
+    _write_fragmented(spark, p, parts=3)
+    os.makedirs(p + "/_temporary/0", exist_ok=True)
+    junk = os.path.join(p, "_temporary", "0", "part-junk.parquet")
+    with open(junk, "wb") as fh:
+        fh.write(b"not parquet")
+    plan = plan_compaction(spark, p, target_bytes=1 << 30).collect()
+    assert all("_temporary" not in r["partition_dir"] for r in plan)
+    res = compact_table(spark, p, target_bytes=1 << 30)
+    assert res["rewritten_dirs"] == [""]
+    assert os.path.exists(junk)  # internal dir untouched
+    assert spark.read.parquet(p).count() == 400
+
+
+def test_compact_table_recovers_interrupted_swap(spark, tmp_path):
+    # simulate a crash between swap-out and swap-in: the partition dir is
+    # missing and only the hidden old dir exists -> next run restores it
+    p = str(tmp_path / "t7")
+    df = spark.range(100).selectExpr("id", "CAST(id % 2 AS INT) AS part")
+    df.repartition(4).write.partitionBy("part").mode("overwrite").parquet(p)
+    before = spark.read.parquet(p).orderBy("id").collect()
+    os.replace(
+        os.path.join(p, "part=0"), os.path.join(p, ".part=0.__cold_deadbeef")
+    )
+    res = compact_table(spark, p, target_bytes=1 << 30)
+    assert res["recovered_dirs"] == ["part=0"]
+    assert sorted(res["rewritten_dirs"]) == ["part=0", "part=1"]
+    assert spark.read.parquet(p).orderBy("id").collect() == before
+
+
+def test_compact_table_cleans_dead_temps_and_leftover_old(spark, tmp_path):
+    p = str(tmp_path / "t8")
+    _write_fragmented(spark, p, parts=4, rows=100)
+    before = spark.read.parquet(p).orderBy("id").collect()
+    # dead temp (crash mid-write) + leftover old (crash before rmtree,
+    # swap completed: visible target exists)
+    os.makedirs(os.path.join(tmp_path, ".t8.__ctmp_aaaa"), exist_ok=True)
+    spark.range(5).write.parquet(str(tmp_path / ".t8.__cold_bbbb"))
+    res = compact_table(spark, p, target_bytes=1 << 30)
+    assert res["recovered_dirs"] == []
+    assert not os.path.exists(str(tmp_path / ".t8.__ctmp_aaaa"))
+    assert not os.path.exists(str(tmp_path / ".t8.__cold_bbbb"))
+    assert spark.read.parquet(p).orderBy("id").collect() == before

@@ -162,3 +162,21 @@ def test_extraction_f1_summary_micro(spark):
     s = extraction_f1_summary(extraction_f1(pairs)).collect()[0]
     assert (s["n_docs"], s["t_pred"], s["t_gold"], s["t_inter"]) == (2, 3, 3, 2)
     assert s["micro_f1"] == 2 * 2 / 6
+
+
+def test_extraction_f1_duplicate_ids_pool_to_one_row(spark):
+    from invoice_ocr_reconciler_spark.operators.extract_eval import (
+        extraction_f1,
+        extraction_f1_summary,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, "a b", "a b"), (1, "c", "c"), (2, "x", "x")],
+        "doc_id long, pred_text string, gold_text string",
+    )
+    rows = extraction_f1(pairs).collect()
+    assert len(rows) == 2  # one row per DISTINCT id, counts pooled
+    r1 = {r["doc_id"]: r for r in rows}[1]
+    assert (r1["n_pred"], r1["n_gold"], r1["n_inter"]) == (3, 3, 3)
+    s = extraction_f1_summary(extraction_f1(pairs)).collect()[0]
+    assert s["n_docs"] == 2 and s["t_pred"] == 4

@@ -247,3 +247,37 @@ def test_image_caption_pairs_attribute_order_and_lengths(spark):
     assert len(out) == 1
     assert out[0]["caption"] == "alt before source works"
     assert out[0]["img_pos"] == 1  # position among ALL imgs, pre-filter
+
+
+def test_image_caption_pairs_lazyload_and_pathless_url(spark):
+    from invoice_ocr_reconciler_spark.operators.captions import (
+        image_caption_pairs,
+    )
+
+    rows = [
+        # data-src must not shadow the real src (or fake one when absent)
+        ("https://a.example/p/",
+         b'<img data-src="lazy.jpg" src="/real.jpg" alt="a sunny beach photo">'
+         b'<img data-src="only-lazy.jpg" alt="lazy only image here">'),
+        # pathless page url: relative src resolves to origin + '/'
+        ("https://bare.example",
+         b'<img src="logo.png" alt="company logo in header">'),
+    ]
+    df = spark.createDataFrame(rows, "url string, html binary")
+    got = {(r["url"], r["img_pos"]): r["img_url"]
+           for r in image_caption_pairs(df).collect()}
+    assert got[("https://a.example/p/", 1)] == "https://a.example/real.jpg"
+    assert ("https://a.example/p/", 2) not in got  # no real src -> dropped
+    assert got[("https://bare.example", 1)] == "https://bare.example/logo.png"
+
+
+def test_extract_links_pathless_page_url(spark):
+    from invoice_ocr_reconciler_spark.functions.urls import extract_links
+
+    df = spark.createDataFrame(
+        [("https://bare.example", b'<a href="about.html">about</a>')],
+        "url string, html binary",
+    )
+    assert extract_links(df).collect()[0]["link"] == (
+        "https://bare.example/about.html"
+    )
