@@ -7071,9 +7071,10 @@ def oracle_sql() -> dict[str, str]:
                        FROM documents),
             tok0 AS (SELECT doc_id, unnest(toks) AS w,
                             generate_subscripts(toks, 1) AS pos FROM t),
-            tok AS (SELECT doc_id, w,
-                           row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS pos
-                    FROM tok0 WHERE w <> ''),
+            tok1 AS (SELECT doc_id, w,
+                            row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS pos
+                     FROM tok0 WHERE w <> ''),
+            tok AS (SELECT * FROM tok1 WHERE pos <= 100000),
             pairs AS (SELECT least(a.w, b.w) AS w1, greatest(a.w, b.w) AS w2,
                              12 // (b.pos - a.pos) AS wt
                       FROM tok a JOIN tok b

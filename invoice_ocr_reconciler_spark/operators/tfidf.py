@@ -682,6 +682,7 @@ def cooccurrence(
     k: int = 100,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_tokens: int = 100_000,
 ) -> DataFrame:
     """Windowed token co-occurrence counts with harmonic distance
     weighting — the GloVe corpus statistic (Pennington, Socher & Manning,
@@ -705,10 +706,20 @@ def cooccurrence(
     stopword pairs are absorbed by the combiners, not a skewed join.
     Top-k ordering is (weight_lcm DESC, w1, w2) — a strict total order,
     deterministic under any partitioning.
+
+    ``max_tokens`` caps the per-document token count BEFORE pair
+    generation: the flattened pair array materializes window*n structs
+    per row, so one pathological 10^7-token page would otherwise build
+    a multi-GB single-row array inside the scan task. Gopher-length
+    docs sit far below the default cap; set it above the corpus
+    maximum when exact full-document counts matter.
     """
     scale = math.lcm(*range(1, int(window) + 1))
     toks_df = docs.select(
-        F.col(id_col), tokens_col(F.col(text_col)).alias("toks")
+        F.col(id_col),
+        F.slice(
+            tokens_col(F.col(text_col)), 1, int(max_tokens)
+        ).alias("toks"),
     )
     n = F.size("toks")
     pair_t = "array<struct<w1:string,w2:string,wt:int>>"

@@ -180,3 +180,15 @@ def test_extraction_f1_duplicate_ids_pool_to_one_row(spark):
     assert (r1["n_pred"], r1["n_gold"], r1["n_inter"]) == (3, 3, 3)
     s = extraction_f1_summary(extraction_f1(pairs)).collect()[0]
     assert s["n_docs"] == 2 and s["t_pred"] == 4
+
+
+def test_cooccurrence_max_tokens_cap(spark):
+    from invoice_ocr_reconciler_spark.operators.tfidf import cooccurrence
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f")], "doc_id long, text string"
+    )
+    # cap at 3 tokens: only pairs within "a b c" survive
+    rows = {(r["w1"], r["w2"]) for r in
+            cooccurrence(docs, max_tokens=3).collect()}
+    assert rows == {("a", "b"), ("b", "c"), ("a", "c")}
