@@ -4317,6 +4317,48 @@ def q_hyperball(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hyperball(_link_edges(spark, sf_dir), n_iter=3).orderBy("node")
 
 
+def q_hyperball_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperANF neighborhood-function curve (operators/hyperball.py:
+    hyperball_curve): one row per round t=0..3 with exact integer
+    register aggregates — total_s_scaled decreases as balls grow; the
+    curve's flattening point estimates the effective diameter. Oracle
+    aggregates the same unrolled rounds per t."""
+    from invoice_ocr_reconciler_spark.operators.hyperball import hyperball_curve
+
+    return hyperball_curve(_link_edges(spark, sf_dir), n_iter=3).orderBy("t")
+
+
+def _hyperball_curve_oracle(n_iter: int = 3) -> str:
+    """Per-round integer aggregates over the same unrolled merge rounds
+    as _hyperball_oracle."""
+    aggs = []
+    sels = []
+    for t in range(0, n_iter + 1):
+        aggs.append(f"""
+            a{t} AS (SELECT CAST({t} AS INT) AS t,
+                            CAST(count(DISTINCT node) AS BIGINT) AS n_nodes,
+                            CAST(count(*) AS BIGINT) AS total_regs,
+                            CAST(count(DISTINCT node) * 16 * 1073741824
+                                 - count(*) * 1073741824
+                                 + coalesce(sum(CAST(2 ** (30 - least(reg_val, 30))
+                                                     AS BIGINT)), 0)
+                                 AS BIGINT) AS total_s_scaled
+                     FROM s{t})""")
+        sels.append(f"SELECT * FROM a{t}")
+    body = _hyperball_oracle(n_iter)
+    # splice: reuse the round CTEs, replace the per-node tail with the
+    # per-round aggregate union
+    prefix = body.split("agg AS")[0].rstrip().rstrip(",")
+    return (
+        prefix
+        + ","
+        + ",".join(aggs)
+        + " "
+        + " UNION ALL ".join(sels)
+        + " ORDER BY t"
+    )
+
+
 def _hyperball_oracle(n_iter: int = 3) -> str:
     """Unroll operators/hyperball.py:hyperball as CTEs: same edge
     synthesis as the pagerank oracle, md5-HLL register init (idx = u60%16,
@@ -4624,6 +4666,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extraction_f1": q_extraction_f1,
         "c4_line_filters": q_c4_line_filters,
         "hyperball": q_hyperball,
+        "hyperball_curve": q_hyperball_curve,
         "hard_negatives": q_hard_negatives,
         "vocab_coverage": q_vocab_coverage,
         "oov_top_terms": q_oov_top_terms,
@@ -7039,6 +7082,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank": _pagerank_oracle(3),
         "trust_rank": _trustrank_oracle(3),
         "hyperball": _hyperball_oracle(3),
+        "hyperball_curve": _hyperball_curve_oracle(3),
         # multi-source BFS: depth-bounded recursive CTE; min(dist) over
         # all <=6-hop walks = the level-synchronous first-discovery depth
         "bfs_distance": """

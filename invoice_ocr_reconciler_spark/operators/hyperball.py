@@ -64,53 +64,11 @@ def hyperball(
         alpha = {16: ALPHA_16, 32: 0.697, 64: 0.709}.get(
             int(m), 0.7213 / (1 + 1.079 / int(m))
         )
-    src, dst = F.col(src_col), F.col(dst_col)
-    nodes = (
-        edges.select(src.alias("node"))
-        .union(edges.select(dst.alias("node")))
-        .distinct()
-    )
-    nstr = F.col("node").cast("string")
-    r = _u60(F.concat(F.lit("hbrank:"), nstr))
-    sketch = nodes.select(
-        "node",
-        (_u60(F.concat(F.lit("hbidx:"), nstr)) % m).cast("int").alias("reg_idx"),
-        F.when(r == 0, F.lit(61))
-        .otherwise(F.lit(61) - F.length(F.bin(r)))
-        .cast("int")
-        .alias("reg_val"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    # each round reads the previous sketch TWICE (join side + union
-    # side), so without materialization the plan tree doubles per round
-    # (2^n_iter leaf scans). A LAZY persist breaks the double-reference
-    # while keeping the whole run ONE job — measured on a 4M-node graph
-    # at 2->8 cores: persist 123s->32s (0.947 scaling efficiency) vs
-    # per-round eager localCheckpoint 163s->77s (0.53; the eager RDD
-    # materialization serializes every round into a scheduling barrier).
-    # localCheckpoint is kept only as a periodic lineage cut for DEEP
-    # runs; persisted prior rounds are released at each cut.
-    checkpoint_every = 8
-    persisted = [sketch]
-    nb_edges = edges.select(src.alias("node"), dst.alias("nb"))
-    for it in range(1, int(n_iter) + 1):
-        contrib = nb_edges.join(
-            sketch.select(
-                F.col("node").alias("nb"), "reg_idx", "reg_val"
-            ),
-            "nb",
-        ).select("node", "reg_idx", "reg_val")
-        sketch = (
-            contrib.unionByName(sketch)
-            .groupBy("node", "reg_idx")
-            .agg(F.max("reg_val").alias("reg_val"))
-            .persist(StorageLevel.MEMORY_AND_DISK)
-        )
-        persisted.append(sketch)
-        if truncate_lineage and it % checkpoint_every == 0:
-            sketch = sketch.localCheckpoint(eager=True)
-            for df in persisted:
-                df.unpersist()
-            persisted = []
+    sketch = None
+    for sketch, _it in _rounds(
+        edges, n_iter, src_col, dst_col, m, truncate_lineage
+    ):
+        pass
     term = F.expr("shiftleft(1L, 30 - least(reg_val, 30))")
     per_node = sketch.groupBy("node").agg(
         F.count(F.lit(1)).cast("int").alias("n_regs"),
@@ -130,4 +88,106 @@ def hyperball(
             * F.lit(1073741824.0)
             / s_scaled
         ).alias("ball_est"),
+    )
+
+
+def _rounds(edges, n_iter, src_col, dst_col, m, truncate_lineage):
+    """Yield (sketch, t) for t = 0..n_iter — the shared merge engine.
+
+    Each round reads the previous sketch TWICE (join side + union side),
+    so without materialization the plan tree doubles per round
+    (2^n_iter leaf scans). A LAZY persist breaks the double-reference
+    while keeping the whole run ONE job — measured on a 4M-node graph
+    at 2->8 cores: persist 117s->31s (0.937 scaling efficiency) vs
+    per-round eager localCheckpoint 163s->77s (0.53; the eager RDD
+    materialization serializes every round into a scheduling barrier).
+    localCheckpoint is kept only as a periodic lineage cut for DEEP
+    runs; persisted prior rounds are released at each cut.
+    """
+    src, dst = F.col(src_col), F.col(dst_col)
+    nodes = (
+        edges.select(src.alias("node"))
+        .union(edges.select(dst.alias("node")))
+        .distinct()
+    )
+    nstr = F.col("node").cast("string")
+    r = _u60(F.concat(F.lit("hbrank:"), nstr))
+    sketch = nodes.select(
+        "node",
+        (_u60(F.concat(F.lit("hbidx:"), nstr)) % m).cast("int").alias("reg_idx"),
+        F.when(r == 0, F.lit(61))
+        .otherwise(F.lit(61) - F.length(F.bin(r)))
+        .cast("int")
+        .alias("reg_val"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    checkpoint_every = 8
+    persisted = [sketch]
+    nb_edges = edges.select(src.alias("node"), dst.alias("nb"))
+    yield sketch, 0
+    for it in range(1, int(n_iter) + 1):
+        contrib = nb_edges.join(
+            sketch.select(
+                F.col("node").alias("nb"), "reg_idx", "reg_val"
+            ),
+            "nb",
+        ).select("node", "reg_idx", "reg_val")
+        sketch = (
+            contrib.unionByName(sketch)
+            .groupBy("node", "reg_idx")
+            .agg(F.max("reg_val").alias("reg_val"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        persisted.append(sketch)
+        if truncate_lineage and it % checkpoint_every == 0:
+            sketch = sketch.localCheckpoint(eager=True)
+            for df in persisted:
+                df.unpersist()
+            persisted = []
+        yield sketch, it
+
+
+def hyperball_curve(
+    edges: DataFrame,
+    n_iter: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    m: int = M_REGS,
+    truncate_lineage: bool = True,
+) -> DataFrame:
+    """HyperANF's headline output — the neighborhood function N(t) as a
+    (n_iter+1)-row curve of EXACT INTEGER register aggregates:
+
+      (t, n_nodes, total_regs, total_s_scaled)
+
+    total_s_scaled = sum over nodes of the per-node integer register sum
+    (= n_nodes*m*2^30 - total_regs*2^30 + sum over rows of the shifted
+    register term — computed row-level, no per-node groupBy needed). It
+    DECREASES monotonically as balls grow, so the curve's shape is the
+    neighborhood function's: effective-diameter estimation reads the t
+    where it flattens. Integer outputs keep the whole curve value-hash
+    stable cross-engine (a float N(t) would sum estimator doubles in
+    engine-dependent order).
+
+    One driver-collected row per round — the convergence-check pattern:
+    each round's persisted sketch is materialized by its own 1-row agg
+    and then REUSED by the next round's join, so the per-round actions
+    add no recompute over a single-action run.
+    """
+    rows = []
+    term = F.expr("shiftleft(1L, 30 - least(reg_val, 30))")
+    for sketch, t in _rounds(
+        edges, n_iter, src_col, dst_col, m, truncate_lineage
+    ):
+        agg = sketch.agg(
+            F.countDistinct("node").cast("bigint").alias("n"),
+            F.count(F.lit(1)).cast("bigint").alias("r"),
+            F.coalesce(F.sum(term), F.lit(0)).cast("bigint").alias("p"),
+        ).collect()[0]
+        n, nr, p = int(agg["n"]), int(agg["r"]), int(agg["p"])
+        rows.append(
+            (t, n, nr, n * m * 1073741824 - nr * 1073741824 + p)
+        )
+    return edges.sparkSession.createDataFrame(
+        rows,
+        "t int, n_nodes bigint, total_regs bigint, total_s_scaled bigint",
     )

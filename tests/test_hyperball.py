@@ -56,3 +56,35 @@ def test_hyperball_partition_invariance(spark):
 def test_hyperball_empty_edges(spark):
     e = _edges(spark, []).filter(F.lit(False))
     assert hyperball(e).count() == 0
+
+
+def test_hyperball_curve_monotone_and_consistent(spark):
+    from invoice_ocr_reconciler_spark.operators.hyperball import (
+        hyperball,
+        hyperball_curve,
+    )
+    from pyspark.sql import functions as F
+
+    e = _chain(spark, 12)
+    curve = {r["t"]: r for r in hyperball_curve(e, n_iter=3).collect()}
+    assert sorted(curve) == [0, 1, 2, 3]
+    assert all(r["n_nodes"] == 12 for r in curve.values())
+    # register sum decreases (balls grow), register count increases
+    assert curve[0]["total_s_scaled"] > curve[3]["total_s_scaled"]
+    assert curve[0]["total_regs"] <= curve[3]["total_regs"]
+    # final-round totals agree with the per-node frame
+    per = hyperball(e, n_iter=3).agg(
+        F.sum("n_regs").alias("r"), F.sum("s_scaled").alias("s")
+    ).collect()[0]
+    assert curve[3]["total_regs"] == per["r"]
+    assert curve[3]["total_s_scaled"] == per["s"]
+
+
+def test_hyperball_curve_empty(spark):
+    from pyspark.sql import functions as F
+    from invoice_ocr_reconciler_spark.operators.hyperball import hyperball_curve
+
+    e = _edges(spark, []).filter(F.lit(False))
+    rows = hyperball_curve(e, n_iter=2).collect()
+    assert [r["n_nodes"] for r in rows] == [0, 0, 0]
+    assert all(r["total_s_scaled"] == 0 for r in rows)

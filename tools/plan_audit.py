@@ -60,7 +60,7 @@ PURE_CODEGEN_QUERIES = [
     "k_core", "link_predict", "phrase_search", "prf_expand",
     "takedown_closure", "heaps_fit", "random_walks", "degree_histogram",
     "trust_rank", "bfs_distance", "cooccurrence", "extraction_f1",
-    "c4_line_filters", "hyperball",
+    "c4_line_filters", "hyperball", "hyperball_curve",
 ]
 # NOT listed although their OPERATORS are pure codegen: queries whose
 # INPUT synthesis is datagen.pages_from_documents (a mapInPandas page
