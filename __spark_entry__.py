@@ -4461,6 +4461,168 @@ def q_c4_line_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c4_clean(pages).orderBy("doc_id")
 
 
+# a fixed 24-token passage embedded into 1/5 of documents so the EXACT
+# substring operators have guaranteed cross-document verbatim runs at
+# min_len=16 (the word-salad corpus repeats 8-grams naturally, 16-grams
+# rarely); both engines apply the identical md5 rule + concat
+_EXACT_BOILER = (
+    "all rights reserved this material may not be published broadcast "
+    "rewritten or redistributed in any form without the prior written "
+    "consent of the publisher"
+)
+
+
+def _docs_with_boiler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from invoice_ocr_reconciler_spark.functions.text import md5_u60
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rule = md5_u60(F.col("doc_id").cast("string")) % 5 == 0
+    return docs.select(
+        "doc_id",
+        F.when(
+            rule,
+            F.concat(
+                F.coalesce(F.col("text"), F.lit("")),
+                F.lit(" " + _EXACT_BOILER),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+
+
+def q_exact_span_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT duplicated-window profile (operators/suffix.py): prefix-
+    doubling fingerprints of EVERY 16-token window, probability-1 recall.
+    The DuckDB oracle groups by RAW window text — an independent,
+    collision-free method that must agree with the md5-doubling keys."""
+    from invoice_ocr_reconciler_spark.operators.suffix import (
+        exact_span_profile,
+    )
+
+    return exact_span_profile(_docs_with_boiler(spark, sf_dir), min_len=16)
+
+
+def q_remove_exact_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr cut with exact recall (operators/suffix.py:
+    remove_exact_spans): every token covered by a cross-document verbatim
+    16-token window is removed. DuckDB replays windows as raw text,
+    coverage, and the raw-case rebuild."""
+    from invoice_ocr_reconciler_spark.operators.suffix import (
+        remove_exact_spans,
+    )
+
+    return remove_exact_spans(_docs_with_boiler(spark, sf_dir), min_len=16)
+
+
+def q_justext_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """justext-style two-pass block classification (extraction/justext.py)
+    over token-window segments (operators/chunking.py): integer-fraction
+    density thresholds + IGNORE-NULLS window neighbor propagation, all
+    codegen. 1/7 of documents get a URL-stuffed head segment (md5 rule)
+    so the link-density branch and the bad->good transitions are
+    exercised; DuckDB replays segmentation, features, the CASE chain,
+    and both windows."""
+    from invoice_ocr_reconciler_spark.extraction.justext import (
+        justext_classify,
+    )
+    from invoice_ocr_reconciler_spark.functions.text import md5_u60
+    from invoice_ocr_reconciler_spark.operators.chunking import (
+        chunk_documents,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rule = md5_u60(F.col("doc_id").cast("string")) % 7 == 0
+    spiked = docs.select(
+        "doc_id",
+        F.when(
+            rule,
+            F.concat(
+                F.lit(
+                    "see http://spam.example/aaa http://spam.example/bbb "
+                ),
+                F.coalesce(F.col("text"), F.lit("")),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    segs = chunk_documents(spiked, window=12, stride=12)
+    out = justext_classify(
+        segs, id_col="doc_id", idx_col="chunk_id", text_col="chunk_text"
+    )
+    return out.select(
+        "doc_id",
+        "chunk_id",
+        "n_chars",
+        "n_tokens",
+        "n_stop",
+        "link_chars",
+        "cf_class",
+        "final_class",
+    )
+
+
+def q_extractor_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extractor A/B table (extraction/justext.py:compare_extractors):
+    corpus micro-P/R/F1 of the density extractor vs the justext policy
+    against the extraction-identity gold subset. Rows-only (HTML parsing
+    is not SQL-expressible); the density row is the byte-identity canary
+    — micro_f1 must be exactly 1.0 there, pinned by pytest."""
+    from invoice_ocr_reconciler_spark import datagen
+    from invoice_ocr_reconciler_spark.extraction.justext import (
+        compare_extractors,
+    )
+    from invoice_ocr_reconciler_spark.functions.text import roundn
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        (F.col("doc_id") % 10 == 6) | (F.col("doc_id") % 10 == 8)
+    )
+    pages = datagen.pages_from_documents(docs)
+    url = F.concat(
+        F.lit("https://"),
+        _datagen_host_expr(),
+        F.format_string("/doc/%012d.html", F.col("doc_id")),
+    )
+    gold = docs.select(url.alias("url"), F.col("text").alias("gold_text"))
+    return compare_extractors(pages, gold).select(
+        "extractor",
+        "n_docs",
+        "t_pred",
+        "t_gold",
+        "t_inter",
+        roundn(F.col("micro_precision"), 8).alias("micro_precision"),
+        roundn(F.col("micro_recall"), 8).alias("micro_recall"),
+        roundn(F.col("micro_f1"), 8).alias("micro_f1"),
+    )
+
+
+def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd k-means (operators/kmeans.py): k=4, 2 full-corpus
+    update rounds, integer-quantized distances and integer-grid centroid
+    sums — so DuckDB replays BOTH rounds and the final assignment
+    value-exactly (unrolled CTEs, the trust_rank convention)."""
+    from invoice_ocr_reconciler_spark.operators.kmeans import kmeans_assign
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return kmeans_assign(emb, k=4, dim=64, n_iter=2)
+
+
+def q_sketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable log-bucket quantile sketch (operators/qsketch.py) over
+    documents.n_chars: binary-length exponent buckets, all-integer
+    bounds and nearest-ranks — DuckDB replays the bucket table, the
+    cumulative walk, and the estimates exactly."""
+    from invoice_ocr_reconciler_spark.operators.qsketch import (
+        quantile_sketch,
+        sketch_quantiles,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sk = quantile_sketch(docs, "n_chars")
+    return sketch_quantiles(sk, [1, 10, 50, 90, 99])
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from invoice_ocr_reconciler_spark.plans import relational as R
 
@@ -4687,6 +4849,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # leakage-safe holdout split + contamination audit
         "group_split": q_group_split,
         "split_leakage": q_split_leakage,
+        # exact substring dedup (prefix-doubling window fingerprints)
+        "exact_span_profile": q_exact_span_profile,
+        "remove_exact_spans": q_remove_exact_spans,
+        # justext-style block classification + extractor A/B harness
+        "justext_classify": q_justext_classify,
+        "extractor_compare": q_extractor_compare,
+        # distributed Lloyd k-means + mergeable quantile sketch
+        "kmeans_assign": q_kmeans_assign,
+        "sketch_quantiles": q_sketch_quantiles,
     }
 
 
@@ -4933,6 +5104,63 @@ def _blocking_oracle_sql() -> str:
             UNION ALL SELECT nation, name, 'b' FROM b)
         {body}
         ORDER BY scheme
+    """
+
+
+def _kmeans_oracle(k: int = 4, dim: int = 64, n_iter: int = 2, grid: int = 1 << 20) -> str:
+    """Unrolled-CTE replay of operators/kmeans.py:kmeans_assign — seeds by
+    (md5(id), id), then n_iter (assign, integer-grid update) rounds, then
+    the final assignment. Integer-quantized per-component distances make
+    list_sum order-free, so both engines agree bit-exactly."""
+
+    def dist(cent_cte: str) -> str:
+        return (
+            f"CAST(list_sum(list_transform(range(1, {dim} + 1), i -> "
+            f"CAST(floor((e.embedding[i] - c.cent[i]) * (e.embedding[i] - c.cent[i]) "
+            f"* {grid} + 0.5) AS BIGINT))) AS BIGINT)"
+        )
+
+    def assign(name: str, cent_cte: str) -> str:
+        return f"""
+        {name} AS (
+            SELECT vec_id, cluster, dist_q FROM (
+                SELECT e.vec_id, c.cluster, {dist(cent_cte)} AS dist_q,
+                       row_number() OVER (PARTITION BY e.vec_id
+                                          ORDER BY {dist(cent_cte)}, c.cluster) AS rn
+                FROM emb e CROSS JOIN {cent_cte} c)
+            WHERE rn = 1)"""
+
+    parts = [
+        f"""
+        emb AS (SELECT vec_id, embedding FROM embeddings
+                WHERE len(embedding) = {dim}),
+        c0 AS (
+            SELECT CAST(rn - 1 AS INT) AS cluster, cent FROM (
+                SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn,
+                       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cent
+                FROM emb QUALIFY rn <= {k}))"""
+    ]
+    for r in range(1, n_iter + 1):
+        parts.append(assign(f"a{r}", f"c{r - 1}"))
+        parts.append(f"""
+        s{r} AS (
+            SELECT a.cluster, u.i,
+                   sum(CAST(floor(e.embedding[u.i] * {grid} + 0.5) AS BIGINT)) AS sq,
+                   count(*) AS n
+            FROM a{r} a JOIN emb e USING (vec_id),
+                 LATERAL (SELECT unnest(range(1, {dim} + 1)) AS i) u
+            GROUP BY 1, 2),
+        c{r} AS (
+            SELECT p.cluster, coalesce(m.cent, p.cent) AS cent
+            FROM c{r - 1} p LEFT JOIN (
+                SELECT cluster,
+                       list((CAST(sq AS DOUBLE) / n) / {float(grid)!r} ORDER BY i) AS cent
+                FROM s{r} GROUP BY cluster) m USING (cluster))""")
+    parts.append(assign("afinal", f"c{n_iter}"))
+    body = ",".join(parts)
+    return f"""
+        WITH {body}
+        SELECT vec_id, cluster, dist_q FROM afinal
     """
 
 
@@ -9638,6 +9866,182 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY i, j
     """
     d["rp_project"] = _rp_oracle()
+    # replays operators/suffix.py:exact_span_profile — the INDEPENDENT
+    # method: windows grouped by RAW 16-token text (collision-free),
+    # which must agree with Spark's md5 prefix-doubling keys; same
+    # boilerplate-injection md5 rule on both sides
+    d["exact_span_profile"] = f"""
+        WITH base AS (
+            SELECT doc_id,
+                   CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::UBIGINT % 5 = 0
+                        THEN coalesce(text, '') || ' {_EXACT_BOILER}'
+                        ELSE text END AS text
+            FROM documents),
+        d AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(trim(coalesce(text, ''))), '\\s+'),
+                               t -> t <> '') AS toks
+            FROM base),
+        w AS (
+            SELECT DISTINCT doc_id,
+                   array_to_string(list_slice(toks, s, s + 15), ' ') AS wkey
+            FROM d, LATERAL (SELECT unnest(range(1, len(toks) - 16 + 2)) AS s)
+            WHERE len(toks) >= 16),
+        c AS (SELECT wkey, count(*) AS n_docs FROM w GROUP BY wkey)
+        SELECT doc_id, count(*) AS n_windows,
+               CAST(sum(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_windows,
+               floor(CAST(sum(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+                     / count(*) * 1e8 + 0.5) / 1e8 AS dup_window_frac
+        FROM w JOIN c USING (wkey)
+        GROUP BY doc_id
+    """
+    # replays operators/suffix.py:remove_exact_spans — raw-text windows,
+    # duplicated-window coverage (16 slots per window), raw-case rebuild
+    d["remove_exact_spans"] = f"""
+        WITH base AS (
+            SELECT doc_id,
+                   CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::UBIGINT % 5 = 0
+                        THEN coalesce(text, '') || ' {_EXACT_BOILER}'
+                        ELSE text END AS text
+            FROM documents),
+        d AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(trim(coalesce(text, '')), '\\s+'),
+                               t -> t <> '') AS rtoks,
+                   list_filter(string_split_regex(lower(trim(coalesce(text, ''))), '\\s+'),
+                               t -> t <> '') AS toks
+            FROM base),
+        w AS (
+            SELECT doc_id, s,
+                   array_to_string(list_slice(toks, s, s + 15), ' ') AS wkey
+            FROM d, LATERAL (SELECT unnest(range(1, len(toks) - 16 + 2)) AS s)
+            WHERE len(toks) >= 16),
+        dup AS (
+            SELECT wkey FROM (SELECT DISTINCT doc_id, wkey FROM w)
+            GROUP BY wkey HAVING count(*) >= 2),
+        cov AS (
+            SELECT DISTINCT w.doc_id, p.pos
+            FROM w JOIN dup USING (wkey),
+                 LATERAL (SELECT unnest(range(w.s, w.s + 16)) AS pos) p),
+        tokpos AS (
+            SELECT doc_id, pos, rtoks[pos] AS tok
+            FROM d, LATERAL (SELECT unnest(range(1, len(rtoks) + 1)) AS pos)),
+        kept AS (
+            SELECT t.doc_id, t.pos, t.tok
+            FROM tokpos t
+            WHERE NOT EXISTS (SELECT 1 FROM cov c
+                              WHERE c.doc_id = t.doc_id AND c.pos = t.pos))
+        SELECT d.doc_id,
+               coalesce(string_agg(k.tok, ' ' ORDER BY k.pos), '') AS text_clean,
+               CAST(len(d.rtoks) AS BIGINT) AS n_tokens,
+               CAST(len(d.rtoks) - count(k.tok) AS BIGINT) AS n_removed_tokens
+        FROM d LEFT JOIN kept k USING (doc_id)
+        GROUP BY d.doc_id, len(d.rtoks)
+    """
+    # replays extraction/justext.py:justext_classify over chunk_documents
+    # segments (window=stride=12): the URL-spike md5 rule, tokenization,
+    # integer-fraction CASE chain, and both IGNORE-NULLS context windows
+    d["justext_classify"] = r"""
+        WITH spiked AS (
+            SELECT doc_id,
+                   CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::UBIGINT % 7 = 0
+                        THEN 'see http://spam.example/aaa http://spam.example/bbb ' || coalesce(text, '')
+                        ELSE text END AS text
+            FROM documents),
+        d AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(trim(coalesce(text, ''))), '\s+'),
+                               t -> t <> '') AS toks
+            FROM spiked),
+        c AS (
+            SELECT doc_id, toks, len(toks) AS n,
+                   CASE WHEN len(toks) <= 0 THEN 0
+                        ELSE 1 + CAST(ceil(greatest(len(toks) - 12, 0) / 12.0) AS INT)
+                   END AS n_chunks
+            FROM d),
+        s AS (
+            SELECT doc_id, toks,
+                   CAST(unnest(range(0, n_chunks)) AS INT) AS chunk_id
+            FROM c WHERE n_chunks > 0),
+        seg AS (
+            SELECT doc_id, chunk_id,
+                   array_to_string(list_slice(toks, chunk_id * 12 + 1,
+                                              chunk_id * 12 + 12), ' ') AS seg_text
+            FROM s),
+        f AS (
+            SELECT doc_id, chunk_id,
+                   CAST(length(seg_text) AS INT) AS n_chars,
+                   CAST(len(list_filter(string_split_regex(trim(seg_text), '\s+'),
+                                        t -> t <> '')) AS INT) AS n_tokens,
+                   CAST(len(regexp_extract_all(lower(seg_text),
+                            '\b(the|and|of|to|is|with|that)\b')) AS INT) AS n_stop,
+                   CAST(length(seg_text)
+                        - length(regexp_replace(seg_text, 'https?://\S+', '', 'g')) AS INT) AS link_chars
+            FROM seg),
+        cf AS (
+            SELECT *,
+                   CASE WHEN 5 * link_chars > 1 * greatest(n_chars, 1) THEN 'bad'
+                        WHEN n_chars < 40 THEN
+                             (CASE WHEN link_chars > 0 THEN 'bad' ELSE 'short' END)
+                        WHEN 100 * n_stop >= 4 * n_tokens AND n_tokens > 0 THEN
+                             (CASE WHEN n_chars > 70 THEN 'good' ELSE 'near_good' END)
+                        WHEN 100 * n_stop >= 2 * n_tokens AND n_tokens > 0 THEN 'near_good'
+                        ELSE 'bad' END AS cf_class
+            FROM f),
+        ctx AS (
+            SELECT *,
+                   coalesce(last_value(CASE WHEN cf_class IN ('good', 'bad') THEN cf_class END IGNORE NULLS)
+                            OVER (PARTITION BY doc_id ORDER BY chunk_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 'bad') AS prev_def,
+                   coalesce(first_value(CASE WHEN cf_class IN ('good', 'bad') THEN cf_class END IGNORE NULLS)
+                            OVER (PARTITION BY doc_id ORDER BY chunk_id
+                                  ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING), 'bad') AS next_def
+            FROM cf)
+        SELECT doc_id, chunk_id, n_chars, n_tokens, n_stop, link_chars, cf_class,
+               CASE WHEN cf_class = 'near_good' THEN
+                         (CASE WHEN prev_def = 'good' OR next_def = 'good' THEN 'good' ELSE 'bad' END)
+                    WHEN cf_class = 'short' THEN
+                         (CASE WHEN prev_def = 'good' AND next_def = 'good' THEN 'good' ELSE 'bad' END)
+                    ELSE cf_class END AS final_class
+        FROM ctx
+    """
+    d["kmeans_assign"] = _kmeans_oracle()
+    # replays operators/qsketch.py — binary-length exponent buckets,
+    # integer sub-bucket/bound math, cumulative nearest-rank estimates
+    d["sketch_quantiles"] = r"""
+        WITH v AS (
+            SELECT CAST(n_chars AS BIGINT) AS v FROM documents
+            WHERE n_chars IS NOT NULL AND n_chars >= 0),
+        b AS (
+            SELECT v,
+                   CASE WHEN v = 0 THEN -1 ELSE CAST(length(bin(v)) AS INT) - 1 END AS e,
+                   CASE WHEN v = 0 THEN CAST(0 AS BIGINT)
+                        ELSE (CAST(1 AS BIGINT) << (CAST(length(bin(v)) AS INT) - 1)) END AS p
+            FROM v),
+        k AS (
+            SELECT CAST(e AS INT) AS e,
+                   CAST(CASE WHEN e < 0 THEN 0
+                             WHEN p < 16 THEN v - p
+                             ELSE (v - p) // (p // 16) END AS BIGINT) AS sub,
+                   CAST(CASE WHEN e < 0 THEN 0
+                             WHEN p < 16 THEN v
+                             ELSE p + ((v - p) // (p // 16)) * (p // 16) END AS BIGINT) AS lo
+            FROM b),
+        sk AS (SELECT e, sub, lo, count(*) AS cnt FROM k GROUP BY 1, 2, 3),
+        cum AS (
+            SELECT *, sum(cnt) OVER (ORDER BY e, sub
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+            FROM sk),
+        tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_total FROM sk),
+        ps AS (
+            SELECT CAST(pct AS INT) AS pct, n_total,
+                   CAST(greatest(1, (pct * n_total + 99) // 100) AS BIGINT) AS rank
+            FROM tot, (SELECT unnest([1, 10, 50, 90, 99]) AS pct))
+        SELECT ps.pct, ps.n_total, ps.rank, CAST(min(cum.lo) AS BIGINT) AS est_lo
+        FROM ps JOIN cum ON cum.cum >= ps.rank
+        GROUP BY 1, 2, 3
+        ORDER BY pct
+    """
     return d
 
 

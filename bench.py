@@ -111,6 +111,10 @@ def main() -> None:
         "extraction_f1",        # extraction-QA multiset F1 (one shuffle)
         "c4_line_filters",      # C4 cleaning rules (codegen projection)
         "hyperball",            # HLL ball sketches (3 max-merge rounds)
+        "exact_span_profile",   # EXACT substring dedup (prefix doubling)
+        "justext_classify",     # two-pass block classification (codegen)
+        "kmeans_assign",        # full-corpus Lloyd rounds (integer grid)
+        "sketch_quantiles",     # mergeable log-bucket quantile sketch
         "extract_pages",        # extraction stage alone
         "reconcile",            # full pipeline: extract -> parse -> reconcile
     ]

@@ -61,6 +61,8 @@ PURE_CODEGEN_QUERIES = [
     "takedown_closure", "heaps_fit", "random_walks", "degree_histogram",
     "trust_rank", "bfs_distance", "cooccurrence", "extraction_f1",
     "c4_line_filters", "hyperball", "hyperball_curve",
+    "exact_span_profile", "remove_exact_spans", "justext_classify",
+    "sketch_quantiles", "kmeans_assign",
 ]
 # NOT listed although their OPERATORS are pure codegen: queries whose
 # INPUT synthesis is datagen.pages_from_documents (a mapInPandas page
