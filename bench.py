@@ -90,6 +90,7 @@ def main() -> None:
         "parse_feeds",       # RSS/Atom seeding (codegen blocks)
         "revisit_stats",     # change-frequency recrawl policy
         "ann_brute_force",
+        "matryoshka_recall",    # truncation-recall curve (4+1 exact passes)
         "record_linkage_fs",    # Fellegi-Sunter blocked linkage (codegen)
         "setjoin_prefix",       # exact Jaccard join via prefix filtering
         "containment_pairs",    # directional quote-detection join

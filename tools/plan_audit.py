@@ -62,7 +62,7 @@ PURE_CODEGEN_QUERIES = [
     "trust_rank", "bfs_distance", "cooccurrence", "extraction_f1",
     "c4_line_filters", "hyperball", "hyperball_curve",
     "exact_span_profile", "remove_exact_spans", "justext_classify",
-    "sketch_quantiles", "kmeans_assign",
+    "sketch_quantiles", "kmeans_assign", "matryoshka_recall",
 ]
 # NOT listed although their OPERATORS are pure codegen: queries whose
 # INPUT synthesis is datagen.pages_from_documents (a mapInPandas page
