@@ -4617,6 +4617,43 @@ def q_extractor_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_extractor_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold-policy frontier (extraction/justext.py:justext_sweep):
+    the justext rule swept over 7 (stop, length, link) threshold configs
+    on the same spiked segmentation as justext_classify, each config
+    scored against the shipped policy's keep set. Fully oracled: DuckDB
+    replays segmentation, features, the PARAMETERIZED CASE chain, both
+    context windows per config, and the precision/recall/f1 rollup."""
+    from invoice_ocr_reconciler_spark.extraction.justext import (
+        justext_sweep,
+    )
+    from invoice_ocr_reconciler_spark.functions.text import md5_u60
+    from invoice_ocr_reconciler_spark.operators.chunking import (
+        chunk_documents,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rule = md5_u60(F.col("doc_id").cast("string")) % 7 == 0
+    spiked = docs.select(
+        "doc_id",
+        F.when(
+            rule,
+            F.concat(
+                F.lit(
+                    "see http://spam.example/aaa http://spam.example/bbb "
+                ),
+                F.coalesce(F.col("text"), F.lit("")),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    segs = chunk_documents(spiked, window=12, stride=12)
+    return justext_sweep(
+        segs, id_col="doc_id", idx_col="chunk_id", text_col="chunk_text"
+    ).orderBy("config_id")
+
+
 def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed Lloyd k-means (operators/kmeans.py): k=4, 2 full-corpus
     update rounds, integer-quantized distances and integer-grid centroid
@@ -4875,6 +4912,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "remove_exact_spans": q_remove_exact_spans,
         # justext-style block classification + extractor A/B harness
         "justext_classify": q_justext_classify,
+        "extractor_sweep": q_extractor_sweep,
         "extractor_compare": q_extractor_compare,
         # distributed Lloyd k-means + mergeable quantile sketch
         "kmeans_assign": q_kmeans_assign,
@@ -10065,6 +10103,134 @@ def oracle_sql() -> dict[str, str]:
                          (CASE WHEN prev_def = 'good' AND next_def = 'good' THEN 'good' ELSE 'bad' END)
                     ELSE cf_class END AS final_class
         FROM ctx
+    """
+    # extractor_sweep: the justext replay above generalized — features +
+    # the shipped-policy keep flag once, then the PARAMETERIZED rule per
+    # config (VALUES grid cross join), per-config context windows, and
+    # the precision/recall/f1 rollup vs the default keep set
+    d["extractor_sweep"] = r"""
+        WITH spiked AS (
+            SELECT doc_id,
+                   CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::UBIGINT % 7 = 0
+                        THEN 'see http://spam.example/aaa http://spam.example/bbb ' || coalesce(text, '')
+                        ELSE text END AS text
+            FROM documents),
+        dd AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(trim(coalesce(text, ''))), '\s+'),
+                               t -> t <> '') AS toks
+            FROM spiked),
+        c AS (
+            SELECT doc_id, toks, len(toks) AS n,
+                   CASE WHEN len(toks) <= 0 THEN 0
+                        ELSE 1 + CAST(ceil(greatest(len(toks) - 12, 0) / 12.0) AS INT)
+                   END AS n_chunks
+            FROM dd),
+        s AS (
+            SELECT doc_id, toks,
+                   CAST(unnest(range(0, n_chunks)) AS INT) AS chunk_id
+            FROM c WHERE n_chunks > 0),
+        seg AS (
+            SELECT doc_id, chunk_id,
+                   array_to_string(list_slice(toks, chunk_id * 12 + 1,
+                                              chunk_id * 12 + 12), ' ') AS seg_text
+            FROM s),
+        f AS (
+            SELECT doc_id, chunk_id,
+                   CAST(length(seg_text) AS INT) AS n_chars,
+                   CAST(len(list_filter(string_split_regex(trim(seg_text), '\s+'),
+                                        t -> t <> '')) AS INT) AS n_tokens,
+                   CAST(len(regexp_extract_all(lower(seg_text),
+                            '\b(the|and|of|to|is|with|that)\b')) AS INT) AS n_stop,
+                   CAST(length(seg_text)
+                        - length(regexp_replace(seg_text, 'https?://\S+', '', 'g')) AS INT) AS link_chars
+            FROM seg),
+        def_cf AS (
+            SELECT *,
+                   CASE WHEN 5 * link_chars > 1 * greatest(n_chars, 1) THEN 'bad'
+                        WHEN n_chars < 40 THEN
+                             (CASE WHEN link_chars > 0 THEN 'bad' ELSE 'short' END)
+                        WHEN 100 * n_stop >= 4 * n_tokens AND n_tokens > 0 THEN
+                             (CASE WHEN n_chars > 70 THEN 'good' ELSE 'near_good' END)
+                        WHEN 100 * n_stop >= 2 * n_tokens AND n_tokens > 0 THEN 'near_good'
+                        ELSE 'bad' END AS cf_class
+            FROM f),
+        def_ctx AS (
+            SELECT *,
+                   coalesce(last_value(CASE WHEN cf_class IN ('good', 'bad') THEN cf_class END IGNORE NULLS)
+                            OVER (PARTITION BY doc_id ORDER BY chunk_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 'bad') AS prev_def,
+                   coalesce(first_value(CASE WHEN cf_class IN ('good', 'bad') THEN cf_class END IGNORE NULLS)
+                            OVER (PARTITION BY doc_id ORDER BY chunk_id
+                                  ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING), 'bad') AS next_def
+            FROM def_cf),
+        base AS (
+            SELECT doc_id, chunk_id, n_chars, n_tokens, n_stop, link_chars,
+                   CASE WHEN (CASE WHEN cf_class = 'near_good' THEN
+                                   (CASE WHEN prev_def = 'good' OR next_def = 'good' THEN 'good' ELSE 'bad' END)
+                              WHEN cf_class = 'short' THEN
+                                   (CASE WHEN prev_def = 'good' AND next_def = 'good' THEN 'good' ELSE 'bad' END)
+                              ELSE cf_class END) = 'good'
+                        THEN 1 ELSE 0 END AS default_good
+            FROM def_ctx),
+        cfgs(config_id, stop_lo, stop_hi, len_low, len_high, link_pct) AS (
+            VALUES (CAST(0 AS INT), CAST(2 AS INT), CAST(4 AS INT),
+                    CAST(40 AS INT), CAST(70 AS INT), CAST(20 AS INT)),
+                   (1, 1, 2, 40, 70, 20),
+                   (2, 4, 8, 40, 70, 20),
+                   (3, 2, 4, 20, 50, 20),
+                   (4, 2, 4, 60, 90, 20),
+                   (5, 2, 4, 40, 70, 10),
+                   (6, 2, 4, 40, 70, 50)),
+        xcf AS (
+            SELECT g.*, b.*,
+                   CASE WHEN 100 * link_chars > link_pct * greatest(n_chars, 1) THEN 'bad'
+                        WHEN n_chars < len_low THEN
+                             (CASE WHEN link_chars > 0 THEN 'bad' ELSE 'short' END)
+                        WHEN 100 * n_stop >= stop_hi * n_tokens AND n_tokens > 0 THEN
+                             (CASE WHEN n_chars > len_high THEN 'good' ELSE 'near_good' END)
+                        WHEN 100 * n_stop >= stop_lo * n_tokens AND n_tokens > 0 THEN 'near_good'
+                        ELSE 'bad' END AS cf_class
+            FROM base b, cfgs g),
+        xctx AS (
+            SELECT *,
+                   coalesce(last_value(CASE WHEN cf_class IN ('good', 'bad') THEN cf_class END IGNORE NULLS)
+                            OVER (PARTITION BY config_id, doc_id ORDER BY chunk_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 'bad') AS prev_def,
+                   coalesce(first_value(CASE WHEN cf_class IN ('good', 'bad') THEN cf_class END IGNORE NULLS)
+                            OVER (PARTITION BY config_id, doc_id ORDER BY chunk_id
+                                  ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING), 'bad') AS next_def
+            FROM xcf),
+        scored AS (
+            SELECT config_id, stop_lo, stop_hi, len_low, len_high, link_pct,
+                   n_chars, default_good,
+                   CASE WHEN (CASE WHEN cf_class = 'near_good' THEN
+                                   (CASE WHEN prev_def = 'good' OR next_def = 'good' THEN 'good' ELSE 'bad' END)
+                              WHEN cf_class = 'short' THEN
+                                   (CASE WHEN prev_def = 'good' AND next_def = 'good' THEN 'good' ELSE 'bad' END)
+                              ELSE cf_class END) = 'good'
+                        THEN 1 ELSE 0 END AS is_good
+            FROM xctx),
+        agg AS (
+            SELECT config_id, stop_lo, stop_hi, len_low, len_high, link_pct,
+                   CAST(count(*) AS BIGINT) AS n_segments,
+                   CAST(sum(is_good) AS BIGINT) AS n_good,
+                   CAST(sum(CASE WHEN is_good = 1 THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars,
+                   CAST(sum(default_good) AS BIGINT) AS n_good_default,
+                   CAST(sum(is_good * default_good) AS BIGINT) AS inter_default
+            FROM scored
+            GROUP BY 1, 2, 3, 4, 5, 6)
+        SELECT *,
+               round(CASE WHEN n_good > 0
+                          THEN CAST(inter_default AS DOUBLE) / n_good
+                          ELSE 0.0 END, 6) AS precision_vs_default,
+               round(CASE WHEN n_good_default > 0
+                          THEN CAST(inter_default AS DOUBLE) / n_good_default
+                          ELSE 0.0 END, 6) AS recall_vs_default,
+               round(CASE WHEN n_good + n_good_default > 0
+                          THEN 2.0 * inter_default / (n_good + n_good_default)
+                          ELSE 0.0 END, 6) AS f1_vs_default
+        FROM agg ORDER BY config_id
     """
     d["kmeans_assign"] = _kmeans_oracle()
     # replays operators/qsketch.py — binary-length exponent buckets,

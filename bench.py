@@ -114,6 +114,7 @@ def main() -> None:
         "hyperball",            # HLL ball sketches (3 max-merge rounds)
         "exact_span_profile",   # EXACT substring dedup (prefix doubling)
         "justext_classify",     # two-pass block classification (codegen)
+        "extractor_sweep",      # 7-config threshold frontier (codegen)
         "kmeans_assign",        # full-corpus Lloyd rounds (integer grid)
         "sketch_quantiles",     # mergeable log-bucket quantile sketch
         "extract_pages",        # extraction stage alone

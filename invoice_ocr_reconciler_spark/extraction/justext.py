@@ -222,6 +222,176 @@ def justext_classify(
     return ctx.withColumn("final_class", final).drop("prev_def", "next_def")
 
 
+DEFAULT_SWEEP_CONFIGS = (
+    # (config_id, stop_lo, stop_hi, len_low, len_high, link_pct) — config 0
+    # IS the shipped policy (module constants above), so its row anchors
+    # precision/recall/f1 vs default at exactly 1.0
+    {"config_id": 0, "stop_lo": 2, "stop_hi": 4, "len_low": 40, "len_high": 70, "link_pct": 20},
+    {"config_id": 1, "stop_lo": 1, "stop_hi": 2, "len_low": 40, "len_high": 70, "link_pct": 20},
+    {"config_id": 2, "stop_lo": 4, "stop_hi": 8, "len_low": 40, "len_high": 70, "link_pct": 20},
+    {"config_id": 3, "stop_lo": 2, "stop_hi": 4, "len_low": 20, "len_high": 50, "link_pct": 20},
+    {"config_id": 4, "stop_lo": 2, "stop_hi": 4, "len_low": 60, "len_high": 90, "link_pct": 20},
+    {"config_id": 5, "stop_lo": 2, "stop_hi": 4, "len_low": 40, "len_high": 70, "link_pct": 10},
+    {"config_id": 6, "stop_lo": 2, "stop_hi": 4, "len_low": 40, "len_high": 70, "link_pct": 50},
+)
+
+
+def justext_sweep(
+    segments: DataFrame,
+    configs=DEFAULT_SWEEP_CONFIGS,
+    id_col: str = "doc_id",
+    idx_col: str = "seg_idx",
+    text_col: str = "seg_text",
+) -> DataFrame:
+    """Threshold-policy frontier: the justext rule re-run over a grid of
+    (stop_lo, stop_hi, len_low, len_high, link_pct) configs, each scored
+    against the SHIPPED policy's keep set — the A/B table an extraction
+    owner reads before changing a production threshold.
+
+    Output (one row per config): the config knobs, n_segments, n_good,
+    kept_chars, n_good_default, inter_default, and precision/recall/f1
+    vs the default keep set (1e-6 grid; zero-keep configs score 0.0, not
+    null). All counts are exact integers, so the fractions are
+    cross-engine stable.
+
+    Plan shape: features + the default two-window pass ONCE on the base
+    frame, which is then pruned to (ids, 4 int features, default flag) —
+    the text column never crosses the config explosion. The broadcast
+    crossJoin with the tiny config frame multiplies only thin integer
+    rows (k × ~40 bytes/segment); the parameterized CASE is pure codegen
+    and the context pass is the same two IGNORE-NULLS windows partitioned
+    by (config_id, doc) — document-sized partitions, no skew. At corpus
+    scale the sweep costs ~k× the single-policy classify on integer-only
+    rows, not k× the text scan.
+    """
+    base = justext_classify(
+        segments, id_col=id_col, idx_col=idx_col, text_col=text_col
+    ).select(
+        F.col(id_col).alias("_doc"),
+        F.col(idx_col).alias("_idx"),
+        "n_chars",
+        "n_tokens",
+        "n_stop",
+        "link_chars",
+        (F.col("final_class") == "good").cast("int").alias("default_good"),
+    )
+    spark = segments.sparkSession
+    cfg = spark.createDataFrame(
+        [
+            (
+                int(c["config_id"]),
+                int(c["stop_lo"]),
+                int(c["stop_hi"]),
+                int(c["len_low"]),
+                int(c["len_high"]),
+                int(c["link_pct"]),
+            )
+            for c in configs
+        ],
+        "config_id int, stop_lo int, stop_hi int, "
+        "len_low int, len_high int, link_pct int",
+    )
+    x = base.crossJoin(F.broadcast(cfg))
+    cf = (
+        F.when(
+            F.lit(100) * F.col("link_chars")
+            > F.col("link_pct") * F.greatest(F.col("n_chars"), F.lit(1)),
+            F.lit("bad"),
+        )
+        .when(
+            F.col("n_chars") < F.col("len_low"),
+            F.when(F.col("link_chars") > 0, F.lit("bad")).otherwise(
+                F.lit("short")
+            ),
+        )
+        .when(
+            (F.lit(100) * F.col("n_stop") >= F.col("stop_hi") * F.col("n_tokens"))
+            & (F.col("n_tokens") > 0),
+            F.when(
+                F.col("n_chars") > F.col("len_high"), F.lit("good")
+            ).otherwise(F.lit("near_good")),
+        )
+        .when(
+            (F.lit(100) * F.col("n_stop") >= F.col("stop_lo") * F.col("n_tokens"))
+            & (F.col("n_tokens") > 0),
+            F.lit("near_good"),
+        )
+        .otherwise(F.lit("bad"))
+    )
+    x = x.withColumn("cf_class", cf)
+    definite = F.when(F.col("cf_class").isin("good", "bad"), F.col("cf_class"))
+    w_prev = (
+        Window.partitionBy("config_id", "_doc")
+        .orderBy("_idx")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_next = (
+        Window.partitionBy("config_id", "_doc")
+        .orderBy("_idx")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    ctx = x.select(
+        "*",
+        F.coalesce(
+            F.last(definite, ignorenulls=True).over(w_prev), F.lit("bad")
+        ).alias("prev_def"),
+        F.coalesce(
+            F.first(definite, ignorenulls=True).over(w_next), F.lit("bad")
+        ).alias("next_def"),
+    )
+    is_good = (
+        F.when(
+            F.col("cf_class") == "near_good",
+            (F.col("prev_def") == "good") | (F.col("next_def") == "good"),
+        )
+        .when(
+            F.col("cf_class") == "short",
+            (F.col("prev_def") == "good") & (F.col("next_def") == "good"),
+        )
+        .otherwise(F.col("cf_class") == "good")
+        .cast("int")
+    )
+    from invoice_ocr_reconciler_spark.functions.text import roundn
+
+    agg = (
+        ctx.withColumn("is_good", is_good)
+        .groupBy(
+            "config_id", "stop_lo", "stop_hi", "len_low", "len_high", "link_pct"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_segments"),
+            F.sum("is_good").cast("long").alias("n_good"),
+            F.sum(
+                F.when(F.col("is_good") == 1, F.col("n_chars")).otherwise(0)
+            )
+            .cast("long")
+            .alias("kept_chars"),
+            F.sum("default_good").cast("long").alias("n_good_default"),
+            F.sum(F.col("is_good") * F.col("default_good"))
+            .cast("long")
+            .alias("inter_default"),
+        )
+    )
+    prec = F.when(
+        F.col("n_good") > 0, F.col("inter_default") / F.col("n_good")
+    ).otherwise(F.lit(0.0))
+    rec = F.when(
+        F.col("n_good_default") > 0,
+        F.col("inter_default") / F.col("n_good_default"),
+    ).otherwise(F.lit(0.0))
+    f1 = F.when(
+        F.col("n_good") + F.col("n_good_default") > 0,
+        F.lit(2) * F.col("inter_default")
+        / (F.col("n_good") + F.col("n_good_default")),
+    ).otherwise(F.lit(0.0))
+    return agg.select(
+        "*",
+        roundn(prec, 6).alias("precision_vs_default"),
+        roundn(rec, 6).alias("recall_vs_default"),
+        roundn(f1, 6).alias("f1_vs_default"),
+    )
+
+
 # --------------------------------------------------------- Python extractor
 
 

@@ -63,6 +63,7 @@ PURE_CODEGEN_QUERIES = [
     "c4_line_filters", "hyperball", "hyperball_curve",
     "exact_span_profile", "remove_exact_spans", "justext_classify",
     "sketch_quantiles", "kmeans_assign", "matryoshka_recall",
+    "extractor_sweep",
 ]
 # NOT listed although their OPERATORS are pure codegen: queries whose
 # INPUT synthesis is datagen.pages_from_documents (a mapInPandas page
