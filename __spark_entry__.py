@@ -4680,6 +4680,213 @@ def q_sketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sketch_quantiles(sk, [1, 10, 50, 90, 99])
 
 
+# ---------------------------------------------------------------------------
+# preference / label-QA / corpus-statistics bands
+
+
+def _bt_comparisons(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthetic pairwise-preference log: 32 'model' items, one judgment
+    per document. The pair (a, b) and the winner are md5-derived, with
+    the winner drawn proportional to the items' planted strengths (item
+    k has strength k+1), so the fitted leaderboard must recover the
+    ordering. The DuckDB oracle replays the identical md5 rules."""
+    from invoice_ocr_reconciler_spark.functions.text import md5_u60
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    i = F.col("doc_id").cast("string")
+    a = md5_u60(F.concat(F.lit("bta:"), i)) % 32
+    b0 = md5_u60(F.concat(F.lit("btb:"), i)) % 31
+    b = b0 + (b0 >= a).cast("long")
+    w = md5_u60(F.concat(F.lit("btw:"), i)) % (a + b + 2) < (a + 1)
+    return docs.select(
+        F.when(w, a).otherwise(b).cast("int").alias("winner"),
+        F.when(w, b).otherwise(a).cast("int").alias("loser"),
+    )
+
+
+def q_bt_strengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bradley-Terry MM leaderboard (operators/preference.py) over the
+    synthetic judgment log: 3 MM rounds on the pagerank 1e-12/1e-9
+    rounding-grid contract; the DuckDB oracle unrolls the rounds as
+    CTEs (wins/pair aggregation, per-round denominator, normalization)."""
+    from invoice_ocr_reconciler_spark.operators.preference import bt_strengths
+
+    return bt_strengths(_bt_comparisons(spark, sf_dir), n_iter=3).orderBy(
+        "rank"
+    )
+
+
+def _rater_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthetic 3-rater label log over documents: the true label is
+    md5-derived; rater a/b/c report it with md5-derived noise rates
+    2/10, 3/10, 5/10 (noise draws a fresh md5 label), so agreement
+    degrades a > b > c by construction."""
+    from invoice_ocr_reconciler_spark.functions.text import md5_u60
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    i = F.col("doc_id").cast("string")
+    names = F.array(F.lit("low"), F.lit("med"), F.lit("high"))
+    t = md5_u60(F.concat(F.lit("lbl:"), i)) % 3
+    legs = []
+    for r, noise in (("a", 2), ("b", 3), ("c", 5)):
+        keep = md5_u60(F.concat(F.lit(f"r{r}:"), i)) % 10 >= noise
+        alt = md5_u60(F.concat(F.lit(f"x{r}:"), i)) % 3
+        lab = F.when(keep, t).otherwise(alt)
+        legs.append(
+            docs.select(
+                F.col("doc_id").alias("item_id"),
+                F.lit(r).alias("rater"),
+                F.element_at(names, (lab + 1).cast("int")).alias("label"),
+            )
+        )
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out
+
+
+def q_kappa_cohen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Cohen's kappa (operators/labelqa.py) over the synthetic
+    3-rater log — exact bigint numerator/denominator published, 1e-9
+    grid on the ratios; the oracle replays synthesis + integer formula."""
+    from invoice_ocr_reconciler_spark.operators.labelqa import (
+        cohen_kappa_pairs,
+    )
+
+    return cohen_kappa_pairs(_rater_labels(spark, sf_dir))
+
+
+def q_kappa_fleiss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fleiss' kappa (operators/labelqa.py) over the same 3-rater log
+    (every item has exactly 3 ratings, so nothing is dropped by the
+    constant-panel filter); exact bigint fraction + 1e-9 ratios."""
+    from invoice_ocr_reconciler_spark.operators.labelqa import fleiss_kappa
+
+    return fleiss_kappa(_rater_labels(spark, sf_dir), n_raters=3)
+
+
+def q_temperature_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XLM-R-style alpha-sampling rebalance (operators/sampling.py:
+    temperature_sampling, alpha=0.5 -> sqrt, IEEE-exact cross-engine)
+    over the documents language mix, with the md5-ppm realized sample
+    counts; the oracle replays counts, sqrt weights, ppm thresholds,
+    and the per-doc sampling decision."""
+    from invoice_ocr_reconciler_spark.operators.sampling import (
+        temperature_sampling,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return temperature_sampling(docs, group_col="lang", alpha=0.5)
+
+
+def q_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-1/2/3 corpus diversity per language slice
+    (operators/profile.py:ngram_diversity); the oracle rebuilds the
+    n-grams from the shared tokens_col contract and replays the
+    distinct/total ratios."""
+    from invoice_ocr_reconciler_spark.operators.profile import ngram_diversity
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return ngram_diversity(docs, ns=(1, 2, 3), group_col="lang")
+
+
+def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded bootstrap 95% CI for mean document length
+    (operators/profile.py:bootstrap_ci, B=200): md5-seeded draws,
+    integer-exact resample sums, nearest-rank percentiles — the oracle
+    replays every draw and both rank picks."""
+    from invoice_ocr_reconciler_spark.operators.profile import bootstrap_ci
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "n_chars"
+    )
+    return bootstrap_ci(docs, "n_chars", b_resamples=200)
+
+
+def q_cluster_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """c-TF-IDF topic labels per language slice (operators/tfidf.py:
+    class_tfidf_topics — integer-exact lift scoring, the collocations
+    no-log contract); the oracle replays tf/df counts, the floor-scaled
+    score, and the per-group top-5 window."""
+    from invoice_ocr_reconciler_spark.operators.tfidf import (
+        class_tfidf_topics,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return class_tfidf_topics(
+        docs, group_col="lang", top_k=5, min_class_tf=3
+    )
+
+
+def _synth_conversations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic SFT transcripts from documents: doc_id%3==0 ->
+    3 turns starting with system, else 4 or 6 alternating user/
+    assistant turns; planted violations (each its own residue class):
+    %37==19 assistant-first, %23==11 'tool' role, %29==13 late system,
+    %13==5 repeated adjacent role, %19==7 user-final turn, %17==3
+    whitespace content, %31==17 empty conversation. The DuckDB oracle
+    rebuilds the per-turn table from the identical rules."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    d = F.col("doc_id")
+    n = F.when(d % 3 == 0, F.lit(3)).otherwise(F.lit(4) + 2 * (d % 2))
+
+    def base_role(t):
+        return F.when(
+            d % 3 == 0,
+            F.when(t == 1, F.lit("system"))
+            .when(t % 2 == 0, F.lit("user"))
+            .otherwise(F.lit("assistant")),
+        ).otherwise(
+            F.when(t % 2 == 1, F.lit("user")).otherwise(F.lit("assistant"))
+        )
+
+    def role_at(t):
+        return (
+            F.when((d % 37 == 19) & (t == 1), F.lit("assistant"))
+            .when((d % 23 == 11) & (t == 2), F.lit("tool"))
+            .when((d % 29 == 13) & (t == 3), F.lit("system"))
+            .when((d % 13 == 5) & (t == 2), base_role(F.lit(1)))
+            .when((d % 19 == 7) & (t == n), F.lit("user"))
+            .otherwise(base_role(t))
+        )
+
+    def content_at(t):
+        return F.when((d % 17 == 3) & (t == 2), F.lit("  ")).otherwise(
+            F.concat(
+                F.lit("c"),
+                d.cast("string"),
+                F.lit("_"),
+                t.cast("string"),
+            )
+        )
+
+    turns = F.transform(
+        F.sequence(F.lit(1), n.cast("int")),
+        lambda t: F.struct(
+            role_at(t).alias("role"), content_at(t).alias("content")
+        ),
+    )
+    empty = F.array().cast("array<struct<role:string,content:string>>")
+    return docs.select(
+        d.alias("conv_id"),
+        F.when(d % 31 == 17, empty).otherwise(turns).alias("turns"),
+    )
+
+
+def q_sft_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chat-format QA audit (operators/sft.py:validate_conversations)
+    over the synthetic transcripts — all seven violation flags, the
+    conjunction, and the precedence-ordered first_violation, replayed
+    per-turn by the DuckDB oracle."""
+    from invoice_ocr_reconciler_spark.operators.sft import (
+        validate_conversations,
+    )
+
+    return validate_conversations(
+        _synth_conversations(spark, sf_dir)
+    ).orderBy("conv_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from invoice_ocr_reconciler_spark.plans import relational as R
 
@@ -4917,6 +5124,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # distributed Lloyd k-means + mergeable quantile sketch
         "kmeans_assign": q_kmeans_assign,
         "sketch_quantiles": q_sketch_quantiles,
+        # preference / label-QA / corpus-statistics bands
+        "bt_strengths": q_bt_strengths,
+        "kappa_cohen": q_kappa_cohen,
+        "kappa_fleiss": q_kappa_fleiss,
+        "temperature_sampling": q_temperature_sampling,
+        "ngram_diversity": q_ngram_diversity,
+        "bootstrap_ci": q_bootstrap_ci,
+        "cluster_topics": q_cluster_topics,
+        "sft_validate": q_sft_validate,
     }
 
 
@@ -5221,6 +5437,83 @@ def _kmeans_oracle(k: int = 4, dim: int = 64, n_iter: int = 2, grid: int = 1 << 
         WITH {body}
         SELECT vec_id, cluster, dist_q FROM afinal
     """
+
+
+def _bt_oracle(n_iter: int = 3) -> str:
+    """Unroll operators/preference.py:bt_strengths as CTEs: identical md5
+    pair/winner synthesis, wins/pair aggregation, per-round MM denominator
+    on the 1e-12 grid, sum-to-n normalization, final 1e-9 strength."""
+    it = []
+    for j in range(1, n_iter + 1):
+        i = j - 1
+        it.append(f"""
+        d{j} AS (SELECT s.item,
+                        sum(CASE WHEN pi.p + pj.p > 0
+                                 THEN floor(s.n_games / (pi.p + pj.p) * 1e12 + 0.5) / 1e12
+                            END) AS denom
+                 FROM sym s JOIN p{i} pi ON pi.item = s.item
+                            JOIN p{i} pj ON pj.item = s.opp
+                 GROUP BY s.item),
+        r{j} AS (SELECT it.item,
+                        CASE WHEN d.denom > 0
+                             THEN floor(it.wins / d.denom * 1e12 + 0.5) / 1e12
+                             ELSE CAST(0.0 AS DOUBLE) END AS raw
+                 FROM items it LEFT JOIN d{j} d ON it.item = d.item),
+        t{j} AS (SELECT coalesce(sum(raw), CAST(0.0 AS DOUBLE)) AS tot FROM r{j}),
+        p{j} AS (SELECT item,
+                        CASE WHEN t.tot > 0
+                             THEN floor(raw * (SELECT n FROM k) / t.tot * 1e12 + 0.5) / 1e12
+                             ELSE CAST(0.0 AS DOUBLE) END AS p
+                 FROM r{j}, t{j} t)""")
+    return f"""
+        WITH comps AS (
+            SELECT CASE WHEN w THEN a ELSE b END AS winner,
+                   CASE WHEN w THEN b ELSE a END AS loser
+            FROM (SELECT a, b,
+                         ('0x' || substr(md5('btw:' || i), 1, 15))::UBIGINT
+                           % CAST(a + b + 2 AS UBIGINT) < CAST(a + 1 AS UBIGINT) AS w
+                  FROM (SELECT i, a, CASE WHEN b0 >= a THEN b0 + 1 ELSE b0 END AS b
+                        FROM (SELECT CAST(doc_id AS VARCHAR) AS i,
+                                     CAST(('0x' || substr(md5('bta:' || CAST(doc_id AS VARCHAR)), 1, 15))::UBIGINT % 32 AS BIGINT) AS a,
+                                     CAST(('0x' || substr(md5('btb:' || CAST(doc_id AS VARCHAR)), 1, 15))::UBIGINT % 31 AS BIGINT) AS b0
+                              FROM documents)))),
+        wins AS (SELECT winner AS item, CAST(count(*) AS BIGINT) AS wins
+                 FROM comps GROUP BY 1),
+        pairs AS (SELECT least(winner, loser) AS ia, greatest(winner, loser) AS ib,
+                         CAST(count(*) AS BIGINT) AS n_games
+                  FROM comps GROUP BY 1, 2),
+        itemset AS (SELECT winner AS item FROM comps UNION SELECT loser FROM comps),
+        items AS (SELECT s.item, coalesce(w.wins, 0) AS wins
+                  FROM itemset s LEFT JOIN wins w ON s.item = w.item),
+        k AS (SELECT CAST(count(*) AS BIGINT) AS n FROM items),
+        sym AS (SELECT ia AS item, ib AS opp, n_games FROM pairs
+                UNION ALL SELECT ib, ia, n_games FROM pairs),
+        ng AS (SELECT item, CAST(sum(n_games) AS BIGINT) AS n_games FROM sym GROUP BY 1),
+        p0 AS (SELECT item, CAST(1.0 AS DOUBLE) AS p FROM items),{','.join(it)}
+        SELECT it.item, it.wins, coalesce(ng.n_games, 0) AS n_games,
+               floor(p.p * 1e9 + 0.5) / 1e9 AS strength,
+               row_number() OVER (ORDER BY floor(p.p * 1e9 + 0.5) / 1e9 DESC, it.item) AS rank
+        FROM items it LEFT JOIN ng ON it.item = ng.item
+        JOIN p{n_iter} p ON it.item = p.item
+        ORDER BY rank
+    """
+
+
+# the 3-rater synthetic label log shared by the kappa oracles — identical
+# md5 rules to _rater_labels (noise rates 2/10, 3/10, 5/10)
+_LAB_SQL = """
+        lab AS (
+            SELECT doc_id AS item_id, r.rater,
+                   (['low', 'med', 'high'])[CAST(
+                       CASE WHEN ('0x' || substr(md5('r' || r.rater || ':' || CAST(doc_id AS VARCHAR)), 1, 15))::UBIGINT % 10
+                                 >= CAST(r.noise AS UBIGINT)
+                            THEN ('0x' || substr(md5('lbl:' || CAST(doc_id AS VARCHAR)), 1, 15))::UBIGINT % 3
+                            ELSE ('0x' || substr(md5('x' || r.rater || ':' || CAST(doc_id AS VARCHAR)), 1, 15))::UBIGINT % 3
+                       END + 1 AS INT)] AS label
+            FROM documents,
+                 (SELECT unnest(['a', 'b', 'c']) AS rater,
+                         unnest([2, 3, 5]) AS noise) r)
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -10268,6 +10561,255 @@ def oracle_sql() -> dict[str, str]:
         FROM ps JOIN cum ON cum.cum >= ps.rank
         GROUP BY 1, 2, 3
         ORDER BY pct
+    """
+    # --- preference / label-QA / corpus-statistics bands ---
+    d["bt_strengths"] = _bt_oracle(3)
+    # replays operators/labelqa.py:cohen_kappa_pairs — synthesis + the
+    # exact integer kappa identity (n*agree - sum a_k b_k) / (n^2 - ...)
+    d["kappa_cohen"] = f"""
+        WITH {_LAB_SQL},
+        p AS (SELECT a.item_id, a.rater AS rater_a, b.rater AS rater_b,
+                     a.label AS la, b.label AS lb
+              FROM lab a JOIN lab b
+                ON a.item_id = b.item_id AND a.rater < b.rater),
+        base AS (SELECT rater_a, rater_b, CAST(count(*) AS BIGINT) AS n_items,
+                        CAST(sum(CASE WHEN la = lb THEN 1 ELSE 0 END) AS BIGINT) AS agree
+                 FROM p GROUP BY 1, 2),
+        ak AS (SELECT rater_a, rater_b, la AS lab_v, CAST(count(*) AS BIGINT) AS a_k
+               FROM p GROUP BY 1, 2, 3),
+        bk AS (SELECT rater_a, rater_b, lb AS lab_v, CAST(count(*) AS BIGINT) AS b_k
+               FROM p GROUP BY 1, 2, 3),
+        sab AS (SELECT ak.rater_a, ak.rater_b, CAST(sum(a_k * b_k) AS BIGINT) AS sum_ab
+                FROM ak JOIN bk USING (rater_a, rater_b, lab_v) GROUP BY 1, 2)
+        SELECT b.rater_a, b.rater_b, b.n_items, b.agree,
+               b.n_items * b.agree - coalesce(s.sum_ab, 0) AS kappa_num,
+               b.n_items * b.n_items - coalesce(s.sum_ab, 0) AS kappa_den,
+               floor(CAST(b.agree AS DOUBLE) / b.n_items * 1e9 + 0.5) / 1e9 AS po,
+               floor(CAST(coalesce(s.sum_ab, 0) AS DOUBLE)
+                     / (b.n_items * b.n_items) * 1e9 + 0.5) / 1e9 AS pe,
+               CASE WHEN b.n_items * b.n_items - coalesce(s.sum_ab, 0) <> 0
+                    THEN floor(CAST(b.n_items * b.agree - coalesce(s.sum_ab, 0) AS DOUBLE)
+                               / (b.n_items * b.n_items - coalesce(s.sum_ab, 0))
+                               * 1e9 + 0.5) / 1e9
+               END AS kappa
+        FROM base b LEFT JOIN sab s USING (rater_a, rater_b)
+        ORDER BY 1, 2
+    """
+    # replays operators/labelqa.py:fleiss_kappa — same exact-rational
+    # algebra (po_num*pe_den - pe_num*po_den over po_den*(pe_den - pe_num))
+    d["kappa_fleiss"] = f"""
+        WITH {_LAB_SQL},
+        counts AS (SELECT item_id, label, CAST(count(*) AS BIGINT) AS n_ik
+                   FROM lab GROUP BY 1, 2),
+        fullitems AS (SELECT item_id FROM counts GROUP BY item_id
+                      HAVING sum(n_ik) = 3),
+        c2 AS (SELECT c.* FROM counts c JOIN fullitems f USING (item_id)),
+        per_label AS (SELECT label, CAST(sum(n_ik) AS BIGINT) AS c_k
+                      FROM c2 GROUP BY 1),
+        s AS (SELECT CAST(count(DISTINCT item_id) AS BIGINT) AS n_items,
+                     CAST(coalesce(sum(n_ik * n_ik), 0) AS BIGINT) AS s2
+              FROM c2),
+        pe AS (SELECT CAST(coalesce(sum(c_k * c_k), 0) AS BIGINT) AS pe_num
+               FROM per_label),
+        g AS (SELECT n_items, (s2 - n_items * 3) AS po_num,
+                     n_items * 3 * 2 AS po_den,
+                     (n_items * 3) * (n_items * 3) AS pe_den, pe_num
+              FROM s, pe)
+        SELECT n_items, CAST(3 AS INT) AS n_raters,
+               CASE WHEN n_items > 0
+                    THEN po_num * pe_den - pe_num * po_den END AS kappa_num,
+               CASE WHEN n_items > 0
+                    THEN po_den * (pe_den - pe_num) END AS kappa_den,
+               CASE WHEN n_items > 0
+                    THEN floor(CAST(po_num AS DOUBLE) / po_den * 1e9 + 0.5) / 1e9
+               END AS po,
+               CASE WHEN n_items > 0
+                    THEN floor(CAST(pe_num AS DOUBLE) / pe_den * 1e9 + 0.5) / 1e9
+               END AS pe,
+               CASE WHEN n_items > 0 AND po_den * (pe_den - pe_num) <> 0
+                    THEN floor(CAST(po_num * pe_den - pe_num * po_den AS DOUBLE)
+                               / (po_den * (pe_den - pe_num)) * 1e9 + 0.5) / 1e9
+               END AS kappa
+        FROM g
+    """
+    # replays operators/sampling.py:temperature_sampling — counts, sqrt
+    # weights on the 1e-12 grid, ppm thresholds, md5 realization
+    d["temperature_sampling"] = """
+        WITH dd AS (SELECT coalesce(lang, 'und') AS grp, doc_id FROM documents),
+        c AS (SELECT grp, CAST(count(*) AS BIGINT) AS n_docs FROM dd GROUP BY 1),
+        t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n_total FROM c),
+        p AS (SELECT grp, n_docs, n_total,
+                     floor(CAST(n_docs AS DOUBLE) / n_total * 1e12 + 0.5) / 1e12 AS p_raw
+              FROM c, t),
+        q AS (SELECT *, floor(sqrt(p_raw) * 1e12 + 0.5) / 1e12 AS qv FROM p),
+        z AS (SELECT floor(sum(qv) * 1e12 + 0.5) / 1e12 AS z FROM q),
+        w AS (SELECT grp, n_docs, n_total, p_raw,
+                     floor(qv / z.z * 1e12 + 0.5) / 1e12 AS weight
+              FROM q, z),
+        r AS (SELECT *, CAST(floor(least(weight * n_total / n_docs,
+                                          CAST(1.0 AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)
+                          AS rate_ppm
+              FROM w),
+        samp AS (SELECT dd.grp, CAST(count(*) AS BIGINT) AS sampled
+                 FROM dd JOIN r USING (grp)
+                 WHERE ('0x' || substr(md5('tsamp:' || CAST(doc_id AS VARCHAR)), 1, 15))::UBIGINT
+                         % 1000000 < CAST(rate_ppm AS UBIGINT)
+                 GROUP BY 1)
+        SELECT r.grp AS "group", r.n_docs,
+               floor(p_raw * 1e9 + 0.5) / 1e9 AS p_raw,
+               floor(weight * 1e9 + 0.5) / 1e9 AS weight,
+               rate_ppm,
+               floor(rate_ppm * n_docs / 1e6 * 1e6 + 0.5) / 1e6 AS expected_docs,
+               coalesce(samp.sampled, 0) AS sampled
+        FROM r LEFT JOIN samp ON r.grp = samp.grp
+        ORDER BY 1
+    """
+    # replays operators/profile.py:ngram_diversity from the shared
+    # tokens_col contract; space-joined n-grams, zero rows kept via grid
+    d["ngram_diversity"] = r"""
+        WITH d AS (SELECT coalesce(lang, 'und') AS grp,
+                          list_filter(string_split_regex(lower(trim(coalesce(text, ''))), '\s+'),
+                                      t -> t <> '') AS toks
+                   FROM documents),
+        g AS (
+            SELECT grp, 1 AS n, unnest(toks) AS gram FROM d
+            UNION ALL
+            SELECT grp, 2 AS n,
+                   unnest(list_transform(range(1, greatest(len(toks) - 1, 0) + 1),
+                                         i -> toks[i] || ' ' || toks[i + 1])) AS gram
+            FROM d
+            UNION ALL
+            SELECT grp, 3 AS n,
+                   unnest(list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+                                         i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) AS gram
+            FROM d),
+        s AS (SELECT grp, n, CAST(count(*) AS BIGINT) AS total_grams,
+                     CAST(count(DISTINCT gram) AS BIGINT) AS distinct_grams
+              FROM g GROUP BY 1, 2),
+        grid AS (SELECT DISTINCT grp FROM d),
+        ns AS (SELECT unnest([1, 2, 3]) AS n)
+        SELECT grid.grp AS "group", CAST(ns.n AS INT) AS n,
+               coalesce(s.total_grams, 0) AS total_grams,
+               coalesce(s.distinct_grams, 0) AS distinct_grams,
+               CASE WHEN s.total_grams > 0
+                    THEN floor(CAST(s.distinct_grams AS DOUBLE) / s.total_grams * 1e9 + 0.5) / 1e9
+               END AS distinct_ratio
+        FROM grid CROSS JOIN ns
+        LEFT JOIN s ON s.grp = grid.grp AND s.n = ns.n
+        ORDER BY 1, 2
+    """
+    # replays operators/profile.py:bootstrap_ci — row_number indexing,
+    # md5 draws, exact integer resample sums, nearest-rank 5/195 of B=200
+    d["bootstrap_ci"] = """
+        WITH it AS (SELECT row_number() OVER (ORDER BY doc_id) - 1 AS idx,
+                           CAST(n_chars AS DOUBLE) AS v
+                    FROM documents),
+        nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM it),
+        draws AS (
+            SELECT b.b,
+                   ('0x' || substr(md5('boot:' || CAST(b.b AS VARCHAR) || ':' || CAST(j.idx AS VARCHAR)), 1, 15))::UBIGINT
+                     % CAST((SELECT n FROM nn) AS UBIGINT) AS pick
+            FROM range(1, 201) b(b) CROSS JOIN it j),
+        sums AS (SELECT b, sum(v) AS s
+                 FROM draws JOIN it ON it.idx = CAST(draws.pick AS BIGINT)
+                 GROUP BY b),
+        ranked AS (SELECT s, b, row_number() OVER (ORDER BY s, b) AS r FROM sums),
+        bounds AS (SELECT min(CASE WHEN r = 5 THEN s END) AS s_lo,
+                          min(CASE WHEN r = 195 THEN s END) AS s_hi
+                   FROM ranked),
+        pt AS (SELECT sum(CAST(n_chars AS DOUBLE)) AS s_pt FROM documents)
+        SELECT (SELECT n FROM nn) AS n_items, CAST(200 AS INT) AS b_resamples,
+               floor(s_pt / (SELECT n FROM nn) * 1e6 + 0.5) / 1e6 AS point_mean,
+               floor(s_lo / (SELECT n FROM nn) * 1e6 + 0.5) / 1e6 AS ci_lo,
+               floor(s_hi / (SELECT n FROM nn) * 1e6 + 0.5) / 1e6 AS ci_hi
+        FROM pt, bounds
+    """
+    # replays operators/tfidf.py:class_tfidf_topics — tf/df counts, the
+    # integer floor-scaled lift, per-group top-5 window
+    d["cluster_topics"] = r"""
+        WITH d AS (SELECT doc_id, coalesce(lang, 'und') AS grp,
+                          list_filter(string_split_regex(lower(trim(coalesce(text, ''))), '\s+'),
+                                      t -> t <> '') AS toks
+                   FROM documents),
+        tm AS (SELECT doc_id, grp, unnest(toks) AS term FROM d),
+        tf AS (SELECT grp, term, CAST(count(*) AS BIGINT) AS tf_class
+               FROM tm GROUP BY 1, 2),
+        df AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df_docs
+               FROM tm GROUP BY 1),
+        sc AS (SELECT grp, tf.term, tf_class, df_docs,
+                      CAST(floor(tf_class * 1e6 / df_docs) AS BIGINT) AS score_scaled
+               FROM tf JOIN df USING (term) WHERE tf_class >= 3),
+        rk AS (SELECT *, row_number() OVER (PARTITION BY grp
+                       ORDER BY score_scaled DESC, tf_class DESC, term) AS rnk
+               FROM sc)
+        SELECT grp AS "group", term, tf_class, df_docs, score_scaled, rnk
+        FROM rk WHERE rnk <= 5
+        ORDER BY 1, rnk
+    """
+    # replays operators/sft.py:validate_conversations over the identical
+    # synthesis rules (_synth_conversations) via a per-turn table + lag
+    d["sft_validate"] = """
+        WITH docs AS (
+            SELECT doc_id AS d,
+                   CASE WHEN doc_id % 3 = 0 THEN 3
+                        ELSE 4 + 2 * (doc_id % 2) END AS n,
+                   (doc_id % 31 = 17) AS is_empty
+            FROM documents),
+        turns AS (
+            SELECT d, n, t,
+                CASE WHEN d % 37 = 19 AND t = 1 THEN 'assistant'
+                     WHEN d % 23 = 11 AND t = 2 THEN 'tool'
+                     WHEN d % 29 = 13 AND t = 3 THEN 'system'
+                     WHEN d % 13 = 5 AND t = 2 THEN
+                          (CASE WHEN d % 3 = 0 THEN 'system' ELSE 'user' END)
+                     WHEN d % 19 = 7 AND t = n THEN 'user'
+                     ELSE (CASE WHEN d % 3 = 0 THEN
+                                  (CASE WHEN t = 1 THEN 'system'
+                                        WHEN t % 2 = 0 THEN 'user'
+                                        ELSE 'assistant' END)
+                                ELSE (CASE WHEN t % 2 = 1 THEN 'user'
+                                           ELSE 'assistant' END) END)
+                END AS role,
+                CASE WHEN d % 17 = 3 AND t = 2 THEN '  '
+                     ELSE 'c' || CAST(d AS VARCHAR) || '_' || CAST(t AS VARCHAR)
+                END AS content
+            FROM docs CROSS JOIN (SELECT unnest([1, 2, 3, 4, 5, 6]) AS t) g
+            WHERE t <= n AND NOT is_empty),
+        lagged AS (SELECT *, lag(role) OVER (PARTITION BY d ORDER BY t) AS prev
+                   FROM turns),
+        agg AS (
+            SELECT d,
+                   max(CASE WHEN t = 1 THEN role END) AS first_role,
+                   max(CASE WHEN t = n THEN role END) AS last_role,
+                   bool_or(role = 'system' AND t >= 2) AS late_system,
+                   bool_or(role NOT IN ('system', 'user', 'assistant')) AS bad_role,
+                   bool_or(coalesce(role = prev, false)) AS repeated_role,
+                   bool_or(trim(content) = '') AS empty_turn
+            FROM lagged GROUP BY d),
+        flags AS (
+            SELECT docs.d AS conv_id,
+                   CAST(CASE WHEN is_empty THEN 0 ELSE n END AS INT) AS n_turns,
+                   is_empty AS empty_conv,
+                   coalesce(NOT is_empty
+                            AND a.first_role NOT IN ('system', 'user'), false) AS bad_start,
+                   coalesce(a.late_system, false) AS late_system,
+                   coalesce(a.bad_role, false) AS bad_role,
+                   coalesce(a.repeated_role, false) AS repeated_role,
+                   coalesce(a.empty_turn, false) AS empty_turn,
+                   coalesce(NOT is_empty AND a.last_role <> 'assistant', false) AS bad_end
+            FROM docs LEFT JOIN agg a ON docs.d = a.d)
+        SELECT *,
+               NOT (empty_conv OR bad_start OR late_system OR bad_role
+                    OR repeated_role OR empty_turn OR bad_end) AS valid,
+               CASE WHEN empty_conv THEN 'empty_conv'
+                    WHEN bad_start THEN 'bad_start'
+                    WHEN late_system THEN 'late_system'
+                    WHEN bad_role THEN 'bad_role'
+                    WHEN repeated_role THEN 'repeated_role'
+                    WHEN empty_turn THEN 'empty_turn'
+                    WHEN bad_end THEN 'bad_end'
+               END AS first_violation
+        FROM flags ORDER BY conv_id
     """
     return d
 

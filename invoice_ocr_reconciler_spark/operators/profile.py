@@ -23,7 +23,9 @@ cast directly.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+import math
+
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -506,4 +508,186 @@ def heaps_fit(
     )
     return pts.crossJoin(F.broadcast(fit)).select(
         "ck", "n_prefix_docs", "n_tokens", "n_types", "heaps_beta", "heaps_lnk"
+    )
+
+
+def ngram_diversity(
+    docs: DataFrame,
+    ns: tuple = (1, 2, 3),
+    group_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Distinct-n diversity per group: for each n, the corpus-level
+    count of distinct word n-grams over total n-gram occurrences
+    (the distinct-1/2/3 metrics of Li et al. 2016, lifted from
+    per-response to per-corpus-slice). Low ratios flag template floods
+    and near-duplicate bursts that per-document repetition metrics
+    (repetition_cols — within-doc) cannot see; it is the cheap
+    corpus-health companion to full near-dup dedup.
+
+    Output: (group, n, total_grams, distinct_grams, distinct_ratio)
+    ordered by (group, n); groups with zero grams at some n (all docs
+    shorter than n tokens) still emit a row with total 0 and NULL ratio.
+
+    Shape at scale: tokenization in a PRIOR projection (the HOF-capture
+    contract), all requested n built as one array of (n, gram) structs,
+    ONE explode, ONE shuffle on (group, n, gram) for the two-stage
+    distinct, partial-agg rollup to (group, n). `n_distinct` planning is
+    exact here; swap count_distinct for approx_count_distinct at 10^12
+    rows (the column_profile approx mode contract).
+    """
+    from invoice_ocr_reconciler_spark.functions.text import (
+        _word_ngrams,
+        tokens_col,
+    )
+
+    g = F.coalesce(F.col(group_col).cast("string"), F.lit("und"))
+    toked = docs.select(
+        g.alias("grp"), tokens_col(F.col(text_col)).alias("toks")
+    )
+    def _tagged(n: int):
+        # closure (not a default arg): a 2-arg lambda would make pyspark
+        # bind the element INDEX to the second parameter
+        nn = int(n)
+        return F.transform(
+            _word_ngrams(F.col("toks"), nn),
+            lambda gr: F.struct(F.lit(nn).alias("n"), gr.alias("gram")),
+        )
+
+    parts = [_tagged(n) for n in ns]
+    exploded = toked.select(
+        "grp", F.explode_outer(F.concat(*parts)).alias("ng")
+    ).select("grp", F.col("ng.n").alias("n"), F.col("ng.gram").alias("gram"))
+    stats = (
+        exploded.where(F.col("n").isNotNull())
+        .groupBy("grp", "n")
+        .agg(
+            F.count("*").alias("total_grams"),
+            F.count_distinct("gram").alias("distinct_grams"),
+        )
+    )
+    # groups whose docs are all shorter than n tokens: emit the zero row
+    grid = (
+        toked.select("grp")
+        .distinct()
+        .crossJoin(
+            toked.sparkSession.createDataFrame(
+                [(int(n),) for n in ns], "n int"
+            )
+        )
+    )
+    return (
+        grid.join(stats, ["grp", "n"], "left")
+        .select(
+            F.col("grp").alias("group"),
+            "n",
+            F.coalesce("total_grams", F.lit(0)).alias("total_grams"),
+            F.coalesce("distinct_grams", F.lit(0)).alias("distinct_grams"),
+            F.when(
+                F.col("total_grams") > 0,
+                roundn(F.col("distinct_grams") / F.col("total_grams"), 9),
+            ).alias("distinct_ratio"),
+        )
+        .orderBy("group", "n")
+    )
+
+
+def bootstrap_ci(
+    items: DataFrame,
+    value_col: str,
+    id_col: str = "doc_id",
+    b_resamples: int = 200,
+    ci: float = 0.95,
+    salt: str = "boot",
+    places: int = 6,
+) -> DataFrame:
+    """Seeded nonparametric bootstrap CI for the mean of `value_col` —
+    the error bar every corpus metric (quality score, extraction F1,
+    dedup rate) should ship with instead of a bare point estimate.
+
+    Determinism contract: resample draws come from md5(salt:b:j) % n
+    (reproducible, partitioning/retry-invariant — the stratified_sample
+    hash contract), items are indexed by row_number over id, and means
+    are ranked by their EXACT integer/decimal sums (percentiles via
+    nearest-rank on (sum, b) — no floating comparator), so the DuckDB
+    oracle replays the whole procedure value-for-value. Use integer-grid
+    values (counts, cents, 1e4-scaled scores) for bit-exact CIs.
+
+    Output: ONE row — (n_items, b_resamples, point_mean, ci_lo, ci_hi)
+    on the `places` rounding grid; NULL stats when the input is empty.
+
+    Shape at scale: the indexed item table is eval-set-sized (bootstrap
+    CIs are for bounded evaluation/probe sets — the global row_number
+    sort is the documented bound, not a corpus-scale op); draws are a
+    B x n range product joined to items on the picked index (one
+    shuffle), then a B-row rollup + B-row rank window.
+    """
+    from invoice_ocr_reconciler_spark.functions.text import md5_u60
+
+    spark = items.sparkSession
+    n = items.count()
+    b = int(b_resamples)
+    empty_row = spark.createDataFrame(
+        [(0, b, None, None, None)],
+        "n_items long, b_resamples int, point_mean double, "
+        "ci_lo double, ci_hi double",
+    )
+    if n == 0:
+        return empty_row
+    idxw = Window.orderBy(F.col(id_col))
+    indexed = items.select(
+        (F.row_number().over(idxw) - 1).alias("idx"),
+        F.col(value_col).cast("double").alias("v"),
+    )
+    draws = (
+        spark.range(b)
+        .select((F.col("id") + 1).alias("b"))
+        .select(
+            "b", F.explode(F.sequence(F.lit(0), F.lit(int(n) - 1))).alias("j")
+        )
+        .select(
+            "b",
+            (
+                md5_u60(
+                    F.concat_ws(
+                        ":", F.lit(salt), F.col("b"), F.col("j")
+                    )
+                )
+                % int(n)
+            ).alias("idx"),
+        )
+    )
+    sums = (
+        draws.join(indexed, "idx")
+        .groupBy("b")
+        .agg(F.sum("v").alias("s"))
+    )
+    # nearest-rank percentiles over the B-row frame; rank ties broken by
+    # b so both engines pick the identical resample
+    # snap the rank products to the 1e-9 grid before ceil: (1.0-0.95)/2
+    # is 0.025000000000000022 in IEEE, and ceil(5.000000000000004) = 6
+    # would silently shift the nearest-rank pick off the intended 5
+    alpha = (1.0 - float(ci)) / 2.0
+    lo_rank = max(1, math.ceil(round(alpha * b, 9)))
+    hi_rank = min(b, math.ceil(round((1.0 - alpha) * b, 9)))
+    rw = Window.orderBy(F.col("s"), F.col("b"))
+    ranked = sums.withColumn("r", F.row_number().over(rw))
+    bounds = (
+        ranked.where(F.col("r").isin(lo_rank, hi_rank))
+        .groupBy()
+        .agg(
+            F.min(F.when(F.col("r") == lo_rank, F.col("s"))).alias("s_lo"),
+            F.min(F.when(F.col("r") == hi_rank, F.col("s"))).alias("s_hi"),
+        )
+    )
+    point = items.agg(F.sum(F.col(value_col).cast("double")).alias("s_pt"))
+    return (
+        point.crossJoin(bounds)
+        .select(
+            F.lit(int(n)).alias("n_items"),
+            F.lit(b).alias("b_resamples"),
+            roundn(F.col("s_pt") / n, places).alias("point_mean"),
+            roundn(F.col("s_lo") / n, places).alias("ci_lo"),
+            roundn(F.col("s_hi") / n, places).alias("ci_hi"),
+        )
     )

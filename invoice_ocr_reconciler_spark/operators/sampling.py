@@ -539,3 +539,114 @@ def bucket_by_score(
             cond, F.lit(name)
         )
     return out.withColumn("bucket", expr).drop("tile")
+
+
+def temperature_sampling(
+    docs: DataFrame,
+    group_col: str = "lang",
+    alpha: float = 0.5,
+    target_total: int | None = None,
+    id_col: str = "doc_id",
+    salt: str = "tsamp",
+) -> DataFrame:
+    """Temperature-based group rebalancing (the multilingual alpha-
+    sampling of XLM/XLM-R, mBERT's exponent-smoothed mixing): sampling
+    weight of group g is p_g^alpha / sum_h p_h^alpha with p_g the
+    group's corpus share — alpha<1 upsamples the tail, alpha=1 is
+    proportional, alpha=0 uniform.
+
+    Returns ONE ROW PER GROUP with the full audit trail AND the realized
+    deterministic sample count:
+
+      (group, n_docs, p_raw, weight, rate_ppm, expected_docs, sampled)
+
+    * rate_g = min(weight_g * target_total / n_g, 1) is published as an
+      integer parts-per-million threshold `rate_ppm` — the sampling
+      decision is md5(salt:id) % 1e6 < rate_ppm, so the realized sample
+      is reproducible, retry/partitioning-invariant, and exactly
+      replayable by the DuckDB oracle (the stratified_sample contract).
+    * target_total defaults to the corpus size (pure rebalancing).
+    * alpha=0.5 (the default) computes the power as sqrt() — IEEE-exact
+      and bit-identical across engines; other alphas go through pow(),
+      whose last-ulp behavior is library-defined — fine for production,
+      but oracle-checked queries should stick to 0.5/1.0/0.25-style
+      sqrt-composable exponents.
+    * NULL groups are folded to 'und' (they must still be sampled —
+      dropping unlabeled docs silently would bias the mix).
+
+    Shape at scale: ONE partial-agg groupBy over the corpus, two 1-row
+    aggs on the group-sized frame, one broadcast join of per-group
+    thresholds back onto the corpus for the realization count. The
+    corpus shuffles zero times (the groupBy is partial-agg; the
+    realization is a map-side broadcast probe + partial-agg count).
+    """
+    from invoice_ocr_reconciler_spark.functions.text import md5_u60, roundn
+
+    g = F.coalesce(F.col(group_col).cast("string"), F.lit("und"))
+    counts = docs.groupBy(g.alias("grp")).agg(F.count("*").alias("n_docs"))
+    total = F.broadcast(counts.agg(F.sum("n_docs").alias("n_total")))
+    with_p = counts.crossJoin(total).withColumn(
+        "p_raw", roundn(F.col("n_docs") / F.col("n_total"), 12)
+    )
+
+    if abs(alpha - 0.5) < 1e-12:
+        q = F.sqrt(F.col("p_raw"))
+    elif abs(alpha - 1.0) < 1e-12:
+        q = F.col("p_raw")
+    else:
+        q = F.pow(F.col("p_raw"), F.lit(float(alpha)))
+    with_q = with_p.withColumn("q", roundn(q, 12))
+    z = F.broadcast(with_q.agg(roundn(F.sum("q"), 12).alias("z")))
+    tgt = (
+        F.col("n_total").cast("double")
+        if target_total is None
+        else F.lit(float(int(target_total)))
+    )
+    rates = (
+        with_q.crossJoin(z)
+        .withColumn("weight", roundn(F.col("q") / F.col("z"), 12))
+        .withColumn(
+            "rate_ppm",
+            F.floor(
+                F.least(
+                    F.col("weight") * tgt / F.col("n_docs"), F.lit(1.0)
+                )
+                * 1000000.0
+                + F.lit(0.5)
+            ).cast("long"),
+        )
+    )
+    decide = docs.select(
+        g.alias("grp"),
+        (
+            md5_u60(
+                F.concat(
+                    F.lit(salt + ":"), F.col(id_col).cast("string")
+                )
+            )
+            % 1000000
+        ).alias("u"),
+    )
+    sampled = (
+        decide.join(
+            F.broadcast(rates.select("grp", "rate_ppm")), "grp"
+        )
+        .where(F.col("u") < F.col("rate_ppm"))
+        .groupBy("grp")
+        .agg(F.count("*").alias("sampled"))
+    )
+    return (
+        rates.join(sampled, "grp", "left")
+        .select(
+            F.col("grp").alias("group"),
+            "n_docs",
+            roundn(F.col("p_raw"), 9).alias("p_raw"),
+            roundn(F.col("weight"), 9).alias("weight"),
+            "rate_ppm",
+            roundn(F.col("rate_ppm") * F.col("n_docs") / 1000000.0, 6).alias(
+                "expected_docs"
+            ),
+            F.coalesce("sampled", F.lit(0)).alias("sampled"),
+        )
+        .orderBy("group")
+    )

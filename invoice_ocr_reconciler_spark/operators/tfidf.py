@@ -753,3 +753,84 @@ def cooccurrence(
         F.count("*").cast("bigint").alias("n_pairs"),
     )
     return out.orderBy(F.col("weight_lcm").desc(), "w1", "w2").limit(int(k))
+
+
+def class_tfidf_topics(
+    docs: DataFrame,
+    group_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_k: int = 5,
+    min_class_tf: int = 3,
+) -> DataFrame:
+    """Class-based TF-IDF topic labels (the BERTopic c-TF-IDF idea:
+    treat each class/cluster as one meta-document, surface the terms
+    frequent IN the class but rare ACROSS the corpus). Used to label
+    k-means / community clusters and per-language slices with
+    human-readable topic terms.
+
+    Scoring is the repo's integer-exact lift variant (the collocations
+    no-log contract): ``score_scaled = floor(tf_class * 1e6 / df_docs)``
+    with tf_class the term's count inside the class and df_docs its
+    corpus-wide document frequency — monotone in tf for fixed df and in
+    1/df for fixed tf, i.e. the same ordering family as c-TF-IDF's
+    tf * log-damped idf, but bigint-exact in both engines (no log, no
+    rounding grid). BERTopic's exact log damping is a one-line swap
+    where cross-engine hashing is not needed.
+
+    Output: (group, term, tf_class, df_docs, score_scaled, rnk) — the
+    top_k terms per group by (score desc, tf desc, term asc);
+    `min_class_tf` cuts one-off noise terms before ranking.
+
+    Shape at scale: ONE explode of the tokenized corpus feeding two
+    partial-agg trees — (group, term) counts and distinct-(doc, term)
+    document frequency — then a vocabulary-sized join (broadcast the df
+    side) and a per-group top-k window over the (group, term) table,
+    which is already collapsed far below corpus size.
+    """
+    from invoice_ocr_reconciler_spark.functions.text import tokens_col
+
+    g = F.coalesce(F.col(group_col).cast("string"), F.lit("und"))
+    toked = docs.select(
+        F.col(id_col).alias("_doc"),
+        g.alias("grp"),
+        tokens_col(F.col(text_col)).alias("toks"),
+    )
+    terms = toked.select(
+        "_doc", "grp", F.explode("toks").alias("term")
+    )
+    tf_class = terms.groupBy("grp", "term").agg(
+        F.count("*").alias("tf_class")
+    )
+    df_docs = (
+        terms.select("_doc", "term")
+        .distinct()
+        .groupBy("term")
+        .agg(F.count("*").alias("df_docs"))
+    )
+    scored = (
+        tf_class.where(F.col("tf_class") >= int(min_class_tf))
+        .join(F.broadcast(df_docs), "term")
+        .withColumn(
+            "score_scaled",
+            F.floor(F.col("tf_class") * F.lit(1000000.0) / F.col("df_docs")).cast(
+                "long"
+            ),
+        )
+    )
+    w = Window.partitionBy("grp").orderBy(
+        F.col("score_scaled").desc(), F.col("tf_class").desc(), F.col("term")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= int(top_k))
+        .select(
+            F.col("grp").alias("group"),
+            "term",
+            "tf_class",
+            "df_docs",
+            "score_scaled",
+            "rnk",
+        )
+        .orderBy("group", "rnk")
+    )

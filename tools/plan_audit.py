@@ -64,6 +64,8 @@ PURE_CODEGEN_QUERIES = [
     "exact_span_profile", "remove_exact_spans", "justext_classify",
     "sketch_quantiles", "kmeans_assign", "matryoshka_recall",
     "extractor_sweep",
+    "bt_strengths", "kappa_cohen", "kappa_fleiss", "temperature_sampling",
+    "ngram_diversity", "bootstrap_ci", "cluster_topics", "sft_validate",
 ]
 # NOT listed although their OPERATORS are pure codegen: queries whose
 # INPUT synthesis is datagen.pages_from_documents (a mapInPandas page
