@@ -4887,6 +4887,125 @@ def q_sft_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("conv_id")
 
 
+# ---------------------------------------------------------------------------
+# anonymization / data-recipe / third-extractor bands
+
+
+def q_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coreference-preserving PII pseudonymization (operators/
+    anonymize.py, dense numbering): 1/7 of documents get a planted
+    3-mention / 2-entity email suffix (per-doc user address + one of 5
+    SHARED admin addresses, exercising corpus-wide consistency); the
+    DuckDB oracle replays extraction, the md5-ordered dense numbering,
+    and the replacement fold via list_reduce."""
+    from invoice_ocr_reconciler_spark.operators.anonymize import pseudonymize
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = F.col("doc_id")
+    k = (d % 5).cast("string")
+    e_user = F.concat(
+        F.lit("user"), d.cast("string"), F.lit("@mail-"), k, F.lit(".example")
+    )
+    e_admin = F.concat(F.lit("admin@mail-"), k, F.lit(".example"))
+    aug = F.when(
+        d % 7 == 0,
+        F.concat(
+            F.coalesce(F.col("text"), F.lit("")),
+            F.lit(" contact "), e_user, F.lit(" and "), e_admin,
+            F.lit(" plus "), e_user, F.lit(" again"),
+        ),
+    ).otherwise(F.col("text"))
+    return pseudonymize(
+        docs.select("doc_id", aug.alias("text"))
+    ).orderBy("doc_id")
+
+
+_MIX_WEIGHTS = {
+    **{f"src{i}": 1.0 for i in range(10)},
+    **{f"src{i}": 3.0 for i in range(10, 15)},
+    "srcZ": 2.0,
+}
+_MIX_BUDGET = 120_000
+
+
+def q_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLaMA-style mixture/epochs table (operators/recipe.py:
+    mixture_plan): 10 sources at weight 1, 5 at weight 3, 5 unplanned,
+    one planned-but-absent source ('srcZ' — the shortfall row); targets
+    computed driver-side, epochs on the 1e-6 grid, capping at 4.0
+    epochs. The oracle embeds the identical weight/target literals and
+    replays the token counts and the capping algebra."""
+    from invoice_ocr_reconciler_spark.operators.recipe import mixture_plan
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return mixture_plan(docs, _MIX_WEIGHTS, _MIX_BUDGET)
+
+
+def q_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum ordering (operators/recipe.py:curriculum_order):
+    per-source difficulty deciles (ntile partitioned by source — no
+    global-window barrier) with round-robin source interleaving inside
+    each decile; the oracle replays both windows and the total order."""
+    from invoice_ocr_reconciler_spark.operators.recipe import (
+        curriculum_order,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return curriculum_order(
+        docs, difficulty_col="n_chars", source_col="source", n_buckets=10
+    )
+
+
+def q_readability_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arc90/Readability block scoring (extraction/readability.py) over
+    token-window segments: doc_id%3==0 texts gain a comma-rich tail,
+    %5==1 a URL-spam head; per-segment class/id attrs cycle through
+    article / sidebar / both / none on (doc_id + chunk_id) % 4. The
+    DuckDB oracle replays segmentation, the attr hints, and the
+    integer cleared-division keep rule."""
+    from invoice_ocr_reconciler_spark.extraction.readability import (
+        readability_classify,
+    )
+    from invoice_ocr_reconciler_spark.operators.chunking import (
+        chunk_documents,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = F.col("doc_id")
+    base = F.coalesce(F.col("text"), F.lit(""))
+    with_commas = F.when(
+        d % 3 == 0,
+        F.concat(base, F.lit(", alpha, beta, gamma, delta, epsilon, zeta,")),
+    ).otherwise(base)
+    spiked = F.when(
+        d % 5 == 1,
+        F.concat(
+            F.lit("visit http://spam.example/aaaaaaaaaaaaaaaaaaaaaaaaa "),
+            with_commas,
+        ),
+    ).otherwise(with_commas)
+    segs = chunk_documents(
+        docs.select("doc_id", spiked.alias("text")), window=12, stride=12
+    )
+    m = (d + F.col("chunk_id")) % 4
+    attrs = (
+        F.when(m == 0, F.lit('class="article"'))
+        .when(m == 1, F.lit('id="sidebar"'))
+        .when(m == 2, F.lit('class="article sidebar"'))
+    )
+    out = readability_classify(
+        segs.withColumn("attrs", attrs),
+        id_col="doc_id",
+        idx_col="chunk_id",
+        text_col="chunk_text",
+        attrs_col="attrs",
+    )
+    return out.select(
+        "doc_id", "chunk_id", "n_chars", "n_commas", "link_chars",
+        "pos_hint", "neg_hint", "score_scaled", "keep",
+    ).orderBy("doc_id", "chunk_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from invoice_ocr_reconciler_spark.plans import relational as R
 
@@ -5133,6 +5252,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bootstrap_ci": q_bootstrap_ci,
         "cluster_topics": q_cluster_topics,
         "sft_validate": q_sft_validate,
+        # anonymization / data-recipe / third-extractor bands
+        "pseudonymize": q_pseudonymize,
+        "mixture_plan": q_mixture_plan,
+        "curriculum_order": q_curriculum_order,
+        "readability_classify": q_readability_classify,
     }
 
 
@@ -5514,6 +5638,51 @@ _LAB_SQL = """
                  (SELECT unnest(['a', 'b', 'c']) AS rater,
                          unnest([2, 3, 5]) AS noise) r)
 """
+
+
+def _mixture_oracle(weights: dict, budget: int, max_epochs: float = 4.0) -> str:
+    """Replay operators/recipe.py:mixture_plan — identical driver-side
+    normalized-weight/target literals, whitespace token rule, 1e-6
+    epochs grid, cap algebra."""
+    import math as _math
+
+    total = float(sum(weights.values()))
+    rows = []
+    for s in sorted(weights):
+        wn = weights[s] / total
+        tgt = int(_math.floor(int(budget) * wn + 0.5))
+        rows.append(f"('{s}', CAST({wn!r} AS DOUBLE), CAST({tgt} AS BIGINT))")
+    values = ",\n                 ".join(rows)
+    me = float(max_epochs)
+    return rf"""
+        WITH agg AS (
+            SELECT coalesce(source, 'und') AS source,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(coalesce(sum(
+                       CASE WHEN length(trim(coalesce(text, ''))) = 0 THEN 0
+                            ELSE len(list_filter(string_split_regex(lower(trim(coalesce(text, ''))), '\s+'),
+                                                 t -> t <> '')) END), 0) AS BIGINT) AS tokens_available
+            FROM documents GROUP BY 1),
+        plan AS (SELECT * FROM (VALUES {values})
+                 AS p(source, weight, tokens_target)),
+        f AS (SELECT coalesce(a.source, p.source) AS source,
+                     coalesce(a.n_docs, 0) AS n_docs,
+                     coalesce(a.tokens_available, 0) AS tokens_available,
+                     floor(p.weight * 1e9 + 0.5) / 1e9 AS weight,
+                     coalesce(p.tokens_target, 0) AS tokens_target
+              FROM agg a FULL OUTER JOIN plan p ON a.source = p.source)
+        SELECT source, n_docs, tokens_available, weight, tokens_target,
+               CASE WHEN tokens_available > 0
+                    THEN least(floor(CAST(tokens_target AS DOUBLE) / tokens_available * 1e6 + 0.5) / 1e6,
+                               CAST({me!r} AS DOUBLE)) END AS epochs,
+               (tokens_available > 0
+                AND floor(CAST(tokens_target AS DOUBLE) / tokens_available * 1e6 + 0.5) / 1e6
+                    > CAST({me!r} AS DOUBLE))
+               OR (tokens_available = 0 AND tokens_target > 0) AS capped,
+               least(tokens_target,
+                     CAST(floor(tokens_available * CAST({me!r} AS DOUBLE) + 0.5) AS BIGINT)) AS tokens_planned
+        FROM f ORDER BY source
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -10810,6 +10979,132 @@ def oracle_sql() -> dict[str, str]:
                     WHEN bad_end THEN 'bad_end'
                END AS first_violation
         FROM flags ORDER BY conv_id
+    """
+    # --- anonymization / data-recipe / third-extractor bands ---
+    # replays operators/anonymize.py:pseudonymize — planted emails, md5-
+    # ordered dense numbering, list_reduce replacement fold
+    d["pseudonymize"] = r"""
+        WITH aug AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 7 = 0
+                        THEN coalesce(text, '')
+                             || ' contact user' || CAST(doc_id AS VARCHAR)
+                             || '@mail-' || CAST(doc_id % 5 AS VARCHAR) || '.example'
+                             || ' and admin@mail-' || CAST(doc_id % 5 AS VARCHAR) || '.example'
+                             || ' plus user' || CAST(doc_id AS VARCHAR)
+                             || '@mail-' || CAST(doc_id % 5 AS VARCHAR) || '.example again'
+                        ELSE text END AS text
+            FROM documents),
+        m AS (SELECT doc_id,
+                     unnest(regexp_extract_all(coalesce(text, ''),
+                            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS entity
+              FROM aug),
+        cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_mentions
+                FROM m GROUP BY 1),
+        pd AS (SELECT DISTINCT doc_id, entity FROM m),
+        ents AS (SELECT DISTINCT entity FROM m),
+        map AS (SELECT entity,
+                       '<EMAIL_' || CAST(dense_rank() OVER (
+                           ORDER BY CAST(('0x' || substr(md5(entity), 1, 15))::UBIGINT AS BIGINT),
+                                    entity) AS VARCHAR) || '>' AS ph
+                FROM ents),
+        lists AS (SELECT pd.doc_id,
+                         list(pd.entity || chr(1) || map.ph) AS eps,
+                         CAST(count(*) AS BIGINT) AS n_entities
+                  FROM pd JOIN map USING (entity) GROUP BY pd.doc_id)
+        SELECT a.doc_id,
+               coalesce(c.n_mentions, 0) AS n_mentions,
+               coalesce(l.n_entities, 0) AS n_entities,
+               CASE WHEN l.eps IS NULL THEN coalesce(a.text, '')
+                    ELSE list_reduce(
+                            list_prepend(coalesce(a.text, ''), l.eps),
+                            (acc, el) -> replace(acc,
+                                                 split_part(el, chr(1), 1),
+                                                 split_part(el, chr(1), 2)))
+               END AS text_pseudo
+        FROM aug a
+        LEFT JOIN cnt c ON a.doc_id = c.doc_id
+        LEFT JOIN lists l ON a.doc_id = l.doc_id
+        ORDER BY a.doc_id
+    """
+    d["mixture_plan"] = _mixture_oracle(_MIX_WEIGHTS, _MIX_BUDGET, 4.0)
+    # replays operators/recipe.py:curriculum_order — the identical ntile
+    # division rule (the ccnet_buckets precedent) + both rank windows
+    d["curriculum_order"] = """
+        WITH base AS (SELECT doc_id AS id, coalesce(source, 'und') AS source,
+                             n_chars AS difficulty
+                      FROM documents),
+        t AS (SELECT *, CAST(ntile(10) OVER (PARTITION BY source
+                          ORDER BY difficulty ASC NULLS FIRST, id) AS INT) AS decile
+              FROM base),
+        r AS (SELECT *, CAST(row_number() OVER (PARTITION BY source, decile
+                          ORDER BY difficulty ASC NULLS FIRST, id) AS INT) AS rr
+              FROM t)
+        SELECT id, source, difficulty, decile, rr,
+               CAST(row_number() OVER (ORDER BY decile, rr, source, id) AS INT)
+                   AS position
+        FROM r ORDER BY position
+    """
+    # replays extraction/readability.py:readability_classify — chunk
+    # segmentation (the justext oracle's replay), attr-hint cycle, and
+    # the integer cleared-division Arc90 keep rule
+    d["readability_classify"] = r"""
+        WITH spiked AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 5 = 1
+                        THEN 'visit http://spam.example/aaaaaaaaaaaaaaaaaaaaaaaaa ' ELSE '' END
+                   || coalesce(text, '')
+                   || CASE WHEN doc_id % 3 = 0
+                           THEN ', alpha, beta, gamma, delta, epsilon, zeta,' ELSE '' END AS text
+            FROM documents),
+        dd AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(trim(coalesce(text, ''))), '\s+'),
+                               t -> t <> '') AS toks
+            FROM spiked),
+        c AS (
+            SELECT doc_id, toks, len(toks) AS n,
+                   CASE WHEN len(toks) <= 0 THEN 0
+                        ELSE 1 + CAST(ceil(greatest(len(toks) - 12, 0) / 12.0) AS INT)
+                   END AS n_chunks
+            FROM dd),
+        s AS (
+            SELECT doc_id, toks,
+                   CAST(unnest(range(0, n_chunks)) AS INT) AS chunk_id
+            FROM c WHERE n_chunks > 0),
+        seg AS (
+            SELECT doc_id, chunk_id,
+                   array_to_string(list_slice(toks, chunk_id * 12 + 1,
+                                              chunk_id * 12 + 12), ' ') AS seg_text,
+                   CASE (doc_id + chunk_id) % 4
+                        WHEN 0 THEN 'class="article"'
+                        WHEN 1 THEN 'id="sidebar"'
+                        WHEN 2 THEN 'class="article sidebar"'
+                   END AS attrs
+            FROM s),
+        f AS (
+            SELECT doc_id, chunk_id,
+                   CAST(length(seg_text) AS INT) AS n_chars,
+                   CAST(length(seg_text)
+                        - length(replace(seg_text, ',', '')) AS INT) AS n_commas,
+                   CAST(length(seg_text)
+                        - length(regexp_replace(seg_text, 'https?://\S+', '', 'g')) AS INT) AS link_chars,
+                   regexp_matches(lower(coalesce(attrs, '')),
+                       '(article|body|content|entry|main|post|text)') AS pos_hint,
+                   regexp_matches(lower(coalesce(attrs, '')),
+                       '(banner|comment|footer|menu|nav|promo|share|sidebar|sponsor|widget)') AS neg_hint
+            FROM seg),
+        sc AS (
+            SELECT *,
+                   CAST((least(n_chars // 100, 3) + n_commas
+                         + (CASE WHEN pos_hint THEN 25 ELSE 0 END)
+                         - (CASE WHEN neg_hint THEN 25 ELSE 0 END))
+                        * (n_chars - link_chars) AS BIGINT) AS score_scaled
+            FROM f)
+        SELECT doc_id, chunk_id, n_chars, n_commas, link_chars,
+               pos_hint, neg_hint, score_scaled,
+               (n_chars > 0 AND score_scaled >= 2 * n_chars) AS keep
+        FROM sc ORDER BY doc_id, chunk_id
     """
     return d
 

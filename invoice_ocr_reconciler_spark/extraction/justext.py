@@ -497,10 +497,17 @@ def compare_extractors(pages: DataFrame, gold: DataFrame) -> DataFrame:
             F.lit(name).alias("extractor"), "*"
         )
 
+    from invoice_ocr_reconciler_spark.extraction.readability import (
+        extract_pages_readability,
+    )
+
     density = extract_pages(pages).select("url", "extracted_text")
     jt = extract_pages_justext(pages)
-    return _score(density, "density").unionByName(
-        _score(jt, "justext")
+    rd = extract_pages_readability(pages)
+    return (
+        _score(density, "density")
+        .unionByName(_score(jt, "justext"))
+        .unionByName(_score(rd, "readability"))
     )
 
 

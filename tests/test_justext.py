@@ -123,6 +123,12 @@ def test_extractor_compare_density_canary(spark):
     assert rows["justext"]["t_pred"] > 0
     assert rows["justext"]["micro_precision"] >= 0.9
     assert 0.05 < rows["justext"]["micro_recall"] < 1.0
+    # third extractor (Arc90 readability): present and non-degenerate —
+    # its keep rule is length/comma-driven, so on the plain synthetic
+    # pages it must neither copy density (1.0) nor go to zero
+    assert "readability" in rows
+    assert rows["readability"]["t_pred"] > 0
+    assert 0.0 < rows["readability"]["micro_f1"] <= 1.0
 
 
 def test_extractor_pure_and_empty():

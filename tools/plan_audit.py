@@ -66,6 +66,8 @@ PURE_CODEGEN_QUERIES = [
     "extractor_sweep",
     "bt_strengths", "kappa_cohen", "kappa_fleiss", "temperature_sampling",
     "ngram_diversity", "bootstrap_ci", "cluster_topics", "sft_validate",
+    "pseudonymize", "mixture_plan", "curriculum_order",
+    "readability_classify",
 ]
 # NOT listed although their OPERATORS are pure codegen: queries whose
 # INPUT synthesis is datagen.pages_from_documents (a mapInPandas page
