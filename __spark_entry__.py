@@ -4995,8 +4995,6 @@ def q_readability_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = readability_classify(
         segs.withColumn("attrs", attrs),
-        id_col="doc_id",
-        idx_col="chunk_id",
         text_col="chunk_text",
         attrs_col="attrs",
     )
@@ -5004,6 +5002,167 @@ def q_readability_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "chunk_id", "n_chars", "n_commas", "link_chars",
         "pos_hint", "neg_hint", "score_scaled", "keep",
     ).orderBy("doc_id", "chunk_id")
+
+
+# ---------------------------------------------------------------------------
+# provenance / reuse band: identifiers, licenses, reply chains
+
+_ISBN_POOL = (
+    "9780306406157", "9780140449136", "9780262033848",  # valid checksums
+    "9780306406158", "9780140449137", "9780262033849",  # off-by-one invalid
+)
+
+
+def q_identifiers_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Identifier harvest (operators/identifiers.py:extract_identifiers):
+    doc_id%6==0 plants a DOI, %8==1 an arXiv id (v-suffixed on even
+    ids), %9==2 an ISBN-13 from a 3-valid/3-invalid literal pool; the
+    DuckDB oracle replays planting, extraction regexes, and the
+    integer ISBN checksum."""
+    from invoice_ocr_reconciler_spark.operators.identifiers import (
+        extract_identifiers,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = F.col("doc_id")
+    doi = F.concat(
+        F.lit(" ref 10."),
+        (1000 + d % 9000).cast("string"),
+        F.lit("/item-"),
+        d.cast("string"),
+    )
+    arx = F.concat(
+        F.format_string(" see arXiv:%04d.%05d", 1000 + d % 9000, d % 100000),
+        F.when(d % 2 == 0, F.concat(F.lit("v"), (d % 4 + 1).cast("string"))).otherwise(
+            F.lit("")
+        ),
+    )
+    isbn = F.concat(
+        F.lit(" isbn "),
+        F.element_at(
+            F.array(*[F.lit(x) for x in _ISBN_POOL]), (d % 6 + 1).cast("int")
+        ),
+        F.lit(" "),
+    )
+    text = F.concat(
+        F.coalesce(F.col("text"), F.lit("")),
+        F.when(d % 6 == 0, doi).otherwise(F.lit("")),
+        F.when(d % 8 == 1, arx).otherwise(F.lit("")),
+        F.when(d % 9 == 2, isbn).otherwise(F.lit("")),
+    )
+    return extract_identifiers(
+        docs.select("doc_id", text.alias("text"))
+    ).orderBy("doc_id", "kind", "ident")
+
+
+def q_license_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """License-gate classification (operators/identifiers.py:
+    detect_license): doc_id%7 cycles the six canonical header phrases +
+    a no-license case; %11==9 plants BOTH MIT and GPL headers to pin the
+    precedence chain. Oracle replays the contains chain."""
+    from invoice_ocr_reconciler_spark.operators.identifiers import (
+        detect_license,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = F.col("doc_id")
+    m = d % 7
+    header = (
+        F.when(m == 0, F.lit(" Permission is hereby granted, free of charge"))
+        .when(m == 1, F.lit(" Licensed under the Apache License, Version 2.0"))
+        .when(m == 2, F.lit(" under the GNU General Public License v3"))
+        .when(
+            m == 3,
+            F.lit(" Redistribution and use in source and binary forms"),
+        )
+        .when(
+            m == 4,
+            F.lit(" a Creative Commons Attribution-ShareAlike license"),
+        )
+        .when(m == 5, F.lit(" a Creative Commons Attribution license"))
+        .otherwise(F.lit(""))
+    )
+    both = F.when(
+        d % 11 == 9,
+        F.lit(
+            " Permission is hereby granted under the GNU General Public License"
+        ),
+    ).otherwise(F.lit(""))
+    text = F.concat(F.coalesce(F.col("text"), F.lit("")), header, both)
+    return detect_license(docs.select("doc_id", text.alias("text"))).orderBy(
+        "doc_id"
+    )
+
+
+def q_reply_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reply-chain cleanup (operators/identifiers.py:strip_reply_chains):
+    doc_id%4==0 documents are re-lined into a reply + attribution + two
+    quote depths + closing line; the oracle replays the re-lining, the
+    quote/attribution filters, and the depth arithmetic."""
+    from invoice_ocr_reconciler_spark.functions.text import tokens_col
+    from invoice_ocr_reconciler_spark.operators.identifiers import (
+        strip_reply_chains,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = F.col("doc_id")
+    toks = tokens_col(F.col("text"))
+    lined = F.concat_ws(
+        "\n",
+        F.array_join(F.slice(toks, 1, 6), " "),
+        F.lit("On monday the list wrote:"),
+        F.concat(F.lit("> "), F.array_join(F.slice(toks, 7, 5), " ")),
+        F.concat(F.lit("> > "), F.array_join(F.slice(toks, 12, 4), " ")),
+        F.array_join(F.slice(toks, 16, 6), " "),
+    )
+    text = F.when(d % 4 == 0, lined).otherwise(F.col("text"))
+    return strip_reply_chains(
+        docs.select("doc_id", text.alias("text"))
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# LM-objective data-prep band
+
+
+def q_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-style span corruption (operators/objectives.py:span_corruption)
+    over documents: window-local md5 spans, window-ordinal sentinels;
+    the DuckDB oracle replays windows, span draws, and both rebuilt
+    texts."""
+    from invoice_ocr_reconciler_spark.operators.objectives import (
+        span_corruption,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return span_corruption(docs).orderBy("doc_id")
+
+
+def q_fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill-in-the-middle PSM transform (operators/objectives.py:
+    fim_transform): md5 double cut, non-empty prefix/middle/suffix,
+    short docs pass through; oracle replays cuts and the PSM render."""
+    from invoice_ocr_reconciler_spark.operators.objectives import (
+        fim_transform,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return fim_transform(docs).orderBy("doc_id")
+
+
+def q_render_chat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chat-template serialization + loss-mask accounting (operators/
+    objectives.py:render_chat_template) over the synthetic SFT
+    transcripts (the sft_validate corpus); the oracle replays the
+    per-turn render, cumulative offsets, and the assistant span
+    bounds."""
+    from invoice_ocr_reconciler_spark.operators.objectives import (
+        render_chat_template,
+    )
+
+    return render_chat_template(
+        _synth_conversations(spark, sf_dir)
+    ).orderBy("conv_id")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -5257,6 +5416,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_plan": q_mixture_plan,
         "curriculum_order": q_curriculum_order,
         "readability_classify": q_readability_classify,
+        # provenance / reuse band
+        "identifiers_extract": q_identifiers_extract,
+        "license_detect": q_license_detect,
+        "reply_strip": q_reply_strip,
+        # LM-objective data prep
+        "span_corruption": q_span_corruption,
+        "fim_transform": q_fim_transform,
+        "render_chat": q_render_chat,
     }
 
 
@@ -10906,7 +11073,7 @@ def oracle_sql() -> dict[str, str]:
         df AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df_docs
                FROM tm GROUP BY 1),
         sc AS (SELECT grp, tf.term, tf_class, df_docs,
-                      CAST(floor(tf_class * 1e6 / df_docs) AS BIGINT) AS score_scaled
+                      CAST((tf_class * 1000000) // df_docs AS BIGINT) AS score_scaled
                FROM tf JOIN df USING (term) WHERE tf_class >= 3),
         rk AS (SELECT *, row_number() OVER (PARTITION BY grp
                        ORDER BY score_scaled DESC, tf_class DESC, term) AS rnk
@@ -11009,7 +11176,8 @@ def oracle_sql() -> dict[str, str]:
                                     entity) AS VARCHAR) || '>' AS ph
                 FROM ents),
         lists AS (SELECT pd.doc_id,
-                         list(pd.entity || chr(1) || map.ph) AS eps,
+                         list(pd.entity || chr(1) || map.ph
+                              ORDER BY -length(pd.entity), pd.entity) AS eps,
                          CAST(count(*) AS BIGINT) AS n_entities
                   FROM pd JOIN map USING (entity) GROUP BY pd.doc_id)
         SELECT a.doc_id,
@@ -11105,6 +11273,262 @@ def oracle_sql() -> dict[str, str]:
                pos_hint, neg_hint, score_scaled,
                (n_chars > 0 AND score_scaled >= 2 * n_chars) AS keep
         FROM sc ORDER BY doc_id, chunk_id
+    """
+    # --- provenance / reuse band ---
+    # replays operators/identifiers.py:extract_identifiers — planting,
+    # extraction regexes, and the 1,3-weighted ISBN-13 checksum
+    d["identifiers_extract"] = r"""
+        WITH aug AS (
+            SELECT doc_id,
+                   coalesce(text, '')
+                   || CASE WHEN doc_id % 6 = 0
+                           THEN ' ref 10.' || CAST(1000 + doc_id % 9000 AS VARCHAR)
+                                || '/item-' || CAST(doc_id AS VARCHAR)
+                           ELSE '' END
+                   || CASE WHEN doc_id % 8 = 1
+                           THEN ' see arXiv:' || lpad(CAST(1000 + doc_id % 9000 AS VARCHAR), 4, '0')
+                                || '.' || lpad(CAST(doc_id % 100000 AS VARCHAR), 5, '0')
+                                || CASE WHEN doc_id % 2 = 0
+                                        THEN 'v' || CAST(doc_id % 4 + 1 AS VARCHAR)
+                                        ELSE '' END
+                           ELSE '' END
+                   || CASE WHEN doc_id % 9 = 2
+                           THEN ' isbn ' || (['9780306406157', '9780140449136', '9780262033848',
+                                             '9780306406158', '9780140449137', '9780262033849'])
+                                            [CAST(doc_id % 6 + 1 AS INT)] || ' '
+                           ELSE '' END AS text
+            FROM documents),
+        m AS (
+            SELECT doc_id, 'doi' AS kind,
+                   unnest(regexp_extract_all(text, '\b10\.[0-9]{4,9}/[-._;()/:A-Za-z0-9]+')) AS ident
+            FROM aug
+            UNION ALL
+            SELECT doc_id, 'arxiv',
+                   unnest(regexp_extract_all(text, '\barXiv:[0-9]{4}\.[0-9]{4,5}(?:v[0-9]+)?'))
+            FROM aug
+            UNION ALL
+            SELECT doc_id, 'isbn13',
+                   unnest(regexp_extract_all(text, '\b97[89][0-9]{10}\b'))
+            FROM aug)
+        SELECT doc_id, kind, ident,
+               CASE WHEN kind = 'isbn13'
+                    THEN CAST(list_sum(list_transform(range(1, 14),
+                             i -> CAST(substr(ident, CAST(i AS INT), 1) AS INT)
+                                  * (CASE WHEN (i - 1) % 2 = 0 THEN 1 ELSE 3 END))) AS BIGINT) % 10 = 0
+                    ELSE TRUE END AS is_valid
+        FROM m ORDER BY doc_id, kind, ident
+    """
+    # replays operators/identifiers.py:detect_license — the precedence
+    # contains chain over the planted canonical headers
+    d["license_detect"] = """
+        WITH aug AS (
+            SELECT doc_id,
+                   lower(coalesce(text, '')
+                   || CASE doc_id % 7
+                           WHEN 0 THEN ' Permission is hereby granted, free of charge'
+                           WHEN 1 THEN ' Licensed under the Apache License, Version 2.0'
+                           WHEN 2 THEN ' under the GNU General Public License v3'
+                           WHEN 3 THEN ' Redistribution and use in source and binary forms'
+                           WHEN 4 THEN ' a Creative Commons Attribution-ShareAlike license'
+                           WHEN 5 THEN ' a Creative Commons Attribution license'
+                           ELSE '' END
+                   || CASE WHEN doc_id % 11 = 9
+                           THEN ' Permission is hereby granted under the GNU General Public License'
+                           ELSE '' END) AS low
+            FROM documents)
+        SELECT doc_id,
+               CASE WHEN contains(low, 'permission is hereby granted') THEN 'MIT'
+                    WHEN contains(low, 'apache license') AND contains(low, 'version 2.0') THEN 'Apache-2.0'
+                    WHEN contains(low, 'gnu general public license') THEN 'GPL'
+                    WHEN contains(low, 'redistribution and use in source and binary forms') THEN 'BSD'
+                    WHEN contains(low, 'creative commons') AND contains(low, 'sharealike') THEN 'CC-BY-SA'
+                    WHEN contains(low, 'creative commons') AND contains(low, 'attribution') THEN 'CC-BY'
+                    ELSE 'none' END AS license,
+               CASE WHEN contains(low, 'permission is hereby granted') THEN TRUE
+                    WHEN contains(low, 'apache license') AND contains(low, 'version 2.0') THEN TRUE
+                    WHEN contains(low, 'gnu general public license') THEN FALSE
+                    WHEN contains(low, 'redistribution and use in source and binary forms') THEN TRUE
+                    WHEN contains(low, 'creative commons') AND contains(low, 'sharealike') THEN FALSE
+                    WHEN contains(low, 'creative commons') AND contains(low, 'attribution') THEN TRUE
+                    ELSE FALSE END AS permissive
+        FROM aug ORDER BY doc_id
+    """
+    # replays operators/identifiers.py:strip_reply_chains — re-lining,
+    # quote/attribution filters, depth arithmetic
+    d["reply_strip"] = r"""
+        WITH toked AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(trim(coalesce(text, ''))), '\s+'),
+                               t -> t <> '') AS toks,
+                   text AS orig
+            FROM documents),
+        aug AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 4 = 0 THEN
+                        coalesce(array_to_string(list_slice(toks, 1, 6), ' '), '') || chr(10)
+                        || 'On monday the list wrote:' || chr(10)
+                        || '> ' || coalesce(array_to_string(list_slice(toks, 7, 11), ' '), '') || chr(10)
+                        || '> > ' || coalesce(array_to_string(list_slice(toks, 12, 15), ' '), '') || chr(10)
+                        || coalesce(array_to_string(list_slice(toks, 16, 21), ' '), '')
+                   ELSE orig END AS text
+            FROM toked),
+        l AS (SELECT doc_id,
+                     string_split(coalesce(text, ''), chr(10)) AS lines
+              FROM aug),
+        f AS (SELECT doc_id, lines,
+                     list_filter(lines, x -> regexp_matches(x, '^\s*>')) AS quoted,
+                     list_filter(lines, x -> NOT regexp_matches(x, '^\s*>')
+                                          AND NOT regexp_matches(lower(trim(x)), '^on .*wrote:$')) AS kept
+              FROM l)
+        SELECT doc_id,
+               CAST(len(lines) AS INT) AS n_lines,
+               CAST(len(quoted) AS INT) AS n_quoted,
+               CAST(len(lines) - len(quoted) - len(kept) AS INT) AS n_attrib,
+               CAST(coalesce(list_max(list_transform(quoted,
+                        x -> length(regexp_replace(regexp_extract(x, '^\s*((?:>\s*)+)', 1),
+                                                   '[^>]', '', 'g')))), 0) AS INT) AS max_depth,
+               array_to_string(kept, chr(10)) AS text_clean
+        FROM f ORDER BY doc_id
+    """
+    # --- LM-objective data prep ---
+    # replays operators/objectives.py:span_corruption — fixed windows,
+    # md5 span draws, window-ordinal sentinels, both rebuilt texts
+    d["span_corruption"] = r"""
+        WITH dd AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(trim(coalesce(text, ''))), '\s+'),
+                               t -> t <> '') AS toks
+            FROM documents),
+        c AS (SELECT doc_id, toks, len(toks) AS n,
+                     CAST(ceil(len(toks) / 20.0) AS INT) AS n_win
+              FROM dd),
+        wi AS (SELECT doc_id, toks, n,
+                      CAST(unnest(range(0, n_win)) AS INT) AS w
+               FROM c WHERE n_win > 0),
+        feat AS (
+            SELECT doc_id, w,
+                   list_slice(toks, w * 20 + 1, w * 20 + 20) AS wtoks,
+                   len(list_slice(toks, w * 20 + 1, w * 20 + 20)) AS wsize,
+                   CAST(('0x' || substr(md5('sl:' || CAST(doc_id AS VARCHAR) || ':' || CAST(w AS VARCHAR)), 1, 15))::UBIGINT % 3 + 2 AS INT) AS span_len
+            FROM wi),
+        pick AS (
+            SELECT *,
+                   CAST(('0x' || substr(md5('ss:' || CAST(doc_id AS VARCHAR) || ':' || CAST(w AS VARCHAR)), 1, 15))::UBIGINT
+                        % CAST(greatest(wsize - span_len, 1) AS UBIGINT) AS INT) AS s,
+                   (wsize >= span_len + 2) AS masked
+            FROM feat),
+        piece AS (
+            SELECT doc_id, w,
+                   CASE WHEN masked THEN span_len ELSE 0 END AS nm,
+                   CASE WHEN masked THEN
+                        coalesce(array_to_string(
+                            list_concat(list_concat(
+                                list_slice(wtoks, 1, s),
+                                ['<extra_id_' || CAST(w AS VARCHAR) || '>']),
+                                list_slice(wtoks, s + span_len + 1, wsize)), ' '), '')
+                   ELSE coalesce(array_to_string(wtoks, ' '), '') END AS inp,
+                   CASE WHEN masked THEN
+                        coalesce(array_to_string(
+                            list_concat(['<extra_id_' || CAST(w AS VARCHAR) || '>'],
+                                        list_slice(wtoks, s + 1, s + span_len)), ' '), '')
+                   ELSE '' END AS tgt
+            FROM pick),
+        agg AS (
+            SELECT doc_id,
+                   CAST(sum(nm) AS INT) AS n_masked,
+                   string_agg(inp, ' ' ORDER BY w) AS input_text,
+                   string_agg(tgt, ' ' ORDER BY w) FILTER (WHERE tgt <> '') AS target_text
+            FROM piece GROUP BY doc_id)
+        SELECT c.doc_id, CAST(c.n AS INT) AS n_tokens,
+               coalesce(a.n_masked, 0) AS n_masked,
+               coalesce(a.input_text, '') AS input_text,
+               coalesce(a.target_text, '') AS target_text
+        FROM c LEFT JOIN agg a ON c.doc_id = a.doc_id
+        ORDER BY c.doc_id
+    """
+    # replays operators/objectives.py:fim_transform — md5 double cut, PSM
+    d["fim_transform"] = r"""
+        WITH dd AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(trim(coalesce(text, ''))), '\s+'),
+                               t -> t <> '') AS toks
+            FROM documents),
+        c AS (SELECT doc_id, toks, len(toks) AS n,
+                     CAST(('0x' || substr(md5('f1:' || CAST(doc_id AS VARCHAR)), 1, 15))::UBIGINT
+                          % CAST(greatest(len(toks) - 2, 1) AS UBIGINT) + 1 AS INT) AS c1
+              FROM dd),
+        c2t AS (SELECT *,
+                       CAST(c1 + 1 + CAST(('0x' || substr(md5('f2:' || CAST(doc_id AS VARCHAR)), 1, 15))::UBIGINT
+                            % CAST(greatest(n - c1 - 1, 1) AS UBIGINT) AS INT) AS INT) AS c2
+                FROM c)
+        SELECT doc_id, CAST(n AS INT) AS n_tokens,
+               CASE WHEN n >= 3 THEN c1 END AS cut1,
+               CASE WHEN n >= 3 THEN c2 END AS cut2,
+               (n >= 3) AS fim_applied,
+               CASE WHEN n >= 3 THEN
+                    '<PRE> ' || coalesce(array_to_string(list_slice(toks, 1, c1), ' '), '')
+                    || ' <SUF> ' || coalesce(array_to_string(list_slice(toks, c2 + 1, n), ' '), '')
+                    || ' <MID> ' || coalesce(array_to_string(list_slice(toks, c1 + 1, c2), ' '), '')
+               ELSE coalesce(array_to_string(toks, ' '), '') END AS fim_text
+        FROM c2t ORDER BY doc_id
+    """
+    # replays operators/objectives.py:render_chat_template over the
+    # sft_validate synthesis — per-turn render, cumulative offsets,
+    # assistant span bounds
+    d["render_chat"] = """
+        WITH docs AS (
+            SELECT doc_id AS d,
+                   CASE WHEN doc_id % 3 = 0 THEN 3
+                        ELSE 4 + 2 * (doc_id % 2) END AS n,
+                   (doc_id % 31 = 17) AS is_empty
+            FROM documents),
+        turns AS (
+            SELECT d, n, t,
+                CASE WHEN d % 37 = 19 AND t = 1 THEN 'assistant'
+                     WHEN d % 23 = 11 AND t = 2 THEN 'tool'
+                     WHEN d % 29 = 13 AND t = 3 THEN 'system'
+                     WHEN d % 13 = 5 AND t = 2 THEN
+                          (CASE WHEN d % 3 = 0 THEN 'system' ELSE 'user' END)
+                     WHEN d % 19 = 7 AND t = n THEN 'user'
+                     ELSE (CASE WHEN d % 3 = 0 THEN
+                                  (CASE WHEN t = 1 THEN 'system'
+                                        WHEN t % 2 = 0 THEN 'user'
+                                        ELSE 'assistant' END)
+                                ELSE (CASE WHEN t % 2 = 1 THEN 'user'
+                                           ELSE 'assistant' END) END)
+                END AS role,
+                CASE WHEN d % 17 = 3 AND t = 2 THEN '  '
+                     ELSE 'c' || CAST(d AS VARCHAR) || '_' || CAST(t AS VARCHAR)
+                END AS content
+            FROM docs CROSS JOIN (SELECT unnest([1, 2, 3, 4, 5, 6]) AS t) g
+            WHERE t <= n AND NOT is_empty),
+        off AS (
+            SELECT *,
+                   coalesce(sum(24 + length(role) + length(content))
+                            OVER (PARTITION BY d ORDER BY t
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off0
+            FROM turns),
+        agg AS (
+            SELECT d,
+                   string_agg('<|im_start|>' || role || chr(10) || content || '<|im_end|>' || chr(10),
+                              '' ORDER BY t) AS rendered,
+                   CAST(count(*) AS INT) AS n_turns,
+                   CAST(coalesce(sum(CASE WHEN role = 'assistant' THEN 1 END), 0) AS INT) AS n_assistant,
+                   CAST(coalesce(sum(CASE WHEN role = 'assistant' THEN length(content) END), 0) AS INT) AS mask_chars,
+                   CAST(min(CASE WHEN role = 'assistant'
+                                 THEN off0 + 12 + length(role) + 1 END) AS INT) AS first_mask_start,
+                   CAST(max(CASE WHEN role = 'assistant'
+                                 THEN off0 + 12 + length(role) + 1 + length(content) END) AS INT) AS last_mask_end
+            FROM off GROUP BY d)
+        SELECT docs.d AS conv_id,
+               coalesce(a.n_turns, 0) AS n_turns,
+               coalesce(a.n_assistant, 0) AS n_assistant,
+               coalesce(a.rendered, '') AS rendered,
+               CAST(length(coalesce(a.rendered, '')) AS INT) AS total_chars,
+               coalesce(a.mask_chars, 0) AS mask_chars,
+               a.first_mask_start, a.last_mask_end
+        FROM docs LEFT JOIN agg a ON docs.d = a.d
+        ORDER BY conv_id
     """
     return d
 

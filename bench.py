@@ -117,6 +117,11 @@ def main() -> None:
         "extractor_sweep",      # 7-config threshold frontier (codegen)
         "kmeans_assign",        # full-corpus Lloyd rounds (integer grid)
         "sketch_quantiles",     # mergeable log-bucket quantile sketch
+        "bt_strengths",         # Bradley-Terry MM leaderboard (3 rounds)
+        "pseudonymize",         # consistent PII placeholders (fold replace)
+        "readability_classify", # Arc90 block scoring (codegen projection)
+        "span_corruption",      # T5 denoising prep (windowed codegen)
+        "curriculum_order",     # decile interleave (partitioned windows)
         "extract_pages",        # extraction stage alone
         "reconcile",            # full pipeline: extract -> parse -> reconcile
     ]

@@ -41,7 +41,7 @@ from __future__ import annotations
 
 import re
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 KEEP_THRESHOLD = 2  # score units after the link-density discount
@@ -107,8 +107,6 @@ def extract_main_text_readability(html_text: str) -> str:
 
 def readability_classify(
     segments: DataFrame,
-    id_col: str = "doc_id",
-    idx_col: str = "seg_idx",
     text_col: str = "seg_text",
     attrs_col: str | None = None,
 ) -> DataFrame:

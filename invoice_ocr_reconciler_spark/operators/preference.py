@@ -41,7 +41,7 @@ the arithmetic stays total in both engines.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
@@ -49,6 +49,7 @@ from invoice_ocr_reconciler_spark.functions.text import roundn
 
 ITER_PLACES = 12
 OUT_PLACES = 9
+CHECKPOINT_EVERY = 8
 
 
 def bt_strengths(
@@ -157,6 +158,13 @@ def bt_strengths(
         if truncate_lineage:
             strengths = strengths.persist(StorageLevel.MEMORY_AND_DISK)
             persisted.append(strengths)
+            if len(persisted) % CHECKPOINT_EVERY == 0:
+                # the pagerank deep-run contract: periodic eager lineage
+                # cut, then release the per-round caches it supersedes
+                strengths = strengths.localCheckpoint(eager=True)
+                for df in persisted:
+                    df.unpersist()
+                persisted = []
 
     from pyspark.sql import Window
 

@@ -47,11 +47,25 @@ def validate_conversations(
 
     `turns_col` is array<struct<role:string, content:string>>.
     """
+    # totality: a NULL turns array folds to an empty conversation and a
+    # NULL role folds to '' (-> bad_role) — three-valued logic must never
+    # leak NULL into the flags, or malformed rows escape BOTH
+    # where(valid) and where(~valid)
     projected = convs.select(
         F.col(id_col).alias("conv_id"),
-        F.transform(F.col(turns_col), lambda t: t["role"]).alias("roles"),
-        F.transform(
-            F.col(turns_col), lambda t: F.coalesce(t["content"], F.lit(""))
+        F.coalesce(
+            F.transform(
+                F.col(turns_col),
+                lambda t: F.coalesce(t["role"], F.lit("")),
+            ),
+            F.array().cast("array<string>"),
+        ).alias("roles"),
+        F.coalesce(
+            F.transform(
+                F.col(turns_col),
+                lambda t: F.coalesce(t["content"], F.lit("")),
+            ),
+            F.array().cast("array<string>"),
         ).alias("contents"),
     )
     roles = F.col("roles")

@@ -813,9 +813,9 @@ def class_tfidf_topics(
         .join(F.broadcast(df_docs), "term")
         .withColumn(
             "score_scaled",
-            F.floor(F.col("tf_class") * F.lit(1000000.0) / F.col("df_docs")).cast(
-                "long"
-            ),
+            # integral `div` keeps the claimed bigint exactness — a double
+            # product tf*1e6 would lose low bits past 2^53 at corpus scale
+            F.expr("(tf_class * 1000000L) div df_docs"),
         )
     )
     w = Window.partitionBy("grp").orderBy(

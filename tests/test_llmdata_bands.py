@@ -314,6 +314,23 @@ def test_validate_conversations_matrix(spark):
         assert r.n_turns == len(turns)
 
 
+def test_validate_conversations_total_over_nulls(spark):
+    # NULL role folds to '' (bad_role), NULL turns folds to empty_conv —
+    # three-valued logic must never leak NULL into valid/first_violation
+    cdf = spark.createDataFrame(
+        [
+            (1, [("user", "hi"), (None, "x"), ("assistant", "ok")]),
+            (2, None),
+        ],
+        "conv_id long, turns array<struct<role:string,content:string>>",
+    )
+    out = {r.conv_id: r for r in validate_conversations(cdf).collect()}
+    assert out[1].valid is False and out[1].bad_role
+    assert out[1].first_violation == "bad_role"
+    assert out[2].valid is False and out[2].n_turns == 0
+    assert out[2].first_violation == "empty_conv"
+
+
 def test_validate_conversations_flag_independence(spark):
     # one conversation tripping several flags: precedence picks the first
     cdf = spark.createDataFrame(

@@ -68,6 +68,8 @@ PURE_CODEGEN_QUERIES = [
     "ngram_diversity", "bootstrap_ci", "cluster_topics", "sft_validate",
     "pseudonymize", "mixture_plan", "curriculum_order",
     "readability_classify",
+    "identifiers_extract", "license_detect", "reply_strip",
+    "span_corruption", "fim_transform", "render_chat",
 ]
 # NOT listed although their OPERATORS are pure codegen: queries whose
 # INPUT synthesis is datagen.pages_from_documents (a mapInPandas page
