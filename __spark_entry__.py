@@ -5165,6 +5165,69 @@ def q_render_chat(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("conv_id")
 
 
+# ---------------------------------------------------------------------------
+# IR-evaluation band (trec_eval metric set over synthetic runs + qrels)
+
+
+def _ir_tables(spark: SparkSession, sf_dir: str):
+    """Synthetic (runs, qrels) pair over documents: 20 queries; each doc
+    is retrieved for a query when md5('ir:q:d')%100 < 5 with integer
+    score md5('irs:q:d')%1e6, and judged relevant when
+    md5('irq:q:d')%100 < 4 with graded rel = 1 + md5('irr:q:d')%3 — the
+    two draws are independent, so runs contain unjudged docs and qrels
+    contain unretrieved ones (the realistic partial-overlap case)."""
+    from invoice_ocr_reconciler_spark.functions.text import md5_u60
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    pairs = docs.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(19))).alias("query_id"),
+    )
+    key = lambda p: F.concat(  # noqa: E731
+        F.lit(p),
+        F.col("query_id").cast("string"),
+        F.lit(":"),
+        F.col("doc_id").cast("string"),
+    )
+    runs = pairs.where(md5_u60(key("ir:")) % 100 < 5).select(
+        "query_id",
+        "doc_id",
+        (md5_u60(key("irs:")) % 1000000).cast("long").alias("score"),
+    )
+    qrels = pairs.where(md5_u60(key("irq:")) % 100 < 4).select(
+        "query_id",
+        "doc_id",
+        (md5_u60(key("irr:")) % 3 + 1).cast("int").alias("rel"),
+    )
+    return runs, qrels
+
+
+def q_ir_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query P@10/R@10/RR/AP@10/nDCG@10 (operators/ireval.py:
+    ir_metrics) over the synthetic runs/qrels pair: exact-integer AP via
+    the lcm(1..10) trick, literal 1e12-scaled rank discounts (no log()
+    in either engine); the oracle replays synthesis, ranking windows,
+    and every integer pool."""
+    from invoice_ocr_reconciler_spark.operators.ireval import ir_metrics
+
+    runs, qrels = _ir_tables(spark, sf_dir)
+    return ir_metrics(runs, qrels, k=10)
+
+
+def q_ir_metrics_macro(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Macro rollup (operators/ireval.py:ir_metrics_macro): per-query
+    metrics snapped to integer nanos, summed as BIGINTs (no float
+    accumulation order), one division per mean; oracle replays the
+    per-query CTE plus the nanos algebra."""
+    from invoice_ocr_reconciler_spark.operators.ireval import (
+        ir_metrics,
+        ir_metrics_macro,
+    )
+
+    runs, qrels = _ir_tables(spark, sf_dir)
+    return ir_metrics_macro(ir_metrics(runs, qrels, k=10), k=10)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from invoice_ocr_reconciler_spark.plans import relational as R
 
@@ -5424,6 +5487,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_corruption": q_span_corruption,
         "fim_transform": q_fim_transform,
         "render_chat": q_render_chat,
+        # IR-evaluation band
+        "ir_metrics": q_ir_metrics,
+        "ir_metrics_macro": q_ir_metrics_macro,
     }
 
 
@@ -11529,6 +11595,130 @@ def oracle_sql() -> dict[str, str]:
                a.first_mask_start, a.last_mask_end
         FROM docs LEFT JOIN agg a ON docs.d = a.d
         ORDER BY conv_id
+    """
+
+    # --- IR-evaluation band: replays operators/ireval.py over the
+    # md5-synthesized runs/qrels pair. The rank discounts are the SAME
+    # driver-computed 1e12-scaled literals the Spark side ships (no
+    # log() in either engine); AP addends are exact via lcm(1..10)=2520
+    # integer division; every metric is one int/int division.
+    from invoice_ocr_reconciler_spark.operators.ireval import _discounts
+
+    _disc_vals = ", ".join(
+        f"({r + 1}, CAST({dv} AS BIGINT))"
+        for r, dv in enumerate(_discounts(10))
+    )
+    _u60 = (
+        "('0x' || substr(md5('{p}' || CAST(query_id AS VARCHAR) || ':' "
+        "|| CAST(doc_id AS VARCHAR)), 1, 15))::UBIGINT"
+    )
+    _IR_BASE = f"""
+        pairs AS (SELECT g.query_id, d.doc_id
+                  FROM documents d
+                  CROSS JOIN (SELECT unnest(range(20)) AS query_id) g),
+        runs AS (SELECT query_id, doc_id,
+                        CAST({_u60.format(p='irs:')} % 1000000 AS BIGINT) AS score
+                 FROM pairs WHERE {_u60.format(p='ir:')} % 100 < 5),
+        qrels AS (SELECT query_id, doc_id,
+                         CAST({_u60.format(p='irr:')} % 3 + 1 AS BIGINT) AS rel
+                  FROM pairs WHERE {_u60.format(p='irq:')} % 100 < 4),
+        disc AS (SELECT * FROM (VALUES {_disc_vals}) AS t(r, dv)),
+        ranked AS (SELECT query_id, doc_id, score,
+                          row_number() OVER (PARTITION BY query_id
+                                             ORDER BY score DESC, doc_id ASC)
+                            AS rank
+                   FROM runs),
+        topk AS (SELECT r.query_id, r.rank,
+                        coalesce(q.rel, 0) AS rel,
+                        sum(CASE WHEN coalesce(q.rel, 0) > 0
+                                 THEN 1 ELSE 0 END)
+                          OVER (PARTITION BY r.query_id ORDER BY r.rank)
+                          AS cumhits
+                 FROM ranked r LEFT JOIN qrels q
+                   ON r.query_id = q.query_id AND r.doc_id = q.doc_id
+                 WHERE r.rank <= 10),
+        per_q AS (SELECT t.query_id,
+                         CAST(count(*) AS BIGINT) AS n_ret,
+                         CAST(sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END)
+                              AS BIGINT) AS hits,
+                         min(CASE WHEN rel > 0 THEN rank END)
+                           AS first_rel_rank,
+                         CAST(sum(CASE WHEN rel > 0
+                                       THEN (2520 * cumhits) // rank
+                                       ELSE 0 END) AS BIGINT) AS ap_num,
+                         CAST(sum(((1 << rel) - 1) * d.dv) AS BIGINT)
+                           AS dcg_scaled
+                  FROM topk t JOIN disc d ON t.rank = d.r
+                  GROUP BY t.query_id),
+        irk AS (SELECT query_id, rel,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY rel DESC, doc_id ASC)
+                         AS irank
+                FROM qrels WHERE rel > 0),
+        ideal AS (SELECT i.query_id,
+                         CAST(sum(((1 << rel) - 1) * d.dv) AS BIGINT)
+                           AS idcg_scaled
+                  FROM irk i JOIN disc d ON i.irank = d.r
+                  WHERE i.irank <= 10 GROUP BY i.query_id),
+        nrel AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_rel
+                 FROM qrels WHERE rel > 0 GROUP BY query_id),
+        spine AS (SELECT DISTINCT query_id FROM runs
+                  UNION SELECT DISTINCT query_id FROM qrels),
+        perq AS (
+        SELECT s.query_id,
+               coalesce(p.n_ret, 0) AS n_ret,
+               coalesce(n.n_rel, 0) AS n_rel,
+               coalesce(p.hits, 0) AS hits,
+               CAST(coalesce(p.hits, 0) AS DOUBLE) / 10 AS precision_k,
+               CASE WHEN coalesce(n.n_rel, 0) > 0
+                    THEN CAST(coalesce(p.hits, 0) AS DOUBLE) / n.n_rel
+               END AS recall_k,
+               CASE WHEN p.first_rel_rank IS NOT NULL
+                    THEN 1.0 / p.first_rel_rank END AS rr,
+               CASE WHEN coalesce(n.n_rel, 0) > 0
+                    THEN CAST(coalesce(p.ap_num, 0) AS DOUBLE)
+                         / (2520 * least(n.n_rel, 10))
+               END AS ap_k,
+               coalesce(p.dcg_scaled, 0) AS dcg_scaled,
+               coalesce(i.idcg_scaled, 0) AS idcg_scaled,
+               CASE WHEN coalesce(i.idcg_scaled, 0) > 0
+                    THEN CAST(coalesce(p.dcg_scaled, 0) AS DOUBLE)
+                         / i.idcg_scaled
+               END AS ndcg_k
+        FROM spine s
+        LEFT JOIN per_q p ON s.query_id = p.query_id
+        LEFT JOIN nrel n ON s.query_id = n.query_id
+        LEFT JOIN ideal i ON s.query_id = i.query_id)
+    """
+    d["ir_metrics"] = f"""
+        WITH {_IR_BASE}
+        SELECT * FROM perq ORDER BY query_id
+    """
+    d["ir_metrics_macro"] = f"""
+        WITH {_IR_BASE}
+        SELECT CAST(count(*) AS BIGINT) AS n_queries,
+               CAST(10 AS INT) AS k,
+               CASE WHEN count(precision_k) > 0
+                    THEN CAST(sum(CAST(floor(precision_k * 1e9 + 0.5) AS BIGINT))
+                              AS DOUBLE) / count(precision_k) / 1e9
+               END AS mean_precision_k,
+               CASE WHEN count(recall_k) > 0
+                    THEN CAST(sum(CAST(floor(recall_k * 1e9 + 0.5) AS BIGINT))
+                              AS DOUBLE) / count(recall_k) / 1e9
+               END AS mean_recall_k,
+               CASE WHEN count(rr) > 0
+                    THEN CAST(sum(CAST(floor(rr * 1e9 + 0.5) AS BIGINT))
+                              AS DOUBLE) / count(rr) / 1e9
+               END AS mrr,
+               CASE WHEN count(ap_k) > 0
+                    THEN CAST(sum(CAST(floor(ap_k * 1e9 + 0.5) AS BIGINT))
+                              AS DOUBLE) / count(ap_k) / 1e9
+               END AS map_k,
+               CASE WHEN count(ndcg_k) > 0
+                    THEN CAST(sum(CAST(floor(ndcg_k * 1e9 + 0.5) AS BIGINT))
+                              AS DOUBLE) / count(ndcg_k) / 1e9
+               END AS mean_ndcg_k
+        FROM perq
     """
     return d
 
