@@ -5228,6 +5228,69 @@ def q_ir_metrics_macro(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ir_metrics_macro(ir_metrics(runs, qrels, k=10), k=10)
 
 
+# ---------------------------------------------------------------------------
+# OCR/transcription-eval band (CER + exact coded-word WER)
+
+
+def _ocr_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthetic (ref, hyp) transcript pairs: ref = first 40 tokens of
+    each document; hyp corrupts per position via md5('ocr:doc:i')%10 —
+    0 drops the word (deletion), 1 doubles it (insertion), 2 reverses
+    it (substitution), else kept. Per-row local vocabulary stays far
+    under the 91-char coding alphabet by construction."""
+    from invoice_ocr_reconciler_spark.functions.text import (
+        md5_u60,
+        tokens_col,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = F.slice(tokens_col(F.col("text")), 1, 40)
+    key = lambda i: F.concat(  # noqa: E731 — 0-based position key
+        F.lit("ocr:"),
+        F.col("doc_id").cast("string"),
+        F.lit(":"),
+        i.cast("string"),
+    )
+    hyp_words = F.flatten(
+        F.transform(
+            toks,
+            lambda w, i: F.when(md5_u60(key(i)) % 10 == 0, F.array())
+            .when(md5_u60(key(i)) % 10 == 1, F.array(w, w))
+            .when(md5_u60(key(i)) % 10 == 2, F.array(F.reverse(w)))
+            .otherwise(F.array(w)),
+        )
+    )
+    return docs.select(
+        "doc_id",
+        F.array_join(toks, " ").alias("ref_text"),
+        F.array_join(hyp_words, " ").alias("hyp_text"),
+    )
+
+
+def q_ocr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row CER/WER (operators/ocreval.py:cer_wer) over the synthetic
+    corrupted transcripts: native char levenshtein for CER, exact
+    word-level WER via per-row vocabulary coding into a 91-char ASCII
+    alphabet; the oracle replays synthesis, coding, and both distances
+    (DuckDB's byte-based levenshtein == Spark's char-based on this
+    ASCII corpus)."""
+    from invoice_ocr_reconciler_spark.operators.ocreval import cer_wer
+
+    return cer_wer(_ocr_pairs(spark, sf_dir))
+
+
+def q_ocr_eval_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus CER/WER rollup (operators/ocreval.py:cer_wer_summary):
+    exact BIGINT edit/length pools, one division per ratio, skipped
+    (uncodable) rows published — oracle replays the pools."""
+    from invoice_ocr_reconciler_spark.operators.ocreval import (
+        cer_wer,
+        cer_wer_summary,
+    )
+
+    return cer_wer_summary(cer_wer(_ocr_pairs(spark, sf_dir)))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from invoice_ocr_reconciler_spark.plans import relational as R
 
@@ -5490,6 +5553,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # IR-evaluation band
         "ir_metrics": q_ir_metrics,
         "ir_metrics_macro": q_ir_metrics_macro,
+        # OCR/transcription-eval band
+        "ocr_eval": q_ocr_eval,
+        "ocr_eval_summary": q_ocr_eval_summary,
     }
 
 
@@ -11719,6 +11785,96 @@ def oracle_sql() -> dict[str, str]:
                               AS DOUBLE) / count(ndcg_k) / 1e9
                END AS mean_ndcg_k
         FROM perq
+    """
+
+    # --- OCR/transcription-eval band: replays operators/ocreval.py over
+    # the md5-corrupted transcripts. DuckDB's levenshtein is byte-based,
+    # Spark's codepoint-based — identical on this ASCII corpus. The
+    # coding alphabet literal is the SAME 91-char constant the operator
+    # ships (quote/backslash excluded so it embeds verbatim).
+    from invoice_ocr_reconciler_spark.operators.ocreval import CODE_ALPHABET
+
+    _u60i = (
+        "('0x' || substr(md5('ocr:' || CAST(doc_id AS VARCHAR) || ':' "
+        "|| CAST(i AS VARCHAR)), 1, 15))::UBIGINT % 10"
+    )
+    _OCR_BASE = """
+        toks0 AS (SELECT doc_id,
+                         list_filter(string_split_regex(
+                             lower(trim(coalesce(text, ''))), '\\s+'),
+                             t -> t <> '')[1:40] AS rw
+                  FROM documents),
+        hypw AS (SELECT doc_id, rw,
+                        flatten(list_transform(range(0, len(rw)), i ->
+                            CASE (@U60@)
+                                 WHEN 0 THEN []::VARCHAR[]
+                                 WHEN 1 THEN [rw[i + 1], rw[i + 1]]
+                                 WHEN 2 THEN [reverse(rw[i + 1])]
+                                 ELSE [rw[i + 1]] END)) AS hw
+                 FROM toks0),
+        strs AS (SELECT doc_id, rw, hw,
+                        array_to_string(rw, ' ') AS ref,
+                        array_to_string(hw, ' ') AS hyp,
+                        list_sort(list_distinct(rw || hw)) AS vocab
+                 FROM hypw),
+        coded AS (SELECT *,
+                         len(vocab) <= 91 AS is_coded,
+                         array_to_string(list_transform(rw,
+                             w -> '@ALPHA@'[list_position(vocab, w)]), '')
+                           AS cref,
+                         array_to_string(list_transform(hw,
+                             w -> '@ALPHA@'[list_position(vocab, w)]), '')
+                           AS chyp
+                  FROM strs),
+        perrow AS (
+        SELECT doc_id,
+               CAST(length(ref) AS BIGINT) AS n_ref_chars,
+               CAST(length(hyp) AS BIGINT) AS n_hyp_chars,
+               CAST(levenshtein(ref, hyp) AS BIGINT) AS char_dist,
+               CASE WHEN length(ref) > 0
+                    THEN CAST(levenshtein(ref, hyp) AS DOUBLE) / length(ref)
+               END AS cer,
+               CAST(len(rw) AS BIGINT) AS n_ref_words,
+               CAST(len(hw) AS BIGINT) AS n_hyp_words,
+               CASE WHEN is_coded
+                    THEN CAST(levenshtein(cref, chyp) AS BIGINT)
+               END AS word_dist,
+               CASE WHEN len(rw) > 0 AND is_coded
+                    THEN CAST(levenshtein(cref, chyp) AS DOUBLE) / len(rw)
+               END AS wer,
+               is_coded AS coded
+        FROM coded)
+    """.replace("@U60@", _u60i).replace("@ALPHA@", CODE_ALPHABET)
+    d["ocr_eval"] = f"""
+        WITH {_OCR_BASE}
+        SELECT * FROM perrow ORDER BY doc_id
+    """
+    d["ocr_eval_summary"] = f"""
+        WITH {_OCR_BASE}
+        SELECT CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(CASE WHEN coded AND n_ref_words > 0
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_coded,
+               CAST(sum(CASE WHEN coded THEN 0 ELSE 1 END) AS BIGINT)
+                 AS n_uncoded,
+               CAST(sum(char_dist) AS BIGINT) AS char_dist_total,
+               CAST(sum(n_ref_chars) AS BIGINT) AS ref_chars_total,
+               CASE WHEN sum(n_ref_chars) > 0
+                    THEN CAST(sum(char_dist) AS DOUBLE) / sum(n_ref_chars)
+               END AS corpus_cer,
+               CAST(coalesce(sum(CASE WHEN coded AND n_ref_words > 0
+                                      THEN word_dist END), 0) AS BIGINT)
+                 AS word_dist_total,
+               CAST(coalesce(sum(CASE WHEN coded AND n_ref_words > 0
+                                      THEN n_ref_words END), 0) AS BIGINT)
+                 AS ref_words_total,
+               CASE WHEN coalesce(sum(CASE WHEN coded AND n_ref_words > 0
+                                           THEN n_ref_words END), 0) > 0
+                    THEN CAST(sum(CASE WHEN coded AND n_ref_words > 0
+                                       THEN word_dist END) AS DOUBLE)
+                         / sum(CASE WHEN coded AND n_ref_words > 0
+                                    THEN n_ref_words END)
+               END AS corpus_wer
+        FROM perrow
     """
     return d
 

@@ -70,7 +70,7 @@ PURE_CODEGEN_QUERIES = [
     "readability_classify",
     "identifiers_extract", "license_detect", "reply_strip",
     "span_corruption", "fim_transform", "render_chat",
-    "ir_metrics", "ir_metrics_macro",
+    "ir_metrics", "ir_metrics_macro", "ocr_eval", "ocr_eval_summary",
 ]
 # NOT listed although their OPERATORS are pure codegen: queries whose
 # INPUT synthesis is datagen.pages_from_documents (a mapInPandas page
