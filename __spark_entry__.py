@@ -5291,6 +5291,44 @@ def q_ocr_eval_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cer_wer_summary(cer_wer(_ocr_pairs(spark, sf_dir)))
 
 
+def q_dpo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DPO preference-pair construction (operators/preference.py:
+    dpo_pairs) over synthetic scored completions: each prompt (= doc)
+    gets 2 + md5('dpn:p')%5 completions scored md5('dps:p:k')%1000;
+    pairs i-th best with i-th worst (max 2), disjoint halves, margin
+    >= 50. Integer scores make the margin exact; the oracle replays
+    synthesis, both rank windows, and the pairing join."""
+    from invoice_ocr_reconciler_spark.functions.text import md5_u60
+    from invoice_ocr_reconciler_spark.operators.preference import dpo_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    p = F.col("doc_id").cast("string")
+    n = (md5_u60(F.concat(F.lit("dpn:"), p)) % 5 + 2).cast("int")
+    comps = docs.select(
+        F.col("doc_id").alias("prompt_id"),
+        F.explode(F.sequence(F.lit(0), n - 1)).alias("k"),
+    ).select(
+        "prompt_id",
+        F.concat(F.lit("c"), F.col("k").cast("string")).alias(
+            "completion_id"
+        ),
+        (
+            md5_u60(
+                F.concat(
+                    F.lit("dps:"),
+                    F.col("prompt_id").cast("string"),
+                    F.lit(":"),
+                    F.col("k").cast("string"),
+                )
+            )
+            % 1000
+        )
+        .cast("long")
+        .alias("score"),
+    )
+    return dpo_pairs(comps, max_pairs=2, min_margin=50.0)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from invoice_ocr_reconciler_spark.plans import relational as R
 
@@ -5556,6 +5594,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # OCR/transcription-eval band
         "ocr_eval": q_ocr_eval,
         "ocr_eval_summary": q_ocr_eval_summary,
+        # preference-data prep
+        "dpo_pairs": q_dpo_pairs,
     }
 
 
@@ -11875,6 +11915,50 @@ def oracle_sql() -> dict[str, str]:
                                     THEN n_ref_words END)
                END AS corpus_wer
         FROM perrow
+    """
+
+    # --- preference-data prep: replays operators/preference.py:dpo_pairs
+    # over the md5-synthesized scored completions (integer scores ->
+    # exact margins; mirror-tiebreak rank windows; disjoint halves).
+    _u60d = (
+        "('0x' || substr(md5('{p}' || CAST(prompt_id AS VARCHAR){k}), 1, 15))"
+        "::UBIGINT"
+    )
+    d["dpo_pairs"] = f"""
+        WITH comps AS (
+            SELECT d.doc_id AS prompt_id,
+                   'c' || CAST(g.k AS VARCHAR) AS completion_id,
+                   CAST({_u60d.format(p='dps:', k=" || ':' || CAST(g.k AS VARCHAR)").replace('prompt_id', 'd.doc_id')} % 1000 AS BIGINT) AS score
+            FROM documents d
+            CROSS JOIN (SELECT unnest(range(6)) AS k) g
+            WHERE g.k < 2 + {_u60d.format(p='dpn:', k='').replace('prompt_id', 'd.doc_id')} % 5),
+        ranked AS (
+            SELECT prompt_id, completion_id, score,
+                   row_number() OVER (PARTITION BY prompt_id
+                                      ORDER BY score DESC, completion_id ASC)
+                     AS rank_best,
+                   row_number() OVER (PARTITION BY prompt_id
+                                      ORDER BY score ASC, completion_id DESC)
+                     AS rank_worst,
+                   count(*) OVER (PARTITION BY prompt_id) AS n_completions
+            FROM comps),
+        best AS (SELECT prompt_id, rank_best AS pair_rank,
+                        completion_id AS chosen_id, score AS chosen_score,
+                        n_completions
+                 FROM ranked
+                 WHERE rank_best <= 2 AND rank_best <= n_completions // 2),
+        worst AS (SELECT prompt_id, rank_worst AS pair_rank,
+                         completion_id AS rejected_id,
+                         score AS rejected_score
+                  FROM ranked
+                  WHERE rank_worst <= 2 AND rank_worst <= n_completions // 2)
+        SELECT b.prompt_id, CAST(b.pair_rank AS INT) AS pair_rank,
+               b.chosen_id, w.rejected_id, b.chosen_score, w.rejected_score,
+               b.chosen_score - w.rejected_score AS margin,
+               CAST(b.n_completions AS BIGINT) AS n_completions
+        FROM best b JOIN worst w USING (prompt_id, pair_rank)
+        WHERE b.chosen_score - w.rejected_score >= 50.0
+        ORDER BY prompt_id, pair_rank
     """
     return d
 

@@ -41,7 +41,7 @@ the arithmetic stays total in both engines.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
@@ -225,3 +225,93 @@ def bt_strengths_reference(
             for i in items
         }
     return {i: rnd(p[i], OUT_PLACES) for i in items}
+
+
+def dpo_pairs(
+    completions: DataFrame,
+    max_pairs: int = 3,
+    min_margin: float = 0.0,
+    prompt_col: str = "prompt_id",
+    completion_col: str = "completion_id",
+    score_col: str = "score",
+) -> DataFrame:
+    """DPO/RLHF preference-pair construction from scored completions.
+
+    The standard prep step between "reward-model / judge scores per
+    completion" and "preference-tuning dataset": for each prompt, pair
+    the i-th best completion with the i-th worst (i = 1..max_pairs) —
+    the maximum-margin non-overlapping matching — and keep pairs whose
+    score margin is >= min_margin. Pairing stops at floor(n/2) so no
+    completion ever appears on both sides of a pair (chosen and
+    rejected halves stay disjoint).
+
+    Input: (prompt_id, completion_id, score); duplicate
+    (prompt, completion) rows collapse max-score first so the op is
+    total. Ties break on completion_id (asc from the top, desc from
+    the bottom — exact mirror ranks), so output is deterministic at
+    any parallelism.
+
+    Output: (prompt_id, pair_rank, chosen_id, rejected_id,
+    chosen_score, rejected_score, margin, n_completions), ordered by
+    (prompt_id, pair_rank). margin is a single IEEE subtraction of the
+    two input scores — bit-identical cross-engine, no rounding grid.
+
+    Distributed shape at 10^9-prompt scale: ONE shuffle of the
+    completion log on prompt_id drives both rank windows and the
+    per-prompt count (same partition key -> one exchange, three window
+    specs over it); the best/worst legs are max_pairs-bounded per
+    prompt before their equi-join on (prompt_id, pair_rank). No
+    corpus-wide window, no Python.
+    """
+    if max_pairs < 1:
+        raise ValueError(f"max_pairs must be >= 1, got {max_pairs}")
+    p, c = F.col(prompt_col), F.col(completion_col)
+    one = completions.groupBy(
+        p.alias("prompt_id"), c.alias("completion_id")
+    ).agg(F.max(score_col).alias("score"))
+
+    wp = Window.partitionBy("prompt_id")
+    wb = wp.orderBy(F.col("score").desc(), F.col("completion_id").asc())
+    ww = wp.orderBy(F.col("score").asc(), F.col("completion_id").desc())
+    ranked = one.select(
+        "prompt_id",
+        "completion_id",
+        "score",
+        F.row_number().over(wb).alias("rank_best"),
+        F.row_number().over(ww).alias("rank_worst"),
+        F.count("*").over(wp).alias("n_completions"),
+    )
+    half = F.floor(F.col("n_completions") / 2)
+    best = ranked.where(
+        (F.col("rank_best") <= max_pairs) & (F.col("rank_best") <= half)
+    ).select(
+        "prompt_id",
+        F.col("rank_best").alias("pair_rank"),
+        F.col("completion_id").alias("chosen_id"),
+        F.col("score").alias("chosen_score"),
+        F.col("n_completions"),
+    )
+    worst = ranked.where(
+        (F.col("rank_worst") <= max_pairs) & (F.col("rank_worst") <= half)
+    ).select(
+        "prompt_id",
+        F.col("rank_worst").alias("pair_rank"),
+        F.col("completion_id").alias("rejected_id"),
+        F.col("score").alias("rejected_score"),
+    )
+    margin = F.col("chosen_score") - F.col("rejected_score")
+    return (
+        best.join(worst, ["prompt_id", "pair_rank"])
+        .where(margin >= F.lit(float(min_margin)))
+        .select(
+            "prompt_id",
+            "pair_rank",
+            "chosen_id",
+            "rejected_id",
+            "chosen_score",
+            "rejected_score",
+            margin.alias("margin"),
+            "n_completions",
+        )
+        .orderBy("prompt_id", "pair_rank")
+    )
