@@ -5329,6 +5329,28 @@ def q_dpo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dpo_pairs(comps, max_pairs=2, min_margin=50.0)
 
 
+def q_rouge_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROUGE-1/2 per document (operators/geneval.py:rouge_n) over the
+    md5-corrupted transcripts (_ocr_pairs): clipped multiset n-gram
+    overlap with the exact 2I/(H+R) harmonic identity — BIGINT pools,
+    single divisions, no grids; the oracle rebuilds both gram sides
+    and replays the pools."""
+    from invoice_ocr_reconciler_spark.operators.geneval import rouge_n
+
+    return rouge_n(_ocr_pairs(spark, sf_dir), ns=(1, 2))
+
+
+def q_bleu_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus BLEU-4 components (operators/geneval.py:bleu_corpus):
+    pooled clipped counts for n=1..4, geometric mean via
+    sqrt(sqrt(p1*p2*p3*p4)) (IEEE-exact — no log/exp), brevity
+    published as the exact exponent + flag; oracle replays pools and
+    the sqrt algebra."""
+    from invoice_ocr_reconciler_spark.operators.geneval import bleu_corpus
+
+    return bleu_corpus(_ocr_pairs(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from invoice_ocr_reconciler_spark.plans import relational as R
 
@@ -5596,6 +5618,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ocr_eval_summary": q_ocr_eval_summary,
         # preference-data prep
         "dpo_pairs": q_dpo_pairs,
+        # text-generation eval band
+        "rouge_n": q_rouge_n,
+        "bleu_corpus": q_bleu_corpus,
     }
 
 
@@ -11959,6 +11984,102 @@ def oracle_sql() -> dict[str, str]:
         FROM best b JOIN worst w USING (prompt_id, pair_rank)
         WHERE b.chosen_score - w.rejected_score >= 50.0
         ORDER BY prompt_id, pair_rank
+    """
+
+    # --- text-generation eval band: ROUGE-N / corpus BLEU over the same
+    # _OCR_BASE transcript synthesis (rw = ref tokens, hw = hyp tokens);
+    # gram legs rebuilt per n with the shared tokens contract.
+    def _gram_leg_sql(src: str, n: int, tag: int) -> str:
+        if n == 1:
+            gram = f"unnest({src})"
+        else:
+            joined = " || ' ' || ".join(
+                f"{src}[i + {j}]" if j else f"{src}[i]" for j in range(n)
+            )
+            gram = (
+                f"unnest(list_transform(range(1, greatest(len({src}) - "
+                f"{n - 1}, 0) + 1), i -> {joined}))"
+            )
+        return (
+            f"SELECT doc_id, {n} AS n, {gram} AS gram, {tag} AS is_hyp "
+            "FROM hypw"
+        )
+
+    def _rouge_pools(ns: tuple[int, ...]) -> str:
+        legs = " UNION ALL ".join(
+            _gram_leg_sql(src, n, tag)
+            for n in ns
+            for src, tag in (("hw", 1), ("rw", 0))
+        )
+        return f"""
+        g AS ({legs}),
+        per_gram AS (SELECT doc_id, n, gram,
+                            CAST(sum(is_hyp) AS BIGINT) AS ch,
+                            CAST(sum(1 - is_hyp) AS BIGINT) AS cr
+                     FROM g GROUP BY 1, 2, 3),
+        per_doc AS (SELECT doc_id, n,
+                           CAST(sum(ch) AS BIGINT) AS n_hyp,
+                           CAST(sum(cr) AS BIGINT) AS n_ref,
+                           CAST(sum(least(ch, cr)) AS BIGINT) AS n_clip
+                    FROM per_gram GROUP BY 1, 2)
+        """
+
+    d["rouge_n"] = f"""
+        WITH {_OCR_BASE},
+        {_rouge_pools((1, 2))},
+        grid AS (SELECT t.doc_id, ns.n
+                 FROM (SELECT DISTINCT doc_id FROM toks0) t
+                 CROSS JOIN (SELECT unnest([1, 2]) AS n) ns)
+        SELECT grid.doc_id, CAST(grid.n AS INT) AS n,
+               coalesce(p.n_hyp, 0) AS n_hyp,
+               coalesce(p.n_ref, 0) AS n_ref,
+               coalesce(p.n_clip, 0) AS n_clip,
+               CASE WHEN p.n_hyp > 0
+                    THEN CAST(p.n_clip AS DOUBLE) / p.n_hyp END AS precision,
+               CASE WHEN p.n_ref > 0
+                    THEN CAST(p.n_clip AS DOUBLE) / p.n_ref END AS recall,
+               CASE WHEN coalesce(p.n_hyp, 0) + coalesce(p.n_ref, 0) > 0
+                    THEN 2.0 * p.n_clip / (p.n_hyp + p.n_ref) END AS f1
+        FROM grid LEFT JOIN per_doc p
+          ON grid.doc_id = p.doc_id AND grid.n = p.n
+        ORDER BY grid.doc_id, grid.n
+    """
+    d["bleu_corpus"] = f"""
+        WITH {_OCR_BASE},
+        {_rouge_pools((1, 2, 3, 4))},
+        pools AS (SELECT
+                      CAST(coalesce(sum(CASE WHEN n = 1 THEN n_clip END), 0) AS BIGINT) AS clip_1,
+                      CAST(coalesce(sum(CASE WHEN n = 1 THEN n_hyp END), 0) AS BIGINT) AS tot_1,
+                      CAST(coalesce(sum(CASE WHEN n = 2 THEN n_clip END), 0) AS BIGINT) AS clip_2,
+                      CAST(coalesce(sum(CASE WHEN n = 2 THEN n_hyp END), 0) AS BIGINT) AS tot_2,
+                      CAST(coalesce(sum(CASE WHEN n = 3 THEN n_clip END), 0) AS BIGINT) AS clip_3,
+                      CAST(coalesce(sum(CASE WHEN n = 3 THEN n_hyp END), 0) AS BIGINT) AS tot_3,
+                      CAST(coalesce(sum(CASE WHEN n = 4 THEN n_clip END), 0) AS BIGINT) AS clip_4,
+                      CAST(coalesce(sum(CASE WHEN n = 4 THEN n_hyp END), 0) AS BIGINT) AS tot_4
+                  FROM per_doc),
+        lens AS (SELECT CAST(coalesce(sum(len(hw)), 0) AS BIGINT) AS hyp_len,
+                        CAST(coalesce(sum(len(rw)), 0) AS BIGINT) AS ref_len
+                 FROM hypw),
+        ps AS (SELECT *,
+                      CASE WHEN tot_1 > 0 THEN CAST(clip_1 AS DOUBLE) / tot_1 END AS p_1,
+                      CASE WHEN tot_2 > 0 THEN CAST(clip_2 AS DOUBLE) / tot_2 END AS p_2,
+                      CASE WHEN tot_3 > 0 THEN CAST(clip_3 AS DOUBLE) / tot_3 END AS p_3,
+                      CASE WHEN tot_4 > 0 THEN CAST(clip_4 AS DOUBLE) / tot_4 END AS p_4
+               FROM pools, lens)
+        SELECT hyp_len, ref_len,
+               clip_1, tot_1, p_1, clip_2, tot_2, p_2,
+               clip_3, tot_3, p_3, clip_4, tot_4, p_4,
+               CASE WHEN hyp_len > 0
+                    THEN 1.0 - CAST(ref_len AS DOUBLE) / hyp_len
+               END AS bp_exponent,
+               hyp_len >= ref_len AS brevity_ok,
+               CASE WHEN hyp_len > 0 AND hyp_len >= ref_len
+                         AND p_1 * p_2 * p_3 * p_4 IS NOT NULL
+                    THEN (CASE WHEN p_1 * p_2 * p_3 * p_4 > 0
+                               THEN sqrt(sqrt(p_1 * p_2 * p_3 * p_4))
+                               ELSE 0.0 END)
+               END AS bleu
+        FROM ps
     """
     return d
 
