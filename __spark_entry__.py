@@ -5351,6 +5351,19 @@ def q_bleu_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bleu_corpus(_ocr_pairs(spark, sf_dir))
 
 
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS winnowing fingerprints (operators/winnow.py) over documents
+    (k=5-gram hashes, w=4 windows, rightmost-min rule): pure-codegen
+    selection with the local match guarantee; the oracle replays gram
+    hashing, window slicing, and the rightmost-min pick per window."""
+    from invoice_ocr_reconciler_spark.operators.winnow import (
+        winnow_fingerprints,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return winnow_fingerprints(docs, k=5, w=4)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from invoice_ocr_reconciler_spark.plans import relational as R
 
@@ -5621,6 +5634,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # text-generation eval band
         "rouge_n": q_rouge_n,
         "bleu_corpus": q_bleu_corpus,
+        # winnowing fingerprints (MOSS)
+        "winnow_fingerprints": q_winnow_fingerprints,
     }
 
 
@@ -12080,6 +12095,40 @@ def oracle_sql() -> dict[str, str]:
                                ELSE 0.0 END)
                END AS bleu
         FROM ps
+    """
+
+    # --- winnowing fingerprints: replays operators/winnow.py (k=5,
+    # w=4) — gram md5_u60 hashes, per-window slice, rightmost-min via
+    # list_position on the reversed slice; row-level DISTINCT == the
+    # per-doc array_distinct (doc_id separates documents).
+    d["winnow_fingerprints"] = """
+        WITH t AS (SELECT doc_id,
+                          list_filter(string_split_regex(
+                              lower(trim(coalesce(text, ''))), '\\s+'),
+                              x -> x <> '') AS toks
+                   FROM documents),
+        h AS (SELECT doc_id,
+                     list_transform(
+                         list_transform(range(1, greatest(len(toks) - 4, 0) + 1),
+                             i -> toks[i] || ' ' || toks[i + 1] || ' ' ||
+                                  toks[i + 2] || ' ' || toks[i + 3] || ' ' ||
+                                  toks[i + 4]),
+                         g -> CAST(('0x' || substr(md5(g), 1, 15))::UBIGINT
+                                   AS BIGINT)) AS hs
+              FROM t),
+        wins AS (SELECT doc_id, hs,
+                        unnest(range(1, greatest(len(hs) - 3, 1) + 1)) AS j
+                 FROM h
+                 WHERE len(hs) >= 1),
+        sl AS (SELECT doc_id, j, hs[j:j + 3] AS s FROM wins),
+        sel AS (SELECT doc_id,
+                       CAST(j + len(s)
+                            - list_position(list_reverse(s), list_min(s))
+                            AS INT) AS pos,
+                       list_min(s) AS fp
+                FROM sl)
+        SELECT DISTINCT doc_id, pos, fp FROM sel
+        ORDER BY doc_id, pos, fp
     """
     return d
 

@@ -71,7 +71,7 @@ PURE_CODEGEN_QUERIES = [
     "identifiers_extract", "license_detect", "reply_strip",
     "span_corruption", "fim_transform", "render_chat",
     "ir_metrics", "ir_metrics_macro", "ocr_eval", "ocr_eval_summary",
-    "dpo_pairs", "rouge_n", "bleu_corpus",
+    "dpo_pairs", "rouge_n", "bleu_corpus", "winnow_fingerprints",
 ]
 # NOT listed although their OPERATORS are pure codegen: queries whose
 # INPUT synthesis is datagen.pages_from_documents (a mapInPandas page
