@@ -5364,6 +5364,38 @@ def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_fingerprints(docs, k=5, w=4)
 
 
+def q_cluster_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustering-eval triple (operators/clustereval.py:cluster_eval)
+    over a synthetic pred-vs-gold assignment: gold = md5 20-way
+    partition; pred re-assigns 2/10 of items to 8 random clusters and
+    merges the md5%10==9 slice into g0..g4 — exercising splits, merges
+    and noise. Oracle replays synthesis, contingency cells, exact
+    C(x,2) pools, the ARI bigint fraction, and the B-cubed nanos
+    pools."""
+    from invoice_ocr_reconciler_spark.functions.text import md5_u60
+    from invoice_ocr_reconciler_spark.operators.clustereval import (
+        cluster_eval,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    i = F.col("doc_id").cast("string")
+    gnum = md5_u60(F.concat(F.lit("cg:"), i)) % 20
+    m = md5_u60(F.concat(F.lit("cp:"), i)) % 10
+    rnum = md5_u60(F.concat(F.lit("cp2:"), i)) % 8
+    gold = F.concat(F.lit("g"), gnum.cast("string"))
+    pred = (
+        F.when(m < 2, F.concat(F.lit("r"), rnum.cast("string")))
+        .when(m == 9, F.concat(F.lit("g"), (gnum % 5).cast("string")))
+        .otherwise(gold)
+    )
+    asg = docs.select(
+        F.col("doc_id").alias("item_id"),
+        pred.alias("pred_cluster"),
+        gold.alias("gold_cluster"),
+    )
+    return cluster_eval(asg)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from invoice_ocr_reconciler_spark.plans import relational as R
 
@@ -5636,6 +5668,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bleu_corpus": q_bleu_corpus,
         # winnowing fingerprints (MOSS)
         "winnow_fingerprints": q_winnow_fingerprints,
+        # clustering-eval band
+        "cluster_eval": q_cluster_eval,
     }
 
 
@@ -12129,6 +12163,77 @@ def oracle_sql() -> dict[str, str]:
                 FROM sl)
         SELECT DISTINCT doc_id, pos, fp FROM sel
         ORDER BY doc_id, pos, fp
+    """
+
+    # --- clustering-eval band: replays operators/clustereval.py over
+    # the md5 pred/gold synthesis — contingency cells, exact C(x,2)
+    # pools, the ARI bigint fraction, B-cubed integer-nanos pools.
+    _cu = (
+        "('0x' || substr(md5('{p}' || CAST(doc_id AS VARCHAR)), 1, 15))"
+        "::UBIGINT"
+    )
+    d["cluster_eval"] = f"""
+        WITH asg AS (
+            SELECT doc_id,
+                   'g' || CAST({_cu.format(p='cg:')} % 20 AS VARCHAR) AS g,
+                   CASE WHEN {_cu.format(p='cp:')} % 10 < 2
+                        THEN 'r' || CAST({_cu.format(p='cp2:')} % 8 AS VARCHAR)
+                        WHEN {_cu.format(p='cp:')} % 10 = 9
+                        THEN 'g' || CAST({_cu.format(p='cg:')} % 20 % 5 AS VARCHAR)
+                        ELSE 'g' || CAST({_cu.format(p='cg:')} % 20 AS VARCHAR)
+                   END AS p
+            FROM documents),
+        cells AS (SELECT p, g, CAST(count(*) AS BIGINT) AS nij
+                  FROM asg GROUP BY 1, 2),
+        am AS (SELECT p, CAST(sum(nij) AS BIGINT) AS ai FROM cells GROUP BY 1),
+        bm AS (SELECT g, CAST(sum(nij) AS BIGINT) AS bj FROM cells GROUP BY 1),
+        cs AS (SELECT CAST(sum(nij * (nij - 1) / 2) AS BIGINT) AS tp_pairs,
+                      CAST(sum(nij) AS BIGINT) AS n_items,
+                      CAST(sum(nij * CAST(floor(CAST(nij AS DOUBLE) / ai
+                                                * 1e9 + 0.5) AS BIGINT))
+                           AS BIGINT) AS bcp_nanos,
+                      CAST(sum(nij * CAST(floor(CAST(nij AS DOUBLE) / bj
+                                                * 1e9 + 0.5) AS BIGINT))
+                           AS BIGINT) AS bcr_nanos
+               FROM cells JOIN am USING (p) JOIN bm USING (g)),
+        pg AS (SELECT (SELECT CAST(sum(ai * (ai - 1) / 2) AS BIGINT) FROM am)
+                        AS pred_pairs,
+                      (SELECT CAST(sum(bj * (bj - 1) / 2) AS BIGINT) FROM bm)
+                        AS gold_pairs),
+        r AS (SELECT cs.*, pg.pred_pairs, pg.gold_pairs,
+                     CAST(n_items * (n_items - 1) / 2 AS BIGINT) AS cn2
+              FROM cs, pg)
+        SELECT n_items, CAST(0 AS BIGINT) AS n_dropped,
+               tp_pairs, pred_pairs, gold_pairs,
+               CASE WHEN pred_pairs > 0
+                    THEN CAST(tp_pairs AS DOUBLE) / pred_pairs
+               END AS pair_precision,
+               CASE WHEN gold_pairs > 0
+                    THEN CAST(tp_pairs AS DOUBLE) / gold_pairs
+               END AS pair_recall,
+               CASE WHEN pred_pairs + gold_pairs > 0
+                    THEN 2.0 * tp_pairs / (pred_pairs + gold_pairs)
+               END AS pair_f1,
+               2 * (cn2 * tp_pairs - pred_pairs * gold_pairs) AS ari_num,
+               cn2 * (pred_pairs + gold_pairs)
+                 - 2 * pred_pairs * gold_pairs AS ari_den,
+               CASE WHEN cn2 * (pred_pairs + gold_pairs)
+                         - 2 * pred_pairs * gold_pairs <> 0
+                    THEN CAST(2 * (cn2 * tp_pairs - pred_pairs * gold_pairs)
+                              AS DOUBLE)
+                         / (cn2 * (pred_pairs + gold_pairs)
+                            - 2 * pred_pairs * gold_pairs)
+               END AS ari,
+               CAST(bcp_nanos AS DOUBLE) / n_items / 1e9 AS bcubed_precision,
+               CAST(bcr_nanos AS DOUBLE) / n_items / 1e9 AS bcubed_recall,
+               CASE WHEN CAST(bcp_nanos AS DOUBLE) / n_items / 1e9
+                         + CAST(bcr_nanos AS DOUBLE) / n_items / 1e9 > 0
+                    THEN 2.0 * (CAST(bcp_nanos AS DOUBLE) / n_items / 1e9)
+                             * (CAST(bcr_nanos AS DOUBLE) / n_items / 1e9)
+                         / (CAST(bcp_nanos AS DOUBLE) / n_items / 1e9
+                            + CAST(bcr_nanos AS DOUBLE) / n_items / 1e9)
+               END AS bcubed_f1
+        FROM r
     """
     return d
 

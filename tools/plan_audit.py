@@ -72,6 +72,7 @@ PURE_CODEGEN_QUERIES = [
     "span_corruption", "fim_transform", "render_chat",
     "ir_metrics", "ir_metrics_macro", "ocr_eval", "ocr_eval_summary",
     "dpo_pairs", "rouge_n", "bleu_corpus", "winnow_fingerprints",
+    "cluster_eval",
 ]
 # NOT listed although their OPERATORS are pure codegen: queries whose
 # INPUT synthesis is datagen.pages_from_documents (a mapInPandas page
