@@ -5396,6 +5396,163 @@ def q_cluster_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cluster_eval(asg)
 
 
+def q_confusion_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiclass confusion P/R/F1 + micro/macro rows
+    (operators/classeval.py:confusion_eval) over a synthetic 5-class
+    labeling: gold = md5 5-way partition, pred corrupts 2/10 of rows to
+    a shifted class — exercising off-diagonal cells in both directions.
+    Oracle replays synthesis, confusion cells, the exact-BIGINT
+    tp/fp/fn pools, and the integer-nanos macro snap."""
+    from invoice_ocr_reconciler_spark.functions.text import md5_u60
+    from invoice_ocr_reconciler_spark.operators.classeval import (
+        confusion_eval,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    i = F.col("doc_id").cast("string")
+    gnum = md5_u60(F.concat(F.lit("ceg:"), i)) % 5
+    m = md5_u60(F.concat(F.lit("cem:"), i)) % 10
+    shift = md5_u60(F.concat(F.lit("ces:"), i)) % 4 + 1
+    gold = F.concat(F.lit("c"), gnum.cast("string"))
+    pred = F.when(
+        m < 2, F.concat(F.lit("c"), ((gnum + shift) % 5).cast("string"))
+    ).otherwise(gold)
+    return confusion_eval(
+        docs.select(gold.alias("gold"), pred.alias("pred"))
+    )
+
+
+def q_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact tie-corrected ROC-AUC per group
+    (operators/classeval.py:roc_auc) over a synthetic scored labeling:
+    label = md5%3==0, score = md5%100 + 30*label (integer grid, heavy
+    ties — the tie-correction path is load-bearing), grouped by
+    doc_id%2. Oracle replays the (group, score) cell collapse, the
+    cumulative-negatives window over cells, and the BIGINT num2/den2
+    pools."""
+    from invoice_ocr_reconciler_spark.functions.text import md5_u60
+    from invoice_ocr_reconciler_spark.operators.classeval import roc_auc
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    i = F.col("doc_id").cast("string")
+    lab = F.when(
+        md5_u60(F.concat(F.lit("rl:"), i)) % 3 == 0, F.lit(1)
+    ).otherwise(F.lit(0))
+    score = (
+        md5_u60(F.concat(F.lit("rs:"), i)) % 100 + lab * 30
+    ).cast("long")
+    scored = docs.select(
+        (F.col("doc_id") % 2).cast("int").alias("grp"),
+        lab.alias("label"),
+        score.alias("score"),
+    )
+    return roc_auc(scored, group_cols=("grp",)).orderBy("grp")
+
+
+def q_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram + ECE (operators/classeval.py:
+    calibration_bins, 10 bins) over a synthetic calibrated-ish
+    classifier: prob = (md5%1001)/1000 (grid-valued, includes the 1.0
+    right edge), label = (md5%1000 < md5%1001) — deterministic, both
+    sides integers. Oracle replays binning, the integer-nanos prob
+    pool, per-bin gap_nanos, and the ECE TOTAL row."""
+    from invoice_ocr_reconciler_spark.functions.text import md5_u60
+    from invoice_ocr_reconciler_spark.operators.classeval import (
+        calibration_bins,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    i = F.col("doc_id").cast("string")
+    pk = md5_u60(F.concat(F.lit("cbp:"), i)) % 1001
+    lk = md5_u60(F.concat(F.lit("cbl:"), i)) % 1000
+    scored = docs.select(
+        (pk.cast("double") / 1000.0).alias("prob"),
+        F.when(lk < pk, F.lit(1)).otherwise(F.lit(0)).alias("label"),
+    )
+    return calibration_bins(scored, n_bins=10)
+
+
+def q_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity Q (operators/graph.py:modularity) of the
+    block-id partition over the label_propagation ring+bridge graph:
+    communities = 'b' || doc_id//50 for doc_id%5 != 3 (the unlabeled
+    fifth exercises the singleton fallback). Oracle replays edge
+    canonicalization, the label joins + '__n' fallback, community
+    degree/intra pools, and the exact 4m^2 fraction."""
+    import duckdb
+
+    from invoice_ocr_reconciler_spark.operators.graph import modularity
+
+    n = duckdb.sql(
+        f"SELECT count(*) FROM '{sf_dir}/documents.parquet'"
+    ).fetchone()[0]
+    ids = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    i = F.col("doc_id")
+    ring = ids.select(
+        i.alias("src"),
+        ((i - i % 50) + ((i % 50 + 1) % 50)).alias("dst"),
+    )
+    bridge = ids.filter(i % 25 == 0).select(
+        i.alias("src"), ((i + 50) % n).alias("dst")
+    )
+    comms = ids.filter(i % 5 != 3).select(
+        i.alias("node"),
+        F.concat(
+            F.lit("b"), F.floor(i / 50).cast("long").cast("string")
+        ).alias("community"),
+    )
+    return modularity(ring.union(bridge), comms)
+
+
+def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity r (operators/graph.py:
+    degree_assortativity) over the triangle_count ring+chord+hub graph
+    — the hub makes it disassortative (r < 0), the structure signal the
+    degree histogram can't see. Oracle replays canonicalization, the
+    two degree joins, and the exact BIGINT moment pools."""
+    import duckdb
+
+    from invoice_ocr_reconciler_spark.operators.graph import (
+        degree_assortativity,
+    )
+
+    n = duckdb.sql(
+        f"SELECT count(*) FROM '{sf_dir}/documents.parquet'"
+    ).fetchone()[0]
+    ids = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    i = F.col("doc_id")
+    f1 = ids.select(i.alias("src"), ((i + 1) % n).alias("dst"))
+    f2 = ids.select(i.alias("src"), ((i + 2) % n).alias("dst"))
+    f3 = ids.filter(i % 9 == 4).select(
+        i.alias("src"), F.lit(0).cast("long").alias("dst")
+    )
+    return degree_assortativity(f1.union(f2).union(f3))
+
+
+def q_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation per group (operators/profile.py:
+    spearman_corr) between two synthetic quality signals: x =
+    md5%1000, y = 3x + md5%1500 (monotone-with-noise, integer grids so
+    ties exercise the doubled-rank tie-averaging), grouped by doc_id%4.
+    Oracle replays the rank windows (2*rank + ties - 1), the BIGINT
+    moment pools, and the two-sqrt division."""
+    from invoice_ocr_reconciler_spark.functions.text import md5_u60
+    from invoice_ocr_reconciler_spark.operators.profile import spearman_corr
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    i = F.col("doc_id").cast("string")
+    x = (md5_u60(F.concat(F.lit("spx:"), i)) % 1000).cast("long")
+    y = (x * 3 + md5_u60(F.concat(F.lit("spy:"), i)) % 1500).cast("long")
+    scored = docs.select(
+        (F.col("doc_id") % 4).cast("int").alias("grp"),
+        x.alias("x"),
+        y.alias("y"),
+    )
+    return spearman_corr(scored, "x", "y", group_cols=("grp",)).orderBy(
+        "grp"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from invoice_ocr_reconciler_spark.plans import relational as R
 
@@ -5670,6 +5827,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fingerprints": q_winnow_fingerprints,
         # clustering-eval band
         "cluster_eval": q_cluster_eval,
+        # classifier-eval band
+        "confusion_eval": q_confusion_eval,
+        "roc_auc": q_roc_auc,
+        "calibration_bins": q_calibration_bins,
+        # graph-structure quality signals
+        "modularity": q_modularity,
+        "degree_assortativity": q_degree_assortativity,
+        # score-agreement profile
+        "spearman_corr": q_spearman_corr,
     }
 
 
@@ -12234,6 +12400,292 @@ def oracle_sql() -> dict[str, str]:
                             + CAST(bcr_nanos AS DOUBLE) / n_items / 1e9)
                END AS bcubed_f1
         FROM r
+    """
+
+    # --- classifier-eval band: replays operators/classeval.py over the
+    # md5 syntheses — confusion cells, exact tp/fp/fn pools, macro nanos
+    # snap; AUC's cell collapse + cumulative-negatives window and BIGINT
+    # num2/den2; calibration binning + integer-nanos prob pool + ECE.
+    d["confusion_eval"] = f"""
+        WITH lab AS (
+            SELECT {_cu.format(p='ceg:')} % 5 AS gnum,
+                   {_cu.format(p='cem:')} % 10 AS m,
+                   {_cu.format(p='ces:')} % 4 + 1 AS shift
+            FROM documents),
+        gp AS (
+            SELECT 'c' || CAST(gnum AS VARCHAR) AS g,
+                   CASE WHEN m < 2
+                        THEN 'c' || CAST((gnum + shift) % 5 AS VARCHAR)
+                        ELSE 'c' || CAST(gnum AS VARCHAR) END AS p
+            FROM lab),
+        cells AS (SELECT g, p, CAST(count(*) AS BIGINT) AS n
+                  FROM gp GROUP BY 1, 2),
+        bp AS (SELECT p AS label, CAST(sum(n) AS BIGINT) AS n_pred
+               FROM cells GROUP BY 1),
+        bg AS (SELECT g AS label, CAST(sum(n) AS BIGINT) AS support
+               FROM cells GROUP BY 1),
+        diag AS (SELECT g AS label, n AS d_tp FROM cells WHERE g = p),
+        per AS (
+            SELECT label,
+                   CAST(coalesce(d_tp, 0) AS BIGINT) AS tp,
+                   CAST(coalesce(n_pred, 0) - coalesce(d_tp, 0)
+                        AS BIGINT) AS fp,
+                   CAST(coalesce(support, 0) - coalesce(d_tp, 0)
+                        AS BIGINT) AS fn,
+                   CAST(coalesce(support, 0) AS BIGINT) AS support
+            FROM bg FULL OUTER JOIN bp USING (label)
+                    LEFT JOIN diag USING (label)),
+        scored AS (
+            SELECT label, tp, fp, fn, support,
+                   CASE WHEN tp + fp > 0
+                        THEN CAST(tp AS DOUBLE) / (tp + fp)
+                   END AS prec,
+                   CASE WHEN tp + fn > 0
+                        THEN CAST(tp AS DOUBLE) / (tp + fn)
+                   END AS rec,
+                   CASE WHEN 2 * tp + fp + fn > 0
+                        THEN 2.0 * tp / (2 * tp + fp + fn)
+                   END AS f1
+            FROM per),
+        micro AS (
+            SELECT '__micro__' AS label,
+                   CAST(sum(tp) AS BIGINT) AS tp,
+                   CAST(sum(fp) AS BIGINT) AS fp,
+                   CAST(sum(fn) AS BIGINT) AS fn,
+                   CAST(sum(support) AS BIGINT) AS support
+            FROM scored),
+        macro AS (
+            SELECT '__macro__' AS label,
+                   CAST(NULL AS BIGINT) AS tp,
+                   CAST(NULL AS BIGINT) AS fp,
+                   CAST(NULL AS BIGINT) AS fn,
+                   CAST(count(*) AS BIGINT) AS support,
+                   CAST(sum(CAST(floor(coalesce(prec, 0) * 1e9 + 0.5)
+                                 AS BIGINT)) AS BIGINT) AS sp,
+                   CAST(sum(CAST(floor(coalesce(rec, 0) * 1e9 + 0.5)
+                                 AS BIGINT)) AS BIGINT) AS sr,
+                   CAST(sum(CAST(floor(coalesce(f1, 0) * 1e9 + 0.5)
+                                 AS BIGINT)) AS BIGINT) AS sf
+            FROM scored)
+        SELECT label, tp, fp, fn, support,
+               prec AS "precision", rec AS recall, f1
+        FROM scored
+        UNION ALL
+        SELECT label, tp, fp, fn, support,
+               CASE WHEN tp + fp > 0
+                    THEN CAST(tp AS DOUBLE) / (tp + fp) END,
+               CASE WHEN tp + fn > 0
+                    THEN CAST(tp AS DOUBLE) / (tp + fn) END,
+               CASE WHEN 2 * tp + fp + fn > 0
+                    THEN 2.0 * tp / (2 * tp + fp + fn) END
+        FROM micro
+        UNION ALL
+        SELECT label, tp, fp, fn, support,
+               CASE WHEN support > 0
+                    THEN CAST(sp AS DOUBLE) / support / 1e9 END,
+               CASE WHEN support > 0
+                    THEN CAST(sr AS DOUBLE) / support / 1e9 END,
+               CASE WHEN support > 0
+                    THEN CAST(sf AS DOUBLE) / support / 1e9 END
+        FROM macro
+        ORDER BY label
+    """
+    d["roc_auc"] = f"""
+        WITH base AS (
+            SELECT CAST(doc_id % 2 AS INT) AS grp,
+                   CASE WHEN {_cu.format(p='rl:')} % 3 = 0
+                        THEN 1 ELSE 0 END AS pos,
+                   CAST({_cu.format(p='rs:')} % 100
+                        + (CASE WHEN {_cu.format(p='rl:')} % 3 = 0
+                                THEN 1 ELSE 0 END) * 30 AS BIGINT) AS score
+            FROM documents),
+        cells AS (
+            SELECT grp, score,
+                   CAST(sum(pos) AS BIGINT) AS pos,
+                   CAST(sum(1 - pos) AS BIGINT) AS neg
+            FROM base GROUP BY 1, 2),
+        contrib AS (
+            SELECT grp, pos, neg,
+                   pos * (2 * coalesce(sum(neg) OVER (
+                              PARTITION BY grp ORDER BY score ASC
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND 1 PRECEDING), 0)
+                          + neg) AS num2
+            FROM cells),
+        agg AS (
+            SELECT grp,
+                   CAST(sum(pos) AS BIGINT) AS n_pos,
+                   CAST(sum(neg) AS BIGINT) AS n_neg,
+                   CAST(sum(num2) AS BIGINT) AS auc_num2
+            FROM contrib GROUP BY 1)
+        SELECT grp, n_pos, n_neg, auc_num2,
+               CAST(2 * n_pos * n_neg AS BIGINT) AS auc_den2,
+               CASE WHEN n_pos * n_neg > 0
+                    THEN CAST(auc_num2 AS DOUBLE) / (2 * n_pos * n_neg)
+               END AS auc
+        FROM agg ORDER BY grp
+    """
+    d["calibration_bins"] = f"""
+        WITH base AS (
+            SELECT CAST({_cu.format(p='cbp:')} % 1001 AS BIGINT) AS pk,
+                   CAST({_cu.format(p='cbl:')} % 1000 AS BIGINT) AS lk
+            FROM documents),
+        rows_ AS (
+            SELECT least(CAST(floor(CAST(pk AS DOUBLE) / 1000.0 * 10.0)
+                              AS INT), 9) AS bin,
+                   CAST(floor(CAST(pk AS DOUBLE) / 1000.0 * 1e9 + 0.5)
+                        AS BIGINT) AS p_nanos,
+                   CASE WHEN lk < pk THEN 1 ELSE 0 END AS pos
+            FROM base),
+        bins AS (
+            SELECT bin, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(pos) AS BIGINT) AS n_pos,
+                   CAST(sum(p_nanos) AS BIGINT) AS sum_p_nanos
+            FROM rows_ GROUP BY 1),
+        per AS (
+            SELECT bin, n, n_pos, sum_p_nanos,
+                   CAST(abs(sum_p_nanos - n_pos * 1000000000)
+                        AS BIGINT) AS gap_nanos
+            FROM bins),
+        tot AS (
+            SELECT CAST(-1 AS INT) AS bin,
+                   CAST(sum(n) AS BIGINT) AS n,
+                   CAST(sum(n_pos) AS BIGINT) AS n_pos,
+                   CAST(sum(sum_p_nanos) AS BIGINT) AS sum_p_nanos,
+                   CAST(sum(gap_nanos) AS BIGINT) AS gap_nanos
+            FROM per),
+        u AS (SELECT * FROM per UNION ALL SELECT * FROM tot)
+        SELECT bin, n, n_pos, sum_p_nanos,
+               CASE WHEN n > 0
+                    THEN CAST(sum_p_nanos AS DOUBLE) / n / 1e9
+               END AS confidence,
+               CASE WHEN n > 0
+                    THEN CAST(n_pos AS DOUBLE) / n END AS accuracy,
+               gap_nanos,
+               CASE WHEN n > 0
+                    THEN CAST(gap_nanos AS DOUBLE) / n / 1e9
+               END AS calib_gap
+        FROM u ORDER BY bin
+    """
+
+    # --- graph-structure quality signals: replay operators/graph.py's
+    # modularity / degree_assortativity over the synthetic ring+bridge /
+    # ring+chord+hub graphs — canonicalization, label joins + '__n'
+    # singleton fallback, community degree/intra pools, exact 4m^2 and
+    # Newman-moment BIGINT fractions.
+    d["modularity"] = """
+        WITH nn AS (SELECT count(*) AS n FROM documents),
+        ids AS (SELECT doc_id AS i FROM documents),
+        e AS (
+            SELECT i AS a, (i - i % 50) + ((i % 50 + 1) % 50) AS b FROM ids
+            UNION ALL
+            SELECT i, (i + 50) % (SELECT n FROM nn) FROM ids
+            WHERE i % 25 = 0),
+        und AS (SELECT DISTINCT least(a, b) AS lo, greatest(a, b) AS hi
+                FROM e WHERE a <> b),
+        lab AS (SELECT i AS n_,
+                       'b' || CAST(CAST(floor(CAST(i AS DOUBLE) / 50)
+                                        AS BIGINT) AS VARCHAR) AS c_
+                FROM ids WHERE i % 5 <> 3),
+        labeled AS (
+            SELECT lo, hi,
+                   coalesce(l1.c_, '__n' || CAST(lo AS VARCHAR)) AS c_lo,
+                   coalesce(l2.c_, '__n' || CAST(hi AS VARCHAR)) AS c_hi
+            FROM und LEFT JOIN lab l1 ON l1.n_ = und.lo
+                     LEFT JOIN lab l2 ON l2.n_ = und.hi),
+        ends AS (SELECT c_lo AS c FROM labeled
+                 UNION ALL SELECT c_hi FROM labeled),
+        degc AS (SELECT c, CAST(count(*) AS BIGINT) AS dc
+                 FROM ends GROUP BY 1),
+        intra AS (SELECT c_lo AS c, CAST(count(*) AS BIGINT) AS ic
+                  FROM labeled WHERE c_lo = c_hi GROUP BY 1),
+        perc AS (SELECT degc.c, dc,
+                        CAST(coalesce(ic, 0) AS BIGINT) AS ic
+                 FROM degc LEFT JOIN intra USING (c)),
+        nodes AS (SELECT CAST(count(DISTINCT x) AS BIGINT) AS n_nodes
+                  FROM (SELECT lo AS x FROM und
+                        UNION ALL SELECT hi FROM und)),
+        agg AS (SELECT CAST(count(*) AS BIGINT) AS n_communities,
+                       CAST(sum(ic) AS BIGINT) AS intra_edges,
+                       CAST(sum(dc * dc) AS BIGINT) AS sdc2,
+                       CAST(sum(dc) / 2 AS BIGINT) AS n_edges
+                FROM perc)
+        SELECT n_nodes, n_edges, n_communities, intra_edges,
+               CAST(4 * n_edges * intra_edges - sdc2 AS BIGINT) AS q_num,
+               CAST(4 * n_edges * n_edges AS BIGINT) AS q_den,
+               CASE WHEN 4 * n_edges * n_edges > 0
+                    THEN CAST(4 * n_edges * intra_edges - sdc2 AS DOUBLE)
+                         / (4 * n_edges * n_edges)
+               END AS modularity
+        FROM agg, nodes
+    """
+    d["degree_assortativity"] = """
+        WITH nn AS (SELECT count(*) AS n FROM documents),
+        ids AS (SELECT doc_id AS i FROM documents),
+        e AS (
+            SELECT i AS a, (i + 1) % (SELECT n FROM nn) AS b FROM ids
+            UNION ALL
+            SELECT i, (i + 2) % (SELECT n FROM nn) FROM ids
+            UNION ALL
+            SELECT i, CAST(0 AS BIGINT) FROM ids WHERE i % 9 = 4),
+        und AS (SELECT DISTINCT least(a, b) AS lo, greatest(a, b) AS hi
+                FROM e WHERE a <> b),
+        deg AS (SELECT x AS node, CAST(count(*) AS BIGINT) AS degree
+                FROM (SELECT lo AS x FROM und
+                      UNION ALL SELECT hi FROM und) GROUP BY 1),
+        w AS (SELECT d1.degree AS dlo, d2.degree AS dhi
+              FROM und JOIN deg d1 ON d1.node = und.lo
+                       JOIN deg d2 ON d2.node = und.hi),
+        agg AS (SELECT CAST(count(*) AS BIGINT) AS n_edges,
+                       CAST(count(*) * 2 AS BIGINT) AS s1,
+                       CAST(sum(dlo + dhi) AS BIGINT) AS sx,
+                       CAST(sum(2 * dlo * dhi) AS BIGINT) AS sxy,
+                       CAST(sum(dlo * dlo + dhi * dhi) AS BIGINT) AS sxx
+                FROM w)
+        SELECT n_edges, s1, sx, sxy, sxx,
+               CASE WHEN s1 * sxx - sx * sx <> 0
+                    THEN CAST(s1 * sxy - sx * sx AS DOUBLE)
+                         / (s1 * sxx - sx * sx)
+               END AS r
+        FROM agg
+    """
+
+    # --- score-agreement profile: replays operators/profile.py's
+    # spearman_corr — the doubled-rank windows (2*rank + ties - 1), the
+    # five BIGINT moment pools, the two-sqrt division.
+    d["spearman_corr"] = f"""
+        WITH base AS (
+            SELECT CAST(doc_id % 4 AS INT) AS grp,
+                   CAST({_cu.format(p='spx:')} % 1000 AS BIGINT) AS x,
+                   CAST({_cu.format(p='spy:')} % 1500 AS BIGINT) AS ynoise
+            FROM documents),
+        xy AS (SELECT grp, x, CAST(x * 3 + ynoise AS BIGINT) AS y
+               FROM base),
+        ranked AS (
+            SELECT grp,
+                   CAST(2 * rank() OVER (PARTITION BY grp ORDER BY x ASC)
+                        + count(*) OVER (PARTITION BY grp, x) - 1
+                        AS BIGINT) AS r2x,
+                   CAST(2 * rank() OVER (PARTITION BY grp ORDER BY y ASC)
+                        + count(*) OVER (PARTITION BY grp, y) - 1
+                        AS BIGINT) AS r2y
+            FROM xy),
+        pooled AS (
+            SELECT grp, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(r2x) AS BIGINT) AS sx2,
+                   CAST(sum(r2y) AS BIGINT) AS sy2,
+                   CAST(sum(r2x * r2y) AS BIGINT) AS sxy4,
+                   CAST(sum(r2x * r2x) AS BIGINT) AS sxx4,
+                   CAST(sum(r2y * r2y) AS BIGINT) AS syy4
+            FROM ranked GROUP BY 1)
+        SELECT grp, n, sx2, sy2, sxy4, sxx4, syy4,
+               CASE WHEN n * sxx4 - sx2 * sx2 > 0
+                     AND n * syy4 - sy2 * sy2 > 0
+                    THEN CAST(n * sxy4 - sx2 * sy2 AS DOUBLE)
+                         / (sqrt(CAST(n * sxx4 - sx2 * sx2 AS DOUBLE))
+                            * sqrt(CAST(n * syy4 - sy2 * sy2 AS DOUBLE)))
+               END AS rho
+        FROM pooled ORDER BY grp
     """
     return d
 

@@ -122,6 +122,13 @@ def main() -> None:
         "readability_classify", # Arc90 block scoring (codegen projection)
         "span_corruption",      # T5 denoising prep (windowed codegen)
         "curriculum_order",     # decile interleave (partitioned windows)
+        "ir_metrics",           # P@k/MRR/MAP/nDCG vs qrels (integer-exact)
+        "ocr_eval",             # CER/WER bands (one Arrow DP crossing)
+        "dpo_pairs",            # preference-pair build (mirror-rank pairing)
+        "rouge_n",              # ROUGE-N overlap (exact integer pools)
+        "bleu_corpus",          # corpus BLEU (clipped n-gram pools)
+        "winnow_fingerprints",  # MOSS winnowing selection (pure codegen)
+        "cluster_eval",         # pairwise F1 / ARI / B-cubed (cell pools)
         "extract_pages",        # extraction stage alone
         "reconcile",            # full pipeline: extract -> parse -> reconcile
     ]

@@ -1337,3 +1337,184 @@ def bfs_distance(
             known = known.localCheckpoint(eager=True)
         frontier = nxt
     return known
+
+
+def modularity(
+    edges: DataFrame,
+    communities: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    node_col: str = "node",
+    comm_col: str = "community",
+) -> DataFrame:
+    """Newman modularity Q of a community assignment over the undirected
+    view of a link graph -> one row (n_nodes, n_edges, n_communities,
+    intra_edges, q_num, q_den, modularity).
+
+    The quality gate for label_propagation / mirror_clusters /
+    host-level partitions when no gold clustering exists (cluster_eval
+    needs one; modularity grades against the graph itself):
+        Q = sum_c [ intra_c/m - (deg_c/(2m))^2 ]
+          = ( 4m*sum_c intra_c - sum_c deg_c^2 ) / (4m^2)
+    published as the EXACT integer fraction (q_num, q_den) plus the one
+    division (the triangle_count coeff_num/coeff_den contract).
+    Bounded-input bound (documented, not silent — the ARI precedent):
+    4m^2 < 2^63 holds to m ~ 1.5e9 undirected edges, the full
+    host-graph scale; deg_c <= 2m keeps every term inside the same
+    bound.
+
+    Unlabeled endpoints become singleton communities (their own node
+    id) — the standard treatment, so partial labelings are graded
+    against the whole graph, not a subgraph. Self-loops and duplicate
+    edges are dropped by the same canonicalization as triangle_count.
+
+    Plan shape: canonicalize+distinct, degree agg, TWO label joins onto
+    the edge list (the labels side is a node-level dim — broadcast when
+    small), then two partial-agg groupBys over communities and one
+    1-row rollup. Nothing scales past the edge list.
+    """
+    e = edges.select(
+        F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b")
+    ).filter(F.col("a").isNotNull() & F.col("b").isNotNull())
+    und = (
+        e.filter(F.col("a") != F.col("b"))
+        .select(
+            F.least("a", "b").alias("lo"), F.greatest("a", "b").alias("hi")
+        )
+        .distinct()
+    )
+    lab = communities.select(
+        F.col(node_col).cast("long").alias("n_"),
+        F.col(comm_col).cast("string").alias("c_"),
+    ).groupBy("n_").agg(F.min("c_").alias("c_"))  # first-wins on dup labels
+    fallback = lambda n: F.concat(F.lit("__n"), n.cast("string"))  # noqa: E731
+    labeled = (
+        und.join(
+            lab.select(F.col("n_").alias("lo"), F.col("c_").alias("c_lo")),
+            "lo",
+            "left",
+        )
+        .join(
+            lab.select(F.col("n_").alias("hi"), F.col("c_").alias("c_hi")),
+            "hi",
+            "left",
+        )
+        .select(
+            "lo",
+            "hi",
+            F.coalesce("c_lo", fallback(F.col("lo"))).alias("c_lo"),
+            F.coalesce("c_hi", fallback(F.col("hi"))).alias("c_hi"),
+        )
+    )
+    # community degree sums: every edge endpoint contributes 1 to its
+    # community's degree mass (deg_c = sum over members of degree).
+    ends = labeled.select(F.col("c_lo").alias("c")).unionAll(
+        labeled.select(F.col("c_hi").alias("c"))
+    )
+    deg_c = ends.groupBy("c").agg(F.count(F.lit(1)).cast("long").alias("dc"))
+    intra = labeled.where(F.col("c_lo") == F.col("c_hi")).groupBy(
+        F.col("c_lo").alias("c")
+    ).agg(F.count(F.lit(1)).cast("long").alias("ic"))
+    per_c = deg_c.join(intra, "c", "left").select(
+        "c",
+        F.col("dc"),
+        F.coalesce("ic", F.lit(0)).cast("long").alias("ic"),
+    )
+    nodes = und.select(F.col("lo").alias("n")).unionAll(
+        und.select(F.col("hi").alias("n"))
+    ).distinct()
+    row = (
+        per_c.agg(
+            F.count(F.lit(1)).cast("long").alias("n_communities"),
+            F.sum("ic").cast("long").alias("intra_edges"),
+            F.sum(F.col("dc") * F.col("dc")).cast("long").alias("_sum_dc2"),
+            (F.sum("dc") / 2).cast("long").alias("n_edges"),
+        )
+        .crossJoin(nodes.agg(F.count(F.lit(1)).cast("long").alias("n_nodes")))
+    )
+    m = F.col("n_edges")
+    q_num = F.lit(4) * m * F.col("intra_edges") - F.col("_sum_dc2")
+    q_den = F.lit(4) * m * m
+    return row.select(
+        "n_nodes",
+        "n_edges",
+        "n_communities",
+        "intra_edges",
+        q_num.cast("long").alias("q_num"),
+        q_den.cast("long").alias("q_den"),
+        F.when(q_den > 0, q_num.cast("double") / q_den).alias("modularity"),
+    )
+
+
+def degree_assortativity(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Degree assortativity coefficient (Newman 2002) of the undirected
+    view -> one row (n_edges, s1, sx, sxy, sxx, r).
+
+    The one-number structure signal the degree histogram can't see:
+    r < 0 means hubs link to leaves (the organic web's disassortative
+    shape), r ~ +1 flags rings/cliques of same-degree hosts — link
+    farms again, complementing triangle_count and link_reciprocity.
+
+    Over the 2m ordered endpoint pairs (each undirected edge both
+    ways), r is the Pearson correlation of (deg_u, deg_v); symmetry
+    makes it sqrt-free:
+        r = (s1*sxy - sx^2) / (s1*sxx - sx^2)
+    with s1 = 2m, sx = sum(d_lo + d_hi), sxy = sum 2*d_lo*d_hi,
+    sxx = sum(d_lo^2 + d_hi^2) — all exact BIGINTs pooled from the
+    edge list, one division (NULL when the graph is degree-regular:
+    zero variance). Bounded-input bound (documented): s1*sxx <=
+    4*m^2*d_max^2 needs m*d_max < ~1.5e9 — beyond that the pools stay
+    exact but the final products want the double path; shard or
+    sample upstream.
+
+    Plan shape: canonicalize+distinct, degree agg, two degree joins
+    onto edges (node-level dim side), ONE 1-row partial-agg rollup.
+    """
+    e = edges.select(
+        F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b")
+    ).filter(F.col("a").isNotNull() & F.col("b").isNotNull())
+    und = (
+        e.filter(F.col("a") != F.col("b"))
+        .select(
+            F.least("a", "b").alias("lo"), F.greatest("a", "b").alias("hi")
+        )
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("lo").alias("node"))
+        .unionAll(und.select(F.col("hi").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    )
+    w = und.join(
+        deg.select(F.col("node").alias("lo"), F.col("degree").alias("dlo")),
+        "lo",
+    ).join(
+        deg.select(F.col("node").alias("hi"), F.col("degree").alias("dhi")),
+        "hi",
+    )
+    row = w.agg(
+        F.count(F.lit(1)).cast("long").alias("n_edges"),
+        (F.count(F.lit(1)) * 2).cast("long").alias("s1"),
+        F.sum(F.col("dlo") + F.col("dhi")).cast("long").alias("sx"),
+        F.sum(F.lit(2) * F.col("dlo") * F.col("dhi"))
+        .cast("long")
+        .alias("sxy"),
+        F.sum(F.col("dlo") * F.col("dlo") + F.col("dhi") * F.col("dhi"))
+        .cast("long")
+        .alias("sxx"),
+    )
+    num = F.col("s1") * F.col("sxy") - F.col("sx") * F.col("sx")
+    den = F.col("s1") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return row.select(
+        "n_edges",
+        "s1",
+        "sx",
+        "sxy",
+        "sxx",
+        F.when(den != 0, num.cast("double") / den).alias("r"),
+    )

@@ -691,3 +691,76 @@ def bootstrap_ci(
             roundn(F.col("s_hi") / n, places).alias("ci_hi"),
         )
     )
+
+
+def spearman_corr(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    group_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Spearman rank correlation between two scores, per group ->
+    (group..., n, sx2, sy2, sxy4, sxx4, syy4, rho).
+
+    The monotone-agreement gate between two quality signals (e.g. the
+    bigram-LM perplexity vs the NB classifier llr, or two extractor
+    scores): Pearson on values rewards linearity, Spearman on ranks
+    rewards the thing a threshold cut actually uses — order.
+
+    Exactness contract: tie-averaged ranks are half-integers, so the
+    op carries DOUBLED ranks  r2 = 2*rank_min + (ties - 1)  as exact
+    BIGINTs; the published pools are  sx2 = sum r2x,  sxy4 = sum
+    r2x*r2y,  sxx4 = sum r2x^2  (and y twins) — all integer — and
+
+        rho = (n*sxy4 - sx2*sy2)
+              / (sqrt(n*sxx4 - sx2^2) * sqrt(n*syy4 - sy2^2))
+
+    is the only float: BIGINT products + two IEEE sqrts (the
+    temperature_sampling sqrt contract). NULL when a side is constant
+    (zero rank variance). Rows with a NULL on either side are dropped.
+    Bounded-input bound (the ARI/kappa precedent, documented not
+    silent): n*sxx4 <= 4n^4 stays under 2^63 for n <= ~38k rows per
+    group — the labeled-eval-slice scale this op grades; shard larger
+    groups upstream.
+
+    Plan shape: two rank windows (one sort per variable, partitioned by
+    the group — never corpus-global when grouped), tie counts via a
+    count window over (group, value), then ONE partial-agg groupBy for
+    the five moment pools.
+    """
+    gb = [F.col(c) for c in group_cols]
+    xv, yv = F.col(x_col), F.col(y_col)
+    base = df.where(xv.isNotNull() & yv.isNotNull()).select(
+        *group_cols, xv.alias("_x"), yv.alias("_y")
+    )
+
+    def r2(col: str) -> Column:
+        wr = Window.partitionBy(*gb).orderBy(F.col(col).asc())
+        wt = Window.partitionBy(*gb, F.col(col))
+        return (
+            F.lit(2) * F.rank().over(wr) + F.count(F.lit(1)).over(wt) - 1
+        ).cast("long")
+
+    ranked = base.select(
+        *group_cols, r2("_x").alias("r2x"), r2("_y").alias("r2y")
+    )
+    pooled = ranked.groupBy(*gb).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("r2x").cast("long").alias("sx2"),
+        F.sum("r2y").cast("long").alias("sy2"),
+        F.sum(F.col("r2x") * F.col("r2y")).cast("long").alias("sxy4"),
+        F.sum(F.col("r2x") * F.col("r2x")).cast("long").alias("sxx4"),
+        F.sum(F.col("r2y") * F.col("r2y")).cast("long").alias("syy4"),
+    )
+    vx = F.col("n") * F.col("sxx4") - F.col("sx2") * F.col("sx2")
+    vy = F.col("n") * F.col("syy4") - F.col("sy2") * F.col("sy2")
+    cov = F.col("n") * F.col("sxy4") - F.col("sx2") * F.col("sy2")
+    return pooled.select(
+        *group_cols,
+        "n", "sx2", "sy2", "sxy4", "sxx4", "syy4",
+        F.when(
+            (vx > 0) & (vy > 0),
+            cov.cast("double")
+            / (F.sqrt(vx.cast("double")) * F.sqrt(vy.cast("double"))),
+        ).alias("rho"),
+    )

@@ -73,6 +73,8 @@ PURE_CODEGEN_QUERIES = [
     "ir_metrics", "ir_metrics_macro", "ocr_eval", "ocr_eval_summary",
     "dpo_pairs", "rouge_n", "bleu_corpus", "winnow_fingerprints",
     "cluster_eval",
+    "confusion_eval", "roc_auc", "calibration_bins",
+    "modularity", "degree_assortativity", "spearman_corr",
 ]
 # NOT listed although their OPERATORS are pure codegen: queries whose
 # INPUT synthesis is datagen.pages_from_documents (a mapInPandas page
