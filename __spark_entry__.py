@@ -20,7 +20,7 @@ from collections.abc import Callable
 # make the package importable regardless of the caller's cwd
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 SF0001 = "/root/testdata/sf0.001"
@@ -5553,6 +5553,238 @@ def q_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_boilerpipe_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerpipe NumWords/LinkDensity tree (extraction/boilerpipe.py)
+    over token-window segments (window 18 so full chunks trip the
+    curr_numWords > 16 branch while partial tail chunks exercise the
+    context branches): doc_id%4==1 docs gain an 11-URL head — the first
+    chunk dies on curr link density > 1/3 and the SECOND chunk is
+    judged under the link-heavy-context (prev density > 5/9) branch.
+    The oracle replays segmentation, both lag/lead windows, and the
+    cleared-division tree."""
+    from invoice_ocr_reconciler_spark.extraction.boilerpipe import (
+        boilerpipe_classify,
+    )
+    from invoice_ocr_reconciler_spark.operators.chunking import (
+        chunk_documents,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    base = F.coalesce(F.col("text"), F.lit(""))
+    urls = " ".join(f"http://l.example/{c}" for c in "abcdefghijk")
+    spiked = F.when(
+        F.col("doc_id") % 4 == 1, F.concat(F.lit(urls + " "), base)
+    ).otherwise(base)
+    segs = chunk_documents(
+        docs.select("doc_id", spiked.alias("text")), window=18, stride=18
+    )
+    out = boilerpipe_classify(
+        segs, text_col="chunk_text", doc_col="doc_id", idx_col="chunk_id"
+    )
+    return out.select(
+        "doc_id", "chunk_id", "n_words", "link_words", "prev_words",
+        "prev_link_words", "next_words", "keep",
+    ).orderBy("doc_id", "chunk_id")
+
+
+def q_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simplified silhouette of the kmeans_assign fit (operators/
+    kmeans.py:kmeans_silhouette, k=4 dim=64 n_iter=2 — the same fit the
+    kmeans_assign oracle unrolls): per-cluster + TOTAL mean silhouette
+    from integer-nanos pools; a(i)/b(i) share kmeans' integer-quantized
+    dist_q, and the GRID factor cancels inside (sqrt(b)-sqrt(a))/
+    sqrt(max). The oracle extends the unrolled-fit CTEs with the
+    min-over-other-centroids join and the same pools."""
+    from invoice_ocr_reconciler_spark.operators.kmeans import (
+        kmeans_silhouette,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return kmeans_silhouette(emb, k=4, dim=64, n_iter=2)
+
+
+def q_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyphrases (operators/keyphrases.py): doc_id%5==2 docs gain
+    '. deep neural network training' and %7==3 '. data quality' so a
+    planted multi-word term family competes with the organic corpus
+    vocabulary. Top-3 per doc; the oracle replays the phrase split
+    (punctuation + longest-first stopword alternation), corpus
+    deg/freq, the BIGINT floor-division word scores, and the rank
+    window."""
+    from invoice_ocr_reconciler_spark.operators.keyphrases import (
+        rake_keyphrases,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    base = F.coalesce(F.col("text"), F.lit(""))
+    aug = F.concat(
+        base,
+        F.when(
+            F.col("doc_id") % 5 == 2, F.lit(". deep neural network training")
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 7 == 3, F.lit(". data quality")
+        ).otherwise(F.lit("")),
+    )
+    return rake_keyphrases(
+        docs.select("doc_id", aug.alias("text")), top_k=3
+    )
+
+
+def q_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch round trip (operators/cmsketch.py, d=4 w=512):
+    build over every whitespace token of the documents corpus, then
+    estimate the tokens of docs 0-2 against their exact corpus counts —
+    (term, exact, est, overestimate, bound_ok) makes the one-sided
+    guarantee (est >= exact always) a checked column. The oracle
+    replays the md5 row hashes, the d*w counter table, the min-fold
+    estimate, and the exact counts."""
+    from invoice_ocr_reconciler_spark.operators.cmsketch import (
+        build_cm_sketch,
+        cm_estimate,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.coalesce(F.col("text"), F.lit("")))), r"\s+"),
+        lambda t: t != "",
+    )
+    tokens = docs.select(F.explode(toks).alias("term"))
+    tokens = tokens.persist()
+    sketch = build_cm_sketch(tokens, depth=4, width=512)
+    probes = (
+        docs.where(F.col("doc_id") < 3)
+        .select(F.explode(toks).alias("term"))
+        .distinct()
+    )
+    est = cm_estimate(sketch, probes, depth=4, width=512)
+    exact = tokens.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("exact")
+    )
+    return (
+        est.join(exact, "term", "left")
+        .select(
+            "term",
+            F.coalesce("exact", F.lit(0)).cast("long").alias("exact"),
+            "est",
+            (F.col("est") - F.coalesce("exact", F.lit(0)))
+            .cast("long")
+            .alias("overestimate"),
+            (F.col("est") >= F.coalesce("exact", F.lit(0))).alias("bound_ok"),
+        )
+        .orderBy("term")
+    )
+
+
+def q_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversification (operators/mmr.py, lambda=0.5, k=4) over
+    top-12 integer-dot candidates for queries vec_id<4: round 1 is the
+    relevance argmax, later rounds trade relevance against the max
+    integer-quantized similarity to the already-selected set. The
+    oracle unrolls candidate generation and all four greedy rounds as
+    CTEs with the identical GRID dot products and lowest-id
+    tie-breaks."""
+    from invoice_ocr_reconciler_spark.operators.mmr import (
+        dot_q,
+        mmr_diversify,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qset = emb.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    rel = (
+        emb.select(
+            F.col("vec_id").alias("doc_id"), F.col("embedding").alias("cv")
+        )
+        .crossJoin(F.broadcast(qset))
+        .where(F.col("doc_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "doc_id",
+            dot_q(F.col("qv"), F.col("cv")).alias("rel_q"),
+            F.col("cv").alias("embedding"),
+        )
+    )
+    wnd = Window.partitionBy("query_id").orderBy(
+        F.col("rel_q").desc(), F.col("doc_id").asc()
+    )
+    cands = rel.select(
+        "*", F.row_number().over(wnd).alias("_rn")
+    ).where(F.col("_rn") <= 12).drop("_rn")
+    return mmr_diversify(cands, k=4, lam_m=500)
+
+
+def _markdown_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared synthesis for the markdown band (oracle replays the same
+    rule): every doc gets an h1 + a text paragraph; %2==0 an intro
+    paragraph BEFORE the h1 (preamble section), %3==0 an h2 with nested
+    <em> + entity, %4==1 a two-item list with <b>, %5==2 an inline
+    link, %6==0 nav + script subtrees that must vanish."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    i = F.col("doc_id")
+    intro = F.when(i % 2 == 0, F.lit("<p>intro before heading</p>")).otherwise(
+        F.lit("")
+    )
+    h2 = F.when(
+        i % 3 == 0,
+        F.format_string('<h2 class="s">Sub <em>two</em> &amp; %d</h2>', i),
+    ).otherwise(F.lit(""))
+    lst = F.when(
+        i % 4 == 1, F.lit("<ul><li>one</li><li><b>two</b></li></ul>")
+    ).otherwise(F.lit(""))
+    link = F.when(
+        i % 5 == 2,
+        F.format_string('<p>see <a href="https://x.example/%d">doc %d</a></p>', i, i),
+    ).otherwise(F.lit(""))
+    junk = F.when(
+        i % 6 == 0,
+        F.lit('<nav><a href="/x">home</a></nav><script>var x=1;</script>'),
+    ).otherwise(F.lit(""))
+    return docs.select(
+        F.format_string("https://md.example/%d", i).alias("url"),
+        F.concat(
+            F.lit("<html><body>"),
+            junk,
+            intro,
+            F.format_string("<h1>Doc &amp; %d</h1>", i),
+            F.lit("<p>"),
+            F.coalesce(F.col("text"), F.lit("")),
+            F.lit("</p>"),
+            h2,
+            lst,
+            link,
+            F.lit("</body></html>"),
+        ).alias("html"),
+    )
+
+
+def q_markdown_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML -> Markdown export (functions/markdown.py): the rule-chain
+    transducer over the synthesized markup; the oracle replays every
+    MD_RULES regex in order ($n respelled \\n)."""
+    from invoice_ocr_reconciler_spark.functions.markdown import (
+        markdown_export,
+    )
+
+    return markdown_export(_markdown_pages(spark, sf_dir)).orderBy("url")
+
+
+def q_section_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heading-scoped section chunking (functions/markdown.py): the
+    markdown rendering split at heading lines via the injected
+    sentinel; preamble pieces keep level 0, empty pieces drop, sec_idx
+    stays dense. The oracle replays the sentinel injection, the split,
+    and the per-piece level/heading/content algebra."""
+    from invoice_ocr_reconciler_spark.functions.markdown import (
+        section_chunks,
+    )
+
+    return section_chunks(_markdown_pages(spark, sf_dir)).orderBy(
+        "url", "sec_idx"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from invoice_ocr_reconciler_spark.plans import relational as R
 
@@ -5836,6 +6068,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "degree_assortativity": q_degree_assortativity,
         # score-agreement profile
         "spearman_corr": q_spearman_corr,
+        # fourth extractor policy (boilerpipe lag/lead tree)
+        "boilerpipe_classify": q_boilerpipe_classify,
+        # internal cluster quality (k-selection gate)
+        "silhouette": q_silhouette,
+        # document keyphrases (RAKE)
+        "rake_keyphrases": q_rake_keyphrases,
+        # mergeable frequency summary (count-min)
+        "countmin": q_countmin,
+        # retrieval diversification (MMR)
+        "mmr_diversify": q_mmr_diversify,
+        # structure-preserving export + section chunking
+        "markdown_export": q_markdown_export,
+        "section_chunks": q_section_chunks,
     }
 
 
@@ -6085,11 +6330,23 @@ def _blocking_oracle_sql() -> str:
     """
 
 
-def _kmeans_oracle(k: int = 4, dim: int = 64, n_iter: int = 2, grid: int = 1 << 20) -> str:
+def _kmeans_oracle(
+    k: int = 4,
+    dim: int = 64,
+    n_iter: int = 2,
+    grid: int = 1 << 20,
+    final_sql: str | None = None,
+) -> str:
     """Unrolled-CTE replay of operators/kmeans.py:kmeans_assign — seeds by
     (md5(id), id), then n_iter (assign, integer-grid update) rounds, then
     the final assignment. Integer-quantized per-component distances make
-    list_sum order-free, so both engines agree bit-exactly."""
+    list_sum order-free, so both engines agree bit-exactly.
+
+    `final_sql`, when given, replaces the default final SELECT with
+    extra CTEs + SELECT over the fit's CTEs (`emb`, `c{n_iter}` fitted
+    centroids, `afinal` assignment) — the silhouette oracle's hook. It
+    may reference `{DIST}` which expands to the quantized-distance
+    expression between emb row `e` and centroid row `c`."""
 
     def dist(cent_cte: str) -> str:
         return (
@@ -6136,9 +6393,12 @@ def _kmeans_oracle(k: int = 4, dim: int = 64, n_iter: int = 2, grid: int = 1 << 
                 FROM s{r} GROUP BY cluster) m USING (cluster))""")
     parts.append(assign("afinal", f"c{n_iter}"))
     body = ",".join(parts)
+    if final_sql is None:
+        final_sql = "SELECT vec_id, cluster, dist_q FROM afinal"
+    final_sql = final_sql.replace("{DIST}", dist(f"c{n_iter}"))
     return f"""
         WITH {body}
-        SELECT vec_id, cluster, dist_q FROM afinal
+        {final_sql}
     """
 
 
@@ -12686,6 +12946,335 @@ def oracle_sql() -> dict[str, str]:
                             * sqrt(CAST(n * syy4 - sy2 * sy2 AS DOUBLE)))
                END AS rho
         FROM pooled ORDER BY grp
+    """
+    # replays extraction/boilerpipe.py:boilerpipe_classify — chunk
+    # segmentation (the readability oracle's replay at window 18), the
+    # URL-head planting, both lag/lead windows, and the cleared-division
+    # NumWords/LinkDensity decision tree
+    _bp_urls = " ".join(f"http://l.example/{c}" for c in "abcdefghijk")
+    d["boilerpipe_classify"] = rf"""
+        WITH spiked AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 4 = 1 THEN '{_bp_urls} ' ELSE '' END
+                   || coalesce(text, '') AS text
+            FROM documents),
+        dd AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(trim(coalesce(text, ''))), '\s+'),
+                               t -> t <> '') AS toks
+            FROM spiked),
+        c AS (
+            SELECT doc_id, toks, len(toks) AS n,
+                   CASE WHEN len(toks) <= 0 THEN 0
+                        ELSE 1 + CAST(ceil(greatest(len(toks) - 18, 0) / 18.0) AS INT)
+                   END AS n_chunks
+            FROM dd),
+        s AS (
+            SELECT doc_id, toks,
+                   CAST(unnest(range(0, n_chunks)) AS INT) AS chunk_id
+            FROM c WHERE n_chunks > 0),
+        seg AS (
+            SELECT doc_id, chunk_id,
+                   list_slice(toks, chunk_id * 18 + 1, chunk_id * 18 + 18) AS ct
+            FROM s),
+        f AS (
+            SELECT doc_id, chunk_id,
+                   CAST(len(ct) AS BIGINT) AS n_words,
+                   CAST(len(list_filter(ct, t -> regexp_matches(t, '^https?://'))) AS BIGINT)
+                       AS link_words
+            FROM seg),
+        ctx AS (
+            SELECT doc_id, chunk_id, n_words, link_words,
+                   CAST(coalesce(lag(n_words) OVER w, 0) AS BIGINT) AS prev_words,
+                   CAST(coalesce(lag(link_words) OVER w, 0) AS BIGINT) AS prev_link_words,
+                   CAST(coalesce(lead(n_words) OVER w, 0) AS BIGINT) AS next_words
+            FROM f
+            WINDOW w AS (PARTITION BY doc_id ORDER BY chunk_id))
+        SELECT doc_id, chunk_id, n_words, link_words, prev_words,
+               prev_link_words, next_words,
+               CASE WHEN n_words <= 0 THEN FALSE
+                    WHEN 3 * link_words > 1 * n_words THEN FALSE
+                    WHEN 9 * prev_link_words <= 5 * prev_words
+                         THEN (n_words > 16 OR next_words > 15 OR prev_words > 4)
+                    ELSE (n_words > 40 OR next_words > 17)
+               END AS keep
+        FROM ctx ORDER BY doc_id, chunk_id
+    """
+    # replays operators/kmeans.py:kmeans_silhouette — the unrolled fit
+    # CTEs of the kmeans_assign oracle plus the min-over-other-centroids
+    # join, the GRID-cancelling sqrt ratio, and the integer-nanos pools
+    d["silhouette"] = _kmeans_oracle(final_sql="""
+        , dall AS (
+            SELECT e.vec_id, c.cluster, {DIST} AS dq
+            FROM emb e CROSS JOIN c2 c),
+        oth AS (
+            SELECT d.vec_id, min(d.dq) AS bq
+            FROM dall d JOIN afinal a
+              ON d.vec_id = a.vec_id AND d.cluster <> a.cluster
+            GROUP BY 1),
+        per AS (
+            SELECT a.cluster,
+                   CASE WHEN greatest(a.dist_q, o.bq) = 0 THEN CAST(0.0 AS DOUBLE)
+                        ELSE (sqrt(CAST(o.bq AS DOUBLE)) - sqrt(CAST(a.dist_q AS DOUBLE)))
+                             / sqrt(CAST(greatest(a.dist_q, o.bq) AS DOUBLE))
+                   END AS sil
+            FROM afinal a JOIN oth o ON a.vec_id = o.vec_id),
+        sn AS (SELECT cluster, CAST(floor(sil * 1e9 + 0.5) AS BIGINT) AS s_nanos
+               FROM per),
+        bc AS (
+            SELECT CAST(cluster AS INT) AS cluster,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CASE WHEN s_nanos < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_negative,
+                   CAST(sum(s_nanos) AS BIGINT) AS sum_s_nanos
+            FROM sn GROUP BY 1),
+        u AS (
+            SELECT * FROM bc
+            UNION ALL
+            SELECT CAST(-1 AS INT), CAST(sum(n) AS BIGINT),
+                   CAST(sum(n_negative) AS BIGINT), CAST(sum(sum_s_nanos) AS BIGINT)
+            FROM bc)
+        SELECT cluster, n, n_negative, sum_s_nanos,
+               CASE WHEN n > 0 THEN CAST(sum_s_nanos AS DOUBLE) / n / 1e9 END
+                   AS silhouette
+        FROM u ORDER BY cluster
+    """)
+    # replays operators/keyphrases.py:rake_keyphrases — the planted
+    # phrase tails, punctuation + longest-first stopword splitting,
+    # corpus deg/freq, BIGINT floor-division word scores, and the
+    # per-document rank window
+    from invoice_ocr_reconciler_spark.operators.keyphrases import (
+        stopword_pattern as _rake_stoppat,
+    )
+
+    d["rake_keyphrases"] = rf"""
+        WITH aug AS (
+            SELECT doc_id,
+                   coalesce(text, '')
+                   || CASE WHEN doc_id % 5 = 2
+                           THEN '. deep neural network training' ELSE '' END
+                   || CASE WHEN doc_id % 7 = 3
+                           THEN '. data quality' ELSE '' END AS text
+            FROM documents),
+        cut AS (
+            SELECT doc_id,
+                   regexp_replace(
+                       regexp_replace(lower(text), '[^a-z0-9\s]+', chr(1), 'g'),
+                       '{_rake_stoppat()}', chr(1), 'g') AS t
+            FROM aug),
+        segs AS (
+            SELECT doc_id, trim(regexp_replace(s, '\s+', ' ', 'g')) AS phrase
+            FROM (SELECT doc_id, unnest(string_split(t, chr(1))) AS s FROM cut) u0),
+        inst AS (
+            SELECT doc_id, phrase,
+                   CAST(len(string_split(phrase, ' ')) AS BIGINT) AS n_words
+            FROM segs
+            WHERE phrase <> '' AND len(string_split(phrase, ' ')) <= 4),
+        words AS (
+            SELECT unnest(string_split(phrase, ' ')) AS word, n_words FROM inst),
+        ws AS (
+            SELECT word,
+                   (CAST(sum(n_words) AS BIGINT) * CAST(1000000000 AS BIGINT))
+                       // CAST(count(*) AS BIGINT) AS wsn
+            FROM words GROUP BY 1),
+        dst AS (
+            SELECT doc_id, phrase, CAST(count(*) AS BIGINT) AS n_occ,
+                   min(n_words) AS n_words
+            FROM inst GROUP BY 1, 2),
+        pw AS (
+            SELECT doc_id, phrase, n_occ, n_words,
+                   unnest(string_split(phrase, ' ')) AS word
+            FROM dst),
+        sc AS (
+            SELECT doc_id, phrase, min(n_words) AS n_words,
+                   min(n_occ) AS n_occ, CAST(sum(w.wsn) AS BIGINT) AS score_nanos
+            FROM pw JOIN ws w USING (word) GROUP BY 1, 2),
+        r AS (
+            SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+                         ORDER BY score_nanos DESC, phrase) AS INT) AS rank
+            FROM sc)
+        SELECT doc_id, phrase, n_words, n_occ, score_nanos, rank
+        FROM r WHERE rank <= 3 ORDER BY doc_id, rank
+    """
+    # replays operators/cmsketch.py — the md5 row-salted bucket hashes,
+    # the d*w counter table, the min-fold estimate, and exact counts
+    _cm_hash = ("CAST(('0x' || substr(md5('cm:' || CAST(r AS VARCHAR) || ':' || term), 1, 15))"
+                "::UBIGINT % 512 AS BIGINT)")
+    d["countmin"] = rf"""
+        WITH toks AS (
+            SELECT unnest(list_filter(
+                       string_split_regex(lower(trim(coalesce(text, ''))), '\s+'),
+                       t -> t <> '')) AS term
+            FROM documents),
+        cells AS (
+            SELECT r, {_cm_hash} AS bucket
+            FROM toks, (SELECT unnest(range(4)) AS r) g),
+        sk AS (
+            SELECT r, bucket, CAST(count(*) AS BIGINT) AS cnt
+            FROM cells GROUP BY 1, 2),
+        probes AS (
+            SELECT DISTINCT term FROM (
+                SELECT unnest(list_filter(
+                           string_split_regex(lower(trim(coalesce(text, ''))), '\s+'),
+                           t -> t <> '')) AS term
+                FROM documents WHERE doc_id < 3) p0),
+        pcells AS (
+            SELECT term, r, {_cm_hash} AS bucket
+            FROM probes, (SELECT unnest(range(4)) AS r) g),
+        est AS (
+            SELECT p.term, CAST(min(coalesce(s.cnt, 0)) AS BIGINT) AS est
+            FROM pcells p LEFT JOIN sk s
+              ON s.r = p.r AND s.bucket = p.bucket
+            GROUP BY 1),
+        exact AS (
+            SELECT term, CAST(count(*) AS BIGINT) AS exact FROM toks GROUP BY 1)
+        SELECT e.term, CAST(coalesce(x.exact, 0) AS BIGINT) AS exact, e.est,
+               CAST(e.est - coalesce(x.exact, 0) AS BIGINT) AS overestimate,
+               e.est >= coalesce(x.exact, 0) AS bound_ok
+        FROM est e LEFT JOIN exact x USING (term) ORDER BY e.term
+    """
+    # replays operators/mmr.py:mmr_diversify — candidate generation
+    # (integer GRID dot products, top-12 window) and all four greedy
+    # rounds unrolled with the identical lowest-id argmax tie-break
+    def _ddot(a: str, b: str) -> str:
+        return (
+            f"CAST(list_sum(list_transform(range(1, 65), i -> "
+            f"CAST(floor(CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE) "
+            f"* 1048576 + 0.5) AS BIGINT))) AS BIGINT)"
+        )
+
+    _mmr_rounds = []
+    for _r in range(2, 5):
+        _p = _r - 1
+        _mmr_rounds.append(f"""
+        r{_r} AS (
+            SELECT m.qid, m.did, m.rel_q,
+                   max({_ddot('m.cv', 's.cv')}) AS max_sim_q
+            FROM cand m
+            JOIN (SELECT p.qid, c2.cv
+                  FROM s{_p} p JOIN cand c2
+                    ON c2.qid = p.qid AND c2.did = p.did) s
+              ON s.qid = m.qid
+            WHERE NOT EXISTS (SELECT 1 FROM s{_p} x
+                              WHERE x.qid = m.qid AND x.did = m.did)
+            GROUP BY 1, 2, 3),
+        p{_r} AS (
+            SELECT qid, did, CAST({_r} AS INT) AS rnd, rel_q,
+                   CAST(max_sim_q AS BIGINT) AS max_sim_q,
+                   CAST(500 * rel_q - 500 * max_sim_q AS BIGINT) AS score_q
+            FROM (SELECT *, row_number() OVER (PARTITION BY qid
+                      ORDER BY 500 * rel_q - 500 * max_sim_q DESC, did) AS rn
+                  FROM r{_r})
+            WHERE rn = 1),
+        s{_r} AS (SELECT * FROM s{_p} UNION ALL SELECT * FROM p{_r})""")
+    d["mmr_diversify"] = f"""
+        WITH q AS (SELECT vec_id AS qid, embedding AS qv
+                   FROM embeddings WHERE vec_id < 4),
+        c AS (SELECT vec_id AS did, embedding AS cv FROM embeddings),
+        rel AS (
+            SELECT qid, did, {_ddot('q.qv', 'c.cv')} AS rel_q, cv
+            FROM q CROSS JOIN c WHERE did <> qid),
+        cand AS (
+            SELECT qid, did, rel_q, cv FROM (
+                SELECT *, row_number() OVER (PARTITION BY qid
+                    ORDER BY rel_q DESC, did) AS rn
+                FROM rel)
+            WHERE rn <= 12),
+        p1 AS (
+            SELECT qid, did, CAST(1 AS INT) AS rnd, rel_q,
+                   CAST(0 AS BIGINT) AS max_sim_q,
+                   CAST(500 * rel_q AS BIGINT) AS score_q
+            FROM (SELECT *, row_number() OVER (PARTITION BY qid
+                      ORDER BY 500 * rel_q DESC, did) AS rn
+                  FROM cand)
+            WHERE rn = 1),
+        s1 AS (SELECT * FROM p1),{','.join(_mmr_rounds)}
+        SELECT qid AS query_id, did AS doc_id, rnd AS "round", rel_q,
+               max_sim_q, score_q
+        FROM s4 ORDER BY query_id, "round"
+    """
+    # replays functions/markdown.py — the synthesized markup, every
+    # MD_RULES regex in order ($n respelled \n), and for section_chunks
+    # the sentinel injection + piece algebra
+    from invoice_ocr_reconciler_spark.functions.markdown import (
+        MD_RULES as _MD_RULES,
+    )
+
+    def _md_expr(col: str) -> str:
+        out = f"coalesce({col}, '')"
+        for _pat, _rep in _MD_RULES:
+            p = _pat.replace("'", "''")
+            r = _rep.replace("$", "\\").replace("'", "''")
+            out = f"regexp_replace({out}, '{p}', '{r}', 'g')"
+        return f"trim({out})"
+
+    _md_pages_sql = """
+        pages AS (
+            SELECT 'https://md.example/' || CAST(doc_id AS VARCHAR) AS url,
+                   '<html><body>'
+                   || CASE WHEN doc_id % 6 = 0
+                           THEN '<nav><a href="/x">home</a></nav><script>var x=1;</script>'
+                           ELSE '' END
+                   || CASE WHEN doc_id % 2 = 0
+                           THEN '<p>intro before heading</p>' ELSE '' END
+                   || '<h1>Doc &amp; ' || CAST(doc_id AS VARCHAR) || '</h1>'
+                   || '<p>' || coalesce(text, '') || '</p>'
+                   || CASE WHEN doc_id % 3 = 0
+                           THEN '<h2 class="s">Sub <em>two</em> &amp; '
+                                || CAST(doc_id AS VARCHAR) || '</h2>'
+                           ELSE '' END
+                   || CASE WHEN doc_id % 4 = 1
+                           THEN '<ul><li>one</li><li><b>two</b></li></ul>'
+                           ELSE '' END
+                   || CASE WHEN doc_id % 5 = 2
+                           THEN '<p>see <a href="https://x.example/'
+                                || CAST(doc_id AS VARCHAR) || '">doc '
+                                || CAST(doc_id AS VARCHAR) || '</a></p>'
+                           ELSE '' END
+                   || '</body></html>' AS html
+            FROM documents)"""
+    d["markdown_export"] = f"""
+        WITH {_md_pages_sql}
+        SELECT url, {_md_expr('html')} AS markdown
+        FROM pages ORDER BY url
+    """
+    def _wtrim_sql(x: str) -> str:
+        return (
+            "regexp_replace(regexp_replace(" + x
+            + r", '^\s+', ''), '\s+$', '')"
+        )
+
+    _sec_head = r"coalesce(regexp_extract(p, '^(#{1,6}) ', 1), '')"
+    _sec_content = _wtrim_sql(
+        "CASE WHEN " + _sec_head + " <> '' "
+        + r"THEN regexp_replace(p, '^#{1,6} [^\n]*\n?', '') "
+        + "ELSE p END"
+    )
+    _mark_rule = (
+        r"regexp_replace(md, '(?m)^(#{1,6} )', '" + chr(1) + r"\1', 'g')"
+    )
+    d["section_chunks"] = f"""
+        WITH {_md_pages_sql},
+        mdt AS (SELECT url, {_md_expr('html')} AS md FROM pages),
+        mk AS (SELECT url, {_mark_rule} AS marked FROM mdt),
+        pz AS (SELECT url,
+                      list_filter(
+                          list_transform(string_split(marked, chr(1)),
+                              p -> {_wtrim_sql('p')}),
+                          p -> p <> '') AS pieces
+               FROM mk),
+        ix AS (SELECT url, pieces,
+                      CAST(unnest(range(0, len(pieces))) AS INT) AS i
+               FROM pz WHERE len(pieces) > 0),
+        sec AS (SELECT url, i AS sec_idx, pieces[i + 1] AS p FROM ix),
+        ex AS (SELECT url, sec_idx,
+                      CAST(length({_sec_head}) AS INT) AS level,
+                      coalesce(regexp_extract(p, '^#{{1,6}} ([^\\n]*)', 1), '')
+                          AS heading,
+                      {_sec_content} AS content
+               FROM sec)
+        SELECT url, sec_idx, level, heading, content,
+               CAST(length(content) AS BIGINT) AS n_chars
+        FROM ex ORDER BY url, sec_idx
     """
     return d
 

@@ -129,6 +129,13 @@ def main() -> None:
         "bleu_corpus",          # corpus BLEU (clipped n-gram pools)
         "winnow_fingerprints",  # MOSS winnowing selection (pure codegen)
         "cluster_eval",         # pairwise F1 / ARI / B-cubed (cell pools)
+        "boilerpipe_classify",  # 4th extractor policy (lag/lead tree)
+        "silhouette",           # cluster-quality gate (kmeans fit + pools)
+        "rake_keyphrases",      # RAKE doc keyphrases (deg/freq integer)
+        "countmin",             # count-min sketch round trip (d*w cells)
+        "mmr_diversify",        # greedy diversification (4 round joins)
+        "markdown_export",      # structure-preserving export (regex chain)
+        "section_chunks",       # heading-scoped section split
         "extract_pages",        # extraction stage alone
         "reconcile",            # full pipeline: extract -> parse -> reconcile
     ]

@@ -497,6 +497,9 @@ def compare_extractors(pages: DataFrame, gold: DataFrame) -> DataFrame:
             F.lit(name).alias("extractor"), "*"
         )
 
+    from invoice_ocr_reconciler_spark.extraction.boilerpipe import (
+        extract_pages_boilerpipe,
+    )
     from invoice_ocr_reconciler_spark.extraction.readability import (
         extract_pages_readability,
     )
@@ -504,10 +507,12 @@ def compare_extractors(pages: DataFrame, gold: DataFrame) -> DataFrame:
     density = extract_pages(pages).select("url", "extracted_text")
     jt = extract_pages_justext(pages)
     rd = extract_pages_readability(pages)
+    bp = extract_pages_boilerpipe(pages)
     return (
         _score(density, "density")
         .unionByName(_score(jt, "justext"))
         .unionByName(_score(rd, "readability"))
+        .unionByName(_score(bp, "boilerpipe"))
     )
 
 

@@ -183,3 +183,136 @@ def kmeans_assign(
     cents, _ = fit_kmeans(vectors, k, dim, n_iter, id_col, vec_col)
     valid = vectors.filter(F.size(F.col(vec_col)) == dim)
     return assign_clusters(valid, cents, id_col, vec_col)
+
+
+def silhouette_score(
+    vectors: DataFrame,
+    centroids: list[list[float]],
+    assignments: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Simplified (centroid-based) silhouette — the internal cluster-
+    quality gate -> one row per cluster plus a TOTAL row (cluster = -1):
+    (cluster, n, n_negative, sum_s_nanos, silhouette).
+
+    The classic silhouette needs all pairwise distances (O(n^2)); the
+    simplified form (Hruschka et al. 2004, sklearn's "works at scale"
+    recommendation) replaces mean-to-cluster distances with distances
+    to CENTROIDS:  a(i) = d(i, own centroid),  b(i) = min over other
+    centroids,  s(i) = (b - a) / max(a, b)  (0 when max = 0).
+
+    Exactness: a/b derive from the SAME integer-quantized dist_q as
+    assign_clusters, and the GRID factor cancels inside the ratio —
+        s = (sqrt(bq) - sqrt(aq)) / sqrt(max(aq, bq))
+    two IEEE sqrts and one division (the spearman_corr contract); each
+    s snaps to integer nanos BEFORE pooling (the calibration_bins
+    contract), so per-cluster means are BIGINT sums + one division.
+
+    With `assignments` (id, cluster) the score grades an ARBITRARY
+    labeling against the centroid geometry — negative s (published as
+    n_negative) marks points closer to a foreign centroid, the
+    misassignment signal. Without it, nearest-centroid assignment is
+    used (s >= 0 by construction; the k-selection elbow companion).
+    Rows with NULL or out-of-range clusters are excluded.
+
+    One codegen distance projection (k literal centroids), at most one
+    node-dim assignment join, one partial-agg groupBy bounded by k.
+    """
+    k = len(centroids)
+    if k < 2:
+        raise ValueError(f"silhouette needs >= 2 centroids, got {k}")
+    dim = len(centroids[0])
+    base = vectors.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")
+    ).filter(F.size(F.col("_v")) == dim)
+    if assignments is None:
+        vec = F.col("_v")
+        dists = F.array(*[_dist_q(vec, c) for c in centroids])
+        assigned = base.select(
+            "_id",
+            "_v",
+            (F.array_position(dists, F.array_min(dists)) - 1)
+            .cast("int")
+            .alias("cluster"),
+        )
+    else:
+        amap = assignments.select(
+            F.col(id_col).alias("_id"),
+            F.col("cluster").cast("int").alias("cluster"),
+        )
+        assigned = base.join(amap, "_id")
+    assigned = assigned.filter(
+        F.col("cluster").isNotNull()
+        & (F.col("cluster") >= 0)
+        & (F.col("cluster") < k)
+    )
+    vec = F.col("_v")
+    dcols = [_dist_q(vec, c) for c in centroids]
+    own_q = F.element_at(F.array(*dcols), F.col("cluster") + 1)
+    # min over the OTHER clusters: the own slot is masked with a
+    # sentinel above any reachable dist_q, so least() needs no NULLs
+    sentinel = F.lit(1 << 62).cast("long")
+    other_q = F.least(
+        *[
+            F.when(F.col("cluster") == j, sentinel).otherwise(dcols[j])
+            for j in range(k)
+        ]
+    )
+    per = assigned.select(
+        "cluster", own_q.alias("aq"), other_q.alias("bq")
+    )
+    s = F.when(F.greatest(F.col("aq"), F.col("bq")) == 0, F.lit(0.0)).otherwise(
+        (F.sqrt(F.col("bq").cast("double")) - F.sqrt(F.col("aq").cast("double")))
+        / F.sqrt(F.greatest(F.col("aq"), F.col("bq")).cast("double"))
+    )
+    rows = per.select(
+        "cluster",
+        F.floor(s * F.lit(1e9) + F.lit(0.5)).cast("long").alias("s_nanos"),
+    )
+    by_cluster = rows.groupBy("cluster").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("s_nanos") < 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_negative"),
+        F.sum("s_nanos").cast("long").alias("sum_s_nanos"),
+    )
+    total = by_cluster.agg(
+        F.lit(-1).cast("int").alias("cluster"),
+        F.sum("n").cast("long").alias("n"),
+        F.sum("n_negative").cast("long").alias("n_negative"),
+        F.sum("sum_s_nanos").cast("long").alias("sum_s_nanos"),
+    )
+    out = by_cluster.select(
+        F.col("cluster").cast("int").alias("cluster"),
+        "n",
+        "n_negative",
+        "sum_s_nanos",
+    ).unionByName(total)
+    return out.select(
+        "cluster",
+        "n",
+        "n_negative",
+        "sum_s_nanos",
+        F.when(
+            F.col("n") > 0,
+            F.col("sum_s_nanos").cast("double") / F.col("n") / F.lit(1e9),
+        ).alias("silhouette"),
+    ).orderBy("cluster")
+
+
+def kmeans_silhouette(
+    vectors: DataFrame,
+    k: int,
+    dim: int,
+    n_iter: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Fit on the full corpus, then grade the fit's own nearest-centroid
+    assignment — the one-call k-selection form (sweep k, compare the
+    TOTAL row's silhouette)."""
+    cents, _ = fit_kmeans(vectors, k, dim, n_iter, id_col, vec_col)
+    return silhouette_score(
+        vectors, cents, assignments=None, id_col=id_col, vec_col=vec_col
+    )

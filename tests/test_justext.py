@@ -129,6 +129,12 @@ def test_extractor_compare_density_canary(spark):
     assert "readability" in rows
     assert rows["readability"]["t_pred"] > 0
     assert 0.0 < rows["readability"]["micro_f1"] <= 1.0
+    # fourth extractor (boilerpipe NumWords/LinkDensity): present and
+    # non-degenerate — its lag/lead tree keeps long plain blocks, so on
+    # the synthetic pages it must produce output without copying density
+    assert "boilerpipe" in rows
+    assert rows["boilerpipe"]["t_pred"] > 0
+    assert 0.0 < rows["boilerpipe"]["micro_f1"] <= 1.0
 
 
 def test_extractor_pure_and_empty():

@@ -75,6 +75,9 @@ PURE_CODEGEN_QUERIES = [
     "cluster_eval",
     "confusion_eval", "roc_auc", "calibration_bins",
     "modularity", "degree_assortativity", "spearman_corr",
+    "boilerpipe_classify", "silhouette", "rake_keyphrases",
+    "countmin", "mmr_diversify",
+    "markdown_export", "section_chunks",
 ]
 # NOT listed although their OPERATORS are pure codegen: queries whose
 # INPUT synthesis is datagen.pages_from_documents (a mapInPandas page
