@@ -1230,6 +1230,54 @@ def q_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_FUNNEL_STEPS = ["signup", "view", "click", "purchase"]
+_FUNNEL_WINDOW_MIN = 1440.0  # 1 day — mixed outcomes at every driver sf
+
+
+def q_funnel_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user greedy earliest-advance funnel (operators/events.py:
+    funnel_stages): signup -> view -> click -> purchase, each step strictly
+    after the previous and within 1 day of it. ONE shuffle + a codegen
+    array fold; DuckDB replays it as the equivalent 4-level min()-chain
+    (greedy-first-advance == chained min, exact microsecond comparisons)."""
+    from invoice_ocr_reconciler_spark.operators.events import funnel_stages
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return funnel_stages(
+        ev, _FUNNEL_STEPS, window_minutes=_FUNNEL_WINDOW_MIN
+    ).orderBy("user_id")
+
+
+def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stage-level funnel rollup (operators/events.py:funnel_summary):
+    users reaching >= each stage (explode sequence(1, stage) — partial-agg
+    cumulative counts, no descending window), conversion from first/prev
+    stage on the 6-grid."""
+    from invoice_ocr_reconciler_spark.operators.events import funnel_summary
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return funnel_summary(
+        ev, _FUNNEL_STEPS, window_minutes=_FUNNEL_WINDOW_MIN
+    )
+
+
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention-cohort matrix (operators/events.py:
+    retention_cohorts) over qualifying purchases (value >= 30) — cohort =
+    Monday-truncated week of first qualifying event, retained-at-offset-k
+    = any qualifying event k weeks later. Both engines truncate weeks to
+    Monday so offsets are exact day-diffs over 7."""
+    from invoice_ocr_reconciler_spark.operators.events import (
+        retention_cohorts,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    src = ev.where(
+        (F.col("event_type") == "purchase") & (F.col("value") >= 30.0)
+    )
+    return retention_cohorts(src)
+
+
 def q_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     from invoice_ocr_reconciler_spark.functions.text import repetition_cols
 
@@ -5866,6 +5914,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components": q_dedup_components,
         "dedup_canonical": q_dedup_canonical,
         "sessionize": q_sessionize,
+        "funnel_users": q_funnel_users,
+        "funnel_steps": q_funnel_steps,
+        "retention_cohorts": q_retention_cohorts,
         "session_stats": q_session_stats,
         "asof_enrich": q_asof_enrich,
         "repetition_metrics": q_repetition_metrics,
@@ -7450,6 +7501,103 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(c.component, d.doc_id) AS component,
                    coalesce(c.component, d.doc_id) = d.doc_id AS is_canonical
             FROM d LEFT JOIN comp c USING (doc_id)
+        """,
+        "funnel_users": """
+            WITH t1 AS (
+                SELECT user_id, min(ts) AS t1 FROM events
+                WHERE event_type = 'signup' GROUP BY user_id),
+            t2 AS (
+                SELECT e.user_id, min(e.ts) AS t2 FROM events e
+                JOIN t1 ON e.user_id = t1.user_id
+                WHERE e.event_type = 'view' AND e.ts > t1.t1
+                  AND epoch_us(e.ts) <= epoch_us(t1.t1) + 86400000000
+                GROUP BY e.user_id),
+            t3 AS (
+                SELECT e.user_id, min(e.ts) AS t3 FROM events e
+                JOIN t2 ON e.user_id = t2.user_id
+                WHERE e.event_type = 'click' AND e.ts > t2.t2
+                  AND epoch_us(e.ts) <= epoch_us(t2.t2) + 86400000000
+                GROUP BY e.user_id),
+            t4 AS (
+                SELECT e.user_id, min(e.ts) AS t4 FROM events e
+                JOIN t3 ON e.user_id = t3.user_id
+                WHERE e.event_type = 'purchase' AND e.ts > t3.t3
+                  AND epoch_us(e.ts) <= epoch_us(t3.t3) + 86400000000
+                GROUP BY e.user_id),
+            u AS (SELECT DISTINCT user_id FROM events)
+            SELECT u.user_id,
+                   CASE WHEN t4.t4 IS NOT NULL THEN 4
+                        WHEN t3.t3 IS NOT NULL THEN 3
+                        WHEN t2.t2 IS NOT NULL THEN 2
+                        WHEN t1.t1 IS NOT NULL THEN 1 ELSE 0 END AS stage_reached,
+                   t1.t1 AS t_first,
+                   coalesce(t4.t4, t3.t3, t2.t2, t1.t1) AS t_last
+            FROM u
+            LEFT JOIN t1 USING (user_id) LEFT JOIN t2 USING (user_id)
+            LEFT JOIN t3 USING (user_id) LEFT JOIN t4 USING (user_id)
+            ORDER BY u.user_id
+        """,
+        "funnel_steps": """
+            WITH t1 AS (
+                SELECT user_id, min(ts) AS t1 FROM events
+                WHERE event_type = 'signup' GROUP BY user_id),
+            t2 AS (
+                SELECT e.user_id, min(e.ts) AS t2 FROM events e
+                JOIN t1 ON e.user_id = t1.user_id
+                WHERE e.event_type = 'view' AND e.ts > t1.t1
+                  AND epoch_us(e.ts) <= epoch_us(t1.t1) + 86400000000
+                GROUP BY e.user_id),
+            t3 AS (
+                SELECT e.user_id, min(e.ts) AS t3 FROM events e
+                JOIN t2 ON e.user_id = t2.user_id
+                WHERE e.event_type = 'click' AND e.ts > t2.t2
+                  AND epoch_us(e.ts) <= epoch_us(t2.t2) + 86400000000
+                GROUP BY e.user_id),
+            t4 AS (
+                SELECT e.user_id, min(e.ts) AS t4 FROM events e
+                JOIN t3 ON e.user_id = t3.user_id
+                WHERE e.event_type = 'purchase' AND e.ts > t3.t3
+                  AND epoch_us(e.ts) <= epoch_us(t3.t3) + 86400000000
+                GROUP BY e.user_id),
+            counts AS (
+                SELECT 1 AS stage, 'signup' AS step,
+                       (SELECT count(*) FROM t1) AS n_users
+                UNION ALL SELECT 2, 'view', (SELECT count(*) FROM t2)
+                UNION ALL SELECT 3, 'click', (SELECT count(*) FROM t3)
+                UNION ALL SELECT 4, 'purchase', (SELECT count(*) FROM t4)),
+            nz AS (SELECT * FROM counts WHERE n_users > 0)
+            SELECT stage, step, n_users,
+                   floor(n_users / (SELECT n_users FROM nz WHERE stage = 1)
+                         * 1000000.0 + 0.5) / 1000000.0 AS conv_from_first,
+                   floor(n_users / coalesce(
+                             lag(n_users) OVER (ORDER BY stage), n_users)
+                         * 1000000.0 + 0.5) / 1000000.0 AS conv_from_prev
+            FROM nz ORDER BY stage
+        """,
+        "retention_cohorts": """
+            WITH src AS (
+                SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS week
+                FROM events
+                WHERE event_type = 'purchase' AND value >= 30.0),
+            first AS (
+                SELECT user_id, min(week) AS cohort_week FROM src
+                GROUP BY user_id),
+            act AS (SELECT DISTINCT user_id, week FROM src),
+            cell AS (
+                SELECT cohort_week,
+                       CAST(date_diff('day', cohort_week, week) / 7 AS INT)
+                           AS offset_weeks,
+                       count(*) AS n_active
+                FROM act JOIN first USING (user_id)
+                GROUP BY 1, 2),
+            sz AS (
+                SELECT cohort_week, n_active AS cohort_size FROM cell
+                WHERE offset_weeks = 0)
+            SELECT c.cohort_week, c.offset_weeks, c.n_active, s.cohort_size,
+                   floor(c.n_active / s.cohort_size * 1000000.0 + 0.5)
+                       / 1000000.0 AS retention
+            FROM cell c JOIN sz s USING (cohort_week)
+            ORDER BY c.cohort_week, c.offset_weeks
         """,
         "sessionize": """
             WITH l AS (

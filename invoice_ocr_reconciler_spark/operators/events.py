@@ -320,3 +320,213 @@ def detect_bursts(
             & (F.col("cnt") * int(trailing) > int(factor) * F.col("base_sum"))
         ).alias("is_burst"),
     )
+
+
+def funnel_stages(
+    events: DataFrame,
+    steps: list[str],
+    *,
+    window_minutes: float | None = 120.0,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    order_col: str = "event_id",
+) -> DataFrame:
+    """Greedy earliest-advance event funnel (the standard product-analytics
+    funnel: each step must happen strictly after the previous step, and —
+    when `window_minutes` is set — within that window of it).
+
+    Semantics: per user, t1 = first `steps[0]` event; t_{i+1} = first
+    `steps[i]` event with t_i < ts <= t_i + window. Greedy from the first
+    occurrence (not the max-completion assignment) — the common definition.
+
+    Plan: ONE shuffle (groupBy user), then a pure-codegen `aggregate` fold
+    over the user's (ts, order)-sorted event array — no window, no second
+    exchange, no Python. Per-user array size is bounded by that user's own
+    event count, the same bound any per-user sessionization carries. Output
+    is per-user: (user_id, stage_reached, t_first, t_last).
+
+    Cross-engine contract: time riding as unix microseconds (exact
+    integers); the fold is replayable as a K-level min()-chain in ANSI SQL
+    because greedy-first-advance == the chained-min recurrence above.
+    """
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    w_us = (
+        None
+        if window_minutes is None
+        else int(float(window_minutes) * 60.0 * 1_000_000)
+    )
+    ev = events.select(
+        F.col(user_col).alias("user_id"),
+        F.struct(
+            F.unix_micros(F.col(ts_col).cast("timestamp")).alias("us"),
+            F.col(order_col).cast("long").alias("oid"),
+            F.col(type_col).alias("et"),
+        ).alias("e"),
+    )
+    per = ev.groupBy("user_id").agg(
+        F.sort_array(F.collect_list("e")).alias("evs")
+    )
+
+    zero = F.struct(
+        F.lit(0).alias("stage"),
+        F.lit(0).cast("long").alias("t"),
+        F.lit(0).cast("long").alias("t1"),
+    )
+
+    def merge(acc, e):
+        out = acc
+        # the (acc.stage == i) conditions are mutually exclusive, so the
+        # when-chain order is immaterial; built in step order for reading
+        chain = None
+        for i, step in enumerate(steps):
+            cond = (acc["stage"] == i) & (e["et"] == F.lit(step))
+            if i > 0:
+                cond = cond & (e["us"] > acc["t"])
+                if w_us is not None:
+                    cond = cond & (e["us"] <= acc["t"] + F.lit(w_us))
+            nxt = F.struct(
+                F.lit(i + 1).alias("stage"),
+                e["us"].alias("t"),
+                (e["us"] if i == 0 else acc["t1"]).alias("t1"),
+            )
+            chain = (
+                F.when(cond, nxt) if chain is None else chain.when(cond, nxt)
+            )
+        return chain.otherwise(out)
+
+    fin = F.aggregate(F.col("evs"), zero, merge)
+    return per.select(
+        "user_id",
+        fin["stage"].alias("stage_reached"),
+        F.when(fin["stage"] >= 1, F.timestamp_micros(fin["t1"]))
+        .cast("timestamp_ntz")
+        .alias("t_first"),
+        F.when(fin["stage"] >= 1, F.timestamp_micros(fin["t"]))
+        .cast("timestamp_ntz")
+        .alias("t_last"),
+    )
+
+
+def funnel_summary(
+    events: DataFrame,
+    steps: list[str],
+    *,
+    window_minutes: float | None = 120.0,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    order_col: str = "event_id",
+) -> DataFrame:
+    """Stage-level funnel rollup: for each step s (1-based), the number of
+    users whose funnel reached AT LEAST s, conversion from stage 1 and from
+    the previous stage (floor-half-up 6-grid rationals).
+
+    The cumulative count is computed by exploding sequence(1, stage) per
+    user — one partial-aggregated groupBy, no descending-cumulative window.
+    The final frame is K rows (K = number of steps), so the lag window over
+    it is a driver-sized formality, not a shuffle concern.
+    """
+    per = funnel_stages(
+        events,
+        steps,
+        window_minutes=window_minutes,
+        user_col=user_col,
+        ts_col=ts_col,
+        type_col=type_col,
+        order_col=order_col,
+    )
+    reached = per.select(
+        F.explode(
+            F.when(
+                F.col("stage_reached") >= 1,
+                F.sequence(F.lit(1), F.col("stage_reached")),
+            ).otherwise(F.array().cast("array<int>"))
+        ).alias("stage")
+    ).groupBy("stage").agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+
+    names = F.array(*[F.lit(s) for s in steps])
+    first = reached.where(F.col("stage") == 1).select(
+        F.col("n_users").alias("n_first")
+    )
+    from invoice_ocr_reconciler_spark.functions.text import roundn
+
+    w = Window.partitionBy(F.lit(1)).orderBy("stage")  # K-row frame
+    out = (
+        reached.crossJoin(F.broadcast(first))
+        .withColumn("n_prev", F.lag("n_users").over(w))
+        .select(
+            "stage",
+            F.element_at(names, F.col("stage")).alias("step"),
+            "n_users",
+            roundn(F.col("n_users") / F.col("n_first"), 6).alias(
+                "conv_from_first"
+            ),
+            roundn(
+                F.col("n_users") / F.coalesce(F.col("n_prev"), F.col("n_users")),
+                6,
+            ).alias("conv_from_prev"),
+        )
+    )
+    return out.orderBy("stage")
+
+
+def retention_cohorts(
+    events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Weekly retention-cohort matrix: cohort_week = ISO week (Monday
+    truncation) of the user's first event; a user is retained at offset k
+    if they have any event in cohort_week + k weeks. retention = active /
+    cohort_size on the 6-grid.
+
+    Plan: first-event agg (one shuffle on user) joined back to the
+    distinct (user, week) activity set on the SAME key — co-partitioned
+    equi-join, no broadcast needed at any scale — then one partial-agg
+    groupBy(cohort_week, offset). cohort_size rides a broadcast of the
+    offset-0 slice (one row per cohort week — calendar-bounded, tiny
+    forever). Both engines truncate weeks to Monday, so offsets are exact
+    integers: datediff(day)/7 of two Monday dates.
+    """
+    wk = F.date_trunc("week", F.col(ts_col).cast("timestamp")).cast("date")
+    first = (
+        events.select(F.col(user_col).alias("user_id"), wk.alias("week"))
+        .groupBy("user_id")
+        .agg(F.min("week").alias("cohort_week"))
+    )
+    active = (
+        events.select(F.col(user_col).alias("user_id"), wk.alias("week"))
+        .distinct()
+    )
+    cell = (
+        active.join(first, "user_id")
+        .select(
+            "cohort_week",
+            (F.datediff(F.col("week"), F.col("cohort_week")) / 7)
+            .cast("int")
+            .alias("offset_weeks"),
+        )
+        .groupBy("cohort_week", "offset_weeks")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_active"))
+    )
+    size = cell.where(F.col("offset_weeks") == 0).select(
+        "cohort_week", F.col("n_active").alias("cohort_size")
+    )
+    from invoice_ocr_reconciler_spark.functions.text import roundn
+
+    return (
+        cell.join(F.broadcast(size), "cohort_week")
+        .select(
+            "cohort_week",
+            "offset_weeks",
+            "n_active",
+            "cohort_size",
+            roundn(F.col("n_active") / F.col("cohort_size"), 6).alias(
+                "retention"
+            ),
+        )
+        .orderBy("cohort_week", "offset_weeks")
+    )

@@ -68,6 +68,7 @@ PURE_CODEGEN_QUERIES = [
     "ngram_diversity", "bootstrap_ci", "cluster_topics", "sft_validate",
     "pseudonymize", "mixture_plan", "curriculum_order",
     "readability_classify",
+    "funnel_users", "funnel_steps", "retention_cohorts",
     "identifiers_extract", "license_detect", "reply_strip",
     "span_corruption", "fim_transform", "render_chat",
     "ir_metrics", "ir_metrics_macro", "ocr_eval", "ocr_eval_summary",
