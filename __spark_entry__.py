@@ -1278,6 +1278,76 @@ def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return retention_cohorts(src)
 
 
+def _typo_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-with-typos fixture shared by the edit-join queries: the
+    corpus unigram counts (tokens_col contract) plus three deterministic
+    corruption classes per token — substitution (pos-2 char -> 'x'),
+    deletion (pos-2 char dropped, len>=5 only), insertion ('q' after
+    pos 1) — with small deterministic counts (c%k+1), merged by term.
+    The corpus vocabulary itself has no natural edit-1 pairs, so every
+    discovered pair traces to a planted rule the oracle replays."""
+    from invoice_ocr_reconciler_spark.functions.text import tokens_col
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    uc = (
+        docs.select(F.explode(tokens_col(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .where(F.length("tok") >= 4)
+    )
+    base = uc.select(F.col("tok").alias("term"), F.col("c").alias("cnt"))
+    sub = uc.select(
+        F.expr("substring(tok, 1, 1) || 'x' || substring(tok, 3)").alias(
+            "term"
+        ),
+        (F.col("c") % 7 + 1).alias("cnt"),
+    )
+    dele = uc.where(F.length("tok") >= 5).select(
+        F.expr("substring(tok, 1, 1) || substring(tok, 3)").alias("term"),
+        (F.col("c") % 5 + 1).alias("cnt"),
+    )
+    ins = uc.select(
+        F.expr("substring(tok, 1, 1) || 'q' || substring(tok, 2)").alias(
+            "term"
+        ),
+        (F.col("c") % 3 + 1).alias("cnt"),
+    )
+    return (
+        base.unionByName(sub)
+        .unionByName(dele)
+        .unionByName(ins)
+        .groupBy("term")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
+
+
+def q_typo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance-1 similarity join (operators/editjoin.py:typo_pairs):
+    deletion-neighborhood (FastSS/SymSpell) blocking — key fan-out
+    len+1 per term, group-to-array pair generation, HOT_KEY_CAP guard —
+    verified JVM-side with levenshtein <= 1. DuckDB ground truth is the
+    brute-force levenshtein self-join over the same planted vocabulary,
+    so the candidate generator's COMPLETENESS is what the gate checks."""
+    from invoice_ocr_reconciler_spark.operators.editjoin import typo_pairs
+
+    return typo_pairs(_typo_terms(spark, sf_dir), min_len=3)
+
+
+def q_canonical_spelling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typo-correction map (operators/editjoin.py:canonical_spelling):
+    each term maps to its highest-count edit-1 neighbor when that
+    neighbor is >= 4x more frequent (count desc, term asc tie-break,
+    one window)."""
+    from invoice_ocr_reconciler_spark.operators.editjoin import (
+        canonical_spelling,
+        typo_pairs,
+    )
+
+    return canonical_spelling(
+        typo_pairs(_typo_terms(spark, sf_dir), min_len=3), min_ratio=4.0
+    )
+
+
 def q_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     from invoice_ocr_reconciler_spark.functions.text import repetition_cols
 
@@ -5917,6 +5987,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_users": q_funnel_users,
         "funnel_steps": q_funnel_steps,
         "retention_cohorts": q_retention_cohorts,
+        "typo_pairs": q_typo_pairs,
+        "canonical_spelling": q_canonical_spelling,
         "session_stats": q_session_stats,
         "asof_enrich": q_asof_enrich,
         "repetition_metrics": q_repetition_metrics,
@@ -7598,6 +7670,75 @@ def oracle_sql() -> dict[str, str]:
                        / 1000000.0 AS retention
             FROM cell c JOIN sz s USING (cohort_week)
             ORDER BY c.cohort_week, c.offset_weeks
+        """,
+        "typo_pairs": """
+            WITH tk AS (
+                SELECT list_filter(string_split_regex(
+                           lower(trim(coalesce(text, ''))), '\\s+'),
+                           t -> t <> '') AS toks
+                FROM documents),
+            uni AS (SELECT unnest(toks) AS tok FROM tk),
+            uc AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM uni
+                   WHERE length(tok) >= 4 GROUP BY 1),
+            raw AS (
+                SELECT tok AS term, c AS cnt FROM uc
+                UNION ALL
+                SELECT substring(tok, 1, 1) || 'x' || substring(tok, 3),
+                       c % 7 + 1 FROM uc
+                UNION ALL
+                SELECT substring(tok, 1, 1) || substring(tok, 3),
+                       c % 5 + 1 FROM uc WHERE length(tok) >= 5
+                UNION ALL
+                SELECT substring(tok, 1, 1) || 'q' || substring(tok, 2),
+                       c % 3 + 1 FROM uc),
+            terms AS (
+                SELECT term, CAST(sum(cnt) AS BIGINT) AS cnt FROM raw
+                WHERE length(term) >= 3 GROUP BY 1)
+            SELECT a.term AS t1, b.term AS t2, a.cnt AS c1, b.cnt AS c2,
+                   CAST(levenshtein(a.term, b.term) AS INT) AS lev
+            FROM terms a JOIN terms b
+              ON a.term < b.term AND levenshtein(a.term, b.term) <= 1
+            ORDER BY t1, t2
+        """,
+        "canonical_spelling": """
+            WITH tk AS (
+                SELECT list_filter(string_split_regex(
+                           lower(trim(coalesce(text, ''))), '\\s+'),
+                           t -> t <> '') AS toks
+                FROM documents),
+            uni AS (SELECT unnest(toks) AS tok FROM tk),
+            uc AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM uni
+                   WHERE length(tok) >= 4 GROUP BY 1),
+            raw AS (
+                SELECT tok AS term, c AS cnt FROM uc
+                UNION ALL
+                SELECT substring(tok, 1, 1) || 'x' || substring(tok, 3),
+                       c % 7 + 1 FROM uc
+                UNION ALL
+                SELECT substring(tok, 1, 1) || substring(tok, 3),
+                       c % 5 + 1 FROM uc WHERE length(tok) >= 5
+                UNION ALL
+                SELECT substring(tok, 1, 1) || 'q' || substring(tok, 2),
+                       c % 3 + 1 FROM uc),
+            terms AS (
+                SELECT term, CAST(sum(cnt) AS BIGINT) AS cnt FROM raw
+                WHERE length(term) >= 3 GROUP BY 1),
+            pr AS (
+                SELECT a.term AS t1, b.term AS t2, a.cnt AS c1, b.cnt AS c2
+                FROM terms a JOIN terms b
+                  ON a.term < b.term AND levenshtein(a.term, b.term) <= 1),
+            bidir AS (
+                SELECT t1 AS typo, c1 AS typo_cnt, t2 AS fix, c2 AS fix_cnt
+                FROM pr
+                UNION ALL
+                SELECT t2, c2, t1, c1 FROM pr),
+            elig AS (
+                SELECT * FROM bidir WHERE fix_cnt >= typo_cnt * 4.0)
+            SELECT typo, typo_cnt, fix, fix_cnt FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY typo ORDER BY fix_cnt DESC, fix) AS rn
+                FROM elig) WHERE rn = 1
+            ORDER BY typo
         """,
         "sessionize": """
             WITH l AS (
