@@ -1348,6 +1348,53 @@ def q_canonical_spelling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Good–Turing frequency-of-frequencies profile (operators/profile.py:
+    good_turing): N_r for r<=10, smoothed r* = (r+1)N_{r+1}/N_r, observed
+    mass per r, plus the r=0 Turing unseen-mass row p0 = N_1/N. Exact
+    BIGINT ratios on the 6/9 grids — full DuckDB replay."""
+    from invoice_ocr_reconciler_spark.operators.profile import good_turing
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # the synthetic vocabulary is all high-frequency (every count > 10),
+    # so the low-r band the estimator exists for would be empty — plant a
+    # deterministic rare tail: singletons u<id> (id%2==0), doubles
+    # d<id/3> (id%3 in 0,1), triples t<id/5> (id%5 in 0..2); the oracle
+    # replays the same concatenation rules
+    i = F.col("doc_id")
+    enriched = docs.select(
+        F.concat(
+            F.col("text"),
+            F.when(
+                i % 2 == 0, F.concat(F.lit(" u"), i.cast("string"))
+            ).otherwise(F.lit("")),
+            F.when(
+                i % 3 < 2,
+                F.concat(F.lit(" d"), F.floor(i / 3).cast("string")),
+            ).otherwise(F.lit("")),
+            F.when(
+                i % 5 < 3,
+                F.concat(F.lit(" t"), F.floor(i / 5).cast("string")),
+            ).otherwise(F.lit("")),
+        ).alias("text")
+    )
+    return good_turing(enriched, max_r=10)
+
+
+def q_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distinctive vocabulary (operators/profile.py:
+    distinctive_terms): add-one smoothed relative risk (fightin'-words
+    counting core, log dropped — monotone, so the ranking is identical
+    and every value is a single divide of exact BIGINT products), top-10
+    per source on the (rr desc, term) order."""
+    from invoice_ocr_reconciler_spark.operators.profile import (
+        distinctive_terms,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return distinctive_terms(docs, group_col="source", top_k=10, min_count=3)
+
+
 def q_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     from invoice_ocr_reconciler_spark.functions.text import repetition_cols
 
@@ -5989,6 +6036,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retention_cohorts": q_retention_cohorts,
         "typo_pairs": q_typo_pairs,
         "canonical_spelling": q_canonical_spelling,
+        "good_turing": q_good_turing,
+        "distinctive_terms": q_distinctive_terms,
         "session_stats": q_session_stats,
         "asof_enrich": q_asof_enrich,
         "repetition_metrics": q_repetition_metrics,
@@ -7670,6 +7719,85 @@ def oracle_sql() -> dict[str, str]:
                        / 1000000.0 AS retention
             FROM cell c JOIN sz s USING (cohort_week)
             ORDER BY c.cohort_week, c.offset_weeks
+        """,
+        "good_turing": """
+            WITH enr AS (
+                SELECT text
+                       || CASE WHEN doc_id % 2 = 0
+                               THEN ' u' || CAST(doc_id AS VARCHAR)
+                               ELSE '' END
+                       || CASE WHEN doc_id % 3 < 2
+                               THEN ' d' || CAST(doc_id // 3 AS VARCHAR)
+                               ELSE '' END
+                       || CASE WHEN doc_id % 5 < 3
+                               THEN ' t' || CAST(doc_id // 5 AS VARCHAR)
+                               ELSE '' END AS text
+                FROM documents),
+            tk AS (
+                SELECT list_filter(string_split_regex(
+                           lower(trim(coalesce(text, ''))), '\\s+'),
+                           t -> t <> '') AS toks
+                FROM enr),
+            uni AS (SELECT unnest(toks) AS tok FROM tk),
+            tc AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM uni
+                   GROUP BY 1),
+            ff AS (SELECT c, CAST(count(*) AS BIGINT) AS n_r FROM tc
+                   GROUP BY 1),
+            tot AS (SELECT CAST(count(*) AS BIGINT) AS n_tok FROM uni),
+            n1 AS (SELECT CAST(coalesce(
+                       (SELECT n_r FROM ff WHERE c = 1), 0) AS BIGINT) AS x),
+            seen AS (
+                SELECT CAST(f.c AS INT) AS r, f.n_r,
+                       CAST(coalesce(f2.n_r, 0) AS BIGINT) AS n_next,
+                       floor((f.c + 1) * coalesce(f2.n_r, 0) / f.n_r
+                             * 1000000.0 + 0.5) / 1000000.0 AS r_star,
+                       floor(f.c * f.n_r / t.n_tok
+                             * 1000000000.0 + 0.5) / 1000000000.0 AS p_mass
+                FROM ff f LEFT JOIN ff f2 ON f2.c = f.c + 1
+                CROSS JOIN tot t
+                WHERE f.c <= 10),
+            unseen AS (
+                SELECT 0 AS r, CAST(0 AS BIGINT) AS n_r, n1.x AS n_next,
+                       CAST(NULL AS DOUBLE) AS r_star,
+                       floor(n1.x / t.n_tok * 1000000000.0 + 0.5)
+                           / 1000000000.0 AS p_mass
+                FROM tot t CROSS JOIN n1)
+            SELECT * FROM unseen UNION ALL SELECT * FROM seen ORDER BY r
+        """,
+        "distinctive_terms": """
+            WITH tk AS (
+                SELECT source, list_filter(string_split_regex(
+                           lower(trim(coalesce(text, ''))), '\\s+'),
+                           t -> t <> '') AS toks
+                FROM documents),
+            uni AS (SELECT source AS grp, unnest(toks) AS tok FROM tk),
+            gc AS (SELECT grp, tok, CAST(count(*) AS BIGINT) AS k_g
+                   FROM uni GROUP BY 1, 2),
+            tt AS (SELECT tok, CAST(sum(k_g) AS BIGINT) AS k_all FROM gc
+                   GROUP BY 1),
+            tg AS (SELECT grp, CAST(sum(k_g) AS BIGINT) AS n_g FROM gc
+                   GROUP BY 1),
+            sc AS (SELECT CAST(count(*) AS BIGINT) AS v,
+                          CAST(sum(k_all) AS BIGINT) AS n_all FROM tt),
+            s AS (
+                SELECT gc.grp AS source, gc.tok AS term, gc.k_g,
+                       tt.k_all - gc.k_g AS k_rest,
+                       (gc.k_g + 1) * (sc.n_all - tg.n_g + sc.v)
+                           / ((tt.k_all - gc.k_g + 1) * (tg.n_g + sc.v))
+                           AS rr_exact
+                FROM gc JOIN tt USING (tok) JOIN tg USING (grp)
+                CROSS JOIN sc
+                WHERE gc.k_g >= 3),
+            r AS (
+                SELECT *, CAST(row_number() OVER (
+                    PARTITION BY source ORDER BY rr_exact DESC, term)
+                    AS INT) AS rnk
+                FROM s)
+            SELECT source, term, k_g, k_rest,
+                   floor(rr_exact * 1000000.0 + 0.5) / 1000000.0 AS rr,
+                   rnk AS "rank"
+            FROM r WHERE rnk <= 10
+            ORDER BY source, rnk
         """,
         "typo_pairs": """
             WITH tk AS (

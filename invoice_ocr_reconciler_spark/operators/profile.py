@@ -764,3 +764,141 @@ def spearman_corr(
             / (F.sqrt(vx.cast("double")) * F.sqrt(vy.cast("double"))),
         ).alias("rho"),
     )
+
+
+def good_turing(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    max_r: int = 10,
+) -> DataFrame:
+    """Good–Turing frequency-of-frequencies profile of the corpus unigram
+    distribution (Good 1953; Gale & Sampson 1995 simple GT): for each
+    observed count r, N_r = number of distinct terms seen exactly r times,
+    the smoothed count r* = (r+1)·N_{r+1}/N_r, and the probability mass
+    observed at r. Row r=0 is the Turing estimate of the UNSEEN mass,
+    p0 = N_1/N — the standard "how much vocabulary is the corpus still
+    missing" health signal for a growing crawl (complements heaps_fit's
+    growth-curve view).
+
+    Plan: one explode -> grouped term counts (map-side combined), then a
+    count-of-counts groupBy whose output is at most |distinct counts| rows
+    — driver-tiny at any corpus scale — and a broadcast self-join on r+1
+    (NOT a lead() window: frequency gaps mean the next row is not r+1).
+    All ratios are single divides of exact BIGINTs rounded on the 6/9
+    grid, so DuckDB replays every value bit-for-bit.
+    """
+    from invoice_ocr_reconciler_spark.functions.text import tokens_col
+
+    toks = docs.select(F.explode(tokens_col(F.col(text_col))).alias("tok"))
+    tc = toks.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    ff = tc.groupBy("c").agg(F.count(F.lit(1)).cast("long").alias("n_r"))
+    total = toks.groupBy().agg(F.count(F.lit(1)).cast("long").alias("n_tok"))
+
+    nxt = ff.select(
+        (F.col("c") - 1).alias("c"), F.col("n_r").alias("n_next")
+    )
+    seen = (
+        ff.where(F.col("c") <= int(max_r))
+        .join(F.broadcast(nxt), "c", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col("c").cast("int").alias("r"),
+            "n_r",
+            F.coalesce("n_next", F.lit(0).cast("long")).alias("n_next"),
+            roundn(
+                (F.col("c") + 1)
+                * F.coalesce("n_next", F.lit(0).cast("long"))
+                / F.col("n_r"),
+                6,
+            ).alias("r_star"),
+            roundn(
+                F.col("c") * F.col("n_r") / F.nullif("n_tok", F.lit(0)), 9
+            ).alias("p_mass"),
+        )
+    )
+    n1 = ff.where(F.col("c") == 1).select(F.col("n_r").alias("n_next"))
+    unseen = (
+        total.join(F.broadcast(n1), how="left")
+        .select(
+            F.lit(0).alias("r"),
+            F.lit(0).cast("long").alias("n_r"),
+            F.coalesce("n_next", F.lit(0).cast("long")).alias("n_next"),
+            F.lit(None).cast("double").alias("r_star"),
+            roundn(
+                F.coalesce("n_next", F.lit(0).cast("long"))
+                / F.nullif("n_tok", F.lit(0)),
+                9,
+            ).alias("p_mass"),
+        )
+    )
+    return unseen.unionByName(seen).orderBy("r")
+
+
+def distinctive_terms(
+    docs: DataFrame,
+    *,
+    group_col: str = "source",
+    text_col: str = "text",
+    top_k: int = 10,
+    min_count: int = 3,
+) -> DataFrame:
+    """Per-group distinctive vocabulary by add-one smoothed relative risk:
+
+        rr(t, g) = ((k_g + 1) / (N_g + V)) / ((k_rest + 1) / (N_rest + V))
+
+    — the "what words characterize this source/domain/cluster" pass
+    (the counting core of Monroe et al. 2008 fightin'-words, with the
+    log dropped: log is monotone, so the RANKING is identical and the
+    statistic stays a single divide of two exact BIGINT products — no
+    libm, the collocations contract; at counts beyond 2^53 switch to
+    log space and accept grid rounding).
+
+    Plan: one explode -> (group, term) counts; term totals re-aggregated
+    from those partials (vocabulary-sized, broadcast); group totals and
+    the (V, N) scalars ride broadcasts; one per-group top-k window on the
+    deterministic (rr desc, term asc) order.
+    """
+    from invoice_ocr_reconciler_spark.functions.text import tokens_col
+
+    gt = docs.select(
+        F.col(group_col).alias("grp"),
+        F.explode(tokens_col(F.col(text_col))).alias("tok"),
+    )
+    gc = gt.groupBy("grp", "tok").agg(
+        F.count(F.lit(1)).cast("long").alias("k_g")
+    )
+    tot_t = gc.groupBy("tok").agg(F.sum("k_g").cast("long").alias("k_all"))
+    tot_g = gc.groupBy("grp").agg(F.sum("k_g").cast("long").alias("n_g"))
+    scal = tot_t.groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("v"),
+        F.sum("k_all").cast("long").alias("n_all"),
+    )
+    base = (
+        gc.where(F.col("k_g") >= int(min_count))
+        .join(F.broadcast(tot_t), "tok")
+        .join(F.broadcast(tot_g), "grp")
+        .crossJoin(F.broadcast(scal))
+    )
+    k_rest = F.col("k_all") - F.col("k_g")
+    n_rest = F.col("n_all") - F.col("n_g")
+    rr = (
+        (F.col("k_g") + 1) * (n_rest + F.col("v"))
+    ) / ((k_rest + 1) * (F.col("n_g") + F.col("v")))
+    scored = base.select(
+        F.col("grp").alias(group_col),
+        F.col("tok").alias("term"),
+        "k_g",
+        k_rest.alias("k_rest"),
+        roundn(rr, 6).alias("rr"),
+        rr.alias("_rr_exact"),
+    )
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("_rr_exact").desc(), F.col("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= int(top_k))
+        .drop("_rr_exact")
+        .orderBy(group_col, "rank")
+    )

@@ -1,0 +1,62 @@
+"""Good–Turing profile + distinctive-terms (operators/profile.py)."""
+
+from invoice_ocr_reconciler_spark.operators.profile import (
+    distinctive_terms,
+    good_turing,
+)
+
+
+def _docs(spark, rows, with_source=False):
+    if with_source:
+        return spark.createDataFrame(rows, "source string, text string")
+    return spark.createDataFrame([(t,) for t in rows], "text string")
+
+
+def test_good_turing_hand_computed(spark):
+    # counts: a=3, b=2, c=2, d=1 -> N_1=1, N_2=2, N_3=1; N=8
+    out = good_turing(_docs(spark, ["a a a b b c", "c d"]))
+    got = [(r.r, r.n_r, r.n_next, r.r_star, r.p_mass) for r in out.collect()]
+    assert got == [
+        (0, 0, 1, None, 0.125),
+        (1, 1, 2, 4.0, 0.125),
+        (2, 2, 1, 1.5, 0.5),
+        (3, 1, 0, 0.0, 0.375),
+    ]
+
+
+def test_good_turing_max_r_cutoff_and_gaps(spark):
+    # e appears 5x, f once: r=5 kept with N_6=0; r in 2..4 absent (gap)
+    out = good_turing(_docs(spark, ["e e e e e f"]), max_r=4)
+    got = {r.r: (r.n_r, r.n_next) for r in out.collect()}
+    assert set(got) == {0, 1}  # r=5 beyond max_r, gaps not fabricated
+    assert got[1] == (1, 0)
+
+
+def test_good_turing_empty_corpus(spark):
+    out = good_turing(_docs(spark, [""])).collect()
+    assert len(out) == 1 and out[0].r == 0
+    assert out[0].p_mass is None  # 0/0 -> NULL, not a crash
+
+
+def test_distinctive_terms_hand_computed(spark):
+    docs = _docs(
+        spark, [("g1", "x x x y"), ("g2", "y y z")], with_source=True
+    )
+    out = distinctive_terms(docs, top_k=1, min_count=1)
+    got = {r.source: (r.term, r.k_g, r.k_rest, r.rr, r.rank) for r in out.collect()}
+    # (g1,x): (3+1)(3+3)/((0+1)(4+3)) = 24/7; (g2,z): (1+1)(4+3)/((0+1)(3+3)) = 14/6
+    assert got["g1"] == ("x", 3, 0, 3.428571, 1)
+    assert got["g2"] == ("z", 1, 0, 2.333333, 1)
+
+
+def test_distinctive_terms_min_count_and_tiebreak(spark):
+    docs = _docs(
+        spark,
+        [("g1", "b b a a q"), ("g2", "q q q q")],
+        with_source=True,
+    )
+    out = distinctive_terms(docs, top_k=5, min_count=2)
+    g1 = [(r.term, r.rank) for r in out.collect() if r.source == "g1"]
+    # a and b have identical counts -> identical rr -> term asc tie-break;
+    # q (k_g=1) is cut by min_count=2 in g1
+    assert g1 == [("a", 1), ("b", 2)]
