@@ -1395,6 +1395,45 @@ def q_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return distinctive_terms(docs, group_col="source", top_k=10, min_count=3)
 
 
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-type-2 capture history (operators/mutate.py:scd2_history):
+    consecutive same-digest captures collapse into validity intervals
+    with [valid_from, valid_to) bounds and an is_current flag. Captures
+    are synthesized per doc: 1-4 snapshots (doc_id%4), content changing
+    once at snapshot doc_id%3+1 — so the fixture exercises single-run,
+    change-mid-history, and change-never branches; DuckDB replays the
+    synthesis + lag/sum/lead pipeline."""
+    from invoice_ocr_reconciler_spark.operators.mutate import scd2_history
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    i = F.col("doc_id")
+    caps = docs.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), (i % 4).cast("int"))).alias("s"),
+    ).select(
+        F.concat(
+            F.lit("https://site-"),
+            (F.col("doc_id") % 50).cast("string"),
+            F.lit(".example/doc/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        F.timestamp_seconds(
+            F.lit(1704067200).cast("long")
+            + F.col("s").cast("long") * 86400
+            + F.col("doc_id") % 86400
+        )
+        .cast("timestamp_ntz")
+        .alias("ts"),
+        F.concat(
+            F.lit("d"),
+            F.col("doc_id").cast("string"),
+            F.lit(":"),
+            (F.col("s") >= F.col("doc_id") % 3 + 1).cast("int").cast("string"),
+        ).alias("digest"),
+    )
+    return scd2_history(caps, key_col="url", ts_col="ts", attr_cols=("digest",))
+
+
 def q_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     from invoice_ocr_reconciler_spark.functions.text import repetition_cols
 
@@ -6038,6 +6077,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "canonical_spelling": q_canonical_spelling,
         "good_turing": q_good_turing,
         "distinctive_terms": q_distinctive_terms,
+        "scd2_history": q_scd2_history,
         "session_stats": q_session_stats,
         "asof_enrich": q_asof_enrich,
         "repetition_metrics": q_repetition_metrics,
@@ -7719,6 +7759,44 @@ def oracle_sql() -> dict[str, str]:
                        / 1000000.0 AS retention
             FROM cell c JOIN sz s USING (cohort_week)
             ORDER BY c.cohort_week, c.offset_weeks
+        """,
+        "scd2_history": """
+            WITH caps AS (
+                SELECT 'https://site-' || CAST(doc_id % 50 AS VARCHAR)
+                           || '.example/doc/' || CAST(doc_id AS VARCHAR)
+                           AS url,
+                       make_timestamp((1704067200
+                           + s * 86400 + doc_id % 86400) * 1000000) AS ts,
+                       'd' || CAST(doc_id AS VARCHAR) || ':' ||
+                           CAST(CASE WHEN s >= doc_id % 3 + 1
+                                     THEN 1 ELSE 0 END AS VARCHAR) AS digest
+                FROM (SELECT doc_id,
+                             unnest(range(0, doc_id % 4 + 1)) AS s
+                      FROM documents)),
+            flg AS (
+                SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+                                    OR digest IS DISTINCT FROM
+                                       lag(digest) OVER w
+                               THEN 1 ELSE 0 END AS is_new
+                FROM caps WINDOW w AS (PARTITION BY url ORDER BY ts)),
+            rsum AS (
+                SELECT *, sum(is_new) OVER (PARTITION BY url ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS v
+                FROM flg),
+            ver AS (
+                SELECT url, v, min(ts) AS valid_from,
+                       CAST(count(*) AS BIGINT) AS n_captures,
+                       min(digest) AS digest
+                FROM rsum GROUP BY 1, 2),
+            fin AS (
+                SELECT url, CAST(v AS INT) AS version, digest, valid_from,
+                       lead(valid_from) OVER (
+                           PARTITION BY url ORDER BY v) AS valid_to,
+                       n_captures
+                FROM ver)
+            SELECT url, version, digest, valid_from, valid_to, n_captures,
+                   valid_to IS NULL AS is_current
+            FROM fin ORDER BY url, version
         """,
         "good_turing": """
             WITH enr AS (

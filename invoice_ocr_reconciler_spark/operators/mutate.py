@@ -27,7 +27,7 @@ partition spec.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 _MATCH_FLAG = "_upsert_matched"
@@ -263,4 +263,65 @@ def write_back_bucketed(
         transform_factory=factory,
         fail_after=fail_after,
         max_concurrent=max_concurrent,
+    )
+
+
+def scd2_history(
+    snaps: DataFrame,
+    *,
+    key_col: str = "url",
+    ts_col: str = "ts",
+    attr_cols: tuple[str, ...] = ("digest",),
+) -> DataFrame:
+    """Slowly-changing-dimension (type 2) history: collapse consecutive
+    same-content captures of a key into validity intervals.
+
+    The warehouse view of a revisit crawl: per url, consecutive captures
+    whose tracked attributes are unchanged merge into one version row
+    with [valid_from, valid_to) bounds; valid_to is the NEXT version's
+    valid_from (NULL = current). Change detection is null-safe
+    (IS DISTINCT FROM semantics), so NULL->NULL is "unchanged" and
+    NULL->value is a new version.
+
+    Plan: ONE shuffle on the key — both windows (lag change flag, running
+    version sum) share partitionBy(key)/orderBy(ts) so Catalyst plans a
+    single exchange+sort; the per-(key, version) groupBy is a strict
+    refinement of that partitioning, and the final lead() window rides
+    the same key partitioning again. Capture ts must be unique per key
+    (a capture index guarantees this; ties would make run order
+    ill-defined on any engine).
+    """
+    w = Window.partitionBy(key_col).orderBy(ts_col)
+    changed = F.lit(False)
+    for a in attr_cols:
+        changed = changed | ~F.col(a).eqNullSafe(F.lag(a).over(w))
+    is_new = F.when(
+        F.lag(ts_col).over(w).isNull() | changed, F.lit(1)
+    ).otherwise(F.lit(0))
+    runs = snaps.withColumn(
+        "_version",
+        F.sum(is_new).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    ver = runs.groupBy(key_col, "_version").agg(
+        F.min(ts_col).alias("valid_from"),
+        F.count(F.lit(1)).cast("long").alias("n_captures"),
+        # every row in a run carries identical attrs by construction
+        # (that's what defines the run), so first() is value-deterministic
+        *[F.first(a).alias(a) for a in attr_cols],
+    )
+    wv = Window.partitionBy(key_col).orderBy("_version")
+    return (
+        ver.withColumn("valid_to", F.lead("valid_from").over(wv))
+        .select(
+            key_col,
+            F.col("_version").cast("int").alias("version"),
+            *attr_cols,
+            "valid_from",
+            "valid_to",
+            "n_captures",
+            F.col("valid_to").isNull().alias("is_current"),
+        )
+        .orderBy(key_col, "version")
     )
