@@ -1434,6 +1434,37 @@ def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scd2_history(caps, key_col="url", ts_col="ts", attr_cols=("digest",))
 
 
+def q_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strongly connected components (operators/graph.py:scc, coloring
+    algorithm) over a synthesized block graph: per 8-id block a 4-cycle
+    (ids %8 in 0..3), a 2-cycle (4,5), a bridge 3->6->4 (makes the
+    2-cycle color-shadowed by node 6, forcing a SECOND peel round — the
+    multi-round path is exercised, not just the happy peel), a self-loop
+    singleton (7), and an inter-block DAG edge 8k+1 -> 8(k+1). Expected
+    SCCs per block: {8k..8k+3}, {8k+4,8k+5}, {8k+6}, {8k+7}. DuckDB
+    ground truth is mutual reachability via a recursive CTE + min()."""
+    from invoice_ocr_reconciler_spark.operators.graph import scc
+
+    ids = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    i = F.col("doc_id")
+    j = i % 8
+    base = i - j
+    ring = ids.where(j < 4).select(
+        i.alias("src"), (base + (j + 1) % 4).alias("dst")
+    )
+    two_a = ids.where(j == 4).select(i.alias("src"), (base + 5).alias("dst"))
+    two_b = ids.where(j == 5).select(i.alias("src"), (base + 4).alias("dst"))
+    br_in = ids.where(j == 3).select(i.alias("src"), (base + 6).alias("dst"))
+    br_out = ids.where(j == 6).select(i.alias("src"), (base + 4).alias("dst"))
+    loop = ids.where(j == 7).select(i.alias("src"), i.alias("dst"))
+    inter = ids.where(j == 1).select(i.alias("src"), (base + 8).alias("dst"))
+    edges = (
+        ring.union(two_a).union(two_b).union(br_in).union(br_out)
+        .union(loop).union(inter)
+    )
+    return scc(edges, max_outer=4).orderBy("node")
+
+
 def q_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     from invoice_ocr_reconciler_spark.functions.text import repetition_cols
 
@@ -6078,6 +6109,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "good_turing": q_good_turing,
         "distinctive_terms": q_distinctive_terms,
         "scd2_history": q_scd2_history,
+        "scc": q_scc,
         "session_stats": q_session_stats,
         "asof_enrich": q_asof_enrich,
         "repetition_metrics": q_repetition_metrics,
@@ -7759,6 +7791,39 @@ def oracle_sql() -> dict[str, str]:
                        / 1000000.0 AS retention
             FROM cell c JOIN sz s USING (cohort_week)
             ORDER BY c.cohort_week, c.offset_weeks
+        """,
+        "scc": """
+            WITH RECURSIVE e AS (
+                SELECT doc_id AS s,
+                       doc_id - doc_id % 8 + (doc_id % 8 + 1) % 4 AS d
+                FROM documents WHERE doc_id % 8 < 4
+                UNION ALL
+                SELECT doc_id, doc_id - doc_id % 8 + 5 FROM documents
+                WHERE doc_id % 8 = 4
+                UNION ALL
+                SELECT doc_id, doc_id - doc_id % 8 + 4 FROM documents
+                WHERE doc_id % 8 = 5
+                UNION ALL
+                SELECT doc_id, doc_id - doc_id % 8 + 6 FROM documents
+                WHERE doc_id % 8 = 3
+                UNION ALL
+                SELECT doc_id, doc_id - doc_id % 8 + 4 FROM documents
+                WHERE doc_id % 8 = 6
+                UNION ALL
+                SELECT doc_id, doc_id FROM documents WHERE doc_id % 8 = 7
+                UNION ALL
+                SELECT doc_id, doc_id - doc_id % 8 + 8 FROM documents
+                WHERE doc_id % 8 = 1),
+            nodes AS (SELECT s AS u FROM e UNION SELECT d FROM e),
+            reach(u, v) AS (
+                SELECT u, u FROM nodes
+                UNION
+                SELECT r.u, e.d FROM reach r JOIN e ON r.v = e.s),
+            mutual AS (
+                SELECT a.u, a.v FROM reach a
+                JOIN reach b ON a.u = b.v AND a.v = b.u)
+            SELECT u AS node, min(v) AS scc_id FROM mutual
+            GROUP BY u ORDER BY node
         """,
         "scd2_history": """
             WITH caps AS (

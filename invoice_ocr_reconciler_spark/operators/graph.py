@@ -1518,3 +1518,151 @@ def degree_assortativity(
         "sxx",
         F.when(den != 0, num.cast("double") / den).alias("r"),
     )
+
+
+def scc(
+    edges: DataFrame,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_outer: int = 10,
+    max_inner: int = 60,
+    truncate_lineage: bool = True,
+) -> DataFrame:
+    """Strongly connected components of a directed graph by iterative
+    coloring (the Pregel-style SCC of Salihoglu & Widom 2014; Orzan's
+    coloring scheme): link farms, mirror rings and navigational cores of
+    a crawl graph are exactly its non-trivial SCCs, and the condensation
+    is what makes trust/flow analyses well-founded.
+
+    Each outer round over the still-unassigned subgraph:
+      1. FORWARD MAX-COLORING to fixpoint: color(v) = max id over
+         {v} ∪ ancestors(v) — per round ONE frontier equi-join + ONE
+         partial-agg max per node (only strictly-raising messages ride
+         the shuffle).
+      2. ROOTS: color(v) == v — each root is the max id of its own SCC.
+      3. BACKWARD CONFINEMENT from the roots along reversed edges,
+         restricted to same-color nodes: exactly the root's SCC (color
+         equality proves root-reaches-v; the reversed walk proves
+         v-reaches-root).
+      4. Members get scc_id = min(member) per color (canonical, engine-
+         independent); assigned nodes leave the active set.
+
+    Every block peels no later than the round in which no higher-id
+    ancestor SCC remains, so outer depth = the condensation's
+    "descending-id chain" depth — 2 on the driver fixture, bounded by
+    the condensation height in general (`max_outer` caps it; unassigned
+    leftovers raise). Inner depths are graph/SCC diameters, the same
+    knob every frontier algorithm here carries (bfs_distance, hyperball).
+    All labels are exact integers — no grids; the SQL ground truth is
+    mutual reachability (recursive CTE) + min().
+    """
+    src, dst = F.col(src_col), F.col(dst_col)
+    e_all = (
+        edges.select(src.cast("long").alias("s"), dst.cast("long").alias("d"))
+        .where(F.col("s").isNotNull() & F.col("d").isNotNull())
+        .distinct()
+    )
+    if truncate_lineage:
+        e_all = e_all.localCheckpoint(eager=True)
+    remaining = (
+        e_all.select(F.col("s").alias("node"))
+        .union(e_all.select(F.col("d").alias("node")))
+        .distinct()
+    )
+    if truncate_lineage:
+        remaining = remaining.localCheckpoint(eager=True)
+
+    out: DataFrame | None = None
+    for _outer in range(int(max_outer)):
+        if remaining.isEmpty():
+            break
+        e_act = (
+            e_all.join(
+                remaining.select(F.col("node").alias("s")), "s", "left_semi"
+            )
+            .join(remaining.select(F.col("node").alias("d")), "d", "left_semi")
+        )
+        if truncate_lineage:
+            e_act = e_act.localCheckpoint(eager=True)
+
+        # 1. forward max-coloring: only raised colors are re-propagated
+        color = remaining.select("node", F.col("node").alias("color"))
+        frontier = color
+        for _ in range(int(max_inner)):
+            msgs = (
+                e_act.join(
+                    frontier.select(
+                        F.col("node").alias("s"), F.col("color").alias("mc")
+                    ),
+                    "s",
+                )
+                .groupBy(F.col("d").alias("node"))
+                .agg(F.max("mc").alias("mc"))
+            )
+            raised = (
+                color.join(msgs, "node")
+                .where(F.col("mc") > F.col("color"))
+                .select("node", F.col("mc").alias("color"))
+            )
+            if truncate_lineage:
+                raised = raised.localCheckpoint(eager=True)
+            if raised.isEmpty():
+                break
+            color = (
+                color.join(raised.select("node"), "node", "left_anti")
+                .union(raised)
+            )
+            if truncate_lineage:
+                color = color.localCheckpoint(eager=True)
+            frontier = raised
+
+        # 2+3. roots, then backward confinement inside the color class
+        members = color.where(F.col("color") == F.col("node"))
+        m_frontier = members
+        for _ in range(int(max_inner)):
+            cand = (
+                e_act.join(
+                    m_frontier.select(
+                        F.col("node").alias("d"), F.col("color").alias("mc")
+                    ),
+                    "d",
+                )
+                .select(F.col("s").alias("node"), F.col("mc").alias("color"))
+                .distinct()
+                .join(color, ["node", "color"], "left_semi")
+                .join(members.select("node"), "node", "left_anti")
+            )
+            if truncate_lineage:
+                cand = cand.localCheckpoint(eager=True)
+            if cand.isEmpty():
+                break
+            members = members.union(cand)
+            if truncate_lineage:
+                members = members.localCheckpoint(eager=True)
+            m_frontier = cand
+
+        # one row per peeled SCC — can be huge on a real crawl (every
+        # singleton is a row), so no forced broadcast: AQE picks
+        ids = members.groupBy("color").agg(F.min("node").alias("scc_id"))
+        assigned = members.join(ids, "color").select("node", "scc_id")
+        if truncate_lineage:
+            assigned = assigned.localCheckpoint(eager=True)
+        out = assigned if out is None else out.union(assigned)
+        remaining = remaining.join(
+            members.select("node"), "node", "left_anti"
+        )
+        if truncate_lineage:
+            remaining = remaining.localCheckpoint(eager=True)
+
+    if not remaining.isEmpty():
+        raise RuntimeError(
+            "scc: max_outer exhausted with unassigned nodes — raise "
+            "max_outer (condensation deeper than the cap)"
+        )
+    if out is None:
+        spark = edges.sparkSession
+        return spark.createDataFrame(
+            [], "node long, scc_id long"
+        )
+    return out
