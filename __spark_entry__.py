@@ -1465,6 +1465,51 @@ def q_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scc(edges, max_outer=4).orderBy("node")
 
 
+def q_eb_host_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical-Bayes host quality (operators/profile.py:eb_host_quality):
+    per-source short-doc rate (n_chars < 120) shrunk toward Beta(2, 18) —
+    ONE conditional aggregate + codegen projection; every value a single
+    divide DuckDB replays exactly."""
+    from invoice_ocr_reconciler_spark.operators.profile import (
+        eb_host_quality,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return eb_host_quality(docs, F.col("n_chars") < 120)
+
+
+def q_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood candidate pairs (operators/linkage.py:
+    sorted_neighborhood_pairs, Hernández–Stolfo SNM): compound key
+    lang|source|lpad(n_chars), window 4 -> every record paired with its
+    3 sort successors via bucket-offset global ranking (row_number within
+    (lang, source) + broadcast min-key-ordered cumulative offsets) and an
+    EQUI-join on rank+d — n·(w-1) candidates, no range join. DuckDB
+    ground truth ranks globally and theta-joins on rank distance."""
+    from invoice_ocr_reconciler_spark.operators.linkage import (
+        sorted_neighborhood_pairs,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    lang = F.coalesce(F.col("lang"), F.lit(""))
+    srcc = F.coalesce(F.col("source"), F.lit(""))
+    recs = docs.select(
+        F.col("doc_id").alias("id"),
+        lang.alias("lang"),
+        srcc.alias("source"),
+        F.concat(
+            lang,
+            F.lit("|"),
+            srcc,
+            F.lit("|"),
+            F.lpad(F.col("n_chars").cast("string"), 6, "0"),
+        ).alias("snm_key"),
+    )
+    return sorted_neighborhood_pairs(
+        recs, bucket_cols=("lang", "source"), window=4
+    )
+
+
 def q_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     from invoice_ocr_reconciler_spark.functions.text import repetition_cols
 
@@ -6110,6 +6155,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinctive_terms": q_distinctive_terms,
         "scd2_history": q_scd2_history,
         "scc": q_scc,
+        "eb_host_quality": q_eb_host_quality,
+        "sorted_neighborhood": q_sorted_neighborhood,
         "session_stats": q_session_stats,
         "asof_enrich": q_asof_enrich,
         "repetition_metrics": q_repetition_metrics,
@@ -7791,6 +7838,38 @@ def oracle_sql() -> dict[str, str]:
                        / 1000000.0 AS retention
             FROM cell c JOIN sz s USING (cohort_week)
             ORDER BY c.cohort_week, c.offset_weeks
+        """,
+        "eb_host_quality": """
+            WITH agg AS (
+                SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                       CAST(sum(CASE WHEN n_chars < 120 THEN 1 ELSE 0 END)
+                            AS BIGINT) AS n_bad
+                FROM documents GROUP BY 1)
+            SELECT source, n_docs, n_bad,
+                   floor(n_bad / n_docs * 1000000.0 + 0.5) / 1000000.0
+                       AS raw_rate,
+                   floor((n_bad + 2.0) / (n_docs + 20.0) * 1000000.0 + 0.5)
+                       / 1000000.0 AS eb_rate,
+                   floor(n_docs / (n_docs + 20.0) * 1000000.0 + 0.5)
+                       / 1000000.0 AS shrink_w
+            FROM agg
+            ORDER BY (n_bad + 2.0) / (n_docs + 20.0) DESC, source
+        """,
+        "sorted_neighborhood": """
+            WITH recs AS (
+                SELECT doc_id AS id,
+                       coalesce(lang, '') || '|' || coalesce(source, '')
+                           || '|' || lpad(CAST(n_chars AS VARCHAR), 6, '0')
+                           AS k
+                FROM documents),
+            rk AS (
+                SELECT id, k,
+                       row_number() OVER (ORDER BY k, id) AS r
+                FROM recs)
+            SELECT a.id AS id_a, b.id AS id_b, a.k AS key_a, b.k AS key_b,
+                   CAST(b.r - a.r AS INT) AS d
+            FROM rk a JOIN rk b ON b.r - a.r BETWEEN 1 AND 3
+            ORDER BY id_a, d
         """,
         "scc": """
             WITH RECURSIVE e AS (

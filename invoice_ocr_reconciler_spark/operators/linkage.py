@@ -39,7 +39,7 @@ from __future__ import annotations
 import math
 from dataclasses import dataclass
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from invoice_ocr_reconciler_spark.functions.text import roundn
@@ -347,4 +347,104 @@ def fs_em_fit(
         roundn(F.col("u"), 6).alias("u"),
         roundn(F.col("w_agree"), 6).alias("w_agree"),
         roundn(F.col("w_disagree"), 6).alias("w_disagree"),
+    )
+
+
+def sorted_neighborhood_pairs(
+    records: DataFrame,
+    *,
+    id_col: str = "id",
+    key_col: str = "snm_key",
+    bucket_cols: tuple[str, ...] = (),
+    window: int = 4,
+) -> DataFrame:
+    """Sorted-neighborhood candidate generation (Hernández & Stolfo
+    1995): sort all records by a compound key and pair every record with
+    its w-1 successors — the classic complement to equi-blocking when
+    keys are noisy (a typo'd join key still lands NEXT TO its duplicate
+    in sort order even though it equi-blocks apart).
+
+    Scale shape: the GLOBAL rank is never computed with a single-
+    partition window. ``bucket_cols`` must be a PREFIX of the sort key
+    (order-aligned), so rank = row_number within bucket + the cumulative
+    count of earlier buckets — the bucket-offset frame is one row per
+    bucket (driver-tiny) and rides a broadcast. Pair generation is an
+    explode of offsets 1..w-1 plus an EQUI-join on rank+d: exactly
+    n·(w-1) candidate rows, never quadratic, no range join.
+
+    Output: (id_a, id_b, key_a, key_b, d) where d = rank distance.
+    """
+    if int(window) < 2:
+        raise ValueError("window must be >= 2")
+    order = [F.col(key_col), F.col(id_col)]
+    if bucket_cols:
+        w_in = Window.partitionBy(*bucket_cols).orderBy(*order)
+        per = records.groupBy(*bucket_cols).agg(
+            F.count(F.lit(1)).cast("long").alias("_n"),
+            F.min(key_col).alias("_k0"),
+        )
+        # buckets are contiguous key ranges (prefix-aligned, the caller
+        # contract), so ordering buckets by their MIN KEY reproduces the
+        # pure global key order — tuple order of the bucket cols could
+        # disagree with the concatenated-key string order ('src1' vs
+        # 'src10' around the separator), min-key never does.
+        w_off = Window.partitionBy(F.lit(1)).orderBy(
+            "_k0"
+        )  # one row per bucket — driver-sized by contract
+        offsets = per.select(
+            *bucket_cols,
+            (
+                F.coalesce(
+                    F.sum("_n").over(
+                        w_off.rowsBetween(
+                            Window.unboundedPreceding, -1
+                        )
+                    ),
+                    F.lit(0),
+                )
+            ).alias("_off"),
+        )
+        ranked = (
+            records.join(F.broadcast(offsets), list(bucket_cols))
+            .select(
+                F.col(id_col).alias("rid"),
+                F.col(key_col).alias("rkey"),
+                (F.row_number().over(w_in) + F.col("_off")).alias("rank"),
+            )
+        )
+    else:
+        # explicit small-data escape hatch: one-partition window
+        w_in = Window.partitionBy(F.lit(1)).orderBy(*order)
+        ranked = records.select(
+            F.col(id_col).alias("rid"),
+            F.col(key_col).alias("rkey"),
+            F.row_number().over(w_in).cast("long").alias("rank"),
+        )
+    probes = (
+        ranked.select(
+            "rid",
+            "rkey",
+            "rank",
+            F.explode(
+                F.sequence(F.lit(1), F.lit(int(window) - 1))
+            ).alias("d"),
+        )
+        .select(
+            F.col("rid").alias("id_a"),
+            F.col("rkey").alias("key_a"),
+            "d",
+            (F.col("rank") + F.col("d")).alias("rank"),
+        )
+    )
+    return (
+        probes.join(
+            ranked.select(
+                F.col("rid").alias("id_b"),
+                F.col("rkey").alias("key_b"),
+                "rank",
+            ),
+            "rank",
+        )
+        .select("id_a", "id_b", "key_a", "key_b", F.col("d").cast("int").alias("d"))
+        .orderBy("id_a", "d")
     )

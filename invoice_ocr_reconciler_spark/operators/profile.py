@@ -902,3 +902,51 @@ def distinctive_terms(
         .drop("_rr_exact")
         .orderBy(group_col, "rank")
     )
+
+
+def eb_host_quality(
+    docs: DataFrame,
+    bad_col: Column,
+    *,
+    group_col: str = "source",
+    alpha: float = 2.0,
+    beta: float = 18.0,
+) -> DataFrame:
+    """Empirical-Bayes (beta-binomial) shrinkage of per-host quality
+    rates — the per-domain spam/quality prior every crawl curation uses.
+    A host with 3 bad docs out of 4 must NOT outrank a host with 200 bad
+    out of 1000 on raw rate; shrinking toward a Beta(alpha, beta) prior
+    (mean alpha/(alpha+beta)) makes small hosts pay for their evidence:
+
+        eb_rate  = (k + alpha) / (n + alpha + beta)
+        shrink_w = n / (n + alpha + beta)    (how much the data is trusted)
+
+    alpha/beta are caller literals, fitted offline (the linkage-band m/u
+    contract: fixed published priors keep the whole op one conditional
+    aggregate + a codegen projection — ONE shuffle, no Python, and every
+    value a single divide replayed exactly by the oracle).
+    """
+    agg = (
+        docs.select(
+            F.col(group_col).alias("grp"),
+            bad_col.cast("int").alias("bad"),
+        )
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("bad").cast("long").alias("n_bad"),
+        )
+    )
+    a, b = float(alpha), float(beta)
+    eb = (F.col("n_bad") + F.lit(a)) / (F.col("n_docs") + F.lit(a + b))
+    return agg.select(
+        F.col("grp").alias(group_col),
+        "n_docs",
+        "n_bad",
+        roundn(F.col("n_bad") / F.col("n_docs"), 6).alias("raw_rate"),
+        roundn(eb, 6).alias("eb_rate"),
+        roundn(
+            F.col("n_docs") / (F.col("n_docs") + F.lit(a + b)), 6
+        ).alias("shrink_w"),
+        eb.alias("_eb_exact"),
+    ).orderBy(F.col("_eb_exact").desc(), group_col).drop("_eb_exact")

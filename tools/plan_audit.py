@@ -71,6 +71,7 @@ PURE_CODEGEN_QUERIES = [
     "funnel_users", "funnel_steps", "retention_cohorts",
     "typo_pairs", "canonical_spelling", "good_turing", "distinctive_terms",
     "scd2_history",
+    "eb_host_quality", "sorted_neighborhood",
     "identifiers_extract", "license_detect", "reply_strip",
     "span_corruption", "fim_transform", "render_chat",
     "ir_metrics", "ir_metrics_macro", "ocr_eval", "ocr_eval_summary",
