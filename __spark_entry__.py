@@ -1445,23 +1445,7 @@ def q_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
     ground truth is mutual reachability via a recursive CTE + min()."""
     from invoice_ocr_reconciler_spark.operators.graph import scc
 
-    ids = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
-    i = F.col("doc_id")
-    j = i % 8
-    base = i - j
-    ring = ids.where(j < 4).select(
-        i.alias("src"), (base + (j + 1) % 4).alias("dst")
-    )
-    two_a = ids.where(j == 4).select(i.alias("src"), (base + 5).alias("dst"))
-    two_b = ids.where(j == 5).select(i.alias("src"), (base + 4).alias("dst"))
-    br_in = ids.where(j == 3).select(i.alias("src"), (base + 6).alias("dst"))
-    br_out = ids.where(j == 6).select(i.alias("src"), (base + 4).alias("dst"))
-    loop = ids.where(j == 7).select(i.alias("src"), i.alias("dst"))
-    inter = ids.where(j == 1).select(i.alias("src"), (base + 8).alias("dst"))
-    edges = (
-        ring.union(two_a).union(two_b).union(br_in).union(br_out)
-        .union(loop).union(inter)
-    )
+    edges = _scc_fixture_edges(spark, sf_dir)
     return scc(edges, max_outer=4).orderBy("node")
 
 
@@ -1507,6 +1491,65 @@ def q_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return sorted_neighborhood_pairs(
         recs, bucket_cols=("lang", "source"), window=4
+    )
+
+
+def _scc_fixture_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ids = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    i = F.col("doc_id")
+    j = i % 8
+    base = i - j
+    ring = ids.where(j < 4).select(
+        i.alias("src"), (base + (j + 1) % 4).alias("dst")
+    )
+    two_a = ids.where(j == 4).select(i.alias("src"), (base + 5).alias("dst"))
+    two_b = ids.where(j == 5).select(i.alias("src"), (base + 4).alias("dst"))
+    br_in = ids.where(j == 3).select(i.alias("src"), (base + 6).alias("dst"))
+    br_out = ids.where(j == 6).select(i.alias("src"), (base + 4).alias("dst"))
+    loop = ids.where(j == 7).select(i.alias("src"), i.alias("dst"))
+    inter = ids.where(j == 1).select(i.alias("src"), (base + 8).alias("dst"))
+    return (
+        ring.union(two_a).union(two_b).union(br_in).union(br_out)
+        .union(loop).union(inter)
+    )
+
+
+def q_scc_condensation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Condensation DAG (operators/graph.py:condensation): cross-SCC
+    edges of the scc fixture, aggregated per component pair — the
+    4-cycle feeds the bridge (scc 8k -> 8k+6), the bridge feeds the
+    2-cycle (8k+6 -> 8k+4), blocks chain via 8k -> 8(k+1)."""
+    from invoice_ocr_reconciler_spark.operators.graph import condensation, scc
+
+    edges = _scc_fixture_edges(spark, sf_dir)
+    comps = scc(edges, max_outer=4)
+    return condensation(edges, comps)
+
+
+def q_frequent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent-itemset pairs over token baskets (operators/itemsets.py:
+    frequent_pairs): basket = distinct tokens per doc (capped at 64),
+    document-frequency support >= 50, confidence/lift as exact
+    BIGINT-product rationals."""
+    from invoice_ocr_reconciler_spark.operators.itemsets import (
+        frequent_pairs,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return frequent_pairs(docs, min_support=50, max_items=64)
+
+
+def q_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional association rules (operators/itemsets.py:
+    association_rules) from the frequent pairs, confidence >= 0.8."""
+    from invoice_ocr_reconciler_spark.operators.itemsets import (
+        association_rules,
+        frequent_pairs,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return association_rules(
+        frequent_pairs(docs, min_support=50, max_items=64), min_conf=0.8
     )
 
 
@@ -6157,6 +6200,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scc": q_scc,
         "eb_host_quality": q_eb_host_quality,
         "sorted_neighborhood": q_sorted_neighborhood,
+        "scc_condensation": q_scc_condensation,
+        "frequent_pairs": q_frequent_pairs,
+        "association_rules": q_association_rules,
         "session_stats": q_session_stats,
         "asof_enrich": q_asof_enrich,
         "repetition_metrics": q_repetition_metrics,
@@ -7838,6 +7884,116 @@ def oracle_sql() -> dict[str, str]:
                        / 1000000.0 AS retention
             FROM cell c JOIN sz s USING (cohort_week)
             ORDER BY c.cohort_week, c.offset_weeks
+        """,
+        "scc_condensation": """
+            WITH RECURSIVE e AS (
+                SELECT doc_id AS s,
+                       doc_id - doc_id % 8 + (doc_id % 8 + 1) % 4 AS d
+                FROM documents WHERE doc_id % 8 < 4
+                UNION ALL
+                SELECT doc_id, doc_id - doc_id % 8 + 5 FROM documents
+                WHERE doc_id % 8 = 4
+                UNION ALL
+                SELECT doc_id, doc_id - doc_id % 8 + 4 FROM documents
+                WHERE doc_id % 8 = 5
+                UNION ALL
+                SELECT doc_id, doc_id - doc_id % 8 + 6 FROM documents
+                WHERE doc_id % 8 = 3
+                UNION ALL
+                SELECT doc_id, doc_id - doc_id % 8 + 4 FROM documents
+                WHERE doc_id % 8 = 6
+                UNION ALL
+                SELECT doc_id, doc_id FROM documents WHERE doc_id % 8 = 7
+                UNION ALL
+                SELECT doc_id, doc_id - doc_id % 8 + 8 FROM documents
+                WHERE doc_id % 8 = 1),
+            nodes AS (SELECT s AS u FROM e UNION SELECT d FROM e),
+            reach(u, v) AS (
+                SELECT u, u FROM nodes
+                UNION
+                SELECT r.u, e.d FROM reach r JOIN e ON r.v = e.s),
+            mutual AS (
+                SELECT a.u, a.v FROM reach a
+                JOIN reach b ON a.u = b.v AND a.v = b.u),
+            comp AS (SELECT u AS node, min(v) AS scc_id FROM mutual
+                     GROUP BY u),
+            ed AS (SELECT DISTINCT s, d FROM e)
+            SELECT sa.scc_id AS scc_a, sb.scc_id AS scc_b,
+                   CAST(count(*) AS BIGINT) AS n_links
+            FROM ed JOIN comp sa ON ed.s = sa.node
+                    JOIN comp sb ON ed.d = sb.node
+            WHERE sa.scc_id <> sb.scc_id
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "frequent_pairs": """
+            WITH tk AS (
+                SELECT doc_id, list_sort(list_distinct(list_filter(
+                           string_split_regex(lower(trim(coalesce(text,
+                               ''))), '\\s+'), t -> t <> ''))) AS items
+                FROM documents),
+            bask AS (SELECT doc_id, items FROM tk
+                     WHERE len(items) BETWEEN 1 AND 64),
+            ex AS (SELECT doc_id, unnest(items) AS t FROM bask),
+            uni AS (SELECT t, CAST(count(*) AS BIGINT) AS supp FROM ex
+                    GROUP BY 1),
+            freq AS (SELECT * FROM uni WHERE supp >= 50),
+            nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM bask),
+            exf AS (SELECT ex.doc_id, ex.t FROM ex
+                    JOIN freq ON ex.t = freq.t),
+            pr AS (SELECT a.t AS t1, b.t AS t2 FROM exf a
+                   JOIN exf b ON a.doc_id = b.doc_id AND a.t < b.t),
+            pc AS (SELECT t1, t2, CAST(count(*) AS BIGINT) AS supp_ab
+                   FROM pr GROUP BY 1, 2 HAVING count(*) >= 50)
+            SELECT pc.t1, pc.t2, pc.supp_ab,
+                   fa.supp AS supp_a, fb.supp AS supp_b,
+                   floor(pc.supp_ab / fa.supp * 1000000.0 + 0.5)
+                       / 1000000.0 AS conf_a_b,
+                   floor(pc.supp_ab / fb.supp * 1000000.0 + 0.5)
+                       / 1000000.0 AS conf_b_a,
+                   floor(pc.supp_ab * nd.n_docs / (fa.supp * fb.supp)
+                         * 1000000.0 + 0.5) / 1000000.0 AS lift
+            FROM pc JOIN freq fa ON pc.t1 = fa.t
+                    JOIN freq fb ON pc.t2 = fb.t
+            CROSS JOIN nd
+            ORDER BY pc.supp_ab DESC, pc.t1, pc.t2
+        """,
+        "association_rules": """
+            WITH tk AS (
+                SELECT doc_id, list_sort(list_distinct(list_filter(
+                           string_split_regex(lower(trim(coalesce(text,
+                               ''))), '\\s+'), t -> t <> ''))) AS items
+                FROM documents),
+            bask AS (SELECT doc_id, items FROM tk
+                     WHERE len(items) BETWEEN 1 AND 64),
+            ex AS (SELECT doc_id, unnest(items) AS t FROM bask),
+            uni AS (SELECT t, CAST(count(*) AS BIGINT) AS supp FROM ex
+                    GROUP BY 1),
+            freq AS (SELECT * FROM uni WHERE supp >= 50),
+            nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM bask),
+            exf AS (SELECT ex.doc_id, ex.t FROM ex
+                    JOIN freq ON ex.t = freq.t),
+            pr AS (SELECT a.t AS t1, b.t AS t2 FROM exf a
+                   JOIN exf b ON a.doc_id = b.doc_id AND a.t < b.t),
+            pc AS (SELECT t1, t2, CAST(count(*) AS BIGINT) AS supp_ab
+                   FROM pr GROUP BY 1, 2 HAVING count(*) >= 50),
+            met AS (
+                SELECT pc.t1, pc.t2, pc.supp_ab,
+                       floor(pc.supp_ab / fa.supp * 1000000.0 + 0.5)
+                           / 1000000.0 AS conf_a_b,
+                       floor(pc.supp_ab / fb.supp * 1000000.0 + 0.5)
+                           / 1000000.0 AS conf_b_a,
+                       floor(pc.supp_ab * nd.n_docs / (fa.supp * fb.supp)
+                             * 1000000.0 + 0.5) / 1000000.0 AS lift
+                FROM pc JOIN freq fa ON pc.t1 = fa.t
+                        JOIN freq fb ON pc.t2 = fb.t
+                CROSS JOIN nd),
+            rules AS (
+                SELECT t1 AS antecedent, t2 AS consequent, supp_ab,
+                       conf_a_b AS conf, lift FROM met
+                UNION ALL
+                SELECT t2, t1, supp_ab, conf_b_a, lift FROM met)
+            SELECT * FROM rules WHERE conf >= 0.8
+            ORDER BY conf DESC, antecedent, consequent
         """,
         "eb_host_quality": """
             WITH agg AS (

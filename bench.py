@@ -136,6 +136,11 @@ def main() -> None:
         "mmr_diversify",        # greedy diversification (4 round joins)
         "markdown_export",      # structure-preserving export (regex chain)
         "section_chunks",       # heading-scoped section split
+        "funnel_users",         # greedy funnel (one-shuffle array fold)
+        "scd2_history",         # SCD2 interval collapse (one key shuffle)
+        "typo_pairs",           # deletion-neighborhood edit-1 join
+        "sorted_neighborhood",  # SNM pairs (bucket-offset global rank)
+        "scc",                  # coloring SCC (2-round peel on the fixture)
         "extract_pages",        # extraction stage alone
         "reconcile",            # full pipeline: extract -> parse -> reconcile
     ]

@@ -1666,3 +1666,36 @@ def scc(
             [], "node long, scc_id long"
         )
     return out
+
+
+def condensation(
+    edges: DataFrame,
+    sccs: DataFrame,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Condensation DAG of a directed graph given its SCC assignment
+    (scc() output): one edge (scc_a, scc_b, n_links) per pair of distinct
+    components with at least one cross edge. The graph every downstream
+    DAG analysis (topological tiering, spam-mass flow, reachability
+    summaries) actually runs on — typically orders of magnitude smaller
+    than the page graph.
+
+    Two equi-joins on node + one partial-agg groupBy; no new shuffle
+    key beyond the SCC map itself.
+    """
+    s = sccs.select(F.col("node").alias("s"), F.col("scc_id").alias("scc_a"))
+    d = sccs.select(F.col("node").alias("d"), F.col("scc_id").alias("scc_b"))
+    e = edges.select(
+        F.col(src_col).cast("long").alias("s"),
+        F.col(dst_col).cast("long").alias("d"),
+    )
+    return (
+        e.join(s, "s")
+        .join(d, "d")
+        .where(F.col("scc_a") != F.col("scc_b"))
+        .groupBy("scc_a", "scc_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_links"))
+        .orderBy("scc_a", "scc_b")
+    )
