@@ -1553,6 +1553,45 @@ def q_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_chao_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chao1 vocabulary richness + Good's coverage (operators/profile.py:
+    chao_richness) over the same planted rare tail as good_turing —
+    bias-corrected chao1 = V + N1(N1-1)/(2(N2+1)), coverage = 1 - N1/N."""
+    from invoice_ocr_reconciler_spark.operators.profile import chao_richness
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    i = F.col("doc_id")
+    enriched = docs.select(
+        F.concat(
+            F.col("text"),
+            F.when(
+                i % 2 == 0, F.concat(F.lit(" u"), i.cast("string"))
+            ).otherwise(F.lit("")),
+            F.when(
+                i % 3 < 2,
+                F.concat(F.lit(" d"), F.floor(i / 3).cast("string")),
+            ).otherwise(F.lit("")),
+            F.when(
+                i % 5 < 3,
+                F.concat(F.lit(" t"), F.floor(i / 5).cast("string")),
+            ).otherwise(F.lit("")),
+        ).alias("text")
+    )
+    return chao_richness(enriched)
+
+
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov event-transition matrix (operators/events.py:
+    event_transitions): consecutive-pair counts per user stream +
+    row-normalized probabilities on the 6-grid."""
+    from invoice_ocr_reconciler_spark.operators.events import (
+        event_transitions,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return event_transitions(ev)
+
+
 def q_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     from invoice_ocr_reconciler_spark.functions.text import repetition_cols
 
@@ -6203,6 +6242,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scc_condensation": q_scc_condensation,
         "frequent_pairs": q_frequent_pairs,
         "association_rules": q_association_rules,
+        "chao_richness": q_chao_richness,
+        "event_transitions": q_event_transitions,
         "session_stats": q_session_stats,
         "asof_enrich": q_asof_enrich,
         "repetition_metrics": q_repetition_metrics,
@@ -7884,6 +7925,62 @@ def oracle_sql() -> dict[str, str]:
                        / 1000000.0 AS retention
             FROM cell c JOIN sz s USING (cohort_week)
             ORDER BY c.cohort_week, c.offset_weeks
+        """,
+        "chao_richness": """
+            WITH enr AS (
+                SELECT text
+                       || CASE WHEN doc_id % 2 = 0
+                               THEN ' u' || CAST(doc_id AS VARCHAR)
+                               ELSE '' END
+                       || CASE WHEN doc_id % 3 < 2
+                               THEN ' d' || CAST(doc_id // 3 AS VARCHAR)
+                               ELSE '' END
+                       || CASE WHEN doc_id % 5 < 3
+                               THEN ' t' || CAST(doc_id // 5 AS VARCHAR)
+                               ELSE '' END AS text
+                FROM documents),
+            tk AS (
+                SELECT list_filter(string_split_regex(
+                           lower(trim(coalesce(text, ''))), '\\s+'),
+                           t -> t <> '') AS toks
+                FROM enr),
+            uni AS (SELECT unnest(toks) AS tok FROM tk),
+            tc AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM uni
+                   GROUP BY 1),
+            ff AS (
+                SELECT CAST(count(*) AS BIGINT) AS v_obs,
+                       CAST(sum(c) AS BIGINT) AS n_tok,
+                       CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+                            AS BIGINT) AS n1,
+                       CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END)
+                            AS BIGINT) AS n2
+                FROM tc)
+            SELECT v_obs, n_tok, n1, n2,
+                   floor((v_obs + n1 * (n1 - 1) / (2 * (n2 + 1)))
+                         * 10000.0 + 0.5) / 10000.0 AS chao1,
+                   floor((1.0 - n1 / n_tok) * 1000000000.0 + 0.5)
+                       / 1000000000.0 AS coverage
+            FROM ff
+        """,
+        "event_transitions": """
+            WITH lagd AS (
+                SELECT lag(event_type) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id)
+                           AS from_type,
+                       event_type AS to_type
+                FROM events),
+            pc AS (
+                SELECT from_type, to_type,
+                       CAST(count(*) AS BIGINT) AS n
+                FROM lagd WHERE from_type IS NOT NULL GROUP BY 1, 2),
+            tot AS (
+                SELECT from_type, CAST(sum(n) AS BIGINT) AS n_from
+                FROM pc GROUP BY 1)
+            SELECT pc.from_type, pc.to_type, pc.n, tot.n_from,
+                   floor(pc.n / tot.n_from * 1000000.0 + 0.5)
+                       / 1000000.0 AS p
+            FROM pc JOIN tot USING (from_type)
+            ORDER BY pc.from_type, pc.to_type
         """,
         "scc_condensation": """
             WITH RECURSIVE e AS (

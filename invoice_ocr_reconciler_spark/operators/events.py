@@ -530,3 +530,49 @@ def retention_cohorts(
         )
         .orderBy("cohort_week", "offset_weeks")
     )
+
+
+def event_transitions(
+    events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    order_col: str = "event_id",
+) -> DataFrame:
+    """First-order Markov transition matrix of the per-user event stream:
+    for each (from_type, to_type) of consecutive events, the count and
+    the row-normalized probability — the user-journey summary behind
+    funnel design (which funnels exist) and anomaly detection (rare
+    transitions).
+
+    ONE shuffle: the lag window on (user, ts, order) + a partial-agg
+    pair groupBy; row totals join back as a broadcast (state-space-sized,
+    tiny forever). Probabilities are single divides on the 6-grid.
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, order_col)
+    pairs = (
+        events.select(
+            F.lag(type_col).over(w).alias("from_type"),
+            F.col(type_col).alias("to_type"),
+        )
+        .where(F.col("from_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    totals = pairs.groupBy("from_type").agg(
+        F.sum("n").cast("long").alias("n_from")
+    )
+    from invoice_ocr_reconciler_spark.functions.text import roundn
+
+    return (
+        pairs.join(F.broadcast(totals), "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            "n",
+            "n_from",
+            roundn(F.col("n") / F.col("n_from"), 6).alias("p"),
+        )
+        .orderBy("from_type", "to_type")
+    )

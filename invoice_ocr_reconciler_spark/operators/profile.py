@@ -950,3 +950,48 @@ def eb_host_quality(
         ).alias("shrink_w"),
         eb.alias("_eb_exact"),
     ).orderBy(F.col("_eb_exact").desc(), group_col).drop("_eb_exact")
+
+
+def chao_richness(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+) -> DataFrame:
+    """Chao1 vocabulary-richness estimate + Good's sample coverage — ONE
+    row answering "how much vocabulary has this crawl not seen yet":
+
+        chao1    = V + N1*(N1-1) / (2*(N2+1))   (bias-corrected Chao 1984)
+        coverage = 1 - N1/N                      (Good 1953)
+
+    Same count-of-counts core as good_turing (the frame is driver-tiny at
+    any corpus size); the bias-corrected chao1 form is total (no zero
+    denominator when N2=0). Exact BIGINT products on the 4/9 grids.
+    """
+    from invoice_ocr_reconciler_spark.functions.text import tokens_col
+
+    toks = docs.select(F.explode(tokens_col(F.col(text_col))).alias("tok"))
+    tc = toks.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    ff = tc.groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("v_obs"),
+        F.sum("c").cast("long").alias("n_tok"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n1"),
+        F.sum(F.when(F.col("c") == 2, 1).otherwise(0))
+        .cast("long")
+        .alias("n2"),
+    )
+    return ff.select(
+        "v_obs",
+        "n_tok",
+        "n1",
+        "n2",
+        roundn(
+            F.col("v_obs")
+            + F.col("n1") * (F.col("n1") - 1) / (2 * (F.col("n2") + 1)),
+            4,
+        ).alias("chao1"),
+        roundn(
+            F.lit(1.0) - F.col("n1") / F.nullif("n_tok", F.lit(0)), 9
+        ).alias("coverage"),
+    )

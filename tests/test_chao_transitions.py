@@ -1,0 +1,60 @@
+"""Chao1 richness + event transition matrix."""
+
+import datetime as dt
+
+from invoice_ocr_reconciler_spark.operators.events import event_transitions
+from invoice_ocr_reconciler_spark.operators.profile import chao_richness
+
+
+def test_chao1_hand_computed(spark):
+    # counts: a=3, b=2, c=2, d=1 -> V=4, N=8, N1=1, N2=2
+    docs = spark.createDataFrame(
+        [("a a a b b c",), ("c d",)], "text string"
+    )
+    r = chao_richness(docs).collect()[0]
+    assert (r.v_obs, r.n_tok, r.n1, r.n2) == (4, 8, 1, 2)
+    # chao1 = 4 + 1*0/(2*3) = 4.0 ; coverage = 1 - 1/8
+    assert r.chao1 == 4.0
+    assert r.coverage == 0.875
+
+
+def test_chao1_singleton_heavy(spark):
+    # all singletons: V=3, N1=3, N2=0 -> chao1 = 3 + 3*2/2 = 6.0
+    docs = spark.createDataFrame([("x y z",)], "text string")
+    r = chao_richness(docs).collect()[0]
+    assert r.chao1 == 6.0 and r.coverage == 0.0
+
+
+def test_transitions_counts_and_probs(spark):
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        # user 1: a -> b -> a ; user 2: a -> b
+        (1, 1, t0, "a"),
+        (2, 1, t0 + dt.timedelta(minutes=1), "b"),
+        (3, 1, t0 + dt.timedelta(minutes=2), "a"),
+        (4, 2, t0, "a"),
+        (5, 2, t0 + dt.timedelta(minutes=1), "b"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp_ntz, event_type string"
+    )
+    got = {
+        (r.from_type, r.to_type): (r.n, r.n_from, r.p)
+        for r in event_transitions(ev).collect()
+    }
+    assert got == {
+        ("a", "b"): (2, 2, 1.0),
+        ("b", "a"): (1, 1, 1.0),
+    }
+
+
+def test_transitions_no_cross_user_leak(spark):
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, 1, t0, "a"),
+        (2, 2, t0 + dt.timedelta(minutes=1), "b"),  # different user
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp_ntz, event_type string"
+    )
+    assert event_transitions(ev).count() == 0
