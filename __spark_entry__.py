@@ -1592,6 +1592,19 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return event_transitions(ev)
 
 
+def q_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser–Ney bigram LM (operators/lm_score.py:
+    kneser_ney_bigrams, D=0.75): discounted ML + continuation-count
+    backoff; exact-integer counts, IEEE-identical expression order,
+    9-grid probabilities. Complements the add-k lm_perplexity filter."""
+    from invoice_ocr_reconciler_spark.operators.lm_score import (
+        kneser_ney_bigrams,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return kneser_ney_bigrams(docs)
+
+
 def q_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     from invoice_ocr_reconciler_spark.functions.text import repetition_cols
 
@@ -6244,6 +6257,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "association_rules": q_association_rules,
         "chao_richness": q_chao_richness,
         "event_transitions": q_event_transitions,
+        "kneser_ney": q_kneser_ney,
         "session_stats": q_session_stats,
         "asof_enrich": q_asof_enrich,
         "repetition_metrics": q_repetition_metrics,
@@ -7925,6 +7939,40 @@ def oracle_sql() -> dict[str, str]:
                        / 1000000.0 AS retention
             FROM cell c JOIN sz s USING (cohort_week)
             ORDER BY c.cohort_week, c.offset_weeks
+        """,
+        "kneser_ney": """
+            WITH tk AS (
+                SELECT list_filter(string_split_regex(
+                           lower(trim(coalesce(text, ''))), '\\s+'),
+                           t -> t <> '') AS toks
+                FROM documents),
+            bgl AS (
+                SELECT CASE WHEN len(toks) < 2 THEN []
+                            ELSE list_transform(range(1, len(toks)),
+                                i -> [toks[i], toks[i+1]])
+                       END AS bgs
+                FROM tk),
+            bg AS (SELECT b[1] AS w1, b[2] AS w2
+                   FROM (SELECT unnest(bgs) AS b FROM bgl)),
+            bc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_ab
+                   FROM bg GROUP BY 1, 2),
+            ctx AS (SELECT w1, CAST(sum(c_ab) AS BIGINT) AS c_ctx,
+                           CAST(count(*) AS BIGINT) AS n1_fol
+                    FROM bc GROUP BY 1),
+            cont AS (SELECT w2, CAST(count(*) AS BIGINT) AS n1_cont
+                     FROM bc GROUP BY 1),
+            btot AS (SELECT CAST(count(*) AS BIGINT) AS b_types FROM bc)
+            SELECT bc.w1, bc.w2, bc.c_ab, ctx.c_ctx, ctx.n1_fol,
+                   cont.n1_cont,
+                   floor(0.75 * ctx.n1_fol / ctx.c_ctx
+                         * 1000000000.0 + 0.5) / 1000000000.0 AS lam,
+                   floor((greatest(bc.c_ab - 0.75, 0.0) / ctx.c_ctx
+                          + 0.75 * ctx.n1_fol / ctx.c_ctx
+                            * (cont.n1_cont / btot.b_types))
+                         * 1000000000.0 + 0.5) / 1000000000.0 AS p_kn
+            FROM bc JOIN ctx USING (w1) JOIN cont USING (w2)
+            CROSS JOIN btot
+            ORDER BY bc.w1, bc.w2
         """,
         "chao_richness": """
             WITH enr AS (

@@ -139,3 +139,88 @@ def lm_perplexity(
             roundn(F.exp(-avg), 4).alias("ppl"),
         )
     )
+
+
+def kneser_ney_bigrams(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    discount: float = 0.75,
+) -> DataFrame:
+    """Interpolated Kneser–Ney bigram probabilities (Kneser & Ney 1995;
+    the Chen & Goodman 1998 interpolated form with a fixed absolute
+    discount) — the smoothing the real KenLM filter uses, as transparent
+    DataFrame aggregations:
+
+        p_kn(w2|w1) = max(c(w1w2) - D, 0)/c(w1.)
+                      + D·N1+(w1·)/c(w1.) · N1+(·w2)/B
+
+    where N1+(w1·) = distinct followers of w1, N1+(·w2) = distinct
+    contexts preceding w2 (the continuation count — KN's innovation:
+    'Francisco' is frequent but follows only 'San'), B = distinct bigram
+    types. The probability mass per context telescopes to exactly 1 over
+    the vocabulary (pinned by test).
+
+    Plan: ONE bigram explode -> (w1, w2) partial-agg counts; context and
+    continuation tables are re-aggregations of that vocabulary-sized
+    frame (broadcast); B rides a 1-row crossJoin. The p_kn expression is
+    written with an exact operator order both engines evaluate
+    identically in IEEE doubles (integer counts, single promotions), then
+    lands on the 9-grid.
+
+    Output: one row per OBSERVED bigram (w1, w2, c_ab, c_ctx, n1_fol,
+    n1_cont, lam, p_kn), ordered (w1, w2).
+    """
+    from invoice_ocr_reconciler_spark.functions.text import (
+        roundn,
+        tokens_col,
+    )
+
+    toks = docs.select(tokens_col(F.col(text_col)).alias("toks"))
+    m = F.greatest(F.size("toks") - 1, F.lit(0))
+    bg = toks.select(
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("toks"), 1, m),
+                F.slice(F.col("toks"), 2, m),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("b")
+    ).select("b.w1", "b.w2")
+    bc = bg.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("c_ab")
+    )
+    ctx = bc.groupBy("w1").agg(
+        F.sum("c_ab").cast("long").alias("c_ctx"),
+        F.count(F.lit(1)).cast("long").alias("n1_fol"),
+    )
+    cont = bc.groupBy("w2").agg(
+        F.count(F.lit(1)).cast("long").alias("n1_cont")
+    )
+    btot = bc.groupBy().agg(F.count(F.lit(1)).cast("long").alias("b_types"))
+
+    d = float(discount)
+    p_kn = (
+        F.greatest(F.col("c_ab") - F.lit(d), F.lit(0.0)) / F.col("c_ctx")
+        + F.lit(d)
+        * F.col("n1_fol")
+        / F.col("c_ctx")
+        * (F.col("n1_cont") / F.col("b_types"))
+    )
+    lam = F.lit(d) * F.col("n1_fol") / F.col("c_ctx")
+    return (
+        bc.join(F.broadcast(ctx), "w1")
+        .join(F.broadcast(cont), "w2")
+        .crossJoin(F.broadcast(btot))
+        .select(
+            "w1",
+            "w2",
+            "c_ab",
+            "c_ctx",
+            "n1_fol",
+            "n1_cont",
+            roundn(lam, 9).alias("lam"),
+            roundn(p_kn, 9).alias("p_kn"),
+        )
+        .orderBy("w1", "w2")
+    )
