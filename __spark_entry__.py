@@ -1605,6 +1605,24 @@ def q_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kneser_ney_bigrams(docs)
 
 
+def q_dag_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest-path DAG layering (operators/graph.py:dag_layers) over a
+    synthesized per-block DAG: chain 8k -> 8k+1 -> 8k+2 -> 8k+3, a skip
+    edge 8k -> 8k+2 (layer must be the MAX path, not BFS distance), and a
+    second source 8k+4 -> 8k+3. Expected layers 0,1,2,3,0; converges in
+    depth+1 = 4 rounds. DuckDB replays via recursive path lengths +
+    max()."""
+    from invoice_ocr_reconciler_spark.operators.graph import dag_layers
+
+    ids = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    i = F.col("doc_id")
+    j = i % 8
+    chain = ids.where(j < 3).select(i.alias("src"), (i + 1).alias("dst"))
+    skip = ids.where(j == 0).select(i.alias("src"), (i + 2).alias("dst"))
+    feed = ids.where(j == 4).select(i.alias("src"), (i - 1).alias("dst"))
+    return dag_layers(chain.union(skip).union(feed), max_depth=8)
+
+
 def q_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     from invoice_ocr_reconciler_spark.functions.text import repetition_cols
 
@@ -6258,6 +6276,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chao_richness": q_chao_richness,
         "event_transitions": q_event_transitions,
         "kneser_ney": q_kneser_ney,
+        "dag_layers": q_dag_layers,
         "session_stats": q_session_stats,
         "asof_enrich": q_asof_enrich,
         "repetition_metrics": q_repetition_metrics,
@@ -7939,6 +7958,24 @@ def oracle_sql() -> dict[str, str]:
                        / 1000000.0 AS retention
             FROM cell c JOIN sz s USING (cohort_week)
             ORDER BY c.cohort_week, c.offset_weeks
+        """,
+        "dag_layers": """
+            WITH RECURSIVE e AS (
+                SELECT doc_id AS s, doc_id + 1 AS d FROM documents
+                WHERE doc_id % 8 < 3
+                UNION ALL
+                SELECT doc_id, doc_id + 2 FROM documents
+                WHERE doc_id % 8 = 0
+                UNION ALL
+                SELECT doc_id, doc_id - 1 FROM documents
+                WHERE doc_id % 8 = 4),
+            nodes AS (SELECT s AS u FROM e UNION SELECT d FROM e),
+            p(v, l) AS (
+                SELECT u, 0 FROM nodes
+                UNION
+                SELECT e.d, p.l + 1 FROM p JOIN e ON p.v = e.s)
+            SELECT v AS node, CAST(max(l) AS INT) AS layer
+            FROM p GROUP BY v ORDER BY node
         """,
         "kneser_ney": """
             WITH tk AS (

@@ -1699,3 +1699,80 @@ def condensation(
         .agg(F.count(F.lit(1)).cast("long").alias("n_links"))
         .orderBy("scc_a", "scc_b")
     )
+
+
+def dag_layers(
+    edges: DataFrame,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_depth: int = 40,
+    truncate_lineage: bool = True,
+) -> DataFrame:
+    """Longest-path layering of a DAG: layer(v) = length of the longest
+    path from any source to v (sources at 0) — the topological tiering
+    of a condensation graph (crawl-depth tiers, dependency scheduling
+    waves, spam-mass distance).
+
+    Level-synchronous relaxation: round k raises exactly the nodes whose
+    longest path is k, so only RAISED nodes re-propagate (the frontier
+    contract shared with bfs_distance/scc) and the algorithm converges
+    in depth(DAG) rounds. A graph with a cycle never converges — hitting
+    `max_depth` with a live frontier raises loudly instead of returning
+    wrong layers (run scc()/condensation() first on general graphs).
+    Layers are exact integers; the SQL ground truth is a recursive CTE
+    over path lengths + max().
+    """
+    e = (
+        edges.select(
+            F.col(src_col).cast("long").alias("s"),
+            F.col(dst_col).cast("long").alias("d"),
+        )
+        .where(F.col("s").isNotNull() & F.col("d").isNotNull())
+        .distinct()
+    )
+    if truncate_lineage:
+        e = e.localCheckpoint(eager=True)
+    nodes = (
+        e.select(F.col("s").alias("node"))
+        .union(e.select(F.col("d").alias("node")))
+        .distinct()
+    )
+    layer = nodes.select("node", F.lit(0).cast("int").alias("layer"))
+    if truncate_lineage:
+        layer = layer.localCheckpoint(eager=True)
+    frontier = layer
+    # max_depth + 1 rounds: a DAG of depth exactly max_depth raises for
+    # the last time in round max_depth and needs one more round to OBSERVE
+    # the empty frontier — only a genuinely deeper (or cyclic) graph is
+    # still raising after that
+    for k in range(1, int(max_depth) + 2):
+        msgs = (
+            e.join(
+                frontier.select(
+                    F.col("node").alias("s"), F.col("layer").alias("pl")
+                ),
+                "s",
+            )
+            .groupBy(F.col("d").alias("node"))
+            .agg((F.max("pl") + 1).alias("nl"))
+        )
+        raised = (
+            layer.join(msgs, "node")
+            .where(F.col("nl") > F.col("layer"))
+            .select("node", F.col("nl").cast("int").alias("layer"))
+        )
+        if truncate_lineage:
+            raised = raised.localCheckpoint(eager=True)
+        if raised.isEmpty():
+            return layer.orderBy("node")
+        layer = layer.join(raised.select("node"), "node", "left_anti").union(
+            raised
+        )
+        if truncate_lineage:
+            layer = layer.localCheckpoint(eager=True)
+        frontier = raised
+    raise RuntimeError(
+        "dag_layers: max_depth exhausted with a live frontier — the graph "
+        "has a cycle or is deeper than the cap (condense cycles first)"
+    )
