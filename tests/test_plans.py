@@ -194,3 +194,56 @@ def test_plan_audit_no_python_in_codegen_queries(spark):
     assert errs == []
     # cartesian products never sneak in anywhere on this list
     assert all(r["cartesian"] == 0 for r in rows)
+
+
+def _hash_exchanges(df) -> int:
+    return len(re.findall(r"\bExchange hash", _plan(df)))
+
+
+def test_funnel_single_hash_exchange(spark):
+    from invoice_ocr_reconciler_spark.operators.events import funnel_stages
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    df = funnel_stages(ev, ["signup", "view", "purchase"])
+    # the whole greedy state machine is one groupBy(user) + codegen fold
+    assert _hash_exchanges(df) == 1
+    assert "aggregate(" in _plan(df) or "Aggregate" in _plan(df)
+
+
+def test_scd2_single_hash_exchange(spark):
+    import datetime as dt
+
+    from invoice_ocr_reconciler_spark.operators.mutate import scd2_history
+
+    caps = spark.createDataFrame(
+        [("u", dt.datetime(2024, 1, 1), "a")],
+        "url string, ts timestamp_ntz, digest string",
+    )
+    df = scd2_history(caps)
+    # lag flag + version sum + agg + lead all share partitionBy(url):
+    # ONE hash exchange (the final orderBy adds a range exchange only)
+    assert _hash_exchanges(df) == 1
+
+
+def test_event_transitions_plan(spark):
+    from invoice_ocr_reconciler_spark.operators.events import (
+        event_transitions,
+    )
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    df = event_transitions(ev)
+    p = _plan(df)
+    # user window + pair agg + total agg; row totals ride a broadcast
+    assert "BroadcastExchange" in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_typo_pairs_no_cartesian(spark):
+    from invoice_ocr_reconciler_spark.operators.editjoin import typo_pairs
+
+    terms = spark.createDataFrame(
+        [("table", 10), ("tble", 1)], "term string, cnt long"
+    )
+    p = _plan(typo_pairs(terms))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
