@@ -1623,6 +1623,34 @@ def q_dag_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dag_layers(chain.union(skip).union(feed), max_depth=8)
 
 
+def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier content-survival curve (operators/profile.py:
+    kaplan_meier): page lifetime = doc_id%10+1 days, death event when
+    doc_id%3 != 0 (else right-censored at last crawl). The ln-grid
+    ordered-window product contract makes S(t) replayable exactly."""
+    from invoice_ocr_reconciler_spark.operators.profile import kaplan_meier
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    i = F.col("doc_id")
+    src = docs.select(
+        (i % 10 + 1).alias("duration"),
+        (i % 3 != 0).cast("int").alias("event"),
+    )
+    return kaplan_meier(src)
+
+
+def q_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell chi-square contributions (operators/profile.py:
+    chi2_independence) for lang x source independence — fixed-order
+    double expressions over exact BIGINT margins, 6-grid."""
+    from invoice_ocr_reconciler_spark.operators.profile import (
+        chi2_independence,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return chi2_independence(docs, "lang", "source")
+
+
 def q_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     from invoice_ocr_reconciler_spark.functions.text import repetition_cols
 
@@ -6277,6 +6305,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_transitions": q_event_transitions,
         "kneser_ney": q_kneser_ney,
         "dag_layers": q_dag_layers,
+        "kaplan_meier": q_kaplan_meier,
+        "chi2_independence": q_chi2_independence,
         "session_stats": q_session_stats,
         "asof_enrich": q_asof_enrich,
         "repetition_metrics": q_repetition_metrics,
@@ -7958,6 +7988,58 @@ def oracle_sql() -> dict[str, str]:
                        / 1000000.0 AS retention
             FROM cell c JOIN sz s USING (cohort_week)
             ORDER BY c.cohort_week, c.offset_weeks
+        """,
+        "kaplan_meier": """
+            WITH src AS (
+                SELECT doc_id % 10 + 1 AS t,
+                       CASE WHEN doc_id % 3 <> 0 THEN 1 ELSE 0 END AS e
+                FROM documents),
+            per AS (SELECT t, CAST(sum(e) AS BIGINT) AS d,
+                           CAST(sum(1 - e) AS BIGINT) AS c
+                    FROM src GROUP BY 1),
+            tot AS (SELECT CAST(count(*) AS BIGINT) AS n_all FROM src),
+            base AS (
+                SELECT t, d, c,
+                       CAST(n_all - coalesce(sum(d + c) OVER (
+                           ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING), 0) AS BIGINT) AS n_risk
+                FROM per CROSS JOIN tot),
+            st AS (
+                SELECT t, n_risk, d, c,
+                       max(CASE WHEN d >= n_risk THEN 1 ELSE 0 END)
+                           OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)
+                           AS dead,
+                       sum(CASE WHEN d < n_risk THEN
+                               floor(ln((n_risk - d) / n_risk)
+                                     * 1000000000.0 + 0.5) / 1000000000.0
+                           END) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)
+                           AS lnsum
+                FROM base)
+            SELECT t, n_risk, d, c,
+                   CASE WHEN dead = 1 THEN 0.0
+                        ELSE floor(exp(lnsum) * 1000000.0 + 0.5)
+                             / 1000000.0 END AS survival
+            FROM st ORDER BY t
+        """,
+        "chi2_independence": """
+            WITH cells AS (
+                SELECT lang AS a, source AS b,
+                       CAST(count(*) AS BIGINT) AS o
+                FROM documents GROUP BY 1, 2),
+            ma AS (SELECT a, CAST(sum(o) AS BIGINT) AS n_a FROM cells
+                   GROUP BY 1),
+            mb AS (SELECT b, CAST(sum(o) AS BIGINT) AS n_b FROM cells
+                   GROUP BY 1),
+            nn AS (SELECT CAST(sum(o) AS BIGINT) AS n_all FROM cells)
+            SELECT cells.a AS lang, cells.b AS source, cells.o,
+                   floor(ma.n_a * mb.n_b / nn.n_all * 1000000.0 + 0.5)
+                       / 1000000.0 AS expected,
+                   floor((cells.o - ma.n_a * mb.n_b / nn.n_all)
+                         * (cells.o - ma.n_a * mb.n_b / nn.n_all)
+                         / (ma.n_a * mb.n_b / nn.n_all)
+                         * 1000000.0 + 0.5) / 1000000.0 AS contrib
+            FROM cells JOIN ma USING (a) JOIN mb USING (b) CROSS JOIN nn
+            ORDER BY lang, source
         """,
         "dag_layers": """
             WITH RECURSIVE e AS (

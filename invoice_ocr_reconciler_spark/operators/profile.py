@@ -995,3 +995,120 @@ def chao_richness(
             F.lit(1.0) - F.col("n1") / F.nullif("n_tok", F.lit(0)), 9
         ).alias("coverage"),
     )
+
+
+def kaplan_meier(
+    df: DataFrame,
+    *,
+    duration_col: str = "duration",
+    event_col: str = "event",
+) -> DataFrame:
+    """Kaplan–Meier survival curve with right-censoring — content-decay
+    analysis for a recrawl pipeline: duration = how long a page lived
+    (first seen -> last seen), event = 1 if it actually died (content
+    gone), 0 if still alive at the last crawl (censored). S(t) answers
+    "what fraction of content survives t days", which sets revisit
+    cadence and cache TTLs.
+
+        S(t_k) = prod_{i<=k} (n_i - d_i) / n_i
+
+    n_i = at risk just before t_i, d_i = deaths at t_i. The curve frame
+    is one row per DISTINCT duration — time-bounded (days, not rows), so
+    the single-partition window over it is driver-sized by construction
+    (the funnel_summary K-row contract). The product rides the lm_score
+    ln-grid contract: ln(factor) on the 1e-9 grid, summed over the
+    ORDERED window (fixed addition order on both engines), exp at the
+    end on the 6-grid; a step where everyone at risk dies pins S to
+    exactly 0.0 from then on (no ln(0)).
+    """
+    per = (
+        df.select(
+            F.col(duration_col).cast("long").alias("t"),
+            F.col(event_col).cast("int").alias("e"),
+        )
+        .groupBy("t")
+        .agg(
+            F.sum("e").cast("long").alias("d"),
+            F.sum(1 - F.col("e")).cast("long").alias("c"),
+        )
+    )
+    total = df.groupBy().agg(F.count(F.lit(1)).cast("long").alias("n_all"))
+    w = Window.partitionBy(F.lit(1)).orderBy("t")
+    prior = F.coalesce(
+        F.sum(F.col("d") + F.col("c")).over(
+            w.rowsBetween(Window.unboundedPreceding, -1)
+        ),
+        F.lit(0).cast("long"),
+    )
+    base = per.crossJoin(F.broadcast(total)).select(
+        "t",
+        "d",
+        "c",
+        (F.col("n_all") - prior).alias("n_risk"),
+    )
+    factor = (F.col("n_risk") - F.col("d")) / F.col("n_risk")
+    lnf = F.when(
+        F.col("d") < F.col("n_risk"), roundn(F.log(factor), 9)
+    ).otherwise(F.lit(None).cast("double"))
+    wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    stepped = base.select(
+        "t",
+        "n_risk",
+        "d",
+        "c",
+        lnf.alias("_lnf"),
+        F.max((F.col("d") >= F.col("n_risk")).cast("int")).over(wc).alias(
+            "_dead"
+        ),
+        F.sum(lnf).over(wc).alias("_lnsum"),
+    )
+    return stepped.select(
+        "t",
+        "n_risk",
+        "d",
+        "c",
+        F.when(F.col("_dead") == 1, F.lit(0.0))
+        .otherwise(roundn(F.exp(F.col("_lnsum")), 6))
+        .alias("survival"),
+    ).orderBy("t")
+
+
+def chi2_independence(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+) -> DataFrame:
+    """Per-cell chi-square contributions for independence of two
+    categorical columns — the corpus-health cross-check ("is language
+    independent of source?", "is quality flag independent of host?").
+
+        e_ab = n_a * n_b / N ;  contrib = (o_ab - e_ab)^2 / e_ab
+
+    One groupBy for cells; margins are re-aggregations of the cell frame
+    (category-sized, broadcast). Expected/contrib are fixed-order double
+    expressions over exact BIGINTs (squares via x*x, no pow), so both
+    engines produce identical values onto the 6-grid.
+    """
+    cells = (
+        df.select(F.col(col_a).alias("a"), F.col(col_b).alias("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("o"))
+    )
+    ma = cells.groupBy("a").agg(F.sum("o").cast("long").alias("n_a"))
+    mb = cells.groupBy("b").agg(F.sum("o").cast("long").alias("n_b"))
+    nn = cells.groupBy().agg(F.sum("o").cast("long").alias("n_all"))
+    e = F.col("n_a") * F.col("n_b") / F.col("n_all")
+    diff = F.col("o") - F.col("n_a") * F.col("n_b") / F.col("n_all")
+    return (
+        cells.join(F.broadcast(ma), "a")
+        .join(F.broadcast(mb), "b")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            F.col("a").alias(col_a),
+            F.col("b").alias(col_b),
+            "o",
+            roundn(e, 6).alias("expected"),
+            roundn(diff * diff / e, 6).alias("contrib"),
+        )
+        .orderBy(col_a, col_b)
+    )
