@@ -1651,6 +1651,18 @@ def q_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chi2_independence(docs, "lang", "source")
 
 
+def q_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus concentration dashboard (operators/profile.py:
+    concentration_metrics): HHI, Gini and top-1/top-10 share of docs per
+    source — exact BIGINT sums, 9/6 grids."""
+    from invoice_ocr_reconciler_spark.operators.profile import (
+        concentration_metrics,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return concentration_metrics(docs, group_col="source")
+
+
 def q_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     from invoice_ocr_reconciler_spark.functions.text import repetition_cols
 
@@ -6307,6 +6319,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dag_layers": q_dag_layers,
         "kaplan_meier": q_kaplan_meier,
         "chi2_independence": q_chi2_independence,
+        "concentration": q_concentration,
         "session_stats": q_session_stats,
         "asof_enrich": q_asof_enrich,
         "repetition_metrics": q_repetition_metrics,
@@ -7988,6 +8001,39 @@ def oracle_sql() -> dict[str, str]:
                        / 1000000.0 AS retention
             FROM cell c JOIN sz s USING (cohort_week)
             ORDER BY c.cohort_week, c.offset_weeks
+        """,
+        "concentration": """
+            WITH g AS (
+                SELECT source AS gk, CAST(count(*) AS BIGINT) AS n
+                FROM documents GROUP BY 1),
+            rk AS (
+                SELECT n,
+                       CAST(row_number() OVER (ORDER BY n, gk) AS BIGINT)
+                           AS r,
+                       CAST(row_number() OVER (ORDER BY n DESC, gk)
+                            AS BIGINT) AS rd
+                FROM g),
+            agg AS (
+                SELECT CAST(count(*) AS BIGINT) AS n_groups,
+                       CAST(sum(n) AS BIGINT) AS n_total,
+                       CAST(sum(n * n) AS BIGINT) AS sum_sq,
+                       CAST(sum(n * (2 * r)) AS BIGINT) AS wsum,
+                       CAST(sum(CASE WHEN rd <= 1 THEN n ELSE 0 END)
+                            AS BIGINT) AS t1,
+                       CAST(sum(CASE WHEN rd <= 10 THEN n ELSE 0 END)
+                            AS BIGINT) AS t10
+                FROM rk)
+            SELECT n_groups, n_total,
+                   floor(sum_sq / (n_total * n_total) * 1000000000.0 + 0.5)
+                       / 1000000000.0 AS hhi,
+                   floor((wsum - (n_groups + 1) * n_total)
+                         / (n_groups * n_total) * 1000000000.0 + 0.5)
+                       / 1000000000.0 AS gini,
+                   floor(t1 / n_total * 1000000.0 + 0.5) / 1000000.0
+                       AS top1_share,
+                   floor(t10 / n_total * 1000000.0 + 0.5) / 1000000.0
+                       AS top10_share
+            FROM agg
         """,
         "kaplan_meier": """
             WITH src AS (

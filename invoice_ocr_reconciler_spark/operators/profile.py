@@ -1112,3 +1112,69 @@ def chi2_independence(
         )
         .orderBy(col_a, col_b)
     )
+
+
+def concentration_metrics(
+    df: DataFrame,
+    *,
+    group_col: str = "source",
+    top_shares: tuple[int, ...] = (1, 10),
+) -> DataFrame:
+    """Corpus concentration over a grouping key — ONE row of inequality
+    metrics answering "is this crawl dominated by a few hosts?":
+
+        hhi  = sum over groups of (n_g / N)^2     (Herfindahl–Hirschman)
+        gini = sum_g (2·rank_g - G - 1)·n_g / (G·N)   (ranks ascending)
+        top{k}_share = share of the k largest groups
+
+    Everything reduces to exact BIGINT sums: the Gini numerator is an
+    integer (ranks are dense over the SORTED group-count frame, ties
+    broken by key so both engines rank identically — equal counts
+    contribute the same SUM either way, so the tie order cannot change
+    the value), HHI's numerator is a sum of squares below 2^53 for any
+    real host distribution, and shares divide two BIGINTs. The group
+    frame is |groups| rows (host-bounded), so its single-partition
+    window is driver-sized by construction.
+    """
+    g = (
+        df.select(F.col(group_col).alias("g"))
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    w = Window.partitionBy(F.lit(1)).orderBy(F.col("n"), F.col("g"))
+    wd = Window.partitionBy(F.lit(1)).orderBy(
+        F.col("n").desc(), F.col("g")
+    )
+    ranked = g.select(
+        "n",
+        F.row_number().over(w).cast("long").alias("r"),
+        F.row_number().over(wd).cast("long").alias("rd"),
+    )
+    agg = ranked.groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum("n").cast("long").alias("n_total"),
+        F.sum(F.col("n") * F.col("n")).cast("long").alias("sum_sq"),
+        F.sum(F.col("n") * (2 * F.col("r"))).cast("long").alias("wsum"),
+        *[
+            F.sum(F.when(F.col("rd") <= k, F.col("n")).otherwise(0))
+            .cast("long")
+            .alias(f"_top{k}")
+            for k in top_shares
+        ],
+    )
+    gini = (
+        F.col("wsum") - (F.col("n_groups") + 1) * F.col("n_total")
+    ) / (F.col("n_groups") * F.col("n_total"))
+    return agg.select(
+        "n_groups",
+        "n_total",
+        roundn(F.col("sum_sq") / (F.col("n_total") * F.col("n_total")), 9)
+        .alias("hhi"),
+        roundn(gini, 9).alias("gini"),
+        *[
+            roundn(F.col(f"_top{k}") / F.col("n_total"), 6).alias(
+                f"top{k}_share"
+            )
+            for k in top_shares
+        ],
+    )
