@@ -1663,6 +1663,26 @@ def q_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return concentration_metrics(docs, group_col="source")
 
 
+def q_canonical_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-best survivor selection (operators/cluster.py:canonical_best):
+    within each n-gram-Jaccard near-dup component the LONGEST member
+    survives (n_chars desc, id asc) — the Dolma/RefinedWeb keep-best rule
+    vs canonical_docs' keep-first."""
+    from invoice_ocr_reconciler_spark.operators.cluster import canonical_best
+    from invoice_ocr_reconciler_spark.operators.dedup import (
+        ngram_jaccard_verify,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a = docs.select(F.col("doc_id").alias("doc_a"))
+    b = docs.select(F.col("doc_id").alias("doc_b"))
+    cands = a.crossJoin(b).filter(F.col("doc_a") < F.col("doc_b"))
+    pairs = ngram_jaccard_verify(cands, docs, threshold=0.3)
+    return canonical_best(docs, pairs, "n_chars").select(
+        "doc_id", "n_chars", "component", "keep_rank", "is_canonical"
+    ).orderBy("doc_id")
+
+
 def q_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     from invoice_ocr_reconciler_spark.functions.text import repetition_cols
 
@@ -6320,6 +6340,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kaplan_meier": q_kaplan_meier,
         "chi2_independence": q_chi2_independence,
         "concentration": q_concentration,
+        "canonical_best": q_canonical_best,
         "session_stats": q_session_stats,
         "asof_enrich": q_asof_enrich,
         "repetition_metrics": q_repetition_metrics,
@@ -8001,6 +8022,47 @@ def oracle_sql() -> dict[str, str]:
                        / 1000000.0 AS retention
             FROM cell c JOIN sz s USING (cohort_week)
             ORDER BY c.cohort_week, c.offset_weeks
+        """,
+        "canonical_best": """
+            WITH RECURSIVE d AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(coalesce(text, '')), '\\s+'),
+                                   t -> t <> '') AS toks
+                FROM documents),
+            g AS (
+                SELECT doc_id,
+                       CASE WHEN len(toks) = 0 THEN ['']
+                            WHEN len(toks) < 3 THEN [array_to_string(toks, chr(1))]
+                            ELSE list_distinct(list_transform(range(1, len(toks) - 1),
+                                   i -> toks[i] || chr(1) || toks[i+1] || chr(1) || toks[i+2]))
+                       END AS grams
+                FROM d),
+            pr AS (
+                SELECT a.doc_id AS u, b.doc_id AS v
+                FROM g a JOIN g b ON a.doc_id < b.doc_id
+                WHERE round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                            / (len(a.grams) + len(b.grams)
+                               - len(list_intersect(a.grams, b.grams))), 4) >= 0.3),
+            e AS (SELECT u, v FROM pr UNION SELECT v, u FROM pr),
+            nodes AS (SELECT DISTINCT u FROM e),
+            reach(u, v) AS (
+                SELECT u, u FROM nodes
+                UNION
+                SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u),
+            comp AS (SELECT u AS doc_id, min(v) AS component FROM reach
+                     GROUP BY u),
+            lab AS (
+                SELECT dd.doc_id, dd.n_chars,
+                       coalesce(c.component, dd.doc_id) AS component
+                FROM documents dd LEFT JOIN comp c USING (doc_id))
+            SELECT doc_id, n_chars, component,
+                   CAST(row_number() OVER (
+                       PARTITION BY component
+                       ORDER BY n_chars DESC, doc_id) AS INT) AS keep_rank,
+                   row_number() OVER (
+                       PARTITION BY component
+                       ORDER BY n_chars DESC, doc_id) = 1 AS is_canonical
+            FROM lab ORDER BY doc_id
         """,
         "concentration": """
             WITH g AS (

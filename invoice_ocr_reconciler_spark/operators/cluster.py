@@ -24,7 +24,7 @@ full subtract().
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 # O(log n) expected; the signature fixpoint test stops earlier on real data.
@@ -268,3 +268,38 @@ def takedown_closure(
         F.coalesce(F.col("n_seeds"), F.lit(0)).cast("bigint").alias("n_seeds"),
         (F.coalesce(F.col("n_seeds"), F.lit(0)) > 0).alias("removed"),
     )
+
+
+def canonical_best(
+    docs: DataFrame,
+    pairs: DataFrame,
+    score_col: str,
+    id_col: str = "doc_id",
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+) -> DataFrame:
+    """Keep-BEST survivor selection within near-dup components: instead
+    of canonical_docs' keep-first (min id) rule, the member with the
+    highest `score_col` survives (ties -> lowest id) — the Dolma /
+    RefinedWeb-style choice where the longest or highest-quality copy of
+    a syndicated article is retained, not the one crawled first.
+
+    One window over (component) ordered (score desc, id asc) after the
+    same component join as canonical_docs; singletons survive trivially.
+    Adds (component, keep_rank, is_canonical).
+    """
+    comp = connected_components(pairs, id_a=id_a, id_b=id_b)
+    labeled = docs.join(
+        comp.withColumnRenamed("doc_id", id_col), id_col, "left"
+    ).select(
+        docs["*"],
+        F.coalesce(F.col("component"), F.col(id_col).cast("long")).alias(
+            "component"
+        ),
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.col(score_col).desc(), F.col(id_col)
+    )
+    return labeled.withColumn(
+        "keep_rank", F.row_number().over(w).cast("int")
+    ).withColumn("is_canonical", F.col("keep_rank") == 1)

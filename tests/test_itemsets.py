@@ -84,3 +84,21 @@ def test_condensation_counts_parallel_cross_links(spark):
     comps = scc(edges)
     out = condensation(edges, comps).collect()
     assert [(r.scc_a, r.scc_b, r.n_links) for r in out] == [(1, 3, 2)]
+
+
+def test_canonical_best_keeps_highest_score(spark):
+    from invoice_ocr_reconciler_spark.operators.cluster import canonical_best
+
+    docs = spark.createDataFrame(
+        [(1, 10), (2, 50), (3, 50), (9, 7)], "doc_id long, n_chars long"
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3)], "doc_a long, doc_b long"
+    )
+    out = {r.doc_id: r for r in canonical_best(docs, pairs, "n_chars").collect()}
+    # component {1,2,3}: 2 and 3 tie at 50 -> lower id 2 survives
+    assert out[2].is_canonical and out[2].keep_rank == 1
+    assert not out[1].is_canonical and not out[3].is_canonical
+    assert out[3].keep_rank == 2 and out[1].keep_rank == 3
+    # singleton 9 survives trivially
+    assert out[9].is_canonical and out[9].component == 9
