@@ -1683,6 +1683,20 @@ def q_canonical_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_texttile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextTiling topic boundaries (operators/chunking.py:
+    texttile_boundaries, Hearst 1997 bounded-lookback variant): 10-token
+    blocks, adjacent-block distinct-token overlap, valley depth >= 4.
+    Relational formulation (posexplode + adjacent-block join), exact
+    integers end to end."""
+    from invoice_ocr_reconciler_spark.operators.chunking import (
+        texttile_boundaries,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return texttile_boundaries(docs, block_tokens=10, depth_threshold=4)
+
+
 def q_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     from invoice_ocr_reconciler_spark.functions.text import repetition_cols
 
@@ -6341,6 +6355,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chi2_independence": q_chi2_independence,
         "concentration": q_concentration,
         "canonical_best": q_canonical_best,
+        "texttile": q_texttile,
         "session_stats": q_session_stats,
         "asof_enrich": q_asof_enrich,
         "repetition_metrics": q_repetition_metrics,
@@ -8022,6 +8037,47 @@ def oracle_sql() -> dict[str, str]:
                        / 1000000.0 AS retention
             FROM cell c JOIN sz s USING (cohort_week)
             ORDER BY c.cohort_week, c.offset_weeks
+        """,
+        "texttile": """
+            WITH tk AS (
+                SELECT doc_id, list_filter(string_split_regex(
+                           lower(trim(coalesce(text, ''))), '\\s+'),
+                           t -> t <> '') AS toks
+                FROM documents),
+            ex AS (
+                SELECT doc_id, len(toks) AS n, unnest(toks) AS tok,
+                       generate_subscripts(toks, 1) AS ord
+                FROM tk),
+            bt AS (
+                SELECT DISTINCT doc_id,
+                       CAST((ord - 1) // 10 AS INT) AS blk, tok
+                FROM ex WHERE (ord - 1) // 10 < n // 10),
+            sims AS (
+                SELECT l.doc_id, r.blk AS gap,
+                       CAST(count(*) AS BIGINT) AS sim
+                FROM bt l JOIN bt r
+                  ON l.doc_id = r.doc_id AND l.tok = r.tok
+                 AND r.blk = l.blk + 1
+                GROUP BY 1, 2),
+            gaps AS (
+                SELECT doc_id, unnest(range(1, len(toks) // 10)) AS gap
+                FROM tk WHERE len(toks) // 10 >= 2),
+            filled AS (
+                SELECT g.doc_id, g.gap,
+                       coalesce(s.sim, 0) AS sim
+                FROM gaps g LEFT JOIN sims s USING (doc_id, gap)),
+            d AS (
+                SELECT doc_id, gap, CAST(sim AS BIGINT) AS sim,
+                       greatest(coalesce(lag(sim) OVER w, sim) - sim, 0)
+                       + greatest(coalesce(lead(sim) OVER w, sim) - sim, 0)
+                           AS depth
+                FROM filled
+                WINDOW w AS (PARTITION BY doc_id ORDER BY gap))
+            SELECT doc_id, CAST(gap AS INT) AS gap,
+                   CAST(gap * 10 AS INT) AS pos_tokens, sim,
+                   CAST(depth AS BIGINT) AS depth,
+                   depth >= 4 AS is_boundary
+            FROM d ORDER BY doc_id, gap
         """,
         "canonical_best": """
             WITH RECURSIVE d AS (

@@ -153,3 +153,96 @@ def pack_sequences(
             > F.col("seq_in_shard"),
         )
     )
+
+
+def texttile_boundaries(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block_tokens: int = 10,
+    depth_threshold: int = 4,
+) -> DataFrame:
+    """TextTiling-style topic segmentation (Hearst 1997, the
+    bounded-lookback variant): split each document into fixed
+    `block_tokens` pseudosentences, score every gap by the DISTINCT-token
+    overlap of its two adjacent blocks, and flag gaps whose valley depth
+    (how far cohesion drops vs both neighbors) reaches the threshold —
+    topic boundaries for topic-aware chunking, complementing the
+    heading-scoped section_chunks and the token-window chunk_documents.
+
+    Deliberately RELATIONAL, not an in-row array pipeline: per-gap
+    slice-intersections inside a transform() would make Catalyst
+    re-inline the tokenization per gap (the O(len^2) pitfall documented
+    at functions/text.py:_word_ngrams). Instead: ONE posexplode ->
+    (doc, block, token) distinct -> self-join on (doc, token) with
+    block+1 = adjacent-gap overlap counts (map-side partial agg) ->
+    lag/lead depth on the per-doc gap window. All integers; trailing
+    partial blocks are dropped (both engines agree on floor(n/w)).
+
+    Output: (doc_id, gap, pos_tokens, sim, depth, is_boundary), gap g
+    sits between blocks g-1 and g (1-based), pos_tokens = g*block_tokens.
+    """
+    from invoice_ocr_reconciler_spark.functions.text import tokens_col
+
+    w = int(block_tokens)
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), tokens_col(F.col(text_col)).alias("toks")
+    ).select(
+        "doc_id",
+        (F.size("toks") / w).cast("int").alias("nb"),
+        F.posexplode("toks").alias("pos", "tok"),
+    )
+    bt = (
+        base.select(
+            "doc_id",
+            "nb",
+            (F.col("pos") / w).cast("int").alias("blk"),
+            "tok",
+        )
+        .where(F.col("blk") < F.col("nb"))
+        .distinct()
+    )
+    sims = (
+        bt.alias("l")
+        .join(
+            bt.alias("r"),
+            (F.col("l.doc_id") == F.col("r.doc_id"))
+            & (F.col("l.tok") == F.col("r.tok"))
+            & (F.col("r.blk") == F.col("l.blk") + 1),
+        )
+        .groupBy(
+            F.col("l.doc_id").alias("doc_id"),
+            F.col("r.blk").alias("gap"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("sim"))
+    )
+    gaps = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            (F.size(tokens_col(F.col(text_col))) / w).cast("int").alias("nb"),
+        )
+        .where(F.col("nb") >= 2)
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(1), F.col("nb") - 1)).alias("gap"),
+        )
+    )
+    filled = gaps.join(sims, ["doc_id", "gap"], "left").select(
+        "doc_id",
+        "gap",
+        F.coalesce("sim", F.lit(0).cast("long")).alias("sim"),
+    )
+    wg = Window.partitionBy("doc_id").orderBy("gap")
+    left_n = F.coalesce(F.lag("sim").over(wg), F.col("sim"))
+    right_n = F.coalesce(F.lead("sim").over(wg), F.col("sim"))
+    depth = F.greatest(left_n - F.col("sim"), F.lit(0).cast("long")) + \
+        F.greatest(right_n - F.col("sim"), F.lit(0).cast("long"))
+    return filled.select(
+        "doc_id",
+        "gap",
+        (F.col("gap") * w).cast("int").alias("pos_tokens"),
+        "sim",
+        depth.alias("depth"),
+        (depth >= int(depth_threshold)).alias("is_boundary"),
+    ).orderBy("doc_id", "gap")
