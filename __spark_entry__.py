@@ -1697,6 +1697,45 @@ def q_texttile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return texttile_boundaries(docs, block_tokens=10, depth_threshold=4)
 
 
+def q_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AQP join-size estimation (operators/cmsketch.py:cm_inner_product):
+    |orders JOIN lineitem| estimated from two 4x131072 count-min
+    sketches via the CM inner product — always an upper bound (checked
+    column), exact join count and relative error alongside."""
+    from invoice_ocr_reconciler_spark.functions.text import roundn
+    from invoice_ocr_reconciler_spark.operators.cmsketch import (
+        build_cm_sketch,
+        cm_inner_product,
+    )
+
+    w = 131072
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    ska = build_cm_sketch(
+        orders.select(F.col("o_orderkey").cast("string").alias("term")),
+        width=w,
+    )
+    skb = build_cm_sketch(
+        li.select(F.col("l_orderkey").cast("string").alias("term")),
+        width=w,
+    )
+    est = cm_inner_product(ska, skb)
+    exact = (
+        orders.select(F.col("o_orderkey").alias("k"))
+        .join(li.select(F.col("l_orderkey").alias("k")), "k")
+        .groupBy()
+        .agg(F.count(F.lit(1)).cast("long").alias("exact"))
+    )
+    return est.crossJoin(exact).select(
+        "est",
+        "exact",
+        (F.col("est") >= F.col("exact")).alias("is_upper_bound"),
+        roundn(
+            (F.col("est") - F.col("exact")) / F.col("exact"), 6
+        ).alias("rel_err"),
+    )
+
+
 def q_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     from invoice_ocr_reconciler_spark.functions.text import repetition_cols
 
@@ -6356,6 +6395,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "concentration": q_concentration,
         "canonical_best": q_canonical_best,
         "texttile": q_texttile,
+        "join_size_estimate": q_join_size_estimate,
         "session_stats": q_session_stats,
         "asof_enrich": q_asof_enrich,
         "repetition_metrics": q_repetition_metrics,
@@ -8037,6 +8077,36 @@ def oracle_sql() -> dict[str, str]:
                        / 1000000.0 AS retention
             FROM cell c JOIN sz s USING (cohort_week)
             ORDER BY c.cohort_week, c.offset_weeks
+        """,
+        "join_size_estimate": """
+            WITH ka AS (SELECT CAST(o_orderkey AS VARCHAR) AS t
+                        FROM orders),
+            kb AS (SELECT CAST(l_orderkey AS VARCHAR) AS t FROM lineitem),
+            sa AS (
+                SELECT r, CAST(('0x' || substr(md5('cm:'
+                           || CAST(r AS VARCHAR) || ':' || t), 1, 15))
+                           ::UBIGINT % 131072 AS BIGINT) AS bucket,
+                       CAST(count(*) AS BIGINT) AS cnt
+                FROM ka, (SELECT unnest(range(4)) AS r) g GROUP BY 1, 2),
+            sb AS (
+                SELECT r, CAST(('0x' || substr(md5('cm:'
+                           || CAST(r AS VARCHAR) || ':' || t), 1, 15))
+                           ::UBIGINT % 131072 AS BIGINT) AS bucket,
+                       CAST(count(*) AS BIGINT) AS cnt
+                FROM kb, (SELECT unnest(range(4)) AS r) g GROUP BY 1, 2),
+            ip AS (
+                SELECT a.r, CAST(sum(a.cnt * b.cnt) AS BIGINT) AS ip
+                FROM sa a JOIN sb b ON a.r = b.r AND a.bucket = b.bucket
+                GROUP BY 1),
+            est AS (SELECT CAST(min(ip) AS BIGINT) AS est FROM ip),
+            ex AS (SELECT CAST(count(*) AS BIGINT) AS exact
+                   FROM orders JOIN lineitem
+                     ON o_orderkey = l_orderkey)
+            SELECT est.est, ex.exact,
+                   est.est >= ex.exact AS is_upper_bound,
+                   floor((est.est - ex.exact) / ex.exact * 1000000.0
+                         + 0.5) / 1000000.0 AS rel_err
+            FROM est CROSS JOIN ex
         """,
         "texttile": """
             WITH tk AS (

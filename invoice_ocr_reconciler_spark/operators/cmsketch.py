@@ -183,3 +183,45 @@ def cm_estimate(
         "term", F.coalesce(F.col("cnt"), F.lit(0)).cast("long").alias("cnt")
     )
     return joined.groupBy("term").agg(F.min("cnt").cast("long").alias("est"))
+
+
+def cm_inner_product(sketch_a: DataFrame, sketch_b: DataFrame) -> DataFrame:
+    """Join-size / inner-product estimate from two count-min sketches
+    (Cormode & Muthukrishnan 2005 §4.2): for each hash row d,
+    sum_w A[d][w]·B[d][w] over-counts a·b = sum_t fA(t)·fB(t) only via
+    collisions, so min over rows is an UPPER BOUND on the true inner
+    product — |R join S on k| estimated from d·w counters per side
+    without touching either table again. The classic AQP join-size
+    estimator a cost-based planner runs before picking a join strategy.
+
+    Config stamps must match (loud failure, not silent under-count).
+    Returns ONE row: (est,). Exact BIGINT arithmetic throughout.
+    """
+    for s in (sketch_a, sketch_b):
+        if "depth" not in s.columns or "width" not in s.columns:
+            raise ValueError("sketch missing config stamp")
+    a = sketch_a.select(
+        "row", "bucket", F.col("cnt").alias("ca"),
+        F.col("depth").alias("da"), F.col("width").alias("wa"),
+    )
+    b = sketch_b.select(
+        "row", "bucket", F.col("cnt").alias("cb"),
+        F.col("depth").alias("db"), F.col("width").alias("wb"),
+    )
+    joined = a.join(b, ["row", "bucket"])
+    per_row = joined.groupBy("row").agg(
+        F.sum(F.col("ca") * F.col("cb")).cast("long").alias("ip"),
+        F.max(
+            (F.col("da") != F.col("db")) | (F.col("wa") != F.col("wb"))
+        ).alias("_mismatch"),
+    )
+    # config check must run on the data actually joined
+    return per_row.groupBy().agg(
+        F.min("ip").cast("long").alias("est"),
+        F.max("_mismatch").alias("_bad"),
+    ).select(
+        F.when(
+            F.col("_bad"),
+            F.raise_error("cm_inner_product: mismatched sketch configs"),
+        ).otherwise(F.col("est")).alias("est")
+    )

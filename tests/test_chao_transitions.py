@@ -58,3 +58,46 @@ def test_transitions_no_cross_user_leak(spark):
         rows, "event_id long, user_id long, ts timestamp_ntz, event_type string"
     )
     assert event_transitions(ev).count() == 0
+
+
+def test_cm_inner_product_upper_bound_and_exactness(spark):
+    from invoice_ocr_reconciler_spark.operators.cmsketch import (
+        build_cm_sketch,
+        cm_inner_product,
+    )
+
+    a = spark.createDataFrame(
+        [("k1",)] * 3 + [("k2",)] * 2 + [("k9",)], "term string"
+    )
+    b = spark.createDataFrame(
+        [("k1",)] * 4 + [("k2",)] * 1 + [("k7",)] * 5, "term string"
+    )
+    # true inner product = 3*4 + 2*1 = 14; with a huge width there are
+    # no collisions so the estimate is EXACT
+    est = cm_inner_product(
+        build_cm_sketch(a, width=1 << 20),
+        build_cm_sketch(b, width=1 << 20),
+    ).collect()[0].est
+    assert est == 14
+    # tiny width forces collisions: still an upper bound, never below
+    est_small = cm_inner_product(
+        build_cm_sketch(a, width=2), build_cm_sketch(b, width=2)
+    ).collect()[0].est
+    assert est_small >= 14
+
+
+def test_cm_inner_product_config_mismatch_raises(spark):
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PySparkException
+
+    from invoice_ocr_reconciler_spark.operators.cmsketch import (
+        build_cm_sketch,
+        cm_inner_product,
+    )
+
+    a = spark.createDataFrame([("k1",)], "term string")
+    with pytest.raises((Py4JJavaError, PySparkException, Exception)):
+        cm_inner_product(
+            build_cm_sketch(a, width=64), build_cm_sketch(a, width=128)
+        ).collect()

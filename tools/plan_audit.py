@@ -75,7 +75,7 @@ PURE_CODEGEN_QUERIES = [
     "scc_condensation", "frequent_pairs", "association_rules",
     "chao_richness", "event_transitions", "kneser_ney", "dag_layers",
     "kaplan_meier", "chi2_independence", "concentration",
-    "canonical_best", "texttile",
+    "canonical_best", "texttile", "join_size_estimate",
     "identifiers_extract", "license_detect", "reply_strip",
     "span_corruption", "fim_transform", "render_chat",
     "ir_metrics", "ir_metrics_macro", "ocr_eval", "ocr_eval_summary",
