@@ -4934,6 +4934,83 @@ def _hyperball_oracle(n_iter: int = 3) -> str:
     """
 
 
+def q_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated harmonic centrality from HyperBall sketches (operators/
+    hyperball.py:harmonic_centrality — the centrality HyperBall was
+    built for): H(v) = sum_t (ball_t - ball_{t-1})/t over 3 rounds,
+    accumulated through a FIXED join chain (never union+sum) so both
+    engines add the per-round terms in the same IEEE order."""
+    from invoice_ocr_reconciler_spark.operators.hyperball import (
+        harmonic_centrality,
+    )
+
+    return harmonic_centrality(_link_edges(spark, sf_dir), n_iter=3)
+
+
+def _harmonic_oracle(n_iter: int = 3) -> str:
+    """Per-round per-node estimates over the same unrolled merge rounds
+    as _hyperball_oracle, folded into the fixed-order harmonic sum."""
+    it = []
+    prev = "s0"
+    for j in range(1, n_iter + 1):
+        it.append(f"""
+            s{j} AS (SELECT node, reg_idx, max(reg_val) AS reg_val FROM (
+                        SELECT e.src AS node, s.reg_idx, s.reg_val
+                        FROM edges e JOIN {prev} s ON s.node = e.dst
+                        UNION ALL
+                        SELECT node, reg_idx, reg_val FROM {prev})
+                     GROUP BY node, reg_idx)""")
+        prev = f"s{j}"
+    ests = []
+    for t in range(0, n_iter + 1):
+        ests.append(f"""
+            a{t} AS (SELECT node, CAST(count(*) AS INT) AS n_regs,
+                            CAST(sum(CAST(2 ** (30 - least(reg_val, 30))
+                                 AS BIGINT)) AS BIGINT) AS s_present
+                     FROM s{t} GROUP BY node),
+            e{t} AS (SELECT node,
+                            CAST(0.673 AS DOUBLE) * CAST(256.0 AS DOUBLE)
+                              * CAST(1073741824.0 AS DOUBLE)
+                              / (CAST(16 - n_regs AS BIGINT) * 1073741824
+                                 + s_present) AS est
+                     FROM a{t})""")
+    terms = " + ".join(
+        f"greatest(e{t}.est - e{t - 1}.est, 0.0) / {float(t)}"
+        for t in range(1, n_iter + 1)
+    )
+    joins = " ".join(
+        f"JOIN e{t} USING (node)" for t in range(1, n_iter + 1)
+    )
+    u = "('0x' || substr(md5('{p}' || CAST(node AS VARCHAR)), 1, 15))::UBIGINT"
+    ui, ur = u.format(p="hbidx:"), u.format(p="hbrank:")
+    return f"""
+        WITH nd AS (SELECT count(*) AS nd FROM documents),
+        edges AS (
+            SELECT doc_id AS src, (doc_id * 7 + 1) % (SELECT nd FROM nd) AS dst
+            FROM documents WHERE doc_id % 5 <> 0
+            UNION ALL
+            SELECT doc_id, (doc_id * 13 + 2) % (SELECT nd FROM nd)
+            FROM documents WHERE doc_id % 5 <> 0
+            UNION ALL
+            SELECT doc_id, CAST(0 AS BIGINT) FROM documents
+            WHERE doc_id % 10 = 3),
+        nodes AS (SELECT DISTINCT src AS node FROM edges
+                  UNION SELECT DISTINCT dst FROM edges),
+        s0 AS (SELECT node,
+                      CAST({ui} % 16 AS INT) AS reg_idx,
+                      CAST(CASE WHEN {ur} = 0 THEN 61
+                                ELSE 61 - length(bin({ur})) END AS INT) AS reg_val
+               FROM nodes),{','.join(it)},{','.join(ests)}
+        SELECT e0.node,
+               floor(e{n_iter}.est * 1000000.0 + 0.5) / 1000000.0
+                   AS ball_est,
+               floor((0.0 + {terms}) * 1000000.0 + 0.5) / 1000000.0
+                   AS harmonic
+        FROM e0 {joins}
+        ORDER BY e0.node
+    """
+
+
 def q_c4_line_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4 cleaning rules (operators/c4.py:c4_clean — Raffel et al. 2020
     §2.2) over deterministically decorated re-lined pages: 6-token lines
@@ -6396,6 +6473,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "canonical_best": q_canonical_best,
         "texttile": q_texttile,
         "join_size_estimate": q_join_size_estimate,
+        "harmonic_centrality": q_harmonic_centrality,
         "session_stats": q_session_stats,
         "asof_enrich": q_asof_enrich,
         "repetition_metrics": q_repetition_metrics,
@@ -10003,6 +10081,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank": _pagerank_oracle(3),
         "trust_rank": _trustrank_oracle(3),
         "hyperball": _hyperball_oracle(3),
+        "harmonic_centrality": _harmonic_oracle(3),
         "hyperball_curve": _hyperball_curve_oracle(3),
         # multi-source BFS: depth-bounded recursive CTE; min(dist) over
         # all <=6-hop walks = the level-synchronous first-discovery depth

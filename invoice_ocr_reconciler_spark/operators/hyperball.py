@@ -191,3 +191,102 @@ def hyperball_curve(
         rows,
         "t int, n_nodes bigint, total_regs bigint, total_s_scaled bigint",
     )
+
+
+def _per_node_est(sketch: DataFrame, m: int, alpha: float) -> DataFrame:
+    """(node, est) raw-HLL ball estimate from a sparse register frame —
+    the exact-integer s_scaled divide shared by hyperball()."""
+    term = F.expr("shiftleft(1L, 30 - least(reg_val, 30))")
+    per = sketch.groupBy("node").agg(
+        F.count(F.lit(1)).cast("int").alias("n_regs"),
+        F.sum(term).cast("bigint").alias("s_present"),
+    )
+    s_scaled = (
+        (F.lit(m) - F.col("n_regs")).cast("bigint") * F.lit(1073741824)
+        + F.col("s_present")
+    )
+    return per.select(
+        "node",
+        (
+            F.lit(float(alpha)) * F.lit(float(m * m)) * F.lit(1073741824.0)
+            / s_scaled
+        ).alias("est"),
+    )
+
+
+def harmonic_centrality(
+    edges: DataFrame,
+    n_iter: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    m: int = M_REGS,
+    alpha: float | None = None,
+    truncate_lineage: bool = True,
+) -> DataFrame:
+    """Truncated harmonic centrality from HyperBall sketches — the
+    centrality HyperBall was BUILT for (Boldi & Vigna 2013; "Axioms for
+    centrality" 2014):
+
+        H(v) ~= sum_{t=1..n_iter} (|B(v,t)| - |B(v,t-1)|) / t
+
+    — nodes reachable at distance t contribute 1/t. Computed on
+    OUT-balls; pass pre-reversed edges for the classic "how close is
+    everyone to v" in-variant. Ball sizes are the raw-HLL estimates, so
+    this is the estimator's truncated-sum form, not exact BFS.
+
+    Determinism contract: per-round estimates divide exact integers; the
+    t-terms accumulate through a FIXED chain of per-round node joins
+    (never a union+sum, whose float addition order is engine-dependent);
+    deltas clamp at 0 (register monotonicity makes negatives impossible,
+    the clamp documents it). Output (node, ball_est, harmonic) on the
+    6-grid, plus the final-round ball estimate for context.
+    """
+    from invoice_ocr_reconciler_spark.functions.text import roundn
+
+    if alpha is None:
+        alpha = {16: ALPHA_16, 32: 0.697, 64: 0.709}.get(
+            int(m), 0.7213 / (1 + 1.079 / int(m))
+        )
+    acc = None
+    prev = None
+    last = None
+    for sketch, t in _rounds(
+        edges, n_iter, src_col, dst_col, m, truncate_lineage
+    ):
+        est = _per_node_est(sketch, int(m), float(alpha))
+        last = est
+        if t == 0:
+            prev = est
+            acc = est.select("node", F.lit(0.0).alias("h"))
+            continue
+        delta = (
+            est.select("node", F.col("est").alias("e_now"))
+            .join(prev.select("node", F.col("est").alias("e_prev")), "node")
+            .select(
+                "node",
+                (
+                    F.greatest(
+                        F.col("e_now") - F.col("e_prev"), F.lit(0.0)
+                    )
+                    / F.lit(float(t))
+                ).alias("term"),
+            )
+        )
+        acc = acc.join(delta, "node").select(
+            "node", (F.col("h") + F.col("term")).alias("h")
+        )
+        prev = est
+    if acc is None or last is None:
+        spark = edges.sparkSession
+        return spark.createDataFrame(
+            [], "node long, ball_est double, harmonic double"
+        )
+    return (
+        acc.join(last, "node")
+        .select(
+            "node",
+            roundn(F.col("est"), 6).alias("ball_est"),
+            roundn(F.col("h"), 6).alias("harmonic"),
+        )
+        .orderBy("node")
+    )
