@@ -1736,6 +1736,89 @@ def q_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _clf_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesized CLF access-log lines from the events table: ip/method/
+    path/status/bytes all doc-rule-derived; event_id%13==0 gets the '-'
+    byteless convention; event_id%101==0 is a MALFORMED line (the reject
+    branch). The oracles rebuild fields from these rules — no re-parse."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    i = F.col("event_id")
+    u = F.col("user_id")
+    ip = F.concat(
+        F.lit("10."),
+        (u % 50).cast("string"),
+        F.lit("."),
+        (u % 200).cast("string"),
+        F.lit("."),
+        (i % 250).cast("string"),
+    )
+    method = F.when(
+        F.col("event_type").isin("purchase", "signup"), F.lit("POST")
+    ).otherwise(F.lit("GET"))
+    status = (
+        F.when(F.col("event_type") == "error", F.lit(500))
+        .when(i % 97 == 0, F.lit(404))
+        .when(F.col("event_type") == "purchase", F.lit(201))
+        .otherwise(F.lit(200))
+    )
+    nbytes = F.when(i % 13 == 0, F.lit("-")).otherwise(
+        ((i * 37) % 100000).cast("string")
+    )
+    ts_raw = F.date_format(
+        F.col("ts").cast("timestamp"), "dd/MMM/yyyy:HH:mm:ss +0000"
+    )
+    line = F.when(
+        i % 101 == 0, F.concat(F.lit("garbage "), i.cast("string"))
+    ).otherwise(
+        F.concat(
+            ip,
+            F.lit(" - - ["),
+            ts_raw,
+            F.lit('] "'),
+            method,
+            F.lit(" /doc/"),
+            (i % 1000).cast("string"),
+            F.lit(' HTTP/1.1" '),
+            status.cast("string"),
+            F.lit(" "),
+            nbytes,
+        )
+    )
+    return ev.select("event_id", line.alias("line"))
+
+
+def q_access_log_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLF access-log parse (functions/accesslog.py:clf_cols): one
+    anchored dialect-audited regexp_extract per field; malformed lines
+    surface as NULLs with parsed_ok=false. Oracle rebuilds the expected
+    fields from the synthesis rules (no second parser)."""
+    from invoice_ocr_reconciler_spark.functions.accesslog import clf_cols
+
+    lines = _clf_lines(spark, sf_dir)
+    c = clf_cols(F.col("line"))
+    return lines.select(
+        "event_id",
+        c["ip"].alias("ip"),
+        c["method"].alias("method"),
+        c["path"].alias("path"),
+        c["status"].alias("status"),
+        c["n_bytes"].alias("n_bytes"),
+        c["parsed_ok"].alias("parsed_ok"),
+    ).orderBy("event_id")
+
+
+def q_subnet_traffic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-/24 subnet rollup (functions/accesslog.py:subnet_traffic):
+    request/bytes/path counts + error rate, with unparseable lines
+    COUNTED into the NULL-subnet row (visible reject path)."""
+    from invoice_ocr_reconciler_spark.functions.accesslog import (
+        subnet_traffic,
+    )
+
+    lines = _clf_lines(spark, sf_dir)
+    return subnet_traffic(lines)
+
+
 def q_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     from invoice_ocr_reconciler_spark.functions.text import repetition_cols
 
@@ -6474,6 +6557,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "texttile": q_texttile,
         "join_size_estimate": q_join_size_estimate,
         "harmonic_centrality": q_harmonic_centrality,
+        "access_log_parse": q_access_log_parse,
+        "subnet_traffic": q_subnet_traffic,
         "session_stats": q_session_stats,
         "asof_enrich": q_asof_enrich,
         "repetition_metrics": q_repetition_metrics,
@@ -10082,6 +10167,67 @@ def oracle_sql() -> dict[str, str]:
         "trust_rank": _trustrank_oracle(3),
         "hyperball": _hyperball_oracle(3),
         "harmonic_centrality": _harmonic_oracle(3),
+        "access_log_parse": """
+            WITH src AS (
+                SELECT event_id,
+                       '10.' || CAST(user_id % 50 AS VARCHAR) || '.'
+                           || CAST(user_id % 200 AS VARCHAR) || '.'
+                           || CAST(event_id % 250 AS VARCHAR) AS ip,
+                       CASE WHEN event_type IN ('purchase', 'signup')
+                            THEN 'POST' ELSE 'GET' END AS method,
+                       '/doc/' || CAST(event_id % 1000 AS VARCHAR) AS path,
+                       CAST(CASE WHEN event_type = 'error' THEN 500
+                                 WHEN event_id % 97 = 0 THEN 404
+                                 WHEN event_type = 'purchase' THEN 201
+                                 ELSE 200 END AS INT) AS status,
+                       CAST(CASE WHEN event_id % 13 = 0 THEN 0
+                                 ELSE (event_id * 37) % 100000
+                            END AS BIGINT) AS n_bytes,
+                       event_id % 101 <> 0 AS parsed_ok
+                FROM events)
+            SELECT event_id,
+                   CASE WHEN parsed_ok THEN ip END AS ip,
+                   CASE WHEN parsed_ok THEN method END AS method,
+                   CASE WHEN parsed_ok THEN path END AS path,
+                   CASE WHEN parsed_ok THEN status END AS status,
+                   CASE WHEN parsed_ok THEN n_bytes END AS n_bytes,
+                   parsed_ok
+            FROM src ORDER BY event_id
+        """,
+        "subnet_traffic": """
+            WITH src AS (
+                SELECT CASE WHEN event_id % 101 <> 0 THEN
+                           '10.' || CAST(user_id % 50 AS VARCHAR) || '.'
+                               || CAST(user_id % 200 AS VARCHAR)
+                       END AS subnet,
+                       CASE WHEN event_id % 101 <> 0 THEN
+                           '/doc/' || CAST(event_id % 1000 AS VARCHAR)
+                       END AS path,
+                       CASE WHEN event_id % 101 <> 0 THEN
+                           CAST(CASE WHEN event_type = 'error' THEN 500
+                                     WHEN event_id % 97 = 0 THEN 404
+                                     WHEN event_type = 'purchase' THEN 201
+                                     ELSE 200 END AS INT)
+                       END AS status,
+                       CASE WHEN event_id % 101 <> 0 THEN
+                           CAST(CASE WHEN event_id % 13 = 0 THEN 0
+                                     ELSE (event_id * 37) % 100000
+                                END AS BIGINT)
+                       ELSE 0 END AS n_bytes
+                FROM events),
+            agg AS (
+                SELECT subnet,
+                       CAST(count(*) AS BIGINT) AS n_req,
+                       CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+                       CAST(count(DISTINCT path) AS BIGINT) AS n_paths,
+                       CAST(sum(CASE WHEN status >= 500 THEN 1 ELSE 0 END)
+                            AS BIGINT) AS n_errors
+                FROM src GROUP BY 1)
+            SELECT subnet, n_req, total_bytes, n_paths, n_errors,
+                   floor(n_errors / n_req * 1000000.0 + 0.5) / 1000000.0
+                       AS error_rate
+            FROM agg ORDER BY subnet
+        """,
         "hyperball_curve": _hyperball_curve_oracle(3),
         # multi-source BFS: depth-bounded recursive CTE; min(dist) over
         # all <=6-hop walks = the level-synchronous first-discovery depth
