@@ -1819,6 +1819,54 @@ def q_subnet_traffic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return subnet_traffic(lines)
 
 
+def q_hreflang_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hreflang alternate clusters (functions/html_meta.py:
+    hreflang_clusters): pages synthesized in 3-doc translation clusters
+    (en/de/fr + x-default -> the en page); doc_id%7==0 pages declare
+    nothing (absent); the de member's tag uses reversed attribute order
+    + an unquoted rel (parser robustness in-band). Oracle rebuilds pairs
+    from the rules — no second parser."""
+    from invoice_ocr_reconciler_spark.functions.html_meta import (
+        hreflang_clusters,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    i = F.col("doc_id")
+    c = F.floor(i / 3).cast("string")
+    m = (i % 3).cast("int")
+    lang = F.element_at(F.array(F.lit("en"), F.lit("de"), F.lit("fr")), m + 1)
+    url = F.concat(F.lit("https://ex.com/"), lang, F.lit("/p"), c)
+
+    def _link(lg):
+        href = F.concat(F.lit("https://ex.com/"), F.lit(lg), F.lit("/p"), c)
+        return F.concat(
+            F.lit(f'<link rel="alternate" hreflang="{lg}" href="'),
+            href,
+            F.lit('">'),
+        )
+
+    de_href = F.concat(F.lit("https://ex.com/de/p"), c)
+    de_link = F.concat(
+        F.lit('<link href="'),
+        de_href,
+        F.lit('" hreflang="de" rel=alternate>'),
+    )
+    en_href = F.concat(F.lit("https://ex.com/en/p"), c)
+    xdef = F.concat(
+        F.lit('<link rel="alternate" hreflang="x-default" href="'),
+        en_href,
+        F.lit('">'),
+    )
+    links = F.concat(_link("en"), de_link, _link("fr"), xdef)
+    html = F.concat(
+        F.lit("<html><head>"),
+        F.when(i % 7 == 0, F.lit("")).otherwise(links),
+        F.lit("</head><body></body></html>"),
+    )
+    pages = docs.select(url.alias("url"), html.alias("html"))
+    return hreflang_clusters(pages)
+
+
 def q_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     from invoice_ocr_reconciler_spark.functions.text import repetition_cols
 
@@ -6559,6 +6607,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "harmonic_centrality": q_harmonic_centrality,
         "access_log_parse": q_access_log_parse,
         "subnet_traffic": q_subnet_traffic,
+        "hreflang_clusters": q_hreflang_clusters,
         "session_stats": q_session_stats,
         "asof_enrich": q_asof_enrich,
         "repetition_metrics": q_repetition_metrics,
@@ -10193,6 +10242,25 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN parsed_ok THEN n_bytes END AS n_bytes,
                    parsed_ok
             FROM src ORDER BY event_id
+        """,
+        "hreflang_clusters": """
+            WITH d AS (
+                SELECT doc_id, doc_id // 3 AS c, doc_id % 3 AS m
+                FROM documents WHERE doc_id % 7 <> 0),
+            lg AS (SELECT unnest(['de', 'en', 'fr', 'x-default'])
+                       AS hreflang)
+            SELECT 'https://ex.com/' || (['en', 'de', 'fr'])[m + 1]
+                       || '/p' || CAST(c AS VARCHAR) AS url,
+                   lg.hreflang,
+                   CASE WHEN lg.hreflang = 'x-default'
+                        THEN 'https://ex.com/en/p' || CAST(c AS VARCHAR)
+                        ELSE 'https://ex.com/' || lg.hreflang || '/p'
+                             || CAST(c AS VARCHAR) END AS href,
+                   lg.hreflang = 'x-default' AS is_default,
+                   'https://ex.com/en/p' || CAST(c AS VARCHAR)
+                       AS cluster_key
+            FROM d CROSS JOIN lg
+            ORDER BY url, hreflang, href
         """,
         "subnet_traffic": """
             WITH src AS (

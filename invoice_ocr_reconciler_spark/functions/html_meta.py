@@ -287,3 +287,72 @@ def ai_optout_cols(html: Column, xrobots: Column) -> dict[str, Column]:
         "tdm_reserved": tdm_reserved,
         "train_ok": ~(noai | tdm_reserved),
     }
+
+
+def hreflang_pairs_col(html: Column) -> Column:
+    """Array of (hreflang, href) structs from the page's
+    ``<link rel="alternate" hreflang=...>`` tags — the i18n alternate
+    declarations that tie translated versions of a page together (Google
+    'localized versions' protocol; 'x-default' marks the fallback).
+
+    Same parsing contract as metadata_cols: tag harvest by one
+    regexp_extract_all, per-tag attribute extraction through _attr
+    (quote-style/order/case agnostic), entries missing either attribute
+    dropped. Pure codegen.
+    """
+    tags = F.regexp_extract_all(
+        F.coalesce(html, F.lit("")), F.lit(r"(?i)(<link\b[^>]*>)"), 1
+    )
+    alts = F.filter(
+        tags,
+        lambda t: F.regexp_like(
+            t, F.lit(r"(?i)\brel\s*=\s*[\"']?alternate\b")
+        )
+        & _attr(t, "hreflang").isNotNull()
+        & _attr(t, "href").isNotNull(),
+    )
+    return F.transform(
+        alts,
+        lambda t: F.struct(
+            F.lower(_attr(t, "hreflang")).alias("hreflang"),
+            _attr(t, "href").alias("href"),
+        ),
+    )
+
+
+def hreflang_clusters(
+    pages: DataFrame,
+    html_col: str = "html",
+    url_col: str = "url",
+) -> DataFrame:
+    """Exploded, cluster-keyed hreflang pairs: every (page, hreflang,
+    href) declaration plus the page's cluster_key — the x-default href
+    when declared, else the lexicographic min alternate href (both
+    derivable from the page's OWN array: no join, no shuffle beyond the
+    final order). Pages without declarations are absent (they cluster as
+    themselves trivially downstream).
+
+    Output: (url, hreflang, href, is_default, cluster_key).
+    """
+    arr = hreflang_pairs_col(F.col(html_col))
+    xd = F.try_element_at(
+        F.filter(arr, lambda p: p["hreflang"] == "x-default"), F.lit(1)
+    )["href"]
+    ck = F.coalesce(
+        xd, F.array_min(F.transform(arr, lambda p: p["href"]))
+    )
+    return (
+        pages.select(
+            F.col(url_col).alias("url"),
+            F.explode(arr).alias("p"),
+            ck.alias("cluster_key"),
+        )
+        .select(
+            "url",
+            F.col("p.hreflang").alias("hreflang"),
+            F.col("p.href").alias("href"),
+            (F.col("p.hreflang") == "x-default").alias("is_default"),
+            "cluster_key",
+        )
+        .orderBy("url", "hreflang", "href")
+    )
