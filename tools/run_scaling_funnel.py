@@ -31,9 +31,13 @@ sys.path.insert(0, {repo!r})
 from invoice_ocr_reconciler_spark.session import get_spark
 from invoice_ocr_reconciler_spark.operators.events import funnel_summary
 cores = {cores}
-spark = get_spark(app_name="funnel-scaling-%d" % cores, cores=cores,
-                  shuffle_partitions=max(2 * cores, 8),
-                  extra_conf={{"spark.ui.showConsoleProgress": "false"}})
+executors = {executors}
+kw = dict(cores=cores,
+          shuffle_partitions=max(2 * cores * max(executors, 1), 8),
+          extra_conf={{"spark.ui.showConsoleProgress": "false"}})
+if executors:
+    kw.update(executors=executors, executor_mem_mb=8192)
+spark = get_spark(app_name="funnel-scaling-%d-%d" % (executors, cores), **kw)
 ev = spark.read.parquet({corpus!r})
 walls, rows = [], None
 for _ in range(2):
@@ -86,8 +90,10 @@ def build_corpus(n_events: int) -> None:
     spark.stop()
 
 
-def run_leg(cores: int) -> dict:
-    src = _LEG_SRC.format(repo=REPO, cores=cores, corpus=CORPUS)
+def run_leg(cores: int, executors: int = 0) -> dict:
+    src = _LEG_SRC.format(
+        repo=REPO, cores=cores, executors=executors, corpus=CORPUS
+    )
     out = subprocess.run(
         [sys.executable, "-c", src],
         capture_output=True, text=True, check=True, cwd=REPO,
@@ -98,11 +104,19 @@ def run_leg(cores: int) -> dict:
 def main() -> None:
     n_events = int(sys.argv[1]) if len(sys.argv) > 1 else 8_000_000
     n_cores = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+    # --exec: N = 1 executor vs 4N = 4 executor JVMS (n_cores each) —
+    # separate GC/allocator per executor, the faithful cluster proxy
+    # (tools/run_scaling_exec.py rationale); default stays local[] threads
+    exec_mode = "--exec" in sys.argv
     t0 = time.monotonic()
     build_corpus(n_events)
     print(f"corpus built in {time.monotonic() - t0:.1f}s", file=sys.stderr)
-    small = run_leg(n_cores)
-    big = run_leg(4 * n_cores)
+    if exec_mode:
+        small = run_leg(n_cores, executors=1)
+        big = run_leg(n_cores, executors=4)
+    else:
+        small = run_leg(n_cores)
+        big = run_leg(4 * n_cores)
     if small["rows"] != big["rows"]:
         raise SystemExit(
             f"DETERMINISM VIOLATION: {small['rows']} != {big['rows']}"
@@ -110,6 +124,7 @@ def main() -> None:
     eff = small["wall"] / (4 * big["wall"])
     print(json.dumps({
         "op": "funnel_summary",
+        "mode": "executor-jvms" if exec_mode else "threads",
         "n_events": n_events,
         "N": n_cores,
         "wall_N": round(small["wall"], 2),
