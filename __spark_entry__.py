@@ -1867,6 +1867,77 @@ def q_hreflang_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hreflang_clusters(pages)
 
 
+_SOUNDEX_NAMES = [
+    "Smith", "Smyth", "Schmidt", "Robert", "Rupert", "Ashcraft",
+    "Ashcroft", "Tymczak", "Pfister", "Honeyman", "Washington",
+    "Jackson", "Jaxon", "Lee", "Leigh", "Gauss", "Ghosh", "Czar",
+    "Tsar", "Knuth",
+]
+
+
+def q_soundex_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """American Soundex phonetic blocking (functions/normalize.py:
+    soundex_code): NARA-standard codes over a 20-surname fixture full of
+    published collision pairs (Smith/Smyth, Robert/Rupert, Jackson/
+    Jaxon, Czar/Tsar...) + per-code block sizes. The oracle replays the
+    exact translate/replace chain (regexp_replace with 'g' — DuckDB
+    replaces first-only by default)."""
+    from invoice_ocr_reconciler_spark.functions.normalize import soundex_code
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    name = F.element_at(
+        F.array(*[F.lit(n) for n in _SOUNDEX_NAMES]),
+        (F.col("doc_id") % 20 + 1).cast("int"),
+    )
+    coded = docs.select(
+        "doc_id", name.alias("name"), soundex_code(name).alias("soundex")
+    )
+    w = Window.partitionBy("soundex")
+    return coded.withColumn(
+        "block_n", F.count(F.lit(1)).over(w).cast("long")
+    ).orderBy("doc_id")
+
+
+def _soundex_oracle() -> str:
+    """DuckDB replay of functions/normalize.py:soundex_code — the exact
+    translate + 2-pass-per-digit replace chain over the same surname
+    fixture."""
+    names = ", ".join(f"'{n}'" for n in _SOUNDEX_NAMES)
+    coded = (
+        "translate(substr(u, 1, 1), 'BFPVCGJKQSXZDTLMNRAEIOUY',"
+        " '111122222222334556000000') || "
+        "translate(translate(substr(u, 2), 'HW', ''),"
+        " 'BFPVCGJKQSXZDTLMNRAEIOUY', '111122222222334556000000')"
+    )
+    for d in "123456":
+        coded = f"replace({coded}, '{d}{d}', '{d}')"
+        coded = f"replace({coded}, '{d}{d}', '{d}')"
+    return f"""
+        WITH nm AS (
+            SELECT doc_id,
+                   ([{names}])[CAST(doc_id % 20 + 1 AS INT)] AS name
+            FROM documents),
+        up AS (
+            SELECT doc_id, name,
+                   upper(regexp_replace(name, '[^A-Za-z]', '', 'g')) AS u
+            FROM nm),
+        cd AS (
+            SELECT doc_id, name, u, {coded} AS coded FROM up),
+        sx AS (
+            SELECT doc_id, name,
+                   CASE WHEN length(u) > 0 THEN
+                       rpad(substr(u, 1, 1) ||
+                            substr(replace(substr(coded, 2), '0', ''),
+                                   1, 3), 4, '0')
+                   END AS soundex
+            FROM cd)
+        SELECT doc_id, name, soundex,
+               CAST(count(*) OVER (PARTITION BY soundex) AS BIGINT)
+                   AS block_n
+        FROM sx ORDER BY doc_id
+    """
+
+
 def q_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     from invoice_ocr_reconciler_spark.functions.text import repetition_cols
 
@@ -6608,6 +6679,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "access_log_parse": q_access_log_parse,
         "subnet_traffic": q_subnet_traffic,
         "hreflang_clusters": q_hreflang_clusters,
+        "soundex_blocks": q_soundex_blocks,
         "session_stats": q_session_stats,
         "asof_enrich": q_asof_enrich,
         "repetition_metrics": q_repetition_metrics,
@@ -10243,6 +10315,7 @@ def oracle_sql() -> dict[str, str]:
                    parsed_ok
             FROM src ORDER BY event_id
         """,
+        "soundex_blocks": _soundex_oracle(),
         "hreflang_clusters": """
             WITH d AS (
                 SELECT doc_id, doc_id // 3 AS c, doc_id % 3 AS m
