@@ -1938,6 +1938,18 @@ def _soundex_oracle() -> str:
     """
 
 
+def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit fraud screen (operators/profile.py:
+    benford_first_digit) over lineitem extended prices — string-exact
+    digit extraction, literal log10 probabilities, fixed-order chi2."""
+    from invoice_ocr_reconciler_spark.operators.profile import (
+        benford_first_digit,
+    )
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return benford_first_digit(li, "l_extendedprice")
+
+
 def q_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     from invoice_ocr_reconciler_spark.functions.text import repetition_cols
 
@@ -6680,6 +6692,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "subnet_traffic": q_subnet_traffic,
         "hreflang_clusters": q_hreflang_clusters,
         "soundex_blocks": q_soundex_blocks,
+        "benford": q_benford,
         "session_stats": q_session_stats,
         "asof_enrich": q_asof_enrich,
         "repetition_metrics": q_repetition_metrics,
@@ -10316,6 +10329,37 @@ def oracle_sql() -> dict[str, str]:
             FROM src ORDER BY event_id
         """,
         "soundex_blocks": _soundex_oracle(),
+        "benford": """
+            WITH pos AS (
+                SELECT CAST(CAST(l_extendedprice AS DOUBLE)
+                            AS DECIMAL(18,2))::VARCHAR AS s
+                FROM lineitem WHERE CAST(l_extendedprice AS DOUBLE) > 0),
+            dg AS (
+                SELECT regexp_extract(s, '[1-9]') AS ds FROM pos
+                WHERE regexp_extract(s, '[1-9]') <> ''),
+            obs AS (SELECT ds, CAST(count(*) AS BIGINT) AS n FROM dg
+                    GROUP BY 1),
+            tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_tot FROM obs),
+            digits AS (
+                SELECT CAST(d AS INT) AS digit, CAST(d AS VARCHAR) AS ds,
+                       ([0.301029995664, 0.176091259056, 0.124938736608,
+                         0.096910013008, 0.079181246048, 0.066946789631,
+                         0.057991946978, 0.051152522447, 0.045757490561]
+                       )[CAST(d AS INT)] AS p_expected
+                FROM (SELECT unnest(range(1, 10)) AS d))
+            SELECT digit, coalesce(obs.n, 0) AS n,
+                   floor(coalesce(obs.n, 0) / tot.n_tot * 1000000.0 + 0.5)
+                       / 1000000.0 AS frac,
+                   p_expected,
+                   floor(tot.n_tot * p_expected * 10000.0 + 0.5) / 10000.0
+                       AS expected,
+                   floor((coalesce(obs.n, 0) - tot.n_tot * p_expected)
+                         * (coalesce(obs.n, 0) - tot.n_tot * p_expected)
+                         / (tot.n_tot * p_expected) * 1000000.0 + 0.5)
+                       / 1000000.0 AS chi2_contrib
+            FROM digits LEFT JOIN obs USING (ds) CROSS JOIN tot
+            ORDER BY digit
+        """,
         "hreflang_clusters": """
             WITH d AS (
                 SELECT doc_id, doc_id // 3 AS c, doc_id % 3 AS m

@@ -1178,3 +1178,75 @@ def concentration_metrics(
             for k in top_shares
         ],
     )
+
+
+# log10(1 + 1/d) snapped to 12 decimals — LITERALS, not libm calls, so
+# both engines use bit-identical constants
+_BENFORD_P = {
+    1: 0.301029995664, 2: 0.176091259056, 3: 0.124938736608,
+    4: 0.096910013008, 5: 0.079181246048, 6: 0.066946789631,
+    7: 0.057991946978, 8: 0.051152522447, 9: 0.045757490561,
+}
+
+
+def benford_first_digit(
+    df: DataFrame,
+    amount_col: str,
+) -> DataFrame:
+    """Benford's-law first-significant-digit screen (Newcomb 1881;
+    Benford 1938; Nigrini's fraud-audit standard): natural multi-scale
+    amounts follow P(d) = log10(1+1/d); fabricated or constrained
+    figures don't — THE classic forensic test for exactly this repo's
+    invoice-amount domain.
+
+    Digit extraction is string-exact (amount -> DECIMAL(18,2) string ->
+    first [1-9]), never floor(x/10^floor(log10 x)) — no libm in the
+    digit path and no float-boundary drift; the reference probabilities
+    are 12-decimal literals, so expected counts and chi-square
+    contributions are fixed-order double expressions both engines
+    reproduce exactly. Non-positive/NULL amounts are excluded (Benford
+    applies to positive quantities; report them upstream).
+
+    Output: one row per digit 1-9 (digits with zero observations
+    included): (digit, n, frac, p_expected, expected, chi2_contrib).
+    """
+    amt = F.col(amount_col).cast("double")
+    s = amt.cast("decimal(18,2)").cast("string")
+    digit = F.regexp_extract(s, "[1-9]", 0)
+    obs = (
+        df.where(amt > 0)
+        .select(digit.alias("ds"))
+        .where(F.col("ds") != "")
+        .groupBy("ds")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    spark = df.sparkSession
+    digits = spark.range(1, 10).select(
+        F.col("id").cast("int").alias("digit"),
+        F.col("id").cast("string").alias("ds"),
+    )
+    tot = obs.groupBy().agg(F.sum("n").cast("long").alias("n_tot"))
+    p_expr = F.element_at(
+        F.array(*[F.lit(_BENFORD_P[d]) for d in range(1, 10)]),
+        F.col("digit"),
+    )
+    joined = (
+        digits.join(obs, "ds", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            F.coalesce("n", F.lit(0).cast("long")).alias("n"),
+            "n_tot",
+            p_expr.alias("p_expected"),
+        )
+    )
+    expected = F.col("n_tot") * F.col("p_expected")
+    diff = F.col("n") - F.col("n_tot") * F.col("p_expected")
+    return joined.select(
+        "digit",
+        "n",
+        roundn(F.col("n") / F.col("n_tot"), 6).alias("frac"),
+        "p_expected",
+        roundn(expected, 4).alias("expected"),
+        roundn(diff * diff / expected, 6).alias("chi2_contrib"),
+    ).orderBy("digit")

@@ -60,3 +60,32 @@ def test_distinctive_terms_min_count_and_tiebreak(spark):
     # a and b have identical counts -> identical rr -> term asc tie-break;
     # q (k_g=1) is cut by min_count=2 in g1
     assert g1 == [("a", 1), ("b", 2)]
+
+
+def test_benford_hand_computed(spark):
+    from invoice_ocr_reconciler_spark.operators.profile import (
+        benford_first_digit,
+    )
+
+    # amounts: first digits 1,1,2,9 plus excluded junk (0, -5, NULL)
+    df = spark.createDataFrame(
+        [(123.0,), (0.19,), (2000.5,), (9.99,), (0.0,), (-5.0,), (None,)],
+        "amt double",
+    )
+    out = {r.digit: r for r in benford_first_digit(df, "amt").collect()}
+    assert len(out) == 9
+    assert out[1].n == 2 and out[2].n == 1 and out[9].n == 1
+    assert out[3].n == 0  # zero-observation digits present
+    assert out[1].frac == 0.5
+    # expected for d=1: 4 * 0.301029995664 = 1.204119982656 -> 1.2041
+    assert out[1].expected == 1.2041
+
+
+def test_benford_sub_one_amounts_use_first_significant_digit(spark):
+    from invoice_ocr_reconciler_spark.operators.profile import (
+        benford_first_digit,
+    )
+
+    df = spark.createDataFrame([(0.07,), (0.5,)], "amt double")
+    out = {r.digit: r.n for r in benford_first_digit(df, "amt").collect()}
+    assert out[7] == 1 and out[5] == 1
