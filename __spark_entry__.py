@@ -1950,6 +1950,38 @@ def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
     return benford_first_digit(li, "l_extendedprice")
 
 
+def q_duplicate_payments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-payment audit (operators/mutate.py:duplicate_payments):
+    orders re-emitted as payments, with o_orderkey%37==0 double-paid 3
+    days later under a shifted id — the date-windowed extension of the
+    reference's exact-duplicate scan. One window over (payer, amount);
+    oracle replays synthesis + lag."""
+    from invoice_ocr_reconciler_spark.operators.mutate import (
+        duplicate_payments,
+    )
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    base = orders.select(
+        F.col("o_orderkey").alias("payment_id"),
+        F.col("o_custkey").alias("payer"),
+        F.col("o_totalprice").alias("amount"),
+        F.col("o_orderdate").alias("pay_date"),
+    )
+    dup = orders.where(F.col("o_orderkey") % 37 == 0).select(
+        (F.col("o_orderkey") + 1000000000).alias("payment_id"),
+        F.col("o_custkey").alias("payer"),
+        F.col("o_totalprice").alias("amount"),
+        F.date_add(F.col("o_orderdate"), 3).alias("pay_date"),
+    )
+    return duplicate_payments(
+        base.unionByName(dup),
+        key_cols=("payer",),
+        amount_col="amount",
+        date_col="pay_date",
+        window_days=7,
+    )
+
+
 def q_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     from invoice_ocr_reconciler_spark.functions.text import repetition_cols
 
@@ -6693,6 +6725,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hreflang_clusters": q_hreflang_clusters,
         "soundex_blocks": q_soundex_blocks,
         "benford": q_benford,
+        "duplicate_payments": q_duplicate_payments,
         "session_stats": q_session_stats,
         "asof_enrich": q_asof_enrich,
         "repetition_metrics": q_repetition_metrics,
@@ -10329,6 +10362,31 @@ def oracle_sql() -> dict[str, str]:
             FROM src ORDER BY event_id
         """,
         "soundex_blocks": _soundex_oracle(),
+        "duplicate_payments": """
+            WITH pay AS (
+                SELECT o_orderkey AS payment_id, o_custkey AS payer,
+                       o_totalprice AS amount, o_orderdate AS pay_date
+                FROM orders
+                UNION ALL
+                SELECT o_orderkey + 1000000000, o_custkey, o_totalprice,
+                       o_orderdate + INTERVAL 3 DAY
+                FROM orders WHERE o_orderkey % 37 = 0),
+            lg AS (
+                SELECT payment_id, payer, amount, pay_date,
+                       lag(payment_id) OVER w AS prev_id,
+                       lag(pay_date) OVER w AS prev_date
+                FROM pay
+                WINDOW w AS (PARTITION BY payer, amount
+                             ORDER BY pay_date, payment_id))
+            SELECT payment_id, payer, amount, pay_date, prev_id,
+                   prev_date,
+                   CAST(date_diff('day', prev_date, pay_date) AS INT)
+                       AS gap_days
+            FROM lg
+            WHERE prev_id IS NOT NULL
+              AND date_diff('day', prev_date, pay_date) <= 7
+            ORDER BY payment_id
+        """,
         "benford": """
             WITH pos AS (
                 SELECT CAST(CAST(l_extendedprice AS DOUBLE)

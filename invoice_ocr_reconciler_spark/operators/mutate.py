@@ -325,3 +325,48 @@ def scd2_history(
         )
         .orderBy(key_col, "version")
     )
+
+
+def duplicate_payments(
+    payments: DataFrame,
+    *,
+    id_col: str = "payment_id",
+    key_cols: tuple[str, ...] = ("vendor",),
+    amount_col: str = "amount",
+    date_col: str = "pay_date",
+    window_days: int = 7,
+) -> DataFrame:
+    """Duplicate-payment detection — the classic accounts-payable audit
+    the reference's reconciliation feeds (same vendor, same amount, paid
+    again within a few days = double-pay until proven otherwise; the
+    extension of the reference's exact-duplicate scan,
+    backend/reconciliationEngine.js:43-51, to a DATE-WINDOWED rule).
+
+    ONE shuffle: window over (key..., amount) ordered by (date, id); a
+    row is flagged when its predecessor in the group is within
+    `window_days`. Output is the FLAGGED rows with their predecessor
+    reference and the day gap — chains of 3+ payments flag every
+    follow-up against its immediate predecessor.
+    """
+    w = Window.partitionBy(
+        *key_cols, amount_col
+    ).orderBy(F.col(date_col), F.col(id_col))
+    prev_id = F.lag(id_col).over(w)
+    prev_date = F.lag(date_col).over(w)
+    gap = F.datediff(F.col(date_col), prev_date)
+    return (
+        payments.select(
+            F.col(id_col),
+            *key_cols,
+            amount_col,
+            date_col,
+            prev_id.alias("prev_id"),
+            prev_date.alias("prev_date"),
+            gap.alias("gap_days"),
+        )
+        .where(
+            F.col("prev_id").isNotNull()
+            & (F.col("gap_days") <= int(window_days))
+        )
+        .orderBy(id_col)
+    )

@@ -89,3 +89,49 @@ def test_multi_attr_change(spark):
         (1, 200, 1),
         (2, 404, 2),
     ]
+
+
+def test_duplicate_payments_window_rule(spark):
+    import datetime as dt
+
+    from invoice_ocr_reconciler_spark.operators.mutate import (
+        duplicate_payments,
+    )
+
+    d = dt.date(2024, 1, 10)
+    rows = [
+        # (id, payer, amount, date)
+        (1, 7, 100.0, d),
+        (2, 7, 100.0, d + dt.timedelta(days=3)),    # dup of 1
+        (3, 7, 100.0, d + dt.timedelta(days=20)),   # outside window
+        (4, 7, 250.0, d + dt.timedelta(days=1)),    # different amount
+        (5, 8, 100.0, d + dt.timedelta(days=2)),    # different payer
+        (6, 7, 100.0, d + dt.timedelta(days=22)),   # dup of 3 (chain)
+    ]
+    df = spark.createDataFrame(
+        rows, "payment_id long, payer long, amount double, pay_date date"
+    )
+    got = {r.payment_id: r for r in duplicate_payments(
+        df, key_cols=("payer",)).collect()}
+    assert set(got) == {2, 6}
+    assert got[2].prev_id == 1 and got[2].gap_days == 3
+    assert got[6].prev_id == 3 and got[6].gap_days == 2
+
+
+def test_duplicate_payments_same_day_tiebreak(spark):
+    import datetime as dt
+
+    from invoice_ocr_reconciler_spark.operators.mutate import (
+        duplicate_payments,
+    )
+
+    d = dt.date(2024, 2, 1)
+    df = spark.createDataFrame(
+        [(9, 1, 50.0, d), (4, 1, 50.0, d)],
+        "payment_id long, payer long, amount double, pay_date date",
+    )
+    got = duplicate_payments(df, key_cols=("payer",)).collect()
+    # same-day pair: lower id is "first", higher id flagged with gap 0
+    assert [(r.payment_id, r.prev_id, r.gap_days) for r in got] == [
+        (9, 4, 0)
+    ]
