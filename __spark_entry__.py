@@ -1982,6 +1982,18 @@ def q_duplicate_payments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_amount_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-number bias + threshold bunching (operators/profile.py:
+    amount_anomalies) over order totals — string-exact cents, integer
+    multiples, 2% band around a 5,000 approval threshold."""
+    from invoice_ocr_reconciler_spark.operators.profile import (
+        amount_anomalies,
+    )
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return amount_anomalies(orders, "o_totalprice")
+
+
 def q_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     from invoice_ocr_reconciler_spark.functions.text import repetition_cols
 
@@ -6726,6 +6738,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "soundex_blocks": q_soundex_blocks,
         "benford": q_benford,
         "duplicate_payments": q_duplicate_payments,
+        "amount_anomalies": q_amount_anomalies,
         "session_stats": q_session_stats,
         "asof_enrich": q_asof_enrich,
         "repetition_metrics": q_repetition_metrics,
@@ -10362,6 +10375,45 @@ def oracle_sql() -> dict[str, str]:
             FROM src ORDER BY event_id
         """,
         "soundex_blocks": _soundex_oracle(),
+        "amount_anomalies": """
+            WITH a AS (
+                SELECT CASE WHEN CAST(o_totalprice AS DOUBLE) > 0
+                            THEN CAST(o_totalprice AS DOUBLE) END AS amt
+                FROM orders),
+            f AS (
+                SELECT amt,
+                       CAST(CAST(amt AS DECIMAL(18,2)) AS VARCHAR) AS s,
+                       CAST(CAST(amt AS DECIMAL(18,2)) * 100 AS BIGINT)
+                           AS cents
+                FROM a),
+            g AS (
+                SELECT CAST(count(amt) AS BIGINT) AS n_pos,
+                       CAST(sum(CASE WHEN s LIKE '%.00' THEN 1 ELSE 0 END)
+                            AS BIGINT) AS n_cents_00,
+                       CAST(sum(CASE WHEN s LIKE '%.00'
+                                      AND cents % 10000 = 0
+                                     THEN 1 ELSE 0 END) AS BIGINT)
+                           AS n_mult_100,
+                       CAST(sum(CASE WHEN s LIKE '%.00'
+                                      AND cents % 100000 = 0
+                                     THEN 1 ELSE 0 END) AS BIGINT)
+                           AS n_mult_1000,
+                       CAST(sum(CASE WHEN amt >= 4900.0 AND amt < 5000.0
+                                     THEN 1 ELSE 0 END) AS BIGINT)
+                           AS n_just_below,
+                       CAST(sum(CASE WHEN amt >= 5000.0 AND amt < 5100.0
+                                     THEN 1 ELSE 0 END) AS BIGINT)
+                           AS n_just_above
+                FROM f)
+            SELECT n_pos, n_cents_00, n_mult_100, n_mult_1000,
+                   n_just_below, n_just_above,
+                   floor(n_cents_00 / nullif(n_pos, 0) * 1000000.0 + 0.5)
+                       / 1000000.0 AS frac_cents_00,
+                   floor(n_just_below
+                         / nullif(n_just_below + n_just_above, 0)
+                         * 1000000.0 + 0.5) / 1000000.0 AS below_share
+            FROM g
+        """,
         "duplicate_payments": """
             WITH pay AS (
                 SELECT o_orderkey AS payment_id, o_custkey AS payer,

@@ -1250,3 +1250,62 @@ def benford_first_digit(
         roundn(expected, 4).alias("expected"),
         roundn(diff * diff / expected, 6).alias("chi2_contrib"),
     ).orderBy("digit")
+
+
+def amount_anomalies(
+    df: DataFrame,
+    amount_col: str,
+    *,
+    threshold: float = 5000.0,
+    band_frac: float = 0.02,
+) -> DataFrame:
+    """Round-number bias + approval-threshold bunching — the two
+    companion screens to the Benford digit test (Nigrini's number-
+    duplication / threshold tests): fabricated amounts over-use round
+    figures, and amounts engineered to dodge an approval limit bunch
+    JUST BELOW it (count just-below vs just-above the threshold band).
+
+    Cents are judged on the DECIMAL(18,2) string (never fmod on doubles
+    — 0.1-step floats don't fmod cleanly); multiples of 100/1000 are
+    integer checks on the cent value. ONE conditional aggregate row.
+    """
+    amt = F.col(amount_col).cast("double")
+    pos = F.when(amt > 0, amt)
+    s = pos.cast("decimal(18,2)").cast("string")
+    cents_00 = F.endswith(s, F.lit(".00"))
+    cents = pos.cast("decimal(18,2)") * 100
+    cents_l = cents.cast("long")
+    mult_100 = cents_00 & (cents_l % 10000 == 0)
+    mult_1000 = cents_00 & (cents_l % 100000 == 0)
+    lo = float(threshold) * (1.0 - float(band_frac))
+    hi = float(threshold) * (1.0 + float(band_frac))
+    below = (pos >= lo) & (pos < float(threshold))
+    above = (pos >= float(threshold)) & (pos < hi)
+
+    def cnt(c):
+        return F.sum(F.when(c, 1).otherwise(0)).cast("long")
+
+    agg = df.groupBy().agg(
+        F.count(pos).cast("long").alias("n_pos"),
+        cnt(cents_00).alias("n_cents_00"),
+        cnt(mult_100).alias("n_mult_100"),
+        cnt(mult_1000).alias("n_mult_1000"),
+        cnt(below).alias("n_just_below"),
+        cnt(above).alias("n_just_above"),
+    )
+    return agg.select(
+        "n_pos",
+        "n_cents_00",
+        "n_mult_100",
+        "n_mult_1000",
+        "n_just_below",
+        "n_just_above",
+        roundn(F.col("n_cents_00") / F.nullif("n_pos", F.lit(0)), 6).alias(
+            "frac_cents_00"
+        ),
+        roundn(
+            F.col("n_just_below")
+            / F.nullif(F.col("n_just_below") + F.col("n_just_above"), F.lit(0)),
+            6,
+        ).alias("below_share"),
+    )

@@ -89,3 +89,28 @@ def test_benford_sub_one_amounts_use_first_significant_digit(spark):
     df = spark.createDataFrame([(0.07,), (0.5,)], "amt double")
     out = {r.digit: r.n for r in benford_first_digit(df, "amt").collect()}
     assert out[7] == 1 and out[5] == 1
+
+
+def test_amount_anomalies_hand_computed(spark):
+    from invoice_ocr_reconciler_spark.operators.profile import (
+        amount_anomalies,
+    )
+
+    rows = [
+        (100.00,),   # cents_00 + mult_100
+        (1000.00,),  # cents_00 + mult_100 + mult_1000
+        (100.50,),   # none
+        (250.00,),   # cents_00 only (not mult_100)
+        (4950.0,),   # just below 5000 (2% band)
+        (5050.0,),   # just above
+        (4800.0,),   # outside band
+        (0.0,), (-3.0,), (None,),  # excluded
+    ]
+    df = spark.createDataFrame(rows, "amt double")
+    r = amount_anomalies(df, "amt").collect()[0]
+    assert r.n_pos == 7
+    assert r.n_cents_00 == 6          # all but 100.50
+    assert r.n_mult_100 == 3          # 100, 1000, 4800
+    assert r.n_mult_1000 == 1         # 1000
+    assert (r.n_just_below, r.n_just_above) == (1, 1)
+    assert r.below_share == 0.5
