@@ -1994,6 +1994,65 @@ def q_amount_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     return amount_anomalies(orders, "o_totalprice")
 
 
+def _entity_anchors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesized anchor harvest for the entity-linking band: per doc a
+    bigram anchor (first two tokens -> 'https://t/b<doc_id%25>') and a
+    unigram anchor (first token -> 'https://t/u<doc_id%10>') — the same
+    surface maps to different targets across docs, so commonness and
+    ambiguity are real."""
+    from invoice_ocr_reconciler_spark.functions.text import tokens_col
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = tokens_col(F.col("text"))
+    i = F.col("doc_id")
+    bi = docs.where(F.size(toks) >= 2).select(
+        F.concat_ws(
+            " ", F.element_at(toks, 1), F.element_at(toks, 2)
+        ).alias("anchor"),
+        F.concat(F.lit("https://t/b"), (i % 25).cast("string")).alias(
+            "link"
+        ),
+    )
+    un = docs.where(F.size(toks) >= 1).select(
+        F.element_at(toks, 1).alias("anchor"),
+        F.concat(F.lit("https://t/u"), (i % 10).cast("string")).alias(
+            "link"
+        ),
+    )
+    return bi.unionByName(un)
+
+
+def q_entity_dict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor surface-form dictionary (operators/entitylink.py:
+    build_surface_dict): top target per surface by (count desc, target)
+    via the min-of-struct aggregate, Milne–Witten commonness prior,
+    sense-ambiguity count."""
+    from invoice_ocr_reconciler_spark.operators.entitylink import (
+        build_surface_dict,
+    )
+
+    return build_surface_dict(
+        _entity_anchors(spark, sf_dir), min_count=2, max_tokens=2
+    ).orderBy("surface")
+
+
+def q_entity_link(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most-common-sense entity linking (operators/entitylink.py:
+    link_mentions): uni/bigram candidates equi-joined to the broadcast
+    dictionary; accepted bigrams suppress their covered unigram
+    positions (maximal match, relational anti join)."""
+    from invoice_ocr_reconciler_spark.operators.entitylink import (
+        build_surface_dict,
+        link_mentions,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = build_surface_dict(
+        _entity_anchors(spark, sf_dir), min_count=2, max_tokens=2
+    )
+    return link_mentions(docs, d)
+
+
 def q_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     from invoice_ocr_reconciler_spark.functions.text import repetition_cols
 
@@ -6739,6 +6798,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "benford": q_benford,
         "duplicate_payments": q_duplicate_payments,
         "amount_anomalies": q_amount_anomalies,
+        "entity_dict": q_entity_dict,
+        "entity_link": q_entity_link,
         "session_stats": q_session_stats,
         "asof_enrich": q_asof_enrich,
         "repetition_metrics": q_repetition_metrics,
@@ -10375,6 +10436,105 @@ def oracle_sql() -> dict[str, str]:
             FROM src ORDER BY event_id
         """,
         "soundex_blocks": _soundex_oracle(),
+        "entity_dict": """
+            WITH tkq AS (
+                SELECT doc_id, list_filter(string_split_regex(
+                           lower(trim(coalesce(text, ''))), '\\s+'),
+                           t -> t <> '') AS toks
+                FROM documents),
+            an AS (
+                SELECT toks[1] || ' ' || toks[2] AS surface,
+                       'https://t/b' || CAST(doc_id % 25 AS VARCHAR)
+                           AS target
+                FROM tkq WHERE len(toks) >= 2
+                UNION ALL
+                SELECT toks[1],
+                       'https://t/u' || CAST(doc_id % 10 AS VARCHAR)
+                FROM tkq WHERE len(toks) >= 1),
+            base AS (
+                SELECT surface, target, CAST(count(*) AS BIGINT) AS cnt
+                FROM an WHERE surface IS NOT NULL AND surface <> ''
+                GROUP BY 1, 2),
+            r AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY surface ORDER BY cnt DESC, target) AS rn
+                FROM base),
+            tops AS (SELECT surface, target, cnt AS n_links FROM r
+                     WHERE rn = 1),
+            sums AS (
+                SELECT surface, CAST(sum(cnt) AS BIGINT) AS n_surface,
+                       CAST(count(*) AS BIGINT) AS n_targets
+                FROM base GROUP BY 1)
+            SELECT s.surface, t.target, t.n_links, s.n_surface,
+                   floor(t.n_links / s.n_surface * 1000000.0 + 0.5)
+                       / 1000000.0 AS commonness,
+                   s.n_targets
+            FROM sums s JOIN tops t USING (surface)
+            WHERE s.n_surface >= 2
+            ORDER BY s.surface
+        """,
+        "entity_link": """
+            WITH tkq AS (
+                SELECT doc_id, list_filter(string_split_regex(
+                           lower(trim(coalesce(text, ''))), '\\s+'),
+                           t -> t <> '') AS toks
+                FROM documents),
+            an AS (
+                SELECT toks[1] || ' ' || toks[2] AS surface,
+                       'https://t/b' || CAST(doc_id % 25 AS VARCHAR)
+                           AS target
+                FROM tkq WHERE len(toks) >= 2
+                UNION ALL
+                SELECT toks[1],
+                       'https://t/u' || CAST(doc_id % 10 AS VARCHAR)
+                FROM tkq WHERE len(toks) >= 1),
+            base AS (
+                SELECT surface, target, CAST(count(*) AS BIGINT) AS cnt
+                FROM an WHERE surface IS NOT NULL AND surface <> ''
+                GROUP BY 1, 2),
+            r AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY surface ORDER BY cnt DESC, target) AS rn
+                FROM base),
+            tops AS (SELECT surface, target, cnt AS n_links FROM r
+                     WHERE rn = 1),
+            sums AS (
+                SELECT surface, CAST(sum(cnt) AS BIGINT) AS n_surface
+                FROM base GROUP BY 1),
+            dict AS (
+                SELECT s.surface, t.target,
+                       floor(t.n_links / s.n_surface * 1000000.0 + 0.5)
+                           / 1000000.0 AS commonness
+                FROM sums s JOIN tops t USING (surface)
+                WHERE s.n_surface >= 2),
+            ex AS (
+                SELECT doc_id, unnest(toks) AS tok,
+                       generate_subscripts(toks, 1) - 1 AS pos
+                FROM tkq),
+            bi AS (
+                SELECT a.doc_id, a.pos, a.tok || ' ' || b.tok AS surface
+                FROM ex a JOIN ex b
+                  ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+            bim AS (
+                SELECT bi.doc_id, bi.pos, 2 AS n_tokens, d.surface,
+                       d.target, d.commonness
+                FROM bi JOIN dict d USING (surface)),
+            cov AS (
+                SELECT doc_id, pos FROM bim
+                UNION
+                SELECT doc_id, pos + 1 FROM bim),
+            unim AS (
+                SELECT e.doc_id, e.pos, 1 AS n_tokens, d.surface,
+                       d.target, d.commonness
+                FROM ex e JOIN dict d ON e.tok = d.surface
+                WHERE NOT EXISTS (
+                    SELECT 1 FROM cov c
+                    WHERE c.doc_id = e.doc_id AND c.pos = e.pos))
+            SELECT * FROM bim
+            UNION ALL
+            SELECT * FROM unim
+            ORDER BY doc_id, pos, n_tokens
+        """,
         "amount_anomalies": """
             WITH a AS (
                 SELECT CASE WHEN CAST(o_totalprice AS DOUBLE) > 0
