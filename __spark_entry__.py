@@ -2053,6 +2053,18 @@ def q_entity_link(spark: SparkSession, sf_dir: str) -> DataFrame:
     return link_mentions(docs, d)
 
 
+def q_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fano dispersion of per-user daily activity (operators/events.py:
+    dispersion_index): (N·Σx² - (Σx)²)/(N·Σx) over the global calendar
+    span — burstiness screening, integer-exact."""
+    from invoice_ocr_reconciler_spark.operators.events import (
+        dispersion_index,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return dispersion_index(ev)
+
+
 def q_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     from invoice_ocr_reconciler_spark.functions.text import repetition_cols
 
@@ -6800,6 +6812,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "amount_anomalies": q_amount_anomalies,
         "entity_dict": q_entity_dict,
         "entity_link": q_entity_link,
+        "dispersion": q_dispersion,
         "session_stats": q_session_stats,
         "asof_enrich": q_asof_enrich,
         "repetition_metrics": q_repetition_metrics,
@@ -10436,6 +10449,28 @@ def oracle_sql() -> dict[str, str]:
             FROM src ORDER BY event_id
         """,
         "soundex_blocks": _soundex_oracle(),
+        "dispersion": """
+            WITH per AS (
+                SELECT user_id AS key, CAST(date_trunc('day', ts) AS DATE)
+                           AS d,
+                       CAST(count(*) AS BIGINT) AS x
+                FROM events GROUP BY 1, 2),
+            span AS (
+                SELECT CAST(date_diff('day', min(d), max(d)) + 1
+                            AS BIGINT) AS n_days
+                FROM per),
+            agg AS (
+                SELECT key, CAST(sum(x) AS BIGINT) AS sx,
+                       CAST(sum(x * x) AS BIGINT) AS sxx,
+                       CAST(count(*) AS BIGINT) AS active_days
+                FROM per GROUP BY 1)
+            SELECT key AS user_id, sx AS n_events, active_days, n_days,
+                   floor(sx / n_days * 1000000.0 + 0.5) / 1000000.0
+                       AS mean_per_day,
+                   floor((n_days * sxx - sx * sx) / (n_days * sx)
+                         * 1000000.0 + 0.5) / 1000000.0 AS fano
+            FROM agg CROSS JOIN span ORDER BY user_id
+        """,
         "entity_dict": """
             WITH tkq AS (
                 SELECT doc_id, list_filter(string_split_regex(

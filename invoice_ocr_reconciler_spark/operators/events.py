@@ -576,3 +576,59 @@ def event_transitions(
         )
         .orderBy("from_type", "to_type")
     )
+
+
+def dispersion_index(
+    events: DataFrame,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Fano dispersion index of daily activity per key — the classic
+    burstiness statistic (variance-to-mean ratio of per-day event
+    counts): ~1 for Poisson-like organic traffic, >>1 for bursty
+    (campaign/bot/scraper) keys, <1 for metronomic automation. The
+    denominator span is the GLOBAL [min_day, max_day] calendar (zero
+    days count), so keys are comparable.
+
+    Everything reduces to three exact integers per key (n events = Σx,
+    Σx², N days) combined in ONE fixed-order rational:
+
+        fano = (N·Σx² - (Σx)²) / (N·Σx)
+
+    Plan: per-(key, day) partial-agg counts -> per-key sums; the global
+    span rides a broadcast 1-row aggregate. 6-grid output.
+    """
+    from invoice_ocr_reconciler_spark.functions.text import roundn
+
+    day = F.date_trunc("day", F.col(ts_col).cast("timestamp")).cast("date")
+    per = (
+        events.select(F.col(key_col).alias("key"), day.alias("d"))
+        .groupBy("key", "d")
+        .agg(F.count(F.lit(1)).cast("long").alias("x"))
+    )
+    span = per.groupBy().agg(
+        (F.datediff(F.max("d"), F.min("d")) + 1)
+        .cast("long")
+        .alias("n_days")
+    )
+    agg = per.groupBy("key").agg(
+        F.sum("x").cast("long").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.count(F.lit(1)).cast("long").alias("active_days"),
+    )
+    fano = (
+        F.col("n_days") * F.col("sxx") - F.col("sx") * F.col("sx")
+    ) / (F.col("n_days") * F.col("sx"))
+    return (
+        agg.crossJoin(F.broadcast(span))
+        .select(
+            F.col("key").alias(key_col),
+            F.col("sx").alias("n_events"),
+            "active_days",
+            "n_days",
+            roundn(F.col("sx") / F.col("n_days"), 6).alias("mean_per_day"),
+            roundn(fano, 6).alias("fano"),
+        )
+        .orderBy(key_col)
+    )

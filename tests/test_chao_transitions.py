@@ -101,3 +101,30 @@ def test_cm_inner_product_config_mismatch_raises(spark):
         cm_inner_product(
             build_cm_sketch(a, width=64), build_cm_sketch(a, width=128)
         ).collect()
+
+
+def test_dispersion_index_hand_computed(spark):
+    import datetime as dt
+
+    from invoice_ocr_reconciler_spark.operators.events import (
+        dispersion_index,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 12)
+    rows = []
+    eid = 0
+    # user 1: 4 events on one day, span 4 days -> bursty
+    for _ in range(4):
+        rows.append((eid, 1, t0)); eid += 1
+    # user 2: 1 event per day over all 4 days -> metronomic
+    for k in range(4):
+        rows.append((eid, 2, t0 + dt.timedelta(days=k))); eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp_ntz"
+    )
+    got = {r.user_id: r for r in dispersion_index(ev).collect()}
+    # user1: sx=4, sxx=16, N=4 -> fano = (64-16)/16 = 3.0
+    assert got[1].fano == 3.0 and got[1].active_days == 1
+    # user2: sx=4, sxx=4, N=4 -> fano = (16-16)/16 = 0.0
+    assert got[2].fano == 0.0 and got[2].active_days == 4
+    assert got[1].mean_per_day == 1.0 == got[2].mean_per_day

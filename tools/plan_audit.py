@@ -78,7 +78,7 @@ PURE_CODEGEN_QUERIES = [
     "canonical_best", "texttile", "join_size_estimate",
     "harmonic_centrality", "access_log_parse", "subnet_traffic",
     "hreflang_clusters", "soundex_blocks", "benford", "duplicate_payments",
-    "amount_anomalies", "entity_dict", "entity_link",
+    "amount_anomalies", "entity_dict", "entity_link", "dispersion",
     "identifiers_extract", "license_detect", "reply_strip",
     "span_corruption", "fim_transform", "render_chat",
     "ir_metrics", "ir_metrics_macro", "ocr_eval", "ocr_eval_summary",
