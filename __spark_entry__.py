@@ -2065,6 +2065,19 @@ def q_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dispersion_index(ev)
 
 
+def q_pps_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Systematic PPS sampling (operators/sampling.py:pps_systematic):
+    60 draws proportional to n_chars over the id-ordered cumulative
+    weight line — bucketed global cumsum, exact BIGINT selection
+    arithmetic, no RNG."""
+    from invoice_ocr_reconciler_spark.operators.sampling import (
+        pps_systematic,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return pps_systematic(docs, "n_chars", 60)
+
+
 def q_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     from invoice_ocr_reconciler_spark.functions.text import repetition_cols
 
@@ -6813,6 +6826,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_dict": q_entity_dict,
         "entity_link": q_entity_link,
         "dispersion": q_dispersion,
+        "pps_sample": q_pps_sample,
         "session_stats": q_session_stats,
         "asof_enrich": q_asof_enrich,
         "repetition_metrics": q_repetition_metrics,
@@ -10449,6 +10463,24 @@ def oracle_sql() -> dict[str, str]:
             FROM src ORDER BY event_id
         """,
         "soundex_blocks": _soundex_oracle(),
+        "pps_sample": """
+            WITH base AS (
+                SELECT doc_id AS rid, CAST(n_chars AS BIGINT) AS wgt
+                FROM documents WHERE n_chars > 0),
+            cumt AS (
+                SELECT rid, wgt,
+                       CAST(sum(wgt) OVER (ORDER BY rid
+                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+                FROM base),
+            tot AS (SELECT CAST(sum(wgt) AS BIGINT) AS w FROM base)
+            SELECT rid AS doc_id, wgt AS weight, cum,
+                   CAST(floor(cum * 60 / w)
+                        - floor((cum - wgt) * 60 / w) AS BIGINT)
+                       AS n_picks
+            FROM cumt CROSS JOIN tot
+            WHERE floor(cum * 60 / w) - floor((cum - wgt) * 60 / w) > 0
+            ORDER BY doc_id
+        """,
         "dispersion": """
             WITH per AS (
                 SELECT user_id AS key, CAST(date_trunc('day', ts) AS DATE)

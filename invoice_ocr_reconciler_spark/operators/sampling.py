@@ -650,3 +650,81 @@ def temperature_sampling(
         )
         .orderBy("group")
     )
+
+
+def pps_systematic(
+    df: DataFrame,
+    weight_col: str,
+    n_samples: int,
+    *,
+    id_col: str = "doc_id",
+    bucket_width: int = 1024,
+) -> DataFrame:
+    """Systematic probability-proportional-to-size sampling (the classic
+    survey-statistics PPS design, deterministic-start variant): walk the
+    id-ordered cumulative weight line and take one unit every W/n of
+    mass — every row's selection probability is proportional to its
+    weight, with NO RNG (the repo-wide determinism contract; a seeded
+    start would go through the hash machinery like weighted_sample).
+
+    A row is picked floor(cum·n/W) - floor((cum-w)·n/W) times (heavy
+    rows can be picked more than once — the standard PPS-with-
+    replacement accounting; n_picks carries it).
+
+    Scale shape: the global cumulative sum is NEVER a one-partition
+    window — ids bucket into aligned ranges (id // bucket_width), per-
+    bucket sums broadcast as cumulative offsets (the sorted_neighborhood
+    global-rank idiom), local cumsum + offset = exact global cumsum.
+    All selection arithmetic is exact BIGINT products (weights are cast
+    to BIGINT; reject non-positive).
+    """
+    from pyspark.sql import Window
+
+    w = F.col(weight_col).cast("long")
+    base = df.select(
+        F.col(id_col).alias("rid"), w.alias("wgt")
+    ).where(F.col("wgt") > 0)
+    bucket = (F.col("rid") / int(bucket_width)).cast("long")
+    wb = base.withColumn("bkt", bucket)
+    per = wb.groupBy("bkt").agg(F.sum("wgt").cast("long").alias("_n"))
+    w_off = Window.partitionBy(F.lit(1)).orderBy("bkt")
+    offsets = per.select(
+        "bkt",
+        F.coalesce(
+            F.sum("_n").over(
+                w_off.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("_off"),
+    )
+    total = per.groupBy().agg(F.sum("_n").cast("long").alias("_w_total"))
+    w_in = Window.partitionBy("bkt").orderBy("rid")
+    cum = (
+        wb.join(F.broadcast(offsets), "bkt")
+        .withColumn(
+            "cum",
+            (
+                F.sum("wgt").over(
+                    w_in.rowsBetween(Window.unboundedPreceding, 0)
+                )
+                + F.col("_off")
+            ).cast("long"),
+        )
+        .crossJoin(F.broadcast(total))
+    )
+    n = F.lit(int(n_samples)).cast("long")
+    picks = F.floor(F.col("cum") * n / F.col("_w_total")) - F.floor(
+        (F.col("cum") - F.col("wgt")) * n / F.col("_w_total")
+    )
+    return (
+        cum.select(
+            F.col("rid").alias(id_col),
+            F.col("wgt").alias("weight"),
+            "cum",
+            picks.cast("long").alias("n_picks"),
+        )
+        .where(F.col("n_picks") > 0)
+        .orderBy(id_col)
+    )
