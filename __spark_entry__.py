@@ -2078,6 +2078,18 @@ def q_pps_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pps_systematic(docs, "n_chars", 60)
 
 
+def q_benford_by_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-supplier Benford deviation ranking (operators/profile.py:
+    benford_by_group) over lineitem prices — ONE conditional aggregate,
+    fixed-order 9-term chi2, worst-first."""
+    from invoice_ocr_reconciler_spark.operators.profile import (
+        benford_by_group,
+    )
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return benford_by_group(li, "l_extendedprice", "l_suppkey", min_n=50)
+
+
 def q_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     from invoice_ocr_reconciler_spark.functions.text import repetition_cols
 
@@ -6827,6 +6839,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_link": q_entity_link,
         "dispersion": q_dispersion,
         "pps_sample": q_pps_sample,
+        "benford_by_supplier": q_benford_by_supplier,
         "session_stats": q_session_stats,
         "asof_enrich": q_asof_enrich,
         "repetition_metrics": q_repetition_metrics,
@@ -10463,6 +10476,45 @@ def oracle_sql() -> dict[str, str]:
             FROM src ORDER BY event_id
         """,
         "soundex_blocks": _soundex_oracle(),
+        "benford_by_supplier": """
+            WITH f AS (
+                SELECT l_suppkey AS grp,
+                       regexp_extract(CAST(CASE WHEN
+                           CAST(l_extendedprice AS DOUBLE) > 0 THEN
+                           CAST(l_extendedprice AS DOUBLE) END
+                           AS DECIMAL(18,2))::VARCHAR, '[1-9]') AS d
+                FROM lineitem),
+            g AS (
+                SELECT grp,
+                       CAST(sum(CASE WHEN d = '1' THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+                       CAST(sum(CASE WHEN d = '2' THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+                       CAST(sum(CASE WHEN d = '3' THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+                       CAST(sum(CASE WHEN d = '4' THEN 1 ELSE 0 END) AS BIGINT) AS n4,
+                       CAST(sum(CASE WHEN d = '5' THEN 1 ELSE 0 END) AS BIGINT) AS n5,
+                       CAST(sum(CASE WHEN d = '6' THEN 1 ELSE 0 END) AS BIGINT) AS n6,
+                       CAST(sum(CASE WHEN d = '7' THEN 1 ELSE 0 END) AS BIGINT) AS n7,
+                       CAST(sum(CASE WHEN d = '8' THEN 1 ELSE 0 END) AS BIGINT) AS n8,
+                       CAST(sum(CASE WHEN d = '9' THEN 1 ELSE 0 END) AS BIGINT) AS n9
+                FROM f WHERE d <> '' GROUP BY 1),
+            c AS (
+                SELECT grp AS l_suppkey,
+                       CAST(n1+n2+n3+n4+n5+n6+n7+n8+n9 AS BIGINT) AS n,
+                       n1, n2, n3, n4, n5, n6, n7, n8, n9,
+                       floor((
+                         (n1 - (n1+n2+n3+n4+n5+n6+n7+n8+n9) * 0.301029995664) * (n1 - (n1+n2+n3+n4+n5+n6+n7+n8+n9) * 0.301029995664) / ((n1+n2+n3+n4+n5+n6+n7+n8+n9) * 0.301029995664)
+                       + (n2 - (n1+n2+n3+n4+n5+n6+n7+n8+n9) * 0.176091259056) * (n2 - (n1+n2+n3+n4+n5+n6+n7+n8+n9) * 0.176091259056) / ((n1+n2+n3+n4+n5+n6+n7+n8+n9) * 0.176091259056)
+                       + (n3 - (n1+n2+n3+n4+n5+n6+n7+n8+n9) * 0.124938736608) * (n3 - (n1+n2+n3+n4+n5+n6+n7+n8+n9) * 0.124938736608) / ((n1+n2+n3+n4+n5+n6+n7+n8+n9) * 0.124938736608)
+                       + (n4 - (n1+n2+n3+n4+n5+n6+n7+n8+n9) * 0.096910013008) * (n4 - (n1+n2+n3+n4+n5+n6+n7+n8+n9) * 0.096910013008) / ((n1+n2+n3+n4+n5+n6+n7+n8+n9) * 0.096910013008)
+                       + (n5 - (n1+n2+n3+n4+n5+n6+n7+n8+n9) * 0.079181246048) * (n5 - (n1+n2+n3+n4+n5+n6+n7+n8+n9) * 0.079181246048) / ((n1+n2+n3+n4+n5+n6+n7+n8+n9) * 0.079181246048)
+                       + (n6 - (n1+n2+n3+n4+n5+n6+n7+n8+n9) * 0.066946789631) * (n6 - (n1+n2+n3+n4+n5+n6+n7+n8+n9) * 0.066946789631) / ((n1+n2+n3+n4+n5+n6+n7+n8+n9) * 0.066946789631)
+                       + (n7 - (n1+n2+n3+n4+n5+n6+n7+n8+n9) * 0.057991946978) * (n7 - (n1+n2+n3+n4+n5+n6+n7+n8+n9) * 0.057991946978) / ((n1+n2+n3+n4+n5+n6+n7+n8+n9) * 0.057991946978)
+                       + (n8 - (n1+n2+n3+n4+n5+n6+n7+n8+n9) * 0.051152522447) * (n8 - (n1+n2+n3+n4+n5+n6+n7+n8+n9) * 0.051152522447) / ((n1+n2+n3+n4+n5+n6+n7+n8+n9) * 0.051152522447)
+                       + (n9 - (n1+n2+n3+n4+n5+n6+n7+n8+n9) * 0.045757490561) * (n9 - (n1+n2+n3+n4+n5+n6+n7+n8+n9) * 0.045757490561) / ((n1+n2+n3+n4+n5+n6+n7+n8+n9) * 0.045757490561)
+                       ) * 1000000.0 + 0.5) / 1000000.0 AS chi2
+                FROM g)
+            SELECT * FROM c WHERE n >= 50
+            ORDER BY chi2 DESC, l_suppkey
+        """,
         "pps_sample": """
             WITH base AS (
                 SELECT doc_id AS rid, CAST(n_chars AS BIGINT) AS wgt

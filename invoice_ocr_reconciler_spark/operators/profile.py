@@ -1309,3 +1309,49 @@ def amount_anomalies(
             6,
         ).alias("below_share"),
     )
+
+
+def benford_by_group(
+    df: DataFrame,
+    amount_col: str,
+    group_col: str,
+    *,
+    min_n: int = 20,
+) -> DataFrame:
+    """Per-group Benford deviation ranking — which vendor/host/source
+    looks fabricated: the digit test of benford_first_digit computed per
+    group with ONE conditional aggregate (9 count columns, no pivot
+    shuffle) and the chi-square total assembled as a FIXED-ORDER sum of
+    the 9 per-digit terms (never a groupBy sum over exploded digit rows,
+    whose float addition order is engine-dependent). Groups with fewer
+    than `min_n` positive amounts are dropped (the test is meaningless
+    on tiny samples). Ordered worst-first (chi2 desc, group asc).
+    """
+    amt = F.col(amount_col).cast("double")
+    s = F.when(amt > 0, amt).cast("decimal(18,2)").cast("string")
+    dg = F.regexp_extract(s, "[1-9]", 0)
+    aggs = [
+        F.sum(F.when(F.col("_d") == str(d), 1).otherwise(0))
+        .cast("long")
+        .alias(f"n{d}")
+        for d in range(1, 10)
+    ]
+    g = (
+        df.select(F.col(group_col).alias("grp"), dg.alias("_d"))
+        .where(F.col("_d") != "")
+        .groupBy("grp")
+        .agg(*aggs)
+    )
+    n_tot = sum((F.col(f"n{d}") for d in range(2, 10)), F.col("n1"))
+    terms = None
+    for d in range(1, 10):
+        e = n_tot * F.lit(_BENFORD_P[d])
+        t = (F.col(f"n{d}") - e) * (F.col(f"n{d}") - e) / e
+        terms = t if terms is None else terms + t
+    out = g.select(
+        F.col("grp").alias(group_col),
+        n_tot.cast("long").alias("n"),
+        *[F.col(f"n{d}") for d in range(1, 10)],
+        roundn(terms, 6).alias("chi2"),
+    ).where(F.col("n") >= int(min_n))
+    return out.orderBy(F.col("chi2").desc(), group_col)

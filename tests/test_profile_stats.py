@@ -114,3 +114,20 @@ def test_amount_anomalies_hand_computed(spark):
     assert r.n_mult_1000 == 1         # 1000
     assert (r.n_just_below, r.n_just_above) == (1, 1)
     assert r.below_share == 0.5
+
+
+def test_benford_by_group_min_n_and_chi2(spark):
+    from invoice_ocr_reconciler_spark.operators.profile import (
+        benford_by_group,
+    )
+
+    rows = [("a", float(x)) for x in ([1] * 30 + [2] * 18 + [3] * 12)] + [
+        ("tiny", 5.0)
+    ] * 3
+    df = spark.createDataFrame(rows, "grp string, amt double")
+    out = benford_by_group(df, "amt", "grp", min_n=20).collect()
+    assert [r.grp for r in out] == ["a"]  # tiny dropped by min_n
+    r = out[0]
+    assert (r.n, r.n1, r.n2, r.n3) == (60, 30, 18, 12)
+    # chi2 > 0 (60 amounts can't match Benford exactly) and finite
+    assert r.chi2 > 0.0

@@ -79,7 +79,7 @@ PURE_CODEGEN_QUERIES = [
     "harmonic_centrality", "access_log_parse", "subnet_traffic",
     "hreflang_clusters", "soundex_blocks", "benford", "duplicate_payments",
     "amount_anomalies", "entity_dict", "entity_link", "dispersion",
-    "pps_sample",
+    "pps_sample", "benford_by_supplier",
     "identifiers_extract", "license_detect", "reply_strip",
     "span_corruption", "fim_transform", "render_chat",
     "ir_metrics", "ir_metrics_macro", "ocr_eval", "ocr_eval_summary",
