@@ -25,6 +25,27 @@ def test_oracle_keys_subset_of_queries():
     assert len(osql) >= 25  # oracle coverage floor — don't regress
 
 
+def test_first_window_is_representative():
+    """The driver's external CORRECTNESS gate only compares the first ~50
+    registry entries; pin that window to >=45 oracle-green entries with one
+    representative per operator band (round-2 verdict, next-round item #1)."""
+    qs, osql = list(entrymod.queries()), set(entrymod.oracle_sql())
+    first50 = qs[:50]
+    green = [k for k in first50 if k in osql]
+    assert len(green) >= 45, f"only {len(green)} oracle-backed in window"
+    # rows-only core pipeline entries stay visible to the driver
+    for core in ("extract_pages", "parse_fields", "reconcile"):
+        assert core in first50
+    # one oracle-green representative per band
+    for rep in ("stats_overview", "fuzzy_block_join", "dedup_exact",
+                "ann_brute_force", "token_count", "upsert_table",
+                "register_csv_scan", "token_budget", "pagerank",
+                "good_turing", "record_linkage_fs", "bm25_search",
+                "funnel_users", "benford", "ir_metrics",
+                "multimodal_features", "exact_span_profile"):
+        assert rep in green, f"band representative {rep} missing from window"
+
+
 @pytest.mark.parametrize("name", sorted(entrymod.queries()))
 def test_query_executes(spark, name):
     df = entrymod.queries()[name](spark, SF)
