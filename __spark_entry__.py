@@ -259,7 +259,9 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed ANN; rows-only (recall < 1 by design)."""
+    """LSH-bucketed ANN at the DEFAULT configuration (tables=8, probe=4,
+    corpus-scaled plane count); the DuckDB oracle replays the hyperplanes,
+    grid-ranked probe flips, and bucket joins bit-exactly."""
     from invoice_ocr_reconciler_spark.operators.similarity import lsh_topk
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -958,20 +960,36 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries_df = emb.filter(F.col("vec_id") < 10)
     truth = brute_force_topk(emb, queries_df, k=5).persist()
     out = (
-        recall_vs_truth(lsh_topk(emb, queries_df, k=5), truth, "lsh_probe0")
+        # the DEFAULT configuration (tables=8, probe=4) leads the board;
+        # the round-1 single-table/no-probe setting is kept as the floor
+        # so the delta stays visible and regression-guarded
+        recall_vs_truth(lsh_topk(emb, queries_df, k=5), truth, "lsh_default")
         .unionByName(
             recall_vs_truth(
-                lsh_topk(emb, queries_df, k=5, n_probe_bits=2), truth, "lsh_probe2"
+                lsh_topk(emb, queries_df, k=5, n_probe_bits=0, n_tables=1),
+                truth,
+                "lsh_probe0",
             )
         )
         .unionByName(
             recall_vs_truth(
-                lsh_topk(emb, queries_df, k=5, n_probe_bits=4), truth, "lsh_probe4"
+                lsh_topk(emb, queries_df, k=5, n_probe_bits=2, n_tables=1),
+                truth,
+                "lsh_probe2",
             )
         )
         .unionByName(
             recall_vs_truth(
-                lsh_topk(emb, queries_df, k=5, n_tables=4), truth, "lsh_tables4"
+                lsh_topk(emb, queries_df, k=5, n_probe_bits=4, n_tables=1),
+                truth,
+                "lsh_probe4",
+            )
+        )
+        .unionByName(
+            recall_vs_truth(
+                lsh_topk(emb, queries_df, k=5, n_probe_bits=0, n_tables=4),
+                truth,
+                "lsh_tables4",
             )
         )
         .unionByName(
@@ -979,6 +997,13 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                 lsh_topk(emb, queries_df, k=5, n_tables=8, n_probe_bits=2),
                 truth,
                 "lsh_tables8_probe2",
+            )
+        )
+        .unionByName(
+            recall_vs_truth(
+                lsh_topk(emb, queries_df, k=5, n_tables=16, n_probe_bits=4),
+                truth,
+                "lsh_tables16_probe4",
             )
         )
         .unionByName(
@@ -996,21 +1021,14 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "ivf_sq8_probe8",
             )
         )
-        # endpoint anchors: probing every cell must converge to the exact
-        # baseline (validates the routing machinery, not just the knob),
-        # and the widest LSH config bounds what multiprobe can buy here
+        # endpoint anchor: probing every cell must converge to the exact
+        # baseline (validates the routing machinery, not just the knob);
+        # the widest LSH config is lsh_tables16_probe4 above
         .unionByName(
             recall_vs_truth(
                 ivf_topk(emb, queries_df, k=5, n_probe=16),
                 truth,
                 "ivf_probe_all",
-            )
-        )
-        .unionByName(
-            recall_vs_truth(
-                lsh_topk(emb, queries_df, k=5, n_tables=8, n_probe_bits=4),
-                truth,
-                "lsh_tables8_probe4",
             )
         )
     )
@@ -8157,36 +8175,67 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, neighbor_id, neg_label, cosine, rank
             FROM r WHERE rank <= 5 ORDER BY query_id, rank
         """,
-        # FULL replay of the single-table LSH ANN: the md5-derived
-        # hyperplanes (operators/similarity.py:_planes) rebuilt in SQL
-        # (verified bit-exact), bucket = sum of sign bits, bucket join +
-        # exact cosine re-rank — the sketch itself is deterministic, so
-        # even this "recall < 1" path gets a value-hash check
+        # FULL replay of the DEFAULT multi-table/multi-probe LSH ANN: the
+        # md5-derived hyperplanes (operators/similarity.py:_planes) rebuilt
+        # in SQL (verified bit-exact) for 8 independent tables, plane count
+        # corpus-scaled exactly as lsh_n_planes (ceil(log2(n/64)), floor 8),
+        # query-side probes flip the 4 lowest-margin bits ranked on the
+        # 1e-8 integer grid (plane-index tiebreak, matching the stable
+        # argsort), DISTINCT pair dedup, exact cosine re-rank — the sketch
+        # is deterministic, so even this "recall < 1" path gets a
+        # value-hash check
         "ann_lsh": """
-            WITH planes AS (
-                SELECT p, d,
-                       ('0x' || substr(md5('ann-lsh-v1:' || p || ':' || d), 1, 8))::UBIGINT
+            WITH npc AS (
+                SELECT greatest(8, CAST(ceil(log2(greatest(
+                           count(*) / 64.0, 2.0))) AS INT)) AS np
+                FROM embeddings),
+            planes AS (
+                SELECT t, p, d,
+                       ('0x' || substr(md5(
+                            (CASE WHEN t = 0 THEN 'ann-lsh-v1'
+                                  ELSE 'ann-lsh-v1:t' || t END)
+                            || ':' || p || ':' || d), 1, 8))::UBIGINT
                            / 2147483648.0 - 1.0 AS w
-                FROM range(8) t1(p), range(64) t2(d)),
+                FROM range(8) t0(t), range(40) t1(p), range(64) t2(d)
+                WHERE p < (SELECT np FROM npc)),
             vec AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
             proj AS (
-                SELECT vec_id, p, sum(v[CAST(d AS INT) + 1] * w) AS dot
-                FROM vec, planes GROUP BY vec_id, p),
+                SELECT vec_id, t, p, sum(v[CAST(d AS INT) + 1] * w) AS dot
+                FROM vec, planes GROUP BY vec_id, t, p),
             buckets AS (
-                SELECT vec_id,
+                SELECT vec_id, t,
                        sum(CASE WHEN dot > 0 THEN (1::BIGINT << CAST(p AS INT))
                                 ELSE 0 END) AS bucket
-                FROM proj GROUP BY vec_id),
-            cb AS (SELECT b.vec_id AS neighbor_id, b.bucket, v.v AS cv
-                   FROM buckets b JOIN vec v ON b.vec_id = v.vec_id),
-            qb AS (SELECT b.vec_id AS query_id, b.bucket, v.v AS qv
-                   FROM buckets b JOIN vec v ON b.vec_id = v.vec_id
-                   WHERE b.vec_id < 10),
+                FROM proj GROUP BY vec_id, t),
+            qrank AS (
+                SELECT vec_id, t, p,
+                       row_number() OVER (PARTITION BY vec_id, t
+                            ORDER BY floor(abs(dot) * 1e8 + 0.5), p) AS rk
+                FROM proj WHERE vec_id < 10),
+            qprobe AS (
+                SELECT vec_id AS query_id, t, bucket
+                FROM buckets WHERE vec_id < 10
+                UNION ALL
+                SELECT b.vec_id, b.t,
+                       xor(b.bucket, 1::BIGINT << CAST(r.p AS INT))
+                FROM buckets b
+                JOIN qrank r ON b.vec_id = r.vec_id AND b.t = r.t
+                WHERE b.vec_id < 10 AND r.rk <= 4),
+            cbuck AS (
+                SELECT vec_id, t, bucket FROM buckets
+                QUALIFY row_number() OVER (PARTITION BY t, bucket
+                                           ORDER BY vec_id) <= 256),
+            cand AS (
+                SELECT DISTINCT q.query_id, c.vec_id AS neighbor_id
+                FROM qprobe q
+                JOIN cbuck c ON q.t = c.t AND q.bucket = c.bucket
+                WHERE c.vec_id <> q.query_id),
             scored AS (
-                SELECT q.query_id, c.neighbor_id,
-                       round(list_cosine_similarity(q.qv, c.cv), 6) AS cosine
-                FROM qb q JOIN cb c ON q.bucket = c.bucket
-                WHERE c.neighbor_id <> q.query_id),
+                SELECT a.query_id, a.neighbor_id,
+                       round(list_cosine_similarity(qv.v, cv.v), 6) AS cosine
+                FROM cand a
+                JOIN vec qv ON a.query_id = qv.vec_id
+                JOIN vec cv ON a.neighbor_id = cv.vec_id),
             r AS (SELECT query_id, neighbor_id, cosine,
                          CAST(row_number() OVER (PARTITION BY query_id
                               ORDER BY cosine DESC, neighbor_id) AS INT) AS nb_rank

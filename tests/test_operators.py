@@ -470,16 +470,22 @@ def test_lsh_multiprobe_recall(spark):
     df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
     q = df.filter("vec_id < 8")
     exact = {(r["query_id"], r["neighbor_id"]) for r in brute_force_topk(df, q, k=5).collect()}
-    single = {(r["query_id"], r["neighbor_id"]) for r in lsh_topk(df, q, k=5).collect()}
+    single = {(r["query_id"], r["neighbor_id"]) for r in
+              lsh_topk(df, q, k=5, n_tables=1, n_probe_bits=0).collect()}
     multi = {(r["query_id"], r["neighbor_id"]) for r in
-             lsh_topk(df, q, k=5, n_probe_bits=3).collect()}
+             lsh_topk(df, q, k=5, n_tables=1, n_probe_bits=3).collect()}
     r_single = len(single & exact) / len(exact)
     r_multi = len(multi & exact) / len(exact)
     assert r_multi >= r_single
     assert r_multi > 0.5
+    # the default configuration (tables=8, probe=4) must do at least as
+    # well as the single-table multiprobe path it superseded
+    default = {(r["query_id"], r["neighbor_id"]) for r in
+               lsh_topk(df, q, k=5).collect()}
+    assert len(default & exact) / len(exact) >= r_multi
     # deterministic across runs
     again = {(r["query_id"], r["neighbor_id"]) for r in
-             lsh_topk(df, q, k=5, n_probe_bits=3).collect()}
+             lsh_topk(df, q, k=5, n_tables=1, n_probe_bits=3).collect()}
     assert multi == again
 
 

@@ -140,11 +140,35 @@ def test_lsh_multitable_recall_superset(spark):
     df = spark.createDataFrame(rows)
     q = df.filter("vec_id < 5")
     single = {(r["query_id"], r["neighbor_id"], r["rank"])
-              for r in lsh_topk(df, q, k=3).collect()}
+              for r in lsh_topk(df, q, k=3, n_tables=1, n_probe_bits=0).collect()}
     multi_pairs = {(r["query_id"], r["neighbor_id"])
-                   for r in lsh_topk(df, q, k=200, n_tables=4).collect()}
+                   for r in lsh_topk(df, q, k=200, n_tables=4,
+                                     n_probe_bits=0).collect()}
     # every single-table candidate appears in the multi-table candidate set
     assert {(a, b) for a, b, _ in single} <= multi_pairs
+
+
+def test_lsh_topk_duplicate_pile_bounded_candidates(spark):
+    """Degenerate-bucket guard: 10k identical vectors all land in ONE
+    bucket per table; bucket_cap keeps each (table, bucket) to its lowest
+    ids, so a probing query sees a bounded candidate set instead of the
+    whole pile — and still fills top-k (the pile members score
+    identically)."""
+    from invoice_ocr_reconciler_spark.operators.similarity import lsh_topk
+
+    dup = [float(d % 5 - 2) for d in range(16)]
+    rows = [Row(vec_id=i, embedding=dup) for i in range(10_000)]
+    df = spark.createDataFrame(rows)
+    q = df.filter("vec_id = 0")
+    out = lsh_topk(df, q, k=10_000, bucket_cap=8).collect()
+    neighbors = {r["neighbor_id"] for r in out}
+    # bound: per table one base bucket (+4 query-side probe flips that hit
+    # empty corpus buckets), <=8 survivors each, minus the query itself
+    assert 0 < len(neighbors) <= 8 * 8
+    # survivors are the lowest ids (deterministic cap ordering)
+    assert max(neighbors) < 64
+    # top-k still fills from the capped pile
+    assert all(r["cosine"] == 1.0 for r in out)
 
 
 def test_curation_pipeline_stats_consistent(spark):
