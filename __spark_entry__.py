@@ -8672,7 +8672,13 @@ def oracle_sql() -> dict[str, str]:
                 SELECT a.r, CAST(sum(a.cnt * b.cnt) AS BIGINT) AS ip
                 FROM sa a JOIN sb b ON a.r = b.r AND a.bucket = b.bucket
                 GROUP BY 1),
-            est AS (SELECT CAST(min(ip) AS BIGINT) AS est FROM ip),
+            -- row spine: a hash row with no collisions proves ip = 0
+            ipf AS (
+                SELECT g.r, CAST(coalesce(ip.ip, 0) AS BIGINT) AS ip
+                FROM (SELECT unnest(range(4)) AS r) g
+                LEFT JOIN ip ON g.r = ip.r),
+            est AS (SELECT CAST(coalesce(min(ip), 0) AS BIGINT) AS est
+                    FROM ipf),
             ex AS (SELECT CAST(count(*) AS BIGINT) AS exact
                    FROM orders JOIN lineitem
                      ON o_orderkey = l_orderkey)
@@ -10655,12 +10661,13 @@ def oracle_sql() -> dict[str, str]:
                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
                 FROM base),
             tot AS (SELECT CAST(sum(wgt) AS BIGINT) AS w FROM base)
+            -- BIGINT // mirrors Spark's `div` (exact, no IEEE floor)
             SELECT rid AS doc_id, wgt AS weight, cum,
-                   CAST(floor(cum * 60 / w)
-                        - floor((cum - wgt) * 60 / w) AS BIGINT)
+                   CAST((cum * 60) // w
+                        - ((cum - wgt) * 60) // w AS BIGINT)
                        AS n_picks
             FROM cumt CROSS JOIN tot
-            WHERE floor(cum * 60 / w) - floor((cum - wgt) * 60 / w) > 0
+            WHERE (cum * 60) // w - ((cum - wgt) * 60) // w > 0
             ORDER BY doc_id
         """,
         "dispersion": """
@@ -10764,10 +10771,27 @@ def oracle_sql() -> dict[str, str]:
                 SELECT a.doc_id, a.pos, a.tok || ' ' || b.tok AS surface
                 FROM ex a JOIN ex b
                   ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
-            bim AS (
+            bim0 AS (
                 SELECT bi.doc_id, bi.pos, 2 AS n_tokens, d.surface,
                        d.target, d.commonness
                 FROM bi JOIN dict d USING (surface)),
+            -- greedy left-to-right: islands of consecutive matched start
+            -- positions, keep even offsets from each island start
+            bisl AS (
+                SELECT *, CASE WHEN pos - lag(pos) OVER (
+                               PARTITION BY doc_id ORDER BY pos) = 1
+                          THEN 0 ELSE 1 END AS gap
+                FROM bim0),
+            bisl2 AS (
+                SELECT *, sum(gap) OVER (PARTITION BY doc_id ORDER BY pos
+                              ROWS UNBOUNDED PRECEDING) AS isl
+                FROM bisl),
+            bim AS (
+                SELECT doc_id, pos, n_tokens, surface, target, commonness
+                FROM (SELECT *, min(pos) OVER (PARTITION BY doc_id, isl)
+                                  AS strt
+                      FROM bisl2)
+                WHERE (pos - strt) % 2 = 0),
             cov AS (
                 SELECT doc_id, pos FROM bim
                 UNION

@@ -51,6 +51,7 @@ def pseudonymize(
     pattern: str = EMAIL_RE,
     token_prefix: str = "EMAIL",
     numbering: str = "dense",
+    dense_cap: int = 1_000_000,
 ) -> DataFrame:
     """(id, n_mentions, n_entities, text_pseudo) — see module docstring.
 
@@ -58,6 +59,12 @@ def pseudonymize(
     can replay extraction. Documents without matches pass through with
     n_mentions = n_entities = 0 and text_pseudo == the original text
     (NULL text coalesces to '').
+
+    Dense numbering ranks the full entity dictionary in ONE window
+    partition (the ranks must be globally dense), so it is gated by
+    ``dense_cap`` — above it the call fails LOUDLY pointing at
+    numbering='hash', the scale path whose placeholders need no global
+    ordering (the bootstrap_ci bounded-input precedent).
     """
     if numbering not in ("dense", "hash"):
         raise ValueError(f"unknown numbering mode: {numbering!r}")
@@ -74,6 +81,15 @@ def pseudonymize(
     distinct_pairs = mentions.distinct()
     entities = distinct_pairs.select("entity").distinct()
     if numbering == "dense":
+        # one count job to enforce the single-partition-window bound
+        n_ent = entities.count()
+        if n_ent > int(dense_cap):
+            raise ValueError(
+                f"pseudonymize: dense numbering ranks the entity "
+                f"dictionary in one window partition and got {n_ent} "
+                f"entities > dense_cap={dense_cap}; use numbering='hash' "
+                "(the scale path) or raise dense_cap explicitly"
+            )
         w = Window.orderBy(md5_u60(F.col("entity")), F.col("entity"))
         mapping = entities.select(
             "entity",

@@ -215,6 +215,22 @@ def cm_inner_product(sketch_a: DataFrame, sketch_b: DataFrame) -> DataFrame:
             (F.col("da") != F.col("db")) | (F.col("wa") != F.col("wb"))
         ).alias("_mismatch"),
     )
+    # sketches are sparse: a hash row with NO colliding buckets proves the
+    # true inner product is 0, so left-join per_row onto the full
+    # 0..depth-1 row spine and coalesce absent rows to ip=0 — min() then
+    # runs over every row (est=0 when any row has zero collisions) instead
+    # of a collided-rows subset, and an empty join yields 0, not NULL
+    spine = (
+        sketch_a.groupBy()
+        .agg(F.max("depth").alias("_d"))
+        .select(
+            F.explode(F.sequence(F.lit(0), F.col("_d") - 1)).alias("row")
+        )
+    )
+    per_row = spine.join(per_row, "row", "left").select(
+        F.coalesce(F.col("ip"), F.lit(0)).alias("ip"),
+        F.coalesce(F.col("_mismatch"), F.lit(False)).alias("_mismatch"),
+    )
     # config check must run on the data actually joined
     return per_row.groupBy().agg(
         F.min("ip").cast("long").alias("est"),
@@ -223,5 +239,5 @@ def cm_inner_product(sketch_a: DataFrame, sketch_b: DataFrame) -> DataFrame:
         F.when(
             F.col("_bad"),
             F.raise_error("cm_inner_product: mismatched sketch configs"),
-        ).otherwise(F.col("est")).alias("est")
+        ).otherwise(F.coalesce(F.col("est"), F.lit(0))).alias("est")
     )

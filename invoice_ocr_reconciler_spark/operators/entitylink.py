@@ -86,12 +86,18 @@ def link_mentions(
 
     Candidates are every token position's unigram and bigram (posexplode
     over the shared tokenization); each joins the broadcast dictionary
-    on the surface string. An accepted bigram at position p suppresses
-    unigram mentions at p and p+1 (maximal matching) via one anti join
-    on (doc, position) — no regex scan, no per-surface pass.
+    on the surface string. Overlapping bigram matches resolve GREEDY
+    LEFT-TO-RIGHT (standard maximal munch): within each island of
+    consecutive matched start positions only the even offsets from the
+    island start survive, so no token is ever claimed by two mentions
+    ('a b' at p beats 'b c' at p+1; 'c d' at p+2 survives again). Kept
+    bigrams then suppress unigram mentions at their two covered
+    positions via one anti join on (doc, position) — no regex scan, no
+    per-surface pass.
 
     Output: (doc_id, pos, n_tokens, surface, target, commonness).
     """
+    from pyspark.sql import Window
     from invoice_ocr_reconciler_spark.functions.text import tokens_col
 
     toks = docs.select(
@@ -116,6 +122,25 @@ def link_mentions(
     bi_m = bi.join(d, "surface").select(
         "doc_id", "pos", F.lit(2).alias("n_tokens"),
         "surface", "target", "commonness",
+    )
+    # greedy left-to-right among overlapping bigram matches: gaps-and-
+    # islands over start positions (per-doc window — documents are
+    # bounded-length, the same shape the unigram suppression uses), keep
+    # even offsets from each island's start
+    wd = Window.partitionBy("doc_id").orderBy("pos")
+    wisl = Window.partitionBy("doc_id", "_isl")
+    bi_m = (
+        bi_m.withColumn(
+            "_gap",
+            F.when(F.col("pos") - F.lag("pos").over(wd) == 1, 0).otherwise(1),
+        )
+        .withColumn(
+            "_isl",
+            F.sum("_gap").over(wd.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .withColumn("_start", F.min("pos").over(wisl))
+        .where((F.col("pos") - F.col("_start")) % 2 == 0)
+        .drop("_gap", "_isl", "_start")
     )
     covered = bi_m.select("doc_id", "pos").union(
         bi_m.select("doc_id", (F.col("pos") + 1).alias("pos"))

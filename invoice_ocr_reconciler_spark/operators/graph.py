@@ -1586,9 +1586,15 @@ def scc(
         if truncate_lineage:
             e_act = e_act.localCheckpoint(eager=True)
 
-        # 1. forward max-coloring: only raised colors are re-propagated
+        # 1. forward max-coloring: only raised colors are re-propagated.
+        # Both inner loops must exit via the empty-frontier break: a
+        # partial coloring would silently SPLIT an SCC across two ids
+        # (a 'false root' confines a proper subset and its nodes leave
+        # `remaining`, so the outer-loop raise never fires) — hence the
+        # converged flags and the explicit raise below.
         color = remaining.select("node", F.col("node").alias("color"))
         frontier = color
+        converged = False
         for _ in range(int(max_inner)):
             msgs = (
                 e_act.join(
@@ -1608,6 +1614,7 @@ def scc(
             if truncate_lineage:
                 raised = raised.localCheckpoint(eager=True)
             if raised.isEmpty():
+                converged = True
                 break
             color = (
                 color.join(raised.select("node"), "node", "left_anti")
@@ -1616,10 +1623,16 @@ def scc(
             if truncate_lineage:
                 color = color.localCheckpoint(eager=True)
             frontier = raised
+        if not converged:
+            raise RuntimeError(
+                "scc: max_inner exhausted before forward coloring reached "
+                "fixpoint — raise max_inner (graph diameter exceeds the cap)"
+            )
 
         # 2+3. roots, then backward confinement inside the color class
         members = color.where(F.col("color") == F.col("node"))
         m_frontier = members
+        converged = False
         for _ in range(int(max_inner)):
             cand = (
                 e_act.join(
@@ -1636,11 +1649,18 @@ def scc(
             if truncate_lineage:
                 cand = cand.localCheckpoint(eager=True)
             if cand.isEmpty():
+                converged = True
                 break
             members = members.union(cand)
             if truncate_lineage:
                 members = members.localCheckpoint(eager=True)
             m_frontier = cand
+        if not converged:
+            raise RuntimeError(
+                "scc: max_inner exhausted before backward confinement "
+                "reached fixpoint — raise max_inner (SCC diameter exceeds "
+                "the cap)"
+            )
 
         # one row per peeled SCC — can be huge on a real crawl (every
         # singleton is a row), so no forced broadcast: AQE picks

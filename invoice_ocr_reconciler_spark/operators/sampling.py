@@ -672,11 +672,13 @@ def pps_systematic(
     replacement accounting; n_picks carries it).
 
     Scale shape: the global cumulative sum is NEVER a one-partition
-    window — ids bucket into aligned ranges (id // bucket_width), per-
+    window — ids bucket into aligned ranges (id div bucket_width), per-
     bucket sums broadcast as cumulative offsets (the sorted_neighborhood
     global-rank idiom), local cumsum + offset = exact global cumsum.
-    All selection arithmetic is exact BIGINT products (weights are cast
-    to BIGINT; reject non-positive).
+    All selection arithmetic is exact BIGINT products and BIGINT `div`
+    (no IEEE-double floor — exact up to cum*n < 2^63, i.e. total weight
+    * n_samples below ~9.2e18; weights are cast to BIGINT, non-positive
+    rejected).
     """
     from pyspark.sql import Window
 
@@ -684,7 +686,8 @@ def pps_systematic(
     base = df.select(
         F.col(id_col).alias("rid"), w.alias("wgt")
     ).where(F.col("wgt") > 0)
-    bucket = (F.col("rid") / int(bucket_width)).cast("long")
+    # BIGINT div, not double division-then-cast: exact for ids past 2^53
+    bucket = F.expr(f"CAST(rid AS BIGINT) div {int(bucket_width)}")
     wb = base.withColumn("bkt", bucket)
     per = wb.groupBy("bkt").agg(F.sum("wgt").cast("long").alias("_n"))
     w_off = Window.partitionBy(F.lit(1)).orderBy("bkt")
@@ -714,9 +717,12 @@ def pps_systematic(
         )
         .crossJoin(F.broadcast(total))
     )
-    n = F.lit(int(n_samples)).cast("long")
-    picks = F.floor(F.col("cum") * n / F.col("_w_total")) - F.floor(
-        (F.col("cum") - F.col("wgt")) * n / F.col("_w_total")
+    # BIGINT `div` keeps floor(cum*n/W) exact: long/long `/` evaluates in
+    # IEEE doubles, and past 2^53 the floor can land on the wrong side of
+    # an exact multiple of W
+    n = int(n_samples)
+    picks = F.expr(
+        f"(cum * {n}L) div _w_total - ((cum - wgt) * {n}L) div _w_total"
     )
     return (
         cum.select(

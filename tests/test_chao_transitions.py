@@ -86,6 +86,25 @@ def test_cm_inner_product_upper_bound_and_exactness(spark):
     assert est_small >= 14
 
 
+def test_cm_inner_product_disjoint_keys_zero_not_null(spark):
+    """Sparse-sketch semantics: with disjoint key sets and a width large
+    enough to avoid collisions, NO (row,bucket) pair joins — the row spine
+    must force est = 0 (a collision-free hash row proves the true inner
+    product is 0), never NULL or a loose min over a row subset."""
+    from invoice_ocr_reconciler_spark.operators.cmsketch import (
+        build_cm_sketch,
+        cm_inner_product,
+    )
+
+    a = spark.createDataFrame([("k1",), ("k2",)], "term string")
+    b = spark.createDataFrame([("k8",), ("k9",)], "term string")
+    est = cm_inner_product(
+        build_cm_sketch(a, width=1 << 20),
+        build_cm_sketch(b, width=1 << 20),
+    ).collect()[0].est
+    assert est == 0
+
+
 def test_cm_inner_product_config_mismatch_raises(spark):
     import pytest
     from py4j.protocol import Py4JJavaError

@@ -61,6 +61,49 @@ def test_maximal_match_suppresses_covered_unigrams(spark):
     assert got == [(2, 2, "big apple", "city")]
 
 
+def test_overlapping_bigrams_resolve_greedy_left_to_right(spark):
+    """'a b' at p and 'b c' at p+1 both match the dictionary: greedy
+    maximal munch keeps 'a b', drops 'b c' (token b may not be claimed
+    twice), and a third consecutive match 'c d' at p+2 survives again."""
+    d = build_surface_dict(
+        _anchors(
+            spark,
+            [("alpha beta", "t1")] * 2
+            + [("beta gamma", "t2")] * 2
+            + [("gamma delta", "t3")] * 2
+            + [("gamma", "u1")] * 2,
+        )
+    )
+    out = link_mentions(
+        _docs(spark, ["alpha beta gamma delta end", "x beta gamma y"]), d
+    ).collect()
+    got = [(r.doc_id, r.pos, r.n_tokens, r.surface) for r in out]
+    # doc 0: islands {0,1,2}; keep offsets 0 and 2 -> 'alpha beta' +
+    # 'gamma delta'; unigram 'gamma' suppressed (covered by kept bigram)
+    # doc 1: lone 'beta gamma' island keeps itself
+    assert got == [
+        (0, 0, 2, "alpha beta"),
+        (0, 2, 2, "gamma delta"),
+        (1, 1, 2, "beta gamma"),
+    ]
+
+
+def test_rejected_bigram_frees_its_unigram(spark):
+    """When 'beta gamma' loses to 'alpha beta', the token 'gamma' is NOT
+    covered, so a dictionary unigram at that position links."""
+    d = build_surface_dict(
+        _anchors(
+            spark,
+            [("alpha beta", "t1")] * 2
+            + [("beta gamma", "t2")] * 2
+            + [("gamma", "u1")] * 2,
+        )
+    )
+    out = link_mentions(_docs(spark, ["alpha beta gamma end"]), d).collect()
+    got = [(r.pos, r.n_tokens, r.surface) for r in out]
+    assert got == [(0, 2, "alpha beta"), (2, 1, "gamma")]
+
+
 def test_uncovered_unigram_still_links(spark):
     d = build_surface_dict(
         _anchors(spark, [("apple", "fruit")] * 2 + [("big apple", "city")] * 2)

@@ -66,6 +66,21 @@ def test_pseudonymize_hash_mode_and_determinism(spark):
         pseudonymize(docs, numbering="frequency")
 
 
+def test_pseudonymize_dense_cap_raises_loudly(spark):
+    """Dense numbering's single-partition rank window is bounded by
+    dense_cap: exceeding it must fail pointing at the hash scale path,
+    and hash mode must be indifferent to the cap."""
+    docs = _docs(
+        spark, [(i, f"u{i}@x.com and u{i+100}@y.org") for i in range(10)]
+    )
+    with pytest.raises(ValueError, match="dense_cap.*numbering='hash'"):
+        pseudonymize(docs, dense_cap=5)
+    # hash mode ignores the cap entirely
+    assert pseudonymize(docs, numbering="hash", dense_cap=1).count() == 10
+    # at exactly the bound, dense mode still runs
+    assert pseudonymize(docs, dense_cap=20).count() == 10
+
+
 # --- mixture_plan ------------------------------------------------------------
 
 

@@ -58,6 +58,16 @@ def test_empty_graph(spark):
     assert [f.name for f in out.schema.fields] == ["node", "scc_id"]
 
 
+def test_max_inner_exhaustion_raises_not_splits(spark):
+    """A ring whose diameter exceeds max_inner must RAISE, never silently
+    split the SCC across two ids (the 'false root' would confine a proper
+    subset and the nodes would leave `remaining`, dodging the outer raise)."""
+    n = 12
+    ring = [(i, (i + 1) % n) for i in range(n)]
+    with pytest.raises(RuntimeError, match="max_inner"):
+        _run(spark, ring, max_inner=3)
+
+
 def test_long_descending_cycle_converges(spark):
     # a 12-cycle with ids descending along edges stresses the inner
     # coloring fixpoint (max id walks the whole ring)

@@ -72,7 +72,7 @@ PURE_CODEGEN_QUERIES = [
     "typo_pairs", "canonical_spelling", "good_turing", "distinctive_terms",
     "scd2_history",
     "eb_host_quality", "sorted_neighborhood",
-    "scc_condensation", "frequent_pairs", "association_rules",
+    "scc", "scc_condensation", "frequent_pairs", "association_rules",
     "chao_richness", "event_transitions", "kneser_ney", "dag_layers",
     "kaplan_meier", "chi2_independence", "concentration",
     "canonical_best", "texttile", "join_size_estimate",
