@@ -142,7 +142,10 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup pairs; rows-only (sketch semantics)."""
+    """MinHash+LSH near-dup pairs — fully oracled: the DuckDB replay
+    (_minhash_block) rebuilds the md5 gram hashes, the 64 splitmix64
+    hash functions via 32-bit limb arithmetic, banded bucket grouping,
+    the HOT_BUCKET_CAP drop, and the agreement/64 estimate bit-exactly."""
     from invoice_ocr_reconciler_spark.operators.dedup import minhash_lsh_pairs
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -158,7 +161,9 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact n-gram Jaccard over LSH candidates; rows-only."""
+    """Exact n-gram Jaccard over LSH candidates — fully oracled: the
+    candidate stage rides _minhash_block's bit-exact replay and the
+    verify leg recomputes Jaccard over the same md5 gram-hash sets."""
     from invoice_ocr_reconciler_spark.operators.dedup import (
         minhash_lsh_pairs,
         ngram_jaccard_verify,
@@ -2163,8 +2168,8 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The assembled near-dup pipeline: MinHash-LSH candidates -> exact
     n-gram-Jaccard verify -> connected components -> canonical survivor per
-    cluster. Rows-only (sketch candidates); the exact-pair variant of the
-    same composition is oracle-checked via dedup_canonical."""
+    cluster. Fully oracled: _minhash_block candidates + gram-hash Jaccard
+    verify + recursive-CTE closure + the dedup_canonical survivor tail."""
     from invoice_ocr_reconciler_spark.operators.cluster import canonical_docs
     from invoice_ocr_reconciler_spark.operators.dedup import (
         minhash_lsh_pairs,
@@ -2802,8 +2807,9 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental MinHash dedup (operators/dedup.py:minhash_incremental):
     the first half of the documents table plays the standing corpus (only
     its SIGNATURE index is touched), the second half is the new batch;
-    returns per-batch-doc verdicts. Rows-only (sketch semantics, like
-    dedup_minhash); pinned by tests/test_incremental_dedup.py."""
+    returns per-batch-doc verdicts. Fully oracled: two _minhash_block
+    replays (batch/index) + per-side capped band join + recursive-CTE
+    component closure; also pinned by tests/test_incremental_dedup.py."""
     from invoice_ocr_reconciler_spark.operators.dedup import (
         minhash_incremental,
         minhash_signatures,
@@ -3353,8 +3359,9 @@ def q_minhash_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     ann_recall): predicted near-dup pairs vs EXACT word-3-gram Jaccard
     ground truth over all pairs among doc_id < 200, at thresholds
     0.3/0.5/0.7 -> one (threshold, n_true, n_pred, n_hit, precision,
-    recall) row per operating point. Rows-only (sketch), but
-    regression-guarded by value in the bench artifact."""
+    recall) row per operating point. Fully oracled: one _minhash_block
+    replay feeds all three thresholds (the est/jaccard filters are
+    terminal), truth is the same all-pairs gram-hash Jaccard."""
     from invoice_ocr_reconciler_spark.operators.dedup import (
         minhash_lsh_pairs,
         ngram_jaccard_verify,
@@ -4195,8 +4202,10 @@ def q_fs_em_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     fs_em_fit) over the same perturbed-customer block pairs as
     record_linkage_fs — ONE groupBy collapses all candidate pairs to
     <=3^k agreement patterns; EM runs driver-side on the integer counts.
-    Rows-only (iterative driver loop, not SQL-replayable); convergence
-    and determinism pinned by tests/test_linkage_setjoin.py."""
+    Fully oracled: the DuckDB replay unrolls all 30 EM iterations as
+    materialized CTEs over the same pattern counts (_fs_em_oracle, the
+    bt_strengths MM-round precedent); convergence and determinism also
+    pinned by tests/test_linkage_setjoin.py."""
     from invoice_ocr_reconciler_spark.operators.linkage import fs_em_fit
 
     cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
@@ -4333,10 +4342,13 @@ def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     containment_join) over word 3-gram shingle sets, tau = 9/10 — the
     quote/syndication detector Jaccard can't see. Quotes are planted by
     unioning tokens 3..12 of every id%5 doc as id+2000000 (their trigram
-    sets are true subsets, containment exactly 1.0); intersection counts
-    come straight from the postings-join groupBy, thresholds are integer
-    arithmetic, and the DuckDB oracle replays the identical algebra
-    all-pairs."""
+    sets are true subsets, containment exactly 1.0). Runs the PRODUCTION
+    configuration: max_doc_freq=64 drops ubiquitous trigrams from the
+    candidate postings join (whose hot lists otherwise pair
+    quadratically — measured shuffle alpha 1.78 / task skew 40x on the
+    uncut path at 50k docs) and an exact array_intersect verify restores
+    true intersection counts; the DuckDB oracle replays the cut, the
+    candidate join, and the verify identically."""
     from invoice_ocr_reconciler_spark.operators.setjoin import containment_join
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -4346,7 +4358,9 @@ def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(F.slice(sp, 3, 10), " ").alias("text"),
     )
     all_docs = docs.select("doc_id", "text").unionByName(quotes)
-    return containment_join(all_docs, tau_num=9, tau_den=10, gram_n=3)
+    return containment_join(
+        all_docs, tau_num=9, tau_den=10, gram_n=3, max_doc_freq=64
+    )
 
 
 def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7165,6 +7179,227 @@ _HITS = {
     "es": r"\b(el|los|las|una|por|que|para)\b",
     "de": r"\b(der|die|das|und|ist|nicht|mit)\b",
 }
+
+
+def _fs_em_oracle(iters: int = 30) -> str:
+    """Unroll operators/linkage.py:fs_em_fit's EM iterations as CTEs over
+    the aggregated <=3^3 agreement-pattern table (the bt_strengths
+    MM-round precedent): replay the perturbed-customer pair synthesis and
+    pattern counts, then per iteration the E-step posterior (left-to-right
+    product order matches the Python loop; NULL fields multiply by 1.0,
+    bit-neutral) and the clamped M-step rate updates, the final
+    label-identifiability swap (p > 0.5), and log2 weights on the 1e-6
+    output grid. Summation over the 27 pattern rows differs in order from
+    the driver loop, but by iteration 30 both engines sit at the same
+    fixed point far inside a grid cell. Every iteration CTE is
+    MATERIALIZED: DuckDB 1.0's default CTE inlining re-plans the whole
+    chain per reference, turning the 30-step recurrence superlinear
+    (measured 0.1s at 2 iters -> >120s at 30; materialized: 1.6s)."""
+
+    def t(mu: str, g: str) -> str:
+        return (
+            f"(CASE WHEN {g} IS NULL THEN CAST(1.0 AS DOUBLE) "
+            f"WHEN {g} THEN {mu} ELSE CAST(1.0 AS DOUBLE) - {mu} END)"
+        )
+
+    its = []
+    for j in range(1, iters + 1):
+        i = j - 1
+        msel, usel = [], []
+        for f_ in (1, 2, 3):
+            msel.append(f"""
+                   CASE WHEN sum(CASE WHEN g{f_} IS NOT NULL
+                                 THEN n * g ELSE 0.0 END) > 0
+                        THEN least(greatest(
+                            sum(CASE WHEN g{f_} THEN n * g ELSE 0.0 END)
+                            / sum(CASE WHEN g{f_} IS NOT NULL
+                                  THEN n * g ELSE 0.0 END),
+                            1e-6), CAST(1.0 AS DOUBLE) - 1e-6)
+                        ELSE max(m{f_}) END AS m{f_}""")
+            usel.append(f"""
+                   CASE WHEN sum(CASE WHEN g{f_} IS NOT NULL
+                                 THEN n * (1.0 - g) ELSE 0.0 END) > 0
+                        THEN least(greatest(
+                            sum(CASE WHEN g{f_} THEN n * (1.0 - g)
+                                ELSE 0.0 END)
+                            / sum(CASE WHEN g{f_} IS NOT NULL
+                                  THEN n * (1.0 - g) ELSE 0.0 END),
+                            1e-6), CAST(1.0 AS DOUBLE) - 1e-6)
+                        ELSE max(u{f_}) END AS u{f_}""")
+        its.append(f"""
+            e{j} AS MATERIALIZED (
+                SELECT g1, g2, g3, n, m1, m2, m3, u1, u2, u3,
+                       p * {t("m1", "g1")} * {t("m2", "g2")}
+                         * {t("m3", "g3")} AS lm,
+                       (CAST(1.0 AS DOUBLE) - p) * {t("u1", "g1")}
+                         * {t("u2", "g2")} * {t("u3", "g3")} AS lu
+                FROM pat, s{i}),
+            gp{j} AS MATERIALIZED (
+                SELECT *, CASE WHEN lm + lu > 0 THEN lm / (lm + lu)
+                               ELSE CAST(0.0 AS DOUBLE) END AS g
+                FROM e{j}),
+            s{j} AS MATERIALIZED (
+                SELECT sum(n * g) / sum(n) AS p,
+                       {",".join(msel)},
+                       {",".join(usel)}
+                FROM gp{j})""")
+    r6 = "floor({} * 1000000.0 + 0.5) / 1000000.0"
+    fields = [("agree_name", 1), ("agree_segment", 2), ("agree_refcode", 3)]
+    outs = [
+        f"""SELECT '{nm}' AS field,
+                   {r6.format(f"m{f_}")} AS m,
+                   {r6.format(f"u{f_}")} AS u,
+                   {r6.format(f"log2(m{f_} / u{f_})")} AS w_agree,
+                   {r6.format(f"log2((CAST(1.0 AS DOUBLE) - m{f_}) / (CAST(1.0 AS DOUBLE) - u{f_}))")}
+                       AS w_disagree
+            FROM fin"""
+        for nm, f_ in fields
+    ]
+    outs.append(
+        f"""SELECT '__p__' AS field, {r6.format("p")} AS m,
+                   CAST(NULL AS DOUBLE) AS u, CAST(NULL AS DOUBLE) AS w_agree,
+                   CAST(NULL AS DOUBLE) AS w_disagree
+            FROM fin"""
+    )
+    return f"""
+        WITH cust AS (
+            SELECT c_custkey AS k, c_nationkey AS blk, c_name AS name,
+                   c_mktsegment AS seg
+            FROM customer),
+        pa AS (SELECT k, blk, name AS a_name, seg AS a_seg,
+                      substring(name, 15, 4) AS a_ref
+               FROM cust),
+        pb AS (SELECT k, blk,
+                      CASE WHEN k % 5 = 0 THEN substring(name, 1,
+                               length(name) - 1) || 'X'
+                           ELSE name END AS b_name,
+                      CASE WHEN k % 7 = 0 THEN 'OTHER' ELSE seg END AS b_seg,
+                      CASE WHEN k % 11 = 0 THEN NULL
+                           ELSE substring(name, 15, 4) END AS b_ref
+               FROM cust),
+        pat AS MATERIALIZED (
+            SELECT a.a_name = b.b_name AS g1, a.a_seg = b.b_seg AS g2,
+                   a.a_ref = b.b_ref AS g3,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM pa a JOIN pb b ON a.blk = b.blk
+            GROUP BY 1, 2, 3),
+        s0 AS (SELECT CAST(0.1 AS DOUBLE) AS p,
+                      CAST(0.8 AS DOUBLE) AS m1, CAST(0.8 AS DOUBLE) AS m2,
+                      CAST(0.8 AS DOUBLE) AS m3,
+                      CAST(0.2 AS DOUBLE) AS u1, CAST(0.2 AS DOUBLE) AS u2,
+                      CAST(0.2 AS DOUBLE) AS u3),
+        {",".join(its)},
+        fin AS (
+            SELECT CASE WHEN p > 0.5 THEN CAST(1.0 AS DOUBLE) - p
+                        ELSE p END AS p,
+                   CASE WHEN p > 0.5 THEN u1 ELSE m1 END AS m1,
+                   CASE WHEN p > 0.5 THEN u2 ELSE m2 END AS m2,
+                   CASE WHEN p > 0.5 THEN u3 ELSE m3 END AS m3,
+                   CASE WHEN p > 0.5 THEN m1 ELSE u1 END AS u1,
+                   CASE WHEN p > 0.5 THEN m2 ELSE u2 END AS u2,
+                   CASE WHEN p > 0.5 THEN m3 ELSE u3 END AS u3
+            FROM s{iters})
+        SELECT * FROM ({" UNION ALL ".join(outs)})
+        ORDER BY field
+    """
+
+
+def _sql_mulmod64(x: str, c: int) -> str:
+    """SQL for (x * c) mod 2^64 over UBIGINT via 32-bit limb decomposition
+    (DuckDB integer ops are overflow-checked, not wrapping): low product in
+    UBIGINT, cross terms mod 2^32 shifted via HUGEINT, final mod 2^64."""
+    cl, ch = c & 0xFFFFFFFF, c >> 32
+    return (
+        f"(((({x}) % 4294967296) * {cl})::HUGEINT"
+        f" + ((((({x}) >> 32) * {cl} % 4294967296"
+        f" + (({x}) % 4294967296) * {ch} % 4294967296) % 4294967296)::HUGEINT"
+        f" * 4294967296)) % 18446744073709551616"
+    )
+
+
+def _minhash_block(doc_filter: str = "", sfx: str = "") -> str:
+    """CTE block replaying operators/dedup.py's MinHash+LSH pipeline
+    bit-exactly (verified): word-3-gram strings (the ngram_jaccard_exact
+    tokenization; short texts collapse to one joined gram, empty hashes
+    to 0), gram hash = high 8 md5 bytes, 64 hash functions = splitmix64
+    over gram^seed unrolled as stepwise limb-arithmetic CTEs
+    (_sql_mulmod64), per-band signature strings grouped exactly like the
+    xxhash64 bucket join (same equivalence classes), HOT_BUCKET_CAP=64
+    drop, canonical a<b pairs, and the agreement/64 estimate on the 1e-4
+    grid. ``sfx`` namespaces the CTEs so several blocks (minhash_quality's
+    three thresholds) compose in one statement."""
+    s = sfx
+    sm1 = _sql_mulmod64("x", 0xBF58476D1CE4E5B9)
+    sm2 = _sql_mulmod64("x", 0x94D049BB133111EB)
+    return f"""
+            tk{s} AS (
+                SELECT doc_id, list_filter(string_split_regex(
+                           lower(trim(coalesce(text, ''))), '\\s+'),
+                           t -> t <> '') AS toks
+                FROM documents {doc_filter}),
+            gs{s} AS (
+                SELECT doc_id,
+                       CASE WHEN len(toks) = 0 THEN [CAST(NULL AS VARCHAR)]
+                            WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                            ELSE list_distinct(list_transform(
+                                range(1, len(toks) - 1),
+                                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+                       END AS grams
+                FROM tk{s}),
+            ghd{s} AS MATERIALIZED (
+                SELECT DISTINCT doc_id,
+                       CASE WHEN g IS NULL THEN CAST(0 AS UBIGINT)
+                            ELSE ('0x' || substr(md5(g), 1, 16))::UBIGINT
+                       END AS h
+                FROM (SELECT doc_id, unnest(grams) AS g FROM gs{s})),
+            seeds{s} AS (
+                SELECT i, ('0x' || substr(md5('minhash-v2:' || i), 1, 16))
+                           ::UBIGINT AS seed
+                FROM range(64) t(i)),
+            x0{s} AS (SELECT doc_id, i, xor(h, seed) AS x
+                      FROM ghd{s}, seeds{s}),
+            a1{s} AS (SELECT doc_id, i,
+                             ((x::HUGEINT + 11400714819323198485)
+                              % 18446744073709551616)::UBIGINT AS x
+                      FROM x0{s}),
+            a2{s} AS (SELECT doc_id, i, xor(x, x >> 30) AS x FROM a1{s}),
+            a3{s} AS (SELECT doc_id, i, ({sm1})::UBIGINT AS x FROM a2{s}),
+            a4{s} AS (SELECT doc_id, i, xor(x, x >> 27) AS x FROM a3{s}),
+            a5{s} AS (SELECT doc_id, i, ({sm2})::UBIGINT AS x FROM a4{s}),
+            a6{s} AS (SELECT doc_id, i, xor(x, x >> 31) AS x FROM a5{s}),
+            sig{s} AS MATERIALIZED (
+                SELECT doc_id, i,
+                       CAST(CASE WHEN mh >= 9223372036854775808
+                                 THEN mh::HUGEINT - 18446744073709551616
+                                 ELSE mh::HUGEINT END AS BIGINT) AS sv
+                FROM (SELECT doc_id, i, min(x) AS mh
+                      FROM a6{s} GROUP BY doc_id, i)),
+            bands{s} AS MATERIALIZED (
+                SELECT doc_id, CAST(i // 4 AS INT) AS band,
+                       string_agg(CAST(sv AS VARCHAR), '-' ORDER BY i) AS bstr
+                FROM sig{s} GROUP BY doc_id, i // 4),
+            okb{s} AS (
+                SELECT band, bstr FROM bands{s}
+                GROUP BY 1, 2 HAVING count(*) BETWEEN 2 AND 64),
+            cand{s} AS MATERIALIZED (
+                SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                FROM bands{s} a
+                JOIN okb{s} o ON a.band = o.band AND a.bstr = o.bstr
+                JOIN bands{s} b ON b.band = a.band AND b.bstr = a.bstr
+                 AND a.doc_id < b.doc_id),
+            agr{s} AS (
+                SELECT c.doc_a, c.doc_b,
+                       CAST(sum(CASE WHEN sa.sv = sb.sv THEN 1 ELSE 0 END)
+                            AS BIGINT) AS k
+                FROM cand{s} c
+                JOIN sig{s} sa ON sa.doc_id = c.doc_a
+                JOIN sig{s} sb ON sb.doc_id = c.doc_b AND sb.i = sa.i
+                GROUP BY 1, 2),
+            mh_pairs{s} AS (
+                SELECT doc_a, doc_b,
+                       floor(CAST(k AS DOUBLE) / 64 * 10000 + 0.5) / 10000
+                           AS est_jaccard
+                FROM agr{s})"""
 
 
 def _pagerank_oracle(n_iter: int = 3) -> str:
@@ -10581,6 +10816,179 @@ def oracle_sql() -> dict[str, str]:
                                  WHERE o_orderstatus = 'P')
         """,
         "pagerank": _pagerank_oracle(3),
+        "fs_em_weights": _fs_em_oracle(30),
+        # bit-exact MinHash+LSH replay (see _minhash_block): splitmix64 via
+        # limb arithmetic, md5 gram/seed constants, band-string grouping
+        "dedup_minhash": "WITH " + _minhash_block() + """
+            SELECT doc_a, doc_b, est_jaccard FROM mh_pairs
+            WHERE est_jaccard >= 0.5
+        """,
+        "dedup_ngram_jaccard": "WITH " + _minhash_block() + """,
+            common AS (
+                SELECT c.doc_a, c.doc_b, CAST(count(*) AS BIGINT) AS inter
+                FROM (SELECT doc_a, doc_b FROM mh_pairs
+                      WHERE est_jaccard >= 0.3) c
+                JOIN ghd a ON a.doc_id = c.doc_a
+                JOIN ghd b ON b.doc_id = c.doc_b AND b.h = a.h
+                GROUP BY 1, 2),
+            sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz
+                      FROM ghd GROUP BY 1),
+            ver AS (
+                SELECT c.doc_a, c.doc_b,
+                       round(CAST(coalesce(cm.inter, 0) AS DOUBLE)
+                             / (sa.sz + sb.sz - coalesce(cm.inter, 0)),
+                             4) AS jaccard
+                FROM (SELECT doc_a, doc_b FROM mh_pairs
+                      WHERE est_jaccard >= 0.3) c
+                LEFT JOIN common cm
+                  ON cm.doc_a = c.doc_a AND cm.doc_b = c.doc_b
+                JOIN sizes sa ON sa.doc_id = c.doc_a
+                JOIN sizes sb ON sb.doc_id = c.doc_b)
+            SELECT doc_a, doc_b, jaccard FROM ver WHERE jaccard >= 0.3
+        """,
+        # the quality sweep shares ONE signature/band replay (thresholds
+        # only gate the terminal est/jaccard filters)
+        "minhash_quality": "WITH " + _minhash_block(
+            "WHERE doc_id < 200"
+        ) + """,
+            sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz
+                      FROM ghd GROUP BY 1),
+            cmn AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       CAST(count(*) AS BIGINT) AS inter
+                FROM ghd a JOIN ghd b
+                  ON a.h = b.h AND a.doc_id < b.doc_id
+                GROUP BY 1, 2),
+            exj AS MATERIALIZED (
+                SELECT p.doc_a, p.doc_b,
+                       round(CAST(coalesce(cm.inter, 0) AS DOUBLE)
+                             / (sa.sz + sb.sz - coalesce(cm.inter, 0)),
+                             4) AS jaccard
+                FROM (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+                      FROM tk a JOIN tk b ON a.doc_id < b.doc_id) p
+                LEFT JOIN cmn cm
+                  ON cm.doc_a = p.doc_a AND cm.doc_b = p.doc_b
+                JOIN sizes sa ON sa.doc_id = p.doc_a
+                JOIN sizes sb ON sb.doc_id = p.doc_b),
+            per AS (
+                SELECT th AS threshold,
+                       (SELECT CAST(count(*) AS BIGINT) FROM exj
+                        WHERE jaccard >= th) AS n_true,
+                       (SELECT CAST(count(*) AS BIGINT) FROM mh_pairs
+                        WHERE est_jaccard >= th) AS n_pred,
+                       (SELECT CAST(count(*) AS BIGINT)
+                        FROM mh_pairs p JOIN exj e
+                          ON p.doc_a = e.doc_a AND p.doc_b = e.doc_b
+                        WHERE p.est_jaccard >= th AND e.jaccard >= th)
+                           AS n_hit
+                FROM (SELECT unnest([CAST(0.3 AS DOUBLE),
+                                     CAST(0.5 AS DOUBLE),
+                                     CAST(0.7 AS DOUBLE)]) AS th))
+            SELECT threshold, n_true, n_pred, n_hit,
+                   CASE WHEN n_pred = 0 THEN CAST(1.0 AS DOUBLE)
+                        ELSE round(CAST(n_hit AS DOUBLE) / n_pred, 6)
+                   END AS precision,
+                   CASE WHEN n_true = 0 THEN CAST(1.0 AS DOUBLE)
+                        ELSE round(CAST(n_hit AS DOUBLE) / n_true, 6)
+                   END AS recall
+            FROM per ORDER BY threshold
+        """,
+        # incremental dedup: batch (odd ids) vs standing index (even ids) —
+        # two _minhash_block replays feed the per-side-capped index join,
+        # the batch-internal pairs, a recursive-CTE component closure
+        # (the dedup_components precedent), and the keep rule
+        "dedup_incremental": "WITH RECURSIVE "
+        + _minhash_block("WHERE doc_id % 2 = 1", "_b")
+        + ","
+        + _minhash_block("WHERE doc_id % 2 = 0", "_i")
+        + """,
+            np AS (SELECT doc_a, doc_b FROM mh_pairs_b
+                   WHERE est_jaccard >= 0.7),
+            nbc AS (SELECT band, bstr, count(*) AS n
+                    FROM bands_b GROUP BY 1, 2),
+            ibc AS (SELECT band, bstr, count(*) AS n
+                    FROM bands_i GROUP BY 1, 2),
+            ip AS (
+                SELECT DISTINCT nb.doc_id, ib.doc_id AS index_id
+                FROM bands_b nb
+                JOIN nbc ON nbc.band = nb.band AND nbc.bstr = nb.bstr
+                 AND nbc.n <= 64
+                JOIN bands_i ib ON ib.band = nb.band AND ib.bstr = nb.bstr
+                JOIN ibc ON ibc.band = ib.band AND ibc.bstr = ib.bstr
+                 AND ibc.n <= 64),
+            ipa AS (
+                SELECT p.doc_id, p.index_id,
+                       CAST(sum(CASE WHEN a.sv = b.sv THEN 1 ELSE 0 END)
+                            AS BIGINT) AS k
+                FROM ip p
+                JOIN sig_b a ON a.doc_id = p.doc_id
+                JOIN sig_i b ON b.doc_id = p.index_id AND b.i = a.i
+                GROUP BY 1, 2),
+            idxm AS (
+                SELECT DISTINCT doc_id FROM ipa
+                WHERE floor(CAST(k AS DOUBLE) / 64 * 10000 + 0.5) / 10000
+                      >= 0.7),
+            eb AS (SELECT doc_a AS u, doc_b AS v FROM np
+                   UNION SELECT doc_b, doc_a FROM np),
+            nodesb AS (SELECT DISTINCT u FROM eb),
+            reach(u, v) AS (
+                SELECT u, u FROM nodesb
+                UNION
+                SELECT r.u, eb.v FROM reach r JOIN eb ON r.v = eb.u),
+            comp AS (SELECT u AS doc_id, min(v) AS component
+                     FROM reach GROUP BY u),
+            anch AS (SELECT DISTINCT c.component
+                     FROM comp c JOIN idxm m ON c.doc_id = m.doc_id)
+            SELECT b.doc_id,
+                   (m.doc_id IS NOT NULL) AS dup_of_index,
+                   (a.component IS NOT NULL) AS in_anchored_cluster,
+                   (m.doc_id IS NULL AND a.component IS NULL
+                    AND coalesce(c.component, b.doc_id) = b.doc_id)
+                       AS is_kept
+            FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) b
+            LEFT JOIN idxm m ON m.doc_id = b.doc_id
+            LEFT JOIN comp c ON c.doc_id = b.doc_id
+            LEFT JOIN anch a ON a.component = c.component
+        """,
+        # assembled pipeline: LSH candidates (bit-exact block) -> exact
+        # Jaccard verify >= 0.5 -> recursive-CTE components -> canonical
+        # survivor (the dedup_canonical tail over sketch candidates)
+        "dedup_end_to_end": "WITH RECURSIVE "
+        + _minhash_block()
+        + """,
+            szs AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz
+                    FROM ghd GROUP BY 1),
+            cmn AS (
+                SELECT c.doc_a, c.doc_b, CAST(count(*) AS BIGINT) AS inter
+                FROM (SELECT doc_a, doc_b FROM mh_pairs
+                      WHERE est_jaccard >= 0.3) c
+                JOIN ghd a ON a.doc_id = c.doc_a
+                JOIN ghd b ON b.doc_id = c.doc_b AND b.h = a.h
+                GROUP BY 1, 2),
+            pr AS (
+                SELECT c.doc_a AS u, c.doc_b AS v
+                FROM (SELECT doc_a, doc_b FROM mh_pairs
+                      WHERE est_jaccard >= 0.3) c
+                LEFT JOIN cmn cm
+                  ON cm.doc_a = c.doc_a AND cm.doc_b = c.doc_b
+                JOIN szs sa ON sa.doc_id = c.doc_a
+                JOIN szs sb ON sb.doc_id = c.doc_b
+                WHERE round(CAST(coalesce(cm.inter, 0) AS DOUBLE)
+                            / (sa.sz + sb.sz - coalesce(cm.inter, 0)),
+                            4) >= 0.5),
+            ee AS (SELECT u, v FROM pr UNION SELECT v, u FROM pr),
+            nodes AS (SELECT DISTINCT u FROM ee),
+            reach(u, v) AS (
+                SELECT u, u FROM nodes
+                UNION
+                SELECT r.u, ee.v FROM reach r JOIN ee ON r.v = ee.u),
+            comp AS (SELECT u AS doc_id, min(v) AS component
+                     FROM reach GROUP BY u)
+            SELECT d.doc_id,
+                   coalesce(c.component, d.doc_id) AS component,
+                   coalesce(c.component, d.doc_id) = d.doc_id AS is_canonical
+            FROM documents d LEFT JOIN comp c USING (doc_id)
+        """,
         "trust_rank": _trustrank_oracle(3),
         "hyperball": _hyperball_oracle(3),
         "harmonic_centrality": _harmonic_oracle(3),
@@ -12639,11 +13047,29 @@ def oracle_sql() -> dict[str, str]:
                            END)) AS tok
                 FROM tk),
             sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM tok GROUP BY 1),
+            -- production cut: ubiquitous trigrams leave the CANDIDATE
+            -- stage (hot postings pair quadratically); exact verify below
+            df AS (SELECT tok, count(*) AS df FROM tok GROUP BY 1),
+            rtok AS (SELECT t.doc_id, t.tok
+                     FROM tok t JOIN df USING (tok) WHERE df.df <= 64),
+            cand AS (
+                SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM rtok a JOIN rtok b
+                  ON a.tok = b.tok AND a.doc_id <> b.doc_id),
+            tsets AS (
+                SELECT doc_id, list_sort(list_distinct(
+                           CASE WHEN len(toks) < 3 THEN []
+                                ELSE list_transform(range(1, len(toks) - 1),
+                                    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                           END)) AS grams
+                FROM tk),
             ins AS (
-                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-                       CAST(count(*) AS BIGINT) AS inter
-                FROM tok a JOIN tok b ON a.tok = b.tok AND a.doc_id <> b.doc_id
-                GROUP BY 1, 2)
+                SELECT c.id_a, c.id_b,
+                       CAST(len(list_intersect(ta.grams, tb.grams))
+                            AS BIGINT) AS inter
+                FROM cand c
+                JOIN tsets ta ON c.id_a = ta.doc_id
+                JOIN tsets tb ON c.id_b = tb.doc_id)
             SELECT id_a, id_b, inter,
                    floor(CAST(inter AS DOUBLE) / sa.sz
                          * 1000000.0 + 0.5) / 1000000.0 AS containment

@@ -70,33 +70,36 @@ _MH_SEEDS = np.array(
     dtype=np.uint64,
 )
 
-_GRAM_MULT = np.array([0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9],
-                      dtype=np.uint64)
-
-
 def _shingle_hashes(text: str, k: int = 3) -> np.ndarray:
-    """Word k-gram shingles -> stable 64-bit hashes (vectorized).
+    """Word k-gram shingles -> stable 64-bit hashes.
 
-    Tokens hash via crc32 (C speed) then splitmix64 for 64-bit spread; a
-    k-gram hash is the XOR of position-scaled token hashes — the whole
-    gram array is produced with numpy slicing, no per-gram Python loop.
+    A gram's hash is the high 8 bytes of md5 over the SPACE-JOINED gram
+    string — exactly the gram strings the ngram_jaccard_exact oracle
+    builds, so a DuckDB oracle replays the hash with
+    ('0x'||substr(md5(g),1,16))::UBIGINT and the whole MinHash pipeline
+    becomes value-checkable (round 2 used crc32+positional multiplies:
+    faster per token but not expressible in SQL). Short texts (<k
+    tokens) collapse to one joined gram, mirroring the oracle's
+    short-text branch; empty text hashes to [0].
     """
     toks = text.lower().split()
     if not toks:
         return np.array([np.uint64(0)], dtype=np.uint64)
-    th = _splitmix64(
-        np.array([zlib.crc32(t.encode("utf-8")) for t in toks], dtype=np.uint64)
+    if len(toks) < k:
+        grams: set[str] = {" ".join(toks)}
+    else:
+        grams = {
+            " ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)
+        }
+    return np.unique(
+        np.array(
+            [
+                int.from_bytes(hashlib.md5(g.encode("utf-8")).digest()[:8], "big")
+                for g in grams
+            ],
+            dtype=np.uint64,
+        )
     )
-    if len(th) < k:
-        # array-width multiply wraps silently (numpy only warns on SCALAR
-        # uint64 overflow); i % k == i here since len(th) < k <= 3
-        g = np.bitwise_xor.reduce(th * _GRAM_MULT[: len(th)])
-        return np.array([g], dtype=np.uint64)
-    n_grams = len(th) - k + 1
-    g = th[0:n_grams] * _GRAM_MULT[0]
-    for i in range(1, k):
-        g = g ^ (th[i : n_grams + i] * _GRAM_MULT[i % 3])
-    return np.unique(g)
 
 
 def _minhash_signature(text: str) -> list[int]:
