@@ -1,11 +1,13 @@
 """Multimodal columns: image/audio/video as opaque binary + typed metadata.
 
 The Spark-side plumbing is real and tested — schema, partition-preserving
-mapInPandas, Arrow batch shape, per-executor lazy decoder singleton — while
-the actual codec work is stubbed (the sandbox ships no image/audio libs):
-``decode_image`` raises NotImplementedError unless ``fake=True``, in which
-case a deterministic fake decoder (dimensions/features derived from the
-payload bytes) stands in so the distributed path is exercisable end-to-end.
+mapInPandas, Arrow batch shape, per-executor lazy decoder singleton. Two
+decode paths share that plumbing: ``fake=True`` (default) is the
+deterministic md5-derived stand-in the oracles replay; ``fake=False``
+uses a REAL pure-stdlib decoder for PNG (zlib inflate + per-row filters
+0-4, color types 0/2/3/4/6) and uncompressed 24-bit BMP — formats that
+need a codec library (JPEG's DCT pipeline, video demuxing, audio) still
+raise NotImplementedError per payload, keeping the gate honest.
 
 At 100 TB the rules that matter here: never let the binary column through a
 shuffle you don't need (project it away before joins/aggs), bound Arrow batch
@@ -70,16 +72,152 @@ class _FakeDecoder:
         return [bytes((payload or b"")[i * step : i * step + 16]) for i in range(n)]
 
 
-_DECODER: _FakeDecoder | None = None
+class _RealDecoder:
+    """Pure-stdlib image decode (PNG + uncompressed 24-bit BMP) — no
+    Pillow/ffmpeg in the sandbox, but PNG is just zlib + per-row filters.
+    Exotic containers (JPEG needs a DCT pipeline) still raise, keeping
+    the gate honest about what is implemented.
 
+    decode_image returns (width, height, feature) with the SAME shape
+    contract as the fake decoder: an 8-dim float32 feature — here the
+    mean luminance of a 2x4 grid over the decoded pixels, in [0, 1].
+    """
 
-def _get_decoder(fake: bool) -> _FakeDecoder:
-    global _DECODER
-    if not fake:
-        raise NotImplementedError(
-            "real image/audio decode requires Pillow/ffmpeg — not shipped in "
-            "this sandbox; pass fake=True for the deterministic stand-in"
+    def decode_image(self, payload: bytes) -> tuple[int, int, np.ndarray]:
+        if payload and payload[:8] == b"\x89PNG\r\n\x1a\n":
+            w, h, pix = _decode_png(payload)
+        elif payload and payload[:2] == b"BM":
+            w, h, pix = _decode_bmp24(payload)
+        else:
+            raise NotImplementedError(
+                "real decode implemented for PNG and 24-bit BMP only "
+                "(stdlib zlib path); other formats need a codec lib"
+            )
+        lum = pix.astype(np.float32).mean(axis=2) / 255.0  # (h, w)
+        rows = np.array_split(lum, 2, axis=0)
+        feat = np.array(
+            [
+                float(cell.mean()) if cell.size else 0.0
+                for r in rows
+                for cell in np.array_split(r, 4, axis=1)
+            ],
+            dtype=np.float32,
         )
+        return w, h, feat
+
+    def sample_frames(self, payload: bytes, n: int) -> list[bytes]:
+        raise NotImplementedError(
+            "real video frame sampling needs a container demuxer"
+        )
+
+
+def _decode_png(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """Minimal PNG decoder: 8-bit depth, color types 0/2/3/4/6, filters
+    0-4, non-interlaced. Returns (w, h, RGB uint8 array)."""
+    import struct
+    import zlib
+
+    pos, idat, plte = 8, b"", b""
+    w = h = bitd = ctype = interlace = None
+    while pos < len(payload):
+        (ln,) = struct.unpack(">I", payload[pos : pos + 4])
+        tag = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + ln]
+        if tag == b"IHDR":
+            w, h, bitd, ctype, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+        elif tag == b"IDAT":
+            idat += data
+        elif tag == b"PLTE":
+            plte = data
+        elif tag == b"IEND":
+            break
+        pos += 12 + ln
+    if w is None or bitd != 8 or interlace != 0:
+        raise NotImplementedError(
+            "PNG decode supports 8-bit non-interlaced images only"
+        )
+    nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ctype]
+    raw = zlib.decompress(idat)
+    stride = w * nch
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        ftype = raw[y * (stride + 1)]
+        line = np.frombuffer(
+            raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)], dtype=np.uint8
+        ).copy()
+        if ftype == 1:  # Sub — sequential in x, vectorize over channels
+            for x in range(nch, stride):
+                line[x] = (int(line[x]) + int(line[x - nch])) & 0xFF
+        elif ftype == 2:  # Up
+            line = (line.astype(np.int32) + prev).astype(np.uint8)
+        elif ftype == 3:  # Average
+            for x in range(stride):
+                left = int(line[x - nch]) if x >= nch else 0
+                line[x] = (int(line[x]) + ((left + int(prev[x])) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for x in range(stride):
+                left = int(line[x - nch]) if x >= nch else 0
+                ul = int(prev[x - nch]) if x >= nch else 0
+                a, b, c = left, int(prev[x]), ul
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[x] = (int(line[x]) + pred) & 0xFF
+        elif ftype != 0:
+            raise NotImplementedError(f"PNG filter type {ftype}")
+        out[y] = line
+        prev = line
+    px = out.reshape(h, w, nch)
+    if ctype == 0:
+        return w, h, np.repeat(px, 3, axis=2)
+    if ctype == 2:
+        return w, h, px
+    if ctype == 3:
+        pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+        return w, h, pal[px[:, :, 0]]
+    if ctype == 4:
+        return w, h, np.repeat(px[:, :, :1], 3, axis=2)
+    return w, h, px[:, :, :3]  # 6: drop alpha
+
+
+def _decode_bmp24(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """Uncompressed 24-bit BMP (BITMAPINFOHEADER, bottom-up rows)."""
+    import struct
+
+    off = struct.unpack("<I", payload[10:14])[0]
+    hdr = struct.unpack("<I", payload[14:18])[0]
+    w, h = struct.unpack("<ii", payload[18:26])
+    bpp = struct.unpack("<H", payload[28:30])[0]
+    comp = struct.unpack("<I", payload[30:34])[0]
+    if hdr < 40 or bpp != 24 or comp != 0:
+        raise NotImplementedError("BMP decode supports uncompressed 24-bit")
+    stride = (w * 3 + 3) & ~3
+    rows = []
+    for y in range(abs(h)):
+        start = off + y * stride
+        row = np.frombuffer(payload[start : start + w * 3], dtype=np.uint8)
+        rows.append(row.reshape(w, 3)[:, ::-1])  # BGR -> RGB
+    px = np.stack(rows)
+    if h > 0:
+        px = px[::-1]  # bottom-up storage
+    return w, abs(h), px
+
+
+_DECODER: _FakeDecoder | None = None
+_REAL_DECODER: _RealDecoder | None = None
+
+
+def _get_decoder(fake: bool) -> _FakeDecoder | _RealDecoder:
+    global _DECODER, _REAL_DECODER
+    if not fake:
+        # real stdlib PNG/BMP path (per-executor singleton like the fake);
+        # unsupported containers raise inside decode_image per payload
+        if _REAL_DECODER is None:
+            _REAL_DECODER = _RealDecoder()
+        return _REAL_DECODER
     if _DECODER is None:  # lazy executor-local init, reused across batches
         _DECODER = _FakeDecoder()
     return _DECODER

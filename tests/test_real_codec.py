@@ -1,0 +1,173 @@
+"""Real stdlib PNG/BMP decode path (operators/multimodal.py:_RealDecoder).
+
+The fixtures are handcrafted byte-level images (struct + zlib, no image
+library), so the test proves the decoder against the FORMAT SPECS, not
+against another codec. The fake-decoder path (what the multimodal oracles
+replay) is untouched — see test_fake_path_unchanged."""
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from invoice_ocr_reconciler_spark.operators.multimodal import (
+    _decode_bmp24,
+    _decode_png,
+    _RealDecoder,
+)
+
+
+def _chunk(tag: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + tag
+        + data
+        + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+    )
+
+
+def _png(pixels: np.ndarray, ctype: int, filters: list[int]) -> bytes:
+    """Encode (h, w, nch) uint8 pixels as a PNG using the given per-row
+    filter types (0=None, 1=Sub, 2=Up, 3=Average, 4=Paeth)."""
+    h, w, nch = pixels.shape
+    raw = b""
+    prev = np.zeros(w * nch, dtype=np.uint8)
+    for y in range(h):
+        line = pixels[y].reshape(-1).astype(np.uint8)
+        f = filters[y % len(filters)]
+        enc = line.astype(np.int32).copy()
+        for x in range(w * nch - 1, -1, -1):
+            left = int(line[x - nch]) if x >= nch else 0
+            up = int(prev[x])
+            ul = int(prev[x - nch]) if x >= nch else 0
+            if f == 1:
+                enc[x] = (int(line[x]) - left) & 0xFF
+            elif f == 2:
+                enc[x] = (int(line[x]) - up) & 0xFF
+            elif f == 3:
+                enc[x] = (int(line[x]) - ((left + up) >> 1)) & 0xFF
+            elif f == 4:
+                p = left + up - ul
+                pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                pred = (
+                    left
+                    if (pa <= pb and pa <= pc)
+                    else (up if pb <= pc else ul)
+                )
+                enc[x] = (int(line[x]) - pred) & 0xFF
+        raw += bytes([f]) + enc.astype(np.uint8).tobytes()
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(raw))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def _gradient(h: int, w: int, nch: int) -> np.ndarray:
+    return (
+        (np.arange(h)[:, None, None] * 31 + np.arange(w)[None, :, None] * 7
+         + np.arange(nch)[None, None, :] * 3)
+        % 256
+    ).astype(np.uint8)
+
+
+@pytest.mark.parametrize("filters", [[0], [1], [2], [3], [4], [0, 1, 2, 3, 4]])
+def test_png_rgb_roundtrip_all_filters(filters):
+    px = _gradient(7, 5, 3)
+    w, h, got = _decode_png(_png(px, 2, filters))
+    assert (w, h) == (5, 7)
+    assert np.array_equal(got, px)
+
+
+def test_png_gray_palette_and_alpha_types():
+    g = _gradient(4, 6, 1)
+    w, h, got = _decode_png(_png(g, 0, [0, 2]))
+    assert (w, h) == (6, 4) and np.array_equal(got, np.repeat(g, 3, axis=2))
+    rgba = _gradient(4, 6, 4)
+    w, h, got = _decode_png(_png(rgba, 6, [1, 4]))
+    assert np.array_equal(got, rgba[:, :, :3])
+
+
+def test_png_palette():
+    pal = np.array([[250, 1, 2], [3, 4, 5], [6, 7, 8]], dtype=np.uint8)
+    idx = np.array([[0, 1], [2, 0]], dtype=np.uint8)[:, :, None]
+    png = _png(idx, 3, [0])
+    # splice a PLTE chunk before IDAT
+    head, idat = png.split(b"IDAT", 1)
+    ln = struct.unpack(">I", head[-4:])[0]  # IDAT length prefix
+    png = head[:-4] + _chunk(b"PLTE", pal.tobytes()) + struct.pack(">I", ln) + b"IDAT" + idat
+    w, h, got = _decode_png(png)
+    assert np.array_equal(got, pal[idx[:, :, 0]])
+
+
+def _bmp24(pixels: np.ndarray) -> bytes:
+    h, w, _ = pixels.shape
+    stride = (w * 3 + 3) & ~3
+    body = b""
+    for y in range(h - 1, -1, -1):  # bottom-up
+        row = pixels[y][:, ::-1].reshape(-1).tobytes()  # RGB -> BGR
+        body += row + b"\x00" * (stride - len(row))
+    off = 14 + 40
+    return (
+        b"BM"
+        + struct.pack("<IHHI", off + len(body), 0, 0, off)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 0, 0, 0, 0)
+        + body
+    )
+
+
+def test_bmp24_roundtrip():
+    px = _gradient(5, 3, 3)
+    w, h, got = _decode_bmp24(_bmp24(px))
+    assert (w, h) == (3, 5)
+    assert np.array_equal(got, px)
+
+
+def test_real_decoder_feature_contract_and_gate():
+    dec = _RealDecoder()
+    px = np.full((8, 8, 3), 255, dtype=np.uint8)
+    w, h, feat = dec.decode_image(_png(px, 2, [0]))
+    assert (w, h) == (8, 8)
+    assert feat.shape == (8,) and feat.dtype == np.float32
+    assert np.allclose(feat, 1.0)  # all-white -> unit luminance everywhere
+    with pytest.raises(NotImplementedError):
+        dec.decode_image(b"\xff\xd8\xff\xe0 not a png")  # JPEG magic
+
+
+def test_real_path_through_spark_plumbing(spark):
+    """fake=False flows through the same mapInPandas plumbing."""
+    from invoice_ocr_reconciler_spark.operators.multimodal import (
+        image_features,
+    )
+
+    png = _png(_gradient(6, 4, 3), 2, [0, 1, 2, 3, 4])
+    media = spark.createDataFrame(
+        [("m1", "image", bytearray(png), None)],
+        "media_id string, kind string, payload binary, "
+        "meta map<string,string>",
+    )
+    row = image_features(media, fake=False).collect()[0]
+    assert (row.width, row.height, row.n_bytes) == (4, 6, len(png))
+    assert len(row.feature) == 8
+
+
+def test_fake_path_unchanged(spark):
+    """The oracle-replayed fake path must not shift with the real codec."""
+    from invoice_ocr_reconciler_spark.operators.multimodal import (
+        image_features,
+    )
+
+    media = spark.createDataFrame(
+        [("m1", "image", bytearray(b"payload-bytes"), None)],
+        "media_id string, kind string, payload binary, "
+        "meta map<string,string>",
+    )
+    row = image_features(media, fake=True).collect()[0]
+    import hashlib
+
+    hh = hashlib.md5(b"payload-bytes").digest()
+    assert row.width == 64 + hh[0] % 192 and row.height == 64 + hh[1] % 192
