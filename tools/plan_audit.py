@@ -1,6 +1,12 @@
 """Automated plan audit: physical-plan hygiene metrics for every query.
 
-Usage: python tools/plan_audit.py [sf_dir] [query ...]
+Usage: python tools/plan_audit.py [--exec] [sf_dir] [query ...]
+
+With --exec each query also EXECUTES and the JSONL rows gain measured
+shuffle read/write bytes, wall seconds, and max/median task + shuffle-read
+skew from the Spark UI REST API (tools/exec_metrics.py); pure-codegen
+queries whose qualified shuffle skew exceeds SKEW_LIMIT (4x) become
+violations. tests/test_exec_audit.py gates a heavy-query subset in CI.
 
 For each `__spark_entry__.queries()` entry this builds the DataFrame
 (no execution beyond what query construction itself triggers — k-means
@@ -113,14 +119,54 @@ PYTHON_MARKERS = (
 )
 
 
-def audit(sf_dir: str, only: list[str] | None = None) -> tuple[list[dict], list[str]]:
+# executed-skew gate: a stage only counts toward the skew verdict when it
+# has enough tasks and bytes for max/median to mean anything (AQE-coalesced
+# 2-task stages with one empty partition would flag everything)
+SKEW_MIN_TASKS = 8
+SKEW_MIN_BYTES = 2 * 1024 * 1024
+SKEW_LIMIT = 4.0
+
+
+def qualified_skew(stages: list[dict]) -> float:
+    """Max max/median shuffle-read skew over stages big enough to judge."""
+    vals = [
+        s["shuffle_skew"]
+        for s in stages
+        if s["num_tasks"] >= SKEW_MIN_TASKS
+        and s["shuffle_read"] >= SKEW_MIN_BYTES
+    ]
+    return round(max(vals), 2) if vals else 1.0
+
+
+def audit(
+    sf_dir: str,
+    only: list[str] | None = None,
+    exec_metrics: bool = False,
+) -> tuple[list[dict], list[str]]:
+    """Static plan hygiene per query; with ``exec_metrics=True`` each query
+    also EXECUTES under a job group and the row gains actual shuffle
+    read/write bytes, wall seconds, and task/shuffle skew from the UI REST
+    API (tools/exec_metrics.py) — the runtime pathologies a static plan
+    cannot show. Violations then include pure-codegen queries whose
+    qualified shuffle skew exceeds SKEW_LIMIT."""
     import __spark_entry__ as entry
     from invoice_ocr_reconciler_spark.session import get_spark
 
-    spark = get_spark(
-        app_name="plan-audit",
-        extra_conf={"spark.ui.showConsoleProgress": "false"},
-    )
+    conf = {"spark.ui.showConsoleProgress": "false"}
+    if exec_metrics:
+        conf.update(
+            {
+                "spark.ui.enabled": "true",
+                "spark.ui.retainedStages": "5000",
+                "spark.ui.retainedJobs": "5000",
+            }
+        )
+    spark = get_spark(app_name="plan-audit", extra_conf=conf)
+    em = None
+    if exec_metrics:
+        from exec_metrics import ExecMetrics
+
+        em = ExecMetrics(spark)
     qs = entry.queries()
     names = only or sorted(qs)
     rows: list[dict] = []
@@ -136,6 +182,25 @@ def audit(sf_dir: str, only: list[str] | None = None) -> tuple[list[dict], list[
         for key, marker in METRICS.items():
             row[key] = plan.count(marker)
         row["python_nodes"] = sum(plan.count(m) for m in PYTHON_MARKERS)
+        if em is not None:
+            try:
+                m = em.run(name, lambda: qs[name](spark, sf_dir))
+                row.update(
+                    wall_sec=m.wall_sec,
+                    rows=m.rows,
+                    shuffle_read_bytes=m.shuffle_read_bytes,
+                    shuffle_write_bytes=m.shuffle_write_bytes,
+                    max_task_skew=m.max_task_skew,
+                    max_shuffle_skew=m.max_shuffle_skew,
+                    qualified_skew=qualified_skew(m.stages),
+                )
+                if (
+                    name in PURE_CODEGEN_QUERIES
+                    and row["qualified_skew"] > SKEW_LIMIT
+                ):
+                    violations.append(f"{name}:skew={row['qualified_skew']}")
+            except Exception as exc:
+                row["exec_error"] = str(exc)[:160]
         rows.append(row)
         if name in PURE_CODEGEN_QUERIES and row["python_nodes"] > 0:
             violations.append(name)
@@ -143,9 +208,11 @@ def audit(sf_dir: str, only: list[str] | None = None) -> tuple[list[dict], list[
 
 
 def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    only = sys.argv[2:] or None
-    rows, violations = audit(sf_dir, only)
+    args = [a for a in sys.argv[1:] if a != "--exec"]
+    exec_metrics = "--exec" in sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.001"
+    only = args[1:] or None
+    rows, violations = audit(sf_dir, only, exec_metrics=exec_metrics)
     for row in rows:
         print(json.dumps(row, sort_keys=True))
     n_err = sum(1 for r in rows if "error" in r)
