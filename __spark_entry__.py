@@ -2842,11 +2842,14 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Rows-only (the k-means fit is not SQL-replayable); survivor-rule and
     chain-grouping semantics are pinned by tests/test_semantic_dedup.py.
     eps matches q_embedding_dedup's demo threshold (this corpus's max
-    pairwise cosine is ~0.47, so a production eps finds nothing)."""
+    pairwise cosine is ~0.47, so a production eps finds nothing).
+    n_centroids rides the corpus-scaled default: the round-3 rehearsal
+    showed a fixed k=8 grows cells linearly with the corpus and pair
+    expansion quadratically (OOMed a 24g heap at 20k vectors)."""
     from invoice_ocr_reconciler_spark.operators.similarity import semantic_dedup
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return semantic_dedup(emb, eps=0.65, n_centroids=8)
+    return semantic_dedup(emb, eps=0.65)
 
 
 def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:

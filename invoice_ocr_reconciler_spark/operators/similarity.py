@@ -795,10 +795,27 @@ def quantize_embeddings_int8(
     )
 
 
+SEMDEDUP_TARGET_CELL = 256  # expected cluster occupancy the k knob aims for
+
+
+def semdedup_n_centroids(n_vectors: int, target: int = SEMDEDUP_TARGET_CELL) -> int:
+    """Corpus-scaled centroid count: n/target cells (floor 8) keeps the
+    expected cluster at ~target members, so within-cell pair expansion
+    stays O(n * target) — a FIXED k makes cells grow linearly with the
+    corpus and pairs quadratically (measured: k=8 at 20k vectors OOMs a
+    24g single-JVM heap; k=n/256 runs in seconds). Same sizing contract
+    as lsh_n_planes / emb_planes_per_band."""
+    import math
+
+    if n_vectors <= 0:
+        return 8
+    return max(8, int(math.ceil(n_vectors / target)))
+
+
 def semantic_dedup(
     vectors: DataFrame,
     eps: float = 0.05,
-    n_centroids: int = 16,
+    n_centroids: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     cluster_cap: int = 4096,
@@ -817,9 +834,10 @@ def semantic_dedup(
     Composition of existing pieces, each already scale-audited:
       - coarse quantizer: fit_ivf_centroids (driver-side fit on a
         deterministic hash sample — the standard IVF shape) + distributed
-        ivf_assign; n_centroids is the knob that bounds within-cluster
-        work to O(n^2 / k) — scale it with the corpus as SemDeDup does
-        (~100k clusters at 10^9 docs).
+        ivf_assign; n_centroids bounds within-cluster work to O(n^2 / k)
+        and DEFAULTS to the corpus-scaled semdedup_n_centroids sizing
+        (expected cell ~256 members; ~4M clusters at 10^9 docs — the
+        SemDeDup shape), so pair expansion stays linear in n.
       - within-cluster pairs: capped_member_groups on centroid_id (the
         window count and groupBy share one exchange; clusters above
         cluster_cap are dropped, never self-joined) + codegen pair
@@ -836,6 +854,10 @@ def semantic_dedup(
     units: planted duplicate groups, survivor-rule identity, partition
     invariance, empty corpus.
     """
+    if n_centroids is None:
+        # one count job to size k from the corpus (the IVF-fit trade);
+        # callers with a known corpus size pass n_centroids explicitly
+        n_centroids = semdedup_n_centroids(vectors.count())
     cent = fit_ivf_centroids(
         vectors, n_centroids=n_centroids, id_col=id_col, vec_col=vec_col
     )
