@@ -651,13 +651,17 @@ class TestBM25:
 
 class TestCurationExactCC:
     def _chain_docs(self, spark):
-        words = [f"w{i:03d}" for i in range(50)]
+        words = [f"w{i:03d}" for i in range(60)]
         mk = lambda lo, hi: " ".join(words[lo:hi])
-        # 5~9 and 9~3 overlap heavily; 5~3 barely overlap -> a chain
+        # 5~9 and 9~3 overlap heavily (true trigram Jaccard ~0.61); 5~3
+        # barely overlap -> a chain. Overlap is deep enough that the
+        # 16-band LSH finds both edges with margin (the previous 0.47-
+        # Jaccard fixture sat on the s-curve knee, where band collision
+        # is a coin flip that flipped when gram hashing moved to md5)
         rows = [
-            (3, mk(20, 50), "en", "s", 0),
-            (5, mk(0, 30), "en", "s", 0),
-            (9, mk(10, 40), "en", "s", 0),
+            (3, mk(16, 52), "en", "s", 0),
+            (5, mk(0, 36), "en", "s", 0),
+            (9, mk(8, 44), "en", "s", 0),
             (30, "the and of to is with that " * 40, "en", "s", 0),
         ]
         return spark.createDataFrame(

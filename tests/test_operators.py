@@ -117,11 +117,17 @@ def test_multimodal_image_features(spark):
     assert len(frames) == 4 and all(r["media_id"] == "v1" for r in frames)
 
 
-def test_multimodal_real_decode_is_stubbed(spark):
+def test_multimodal_real_decoder_gate(spark):
+    """fake=False now returns the real stdlib PNG/BMP decoder; formats
+    that need a codec library still raise per payload (the honest gate —
+    full coverage in tests/test_real_codec.py)."""
     from invoice_ocr_reconciler_spark.operators.multimodal import _get_decoder
 
+    dec = _get_decoder(fake=False)
     with pytest.raises(NotImplementedError):
-        _get_decoder(fake=False)
+        dec.decode_image(b"\xff\xd8\xff\xe0 jpeg magic")
+    with pytest.raises(NotImplementedError):
+        dec.sample_frames(b"video-bytes", 4)
 
 
 def test_register_csv_alias_coalesce(spark, tmp_path):
