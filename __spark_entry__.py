@@ -7320,7 +7320,9 @@ def _sql_mulmod64(x: str, c: int) -> str:
     )
 
 
-def _minhash_block(doc_filter: str = "", sfx: str = "") -> str:
+def _minhash_block(
+    doc_filter: str = "", sfx: str = "", src: str = "documents"
+) -> str:
     """CTE block replaying operators/dedup.py's MinHash+LSH pipeline
     bit-exactly (verified): word-3-gram strings (the ngram_jaccard_exact
     tokenization; short texts collapse to one joined gram, empty hashes
@@ -7339,7 +7341,7 @@ def _minhash_block(doc_filter: str = "", sfx: str = "") -> str:
                 SELECT doc_id, list_filter(string_split_regex(
                            lower(trim(coalesce(text, ''))), '\\s+'),
                            t -> t <> '') AS toks
-                FROM documents {doc_filter}),
+                FROM {src} {doc_filter}),
             gs{s} AS (
                 SELECT doc_id,
                        CASE WHEN len(toks) = 0 THEN [CAST(NULL AS VARCHAR)]
@@ -8267,6 +8269,71 @@ def oracle_sql() -> dict[str, str]:
                    CAST(n_tokens AS INT) AS n_tokens
             FROM a
             WHERE dup_rank = 1 AND quality_score >= 0.55 AND lang_pred = 'en'
+        """,
+        # full curation run INCLUDING the MinHash near-dup stage: the
+        # curation_filter annotate/filter chain feeds a _minhash_block
+        # replay over the stage-1..3 survivors; the approx drop rule
+        # (doc_b of any >=0.7 pair) and the audit counters follow
+        "curation_pipeline": f"""
+            WITH f AS (
+                SELECT doc_id, {_FP_SQL} AS fingerprint,
+                       CAST(length(coalesce(text, '')) AS INT) AS n_chars,
+                       len(regexp_extract_all(coalesce(text, ''), '[^\\w\\s]')) AS n_punct,
+                       CASE WHEN length(trim(coalesce(text, ''))) = 0 THEN 0
+                            ELSE len(regexp_split_to_array(trim(coalesce(text, '')), '\\s+'))
+                       END AS n_tokens,
+                       len(regexp_extract_all(lower(coalesce(text, '')), '{_STOP_EN}')) AS n_stop,
+                       {hits['en']} AS h_en, {hits['fr']} AS h_fr,
+                       {hits['es']} AS h_es, {hits['de']} AS h_de
+                FROM documents),
+            a AS (
+                SELECT doc_id, fingerprint, n_tokens,
+                       CAST(row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) AS INT) AS dup_rank,
+                       floor((least(n_chars / 500.0, 1.0) * 0.4
+                              + (1.0 - CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0 END) * 0.3
+                              + least(CASE WHEN n_tokens > 0 THEN n_stop / n_tokens ELSE 0 END * 5.0, 1.0) * 0.3)
+                             * 10000.0 + 0.5) / 10000.0 AS quality_score,
+                       CASE WHEN h_de > greatest(h_en, h_fr, h_es) THEN 'de'
+                            WHEN h_es > greatest(h_en, h_fr) THEN 'es'
+                            WHEN h_fr > h_en THEN 'fr'
+                            WHEN h_en > 0 THEN 'en'
+                            ELSE 'unknown'
+                       END AS lang_pred
+                FROM f),
+            surv AS (
+                SELECT a.doc_id, d.text, a.n_tokens
+                FROM a JOIN documents d USING (doc_id)
+                WHERE dup_rank = 1 AND quality_score >= 0.55
+                  AND lang_pred = 'en'),
+            {_minhash_block(src="surv")},
+            nd AS (SELECT DISTINCT doc_b AS doc_id FROM mh_pairs
+                   WHERE est_jaccard >= 0.7),
+            cur AS (SELECT s.doc_id, s.n_tokens FROM surv s
+                    LEFT JOIN nd ON nd.doc_id = s.doc_id
+                    WHERE nd.doc_id IS NULL),
+            cnt AS (
+                SELECT CAST(count(*) AS BIGINT) AS n_input,
+                       CAST(sum(CASE WHEN dup_rank > 1 THEN 1 ELSE 0 END)
+                            AS BIGINT) AS n_exact_dup,
+                       CAST(sum(CASE WHEN dup_rank = 1
+                                 AND NOT (quality_score >= 0.55
+                                          AND lang_pred = 'en')
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                           AS n_filtered_out
+                FROM a),
+            cc AS (SELECT CAST(count(*) AS BIGINT) AS n_curated,
+                          CAST(coalesce(sum(n_tokens), 0) AS BIGINT)
+                              AS curated_tokens
+                   FROM cur)
+            SELECT cnt.n_input, cnt.n_exact_dup, cnt.n_filtered_out,
+                   CAST(0 AS BIGINT) AS n_repetition_out,
+                   CAST(0 AS BIGINT) AS n_gopher_out,
+                   CAST(0 AS BIGINT) AS n_contaminated,
+                   cnt.n_input - cnt.n_exact_dup - cnt.n_filtered_out
+                       - cc.n_curated AS n_near_dup,
+                   CAST(0 AS BIGINT) AS n_sampled_out,
+                   cc.n_curated, cc.curated_tokens
+            FROM cnt CROSS JOIN cc
         """,
         # curation_filter chain + top-2-gram repetition cut + md5-bucket
         # stratified sampling (near-dup off): the full extended pipeline
