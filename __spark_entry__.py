@@ -1074,7 +1074,9 @@ def q_curation_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full curation run (exact dedup + quality/lang + MinHash near-dup);
-    returns the one-row audit stats (rows-only: sketch semantics)."""
+    returns the one-row audit stats. Fully oracled: the curation_filter
+    annotate/filter replay feeds a _minhash_block over the stage-1..3
+    survivors, the approx drop rule, and the reconciling counters."""
     from invoice_ocr_reconciler_spark.operators.curation import curate_documents
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
