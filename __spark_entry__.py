@@ -153,7 +153,10 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs; rows-only."""
+    """SimHash near-dup pairs — fully oracled: md5 token hashes voted
+    per occurrence, the signed-store convention, 16-bit chunk blocking
+    with the hot-chunk cap, and the bit_count hamming verify are all
+    rebuilt in SQL bit-exactly."""
     from invoice_ocr_reconciler_spark.operators.dedup import simhash_near_pairs
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -10889,6 +10892,65 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pagerank": _pagerank_oracle(3),
         "fs_em_weights": _fs_em_oracle(30),
+        # bit-exact SimHash replay: md5 token hashes (per-occurrence
+        # votes), the out^2^63 signed-store convention, 16-bit chunk
+        # blocking with HOT_CHUNK_CAP, bit_count hamming verify
+        "dedup_simhash": """
+            WITH tk AS (
+                SELECT doc_id, list_filter(string_split_regex(
+                           lower(trim(coalesce(text, ''))), '\\s+'),
+                           t -> t <> '') AS toks
+                FROM documents),
+            th AS (
+                SELECT doc_id,
+                       ('0x' || substr(md5(t), 1, 16))::UBIGINT AS h
+                FROM (SELECT doc_id, unnest(toks) AS t FROM tk)),
+            vt AS (
+                SELECT doc_id, b,
+                       sum(CASE WHEN (h >> CAST(b AS INT)) & 1 = 1
+                                THEN 1 ELSE -1 END) AS vote
+                FROM th, range(64) g(b) GROUP BY 1, 2),
+            raw AS (
+                SELECT doc_id,
+                       CAST(sum(CASE WHEN vote > 0
+                                THEN (1::UBIGINT << CAST(b AS INT))
+                                ELSE 0::UBIGINT END) AS UBIGINT) AS rawv
+                FROM vt GROUP BY 1),
+            sh AS (
+                SELECT t.doc_id,
+                       CASE WHEN len(t.toks) = 0 THEN CAST(0 AS BIGINT)
+                            ELSE CAST(CASE WHEN xor(r.rawv,
+                                     9223372036854775808::UBIGINT)::HUGEINT
+                                     >= 9223372036854775808
+                                 THEN xor(r.rawv,
+                                     9223372036854775808::UBIGINT)::HUGEINT
+                                     - 18446744073709551616
+                                 ELSE xor(r.rawv,
+                                     9223372036854775808::UBIGINT)::HUGEINT
+                                 END AS BIGINT)
+                       END AS simhash
+                FROM tk t LEFT JOIN raw r USING (doc_id)),
+            ch AS (
+                SELECT doc_id, simhash, CAST(c AS INT) AS chunk_pos,
+                       CAST(((CAST(simhash AS HUGEINT)
+                              + CASE WHEN simhash < 0
+                                THEN 18446744073709551616 ELSE 0 END)
+                             // CAST(power(65536, c) AS HUGEINT))
+                            % 65536 AS BIGINT) AS chunk_val
+                FROM sh, range(4) g(c)),
+            okc AS (
+                SELECT chunk_pos, chunk_val FROM ch
+                GROUP BY 1, 2 HAVING count(*) BETWEEN 2 AND 64)
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(bit_count(xor(a.simhash, b.simhash)) AS INT)
+                       AS hamming
+            FROM ch a
+            JOIN okc o ON o.chunk_pos = a.chunk_pos
+             AND o.chunk_val = a.chunk_val
+            JOIN ch b ON b.chunk_pos = a.chunk_pos
+             AND b.chunk_val = a.chunk_val AND a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
+        """,
         # bit-exact MinHash+LSH replay (see _minhash_block): splitmix64 via
         # limb arithmetic, md5 gram/seed constants, band-string grouping
         "dedup_minhash": "WITH " + _minhash_block() + """

@@ -17,7 +17,6 @@ than joined, the standard web-dedup guard.
 from __future__ import annotations
 
 import hashlib
-import zlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -280,11 +279,21 @@ _SH_BITS = 64
 
 
 def _simhash(text: str) -> int:
+    """64-bit SimHash over whitespace tokens (per-occurrence votes).
+
+    Token hash = high 8 md5 bytes — SQL-replayable exactly like the
+    MinHash gram hash (('0x'||substr(md5(t),1,16))::UBIGINT), so the
+    dedup_simhash oracle can rebuild signatures bit-exactly (round 2
+    used crc32+splitmix64, not expressible in SQL)."""
     toks = (text or "").lower().split()
     if not toks:
         return 0
-    hashes = _splitmix64(
-        np.array([zlib.crc32(t.encode("utf-8")) for t in toks], dtype=np.uint64)
+    hashes = np.array(
+        [
+            int.from_bytes(hashlib.md5(t.encode("utf-8")).digest()[:8], "big")
+            for t in toks
+        ],
+        dtype=np.uint64,
     )
     bits = ((hashes[:, None] >> np.arange(_SH_BITS, dtype=np.uint64)) & np.uint64(1)).astype(np.int64)
     vote = bits.sum(axis=0) * 2 - len(toks)  # +1 for set bits, -1 for unset
