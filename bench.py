@@ -288,6 +288,54 @@ def main() -> None:
         }
     except Exception as exc:
         curation = {"error": str(exc)[:200]}
+
+    # north-rule evidence recorded by their dedicated harnesses (too slow
+    # to re-run inside every bench): embed the latest artifacts when
+    # present, each tagged with its source so the provenance is explicit.
+    # Regenerate with tools/run_scaling_exec.py / tools/scale_rehearsal.py.
+    scaling = None
+    try:
+        with open("dist/scaling_exec_r3.txt", encoding="utf-8") as fh:
+            for line in fh:
+                if line.startswith("{"):
+                    s = json.loads(line)
+            scaling = {
+                "mode": s["mode"],
+                "N_docs_per_sec": s["N"]["docs_per_sec"],
+                "4N_docs_per_sec": s["4N"]["docs_per_sec"],
+                "efficiency": s["scaling_efficiency"],
+                "source": "tools/run_scaling_exec.py -> dist/scaling_exec_r3.txt",
+            }
+    except Exception:
+        pass
+    rehearsal = None
+    try:
+        import math
+
+        per: dict[tuple[str, str], int] = {}
+        for path in ("dist/rehearsal_r3.json", "dist/rehearsal_r3b.json"):
+            with open(path, encoding="utf-8") as fh:
+                for line in fh:
+                    if line.startswith('{"query"'):
+                        r = json.loads(line)
+                        # later files/lines win: re-runs supersede
+                        per[(r["query"], r["corpus"])] = r["shuffle_rw_bytes"]
+        alphas = {
+            q: round(
+                math.log10(
+                    max(per[(q, "big")], 1) / max(per[(q, "small")], 1)
+                ),
+                2,
+            )
+            for (q, c) in per
+            if c == "small" and (q, "big") in per
+        }
+        rehearsal = {
+            "shuffle_alpha_5k_to_50k": alphas,
+            "source": "tools/scale_rehearsal.py -> dist/rehearsal_r3*.json",
+        }
+    except Exception:
+        pass
     print(
         json.dumps(
             {
@@ -303,6 +351,8 @@ def main() -> None:
                 "ann_recall_at_5": recall,
                 "flagship_200k": flagship,
                 "curation_200k": curation,
+                "scaling_exec": scaling,
+                "scale_rehearsal": rehearsal,
             }
         )
     )
