@@ -110,6 +110,47 @@ class _RealDecoder:
             "real video frame sampling needs a container demuxer"
         )
 
+    def decode_audio(self, payload: bytes) -> dict:
+        """RIFF/WAVE PCM via stdlib struct: (sample_rate, n_channels,
+        duration_ms, loudness) with loudness = RMS of int16 samples
+        scaled to 0..100 (the fake decoder's value range). Compressed
+        containers (MP3/OGG/FLAC) raise."""
+        if not payload or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+            raise NotImplementedError(
+                "real audio decode implemented for RIFF/WAVE PCM only"
+            )
+        import struct
+
+        pos, fmt, data = 12, None, None
+        while pos + 8 <= len(payload):
+            tag = payload[pos : pos + 4]
+            (ln,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+            body = payload[pos + 8 : pos + 8 + ln]
+            if tag == b"fmt ":
+                fmt = struct.unpack("<HHIIHH", body[:16])
+            elif tag == b"data":
+                data = body
+            pos += 8 + ln + (ln & 1)  # chunks are word-aligned
+        if fmt is None or data is None:
+            raise NotImplementedError("WAV missing fmt/data chunk")
+        audio_fmt, n_ch, rate, _brate, _align, bits = fmt
+        if audio_fmt != 1 or bits != 16:
+            raise NotImplementedError(
+                "WAV decode supports 16-bit PCM (format tag 1) only"
+            )
+        samples = np.frombuffer(
+            data[: len(data) - (len(data) % 2)], dtype="<i2"
+        ).astype(np.float64)
+        n_frames = len(samples) // max(n_ch, 1)
+        duration_ms = int(n_frames * 1000 // max(rate, 1))
+        rms = float(np.sqrt((samples**2).mean())) if len(samples) else 0.0
+        return {
+            "sample_rate": int(rate),
+            "n_channels": int(n_ch),
+            "duration_ms": duration_ms,
+            "loudness": int(round(rms / 32768.0 * 100)),
+        }
+
 
 def _decode_png(payload: bytes) -> tuple[int, int, np.ndarray]:
     """Minimal PNG decoder: 8-bit depth, color types 0/2/3/4/6, filters
@@ -324,23 +365,32 @@ _SAMPLE_RATES = [8000, 16000, 22050, 44100, 48000]
 def audio_features(media: DataFrame, fake: bool = True) -> DataFrame:
     """binary audio payload -> (rate, channels, duration, loudness proxy).
 
-    Same plumbing contract as image_features: real codec stubbed (no
-    ffmpeg/audio libs in the sandbox), deterministic md5-derived fake keeps
-    the distributed path exercisable and oracle-checkable end to end."""
+    Same plumbing contract as image_features: fake=True (default) is the
+    deterministic md5-derived stand-in the oracles replay; fake=False
+    parses real RIFF/WAVE 16-bit PCM with stdlib struct (rate/channels/
+    duration from the headers, loudness = RMS scaled to 0..100) and
+    raises per payload for compressed containers."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        _get_decoder(fake)  # raises unless the fake decoder is allowed
+        dec = _get_decoder(fake)
         for pdf in batches:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                h = hashlib.md5(payload or b"").digest()
+                if not fake:
+                    feats = dec.decode_audio(payload)
+                else:
+                    h = hashlib.md5(payload or b"").digest()
+                    feats = {
+                        "sample_rate": _SAMPLE_RATES[h[2] % 5],
+                        "n_channels": 1 + (h[3] % 2),
+                        "duration_ms": 500
+                        + (int.from_bytes(h[4:6], "big") % 600000),
+                        "loudness": h[6] % 101,
+                    }
                 rows.append(
                     {
                         "media_id": mid,
-                        "sample_rate": _SAMPLE_RATES[h[2] % 5],
-                        "n_channels": 1 + (h[3] % 2),
-                        "duration_ms": 500 + (int.from_bytes(h[4:6], "big") % 600000),
-                        "loudness": h[6] % 101,
+                        **feats,
                         "n_bytes": len(payload or b""),
                     }
                 )

@@ -138,6 +138,57 @@ def test_real_decoder_feature_contract_and_gate():
         dec.decode_image(b"\xff\xd8\xff\xe0 not a png")  # JPEG magic
 
 
+def _wav16(rate: int, n_ch: int, samples: np.ndarray) -> bytes:
+    data = samples.astype("<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, n_ch, rate, rate * n_ch * 2, n_ch * 2, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_wav_pcm_decode():
+    dec = _RealDecoder()
+    # 1 second of a full-scale square wave, stereo 16kHz: RMS = 32767
+    n = 16000 * 2
+    sq = np.where(np.arange(n) % 2 == 0, 32767, -32767)
+    got = dec.decode_audio(_wav16(16000, 2, sq))
+    assert got == {
+        "sample_rate": 16000,
+        "n_channels": 2,
+        "duration_ms": 1000,
+        "loudness": 100,
+    }
+    # silence -> loudness 0; odd-length chunk padding honored
+    got = dec.decode_audio(_wav16(8000, 1, np.zeros(4000, dtype=np.int16)))
+    assert got["loudness"] == 0 and got["duration_ms"] == 500
+    with pytest.raises(NotImplementedError):
+        dec.decode_audio(b"ID3\x04 mp3 bytes")
+
+
+def test_wav_through_spark_plumbing_and_fake_unchanged(spark):
+    from invoice_ocr_reconciler_spark.operators.multimodal import (
+        audio_features,
+    )
+
+    wav = _wav16(22050, 1, np.full(22050, 16384, dtype=np.int16))
+    media = spark.createDataFrame(
+        [("a1", "audio", bytearray(wav), None)],
+        "media_id string, kind string, payload binary, "
+        "meta map<string,string>",
+    )
+    row = audio_features(media, fake=False).collect()[0]
+    assert (row.sample_rate, row.n_channels, row.duration_ms) == (
+        22050, 1, 1000,
+    )
+    assert row.loudness == 50 and row.n_bytes == len(wav)
+    # fake path (oracle-replayed) unchanged by the real decoder
+    import hashlib
+
+    fr = audio_features(media, fake=True).collect()[0]
+    h = hashlib.md5(wav).digest()
+    assert fr.n_channels == 1 + (h[3] % 2)
+
+
 def test_real_path_through_spark_plumbing(spark):
     """fake=False flows through the same mapInPandas plumbing."""
     from invoice_ocr_reconciler_spark.operators.multimodal import (
