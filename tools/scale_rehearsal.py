@@ -45,9 +45,9 @@ HEAVY = [
     "minhash_quality",
 ]
 
-SMALL = "dist/scale/n5k"
-BIG = "dist/scale/n50k"
-RATIO = 10.0
+SMALL = os.environ.get("REHEARSAL_SMALL", "dist/scale/n5k")
+BIG = os.environ.get("REHEARSAL_BIG", "dist/scale/n50k")
+RATIO = float(os.environ.get("REHEARSAL_RATIO", "10"))
 
 
 def main() -> None:
