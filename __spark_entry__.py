@@ -964,52 +964,66 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         recall_vs_truth,
     )
 
+    from invoice_ocr_reconciler_spark.operators.similarity import lsh_n_planes
+
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     queries_df = emb.filter(F.col("vec_id") < 10)
     truth = brute_force_topk(emb, queries_df, k=5).persist()
+    # size the LSH planes from ONE corpus count shared by all seven legs —
+    # the default n_planes=None would re-run corpus.count() per lsh_topk
+    # call (round-3 ADVICE: seven count jobs per gate run)
+    planes = lsh_n_planes(emb.count())
     out = (
         # the DEFAULT configuration (tables=8, probe=4) leads the board;
         # the round-1 single-table/no-probe setting is kept as the floor
         # so the delta stays visible and regression-guarded
-        recall_vs_truth(lsh_topk(emb, queries_df, k=5), truth, "lsh_default")
+        recall_vs_truth(
+            lsh_topk(emb, queries_df, k=5, n_planes=planes), truth, "lsh_default"
+        )
         .unionByName(
             recall_vs_truth(
-                lsh_topk(emb, queries_df, k=5, n_probe_bits=0, n_tables=1),
+                lsh_topk(emb, queries_df, k=5, n_probe_bits=0, n_tables=1,
+                         n_planes=planes),
                 truth,
                 "lsh_probe0",
             )
         )
         .unionByName(
             recall_vs_truth(
-                lsh_topk(emb, queries_df, k=5, n_probe_bits=2, n_tables=1),
+                lsh_topk(emb, queries_df, k=5, n_probe_bits=2, n_tables=1,
+                         n_planes=planes),
                 truth,
                 "lsh_probe2",
             )
         )
         .unionByName(
             recall_vs_truth(
-                lsh_topk(emb, queries_df, k=5, n_probe_bits=4, n_tables=1),
+                lsh_topk(emb, queries_df, k=5, n_probe_bits=4, n_tables=1,
+                         n_planes=planes),
                 truth,
                 "lsh_probe4",
             )
         )
         .unionByName(
             recall_vs_truth(
-                lsh_topk(emb, queries_df, k=5, n_probe_bits=0, n_tables=4),
+                lsh_topk(emb, queries_df, k=5, n_probe_bits=0, n_tables=4,
+                         n_planes=planes),
                 truth,
                 "lsh_tables4",
             )
         )
         .unionByName(
             recall_vs_truth(
-                lsh_topk(emb, queries_df, k=5, n_tables=8, n_probe_bits=2),
+                lsh_topk(emb, queries_df, k=5, n_tables=8, n_probe_bits=2,
+                         n_planes=planes),
                 truth,
                 "lsh_tables8_probe2",
             )
         )
         .unionByName(
             recall_vs_truth(
-                lsh_topk(emb, queries_df, k=5, n_tables=16, n_probe_bits=4),
+                lsh_topk(emb, queries_df, k=5, n_tables=16, n_probe_bits=4,
+                         n_planes=planes),
                 truth,
                 "lsh_tables16_probe4",
             )

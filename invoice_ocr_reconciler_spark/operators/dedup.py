@@ -17,7 +17,9 @@ than joined, the standard web-dedup guard.
 from __future__ import annotations
 
 import hashlib
+from collections import Counter
 from collections.abc import Iterator
+from functools import lru_cache
 
 import numpy as np
 import pandas as pd
@@ -69,6 +71,20 @@ _MH_SEEDS = np.array(
     dtype=np.uint64,
 )
 
+@lru_cache(maxsize=1 << 20)
+def _md5_u64(s: str) -> int:
+    """High 8 md5 bytes as uint64 — the one SQL-replayable string hash
+    (('0x'||substr(md5(s),1,16))::UBIGINT in the DuckDB oracles).
+
+    Memoized per worker process: web corpora are Zipf-heavy, so the same
+    tokens/grams recur across documents in a batch; re-hashing every
+    occurrence made md5 the dominant CPU cost of the signature stage
+    (round-3 ADVICE). The cache is pure (md5 is deterministic), so
+    memoization cannot change a signature bit. Bounded at 2^20 entries
+    (~100 MB worst case) so a pathological vocabulary cannot OOM a worker."""
+    return int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[:8], "big")
+
+
 def _shingle_hashes(text: str, k: int = 3) -> np.ndarray:
     """Word k-gram shingles -> stable 64-bit hashes.
 
@@ -91,13 +107,7 @@ def _shingle_hashes(text: str, k: int = 3) -> np.ndarray:
             " ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)
         }
     return np.unique(
-        np.array(
-            [
-                int.from_bytes(hashlib.md5(g.encode("utf-8")).digest()[:8], "big")
-                for g in grams
-            ],
-            dtype=np.uint64,
-        )
+        np.array([_md5_u64(g) for g in grams], dtype=np.uint64)
     )
 
 
@@ -284,19 +294,21 @@ def _simhash(text: str) -> int:
     Token hash = high 8 md5 bytes — SQL-replayable exactly like the
     MinHash gram hash (('0x'||substr(md5(t),1,16))::UBIGINT), so the
     dedup_simhash oracle can rebuild signatures bit-exactly (round 2
-    used crc32+splitmix64, not expressible in SQL)."""
+    used crc32+splitmix64, not expressible in SQL).
+
+    Votes fold over DISTINCT tokens weighted by occurrence count (one
+    memoized md5 + one bit-expansion row per distinct token, not per
+    occurrence): sum_occurrences(2*bit-1) == 2*sum_tok(count*bit) - n,
+    so the signature is bit-identical to the per-occurrence loop while
+    the md5 work drops to the Heaps-law distinct count."""
     toks = (text or "").lower().split()
     if not toks:
         return 0
-    hashes = np.array(
-        [
-            int.from_bytes(hashlib.md5(t.encode("utf-8")).digest()[:8], "big")
-            for t in toks
-        ],
-        dtype=np.uint64,
-    )
+    counts = Counter(toks)
+    hashes = np.array([_md5_u64(t) for t in counts], dtype=np.uint64)
+    wts = np.fromiter(counts.values(), dtype=np.int64, count=len(counts))
     bits = ((hashes[:, None] >> np.arange(_SH_BITS, dtype=np.uint64)) & np.uint64(1)).astype(np.int64)
-    vote = bits.sum(axis=0) * 2 - len(toks)  # +1 for set bits, -1 for unset
+    vote = (bits * wts[:, None]).sum(axis=0) * 2 - len(toks)  # +count set, -count unset
     out = 0
     for i in range(_SH_BITS):
         if vote[i] > 0:

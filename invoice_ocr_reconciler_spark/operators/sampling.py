@@ -678,7 +678,9 @@ def pps_systematic(
     All selection arithmetic is exact BIGINT products and BIGINT `div`
     (no IEEE-double floor — exact up to cum*n < 2^63, i.e. total weight
     * n_samples below ~9.2e18; weights are cast to BIGINT, non-positive
-    rejected).
+    rejected). The 2^63 bound is ENFORCED at runtime: the 1-row total
+    carries a raise_error guard, so overflow fails loudly instead of
+    wrapping to garbage picks under non-ANSI BIGINT multiply.
     """
     from pyspark.sql import Window
 
@@ -702,7 +704,23 @@ def pps_systematic(
         .cast("long")
         .alias("_off"),
     )
-    total = per.groupBy().agg(F.sum("_n").cast("long").alias("_w_total"))
+    n = int(n_samples)
+    # fail-loud overflow gate (same precedent as pseudonymize's dense_cap):
+    # the pick arithmetic is exact only while cum*n < 2^63; past it Spark's
+    # non-ANSI BIGINT multiply wraps silently and n_picks turns negative/
+    # garbage. Guard the 1-row total (cum <= W_total) before it broadcasts.
+    _w_limit = (2**63 - 1) // max(n, 1)
+    total = per.groupBy().agg(F.sum("_n").cast("long").alias("_w_total")).select(
+        F.when(F.col("_w_total") <= F.lit(_w_limit), F.col("_w_total"))
+        .otherwise(
+            F.expr(
+                "CAST(raise_error('pps_systematic: total_weight * n_samples"
+                " >= 2^63 would overflow BIGINT pick arithmetic; rescale"
+                " weights or lower n_samples') AS LONG)"
+            )
+        )
+        .alias("_w_total")
+    )
     w_in = Window.partitionBy("bkt").orderBy("rid")
     cum = (
         wb.join(F.broadcast(offsets), "bkt")
@@ -720,7 +738,6 @@ def pps_systematic(
     # BIGINT `div` keeps floor(cum*n/W) exact: long/long `/` evaluates in
     # IEEE doubles, and past 2^53 the floor can land on the wrong side of
     # an exact multiple of W
-    n = int(n_samples)
     picks = F.expr(
         f"(cum * {n}L) div _w_total - ((cum - wgt) * {n}L) div _w_total"
     )

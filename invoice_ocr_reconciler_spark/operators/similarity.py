@@ -520,6 +520,19 @@ def fit_ivf_centroids(
     filtered sliver, not a global sort) pins the exact sample. An empty
     corpus returns an empty (0, 0) centroid array instead of crashing.
     """
+    if n_centroids > sample_cap:
+        # fail-loud (dense_cap precedent): silently clamping k to the
+        # sample size breaks the caller's cell-size math — semantic_dedup's
+        # corpus-scaled k=n/256 would stop growing past ~1M vectors, cells
+        # would grow linearly again, and clusters over cluster_cap would be
+        # silently dropped from dedup. Callers with a large k must scale
+        # the training sample with it (semantic_dedup passes 4*k).
+        raise ValueError(
+            f"fit_ivf_centroids: n_centroids={n_centroids} exceeds "
+            f"sample_cap={sample_cap}; the fit would silently clamp k to "
+            f"the training-sample size. Pass sample_cap >= n_centroids "
+            f"(recommended 4*n_centroids)."
+        )
     mat = deterministic_sample_matrix(vectors, sample_cap, id_col, vec_col)
     if mat.size == 0:
         return np.zeros((0, 0), dtype=np.float64)
@@ -859,7 +872,19 @@ def semantic_dedup(
         # callers with a known corpus size pass n_centroids explicitly
         n_centroids = semdedup_n_centroids(vectors.count())
     cent = fit_ivf_centroids(
-        vectors, n_centroids=n_centroids, id_col=id_col, vec_col=vec_col
+        vectors,
+        n_centroids=n_centroids,
+        id_col=id_col,
+        vec_col=vec_col,
+        # the training sample scales WITH k (round-3 ADVICE): the default
+        # 4096-row sample silently clamped k past ~1M vectors, cells grew
+        # linearly again, and over-cap clusters dropped out of dedup. 4
+        # sample vectors per requested centroid keeps the fit honest at
+        # any corpus size (the fit stays a driver-side O(sample * k * d)
+        # numpy job — at 10^9 docs / k~4M that is the point where a real
+        # deployment swaps in a distributed k-means; the raise in
+        # fit_ivf_centroids makes that boundary loud, not silent).
+        sample_cap=max(4096, 4 * n_centroids),
     )
     if cent.size == 0:
         return vectors.sparkSession.createDataFrame(

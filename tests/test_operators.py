@@ -317,6 +317,19 @@ def test_ivf_centroids_deterministic(spark):
     assert np.array_equal(c1, c2)  # stable across input partitioning
 
 
+def test_ivf_fit_k_over_sample_cap_raises(spark):
+    """Round-3 ADVICE: k > sample_cap must fail loudly, not silently clamp
+    (the clamp broke semantic_dedup's cell-size math past ~1M vectors)."""
+    import pytest
+
+    from invoice_ocr_reconciler_spark.operators.similarity import fit_ivf_centroids
+
+    rows = [(i, [float(i), 1.0]) for i in range(10)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError, match="sample_cap"):
+        fit_ivf_centroids(df, n_centroids=5000, sample_cap=4096)
+
+
 def test_stateful_dedup_stream_across_restarts(spark, tmp_path):
     """Cross-batch, cross-RESTART streaming dedup: state persists in the
     stream checkpoint, so a fingerprint emitted in drain 1 is suppressed in

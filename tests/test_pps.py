@@ -40,3 +40,20 @@ def test_bucket_boundaries_exact(spark):
     ).collect()
     assert sum(r.n_picks for r in out) == 6
     assert max(r.cum for r in out) <= 150
+
+
+def test_overflow_fails_loudly(spark):
+    """total_weight * n_samples >= 2^63 must raise (round-3 ADVICE), not
+    wrap to negative/garbage n_picks under non-ANSI BIGINT multiply."""
+    import pytest
+
+    rows = [(1, 2**61), (2, 2**61)]  # total 2^62; n=4 -> 2^64 overflows
+    with pytest.raises(Exception, match="overflow"):
+        pps_systematic(_df(spark, rows), "w", 4).collect()
+
+
+def test_under_limit_still_exact(spark):
+    # just below the guard: total*n < 2^63 stays on the exact path
+    rows = [(1, 2**60), (2, 2**60)]  # total 2^61; n=3 -> 3*2^61 < 2^63
+    out = pps_systematic(_df(spark, rows), "w", 3).collect()
+    assert sum(r.n_picks for r in out) == 3

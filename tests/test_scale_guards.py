@@ -367,3 +367,63 @@ def test_setjoin_persist_sets_same_result(spark):
     b = sorted(map(tuple, prefix_filtered_jaccard_join(
         df, tau_num=1, tau_den=2, persist_sets=True).collect()))
     assert a == b and a
+
+
+def test_simhash_counter_fold_bit_identical_to_per_occurrence():
+    """The round-4 memoized distinct-token vote fold must reproduce the
+    per-occurrence signature bit-for-bit (the dedup_simhash oracle replays
+    the per-occurrence definition in SQL)."""
+    from invoice_ocr_reconciler_spark.operators.dedup import _SH_BITS, _simhash
+
+    def reference(text):
+        toks = (text or "").lower().split()
+        if not toks:
+            return 0
+        hashes = np.array(
+            [
+                int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "big")
+                for t in toks
+            ],
+            dtype=np.uint64,
+        )
+        bits = (
+            (hashes[:, None] >> np.arange(_SH_BITS, dtype=np.uint64)) & np.uint64(1)
+        ).astype(np.int64)
+        vote = bits.sum(axis=0) * 2 - len(toks)
+        out = 0
+        for i in range(_SH_BITS):
+            if vote[i] > 0:
+                out |= 1 << i
+        return out - (1 << 63)
+
+    cases = [
+        "",
+        "one",
+        "a a a a b",  # heavy repetition: the counter-weighted path
+        "the quick brown fox the quick brown fox jumps",
+        "Token CASE and case folding",
+        " ".join(f"w{i % 9}" for i in range(200)),
+    ]
+    for text in cases:
+        assert _simhash(text) == reference(text), text
+
+
+def test_shingle_hashes_memoized_identical():
+    from invoice_ocr_reconciler_spark.operators.dedup import _shingle_hashes
+
+    text = "alpha beta gamma alpha beta gamma delta"
+    expected = np.unique(
+        np.array(
+            [
+                int.from_bytes(hashlib.md5(g.encode()).digest()[:8], "big")
+                for g in {
+                    " ".join(text.lower().split()[i : i + 3])
+                    for i in range(len(text.split()) - 2)
+                }
+            ],
+            dtype=np.uint64,
+        )
+    )
+    assert np.array_equal(_shingle_hashes(text), expected)
+    # second call hits the lru cache; values must not drift
+    assert np.array_equal(_shingle_hashes(text), expected)
