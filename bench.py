@@ -19,9 +19,39 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+def _machine_probe() -> dict:
+    """1-min load average + cpu-idle fraction over a 200ms /proc/stat window.
+
+    Stamped into the bench JSON before/after each leg (round-3 verdict: an
+    unexplained +31% on the flagship query was indistinguishable from a
+    loaded machine because no run recorded machine conditions). The repo
+    bench rule is IDLE-MACHINE ONLY — two concurrent Spark sessions halve
+    flagship throughput and can OOM the shared host."""
+
+    def cpu_times() -> tuple[int, int]:
+        with open("/proc/stat", encoding="ascii") as fh:
+            vals = [int(x) for x in fh.readline().split()[1:]]
+        idle = vals[3] + (vals[4] if len(vals) > 4 else 0)  # idle + iowait
+        return idle, sum(vals)
+
+    try:
+        load1 = round(os.getloadavg()[0], 2)
+        i0, t0 = cpu_times()
+        time.sleep(0.2)
+        i1, t1 = cpu_times()
+        return {
+            "load1": load1,
+            "cpu_idle_frac": round((i1 - i0) / max(t1 - t0, 1), 3),
+        }
+    except OSError:  # non-Linux fallback: fields present, value unknown
+        return {"load1": None, "cpu_idle_frac": None}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cores = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+    machine: dict = {"start": _machine_probe()}
 
     import __spark_entry__ as entrymod
     from invoice_ocr_reconciler_spark.session import get_spark
@@ -156,6 +186,18 @@ def main() -> None:
         lambda it: it, schema="x int"
     ).count()
 
+    # calibration sentinel: a fixed CPU-bound JVM-side job timed at the
+    # start and again at the end of the run. On an idle machine the two
+    # times agree; contention or a host throttle episode inflates the end
+    # leg, invalidating cross-round comparison of every number in between.
+    def calibrate() -> float:
+        t0 = time.monotonic()
+        spark.range(200_000_000).selectExpr("sum(id % 7)").collect()
+        return round(time.monotonic() - t0, 3)
+
+    calibrate()  # its own warm pass (first range job pays codegen)
+    calib_start = calibrate()
+
     # best-of-2 per query, same rationale as the scaling legs: the sandbox
     # host has throttle episodes that can inflate any single measurement
     # 2-10x; a query cannot run faster than the hardware allows, so the min
@@ -176,6 +218,7 @@ def main() -> None:
         timings[name] = round(min(walls), 3)
         if name == "extract_pages":
             n_docs = n
+    machine["after_headline"] = _machine_probe()
 
     # measured ANN recall@5 (values, not wall time): regression guard for
     # the LSH/IVF scale paths vs the exact baseline
@@ -246,6 +289,7 @@ def main() -> None:
         }
     except Exception as exc:  # the headline numbers still stand alone
         flagship = {"error": str(exc)[:200]}
+    machine["after_flagship"] = _machine_probe()
 
     # training-data curation at scale: annotate + exact-dedup + quality/lang
     # filter + MinHash near-dup over a 200k-doc corpus with planted exact
@@ -288,6 +332,18 @@ def main() -> None:
         }
     except Exception as exc:
         curation = {"error": str(exc)[:200]}
+    machine["after_curation"] = _machine_probe()
+    calib_end = calibrate()
+    machine["calibration_sec"] = {"start": calib_start, "end": calib_end}
+    # loaded-machine sentinel: either the host was already busy before the
+    # run (external load) or the calibration job slowed >1.5x across the
+    # run (contention/throttle mid-run). A True here means the wall times
+    # in this JSON are NOT comparable against other rounds — rerun idle.
+    idle0 = machine["start"]["cpu_idle_frac"]
+    machine["loaded_sentinel"] = bool(
+        (idle0 is not None and idle0 < 0.25)
+        or (calib_start > 0 and calib_end / calib_start > 1.5)
+    )
 
     # north-rule evidence recorded by their dedicated harnesses (too slow
     # to re-run inside every bench): embed the latest artifacts when
@@ -353,6 +409,7 @@ def main() -> None:
                 "curation_200k": curation,
                 "scaling_exec": scaling,
                 "scale_rehearsal": rehearsal,
+                "machine": machine,
             }
         )
     )
