@@ -11,6 +11,32 @@
   distributed cell assignment, n_probe nearest cells probed per query with
   exact re-rank — the other standard scale path (recall tunable via
   n_probe, cells align with a hash-partitioned layout).
+
+WHICH ANN PATH TO USE (measured recall@5 on the bench corpus, reported
+per round under ``ann_recall_at_5`` in BENCH_r*.json):
+
+============  ========  =====================================================
+path          recall@5  when to choose it
+============  ========  =====================================================
+ivf_topk       0.76     DEFAULT for batch pipelines: best recall/cost at its
+  (probe 4)             defaults; needs a one-off driver-side fit (seconds).
+                        probe_all=1.0 recall when you can afford more cells.
+lsh_topk       0.60     no fit job at all — streaming-friendly, index rows
+  (defaults)            derive purely from the vector, so incremental /
+                        structured-streaming ingest can index on arrival.
+                        n_tables=16,n_probe_bits=4 reaches 0.82 at 2x index.
+ivf_sq8_topk   ~ivf     ivf recall at 4x smaller index: int8-quantized
+                        vectors, use when the index dominates storage.
+pq_topk        lower    memory-bound regimes only (codebook lookups, no raw
+                        vectors at query time); verify recall on YOUR data.
+brute_force    1.00     exact baseline; fine up to ~10^6 corpus x small
+                        query sets, and the truth-set generator for recall
+                        measurement of every other path.
+============  ========  =====================================================
+
+A pytest floor (tests/test_scale_guards.py) pins lsh_topk default recall
+>= 0.5 so no future default change can silently regress to the round-1
+0.02-recall configuration.
 """
 
 from __future__ import annotations
