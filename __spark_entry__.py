@@ -2517,10 +2517,11 @@ def q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE vocabulary induction (operators/bpe.py:bpe_learn): 8 merge
-    rounds over the documents word-frequency table. Iterative argmax +
-    fold is not SQL-expressible — rows-only; the correctness pin is
-    tests/test_bpe.py's pure-Python reference parity (same contract as
-    the MinHash/SimHash sketches)."""
+    rounds over the documents word-frequency table. Fully oracled
+    (round 4): the rounds UNROLL as CTEs (_bpe_learn_block — the
+    fs_em_weights precedent) and the leftmost-first merge fold rides
+    DuckDB's non-overlapping replace() over chr(1)-wrapped symbol
+    strings; tests/test_bpe.py's pure-Python parity pin stays."""
     from invoice_ocr_reconciler_spark.operators.bpe import bpe_learn
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -3575,8 +3576,10 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer application (operators/bpe.py:bpe_encode): learn 8 merges
     on the corpus (the bpe_merges query's table), then encode the same
     corpus with them — real token counts + the head of each token stream.
-    Rows-only (the learn stage is an iterative driver argmax);
-    correctness is pinned by the pure-Python parity tests."""
+    Fully oracled (round 4): the learn stage rides _bpe_learn_block's
+    unrolled rounds and the per-word-type greedy encode loop is a
+    RECURSIVE CTE (merge the lowest-rank pair present until none
+    applies — _encode_word's exact loop); pure-Python parity tests stay."""
     from invoice_ocr_reconciler_spark.operators.bpe import bpe_encode, bpe_learn
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -7426,6 +7429,83 @@ def _minhash_block(
                 FROM agr{s})"""
 
 
+def _bpe_learn_block(n_merges: int = 8, vocab_cap: int = 2000,
+                     src: str = "documents", sfx: str = "") -> str:
+    """CTE chain replaying operators/bpe.py:bpe_learn bit-exactly
+    (verified): the tokens_col word-frequency pass, the deterministic
+    (n desc, word) vocab cap, then ``n_merges`` UNROLLED merge rounds —
+    the fs_em_weights precedent applied to BPE's iterative argmax+fold.
+
+    The fold has no SQL analog directly, but the symbol sequence round-
+    trips through a separator STRING: every symbol is wrapped
+    chr(1)+sym+chr(1), so a (left,right) adjacency is the substring
+    chr(1)+l+chr(1)+chr(1)+r+chr(1) and DuckDB's left-to-right
+    non-overlapping replace() IS _apply_merge's leftmost-first fold
+    (back-to-back merges work because each token keeps its own wrapper
+    pair — a consumed trailing separator would otherwise break
+    [a,a,a,a] -> [aa,aa]). Early-stop parity: an empty top{r} leaves
+    sy{r} = sy{r-1} via LEFT JOIN ON TRUE, so later rounds stay empty
+    exactly like the Python break.
+
+    Produces CTEs wf/capped/sy0 and pc{r}/top{r}/sy{r} per round;
+    top{r} holds round r's (lft, rgt, pair_count) winner (>= the
+    min_pair_count=2 default) and sy{r} the merged symbol strings."""
+    s = sfx
+    sep = "chr(1)"
+    parts = [f"""
+        wf{s} AS (
+            SELECT w AS word, CAST(count(*) AS BIGINT) AS n
+            FROM (SELECT unnest(regexp_split_to_array(
+                      lower(trim(coalesce(text, ''))), '\\s+')) AS w
+                  FROM {src})
+            WHERE w <> ''
+            GROUP BY 1),
+        capped{s} AS (
+            SELECT word, n FROM wf{s}
+            ORDER BY n DESC, word LIMIT {int(vocab_cap)}),
+        sy0{s} AS MATERIALIZED (
+            SELECT word, n,
+                   {sep} || array_to_string(
+                       list_append(regexp_split_to_array(word, ''), '</w>'),
+                       {sep} || {sep}) || {sep} AS S
+            FROM capped{s})"""]
+    for r in range(1, int(n_merges) + 1):
+        p = r - 1
+        parts.append(f"""
+        pc{r}{s} AS (
+            SELECT p.l AS lft, p.r AS rgt, CAST(sum(n) AS BIGINT) AS pair_count
+            FROM (
+                SELECT n, unnest(list_transform(range(1, len(l)),
+                           i -> struct_pack(l := l[i], r := l[i+1]))) AS p
+                FROM (SELECT n, string_split(substr(S, 2, length(S) - 2),
+                                             {sep} || {sep}) AS l
+                      FROM sy{p}{s})
+                WHERE len(l) >= 2)
+            GROUP BY 1, 2),
+        top{r}{s} AS (
+            SELECT lft, rgt, pair_count FROM pc{r}{s}
+            WHERE pair_count >= 2
+            ORDER BY pair_count DESC, lft, rgt LIMIT 1),
+        sy{r}{s} AS MATERIALIZED (
+            SELECT word, n,
+                   CASE WHEN t.lft IS NULL THEN S
+                        ELSE replace(S,
+                            {sep} || t.lft || {sep} || {sep} || t.rgt || {sep},
+                            {sep} || t.lft || t.rgt || {sep})
+                   END AS S
+            FROM sy{p}{s} LEFT JOIN top{r}{s} t ON TRUE)""")
+    return ",".join(parts)
+
+
+def _bpe_merges_select(n_merges: int = 8, sfx: str = "") -> str:
+    """The merge-table projection over _bpe_learn_block's top{r} CTEs."""
+    return "\nUNION ALL\n".join(
+        f'SELECT CAST({r} AS INT) AS merge_rank, lft AS "left", '
+        f'rgt AS "right", pair_count FROM top{r}{sfx}'
+        for r in range(1, int(n_merges) + 1)
+    )
+
+
 def _pagerank_oracle(n_iter: int = 3) -> str:
     """Unroll operators/graph.py:pagerank as CTEs: same edge synthesis,
     same 1e-12 contribution / 1e-9 rank grids, same exact dangling fold.
@@ -10971,6 +11051,72 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_a, doc_b, est_jaccard FROM mh_pairs
             WHERE est_jaccard >= 0.5
         """,
+        # bit-exact BPE replay (round 4, see _bpe_learn_block): 8 unrolled
+        # merge rounds; the leftmost-first fold rides string replace() over
+        # chr(1)-wrapped symbols
+        "bpe_merges": (
+            "WITH " + _bpe_learn_block(8, 2000) + "\n"
+            + _bpe_merges_select(8) + "\nORDER BY merge_rank"
+        ),
+        # encode = learn (default vocab_cap) + a RECURSIVE lowest-rank-
+        # present merge loop per word TYPE, then positional doc assembly
+        "bpe_encode": (
+            "WITH RECURSIVE " + _bpe_learn_block(8, 50000) + ",\n"
+            + "m AS MATERIALIZED (\n"
+            + "\nUNION ALL\n".join(
+                f"SELECT {r} AS rank, chr(1) || lft || chr(1) || chr(1) || "
+                f"rgt || chr(1) AS pat, chr(1) || lft || rgt || chr(1) AS rep "
+                f"FROM top{r}"
+                for r in range(1, 9)
+            )
+            + """),
+            w0 AS (
+                SELECT DISTINCT w AS word FROM (
+                    SELECT unnest(regexp_split_to_array(
+                        lower(trim(coalesce(text, ''))), '\\s+')) AS w
+                    FROM documents)
+                WHERE w <> ''),
+            enc AS (
+                SELECT word,
+                       chr(1) || array_to_string(
+                           list_append(regexp_split_to_array(word, ''), '</w>'),
+                           chr(1) || chr(1)) || chr(1) AS S
+                FROM w0
+                UNION ALL
+                SELECT e.word, replace(e.S, mm.pat, mm.rep)
+                FROM (SELECT word, S,
+                             (SELECT min(rank) FROM m
+                              WHERE strpos(e2.S, m.pat) > 0) AS br
+                      FROM enc e2) e
+                JOIN m mm ON mm.rank = e.br),
+            final AS MATERIALIZED (
+                SELECT word, string_split(substr(S, 2, length(S) - 2),
+                                          chr(1) || chr(1)) AS syms
+                FROM enc e
+                WHERE (SELECT count(*) FROM m
+                       WHERE strpos(e.S, m.pat) > 0) = 0),
+            dw AS (
+                SELECT doc_id, list_filter(regexp_split_to_array(
+                           lower(trim(coalesce(text, ''))), '\\s+'),
+                           t -> t <> '') AS ws
+                FROM documents),
+            dwp AS (
+                SELECT doc_id, q.pos AS pos, q.w AS w
+                FROM (SELECT doc_id,
+                             unnest(list_transform(range(1, len(ws) + 1),
+                                 i -> struct_pack(pos := i, w := ws[i]))) AS q
+                      FROM dw)),
+            agg AS (
+                SELECT d.doc_id, flatten(list(f.syms ORDER BY d.pos)) AS toks
+                FROM dwp d JOIN final f ON f.word = d.w
+                GROUP BY d.doc_id)
+            SELECT d.doc_id,
+                   CAST(coalesce(len(a.toks), 0) AS INT) AS n_tokens,
+                   coalesce(array_to_string(a.toks[1:12], ' '), '')
+                       AS tokens_head
+            FROM documents d LEFT JOIN agg a USING (doc_id)
+            ORDER BY doc_id"""
+        ),
         "dedup_ngram_jaccard": "WITH " + _minhash_block() + """,
             common AS (
                 SELECT c.doc_a, c.doc_b, CAST(count(*) AS BIGINT) AS inter

@@ -28,9 +28,12 @@ word-frequency input is exact; reruns at any parallelism produce the same
 merge table (pinned against a pure-Python reference implementation in
 tests/test_bpe.py).
 
-Not SQL-expressible (iterative argmax + fold), so the queries() entry is
-rows-only; the pytest golden is the correctness pin — same contract as the
-MinHash/SimHash sketches.
+SQL replay (round 4): both halves ARE value-checked in DuckDB — the merge
+rounds unroll as CTEs (the fs_em precedent) with the leftmost-first fold
+expressed as non-overlapping string replace() over separator-wrapped
+symbols, and the greedy encode loop as a recursive CTE
+(__spark_entry__._bpe_learn_block); the pytest pure-Python parity golden
+remains as the second, engine-independent pin.
 """
 
 from __future__ import annotations
