@@ -70,7 +70,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def q_extract_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S2: full extraction stage; rows-only check (UDF semantics)."""
+    """S2: full extraction stage. Fully oracled (round 4): Spark parses
+    the real html/PDF bytes; DuckDB predicts (url, n_blocks, n_chars,
+    md5(text)) in closed form from the datagen layout for EVERY page
+    kind — the extract_links contract extended to the whole text,
+    including an exact integer replay of the invoice money rounding
+    (_extracted_pages_block)."""
     from invoice_ocr_reconciler_spark import datagen
     from invoice_ocr_reconciler_spark.extraction.udfs import extract_pages
 
@@ -97,7 +102,12 @@ def q_extract_identity_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_parse_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P1-P12 regex cascades; rows-only (Python re semantics)."""
+    """P1-P12 regex cascades over the real extraction output. Fully
+    oracled (round 4): the predicted-extraction block feeds a complete
+    DuckDB replay of every cascade, the JS falsy coalescing, line-item
+    extraction, and the INV-md5 fallback (_parse_cascade_block); the
+    parse_fields_subset kernel oracle remains as the targeted regex
+    check."""
     from invoice_ocr_reconciler_spark import datagen
     from invoice_ocr_reconciler_spark.pipeline import extract_and_parse
 
@@ -7506,6 +7516,293 @@ def _bpe_merges_select(n_merges: int = 8, sfx: str = "") -> str:
     )
 
 
+def _fmt_cents(col: str) -> str:
+    """SQL: integer cents -> Python '{:,.2f}' (comma-grouped, < 1e7 dollars).
+    Pass an already-parenthesized expression for compound columns."""
+    return (
+        f"(CASE WHEN {col} >= 100000000 THEN printf('%d,%03d,%03d.%02d',"
+        f" CAST({col} // 100000000 AS INT), CAST(({col} // 100000) % 1000 AS INT),"
+        f" CAST(({col} // 100) % 1000 AS INT), CAST({col} % 100 AS INT)) "
+        f"WHEN {col} >= 100000 THEN printf('%d,%03d.%02d',"
+        f" CAST({col} // 100000 AS INT), CAST(({col} // 100) % 1000 AS INT),"
+        f" CAST({col} % 100 AS INT)) "
+        f"ELSE printf('%d.%02d', CAST({col} // 100 AS INT),"
+        f" CAST({col} % 100 AS INT)) END)"
+    )
+
+
+def _extracted_pages_block() -> str:
+    """CTE chain predicting the EXTRACTION STAGE OUTPUT analytically from
+    the documents table (verified byte-exact per url at sf0.01): real html/
+    PDF bytes are parsed by the Spark-side extractor; this block predicts
+    the result in closed form from the datagen layout (the extract_links
+    oracle's contract, extended from hrefs to the full text).
+
+    Per kind (datagen.pages_from_documents / make_page):
+      - kinds 6, 8: extracted_text == documents.text (identity wrap);
+      - kind 7 (PDF): extracted_text == _invoice_body(doc_id) verbatim
+        (the PDF text renderer keeps blank lines);
+      - kind 9, id >= 10: _invoice_body(doc_id - 9) html (the duplicate
+        plant), blank lines dropped by block segmentation;
+      - all other kinds: _invoice_body(doc_id), blank lines dropped.
+
+    The _invoice_body money arithmetic is replayed EXACTLY in integers:
+    sub is S cents by construction; tax = round(sub*0.08, 2) is
+    (4S+25)//50 (the exact value 2S/25 cents sits >= 0.02 cents from
+    every half-cent tie, far beyond double error, and integer ties are
+    impossible mod 25); total = S + T the same way. unit = round(sub/qty,
+    2) DOES land on exact half-cent ties (qty even, S % qty == qty/2), so
+    u0..units simulate the TWO IEEE roundings bit-exactly in integer
+    mantissa arithmetic — v1 = nearest_double(S/100), d = nearest_double(
+    v1/q), then Python's correct-decimal round-half-even of d to cents —
+    because DuckDB's round(DOUBLE, 2) disagrees with Python's
+    correct-decimal rounding on ~half of those ties (measured 8.8k/52k on
+    a sweep). Exposes CTE ``extracted``(doc_id, kind, extracted_text) and
+    ``withurl``(doc_id, url, extracted_text) with the extract_links host
+    derivation."""
+    H = lambda tag: (  # noqa: E731 — local SQL-fragment shorthand
+        f"('0x' || substr(md5('{tag}:' || CAST(j AS VARCHAR)), 1, 16))::UBIGINT"
+    )
+    months = (
+        "['January','February','March','April','May','June','July',"
+        "'August','September','October','November','December']"
+    )
+    bases = (
+        "['Acme','Globex','Initech','Umbrella','Stark','Wayne','Cyberdyne',"
+        "'Tyrell','Wonka','Oscorp','Hooli','Vandelay','Dunder','Sterling',"
+        "'Bluth','Gekko','Prestige','Soylent','Aperture','Monarch','Zenith',"
+        "'Quantum','Pinnacle','Vertex','Meridian']"
+    )
+    regions = "['','North','East','South','West','Global','Pacific','Atlas']"
+    seconds = (
+        "['Industries','Systems','Holdings','Logistics','Dynamics',"
+        "'Partners','Labs','Ventures','Solutions','Consulting',"
+        "'Manufacturing','Trading','Analytics','Networks','Energy',"
+        "'Capital','Robotics','Softworks','Materials','Media']"
+    )
+    suffixes = "['Inc','LLC','Ltd','Corp']"
+    one = "CAST(1 AS HUGEINT)"
+    return f"""
+    src AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 10 = 9 AND doc_id >= 10 THEN doc_id - 9
+                    ELSE doc_id END AS j,
+               doc_id % 10 AS kind, text AS doc_text
+        FROM documents),
+    base AS (
+        SELECT doc_id, j, kind, doc_text,
+               CAST(5000 + {H('subtotal')} % 9994900 AS BIGINT) AS S,
+               CAST(1 + {H('qty')} % 9 AS INT) AS q,
+               CAST({H('label')} % 4 AS INT) AS label,
+               CAST(1 + {H('day')} % 28 AS INT) AS day,
+               CAST(1 + {H('month')} % 12 AS INT) AS month,
+               CAST({H('dstyle')} % 2 AS INT) AS dstyle,
+               CAST({H('cur')} % 3 AS INT) AS curm,
+               CAST({H('taxl')} % 2 AS INT) AS taxm,
+               CAST({H('vendor')} % 16000 AS INT) AS vk,
+               printf('A%07d', CAST({H('invno')} % 10000000 AS INT)) AS invno
+        FROM base_src),
+    u0 AS (
+        SELECT *, CAST(floor(log2(CAST(S AS DOUBLE) / 100)) AS INT) AS p1g
+        FROM base),
+    u1 AS (  -- p1 = floor(log2(S/100)) with integer correction of log2 fuzz
+        SELECT *, CASE WHEN CAST(S AS HUGEINT) * 4 < CAST(100 AS HUGEINT) * ({one} << (p1g + 2)) THEN p1g - 1
+                       WHEN CAST(S AS HUGEINT) * 2 >= CAST(100 AS HUGEINT) * ({one} << (p1g + 2)) THEN p1g + 1
+                       ELSE p1g END AS p1
+        FROM u0),
+    u2 AS (SELECT *, CAST(S AS HUGEINT) * ({one} << (52 - p1)) AS n1 FROM u1),
+    u3 AS (  -- v1 mantissa: nearest of S*2^e/100 (integer tie impossible)
+        SELECT *, n1 // 100 + (CASE WHEN 2 * (n1 % 100) > 100 THEN 1 ELSE 0 END) AS m1r
+        FROM u2),
+    u4 AS (
+        SELECT *, CASE WHEN m1r = ({one} << 53) THEN m1r // 2 ELSE m1r END AS m1,
+                  CASE WHEN m1r = ({one} << 53) THEN p1 + 1 ELSE p1 END AS p1b
+        FROM u3),
+    u5 AS (  -- binade shift of v1/q (q <= 9 -> s in 0..4)
+        SELECT *, CASE WHEN m1 >= CAST(q AS HUGEINT) * ({one} << 52) THEN 0
+                       WHEN m1 * 2 >= CAST(q AS HUGEINT) * ({one} << 52) THEN 1
+                       WHEN m1 * 4 >= CAST(q AS HUGEINT) * ({one} << 52) THEN 2
+                       WHEN m1 * 8 >= CAST(q AS HUGEINT) * ({one} << 52) THEN 3
+                       ELSE 4 END AS shw
+        FROM u4),
+    u6 AS (SELECT *, m1 * ({one} << shw) AS n2 FROM u5),
+    u7 AS (SELECT *, n2 // q AS m2q, n2 % q AS r2 FROM u6),
+    u8 AS (  -- d mantissa: IEEE ties-to-even on the halved quotient
+        SELECT *, m2q + (CASE WHEN 2 * r2 > q THEN 1
+                              WHEN 2 * r2 = q AND m2q % 2 = 1 THEN 1
+                              ELSE 0 END) AS m2r
+        FROM u7),
+    u9 AS (
+        SELECT *, CASE WHEN m2r = ({one} << 53) THEN m2r // 2 ELSE m2r END AS m2,
+                  CASE WHEN m2r = ({one} << 53) THEN (p1b - shw) + 1 ELSE p1b - shw END AS p2
+        FROM u8),
+    u10 AS (SELECT *, m2 * 100 AS n3, {one} << (52 - p2) AS d3 FROM u9),
+    units AS (  -- Python round(d, 2): correct decimal nearest, half-even
+        SELECT *, n3 // d3 + (CASE WHEN 2 * (n3 % d3) > d3 THEN 1
+                                   WHEN 2 * (n3 % d3) = d3 AND (n3 // d3) % 2 = 1 THEN 1
+                                   ELSE 0 END) AS unit_cents
+        FROM u10),
+    flds AS (
+        SELECT *,
+               (4 * S + 25) // 50 AS T,
+               {bases}[(vk // 80) // 8 + 1] || {regions}[(vk // 80) % 8 + 1]
+                 || ' ' || {seconds}[(vk // 4) % 20 + 1] || ' ' || {suffixes}[vk % 4 + 1] AS vendor,
+               CASE WHEN curm = 0 THEN 'USD ' ELSE '$' END AS cur,
+               CASE WHEN taxm = 0 THEN 'VAT: ' ELSE 'Tax: 8% ' END AS tax_label,
+               CASE label WHEN 0 THEN 'Invoice # ' || invno
+                          WHEN 1 THEN 'INV: ' || invno
+                          WHEN 2 THEN 'Bill No. ' || invno
+                          ELSE '# ' || invno END AS head,
+               CASE WHEN label >= 2 THEN printf('Issued: %02d/%02d/2024', month, day)
+                    WHEN dstyle = 0 THEN printf('Invoice Date: %02d/%02d/2024', month, day)
+                    ELSE 'Invoice Date: ' || {months}[month] || printf(' %d, 2024', day) END AS date_line,
+               CASE WHEN label >= 2 THEN printf('Pay by: %02d/%02d/2024', month, least(day + 14, 28))
+                    WHEN dstyle = 0 THEN printf('Due Date: %02d/%02d/2024', month, least(day + 14, 28))
+                    ELSE 'Payment Due: ' || {months}[month] || printf(' %d, 2024', least(day + 14, 28)) END AS due_line
+        FROM units),
+    bodies AS (
+        SELECT doc_id, kind, doc_text,
+               'From: ' || vendor || chr(10) || head || chr(10) || date_line || chr(10)
+               || due_line || chr(10) || chr(10)
+               || 'Professional services rendered  ' || q || '  '
+               || cur || {_fmt_cents('unit_cents')} || '  ' || cur || {_fmt_cents('S')} || chr(10) || chr(10)
+               || 'Subtotal: ' || cur || {_fmt_cents('S')} || chr(10)
+               || tax_label || cur || {_fmt_cents('T')} || chr(10)
+               || 'Total Due: ' || cur || {_fmt_cents('(S + T)')} AS invoice_body
+        FROM flds),
+    extracted AS (
+        SELECT doc_id, kind,
+               CASE WHEN kind IN (6, 8) THEN doc_text
+                    WHEN kind = 7 THEN invoice_body
+                    ELSE array_to_string(list_filter(
+                        string_split(invoice_body, chr(10)), x -> x <> ''),
+                        chr(10))
+               END AS extracted_text
+        FROM bodies),
+    uk AS (
+        SELECT e.doc_id, e.kind, e.extracted_text,
+               ('0x' || substr(md5('host:' || CAST(e.doc_id AS VARCHAR)), 1, 16))::UBIGINT % 100 AS hr,
+               ('0x' || substr(md5('coldhost:' || CAST(e.doc_id AS VARCHAR)), 1, 16))::UBIGINT % 50 AS hc
+        FROM extracted e),
+    withurl AS (
+        SELECT doc_id, extracted_text,
+               printf('https://%s/doc/%012d.html',
+                   CASE WHEN hr < 35 THEN
+                        CASE WHEN hr % 2 = 0 THEN 'portal.megacorp-billing.example'
+                             ELSE 'docs.archive-crawl.example' END
+                   ELSE printf('site-%03d.example', CAST(hc AS INT)) END,
+                   doc_id) AS url
+        FROM uk)
+""".replace("FROM base_src", "FROM src")
+
+
+def _parse_cascade_block() -> str:
+    """CTE chain replaying functions/parse_fields.py's FULL P1-P12 parse
+    over the predicted extraction (verified value-exact at sf0.01): every
+    cascade first-match-wins via nested nullif/coalesce of regexp_extract
+    (RE2 (?i)/(?m)/lazy semantics match Python re on this ASCII corpus),
+    parseFloat-prefix via TRY_CAST(regexp_extract(...)), JS falsy ||
+    coalescing via 0-aware CASE chains, line items via
+    regexp_extract_all(group 4) + the 0<amt<1e6 filter, confidence =
+    25 * truthy-field count (exact — no float rounding), and the
+    deterministic INV-md5(url) fallback. Expects ``withurl``; exposes
+    ``parsed``."""
+    amt = r"'^[+-]?(?:[0-9]+\.?[0-9]*|\.[0-9]+)(?:[eE][+-]?[0-9]+)?'"
+
+    def pamt(col: str) -> str:
+        return (
+            f"TRY_CAST(regexp_extract(trim(replace({col}, ',', '')), {amt})"
+            f" AS DOUBLE)"
+        )
+
+    block = r"""
+    pf_c1 AS (
+        SELECT url, extracted_text AS text,
+            nullif(trim(coalesce(
+                nullif(regexp_extract(extracted_text, '(?i)invoice\s*(?:#|no\.?|number|num\.?)[:\s]*([A-Z0-9\-/]+)', 1), ''),
+                nullif(regexp_extract(extracted_text, '(?i)inv\s*[#:]?\s*([A-Z0-9\-/]+)', 1), ''),
+                nullif(regexp_extract(extracted_text, '(?i)bill\s*(?:#|no\.?)[:\s]*([A-Z0-9\-/]+)', 1), ''),
+                nullif(regexp_extract(extracted_text, '(?i)#\s*([A-Z0-9\-]{4,20})', 1), ''),
+                '')), '') AS inv_no,
+            nullif(trim(coalesce(
+                nullif(regexp_extract(extracted_text, '(?i)(?:from|bill\s*from|billed\s*by|company)[:\s]+([A-Za-z0-9\s&.,''-]{1,200}?)(?:\n|ltd|inc|llc|corp)', 1), ''),
+                nullif(regexp_extract(extracted_text, '(?m)^([A-Z][A-Za-z0-9\s&.,''-]{2,40}(?:Ltd|Inc|LLC|Corp|Co\.|Services|Solutions|Group))', 1), ''),
+                '')), '') AS vendor,
+            nullif(trim(coalesce(
+                nullif(regexp_extract(extracted_text, '(?i)(?:invoice\s*date|date\s*of\s*issue|issued?)[:\s]*(\d{1,2}[/\-.]\d{1,2}[/\-.]\d{2,4})', 1), ''),
+                nullif(regexp_extract(extracted_text, '(?i)(?:invoice\s*date|date)[:\s]*([A-Za-z]{1,20}\s+\d{1,2},?\s+\d{4})', 1), ''),
+                nullif(regexp_extract(extracted_text, '(\d{1,2}[/\-.]\d{1,2}[/\-.]\d{4})', 1), ''),
+                nullif(regexp_extract(extracted_text, '([A-Za-z]{1,20} \d{1,2},? \d{4})', 1), ''),
+                '')), '') AS inv_date,
+            nullif(trim(coalesce(
+                nullif(regexp_extract(extracted_text, '(?i)(?:due\s*date|payment\s*due|pay\s*by)[:\s]*(\d{1,2}[/\-.]\d{1,2}[/\-.]\d{2,4})', 1), ''),
+                nullif(regexp_extract(extracted_text, '(?i)(?:due\s*date|payment\s*due|pay\s*by)[:\s]*([A-Za-z]{1,20}\s+\d{1,2},?\s+\d{4})', 1), ''),
+                '')), '') AS due_date_s,
+            nullif(trim(coalesce(
+                nullif(regexp_extract(extracted_text, '(?i)(?:total\s*(?:amount\s*)?due|grand\s*total|amount\s*due|total)[:\s]*\$?\s*([\d,]+\.?\d{0,2})', 1), ''),
+                nullif(regexp_extract(extracted_text, '(?i)total[:\s]*(?:USD|EUR|GBP|INR)?\s*([\d,]+\.?\d{0,2})', 1), ''),
+                '')), '') AS total_s,
+            nullif(trim(coalesce(
+                nullif(regexp_extract(extracted_text, '(?i)(?:subtotal|sub\s*total)[:\s]*\$?\s*([\d,]+\.?\d{0,2})', 1), ''),
+                nullif(regexp_extract(extracted_text, '(?i)(?:net\s*amount|net)[:\s]*\$?\s*([\d,]+\.?\d{0,2})', 1), ''),
+                '')), '') AS subtotal_s,
+            nullif(trim(coalesce(
+                nullif(regexp_extract(extracted_text, '(?i)(?:tax|vat|gst|hst)[:\s]*(?:\d+%\s*)?\$?\s*([\d,]+\.?\d{0,2})', 1), ''),
+                nullif(regexp_extract(extracted_text, '(?i)(?:sales\s*tax|service\s*tax)[:\s]*\$?\s*([\d,]+\.?\d{0,2})', 1), ''),
+                '')), '') AS tax_s,
+            nullif(trim(coalesce(
+                nullif(regexp_extract(extracted_text, '(?i)\b(USD|EUR|GBP|INR|CAD|AUD|JPY|CNY|CHF|SGD)\b', 1), ''),
+                nullif(regexp_extract(extracted_text, '(\$|€|£|₹|¥)', 1), ''),
+                '')), '') AS cur_s,
+            len(list_filter(
+                list_transform(
+                    regexp_extract_all(extracted_text, '(?m)^(.{3,40}?)\s{2,}(\d+(?:\.\d+)?)\s{1,}\$?([\d,.]+)\s{1,}\$?([\d,.]+)\s*$', 4),
+                    a -> __PAMT_A__),
+                v -> v IS NOT NULL AND v > 0 AND v < 1000000)) AS n_items
+        FROM withurl),
+    pf_c2 AS (
+        SELECT url, inv_no, vendor, inv_date, due_date_s,
+               __PAMT_TOT__ AS total_v,
+               __PAMT_SUB__ AS subtotal_v,
+               __PAMT_TAX__ AS tax_v,
+               CASE WHEN cur_s IS NULL THEN 'USD'
+                    WHEN cur_s = '$' THEN 'USD' WHEN cur_s = '€' THEN 'EUR'
+                    WHEN cur_s = '£' THEN 'GBP' WHEN cur_s = '₹' THEN 'INR'
+                    WHEN cur_s = '¥' THEN 'JPY'
+                    ELSE upper(cur_s) END AS currency,
+               n_items
+        FROM pf_c1),
+    parsed AS (
+        SELECT url,
+            coalesce(inv_no, 'INV-' || upper(substr(md5(url), 1, 12))) AS invoice_number,
+            coalesce(vendor, 'Unknown Vendor') AS vendor_name,
+            inv_date AS invoice_date,
+            due_date_s AS due_date,
+            CASE WHEN subtotal_v IS NOT NULL AND subtotal_v <> 0 THEN subtotal_v
+                 WHEN total_v IS NOT NULL AND total_v <> 0
+                      AND tax_v IS NOT NULL AND tax_v <> 0 THEN total_v - tax_v
+                 WHEN total_v IS NOT NULL AND total_v <> 0 THEN total_v
+                 ELSE 0.0 END AS subtotal,
+            coalesce(nullif(tax_v, 0), 0.0) AS tax,
+            CASE WHEN total_v IS NOT NULL AND total_v <> 0 THEN total_v
+                 WHEN subtotal_v IS NOT NULL AND subtotal_v <> 0 THEN subtotal_v
+                 ELSE 0.0 END AS total_amount,
+            currency,
+            CAST(25 * ((CASE WHEN inv_no IS NOT NULL THEN 1 ELSE 0 END)
+                 + (CASE WHEN vendor IS NOT NULL THEN 1 ELSE 0 END)
+                 + (CASE WHEN inv_date IS NOT NULL THEN 1 ELSE 0 END)
+                 + (CASE WHEN total_v IS NOT NULL AND total_v <> 0 THEN 1 ELSE 0 END)) AS INT) AS confidence,
+            CAST(n_items AS INT) AS n_items
+        FROM pf_c2)
+"""
+    return (
+        block.replace("__PAMT_A__", pamt("a"))
+        .replace("__PAMT_TOT__", pamt("total_s"))
+        .replace("__PAMT_SUB__", pamt("subtotal_s"))
+        .replace("__PAMT_TAX__", pamt("tax_s"))
+    )
+
+
 def _pagerank_oracle(n_iter: int = 3) -> str:
     """Unroll operators/graph.py:pagerank as CTEs: same edge synthesis,
     same 1e-12 contribution / 1e-9 rank grids, same exact dangling fold.
@@ -7951,6 +8248,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, text AS extracted_text
             FROM documents WHERE doc_id % 10 IN (6, 8)
         """,
+        # FULL extraction-stage oracle (round 4): Spark parses real html/
+        # PDF bytes; DuckDB predicts text/blocks/md5 in closed form from
+        # the datagen layout incl. exact integer replay of the money
+        # rounding (see _extracted_pages_block)
+        "extract_pages": "WITH " + _extracted_pages_block() + """
+            SELECT url,
+                   CAST(len(string_split(extracted_text, chr(10))) AS INT) AS n_blocks,
+                   CAST(length(extracted_text) AS INT) AS n_chars,
+                   md5(extracted_text) AS text_md5
+            FROM withurl
+        """,
+        # FULL P1-P12 parse oracle (round 4): predicted extraction feeding
+        # the complete cascade/coalesce/line-item replay
+        # (_parse_cascade_block)
+        "parse_fields": (
+            "WITH " + _extracted_pages_block() + ","
+            + _parse_cascade_block()
+            + "SELECT * FROM parsed"
+        ),
         "stats_overview": """
             SELECT count(*) AS n_orders,
                    round(sum(o_totalprice), 2) AS total_amount,
