@@ -5,8 +5,10 @@ mapInPandas, Arrow batch shape, per-executor lazy decoder singleton. Two
 decode paths share that plumbing: ``fake=True`` (default) is the
 deterministic md5-derived stand-in the oracles replay; ``fake=False``
 uses a REAL pure-stdlib decoder for PNG (zlib inflate + per-row filters
-0-4, color types 0/2/3/4/6) and uncompressed 24-bit BMP — formats that
-need a codec library (JPEG's DCT pipeline, video demuxing, audio) still
+0-4, color types 0/2/3/4/6), uncompressed 24-bit BMP, and baseline
+sequential JPEG (SOF0 Huffman entropy decode, restart markers, float
+IDCT, chroma upsampling, JFIF color transform — round 4). Progressive/
+arithmetic JPEG, TIFF/WEBP, video demuxing and compressed audio still
 raise NotImplementedError per payload, keeping the gate honest.
 
 At 100 TB the rules that matter here: never let the binary column through a
@@ -73,10 +75,11 @@ class _FakeDecoder:
 
 
 class _RealDecoder:
-    """Pure-stdlib image decode (PNG + uncompressed 24-bit BMP) — no
-    Pillow/ffmpeg in the sandbox, but PNG is just zlib + per-row filters.
-    Exotic containers (JPEG needs a DCT pipeline) still raise, keeping
-    the gate honest about what is implemented.
+    """Pure-stdlib image decode (PNG, uncompressed 24-bit BMP, baseline
+    JPEG) — no Pillow/ffmpeg in the sandbox; PNG is zlib + per-row
+    filters and baseline JPEG a ~250-line Huffman+IDCT pipeline
+    (_decode_jpeg). Formats still needing a codec lib (progressive JPEG,
+    TIFF, WEBP, video) raise, keeping the gate honest.
 
     decode_image returns (width, height, feature) with the SAME shape
     contract as the fake decoder: an 8-dim float32 feature — here the
@@ -88,10 +91,12 @@ class _RealDecoder:
             w, h, pix = _decode_png(payload)
         elif payload and payload[:2] == b"BM":
             w, h, pix = _decode_bmp24(payload)
+        elif payload and payload[:2] == b"\xff\xd8":
+            w, h, pix = _decode_jpeg(payload)
         else:
             raise NotImplementedError(
-                "real decode implemented for PNG and 24-bit BMP only "
-                "(stdlib zlib path); other formats need a codec lib"
+                "real decode implemented for PNG, 24-bit BMP and baseline "
+                "JPEG only (stdlib path); other formats need a codec lib"
             )
         lum = pix.astype(np.float32).mean(axis=2) / 255.0  # (h, w)
         rows = np.array_split(lum, 2, axis=0)
@@ -222,6 +227,282 @@ def _decode_png(payload: bytes) -> tuple[int, int, np.ndarray]:
     if ctype == 4:
         return w, h, np.repeat(px[:, :, :1], 3, axis=2)
     return w, h, px[:, :, :3]  # 6: drop alpha
+
+
+_ZIGZAG = np.array(
+    [  # ITU-T T.81 Figure 5: zigzag index -> (row * 8 + col) natural index
+         0,  1,  8, 16,  9,  2,  3, 10,
+        17, 24, 32, 25, 18, 11,  4,  5,
+        12, 19, 26, 33, 40, 48, 41, 34,
+        27, 20, 13,  6,  7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36,
+        29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46,
+        53, 60, 61, 54, 47, 55, 62, 63,
+    ],
+    dtype=np.int64,
+)
+
+# orthonormal 8-point DCT basis: A[u, x] = c(u)/2 * cos((2x+1) u pi / 16);
+# spatial = A.T @ F @ A is the T.81 IDCT
+_DCT_A = np.array(
+    [
+        [
+            (np.sqrt(1 / 8) if u == 0 else 0.5)
+            * np.cos((2 * x + 1) * u * np.pi / 16)
+            for x in range(8)
+        ]
+        for u in range(8)
+    ],
+    dtype=np.float64,
+)
+
+
+class _JpegBits:
+    """MSB-first bit reader over one destuffed entropy-coded segment."""
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.bit = 0
+
+    def read_bit(self) -> int:
+        if self.pos >= len(self.data):
+            raise ValueError("truncated JPEG entropy segment")
+        b = (self.data[self.pos] >> (7 - self.bit)) & 1
+        self.bit += 1
+        if self.bit == 8:
+            self.bit = 0
+            self.pos += 1
+        return b
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+
+def _jpeg_huff_table(counts: list[int], symbols: bytes) -> dict:
+    """Canonical Huffman (T.81 Annex C): {(length, code): symbol}."""
+    table = {}
+    code, k = 0, 0
+    for ln in range(1, 17):
+        for _ in range(counts[ln - 1]):
+            table[(ln, code)] = symbols[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _jpeg_huff_decode(bits: _JpegBits, table: dict) -> int:
+    code, ln = 0, 0
+    while ln < 16:
+        code = (code << 1) | bits.read_bit()
+        ln += 1
+        sym = table.get((ln, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid JPEG Huffman code")
+
+
+def _jpeg_extend(v: int, s: int) -> int:
+    """T.81 F.2.2.1 EXTEND: s-bit magnitude to signed coefficient."""
+    return v if s == 0 or v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def _decode_jpeg(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """Baseline sequential JPEG (SOF0, 8-bit, Huffman) per ITU-T T.81:
+    marker parse -> per-MCU Huffman entropy decode (restart-interval
+    aware) -> dequantize -> dezigzag -> float IDCT -> chroma upsample ->
+    JFIF YCbCr->RGB. 1-component (grayscale) and 3-component frames with
+    any h/v sampling factors dividing the max (4:4:4, 4:2:2, 4:2:0, ...).
+
+    Progressive (SOF2), extended/lossless/hierarchical frames, arithmetic
+    coding (DAC), and 12-bit precision raise NotImplementedError — the
+    honest-gate contract; corrupt streams raise ValueError. Pure-Python
+    bit loop: a correctness decoder for the Spark plumbing gate, not a
+    throughput codec (real deployments put libjpeg-turbo behind the same
+    mapInPandas surface)."""
+    import struct
+
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    frame = None  # (h, w, [(cid, hs, vs, tq), ...])
+    restart = 0
+    scan = None  # ([(comp_idx, td, ta), ...], ecs_start)
+    pos = 2
+    n = len(payload)
+    while pos + 4 <= n:
+        if payload[pos] != 0xFF:
+            raise ValueError("JPEG marker sync lost")
+        m = payload[pos + 1]
+        if m == 0xD9:  # EOI before any scan
+            break
+        (seglen,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
+        seg = payload[pos + 4 : pos + 2 + seglen]
+        if len(seg) != seglen - 2:
+            raise ValueError("truncated JPEG segment")
+        if m == 0xDB:  # DQT
+            sp = 0
+            while sp < len(seg):
+                pq, tq = seg[sp] >> 4, seg[sp] & 15
+                sp += 1
+                if pq == 0:
+                    tbl = np.frombuffer(seg[sp : sp + 64], np.uint8).astype(
+                        np.int32
+                    )
+                    sp += 64
+                else:
+                    tbl = np.frombuffer(
+                        seg[sp : sp + 128], ">u2"
+                    ).astype(np.int32)
+                    sp += 128
+                qt[tq] = tbl  # zigzag order, as stored
+        elif m == 0xC0:  # SOF0 baseline
+            prec, fh, fw, nc = struct.unpack(">BHHB", seg[:6])
+            if prec != 8:
+                raise NotImplementedError("JPEG precision != 8 bits")
+            comps = []
+            for c in range(nc):
+                cid, hv, tq_ = seg[6 + 3 * c : 9 + 3 * c]
+                comps.append((cid, hv >> 4, hv & 15, tq_))
+            frame = (fh, fw, comps)
+        elif m in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                   0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                f"JPEG frame type SOF{m - 0xC0} (only baseline SOF0)"
+            )
+        elif m == 0xCC:  # DAC
+            raise NotImplementedError("arithmetic-coded JPEG")
+        elif m == 0xC4:  # DHT
+            sp = 0
+            while sp < len(seg):
+                tc, th = seg[sp] >> 4, seg[sp] & 15
+                counts = list(seg[sp + 1 : sp + 17])
+                nsym = sum(counts)
+                symbols = seg[sp + 17 : sp + 17 + nsym]
+                huff[(tc, th)] = _jpeg_huff_table(counts, symbols)
+                sp += 17 + nsym
+        elif m == 0xDD:  # DRI
+            (restart,) = struct.unpack(">H", seg[:2])
+        elif m == 0xDA:  # SOS
+            if frame is None:
+                raise ValueError("JPEG SOS before SOF")
+            ns = seg[0]
+            sel = []
+            for c in range(ns):
+                cs, tda = seg[1 + 2 * c : 3 + 2 * c]
+                idx = next(
+                    i for i, comp in enumerate(frame[2]) if comp[0] == cs
+                )
+                sel.append((idx, tda >> 4, tda & 15))
+            scan = (sel, pos + 2 + seglen)
+            break  # baseline: single scan; ECS follows
+        # APPn / COM / others: skip
+        pos += 2 + seglen
+    if frame is None or scan is None:
+        raise ValueError("JPEG missing SOF/SOS")
+    fh, fw, comps = frame
+    sel, ecs_start = scan
+
+    # split entropy-coded data at restart markers; destuff FF00 -> FF
+    segments: list[bytes] = []
+    cur = bytearray()
+    p = ecs_start
+    while p < n:
+        b = payload[p]
+        if b == 0xFF and p + 1 < n:
+            nx = payload[p + 1]
+            if nx == 0x00:
+                cur.append(0xFF)
+                p += 2
+                continue
+            if 0xD0 <= nx <= 0xD7:  # RSTn
+                segments.append(bytes(cur))
+                cur = bytearray()
+                p += 2
+                continue
+            if nx == 0xD9:  # EOI
+                break
+            if nx == 0xDA:
+                raise NotImplementedError("multi-scan JPEG (progressive?)")
+            p += 2
+            continue
+        cur.append(b)
+        p += 1
+    segments.append(bytes(cur))
+
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = (fw + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (fh + 8 * vmax - 1) // (8 * vmax)
+    planes = [
+        np.zeros((mcuy * c[2] * 8, mcux * c[1] * 8), dtype=np.float64)
+        for c in comps
+    ]
+    preds = [0] * len(comps)
+    seg_i = 0
+    bits = _JpegBits(segments[0])
+    mcu_n = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart and mcu_n and mcu_n % restart == 0:
+                seg_i += 1
+                if seg_i >= len(segments):
+                    raise ValueError("JPEG missing restart segment")
+                bits = _JpegBits(segments[seg_i])
+                preds = [0] * len(comps)
+            for ci, td, ta in sel:
+                _, hs, vs, tq_ = comps[ci]
+                for by in range(vs):
+                    for bx in range(hs):
+                        zz = np.zeros(64, dtype=np.int32)
+                        t = _jpeg_huff_decode(bits, huff[(0, td)])
+                        diff = _jpeg_extend(bits.read_bits(t), t)
+                        preds[ci] += diff
+                        zz[0] = preds[ci]
+                        k = 1
+                        while k < 64:
+                            rs = _jpeg_huff_decode(bits, huff[(1, ta)])
+                            r, s = rs >> 4, rs & 15
+                            if s == 0:
+                                if r == 15:
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("JPEG AC index overflow")
+                            zz[k] = _jpeg_extend(bits.read_bits(s), s)
+                            k += 1
+                        coef = np.zeros(64, dtype=np.float64)
+                        coef[_ZIGZAG] = zz * qt[tq_]
+                        block = _DCT_A.T @ coef.reshape(8, 8) @ _DCT_A
+                        y0 = (my * vs + by) * 8
+                        x0 = (mx * hs + bx) * 8
+                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = block + 128.0
+            mcu_n += 1
+
+    # upsample each plane to full frame geometry, crop to (fh, fw)
+    full = []
+    for (cid, hs, vs, tq_), pl in zip(comps, planes):
+        up = np.repeat(np.repeat(pl, vmax // vs, axis=0), hmax // hs, axis=1)
+        full.append(up[:fh, :fw])
+    if len(full) == 1:
+        g = np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
+        return fw, fh, np.repeat(g[:, :, None], 3, axis=2)
+    if len(full) != 3:
+        raise NotImplementedError("JPEG with component count not in (1, 3)")
+    y, cb, cr = full
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    rgb = np.stack([r, g, b], axis=2)
+    return fw, fh, np.clip(np.round(rgb), 0, 255).astype(np.uint8)
 
 
 def _decode_bmp24(payload: bytes) -> tuple[int, int, np.ndarray]:

@@ -118,14 +118,14 @@ def test_multimodal_image_features(spark):
 
 
 def test_multimodal_real_decoder_gate(spark):
-    """fake=False now returns the real stdlib PNG/BMP decoder; formats
-    that need a codec library still raise per payload (the honest gate —
-    full coverage in tests/test_real_codec.py)."""
+    """fake=False now returns the real stdlib PNG/BMP/JPEG decoder;
+    formats that need a codec library still raise per payload (the honest
+    gate — full coverage in tests/test_real_codec.py)."""
     from invoice_ocr_reconciler_spark.operators.multimodal import _get_decoder
 
     dec = _get_decoder(fake=False)
     with pytest.raises(NotImplementedError):
-        dec.decode_image(b"\xff\xd8\xff\xe0 jpeg magic")
+        dec.decode_image(b"II*\x00 tiff magic")
     with pytest.raises(NotImplementedError):
         dec.sample_frames(b"video-bytes", 4)
 

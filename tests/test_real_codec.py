@@ -135,7 +135,7 @@ def test_real_decoder_feature_contract_and_gate():
     assert feat.shape == (8,) and feat.dtype == np.float32
     assert np.allclose(feat, 1.0)  # all-white -> unit luminance everywhere
     with pytest.raises(NotImplementedError):
-        dec.decode_image(b"\xff\xd8\xff\xe0 not a png")  # JPEG magic
+        dec.decode_image(b"II*\x00 not a png")  # TIFF magic: no codec
 
 
 def _wav16(rate: int, n_ch: int, samples: np.ndarray) -> bytes:
@@ -222,3 +222,201 @@ def test_fake_path_unchanged(spark):
 
     hh = hashlib.md5(b"payload-bytes").digest()
     assert row.width == 64 + hh[0] % 192 and row.height == 64 + hh[1] % 192
+
+
+# --- baseline JPEG (handcrafted per ITU-T T.81, no codec library) ---
+
+from invoice_ocr_reconciler_spark.operators.multimodal import _decode_jpeg  # noqa: E402
+
+# tiny custom Huffman tables (canonical, Annex C): enough symbols for the
+# fixtures — DC categories 0..11, AC (EOB, 0/1, 1/1, ZRL, 0/2)
+_DC_COUNTS = [0, 2, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0]
+_DC_SYMS = bytes(range(12))
+_AC_COUNTS = [0, 2, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+_AC_SYMS = bytes([0x00, 0x01, 0x11, 0xF0, 0x02])
+
+
+def _huff_codes(counts, syms):
+    code, k, out = 0, 0, {}
+    for ln in range(1, 17):
+        for _ in range(counts[ln - 1]):
+            out[syms[k]] = (ln, code)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def bits(self, v, n):
+        for i in range(n - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((v >> i) & 1)
+            self.nbits += 1
+            if self.nbits == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)  # byte stuffing
+                self.acc = 0
+                self.nbits = 0
+
+    def done(self):
+        while self.nbits:
+            self.bits(1, 1)  # pad with 1s (T.81 F.1.2.3)
+        return bytes(self.out)
+
+
+def _cat(v):
+    s, a = 0, abs(v)
+    while a:
+        s += 1
+        a >>= 1
+    return s
+
+
+def _enc_block(bw, dc_diff, ac, dcc, acc):
+    """ac: list of (zigzag_pos_run, value) pairs in (run, val) form."""
+    s = _cat(dc_diff)
+    bw.bits(*reversed(dcc[s]))
+    if s:
+        bw.bits(dc_diff if dc_diff >= 0 else dc_diff + (1 << s) - 1, s)
+    for run, val in ac:
+        s = _cat(val)
+        bw.bits(*reversed(acc[(run << 4) | s]))
+        bw.bits(val if val >= 0 else val + (1 << s) - 1, s)
+    bw.bits(*reversed(acc[0x00]))  # EOB
+
+
+def _seg(marker, body):
+    return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+
+def _jpeg_fixture(w, h, comps, entropy, qt=None, dri=0, sof=0xC0):
+    """comps: [(cid, hsamp, vsamp)]; entropy: raw ECS bytes (with RSTs)."""
+    qt = qt if qt is not None else bytes([1] * 64)
+    out = b"\xff\xd8"
+    out += _seg(0xDB, b"\x00" + qt)
+    sofb = struct.pack(">BHHB", 8, h, w, len(comps))
+    for cid, hs, vs in comps:
+        sofb += bytes([cid, (hs << 4) | vs, 0])
+    out += _seg(sof, sofb)
+    out += _seg(0xC4, b"\x00" + bytes(_DC_COUNTS) + _DC_SYMS)
+    out += _seg(0xC4, b"\x10" + bytes(_AC_COUNTS) + _AC_SYMS)
+    if dri:
+        out += _seg(0xDD, struct.pack(">H", dri))
+    sosb = bytes([len(comps)])
+    for cid, _, _ in comps:
+        sosb += bytes([cid, 0x00])
+    sosb += b"\x00\x3f\x00"
+    out += _seg(0xDA, sosb)
+    return out + entropy + b"\xff\xd9"
+
+
+def _codes():
+    return _huff_codes(_DC_COUNTS, _DC_SYMS), _huff_codes(_AC_COUNTS, _AC_SYMS)
+
+
+def test_jpeg_gray_dc_only_flat():
+    dcc, acc = _codes()
+    bw = _BitWriter()
+    _enc_block(bw, 16, [], dcc, acc)  # dc=16, q=4 -> coef 64 -> flat 8+128
+    jpg = _jpeg_fixture(8, 8, [(1, 1, 1)], bw.done(), qt=bytes([4] * 64))
+    w, h, px = _decode_jpeg(jpg)
+    assert (w, h) == (8, 8)
+    assert px.shape == (8, 8, 3)
+    assert np.all(px == 136)
+
+
+def test_jpeg_gray_single_ac_matches_independent_idct():
+    # one AC coefficient at zigzag k=1 (natural (0,1)); expected pixels
+    # computed with an explicit double-loop IDCT (independent of the
+    # decoder's matrix formulation)
+    import math
+
+    dcc, acc = _codes()
+    bw = _BitWriter()
+    _enc_block(bw, 0, [(0, 3)], dcc, acc)
+    jpg = _jpeg_fixture(8, 8, [(1, 1, 1)], bw.done())
+    w, h, px = _decode_jpeg(jpg)
+
+    def idct_point(x, y):
+        total = 0.0
+        for u in range(8):
+            for v in range(8):
+                f = 3.0 if (u, v) == (0, 1) else 0.0  # F[row u=0][col v=1]
+                cu = 1 / math.sqrt(2) if u == 0 else 1.0
+                cv = 1 / math.sqrt(2) if v == 0 else 1.0
+                total += (
+                    cu * cv * f
+                    * math.cos((2 * y + 1) * u * math.pi / 16)
+                    * math.cos((2 * x + 1) * v * math.pi / 16)
+                )
+        return total / 4.0
+
+    exp = np.clip(
+        np.round([[idct_point(x, y) + 128 for x in range(8)] for y in range(8)]),
+        0, 255,
+    ).astype(np.uint8)
+    assert np.array_equal(px[:, :, 0], exp)
+
+
+def test_jpeg_restart_resets_dc_prediction():
+    dcc, acc = _codes()
+    bw = _BitWriter()
+    _enc_block(bw, 16, [], dcc, acc)
+    first = bw.done()
+    bw2 = _BitWriter()
+    _enc_block(bw2, 8, [], dcc, acc)  # after RST0 the predictor resets
+    entropy = first + b"\xff\xd0" + bw2.done()
+    jpg = _jpeg_fixture(
+        16, 8, [(1, 1, 1)], entropy, qt=bytes([4] * 64), dri=1
+    )
+    w, h, px = _decode_jpeg(jpg)
+    assert (w, h) == (16, 8)
+    assert np.all(px[:, :8] == 136)  # 16*4/8 + 128
+    assert np.all(px[:, 8:] == 132)  # 8*4/8 + 128 (reset, not 136+4)
+
+
+def test_jpeg_420_color_flat_mcu():
+    # 16x16, Y sampled 2x2 + flat chroma: tests MCU interleave order,
+    # chroma upsampling, and the JFIF YCbCr->RGB formula
+    dcc, acc = _codes()
+    bw = _BitWriter()
+    for blk in range(4):  # 4 Y blocks: dc diffs 416, 0, 0, 0 -> Y=180
+        _enc_block(bw, 416 if blk == 0 else 0, [], dcc, acc)
+    _enc_block(bw, -224, [], dcc, acc)  # Cb: 128 - 28 = 100
+    _enc_block(bw, 576, [], dcc, acc)   # Cr: 128 + 72 = 200
+    jpg = _jpeg_fixture(
+        16, 16, [(1, 2, 2), (2, 1, 1), (3, 1, 1)], bw.done()
+    )
+    w, h, px = _decode_jpeg(jpg)
+    assert (w, h) == (16, 16)
+    y, cb, cr = 180.0, 100.0, 200.0
+    exp = np.clip(
+        np.round([
+            y + 1.402 * (cr - 128),
+            y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128),
+            y + 1.772 * (cb - 128),
+        ]),
+        0, 255,
+    ).astype(np.uint8)
+    assert np.all(px == exp[None, None, :])
+
+
+def test_jpeg_unsupported_and_corrupt_raise():
+    dcc, acc = _codes()
+    bw = _BitWriter()
+    _enc_block(bw, 16, [], dcc, acc)
+    good = _jpeg_fixture(8, 8, [(1, 1, 1)], bw.done())
+    with pytest.raises(NotImplementedError, match="SOF2"):
+        _decode_jpeg(good.replace(b"\xff\xc0", b"\xff\xc2"))
+    with pytest.raises(ValueError):
+        _decode_jpeg(b"\xff\xd8\xff\xe0 not a png")  # truncated APP0
+    dec = _RealDecoder()
+    w, h, feat = dec.decode_image(good)  # routed through the real gate
+    assert (w, h) == (8, 8) and feat.shape == (8,)
+    assert np.allclose(feat, 130.0 / 255.0, atol=1e-6)  # q=1: dc 16 -> 2+128
