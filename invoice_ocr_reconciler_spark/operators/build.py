@@ -70,10 +70,7 @@ def build_corpus(
         canonicalize_url_col,
     )
     from invoice_ocr_reconciler_spark.extraction.udfs import extract_pages
-    from invoice_ocr_reconciler_spark.operators.chunking import shuffle_shards
-    from invoice_ocr_reconciler_spark.operators.curation import curate_documents
     from invoice_ocr_reconciler_spark.operators.diff import latest_snapshot
-    from invoice_ocr_reconciler_spark.operators.profile import corpus_report
 
     n_pages_in = pages.count()
 
@@ -119,6 +116,51 @@ def build_corpus(
         )
     cleaned = cleaned.persist(StorageLevel.MEMORY_AND_DISK)
 
+    n_after_block = cleaned.count()
+    n_after_collapse = (
+        collapsed.count() if blocklist is not None else n_after_block
+    )
+    return _curate_and_shard(
+        cleaned,
+        n_pages_in=n_pages_in,
+        n_after_collapse=n_after_collapse,
+        n_after_block=n_after_block,
+        benchmark=benchmark,
+        min_quality=min_quality,
+        langs=langs,
+        near_dup_threshold=near_dup_threshold,
+        with_near_dup=with_near_dup,
+        near_dup_exact=near_dup_exact,
+        gopher=gopher,
+        token_budget=token_budget,
+        n_shards=n_shards,
+    )
+
+
+def _curate_and_shard(
+    cleaned: DataFrame,
+    n_pages_in: int,
+    n_after_collapse: int,
+    n_after_block: int,
+    benchmark: DataFrame | None = None,
+    min_quality: float = 0.55,
+    langs: tuple[str, ...] = ("en",),
+    near_dup_threshold: float = 0.7,
+    with_near_dup: bool = True,
+    near_dup_exact: bool = False,
+    gopher: bool = False,
+    token_budget: int | None = None,
+    n_shards: int = 16,
+) -> dict[str, DataFrame]:
+    """Stages 5-8 of build_corpus over a cleaned (doc_id, url, text)
+    frame — shared by the one-shot build and the resumable job's finish
+    phase (the corpus-wide stages: dedup and sharding are global by
+    nature; per-bucket incremental dedup is the separate
+    minhash_incremental operator)."""
+    from invoice_ocr_reconciler_spark.operators.chunking import shuffle_shards
+    from invoice_ocr_reconciler_spark.operators.curation import curate_documents
+    from invoice_ocr_reconciler_spark.operators.profile import corpus_report
+
     # 5. curation (its own reconciling counters come back in 'stats')
     cur = curate_documents(
         cleaned.select("doc_id", "text"),
@@ -162,21 +204,17 @@ def build_corpus(
     )
 
     # 8. stats: stage counters (reconciling) + final-text health report.
-    # Extraction + hygiene are row-preserving, so the persisted `cleaned`
-    # frame gives the post-blocklist count for free; only the blocklist
-    # path pays one extra count of the collapse window (to split the
-    # collapsed-vs-blocked attribution).
+    # Extraction + hygiene are row-preserving, so the caller's
+    # post-blocklist count comes from the persisted `cleaned` frame; only
+    # the blocklist path pays one extra count of the collapse window (to
+    # split the collapsed-vs-blocked attribution).
     n_final = docs.count()
-    n_after_block = cleaned.count()
-    n_after_collapse = (
-        collapsed.count() if blocklist is not None else n_after_block
-    )
     n_collapsed_out = n_pages_in - n_after_collapse
     n_blocked = n_after_collapse - n_after_block
     cstats = cur["stats"].collect()[0]
     n_budget_out = (cstats["n_curated"] - n_final) if token_budget is not None else 0
     report = corpus_report(docs, text_col="text").collect()[0]
-    spark = pages.sparkSession
+    spark = cleaned.sparkSession
     stats = spark.createDataFrame(
         [
             (
@@ -205,3 +243,107 @@ def build_corpus(
         "final_lang_share double",
     )
     return {"docs": docs, "stats": stats}
+
+
+def clean_pages_bucket(df: DataFrame) -> DataFrame:
+    """Per-bucket stage 1-4 transform for the resumable build: collapse +
+    extract + NFC clean, one url bucket at a time.
+
+    Correctness requires canonical-equal urls to CO-BUCKET: the input is
+    hash-partitioned on url (sources/pages.py:write_pages_bucketed), so a
+    canonicalization that MERGES distinct stored urls (e.g. tracking-param
+    strip) could split a canonical group across buckets and survive the
+    per-bucket collapse. At 100 TB the fix is bucketing on canonical_url
+    at ingest; the corpus-wide one-shot build_corpus has no such
+    constraint. The soak corpus's urls are already canonical."""
+    from invoice_ocr_reconciler_spark.extraction.udfs import extract_pages
+    from invoice_ocr_reconciler_spark.functions.text import nfc_normalize_text
+    from invoice_ocr_reconciler_spark.functions.urls import canonicalize_url_col
+    from invoice_ocr_reconciler_spark.operators.diff import latest_snapshot
+
+    canon = df.withColumn("canonical_url", canonicalize_url_col(F.col("url")))
+    collapsed = latest_snapshot(
+        canon, key_col="canonical_url", ts_col="warc_ts", tiebreak_col=None
+    ).drop("canonical_url")
+    extracted = extract_pages(collapsed)
+    return nfc_normalize_text(
+        extracted, text_col="extracted_text", out_col="text"
+    ).select(F.xxhash64("url").alias("doc_id"), "url", "text")
+
+
+def build_corpus_resumable(
+    spark,
+    pages_path: str,
+    out_root: str,
+    min_quality: float = 0.55,
+    langs: tuple[str, ...] = ("en",),
+    near_dup_threshold: float = 0.7,
+    with_near_dup: bool = True,
+    near_dup_exact: bool = False,
+    gopher: bool = False,
+    token_budget: int | None = None,
+    n_shards: int = 16,
+    fail_after: int | None = None,
+    phase: str = "all",
+) -> dict:
+    """Checkpointed corpus build over a url_bucket=K pages layout.
+
+    Phase 'extract' (the corpus-sized compute, ~all the CPU): stages 1-4
+    per bucket through streaming/resume.py:run_resumable — each bucket
+    commits (rows/bytes/wall/url-range lineage) atomically to the
+    manifest; a kill leaves exactly the committed buckets durable and the
+    next run recomputes ONLY incomplete buckets (the north-rule
+    resumability contract, same machinery as the extract+reconcile job).
+
+    Phase 'finish' (corpus-wide by nature: global dedup + shard layout):
+    stages 5-8 over the committed cleaned buckets; deterministic, so a
+    rerun reproduces the identical corpus (rerun-idempotent rather than
+    incremental — incremental near-dup against a standing index is the
+    separate minhash_incremental operator).
+
+    Returns {'manifest_dir', 'cleaned_path', 'run': {...}} for 'extract';
+    adds {'docs', 'stats'} for 'finish'/'all'.
+    """
+    import os
+
+    from invoice_ocr_reconciler_spark.streaming.resume import (
+        CheckpointManifest,
+        run_resumable,
+    )
+
+    manifest_dir = os.path.join(out_root, "manifest")
+    cleaned_path = os.path.join(out_root, "cleaned")
+    out: dict = {"manifest_dir": manifest_dir, "cleaned_path": cleaned_path}
+    if phase in ("extract", "all"):
+        manifest = CheckpointManifest(manifest_dir)
+        out["run"] = run_resumable(
+            spark,
+            pages_path,
+            cleaned_path,
+            manifest,
+            clean_pages_bucket,
+            fail_after=fail_after,
+        )
+    if phase in ("finish", "all"):
+        cleaned = spark.read.parquet(cleaned_path).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        n_after_block = cleaned.count()
+        n_pages_in = spark.read.parquet(pages_path).count()
+        out.update(
+            _curate_and_shard(
+                cleaned,
+                n_pages_in=n_pages_in,
+                n_after_collapse=n_after_block,
+                n_after_block=n_after_block,
+                min_quality=min_quality,
+                langs=langs,
+                near_dup_threshold=near_dup_threshold,
+                with_near_dup=with_near_dup,
+                near_dup_exact=near_dup_exact,
+                gopher=gopher,
+                token_budget=token_budget,
+                n_shards=n_shards,
+            )
+        )
+    return out

@@ -93,3 +93,49 @@ def test_build_deterministic_across_parallelism(spark):
     ra = sorted(tuple(r) for r in a.collect())
     rb = sorted(tuple(r) for r in b.collect())
     assert ra == rb
+
+
+def test_resumable_build_kill_resume_matches_one_shot(spark, tmp_path):
+    """build_corpus_resumable: a killed extract phase leaves exactly the
+    committed buckets durable; the resume recomputes ONLY the incomplete
+    ones (attempt counters stay 1), and the finished corpus is
+    row-identical to the one-shot build_corpus on the same pages."""
+    import json
+    import glob
+
+    from invoice_ocr_reconciler_spark.operators.build import (
+        build_corpus_resumable,
+    )
+    from invoice_ocr_reconciler_spark.sources.pages import write_pages_bucketed
+
+    langs = ("en", "fr", "es", "de", "unknown")
+    pages = datagen.pages_df(spark, 300)
+    path = str(tmp_path / "pages")
+    write_pages_bucketed(pages, path, n_buckets=8)
+    out_root = str(tmp_path / "out")
+
+    # leg 1: killed after 3 buckets (fail_after simulates the kill at a
+    # commit boundary; the SIGKILL variant is the 1.2M soak's job)
+    r1 = build_corpus_resumable(
+        spark, path, out_root, min_quality=0.0, langs=langs,
+        n_shards=8, fail_after=3, phase="extract",
+    )
+    assert len(r1["run"]["processed"]) == 3
+
+    # leg 2: resume + finish
+    r2 = build_corpus_resumable(
+        spark, path, out_root, min_quality=0.0, langs=langs,
+        n_shards=8, phase="all",
+    )
+    done1, done2 = set(r1["run"]["processed"]), set(r2["run"]["processed"])
+    assert done1.isdisjoint(done2)          # committed buckets NOT recomputed
+    assert len(done1 | done2) == 8
+    for mf in glob.glob(f"{out_root}/manifest/bucket-*.json"):
+        with open(mf) as fh:
+            assert json.load(fh)["attempt"] == 1  # no bucket ran twice
+
+    ref = build_corpus(pages, min_quality=0.0, langs=langs, n_shards=8)
+    got = sorted(tuple(r) for r in r2["docs"].collect())
+    exp = sorted(tuple(r) for r in ref["docs"].collect())
+    assert got == exp
+    assert r2["stats"].collect()[0] == ref["stats"].collect()[0]

@@ -81,11 +81,22 @@ def main() -> None:
     import __spark_entry__ as entry
     from invoice_ocr_reconciler_spark.session import get_spark
 
+    # shuffle partitions are pinned to the DATA scale, not 2x core count:
+    # the session default (2 x total cores = 8 for local-cluster[2,2])
+    # hands each task a 1/8 slice of a 50k-doc shuffle, and the per-task
+    # BytesToBytesMap blows the 8g executor budget (found by this harness'
+    # first run: both legs died UNABLE_TO_ACQUIRE_MEMORY on
+    # containment_pairs@50k — the exact failure class thread-mode local[32]
+    # masks, because there 64 partitions come free with the core count).
+    # Production submitters size partitions to ~128MB of shuffle data for
+    # the same reason; 64 matches the thread-mode rehearsal contract.
+    shuffle_parts = int(os.environ.get("REHEARSAL_SHUFFLE_PARTITIONS", "64"))
     spark = get_spark(
         app_name=f"rehearsal-exec-{executors}",
         cores=2,
         executors=executors,
         executor_mem_mb=EXEC_MEM_MB,
+        shuffle_partitions=shuffle_parts,
         extra_conf={
             "spark.ui.enabled": "true",
             "spark.ui.showConsoleProgress": "false",
@@ -99,7 +110,18 @@ def main() -> None:
     for name in names:
         per = {}
         for label, d in (("small", SMALL), ("big", BIG)):
-            m = em.run(f"{name}@{label}", lambda: qs[name](spark, d))
+            try:
+                m = em.run(f"{name}@{label}", lambda: qs[name](spark, d))
+            except Exception as exc:  # keep hunting: a blowup IS the result
+                rec = {
+                    "executors": executors,
+                    "query": name,
+                    "corpus": label,
+                    "error": str(exc)[:400],
+                }
+                rec.update(_executor_peaks(em.api))
+                print(json.dumps(rec), flush=True)
+                continue
             per[label] = m
             rec = {
                 "executors": executors,
@@ -113,6 +135,9 @@ def main() -> None:
             }
             rec.update(_executor_peaks(em.api))
             print(json.dumps(rec), flush=True)
+        if "small" not in per or "big" not in per:
+            rows.append({"query": name, "error": "leg failed (see lines)"})
+            continue
         s, b = per["small"], per["big"]
         sh_s = s.shuffle_read_bytes + s.shuffle_write_bytes
         sh_b = b.shuffle_read_bytes + b.shuffle_write_bytes
