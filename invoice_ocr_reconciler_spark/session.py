@@ -110,6 +110,12 @@ def get_spark(
         builder = builder.config(
             "spark.executorEnv.PYTHONPATH", os.environ["PYTHONPATH"]
         )
+        # local-cluster[E, C, M] sets the WORKER's memory budget only; the
+        # executor JVM still launches with the 1g spark.executor.memory
+        # default. Round-4 executor-mode rehearsal found this the hard way:
+        # "8g" executors showed ~880MB peak heaps and died growing a
+        # BytesToBytesMap. Pin the heap to the requested size.
+        builder = builder.config("spark.executor.memory", f"{executor_mem_mb}m")
     if extra_conf:
         for k, v in extra_conf.items():
             builder = builder.config(k, v)
