@@ -534,6 +534,40 @@ def test_iceberg_gate_config_assembly():
     assert got["spark.sql.catalog.local.warehouse"] == "/wh"
 
 
+def test_executor_mode_pins_executor_memory(monkeypatch):
+    """Round-4 regression pin: local-cluster[E,C,M] budgets only the
+    WORKER; without an explicit spark.executor.memory the executor JVMs
+    launch at the 1g default (found when '8g' executors peaked at ~880MB
+    and OOM'd growing a BytesToBytesMap). The builder must carry the
+    requested size. Config-assembly check only — no real session spun."""
+    import invoice_ocr_reconciler_spark.session as sess
+
+    captured = {}
+
+    class FakeBuilder:
+        def master(self, m):
+            captured["master"] = m
+            return self
+
+        def appName(self, *_):
+            return self
+
+        def config(self, k, v):
+            captured[k] = v
+            return self
+
+        def getOrCreate(self):
+            raise RuntimeError("stop-before-jvm")
+
+    monkeypatch.setattr(
+        sess.SparkSession, "builder", FakeBuilder(), raising=True
+    )
+    with pytest.raises(RuntimeError, match="stop-before-jvm"):
+        sess.get_spark(cores=2, executors=3, executor_mem_mb=4096)
+    assert captured["master"] == "local-cluster[3,2,4096]"
+    assert captured["spark.executor.memory"] == "4096m"
+
+
 def test_detect_hot_hosts_single_job(spark):
     """VERDICT round-1 item 7 done-criterion: hot-host detection folds the
     corpus total into the grouped-count aggregation — exactly ONE Spark job
