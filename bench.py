@@ -351,7 +351,10 @@ def main() -> None:
     # Regenerate with tools/run_scaling_exec.py / tools/scale_rehearsal.py.
     scaling = None
     try:
-        with open("dist/scaling_exec_r3.txt", encoding="utf-8") as fh:
+        import glob
+
+        path = sorted(glob.glob("dist/scaling_exec_r*.txt"))[-1]
+        with open(path, encoding="utf-8") as fh:
             for line in fh:
                 if line.startswith("{"):
                     s = json.loads(line)
@@ -360,7 +363,7 @@ def main() -> None:
                 "N_docs_per_sec": s["N"]["docs_per_sec"],
                 "4N_docs_per_sec": s["4N"]["docs_per_sec"],
                 "efficiency": s["scaling_efficiency"],
-                "source": "tools/run_scaling_exec.py -> dist/scaling_exec_r3.txt",
+                "source": f"tools/run_scaling_exec.py -> {path}",
             }
     except Exception:
         pass
@@ -392,6 +395,34 @@ def main() -> None:
         }
     except Exception:
         pass
+    rehearsal_exec = None
+    try:
+        import glob as _glob
+
+        rehearsal_exec = {}
+        for path in sorted(_glob.glob("dist/rehearsal_exec_r*_e*.jsonl")):
+            with open(path, encoding="utf-8") as fh:
+                last = [ln for ln in fh if ln.startswith("{")][-1]
+            s = json.loads(last)
+            rehearsal_exec[f"executors_{s['executors']}"] = {
+                "exec_mem_mb": s["exec_mem_mb"],
+                "alphas": {
+                    r["query"]: r.get("shuffle_alpha")
+                    for r in s["rehearsal_exec"]
+                    if "error" not in r
+                },
+                "errors": [
+                    r["query"] for r in s["rehearsal_exec"] if "error" in r
+                ],
+                "peak_exec_heap_bytes": s["final_peaks"].get(
+                    "peak_jvm_heap_bytes"
+                ),
+                "source": f"tools/scale_rehearsal_exec.py -> {path}",
+            }
+        if not rehearsal_exec:
+            rehearsal_exec = None
+    except Exception:
+        rehearsal_exec = None
     print(
         json.dumps(
             {
@@ -409,6 +440,7 @@ def main() -> None:
                 "curation_200k": curation,
                 "scaling_exec": scaling,
                 "scale_rehearsal": rehearsal,
+                "scale_rehearsal_exec": rehearsal_exec,
                 "machine": machine,
             }
         )
