@@ -121,7 +121,12 @@ def q_parse_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """E2 full reconcile; rows-only (greedy 1:1 is order-sequential)."""
+    """E2 full reconcile. Fully oracled (round 4): predicted extraction +
+    parse replay + closed-form ledger replay (incl. IEEE-exact
+    round(base*1.005, 2) tie simulation) + blocked fuzzy scoring with
+    matching float op order + the greedy 1:1 assignment as a recursive
+    CTE whose per-block state row carries the used-record set
+    (_ledger_block / _reconcile_block)."""
     from invoice_ocr_reconciler_spark.pipeline import run_pipeline
 
     pages, ledger = _pages_and_ledger(spark, sf_dir)
@@ -7803,6 +7808,298 @@ def _parse_cascade_block() -> str:
     )
 
 
+def _dbl_mantissa(x: float) -> int:
+    """53-bit mantissa m of the double x = m * 2^(e-53) — embedded as an
+    exact integer literal so DuckDB can replay IEEE double PRODUCTS in
+    HUGEINT arithmetic (the ledger's round(base*1.005, 2) tie cases)."""
+    import math
+
+    m, e = math.frexp(x)
+    assert e - 53 == -52, "expected a [1,2) double"
+    return int(m * (1 << 53))
+
+
+def _ledger_block() -> str:
+    """CTE chain replaying datagen.make_ledger_record for every record id
+    (verified row-exact): j -> aligned page index (the +1 kind-6/8 snap,
+    the kind-9 un-dup), the vendor variant table, and expected_amount =
+    round(extracted_total(base_i) * factor, 2) replayed EXACTLY:
+
+    - extracted_total == the SUBTOTAL S (the parse cascade's 'total'
+      alternative matches inside the word 'Subtotal' first — a faithful
+      reference quirk the parse_fields oracle already pins);
+    - factor 1.0 -> S cents; 1.08 = 27/25 -> integer nearest (exact value
+      sits >= 0.02 cents from every half-cent tie, far beyond double
+      error); 1.005 = 201/200 -> integer nearest EXCEPT the exact ties
+      (S % 200 == 100), where the oracle simulates the actual IEEE
+      computation: d1 = nearest_double(S/100), d2 = fl(d1 * fl(1.005))
+      via a 106-bit HUGEINT mantissa product (fl(1.005)'s mantissa is
+      embedded as an exact literal), then Python's correct-decimal
+      half-even rounding of d2 to cents.
+
+    Exposes ``ledger``(record_id, vendor_name, expected_amount,
+    reference_number); n_records = greatest(30, n_docs // 8), matching
+    _pages_and_ledger."""
+    Hj = lambda tag: (  # noqa: E731
+        f"('0x' || substr(md5('{tag}:' || CAST(j AS VARCHAR)), 1, 16))::UBIGINT"
+    )
+    Hb = lambda tag: (  # noqa: E731
+        f"('0x' || substr(md5('{tag}:' || CAST(base_i AS VARCHAR)), 1, 16))::UBIGINT"
+    )
+    bases = (
+        "['Acme','Globex','Initech','Umbrella','Stark','Wayne','Cyberdyne',"
+        "'Tyrell','Wonka','Oscorp','Hooli','Vandelay','Dunder','Sterling',"
+        "'Bluth','Gekko','Prestige','Soylent','Aperture','Monarch','Zenith',"
+        "'Quantum','Pinnacle','Vertex','Meridian']"
+    )
+    regions = "['','North','East','South','West','Global','Pacific','Atlas']"
+    seconds = (
+        "['Industries','Systems','Holdings','Logistics','Dynamics',"
+        "'Partners','Labs','Ventures','Solutions','Consulting',"
+        "'Manufacturing','Trading','Analytics','Networks','Energy',"
+        "'Capital','Robotics','Softworks','Materials','Media']"
+    )
+    suffixes = "['Inc','LLC','Ltd','Corp']"
+    one = "CAST(1 AS HUGEINT)"
+    m1005 = _dbl_mantissa(1.005)
+    return f"""
+    nrec AS (SELECT greatest(30, count(*) // 8) AS n_rec,
+                    count(*) AS n_docs FROM documents),
+    js AS (SELECT unnest(range(0, (SELECT n_rec FROM nrec))) AS j),
+    lbase AS (
+        SELECT j,
+               CAST((j * 7) % (SELECT n_docs FROM nrec) AS BIGINT) AS i0
+        FROM js WHERE j % 11 <> 10),
+    lskip AS (
+        SELECT j,
+               (i0 + (CASE WHEN i0 % 10 IN (6, 8) THEN 1 ELSE 0 END))
+                   % (SELECT n_docs FROM nrec) AS i
+        FROM lbase),
+    lidx AS (
+        SELECT j, i,
+               CASE WHEN i % 10 = 9 AND i >= 10 THEN i - 9 ELSE i END AS base_i
+        FROM lskip),
+    lmoney AS (
+        SELECT j, i, base_i,
+               CAST(5000 + {Hb('subtotal')} % 9994900 AS BIGINT) AS S,
+               CAST({Hj('vv')} % 6 AS INT) AS vv,
+               CAST({Hb('vendor')} % 16000 AS INT) AS vk,
+               printf('A%07d', CAST(('0x' || substr(md5('invno:' || CAST(i AS VARCHAR)), 1, 16))::UBIGINT % 10000000 AS INT)) AS refno
+        FROM lidx),
+    lamt AS (
+        SELECT *, CAST(S AS BIGINT) AS V
+        FROM lmoney),
+    l105a AS (
+        SELECT *, CAST(floor(log2(CAST(V AS DOUBLE) / 100)) AS INT) AS pg
+        FROM lamt WHERE j % 3 = 1 AND V % 200 = 100),
+    l105b AS (
+        SELECT *, CASE WHEN CAST(V AS HUGEINT) * 4 < CAST(100 AS HUGEINT) * ({one} << (pg + 2)) THEN pg - 1
+                       WHEN CAST(V AS HUGEINT) * 2 >= CAST(100 AS HUGEINT) * ({one} << (pg + 2)) THEN pg + 1
+                       ELSE pg END AS p1
+        FROM l105a),
+    l105c AS (
+        SELECT *, CAST(V AS HUGEINT) * ({one} << (52 - p1)) AS n1 FROM l105b),
+    l105d AS (
+        SELECT *, n1 // 100 + (CASE WHEN 2 * (n1 % 100) > 100 THEN 1 ELSE 0 END) AS m1r FROM l105c),
+    l105e AS (
+        SELECT *, CASE WHEN m1r = ({one} << 53) THEN m1r // 2 ELSE m1r END AS m1,
+                  CASE WHEN m1r = ({one} << 53) THEN p1 + 1 ELSE p1 END AS p1b
+        FROM l105d),
+    l105f AS (
+        SELECT *, m1 * CAST({m1005} AS HUGEINT) AS mp FROM l105e),
+    l105g AS (
+        SELECT *, CASE WHEN mp >= ({one} << 105) THEN 53 ELSE 52 END AS s2 FROM l105f),
+    l105h AS (
+        SELECT *, mp >> s2 AS m2q, mp % ({one} << s2) AS r2,
+                  ({one} << s2) AS d2den
+        FROM l105g),
+    l105i AS (
+        SELECT *, m2q + (CASE WHEN 2 * r2 > d2den THEN 1
+                              WHEN 2 * r2 = d2den AND m2q % 2 = 1 THEN 1
+                              ELSE 0 END) AS m2r
+        FROM l105h),
+    l105j AS (
+        SELECT *, CASE WHEN m2r = ({one} << 53) THEN m2r // 2 ELSE m2r END AS m2,
+                  (p1b - 104) + s2 + (CASE WHEN m2r = ({one} << 53) THEN 1 ELSE 0 END) AS e2
+        FROM l105i),
+    l105k AS (
+        SELECT j, n3 // d3 + (CASE WHEN 2 * (n3 % d3) > d3 THEN 1
+                                   WHEN 2 * (n3 % d3) = d3 AND (n3 // d3) % 2 = 1 THEN 1
+                                   ELSE 0 END) AS cents
+        FROM (SELECT j, m2 * 100 AS n3, {one} << (-e2) AS d3 FROM l105j)),
+    lcents AS (
+        SELECT l.*,
+               CASE WHEN j % 3 = 0 THEN CAST(V AS HUGEINT)
+                    WHEN j % 3 = 2 THEN (54 * CAST(V AS HUGEINT) + 25) // 50
+                    WHEN V % 200 <> 100 THEN (201 * CAST(V AS HUGEINT) + 100) // 200
+                    ELSE (SELECT k.cents FROM l105k k WHERE k.j = l.j)
+               END AS amount_cents
+        FROM lamt l),
+    lvendor AS (
+        SELECT *, {bases}[(vk // 80) // 8 + 1] || {regions}[(vk // 80) % 8 + 1]
+                   || ' ' || {seconds}[(vk // 4) % 20 + 1] || ' ' || {suffixes}[vk % 4 + 1] AS v0
+        FROM lcents),
+    lreal AS (
+        SELECT j,
+               CASE vv WHEN 0 THEN v0 WHEN 1 THEN upper(v0) WHEN 2 THEN lower(v0)
+                       WHEN 3 THEN replace(v0, ' ', '  ') || '.'
+                       WHEN 4 THEN v0 || ' Pvt. Ltd.'
+                       ELSE replace(replace(v0, 'Corp', 'Corporation'), 'Inc', 'Incorporated')
+               END AS vendor_name,
+               CAST(amount_cents AS DOUBLE) / 100 AS expected_amount,
+               refno AS reference_number
+        FROM lvendor),
+    lphantom AS (
+        SELECT j, 'Phantom Holdings ' || j || ' GmbH' AS vendor_name,
+               CAST(5000 + ('0x' || substr(md5('phantom:' || CAST(j AS VARCHAR)), 1, 16))::UBIGINT % 9994900 AS DOUBLE) / 100 AS expected_amount,
+               'R-NOINV-' || j AS reference_number
+        FROM js WHERE j % 11 = 10),
+    ledger AS (
+        SELECT printf('R-%06d', CAST(j AS INT)) AS record_id, vendor_name,
+               expected_amount, reference_number
+        FROM (SELECT * FROM lreal UNION ALL SELECT * FROM lphantom))
+"""
+
+
+def _reconcile_block() -> str:
+    """CTE chain replaying operators/reconcile.py end to end (verified
+    row-exact over the full sf0.01 corpus): duplicate first-wins window,
+    the normalize_names replay, the blocked fuzzy join with the
+    Levenshtein length-gate + token-Dice score (identical IEEE op order,
+    so double comparisons agree bit-for-bit), the top-10 (vendor_score,
+    record_id) cut, percent/combined/confidence arithmetic, and the
+    GREEDY 1:1 ASSIGNMENT as a recursive CTE: one state row per block
+    advances url-rank by url-rank carrying the used-record set as a
+    delimited string; the pick is the lexicographic list_sort minimum
+    over (combined_score, vendor_score, record_id) of the not-yet-used
+    candidates — _greedy_assign's strict-< scan exactly. Expects
+    ``parsed`` (P1-P12 replay) and ``ledger``; exposes ``recon``."""
+    norm = lambda col: (  # noqa: E731
+        f"trim(regexp_replace(regexp_replace(regexp_replace(lower(coalesce({col}, '')), "
+        r"'\b(ltd|limited|inc|incorporated|llc|corp|corporation|co|company|pvt|private)\b\.?', '', 'g'), "
+        r"'[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g'))"
+    )
+
+    def pick(used_expr: str) -> str:
+        return (
+            "list_sort(list_filter("
+            "list_transform(vcands, c -> struct_pack(cs := c.cs, vs := c.vs, rid := c.rid)), "
+            f"c -> strpos({used_expr}, '|' || c.rid || '|') = 0))"
+        )
+
+    return f"""
+    dupf AS (
+        SELECT url, invoice_number, vendor_name, total_amount,
+               row_number() OVER (
+                   PARTITION BY lower(trim(coalesce(invoice_number, '')))
+                   ORDER BY url) AS rn,
+               length(lower(trim(coalesce(invoice_number, '')))) AS keylen
+        FROM parsed),
+    dups AS (SELECT * FROM dupf WHERE keylen > 0 AND rn > 1),
+    live AS (SELECT * FROM dupf WHERE NOT (keylen > 0 AND rn > 1)),
+    inv AS (
+        SELECT url, vendor_name,
+               n AS inv_norm,
+               CASE WHEN split_part(n, ' ', 1) <> '' THEN split_part(n, ' ', 1)
+                    ELSE substr(n, 1, 4) END AS block_key,
+               list_distinct(string_split(n, ' ')) AS inv_toks,
+               CAST(length(n) AS INT) AS inv_len,
+               coalesce(total_amount, 0.0) AS inv_amount
+        FROM (SELECT *, {norm('vendor_name')} AS n FROM live)),
+    led AS (
+        SELECT record_id,
+               n AS rec_norm,
+               CASE WHEN split_part(n, ' ', 1) <> '' THEN split_part(n, ' ', 1)
+                    ELSE substr(n, 1, 4) END AS block_key,
+               list_distinct(string_split(n, ' ')) AS rec_toks,
+               CAST(length(n) AS INT) AS rec_len,
+               coalesce(expected_amount, 0.0) AS rec_amount
+        FROM (SELECT *, {norm('vendor_name')} AS n FROM ledger)),
+    pairs0 AS (
+        SELECT i.url, i.block_key, i.inv_amount, l.record_id, l.rec_amount,
+               1.0 - greatest(
+                   CASE WHEN abs(i.inv_len - l.rec_len) <= 0.4 * greatest(i.inv_len, l.rec_len, 1)
+                        THEN 1.0 - CAST(levenshtein(i.inv_norm, l.rec_norm) AS DOUBLE)
+                                   / greatest(i.inv_len, l.rec_len, 1)
+                        ELSE 0.0 END,
+                   CASE WHEN len(i.inv_toks) + len(l.rec_toks) > 0
+                        THEN 2.0 * len(list_filter(i.inv_toks, t -> list_contains(l.rec_toks, t)))
+                             / (len(i.inv_toks) + len(l.rec_toks))
+                        ELSE 0.0 END) AS vendor_score
+        FROM inv i JOIN led l ON i.block_key = l.block_key),
+    pairs1 AS (
+        SELECT * FROM pairs0 WHERE vendor_score <= 0.4
+        QUALIFY row_number() OVER (PARTITION BY url ORDER BY vendor_score, record_id) <= 10),
+    pairsx AS (
+        SELECT *,
+               CASE WHEN bigger = 0 THEN 0.0 ELSE diff END AS discrepancy,
+               CASE WHEN bigger = 0 THEN TRUE ELSE diff / bigger <= 0.01 END AS amount_match,
+               coalesce(CAST(round(diff / bigger * 100) AS INT), 0) AS percent_diff
+        FROM (SELECT *, abs(inv_amount - rec_amount) AS diff,
+                     greatest(inv_amount, rec_amount) AS bigger
+              FROM pairs1)),
+    confp AS (
+        SELECT *, CAST(round((1 - combined_score) * 100) AS INT) AS confidence
+        FROM (SELECT *,
+                     vendor_score * 0.6 + (percent_diff / 100.0) * 0.4 AS combined_score
+              FROM pairsx)),
+    urlcands AS (
+        SELECT block_key, url, any_value(inv_amount) AS inv_amount,
+               list_sort(list(struct_pack(
+                   vs := vendor_score, rid := record_id, cs := combined_score,
+                   am := amount_match, disc := discrepancy, conf := confidence))) AS vcands
+        FROM confp GROUP BY block_key, url),
+    uranked AS (
+        SELECT *, CAST(row_number() OVER (PARTITION BY block_key ORDER BY url) AS INT) AS urank
+        FROM urlcands),
+    greedy AS (
+        SELECT block_key, urank, url, inv_amount, vcands,
+               {pick("''")} AS picks,
+               '' AS used
+        FROM uranked WHERE urank = 1
+        UNION ALL
+        SELECT u.block_key, u.urank, u.url, u.inv_amount, u.vcands,
+               (SELECT list_sort(list_filter(
+                    list_transform(u.vcands, c -> struct_pack(cs := c.cs, vs := c.vs, rid := c.rid)),
+                    c -> strpos(g.used || CASE WHEN len(g.picks) = 0 THEN ''
+                               ELSE '|' || g.picks[1].rid || '|' END,
+                               '|' || c.rid || '|') = 0))) AS picks,
+               g.used || CASE WHEN len(g.picks) = 0 THEN ''
+                              ELSE '|' || g.picks[1].rid || '|' END AS used
+        FROM greedy g
+        JOIN uranked u ON u.block_key = g.block_key AND u.urank = g.urank + 1),
+    assigned AS (
+        SELECT g.url AS invoice_url,
+               CASE WHEN len(g.picks) = 0 THEN NULL ELSE g.picks[1].rid END AS record_id,
+               CASE WHEN len(g.picks) = 0 THEN 'missing'
+                    WHEN b.am AND b.vs < 0.3 THEN 'matched'
+                    ELSE 'mismatch' END AS match_status,
+               CASE WHEN len(g.picks) = 0 THEN g.inv_amount ELSE b.disc END AS discrepancy,
+               CASE WHEN len(g.picks) = 0 THEN 0
+                    WHEN b.am AND b.vs < 0.3 THEN greatest(b.conf, 70)
+                    ELSE b.conf END AS confidence_score
+        FROM greedy g
+        LEFT JOIN LATERAL (
+            SELECT c.am AS am, c.vs AS vs, c.disc AS disc, c.conf AS conf
+            FROM (SELECT unnest(g.vcands) AS c)
+            WHERE len(g.picks) > 0 AND c.rid = g.picks[1].rid) b ON TRUE),
+    no_cand AS (
+        SELECT l.url AS invoice_url, NULL AS record_id, 'missing' AS match_status,
+               coalesce(l.total_amount, 0.0) AS discrepancy, 0 AS confidence_score
+        FROM live l WHERE l.url NOT IN (SELECT url FROM urlcands)),
+    dup_rows AS (
+        SELECT url AS invoice_url, NULL AS record_id, 'duplicate' AS match_status,
+               0.0 AS discrepancy, 100 AS confidence_score
+        FROM dups),
+    recon AS (
+        SELECT invoice_url, CAST(record_id AS VARCHAR) AS record_id, match_status,
+               round(discrepancy, 4) AS discrepancy,
+               CAST(confidence_score AS INT) AS confidence_score
+        FROM (SELECT * FROM assigned UNION ALL SELECT * FROM no_cand
+              UNION ALL SELECT * FROM dup_rows))
+"""
+
+
 def _pagerank_oracle(n_iter: int = 3) -> str:
     """Unroll operators/graph.py:pagerank as CTEs: same edge synthesis,
     same 1e-12 contribution / 1e-9 rank grids, same exact dangling fold.
@@ -8266,6 +8563,16 @@ def oracle_sql() -> dict[str, str]:
             "WITH " + _extracted_pages_block() + ","
             + _parse_cascade_block()
             + "SELECT * FROM parsed"
+        ),
+        # FULL E2 reconcile oracle (round 4): predicted extraction -> parse
+        # replay -> ledger replay (_ledger_block) -> blocked fuzzy join +
+        # scoring -> GREEDY 1:1 as a recursive CTE (_reconcile_block)
+        "reconcile": (
+            "WITH RECURSIVE " + _extracted_pages_block() + ","
+            + _parse_cascade_block() + ","
+            + _ledger_block() + ","
+            + _reconcile_block()
+            + "SELECT * FROM recon"
         ),
         "stats_overview": """
             SELECT count(*) AS n_orders,
