@@ -138,7 +138,9 @@ def q_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_reconcile_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A3 summary counters; rows-only."""
+    """A3 summary counters. Fully oracled (round 4): conditional counts
+    over the recon replay + the exact-cent invoiced/expected sums + the
+    unmatched-ledger count — rides _reconcile_block."""
     from invoice_ocr_reconciler_spark.pipeline import run_pipeline
 
     pages, ledger = _pages_and_ledger(spark, sf_dir)
@@ -8573,6 +8575,37 @@ def oracle_sql() -> dict[str, str]:
             + _ledger_block() + ","
             + _reconcile_block()
             + "SELECT * FROM recon"
+        ),
+        # A3 summary over the same full replay: conditional counts from
+        # recon + the invoiced/expected sums (exact-cent doubles, so the
+        # order-dependent sum error ~1e-10 is far inside the 2-decimal
+        # rounding threshold on both engines) + the unmatched-ledger count
+        "reconcile_summary": (
+            "WITH RECURSIVE " + _extracted_pages_block() + ","
+            + _parse_cascade_block() + ","
+            + _ledger_block() + ","
+            + _reconcile_block()
+            + """
+            SELECT
+                (SELECT CAST(count(*) AS BIGINT) FROM recon) AS total_invoices,
+                (SELECT CAST(count(*) AS BIGINT) FROM recon
+                 WHERE match_status = 'matched') AS matched,
+                (SELECT CAST(count(*) AS BIGINT) FROM recon
+                 WHERE match_status = 'mismatch') AS mismatched,
+                (SELECT CAST(count(*) AS BIGINT) FROM recon
+                 WHERE match_status = 'missing') AS missing_invoices,
+                (SELECT CAST(count(*) AS BIGINT) FROM recon
+                 WHERE match_status = 'duplicate') AS duplicate,
+                (SELECT coalesce(round(sum(coalesce(total_amount, 0.0)), 2), 0.0)
+                 FROM parsed) AS total_amount_invoiced,
+                (SELECT CAST(count(*) AS BIGINT) FROM ledger) AS total_records,
+                (SELECT coalesce(round(sum(coalesce(expected_amount, 0.0)), 2), 0.0)
+                 FROM ledger) AS total_amount_expected,
+                (SELECT CAST(count(*) AS BIGINT) FROM ledger l
+                 WHERE l.record_id NOT IN
+                     (SELECT record_id FROM recon
+                      WHERE record_id IS NOT NULL)) AS missing_records
+            """
         ),
         "stats_overview": """
             SELECT count(*) AS n_orders,
