@@ -2756,10 +2756,12 @@ def q_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end corpus build (operators/build.py:build_corpus): URL
     canonicalize + re-crawl collapse -> extraction -> NFC hygiene ->
     curation (exact dedup, quality/lang cut, MinHash near-dup) ->
-    deterministic shuffle shards + health report. Rows-only (the MinHash
-    stage is sketch-semantics); stage-counter reconciliation, blocklist/
-    collapse behavior, and cross-parallelism determinism are pinned by
-    tests/test_build.py."""
+    deterministic shuffle shards + health report. Fully oracled
+    (round 4): predicted extraction + an exact XXH64(url) replay
+    (_xxhash64_block) for the doc ids and shard ranks + the curation
+    chain with the bit-exact MinHash near-dup stage + the md5
+    shuffle-shard layout; stage-counter reconciliation and
+    cross-parallelism determinism stay pinned by tests/test_build.py."""
     from invoice_ocr_reconciler_spark import datagen
     from invoice_ocr_reconciler_spark.operators.build import build_corpus
 
@@ -7810,6 +7812,124 @@ def _parse_cascade_block() -> str:
     )
 
 
+def _xxhash64_block() -> str:
+    """CTE chain replaying Spark's xxhash64 (XXH64, seed 42) over ASCII
+    strings of 33..64 bytes — the datagen url range — verified bit-exact
+    against F.xxhash64 on the full url set. One 32-byte stripe (4 lanes,
+    rotl31(acc + v*P2)*P1), the rotl1/7/12/18 fold + per-lane merge, then
+    the unrolled tail: up to three 8-byte laps, one optional 4-byte chunk,
+    up to seven single bytes, and the final avalanche. Every 64x64 multiply
+    splits the CONSTANT into 32-bit halves so the HUGEINT intermediate
+    stays under 2^127. Unlocks doc_id = xxhash64(url) (and everything
+    derived from it: shuffle-shard ranks) for closed-form oracles.
+    Expects CTE ``urls``(doc_id, s); exposes ``xxh``(doc_id, s, x)."""
+    P1 = 0x9E3779B185EBCA87
+    P2 = 0xC2B2AE3D27D4EB4F
+    P3 = 0x165667B19E3779F9
+    P4 = 0x85EBCA77C2B2AE63
+    P5 = 0x27D4EB2F165667C5
+    M64 = 1 << 64
+
+    def mulc(a: str, c: int) -> str:
+        hi, lo = c >> 32, c & 0xFFFFFFFF
+        return (
+            f"(((CAST({a} AS HUGEINT) * {lo}) + "
+            f"(((CAST({a} AS HUGEINT) * {hi}) % 4294967296) << 32)) "
+            f"% 18446744073709551616)"
+        )
+
+    def add(a: str, b) -> str:
+        return f"((CAST({a} AS HUGEINT) + CAST({b} AS HUGEINT)) % 18446744073709551616)"
+
+    def rotl(x: str, r: int) -> str:
+        return (
+            f"((((CAST({x} AS HUGEINT) << {r}) % 18446744073709551616) "
+            f"| (CAST({x} AS HUGEINT) >> {64 - r})))"
+        )
+
+    def xor(a: str, b: str) -> str:
+        return f"xor(CAST({a} AS UBIGINT), CAST({b} AS UBIGINT))"
+
+    def read8(pos: str) -> str:
+        return "(" + " + ".join(
+            f"(CAST(ascii(substr(s, {pos} + {k}, 1)) AS HUGEINT) << {8 * k})"
+            for k in range(8)
+        ) + ")"
+
+    def read4(pos: str) -> str:
+        return "(" + " + ".join(
+            f"(CAST(ascii(substr(s, {pos} + {k}, 1)) AS HUGEINT) << {8 * k})"
+            for k in range(4)
+        ) + ")"
+
+    seeds = [(42 + P1 + P2) % M64, (42 + P2) % M64, 42, (42 - P1) % M64]
+    steps = ["uxx0 AS (SELECT doc_id, s, length(s) AS ln FROM urls)"]
+    for j in range(4):
+        t1 = add(str(seeds[j]), mulc(read8(str(1 + 8 * j)), P2))
+        t3 = mulc("(" + rotl("(" + t1 + ")", 31) + ")", P1)
+        prev = "uxx0" if j == 0 else f"uxa{j - 1}"
+        steps.append(
+            f"uxa{j} AS (SELECT *, CAST({t3} AS HUGEINT) AS acc{j} FROM {prev})"
+        )
+    h = (
+        f"(({rotl('acc0', 1)} + {rotl('acc1', 7)} + {rotl('acc2', 12)} + "
+        f"{rotl('acc3', 18)}) % 18446744073709551616)"
+    )
+    steps.append(f"uxh0 AS (SELECT *, CAST({h} AS HUGEINT) AS h FROM uxa3)")
+    for j in range(4):
+        k1 = mulc("(" + rotl("(" + mulc(f"acc{j}", P2) + ")", 31) + ")", P1)
+        hm = add(mulc("(" + xor("h", "(" + k1 + ")") + ")", P1), str(P4))
+        steps.append(
+            f"uxh{j + 1} AS (SELECT * EXCLUDE (h), CAST({hm} AS HUGEINT) AS h FROM uxh{j})"
+        )
+    steps.append(
+        f"uxl AS (SELECT * EXCLUDE (h), CAST({add('h', 'ln')} AS HUGEINT) AS h FROM uxh4)"
+    )
+    cur = "uxl"
+    for lap in range(3):
+        v = read8(f"(33 + {8 * lap})")
+        k1 = mulc("(" + rotl("(" + mulc("(" + v + ")", P2) + ")", 31) + ")", P1)
+        hn = add(
+            mulc("(" + rotl("(" + xor("h", "(" + k1 + ")") + ")", 27) + ")", P1),
+            str(P4),
+        )
+        steps.append(
+            f"uxt{lap} AS (SELECT * EXCLUDE (h), CAST(CASE WHEN ln - 32 >= {8 * (lap + 1)} "
+            f"THEN {hn} ELSE h END AS HUGEINT) AS h FROM {cur})"
+        )
+        cur = f"uxt{lap}"
+    v4 = read4("(33 + ((ln - 32) // 8) * 8)")
+    h4 = add(
+        mulc("(" + rotl("(" + xor("h", "(" + mulc("(" + v4 + ")", P1) + ")") + ")", 23) + ")", P2),
+        str(P3),
+    )
+    steps.append(
+        f"uxf AS (SELECT * EXCLUDE (h), CAST(CASE WHEN ((ln - 32) % 8) >= 4 "
+        f"THEN {h4} ELSE h END AS HUGEINT) AS h, "
+        f"(33 + ((ln - 32) // 8) * 8 + (CASE WHEN ((ln - 32) % 8) >= 4 THEN 4 ELSE 0 END)) AS bpos "
+        f"FROM {cur})"
+    )
+    cur = "uxf"
+    for b in range(7):
+        bb = f"CAST(ascii(substr(s, bpos + {b}, 1)) AS HUGEINT)"
+        hb = mulc("(" + rotl("(" + xor("h", "(" + mulc(bb, P5) + ")") + ")", 11) + ")", P1)
+        steps.append(
+            f"uxb{b} AS (SELECT * EXCLUDE (h), CAST(CASE WHEN ln - (bpos + {b}) + 1 > 0 "
+            f"THEN {hb} ELSE h END AS HUGEINT) AS h FROM {cur})"
+        )
+        cur = f"uxb{b}"
+    a1 = mulc("(" + xor("h", "CAST(h AS HUGEINT) >> 33") + ")", P2)
+    steps.append(f"uav1 AS (SELECT * EXCLUDE (h), CAST({a1} AS HUGEINT) AS h FROM {cur})")
+    a2 = mulc("(" + xor("h", "CAST(h AS HUGEINT) >> 29") + ")", P3)
+    steps.append(f"uav2 AS (SELECT * EXCLUDE (h), CAST({a2} AS HUGEINT) AS h FROM uav1)")
+    a3 = xor("h", "CAST(h AS HUGEINT) >> 32")
+    steps.append(
+        f"xxh AS (SELECT doc_id, s, CAST(CASE WHEN CAST({a3} AS HUGEINT) >= 9223372036854775808 "
+        f"THEN CAST({a3} AS HUGEINT) - 18446744073709551616 ELSE CAST({a3} AS HUGEINT) END AS BIGINT) AS x FROM uav2)"
+    )
+    return ",\n".join(steps)
+
+
 def _dbl_mantissa(x: float) -> int:
     """53-bit mantissa m of the double x = m * 2^(e-53) — embedded as an
     exact integer literal so DuckDB can replay IEEE double PRODUCTS in
@@ -9029,6 +9149,71 @@ def oracle_sql() -> dict[str, str]:
         # curation_filter annotate/filter chain feeds a _minhash_block
         # replay over the stage-1..3 survivors; the approx drop rule
         # (doc_b of any >=0.7 pair) and the audit counters follow
+        # FULL end-to-end corpus build (round 4): predicted extraction ->
+        # xxhash64(url) doc ids (_xxhash64_block) -> the curation chain
+        # (all-langs/min_quality=0 run: filter stage is a proven no-op) ->
+        # bit-exact MinHash near-dup drop -> md5 shuffle-shard layout
+        "corpus_build": f"""
+            WITH urls AS (
+                SELECT doc_id, url AS s, extracted_text
+                FROM (WITH {_extracted_pages_block()}
+                      SELECT doc_id, url, extracted_text FROM withurl) t),
+            {_xxhash64_block()},
+            cbdocs AS (
+                SELECT x.x AS doc_id, u.s AS url, u.extracted_text AS text
+                FROM xxh x JOIN urls u ON u.doc_id = x.doc_id),
+            cbf AS (
+                SELECT doc_id, {_FP_SQL} AS fingerprint, text,
+                       CAST(length(coalesce(text, '')) AS INT) AS n_chars,
+                       len(regexp_extract_all(coalesce(text, ''), '[^\\w\\s]')) AS n_punct,
+                       CASE WHEN length(trim(coalesce(text, ''))) = 0 THEN 0
+                            ELSE len(regexp_split_to_array(trim(coalesce(text, '')), '\\s+'))
+                       END AS n_tokens,
+                       len(regexp_extract_all(lower(coalesce(text, '')), '{_STOP_EN}')) AS n_stop,
+                       {hits['en']} AS h_en, {hits['fr']} AS h_fr,
+                       {hits['es']} AS h_es, {hits['de']} AS h_de
+                FROM cbdocs),
+            cba AS (
+                SELECT doc_id, fingerprint, text, n_tokens,
+                       CAST(row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) AS INT) AS dup_rank,
+                       floor((least(n_chars / 500.0, 1.0) * 0.4
+                              + (1.0 - CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0 END) * 0.3
+                              + least(CASE WHEN n_tokens > 0 THEN n_stop / n_tokens ELSE 0 END * 5.0, 1.0) * 0.3)
+                             * 10000.0 + 0.5) / 10000.0 AS quality_score,
+                       CASE WHEN h_de > greatest(h_en, h_fr, h_es) THEN 'de'
+                            WHEN h_es > greatest(h_en, h_fr) THEN 'es'
+                            WHEN h_fr > h_en THEN 'fr'
+                            WHEN h_en > 0 THEN 'en'
+                            ELSE 'unknown'
+                       END AS lang_pred
+                FROM cbf),
+            surv AS (
+                SELECT doc_id, text, n_tokens, quality_score, lang_pred
+                FROM cba WHERE dup_rank = 1 AND quality_score >= 0.0
+                  AND lang_pred IN ('en', 'fr', 'es', 'de', 'unknown')),
+            {_minhash_block(src="surv")},
+            cbnd AS (SELECT DISTINCT doc_b AS doc_id FROM mh_pairs
+                     WHERE est_jaccard >= 0.7),
+            cbcur AS (SELECT s.* FROM surv s
+                      LEFT JOIN cbnd ON cbnd.doc_id = s.doc_id
+                      WHERE cbnd.doc_id IS NULL),
+            cbsh AS (
+                SELECT c.doc_id, c.quality_score, c.lang_pred, c.n_tokens,
+                       md5('shuffle:' || CAST(c.doc_id AS VARCHAR)) AS srank
+                FROM cbcur c),
+            cbshp AS (
+                SELECT *, CAST(('0x' || substr(srank, 1, 8))::UBIGINT % 8 AS INT) AS shard
+                FROM cbsh),
+            cbfinal AS (
+                SELECT doc_id, shard,
+                       CAST(row_number() OVER (PARTITION BY shard ORDER BY srank, doc_id) AS INT) AS pos,
+                       quality_score, lang_pred, n_tokens
+                FROM cbshp)
+            SELECT f.doc_id, u2.s AS url, f.lang_pred, f.quality_score,
+                   CAST(f.n_tokens AS INT) AS n_tokens, f.shard, f.pos
+            FROM cbfinal f JOIN cbdocs c2 ON c2.doc_id = f.doc_id
+            JOIN urls u2 ON u2.s = c2.url
+        """,
         "curation_pipeline": f"""
             WITH f AS (
                 SELECT doc_id, {_FP_SQL} AS fingerprint,
