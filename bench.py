@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import sys
 import time
 
@@ -353,7 +354,11 @@ def main() -> None:
     try:
         import glob
 
-        path = sorted(glob.glob("dist/scaling_exec_r*.txt"))[-1]
+        # numeric round sort: lexicographic puts 'r10' before 'r2'
+        path = max(
+            glob.glob("dist/scaling_exec_r*.txt"),
+            key=lambda p: int(re.search(r"_r(\d+)", p).group(1)),
+        )
         with open(path, encoding="utf-8") as fh:
             for line in fh:
                 if line.startswith("{"):
@@ -400,7 +405,15 @@ def main() -> None:
         import glob as _glob
 
         rehearsal_exec = {}
-        for path in sorted(_glob.glob("dist/rehearsal_exec_r*_e*.jsonl")):
+        # sort by (round, executors) numerically so the NEWEST round's
+        # entry wins per executor count (lexicographic 'r10'<'r2' would
+        # let a stale round overwrite it)
+        for path in sorted(
+            _glob.glob("dist/rehearsal_exec_r*_e*.jsonl"),
+            key=lambda p: tuple(
+                int(x) for x in re.search(r"_r(\d+)_e(\d+)", p).groups()
+            ),
+        ):
             with open(path, encoding="utf-8") as fh:
                 last = [ln for ln in fh if ln.startswith("{")][-1]
             s = json.loads(last)

@@ -308,6 +308,7 @@ def build_corpus_resumable(
 
     from invoice_ocr_reconciler_spark.streaming.resume import (
         CheckpointManifest,
+        _discover_buckets,
         run_resumable,
     )
 
@@ -325,9 +326,28 @@ def build_corpus_resumable(
             fail_after=fail_after,
         )
     if phase in ("finish", "all"):
-        cleaned = spark.read.parquet(cleaned_path).persist(
-            StorageLevel.MEMORY_AND_DISK
-        )
+        # The finish phase is only well-defined over a COMPLETE extract
+        # phase: after a mid-run kill, cleaned_path holds committed bucket
+        # dirs plus possibly a partially-written one (data files flushed
+        # before SIGKILL, no manifest entry). Silently reading the
+        # directory would omit un-extracted buckets and/or include the
+        # partial bucket — a wrong corpus with no error. Gate on the
+        # manifest (the commit log is the source of truth, not the
+        # filesystem listing) and read exactly the committed bucket dirs.
+        expected = set(_discover_buckets(pages_path))
+        committed = CheckpointManifest(manifest_dir).completed_buckets()
+        missing = sorted(expected - committed)
+        if missing:
+            raise RuntimeError(
+                "build_corpus_resumable(phase='finish'): extract phase is "
+                f"incomplete — {len(missing)}/{len(expected)} url buckets "
+                f"have no manifest commit: {missing[:16]}"
+                f"{'...' if len(missing) > 16 else ''}. "
+                "Rerun phase='extract' (resumes from the manifest) first."
+            )
+        cleaned = spark.read.parquet(
+            *[f"{cleaned_path}/url_bucket={b}" for b in sorted(committed)]
+        ).persist(StorageLevel.MEMORY_AND_DISK)
         n_after_block = cleaned.count()
         n_pages_in = spark.read.parquet(pages_path).count()
         out.update(

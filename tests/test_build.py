@@ -139,3 +139,42 @@ def test_resumable_build_kill_resume_matches_one_shot(spark, tmp_path):
     exp = sorted(tuple(r) for r in ref["docs"].collect())
     assert got == exp
     assert r2["stats"].collect()[0] == ref["stats"].collect()[0]
+
+
+def test_resumable_finish_refuses_incomplete_extract(spark, tmp_path):
+    """phase='finish' on a partially-extracted corpus must raise naming the
+    uncommitted buckets — NOT silently build a corpus from whatever bucket
+    dirs happen to exist (a mid-kill can leave a data-complete dir with no
+    manifest commit, or omit buckets entirely)."""
+    import pytest as _pytest
+
+    from invoice_ocr_reconciler_spark.operators.build import (
+        build_corpus_resumable,
+    )
+    from invoice_ocr_reconciler_spark.sources.pages import write_pages_bucketed
+
+    pages = datagen.pages_df(spark, 120)
+    path = str(tmp_path / "pages")
+    write_pages_bucketed(pages, path, n_buckets=8)
+    out_root = str(tmp_path / "out")
+
+    r1 = build_corpus_resumable(
+        spark, path, out_root, min_quality=0.0, n_shards=8,
+        fail_after=3, phase="extract",
+    )
+    committed = set(r1["run"]["processed"])
+    # simulate the worst case: a bucket dir fully written but never
+    # committed (SIGKILL between parquet write and manifest record)
+    import shutil
+
+    orphan = min(set(range(8)) - committed)
+    shutil.copytree(
+        f"{out_root}/cleaned/url_bucket={min(committed)}",
+        f"{out_root}/cleaned/url_bucket={orphan}",
+        dirs_exist_ok=True,
+    )
+    with _pytest.raises(RuntimeError, match="incomplete.*manifest"):
+        build_corpus_resumable(
+            spark, path, out_root, min_quality=0.0, n_shards=8,
+            phase="finish",
+        )

@@ -81,8 +81,17 @@ def main() -> None:
         _job("extract"), stdout=subprocess.DEVNULL,
         stderr=subprocess.DEVNULL, start_new_session=True,
     )
-    time.sleep(args.kill_after)
-    os.killpg(os.getpgid(child.pid), signal.SIGKILL)
+    # poll during the wait so a leg that FINISHES before kill-after doesn't
+    # crash killpg with ProcessLookupError — fall through to the
+    # "kill landed after completion" assertion below instead
+    deadline = time.monotonic() + args.kill_after
+    while time.monotonic() < deadline and child.poll() is None:
+        time.sleep(1.0)
+    if child.poll() is None:
+        try:
+            os.killpg(os.getpgid(child.pid), signal.SIGKILL)
+        except ProcessLookupError:
+            pass  # exited between poll and killpg
     child.wait()
     legA_wall = round(time.monotonic() - t0, 1)
     after_kill = _manifest_state(OUT_ROOT)
