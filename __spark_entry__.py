@@ -8652,6 +8652,159 @@ def _mixture_oracle(weights: dict, budget: int, max_epochs: float = 4.0) -> str:
     """
 
 
+def _semantic_dedup_oracle() -> str:
+    """semantic_dedup value oracle (round 5): everything DOWNSTREAM of the
+    k-means fit replayed in SQL, with the fitted centroids fed to DuckDB
+    as a VALUES table (the verdict's centroids-as-table path).
+
+    The centroids come from fit_ivf_centroids_local — a bit-exact local
+    twin of the Spark fit (same xxhash64 keep-filter + (hash, id) top-K
+    sample, same Lloyd loop via the shared _kmeans_spherical; parity
+    pinned by tests/test_semantic_dedup.py) — so no SparkSession is
+    needed at oracle-generation time. Everything after the fit is an
+    INDEPENDENT SQL replay of operators/similarity.py:semantic_dedup:
+
+      - assignment = argmax over (v/max(||v||,1e-12)) . c, ties to the
+        lowest centroid_id (numpy argsort-stable in ivf_assign);
+      - cent_sim = round-6 cosine with double-cast squares (cosine_sim's
+        op order) and the zero-denominator -> 0.0 contract;
+      - the pair stage's unit vectors use FLOAT32 squares in the norm
+        (Spark's `acc + x * x` multiplies float elements BEFORE widening;
+        DuckDB FLOAT*FLOAT is float32 too — CAST(x*x AS DOUBLE) replays
+        the op order exactly), zero-norm vectors ride through unscaled;
+      - clusters outside 2..cluster_cap members generate no pairs
+        (capped_member_groups), pairs are id-ordered (array_sort);
+      - edge threshold round(dot, 6) >= repr(1.0 - eps), the exact
+        Python double Spark compares to (for eps where 1.0 - eps does
+        not round to a clean decimal, re-typing the 'obvious' constant
+        would shift the boundary by an ulp);
+      - exact connected components as a recursive label-propagation
+        closure, component = min reachable id, singletons = own id;
+      - survivor = row_number over (component, cent_sim ASC, id ASC).
+
+    The fit depends on the DATA, so the SQL is generated for the sf dir
+    in $SPARK_GRAFT_ORACLE_SF_DIR (default /root/testdata/sf0.01 — the
+    driver's correctness gate scale; tools/check_oracles.py exports it
+    for other dirs). Returns '' when the parquet is unavailable (the
+    entry then stays rows-only instead of crashing oracle_sql())."""
+    import os as _os
+
+    try:
+        import numpy as np
+        import pyarrow.parquet as _pq
+
+        from invoice_ocr_reconciler_spark.operators.similarity import (
+            fit_ivf_centroids_local,
+            semdedup_n_centroids,
+        )
+
+        sf_dir = _os.environ.get(
+            "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+        )
+        tbl = _pq.read_table(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        ).to_pandas()
+        if len(tbl) == 0:
+            return ""
+        ids = tbl["vec_id"].to_numpy()
+        vecs = np.stack(
+            [np.asarray(v, dtype=np.float64) for v in tbl["embedding"]]
+        )
+        k = semdedup_n_centroids(len(ids))
+        cent = fit_ivf_centroids_local(
+            ids, vecs, n_centroids=k, sample_cap=max(4096, 4 * k)
+        )
+    except Exception:
+        return ""
+    if cent.size == 0:
+        return ""
+    dim = cent.shape[1]
+    eps = 0.65  # q_semantic_dedup's demo threshold
+    thr = repr(1.0 - eps)  # the Python-double constant Spark compares to
+    cluster_cap = 4096
+    rows = ",\n              ".join(
+        "(CAST(%d AS INT), CAST([%s] AS DOUBLE[]))"
+        % (i, ", ".join(repr(float(x)) for x in cent[i]))
+        for i in range(len(cent))
+    )
+    rng = f"range(1, {dim + 1})"
+    return f"""
+        WITH RECURSIVE
+        cent(centroid_id, cvec) AS (VALUES
+              {rows}),
+        emb AS (
+            SELECT vec_id, embedding AS vf,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd
+            FROM embeddings),
+        nrm AS (
+            SELECT vec_id, vf, vd,
+                   sqrt(list_sum(list_transform(vd, x -> x * x))) AS nd,
+                   sqrt(list_sum(list_transform(vf,
+                       x -> CAST(x * x AS DOUBLE)))) AS nf
+            FROM emb),
+        asg AS (
+            SELECT vec_id, centroid_id FROM (
+                SELECT n.vec_id, c.centroid_id,
+                       row_number() OVER (PARTITION BY n.vec_id
+                           ORDER BY list_sum(list_transform({rng},
+                               i -> (n.vd[i] / greatest(n.nd, 1e-12))
+                                    * c.cvec[i])) DESC,
+                               c.centroid_id) AS rn
+                FROM nrm n CROSS JOIN cent c)
+            WHERE rn = 1),
+        scored AS (
+            SELECT n.vec_id, a.centroid_id,
+                   CASE WHEN n.nd * sqrt(list_sum(list_transform(c.cvec,
+                                 x -> x * x))) = 0
+                        THEN 0.0
+                        ELSE round(
+                            list_sum(list_transform({rng},
+                                i -> n.vd[i] * c.cvec[i]))
+                            / (n.nd * sqrt(list_sum(list_transform(c.cvec,
+                                   x -> x * x)))), 6)
+                   END AS cent_sim
+            FROM nrm n
+            JOIN asg a USING (vec_id)
+            JOIN cent c USING (centroid_id)),
+        unitv AS (
+            SELECT a.centroid_id, n.vec_id,
+                   CASE WHEN n.nf > 0
+                        THEN list_transform(n.vd, x -> x / n.nf)
+                        ELSE n.vd END AS uv
+            FROM nrm n JOIN asg a USING (vec_id)),
+        grp AS (
+            SELECT centroid_id, count(*) AS grp_n
+            FROM unitv GROUP BY centroid_id),
+        edges AS (
+            SELECT x.vec_id AS pa, y.vec_id AS pb
+            FROM unitv x
+            JOIN unitv y ON x.centroid_id = y.centroid_id
+                        AND x.vec_id < y.vec_id
+            JOIN grp g ON g.centroid_id = x.centroid_id
+                      AND g.grp_n BETWEEN 2 AND {cluster_cap}
+            WHERE round(list_sum(list_transform({rng},
+                      i -> x.uv[i] * y.uv[i])), 6) >= CAST({thr} AS DOUBLE)),
+        esym AS (
+            SELECT pa AS src, pb AS dst FROM edges
+            UNION ALL
+            SELECT pb AS src, pa AS dst FROM edges),
+        reach AS (
+            SELECT DISTINCT src AS node, src AS lbl FROM esym
+            UNION
+            SELECT e.dst AS node, r.lbl
+            FROM reach r JOIN esym e ON e.src = r.node),
+        comp AS (
+            SELECT node AS vec_id, min(lbl) AS component
+            FROM reach GROUP BY node)
+        SELECT s.vec_id, s.centroid_id, s.cent_sim,
+               coalesce(c.component, s.vec_id) AS component,
+               (row_number() OVER (
+                    PARTITION BY coalesce(c.component, s.vec_id)
+                    ORDER BY s.cent_sim ASC, s.vec_id ASC)) = 1 AS is_kept
+        FROM scored s LEFT JOIN comp c USING (vec_id)
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     # the register/binary-file oracles read generated fixtures; write them
     # here too so the oracle works regardless of which side runs first
@@ -17083,6 +17236,12 @@ def oracle_sql() -> dict[str, str]:
                CAST(length(content) AS BIGINT) AS n_chars
         FROM ex ORDER BY url, sec_idx
     """
+    # round 5: semantic_dedup leaves rows-only ONLY if the sf dir's
+    # embeddings are unreadable at generation time (the fit is
+    # data-dependent — see _semantic_dedup_oracle)
+    _sd = _semantic_dedup_oracle()
+    if _sd:
+        d["semantic_dedup"] = _sd
     return d
 
 

@@ -562,6 +562,13 @@ def fit_ivf_centroids(
     mat = deterministic_sample_matrix(vectors, sample_cap, id_col, vec_col)
     if mat.size == 0:
         return np.zeros((0, 0), dtype=np.float64)
+    return _kmeans_spherical(mat, n_centroids, n_iter)
+
+
+def _kmeans_spherical(mat: np.ndarray, n_centroids: int, n_iter: int) -> np.ndarray:
+    """The Lloyd loop shared by the Spark fit and the local oracle-side
+    replay (fit_ivf_centroids_local) — ONE definition so both produce
+    bit-identical centroids from the same sample matrix."""
     mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
     k = min(n_centroids, len(mat))
     cent = mat[:k].copy()
@@ -574,6 +581,66 @@ def fit_ivf_centroids(
                 m = members.sum(axis=0)
                 cent[c] = m / max(np.linalg.norm(m), 1e-12)
     return cent
+
+
+def xxhash64_long(value: int, seed: int = 42) -> int:
+    """Pure-Python replay of Spark's ``xxhash64`` over ONE LongType column
+    (XXH64 of the 8-byte value, Spark's default seed 42) — the hash behind
+    deterministic_sample_matrix's keep-filter and sort key, so an
+    oracle-side fit can reproduce the training sample without a Spark
+    session. Returns the SIGNED 64-bit value Spark returns; parity with
+    F.xxhash64 is pinned by tests/test_semantic_dedup.py."""
+    p1, p2, p3 = 0x9E3779B185EBCA87, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9
+    p4, p5 = 0x85EBCA77C2B2AE63, 0x27D4EB2F165667C5
+    mask = (1 << 64) - 1
+
+    def rotl(x: int, r: int) -> int:
+        return ((x << r) | (x >> (64 - r))) & mask
+
+    h = (seed + p5 + 8) & mask
+    k1 = ((value & mask) * p2) & mask
+    k1 = (rotl(k1, 31) * p1) & mask
+    h ^= k1
+    h = (rotl(h, 27) * p1 + p4) & mask
+    h ^= h >> 33
+    h = (h * p2) & mask
+    h ^= h >> 29
+    h = (h * p3) & mask
+    h ^= h >> 32
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+def fit_ivf_centroids_local(
+    ids: np.ndarray,
+    vecs: np.ndarray,
+    n_centroids: int,
+    n_iter: int = 10,
+    sample_cap: int = 4096,
+) -> np.ndarray:
+    """Driver/oracle-side twin of fit_ivf_centroids over in-memory arrays:
+    identical deterministic sample (xxhash64 keep-filter + (hash, id)
+    top-K) and identical Lloyd loop (_kmeans_spherical), so it reproduces
+    the Spark fit BIT-FOR-BIT. Exists so the semantic_dedup DuckDB oracle
+    can feed the fitted centroids in as a table and value-check everything
+    downstream of the fit (assignment, pair graph, components, survivor)
+    without a SparkSession at oracle-generation time."""
+    n = len(ids)
+    if n == 0:
+        return np.zeros((0, 0), dtype=np.float64)
+    if n_centroids > sample_cap:
+        raise ValueError(
+            f"fit_ivf_centroids_local: n_centroids={n_centroids} exceeds "
+            f"sample_cap={sample_cap}"
+        )
+    mod = 1_000_000
+    keep = min(mod, int(mod * min(1.0, 3.0 * sample_cap / n)) + 1)
+    hashes = np.array([xxhash64_long(int(i)) for i in ids], dtype=np.int64)
+    m = hashes % mod  # Python %: already the positive pmod
+    sel = np.where(m < keep)[0]
+    order = np.lexsort((ids[sel], hashes[sel]))  # (hash, id) ascending
+    take = sel[order][:sample_cap]
+    mat = np.asarray(vecs[take], dtype=np.float64)
+    return _kmeans_spherical(mat, n_centroids, n_iter)
 
 
 def _nearest_centroids(mat: np.ndarray, cent: np.ndarray, n: int) -> np.ndarray:

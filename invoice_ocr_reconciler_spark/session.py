@@ -15,6 +15,47 @@ from pyspark.sql import SparkSession
 # the rows per Arrow batch to keep executor + Python-worker memory flat.
 ARROW_MAX_RECORDS_PER_BATCH = 2048
 
+# ~128 MB of shuffle bytes per reduce task: the block size production
+# submitters target so one task's hash map / sort buffer fits any
+# reasonably-sized executor regardless of how few executors are running.
+SHUFFLE_BLOCK_TARGET_BYTES = 128 * 1024 * 1024
+
+# AQE's pre-coalesce partition count for the STOCK session. Shuffle
+# partitioning is a DATA property, not a core-count property — the round-4
+# executor rehearsal proved 2x-cores partitions put 1/8th of a corpus-sized
+# hash map in one task and OOM a correctly-sized 8 GB executor
+# (PLANS.md 'rehearsal-exec'). AQE can coalesce partitions but can NEVER
+# split them, so the only safe stock default is: start every shuffle WIDE
+# (this constant) and let AQE coalesce to ~advisory-size blocks from the
+# ACTUAL map-output bytes (which also handles operators whose shuffle
+# EXPANDS past their input, e.g. posting-list pair generation — a static
+# input-bytes estimate cannot). 1024 x 128 MB ≈ 128 GB of shuffle headroom;
+# a 100-TB submitter raises it via spark-submit --conf the same way it
+# raises shuffle.partitions.
+AQE_INITIAL_PARTITIONS = 1024
+
+
+def shuffle_partitions_for_bytes(
+    input_bytes: int,
+    min_parallelism: int = 8,
+    target_bytes: int = SHUFFLE_BLOCK_TARGET_BYTES,
+    expansion: float = 1.0,
+) -> int:
+    """Data-aware shuffle partition count: ~one ``target_bytes`` block per
+    reduce task, never below ``min_parallelism``.
+
+    Use this to size ``get_spark(data_bytes_hint=...)`` / explicit
+    ``shuffle_partitions`` for a job whose input size is known up front
+    (e.g. a backfill over N bytes of pages). ``expansion`` is the
+    operator's shuffle-bytes-to-input-bytes ratio for workloads known to
+    expand (pair generation, posexplode) — for unknown expansion prefer
+    the stock session, whose AQE initial-partition sizing works from
+    actual map-output bytes instead of estimates."""
+    if input_bytes < 0:
+        raise ValueError(f"input_bytes must be >= 0, got {input_bytes}")
+    blocks = -(-int(input_bytes * expansion) // target_bytes)  # ceil
+    return max(int(min_parallelism), blocks, 1)
+
 
 def iceberg_confs(env: dict) -> dict[str, str]:
     """Iceberg catalog gate configs (empty when no jar is provided).
@@ -43,12 +84,22 @@ def get_spark(
     extra_conf: dict[str, str] | None = None,
     executors: int | None = None,
     executor_mem_mb: int = 4096,
+    data_bytes_hint: int | None = None,
 ) -> SparkSession:
     """Build (or fetch) a SparkSession.
 
-    ``cores`` defaults to $SPARK_GRAFT_CPUS or all local cores. Shuffle
-    partitions scale with cores (2x) instead of the 200 default — at cluster
-    scale this is set to ~2-3x total executor cores by the submitter.
+    ``cores`` defaults to $SPARK_GRAFT_CPUS or all local cores.
+
+    Shuffle sizing (stock): ``spark.sql.shuffle.partitions`` floors at
+    2x total cores, but every AQE-coalescible shuffle actually STARTS at
+    ``AQE_INITIAL_PARTITIONS`` and is coalesced from real map-output
+    bytes — data-aware by construction, so a 2-executor session running a
+    corpus-sized pair join no longer concentrates the corpus into
+    core-count partitions (the round-4 rehearsal OOM). Passing
+    ``data_bytes_hint`` (job input bytes) sizes the floor via
+    ``shuffle_partitions_for_bytes`` too; passing ``shuffle_partitions``
+    explicitly pins BOTH knobs to exactly that value (tests / plan pins
+    rely on an exact count).
 
     ``executors``: when set, use ``local-cluster[executors, cores,
     executor_mem_mb]`` — SEPARATE executor JVM processes (own GC, allocator,
@@ -58,9 +109,24 @@ def get_spark(
     """
     if cores is None:
         cores = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    total = cores * (executors or 1)
     if shuffle_partitions is None:
-        total = cores * (executors or 1)
+        # stock: AQE does the real sizing (initial wide, coalesce to
+        # blocks); this is only the floor + the count for exchanges AQE
+        # can't touch. A data_bytes_hint raises the floor for known-big
+        # jobs so even non-coalescible exchanges are data-sized.
+        initial_partitions = AQE_INITIAL_PARTITIONS
         shuffle_partitions = max(2 * total, 8)
+        if data_bytes_hint is not None:
+            shuffle_partitions = max(
+                shuffle_partitions,
+                shuffle_partitions_for_bytes(data_bytes_hint),
+            )
+            initial_partitions = max(initial_partitions, shuffle_partitions)
+    else:
+        # explicit pin: the caller wants EXACTLY this many reduce tasks
+        # (determinism tests, goldens) — make AQE start there as well.
+        initial_partitions = shuffle_partitions
 
     # Python WORKERS do not inherit the driver's sys.path — a caller that
     # imported this package via sys.path manipulation from another cwd would
@@ -86,6 +152,10 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config(
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+            str(initial_partitions),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

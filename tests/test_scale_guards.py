@@ -427,3 +427,83 @@ def test_shingle_hashes_memoized_identical():
     assert np.array_equal(_shingle_hashes(text), expected)
     # second call hits the lru cache; values must not drift
     assert np.array_equal(_shingle_hashes(text), expected)
+
+
+# --- round-5: data-aware shuffle sizing in the LIBRARY path -----------------
+# The round-4 executor rehearsal proved shuffle partitions are a DATA
+# property: 2x-cores partitions at local-cluster[2,2] concentrated a
+# corpus-sized hash map into 8 tasks and OOM'd a correctly-sized 8 GB
+# executor (PLANS.md 'rehearsal-exec'). These tests pin the fix where it
+# now lives — the stock session, not just the rehearsal harness.
+
+
+def test_shuffle_partitions_for_bytes_math():
+    from invoice_ocr_reconciler_spark.session import (
+        SHUFFLE_BLOCK_TARGET_BYTES,
+        shuffle_partitions_for_bytes,
+    )
+
+    mb = 1024 * 1024
+    assert SHUFFLE_BLOCK_TARGET_BYTES == 128 * mb
+    # floors at min_parallelism for small inputs
+    assert shuffle_partitions_for_bytes(0) == 8
+    assert shuffle_partitions_for_bytes(10 * mb, min_parallelism=4) == 4
+    # ~one 128MB block per task above the floor (ceil division)
+    assert shuffle_partitions_for_bytes(128 * mb * 100) == 100
+    assert shuffle_partitions_for_bytes(128 * mb * 100 + 1) == 101
+    # expansion multiplies the byte estimate (pair-generating operators)
+    assert shuffle_partitions_for_bytes(128 * mb * 10, expansion=4.0) == 40
+    # 100 TB at 128MB blocks is ~800k tasks -- the math must not overflow
+    assert shuffle_partitions_for_bytes(100 * 1024**4) == 819200
+    with pytest.raises(ValueError):
+        shuffle_partitions_for_bytes(-1)
+
+
+def test_stock_session_confs_are_data_aware(spark):
+    """The conftest session pins shuffle_partitions=8 explicitly -- AQE
+    must start exactly there (determinism pins stay exact). The STOCK
+    config path (no explicit pin) must instead start every AQE shuffle
+    wide so coalescing from actual map-output bytes does the sizing --
+    getOrCreate pins one session per process, so the stock path is
+    asserted on the builder-visible constant + harness default, and the
+    executor-JVM rehearsal artifact (dist/rehearsal_exec_r5_*.jsonl) is
+    the end-to-end evidence."""
+    from invoice_ocr_reconciler_spark.session import AQE_INITIAL_PARTITIONS
+
+    # explicit-pin path: this session was built with shuffle_partitions=8
+    assert spark.conf.get("spark.sql.shuffle.partitions") == "8"
+    assert (
+        spark.conf.get(
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
+        )
+        == "8"
+    )
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    assert (
+        spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled")
+        == "true"
+    )
+    # stock constant: wide enough that an E=2 executor leg never sees
+    # core-count-sized corpus partitions (1024 x 128MB ~ 128GB headroom)
+    assert AQE_INITIAL_PARTITIONS >= 1024
+
+
+def test_rehearsal_harness_defaults_to_stock_session():
+    """The executor rehearsal must exercise STOCK session defaults (the
+    round-4 finding's regression gate) -- a hand-pinned partition count in
+    the harness would mask a library regression."""
+    import importlib
+    import sys as _sys
+
+    _sys.path.insert(0, "tools")
+    try:
+        mod = importlib.import_module("scale_rehearsal_exec")
+    finally:
+        _sys.path.remove("tools")
+    import inspect
+
+    src = inspect.getsource(mod.main)
+    # the harness passes shuffle_partitions=None unless the A/B env
+    # override is set
+    assert 'os.environ.get("REHEARSAL_SHUFFLE_PARTITIONS")' in src
+    assert "if shuffle_env else None" in src

@@ -111,3 +111,65 @@ def test_empty_corpus(spark):
 
     empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
     assert semantic_dedup(empty).count() == 0
+
+
+# --- round-5: the oracle-side local fit twin --------------------------------
+
+
+def test_xxhash64_long_matches_spark(spark):
+    """xxhash64_long is the sample-selection hash behind the oracle-side
+    fit replay -- it must equal Spark's xxhash64(bigint) bit-for-bit,
+    including negatives and the extremes."""
+    from invoice_ocr_reconciler_spark.operators.similarity import xxhash64_long
+
+    ids = [0, 1, -1, 42, -42, 499, 2**62, -(2**62), 2**63 - 1, -(2**63)]
+    df = spark.createDataFrame([(i,) for i in ids], "v long").select(
+        "v", F.xxhash64("v").alias("h")
+    )
+    got = {r["v"]: r["h"] for r in df.collect()}
+    assert got == {i: xxhash64_long(i) for i in ids}
+
+
+def test_fit_ivf_centroids_local_bit_identical(spark):
+    """fit_ivf_centroids_local (pandas/numpy, no Spark) must reproduce the
+    Spark-side fit bit-for-bit on the same vectors -- the contract that
+    lets the semantic_dedup oracle feed fitted centroids to DuckDB as a
+    table and value-check everything downstream of the fit."""
+    import numpy as np
+
+    from invoice_ocr_reconciler_spark.operators.similarity import (
+        fit_ivf_centroids,
+        fit_ivf_centroids_local,
+    )
+
+    rng = np.random.default_rng(7)
+    n, dim = 300, 16
+    ids = np.arange(n, dtype=np.int64)
+    # float32 storage like the embeddings table, including a zero vector
+    vecs = rng.normal(size=(n, dim)).astype(np.float32)
+    vecs[17] = 0.0
+    df = spark.createDataFrame(
+        [(int(i), [float(x) for x in vecs[i]]) for i in ids],
+        "vec_id long, embedding array<float>",
+    )
+    for k, cap in ((4, 64), (8, 4096)):
+        c_spark = fit_ivf_centroids(df, n_centroids=k, sample_cap=cap)
+        c_local = fit_ivf_centroids_local(
+            ids, vecs.astype(np.float64), n_centroids=k, sample_cap=cap
+        )
+        assert np.array_equal(c_spark, c_local)
+
+
+def test_semantic_dedup_oracle_generates_and_is_data_scoped(monkeypatch):
+    """_semantic_dedup_oracle embeds the fitted centroids for the sf dir
+    in $SPARK_GRAFT_ORACLE_SF_DIR and returns '' (rows-only fallback)
+    when the parquet is unreadable instead of crashing oracle_sql()."""
+    import __spark_entry__ as entry
+
+    sql = entry._semantic_dedup_oracle()
+    assert "cent(centroid_id, cvec)" in sql and "is_kept" in sql
+    # the threshold is repr(1.0 - eps) -- the exact Python double Spark
+    # compares to (here 1.0 - 0.65 rounds to exactly 0.35)
+    assert repr(1.0 - 0.65) in sql
+    monkeypatch.setenv("SPARK_GRAFT_ORACLE_SF_DIR", "/nonexistent")
+    assert entry._semantic_dedup_oracle() == ""

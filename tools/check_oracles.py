@@ -41,6 +41,10 @@ def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
 
+    # data-dependent oracle generation (semantic_dedup's fitted-centroid
+    # table) must target the SAME sf dir the comparison runs on
+    os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = sf_dir
+
     import __spark_entry__ as entrymod
     from invoice_ocr_reconciler_spark.session import get_spark
 

@@ -81,16 +81,20 @@ def main() -> None:
     import __spark_entry__ as entry
     from invoice_ocr_reconciler_spark.session import get_spark
 
-    # shuffle partitions are pinned to the DATA scale, not 2x core count:
-    # the session default (2 x total cores = 8 for local-cluster[2,2])
-    # hands each task a 1/8 slice of a 50k-doc shuffle, and the per-task
-    # BytesToBytesMap blows the 8g executor budget (found by this harness'
-    # first run: both legs died UNABLE_TO_ACQUIRE_MEMORY on
-    # containment_pairs@50k — the exact failure class thread-mode local[32]
+    # Round 4 ran this harness with a hand-pinned 64 partitions because the
+    # then-stock session default (2 x total cores = 8 for local-cluster[2,2])
+    # handed each task a 1/8 slice of a 50k-doc shuffle and the per-task
+    # BytesToBytesMap blew the 8g executor budget (UNABLE_TO_ACQUIRE_MEMORY
+    # on containment_pairs@50k — the failure class thread-mode local[32]
     # masks, because there 64 partitions come free with the core count).
-    # Production submitters size partitions to ~128MB of shuffle data for
-    # the same reason; 64 matches the thread-mode rehearsal contract.
-    shuffle_parts = int(os.environ.get("REHEARSAL_SHUFFLE_PARTITIONS", "64"))
+    # Round 5 moved that lesson INTO the library: the stock session starts
+    # every AQE shuffle at AQE_INITIAL_PARTITIONS and coalesces from actual
+    # map-output bytes (session.py), so this harness now runs STOCK
+    # defaults — passing here with no pin is the round-4 finding's
+    # regression gate. REHEARSAL_SHUFFLE_PARTITIONS remains as an A/B
+    # override (e.g. set it to 8 to reproduce the round-4 OOM).
+    shuffle_env = os.environ.get("REHEARSAL_SHUFFLE_PARTITIONS")
+    shuffle_parts = int(shuffle_env) if shuffle_env else None
     spark = get_spark(
         app_name=f"rehearsal-exec-{executors}",
         cores=2,
@@ -159,6 +163,13 @@ def main() -> None:
             {
                 "executors": executors,
                 "exec_mem_mb": EXEC_MEM_MB,
+                "shuffle_partitions": (
+                    shuffle_parts if shuffle_parts is not None else "stock"
+                ),
+                "aqe_initial_partitions": spark.conf.get(
+                    "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+                    None,
+                ),
                 "rehearsal_exec": rows,
                 "final_peaks": _executor_peaks(em.api),
             }
