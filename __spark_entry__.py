@@ -2878,8 +2878,10 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup cluster-then-prune semantic dedup (operators/similarity.py:
     semantic_dedup): k-means cells -> within-cell threshold graph -> exact
     connected components -> farthest-from-centroid survivor per group.
-    Rows-only (the k-means fit is not SQL-replayable); survivor-rule and
-    chain-grouping semantics are pinned by tests/test_semantic_dedup.py.
+    FULL value oracle as of round 5: the fit is reproduced bit-exactly by
+    a local twin and fed to DuckDB as a centroid table, everything
+    downstream replayed in SQL (_semantic_dedup_oracle); survivor-rule
+    and chain-grouping semantics are pinned by tests/test_semantic_dedup.py.
     eps matches q_embedding_dedup's demo threshold (this corpus's max
     pairwise cosine is ~0.47, so a production eps finds nothing).
     n_centroids rides the corpus-scaled default: the round-3 rehearsal
@@ -4643,9 +4645,12 @@ def q_align_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
     page of punctuated prose built from its own text (the
     sentence_split synthesis pattern) with per-sentence length drift
     between the sides, and doc_id%5==0 drops the fr side's last
-    sentence so unbalanced beads appear. Rows-only by design (dynamic
-    program — same contract as BPE/MinHash); the DP itself is pinned by
-    tests/test_align.py goldens."""
+    sentence so unbalanced beads appear. FULL value oracle as of round 5:
+    the bounded (<=4x4) DP is unrolled cell-by-cell in SQL with the exact
+    arrival-order tie rule and a 6-level backtrace chase; the erfc-based
+    length cost enters as a finite (la, lb) -> cost VALUES table over the
+    reachable integer domain (_align_sentences_oracle). The DP is also
+    pinned by tests/test_align.py goldens."""
     from invoice_ocr_reconciler_spark.operators.align import align_sentences
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -8802,6 +8807,262 @@ def _semantic_dedup_oracle() -> str:
                     PARTITION BY coalesce(c.component, s.vec_id)
                     ORDER BY s.cent_sim ASC, s.vec_id ASC)) = 1 AS is_kept
         FROM scored s LEFT JOIN comp c USING (vec_id)
+    """
+
+
+def _align_sentences_oracle() -> str:
+    """align_sentences value oracle (round 5): the full Gale-Church DP
+    replayed in SQL — the verdict's erfc blocker dissolved by feeding the
+    SPECIAL FUNCTION, not the algorithm, as data.
+
+    The q_align_sentences corpus synthesizes exactly 3 sentences per /en
+    side and 2-3 per /fr side, so the per-pair DP is a FIXED <=4x4 cell
+    grid — unrolled here cell-by-cell in dependency (i+j) order with the
+    exact tie rule (candidates arrive in (src_i, src_j, bead) lexicographic
+    order, strict-< keeps the first minimum) and the backtrace as a 6-level
+    pointer chase. The only non-SQL piece, the length-match cost
+    -100*ln(erfc(|delta|/sqrt(2))), is a function of the two INTEGER span
+    lengths — a finite domain — so the oracle embeds a (la, lb) -> cost
+    VALUES table computed by the same operators/align.py:_match_cost the
+    operator uses (shared-definition contract, like _kmeans_spherical for
+    semantic_dedup: a 1e-8-grid SQL erfc approximation would re-derive the
+    same values with less certainty; the table is exact on every reachable
+    argument). The domain is enumerated by replaying the prose synthesis +
+    sentinel split in Python over the sf dir's texts ($SPARK_GRAFT_ORACLE_
+    SF_DIR, default sf0.01): every bead consumes <=2 sentences per side, so
+    spans are singles, adjacent pairs, and 0. Sentence construction,
+    splitting, lengths, the DP, ties, the backtrace, bead spans, and the
+    joined bead texts are all INDEPENDENT SQL. Returns '' if the parquet is
+    unavailable (entry stays rows-only)."""
+    import os as _os
+    import re as _re
+
+    try:
+        import pyarrow.parquet as _pq
+
+        from invoice_ocr_reconciler_spark.operators.align import _match_cost
+
+        sf_dir = _os.environ.get(
+            "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+        )
+        tbl = _pq.read_table(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        ).to_pandas()
+        if len(tbl) == 0:
+            return ""
+    except Exception:
+        return ""
+
+    def _split_lens(prose: str) -> list[int]:
+        marked = _re.sub(r"([.!?])\s+([A-Z])", "".join((r"\1", r"\2")), prose)
+        return [
+            len(s.strip(" ")) for s in marked.split("") if s.strip(" ")
+        ]
+
+    def _spans(lens: list[int]) -> set[int]:
+        out = {0}
+        out.update(lens)
+        out.update(lens[i] + lens[i + 1] for i in range(len(lens) - 1))
+        return out
+
+    domain: set[tuple[int, int]] = set()
+    for did, t in zip(tbl["doc_id"], tbl["text"]):
+        t = t or ""
+        la = _split_lens(f"Alpha {t[0:30]}. Beta {t[30:55]}. Gamma {t[55:75]}.")
+        pb = f"Alphe {t[0:33]}. Bete {t[30:52]}"
+        pb += "." if int(did) % 5 == 0 else f". Gamme {t[55:76]}."
+        lb = _split_lens(pb)
+        if len(la) != 3 or len(lb) not in (2, 3):
+            return ""  # synthesis assumption broken -> stay rows-only
+        domain.update((a, b) for a in _spans(la) for b in _spans(lb))
+    mrows = ",".join(
+        f"({a},{b},{_match_cost(a, b)})" for a, b in sorted(domain)
+    )
+
+    beads = ((1, 1, 0), (1, 0, 450), (0, 1, 450),
+             (2, 1, 230), (1, 2, 230), (2, 2, 440))
+
+    # the <=6 span intervals each side can feed a bead: empty, the three
+    # singles, the two adjacent doubles. The per-row 6x6 match-cost matrix
+    # is computed ONCE via a 36-way unnest + one join against mcost
+    # (correlated scalar subqueries per cell were measured 100x slower —
+    # DuckDB re-executes them per occurrence), then the DP is pure column
+    # arithmetic over m_<a>_<b>.
+    intervals = [(0, 0), (0, 1), (1, 2), (2, 3), (0, 2), (1, 3)]
+    iidx = {iv: n for n, iv in enumerate(intervals)}
+
+    def span_expr(side: str, lo: int, hi: int) -> str:
+        if lo == hi:
+            return "CAST(0 AS BIGINT)"
+        return "+".join(f"l{side}{k}" for k in range(lo + 1, hi + 1))
+
+    a_case = " ".join(
+        f"WHEN {n} THEN {span_expr('a', lo, hi)}"
+        for (lo, hi), n in iidx.items()
+    )
+    b_case = " ".join(
+        f"WHEN {n} THEN {span_expr('b', lo, hi)}"
+        for (lo, hi), n in iidx.items()
+    )
+    mc_cols = ", ".join(
+        f"MAX(CASE WHEN sq.an = {an} AND sq.bn = {bn} THEN mco.mc END) "
+        f"AS m_{an}_{bn}"
+        for an in range(6) for bn in range(6)
+    )
+
+    def mc(a_int: tuple[int, int], b_int: tuple[int, int]) -> str:
+        # any empty interval (lo, lo) has span 0 == the canonical (0, 0)
+        ai = iidx[a_int if a_int[0] != a_int[1] else (0, 0)]
+        bi = iidx[b_int if b_int[0] != b_int[1] else (0, 0)]
+        return f"m_{ai}_{bi}"
+
+    # cells in dependency order (i+j ascending): each layer is one chained
+    # CTE adding that layer's cost columns
+    layers: dict[int, list[tuple[int, int]]] = {}
+    for i in range(4):
+        for j in range(4):
+            if i + j == 0:
+                continue
+            layers.setdefault(i + j, []).append((i, j))
+
+    def cands_of(ni: int, nj: int) -> list[tuple[int, int, int, int]]:
+        out = []
+        for bi, (da, db, pen) in enumerate(beads):
+            pi, pj = ni - da, nj - db
+            if pi >= 0 and pj >= 0:
+                out.append((pi, pj, bi, pen))
+        out.sort()  # (pi, pj, bead) = the DP's arrival order
+        return out
+
+    def cand_exprs(ni: int, nj: int) -> list[tuple[str, tuple[int, int, int, int]]]:
+        return [
+            (
+                f"(c_{pi}_{pj} + {pen} + {mc((pi, ni), (pj, nj))})",
+                (pi, pj, bi, pen),
+            )
+            for pi, pj, bi, pen in cands_of(ni, nj)
+        ]
+
+    dp_ctes = []
+    prev = "wide"
+    for depth in sorted(layers):
+        cols = []
+        for ni, nj in layers[depth]:
+            ce = [e for e, _ in cand_exprs(ni, nj)]
+            cols.append(f"least({', '.join(ce)}) AS c_{ni}_{nj}")
+        name = f"dp{depth}"
+        dp_ctes.append(f"{name} AS (SELECT *, {', '.join(cols)} FROM {prev})")
+        prev = name
+    # winners in one pass after every cell cost exists: first candidate (in
+    # arrival order) equal to the cell min == the DP's strict-< update rule
+    win_cols = []
+    for depth in sorted(layers):
+        for ni, nj in layers[depth]:
+            whens = "".join(
+                f" WHEN {e} = c_{ni}_{nj} THEN "
+                f"'{pi},{pj},' || CAST({e} - c_{pi}_{pj} AS VARCHAR)"
+                for e, (pi, pj, _bi, _pen) in cand_exprs(ni, nj)
+            )
+            win_cols.append(f"CASE{whens} END AS w_{ni}_{nj}")
+    dp_ctes.append(
+        f"dpw AS (SELECT *, {', '.join(win_cols)} FROM {prev})"
+    )
+    prev = "dpw"
+
+    w_case = "CASE cur{s}" + "".join(
+        f" WHEN '{i},{j}' THEN w_{i}_{j}"
+        for d in sorted(layers) for i, j in layers[d]
+    ) + " END"
+    bt_ctes = [f"bt0 AS (SELECT *, '3,' || CAST(mm AS VARCHAR) AS cur0 FROM {{prev}})"]
+    for s in range(6):
+        w = w_case.format(s=s)
+        bt_ctes.append(
+            f"bt{s + 1} AS (SELECT *, "
+            f"CASE WHEN cur{s} IS NOT NULL AND cur{s} <> '0,0' THEN "
+            f"cur{s} || ',' || ({w}) END AS info{s}, "
+            f"CASE WHEN cur{s} IS NOT NULL AND cur{s} <> '0,0' THEN "
+            f"string_split(cur{s} || ',' || ({w}), ',')[3] || ',' || "
+            f"string_split(cur{s} || ',' || ({w}), ',')[4] END AS cur{s + 1} "
+            f"FROM bt{s})"
+        )
+    infos = ", ".join(f"info{s}" for s in range(6))
+
+    return f"""
+        WITH mcost(mla, mlb, mc) AS (VALUES {mrows}),
+        pr AS (
+            SELECT doc_id,
+                   'Alpha ' || substr(text, 1, 30) || '. Beta '
+                     || substr(text, 31, 25) || '. Gamma '
+                     || substr(text, 56, 20) || '.' AS ta,
+                   'Alphe ' || substr(text, 1, 33) || '. Bete '
+                     || substr(text, 31, 22)
+                     || CASE WHEN doc_id % 5 = 0 THEN '.'
+                             ELSE '. Gamme ' || substr(text, 56, 21) || '.'
+                        END AS tb
+            FROM documents),
+        sp AS (
+            SELECT doc_id,
+                   list_filter(list_transform(string_split(
+                       regexp_replace(coalesce(ta, ''), '([.!?])\\s+([A-Z])',
+                                      '\\1' || chr(1) || '\\2', 'g'),
+                       chr(1)), s -> trim(s)), s -> s <> '') AS sa,
+                   list_filter(list_transform(string_split(
+                       regexp_replace(coalesce(tb, ''), '([.!?])\\s+([A-Z])',
+                                      '\\1' || chr(1) || '\\2', 'g'),
+                       chr(1)), s -> trim(s)), s -> s <> '') AS sb
+            FROM pr),
+        base AS (
+            SELECT doc_id, sa, sb, len(sb) AS mm,
+                   CAST(0 AS BIGINT) AS c_0_0,
+                   CAST(length(sa[1]) AS BIGINT) AS la1,
+                   CAST(length(sa[2]) AS BIGINT) AS la2,
+                   CAST(length(sa[3]) AS BIGINT) AS la3,
+                   CAST(length(sb[1]) AS BIGINT) AS lb1,
+                   CAST(length(sb[2]) AS BIGINT) AS lb2,
+                   CAST(CASE WHEN len(sb) >= 3 THEN length(sb[3]) END
+                        AS BIGINT) AS lb3
+            FROM sp),
+        sq AS (
+            SELECT base.doc_id, u.an, v.bn,
+                   CASE u.an {a_case} END AS av,
+                   CASE v.bn {b_case} END AS bv
+            FROM base
+            CROSS JOIN (SELECT unnest(range(6)) AS an) u
+            CROSS JOIN (SELECT unnest(range(6)) AS bn) v),
+        mcm AS (
+            SELECT sq.doc_id, {mc_cols}
+            FROM sq LEFT JOIN mcost mco
+              ON mco.mla = sq.av AND mco.mlb = sq.bv
+            GROUP BY sq.doc_id),
+        wide AS (SELECT base.*, mcm.* EXCLUDE (doc_id)
+                 FROM base JOIN mcm USING (doc_id)),
+        {','.join(dp_ctes)},
+        {','.join(bt_ctes).format(prev=prev)},
+        st AS (
+            SELECT doc_id, sa, sb,
+                   list_filter([{infos}], x -> x IS NOT NULL) AS steps
+            FROM bt6),
+        ex AS (
+            SELECT doc_id, sa, sb, len(steps) AS nb,
+                   CAST(generate_subscripts(steps, 1) AS INT) AS s,
+                   unnest(steps) AS info
+            FROM st)
+        SELECT 'd/' || CAST(doc_id AS VARCHAR) || '/en' AS url_a,
+               'd/' || CAST(doc_id AS VARCHAR) || '/fr' AS url_b,
+               CAST(nb - s AS INT) AS bead,
+               CAST(string_split(info, ',')[3] AS INT) AS a_lo,
+               CAST(string_split(info, ',')[1] AS INT) AS a_hi,
+               CAST(string_split(info, ',')[4] AS INT) AS b_lo,
+               CAST(string_split(info, ',')[2] AS INT) AS b_hi,
+               array_to_string(list_slice(sa,
+                   CAST(string_split(info, ',')[3] AS INT) + 1,
+                   CAST(string_split(info, ',')[1] AS INT)), ' ') AS text_a,
+               array_to_string(list_slice(sb,
+                   CAST(string_split(info, ',')[4] AS INT) + 1,
+                   CAST(string_split(info, ',')[2] AS INT)), ' ') AS text_b,
+               CAST(string_split(info, ',')[5] AS INT) AS cost,
+               FALSE AS truncated
+        FROM ex
     """
 
 
@@ -17242,6 +17503,9 @@ def oracle_sql() -> dict[str, str]:
     _sd = _semantic_dedup_oracle()
     if _sd:
         d["semantic_dedup"] = _sd
+    _al = _align_sentences_oracle()
+    if _al:
+        d["align_sentences"] = _al
     return d
 
 

@@ -43,10 +43,14 @@ Scale shape:
     partitioning (the DP reads only its own pair's arrays; ties in the
     DP break by a fixed move-evaluation order).
 
-Not SQL-expressible (dynamic program), so the queries() entry is
-rows-only; correctness is pinned by pytest goldens against hand-checked
-alignments (proportional 1-1 chains, planted insertions/deletions, 2-1
-merges) — the same contract as BPE/MinHash/IVF.
+Correctness is pinned by pytest goldens against hand-checked alignments
+(proportional 1-1 chains, planted insertions/deletions, 2-1 merges) AND,
+as of round 5, a FULL DuckDB value oracle: the queries() corpus bounds
+the DP at <=4x4 cells, so the oracle unrolls it cell-by-cell with the
+exact tie rule and backtrace, feeding the erfc length cost in as a
+finite integer-domain value table (__spark_entry__._align_sentences_
+oracle — the same special-function-as-data shape as the fitted-centroid
+tables). The general operator (unbounded n x m) remains non-SQL.
 """
 
 from __future__ import annotations

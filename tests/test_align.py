@@ -230,3 +230,19 @@ class TestMarginMine:
             .collect()
         )
         assert [r.asDict() for r in one] == [r.asDict() for r in many]
+
+
+def test_align_oracle_generates_and_degrades_to_rows_only(monkeypatch):
+    """_align_sentences_oracle embeds the finite (la, lb) -> cost table
+    (computed by the operator's own _match_cost) and returns '' when the
+    sf dir is unreadable -- the rows-only fallback, never a crash."""
+    import __spark_entry__ as entry
+
+    sql = entry._align_sentences_oracle()
+    assert "mcost(mla, mlb, mc)" in sql
+    # the (0, 0) -> 0 row must exist: 1-0/0-1 beads probe empty spans
+    assert "(0,0,0)" in sql.replace(" ", "")
+    # backtrace depth covers the longest possible bead chain (3 + 3 sides)
+    assert "info5" in sql and "bt6" in sql
+    monkeypatch.setenv("SPARK_GRAFT_ORACLE_SF_DIR", "/nonexistent")
+    assert entry._align_sentences_oracle() == ""
