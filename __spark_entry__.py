@@ -973,6 +973,10 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Measured recall@5 of the ANN scale paths vs the exact baseline —
     turns 'recall < 1 by design' into a regression-guarded number
     (rows-only: the truth set itself comes from the Spark baseline)."""
+    from invoice_ocr_reconciler_spark.operators.pq import (
+        fit_pq_codebooks,
+        pq_topk,
+    )
     from invoice_ocr_reconciler_spark.operators.similarity import (
         brute_force_topk,
         ivf_sq8_topk,
@@ -982,6 +986,9 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     from invoice_ocr_reconciler_spark.operators.similarity import lsh_n_planes
+
+    def _pq_books(corpus, m):
+        return fit_pq_codebooks(corpus, m=m, k=16)
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     queries_df = emb.filter(F.col("vec_id") < 10)
@@ -1058,6 +1065,32 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ivf_sq8_topk(emb, queries_df, k=5, n_probe=8),
                 truth,
                 "ivf_sq8_probe8",
+            )
+        )
+        # sq8 at the IVF default probe width: isolates the quantization
+        # loss from the routing loss (compare ivf_probe4 vs ivf_sq8_probe4)
+        .unionByName(
+            recall_vs_truth(
+                ivf_sq8_topk(emb, queries_df, k=5, n_probe=4),
+                truth,
+                "ivf_sq8_probe4",
+            )
+        )
+        # PQ ADC recall (round 5): the last ANN path shipping without a
+        # measured number — m=4x16 matches q_ann_pq's config; m=8x16
+        # shows the finer-subspace trade at the same code budget class
+        .unionByName(
+            recall_vs_truth(
+                pq_topk(emb, queries_df, _pq_books(emb, 4), k=5),
+                truth,
+                "pq_m4k16",
+            )
+        )
+        .unionByName(
+            recall_vs_truth(
+                pq_topk(emb, queries_df, _pq_books(emb, 8), k=5),
+                truth,
+                "pq_m8k16",
             )
         )
         # endpoint anchor: probing every cell must converge to the exact

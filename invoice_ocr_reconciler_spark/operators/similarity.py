@@ -25,10 +25,19 @@ lsh_topk       0.60     no fit job at all — streaming-friendly, index rows
   (defaults)            derive purely from the vector, so incremental /
                         structured-streaming ingest can index on arrival.
                         n_tables=16,n_probe_bits=4 reaches 0.82 at 2x index.
-ivf_sq8_topk   ~ivf     ivf recall at 4x smaller index: int8-quantized
-                        vectors, use when the index dominates storage.
-pq_topk        lower    memory-bound regimes only (codebook lookups, no raw
-                        vectors at query time); verify recall on YOUR data.
+ivf_sq8_topk   =ivf     ivf recall at 4x smaller index: MEASURED equal to
+                        full-precision ivf at probe 4 AND probe 8 on the
+                        bench corpus (quantization loss ~0; routing is the
+                        recall bottleneck) — prefer it whenever the index
+                        dominates storage.
+pq_topk        0.12-    STANDALONE pq is a low-recall path on isotropic
+  (m4/m8,k16)  0.16     vectors (measured round 5) — treat it as a MEMORY
+                        FORMAT, not a search strategy: compose with IVF
+                        (feed probed cells as `corpus`) so ADC only ranks
+                        within cells, and re-rank the ADC top-k' with
+                        exact vectors when recall matters. Real text
+                        embeddings (anisotropic) will sit higher; the
+                        bench number is the regression floor.
 brute_force    1.00     exact baseline; fine up to ~10^6 corpus x small
                         query sets, and the truth-set generator for recall
                         measurement of every other path.
