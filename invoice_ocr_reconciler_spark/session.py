@@ -25,14 +25,23 @@ SHUFFLE_BLOCK_TARGET_BYTES = 128 * 1024 * 1024
 # executor rehearsal proved 2x-cores partitions put 1/8th of a corpus-sized
 # hash map in one task and OOM a correctly-sized 8 GB executor
 # (PLANS.md 'rehearsal-exec'). AQE can coalesce partitions but can NEVER
-# split them, so the only safe stock default is: start every shuffle WIDE
-# (this constant) and let AQE coalesce to ~advisory-size blocks from the
-# ACTUAL map-output bytes (which also handles operators whose shuffle
-# EXPANDS past their input, e.g. posting-list pair generation — a static
-# input-bytes estimate cannot). 1024 x 128 MB ≈ 128 GB of shuffle headroom;
-# a 100-TB submitter raises it via spark-submit --conf the same way it
-# raises shuffle.partitions.
-AQE_INITIAL_PARTITIONS = 1024
+# split them, so the safe stock default is: start every shuffle WIDE (this
+# constant) and let AQE coalesce to ~advisory-size blocks from the ACTUAL
+# map-output bytes (which also handles operators whose shuffle EXPANDS past
+# their input, e.g. posting-list pair generation — a static input-bytes
+# estimate cannot).
+#
+# The width is a measured TRADE, not free headroom: at 1024, iterative
+# graph queries (hits/trust_rank-class: ~dozens of tiny per-round stages,
+# localCheckpoint re-materializing the wide partitioning every round)
+# ran 2.3x slower at sf0.1 (best-of-5 interleaved: 4.1s -> 10.2s), while
+# 256 is statistically identical to the old core-derived default on small
+# shuffles AND passes the heavy-ten 8g-executor rehearsal with stock
+# defaults. 256 x 128 MB ≈ 32 GB per-shuffle capacity — an order beyond
+# anything this sandbox materializes; a 100-TB submitter raises it via
+# spark-submit --conf (or data_bytes_hint, which raises the floor and the
+# initial together) the same way it raises shuffle.partitions.
+AQE_INITIAL_PARTITIONS = 256
 
 
 def shuffle_partitions_for_bytes(

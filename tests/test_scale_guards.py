@@ -484,8 +484,10 @@ def test_stock_session_confs_are_data_aware(spark):
         == "true"
     )
     # stock constant: wide enough that an E=2 executor leg never sees
-    # core-count-sized corpus partitions (1024 x 128MB ~ 128GB headroom)
-    assert AQE_INITIAL_PARTITIONS >= 1024
+    # core-count-sized corpus partitions (256 x 128MB ~ 32GB per-shuffle
+    # capacity), narrow enough that iterative graph loops don't pay the
+    # measured 2.3x wide-start tax (session.py comment)
+    assert AQE_INITIAL_PARTITIONS >= 256
 
 
 def test_rehearsal_harness_defaults_to_stock_session():
