@@ -296,7 +296,9 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-partitioned ANN (coarse quantize -> probe n nearest cells ->
-    exact re-rank); rows-only (recall < 1 by design, like ann_lsh)."""
+    exact re-rank); FULL value oracle as of round 5: fitted centroids fed
+    to DuckDB as a table via the bit-exact local fit twin, assignment /
+    probes / re-rank replayed in SQL (_ann_ivf_oracle)."""
     from invoice_ocr_reconciler_spark.operators.similarity import ivf_topk
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -308,9 +310,10 @@ def q_ann_ivf_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN over int8-quantized codes + exact float re-rank
     (operators/similarity.py:ivf_sq8_topk): the memory-bound variant —
     probed-cell scans carry 1-byte codes instead of 8-byte floats, scale
-    cancels in cosine, the top rerank_factor*k re-rank exact. Rows-only
-    (k-means fit not SQL-replayable, like ann_ivf); recall parity with
-    ivf_topk pinned in tests."""
+    cancels in cosine, the top rerank_factor*k re-rank exact. FULL value
+    oracle as of round 5 (_ann_ivf_sq8_oracle): centroid table + the IEEE-
+    exact int8 quantizer + candidate window + exact re-rank replayed in
+    SQL; recall parity with ivf_topk pinned in tests."""
     from invoice_ocr_reconciler_spark.operators.similarity import ivf_sq8_topk
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -5155,7 +5158,9 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ADC top-k (operators/pq.py:pq_topk, m=4
     subspaces x 16 codes): corpus crosses Python once to encode, the
     O(corpus x queries) scoring stage is pure codegen table lookups over
-    m-int codes. Rows-only (k-means fit, the ann_ivf contract); encode
+    m-int codes. FULL value oracle as of round 5 (_ann_pq_oracle): the
+    codebooks fed as a table via the bit-exact local PQ fit twin, encoding
+    argmin + ADC sum + 1e-6 round + top-5 window replayed in SQL; encode
     parity, ADC exactness, and planted-neighbor recall pinned in
     tests/test_pq.py."""
     from invoice_ocr_reconciler_spark.operators.pq import (
@@ -8840,6 +8845,269 @@ def _semantic_dedup_oracle() -> str:
                     PARTITION BY coalesce(c.component, s.vec_id)
                     ORDER BY s.cent_sim ASC, s.vec_id ASC)) = 1 AS is_kept
         FROM scored s LEFT JOIN comp c USING (vec_id)
+    """
+
+
+def _load_emb_local():
+    """(ids, vecs) from the oracle sf dir's embeddings parquet, or None —
+    shared by every fitted-model-as-table oracle generator."""
+    import os as _os
+
+    try:
+        import numpy as np
+        import pyarrow.parquet as _pq
+
+        sf_dir = _os.environ.get(
+            "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+        )
+        tbl = _pq.read_table(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        ).to_pandas()
+        if len(tbl) == 0:
+            return None
+        ids = tbl["vec_id"].to_numpy()
+        vecs = np.stack(
+            [np.asarray(v, dtype=np.float64) for v in tbl["embedding"]]
+        )
+        return ids, vecs
+    except Exception:
+        return None
+
+
+def _cent_values(cent) -> str:
+    """(centroid_id, cvec) VALUES rows at full repr precision."""
+    return ",\n              ".join(
+        "(CAST(%d AS INT), CAST([%s] AS DOUBLE[]))"
+        % (i, ", ".join(repr(float(x)) for x in cent[i]))
+        for i in range(len(cent))
+    )
+
+
+# shared SQL fragments for the IVF-family oracles: corpus frame with
+# double vectors + cosine norm, nearest-cell assignment (numpy argmax ties
+# -> lowest centroid), and the n_probe query cells
+def _ivf_common(dim: int, n_probe: int) -> str:
+    rng = f"range(1, {dim + 1})"
+    return f"""
+        emb AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd
+            FROM embeddings),
+        nrm AS (
+            SELECT vec_id, vd,
+                   sqrt(list_sum(list_transform(vd, x -> x * x))) AS nd
+            FROM emb),
+        asg AS (
+            SELECT vec_id, centroid_id FROM (
+                SELECT n.vec_id, c.centroid_id,
+                       row_number() OVER (PARTITION BY n.vec_id
+                           ORDER BY list_sum(list_transform({rng},
+                               i -> (n.vd[i] / greatest(n.nd, 1e-12))
+                                    * c.cvec[i])) DESC,
+                               c.centroid_id) AS rn
+                FROM nrm n CROSS JOIN cent c)
+            WHERE rn = 1),
+        qprobe AS (
+            SELECT vec_id AS query_id, centroid_id FROM (
+                SELECT n.vec_id, c.centroid_id,
+                       row_number() OVER (PARTITION BY n.vec_id
+                           ORDER BY list_sum(list_transform({rng},
+                               i -> (n.vd[i] / greatest(n.nd, 1e-12))
+                                    * c.cvec[i])) DESC,
+                               c.centroid_id) AS rn
+                FROM nrm n CROSS JOIN cent c
+                WHERE n.vec_id < 10)
+            WHERE rn <= {n_probe})"""
+
+
+def _ann_ivf_oracle() -> str:
+    """ann_ivf value oracle (round 5): fitted 16-cell centroids from the
+    bit-exact local twin fed as a table; assignment, the 4 probed cells
+    per query, the exact round-6 cosine re-rank inside probed cells, and
+    the (cosine DESC, id) top-5 window replayed in SQL (semantic_dedup's
+    assignment replay, ann_brute_force's re-rank replay)."""
+    loaded = _load_emb_local()
+    if loaded is None:
+        return ""
+    try:
+        from invoice_ocr_reconciler_spark.operators.similarity import (
+            fit_ivf_centroids_local,
+        )
+
+        ids, vecs = loaded
+        cent = fit_ivf_centroids_local(ids, vecs, n_centroids=16)
+    except Exception:
+        return ""
+    if cent.size == 0:
+        return ""
+    dim = cent.shape[1]
+    rng = f"range(1, {dim + 1})"
+    return f"""
+        WITH cent(centroid_id, cvec) AS (VALUES
+              {_cent_values(cent)}),
+        {_ivf_common(dim, 4)},
+        scored AS (
+            SELECT q.query_id, n.vec_id AS neighbor_id,
+                   CASE WHEN qn.nd * n.nd = 0 THEN 0.0
+                        ELSE round(list_sum(list_transform({rng},
+                                 i -> qn.vd[i] * n.vd[i]))
+                             / (qn.nd * n.nd), 6)
+                   END AS cosine
+            FROM qprobe q
+            JOIN asg a ON a.centroid_id = q.centroid_id
+            JOIN nrm n ON n.vec_id = a.vec_id
+            JOIN nrm qn ON qn.vec_id = q.query_id
+            WHERE n.vec_id <> q.query_id)
+        SELECT query_id, neighbor_id, cosine,
+               CAST(rn AS INT) AS nb_rank
+        FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                       ORDER BY cosine DESC, neighbor_id) AS rn
+            FROM scored)
+        WHERE rn <= 5
+    """
+
+
+def _ann_ivf_sq8_oracle() -> str:
+    """ann_ivf_sq8 value oracle (round 5): same fitted-centroid table and
+    probed-cell structure as ann_ivf, plus the int8 quantizer replayed
+    exactly (scale = max|v|/127 and floor(v/scale + 0.5) are pure IEEE
+    ops — bit-identical across engines), the UNROUNDED approx-cosine
+    candidate window (top rerank_factor*k = 20), and the exact round-6
+    float re-rank."""
+    loaded = _load_emb_local()
+    if loaded is None:
+        return ""
+    try:
+        from invoice_ocr_reconciler_spark.operators.similarity import (
+            fit_ivf_centroids_local,
+        )
+
+        ids, vecs = loaded
+        cent = fit_ivf_centroids_local(ids, vecs, n_centroids=16)
+    except Exception:
+        return ""
+    if cent.size == 0:
+        return ""
+    dim = cent.shape[1]
+    rng = f"range(1, {dim + 1})"
+    return f"""
+        WITH cent(centroid_id, cvec) AS (VALUES
+              {_cent_values(cent)}),
+        {_ivf_common(dim, 4)},
+        q8 AS (
+            SELECT vec_id,
+                   CASE WHEN list_max(list_transform(vd, x -> abs(x))) > 0
+                        THEN list_transform(vd, x -> CAST(floor(
+                            x / (list_max(list_transform(vd, y -> abs(y)))
+                                 / 127.0) + 0.5) AS INT))
+                        ELSE list_transform(vd, x -> 0) END AS qv8
+            FROM nrm),
+        q8d AS (
+            SELECT q8.vec_id,
+                   list_transform(qv8, x -> CAST(x AS DOUBLE)) AS v8,
+                   sqrt(list_sum(list_transform(qv8,
+                       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS n8
+            FROM q8),
+        cands AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT q.query_id, n8d.vec_id AS neighbor_id,
+                       row_number() OVER (PARTITION BY q.query_id
+                           ORDER BY CASE WHEN qn.nd * n8d.n8 = 0 THEN 0.0
+                                ELSE list_sum(list_transform({rng},
+                                         i -> qn.vd[i] * n8d.v8[i]))
+                                     / (qn.nd * n8d.n8) END DESC,
+                               n8d.vec_id) AS cr
+                FROM qprobe q
+                JOIN asg a ON a.centroid_id = q.centroid_id
+                JOIN q8d n8d ON n8d.vec_id = a.vec_id
+                JOIN nrm qn ON qn.vec_id = q.query_id
+                WHERE n8d.vec_id <> q.query_id)
+            WHERE cr <= 20),
+        rr AS (
+            SELECT c.query_id, c.neighbor_id,
+                   CASE WHEN qn.nd * n.nd = 0 THEN 0.0
+                        ELSE round(list_sum(list_transform({rng},
+                                 i -> qn.vd[i] * n.vd[i]))
+                             / (qn.nd * n.nd), 6)
+                   END AS cosine
+            FROM cands c
+            JOIN nrm n ON n.vec_id = c.neighbor_id
+            JOIN nrm qn ON qn.vec_id = c.query_id)
+        SELECT query_id, neighbor_id, cosine,
+               CAST(rn AS INT) AS nb_rank
+        FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                       ORDER BY cosine DESC, neighbor_id) AS rn
+            FROM rr)
+        WHERE rn <= 5
+    """
+
+
+def _ann_pq_oracle() -> str:
+    """ann_pq value oracle (round 5): the m=4 x k=16 codebooks from the
+    bit-exact local PQ fit twin fed as a table; per-subspace argmin
+    encoding, the ADC distance sum, the 1e-6 round, and the
+    (dist ASC, id) top-5 window replayed in SQL."""
+    loaded = _load_emb_local()
+    if loaded is None:
+        return ""
+    try:
+        from invoice_ocr_reconciler_spark.operators.pq import (
+            fit_pq_codebooks_local,
+        )
+
+        ids, vecs = loaded
+        books = fit_pq_codebooks_local(ids, vecs, m=4, k=16)
+    except Exception:
+        return ""
+    if books.size == 0:
+        return ""
+    m, kk, sub_d = books.shape
+    dim = m * sub_d
+    rows = ",\n              ".join(
+        "(CAST(%d AS INT), CAST(%d AS INT), CAST([%s] AS DOUBLE[]))"
+        % (j, c, ", ".join(repr(float(x)) for x in books[j][c]))
+        for j in range(m)
+        for c in range(kk)
+    )
+    srng = f"range(1, {sub_d + 1})"
+    return f"""
+        WITH book(bj, bc, bvec) AS (VALUES
+              {rows}),
+        emb AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd
+            FROM embeddings),
+        enc AS (
+            SELECT vec_id, bj, bc FROM (
+                SELECT e.vec_id, b.bj, b.bc,
+                       row_number() OVER (PARTITION BY e.vec_id, b.bj
+                           ORDER BY list_sum(list_transform({srng},
+                               i -> (e.vd[b.bj * {sub_d} + i] - b.bvec[i])
+                                  * (e.vd[b.bj * {sub_d} + i] - b.bvec[i]))),
+                               b.bc) AS rn
+                FROM emb e CROSS JOIN book b)
+            WHERE rn = 1),
+        adc AS (
+            SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                   round(sum(list_sum(list_transform({srng},
+                       i -> (q.vd[en.bj * {sub_d} + i] - b.bvec[i])
+                          * (q.vd[en.bj * {sub_d} + i] - b.bvec[i])))), 6)
+                       AS adc_dist
+            FROM emb q
+            JOIN emb e ON e.vec_id <> q.vec_id
+            JOIN enc en ON en.vec_id = e.vec_id
+            JOIN book b ON b.bj = en.bj AND b.bc = en.bc
+            WHERE q.vec_id < 10
+            GROUP BY q.vec_id, e.vec_id)
+        SELECT query_id, neighbor_id, adc_dist,
+               CAST(rn AS INT) AS nb_rank
+        FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                       ORDER BY adc_dist ASC, neighbor_id) AS rn
+            FROM adc)
+        WHERE rn <= 5
     """
 
 
@@ -17539,6 +17807,16 @@ def oracle_sql() -> dict[str, str]:
     _al = _align_sentences_oracle()
     if _al:
         d["align_sentences"] = _al
+    # round 5: the IVF/PQ ANN paths — fitted models fed as tables (the
+    # local-fit-twin contract), search replayed in SQL
+    for _k, _gen in (
+        ("ann_ivf", _ann_ivf_oracle),
+        ("ann_ivf_sq8", _ann_ivf_sq8_oracle),
+        ("ann_pq", _ann_pq_oracle),
+    ):
+        _sql = _gen()
+        if _sql:
+            d[_k] = _sql
     return d
 
 

@@ -71,6 +71,15 @@ def fit_pq_codebooks(
     mat = deterministic_sample_matrix(vectors, sample_cap, id_col, vec_col)
     if mat.size == 0:
         return np.zeros((0, 0, 0), dtype=np.float64)
+    return _pq_codebooks_from_sample(mat, m, k, n_iter)
+
+
+def _pq_codebooks_from_sample(
+    mat: np.ndarray, m: int, k: int, n_iter: int
+) -> np.ndarray:
+    """The per-subspace Lloyd loop shared by the Spark fit and the
+    oracle-side local twin (fit_pq_codebooks_local) — one definition so
+    both produce bit-identical codebooks from the same sample matrix."""
     d = mat.shape[1]
     if d % m != 0:
         raise ValueError(f"dim {d} not divisible by m={m}")
@@ -90,6 +99,29 @@ def fit_pq_codebooks(
                     cent[c] = members.mean(axis=0)
         books[j] = cent
     return books
+
+
+def fit_pq_codebooks_local(
+    ids: np.ndarray,
+    vecs: np.ndarray,
+    m: int = 4,
+    k: int = 16,
+    n_iter: int = 10,
+    sample_cap: int = 4096,
+) -> np.ndarray:
+    """Driver/oracle-side twin of fit_pq_codebooks over in-memory arrays:
+    identical deterministic sample (similarity.local_sample_matrix) and
+    identical Lloyd loop, so it reproduces the Spark fit BIT-FOR-BIT
+    without a SparkSession — the ann_pq oracle feeds these codebooks to
+    DuckDB as a table (the fitted-centroid contract)."""
+    from invoice_ocr_reconciler_spark.operators.similarity import (
+        local_sample_matrix,
+    )
+
+    mat = local_sample_matrix(ids, vecs, sample_cap)
+    if mat.size == 0:
+        return np.zeros((0, 0, 0), dtype=np.float64)
+    return _pq_codebooks_from_sample(mat, m, k, n_iter)
 
 
 def _encode_mat(mat: np.ndarray, books: np.ndarray) -> np.ndarray:

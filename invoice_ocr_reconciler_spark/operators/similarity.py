@@ -633,14 +633,27 @@ def fit_ivf_centroids_local(
     can feed the fitted centroids in as a table and value-check everything
     downstream of the fit (assignment, pair graph, components, survivor)
     without a SparkSession at oracle-generation time."""
-    n = len(ids)
-    if n == 0:
+    if len(ids) == 0:
         return np.zeros((0, 0), dtype=np.float64)
     if n_centroids > sample_cap:
         raise ValueError(
             f"fit_ivf_centroids_local: n_centroids={n_centroids} exceeds "
             f"sample_cap={sample_cap}"
         )
+    mat = local_sample_matrix(ids, vecs, sample_cap)
+    return _kmeans_spherical(mat, n_centroids, n_iter)
+
+
+def local_sample_matrix(
+    ids: np.ndarray, vecs: np.ndarray, sample_cap: int
+) -> np.ndarray:
+    """In-memory twin of deterministic_sample_matrix: same xxhash64
+    keep-filter and (hash, id) top-K, so every local fit twin (IVF
+    centroids, PQ codebooks) trains on the byte-identical sample the
+    Spark fit sees."""
+    n = len(ids)
+    if n == 0:
+        return np.zeros((0, 0), dtype=np.float64)
     mod = 1_000_000
     keep = min(mod, int(mod * min(1.0, 3.0 * sample_cap / n)) + 1)
     hashes = np.array([xxhash64_long(int(i)) for i in ids], dtype=np.int64)
@@ -648,8 +661,7 @@ def fit_ivf_centroids_local(
     sel = np.where(m < keep)[0]
     order = np.lexsort((ids[sel], hashes[sel]))  # (hash, id) ascending
     take = sel[order][:sample_cap]
-    mat = np.asarray(vecs[take], dtype=np.float64)
-    return _kmeans_spherical(mat, n_centroids, n_iter)
+    return np.asarray(vecs[take], dtype=np.float64)
 
 
 def _nearest_centroids(mat: np.ndarray, cent: np.ndarray, n: int) -> np.ndarray:

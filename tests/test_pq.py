@@ -130,3 +130,30 @@ def test_pq_topk_partition_invariant(spark):
         map(tuple, pq_topk(df.repartition(9), q, books, k=5).collect())
     )
     assert a == b
+
+
+def test_fit_pq_codebooks_local_bit_identical(spark):
+    """fit_pq_codebooks_local (pure numpy) must reproduce the Spark-side
+    fit bit-for-bit -- the contract that lets the ann_pq oracle feed the
+    codebooks to DuckDB as a table."""
+    import numpy as np
+
+    from invoice_ocr_reconciler_spark.operators.pq import (
+        fit_pq_codebooks,
+        fit_pq_codebooks_local,
+    )
+
+    rng = np.random.default_rng(11)
+    n, dim = 200, 32
+    ids = np.arange(n, dtype=np.int64)
+    vecs = rng.normal(size=(n, dim)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(int(i), [float(x) for x in vecs[i]]) for i in ids],
+        "vec_id long, embedding array<float>",
+    )
+    for m, k in ((4, 8), (8, 16)):
+        b_spark = fit_pq_codebooks(df, m=m, k=k)
+        b_local = fit_pq_codebooks_local(
+            ids, vecs.astype(np.float64), m=m, k=k
+        )
+        assert np.array_equal(b_spark, b_local)

@@ -49,8 +49,8 @@ def _manifest_state(out_root: str) -> dict[int, int]:
     return state
 
 
-def _job(phase: str) -> list[str]:
-    return [
+def _job(phase: str, near_dup_exact: bool = False) -> list[str]:
+    cmd = [
         sys.executable,
         os.path.join(REPO, "jobs", "run_corpus_build_resumable.py"),
         "--pages", PAGES_PATH,
@@ -60,12 +60,19 @@ def _job(phase: str) -> list[str]:
         "--langs", LANGS,
         "--n-shards", "64",
     ]
+    if near_dup_exact:
+        cmd.append("--near-dup-exact")
+    return cmd
 
 
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("n_pages", nargs="?", type=int, default=1_200_000)
     ap.add_argument("--kill-after", type=float, default=150.0)
+    # round-5 verdict item 6: the exact-CC near-dup variant is the one a
+    # correctness-first 100-TB run picks (iterative connected components
+    # instead of the one-shot band-group approximation) -- soak it too
+    ap.add_argument("--near-dup-exact", action="store_true")
     args = ap.parse_args()
 
     if not os.path.isdir(PAGES_PATH):
@@ -78,7 +85,7 @@ def main() -> None:
     # leg A: extract phase, killed mid-run
     t0 = time.monotonic()
     child = subprocess.Popen(
-        _job("extract"), stdout=subprocess.DEVNULL,
+        _job("extract", args.near_dup_exact), stdout=subprocess.DEVNULL,
         stderr=subprocess.DEVNULL, start_new_session=True,
     )
     # poll during the wait so a leg that FINISHES before kill-after doesn't
@@ -102,7 +109,8 @@ def main() -> None:
     # leg B: resume + finish in a fresh process
     t1 = time.monotonic()
     out = subprocess.run(
-        _job("all"), capture_output=True, text=True, check=True
+        _job("all", args.near_dup_exact),
+        capture_output=True, text=True, check=True,
     )
     legB_wall = round(time.monotonic() - t1, 1)
     result = json.loads(out.stdout.strip().splitlines()[-1])
@@ -133,7 +141,8 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "soak": "corpus_build_resumable",
+                "soak": "corpus_build_resumable"
+                        + ("_exact_cc" if args.near_dup_exact else ""),
                 "n_pages": stats["n_pages_in"],
                 "legA_wall_sec_killed": legA_wall,
                 "legA_buckets_committed": len(committed_legA),
