@@ -974,8 +974,10 @@ def q_reconcile_summary_invariants(spark: SparkSession, sf_dir: str) -> DataFram
 
 def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Measured recall@5 of the ANN scale paths vs the exact baseline —
-    turns 'recall < 1 by design' into a regression-guarded number
-    (rows-only: the truth set itself comes from the Spark baseline)."""
+    turns 'recall < 1 by design' into a regression-guarded number.
+    FULL value oracle as of round 5 (_ann_recall_oracle): all 14 legs
+    AND the truth set replayed in one SQL from the shared hyperplane /
+    fitted-centroid / codebook blocks."""
     from invoice_ocr_reconciler_spark.operators.pq import (
         fit_pq_codebooks,
         pq_topk,
@@ -4738,8 +4740,10 @@ def q_pca_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     one k=32 fit (eigenvectors nest, so k=8/16 models are slices of it),
     brute-force top-5 in each reduced space vs the full-space truth, plus
     the cumulative explained-variance ratio per k on the 1e-4 grid.
-    Rows-only: the fit is a driver-side eigendecomposition (IVF-centroid
-    contract) and the truth set comes from the Spark baseline.
+    FULL value oracle as of round 5 (_pca_recall_oracle): the k=32 model
+    from the bit-exact local fit twin (exact integer moments + shared
+    eigh reconstruction) fed as tables, projection / truth / per-width
+    recall replayed in SQL.
 
     Note the synthetic embeddings are near-ISOTROPIC (k=32 of 64 dims
     explains only ~0.65 of variance), so recall here is a floor for the
@@ -9108,6 +9112,389 @@ def _ann_pq_oracle() -> str:
                        ORDER BY adc_dist ASC, neighbor_id) AS rn
             FROM adc)
         WHERE rn <= 5
+    """
+
+
+def _ann_recall_oracle() -> str:
+    """ann_recall value oracle (round 5): all 14 measured-recall legs
+    replayed in ONE SQL — the truth set included, so the last 'truth
+    comes from Spark' excuse is gone.
+
+    Shared blocks, each already proven by a passing single-path oracle:
+    the md5-seeded hyperplane family over 16 tables (ann_lsh — legs
+    differ only in table-range and flip-count filters), the fitted
+    16-cell centroid table + assignment/probe windows (ann_ivf), the
+    IEEE-exact int8 quantizer + top-20 candidate window (ann_ivf_sq8),
+    the m=4/m=8 codebook tables + ADC (ann_pq), and the brute-force
+    truth pass (ann_brute_force). Each leg's top-5 pair set joins the
+    truth pairs; recall = round(hits/total, 4) exactly as
+    recall_vs_truth computes it."""
+    loaded = _load_emb_local()
+    if loaded is None:
+        return ""
+    try:
+        from invoice_ocr_reconciler_spark.operators.pq import (
+            fit_pq_codebooks_local,
+        )
+        from invoice_ocr_reconciler_spark.operators.similarity import (
+            fit_ivf_centroids_local,
+        )
+
+        ids, vecs = loaded
+        cent = fit_ivf_centroids_local(ids, vecs, n_centroids=16)
+        books = {
+            m: fit_pq_codebooks_local(ids, vecs, m=m, k=16) for m in (4, 8)
+        }
+    except Exception:
+        return ""
+    if cent.size == 0 or any(b.size == 0 for b in books.values()):
+        return ""
+    dim = cent.shape[1]
+    rng = f"range(1, {dim + 1})"
+
+    # --- per-leg CTE builders -------------------------------------------
+    def lsh_leg(s: str, tables: int, flips: int) -> str:
+        probe = f"""
+        qp_{s} AS (
+            SELECT vec_id AS query_id, t, bucket FROM buckets
+            WHERE vec_id < 10 AND t < {tables}"""
+        if flips > 0:
+            probe += f"""
+            UNION ALL
+            SELECT b.vec_id, b.t,
+                   xor(b.bucket, 1::BIGINT << CAST(r.p AS INT))
+            FROM buckets b
+            JOIN qrank r ON b.vec_id = r.vec_id AND b.t = r.t
+            WHERE b.vec_id < 10 AND b.t < {tables} AND r.rk <= {flips}"""
+        probe += ")"
+        return f"""{probe},
+        top_{s} AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT a.query_id, a.neighbor_id,
+                       row_number() OVER (PARTITION BY a.query_id
+                           ORDER BY round(list_cosine_similarity(
+                               qv.v, cv.v), 6) DESC, a.neighbor_id) AS rnk
+                FROM (SELECT DISTINCT q.query_id, c.vec_id AS neighbor_id
+                      FROM qp_{s} q
+                      JOIN cbuck c ON q.t = c.t AND q.bucket = c.bucket
+                      WHERE c.vec_id <> q.query_id) a
+                JOIN vec qv ON a.query_id = qv.vec_id
+                JOIN vec cv ON a.neighbor_id = cv.vec_id)
+            WHERE rnk <= 5)"""
+
+    def ivf_leg(s: str, probe: int) -> str:
+        return f"""
+        top_{s} AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT q.query_id, n.vec_id AS neighbor_id,
+                       row_number() OVER (PARTITION BY q.query_id
+                           ORDER BY CASE WHEN qn.nd * n.nd = 0 THEN 0.0
+                                ELSE round(list_sum(list_transform({rng},
+                                         i -> qn.vd[i] * n.vd[i]))
+                                     / (qn.nd * n.nd), 6) END DESC,
+                               n.vec_id) AS rnk
+                FROM qcell q
+                JOIN asg a ON a.centroid_id = q.centroid_id
+                JOIN nrm n ON n.vec_id = a.vec_id
+                JOIN nrm qn ON qn.vec_id = q.query_id
+                WHERE q.rn <= {probe} AND n.vec_id <> q.query_id)
+            WHERE rnk <= 5)"""
+
+    def sq8_leg(s: str, probe: int) -> str:
+        return f"""
+        cands_{s} AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT q.query_id, n8d.vec_id AS neighbor_id,
+                       row_number() OVER (PARTITION BY q.query_id
+                           ORDER BY CASE WHEN qn.nd * n8d.n8 = 0 THEN 0.0
+                                ELSE list_sum(list_transform({rng},
+                                         i -> qn.vd[i] * n8d.v8[i]))
+                                     / (qn.nd * n8d.n8) END DESC,
+                               n8d.vec_id) AS cr
+                FROM qcell q
+                JOIN asg a ON a.centroid_id = q.centroid_id
+                JOIN q8d n8d ON n8d.vec_id = a.vec_id
+                JOIN nrm qn ON qn.vec_id = q.query_id
+                WHERE q.rn <= {probe} AND n8d.vec_id <> q.query_id)
+            WHERE cr <= 20),
+        top_{s} AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT c.query_id, c.neighbor_id,
+                       row_number() OVER (PARTITION BY c.query_id
+                           ORDER BY CASE WHEN qn.nd * n.nd = 0 THEN 0.0
+                                ELSE round(list_sum(list_transform({rng},
+                                         i -> qn.vd[i] * n.vd[i]))
+                                     / (qn.nd * n.nd), 6) END DESC,
+                               c.neighbor_id) AS rnk
+                FROM cands_{s} c
+                JOIN nrm n ON n.vec_id = c.neighbor_id
+                JOIN nrm qn ON qn.vec_id = c.query_id)
+            WHERE rnk <= 5)"""
+
+    def pq_leg(s: str, m: int) -> str:
+        kk = books[m].shape[1]
+        sub_d = books[m].shape[2]
+        srng = f"range(1, {sub_d + 1})"
+        rows = ",\n              ".join(
+            "(CAST(%d AS INT), CAST(%d AS INT), CAST([%s] AS DOUBLE[]))"
+            % (j, c, ", ".join(repr(float(x)) for x in books[m][j][c]))
+            for j in range(m)
+            for c in range(kk)
+        )
+        return f"""
+        book_{s}(bj, bc, bvec) AS (VALUES
+              {rows}),
+        enc_{s} AS (
+            SELECT vec_id, bj, bc FROM (
+                SELECT e.vec_id, b.bj, b.bc,
+                       row_number() OVER (PARTITION BY e.vec_id, b.bj
+                           ORDER BY list_sum(list_transform({srng},
+                               i -> (e.vd[b.bj * {sub_d} + i] - b.bvec[i])
+                                  * (e.vd[b.bj * {sub_d} + i] - b.bvec[i]))),
+                               b.bc) AS rn
+                FROM nrm e CROSS JOIN book_{s} b)
+            WHERE rn = 1),
+        top_{s} AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT query_id, neighbor_id,
+                       row_number() OVER (PARTITION BY query_id
+                           ORDER BY adc ASC, neighbor_id) AS rnk
+                FROM (
+                    SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                           round(sum(list_sum(list_transform({srng},
+                               i -> (q.vd[en.bj * {sub_d} + i] - b.bvec[i])
+                                  * (q.vd[en.bj * {sub_d} + i] - b.bvec[i])
+                           ))), 6) AS adc
+                    FROM nrm q
+                    JOIN nrm e ON e.vec_id <> q.vec_id
+                    JOIN enc_{s} en ON en.vec_id = e.vec_id
+                    JOIN book_{s} b ON b.bj = en.bj AND b.bc = en.bc
+                    WHERE q.vec_id < 10
+                    GROUP BY q.vec_id, e.vec_id))
+            WHERE rnk <= 5)"""
+
+    lsh_legs = [
+        ("lsh_default", "ld", 8, 4),
+        ("lsh_probe0", "lp0", 1, 0),
+        ("lsh_probe2", "lp2", 1, 2),
+        ("lsh_probe4", "lp4", 1, 4),
+        ("lsh_tables4", "lt4", 4, 0),
+        ("lsh_tables8_probe2", "lt8p2", 8, 2),
+        ("lsh_tables16_probe4", "lt16p4", 16, 4),
+    ]
+    ivf_legs = [
+        ("ivf_probe4", "i4", 4),
+        ("ivf_probe8", "i8", 8),
+        ("ivf_probe_all", "iall", 16),
+    ]
+    sq8_legs = [("ivf_sq8_probe8", "s8", 8), ("ivf_sq8_probe4", "s4", 4)]
+    pq_legs = [("pq_m4k16", "p4", 4), ("pq_m8k16", "p8", 8)]
+
+    leg_ctes = (
+        [lsh_leg(s, t, f) for _lbl, s, t, f in lsh_legs]
+        + [ivf_leg(s, p) for _lbl, s, p in ivf_legs]
+        + [sq8_leg(s, p) for _lbl, s, p in sq8_legs]
+        + [pq_leg(s, m) for _lbl, s, m in pq_legs]
+    )
+    all_legs = (
+        [(lbl, s) for lbl, s, _t, _f in lsh_legs]
+        + [(lbl, s) for lbl, s, _p in ivf_legs]
+        + [(lbl, s) for lbl, s, _p in sq8_legs]
+        + [(lbl, s) for lbl, s, _m in pq_legs]
+    )
+    rollup = "\n            UNION ALL".join(
+        f"""
+            SELECT '{lbl}' AS method,
+                   round(CAST((SELECT count(*) FROM top_{s} a
+                               JOIN truth t USING (query_id, neighbor_id))
+                              AS DOUBLE)
+                         / greatest((SELECT total FROM tot), 1), 4)
+                       AS recall"""
+        for lbl, s in all_legs
+    )
+    return f"""
+        WITH npc AS (
+            SELECT greatest(8, CAST(ceil(log2(greatest(
+                       count(*) / 64.0, 2.0))) AS INT)) AS np
+            FROM embeddings),
+        planes AS (
+            SELECT t, p, d,
+                   ('0x' || substr(md5(
+                        (CASE WHEN t = 0 THEN 'ann-lsh-v1'
+                              ELSE 'ann-lsh-v1:t' || t END)
+                        || ':' || p || ':' || d), 1, 8))::UBIGINT
+                       / 2147483648.0 - 1.0 AS w
+            FROM range(16) t0(t), range(40) t1(p), range({dim}) t2(d)
+            WHERE p < (SELECT np FROM npc)),
+        vec AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                FROM embeddings),
+        proj AS (
+            SELECT vec_id, t, p, sum(v[CAST(d AS INT) + 1] * w) AS dot
+            FROM vec, planes GROUP BY vec_id, t, p),
+        buckets AS (
+            SELECT vec_id, t,
+                   sum(CASE WHEN dot > 0 THEN (1::BIGINT << CAST(p AS INT))
+                            ELSE 0 END) AS bucket
+            FROM proj GROUP BY vec_id, t),
+        qrank AS (
+            SELECT vec_id, t, p,
+                   row_number() OVER (PARTITION BY vec_id, t
+                        ORDER BY floor(abs(dot) * 1e8 + 0.5), p) AS rk
+            FROM proj WHERE vec_id < 10),
+        cbuck AS (
+            SELECT vec_id, t, bucket FROM buckets
+            QUALIFY row_number() OVER (PARTITION BY t, bucket
+                                       ORDER BY vec_id) <= 256),
+        cent(centroid_id, cvec) AS (VALUES
+              {_cent_values(cent)}),
+        nrm AS (
+            SELECT vec_id, v AS vd,
+                   sqrt(list_sum(list_transform(v, x -> x * x))) AS nd
+            FROM vec),
+        asg AS (
+            SELECT vec_id, centroid_id FROM (
+                SELECT n.vec_id, c.centroid_id,
+                       row_number() OVER (PARTITION BY n.vec_id
+                           ORDER BY list_sum(list_transform({rng},
+                               i -> (n.vd[i] / greatest(n.nd, 1e-12))
+                                    * c.cvec[i])) DESC,
+                               c.centroid_id) AS rn
+                FROM nrm n CROSS JOIN cent c)
+            WHERE rn = 1),
+        qcell AS (
+            SELECT n.vec_id AS query_id, c.centroid_id,
+                   row_number() OVER (PARTITION BY n.vec_id
+                       ORDER BY list_sum(list_transform({rng},
+                           i -> (n.vd[i] / greatest(n.nd, 1e-12))
+                                * c.cvec[i])) DESC,
+                           c.centroid_id) AS rn
+            FROM nrm n CROSS JOIN cent c
+            WHERE n.vec_id < 10),
+        q8 AS (
+            SELECT vec_id,
+                   CASE WHEN list_max(list_transform(vd, x -> abs(x))) > 0
+                        THEN list_transform(vd, x -> CAST(floor(
+                            x / (list_max(list_transform(vd, y -> abs(y)))
+                                 / 127.0) + 0.5) AS INT))
+                        ELSE list_transform(vd, x -> 0) END AS qv8
+            FROM nrm),
+        q8d AS (
+            SELECT q8.vec_id,
+                   list_transform(qv8, x -> CAST(x AS DOUBLE)) AS v8,
+                   sqrt(list_sum(list_transform(qv8,
+                       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS n8
+            FROM q8),
+        truth AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                       row_number() OVER (PARTITION BY q.vec_id
+                           ORDER BY round(list_cosine_similarity(
+                               q.v, c.v), 6) DESC, c.vec_id) AS rnk
+                FROM vec q JOIN vec c ON c.vec_id <> q.vec_id
+                WHERE q.vec_id < 10)
+            WHERE rnk <= 5),
+        tot AS (SELECT count(*) AS total FROM truth),
+        {','.join(leg_ctes)}
+        SELECT method, recall FROM ({rollup})
+    """
+
+
+def _pca_recall_oracle() -> str:
+    """pca_recall value oracle (round 5): the k=32 PCA model from the
+    bit-exact local fit twin (exact integer moments -> shared eigh +
+    sign-fix reconstruction, operators/pca.py:pca_fit_local) fed to
+    DuckDB as component/mean tables; the projection (centered fold +
+    1e-6 floor-half-up snap), the per-width reduced-space brute-force
+    top-5 (eigenvectors nest, so width w = the first w coords), the
+    full-space truth pass, and the recall/explained rollup replayed in
+    SQL (matryoshka_recall's slice pattern + ann_brute_force's window)."""
+    loaded = _load_emb_local()
+    if loaded is None:
+        return ""
+    try:
+        from invoice_ocr_reconciler_spark.operators.pca import pca_fit_local
+
+        _ids, vecs = loaded
+        model = pca_fit_local(vecs, k=32)
+    except Exception:
+        return ""
+    dim = vecs.shape[1]
+    rng = f"range(1, {dim + 1})"
+    comp_rows = ",\n              ".join(
+        "(CAST(%d AS INT), CAST([%s] AS DOUBLE[]))"
+        % (i, ", ".join(repr(float(x)) for x in model["components"][i]))
+        for i in range(len(model["components"]))
+    )
+    mean_lit = "[" + ", ".join(repr(float(x)) for x in model["mean"]) + "]"
+    leg_rows = ", ".join(
+        "(CAST(%d AS INT), CAST(%s AS DOUBLE))"
+        % (kw, repr(float(sum(model["explained"][:kw]))))
+        for kw in (8, 16, 32)
+    )
+
+    def cosw(qs: str, cs: str) -> str:
+        nq = f"sqrt(list_sum(list_transform({qs}, x -> x * x)))"
+        nc = f"sqrt(list_sum(list_transform({cs}, x -> x * x)))"
+        dot = (
+            f"list_sum(list_transform(range(1, len({qs}) + 1), "
+            f"i -> ({qs})[i] * ({cs})[i]))"
+        )
+        return (
+            f"CASE WHEN {nq} * {nc} = 0 THEN 0.0 "
+            f"ELSE round({dot} / ({nq} * {nc}), 6) END"
+        )
+
+    return f"""
+        WITH comp(kidx, cw) AS (VALUES
+              {comp_rows}),
+        emb AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd
+            FROM embeddings),
+        cent AS (
+            SELECT vec_id,
+                   list_transform({rng}, i -> vd[i] - ({mean_lit})[i]) AS cv
+            FROM emb),
+        red AS (
+            SELECT c.vec_id, p.kidx,
+                   floor(list_sum(list_transform({rng},
+                       i -> c.cv[i] * p.cw[i])) * 1000000.0 + 0.5)
+                       / 1000000.0 AS coord
+            FROM cent c CROSS JOIN comp p),
+        rv AS (
+            SELECT vec_id, list(coord ORDER BY kidx) AS rall
+            FROM red GROUP BY vec_id),
+        truth AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                       row_number() OVER (PARTITION BY q.vec_id
+                           ORDER BY {cosw('q.vd', 'c.vd')} DESC,
+                               c.vec_id) AS rnk
+                FROM emb q JOIN emb c ON c.vec_id <> q.vec_id
+                WHERE q.vec_id < 10)
+            WHERE rnk <= 5),
+        legs(kw, expl) AS (VALUES {leg_rows}),
+        apk AS (
+            SELECT kw, query_id, neighbor_id FROM (
+                SELECT l.kw, q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                       row_number() OVER (PARTITION BY l.kw, q.vec_id
+                           ORDER BY {cosw('q.rall[1:l.kw]', 'c.rall[1:l.kw]')}
+                                    DESC, c.vec_id) AS rnk
+                FROM legs l
+                CROSS JOIN rv q
+                JOIN rv c ON c.vec_id <> q.vec_id
+                WHERE q.vec_id < 10)
+            WHERE rnk <= 5),
+        h AS (
+            SELECT a.kw, count(*) AS hits
+            FROM apk a JOIN truth t USING (query_id, neighbor_id)
+            GROUP BY a.kw),
+        tot AS (SELECT count(*) AS total FROM truth)
+        SELECT 'pca_k' || CAST(l.kw AS VARCHAR) AS method,
+               round(CAST(coalesce(h.hits, 0) AS DOUBLE)
+                     / greatest(tot.total, 1), 4) AS recall,
+               round(l.expl, 4) AS explained
+        FROM legs l LEFT JOIN h ON h.kw = l.kw, tot
     """
 
 
@@ -17813,6 +18200,8 @@ def oracle_sql() -> dict[str, str]:
         ("ann_ivf", _ann_ivf_oracle),
         ("ann_ivf_sq8", _ann_ivf_sq8_oracle),
         ("ann_pq", _ann_pq_oracle),
+        ("pca_recall", _pca_recall_oracle),
+        ("ann_recall", _ann_recall_oracle),
     ):
         _sql = _gen()
         if _sql:

@@ -116,18 +116,32 @@ def pca_fit(
     if n == 0:
         raise ValueError("pca_fit: empty embedding frame")
     firsts = {r.i: r.s for r in rows if r.j == -1 and r.i >= 0}
+    seconds = {(r.i, r.j): r.s for r in rows if r.i >= 0 and r.j >= 0}
+    return _model_from_moments(int(n), firsts, seconds, k, grid)
+
+
+def _model_from_moments(
+    n: int,
+    firsts: dict[int, int],
+    seconds: dict[tuple[int, int], int],
+    k: int,
+    grid: int,
+) -> dict:
+    """Moments -> model, shared by the Spark fit and the oracle-side local
+    twin (pca_fit_local) — the moments are EXACT integers in both paths,
+    so one definition of the float reconstruction + eigh + sign fix makes
+    the two fits bit-identical."""
     d = len(firsts)
     if not 0 < k <= d:
         raise ValueError(f"pca_fit: k must be in 1..{d}, got {k}")
     g = float(grid)
     mean = np.array([firsts[i] for i in range(d)], dtype=np.float64) / (n * g)
     cov = np.zeros((d, d), dtype=np.float64)
-    for r in rows:
-        if r.i >= 0 and r.j >= 0:
-            # population covariance from exact integer moments
-            c = r.s / (n * g * g) - (firsts[r.i] / (n * g)) * (firsts[r.j] / (n * g))
-            cov[r.i, r.j] = c
-            cov[r.j, r.i] = c
+    for (i, j), s in seconds.items():
+        # population covariance from exact integer moments
+        c = s / (n * g * g) - (firsts[i] / (n * g)) * (firsts[j] / (n * g))
+        cov[i, j] = c
+        cov[j, i] = c
     vals, vecs = np.linalg.eigh(cov)  # ascending
     order = np.argsort(vals)[::-1][:k]
     comps = []
@@ -145,6 +159,26 @@ def pca_fit(
         "mean": [float(x) for x in mean],
         "n": int(n),
     }
+
+
+def pca_fit_local(vecs: np.ndarray, k: int, grid: int = GRID) -> dict:
+    """Oracle-side twin of pca_fit over an in-memory (n, d) matrix: the
+    same floor-half-up integer quantization and EXACT integer moments
+    (Python bigints, overflow-free), then the shared reconstruction —
+    bit-identical to the Spark fit (parity pinned in tests/test_pca.py).
+    Lets the pca_recall oracle feed the fitted components/mean to DuckDB
+    as tables without a SparkSession."""
+    n, d = vecs.shape
+    if n == 0:
+        raise ValueError("pca_fit_local: empty embedding frame")
+    q = np.floor(vecs.astype(np.float64) * grid + 0.5).astype(np.int64)
+    firsts = {i: int(q[:, i].sum()) for i in range(d)}
+    seconds = {
+        (i, j): int((q[:, i].astype(object) * q[:, j].astype(object)).sum())
+        for i in range(d)
+        for j in range(i, d)
+    }
+    return _model_from_moments(n, firsts, seconds, k, grid)
 
 
 def pca_project(
