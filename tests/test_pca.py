@@ -173,3 +173,29 @@ class TestRandomProjection:
         one = rp_project(df.coalesce(1), dim=6, k=3).orderBy("vec_id").collect()
         many = rp_project(df.repartition(11), dim=6, k=3).orderBy("vec_id").collect()
         assert [r.reduced for r in one] == [r.reduced for r in many]
+
+
+def test_pca_fit_local_bit_identical(spark):
+    """pca_fit_local (pure numpy/bigint moments) must reproduce the Spark
+    fit bit-for-bit -- the contract that lets the pca_recall oracle feed
+    the fitted components/mean to DuckDB as tables."""
+    import numpy as np
+
+    from invoice_ocr_reconciler_spark.operators.pca import (
+        pca_fit,
+        pca_fit_local,
+    )
+
+    rng = np.random.default_rng(13)
+    n, dim = 120, 12
+    vecs = rng.normal(size=(n, dim)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(int(i), [float(x) for x in vecs[i]]) for i in range(n)],
+        "vec_id long, embedding array<float>",
+    )
+    m_spark = pca_fit(df, k=8)
+    m_local = pca_fit_local(vecs.astype(np.float64), k=8)
+    assert m_spark["components"] == m_local["components"]
+    assert m_spark["explained"] == m_local["explained"]
+    assert m_spark["mean"] == m_local["mean"]
+    assert m_spark["n"] == m_local["n"]
