@@ -5,11 +5,14 @@ mapInPandas, Arrow batch shape, per-executor lazy decoder singleton. Two
 decode paths share that plumbing: ``fake=True`` (default) is the
 deterministic md5-derived stand-in the oracles replay; ``fake=False``
 uses a REAL pure-stdlib decoder for PNG (zlib inflate + per-row filters
-0-4, color types 0/2/3/4/6), uncompressed 24-bit BMP, and baseline
+0-4, color types 0/2/3/4/6), uncompressed 24-bit BMP, baseline
 sequential JPEG (SOF0 Huffman entropy decode, restart markers, float
-IDCT, chroma upsampling, JFIF color transform — round 4). Progressive/
-arithmetic JPEG, TIFF/WEBP, video demuxing and compressed audio still
-raise NotImplementedError per payload, keeping the gate honest.
+IDCT, chroma upsampling, JFIF color transform — round 4), and
+PROGRESSIVE JPEG (SOF2 spectral selection + successive approximation,
+DC/AC first+refinement scans with EOBRUN and correction bits per T.81
+G.1.2 — round 5). Arithmetic-coded/12-bit/hierarchical JPEG, TIFF/WEBP,
+video demuxing and compressed audio still raise NotImplementedError per
+payload, keeping the gate honest.
 
 At 100 TB the rules that matter here: never let the binary column through a
 shuffle you don't need (project it away before joins/aggs), bound Arrow batch
@@ -76,10 +79,11 @@ class _FakeDecoder:
 
 class _RealDecoder:
     """Pure-stdlib image decode (PNG, uncompressed 24-bit BMP, baseline
-    JPEG) — no Pillow/ffmpeg in the sandbox; PNG is zlib + per-row
-    filters and baseline JPEG a ~250-line Huffman+IDCT pipeline
-    (_decode_jpeg). Formats still needing a codec lib (progressive JPEG,
-    TIFF, WEBP, video) raise, keeping the gate honest.
+    AND progressive JPEG) — no Pillow/ffmpeg in the sandbox; PNG is zlib
+    + per-row filters and JPEG a Huffman+IDCT pipeline with the T.81
+    G.1.2 progressive entropy decoders (_decode_jpeg). Formats still
+    needing a codec lib (TIFF, WEBP, video, arithmetic-coded JPEG)
+    raise, keeping the gate honest.
 
     decode_image returns (width, height, feature) with the SAME shape
     contract as the fake decoder: an 8-dim float32 feature — here the
@@ -95,8 +99,9 @@ class _RealDecoder:
             w, h, pix = _decode_jpeg(payload)
         else:
             raise NotImplementedError(
-                "real decode implemented for PNG, 24-bit BMP and baseline "
-                "JPEG only (stdlib path); other formats need a codec lib"
+                "real decode implemented for PNG, 24-bit BMP and "
+                "baseline/progressive JPEG only (stdlib path); other "
+                "formats need a codec lib"
             )
         lum = pix.astype(np.float32).mean(axis=2) / 255.0  # (h, w)
         rows = np.array_split(lum, 2, axis=0)
@@ -312,18 +317,80 @@ def _jpeg_extend(v: int, s: int) -> int:
     return v if s == 0 or v >= (1 << (s - 1)) else v - (1 << s) + 1
 
 
-def _decode_jpeg(payload: bytes) -> tuple[int, int, np.ndarray]:
-    """Baseline sequential JPEG (SOF0, 8-bit, Huffman) per ITU-T T.81:
-    marker parse -> per-MCU Huffman entropy decode (restart-interval
-    aware) -> dequantize -> dezigzag -> float IDCT -> chroma upsample ->
-    JFIF YCbCr->RGB. 1-component (grayscale) and 3-component frames with
-    any h/v sampling factors dividing the max (4:4:4, 4:2:2, 4:2:0, ...).
+def _jpeg_ecs(payload: bytes, start: int) -> tuple[list[bytes], int]:
+    """Destuffed entropy-coded data from ``start``, split at RST markers.
+    Returns (segments, next_pos) where next_pos is the 0xFF of the first
+    non-RST marker after the scan (EOI, DHT, the next SOS, ...)."""
+    segments: list[bytes] = []
+    cur = bytearray()
+    p, n = start, len(payload)
+    while p < n:
+        b = payload[p]
+        if b == 0xFF and p + 1 < n:
+            nx = payload[p + 1]
+            if nx == 0x00:
+                cur.append(0xFF)
+                p += 2
+                continue
+            if 0xD0 <= nx <= 0xD7:  # RSTn
+                segments.append(bytes(cur))
+                cur = bytearray()
+                p += 2
+                continue
+            break  # a real marker ends this scan's ECS
+        cur.append(b)
+        p += 1
+    segments.append(bytes(cur))
+    return segments, p
 
-    Progressive (SOF2), extended/lossless/hierarchical frames, arithmetic
-    coding (DAC), and 12-bit precision raise NotImplementedError — the
-    honest-gate contract; corrupt streams raise ValueError. Pure-Python
-    bit loop: a correctness decoder for the Spark plumbing gate, not a
-    throughput codec (real deployments put libjpeg-turbo behind the same
+
+def _jpeg_scan_units(
+    sel, comps, fh: int, fw: int, mcux: int, mcuy: int
+) -> list[list[tuple[int, int, int]]]:
+    """Entropy-decode units for one scan: each unit is the list of
+    (comp_idx, block_y, block_x) coded between restart checks. Interleaved
+    scans (ns > 1) iterate MCUs; single-component scans iterate that
+    component's ceil(size/8) block raster (T.81 A.2.2 — NOT padded to MCU
+    geometry)."""
+    units: list[list[tuple[int, int, int]]] = []
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    if len(sel) > 1:
+        for my in range(mcuy):
+            for mx in range(mcux):
+                unit = []
+                for ci, _td, _ta in sel:
+                    _, hs, vs, _ = comps[ci]
+                    for by in range(vs):
+                        for bx in range(hs):
+                            unit.append((ci, my * vs + by, mx * hs + bx))
+                units.append(unit)
+    else:
+        ci = sel[0][0]
+        _, hs, vs, _ = comps[ci]
+        cw = (fw * hs + hmax - 1) // hmax
+        ch = (fh * vs + vmax - 1) // vmax
+        for by in range((ch + 7) // 8):
+            for bx in range((cw + 7) // 8):
+                units.append([(ci, by, bx)])
+    return units
+
+
+def _decode_jpeg(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """Sequential (SOF0, incl. multi-scan) and PROGRESSIVE (SOF2,
+    spectral selection + successive approximation) 8-bit Huffman JPEG per
+    ITU-T T.81: marker parse -> per-scan entropy decode into a
+    coefficient store (restart-interval aware; DC first/refine, AC
+    first/refine with EOBRUN and correction bits per G.1.2) ->
+    dequantize -> dezigzag -> float IDCT -> chroma upsample -> JFIF
+    YCbCr->RGB. 1-component (grayscale) and 3-component frames with any
+    h/v sampling factors dividing the max (4:4:4, 4:2:2, 4:2:0, ...).
+
+    Extended/lossless/hierarchical frames, arithmetic coding (DAC), and
+    12-bit precision raise NotImplementedError — the honest-gate
+    contract; corrupt streams raise ValueError. Pure-Python bit loop: a
+    correctness decoder for the Spark plumbing gate, not a throughput
+    codec (real deployments put libjpeg-turbo behind the same
     mapInPandas surface)."""
     import struct
 
@@ -332,16 +399,22 @@ def _decode_jpeg(payload: bytes) -> tuple[int, int, np.ndarray]:
     qt: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], dict] = {}
     frame = None  # (h, w, [(cid, hs, vs, tq), ...])
+    progressive = False
     restart = 0
-    scan = None  # ([(comp_idx, td, ta), ...], ecs_start)
+    scans = []  # (sel, Ss, Se, Ah, Al, restart, segments)
     pos = 2
     n = len(payload)
-    while pos + 4 <= n:
+    while pos + 2 <= n:
         if payload[pos] != 0xFF:
             raise ValueError("JPEG marker sync lost")
         m = payload[pos + 1]
-        if m == 0xD9:  # EOI before any scan
+        if m == 0xD9:  # EOI
             break
+        if m == 0x01 or 0xD0 <= m <= 0xD7:  # TEM / stray RST
+            pos += 2
+            continue
+        if pos + 4 > n:
+            raise ValueError("truncated JPEG segment header")
         (seglen,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
         seg = payload[pos + 4 : pos + 2 + seglen]
         if len(seg) != seglen - 2:
@@ -362,7 +435,7 @@ def _decode_jpeg(payload: bytes) -> tuple[int, int, np.ndarray]:
                     ).astype(np.int32)
                     sp += 128
                 qt[tq] = tbl  # zigzag order, as stored
-        elif m == 0xC0:  # SOF0 baseline
+        elif m in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
             prec, fh, fw, nc = struct.unpack(">BHHB", seg[:6])
             if prec != 8:
                 raise NotImplementedError("JPEG precision != 8 bits")
@@ -371,10 +444,12 @@ def _decode_jpeg(payload: bytes) -> tuple[int, int, np.ndarray]:
                 cid, hv, tq_ = seg[6 + 3 * c : 9 + 3 * c]
                 comps.append((cid, hv >> 4, hv & 15, tq_))
             frame = (fh, fw, comps)
-        elif m in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+            progressive = m == 0xC2
+        elif m in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                    0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"JPEG frame type SOF{m - 0xC0} (only baseline SOF0)"
+                f"JPEG frame type SOF{m - 0xC0} "
+                "(baseline SOF0 and progressive SOF2 only)"
             )
         elif m == 0xCC:  # DAC
             raise NotImplementedError("arithmetic-coded JPEG")
@@ -400,92 +475,165 @@ def _decode_jpeg(payload: bytes) -> tuple[int, int, np.ndarray]:
                     i for i, comp in enumerate(frame[2]) if comp[0] == cs
                 )
                 sel.append((idx, tda >> 4, tda & 15))
-            scan = (sel, pos + 2 + seglen)
-            break  # baseline: single scan; ECS follows
-        # APPn / COM / others: skip
+            ss, se, ahal = seg[1 + 2 * ns : 4 + 2 * ns]
+            segments, pos = _jpeg_ecs(payload, pos + 2 + seglen)
+            scans.append(
+                (sel, ss, se, ahal >> 4, ahal & 15, restart, segments)
+            )
+            continue
+        # APPn / COM / DNL / others: skip
         pos += 2 + seglen
-    if frame is None or scan is None:
+    if frame is None or not scans:
         raise ValueError("JPEG missing SOF/SOS")
     fh, fw, comps = frame
-    sel, ecs_start = scan
-
-    # split entropy-coded data at restart markers; destuff FF00 -> FF
-    segments: list[bytes] = []
-    cur = bytearray()
-    p = ecs_start
-    while p < n:
-        b = payload[p]
-        if b == 0xFF and p + 1 < n:
-            nx = payload[p + 1]
-            if nx == 0x00:
-                cur.append(0xFF)
-                p += 2
-                continue
-            if 0xD0 <= nx <= 0xD7:  # RSTn
-                segments.append(bytes(cur))
-                cur = bytearray()
-                p += 2
-                continue
-            if nx == 0xD9:  # EOI
-                break
-            if nx == 0xDA:
-                raise NotImplementedError("multi-scan JPEG (progressive?)")
-            p += 2
-            continue
-        cur.append(b)
-        p += 1
-    segments.append(bytes(cur))
 
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     mcux = (fw + 8 * hmax - 1) // (8 * hmax)
     mcuy = (fh + 8 * vmax - 1) // (8 * vmax)
-    planes = [
-        np.zeros((mcuy * c[2] * 8, mcux * c[1] * 8), dtype=np.float64)
+    # zigzag-order coefficient store per component, MCU-padded geometry
+    coeffs = [
+        np.zeros((mcuy * c[2], mcux * c[1], 64), dtype=np.int32)
         for c in comps
     ]
-    preds = [0] * len(comps)
-    seg_i = 0
-    bits = _JpegBits(segments[0])
-    mcu_n = 0
-    for my in range(mcuy):
-        for mx in range(mcux):
-            if restart and mcu_n and mcu_n % restart == 0:
+
+    for sel, ss, se, ah, al, dri, segments in scans:
+        units = _jpeg_scan_units(sel, comps, fh, fw, mcux, mcuy)
+        preds = [0] * len(comps)
+        eobrun = 0
+        seg_i = 0
+        bits = _JpegBits(segments[0])
+        td_of = {ci: td for ci, td, _ta in sel}
+        ta_of = {ci: ta for ci, _td, ta in sel}
+        for u_n, unit in enumerate(units):
+            if dri and u_n and u_n % dri == 0:
                 seg_i += 1
                 if seg_i >= len(segments):
                     raise ValueError("JPEG missing restart segment")
                 bits = _JpegBits(segments[seg_i])
                 preds = [0] * len(comps)
-            for ci, td, ta in sel:
-                _, hs, vs, tq_ = comps[ci]
-                for by in range(vs):
-                    for bx in range(hs):
-                        zz = np.zeros(64, dtype=np.int32)
-                        t = _jpeg_huff_decode(bits, huff[(0, td)])
-                        diff = _jpeg_extend(bits.read_bits(t), t)
-                        preds[ci] += diff
-                        zz[0] = preds[ci]
-                        k = 1
-                        while k < 64:
-                            rs = _jpeg_huff_decode(bits, huff[(1, ta)])
+                eobrun = 0
+            for ci, by, bx in unit:
+                zz = coeffs[ci][by, bx]
+                if not progressive:
+                    # sequential: full DC+AC in one pass
+                    t = _jpeg_huff_decode(bits, huff[(0, td_of[ci])])
+                    preds[ci] += _jpeg_extend(bits.read_bits(t), t)
+                    zz[0] = preds[ci]
+                    k = 1
+                    while k < 64:
+                        rs = _jpeg_huff_decode(bits, huff[(1, ta_of[ci])])
+                        r, s = rs >> 4, rs & 15
+                        if s == 0:
+                            if r == 15:
+                                k += 16
+                                continue
+                            break  # EOB
+                        k += r
+                        if k > 63:
+                            raise ValueError("JPEG AC index overflow")
+                        zz[k] = _jpeg_extend(bits.read_bits(s), s)
+                        k += 1
+                elif ss == 0 and ah == 0:
+                    # progressive DC first (G.1.2.1): diff scaled by Al
+                    t = _jpeg_huff_decode(bits, huff[(0, td_of[ci])])
+                    preds[ci] += _jpeg_extend(bits.read_bits(t), t)
+                    zz[0] = preds[ci] << al
+                elif ss == 0:
+                    # DC refinement: one appended bit per block
+                    if bits.read_bit():
+                        zz[0] |= 1 << al
+                elif ah == 0:
+                    # AC first (G.1.2.2): band [ss, se], values scaled by
+                    # Al, EOBRUN spans blocks
+                    if eobrun > 0:
+                        eobrun -= 1
+                        continue
+                    k = ss
+                    while k <= se:
+                        rs = _jpeg_huff_decode(bits, huff[(1, ta_of[ci])])
+                        r, s = rs >> 4, rs & 15
+                        if s == 0:
+                            if r == 15:
+                                k += 16
+                                continue
+                            eobrun = (1 << r) - 1
+                            if r:
+                                eobrun += bits.read_bits(r)
+                            break
+                        k += r
+                        if k > se:
+                            raise ValueError("JPEG AC band overflow")
+                        zz[k] = _jpeg_extend(bits.read_bits(s), s) << al
+                        k += 1
+                else:
+                    # AC refinement (G.1.2.3): new coefficients appear at
+                    # +-1<<Al; every already-nonzero coefficient passed on
+                    # the way consumes one correction bit
+                    p1, m1 = 1 << al, -1 << al
+                    k = ss
+                    if eobrun == 0:
+                        while k <= se:
+                            rs = _jpeg_huff_decode(
+                                bits, huff[(1, ta_of[ci])]
+                            )
                             r, s = rs >> 4, rs & 15
                             if s == 0:
-                                if r == 15:
-                                    k += 16
-                                    continue
-                                break  # EOB
-                            k += r
-                            if k > 63:
-                                raise ValueError("JPEG AC index overflow")
-                            zz[k] = _jpeg_extend(bits.read_bits(s), s)
+                                if r != 15:
+                                    eobrun = (1 << r)
+                                    if r:
+                                        eobrun += bits.read_bits(r)
+                                    break
+                                newval = 0  # ZRL: skip 16 zero-history
+                            else:
+                                if s != 1:
+                                    raise ValueError(
+                                        "JPEG AC refinement size != 1"
+                                    )
+                                newval = p1 if bits.read_bit() else m1
+                            while k <= se:
+                                if zz[k] != 0:
+                                    if bits.read_bit():
+                                        if (zz[k] & p1) == 0:
+                                            zz[k] += p1 if zz[k] > 0 else m1
+                                else:
+                                    if r == 0:
+                                        break
+                                    r -= 1
+                                k += 1
+                            if k > se:
+                                break
+                            if newval:
+                                zz[k] = newval
                             k += 1
-                        coef = np.zeros(64, dtype=np.float64)
-                        coef[_ZIGZAG] = zz * qt[tq_]
-                        block = _DCT_A.T @ coef.reshape(8, 8) @ _DCT_A
-                        y0 = (my * vs + by) * 8
-                        x0 = (mx * hs + bx) * 8
-                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = block + 128.0
-            mcu_n += 1
+                    if eobrun > 0:
+                        # EOB run: only correction bits for the remaining
+                        # nonzero coefficients of this block
+                        while k <= se:
+                            if zz[k] != 0:
+                                if bits.read_bit():
+                                    if (zz[k] & p1) == 0:
+                                        zz[k] += p1 if zz[k] > 0 else m1
+                            k += 1
+                        eobrun -= 1
+
+    # reconstruction: dequantize + dezigzag + IDCT every block
+    planes = [
+        np.zeros((mcuy * c[2] * 8, mcux * c[1] * 8), dtype=np.float64)
+        for c in comps
+    ]
+    for ci, (_cid, hs, vs, tq_) in enumerate(comps):
+        if tq_ not in qt:
+            raise ValueError("JPEG missing quantization table")
+        q = qt[tq_]
+        for by in range(coeffs[ci].shape[0]):
+            for bx in range(coeffs[ci].shape[1]):
+                coef = np.zeros(64, dtype=np.float64)
+                coef[_ZIGZAG] = coeffs[ci][by, bx] * q
+                block = _DCT_A.T @ coef.reshape(8, 8) @ _DCT_A
+                planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                    block + 128.0
+                )
 
     # upsample each plane to full frame geometry, crop to (fh, fw)
     full = []

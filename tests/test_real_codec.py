@@ -412,11 +412,344 @@ def test_jpeg_unsupported_and_corrupt_raise():
     bw = _BitWriter()
     _enc_block(bw, 16, [], dcc, acc)
     good = _jpeg_fixture(8, 8, [(1, 1, 1)], bw.done())
-    with pytest.raises(NotImplementedError, match="SOF2"):
-        _decode_jpeg(good.replace(b"\xff\xc0", b"\xff\xc2"))
+    # SOF2 is SUPPORTED as of round 5 (see the progressive tests below);
+    # the still-unimplemented frame types keep raising
+    with pytest.raises(NotImplementedError, match="SOF3"):
+        _decode_jpeg(good.replace(b"\xff\xc0", b"\xff\xc3"))
     with pytest.raises(ValueError):
         _decode_jpeg(b"\xff\xd8\xff\xe0 not a png")  # truncated APP0
     dec = _RealDecoder()
     w, h, feat = dec.decode_image(good)  # routed through the real gate
     assert (w, h) == (8, 8) and feat.shape == (8,)
     assert np.allclose(feat, 130.0 / 255.0, atol=1e-6)  # q=1: dc 16 -> 2+128
+
+
+# --- round-5: progressive JPEG (SOF2) --------------------------------------
+# Spec-derived fixtures: the same coefficient planes encoded once as
+# baseline SOF0 and once as a progressive scan script (spectral selection
+# + successive approximation, T.81 G.1.2 — encoder mirrors libjpeg's
+# jcphuff ordering: symbol, sign bit, then buffered correction bits).
+# Decoding both must give IDENTICAL pixels.
+
+# progressive AC table: EOB-run symbols ((r<<4)|0), ZRL, newly-significant
+# ((r<<4)|1) and small first-scan sizes — all at code length 8 (canonical,
+# Kraft-satisfying, decoder-agnostic)
+_PAC_SYMS = bytes(
+    [0x00, 0x10, 0x20, 0x30, 0xF0]
+    + [(r << 4) | s for r in range(16) for s in (1, 2, 3)]
+)
+_PAC_COUNTS = [0, 0, 0, 0, 0, 0, 0, len(_PAC_SYMS), 0, 0, 0, 0, 0, 0, 0, 0]
+
+
+def _pac_codes():
+    return _huff_codes(_PAC_COUNTS, _PAC_SYMS)
+
+
+def _zz_to_pairs(zz):
+    """zigzag int array -> baseline (run, val) AC pairs (no ZRL needed in
+    these fixtures: runs stay < 16)."""
+    pairs, run = [], 0
+    for k in range(1, 64):
+        if zz[k] == 0:
+            run += 1
+            continue
+        assert run < 16, "fixture AC run needs ZRL"
+        pairs.append((run, int(zz[k])))
+        run = 0
+    return pairs
+
+
+def _enc_dc_first(bw, blocks, al, dcc):
+    pred = 0
+    for zz in blocks:
+        v = int(zz[0]) >> al  # arithmetic shift, like libjpeg's DC path
+        diff = v - pred
+        pred = v
+        s = _cat(diff)
+        bw.bits(*reversed(dcc[s]))
+        if s:
+            bw.bits(diff if diff >= 0 else diff + (1 << s) - 1, s)
+
+
+def _enc_dc_refine(bw, blocks, al):
+    for zz in blocks:
+        bw.bits((abs(int(zz[0])) >> al) & 1, 1)
+
+
+def _enc_ac_first(bw, blocks, ss, se, al, acc):
+    eobrun = 0
+
+    def flush():
+        nonlocal eobrun
+        if eobrun > 0:
+            r = eobrun.bit_length() - 1
+            bw.bits(*reversed(acc[r << 4]))
+            if r:
+                bw.bits(eobrun - (1 << r), r)
+            eobrun = 0
+
+    for zz in blocks:
+        run = 0
+        for k in range(ss, se + 1):
+            v = int(zz[k])
+            mag = (abs(v)) >> al  # magnitude shift (jcphuff AC path)
+            if mag == 0:
+                run += 1
+                continue
+            flush()
+            while run > 15:
+                bw.bits(*reversed(acc[0xF0]))
+                run -= 16
+            s = mag.bit_length()
+            bw.bits(*reversed(acc[(run << 4) | s]))
+            sv = mag if v >= 0 else -mag
+            bw.bits(sv if sv >= 0 else sv + (1 << s) - 1, s)
+            run = 0
+        if run > 0:
+            eobrun += 1
+    flush()
+
+
+def _enc_ac_refine(bw, blocks, ss, se, al, acc):
+    eobrun = 0
+    br = []  # correction bits deferred with the pending EOB run
+
+    def flush():
+        nonlocal eobrun, br
+        if eobrun > 0:
+            r = eobrun.bit_length() - 1
+            bw.bits(*reversed(acc[r << 4]))
+            if r:
+                bw.bits(eobrun - (1 << r), r)
+        for b in br:
+            bw.bits(b, 1)
+        eobrun, br = 0, []
+
+    for zz in blocks:
+        absv = [abs(int(zz[k])) >> al for k in range(64)]
+        run, cur = 0, []
+        for k in range(ss, se + 1):
+            t = absv[k]
+            if t == 0:
+                run += 1
+                continue
+            if t > 1:  # nonzero history: one correction bit
+                cur.append(t & 1)
+                continue
+            # newly significant at this precision
+            flush()
+            while run > 15:
+                bw.bits(*reversed(acc[0xF0]))
+                for b in cur:
+                    bw.bits(b, 1)
+                cur = []
+                run -= 16
+            bw.bits(*reversed(acc[(run << 4) | 1]))
+            bw.bits(1 if int(zz[k]) > 0 else 0, 1)
+            for b in cur:
+                bw.bits(b, 1)
+            cur, run = [], 0
+        if run > 0 or cur:
+            eobrun += 1
+            br.extend(cur)
+    flush()
+
+
+def _jpeg_prog_fixture(w, h, comps, scans, qt=None, sof=0xC2):
+    """Multi-scan fixture (SOF2 by default; sof=0xC0 builds the baseline
+    twin with the SAME Huffman tables). scans: [(sel_cids, ss, se, ah,
+    al, ecs_bytes)] — DC table 0 + rich AC table 0 shared by every
+    scan."""
+    qt = qt if qt is not None else bytes([1] * 64)
+    out = b"\xff\xd8"
+    out += _seg(0xDB, b"\x00" + qt)
+    sofb = struct.pack(">BHHB", 8, h, w, len(comps))
+    for cid, hs, vs in comps:
+        sofb += bytes([cid, (hs << 4) | vs, 0])
+    out += _seg(sof, sofb)
+    out += _seg(0xC4, b"\x00" + bytes(_DC_COUNTS) + _DC_SYMS)
+    out += _seg(0xC4, b"\x10" + bytes(_PAC_COUNTS) + _PAC_SYMS)
+    for cids, ss, se, ah, al, ecs in scans:
+        sosb = bytes([len(cids)])
+        for cid in cids:
+            sosb += bytes([cid, 0x00])
+        sosb += bytes([ss, se, (ah << 4) | al])
+        out += _seg(0xDA, sosb) + ecs
+    return out + b"\xff\xd9"
+
+
+def _prog_gray_blocks():
+    """Three 8x8 blocks with structure exercising every scan type:
+    odd/even DCs (refine bits 1/0), negative DC (floor shift), refinement
+    corrections on existing coefs, a newly-significant coef behind >16
+    zero-history positions (ZRL in refinement), and an EOB run spanning
+    the trailing two blocks of the high band."""
+    b0 = np.zeros(64, dtype=np.int64)
+    b0[0], b0[1], b0[4], b0[20], b0[35] = 21, 5, -3, 1, 2
+    b1 = np.zeros(64, dtype=np.int64)
+    b1[0], b1[2], b1[19] = -9, 7, -1
+    b2 = np.zeros(64, dtype=np.int64)
+    b2[0], b2[3] = 12, 3
+    return [b0, b1, b2]
+
+
+def _prog_gray_fixture(blocks, qt):
+    dcc, acc = _huff_codes(_DC_COUNTS, _DC_SYMS), _pac_codes()
+    scans = []
+    for enc, args in (
+        (_enc_dc_first, (blocks, 1, dcc)),
+        (_enc_dc_refine, (blocks, 0)),
+    ):
+        bw = _BitWriter()
+        enc(bw, *args)
+        ss_se_ah_al = (0, 0, 0, 1) if enc is _enc_dc_first else (0, 0, 1, 0)
+        scans.append(([1], *ss_se_ah_al, bw.done()))
+    for ss, se, ah, al, enc in (
+        (1, 20, 0, 1, _enc_ac_first),
+        (21, 63, 0, 1, _enc_ac_first),
+        (1, 20, 1, 0, _enc_ac_refine),
+        (21, 63, 1, 0, _enc_ac_refine),
+    ):
+        bw = _BitWriter()
+        enc(bw, blocks, ss, se, al, acc)
+        scans.append(([1], ss, se, ah, al, bw.done()))
+    return _jpeg_prog_fixture(24, 8, [(1, 1, 1)], scans, qt=qt)
+
+
+def test_jpeg_progressive_gray_matches_baseline():
+    blocks = _prog_gray_blocks()
+    qt = bytes([2] * 64)
+    # baseline twin: same coefficients, sequential encoding, same tables
+    dcc, acc = _huff_codes(_DC_COUNTS, _DC_SYMS), _pac_codes()
+    bw = _BitWriter()
+    pred = 0
+    for zz in blocks:
+        pairs = []
+        run = 0
+        for k in range(1, 64):
+            if zz[k] == 0:
+                run += 1
+                continue
+            while run > 15:
+                pairs.append((15, 0))  # ZRL
+                run -= 16
+            pairs.append((run, int(zz[k])))
+            run = 0
+        _enc_block_zrl(bw, int(zz[0]) - pred, pairs, dcc, acc)
+        pred = int(zz[0])
+    base = _jpeg_prog_fixture(
+        24, 8, [(1, 1, 1)], [([1], 0, 63, 0, 0, bw.done())], qt=qt,
+        sof=0xC0,
+    )
+    prog = _prog_gray_fixture(blocks, qt)
+    wb, hb, pb = _decode_jpeg(base)
+    wp, hp, pp = _decode_jpeg(prog)
+    assert (wb, hb) == (wp, hp) == (24, 8)
+    assert np.array_equal(pb, pp)
+    # the progressive stream is not trivially the baseline one
+    assert base != prog and b"\xff\xc2" in prog
+
+
+def _enc_block_zrl(bw, dc_diff, ac, dcc, acc):
+    """_enc_block with ZRL pairs allowed ((15, 0) entries)."""
+    s = _cat(dc_diff)
+    bw.bits(*reversed(dcc[s]))
+    if s:
+        bw.bits(dc_diff if dc_diff >= 0 else dc_diff + (1 << s) - 1, s)
+    for run, val in ac:
+        if (run, val) == (15, 0):
+            bw.bits(*reversed(acc[0xF0]))
+            continue
+        s = _cat(val)
+        bw.bits(*reversed(acc[(run << 4) | s]))
+        bw.bits(val if val >= 0 else val + (1 << s) - 1, s)
+    bw.bits(*reversed(acc[0x00]))  # EOB
+
+
+def test_jpeg_progressive_420_color_interleaved_dc():
+    """Interleaved DC scan (3 components, 4:2:0) + per-component AC
+    scans on the NON-padded block geometry; flat chroma, per-block luma
+    structure. Must equal the baseline 4:2:0 twin pixel-for-pixel."""
+    qt = bytes([2] * 64)
+    dcc = _huff_codes(_DC_COUNTS, _DC_SYMS)
+    acc = _pac_codes()
+    # 16x16 frame, 4:2:0: luma 4 blocks (2x2), each chroma 1 block
+    luma = []
+    for i, dc in enumerate((24, -8, 13, 40)):
+        zz = np.zeros(64, dtype=np.int64)
+        zz[0] = dc
+        zz[1 + i] = 4 + i  # one AC coef at a distinct zigzag slot
+        luma.append(zz)
+    cb = [np.zeros(64, dtype=np.int64)]
+    cb[0][0] = 6
+    cr = [np.zeros(64, dtype=np.int64)]
+    cr[0][0] = -10
+    # interleaved DC first scan: MCU order = 4 luma blocks, then cb, cr
+    bw = _BitWriter()
+    preds = {1: 0, 2: 0, 3: 0}
+    for cid, zz in [(1, luma[0]), (1, luma[1]), (1, luma[2]), (1, luma[3]),
+                    (2, cb[0]), (3, cr[0])]:
+        v = int(zz[0])
+        diff = v - preds[cid]
+        preds[cid] = v
+        s = _cat(diff)
+        bw.bits(*reversed(dcc[s]))
+        if s:
+            bw.bits(diff if diff >= 0 else diff + (1 << s) - 1, s)
+    scans = [([1, 2, 3], 0, 0, 0, 0, bw.done())]
+    for cid, blocks in ((1, luma), (2, cb), (3, cr)):
+        bw = _BitWriter()
+        _enc_ac_first(bw, blocks, 1, 63, 0, acc)
+        scans.append(([cid], 1, 63, 0, 0, bw.done()))
+    prog = _jpeg_prog_fixture(
+        16, 16, [(1, 2, 2), (2, 1, 1), (3, 1, 1)], scans, qt=qt
+    )
+    # baseline twin: same tables as the progressive stream
+    bw = _BitWriter()
+    predb = {1: 0, 2: 0, 3: 0}
+    for cid, zz in [(1, luma[0]), (1, luma[1]), (1, luma[2]), (1, luma[3]),
+                    (2, cb[0]), (3, cr[0])]:
+        _enc_block(bw, int(zz[0]) - predb[cid], _zz_to_pairs(zz), dcc, acc)
+        predb[cid] = int(zz[0])
+    base = _jpeg_prog_fixture(
+        16, 16, [(1, 2, 2), (2, 1, 1), (3, 1, 1)],
+        [([1, 2, 3], 0, 63, 0, 0, bw.done())], qt=qt, sof=0xC0,
+    )
+    wb, hb, pb = _decode_jpeg(base)
+    wp, hp, pp = _decode_jpeg(prog)
+    assert (wb, hb) == (wp, hp) == (16, 16)
+    assert np.array_equal(pb, pp)
+
+
+def test_jpeg_progressive_through_real_gate():
+    """The progressive stream decodes through the SAME _RealDecoder gate
+    (feature contract identical to every other format)."""
+    blocks = _prog_gray_blocks()
+    prog = _prog_gray_fixture(blocks, bytes([2] * 64))
+    dec = _RealDecoder()
+    w, h, feat = dec.decode_image(prog)
+    assert (w, h) == (24, 8) and feat.shape == (8,)
+    assert np.all((feat >= 0.0) & (feat <= 1.0))
+
+
+def test_jpeg_progressive_refinement_size_guard():
+    """An AC-refinement scan whose Huffman stream claims s=2 is corrupt
+    (refinement sizes must be 1) -- ValueError, not silent garbage."""
+    acc = _pac_codes()
+    bw = _BitWriter()
+    bw.bits(*reversed(acc[0x02]))  # s=2 in a refinement scan
+    bw.bits(3, 2)
+    jpg = _jpeg_prog_fixture(
+        8, 8, [(1, 1, 1)],
+        [([1], 0, 0, 0, 0, _BitWriter().done() if False else _dc_zero_ecs()),
+         ([1], 1, 63, 1, 0, bw.done())],
+    )
+    with pytest.raises(ValueError, match="refinement"):
+        _decode_jpeg(jpg)
+
+
+def _dc_zero_ecs():
+    dcc = _huff_codes(_DC_COUNTS, _DC_SYMS)
+    bw = _BitWriter()
+    bw.bits(*reversed(dcc[0]))  # one block, diff 0
+    return bw.done()
