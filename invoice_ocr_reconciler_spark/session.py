@@ -20,28 +20,31 @@ ARROW_MAX_RECORDS_PER_BATCH = 2048
 # reasonably-sized executor regardless of how few executors are running.
 SHUFFLE_BLOCK_TARGET_BYTES = 128 * 1024 * 1024
 
-# AQE's pre-coalesce partition count for the STOCK session. Shuffle
+# Stock shuffle-partition FLOOR, decoupled from core count. Shuffle
 # partitioning is a DATA property, not a core-count property — the round-4
-# executor rehearsal proved 2x-cores partitions put 1/8th of a corpus-sized
-# hash map in one task and OOM a correctly-sized 8 GB executor
-# (PLANS.md 'rehearsal-exec'). AQE can coalesce partitions but can NEVER
-# split them, so the safe stock default is: start every shuffle WIDE (this
-# constant) and let AQE coalesce to ~advisory-size blocks from the ACTUAL
-# map-output bytes (which also handles operators whose shuffle EXPANDS past
-# their input, e.g. posting-list pair generation — a static input-bytes
-# estimate cannot).
+# executor rehearsal proved 2x-cores partitions (8 at local-cluster[2,2])
+# concentrate a corpus-sized pair-join hash map into one task and OOM a
+# correctly-sized 8 GB executor (PLANS.md 'rehearsal-exec'), and AQE can
+# coalesce partitions but can NEVER split them. The floor is where the
+# round-5 measurements landed, from both directions:
 #
-# The width is a measured TRADE, not free headroom: at 1024, iterative
-# graph queries (hits/trust_rank-class: ~dozens of tiny per-round stages,
-# localCheckpoint re-materializing the wide partitioning every round)
-# ran 2.3x slower at sf0.1 (best-of-5 interleaved: 4.1s -> 10.2s), while
-# 256 is statistically identical to the old core-derived default on small
-# shuffles AND passes the heavy-ten 8g-executor rehearsal with stock
-# defaults. 256 x 128 MB ≈ 32 GB per-shuffle capacity — an order beyond
-# anything this sandbox materializes; a 100-TB submitter raises it via
-# spark-submit --conf (or data_bytes_hint, which raises the floor and the
-# initial together) the same way it raises shuffle.partitions.
-AQE_INITIAL_PARTITIONS = 256
+#   - a blanket WIDE start (AQE initialPartitionNum 1024, then 256) fixes
+#     the OOM but taxes every multi-stage pipeline at small scale —
+#     interleaved best-of-5 at sf0.1: hits 4.1s -> 10.2s at 1024 (2.3x);
+#     reconcile +39%, bt_strengths +42%, corpus_build +40% at 256 (the
+#     per-stage scheduler/fetch overhead times dozens of stages);
+#   - 64 is the config the executor rehearsal PASSED with (r4 hand-pin,
+#     now the stock value): all ten heavies at E=2/E=4 on 8 GB heaps,
+#     containment_pairs@50k included, AND it is exactly what local[32]
+#     already derived from 2x cores — so the bench regime is untouched.
+#
+# Below the floor AQE coalesces to actual map-output bytes (small jobs pay
+# nothing); above it, 64 x 128 MB ≈ 8 GB per shuffle stage before a
+# 100-TB submitter must raise it — via spark-submit --conf exactly as
+# they raise shuffle.partitions, or programmatically via
+# get_spark(data_bytes_hint=...) which sizes both knobs from input bytes
+# (shuffle_partitions_for_bytes).
+SHUFFLE_PARTITIONS_FLOOR = 64
 
 
 def shuffle_partitions_for_bytes(
@@ -99,14 +102,15 @@ def get_spark(
 
     ``cores`` defaults to $SPARK_GRAFT_CPUS or all local cores.
 
-    Shuffle sizing (stock): ``spark.sql.shuffle.partitions`` floors at
-    2x total cores, but every AQE-coalescible shuffle actually STARTS at
-    ``AQE_INITIAL_PARTITIONS`` and is coalesced from real map-output
-    bytes — data-aware by construction, so a 2-executor session running a
-    corpus-sized pair join no longer concentrates the corpus into
-    core-count partitions (the round-4 rehearsal OOM). Passing
-    ``data_bytes_hint`` (job input bytes) sizes the floor via
-    ``shuffle_partitions_for_bytes`` too; passing ``shuffle_partitions``
+    Shuffle sizing (stock): ``spark.sql.shuffle.partitions`` =
+    ``max(2 x total cores, SHUFFLE_PARTITIONS_FLOOR)`` with AQE starting
+    every coalescible shuffle there and coalescing from real map-output
+    bytes — the floor decouples width from core count, so a 2-executor
+    session running a corpus-sized pair join no longer concentrates the
+    corpus into core-count partitions (the round-4 rehearsal OOM), while
+    small jobs coalesce down and pay nothing. Passing ``data_bytes_hint``
+    (job input bytes) raises the floor via
+    ``shuffle_partitions_for_bytes``; passing ``shuffle_partitions``
     explicitly pins BOTH knobs to exactly that value (tests / plan pins
     rely on an exact count).
 
@@ -120,22 +124,18 @@ def get_spark(
         cores = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
     total = cores * (executors or 1)
     if shuffle_partitions is None:
-        # stock: AQE does the real sizing (initial wide, coalesce to
-        # blocks); this is only the floor + the count for exchanges AQE
-        # can't touch. A data_bytes_hint raises the floor for known-big
-        # jobs so even non-coalescible exchanges are data-sized.
-        initial_partitions = AQE_INITIAL_PARTITIONS
-        shuffle_partitions = max(2 * total, 8)
+        # stock: core-decoupled floor (see SHUFFLE_PARTITIONS_FLOOR);
+        # AQE coalesces small shuffles down from it, and a
+        # data_bytes_hint raises it for known-big jobs.
+        shuffle_partitions = max(2 * total, SHUFFLE_PARTITIONS_FLOOR)
         if data_bytes_hint is not None:
             shuffle_partitions = max(
                 shuffle_partitions,
                 shuffle_partitions_for_bytes(data_bytes_hint),
             )
-            initial_partitions = max(initial_partitions, shuffle_partitions)
-    else:
-        # explicit pin: the caller wants EXACTLY this many reduce tasks
-        # (determinism tests, goldens) — make AQE start there as well.
-        initial_partitions = shuffle_partitions
+    # AQE starts every coalescible shuffle at the same count (an explicit
+    # pin keeps exact reduce-task counts for determinism tests/goldens)
+    initial_partitions = shuffle_partitions
 
     # Python WORKERS do not inherit the driver's sys.path — a caller that
     # imported this package via sys.path manipulation from another cwd would

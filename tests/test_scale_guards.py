@@ -462,13 +462,14 @@ def test_shuffle_partitions_for_bytes_math():
 def test_stock_session_confs_are_data_aware(spark):
     """The conftest session pins shuffle_partitions=8 explicitly -- AQE
     must start exactly there (determinism pins stay exact). The STOCK
-    config path (no explicit pin) must instead start every AQE shuffle
-    wide so coalescing from actual map-output bytes does the sizing --
-    getOrCreate pins one session per process, so the stock path is
-    asserted on the builder-visible constant + harness default, and the
-    executor-JVM rehearsal artifact (dist/rehearsal_exec_r5_*.jsonl) is
-    the end-to-end evidence."""
-    from invoice_ocr_reconciler_spark.session import AQE_INITIAL_PARTITIONS
+    config path (no explicit pin) floors shuffle width at the
+    core-decoupled SHUFFLE_PARTITIONS_FLOOR so a few-executor session
+    never concentrates corpus-sized shuffles into core-count partitions
+    (the round-4 OOM) -- getOrCreate pins one session per process, so
+    the stock path is asserted on the builder-visible constant + harness
+    default, and the executor-JVM rehearsal artifact
+    (dist/rehearsal_exec_r5_*.jsonl) is the end-to-end evidence."""
+    from invoice_ocr_reconciler_spark.session import SHUFFLE_PARTITIONS_FLOOR
 
     # explicit-pin path: this session was built with shuffle_partitions=8
     assert spark.conf.get("spark.sql.shuffle.partitions") == "8"
@@ -483,11 +484,11 @@ def test_stock_session_confs_are_data_aware(spark):
         spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled")
         == "true"
     )
-    # stock constant: wide enough that an E=2 executor leg never sees
-    # core-count-sized corpus partitions (256 x 128MB ~ 32GB per-shuffle
-    # capacity), narrow enough that iterative graph loops don't pay the
-    # measured 2.3x wide-start tax (session.py comment)
-    assert AQE_INITIAL_PARTITIONS >= 256
+    # stock floor: the config the 8g-executor rehearsal passes with at
+    # E=2 (and what local[32] derives anyway) -- NOT wider: blanket wide
+    # starts (256/1024) measured 30-50% tax on multi-stage pipelines at
+    # sf0.1 (session.py comment, BENCH/BASELINE.md round-5 tables)
+    assert SHUFFLE_PARTITIONS_FLOOR == 64
 
 
 def test_rehearsal_harness_defaults_to_stock_session():

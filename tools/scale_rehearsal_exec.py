@@ -87,9 +87,10 @@ def main() -> None:
     # BytesToBytesMap blew the 8g executor budget (UNABLE_TO_ACQUIRE_MEMORY
     # on containment_pairs@50k — the failure class thread-mode local[32]
     # masks, because there 64 partitions come free with the core count).
-    # Round 5 moved that lesson INTO the library: the stock session starts
-    # every AQE shuffle at AQE_INITIAL_PARTITIONS and coalesces from actual
-    # map-output bytes (session.py), so this harness now runs STOCK
+    # Round 5 moved that lesson INTO the library: the stock session floors
+    # shuffle width at the core-decoupled SHUFFLE_PARTITIONS_FLOOR (64 —
+    # exactly this harness' round-4 pin) with AQE coalescing small
+    # shuffles down from it (session.py), so this harness now runs STOCK
     # defaults — passing here with no pin is the round-4 finding's
     # regression gate. REHEARSAL_SHUFFLE_PARTITIONS remains as an A/B
     # override (e.g. set it to 8 to reproduce the round-4 OOM).
