@@ -471,14 +471,19 @@ def test_stock_session_confs_are_data_aware(spark):
     (dist/rehearsal_exec_r5_*.jsonl) is the end-to-end evidence."""
     from invoice_ocr_reconciler_spark.session import SHUFFLE_PARTITIONS_FLOOR
 
-    # explicit-pin path: this session was built with shuffle_partitions=8
-    assert spark.conf.get("spark.sql.shuffle.partitions") == "8"
+    # the two knobs are COUPLED by get_spark (explicit pin or stock floor
+    # alike); the literal value is order-dependent across the shared
+    # getOrCreate session (conftest pins 8, but another test file may
+    # have built the process session stock-first), so assert the
+    # invariant, not the number
+    sp = spark.conf.get("spark.sql.shuffle.partitions")
     assert (
         spark.conf.get(
             "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
         )
-        == "8"
+        == sp
     )
+    assert int(sp) >= 8
     assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
     assert (
         spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled")
