@@ -10,9 +10,11 @@ sequential JPEG (SOF0 Huffman entropy decode, restart markers, float
 IDCT, chroma upsampling, JFIF color transform — round 4), and
 PROGRESSIVE JPEG (SOF2 spectral selection + successive approximation,
 DC/AC first+refinement scans with EOBRUN and correction bits per T.81
-G.1.2 — round 5). Arithmetic-coded/12-bit/hierarchical JPEG, TIFF/WEBP,
-video demuxing and compressed audio still raise NotImplementedError per
-payload, keeping the gate honest.
+G.1.2 — round 5), and baseline TIFF (strip-based 8-bit gray/RGB/RGBA/
+palette, both byte orders, none/LZW/PackBits compression with the
+horizontal-differencing predictor — round 5). Arithmetic-coded JPEG,
+tiled/deep TIFF, WEBP, video demuxing and compressed audio still raise
+NotImplementedError per payload, keeping the gate honest.
 
 At 100 TB the rules that matter here: never let the binary column through a
 shuffle you don't need (project it away before joins/aggs), bound Arrow batch
@@ -79,11 +81,12 @@ class _FakeDecoder:
 
 class _RealDecoder:
     """Pure-stdlib image decode (PNG, uncompressed 24-bit BMP, baseline
-    AND progressive JPEG) — no Pillow/ffmpeg in the sandbox; PNG is zlib
-    + per-row filters and JPEG a Huffman+IDCT pipeline with the T.81
-    G.1.2 progressive entropy decoders (_decode_jpeg). Formats still
-    needing a codec lib (TIFF, WEBP, video, arithmetic-coded JPEG)
-    raise, keeping the gate honest.
+    AND progressive JPEG, baseline TIFF) — no Pillow/ffmpeg in the
+    sandbox; PNG is zlib + per-row filters, JPEG a Huffman+IDCT pipeline
+    with the T.81 G.1.2 progressive entropy decoders (_decode_jpeg), and
+    TIFF a strip-based IFD walk with TIFF-variant LZW / PackBits
+    (_decode_tiff). Formats still needing a codec lib (WEBP, video,
+    arithmetic-coded JPEG, tiled TIFF) raise, keeping the gate honest.
 
     decode_image returns (width, height, feature) with the SAME shape
     contract as the fake decoder: an 8-dim float32 feature — here the
@@ -97,11 +100,13 @@ class _RealDecoder:
             w, h, pix = _decode_bmp24(payload)
         elif payload and payload[:2] == b"\xff\xd8":
             w, h, pix = _decode_jpeg(payload)
+        elif payload and payload[:2] in (b"II", b"MM"):
+            w, h, pix = _decode_tiff(payload)
         else:
             raise NotImplementedError(
-                "real decode implemented for PNG, 24-bit BMP and "
-                "baseline/progressive JPEG only (stdlib path); other "
-                "formats need a codec lib"
+                "real decode implemented for PNG, 24-bit BMP, "
+                "baseline/progressive JPEG and baseline TIFF only "
+                "(stdlib path); other formats need a codec lib"
             )
         lum = pix.astype(np.float32).mean(axis=2) / 255.0  # (h, w)
         rows = np.array_split(lum, 2, axis=0)
@@ -651,6 +656,210 @@ def _decode_jpeg(payload: bytes) -> tuple[int, int, np.ndarray]:
     b = y + 1.772 * (cb - 128.0)
     rgb = np.stack([r, g, b], axis=2)
     return fw, fh, np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+def _tiff_lzw_decode(data: bytes, expected: int) -> bytes:
+    """TIFF-variant LZW (TIFF 6.0 §13): MSB-first codes, Clear=256,
+    EOI=257, 9->12 bit widths with EARLY CHANGE (the width bumps one code
+    before the table fills — the quirk that distinguishes TIFF LZW from
+    GIF's)."""
+    out = bytearray()
+    table: list[bytes] = []
+
+    def reset() -> None:
+        table.clear()
+        table.extend(bytes([i]) for i in range(256))
+        table.append(b"")  # 256 clear
+        table.append(b"")  # 257 eoi
+
+    reset()
+    width = 9
+    acc = nbits = 0
+    prev: bytes | None = None
+    for byte in data:
+        acc = (acc << 8) | byte
+        nbits += 8
+        while nbits >= width:
+            code = (acc >> (nbits - width)) & ((1 << width) - 1)
+            nbits -= width
+            if code == 256:
+                reset()
+                width = 9
+                prev = None
+                continue
+            if code == 257:
+                return bytes(out)
+            if prev is None:
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            elif code == len(table):
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                raise ValueError("TIFF LZW code out of range")
+            out += entry
+            prev = entry
+            # early change, decoder side: the decoder's table runs one
+            # entry BEHIND the encoder's (the classic LZW lag), so it
+            # must widen one code earlier than table-full — when the
+            # next-to-assign slot reaches 2^width - 2 (libtiff's
+            # maxcode-1 rule)
+            if len(table) + 2 >= (1 << width) and width < 12:
+                width += 1
+            if len(out) >= expected:
+                return bytes(out[:expected])
+    return bytes(out)
+
+
+def _tiff_packbits_decode(data: bytes, expected: int) -> bytes:
+    """PackBits (TIFF 6.0 §9): n>=0 -> n+1 literals; -127..-1 -> repeat
+    next byte 1-n times; -128 no-op."""
+    out = bytearray()
+    i = 0
+    while i < len(data) and len(out) < expected:
+        n = data[i]
+        i += 1
+        if n < 128:
+            out += data[i : i + n + 1]
+            i += n + 1
+        elif n > 128:
+            if i >= len(data):
+                raise ValueError("PackBits run truncated")
+            out += bytes([data[i]]) * (257 - n)
+            i += 1
+        # 128: no-op
+    return bytes(out[:expected])
+
+
+def _decode_tiff(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """Baseline TIFF 6.0 (round 5): strip-based, 8 bits/sample, gray
+    (white-is-zero and black-is-zero), RGB/RGBA and palette-color, both
+    byte orders, Compression 1 (none) / 5 (LZW incl. the horizontal-
+    differencing Predictor 2) / 32773 (PackBits).
+
+    Tiled layouts, other bit depths, JPEG-in-TIFF, CCITT fax codings and
+    planar configuration 2 raise NotImplementedError — the honest-gate
+    contract; corrupt structures raise ValueError."""
+    import struct
+
+    if len(payload) < 8 or payload[:2] not in (b"II", b"MM"):
+        raise ValueError("not a TIFF (missing byte-order mark)")
+    end = "<" if payload[:2] == b"II" else ">"
+    try:
+        return _decode_tiff_checked(payload, end)
+    except struct.error as exc:  # truncated structures -> loud ValueError
+        raise ValueError(f"corrupt TIFF structure: {exc}") from exc
+
+
+def _decode_tiff_checked(
+    payload: bytes, end: str
+) -> tuple[int, int, np.ndarray]:
+    import struct
+
+    magic, ifd_off = struct.unpack(end + "HI", payload[2:8])
+    if magic != 42:
+        raise ValueError("not a TIFF (bad magic)")
+
+    def read_ifd(off: int) -> dict[int, tuple[int, list[int]]]:
+        (n,) = struct.unpack(end + "H", payload[off : off + 2])
+        entries: dict[int, tuple[int, list[int]]] = {}
+        type_size = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}
+        type_fmt = {1: "B", 3: "H", 4: "I"}
+        for i in range(n):
+            e = payload[off + 2 + 12 * i : off + 14 + 12 * i]
+            tag, typ, cnt = struct.unpack(end + "HHI", e[:8])
+            if typ not in type_size:
+                continue  # ignore rationals/ASCII we never consume
+            total = type_size[typ] * cnt
+            raw = e[8:12] if total <= 4 else None
+            if raw is None:
+                (voff,) = struct.unpack(end + "I", e[8:12])
+                raw = payload[voff : voff + total]
+            if typ in type_fmt:
+                vals = list(
+                    struct.unpack(end + type_fmt[typ] * cnt, raw[:total])
+                )
+            else:
+                vals = []
+            entries[tag] = (typ, vals)
+        return entries
+
+    ifd = read_ifd(ifd_off)
+
+    def tag(t: int, default=None):
+        if t not in ifd:
+            if default is None:
+                raise ValueError(f"TIFF missing required tag {t}")
+            return default
+        return ifd[t][1]
+
+    w = tag(256)[0]
+    h = tag(257)[0]
+    comp = tag(259, [1])[0]
+    photo = tag(262)[0]
+    spp = tag(277, [1])[0]
+    bps = tag(258, [8] * spp)
+    rows_per_strip = tag(278, [h])[0] or h
+    offsets = tag(273)
+    counts = tag(279)
+    predictor = tag(317, [1])[0]
+    if 322 in ifd or 323 in ifd:
+        raise NotImplementedError("tiled TIFF")
+    if tag(284, [1])[0] != 1:
+        raise NotImplementedError("TIFF planar configuration 2")
+    if any(b != 8 for b in bps):
+        raise NotImplementedError("TIFF bits-per-sample != 8")
+    if comp not in (1, 5, 32773):
+        raise NotImplementedError(
+            f"TIFF compression {comp} (none/LZW/PackBits only)"
+        )
+    if photo not in (0, 1, 2, 3):
+        raise NotImplementedError(f"TIFF photometric {photo}")
+    if len(offsets) != len(counts):
+        raise ValueError("TIFF strip offsets/counts mismatch")
+
+    row_bytes = w * spp
+    raster = bytearray()
+    for si, (o, c) in enumerate(zip(offsets, counts)):
+        nrows = min(rows_per_strip, h - si * rows_per_strip)
+        expected = nrows * row_bytes
+        chunk = payload[o : o + c]
+        if len(chunk) != c:
+            raise ValueError("TIFF strip out of bounds")
+        if comp == 5:
+            strip = _tiff_lzw_decode(chunk, expected)
+        elif comp == 32773:
+            strip = _tiff_packbits_decode(chunk, expected)
+        else:
+            strip = chunk[:expected]
+        if len(strip) < expected:
+            raise ValueError("TIFF strip underflow")
+        raster += strip[:expected]
+    arr = np.frombuffer(bytes(raster), dtype=np.uint8).reshape(h, w, spp)
+    if predictor == 2:
+        # horizontal differencing: cumulative sum per row per sample
+        arr = np.cumsum(arr.astype(np.uint32), axis=1).astype(np.uint8)
+    elif predictor != 1:
+        raise NotImplementedError(f"TIFF predictor {predictor}")
+
+    if photo == 2:  # RGB / RGBA (extra samples dropped)
+        if spp < 3:
+            raise ValueError("TIFF RGB with <3 samples")
+        return w, h, np.ascontiguousarray(arr[:, :, :3])
+    if photo == 3:  # palette-color
+        cmap = tag(320)
+        if len(cmap) != 3 * 256:
+            raise NotImplementedError("TIFF palette with non-256 entries")
+        lut = (
+            np.array(cmap, dtype=np.uint16).reshape(3, 256).T >> 8
+        ).astype(np.uint8)
+        return w, h, lut[arr[:, :, 0]]
+    g = arr[:, :, 0]
+    if photo == 0:  # white-is-zero
+        g = 255 - g
+    return w, h, np.repeat(g[:, :, None], 3, axis=2)
 
 
 def _decode_bmp24(payload: bytes) -> tuple[int, int, np.ndarray]:

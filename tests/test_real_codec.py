@@ -134,8 +134,10 @@ def test_real_decoder_feature_contract_and_gate():
     assert (w, h) == (8, 8)
     assert feat.shape == (8,) and feat.dtype == np.float32
     assert np.allclose(feat, 1.0)  # all-white -> unit luminance everywhere
+    with pytest.raises(ValueError):
+        dec.decode_image(b"II*\x00 not a tiff")  # corrupt TIFF structure
     with pytest.raises(NotImplementedError):
-        dec.decode_image(b"II*\x00 not a png")  # TIFF magic: no codec
+        dec.decode_image(b"RIFF\x00\x00\x00\x00WEBPVP8 ")  # no codec
 
 
 def _wav16(rate: int, n_ch: int, samples: np.ndarray) -> bytes:
@@ -753,3 +755,262 @@ def _dc_zero_ecs():
     bw = _BitWriter()
     bw.bits(*reversed(dcc[0]))  # one block, diff 0
     return bw.done()
+
+
+# --- round-5: baseline TIFF ------------------------------------------------
+
+
+def _lzw_enc(data: bytes) -> bytes:
+    """TIFF-variant LZW encoder (early change) for fixtures."""
+    out = bytearray()
+    acc = nbits = 0
+
+    def put(code, width):
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            out.append((acc >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+
+    table = {bytes([i]): i for i in range(256)}
+    nxt, width = 258, 9
+    put(256, width)  # Clear
+    prev = b""
+    for b in data:
+        cur = prev + bytes([b])
+        if cur in table:
+            prev = cur
+            continue
+        put(table[prev], width)
+        table[cur] = nxt
+        nxt += 1
+        if nxt == (1 << width) - 1 and width < 12:
+            width += 1  # early change
+        elif nxt == 4094:  # table full: Clear + reset (TIFF 6.0 rule)
+            put(256, width)
+            table = {bytes([i]): i for i in range(256)}
+            nxt, width = 258, 9
+        prev = bytes([b])
+    if prev:
+        put(table[prev], width)
+    put(257, width)  # EOI
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def _packbits_enc(data: bytes) -> bytes:
+    """Simple PackBits encoder: runs of >=3 as repeats, else literals."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        run = 1
+        while i + run < n and data[i + run] == data[i] and run < 128:
+            run += 1
+        if run >= 3:
+            out += bytes([257 - run, data[i]])
+            i += run
+            continue
+        lit = i
+        while i < n and (i - lit) < 128:
+            run = 1
+            while i + run < n and data[i + run] == data[i] and run < 128:
+                run += 1
+            if run >= 3:
+                break
+            i += run
+        out += bytes([i - lit - 1]) + data[lit:i]
+    return bytes(out)
+
+
+def _tiff(px, photo, comp=1, end="<", predictor=1, rows_per_strip=None,
+          cmap=None, spp=None):
+    """Minimal strip-based TIFF writer for fixtures. px: (h, w) gray /
+    palette indices or (h, w, spp) array."""
+    h, w = px.shape[:2]
+    spp = spp if spp is not None else (1 if px.ndim == 2 else px.shape[2])
+    rps = rows_per_strip or h
+    raw = px.astype(np.uint8)
+    if predictor == 2:
+        d = raw.astype(np.int16).reshape(h, w, spp)
+        d[:, 1:, :] = d[:, 1:, :] - d[:, :-1, :]
+        raw = (d % 256).astype(np.uint8)
+    rowb = raw.reshape(h, -1).tobytes()
+    strips = []
+    for s0 in range(0, h, rps):
+        chunk = raw.reshape(h, -1)[s0 : s0 + rps].tobytes()
+        if comp == 5:
+            chunk = _lzw_enc(chunk)
+        elif comp == 32773:
+            chunk = _packbits_enc(chunk)
+        strips.append(chunk)
+
+    tags = []  # (tag, type, count, values)
+    tags.append((256, 4, 1, [w]))
+    tags.append((257, 4, 1, [h]))
+    tags.append((258, 3, spp, [8] * spp))
+    tags.append((259, 3, 1, [comp]))
+    tags.append((262, 3, 1, [photo]))
+    tags.append((277, 3, 1, [spp]))
+    tags.append((278, 4, 1, [rps]))
+    if predictor != 1:
+        tags.append((317, 3, 1, [predictor]))
+    if cmap is not None:
+        tags.append((320, 3, len(cmap), cmap))
+
+    # layout: header(8) + IFD + ext values + strip data
+    n_tags = len(tags) + 2  # + StripOffsets + StripByteCounts
+    ifd_off = 8
+    ifd_size = 2 + 12 * n_tags + 4
+    ext = bytearray()
+    ext_base = ifd_off + ifd_size
+
+    def enc_vals(typ, vals):
+        fmt = {3: "H", 4: "I"}[typ]
+        return b"".join(struct.pack(end + fmt, v) for v in vals)
+
+    entries = []
+
+    def add(tag_id, typ, cnt, vals):
+        data = enc_vals(typ, vals)
+        if len(data) <= 4:
+            entries.append((tag_id, typ, cnt, data.ljust(4, b"\0"), None))
+        else:
+            entries.append((tag_id, typ, cnt, None, bytes(data)))
+
+    for t, ty, c, v in tags:
+        add(t, ty, c, v)
+    # strip tables (resolve offsets after ext sizing: two passes)
+    strip_cnt = len(strips)
+    add(273, 4, strip_cnt, [0] * strip_cnt)  # placeholder
+    add(279, 4, strip_cnt, [len(s) for s in strips])
+    # first pass: compute ext layout
+    ext_offs = []
+    off = ext_base
+    for _t, _ty, _c, inline, extdata in entries:
+        if extdata is not None:
+            ext_offs.append(off)
+            off += len(extdata)
+        else:
+            ext_offs.append(None)
+    data_base = off
+    strip_offs = []
+    so = data_base
+    for s in strips:
+        strip_offs.append(so)
+        so += len(s)
+    # rewrite the StripOffsets entry with real values
+    for i, (t, ty, c, inline, extdata) in enumerate(entries):
+        if t == 273:
+            data = enc_vals(ty, strip_offs)
+            if len(data) <= 4:
+                entries[i] = (t, ty, c, data.ljust(4, b"\0"), None)
+            else:
+                entries[i] = (t, ty, c, None, bytes(data))
+    # ext layout may shift if 273 flipped inline/ext -- strip count is
+    # fixed per fixture, so inline-ness is stable; assert it
+    out = bytearray()
+    out += (b"II" if end == "<" else b"MM") + struct.pack(end + "HI", 42, 8)
+    out += struct.pack(end + "H", n_tags)
+    ei = 0
+    for (t, ty, c, inline, extdata), eoff in zip(entries, ext_offs):
+        out += struct.pack(end + "HHI", t, ty, c)
+        if extdata is not None:
+            out += struct.pack(end + "I", eoff)
+        else:
+            out += inline
+        ei += 1
+    out += struct.pack(end + "I", 0)  # no next IFD
+    for (_t, _ty, _c, inline, extdata) in entries:
+        if extdata is not None:
+            out += extdata
+    for s in strips:
+        out += s
+    return bytes(out)
+
+
+def _tiff_px(h, w, spp):
+    rng = np.random.default_rng(42)
+    if spp == 1:
+        return rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+    return rng.integers(0, 256, size=(h, w, spp), dtype=np.uint8)
+
+
+def test_tiff_gray_both_photometrics_and_endians():
+    from invoice_ocr_reconciler_spark.operators.multimodal import _decode_tiff
+
+    px = _tiff_px(5, 7, 1)
+    for end in ("<", ">"):
+        w, h, rgb = _decode_tiff(_tiff(px, photo=1, end=end))
+        assert (w, h) == (7, 5)
+        assert np.array_equal(rgb[:, :, 0], px)
+        w, h, rgb0 = _decode_tiff(_tiff(px, photo=0, end=end))
+        assert np.array_equal(rgb0[:, :, 0], 255 - px)
+
+
+def test_tiff_rgb_rgba_and_palette():
+    from invoice_ocr_reconciler_spark.operators.multimodal import _decode_tiff
+
+    px = _tiff_px(4, 6, 3)
+    w, h, rgb = _decode_tiff(_tiff(px, photo=2))
+    assert np.array_equal(rgb, px)
+    # RGBA: alpha dropped
+    px4 = _tiff_px(4, 6, 4)
+    w, h, rgb = _decode_tiff(_tiff(px4, photo=2))
+    assert np.array_equal(rgb, px4[:, :, :3])
+    # palette: 16-bit colormap entries, high byte is the 8-bit value
+    idx = _tiff_px(3, 5, 1)
+    cmap = list(range(256)) * 3  # r[i]=g[i]=b[i]=i (as 16-bit <<8)
+    cmap = [(v << 8) for v in cmap]
+    w, h, rgb = _decode_tiff(_tiff(idx, photo=3, cmap=cmap))
+    assert np.array_equal(rgb[:, :, 0], idx)
+    assert np.array_equal(rgb[:, :, 1], idx)
+
+
+def test_tiff_packbits_lzw_predictor_multistrip():
+    from invoice_ocr_reconciler_spark.operators.multimodal import _decode_tiff
+
+    # runs + noise exercise both PackBits branches
+    px = _tiff_px(6, 8, 3)
+    px[0:2] = 17
+    w, h, rgb = _decode_tiff(_tiff(px, photo=2, comp=32773, rows_per_strip=2))
+    assert np.array_equal(rgb, px)
+    w, h, rgb = _decode_tiff(_tiff(px, photo=2, comp=5, rows_per_strip=3))
+    assert np.array_equal(rgb, px)
+    # LZW + horizontal-differencing predictor
+    w, h, rgb = _decode_tiff(
+        _tiff(px, photo=2, comp=5, predictor=2, rows_per_strip=6)
+    )
+    assert np.array_equal(rgb, px)
+    # big gradient stresses the LZW width bumps past 9 bits
+    big = np.tile(np.arange(256, dtype=np.uint8), (4, 2))
+    w, h, rgb = _decode_tiff(_tiff(big, photo=1, comp=5))
+    assert np.array_equal(rgb[:, :, 0], big)
+    # random 100x300 crosses the 12-bit width cap AND the mid-stream
+    # Clear reset (table full at 4094 -> encoder Clear, decoder resync)
+    deep = _tiff_px(100, 300, 1)
+    w, h, rgb = _decode_tiff(_tiff(deep, photo=1, comp=5))
+    assert np.array_equal(rgb[:, :, 0], deep)
+
+
+def test_tiff_unsupported_raise_and_gate():
+    from invoice_ocr_reconciler_spark.operators.multimodal import (
+        _RealDecoder,
+        _decode_tiff,
+    )
+
+    px = _tiff_px(4, 4, 1)
+    good = _tiff(px, photo=1)
+    with pytest.raises(ValueError):
+        _decode_tiff(b"II\x2b\x00" + good[4:])  # BigTIFF magic
+    # 16-bit declaration raises honestly
+    bad16 = good.replace(
+        struct.pack("<HHI", 258, 3, 1) + struct.pack("<H", 8).ljust(4, b"\0"),
+        struct.pack("<HHI", 258, 3, 1) + struct.pack("<H", 16).ljust(4, b"\0"),
+    )
+    with pytest.raises(NotImplementedError, match="bits-per-sample"):
+        _decode_tiff(bad16)
+    dec = _RealDecoder()
+    w, h, feat = dec.decode_image(good)
+    assert (w, h) == (4, 4) and feat.shape == (8,)
