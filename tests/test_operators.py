@@ -118,14 +118,17 @@ def test_multimodal_image_features(spark):
 
 
 def test_multimodal_real_decoder_gate(spark):
-    """fake=False now returns the real stdlib PNG/BMP/JPEG decoder;
-    formats that need a codec library still raise per payload (the honest
-    gate — full coverage in tests/test_real_codec.py)."""
+    """fake=False now returns the real stdlib PNG/BMP/JPEG/TIFF decoder;
+    formats that need a codec library still raise per payload, and a
+    corrupt TIFF structure raises ValueError (the honest gate — full
+    coverage in tests/test_real_codec.py)."""
     from invoice_ocr_reconciler_spark.operators.multimodal import _get_decoder
 
     dec = _get_decoder(fake=False)
+    with pytest.raises(ValueError):
+        dec.decode_image(b"II*\x00 tiff magic")  # corrupt TIFF, decoded now
     with pytest.raises(NotImplementedError):
-        dec.decode_image(b"II*\x00 tiff magic")
+        dec.decode_image(b"RIFF\x00\x00\x00\x00WEBPVP8 ")
     with pytest.raises(NotImplementedError):
         dec.sample_frames(b"video-bytes", 4)
 
