@@ -515,3 +515,33 @@ def test_rehearsal_harness_defaults_to_stock_session():
     # override is set
     assert 'os.environ.get("REHEARSAL_SHUFFLE_PARTITIONS")' in src
     assert "if shuffle_env else None" in src
+
+
+def test_data_bytes_hint_raises_both_knobs():
+    """get_spark(data_bytes_hint=...) must size shuffle width from input
+    bytes when it exceeds the floor -- asserted in a SUBPROCESS because
+    getOrCreate pins one session per test process."""
+    import subprocess
+    import sys as _sys
+
+    code = """
+import sys
+sys.path.insert(0, ".")
+from invoice_ocr_reconciler_spark.session import get_spark
+spark = get_spark(cores=2, data_bytes_hint=100 * 1024**3,
+                  extra_conf={"spark.ui.showConsoleProgress": "false"})
+sp = spark.conf.get("spark.sql.shuffle.partitions")
+init = spark.conf.get(
+    "spark.sql.adaptive.coalescePartitions.initialPartitionNum")
+print("KNOBS", sp, init)
+spark.stop()
+"""
+    out = subprocess.run(
+        [_sys.executable, "-c", code], capture_output=True, text=True,
+        cwd="/root/repo", timeout=300,
+    )
+    line = [ln for ln in out.stdout.splitlines() if ln.startswith("KNOBS")]
+    assert line, out.stderr[-800:]
+    _tag, sp, init = line[0].split()
+    # 100 GiB / 128 MiB = 800 blocks > the 64 floor; both knobs agree
+    assert int(sp) == 800 and init == sp
