@@ -60,13 +60,12 @@ def test_query_executes(spark, name):
 
 def test_rows_only_residue_is_engine_bound():
     """Round-5 pin: every queries() entry carries a value oracle except
-    the three genuinely engine-bound ones (HLL sketch bitmap, zlib
-    bitstream, HTML-parser A/B) -- a new rows-only entry needs the same
-    class of justification, not just a missing oracle."""
+    the two genuinely engine-bound ones (HLL sketch bitmap, zlib
+    DEFLATE bitstream) -- a new rows-only entry needs the same class of
+    justification, not just a missing oracle."""
     qs, osql = entrymod.queries(), entrymod.oracle_sql()
     rows_only = set(qs) - set(osql)
     assert rows_only <= {
         "approx_distinct_users",   # engine-internal HLL++ sketch
         "compression_ratio",       # zlib bitstream
-        "extractor_compare",       # third-party HTML parser A/B
     }, f"unexpected rows-only entries: {sorted(rows_only)}"
